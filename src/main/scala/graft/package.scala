@@ -1,0 +1,57 @@
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** graft — a Spark-native (Scala) analytics engine with the capability surface
+  * of the reference e-commerce data-warehouse workload (see SURVEY.md).
+  *
+  * Shared expression helpers. Cleaning expressions are deliberately written as
+  * SQL fragments (via `expr`) whose text is letter-for-letter equivalent to the
+  * DuckDB oracle SQL in [[graft.oracle.OracleSql]], so both engines apply
+  * identical semantics to the same dirty staging inputs.
+  */
+package object graft {
+
+  /** Case-normalization used by the reference's INITCAP cleaning
+    * (`Iteration 1/Group No.6_ETL.sql:88-89,120-122`). Spark's `initcap` has no
+    * DuckDB equivalent, so the engine standardizes on a first-letter-upcase
+    * variant expressible identically in both engines (documented deviation,
+    * SURVEY.md §7). Empty strings become NULL (reference `NULLIF(x,'')`).
+    */
+  def initcapLite(c: String): Column = expr(
+    s"concat(upper(substr(nullif(trim($c),''),1,1)), lower(substr(nullif(trim($c),''),2)))")
+
+  /** Strip currency symbols / junk and parse to an exact decimal; NULL when
+    * nothing numeric remains (reference `REGEXP_REPLACE(x,'[^0-9\.\-]','','g')`
+    * + cast, `Iteration 1/Group No.6_ETL.sql:124-127,168-173`). try_cast keeps
+    * the pipeline safe under Spark 4's default ANSI mode. */
+  def numClean(c: String, sqlType: String): Column = expr(
+    s"try_cast(nullif(regexp_replace(trim($c), '[^0-9.-]', ''), '') AS $sqlType)")
+
+  /** Strict `YYYY-MM-DD` validation then parse, else NULL (reference
+    * `Iteration 1/Group No.6_ETL.sql:90-94`). */
+  def strictDate(c: String): Column = expr(
+    s"CASE WHEN trim($c) RLIKE '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$' THEN try_cast(trim($c) AS DATE) ELSE NULL END")
+
+  /** Dual-format timestamp parse: `YYYY-MM-DD HH:MM:SS` then `DD/MM/YYYY
+    * HH:MM:SS`, else NULL (reference CASE parser,
+    * `Iteration 1/Group No.6_ETL.sql:161-167`). */
+  def dualTimestamp(c: String): Column = expr(
+    s"coalesce(try_to_timestamp(trim($c), 'yyyy-MM-dd HH:mm:ss'), try_to_timestamp(trim($c), 'dd/MM/yyyy HH:mm:ss'))")
+
+  /** Non-empty-string predicate `COALESCE(TRIM(c),'') <> ''` (reference
+    * `Iteration 1/Group No.6_ETL.sql:105,129,193-194`). */
+  def nonBlank(c: String): Column = coalesce(trim(col(c)), lit("")) =!= ""
+
+  /** The reference's smart date key `TO_CHAR(ts,'YYYYMMDDHH24MISS')::BIGINT`
+    * (`Iteration 1/Group No.6_ETL.sql:231`). */
+  def smartDateKey(ts: Column): Column = date_format(ts, "yyyyMMddHHmmss").cast("long")
+
+  /** DAX DIVIDE: null-safe division (Iteration 4 measures 3-7). */
+  def safeDiv(num: Column, den: Column): Column =
+    when(den.isNotNull && den =!= 0, num / den)
+
+  /** round(x, 2) on a double recomputed as an exact DECIMAL(18,2) — the
+    * engine's standard shape for ratio metrics so results hash-match the
+    * DuckDB oracle independent of decimal-division scale rules. */
+  def money2(c: Column): Column = round(c.cast("double"), 2).cast("decimal(18,2)")
+}

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Source/sink surface (SURVEY.md §2.1).
+  *
+  * The reference's staging layer is schema-on-load: every column arrives as
+  * TEXT and parsing happens in the transform step (reference staging DDL,
+  * `Iteration 1/Group No.6_ETL.sql:22-58`). [[csvStaging]] reproduces that
+  * contract for CSV inputs; the driver test data is parquet, read through
+  * [[table]] (columnar scan + pushdown — the Spark-native analog of the
+  * reference's heap tables, SURVEY.md §1.4).
+  */
+object Sources {
+
+  /** S2: columnar table scan with Catalyst pushdown/pruning. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** S1: CSV → all-string staging DataFrame (header row expected). Keeping
+    * every column StringType preserves dirty values for the cleaning layer. */
+  def csvStaging(spark: SparkSession, path: String, columns: Seq[String]): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .schema(StructType(columns.map(StructField(_, StringType, nullable = true))))
+      .csv(path)
+
+  /** S3/S8: materialize a transform result (CTAS / materialized view). Facts
+    * should pass a partition column (e.g. `year`) so 100 TB writes produce
+    * prunable Hive-style directories (SURVEY.md §4 R6). */
+  def materialize(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** S5: INSERT..SELECT append. */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** S4: empty-schema clone (`CREATE TABLE x AS SELECT * FROM y WITH NO DATA`,
+    * `Iteration 1/Group No.6_ELT.sql:30-40`). */
+  def emptyLike(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+}
