@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Sources
 
@@ -45,9 +45,15 @@ object Staging {
   }
 
   /** stg_products: stockcode, description, unitprice, category, brand (string). */
+  /** Portable double→2dp rendering: `round(x*100)/100` then decimal cast.
+    * Rounding the scaled double (not the exact binary expansion) is the one
+    * formulation Spark and DuckDB evaluate identically at .005 boundaries. */
+  private def dec2(x: Column, t: String): Column =
+    (round(x * 100) / 100).cast(t).cast("string")
+
   def products(spark: SparkSession, dir: String): DataFrame = {
     val k = col("p_partkey")
-    val dec = col("p_retailprice").cast("decimal(12,2)").cast("string")
+    val dec = dec2(col("p_retailprice"), "decimal(12,2)")
     Sources.table(spark, dir, "part").select(
       k.cast("string").as("stockcode"),
       col("p_name").as("description"),
@@ -70,7 +76,7 @@ object Staging {
     val li = Sources.table(spark, dir, "lineitem")
     val o = Sources.table(spark, dir, "orders")
     val k = col("l_orderkey")
-    val priceDec = (col("l_extendedprice") / col("l_quantity")).cast("decimal(12,2)").cast("string")
+    val priceDec = dec2(col("l_extendedprice") / col("l_quantity"), "decimal(12,2)")
     li.join(o, k === o("o_orderkey")).select(
       when(k % 211 === 0, lit("")).otherwise(k.cast("string")).as("invoiceid"),
       col("l_partkey").cast("string").as("stockcode"),
@@ -83,7 +89,7 @@ object Staging {
         .when(k % 7 === 0, concat(lit("$"), priceDec))
         .otherwise(priceDec).as("unitprice"),
       when(k % 3 === 0, lit(""))
-        .otherwise(col("l_extendedprice").cast("decimal(18,2)").cast("string")).as("totalamount"),
+        .otherwise(dec2(col("l_extendedprice"), "decimal(18,2)")).as("totalamount"),
       col("l_linenumber").cast("string").as("linenumber"))
   }
 

@@ -1,0 +1,185 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft._
+
+/** The cleaning/conform layer: pure `DataFrame => DataFrame` transforms
+  * re-expressing the reference ETL (`Iteration 1/Group No.6_ETL.sql:82-349`)
+  * Spark-first. Each function mirrors one CTE of the DuckDB oracle prelude
+  * (`tools/prefix.sql`) letter-for-letter in semantics, so oracle and engine
+  * agree on every dirty-input edge case.
+  *
+  * Scale notes (100 TB):
+  *  - No global (unpartitioned) windows anywhere: dedup windows partition by
+  *    the natural key; surrogate keys are `xxhash64(naturalKey)` rather than
+  *    the reference's `SERIAL` — deterministic, shuffle-free, and
+  *    key-value-independent for every downstream query (SURVEY.md §7).
+  *  - Every join is an equi-join on the conformed natural key; dims are small
+  *    relative to the fact and broadcast under AQE.
+  */
+object Transforms {
+
+  /** customers_base: trim/initcap/strict-date conform of stg_customers
+    * (reference `Iteration 1/Group No.6_ETL.sql:82-94`). */
+  def customersBase(stgCustomers: DataFrame): DataFrame =
+    stgCustomers
+      .filter(nonBlank("customerid"))
+      .select(
+        trim(col("customerid")).as("customerid"),
+        initcapLite("customername").as("customername"),
+        initcapLite("country").as("country"),
+        strictDate("signupdate").as("signupdate"))
+
+  /** W1/W2/W3 dedup: keep the first row per key under `order`. */
+  def dedupKeepFirst(df: DataFrame, key: String, order: Seq[Column]): DataFrame =
+    df.withColumn("rn", row_number().over(Window.partitionBy(key).orderBy(order: _*)))
+      .filter(col("rn") === 1)
+      .drop("rn")
+
+  /** dim_customer: dedup keep-latest-signup (reference `:95-107`), hash
+    * surrogate key. */
+  def dimCustomer(customersBase: DataFrame): DataFrame =
+    dedupKeepFirst(customersBase, "customerid",
+      Seq(col("signupdate").desc_nulls_last, col("customername")))
+      .withColumn("customer_key", xxhash64(col("customerid")))
+
+  /** dim_customer_elt: the ELT pipeline keeps the EARLIEST signup
+    * (reference `Iteration 1/Group No.6_ELT.sql:94-102`). */
+  def dimCustomerElt(customersBase: DataFrame): DataFrame =
+    dedupKeepFirst(customersBase, "customerid",
+      Seq(col("signupdate").asc_nulls_first, col("customername")))
+      .withColumn("customer_key", xxhash64(col("customerid")))
+
+  /** products_base: conform stg_products; strip currency junk from price
+    * (reference `:116-129`). */
+  def productsBase(stgProducts: DataFrame): DataFrame =
+    stgProducts
+      .filter(nonBlank("stockcode"))
+      .select(
+        trim(col("stockcode")).as("stockcode"),
+        initcapLite("description").as("description"),
+        initcapLite("category").as("category"),
+        trim(col("brand")).as("brand"),
+        numClean("unitprice", "DECIMAL(12,2)").as("unitprice_raw"))
+
+  /** products_dedup: arbitrary-keep dedup by stockcode (reference `:306-310`). */
+  def productsDedup(productsBase: DataFrame): DataFrame =
+    dedupKeepFirst(productsBase, "stockcode", Seq(col("stockcode")))
+
+  /** Global median of positive unit prices, rounded to cents (reference
+    * `PERCENTILE_CONT(0.5)`, `:132-136`). One scalar returns to the driver —
+    * the same driver round-trip the reference's scalar subquery implies. */
+  def medianPrice(productsDedup: DataFrame): Double =
+    productsDedup
+      .filter(col("unitprice_raw") > 0)
+      .select(round(expr("percentile(cast(unitprice_raw as double), 0.5)"), 2).as("m"))
+      .head()
+      .getDouble(0)
+
+  /** dim_product: median-fallback price repair (reference `:141-146`), hash
+    * surrogate key. */
+  def dimProduct(productsDedup: DataFrame, medianPrice: Double): DataFrame =
+    productsDedup
+      .select(
+        col("stockcode"),
+        col("description"),
+        when(col("unitprice_raw").isNull || col("unitprice_raw") <= 0, lit(medianPrice))
+          .otherwise(col("unitprice_raw"))
+          .cast("decimal(12,2)").as("unitprice"),
+        col("category"),
+        col("brand"))
+      .withColumn("product_key", xxhash64(col("stockcode")))
+
+  /** sales_parsed: trim keys, dual-format timestamp parse, numeric cleanup
+    * (reference `:154-174`). */
+  def salesParsed(stgSales: DataFrame): DataFrame =
+    stgSales
+      .filter(nonBlank("invoiceid") && nonBlank("stockcode"))
+      .select(
+        trim(col("invoiceid")).as("invoiceid"),
+        trim(col("stockcode")).as("stockcode"),
+        trim(col("customerid")).as("customerid"),
+        dualTimestamp("saledate").cast("timestamp_ntz").as("sale_ts"),
+        coalesce(numClean("quantity", "INT"), lit(0)).as("quantity"),
+        numClean("unitprice", "DECIMAL(12,2)").as("unitprice_num"),
+        numClean("totalamount", "DECIMAL(18,2)").as("total_num"),
+        expr("try_cast(linenumber AS INT)").as("linenumber"))
+
+  /** sales_final: price repair from dim_product (UPDATE…FROM, reference
+    * `:179-187`) + totalamount recompute. The join is a fact⋈dim equi-join on
+    * `stockcode` — broadcast at real scale. */
+  def salesFinal(salesParsed: DataFrame, dimProduct: DataFrame): DataFrame = {
+    val prices = dimProduct.select(col("stockcode"), col("unitprice").as("p_price"))
+    val repaired =
+      when(col("unitprice_num").isNull || col("unitprice_num") <= 0, col("p_price"))
+        .otherwise(col("unitprice_num"))
+    salesParsed
+      .join(prices, Seq("stockcode"), "left")
+      .select(
+        col("invoiceid"), col("stockcode"), col("customerid"), col("sale_ts"),
+        col("quantity"), col("linenumber"),
+        repaired.cast("decimal(12,2)").as("unitprice"),
+        when(col("total_num").isNull || col("total_num") === 0,
+          round(col("quantity") * repaired, 2))
+          .otherwise(col("total_num"))
+          .cast("decimal(18,2)").as("totalamount"))
+  }
+
+  /** ts_domain: UNION-dedup of sale timestamps and the stg_date midnight
+    * domain (reference `:202-214`; SQL UNION dedups — Spark needs the
+    * explicit distinct, SURVEY.md §7 hard-part 3). */
+  def tsDomain(salesParsed: DataFrame, stgDates: DataFrame): DataFrame =
+    salesParsed
+      .filter(col("sale_ts").isNotNull)
+      .select(col("sale_ts").as("ts"))
+      .union(stgDates.select(
+        expr("to_timestamp_ntz(concat(d, ' 00:00:00'), 'yyyy-MM-dd HH:mm:ss')").as("ts")))
+      .distinct()
+
+  /** dim_date: smart-key date dimension (reference `:217-233`). is_weekend is
+    * ISO Sat/Sun — Spark `dayofweek` is Sunday=1, so ISODOW∈(6,7) becomes
+    * dayofweek∈(1,7) (SURVEY.md §7 hard-part 4). */
+  def dimDate(tsDomain: DataFrame): DataFrame =
+    tsDomain.select(
+      smartDateKey(col("ts")).as("date_key"),
+      col("ts").as("full_datetime"),
+      col("ts").cast("date").as("full_date"),
+      date_format(col("ts"), "HH:mm:ss").as("full_time"),
+      year(col("ts")).as("year"),
+      month(col("ts")).as("month"),
+      dayofmonth(col("ts")).as("day"),
+      hour(col("ts")).as("hour"),
+      minute(col("ts")).as("minute"),
+      second(col("ts")).as("second"),
+      date_format(col("ts"), "EEEE").as("weekday"),
+      dayofweek(col("ts")).isin(1, 7).as("is_weekend"),
+      quarter(col("ts")).as("quarter"))
+
+  /** fact_sales: triple left join to resolve surrogate keys; unparseable
+    * timestamps take the reference's `19700101000000` fallback key
+    * (reference `:334-349`). Natural keys are kept alongside surrogates —
+    * they are the degenerate-dimension columns the reference also keeps. */
+  def factSales(salesFinal: DataFrame, dimProduct: DataFrame, dimCustomer: DataFrame): DataFrame =
+    salesFinal
+      .join(dimProduct.select("stockcode", "product_key"), Seq("stockcode"), "left")
+      .join(dimCustomer.select("customerid", "customer_key"), Seq("customerid"), "left")
+      .select(
+        coalesce(smartDateKey(col("sale_ts")), lit(19700101000000L)).as("date_key"),
+        col("product_key"), col("customer_key"),
+        col("invoiceid"), col("stockcode"), col("customerid"), col("linenumber"),
+        col("quantity"), col("unitprice"), col("totalamount"))
+
+  /** fact_sales_elt: same fact re-keyed against the ELT customer dim
+    * (reference `Iteration 1/Group No.6_ELT.sql:249-264`). */
+  def factSalesElt(factSales: DataFrame, dimCustomerElt: DataFrame): DataFrame =
+    factSales
+      .drop("customer_key")
+      .join(dimCustomerElt.select("customerid", "customer_key"), Seq("customerid"), "left")
+      .select(
+        col("date_key"), col("product_key"), col("customer_key"),
+        col("invoiceid"), col("stockcode"), col("customerid"), col("linenumber"),
+        col("quantity"), col("unitprice"), col("totalamount"))
+}
