@@ -8,13 +8,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registries: Seq[QueryRegistry] = Seq(
-    graft.etl.WarehouseQueries)
+    graft.etl.WarehouseQueries,
+    graft.olap.Olap,
+    graft.olap.Molap,
+    graft.measures.Measures,
+    graft.etl.Dsuite,
+    graft.etl.Errors)
 
   lazy val defs: Seq[QueryDef] = registries.flatMap(_.defs)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query: OLAP Q1 (monthly sales by country) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    queries("fact_sales")(spark, "/root/testdata/sf0.001")
+    queries("olap_q1_monthly_country")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =

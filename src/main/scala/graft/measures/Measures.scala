@@ -1,0 +1,221 @@
+package graft.measures
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.Warehouse
+import graft.{QueryDef, QueryRegistry}
+import graft.oracle.OracleSql.q
+
+/** The 14 DAX measures (`Iteration 4/Group No.6_DAX.txt.docx` §1-7,
+  * `_AdvancedDAX.txt.docx` §8-14) as typed DataFrame builders over the ELT
+  * star — Power BI's "filter context" becomes an optional predicate pushed
+  * before aggregation (SURVEY.md §3.3).
+  *
+  * Ratio measures (DAX `DIVIDE`) are computed as exact-decimal SUM cast to
+  * double, divided by an exact count — deterministic across engines and
+  * partitionings (no floating-point accumulation).
+  *
+  * The time-intelligence measures (§8 YoY, §12 rolling, §13 cumulative) use
+  * windows over *month/year-grain aggregates* — dozens-to-hundreds of rows —
+  * so the unpartitioned window that would be a scale-killer on the raw fact
+  * is a no-op here (SURVEY.md §2.5 W5-W7).
+  */
+object Measures extends QueryRegistry {
+
+  private def fact(w: Warehouse): DataFrame = w.factSalesElt
+
+  /** §1 Total Revenue. */
+  def totalRevenue(w: Warehouse): DataFrame =
+    fact(w).agg(sum("totalamount").cast("decimal(18,2)").as("total_revenue"))
+
+  /** §2 Total Orders (distinct invoices). */
+  def totalOrders(w: Warehouse): DataFrame =
+    fact(w).agg(count_distinct(col("invoiceid")).as("total_orders"))
+
+  /** §3 ARPO = revenue / orders. */
+  def arpo(w: Warehouse): DataFrame =
+    fact(w).agg(
+      (sum("totalamount").cast("double") / count_distinct(col("invoiceid"))).as("arpo"))
+
+  /** §4 ARPC = revenue / distinct customers in the customer dim. */
+  def arpc(w: Warehouse): DataFrame = {
+    val rev = fact(w).agg(sum("totalamount").cast("double").as("rev"))
+    val cust = w.dimCustomerElt.agg(count_distinct(col("customerid")).as("n"))
+    rev.crossJoin(cust).select((col("rev") / col("n")).as("arpc"))
+  }
+
+  /** §5 Total Quantity. */
+  def totalQuantity(w: Warehouse): DataFrame =
+    fact(w).agg(sum("quantity").as("total_quantity"))
+
+  /** §6 ARPU = revenue / quantity. */
+  def arpu(w: Warehouse): DataFrame =
+    fact(w).agg(
+      (sum("totalamount").cast("double") / sum("quantity")).as("arpu"))
+
+  /** §7 Revenue per Customer = revenue / distinct fact customers. */
+  def revenuePerCustomer(w: Warehouse): DataFrame =
+    fact(w).agg(
+      (sum("totalamount").cast("double") / count_distinct(col("customer_key")))
+        .as("revenue_per_customer"))
+
+  /** §8 YoY growth: yearly revenue with lag-1 comparison (W7). */
+  def yoyGrowth(w: Warehouse): DataFrame = {
+    val yearly = fact(w)
+      .join(w.dimDate.select("date_key", "year"), Seq("date_key"))
+      .groupBy("year")
+      .agg(sum("totalamount").as("rev"))
+    val wnd = Window.orderBy("year")
+    yearly
+      .withColumn("prev", lag(col("rev"), 1).over(wnd))
+      .select(
+        col("year"),
+        col("rev").cast("decimal(18,2)").as("revenue"),
+        when(col("prev").isNotNull && col("prev") =!= 0,
+          (col("rev").cast("double") - col("prev").cast("double")) / col("prev").cast("double"))
+          .as("yoy_growth"))
+  }
+
+  /** §9 Top Region: highest-revenue country formatted "Name — 1,234,567" (W8). */
+  def topRegion(w: Warehouse): DataFrame =
+    fact(w)
+      .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+      .groupBy("country")
+      .agg(sum("totalamount").as("rev"))
+      .orderBy(col("rev").desc, col("country"))
+      .limit(1)
+      .select(concat(col("country"), lit(" — "),
+        format_number(round(col("rev"), 0).cast("long"), 0)).as("top_region"))
+
+  /** §10 Monthly Revenue trend. */
+  def monthlyRevenue(w: Warehouse): DataFrame =
+    fact(w)
+      .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
+      .groupBy(trunc(col("full_date"), "month").as("month"))
+      .agg(sum("totalamount").cast("decimal(18,2)").as("monthly_revenue"))
+
+  /** §11 High Value Sales: count of fact rows above 1000 (P10). */
+  def highValueSales(w: Warehouse): DataFrame =
+    fact(w).filter(col("totalamount") > 1000)
+      .agg(count(lit(1)).as("high_value_sales"))
+
+  /** §12 Rolling 3-month revenue (W6: range frame on a month index). */
+  def rolling3m(w: Warehouse): DataFrame = {
+    val monthly = monthlyRevenue(w)
+      .withColumn("month_idx", year(col("month")) * 12 + month(col("month")))
+    val wnd = Window.orderBy("month_idx").rangeBetween(-2, 0)
+    monthly
+      .select(
+        col("month"),
+        col("monthly_revenue"),
+        sum("monthly_revenue").over(wnd).cast("decimal(18,2)").as("rolling_3m_revenue"))
+  }
+
+  /** §13 Cumulative revenue (W5: running total over months). */
+  def cumulative(w: Warehouse): DataFrame = {
+    val wnd = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthlyRevenue(w)
+      .select(
+        col("month"),
+        col("monthly_revenue"),
+        sum("monthly_revenue").over(wnd).cast("decimal(18,2)").as("cumulative_revenue"))
+  }
+
+  /** §14 Avg Order Size per Customer (W9: avg of per-customer quantity sums). */
+  def avgOrderSize(w: Warehouse): DataFrame =
+    fact(w)
+      .groupBy("customer_key")
+      .agg(sum("quantity").as("qty"))
+      .agg((sum("qty").cast("double") / count(lit(1))).as("avg_order_size"))
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("m01_total_revenue", (s, d) => totalRevenue(Warehouse(s, d)), Some(q(
+      "SELECT CAST(sum(totalamount) AS DECIMAL(18,2)) AS total_revenue FROM fact_sales_elt"))),
+
+    QueryDef("m02_total_orders", (s, d) => totalOrders(Warehouse(s, d)), Some(q(
+      "SELECT count(DISTINCT invoiceid) AS total_orders FROM fact_sales_elt"))),
+
+    QueryDef("m03_arpo", (s, d) => arpo(Warehouse(s, d)), Some(q(
+      "SELECT CAST(sum(totalamount) AS DOUBLE) / count(DISTINCT invoiceid) AS arpo FROM fact_sales_elt"))),
+
+    QueryDef("m04_arpc", (s, d) => arpc(Warehouse(s, d)), Some(q("""
+      SELECT (SELECT CAST(sum(totalamount) AS DOUBLE) FROM fact_sales_elt)
+           / (SELECT count(DISTINCT customerid) FROM dim_customer_elt) AS arpc"""))),
+
+    QueryDef("m05_total_quantity", (s, d) => totalQuantity(Warehouse(s, d)), Some(q(
+      "SELECT CAST(sum(quantity) AS BIGINT) AS total_quantity FROM fact_sales_elt"))),
+
+    QueryDef("m06_arpu", (s, d) => arpu(Warehouse(s, d)), Some(q(
+      "SELECT CAST(sum(totalamount) AS DOUBLE) / sum(quantity) AS arpu FROM fact_sales_elt"))),
+
+    QueryDef("m07_revenue_per_customer", (s, d) => revenuePerCustomer(Warehouse(s, d)), Some(q(
+      "SELECT CAST(sum(totalamount) AS DOUBLE) / count(DISTINCT customer_key) AS revenue_per_customer FROM fact_sales_elt"))),
+
+    QueryDef("m08_yoy_growth", (s, d) => yoyGrowth(Warehouse(s, d)), Some(q("""
+      , yearly AS (
+          SELECT d.year, sum(f.totalamount) AS rev
+          FROM fact_sales_elt f JOIN dim_date d ON f.date_key = d.date_key
+          GROUP BY d.year)
+      SELECT year,
+             CAST(rev AS DECIMAL(18,2)) AS revenue,
+             CASE WHEN lag(rev) OVER (ORDER BY year) IS NOT NULL
+                   AND lag(rev) OVER (ORDER BY year) <> 0
+                  THEN (CAST(rev AS DOUBLE) - CAST(lag(rev) OVER (ORDER BY year) AS DOUBLE))
+                       / CAST(lag(rev) OVER (ORDER BY year) AS DOUBLE)
+             END AS yoy_growth
+      FROM yearly"""))),
+
+    QueryDef("m09_top_region", (s, d) => topRegion(Warehouse(s, d)), Some(q("""
+      , by_country AS (
+          SELECT c.country, sum(f.totalamount) AS rev
+          FROM fact_sales_elt f
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          GROUP BY c.country)
+      SELECT country || ' — ' || format('{:,}', CAST(round(rev, 0) AS BIGINT)) AS top_region
+      FROM by_country
+      ORDER BY rev DESC, country
+      LIMIT 1"""))),
+
+    QueryDef("m10_monthly_revenue", (s, d) => monthlyRevenue(Warehouse(s, d)), Some(q("""
+      SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+             CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS monthly_revenue
+      FROM fact_sales_elt f JOIN dim_date d ON f.date_key = d.date_key
+      GROUP BY 1"""))),
+
+    QueryDef("m11_high_value_sales", (s, d) => highValueSales(Warehouse(s, d)), Some(q(
+      "SELECT count(*) AS high_value_sales FROM fact_sales_elt WHERE totalamount > 1000"))),
+
+    QueryDef("m12_rolling_3m", (s, d) => rolling3m(Warehouse(s, d)), Some(q("""
+      , monthly AS (
+          SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+                 year(d.full_date) * 12 + month(d.full_date) AS month_idx,
+                 sum(f.totalamount) AS rev
+          FROM fact_sales_elt f JOIN dim_date d ON f.date_key = d.date_key
+          GROUP BY 1, 2)
+      SELECT month,
+             CAST(rev AS DECIMAL(18,2)) AS monthly_revenue,
+             CAST(sum(rev) OVER (ORDER BY month_idx RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(18,2)) AS rolling_3m_revenue
+      FROM monthly"""))),
+
+    QueryDef("m13_cumulative_revenue", (s, d) => cumulative(Warehouse(s, d)), Some(q("""
+      , monthly AS (
+          SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+                 sum(f.totalamount) AS rev
+          FROM fact_sales_elt f JOIN dim_date d ON f.date_key = d.date_key
+          GROUP BY 1)
+      SELECT month,
+             CAST(rev AS DECIMAL(18,2)) AS monthly_revenue,
+             CAST(sum(rev) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(18,2)) AS cumulative_revenue
+      FROM monthly"""))),
+
+    QueryDef("m14_avg_order_size", (s, d) => avgOrderSize(Warehouse(s, d)), Some(q("""
+      , per_customer AS (
+          SELECT customer_key, sum(quantity) AS qty
+          FROM fact_sales_elt
+          GROUP BY customer_key)
+      SELECT CAST(sum(qty) AS DOUBLE) / count(*) AS avg_order_size FROM per_customer"""))))
+}

@@ -1,0 +1,209 @@
+package graft.olap
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.Warehouse
+import graft.{QueryDef, QueryRegistry}
+import graft.oracle.OracleSql.q
+
+/** MOLAP layer (`Iteration 2/Group No.6_MOLAP.sql`): three pre-aggregation
+  * tables + the query suite over them + the MOLAP-vs-OLAP consistency check.
+  *
+  * The summary tables are plain aggregate DataFrames here; persisting them is
+  * `Sources.materialize` (the reference's CREATE TABLE AS — SURVEY.md §2.1 S8).
+  * Pre-aggregation is the 100 TB play: queries 4–7 run over frames that are
+  * orders of magnitude smaller than the fact.
+  *
+  * Surrogate keys are excluded from compared projections; the natural keys
+  * (customerid / stockcode) the reference also groups by make the rows unique.
+  */
+object Molap extends QueryRegistry {
+
+  private def monthOf(c: String): org.apache.spark.sql.Column = trunc(col(c), "month")
+
+  /** date_key → month helper (reference `date_month_elt`, `:10-13`). */
+  def dateMonth(w: Warehouse): DataFrame =
+    w.dimDate.select(col("date_key"), monthOf("full_date").as("month"))
+
+  /** MOLAP 1: monthly revenue by country. */
+  def monthCountry(w: Warehouse): DataFrame =
+    w.factSalesElt
+      .join(dateMonth(w), Seq("date_key"))
+      .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+      .groupBy(col("month"), coalesce(col("country"), lit("UNKNOWN")).as("country"))
+      .agg(
+        sum("totalamount").cast("decimal(18,2)").as("total_revenue"),
+        sum("quantity").as("total_quantity"),
+        count_distinct(col("invoiceid")).as("order_count"))
+
+  /** MOLAP 2: monthly product summary. */
+  def monthProduct(w: Warehouse): DataFrame =
+    w.factSalesElt.select("date_key", "product_key", "totalamount", "quantity", "unitprice")
+      .join(dateMonth(w), Seq("date_key"))
+      .join(w.dimProduct.select("product_key", "stockcode", "description"), Seq("product_key"))
+      .groupBy("month", "stockcode", "description")
+      .agg(
+        sum("totalamount").cast("decimal(18,2)").as("revenue"),
+        sum("quantity").as("total_qty"),
+        (sum("unitprice").cast("double") / count(col("unitprice"))).as("avg_unitprice"))
+
+  /** MOLAP 3: customer monthly revenue (only months with sales). */
+  def customerMonth(w: Warehouse): DataFrame =
+    w.factSalesElt.select("date_key", "customer_key", "invoiceid", "totalamount", "quantity")
+      .join(dateMonth(w), Seq("date_key"))
+      .join(w.dimCustomerElt.select("customer_key", "customerid"), Seq("customer_key"))
+      .groupBy("month", "customerid")
+      .agg(
+        sum("totalamount").cast("decimal(18,2)").as("revenue"),
+        count_distinct(col("invoiceid")).as("orders"),
+        sum("quantity").as("total_quantity"))
+
+  /** MOLAP 5: daily revenue, last 90 days, first 30 days shown. */
+  def daily90(w: Warehouse): DataFrame = {
+    val maxD = LocalDate.parse(w.dimDate.agg(max(col("full_date"))).head().get(0).toString)
+    w.factSalesElt
+      .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
+      .filter(col("full_date") >= lit(java.sql.Date.valueOf(maxD.minusDays(90))))
+      .groupBy("full_date")
+      .agg(round(sum("totalamount"), 2).as("daily_revenue"))
+      .orderBy("full_date")
+      .limit(30)
+  }
+
+  /** MOLAP 6: 12 most recent signup cohorts (equi-join-only cohort). */
+  def cohort12(w: Warehouse): DataFrame = {
+    val signup = w.dimCustomerElt
+      .filter(col("signupdate").isNotNull)
+      .select(col("customer_key").as("s_key"), monthOf("signupdate").as("signup_month"))
+    val revenue = w.factSalesElt
+      .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
+      .join(w.dimCustomerElt.select("customer_key"), Seq("customer_key"))
+      .groupBy(col("customer_key").as("r_key"), monthOf("full_date").as("sale_month"))
+      .agg(sum("totalamount").as("revenue"))
+    signup
+      .join(revenue, col("r_key") === col("s_key"), "left")
+      .groupBy("signup_month")
+      .agg(
+        sum(when(col("sale_month") === col("signup_month"), col("revenue")).otherwise(lit(0)))
+          .cast("decimal(18,2)").as("month0_revenue"),
+        sum(when(col("sale_month") === add_months(col("signup_month"), 1), col("revenue")).otherwise(lit(0)))
+          .cast("decimal(18,2)").as("month1_revenue"),
+        sum(when(col("sale_month") === add_months(col("signup_month"), 2), col("revenue")).otherwise(lit(0)))
+          .cast("decimal(18,2)").as("month2_revenue"))
+      .orderBy(col("signup_month").desc)
+      .limit(12)
+  }
+
+  /** MOLAP 7: consistency check — recomputed OLAP vs the MOLAP 1 table; diff
+    * must be 0.00 everywhere (reference `:156-177`, the reference's own
+    * aggregate-consistency test). */
+  def verify(w: Warehouse): DataFrame = {
+    val olap = w.factSalesElt
+      .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
+      .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+      .groupBy(monthOf("full_date").as("month"), coalesce(col("country"), lit("UNKNOWN")).as("country"))
+      .agg(sum("totalamount").as("revenue"))
+    val molap = monthCountry(w).select(col("month"), col("country"), col("total_revenue"))
+    olap.join(molap, Seq("month", "country"), "left")
+      .select(
+        col("month"), col("country"),
+        round(col("revenue"), 2).cast("decimal(18,2)").as("olap_revenue"),
+        round(coalesce(col("total_revenue"), lit(0)), 2).cast("decimal(18,2)").as("molap_revenue"),
+        round(coalesce(col("total_revenue"), lit(0)) - col("revenue"), 2).cast("decimal(18,2)").as("diff"))
+      .orderBy(col("month").desc, col("country"))
+      .limit(20)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("molap_month_country", (s, dir) => monthCountry(Warehouse(s, dir)), Some(q("""
+      SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+             coalesce(c.country, 'UNKNOWN') AS country,
+             CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS total_revenue,
+             CAST(sum(f.quantity) AS BIGINT) AS total_quantity,
+             count(DISTINCT f.invoiceid) AS order_count
+      FROM fact_sales_elt f
+      JOIN dim_date d ON f.date_key = d.date_key
+      LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+      GROUP BY 1, 2"""))),
+
+    QueryDef("molap_month_product", (s, dir) => monthProduct(Warehouse(s, dir)), Some(q("""
+      SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+             p.stockcode, p.description,
+             CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS revenue,
+             CAST(sum(f.quantity) AS BIGINT) AS total_qty,
+             CAST(sum(f.unitprice) AS DOUBLE) / count(f.unitprice) AS avg_unitprice
+      FROM fact_sales_elt f
+      JOIN dim_date d ON f.date_key = d.date_key
+      JOIN dim_product p ON f.product_key = p.product_key
+      GROUP BY 1, 2, 3"""))),
+
+    QueryDef("molap_customer_month", (s, dir) => customerMonth(Warehouse(s, dir)), Some(q("""
+      SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+             c.customerid,
+             CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS revenue,
+             count(DISTINCT f.invoiceid) AS orders,
+             CAST(sum(f.quantity) AS BIGINT) AS total_quantity
+      FROM fact_sales_elt f
+      JOIN dim_date d ON f.date_key = d.date_key
+      JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+      GROUP BY 1, 2"""))),
+
+    QueryDef("molap_q5_daily_90d_top30", (s, dir) => daily90(Warehouse(s, dir)), Some(q("""
+      SELECT d.full_date, round(sum(f.totalamount), 2) AS daily_revenue
+      FROM fact_sales_elt f
+      JOIN dim_date d ON f.date_key = d.date_key
+      WHERE d.full_date >= ((SELECT max(full_date) FROM dim_date) - INTERVAL '90 days')
+      GROUP BY d.full_date
+      ORDER BY d.full_date
+      LIMIT 30"""))),
+
+    QueryDef("molap_q6_cohort12", (s, dir) => cohort12(Warehouse(s, dir)), Some(q("""
+      , customer_signup AS (
+          SELECT customer_key, CAST(date_trunc('month', signupdate) AS DATE) AS signup_month
+          FROM dim_customer_elt WHERE signupdate IS NOT NULL),
+        customer_revenue AS (
+          SELECT c.customer_key, CAST(date_trunc('month', d.full_date) AS DATE) AS sale_month,
+                 sum(f.totalamount) AS revenue
+          FROM fact_sales_elt f
+          JOIN dim_date d ON f.date_key = d.date_key
+          JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          GROUP BY 1, 2)
+      SELECT s.signup_month,
+             CAST(sum(CASE WHEN r.sale_month = s.signup_month THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS month0_revenue,
+             CAST(sum(CASE WHEN r.sale_month = s.signup_month + INTERVAL '1 month' THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS month1_revenue,
+             CAST(sum(CASE WHEN r.sale_month = s.signup_month + INTERVAL '2 month' THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS month2_revenue
+      FROM customer_signup s
+      LEFT JOIN customer_revenue r ON r.customer_key = s.customer_key
+      GROUP BY s.signup_month
+      ORDER BY s.signup_month DESC
+      LIMIT 12"""))),
+
+    QueryDef("molap_q7_verify_vs_olap", (s, dir) => verify(Warehouse(s, dir)), Some(q("""
+      , molap_mc AS (
+          SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+                 coalesce(c.country, 'UNKNOWN') AS country,
+                 sum(f.totalamount) AS total_revenue
+          FROM fact_sales_elt f
+          JOIN dim_date d ON f.date_key = d.date_key
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          GROUP BY 1, 2),
+        olap AS (
+          SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+                 coalesce(c.country, 'UNKNOWN') AS country,
+                 sum(f.totalamount) AS revenue
+          FROM fact_sales_elt f
+          JOIN dim_date d ON f.date_key = d.date_key
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          GROUP BY 1, 2)
+      SELECT olap.month, olap.country,
+             CAST(round(olap.revenue, 2) AS DECIMAL(18,2)) AS olap_revenue,
+             CAST(round(coalesce(m.total_revenue, 0), 2) AS DECIMAL(18,2)) AS molap_revenue,
+             CAST(round(coalesce(m.total_revenue, 0) - olap.revenue, 2) AS DECIMAL(18,2)) AS diff
+      FROM olap
+      LEFT JOIN molap_mc m ON m.month = olap.month AND m.country = olap.country
+      ORDER BY olap.month DESC, olap.country
+      LIMIT 20"""))))
+}
