@@ -13,7 +13,9 @@ object SparkEntry {
     graft.olap.Molap,
     graft.measures.Measures,
     graft.etl.Dsuite,
-    graft.etl.Errors)
+    graft.etl.Errors,
+    graft.llm.TextOps,
+    graft.llm.EmbeddingOps)
 
   lazy val defs: Seq[QueryDef] = registries.flatMap(_.defs)
 

@@ -1,0 +1,141 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+import graft.{QueryDef, QueryRegistry}
+import graft.oracle.OracleSql.{q => oq}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths, as a training-data pipeline needs at 100 TB:
+  *  - [[cosineTop10]] — brute-force exact top-k: the correctness baseline.
+  *    Query set × corpus is a broadcast of the (small) query side; per-pair
+  *    cost is one ordered fold over the zipped arrays (codegen'd higher-order
+  *    functions, no UDF).
+  *  - [[lshBuckets]] / [[annBucketed]] — the scale path: 8-bit
+  *    random-hyperplane LSH signature per vector, then candidate generation
+  *    is an **equi-join on the bucket key** (shuffle on bucket, never
+  *    all-pairs); exact cosine re-ranks within the bucket.
+  *
+  * Dot products fold left-to-right over `zip_with` in Spark and an indexed
+  * list comprehension in DuckDB — identical IEEE accumulation order, so both
+  * engines produce bit-identical doubles.
+  */
+object EmbeddingOps extends QueryRegistry {
+
+  private val Dim = 64
+  private val NumPlanes = 8
+
+  def emb(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "embeddings")
+
+  /** Ordered-fold dot product of two float-array columns in double. */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
+
+  /** Exact brute-force cosine top-10 for the `vec_id % 100 = 0` query set. */
+  def cosineTop10(emb: DataFrame): DataFrame = {
+    val e = emb.select("vec_id", "embedding")
+    val qs = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = broadcast(qs).crossJoin(e)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val wnd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).cast("decimal(10,6)").as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component (identical arithmetic
+    * in both engines): w(j)(i) = ((j*31 + i*17) mod 7) - 3, i 1-based. */
+  private def planeWeights(j: Int): Column =
+    array((1 to Dim).map(i => lit((((j * 31 + i * 17) % 7) - 3).toDouble)): _*)
+
+  private def planeBit(j: Int): Column =
+    when(aggregate(zip_with(col("embedding"), planeWeights(j), (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))
+
+  /** 8-bit LSH signature per vector. */
+  def lshBuckets(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), concat((1 to NumPlanes).map(planeBit): _*).as("bucket"))
+
+  /** Bucket histogram — the partitioning an ANN index would shard by. */
+  def lshBucketSizes(emb: DataFrame): DataFrame =
+    lshBuckets(emb).groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+
+  /** ANN: candidates restricted to the query's bucket (equi-join on the LSH
+    * key), exact cosine re-rank, top-5. */
+  def annBucketed(emb: DataFrame): DataFrame = {
+    val withBucket = emb.select(col("vec_id"), col("embedding"))
+      .join(lshBuckets(emb), Seq("vec_id"))
+    val qs = withBucket.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val scored = qs.join(withBucket, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val wnd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).cast("decimal(10,6)").as("cosine"))
+  }
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN generate_series(1, $Dim)])"
+
+  private def sqlCos(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  private def sqlBit(j: Int): String =
+    s"CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * ((($j*31 + i*17) % 7) - 3) " +
+      s"FOR i IN generate_series(1, $Dim)]) > 0 THEN '1' ELSE '0' END"
+
+  private val sqlBuckets =
+    s"buckets AS (SELECT vec_id, ${(1 to NumPlanes).map(sqlBit).mkString(" || ")} AS bucket FROM embeddings)"
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("emb_cosine_top10", (s, d) => cosineTop10(emb(s, d)), Some(oq(s"""
+      , qs AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, ${sqlCos("q.qe", "e.embedding")} AS cos
+        FROM qs q, embeddings e WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored)
+      SELECT query_id, neighbor_id, CAST(round(cos, 6) AS DECIMAL(10,6)) AS cosine
+      FROM ranked WHERE rn <= 10"""))),
+
+    QueryDef("emb_lsh_buckets", (s, d) => lshBuckets(emb(s, d)), Some(oq(s"""
+      , $sqlBuckets
+      SELECT vec_id, bucket FROM buckets"""))),
+
+    QueryDef("emb_lsh_bucket_sizes", (s, d) => lshBucketSizes(emb(s, d)), Some(oq(s"""
+      , $sqlBuckets
+      SELECT bucket, count(*) AS n_vectors FROM buckets GROUP BY bucket"""))),
+
+    QueryDef("emb_ann_bucketed", (s, d) => annBucketed(emb(s, d)), Some(oq(s"""
+      , $sqlBuckets,
+      wb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+      qs AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM wb WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, ${sqlCos("q.qe", "e.embedding")} AS cos
+        FROM qs q JOIN wb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored)
+      SELECT query_id, neighbor_id, CAST(round(cos, 6) AS DECIMAL(10,6)) AS cosine
+      FROM ranked WHERE rn <= 5"""))))
+}

@@ -1,0 +1,243 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+import graft.{QueryDef, QueryRegistry}
+import graft.oracle.OracleSql.{q => oq}
+
+/** Training-data text-pipeline operators over the `documents` table: exact
+  * dedup, text stats, language-ID heuristic, quality scoring, token counting,
+  * fingerprinting, MinHash-LSH near-dup, SimHash, n-gram Jaccard.
+  *
+  * Scale design:
+  *  - Exact dedup is a hash group-by on `md5(text)` — one shuffle on the
+  *    digest, no text comparison.
+  *  - Near-dup is banded MinHash-LSH: shingle → k minhashes → band keys →
+  *    **equi-join on (band, band_key)** — candidates only, never all-pairs —
+  *    then exact Jaccard verification on the candidate set.
+  *  - Per-doc ops (stats/lang/quality/tokens/fingerprint/simhash) are
+  *    embarrassingly parallel narrow transforms (no shuffle at all).
+  *
+  * Hash functions are md5-based so the DuckDB oracle computes byte-identical
+  * values; all folds are ordered (`aggregate` in Spark, `list_reduce` /
+  * ordered `string_agg` in DuckDB) so doubles accumulate identically.
+  */
+object TextOps extends QueryRegistry {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "documents")
+
+  private val words = split(col("text"), " ")
+
+  /** Exact dedup: group identical texts by digest, keep the smallest doc_id. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_docs"))
+
+  /** Per-doc text statistics: word/char counts + type-token ratio. */
+  def textStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(words).as("n_words"),
+      length(col("text")).as("n_chars_computed"),
+      size(array_distinct(words)).as("n_distinct_words"),
+      (size(array_distinct(words)).cast("double") / size(words)).as("ttr"))
+
+  /** Language-ID heuristic: English-stopword hit ratio. */
+  def langId(docs: DataFrame): DataFrame = {
+    val hits = size(filter(words, w => w === "the" || w === "a"))
+    docs.select(
+      col("doc_id"),
+      hits.as("en_hits"),
+      size(words).as("n_words"),
+      (hits.cast("double") / size(words)).as("en_ratio"),
+      when(hits.cast("double") / size(words) >= lit(0.05), lit("en"))
+        .otherwise(lit("other")).as("predicted_lang"))
+  }
+
+  /** Quality score: length saturation × lexical-diversity penalty. */
+  def quality(docs: DataFrame): DataFrame = {
+    val n = size(words)
+    val ttr = size(array_distinct(words)).cast("double") / n
+    docs.select(
+      col("doc_id"),
+      n.as("n_words"),
+      ttr.as("ttr"),
+      (least(lit(1.0), n / lit(100.0)) *
+        when(ttr > 0.3, lit(1.0)).otherwise(lit(0.7))).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens + a chars/4 BPE-style estimate. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(words).as("ws_tokens"),
+      ceil(length(col("text")) / lit(4.0)).cast("long").as("bpe_est_tokens"))
+
+  /** Document fingerprinting: digest prefix + an ordered rolling md5 chain
+    * over the words (order-sensitive, unlike a bag-of-words digest). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      substring(md5(col("text")), 1, 16).as("fp16"),
+      aggregate(words, lit(""), (acc, w) => md5(concat(acc, w))).as("rolling_fp"))
+
+  /** 3-word shingles per document (1-based positions, matching the oracle). */
+  private def shingleArr: Column = {
+    val n = size(words)
+    val idx = when(n >= 3, sequence(lit(1), n - 2)).otherwise(expr("array()"))
+    transform(idx, i =>
+      concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))
+  }
+
+  private val NumHashes = 8
+  private val BandSize = 2 // 4 bands × 2 rows
+
+  /** MinHash-LSH near-dup candidates with exact-Jaccard verification.
+    * Pipeline: shingle → k md5-minhashes → band keys → equi-self-join on
+    * (band, band_key) → candidate pairs → Jaccard on shingle sets. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingleArr).as("shingle"))
+    val sigs = sh
+      .withColumn("h", explode(sequence(lit(0), lit(NumHashes - 1))))
+      .select(col("doc_id"), col("h"),
+        md5(concat(col("h").cast("string"), lit(":"), col("shingle"))).as("hv"))
+      .groupBy("doc_id", "h")
+      .agg(min("hv").as("mh"))
+    val bands = sigs
+      .withColumn("band", floor(col("h") / BandSize).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws("|",
+        transform(array_sort(collect_list(struct(col("h"), col("mh")))), x => x.getField("mh"))))
+        .as("band_key"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    val cand = a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = docs.select(col("doc_id"), array_distinct(shingleArr).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** 16-bit SimHash per document from per-word md5 hex digits. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(words).as("w"))
+      .withColumn("j", explode(sequence(lit(1), lit(16))))
+      .withColumn("bit", expr("CASE WHEN instr('89abcdef', substr(md5(w), j, 1)) > 0 THEN 1 ELSE -1 END"))
+      .groupBy("doc_id", "j")
+      .agg(sum("bit").as("s"))
+      .withColumn("b", when(col("s") > 0, lit("1")).otherwise(lit("0")))
+      .groupBy("doc_id")
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("j"), col("b")))), x => x.getField("b")))
+        .as("simhash16"))
+
+  /** Exact 3-gram Jaccard between consecutive doc_ids (a deterministic,
+    * linear-cost pairing — the pairwise primitive without the quadratic join). */
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    val sets = docs.select(col("doc_id"), array_distinct(shingleArr).as("sh"))
+    sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      .join(sets.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  private val sqlShingles = """
+      words_t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      shingles AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        FROM words_t),
+      shingle_sets AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        FROM words_t)"""
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("doc_exact_dedup", (s, d) => exactDedup(docs(s, d)), Some(oq("""
+      SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+      FROM documents GROUP BY 1"""))),
+
+    QueryDef("doc_text_stats", (s, d) => textStats(docs(s, d)), Some(oq("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             length(text) AS n_chars_computed,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr
+      FROM documents"""))),
+
+    QueryDef("doc_lang_id", (s, d) => langId(docs(s, d)), Some(oq("""
+      , w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      SELECT doc_id,
+             len(list_filter(ws, x -> x = 'the' OR x = 'a')) AS en_hits,
+             len(ws) AS n_words,
+             CAST(len(list_filter(ws, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(ws) AS en_ratio,
+             CASE WHEN CAST(len(list_filter(ws, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(ws) >= 0.05
+                  THEN 'en' ELSE 'other' END AS predicted_lang
+      FROM w"""))),
+
+    QueryDef("doc_quality", (s, d) => quality(docs(s, d)), Some(oq("""
+      , w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      SELECT doc_id, len(ws) AS n_words,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+             least(1.0, len(ws) / 100.0) *
+               (CASE WHEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) > 0.3 THEN 1.0 ELSE 0.7 END) AS quality
+      FROM w"""))),
+
+    QueryDef("doc_token_count", (s, d) => tokenCount(docs(s, d)), Some(oq("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens
+      FROM documents"""))),
+
+    QueryDef("doc_fingerprint", (s, d) => fingerprint(docs(s, d)), Some(oq("""
+      SELECT doc_id,
+             substr(md5(text), 1, 16) AS fp16,
+             list_reduce(list_prepend('', string_split(text, ' ')), (acc, w) -> md5(acc || w)) AS rolling_fp
+      FROM documents"""))),
+
+    QueryDef("doc_minhash_near_dup", (s, d) => minhashPairs(docs(s, d)), Some(oq(s"""
+      , $sqlShingles,
+      sigs AS (
+        SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+        FROM shingles, generate_series(0, ${NumHashes - 1}) AS gh(h)
+        GROUP BY doc_id, h),
+      bands AS (
+        SELECT doc_id, CAST(floor(h / $BandSize) AS INT) AS band,
+               md5(string_agg(mh, '|' ORDER BY h)) AS band_key
+        FROM sigs GROUP BY doc_id, CAST(floor(h / $BandSize) AS INT)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+               len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+      FROM cand c
+      JOIN shingle_sets sa ON sa.doc_id = c.doc_a
+      JOIN shingle_sets sb ON sb.doc_id = c.doc_b"""))),
+
+    QueryDef("doc_simhash", (s, d) => simhash(docs(s, d)), Some(oq("""
+      , w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      bits AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN strpos('89abcdef', substr(md5(word), j, 1)) > 0 THEN 1 ELSE -1 END) AS s
+        FROM w, generate_series(1, 16) AS g(j)
+        GROUP BY doc_id, j)
+      SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash16
+      FROM bits GROUP BY doc_id"""))),
+
+    QueryDef("doc_ngram_jaccard", (s, d) => ngramJaccard(docs(s, d)), Some(oq(s"""
+      , $sqlShingles
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+               len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      FROM shingle_sets a JOIN shingle_sets b ON b.doc_id = a.doc_id + 1"""))))
+}
