@@ -1,23 +1,126 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Warehouse
+import graft.olap.{Molap, Olap}
+import graft.perf.Perf
+
+/** Benchmark main: one JSON line with per-query wall seconds at
+  * SPARK_GRAFT_SF_DIR, shaped to line up with BASELINE.md:
+  *  - the forced-join-strategy matrix (NLJ/SMJ/HJ/BHJ → 342/665/355 ms rows)
+  *  - DSS aggregate (~1200 ms) and OLTP point lookup (~15 ms)
+  *  - index/partition experiments (date_key range, category agg, composite
+  *    filter, PK + secondary lookup, year-partition pruning, MV vs direct,
+  *    full-scan revenue)
+  *  - OLAP Q1–Q7 and the three MOLAP builds
+  *
+  * Methodology: the warehouse is built + cached first (the reference also
+  * benchmarks over a prebuilt DW, not mid-ETL); each query executes to a
+  * `noop` sink so every payload column is produced (a bare `count()` would
+  * let Catalyst prune all measures — VERDICT r1). Failures are recorded as
+  * -1 and excluded from the total, never silently timed.
+  */
 object Bench {
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def time(name: String)(f: => DataFrame): Unit = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { noop(f); results(name) = (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          results(name) = -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    // Build + cache the warehouse (reported separately, excluded from total).
+    val tBuild = System.nanoTime()
+    val w = Warehouse(spark, sfDir)
+    Seq(w.dimCustomer, w.dimCustomerElt, w.dimProduct, w.dimDate, w.factSales, w.factSalesElt)
+      .foreach(noop)
+    val buildSec = (System.nanoTime() - tBuild) / 1e9
+
+    // Join-strategy matrix (BASELINE: NLJ 342 ms / SMJ 665 ms / HJ 355 ms).
+    time("star_join_default")(Perf.starJoinTop50(w))
+    time("star_join_bhj")(Perf.starJoinTop50(w, Some("BROADCAST")))
+    time("star_join_shj")(Perf.starJoinTop50(w, Some("SHUFFLE_HASH")))
+    time("star_join_smj")(Perf.starJoinTop50(w, Some("MERGE")))
+    time("star_join_nlj")(Perf.starJoinTop50(w, Some("SHUFFLE_REPLICATE_NL")))
+
+    // DSS vs OLTP (BASELINE: ~1200 ms / ~15 ms).
+    time("dss_monthly_country")(Perf.dssMonthlyCountry(w))
+    time("oltp_invoice_lookup")(Perf.oltpInvoiceLookup(w))
+
+    // Index/partition experiment analogs (BASELINE Final_Report §6.4).
+    time("datekey_range_sum")(
+      w.factSalesElt.filter(col("date_key").between(19960101000000L, 19961231235959L))
+        .agg(sum("totalamount").as("rev")))
+    time("category_group_agg")(
+      w.factSalesElt.select("product_key", "totalamount")
+        .join(w.dimProduct.select("product_key", "category"), Seq("product_key"))
+        .groupBy("category").agg(sum("totalamount").as("rev")))
+    time("composite_filter_sum")(
+      w.factSalesElt.filter(col("stockcode") === "1" &&
+        col("date_key").between(19960101000000L, 19961231235959L))
+        .agg(sum("totalamount").as("rev")))
+    time("pk_point_lookup")(w.dimProduct.filter(col("stockcode") === "100"))
+    time("secondary_filter")(w.dimCustomer.filter(col("customername").startsWith("Customer#000000001")))
+    time("seq_scan_sum")(w.factSalesElt.agg(sum("totalamount").as("rev")))
+
+    // Year-partition pruning (R6): partitioned write once, then pruned scan
+    // vs full flat scan of the same data.
+    val base = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    try {
+      val withYear = w.factSalesElt.withColumn("year", floor(col("date_key") / 10000000000L).cast("int"))
+      withYear.write.mode("overwrite").partitionBy("year").parquet(s"$base/fact_by_year")
+      withYear.write.mode("overwrite").parquet(s"$base/fact_flat")
+      time("partition_pruned_year_sum")(
+        spark.read.parquet(s"$base/fact_by_year").filter(col("year") === 1996)
+          .agg(sum("totalamount").as("rev")))
+      time("unpartitioned_year_sum")(
+        spark.read.parquet(s"$base/fact_flat").filter(col("year") === 1996)
+          .agg(sum("totalamount").as("rev")))
+
+      // Materialized view vs direct aggregation (R9; BASELINE 0.261→0.105 s).
+      val mv = w.factSalesElt.select("date_key", "product_key", "totalamount")
+        .join(Molap.dateMonth(w), Seq("date_key"))
+        .join(w.dimProduct.select("product_key", "category"), Seq("product_key"))
+        .groupBy("month", "category").agg(sum("totalamount").as("rev"))
+      mv.write.mode("overwrite").parquet(s"$base/mv_month_category")
+      time("mv_direct_agg")(mv)
+      time("mv_precomputed_read")(
+        spark.read.parquet(s"$base/mv_month_category").filter(col("category").isNotNull))
+
+      // OLAP suite + MOLAP builds.
+      time("olap_q1")(Olap.q1(w)); time("olap_q2")(Olap.q2(w)); time("olap_q3")(Olap.q3(w))
+      time("olap_q4")(Olap.q4(w)); time("olap_q5")(Olap.q5(w)); time("olap_q6")(Olap.q6(w))
+      time("olap_q7")(Olap.q7(w))
+      time("molap_month_country")(Molap.monthCountry(w))
+      time("molap_month_product")(Molap.monthProduct(w))
+      time("molap_customer_month")(Molap.customerMonth(w))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+
+    val qs = (results.map { case (k, v) => s""""$k":$v""" } ++
+      Seq(s""""warehouse_build":$buildSec""")).mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

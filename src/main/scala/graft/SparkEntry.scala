@@ -15,7 +15,8 @@ object SparkEntry {
     graft.etl.Dsuite,
     graft.etl.Errors,
     graft.llm.TextOps,
-    graft.llm.EmbeddingOps)
+    graft.llm.EmbeddingOps,
+    graft.perf.Perf)
 
   lazy val defs: Seq[QueryDef] = registries.flatMap(_.defs)
 
