@@ -1,0 +1,67 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.olap.Molap
+
+/** End-to-end invariants over the sf0.001 warehouse — the checks the
+  * reference runs as embedded validation SQL (SURVEY.md §5.1). */
+class WarehouseInvariantsSpec extends SparkSpec {
+
+  private lazy val w = Warehouse(spark, sfDir)
+
+  test("revenue reconciliation: fact total == cleaned-staging total") {
+    val fact = w.factSales.agg(sum("totalamount")).head().getDecimal(0)
+    val staging = w.salesFinal.agg(sum("totalamount")).head().getDecimal(0)
+    assert(fact === staging)
+  }
+
+  test("ETL and ELT facts agree on row count and revenue") {
+    assert(w.factSales.count() === w.factSalesElt.count())
+    assert(w.factSales.agg(sum("totalamount")).head().getDecimal(0) ===
+      w.factSalesElt.agg(sum("totalamount")).head().getDecimal(0))
+  }
+
+  test("fact load preserves every cleaned input row (left-join load)") {
+    assert(w.factSales.count() === w.salesFinal.count())
+  }
+
+  test("dedup keeps exactly one row per natural key") {
+    assert(w.dimCustomer.groupBy("customerid").count().filter(col("count") > 1).count() === 0)
+    assert(w.dimProduct.groupBy("stockcode").count().filter(col("count") > 1).count() === 0)
+    assert(w.dimDate.groupBy("date_key").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("dimCustomer keeps the max signupdate of each duplicate group") {
+    val latest = w.customersBase.groupBy("customerid").agg(max("signupdate").as("max_d"))
+    val joined = w.dimCustomer.join(latest, Seq("customerid"))
+      .filter(!(col("signupdate") <=> col("max_d")))
+    assert(joined.count() === 0)
+  }
+
+  test("surrogate keys are collision-free at this scale") {
+    assert(w.dimCustomer.select("customer_key").distinct().count() === w.dimCustomer.count())
+    assert(w.dimProduct.select("product_key").distinct().count() === w.dimProduct.count())
+  }
+
+  test("MOLAP pre-aggregate reconciles with recomputed OLAP (diff == 0)") {
+    val bad = Molap.verify(w).filter(col("diff") =!= 0).count()
+    assert(bad === 0)
+  }
+
+  test("every reject reason accounts for a real dimension miss") {
+    val rejects = Errors.rejectedRows(w)
+    val n = rejects.count()
+    assert(n > 0) // the synthetic dirty data always produces rejects
+    val matchedCustomer = rejects.filter(col("error_message").contains("missing customer"))
+      .join(w.dimCustomer, Seq("customerid"), "left_semi")
+    assert(matchedCustomer.count() === 0)
+  }
+
+  test("date_key smart key is derivable from dim_date full_datetime") {
+    val bad = w.dimDate
+      .filter(graft.smartDateKey(col("full_datetime")) =!= col("date_key")).count()
+    assert(bad === 0)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.measures
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.etl.Warehouse
+
+/** Consistency checks across the 14 measures on the sf0.001 warehouse. */
+class MeasuresSpec extends SparkSpec {
+
+  private lazy val w = Warehouse(spark, sfDir)
+
+  /** Time-intelligence measures run in date context: fact rows carrying the
+    * 1970 fallback date_key (unparseable timestamps) have no dim_date row and
+    * are correctly excluded — so the comparison total is the date-matched sum,
+    * not the raw fact sum. */
+  private def dateMatchedTotal: java.math.BigDecimal =
+    w.factSalesElt.select("date_key", "totalamount")
+      .join(w.dimDate.select("date_key"), Seq("date_key"))
+      .agg(sum("totalamount")).head().getDecimal(0)
+
+  test("cumulative revenue ends at the date-matched total") {
+    val lastCum = Measures.cumulative(w).orderBy(col("month").desc)
+      .select("cumulative_revenue").head().getDecimal(0)
+    assert(lastCum === dateMatchedTotal)
+  }
+
+  test("monthly revenue sums to the date-matched total and is below the raw fact total") {
+    val summed = Measures.monthlyRevenue(w).agg(sum("monthly_revenue")).head().getDecimal(0)
+    assert(summed.compareTo(dateMatchedTotal) === 0)
+    assert(summed.compareTo(Measures.totalRevenue(w).head().getDecimal(0)) < 0)
+  }
+
+  test("ARPO * orders == total revenue (within double rounding)") {
+    val total = Measures.totalRevenue(w).head().getDecimal(0).doubleValue()
+    val arpo = Measures.arpo(w).head().getDouble(0)
+    val orders = Measures.totalOrders(w).head().getLong(0)
+    assert(math.abs(arpo * orders - total) < 1e-6 * total)
+  }
+
+  test("rolling 3-month >= monthly everywhere and equals it for the first month") {
+    val bad = Measures.rolling3m(w)
+      .filter(col("rolling_3m_revenue") < col("monthly_revenue")).count()
+    assert(bad === 0)
+    val first = Measures.rolling3m(w).orderBy("month").head()
+    assert(first.getDecimal(1) === first.getDecimal(2))
+  }
+
+  test("YoY growth matches a hand-computed ratio") {
+    val rows = Measures.yoyGrowth(w).orderBy("year").collect()
+    assert(rows.head.isNullAt(2)) // first year has no prior
+    val r = rows(1)
+    val prev = rows(0).getDecimal(1).doubleValue()
+    val cur = r.getDecimal(1).doubleValue()
+    assert(math.abs(r.getDouble(2) - (cur - prev) / prev) < 1e-12)
+  }
+
+  test("high-value sales counts rows above the threshold") {
+    val expected = w.factSalesElt.filter(col("totalamount") > 1000).count()
+    assert(Measures.highValueSales(w).head().getLong(0) === expected)
+  }
+
+  test("top region formats as 'Name — 1,234,567'") {
+    val s = Measures.topRegion(w).head().getString(0)
+    assert(s.matches(".+ — [0-9,]+"), s)
+  }
+}
