@@ -16,7 +16,9 @@ object SparkEntry {
     graft.etl.Errors,
     graft.llm.TextOps,
     graft.llm.EmbeddingOps,
-    graft.perf.Perf)
+    graft.llm.MultimodalOps,
+    graft.perf.Perf,
+    graft.streaming.EventOps)
 
   lazy val defs: Seq[QueryDef] = registries.flatMap(_.defs)
 

@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+import graft.{QueryDef, QueryRegistry}
+import graft.oracle.OracleSql.{q => oq}
+
+/** Multimodal-column handling: media payloads as opaque `binary` columns with
+  * typed metadata, plus batch feature extraction through the engine's
+  * per-partition path.
+  *
+  * The container has no image/audio codecs, so [[decodeFeatures]]' decoder is
+  * a clearly-marked STUB producing deterministic fake features from the raw
+  * bytes — the Spark-side plumbing (binary column, typed Dataset, batched
+  * mapPartitions, schema of the feature frame) is real and oracle-checked.
+  * At 100 TB this is the shape that matters: decode runs partition-local
+  * with zero shuffle, media bytes never leave the executor that scanned them,
+  * and feature frames are narrow columnar outputs.
+  */
+object MultimodalOps extends QueryRegistry {
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, fake_width: Int, fake_height: Int, fake_frames: Int)
+
+  /** Media table: documents' text re-typed as an opaque binary payload with
+    * metadata (mime + byte length + content prefix). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Sources.table(spark, dir, "documents").select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"),
+      struct(
+        lit("text/plain").as("mime"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        substring(hex(col("text").cast("binary")), 1, 8).as("prefix_hex")).as("meta"))
+
+  /** STUB decoder: a real deployment decodes image/audio bytes here
+    * (per-partition, batch-wise); absent codecs, features are deterministic
+    * arithmetic over the byte length so the pipeline is testable end-to-end. */
+  private def stubDecode(m: MediaRow): MediaFeatures = {
+    val n = m.media.length
+    MediaFeatures(m.doc_id, n, n % 640, n / 640 + 1, n % 30)
+  }
+
+  /** Batched per-partition feature extraction over the binary column —
+    * the Scala analog of a `mapInPandas` decode stage. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(stubDecode))
+  }
+
+  def mediaAsDataset(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaTable(spark, dir).select("doc_id", "media").as[MediaRow]
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("multimodal_meta",
+      (s, d) => mediaTable(s, d).select(
+        col("doc_id"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"), col("meta.prefix_hex").as("prefix_hex")),
+      Some(oq("""
+        SELECT doc_id, 'text/plain' AS mime,
+               octet_length(text::BLOB) AS n_bytes,
+               substr(hex(text::BLOB), 1, 8) AS prefix_hex
+        FROM documents"""))),
+
+    QueryDef("multimodal_features",
+      (s, d) => decodeFeatures(mediaAsDataset(s, d)).toDF(),
+      Some(oq("""
+        SELECT doc_id,
+               CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+               CAST(octet_length(text::BLOB) % 640 AS INT) AS fake_width,
+               CAST(octet_length(text::BLOB) // 640 + 1 AS INT) AS fake_height,
+               CAST(octet_length(text::BLOB) % 30 AS INT) AS fake_frames
+        FROM documents"""))))
+}

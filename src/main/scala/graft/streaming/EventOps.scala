@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, QueryRegistry}
+import graft.oracle.OracleSql.{q => oq}
+
+/** Event-stream processing over the `events` table — the reference's
+  * "real-time ingestion" roadmap item (`README.md:180-184`, SURVEY.md §2.10)
+  * built Spark-first: the same logical aggregations exist as batch DataFrames
+  * (oracle-checked) and as Structured Streaming queries (file-source stream →
+  * watermark → windowed agg), verified equal by the test suite.
+  *
+  * The events parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+  * reader rejects; events are read with `nanosAsLong` and converted with
+  * integer division (`ts div 1000`) — never double math, which would lose
+  * precision above 2^53 ns.
+  *
+  * Money-like doubles are aggregated as exact cents
+  * (`round(value*100) → BIGINT`): deterministic under any partitioning, and
+  * the one double→cents formulation both engines round identically.
+  */
+object EventOps extends QueryRegistry {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Event-time column: ns epoch → micros → ntz timestamp. */
+  private def eventTime: Column =
+    expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz").as("t")
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
+  private def cents: Column = expr("CAST(round(value * 100) AS BIGINT)")
+
+  /** Hourly per-type rollup (batch form of the streaming windowed agg). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), eventTime, cents.as("cents"))
+      .groupBy(col("event_type"), date_trunc("hour", col("t")).as("hour"))
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
+
+  /** Daily distinct-user activity. */
+  def dailyUsers(events: DataFrame): DataFrame =
+    events
+      .select(eventTime, col("user_id"))
+      .groupBy(date_trunc("day", col("t")).cast("date").as("day"))
+      .agg(count_distinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
+  /** Per-type value stats (min/max are order-free; avg via exact cents). */
+  def typeStats(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("value").as("min_value"),
+        max("value").as("max_value"),
+        (sum(cents).cast("double") / count(lit(1)) / 100.0).as("avg_value"))
+
+  /** Batch sessionization: a new session starts after a >30 min gap.
+    * The window partitions by user — no global window, scales with users. */
+  def sessions(events: DataFrame): DataFrame = {
+    val wnd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapNs = 30L * 60 * 1000000000L
+    events
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(wnd).isNull ||
+          col("ts") - lag(col("ts"), 1).over(wnd) > gapNs, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("new_s").as("n_sessions"))
+  }
+
+  /** Structured Streaming form of [[hourlyAgg]]: file-source stream over a
+    * directory of event parquet drops → event-time watermark → tumbling 1h
+    * window. Run with `.writeStream.outputMode("complete")` (tests) or
+    * `append` + watermark close in production. */
+  def streamingHourlyAgg(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(eventsDir)
+      // watermarks require TIMESTAMP (session-tz) event time, not NTZ;
+      // session tz is pinned UTC so the wall-clock values coincide
+      .select(col("event_type"), expr("timestamp_micros(ts div 1000)").as("t"), cents.as("cents"))
+      .withWatermark("t", "1 hour")
+      .groupBy(window(col("t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour"), col("event_type"),
+        col("n_events"), col("value_cents"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("events_hourly", (s, d) => hourlyAgg(events(s, d)), Some(oq("""
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2"""))),
+
+    QueryDef("events_daily_users", (s, d) => dailyUsers(events(s, d)), Some(oq("""
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      FROM events GROUP BY 1"""))),
+
+    QueryDef("events_type_stats", (s, d) => typeStats(events(s, d)), Some(oq("""
+      SELECT event_type, count(*) AS n_events,
+             min(value) AS min_value, max(value) AS max_value,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_value
+      FROM events GROUP BY event_type"""))),
+
+    QueryDef("events_sessions", (s, d) => sessions(events(s, d)), Some(oq("""
+      , flagged AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events)
+      SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS n_sessions
+      FROM flagged GROUP BY user_id"""))))
+}

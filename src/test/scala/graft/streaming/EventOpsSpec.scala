@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming-vs-batch equivalence for the event pipeline. */
+class EventOpsSpec extends SparkSpec {
+
+  test("structured-streaming hourly agg equals the batch computation") {
+    // file-source streams read directories of drops, not single files
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dropDir.resolve("events.parquet"))
+    val stream = EventOps.streamingHourlyAgg(spark, dropDir.toString)
+    val query = stream.writeStream
+      .format("memory")
+      .queryName("ev_hourly_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+
+    val streamed = spark.table("ev_hourly_stream")
+      .select("hour", "event_type", "n_events", "value_cents")
+      .collect().map(_.toSeq).toSet
+    // date_trunc yields session-tz TIMESTAMP; align with the stream's NTZ hour
+    val batch = EventOps.hourlyAgg(EventOps.events(spark, sfDir))
+      .select(col("hour").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n_events"), col("value_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("sessionization splits on >30min gaps per user") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val ev = Seq(
+      (1L, 0L * ns, 7L, "click", 1.0, "{}"),
+      (2L, 60L * ns, 7L, "click", 1.0, "{}"),          // same session
+      (3L, (31L * 60 + 61) * ns, 7L, "click", 1.0, "{}"), // gap > 30min → new session
+      (4L, 0L * ns, 9L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.sessions(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((7L, 3L, 2L), (9L, 1L, 1L)))
+  }
+}
