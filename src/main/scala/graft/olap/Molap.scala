@@ -63,7 +63,7 @@ object Molap extends QueryRegistry {
 
   /** MOLAP 5: daily revenue, last 90 days, first 30 days shown. */
   def daily90(w: Warehouse): DataFrame = {
-    val maxD = LocalDate.parse(w.dimDate.agg(max(col("full_date"))).head().get(0).toString)
+    val maxD = w.maxFullDate
     w.factSalesElt
       .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
       .filter(col("full_date") >= lit(java.sql.Date.valueOf(maxD.minusDays(90))))

@@ -28,10 +28,9 @@ object Olap extends QueryRegistry {
 
   private def countryOrUnknown: Column = coalesce(col("country"), lit("UNKNOWN"))
 
-  /** Max full_date collected to the driver (the reference's 1-row window CTE,
-    * `Iteration 2/Group No.6_OLAP.sql:29-32`). */
-  private def maxFullDate(w: Warehouse): LocalDate =
-    LocalDate.parse(w.dimDate.agg(max(col("full_date"))).head().get(0).toString)
+  /** Max full_date collected to the driver once per warehouse (the
+    * reference's 1-row window CTE, `Iteration 2/Group No.6_OLAP.sql:29-32`). */
+  private def maxFullDate(w: Warehouse): LocalDate = w.maxFullDate
 
   private def d(x: LocalDate): Column = lit(java.sql.Date.valueOf(x))
 

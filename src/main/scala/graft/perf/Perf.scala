@@ -22,8 +22,7 @@ import graft.oracle.OracleSql.q
   */
 object Perf extends QueryRegistry {
 
-  private def maxFullDate(w: Warehouse): LocalDate =
-    LocalDate.parse(w.dimDate.agg(max(col("full_date"))).head().get(0).toString)
+  private def maxFullDate(w: Warehouse): LocalDate = w.maxFullDate
 
   /** J11/R1: the reference's star join, optionally forced to a join strategy
     * via hints (BROADCAST / MERGE / SHUFFLE_HASH / SHUFFLE_REPLICATE_NL) —
@@ -32,6 +31,24 @@ object Perf extends QueryRegistry {
     def h(df: DataFrame): DataFrame = strategy.fold(df)(df.hint(_))
     val minD = java.sql.Date.valueOf(maxFullDate(w).minusMonths(12))
     w.factSalesElt.select("date_key", "product_key", "customer_key", "totalamount")
+      .join(h(w.dimDate.select("date_key", "full_date")), Seq("date_key"))
+      .filter(col("full_date") >= lit(minD))
+      .join(h(w.dimProduct.select("product_key", "stockcode")), Seq("product_key"))
+      .join(h(w.dimCustomerElt.select("customer_key")), Seq("customer_key"))
+      .groupBy("stockcode")
+      .agg(sum("totalamount").cast("decimal(18,2)").as("revenue"))
+      .orderBy(col("revenue").desc, col("stockcode"))
+      .limit(50)
+  }
+
+  /** Nested-loop matrix row on a bounded fact sample: Spark's only NL
+    * strategy is SHUFFLE_REPLICATE_NL (cartesian + filter) — O(|fact|·|dim|)
+    * with no index to probe — so the benchmark bounds the fact side. */
+  def starJoinTop50NlSample(w: Warehouse, factRows: Int): DataFrame = {
+    def h(df: DataFrame): DataFrame = df.hint("SHUFFLE_REPLICATE_NL")
+    val minD = java.sql.Date.valueOf(maxFullDate(w).minusMonths(12))
+    w.factSalesElt.select("date_key", "product_key", "customer_key", "totalamount")
+      .limit(factRows)
       .join(h(w.dimDate.select("date_key", "full_date")), Seq("date_key"))
       .filter(col("full_date") >= lit(minD))
       .join(h(w.dimProduct.select("product_key", "stockcode")), Seq("product_key"))
@@ -219,5 +236,16 @@ object Perf extends QueryRegistry {
 
     QueryDef("preview_dim_customer", (s, dir) => previewCustomers(Warehouse(s, dir)), Some(q("""
       SELECT customerid, customername, country, signupdate FROM dim_customer
-      ORDER BY customerid LIMIT 5"""))))
+      ORDER BY customerid LIMIT 5"""))),
+
+    QueryDef("perf_datekey_range_sum", (s, dir) => {
+      val w = Warehouse(s, dir)
+      w.factSalesElt
+        .filter(col("date_key").between(19960101000000L, 19961231235959L))
+        .agg(sum("totalamount").cast("decimal(18,2)").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }, Some(q("""
+      SELECT CAST(sum(totalamount) AS DECIMAL(18,2)) AS revenue, count(*) AS n_rows
+      FROM fact_sales_elt
+      WHERE date_key BETWEEN 19960101000000 AND 19961231235959"""))))
 }
