@@ -50,10 +50,13 @@ object Bench {
     }
 
     // Build + cache the warehouse (reported separately, excluded from total).
+    // The ELT fact's plan transitively materializes every upstream cache
+    // (dims, staging intermediates); dim_date is the only table off that
+    // lineage — two actions, not one per table.
     val tBuild = System.nanoTime()
     val w = Warehouse(spark, sfDir)
-    Seq(w.dimCustomer, w.dimCustomerElt, w.dimProduct, w.dimDate, w.factSales, w.factSalesElt)
-      .foreach(noop)
+    noop(w.factSalesElt)
+    noop(w.dimDate)
     val buildSec = (System.nanoTime() - tBuild) / 1e9
 
     // Untimed warm-up: pays one-time codegen/JIT and resolves the max-date

@@ -37,6 +37,12 @@ final case class Warehouse(
     java.time.LocalDate.parse(
       dimDate.agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col("full_date"))).head().get(0).toString)
+
+  /** Smallest invoice id — the deterministic OLTP probe key (the reference's
+    * `(SELECT invoiceid ... LIMIT 1)` scalar subquery, made reproducible). */
+  lazy val minInvoiceId: String =
+    factSalesElt.agg(org.apache.spark.sql.functions.min(
+      org.apache.spark.sql.functions.col("invoiceid"))).head().getString(0)
 }
 
 object Warehouse {

@@ -45,10 +45,13 @@ object Perf extends QueryRegistry {
     * strategy is SHUFFLE_REPLICATE_NL (cartesian + filter) — O(|fact|·|dim|)
     * with no index to probe — so the benchmark bounds the fact side. */
   def starJoinTop50NlSample(w: Warehouse, factRows: Int): DataFrame = {
-    def h(df: DataFrame): DataFrame = df.hint("SHUFFLE_REPLICATE_NL")
+    // CartesianProduct schedules |left|·|right| partition-pair tasks; with
+    // 32-partition inputs that is ~1000 tasks per join and scheduling
+    // overhead dwarfs the (bounded) compute — coalesce the tiny sides first.
+    def h(df: DataFrame): DataFrame = df.coalesce(2).hint("SHUFFLE_REPLICATE_NL")
     val minD = java.sql.Date.valueOf(maxFullDate(w).minusMonths(12))
     w.factSalesElt.select("date_key", "product_key", "customer_key", "totalamount")
-      .limit(factRows)
+      .limit(factRows).coalesce(1)
       .join(h(w.dimDate.select("date_key", "full_date")), Seq("date_key"))
       .filter(col("full_date") >= lit(minD))
       .join(h(w.dimProduct.select("product_key", "stockcode")), Seq("product_key"))
@@ -75,7 +78,7 @@ object Perf extends QueryRegistry {
   /** OLTP point lookup (P8 + J10 scalar subquery): all fact rows of one
     * deterministic invoice, dims resolved. */
   def oltpInvoiceLookup(w: Warehouse): DataFrame = {
-    val inv = w.factSalesElt.agg(min("invoiceid")).head().getString(0)
+    val inv = w.minInvoiceId
     w.factSalesElt
       .filter(col("invoiceid") === lit(inv))
       .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"), "left")
