@@ -24,6 +24,15 @@ import graft.oracle.OracleSql.q
   */
 object Measures extends QueryRegistry {
 
+  /** Power BI "filter context": slicer predicates applied to the fact before
+    * any measure aggregates (SURVEY.md §3.3). Push a predicate with
+    * [[sliced]]; measures then evaluate in that context, e.g.
+    * `Measures.totalRevenue(Measures.sliced(w, col("country") === "France"))`
+    * after joining the slicer column in. The default context is the whole
+    * fact. */
+  def sliced(w: Warehouse, slicer: org.apache.spark.sql.Column): Warehouse =
+    w.copy(factSalesElt = w.factSalesElt.filter(slicer))
+
   private def fact(w: Warehouse): DataFrame = w.factSalesElt
 
   /** §1 Total Revenue. */
@@ -122,6 +131,15 @@ object Measures extends QueryRegistry {
         col("monthly_revenue"),
         sum("monthly_revenue").over(wnd).cast("decimal(18,2)").as("cumulative_revenue"))
   }
+
+  /** A3 scale path: HyperLogLog distinct counts for the cardinality KPIs —
+    * the opt-in variant for 100 TB interactive dashboards (exact
+    * count-distinct stays the oracle-checked default; rsd 1.5%). */
+  def approxCardinalities(w: Warehouse, rsd: Double = 0.015): DataFrame =
+    fact(w).agg(
+      approx_count_distinct(col("invoiceid"), rsd).as("approx_orders"),
+      approx_count_distinct(col("customer_key"), rsd).as("approx_customers"),
+      approx_count_distinct(col("product_key"), rsd).as("approx_products"))
 
   /** §14 Avg Order Size per Customer (W9: avg of per-customer quantity sums). */
   def avgOrderSize(w: Warehouse): DataFrame =

@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plan-quality assertions: the physical plans the engine relies on at 100 TB
+  * must actually materialize — pushed parquet filters, partition pruning,
+  * whole-stage codegen, and top-k without a full sort (SURVEY.md §4). */
+class PlanQualitySpec extends SparkSpec {
+
+  private lazy val w = Warehouse(spark, sfDir)
+
+  private def materializedFact: String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    Warehouse.materialize(spark, sfDir, out)
+    out
+  }
+
+  test("filters and projections push into the parquet scan of the materialized fact") {
+    val out = materializedFact
+    val q = spark.read.parquet(s"$out/fact_sales")
+      .filter(col("date_key") >= 19960101000000L)
+      .select("date_key", "totalamount")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(date_key), GreaterThanOrEqual(date_key"), plan)
+    assert(plan.contains("ReadSchema: struct<date_key:bigint,totalamount:decimal(18,2)>"), plan)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("year-partitioned fact write prunes partitions on a year filter") {
+    val out = materializedFact
+    val q = spark.read.parquet(s"$out/fact_sales").filter(col("year") === 1996)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(year"), plan)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
+  test("top-k uses TakeOrderedAndProject, not a global sort") {
+    val plan = graft.olap.Olap.q2(w).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("star join broadcasts every dim and aggregates map-side before the shuffle") {
+    val df = graft.perf.Perf.starJoinTop50(w)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE stages
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan) // all three dims
+    assert(plan.contains("partial_sum"), plan) // map-side combine
+  }
+}

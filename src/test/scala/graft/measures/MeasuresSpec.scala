@@ -64,4 +64,24 @@ class MeasuresSpec extends SparkSpec {
     val s = Measures.topRegion(w).head().getString(0)
     assert(s.matches(".+ — [0-9,]+"), s)
   }
+
+  test("filter context: a year slicer restricts every downstream measure") {
+    val y1996 = Measures.sliced(w,
+      (col("date_key") >= 19960101000000L) && (col("date_key") <= 19961231235959L))
+    val slicedRev = Measures.totalRevenue(y1996).head().getDecimal(0)
+    val fullRev = Measures.totalRevenue(w).head().getDecimal(0)
+    val expected = w.factSalesElt
+      .filter(col("date_key").between(19960101000000L, 19961231235959L))
+      .agg(sum("totalamount")).head().getDecimal(0)
+    assert(slicedRev === expected)
+    assert(slicedRev.compareTo(fullRev) < 0)
+    assert(Measures.highValueSales(y1996).head().getLong(0) <=
+      Measures.highValueSales(w).head().getLong(0))
+  }
+
+  test("approximate cardinalities land within 5% of exact counts") {
+    val r = Measures.approxCardinalities(w).head()
+    val exactOrders = Measures.totalOrders(w).head().getLong(0).toDouble
+    assert(math.abs(r.getLong(0) - exactOrders) / exactOrders < 0.05)
+  }
 }
