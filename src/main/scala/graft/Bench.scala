@@ -134,6 +134,16 @@ object Bench {
       time("molap_month_country")(Molap.monthCountry(w))
       time("molap_month_product")(Molap.monthProduct(w))
       time("molap_customer_month")(Molap.customerMonth(w))
+
+      // Training-data + event-stream operators (no BASELINE rows — recorded
+      // to track engine throughput on the non-warehouse surfaces).
+      val docs = graft.llm.TextOps.docs(spark, sfDir)
+      time("doc_minhash_near_dup", reps = 1)(graft.llm.TextOps.minhashPairs(docs))
+      time("doc_exact_dedup", reps = 1)(graft.llm.TextOps.exactDedup(docs))
+      val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
+      time("emb_ann_bucketed", reps = 1)(graft.llm.EmbeddingOps.annBucketed(emb))
+      time("events_sessions", reps = 1)(
+        graft.streaming.EventOps.sessions(graft.streaming.EventOps.events(spark, sfDir)))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }
