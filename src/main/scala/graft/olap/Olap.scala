@@ -57,17 +57,27 @@ object Olap extends QueryRegistry {
       .limit(10)
   }
 
-  /** Q3: customer lifetime value (LEFT joins keep zero-sales customers). */
-  def q3(w: Warehouse): DataFrame =
-    w.dimCustomerElt.select("customer_key", "customerid", "customername")
-      .join(w.factSalesElt.select("customer_key", "date_key", "invoiceid", "totalamount"),
-        Seq("customer_key"), "left")
+  /** Q3: customer lifetime value (LEFT joins keep zero-sales customers).
+    * Shaped scale-first: the fact aggregates by the long surrogate key before
+    * touching the dim — one narrow shuffle on `customer_key` instead of
+    * carrying name strings through the join and grouping on them. */
+  def q3(w: Warehouse): DataFrame = {
+    val perCustomer = w.factSalesElt
+      .select("customer_key", "date_key", "invoiceid", "totalamount")
       .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"), "left")
-      .groupBy("customerid", "customername")
+      .groupBy("customer_key")
       .agg(
-        coalesce(sum("totalamount"), lit(0)).cast("decimal(18,2)").as("lifetime_revenue"),
+        sum("totalamount").as("rev"),
         max("full_date").as("last_purchase_date"),
-        count_distinct(col("invoiceid")).as("order_count"))
+        count_distinct(col("invoiceid")).as("orders"))
+    w.dimCustomerElt.select("customer_key", "customerid", "customername")
+      .join(perCustomer, Seq("customer_key"), "left")
+      .select(
+        col("customerid"), col("customername"),
+        coalesce(col("rev"), lit(0)).cast("decimal(18,2)").as("lifetime_revenue"),
+        col("last_purchase_date"),
+        coalesce(col("orders"), lit(0L)).as("order_count"))
+  }
 
   /** Q4: daily revenue trend over the last 90 days. */
   def q4(w: Warehouse): DataFrame = {
