@@ -61,6 +61,20 @@ object Molap extends QueryRegistry {
         count_distinct(col("invoiceid")).as("orders"),
         sum("quantity").as("total_quantity"))
 
+  /** MOLAP 4: top-10 products over the last 3 months (the `>=`-window
+    * variant of OLAP Q2 — reference `Iteration 2/Group No.6_MOLAP.sql:82-103`). */
+  def top10Last3m(w: Warehouse): DataFrame = {
+    val minD = java.sql.Date.valueOf(w.maxFullDate.minusMonths(3))
+    w.factSalesElt.select("date_key", "product_key", "totalamount", "quantity")
+      .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
+      .filter(col("full_date") >= lit(minD))
+      .join(w.dimProduct.select("product_key", "stockcode", "description"), Seq("product_key"))
+      .groupBy("stockcode", "description")
+      .agg(round(sum("totalamount"), 2).as("revenue"), sum("quantity").as("qty_sold"))
+      .orderBy(col("revenue").desc, col("stockcode"))
+      .limit(10)
+  }
+
   /** MOLAP 5: daily revenue, last 90 days, first 30 days shown. */
   def daily90(w: Warehouse): DataFrame = {
     val maxD = w.maxFullDate
@@ -150,6 +164,18 @@ object Molap extends QueryRegistry {
       JOIN dim_date d ON f.date_key = d.date_key
       JOIN dim_customer_elt c ON f.customer_key = c.customer_key
       GROUP BY 1, 2"""))),
+
+    QueryDef("molap_q4_top10_last3m", (s, dir) => top10Last3m(Warehouse(s, dir)), Some(q("""
+      SELECT p.stockcode, p.description,
+             round(sum(f.totalamount), 2) AS revenue,
+             CAST(sum(f.quantity) AS BIGINT) AS qty_sold
+      FROM fact_sales_elt f
+      JOIN dim_date d ON f.date_key = d.date_key
+      JOIN dim_product p ON f.product_key = p.product_key
+      WHERE d.full_date >= ((SELECT max(full_date) FROM dim_date) - INTERVAL '3 months')
+      GROUP BY p.stockcode, p.description
+      ORDER BY revenue DESC, p.stockcode
+      LIMIT 10"""))),
 
     QueryDef("molap_q5_daily_90d_top30", (s, dir) => daily90(Warehouse(s, dir)), Some(q("""
       SELECT d.full_date, round(sum(f.totalamount), 2) AS daily_revenue
