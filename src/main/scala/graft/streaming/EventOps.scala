@@ -97,6 +97,46 @@ object EventOps extends QueryRegistry {
         col("n_events"), col("value_cents"))
   }
 
+  final case class SessionEvent(user_id: Long, ts: Long) // ns epoch
+  final case class SessionSummary(user_id: Long, start_ts: Long, end_ts: Long, n_events: Long)
+  final case class SessState(start: Long, last: Long, n: Long) // public: encoder codegen instantiates it
+
+  /** Custom streaming state: gap-based sessionization via
+    * `flatMapGroupsWithState` — the stateful-operator path for semantics
+    * windowed aggregation can't express. A session closes (and is emitted)
+    * when a later event for the same user arrives more than `gapMinutes`
+    * after the previous one; the open session stays in the state store.
+    * State is partitioned by user — scales with the key space. Works
+    * identically over a batch Dataset (state starts empty, closed sessions
+    * emit). */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent], gapMinutes: Int)
+      : org.apache.spark.sql.Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapNs = gapMinutes * 60L * 1000000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[SessState]) =>
+          val out = scala.collection.mutable.Buffer.empty[SessionSummary]
+          var st = state.getOption
+          evs.toSeq.sortBy(_.ts).foreach { e =>
+            st match {
+              case Some(s) if e.ts - s.last > gapNs =>
+                out += SessionSummary(user, s.start, s.last, s.n)
+                st = Some(SessState(e.ts, e.ts, 1))
+              case Some(s) =>
+                st = Some(s.copy(last = e.ts, n = s.n + 1))
+              case None =>
+                st = Some(SessState(e.ts, e.ts, 1))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("events_hourly", (s, d) => hourlyAgg(events(s, d)), Some(oq("""
       SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,

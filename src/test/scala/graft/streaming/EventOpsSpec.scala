@@ -34,6 +34,30 @@ class EventOpsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stateful streaming sessionizer emits closed sessions across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    val ns = 1000000000L
+    val input = MemoryStream[EventOps.SessionEvent]
+    val q = EventOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: two events 60s apart (one open session)
+      input.addData(EventOps.SessionEvent(7L, 0L), EventOps.SessionEvent(7L, 60L * ns))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() === 0) // still open
+      // batch 2: an event 31min later closes the first session
+      input.addData(EventOps.SessionEvent(7L, (31L * 60 + 60) * ns))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out")
+        .as[EventOps.SessionSummary].collect()
+      assert(sessions.toSeq === Seq(EventOps.SessionSummary(7L, 0L, 60L * ns, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionization splits on >30min gaps per user") {
     import spark.implicits._
     val ns = 1000000000L
