@@ -93,6 +93,21 @@ object EmbeddingOps extends QueryRegistry {
         round(col("cos"), 6).cast("decimal(10,6)").as("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate detection: candidate pairs from the LSH
+    * bucket equi-join (never all-pairs), exact cosine filter at `threshold`,
+    * emitted as (keep = smaller vec_id, dup = larger). */
+  def cosineNearDup(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val withBucket = emb.select(col("vec_id"), col("embedding"))
+      .join(lshBuckets(emb), Seq("vec_id"))
+    val a = withBucket.select(col("bucket"), col("vec_id").as("keep_id"), col("embedding").as("ea"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("dup_id"), col("embedding").as("eb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("keep_id") < col("dup_id"))
+      .select(col("keep_id"), col("dup_id"),
+        round(cosine(col("ea"), col("eb")), 6).cast("decimal(10,6)").as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   private def sqlDot(a: String, b: String): String =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN generate_series(1, $Dim)])"
 
@@ -125,6 +140,15 @@ object EmbeddingOps extends QueryRegistry {
     QueryDef("emb_lsh_bucket_sizes", (s, d) => lshBucketSizes(emb(s, d)), Some(oq(s"""
       , $sqlBuckets
       SELECT bucket, count(*) AS n_vectors FROM buckets GROUP BY bucket"""))),
+
+    QueryDef("emb_cosine_near_dup", (s, d) => cosineNearDup(emb(s, d), 0.35), Some(oq(s"""
+      , $sqlBuckets,
+      wb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+      pairs AS (
+        SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+               CAST(round(${sqlCos("a.embedding", "b.embedding")}, 6) AS DECIMAL(10,6)) AS cosine
+        FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT keep_id, dup_id, cosine FROM pairs WHERE cosine >= 0.35"""))),
 
     QueryDef("emb_ann_bucketed", (s, d) => annBucketed(emb(s, d)), Some(oq(s"""
       , $sqlBuckets,
