@@ -107,7 +107,7 @@ object Bench {
     // vs full flat scan of the same data.
     val base = java.nio.file.Files.createTempDirectory("graft_bench").toString
     try {
-      val withYear = w.factSalesElt.withColumn("year", floor(col("date_key") / 10000000000L).cast("int"))
+      val withYear = w.factSalesElt.withColumn("year", graft.yearOfDateKey(col("date_key")))
       withYear.write.mode("overwrite").partitionBy("year").parquet(s"$base/fact_by_year")
       withYear.write.mode("overwrite").parquet(s"$base/fact_flat")
       time("partition_pruned_year_sum")(

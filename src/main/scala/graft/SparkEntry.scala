@@ -20,7 +20,13 @@ object SparkEntry {
     graft.perf.Perf,
     graft.streaming.EventOps)
 
-  lazy val defs: Seq[QueryDef] = registries.flatMap(_.defs)
+  lazy val defs: Seq[QueryDef] = {
+    val ds = registries.flatMap(_.defs)
+    // toMap would silently drop a shadowed query from the correctness gate
+    val dups = ds.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names across registries: ${dups.mkString(", ")}")
+    ds
+  }
 
   /** Flagship query: OLAP Q1 (monthly sales by country) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =

@@ -110,8 +110,8 @@ object Dsuite extends QueryRegistry {
   def d10(w: Warehouse): DataFrame =
     summary(w.factSales, "ETL").union(summary(w.factSalesElt, "ELT"))
 
-  private def sqlAvgPrice(t: String) =
-    s"CAST(round(CAST(sum(unitprice) AS DOUBLE) / count(unitprice), 2) AS DECIMAL(12,2))"
+  private val sqlAvgPrice =
+    "CAST(round(CAST(sum(unitprice) AS DOUBLE) / count(unitprice), 2) AS DECIMAL(12,2))"
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_row_counts", (s, dir) => d1(Warehouse(s, dir)), Some(q("""
@@ -125,9 +125,9 @@ object Dsuite extends QueryRegistry {
       SELECT 'fact_sales_elt_sum' AS metric, CAST(coalesce(sum(totalamount), 0) AS DECIMAL(18,2)) AS value FROM fact_sales_elt"""))),
 
     QueryDef("d03_avg_unitprice", (s, dir) => d3(Warehouse(s, dir)), Some(q(s"""
-      SELECT 'ETL Avg Unit Price' AS metric, ${sqlAvgPrice("fact_sales")} AS avg_unitprice FROM fact_sales
+      SELECT 'ETL Avg Unit Price' AS metric, $sqlAvgPrice AS avg_unitprice FROM fact_sales
       UNION ALL
-      SELECT 'ELT Avg Unit Price' AS metric, ${sqlAvgPrice("fact_sales_elt")} AS avg_unitprice FROM fact_sales_elt"""))),
+      SELECT 'ELT Avg Unit Price' AS metric, $sqlAvgPrice AS avg_unitprice FROM fact_sales_elt"""))),
 
     QueryDef("d04_unique_customers", (s, dir) => d4(Warehouse(s, dir)), Some(q("""
       SELECT 'ETL Unique Customers' AS metric, count(DISTINCT customer_key) AS unique_customers FROM fact_sales
@@ -178,14 +178,14 @@ object Dsuite extends QueryRegistry {
     QueryDef("d10_summary_kpis", (s, dir) => d10(Warehouse(s, dir)), Some(q(s"""
       SELECT 'ETL' AS pipeline, count(*) AS total_rows,
              CAST(round(sum(totalamount), 2) AS DECIMAL(18,2)) AS total_revenue,
-             ${sqlAvgPrice("fact_sales")} AS avg_price,
+             $sqlAvgPrice AS avg_price,
              count(DISTINCT customer_key) AS unique_customers,
              count(DISTINCT product_key) AS unique_products
       FROM fact_sales
       UNION ALL
       SELECT 'ELT' AS pipeline, count(*) AS total_rows,
              CAST(round(sum(totalamount), 2) AS DECIMAL(18,2)) AS total_revenue,
-             ${sqlAvgPrice("fact_sales_elt")} AS avg_price,
+             $sqlAvgPrice AS avg_price,
              count(DISTINCT customer_key) AS unique_customers,
              count(DISTINCT product_key) AS unique_products
       FROM fact_sales_elt"""))))

@@ -47,12 +47,14 @@ final case class Warehouse(
 
 object Warehouse {
 
-  private val cache = TrieMap.empty[String, Warehouse]
+  private val cache = TrieMap.empty[(SparkSession, String), Warehouse]
 
-  /** Memoized build per testdata dir (Verify/Bench run many queries over the
-    * same warehouse — build once, reuse the cached dims/facts). */
+  /** Memoized build per (session, dir) — Verify/Bench run many queries over
+    * the same warehouse, so build once and reuse the cached dims/facts. Keyed
+    * by the session too: a cached instance holds plans bound to the session
+    * that built it, which would throw if replayed on a new session. */
   def apply(spark: SparkSession, dir: String): Warehouse =
-    cache.getOrElseUpdate(dir, build(spark, dir))
+    cache.getOrElseUpdate((spark, dir), build(spark, dir))
 
   def build(spark: SparkSession, dir: String): Warehouse = {
     val stgC = Staging.customers(spark, dir)
@@ -97,10 +99,10 @@ object Warehouse {
     graft.sources.Sources.materialize(w.dimProduct, s"$outDir/dim_product")
     graft.sources.Sources.materialize(w.dimDate, s"$outDir/dim_date")
     graft.sources.Sources.materialize(
-      w.factSales.withColumn("year", (col("date_key") / 10000000000L).cast("int")),
+      w.factSales.withColumn("year", graft.yearOfDateKey(col("date_key"))),
       s"$outDir/fact_sales", partitionBy = Seq("year"))
     graft.sources.Sources.materialize(
-      w.factSalesElt.withColumn("year", (col("date_key") / 10000000000L).cast("int")),
+      w.factSalesElt.withColumn("year", graft.yearOfDateKey(col("date_key"))),
       s"$outDir/fact_sales_elt", partitionBy = Seq("year"))
   }
 }

@@ -70,6 +70,13 @@ object EmbeddingOps extends QueryRegistry {
   def lshBuckets(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), concat((1 to NumPlanes).map(planeBit): _*).as("bucket"))
 
+  /** Vectors with their bucket attached — a narrow projection (the bucket is
+    * computed from the embedding column), not a self-join: one scan, no
+    * shuffle. */
+  private def withBucket(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      concat((1 to NumPlanes).map(planeBit): _*).as("bucket"))
+
   /** Bucket histogram — the partitioning an ANN index would shard by. */
   def lshBucketSizes(emb: DataFrame): DataFrame =
     lshBuckets(emb).groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
@@ -77,11 +84,10 @@ object EmbeddingOps extends QueryRegistry {
   /** ANN: candidates restricted to the query's bucket (equi-join on the LSH
     * key), exact cosine re-rank, top-5. */
   def annBucketed(emb: DataFrame): DataFrame = {
-    val withBucket = emb.select(col("vec_id"), col("embedding"))
-      .join(lshBuckets(emb), Seq("vec_id"))
-    val qs = withBucket.filter(col("vec_id") % 100 === 0)
+    val wb = withBucket(emb)
+    val qs = wb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-    val scored = qs.join(withBucket, Seq("bucket"))
+    val scored = qs.join(wb, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
@@ -97,10 +103,9 @@ object EmbeddingOps extends QueryRegistry {
     * bucket equi-join (never all-pairs), exact cosine filter at `threshold`,
     * emitted as (keep = smaller vec_id, dup = larger). */
   def cosineNearDup(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
-    val withBucket = emb.select(col("vec_id"), col("embedding"))
-      .join(lshBuckets(emb), Seq("vec_id"))
-    val a = withBucket.select(col("bucket"), col("vec_id").as("keep_id"), col("embedding").as("ea"))
-    val b = withBucket.select(col("bucket"), col("vec_id").as("dup_id"), col("embedding").as("eb"))
+    val wb = withBucket(emb)
+    val a = wb.select(col("bucket"), col("vec_id").as("keep_id"), col("embedding").as("ea"))
+    val b = wb.select(col("bucket"), col("vec_id").as("dup_id"), col("embedding").as("eb"))
     a.join(b, Seq("bucket"))
       .filter(col("keep_id") < col("dup_id"))
       .select(col("keep_id"), col("dup_id"),

@@ -46,6 +46,12 @@ package object graft {
     * (`Iteration 1/Group No.6_ETL.sql:231`). */
   def smartDateKey(ts: Column): Column = date_format(ts, "yyyyMMddHHmmss").cast("long")
 
+  /** Year component of a smart date key — the fact partitioning column
+    * (one definition so every write site shares the scheme; keys are always
+    * positive, so truncation and floor agree). */
+  def yearOfDateKey(dateKey: Column): Column =
+    floor(dateKey / 10000000000L).cast("int")
+
   /** DAX DIVIDE: null-safe division (Iteration 4 measures 3-7). */
   def safeDiv(num: Column, den: Column): Column =
     when(den.isNotNull && den =!= 0, num / den)

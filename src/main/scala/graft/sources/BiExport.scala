@@ -15,7 +15,7 @@ object BiExport {
   def export(spark: SparkSession, dir: String, outDir: String): Unit = {
     import org.apache.spark.sql.functions._
     val w = Warehouse(spark, dir)
-    val year = floor(col("date_key") / 10000000000L).cast("int").as("year")
+    val year = graft.yearOfDateKey(col("date_key")).as("year")
     Sources.materialize(w.dimCustomer, s"$outDir/customers_etl")
     Sources.materialize(w.dimCustomerElt, s"$outDir/customers_elt")
     Sources.materialize(w.dimProduct, s"$outDir/products")

@@ -35,6 +35,10 @@ object EventOps extends QueryRegistry {
     expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz").as("t")
 
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Session-level switch (there is no per-reader option for it): after the
+    // first events read, any TIMESTAMP(NANOS) parquet column in this session
+    // surfaces as LongType. The warehouse tables carry no nanos columns, so
+    // the reach is confined to the events feed; still a deliberate trade-off.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
   }

@@ -43,7 +43,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("star join broadcasts every dim and aggregates map-side before the shuffle") {
     val df = graft.perf.Perf.starJoinTop50(w)
-    df.write.format("noop").mode("overwrite").save() // finalize AQE stages
+    df.collect() // executes THIS QueryExecution, so AQE finalizes in place
     val plan = df.queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan) // all three dims
     assert(plan.contains("partial_sum"), plan) // map-side combine

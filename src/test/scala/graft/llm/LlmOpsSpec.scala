@@ -67,11 +67,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(self.getDecimal(2).doubleValue() === 1.0)
   }
 
-  test("bucketed ANN returns a subset of brute-force results for shared buckets") {
+  test("bucketed ANN pairs share a bucket, score like brute force, and cap at 5 per query") {
     val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
-    val ann = EmbeddingOps.annBucketed(emb).select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val brute = EmbeddingOps.cosineTop10(emb).select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    // every ANN hit that brute force ranked top-10 must agree; ANN is a recall subset per bucket
+    val ann = EmbeddingOps.annBucketed(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSeq
     assert(ann.nonEmpty)
+    // ≤5 neighbors per query
+    assert(ann.groupBy(_._1).values.forall(_.size <= 5))
+    // every pair shares an LSH bucket
+    val buckets = EmbeddingOps.lshBuckets(emb).select("vec_id", "bucket")
+      .as[(Long, String)].collect().toMap
+    assert(ann.forall { case (q, n, _) => buckets(q) === buckets(n) })
+    // ANN cosines agree with the brute-force scorer for the same pairs
+    val brute = EmbeddingOps.cosineTop10(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+    val overlapping = ann.filter { case (q, n, _) => brute.contains((q, n)) }
+    assert(overlapping.nonEmpty)
+    overlapping.foreach { case (q, n, c) => assert(brute((q, n)) === c, s"($q,$n)") }
   }
 }
