@@ -67,6 +67,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(self.getDecimal(2).doubleValue() === 1.0)
   }
 
+  test("embedding near-dup flags identical vectors with cosine 1 and keeps the smaller id") {
+    val emb = Seq(
+      (3L, Array.tabulate(64)(i => (i % 7 + 1).toFloat), 0),
+      (11L, Array.tabulate(64)(i => (i % 7 + 1).toFloat), 0),
+      (5L, Array.tabulate(64)(i => ((i * 13) % 9 - 4).toFloat), 1))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = EmbeddingOps.cosineNearDup(emb, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue()))
+    assert(pairs.toSeq === Seq((3L, 11L, 1.0)))
+  }
+
   test("bucketed ANN pairs share a bucket, score like brute force, and cap at 5 per query") {
     val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
     val ann = EmbeddingOps.annBucketed(emb)
