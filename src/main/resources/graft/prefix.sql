@@ -83,7 +83,7 @@ products_dedup AS (
   SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY stockcode ORDER BY stockcode) AS rn FROM products_base) t WHERE rn = 1
 ),
 median_price AS (
-  SELECT round(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(unitprice_raw AS DOUBLE)), 2) AS median_up
+  SELECT round(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(unitprice_raw AS DOUBLE)) * 100) / 100 AS median_up
   FROM products_dedup WHERE unitprice_raw > 0
 ),
 dim_product AS (

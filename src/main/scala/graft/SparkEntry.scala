@@ -17,6 +17,7 @@ object SparkEntry {
     graft.llm.TextOps,
     graft.llm.EmbeddingOps,
     graft.llm.MultimodalOps,
+    graft.llm.IvfAnnQueries,
     graft.perf.Perf,
     graft.streaming.EventOps)
 

@@ -30,7 +30,9 @@ object Dsuite extends QueryRegistry {
     labeled("value", coalesce(sum("totalamount"), lit(0)).cast("decimal(18,2)"), w.factSales, "fact_sales_etl_sum")
       .union(labeled("value", coalesce(sum("totalamount"), lit(0)).cast("decimal(18,2)"), w.factSalesElt, "fact_sales_elt_sum"))
 
-  private def avgPrice = round(sum("unitprice").cast("double") / count(col("unitprice")), 2).cast("decimal(12,2)")
+  // portable rounding: round(x*100)/100, never round(x, 2) (engine-divergent at .005)
+  private def avgPrice =
+    (round(sum("unitprice").cast("double") / count(col("unitprice")) * 100) / 100).cast("decimal(12,2)")
 
   /** D3: average unit price. */
   def d3(w: Warehouse): DataFrame =
@@ -111,7 +113,7 @@ object Dsuite extends QueryRegistry {
     summary(w.factSales, "ETL").union(summary(w.factSalesElt, "ELT"))
 
   private val sqlAvgPrice =
-    "CAST(round(CAST(sum(unitprice) AS DOUBLE) / count(unitprice), 2) AS DECIMAL(12,2))"
+    "CAST(round(CAST(sum(unitprice) AS DOUBLE) / count(unitprice) * 100) / 100 AS DECIMAL(12,2))"
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_row_counts", (s, dir) => d1(Warehouse(s, dir)), Some(q("""

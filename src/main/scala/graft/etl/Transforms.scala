@@ -75,7 +75,7 @@ object Transforms {
   def medianPrice(productsDedup: DataFrame): Double =
     productsDedup
       .filter(col("unitprice_raw") > 0)
-      .select(round(expr("percentile(cast(unitprice_raw as double), 0.5)"), 2).as("m"))
+      .select((round(expr("percentile(cast(unitprice_raw as double), 0.5)") * 100) / 100).as("m"))
       .head()
       .getDouble(0)
 

@@ -37,7 +37,7 @@ object EmbeddingOps extends QueryRegistry {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  private def cosine(a: Column, b: Column): Column =
+  def cosine(a: Column, b: Column): Column =
     dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
 
   /** Exact brute-force cosine top-10 for the `vec_id % 100 = 0` query set. */

@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, QueryRegistry}
+
+/** IVF-style approximate nearest neighbor: a k-means coarse quantizer builds
+  * inverted lists; queries probe only the nearest `nProbe` centroid lists and
+  * re-rank exactly within them.
+  *
+  * Deterministic by construction (so results are reproducible run-to-run and
+  * cluster-to-cluster): centroids initialize from the k smallest `vec_id`s
+  * and Lloyd iterations run a fixed count; assignment ties break toward the
+  * lower centroid id.
+  *
+  * Scale shape: each Lloyd iteration is one narrow per-partition assignment
+  * pass (centroids broadcast to executors) plus one `(centroid, dim)`
+  * aggregation shuffle of k×dim rows; the search path touches only the
+  * probed lists — never the full corpus per query. Registered without a SQL
+  * oracle (k-means is not reasonably oracle-expressible); correctness is
+  * covered by determinism + the recall test in IvfAnnSpec.
+  */
+object IvfAnn {
+
+  final case class Vec(vec_id: Long, embedding: Array[Float])
+
+  private def sqDist(a: Array[Float], c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def nearest(v: Array[Float], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var j = 0
+    while (j < cents.length) {
+      val d = sqDist(v, cents(j))
+      if (d < bestD) { bestD = d; best = j } // strict < : ties keep lower id
+      j += 1
+    }
+    best
+  }
+
+  /** Train the coarse quantizer; returns the k×dim centroid matrix. */
+  def train(emb: DataFrame, k: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ds = emb.select("vec_id", "embedding").as[Vec].cache()
+    var cents = ds.orderBy("vec_id").take(k).map(_.embedding.map(_.toDouble))
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val means = ds
+        .mapPartitions(_.map(v => (nearest(v.embedding, bc.value), v.embedding)))
+        .toDF("cid", "e")
+        .select(col("cid"), posexplode(col("e")))
+        .groupBy("cid", "pos")
+        .agg(avg("col").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+    }
+    cents
+  }
+
+  /** Inverted-list assignment: vec_id → centroid id. */
+  def assignments(emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    emb.select("vec_id", "embedding").as[Vec]
+      .mapPartitions(_.map(v => (v.vec_id, nearest(v.embedding, bc.value))))
+      .toDF("vec_id", "centroid_id")
+  }
+
+  /** ANN search: probe the `nProbe` nearest lists per query, exact cosine
+    * re-rank, top-k (queries = vec_id % 100 == 0, as the LSH variant). */
+  def search(emb: DataFrame, cents: Array[Array[Double]], nProbe: Int = 2, topK: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = assignments(emb, cents)
+    val probes = emb.filter(col("vec_id") % 100 === 0).select("vec_id", "embedding").as[Vec]
+      .flatMap { v =>
+        val byDist = bc.value.indices.sortBy(j => (sqDist(v.embedding, bc.value(j)), j))
+        byDist.take(nProbe).map(cid => (v.vec_id, cid))
+      }.toDF("query_id", "centroid_id")
+    val candidates = probes
+      .join(assigned, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val qs = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = candidates
+      .join(qs, Seq("query_id"))
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        EmbeddingOps.cosine(col("qe"), col("embedding")).as("cos"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).cast("decimal(10,6)").as("cosine"))
+  }
+}
+
+/** Registry: rows-only checks (no SQL oracle for k-means). */
+object IvfAnnQueries extends QueryRegistry {
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("emb_ivf_assignments", (s, d) => {
+      val e = EmbeddingOps.emb(s, d)
+      IvfAnn.assignments(e, IvfAnn.train(e))
+    }, None),
+    QueryDef("emb_ivf_search", (s, d) => {
+      val e = EmbeddingOps.emb(s, d)
+      IvfAnn.search(e, IvfAnn.train(e))
+    }, None))
+}

@@ -89,14 +89,16 @@ object Olap extends QueryRegistry {
       .agg(round(sum("totalamount"), 2).as("daily_revenue"))
   }
 
-  /** Q5: product price vs revenue. AVG is computed as exact-decimal SUM /
-    * COUNT in double — the one formulation both engines evaluate bit-identically. */
+  /** Q5: product price vs revenue. AVG is exact-decimal SUM / COUNT in
+    * double, rounded via the portable `round(x*100)/100` shape — plain
+    * `round(x, 2)` diverges between engines at .005 boundaries (caught by the
+    * sf0.1 sweep: 28/20000 rows one cent apart). */
   def q5(w: Warehouse): DataFrame =
     w.factSalesElt.select("product_key", "unitprice", "totalamount", "quantity")
       .join(w.dimProduct.select("product_key", "stockcode", "description"), Seq("product_key"))
       .groupBy("stockcode", "description")
       .agg(
-        round(sum("unitprice").cast("double") / count(col("unitprice")), 2)
+        (round(sum("unitprice").cast("double") / count(col("unitprice")) * 100) / 100)
           .cast("decimal(12,2)").as("avg_unitprice"),
         round(sum("totalamount"), 2).as("total_revenue"),
         sum("quantity").as("total_quantity"))
@@ -135,7 +137,26 @@ object Olap extends QueryRegistry {
       .groupBy(trunc(col("full_date"), "month").as("month"), countryOrUnknown.as("country"))
       .agg(round(sum("totalamount"), 2).as("revenue"))
 
+  /** Beyond-parity A12: multi-dimensional rollup via CUBE(year, country) —
+    * subtotals at every grouping level in one pass (the reference mentions
+    * the concept; Spark's `.cube` provides it natively). */
+  def cubeYearCountry(w: Warehouse): DataFrame =
+    w.factSalesElt
+      .join(w.dimDate.select("date_key", "year"), Seq("date_key"))
+      .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+      .cube(col("year"), coalesce(col("country"), lit("UNKNOWN")).as("country"))
+      .agg(sum("totalamount").cast("decimal(18,2)").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("olap_cube_year_country", (s, dir) => cubeYearCountry(Warehouse(s, dir)), Some(q("""
+      SELECT d.year, coalesce(c.country, 'UNKNOWN') AS country,
+             CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS revenue,
+             count(*) AS n_rows
+      FROM fact_sales_elt f
+      JOIN dim_date d ON f.date_key = d.date_key
+      LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+      GROUP BY CUBE (d.year, coalesce(c.country, 'UNKNOWN'))"""))),
     QueryDef("olap_q1_monthly_country", (s, dir) => q1(Warehouse(s, dir)), Some(q("""
       SELECT d.year, d.month, coalesce(c.country, 'UNKNOWN') AS country,
              round(sum(f.totalamount), 2) AS total_revenue,
@@ -180,7 +201,7 @@ object Olap extends QueryRegistry {
 
     QueryDef("olap_q5_price_vs_revenue", (s, dir) => q5(Warehouse(s, dir)), Some(q("""
       SELECT p.stockcode, p.description,
-             CAST(round(CAST(sum(f.unitprice) AS DOUBLE) / count(f.unitprice), 2) AS DECIMAL(12,2)) AS avg_unitprice,
+             CAST(round(CAST(sum(f.unitprice) AS DOUBLE) / count(f.unitprice) * 100) / 100 AS DECIMAL(12,2)) AS avg_unitprice,
              round(sum(f.totalamount), 2) AS total_revenue,
              CAST(sum(f.quantity) AS BIGINT) AS total_quantity
       FROM fact_sales_elt f

@@ -56,8 +56,9 @@ package object graft {
   def safeDiv(num: Column, den: Column): Column =
     when(den.isNotNull && den =!= 0, num / den)
 
-  /** round(x, 2) on a double recomputed as an exact DECIMAL(18,2) — the
-    * engine's standard shape for ratio metrics so results hash-match the
-    * DuckDB oracle independent of decimal-division scale rules. */
-  def money2(c: Column): Column = round(c.cast("double"), 2).cast("decimal(18,2)")
+  /** Portable 2dp rounding of a double ratio to an exact DECIMAL(18,2).
+    * Always `round(x*100)/100`, never `round(x, 2)`: the engines implement
+    * scaled rounding differently and diverge by a cent at .005 boundaries. */
+  def money2(c: Column): Column =
+    (round(c.cast("double") * 100) / 100).cast("decimal(18,2)")
 }

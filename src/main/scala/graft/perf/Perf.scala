@@ -122,7 +122,7 @@ object Perf extends QueryRegistry {
     grouped.select(
       col("category"),
       col("rev").cast("decimal(18,2)").as("revenue"),
-      round(col("rev").cast("double") / total.cast("double") * 100, 2)
+      (round(col("rev").cast("double") / total.cast("double") * 100 * 100) / 100)
         .cast("decimal(8,2)").as("share_pct"))
   }
 
@@ -213,7 +213,7 @@ object Perf extends QueryRegistry {
           GROUP BY p.category)
       SELECT category,
              CAST(rev AS DECIMAL(18,2)) AS revenue,
-             CAST(round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE) * 100, 2) AS DECIMAL(8,2)) AS share_pct
+             CAST(round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE) * 100 * 100) / 100 AS DECIMAL(8,2)) AS share_pct
       FROM by_cat"""))),
 
     QueryDef("perf_upsert_products", (s, dir) => upsertProducts(Warehouse(s, dir)), Some(q("""
