@@ -27,12 +27,12 @@ object Dsuite extends QueryRegistry {
 
   /** D2: total revenue. */
   def d2(w: Warehouse): DataFrame =
-    labeled("value", coalesce(sum("totalamount"), lit(0)).cast("decimal(18,2)"), w.factSales, "fact_sales_etl_sum")
-      .union(labeled("value", coalesce(sum("totalamount"), lit(0)).cast("decimal(18,2)"), w.factSalesElt, "fact_sales_elt_sum"))
+    labeled("value", coalesce(sum("totalamount"), lit(0)).cast("decimal(18,2)").cast("double"), w.factSales, "fact_sales_etl_sum")
+      .union(labeled("value", coalesce(sum("totalamount"), lit(0)).cast("decimal(18,2)").cast("double"), w.factSalesElt, "fact_sales_elt_sum"))
 
   // portable rounding: round(x*100)/100, never round(x, 2) (engine-divergent at .005)
   private def avgPrice =
-    (round(sum("unitprice").cast("double") / count(col("unitprice")) * 100) / 100).cast("decimal(12,2)")
+    round(sum("unitprice").cast("double") / count(col("unitprice")) * 100) / 100
 
   /** D3: average unit price. */
   def d3(w: Warehouse): DataFrame =
@@ -58,7 +58,7 @@ object Dsuite extends QueryRegistry {
     fact
       .join(dim.select("customer_key", "country"), Seq("customer_key"))
       .groupBy("country")
-      .agg(round(sum("totalamount"), 2).as("total_revenue"))
+      .agg(sum("totalamount").cast("double").as("total_revenue"))
       .orderBy(col("total_revenue").desc, col("country"))
       .limit(10)
       .select(lit(label).as("pipeline"), col("country"), col("total_revenue"))
@@ -79,10 +79,10 @@ object Dsuite extends QueryRegistry {
       .join(elt, Seq("product_key"), "left")
       .select(
         col("stockcode"),
-        coalesce(col("etl_sum"), lit(0)).cast("decimal(18,2)").as("etl_total"),
-        coalesce(col("elt_sum"), lit(0)).cast("decimal(18,2)").as("elt_total"),
+        coalesce(col("etl_sum"), lit(0)).cast("decimal(18,2)").cast("double").as("etl_total"),
+        coalesce(col("elt_sum"), lit(0)).cast("decimal(18,2)").cast("double").as("elt_total"),
         (coalesce(col("elt_sum"), lit(0)) - coalesce(col("etl_sum"), lit(0)))
-          .cast("decimal(18,2)").as("difference"))
+          .cast("decimal(18,2)").cast("double").as("difference"))
       .orderBy(abs(col("difference")).desc, col("stockcode"))
       .limit(20)
   }
@@ -91,7 +91,7 @@ object Dsuite extends QueryRegistry {
     fact
       .join(dimDate.select("date_key", "full_date"), Seq("date_key"))
       .groupBy("full_date")
-      .agg(sum("totalamount").cast("decimal(18,2)").as("daily_revenue"))
+      .agg(sum("totalamount").cast("double").as("daily_revenue"))
       .select(lit(label).as("pipeline"), col("full_date"), col("daily_revenue"))
 
   /** D9: daily revenue trend, both pipelines. */
@@ -101,7 +101,7 @@ object Dsuite extends QueryRegistry {
   private def summary(fact: DataFrame, label: String): DataFrame =
     fact.agg(
       count(lit(1)).as("total_rows"),
-      round(sum("totalamount"), 2).cast("decimal(18,2)").as("total_revenue"),
+      sum("totalamount").cast("double").as("total_revenue"),
       avgPrice.as("avg_price"),
       count_distinct(col("customer_key")).as("unique_customers"),
       count_distinct(col("product_key")).as("unique_products"))
@@ -113,7 +113,7 @@ object Dsuite extends QueryRegistry {
     summary(w.factSales, "ETL").union(summary(w.factSalesElt, "ELT"))
 
   private val sqlAvgPrice =
-    "CAST(round(CAST(sum(unitprice) AS DOUBLE) / count(unitprice) * 100) / 100 AS DECIMAL(12,2))"
+    "round(CAST(sum(unitprice) AS DOUBLE) / count(unitprice) * 100) / 100"
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_row_counts", (s, dir) => d1(Warehouse(s, dir)), Some(q("""
@@ -122,9 +122,9 @@ object Dsuite extends QueryRegistry {
       SELECT 'fact_sales_elt_count' AS metric, count(*) AS value FROM fact_sales_elt"""))),
 
     QueryDef("d02_total_revenue", (s, dir) => d2(Warehouse(s, dir)), Some(q("""
-      SELECT 'fact_sales_etl_sum' AS metric, CAST(coalesce(sum(totalamount), 0) AS DECIMAL(18,2)) AS value FROM fact_sales
+      SELECT 'fact_sales_etl_sum' AS metric, CAST(CAST(coalesce(sum(totalamount), 0) AS DECIMAL(18,2)) AS DOUBLE) AS value FROM fact_sales
       UNION ALL
-      SELECT 'fact_sales_elt_sum' AS metric, CAST(coalesce(sum(totalamount), 0) AS DECIMAL(18,2)) AS value FROM fact_sales_elt"""))),
+      SELECT 'fact_sales_elt_sum' AS metric, CAST(CAST(coalesce(sum(totalamount), 0) AS DECIMAL(18,2)) AS DOUBLE) AS value FROM fact_sales_elt"""))),
 
     QueryDef("d03_avg_unitprice", (s, dir) => d3(Warehouse(s, dir)), Some(q(s"""
       SELECT 'ETL Avg Unit Price' AS metric, $sqlAvgPrice AS avg_unitprice FROM fact_sales
@@ -147,19 +147,19 @@ object Dsuite extends QueryRegistry {
       SELECT 'ELT Total Quantity' AS metric, CAST(coalesce(sum(quantity), 0) AS BIGINT) AS total_quantity FROM fact_sales_elt"""))),
 
     QueryDef("d07_top10_country_revenue", (s, dir) => d7(Warehouse(s, dir)), Some(q("""
-      (SELECT 'ETL' AS pipeline, c.country, round(sum(f.totalamount), 2) AS total_revenue
+      (SELECT 'ETL' AS pipeline, c.country, CAST(sum(f.totalamount) AS DOUBLE) AS total_revenue
        FROM fact_sales f JOIN dim_customer c ON f.customer_key = c.customer_key
        GROUP BY c.country ORDER BY total_revenue DESC, c.country LIMIT 10)
       UNION ALL
-      (SELECT 'ELT' AS pipeline, c.country, round(sum(f.totalamount), 2) AS total_revenue
+      (SELECT 'ELT' AS pipeline, c.country, CAST(sum(f.totalamount) AS DOUBLE) AS total_revenue
        FROM fact_sales_elt f JOIN dim_customer_elt c ON f.customer_key = c.customer_key
        GROUP BY c.country ORDER BY total_revenue DESC, c.country LIMIT 10)"""))),
 
     QueryDef("d08_product_level_diff", (s, dir) => d8(Warehouse(s, dir)), Some(q("""
       SELECT p.stockcode,
-             CAST(coalesce(etl.etl_sum, 0) AS DECIMAL(18,2)) AS etl_total,
-             CAST(coalesce(elt.elt_sum, 0) AS DECIMAL(18,2)) AS elt_total,
-             CAST(coalesce(elt.elt_sum, 0) - coalesce(etl.etl_sum, 0) AS DECIMAL(18,2)) AS difference
+             CAST(CAST(coalesce(etl.etl_sum, 0) AS DECIMAL(18,2)) AS DOUBLE) AS etl_total,
+             CAST(CAST(coalesce(elt.elt_sum, 0) AS DECIMAL(18,2)) AS DOUBLE) AS elt_total,
+             CAST(CAST(coalesce(elt.elt_sum, 0) - coalesce(etl.etl_sum, 0) AS DECIMAL(18,2)) AS DOUBLE) AS difference
       FROM dim_product p
       LEFT JOIN (SELECT product_key, sum(totalamount) AS etl_sum FROM fact_sales GROUP BY product_key) etl
              ON etl.product_key = p.product_key
@@ -169,24 +169,24 @@ object Dsuite extends QueryRegistry {
       LIMIT 20"""))),
 
     QueryDef("d09_daily_trend", (s, dir) => d9(Warehouse(s, dir)), Some(q("""
-      SELECT 'ETL' AS pipeline, d.full_date, CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS daily_revenue
+      SELECT 'ETL' AS pipeline, d.full_date, CAST(sum(f.totalamount) AS DOUBLE) AS daily_revenue
       FROM fact_sales f JOIN dim_date d ON f.date_key = d.date_key
       GROUP BY d.full_date
       UNION ALL
-      SELECT 'ELT' AS pipeline, d.full_date, CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS daily_revenue
+      SELECT 'ELT' AS pipeline, d.full_date, CAST(sum(f.totalamount) AS DOUBLE) AS daily_revenue
       FROM fact_sales_elt f JOIN dim_date d ON f.date_key = d.date_key
       GROUP BY d.full_date"""))),
 
     QueryDef("d10_summary_kpis", (s, dir) => d10(Warehouse(s, dir)), Some(q(s"""
       SELECT 'ETL' AS pipeline, count(*) AS total_rows,
-             CAST(round(sum(totalamount), 2) AS DECIMAL(18,2)) AS total_revenue,
+             CAST(sum(totalamount) AS DOUBLE) AS total_revenue,
              $sqlAvgPrice AS avg_price,
              count(DISTINCT customer_key) AS unique_customers,
              count(DISTINCT product_key) AS unique_products
       FROM fact_sales
       UNION ALL
       SELECT 'ELT' AS pipeline, count(*) AS total_rows,
-             CAST(round(sum(totalamount), 2) AS DECIMAL(18,2)) AS total_revenue,
+             CAST(sum(totalamount) AS DOUBLE) AS total_revenue,
              $sqlAvgPrice AS avg_price,
              count(DISTINCT customer_key) AS unique_customers,
              count(DISTINCT product_key) AS unique_products

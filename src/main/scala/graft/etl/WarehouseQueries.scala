@@ -50,8 +50,10 @@ object WarehouseQueries extends QueryRegistry {
 
     QueryDef("dim_product",
       (s, d) => Warehouse(s, d).dimProduct
-        .select("stockcode", "description", "unitprice", "category", "brand"),
-      Some(q("SELECT stockcode, description, unitprice, category, brand FROM dim_product"))),
+        .select(col("stockcode"), col("description"),
+          col("unitprice").cast("double").as("unitprice"),
+          col("category"), col("brand")),
+      Some(q("SELECT stockcode, description, CAST(unitprice AS DOUBLE) AS unitprice, category, brand FROM dim_product"))),
 
     QueryDef("dim_date",
       (s, d) => Warehouse(s, d).dimDate,
@@ -59,19 +61,28 @@ object WarehouseQueries extends QueryRegistry {
                  hour, minute, second, weekday, is_weekend, quarter FROM dim_date"""))),
 
     QueryDef("sales_final",
-      (s, d) => Warehouse(s, d).salesFinal,
+      (s, d) => Warehouse(s, d).salesFinal
+        .withColumn("unitprice", col("unitprice").cast("double"))
+        .withColumn("totalamount", col("totalamount").cast("double")),
       Some(q("""SELECT invoiceid, stockcode, customerid, sale_ts, quantity, linenumber,
-                 unitprice, totalamount FROM sales_final"""))),
+                 CAST(unitprice AS DOUBLE) AS unitprice,
+                 CAST(totalamount AS DOUBLE) AS totalamount FROM sales_final"""))),
 
     QueryDef("fact_sales",
       (s, d) => Warehouse(s, d).factSales
-        .drop("product_key", "customer_key"),
-      Some(q("""SELECT date_key, invoiceid, stockcode, customerid, linenumber,
-                 quantity, unitprice, totalamount FROM fact_sales"""))),
+        .drop("product_key", "customer_key")
+        .withColumn("unitprice", col("unitprice").cast("double"))
+        .withColumn("totalamount", col("totalamount").cast("double")),
+      Some(q("""SELECT date_key, invoiceid, stockcode, customerid, linenumber, quantity,
+                 CAST(unitprice AS DOUBLE) AS unitprice,
+                 CAST(totalamount AS DOUBLE) AS totalamount FROM fact_sales"""))),
 
     QueryDef("fact_sales_elt",
       (s, d) => Warehouse(s, d).factSalesElt
-        .drop("product_key", "customer_key"),
-      Some(q("""SELECT date_key, invoiceid, stockcode, customerid, linenumber,
-                 quantity, unitprice, totalamount FROM fact_sales_elt"""))))
+        .drop("product_key", "customer_key")
+        .withColumn("unitprice", col("unitprice").cast("double"))
+        .withColumn("totalamount", col("totalamount").cast("double")),
+      Some(q("""SELECT date_key, invoiceid, stockcode, customerid, linenumber, quantity,
+                 CAST(unitprice AS DOUBLE) AS unitprice,
+                 CAST(totalamount AS DOUBLE) AS totalamount FROM fact_sales_elt"""))))
 }

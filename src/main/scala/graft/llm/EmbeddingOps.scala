@@ -54,7 +54,7 @@ object EmbeddingOps extends QueryRegistry {
       .withColumn("rn", row_number().over(wnd))
       .filter(col("rn") <= 10)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).cast("decimal(10,6)").as("cosine"))
+        round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
   }
 
   /** Deterministic pseudo-random hyperplane component (identical arithmetic
@@ -96,7 +96,7 @@ object EmbeddingOps extends QueryRegistry {
       .withColumn("rn", row_number().over(wnd))
       .filter(col("rn") <= 5)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).cast("decimal(10,6)").as("cosine"))
+        round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
   }
 
   /** Embedding-cosine near-duplicate detection: candidate pairs from the LSH
@@ -109,7 +109,7 @@ object EmbeddingOps extends QueryRegistry {
     a.join(b, Seq("bucket"))
       .filter(col("keep_id") < col("dup_id"))
       .select(col("keep_id"), col("dup_id"),
-        round(cosine(col("ea"), col("eb")), 6).cast("decimal(10,6)").as("cosine"))
+        round(cosine(col("ea"), col("eb")), 6).cast("decimal(10,6)").cast("double").as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -135,7 +135,7 @@ object EmbeddingOps extends QueryRegistry {
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
         FROM scored)
-      SELECT query_id, neighbor_id, CAST(round(cos, 6) AS DECIMAL(10,6)) AS cosine
+      SELECT query_id, neighbor_id, CAST(CAST(round(cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
       FROM ranked WHERE rn <= 10"""))),
 
     QueryDef("emb_lsh_buckets", (s, d) => lshBuckets(emb(s, d)), Some(oq(s"""
@@ -151,7 +151,7 @@ object EmbeddingOps extends QueryRegistry {
       wb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
       pairs AS (
         SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
-               CAST(round(${sqlCos("a.embedding", "b.embedding")}, 6) AS DECIMAL(10,6)) AS cosine
+               CAST(CAST(round(${sqlCos("a.embedding", "b.embedding")}, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
         FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       SELECT keep_id, dup_id, cosine FROM pairs WHERE cosine >= 0.35"""))),
 
@@ -165,6 +165,6 @@ object EmbeddingOps extends QueryRegistry {
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
         FROM scored)
-      SELECT query_id, neighbor_id, CAST(round(cos, 6) AS DECIMAL(10,6)) AS cosine
+      SELECT query_id, neighbor_id, CAST(CAST(round(cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
       FROM ranked WHERE rn <= 5"""))))
 }

@@ -99,7 +99,7 @@ object IvfAnn {
     scored.withColumn("rn", row_number().over(wnd))
       .filter(col("rn") <= topK)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).cast("decimal(10,6)").as("cosine"))
+        round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
   }
 }
 

@@ -37,7 +37,7 @@ object Measures extends QueryRegistry {
 
   /** §1 Total Revenue. */
   def totalRevenue(w: Warehouse): DataFrame =
-    fact(w).agg(sum("totalamount").cast("decimal(18,2)").as("total_revenue"))
+    fact(w).agg(sum("totalamount").cast("double").as("total_revenue"))
 
   /** §2 Total Orders (distinct invoices). */
   def totalOrders(w: Warehouse): DataFrame =
@@ -81,7 +81,7 @@ object Measures extends QueryRegistry {
       .withColumn("prev", lag(col("rev"), 1).over(wnd))
       .select(
         col("year"),
-        col("rev").cast("decimal(18,2)").as("revenue"),
+        col("rev").cast("double").as("revenue"),
         when(col("prev").isNotNull && col("prev") =!= 0,
           (col("rev").cast("double") - col("prev").cast("double")) / col("prev").cast("double"))
           .as("yoy_growth"))
@@ -98,12 +98,17 @@ object Measures extends QueryRegistry {
       .select(concat(col("country"), lit(" — "),
         format_number(round(col("rev"), 0).cast("long"), 0)).as("top_region"))
 
-  /** §10 Monthly Revenue trend. */
-  def monthlyRevenue(w: Warehouse): DataFrame =
+  /** §10 Monthly Revenue trend. Internal grain stays exact DECIMAL so the
+    * window measures (§12/§13) accumulate without floating error; the
+    * compared output is the final DOUBLE projection (see `moneyOut`). */
+  private def monthlyRevenueDec(w: Warehouse): DataFrame =
     fact(w)
       .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
       .groupBy(trunc(col("full_date"), "month").as("month"))
       .agg(sum("totalamount").cast("decimal(18,2)").as("monthly_revenue"))
+
+  def monthlyRevenue(w: Warehouse): DataFrame =
+    monthlyRevenueDec(w).withColumn("monthly_revenue", col("monthly_revenue").cast("double"))
 
   /** §11 High Value Sales: count of fact rows above 1000 (P10). */
   def highValueSales(w: Warehouse): DataFrame =
@@ -112,24 +117,24 @@ object Measures extends QueryRegistry {
 
   /** §12 Rolling 3-month revenue (W6: range frame on a month index). */
   def rolling3m(w: Warehouse): DataFrame = {
-    val monthly = monthlyRevenue(w)
+    val monthly = monthlyRevenueDec(w)
       .withColumn("month_idx", year(col("month")) * 12 + month(col("month")))
     val wnd = Window.orderBy("month_idx").rangeBetween(-2, 0)
     monthly
       .select(
         col("month"),
-        col("monthly_revenue"),
-        sum("monthly_revenue").over(wnd).cast("decimal(18,2)").as("rolling_3m_revenue"))
+        col("monthly_revenue").cast("double").as("monthly_revenue"),
+        sum("monthly_revenue").over(wnd).cast("decimal(18,2)").cast("double").as("rolling_3m_revenue"))
   }
 
   /** §13 Cumulative revenue (W5: running total over months). */
   def cumulative(w: Warehouse): DataFrame = {
     val wnd = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    monthlyRevenue(w)
+    monthlyRevenueDec(w)
       .select(
         col("month"),
-        col("monthly_revenue"),
-        sum("monthly_revenue").over(wnd).cast("decimal(18,2)").as("cumulative_revenue"))
+        col("monthly_revenue").cast("double").as("monthly_revenue"),
+        sum("monthly_revenue").over(wnd).cast("decimal(18,2)").cast("double").as("cumulative_revenue"))
   }
 
   /** A3 scale path: HyperLogLog distinct counts for the cardinality KPIs —
@@ -150,7 +155,7 @@ object Measures extends QueryRegistry {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_total_revenue", (s, d) => totalRevenue(Warehouse(s, d)), Some(q(
-      "SELECT CAST(sum(totalamount) AS DECIMAL(18,2)) AS total_revenue FROM fact_sales_elt"))),
+      "SELECT CAST(sum(totalamount) AS DOUBLE) AS total_revenue FROM fact_sales_elt"))),
 
     QueryDef("m02_total_orders", (s, d) => totalOrders(Warehouse(s, d)), Some(q(
       "SELECT count(DISTINCT invoiceid) AS total_orders FROM fact_sales_elt"))),
@@ -177,7 +182,7 @@ object Measures extends QueryRegistry {
           FROM fact_sales_elt f JOIN dim_date d ON f.date_key = d.date_key
           GROUP BY d.year)
       SELECT year,
-             CAST(rev AS DECIMAL(18,2)) AS revenue,
+             CAST(rev AS DOUBLE) AS revenue,
              CASE WHEN lag(rev) OVER (ORDER BY year) IS NOT NULL
                    AND lag(rev) OVER (ORDER BY year) <> 0
                   THEN (CAST(rev AS DOUBLE) - CAST(lag(rev) OVER (ORDER BY year) AS DOUBLE))
@@ -198,7 +203,7 @@ object Measures extends QueryRegistry {
 
     QueryDef("m10_monthly_revenue", (s, d) => monthlyRevenue(Warehouse(s, d)), Some(q("""
       SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
-             CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS monthly_revenue
+             CAST(sum(f.totalamount) AS DOUBLE) AS monthly_revenue
       FROM fact_sales_elt f JOIN dim_date d ON f.date_key = d.date_key
       GROUP BY 1"""))),
 
@@ -213,9 +218,9 @@ object Measures extends QueryRegistry {
           FROM fact_sales_elt f JOIN dim_date d ON f.date_key = d.date_key
           GROUP BY 1, 2)
       SELECT month,
-             CAST(rev AS DECIMAL(18,2)) AS monthly_revenue,
-             CAST(sum(rev) OVER (ORDER BY month_idx RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
-                  AS DECIMAL(18,2)) AS rolling_3m_revenue
+             CAST(rev AS DOUBLE) AS monthly_revenue,
+             CAST(CAST(sum(rev) OVER (ORDER BY month_idx RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(18,2)) AS DOUBLE) AS rolling_3m_revenue
       FROM monthly"""))),
 
     QueryDef("m13_cumulative_revenue", (s, d) => cumulative(Warehouse(s, d)), Some(q("""
@@ -225,9 +230,9 @@ object Measures extends QueryRegistry {
           FROM fact_sales_elt f JOIN dim_date d ON f.date_key = d.date_key
           GROUP BY 1)
       SELECT month,
-             CAST(rev AS DECIMAL(18,2)) AS monthly_revenue,
-             CAST(sum(rev) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS DECIMAL(18,2)) AS cumulative_revenue
+             CAST(rev AS DOUBLE) AS monthly_revenue,
+             CAST(CAST(sum(rev) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(18,2)) AS DOUBLE) AS cumulative_revenue
       FROM monthly"""))),
 
     QueryDef("m14_avg_order_size", (s, d) => avgOrderSize(Warehouse(s, d)), Some(q("""

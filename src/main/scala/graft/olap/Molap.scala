@@ -35,7 +35,7 @@ object Molap extends QueryRegistry {
       .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
       .groupBy(col("month"), coalesce(col("country"), lit("UNKNOWN")).as("country"))
       .agg(
-        sum("totalamount").cast("decimal(18,2)").as("total_revenue"),
+        sum("totalamount").cast("double").as("total_revenue"),
         sum("quantity").as("total_quantity"),
         count_distinct(col("invoiceid")).as("order_count"))
 
@@ -46,7 +46,7 @@ object Molap extends QueryRegistry {
       .join(w.dimProduct.select("product_key", "stockcode", "description"), Seq("product_key"))
       .groupBy("month", "stockcode", "description")
       .agg(
-        sum("totalamount").cast("decimal(18,2)").as("revenue"),
+        sum("totalamount").cast("double").as("revenue"),
         sum("quantity").as("total_qty"),
         (sum("unitprice").cast("double") / count(col("unitprice"))).as("avg_unitprice"))
 
@@ -57,7 +57,7 @@ object Molap extends QueryRegistry {
       .join(w.dimCustomerElt.select("customer_key", "customerid"), Seq("customer_key"))
       .groupBy("month", "customerid")
       .agg(
-        sum("totalamount").cast("decimal(18,2)").as("revenue"),
+        sum("totalamount").cast("double").as("revenue"),
         count_distinct(col("invoiceid")).as("orders"),
         sum("quantity").as("total_quantity"))
 
@@ -70,7 +70,7 @@ object Molap extends QueryRegistry {
       .filter(col("full_date") >= lit(minD))
       .join(w.dimProduct.select("product_key", "stockcode", "description"), Seq("product_key"))
       .groupBy("stockcode", "description")
-      .agg(round(sum("totalamount"), 2).as("revenue"), sum("quantity").as("qty_sold"))
+      .agg(sum("totalamount").cast("double").as("revenue"), sum("quantity").as("qty_sold"))
       .orderBy(col("revenue").desc, col("stockcode"))
       .limit(10)
   }
@@ -82,7 +82,7 @@ object Molap extends QueryRegistry {
       .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
       .filter(col("full_date") >= lit(java.sql.Date.valueOf(maxD.minusDays(90))))
       .groupBy("full_date")
-      .agg(round(sum("totalamount"), 2).as("daily_revenue"))
+      .agg(sum("totalamount").cast("double").as("daily_revenue"))
       .orderBy("full_date")
       .limit(30)
   }
@@ -102,11 +102,11 @@ object Molap extends QueryRegistry {
       .groupBy("signup_month")
       .agg(
         sum(when(col("sale_month") === col("signup_month"), col("revenue")).otherwise(lit(0)))
-          .cast("decimal(18,2)").as("month0_revenue"),
+          .cast("decimal(18,2)").cast("double").as("month0_revenue"),
         sum(when(col("sale_month") === add_months(col("signup_month"), 1), col("revenue")).otherwise(lit(0)))
-          .cast("decimal(18,2)").as("month1_revenue"),
+          .cast("decimal(18,2)").cast("double").as("month1_revenue"),
         sum(when(col("sale_month") === add_months(col("signup_month"), 2), col("revenue")).otherwise(lit(0)))
-          .cast("decimal(18,2)").as("month2_revenue"))
+          .cast("decimal(18,2)").cast("double").as("month2_revenue"))
       .orderBy(col("signup_month").desc)
       .limit(12)
   }
@@ -124,9 +124,9 @@ object Molap extends QueryRegistry {
     olap.join(molap, Seq("month", "country"), "left")
       .select(
         col("month"), col("country"),
-        round(col("revenue"), 2).cast("decimal(18,2)").as("olap_revenue"),
-        round(coalesce(col("total_revenue"), lit(0)), 2).cast("decimal(18,2)").as("molap_revenue"),
-        round(coalesce(col("total_revenue"), lit(0)) - col("revenue"), 2).cast("decimal(18,2)").as("diff"))
+        round(col("revenue"), 2).cast("decimal(18,2)").cast("double").as("olap_revenue"),
+        round(coalesce(col("total_revenue"), lit(0)), 2).cast("decimal(18,2)").cast("double").as("molap_revenue"),
+        round(coalesce(col("total_revenue"), lit(0)) - col("revenue"), 2).cast("decimal(18,2)").cast("double").as("diff"))
       .orderBy(col("month").desc, col("country"))
       .limit(20)
   }
@@ -135,7 +135,7 @@ object Molap extends QueryRegistry {
     QueryDef("molap_month_country", (s, dir) => monthCountry(Warehouse(s, dir)), Some(q("""
       SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
              coalesce(c.country, 'UNKNOWN') AS country,
-             CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS total_revenue,
+             CAST(sum(f.totalamount) AS DOUBLE) AS total_revenue,
              CAST(sum(f.quantity) AS BIGINT) AS total_quantity,
              count(DISTINCT f.invoiceid) AS order_count
       FROM fact_sales_elt f
@@ -146,7 +146,7 @@ object Molap extends QueryRegistry {
     QueryDef("molap_month_product", (s, dir) => monthProduct(Warehouse(s, dir)), Some(q("""
       SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
              p.stockcode, p.description,
-             CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS revenue,
+             CAST(sum(f.totalamount) AS DOUBLE) AS revenue,
              CAST(sum(f.quantity) AS BIGINT) AS total_qty,
              CAST(sum(f.unitprice) AS DOUBLE) / count(f.unitprice) AS avg_unitprice
       FROM fact_sales_elt f
@@ -157,7 +157,7 @@ object Molap extends QueryRegistry {
     QueryDef("molap_customer_month", (s, dir) => customerMonth(Warehouse(s, dir)), Some(q("""
       SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
              c.customerid,
-             CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS revenue,
+             CAST(sum(f.totalamount) AS DOUBLE) AS revenue,
              count(DISTINCT f.invoiceid) AS orders,
              CAST(sum(f.quantity) AS BIGINT) AS total_quantity
       FROM fact_sales_elt f
@@ -167,7 +167,7 @@ object Molap extends QueryRegistry {
 
     QueryDef("molap_q4_top10_last3m", (s, dir) => top10Last3m(Warehouse(s, dir)), Some(q("""
       SELECT p.stockcode, p.description,
-             round(sum(f.totalamount), 2) AS revenue,
+             CAST(sum(f.totalamount) AS DOUBLE) AS revenue,
              CAST(sum(f.quantity) AS BIGINT) AS qty_sold
       FROM fact_sales_elt f
       JOIN dim_date d ON f.date_key = d.date_key
@@ -178,7 +178,7 @@ object Molap extends QueryRegistry {
       LIMIT 10"""))),
 
     QueryDef("molap_q5_daily_90d_top30", (s, dir) => daily90(Warehouse(s, dir)), Some(q("""
-      SELECT d.full_date, round(sum(f.totalamount), 2) AS daily_revenue
+      SELECT d.full_date, CAST(sum(f.totalamount) AS DOUBLE) AS daily_revenue
       FROM fact_sales_elt f
       JOIN dim_date d ON f.date_key = d.date_key
       WHERE d.full_date >= ((SELECT max(full_date) FROM dim_date) - INTERVAL '90 days')
@@ -198,9 +198,9 @@ object Molap extends QueryRegistry {
           JOIN dim_customer_elt c ON f.customer_key = c.customer_key
           GROUP BY 1, 2)
       SELECT s.signup_month,
-             CAST(sum(CASE WHEN r.sale_month = s.signup_month THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS month0_revenue,
-             CAST(sum(CASE WHEN r.sale_month = s.signup_month + INTERVAL '1 month' THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS month1_revenue,
-             CAST(sum(CASE WHEN r.sale_month = s.signup_month + INTERVAL '2 month' THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS month2_revenue
+             CAST(CAST(sum(CASE WHEN r.sale_month = s.signup_month THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS month0_revenue,
+             CAST(CAST(sum(CASE WHEN r.sale_month = s.signup_month + INTERVAL '1 month' THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS month1_revenue,
+             CAST(CAST(sum(CASE WHEN r.sale_month = s.signup_month + INTERVAL '2 month' THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS month2_revenue
       FROM customer_signup s
       LEFT JOIN customer_revenue r ON r.customer_key = s.customer_key
       GROUP BY s.signup_month
@@ -225,9 +225,9 @@ object Molap extends QueryRegistry {
           LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
           GROUP BY 1, 2)
       SELECT olap.month, olap.country,
-             CAST(round(olap.revenue, 2) AS DECIMAL(18,2)) AS olap_revenue,
-             CAST(round(coalesce(m.total_revenue, 0), 2) AS DECIMAL(18,2)) AS molap_revenue,
-             CAST(round(coalesce(m.total_revenue, 0) - olap.revenue, 2) AS DECIMAL(18,2)) AS diff
+             CAST(CAST(round(olap.revenue, 2) AS DECIMAL(18,2)) AS DOUBLE) AS olap_revenue,
+             CAST(CAST(round(coalesce(m.total_revenue, 0), 2) AS DECIMAL(18,2)) AS DOUBLE) AS molap_revenue,
+             CAST(CAST(round(coalesce(m.total_revenue, 0) - olap.revenue, 2) AS DECIMAL(18,2)) AS DOUBLE) AS diff
       FROM olap
       LEFT JOIN molap_mc m ON m.month = olap.month AND m.country = olap.country
       ORDER BY olap.month DESC, olap.country

@@ -41,7 +41,7 @@ object Olap extends QueryRegistry {
       .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
       .groupBy(col("year"), col("month"), countryOrUnknown.as("country"))
       .agg(
-        round(sum("totalamount"), 2).as("total_revenue"),
+        sum("totalamount").cast("double").as("total_revenue"),
         sum("quantity").as("total_quantity"))
 
   /** Q2: top-10 products by revenue over the last 3 months. */
@@ -52,7 +52,7 @@ object Olap extends QueryRegistry {
       .filter(col("full_date").between(d(maxD.minusMonths(3)), d(maxD)))
       .join(w.dimProduct.select("product_key", "stockcode", "description"), Seq("product_key"))
       .groupBy("stockcode", "description")
-      .agg(round(sum("totalamount"), 2).as("revenue"), sum("quantity").as("qty_sold"))
+      .agg(sum("totalamount").cast("double").as("revenue"), sum("quantity").as("qty_sold"))
       .orderBy(col("revenue").desc, col("stockcode"))
       .limit(10)
   }
@@ -74,7 +74,7 @@ object Olap extends QueryRegistry {
       .join(perCustomer, Seq("customer_key"), "left")
       .select(
         col("customerid"), col("customername"),
-        coalesce(col("rev"), lit(0)).cast("decimal(18,2)").as("lifetime_revenue"),
+        coalesce(col("rev"), lit(0)).cast("decimal(18,2)").cast("double").as("lifetime_revenue"),
         col("last_purchase_date"),
         coalesce(col("orders"), lit(0L)).as("order_count"))
   }
@@ -86,7 +86,7 @@ object Olap extends QueryRegistry {
       .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
       .filter(col("full_date").between(d(maxD.minusDays(90)), d(maxD)))
       .groupBy("full_date")
-      .agg(round(sum("totalamount"), 2).as("daily_revenue"))
+      .agg(sum("totalamount").cast("double").as("daily_revenue"))
   }
 
   /** Q5: product price vs revenue. AVG is exact-decimal SUM / COUNT in
@@ -99,8 +99,8 @@ object Olap extends QueryRegistry {
       .groupBy("stockcode", "description")
       .agg(
         (round(sum("unitprice").cast("double") / count(col("unitprice")) * 100) / 100)
-          .cast("decimal(12,2)").as("avg_unitprice"),
-        round(sum("totalamount"), 2).as("total_revenue"),
+          .as("avg_unitprice"),
+        sum("totalamount").cast("double").as("total_revenue"),
         sum("quantity").as("total_quantity"))
 
   /** Q6: cohort — signup month vs first-3-months revenue (non-equi theta join
@@ -122,11 +122,11 @@ object Olap extends QueryRegistry {
       .groupBy("signup_month")
       .agg(
         sum(when(col("sale_month") === col("signup_month"), col("revenue")).otherwise(lit(0)))
-          .cast("decimal(18,2)").as("month0_revenue"),
+          .cast("decimal(18,2)").cast("double").as("month0_revenue"),
         sum(when(col("sale_month") === add_months(col("signup_month"), 1), col("revenue")).otherwise(lit(0)))
-          .cast("decimal(18,2)").as("month1_revenue"),
+          .cast("decimal(18,2)").cast("double").as("month1_revenue"),
         sum(when(col("sale_month") === add_months(col("signup_month"), 2), col("revenue")).otherwise(lit(0)))
-          .cast("decimal(18,2)").as("month2_revenue"))
+          .cast("decimal(18,2)").cast("double").as("month2_revenue"))
   }
 
   /** Q7: monthly revenue by country verification frame. */
@@ -135,7 +135,7 @@ object Olap extends QueryRegistry {
       .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
       .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
       .groupBy(trunc(col("full_date"), "month").as("month"), countryOrUnknown.as("country"))
-      .agg(round(sum("totalamount"), 2).as("revenue"))
+      .agg(sum("totalamount").cast("double").as("revenue"))
 
   /** Beyond-parity A12: multi-dimensional rollup via CUBE(year, country) —
     * subtotals at every grouping level in one pass (the reference mentions
@@ -145,13 +145,13 @@ object Olap extends QueryRegistry {
       .join(w.dimDate.select("date_key", "year"), Seq("date_key"))
       .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
       .cube(col("year"), coalesce(col("country"), lit("UNKNOWN")).as("country"))
-      .agg(sum("totalamount").cast("decimal(18,2)").as("revenue"),
+      .agg(sum("totalamount").cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("olap_cube_year_country", (s, dir) => cubeYearCountry(Warehouse(s, dir)), Some(q("""
       SELECT d.year, coalesce(c.country, 'UNKNOWN') AS country,
-             CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS revenue,
+             CAST(sum(f.totalamount) AS DOUBLE) AS revenue,
              count(*) AS n_rows
       FROM fact_sales_elt f
       JOIN dim_date d ON f.date_key = d.date_key
@@ -159,7 +159,7 @@ object Olap extends QueryRegistry {
       GROUP BY CUBE (d.year, coalesce(c.country, 'UNKNOWN'))"""))),
     QueryDef("olap_q1_monthly_country", (s, dir) => q1(Warehouse(s, dir)), Some(q("""
       SELECT d.year, d.month, coalesce(c.country, 'UNKNOWN') AS country,
-             round(sum(f.totalamount), 2) AS total_revenue,
+             CAST(sum(f.totalamount) AS DOUBLE) AS total_revenue,
              CAST(sum(f.quantity) AS BIGINT) AS total_quantity
       FROM fact_sales_elt f
       JOIN dim_date d ON f.date_key = d.date_key
@@ -170,7 +170,7 @@ object Olap extends QueryRegistry {
       , l3 AS (SELECT max(full_date) AS max_date, max(full_date) - INTERVAL '3 months' AS min_date
                FROM dim_date)
       SELECT p.stockcode, p.description,
-             round(sum(f.totalamount), 2) AS revenue,
+             CAST(sum(f.totalamount) AS DOUBLE) AS revenue,
              CAST(sum(f.quantity) AS BIGINT) AS qty_sold
       FROM fact_sales_elt f
       JOIN dim_date d ON f.date_key = d.date_key
@@ -182,7 +182,7 @@ object Olap extends QueryRegistry {
 
     QueryDef("olap_q3_cltv", (s, dir) => q3(Warehouse(s, dir)), Some(q("""
       SELECT c.customerid, c.customername,
-             CAST(coalesce(sum(f.totalamount), 0) AS DECIMAL(18,2)) AS lifetime_revenue,
+             CAST(CAST(coalesce(sum(f.totalamount), 0) AS DECIMAL(18,2)) AS DOUBLE) AS lifetime_revenue,
              max(d.full_date) AS last_purchase_date,
              count(DISTINCT f.invoiceid) AS order_count
       FROM dim_customer_elt c
@@ -193,7 +193,7 @@ object Olap extends QueryRegistry {
     QueryDef("olap_q4_daily_90d", (s, dir) => q4(Warehouse(s, dir)), Some(q("""
       , l90 AS (SELECT max(full_date) AS max_date, max(full_date) - INTERVAL '90 days' AS min_date
                 FROM dim_date)
-      SELECT d.full_date, round(sum(f.totalamount), 2) AS daily_revenue
+      SELECT d.full_date, CAST(sum(f.totalamount) AS DOUBLE) AS daily_revenue
       FROM fact_sales_elt f
       JOIN dim_date d ON f.date_key = d.date_key
       JOIN l90 r ON d.full_date BETWEEN r.min_date AND r.max_date
@@ -201,8 +201,8 @@ object Olap extends QueryRegistry {
 
     QueryDef("olap_q5_price_vs_revenue", (s, dir) => q5(Warehouse(s, dir)), Some(q("""
       SELECT p.stockcode, p.description,
-             CAST(round(CAST(sum(f.unitprice) AS DOUBLE) / count(f.unitprice) * 100) / 100 AS DECIMAL(12,2)) AS avg_unitprice,
-             round(sum(f.totalamount), 2) AS total_revenue,
+             round(CAST(sum(f.unitprice) AS DOUBLE) / count(f.unitprice) * 100) / 100 AS avg_unitprice,
+             CAST(sum(f.totalamount) AS DOUBLE) AS total_revenue,
              CAST(sum(f.quantity) AS BIGINT) AS total_quantity
       FROM fact_sales_elt f
       JOIN dim_product p ON f.product_key = p.product_key
@@ -219,9 +219,9 @@ object Olap extends QueryRegistry {
           JOIN dim_date d ON f.date_key = d.date_key
           GROUP BY 1, 2)
       SELECT s.signup_month,
-             CAST(sum(CASE WHEN r.sale_month = s.signup_month THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS month0_revenue,
-             CAST(sum(CASE WHEN r.sale_month = s.signup_month + INTERVAL '1 month' THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS month1_revenue,
-             CAST(sum(CASE WHEN r.sale_month = s.signup_month + INTERVAL '2 month' THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS month2_revenue
+             CAST(CAST(sum(CASE WHEN r.sale_month = s.signup_month THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS month0_revenue,
+             CAST(CAST(sum(CASE WHEN r.sale_month = s.signup_month + INTERVAL '1 month' THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS month1_revenue,
+             CAST(CAST(sum(CASE WHEN r.sale_month = s.signup_month + INTERVAL '2 month' THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS month2_revenue
       FROM customer_signup s
       LEFT JOIN customer_revenue r
              ON r.customer_key = s.customer_key
@@ -232,7 +232,7 @@ object Olap extends QueryRegistry {
     QueryDef("olap_q7_monthly_verification", (s, dir) => q7(Warehouse(s, dir)), Some(q("""
       SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
              coalesce(c.country, 'UNKNOWN') AS country,
-             round(sum(f.totalamount), 2) AS revenue
+             CAST(sum(f.totalamount) AS DOUBLE) AS revenue
       FROM fact_sales_elt f
       JOIN dim_date d ON f.date_key = d.date_key
       LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key

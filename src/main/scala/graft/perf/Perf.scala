@@ -36,7 +36,7 @@ object Perf extends QueryRegistry {
       .join(h(w.dimProduct.select("product_key", "stockcode")), Seq("product_key"))
       .join(h(w.dimCustomerElt.select("customer_key")), Seq("customer_key"))
       .groupBy("stockcode")
-      .agg(sum("totalamount").cast("decimal(18,2)").as("revenue"))
+      .agg(sum("totalamount").cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("stockcode"))
       .limit(50)
   }
@@ -57,7 +57,7 @@ object Perf extends QueryRegistry {
       .join(h(w.dimProduct.select("product_key", "stockcode")), Seq("product_key"))
       .join(h(w.dimCustomerElt.select("customer_key")), Seq("customer_key"))
       .groupBy("stockcode")
-      .agg(sum("totalamount").cast("decimal(18,2)").as("revenue"))
+      .agg(sum("totalamount").cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("stockcode"))
       .limit(50)
   }
@@ -72,7 +72,7 @@ object Perf extends QueryRegistry {
       .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
       .groupBy(trunc(col("full_date"), "month").as("month"),
         coalesce(col("country"), lit("UNKNOWN")).as("country"))
-      .agg(sum("totalamount").cast("decimal(18,2)").as("revenue"))
+      .agg(sum("totalamount").cast("double").as("revenue"))
   }
 
   /** OLTP point lookup (P8 + J10 scalar subquery): all fact rows of one
@@ -82,8 +82,8 @@ object Perf extends QueryRegistry {
     w.factSalesElt
       .filter(col("invoiceid") === lit(inv))
       .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"), "left")
-      .select("invoiceid", "stockcode", "customerid", "linenumber", "quantity",
-        "totalamount", "full_date")
+      .select(col("invoiceid"), col("stockcode"), col("customerid"), col("linenumber"),
+        col("quantity"), col("totalamount").cast("double").as("totalamount"), col("full_date"))
   }
 
   /** DSS-vs-OLTP comparison (reference query 6): full-scan revenue vs a
@@ -91,12 +91,12 @@ object Perf extends QueryRegistry {
   def dssVsOltp(w: Warehouse): DataFrame = {
     val dss = w.factSalesElt.select("date_key", "totalamount")
       .join(w.dimDate.select("date_key"), Seq("date_key"))
-      .agg(sum("totalamount").cast("decimal(18,2)").as("revenue"))
+      .agg(sum("totalamount").cast("double").as("revenue"))
       .select(lit("DSS").as("query_type"), col("revenue"))
     val ids = w.factSalesElt.select("invoiceid").distinct().orderBy("invoiceid").limit(1000)
     val oltp = w.factSalesElt
       .join(ids, Seq("invoiceid"), "left_semi")
-      .agg(sum("totalamount").cast("decimal(18,2)").as("revenue"))
+      .agg(sum("totalamount").cast("double").as("revenue"))
       .select(lit("OLTP").as("query_type"), col("revenue"))
     dss.union(oltp)
   }
@@ -107,7 +107,8 @@ object Perf extends QueryRegistry {
     val hot = w.dimProduct.select("product_key", "stockcode", "unitprice")
     val cold = w.dimProduct.select("product_key", "description", "category", "brand")
     hot.join(cold, Seq("product_key"))
-      .select("stockcode", "unitprice", "description", "category", "brand")
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("description"), col("category"), col("brand"))
   }
 
   /** A10/W4: category revenue share-of-total (grand-total window over the
@@ -121,9 +122,9 @@ object Perf extends QueryRegistry {
     val total = sum(col("rev")).over(Window.partitionBy())
     grouped.select(
       col("category"),
-      col("rev").cast("decimal(18,2)").as("revenue"),
+      col("rev").cast("double").as("revenue"),
       (round(col("rev").cast("double") / total.cast("double") * 100 * 100) / 100)
-        .cast("decimal(8,2)").as("share_pct"))
+        .as("share_pct"))
   }
 
   /** S6: upsert (ON CONFLICT DO UPDATE) as full-outer read-modify-write —
@@ -138,7 +139,7 @@ object Perf extends QueryRegistry {
       .select(
         coalesce(col("i.stockcode"), col("e.stockcode")).as("stockcode"),
         coalesce(col("i.description"), col("e.description")).as("description"),
-        coalesce(col("i.unitprice"), col("e.unitprice")).as("unitprice"),
+        coalesce(col("i.unitprice"), col("e.unitprice")).cast("double").as("unitprice"),
         coalesce(col("i.category"), col("e.category")).as("category"),
         coalesce(col("i.brand"), col("e.brand")).as("brand"))
   }
@@ -167,7 +168,7 @@ object Perf extends QueryRegistry {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("perf_star_join_top50", (s, dir) => starJoinTop50(Warehouse(s, dir)), Some(q(s"""
       $w12
-      SELECT p.stockcode, CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS revenue
+      SELECT p.stockcode, CAST(sum(f.totalamount) AS DOUBLE) AS revenue
       FROM fact_sales_elt f
       JOIN dim_date d ON f.date_key = d.date_key
       JOIN dim_product p ON f.product_key = p.product_key
@@ -181,7 +182,7 @@ object Perf extends QueryRegistry {
       $w12
       SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
              coalesce(c.country, 'UNKNOWN') AS country,
-             CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS revenue
+             CAST(sum(f.totalamount) AS DOUBLE) AS revenue
       FROM fact_sales_elt f
       JOIN dim_date d ON f.date_key = d.date_key
       LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
@@ -190,21 +191,21 @@ object Perf extends QueryRegistry {
 
     QueryDef("perf_oltp_invoice_lookup", (s, dir) => oltpInvoiceLookup(Warehouse(s, dir)), Some(q("""
       SELECT f.invoiceid, f.stockcode, f.customerid, f.linenumber, f.quantity,
-             f.totalamount, d.full_date
+             CAST(f.totalamount AS DOUBLE) AS totalamount, d.full_date
       FROM fact_sales_elt f
       LEFT JOIN dim_date d ON f.date_key = d.date_key
       WHERE f.invoiceid = (SELECT min(invoiceid) FROM fact_sales_elt)"""))),
 
     QueryDef("perf_dss_vs_oltp", (s, dir) => dssVsOltp(Warehouse(s, dir)), Some(q("""
-      SELECT 'DSS' AS query_type, CAST(sum(f.totalamount) AS DECIMAL(18,2)) AS revenue
+      SELECT 'DSS' AS query_type, CAST(sum(f.totalamount) AS DOUBLE) AS revenue
       FROM fact_sales_elt f JOIN dim_date d ON f.date_key = d.date_key
       UNION ALL
-      SELECT 'OLTP' AS query_type, CAST(sum(totalamount) AS DECIMAL(18,2)) AS revenue
+      SELECT 'OLTP' AS query_type, CAST(sum(totalamount) AS DOUBLE) AS revenue
       FROM fact_sales_elt
       WHERE invoiceid IN (SELECT DISTINCT invoiceid FROM fact_sales_elt ORDER BY invoiceid LIMIT 1000)"""))),
 
     QueryDef("perf_vertical_rejoin", (s, dir) => verticalRejoin(Warehouse(s, dir)), Some(q("""
-      SELECT stockcode, unitprice, description, category, brand FROM dim_product"""))),
+      SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, description, category, brand FROM dim_product"""))),
 
     QueryDef("perf_category_share", (s, dir) => categoryShare(Warehouse(s, dir)), Some(q("""
       , by_cat AS (
@@ -212,8 +213,8 @@ object Perf extends QueryRegistry {
           FROM fact_sales_elt f JOIN dim_product p ON f.product_key = p.product_key
           GROUP BY p.category)
       SELECT category,
-             CAST(rev AS DECIMAL(18,2)) AS revenue,
-             CAST(round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE) * 100 * 100) / 100 AS DECIMAL(8,2)) AS share_pct
+             CAST(rev AS DOUBLE) AS revenue,
+             round(CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE) * 100 * 100) / 100 AS share_pct
       FROM by_cat"""))),
 
     QueryDef("perf_upsert_products", (s, dir) => upsertProducts(Warehouse(s, dir)), Some(q("""
@@ -223,7 +224,7 @@ object Perf extends QueryRegistry {
           FROM dim_product WHERE try_cast(stockcode AS INT) % 10 = 0)
       SELECT coalesce(i.stockcode, e.stockcode) AS stockcode,
              coalesce(i.description, e.description) AS description,
-             coalesce(i.unitprice, e.unitprice) AS unitprice,
+             CAST(coalesce(i.unitprice, e.unitprice) AS DOUBLE) AS unitprice,
              coalesce(i.category, e.category) AS category,
              coalesce(i.brand, e.brand) AS brand
       FROM dim_product e FULL OUTER JOIN incoming i ON e.stockcode = i.stockcode"""))),
@@ -245,10 +246,10 @@ object Perf extends QueryRegistry {
       val w = Warehouse(s, dir)
       w.factSalesElt
         .filter(col("date_key").between(19960101000000L, 19961231235959L))
-        .agg(sum("totalamount").cast("decimal(18,2)").as("revenue"),
+        .agg(sum("totalamount").cast("double").as("revenue"),
           count(lit(1)).as("n_rows"))
     }, Some(q("""
-      SELECT CAST(sum(totalamount) AS DECIMAL(18,2)) AS revenue, count(*) AS n_rows
+      SELECT CAST(sum(totalamount) AS DOUBLE) AS revenue, count(*) AS n_rows
       FROM fact_sales_elt
       WHERE date_key BETWEEN 19960101000000 AND 19961231235959"""))))
 }

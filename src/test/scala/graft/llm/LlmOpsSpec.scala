@@ -64,7 +64,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(buckets(0L) === buckets(100L))
     val top = EmbeddingOps.cosineTop10(emb).collect()
     val self = top.find(r => r.getLong(0) === 100L && r.getLong(1) === 0L).get
-    assert(self.getDecimal(2).doubleValue() === 1.0)
+    assert(self.getDouble(2) === 1.0)
   }
 
   test("embedding near-dup flags identical vectors with cosine 1 and keeps the smaller id") {
@@ -74,14 +74,14 @@ class LlmOpsSpec extends SparkSpec {
       (5L, Array.tabulate(64)(i => ((i * 13) % 9 - 4).toFloat), 1))
       .toDF("vec_id", "embedding", "label")
     val pairs = EmbeddingOps.cosineNearDup(emb, threshold = 0.99)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue()))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.toSeq === Seq((3L, 11L, 1.0)))
   }
 
   test("bucketed ANN pairs share a bucket, score like brute force, and cap at 5 per query") {
     val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
     val ann = EmbeddingOps.annBucketed(emb)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(ann.nonEmpty)
     // ≤5 neighbors per query
     assert(ann.groupBy(_._1).values.forall(_.size <= 5))
@@ -91,7 +91,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(ann.forall { case (q, n, _) => buckets(q) === buckets(n) })
     // ANN cosines agree with the brute-force scorer for the same pairs
     val brute = EmbeddingOps.cosineTop10(emb)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val overlapping = ann.filter { case (q, n, _) => brute.contains((q, n)) }
     assert(overlapping.nonEmpty)
     overlapping.foreach { case (q, n, c) => assert(brute((q, n)) === c, s"($q,$n)") }

