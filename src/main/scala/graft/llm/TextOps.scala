@@ -106,9 +106,21 @@ object TextOps extends QueryRegistry {
     * through two groupBy exchanges and dominated the bench at sf0.1 (69 s);
     * this shape computes the same md5s pipelined inside one scan stage. */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val sigs = docs
+    // Two physical-plan guards that dominate wall-clock (profiled at sf0.1):
+    //  - a single small parquet file scans as ONE partition, which would run
+    //    the whole narrow shingle+md5 pipeline on one core — repartition to
+    //    the cluster's parallelism first (at real scale the source is already
+    //    many-partitioned and this is a near-no-op);
+    //  - the band self-join and the two Jaccard-verify joins would otherwise
+    //    recompute that pipeline once per reference — cache the shingled docs
+    //    so it runs once.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val shingled = docs
+      .repartition(par)
       .select(col("doc_id"), shingleArr.as("shs"))
       .filter(size(col("shs")) > 0) // <3-word docs have no shingles → no signature (matches oracle)
+      .cache()
+    val sigs = shingled
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(NumHashes - 1)), h =>
           array_min(transform(col("shs"), sgl =>
@@ -125,13 +137,50 @@ object TextOps extends QueryRegistry {
     val cand = a.join(b, Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sets = docs.select(col("doc_id"), array_distinct(shingleArr).as("sh"))
+    // candidates always have >=1 shingle, so the cached shingled frame covers them
+    val sets = shingled.select(col("doc_id"), array_distinct(col("shs")).as("sh"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** Near-dup clusters: connected components over the MinHash candidate-pair
+    * graph (exact Jaccard >= `threshold`), via iterative min-label
+    * propagation — the scale-correct CC algorithm: no driver-side graph, each
+    * round is one `groupBy(doc).min(label)` shuffle, converging in
+    * O(component diameter) rounds (near-dup clusters are shallow; the cap is
+    * a safety net, not a truncation — the loop exits on fixpoint).
+    * `cluster_id` = the smallest doc_id in the component, so the output is
+    * engine- and iteration-order-independent. */
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val pairs = minhashPairs(docs).filter(col("jaccard") >= threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val bidir = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    var labels = bidir.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
+    labels.count()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 32) {
+      val viaNeighbor = bidir
+        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+        .select(col("src").as("doc_id"), col("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("doc_id").agg(min("label").as("label")).cache()
+      changed = next
+        .join(labels.select(col("doc_id"), col("label").as("prev")), Seq("doc_id"))
+        .filter(col("label") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    bidir.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
   /** 16-bit SimHash per document from per-word md5 hex digits. */
@@ -230,6 +279,38 @@ object TextOps extends QueryRegistry {
       FROM cand c
       JOIN shingle_sets sa ON sa.doc_id = c.doc_a
       JOIN shingle_sets sb ON sb.doc_id = c.doc_b"""))),
+
+    // Standalone WITH RECURSIVE statement (transitive closure needs the
+    // RECURSIVE keyword, which can't be appended to the shared prelude; the
+    // documents table doesn't need the warehouse CTEs anyway).
+    QueryDef("doc_dedup_clusters", (s, d) => dedupClusters(docs(s, d), 0.6), Some(s"""
+      WITH RECURSIVE $sqlShingles,
+      sigs AS (
+        SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+        FROM shingles, generate_series(0, ${NumHashes - 1}) AS gh(h)
+        GROUP BY doc_id, h),
+      bands AS (
+        SELECT doc_id, CAST(floor(h / $BandSize) AS INT) AS band,
+               md5(string_agg(mh, '|' ORDER BY h)) AS band_key
+        FROM sigs GROUP BY doc_id, CAST(floor(h / $BandSize) AS INT)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN shingle_sets sa ON sa.doc_id = c.doc_a
+        JOIN shingle_sets sb ON sb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT src AS doc_id, src AS label FROM edges
+        UNION
+        SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst)
+      SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id""")),
 
     QueryDef("doc_simhash", (s, d) => simhash(docs(s, d)), Some(oq("""
       , w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -82,6 +82,26 @@ object EventOps extends QueryRegistry {
       .agg(count(lit(1)).as("n_events"), sum("new_s").as("n_sessions"))
   }
 
+  /** As-of join: every event picks up the most recent STRICTLY PRIOR `error`
+    * event of the same user (time-to-last-error). Spark has no native as-of
+    * operator; the scale-correct shape is not a range join (which plans as a
+    * BroadcastNestedLoopJoin) but a single window over the union of both
+    * streams: partition by the join key, order by event time, running
+    * `max(error_ts)` with a `ROWS ... 1 PRECEDING` frame. One shuffle on
+    * `user_id`, linear in events. Timestamps stay ns-integer until the final
+    * projection (micros — exact integer division, never double math). */
+  def asofLastError(events: DataFrame): DataFrame = {
+    val wnd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("err_ts", max(when(col("event_type") === "error", col("ts"))).over(wnd))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz").as("t"),
+        expr("timestamp_micros(err_ts div 1000)").cast("timestamp_ntz").as("last_error_t"),
+        (expr("ts div 1000") - expr("err_ts div 1000")).as("us_since_error"))
+  }
+
   /** Structured Streaming form of [[hourlyAgg]]: file-source stream over a
     * directory of event parquet drops → event-time watermark → tumbling 1h
     * window. Run with `.writeStream.outputMode("complete")` (tests) or
@@ -157,6 +177,19 @@ object EventOps extends QueryRegistry {
              min(value) AS min_value, max(value) AS max_value,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0 AS avg_value
       FROM events GROUP BY event_type"""))),
+
+    QueryDef("events_asof_last_error", (s, d) => asofLastError(events(s, d)), Some(oq("""
+      , w AS (
+          SELECT event_id, user_id, event_type, ts,
+                 max(CASE WHEN event_type = 'error' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS err_ts
+          FROM events)
+      SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS t,
+             CAST(err_ts AS TIMESTAMP) AS last_error_t,
+             epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(err_ts AS TIMESTAMP)) AS us_since_error
+      FROM w"""))),
 
     QueryDef("events_sessions", (s, d) => sessions(events(s, d)), Some(oq("""
       , flagged AS (

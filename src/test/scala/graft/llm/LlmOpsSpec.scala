@@ -26,6 +26,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("dedup clusters: transitive near-dups share one cluster labeled by the min doc_id") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val text2 = "the quick brown fox jumps over the lazy dog again and again more"
+    // 1~2 (identical), 2~3 (one extra word) -> {1,2,3} is one component via
+    // transitivity even if 1~3 alone were below threshold; 4 is unrelated.
+    val out = TextOps.dedupClusters(docsDF(
+      (1L, text), (2L, text), (3L, text2),
+      (4L, "completely different words that share no shingles at all with others one two")),
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out.values.toSet === Set(1L))
+  }
+
   test("simhash is identical for identical docs and 16 bits long") {
     val out = TextOps.simhash(docsDF((1L, "a b c d e f"), (2L, "a b c d e f")))
       .select("simhash16").as[String].collect()

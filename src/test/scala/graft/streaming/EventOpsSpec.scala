@@ -34,6 +34,27 @@ class EventOpsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("as-of join attaches the most recent strictly-prior error per user") {
+    import spark.implicits._
+    // user 1: error@100s, click@200s, error@300s, click@400s; user 2: no errors
+    val ns = (s: Long) => s * 1000000000L
+    val ev = Seq(
+      (1L, ns(100), 1L, "error", 0.0, "{}"),
+      (2L, ns(200), 1L, "click", 0.0, "{}"),
+      (3L, ns(300), 1L, "error", 0.0, "{}"),
+      (4L, ns(400), 1L, "click", 0.0, "{}"),
+      (5L, ns(500), 2L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.asofLastError(ev)
+      .select("event_id", "us_since_error")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out(1L) === -1L)                 // first event: no prior error
+    assert(out(2L) === 100L * 1000000)      // click@200 - error@100
+    assert(out(3L) === 200L * 1000000)      // error@300 sees the @100 one (strictly prior)
+    assert(out(4L) === 100L * 1000000)      // click@400 - error@300
+    assert(out(5L) === -1L)                 // user 2 never errored
+  }
+
   test("stateful streaming sessionizer emits closed sessions across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
