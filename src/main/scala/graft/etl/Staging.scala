@@ -23,10 +23,12 @@ object Staging {
     val n = Sources.table(spark, dir, "nation")
     val base = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
     val k = col("c_custkey")
-    val signup = date_format(
-      date_add(to_date(lit("1994-01-01")), ((k * 37) % 1460).cast("int")), "yyyy-MM-dd")
-    val dupSignup = date_format(
-      date_add(to_date(lit("1994-01-01")), (((k * 37) % 1460) + 30).cast("int")), "yyyy-MM-dd")
+    // DATE cast to string is canonical yyyy-MM-dd — same text as date_format
+    // without a per-row formatter
+    val signup =
+      date_add(to_date(lit("1994-01-01")), ((k * 37) % 1460).cast("int")).cast("string")
+    val dupSignup =
+      date_add(to_date(lit("1994-01-01")), (((k * 37) % 1460) + 30).cast("int")).cast("string")
     val main = base.select(
       when(k % 97 === 0, lit("")).otherwise(k.cast("string")).as("customerid"),
       when(k % 11 === 0, concat(lit("  "), col("c_name"), lit("  ")))
@@ -77,13 +79,22 @@ object Staging {
     val o = Sources.table(spark, dir, "orders")
     val k = col("l_orderkey")
     val priceDec = dec2(col("l_extendedprice") / col("l_quantity"), "decimal(12,2)")
+    // o_orderdate is a midnight TIMESTAMP: its canonical string cast is
+    // already 'yyyy-MM-dd HH:mm:ss' — byte-identical to the date_format
+    // output, without a per-row formatter (a top cost of the staging build)
+    val d = col("o_orderdate")
+    val isoTs = d.cast("string")
+    val dmyTs = concat(
+      lpad(dayofmonth(d).cast("string"), 2, "0"), lit("/"),
+      lpad(month(d).cast("string"), 2, "0"), lit("/"),
+      year(d).cast("string"), lit(" 00:00:00"))
     li.join(o, k === o("o_orderkey")).select(
       when(k % 211 === 0, lit("")).otherwise(k.cast("string")).as("invoiceid"),
       col("l_partkey").cast("string").as("stockcode"),
       col("o_custkey").cast("string").as("customerid"),
       when((k + col("l_linenumber")) % 499 === 0, lit("invalid-ts"))
-        .when(k % 2 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
-        .otherwise(date_format(col("o_orderdate"), "dd/MM/yyyy HH:mm:ss")).as("saledate"),
+        .when(k % 2 === 0, isoTs)
+        .otherwise(dmyTs).as("saledate"),
       col("l_quantity").cast("int").cast("string").as("quantity"),
       when(k % 89 === 0, lit("0"))
         .when(k % 7 === 0, concat(lit("$"), priceDec))

@@ -34,17 +34,31 @@ package object graft {
 
   /** Dual-format timestamp parse: `YYYY-MM-DD HH:MM:SS` then `DD/MM/YYYY
     * HH:MM:SS`, else NULL (reference CASE parser,
-    * `Iteration 1/Group No.6_ETL.sql:161-167`). */
+    * `Iteration 1/Group No.6_ETL.sql:161-167`).
+    *
+    * Dispatches on the separator at position 5 instead of the oracle's
+    * coalesce(try, try): a failed `try_to_timestamp` attempt costs a thrown
+    * exception per row, which dominated the staging parse. Equivalent on any
+    * string either format can parse (an ISO-parseable string always has `-`
+    * at 5, a DD/MM one never does); garbage yields NULL on both paths. */
   def dualTimestamp(c: String): Column = expr(
-    s"coalesce(try_to_timestamp(trim($c), 'yyyy-MM-dd HH:mm:ss'), try_to_timestamp(trim($c), 'dd/MM/yyyy HH:mm:ss'))")
+    s"""CASE WHEN substr(trim($c), 5, 1) = '-'
+             THEN try_to_timestamp(trim($c), 'yyyy-MM-dd HH:mm:ss')
+             ELSE try_to_timestamp(trim($c), 'dd/MM/yyyy HH:mm:ss') END""")
 
   /** Non-empty-string predicate `COALESCE(TRIM(c),'') <> ''` (reference
     * `Iteration 1/Group No.6_ETL.sql:105,129,193-194`). */
   def nonBlank(c: String): Column = coalesce(trim(col(c)), lit("")) =!= ""
 
   /** The reference's smart date key `TO_CHAR(ts,'YYYYMMDDHH24MISS')::BIGINT`
-    * (`Iteration 1/Group No.6_ETL.sql:231`). */
-  def smartDateKey(ts: Column): Column = date_format(ts, "yyyyMMddHHmmss").cast("long")
+    * (`Iteration 1/Group No.6_ETL.sql:231`), computed arithmetically from the
+    * datetime fields — the same BIGINT the format-then-cast round-trip
+    * produces, without a per-row formatter (which was a top cost of the fact
+    * load at sf0.1). NULL ts propagates to a NULL key, as before. */
+  def smartDateKey(ts: Column): Column =
+    (year(ts).cast("long") * 10000000000L + month(ts) * 100000000L +
+      dayofmonth(ts) * 1000000L + hour(ts) * 10000L + minute(ts) * 100L + second(ts))
+      .cast("long")
 
   /** Year component of a smart date key — the fact partitioning column
     * (one definition so every write site shares the scheme; keys are always
