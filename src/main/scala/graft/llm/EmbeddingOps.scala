@@ -32,10 +32,14 @@ object EmbeddingOps extends QueryRegistry {
   def emb(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "embeddings")
 
-  /** Ordered-fold dot product of two float-array columns in double. */
-  def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Ordered left-to-right dot product of two float-array columns in double —
+    * the native codegen'd kernel ([[org.apache.spark.sql.graft.FloatVecDot]]);
+    * bit-identical to the composable HOF formulation
+    * (`aggregate(zip_with(...))`) it replaced, ~the similarity hot path. */
+  def dotd(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{expressions => ge}
+    ge.column(org.apache.spark.sql.graft.FloatVecDot(ge.expression(a), ge.expression(b)))
+  }
 
   def cosine(a: Column, b: Column): Column =
     dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))

@@ -26,6 +26,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("native FloatVecDot is bit-identical to the HOF aggregate/zip_with fold") {
+    val df = Seq(
+      (Array(0.1f, -2.5f, 3.75f), Array(1.5f, 0.25f, -0.125f)),
+      (Array.tabulate(64)(i => (math.sin(i) * 7).toFloat),
+        Array.tabulate(64)(i => (math.cos(i) / 3).toFloat)))
+      .toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(
+      EmbeddingOps.dotd(col("a"), col("b")).as("native"), hof.as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("dedup clusters: transitive near-dups share one cluster labeled by the min doc_id") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val text2 = "the quick brown fox jumps over the lazy dog again and again more"
