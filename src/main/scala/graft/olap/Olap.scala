@@ -148,7 +148,28 @@ object Olap extends QueryRegistry {
       .agg(sum("totalamount").cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
 
+  /** Beyond-parity: the reference's Power BI matrix visual as a true pivot —
+    * revenue by calendar month × year. Explicit pivot values keep it a
+    * single-pass plan (no extra distinct-values job), which is also the
+    * 100 TB-safe form: the column set is fixed, not data-dependent. */
+  def pivotMonthYear(w: Warehouse): DataFrame =
+    w.factSalesElt
+      .join(w.dimDate.select("date_key", "year", "month"), Seq("date_key"))
+      .groupBy(col("month"))
+      .pivot("year", PivotYears.map(y => y: Any))
+      .agg(sum("totalamount").cast("double"))
+
+  private val PivotYears: Seq[Int] = 1992 to 1998
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("olap_pivot_month_year", (s, dir) => pivotMonthYear(Warehouse(s, dir)), Some(q(s"""
+      SELECT d.month,
+             ${PivotYears.map(y =>
+        s"""CAST(sum(CASE WHEN d.year = $y THEN f.totalamount END) AS DOUBLE) AS "$y"""")
+        .mkString(",\n             ")}
+      FROM fact_sales_elt f
+      JOIN dim_date d ON f.date_key = d.date_key
+      GROUP BY d.month"""))),
     QueryDef("olap_cube_year_country", (s, dir) => cubeYearCountry(Warehouse(s, dir)), Some(q("""
       SELECT d.year, coalesce(c.country, 'UNKNOWN') AS country,
              CAST(sum(f.totalamount) AS DOUBLE) AS revenue,
