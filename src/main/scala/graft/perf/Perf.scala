@@ -242,6 +242,23 @@ object Perf extends QueryRegistry {
       SELECT customerid, customername, country, signupdate FROM dim_customer
       ORDER BY customerid LIMIT 5"""))),
 
+    // A7 extension: exact multi-quantile summary of the price distribution —
+    // Spark's exact `percentile` and DuckDB's quantile_cont interpolate
+    // identically in double (the same contract the median fallback relies on).
+    // The scale path swaps in approx_percentile (t-digest) per SURVEY §4.
+    QueryDef("perf_price_quantiles", (s, dir) => {
+      val w = Warehouse(s, dir)
+      w.factSalesElt
+        .agg(expr("percentile(cast(unitprice as double), array(0.25, 0.5, 0.75, 0.95))").as("q"))
+        .select(col("q")(0).as("p25"), col("q")(1).as("p50"),
+          col("q")(2).as("p75"), col("q")(3).as("p95"))
+    }, Some(q("""
+      SELECT quantile_cont(CAST(unitprice AS DOUBLE), 0.25) AS p25,
+             quantile_cont(CAST(unitprice AS DOUBLE), 0.50) AS p50,
+             quantile_cont(CAST(unitprice AS DOUBLE), 0.75) AS p75,
+             quantile_cont(CAST(unitprice AS DOUBLE), 0.95) AS p95
+      FROM fact_sales_elt"""))),
+
     QueryDef("perf_datekey_range_sum", (s, dir) => {
       val w = Warehouse(s, dir)
       w.factSalesElt

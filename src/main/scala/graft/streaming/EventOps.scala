@@ -121,6 +121,22 @@ object EventOps extends QueryRegistry {
         col("n_events"), col("value_cents"))
   }
 
+  /** Streaming exact dedup on event_id: at-least-once sources re-deliver,
+    * and unbounded dedup state would OOM a year-long stream — the watermark
+    * bounds state to the late-arrival window (the training-data ingestion
+    * dedup shape: state scales with the window, not the stream). */
+  def streamingDedup(spark: SparkSession, eventsDir: String,
+      watermark: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .parquet(eventsDir)
+      .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("t"),
+        col("user_id"), col("event_type"), col("value"))
+      .withWatermark("t", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
   final case class SessionEvent(user_id: Long, ts: Long) // ns epoch
   final case class SessionSummary(user_id: Long, start_ts: Long, end_ts: Long, n_events: Long)
   final case class SessState(start: Long, last: Long, n: Long) // public: encoder codegen instantiates it

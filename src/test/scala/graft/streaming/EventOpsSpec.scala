@@ -79,6 +79,25 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup collapses re-delivered files to distinct event_ids") {
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_dedup")
+    // the same parquet delivered twice = an at-least-once redelivery
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dropDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dropDir.resolve("b.parquet"))
+    val q = EventOps.streamingDedup(spark, dropDir.toString)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val deduped = spark.table("dedup_out").count()
+    val distinctIds = EventOps.events(spark, sfDir)
+      .select("event_id").distinct().count()
+    assert(deduped === distinctIds)
+  }
+
   test("sessionization splits on >30min gaps per user") {
     import spark.implicits._
     val ns = 1000000000L
