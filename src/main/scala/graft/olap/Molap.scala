@@ -39,16 +39,20 @@ object Molap extends QueryRegistry {
         sum("quantity").as("total_quantity"),
         count_distinct(col("invoiceid")).as("order_count"))
 
-  /** MOLAP 2: monthly product summary. */
+  /** MOLAP 2: monthly product summary. Aggregates on the narrow surrogate
+    * key first and joins the (stockcode, description) strings onto the
+    * 49k-group result — not through the 600k-row shuffle (q3's shape; the
+    * key ↔ (stockcode, description) mapping is 1:1 so results are equal). */
   def monthProduct(w: Warehouse): DataFrame =
     w.factSalesElt.select("date_key", "product_key", "totalamount", "quantity", "unitprice")
       .join(dateMonth(w), Seq("date_key"))
-      .join(w.dimProduct.select("product_key", "stockcode", "description"), Seq("product_key"))
-      .groupBy("month", "stockcode", "description")
+      .groupBy("month", "product_key")
       .agg(
         sum("totalamount").cast("double").as("revenue"),
         sum("quantity").as("total_qty"),
         (sum("unitprice").cast("double") / count(col("unitprice"))).as("avg_unitprice"))
+      .join(w.dimProduct.select("product_key", "stockcode", "description"), Seq("product_key"))
+      .select("month", "stockcode", "description", "revenue", "total_qty", "avg_unitprice")
 
   /** MOLAP 3: customer monthly revenue (only months with sales). */
   def customerMonth(w: Warehouse): DataFrame =

@@ -95,13 +95,14 @@ object Olap extends QueryRegistry {
     * sf0.1 sweep: 28/20000 rows one cent apart). */
   def q5(w: Warehouse): DataFrame =
     w.factSalesElt.select("product_key", "unitprice", "totalamount", "quantity")
-      .join(w.dimProduct.select("product_key", "stockcode", "description"), Seq("product_key"))
-      .groupBy("stockcode", "description")
+      .groupBy("product_key")
       .agg(
         (round(sum("unitprice").cast("double") / count(col("unitprice")) * 100) / 100)
           .as("avg_unitprice"),
         sum("totalamount").cast("double").as("total_revenue"),
         sum("quantity").as("total_quantity"))
+      .join(w.dimProduct.select("product_key", "stockcode", "description"), Seq("product_key"))
+      .select("stockcode", "description", "avg_unitprice", "total_revenue", "total_quantity")
 
   /** Q6: cohort — signup month vs first-3-months revenue (non-equi theta join
     * J6: equi on customer_key + month-range post-filter). */
