@@ -121,6 +121,20 @@ object EventOps extends QueryRegistry {
         col("n_events"), col("value_cents"))
   }
 
+  /** JSON property extraction (§2.8 JSON surface): parse the `props` JSON
+    * payload with the codegen'd `get_json_object` path and aggregate by a
+    * derived bucket. The oracle extracts the same field with a regex so the
+    * compare does not depend on the oracle engine's JSON extension. */
+  def propsBuckets(events: DataFrame): DataFrame =
+    events
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max("k").as("max_k"),
+        sum(cents).as("value_cents"))
+
   /** Streaming exact dedup on event_id: at-least-once sources re-deliver,
     * and unbounded dedup state would OOM a year-long stream — the watermark
     * bounds state to the late-arrival window (the training-data ingestion
@@ -206,6 +220,14 @@ object EventOps extends QueryRegistry {
              CAST(err_ts AS TIMESTAMP) AS last_error_t,
              epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(err_ts AS TIMESTAMP)) AS us_since_error
       FROM w"""))),
+
+    QueryDef("events_json_props", (s, d) => propsBuckets(events(s, d)), Some(oq("""
+      , parsed AS (
+          SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k, value
+          FROM events)
+      SELECT k % 10 AS k_bucket, count(*) AS n_events, max(k) AS max_k,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM parsed GROUP BY 1"""))),
 
     QueryDef("events_sessions", (s, d) => sessions(events(s, d)), Some(oq("""
       , flagged AS (
