@@ -103,9 +103,41 @@ object IvfAnn {
   }
 }
 
-/** Registry: rows-only checks (no SQL oracle for k-means). */
+/** Registry. The k-means rows stay rows-only (Lloyd iterations are not
+  * reasonably oracle-expressible; IvfAnnSpec covers determinism + recall),
+  * but the seed-quantizer assignment — `train(iters = 0)`, i.e. argmin
+  * squared distance to the k smallest-vec_id embeddings — IS expressible,
+  * so the IVF assignment path gets a real hash-checked row. */
 object IvfAnnQueries extends QueryRegistry {
+
+  private val K = 16
+  private val Dim = 64
+
+  // (x-c)^2 written as a product, not ^: DuckDB's ^ is pow(), which need not
+  // be bit-identical to the multiplication the Scala kernel does
+  private val sqlDiffSq =
+    s"(CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) * " +
+      s"(CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))"
+
+  private val seedOracle = s"""
+      WITH cents AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce
+        FROM embeddings ORDER BY vec_id LIMIT $K),
+      dists AS (
+        SELECT e.vec_id, c.cid,
+               list_sum([$sqlDiffSq FOR i IN generate_series(1, $Dim)]) AS d
+        FROM embeddings e CROSS JOIN cents c),
+      ranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dists)
+      SELECT vec_id, cid AS centroid_id FROM ranked WHERE rn = 1"""
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("emb_ivf_seed_assignments", (s, d) => {
+      val e = EmbeddingOps.emb(s, d)
+      IvfAnn.assignments(e, IvfAnn.train(e, k = K, iters = 0))
+    }, Some(seedOracle)),
     QueryDef("emb_ivf_assignments", (s, d) => {
       val e = EmbeddingOps.emb(s, d)
       IvfAnn.assignments(e, IvfAnn.train(e))
