@@ -183,18 +183,22 @@ object TextOps extends QueryRegistry {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** 16-bit SimHash per document from per-word md5 hex digits. */
-  def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(words).as("w"))
-      .withColumn("j", explode(sequence(lit(1), lit(16))))
-      .withColumn("bit", expr("CASE WHEN instr('89abcdef', substr(md5(w), j, 1)) > 0 THEN 1 ELSE -1 END"))
-      .groupBy("doc_id", "j")
-      .agg(sum("bit").as("s"))
-      .withColumn("b", when(col("s") > 0, lit("1")).otherwise(lit("0")))
-      .groupBy("doc_id")
-      .agg(concat_ws("",
-        transform(array_sort(collect_list(struct(col("j"), col("b")))), x => x.getField("b")))
-        .as("simhash16"))
+  /** 16-bit SimHash per document from per-word md5 hex digits.
+    *
+    * Narrow per-document shape: hash each word once, then fold the hash
+    * array per bit position — same values as the exploded
+    * `(word × bit)`-rows formulation (each bit is an order-free ±1 integer
+    * sum), with zero shuffles and 16× fewer md5 evaluations. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    docs
+      .select(col("doc_id"), transform(words, w => md5(w)).as("hs"))
+      .select(col("doc_id"),
+        concat_ws("", transform(sequence(lit(1), lit(16)), j =>
+          when(aggregate(col("hs"), lit(0),
+            (acc, h) => acc + when(h.substr(j, lit(1)).isin(hexHigh: _*), 1).otherwise(-1)) > 0,
+            lit("1")).otherwise(lit("0")))).as("simhash16"))
+  }
 
   /** Exact 3-gram Jaccard between consecutive doc_ids (a deterministic,
     * linear-cost pairing — the pairwise primitive without the quadratic join). */
