@@ -41,6 +41,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("the native dot-product kernel runs inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
+    val q = emb.select(
+      graft.llm.EmbeddingOps.dotd(col("embedding"), col("embedding")).as("d"))
+    // the composable HOF fold is CodegenFallback; the whole point of
+    // FloatVecDot is that the similarity kernel stays in a codegen stage
+    val hasCodegenStage = q.queryExecution.executedPlan.exists {
+      case w: WholeStageCodegenExec => w.toString.contains("float_vec_dot")
+      case _ => false
+    }
+    assert(hasCodegenStage, q.queryExecution.executedPlan.toString)
+    // and it actually evaluates: self-dot of a unit-ish vector is positive
+    assert(q.head().getDouble(0) > 0.0)
+  }
+
   test("star join broadcasts every dim and aggregates map-side before the shuffle") {
     val df = graft.perf.Perf.starJoinTop50(w)
     df.collect() // executes THIS QueryExecution, so AQE finalizes in place
