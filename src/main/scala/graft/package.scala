@@ -23,9 +23,16 @@ package object graft {
   /** Strip currency symbols / junk and parse to an exact decimal; NULL when
     * nothing numeric remains (reference `REGEXP_REPLACE(x,'[^0-9\.\-]','','g')`
     * + cast, `Iteration 1/Group No.6_ETL.sql:124-127,168-173`). try_cast keeps
-    * the pipeline safe under Spark 4's default ANSI mode. */
+    * the pipeline safe under Spark 4's default ANSI mode.
+    *
+    * The cast tries the trimmed string directly first and only falls back to
+    * the regex strip when that fails — strictly equivalent (a castable string
+    * is untouched by the strip; an uncastable one takes the old path), and it
+    * skips the per-row regex for the clean majority of values. */
   def numClean(c: String, sqlType: String): Column = expr(
-    s"try_cast(nullif(regexp_replace(trim($c), '[^0-9.-]', ''), '') AS $sqlType)")
+    s"""coalesce(
+          try_cast(trim($c) AS $sqlType),
+          try_cast(nullif(regexp_replace(trim($c), '[^0-9.-]', ''), '') AS $sqlType))""")
 
   /** Strict `YYYY-MM-DD` validation then parse, else NULL (reference
     * `Iteration 1/Group No.6_ETL.sql:90-94`). */
