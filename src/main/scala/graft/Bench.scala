@@ -138,16 +138,16 @@ object Bench {
       // Training-data + event-stream operators (no BASELINE rows — recorded
       // to track engine throughput on the non-warehouse surfaces).
       val docs = graft.llm.TextOps.docs(spark, sfDir)
-      time("doc_minhash_near_dup", reps = 1)(graft.llm.TextOps.minhashPairs(docs))
-      time("doc_exact_dedup", reps = 1)(graft.llm.TextOps.exactDedup(docs))
-      time("doc_dedup_clusters", reps = 1)(graft.llm.TextOps.dedupClusters(docs))
-      time("doc_simhash", reps = 1)(graft.llm.TextOps.simhash(docs))
+      time("doc_minhash_near_dup")(graft.llm.TextOps.minhashPairs(docs))
+      time("doc_exact_dedup")(graft.llm.TextOps.exactDedup(docs))
+      time("doc_dedup_clusters")(graft.llm.TextOps.dedupClusters(docs))
+      time("doc_simhash")(graft.llm.TextOps.simhash(docs))
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
-      time("emb_ann_bucketed", reps = 1)(graft.llm.EmbeddingOps.annBucketed(emb))
+      time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       val events = graft.streaming.EventOps.events(spark, sfDir)
-      time("events_sessions", reps = 1)(graft.streaming.EventOps.sessions(events))
-      time("events_asof_last_error", reps = 1)(graft.streaming.EventOps.asofLastError(events))
-      time("olap_pivot_month_year", reps = 1)(graft.olap.Olap.pivotMonthYear(w))
+      time("events_sessions")(graft.streaming.EventOps.sessions(events))
+      time("events_asof_last_error")(graft.streaming.EventOps.asofLastError(events))
+      time("olap_pivot_month_year")(graft.olap.Olap.pivotMonthYear(w))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }

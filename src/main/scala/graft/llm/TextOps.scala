@@ -29,6 +29,16 @@ object TextOps extends QueryRegistry {
   def docs(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "documents")
 
+  /** Spread a narrow-but-CPU-heavy per-document pipeline across the cluster.
+    * A single small parquet file scans as ONE partition, which would run the
+    * whole md5/fold pipeline on one core; only repartition when the source is
+    * actually under-partitioned, so an already-well-partitioned 100 TB input
+    * pays no extra shuffle. */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   private val words = split(col("text"), " ")
 
   /** Exact dedup: group identical texts by digest, keep the smallest doc_id. */
@@ -79,7 +89,7 @@ object TextOps extends QueryRegistry {
   /** Document fingerprinting: digest prefix + an ordered rolling md5 chain
     * over the words (order-sensitive, unlike a bag-of-words digest). */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(
+    spread(docs).select(
       col("doc_id"),
       substring(md5(col("text")), 1, 16).as("fp16"),
       aggregate(words, lit(""), (acc, w) => md5(concat(acc, w))).as("rolling_fp"))
@@ -99,38 +109,35 @@ object TextOps extends QueryRegistry {
     * Pipeline: shingle → k md5-minhashes → band keys → equi-self-join on
     * (band, band_key) → candidate pairs → Jaccard on shingle sets.
     *
-    * The signature stage is a narrow per-document array fold
-    * (`transform` + `array_min` over the shingle array) — semantically the
-    * oracle's `min(md5(h:shingle)) GROUP BY doc, h`, but with zero shuffles:
-    * the explode-to-(shingle × hash)-rows formulation moved ~8× the corpus
-    * through two groupBy exchanges and dominated the bench at sf0.1 (69 s);
-    * this shape computes the same md5s pipelined inside one scan stage. */
+    * The signature stage explodes shingles to rows and takes the k per-hash
+    * minima with a plain `groupBy(doc_id).agg(min(md5(h:shingle)))`: every
+    * md5 is a codegen'd native expression and the aggregate does map-side
+    * partial combine, so the one shuffle moves only k hashes per document.
+    * The earlier array-fold form (`array_min(transform(...))`) avoided the
+    * shuffle but ran every hash through interpreted `CodegenFallback` HOF
+    * eval — ~3× slower end-to-end at sf0.1 despite the extra exchange. */
   def minhashPairs(docs: DataFrame): DataFrame = {
     // Two physical-plan guards that dominate wall-clock (profiled at sf0.1):
-    //  - a single small parquet file scans as ONE partition, which would run
-    //    the whole narrow shingle+md5 pipeline on one core — repartition to
-    //    the cluster's parallelism first (at real scale the source is already
-    //    many-partitioned and this is a near-no-op);
+    //  - the single-file scan must be spread across cores (see `spread`);
     //  - the band self-join and the two Jaccard-verify joins would otherwise
-    //    recompute that pipeline once per reference — cache the shingled docs
-    //    so it runs once.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val shingled = docs
-      .repartition(par)
+    //    recompute the shingle pipeline once per reference — cache the
+    //    shingled docs so it runs once.
+    val shingled = spread(docs)
       .select(col("doc_id"), shingleArr.as("shs"))
       .filter(size(col("shs")) > 0) // <3-word docs have no shingles → no signature (matches oracle)
       .cache()
+    val minCols = (0 until NumHashes).map(h =>
+      min(md5(concat(lit(s"$h:"), col("sgl")))).as(s"mh$h"))
     val sigs = shingled
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(NumHashes - 1)), h =>
-          array_min(transform(col("shs"), sgl =>
-            md5(concat(h.cast("string"), lit(":"), sgl))))).as("mh"))
+      .select(col("doc_id"), explode(col("shs")).as("sgl"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until NumHashes / BandSize).map(b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*))
+          .as("band_key")))
     val bands = sigs
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)), b =>
-          struct(b.cast("int").as("band"),
-            md5(concat_ws("|", slice(col("mh"), b * BandSize + 1, lit(BandSize)))).as("band_key"))))
-          .as("bk"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
@@ -148,39 +155,75 @@ object TextOps extends QueryRegistry {
   }
 
   /** Near-dup clusters: connected components over the MinHash candidate-pair
-    * graph (exact Jaccard >= `threshold`), via iterative min-label
-    * propagation — the scale-correct CC algorithm: no driver-side graph, each
-    * round is one `groupBy(doc).min(label)` shuffle, converging in
-    * O(component diameter) rounds (near-dup clusters are shallow; the cap is
-    * a safety net, not a truncation — the loop exits on fixpoint).
+    * graph (exact Jaccard >= `threshold`).
     * `cluster_id` = the smallest doc_id in the component, so the output is
-    * engine- and iteration-order-independent. */
-  def dedupClusters(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    * engine- and iteration-order-independent.
+    *
+    * Size-gated execution, same logic as a broadcast join: the verified
+    * near-dup edge set is orders of magnitude smaller than the corpus (it is
+    * the *output* of LSH + Jaccard filtering, not the corpus itself), so when
+    * it fits under `broadcastEdgeLimit` the components are solved with a
+    * driver-side union-find in O(E α(E)) — one collect, zero iterative jobs.
+    * Above the limit it falls back to distributed min-label propagation: each
+    * round is one `groupBy(doc).min(label)` shuffle, converging in
+    * O(component diameter) rounds (the cap is a safety net, not a truncation
+    * — the loop exits on fixpoint). */
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.6,
+                    broadcastEdgeLimit: Long = 2000000L): DataFrame = {
+    val spark = docs.sparkSession
     val pairs = minhashPairs(docs).filter(col("jaccard") >= threshold)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val bidir = pairs
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
       .cache()
-    var labels = bidir.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).cache()
-    labels.count()
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 32) {
-      val viaNeighbor = bidir
-        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
-        .select(col("src").as("doc_id"), col("label"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("doc_id").agg(min("label").as("label")).cache()
-      changed = next
-        .join(labels.select(col("doc_id"), col("label").as("prev")), Seq("doc_id"))
-        .filter(col("label") < col("prev")).count()
-      labels.unpersist()
-      labels = next
-      rounds += 1
-    }
-    bidir.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    val edgeCount = pairs.count()
+    val out =
+      if (edgeCount <= broadcastEdgeLimit) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        pairs.collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          // always attach the larger root under the smaller, so every final
+          // root is the component minimum — the cluster_id contract for free
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        val rows = parent.keys.toSeq.map(k => (k, find(k)))
+        import spark.implicits._
+        rows.toDF("doc_id", "cluster_id")
+      } else {
+        val bidir = pairs
+          .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+          .cache()
+        var labels = bidir.select(col("src").as("doc_id")).distinct()
+          .withColumn("label", col("doc_id")).cache()
+        labels.count()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 32) {
+          val viaNeighbor = bidir
+            .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+            .select(col("src").as("doc_id"), col("label"))
+          val next = labels.union(viaNeighbor)
+            .groupBy("doc_id").agg(min("label").as("label")).cache()
+          changed = next
+            .join(labels.select(col("doc_id"), col("label").as("prev")), Seq("doc_id"))
+            .filter(col("label") < col("prev")).count()
+          labels.unpersist()
+          labels = next
+          rounds += 1
+        }
+        bidir.unpersist()
+        labels.select(col("doc_id"), col("label").as("cluster_id"))
+      }
+    pairs.unpersist()
+    out
   }
 
   /** 16-bit SimHash per document from per-word md5 hex digits.
@@ -191,7 +234,7 @@ object TextOps extends QueryRegistry {
     * sum), with zero shuffles and 16× fewer md5 evaluations. */
   def simhash(docs: DataFrame): DataFrame = {
     val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    docs
+    spread(docs)
       .select(col("doc_id"), transform(words, w => md5(w)).as("hs"))
       .select(col("doc_id"),
         concat_ws("", transform(sequence(lit(1), lit(16)), j =>
@@ -203,7 +246,7 @@ object TextOps extends QueryRegistry {
   /** Exact 3-gram Jaccard between consecutive doc_ids (a deterministic,
     * linear-cost pairing — the pairwise primitive without the quadratic join). */
   def ngramJaccard(docs: DataFrame): DataFrame = {
-    val sets = docs.select(col("doc_id"), array_distinct(shingleArr).as("sh"))
+    val sets = spread(docs).select(col("doc_id"), array_distinct(shingleArr).as("sh"))
     sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .join(sets.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("sh").as("sh_b")),
         Seq("doc_a"))
