@@ -56,6 +56,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.values.toSet === Set(1L))
   }
 
+  test("dedup clusters: distributed label-propagation path matches the union-find path") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val text2 = "the quick brown fox jumps over the lazy dog again and again more"
+    val docs = docsDF(
+      (1L, text), (2L, text), (3L, text2),
+      (4L, "completely different words that share no shingles at all with others one two"))
+    // broadcastEdgeLimit = 0 forces the distributed min-label loop
+    val distributed = TextOps.dedupClusters(docs, threshold = 0.5, broadcastEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val unionFind = TextOps.dedupClusters(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(distributed === unionFind)
+    assert(distributed === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("simhash is identical for identical docs and 16 bits long") {
     val out = TextOps.simhash(docsDF((1L, "a b c d e f"), (2L, "a b c d e f")))
       .select("simhash16").as[String].collect()
