@@ -243,6 +243,19 @@ object TextOps extends QueryRegistry {
             lit("1")).otherwise(lit("0")))).as("simhash16"))
   }
 
+  /** SimHash near-dup candidates: pairs of documents with identical 16-bit
+    * signatures — an equi-join on the signature (bucket join, same shape as
+    * LSH banding: candidates only, never all-pairs). Output is quadratic per
+    * bucket, linear overall when signatures spread (random text is ~uniform
+    * over the 64k signatures). */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sh = simhash(docs)
+    sh.select(col("doc_id").as("doc_a"), col("simhash16"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash16")), Seq("simhash16"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("simhash16"))
+  }
+
   /** Exact 3-gram Jaccard between consecutive doc_ids (a deterministic,
     * linear-cost pairing — the pairwise primitive without the quadratic join). */
   def ngramJaccard(docs: DataFrame): DataFrame = {
@@ -369,6 +382,20 @@ object TextOps extends QueryRegistry {
       SELECT doc_id,
              string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash16
       FROM bits GROUP BY doc_id"""))),
+
+    QueryDef("doc_simhash_pairs", (s, d) => simhashPairs(docs(s, d)), Some(oq("""
+      , w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      bits AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN strpos('89abcdef', substr(md5(word), j, 1)) > 0 THEN 1 ELSE -1 END) AS s
+        FROM w, generate_series(1, 16) AS g(j)
+        GROUP BY doc_id, j),
+      sig AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash16
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash16
+      FROM sig a JOIN sig b ON a.simhash16 = b.simhash16 AND a.doc_id < b.doc_id"""))),
 
     QueryDef("doc_ngram_jaccard", (s, d) => ngramJaccard(docs(s, d)), Some(oq(s"""
       , $sqlShingles

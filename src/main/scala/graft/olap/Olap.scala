@@ -162,7 +162,61 @@ object Olap extends QueryRegistry {
 
   private val PivotYears: Seq[Int] = 1992 to 1998
 
+  /** Beyond-parity: ROLLUP(year, month) — hierarchical subtotals + grand
+    * total in one pass (the CUBE sibling; reference mentions the concept in
+    * `Iteration 2/Group No.6_Schema_Justification.sql:59,98`). */
+  def rollupYearMonth(w: Warehouse): DataFrame =
+    w.factSalesElt
+      .join(w.dimDate.select("date_key", "year", "month"), Seq("date_key"))
+      .rollup(col("year"), col("month"))
+      .agg(sum("totalamount").cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Beyond-parity: ranked window — top-3 products per country by revenue
+    * via dense_rank over a partitioned window. Aggregates on the surrogate
+    * key first, attaches the natural key for ranking ties (surrogates never
+    * appear in compared output or tie-breaks — they differ from the
+    * oracle's). The window partitions by country, so no global single-task
+    * sort exists at any scale. */
+  def top3ProductsPerCountry(w: Warehouse): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCP = w.factSalesElt
+      .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+      .groupBy(countryOrUnknown.as("country"), col("product_key"))
+      .agg(sum("totalamount").as("rev"))
+      .join(w.dimProduct.select("product_key", "stockcode"), Seq("product_key"))
+    perCP
+      .withColumn("rnk", dense_rank().over(
+        Window.partitionBy("country").orderBy(col("rev").desc, col("stockcode"))))
+      .filter(col("rnk") <= 3)
+      .select(col("country"), col("stockcode"),
+        col("rev").cast("double").as("revenue"), col("rnk"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("olap_rollup_year_month", (s, dir) => rollupYearMonth(Warehouse(s, dir)), Some(q("""
+      SELECT d.year, d.month,
+             CAST(sum(f.totalamount) AS DOUBLE) AS revenue,
+             count(*) AS n_rows
+      FROM fact_sales_elt f
+      JOIN dim_date d ON f.date_key = d.date_key
+      GROUP BY ROLLUP (d.year, d.month)"""))),
+
+    QueryDef("olap_top3_per_country", (s, dir) => top3ProductsPerCountry(Warehouse(s, dir)), Some(q("""
+      , per_cp AS (
+          SELECT coalesce(c.country, 'UNKNOWN') AS country, p.stockcode,
+                 sum(f.totalamount) AS rev
+          FROM fact_sales_elt f
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          JOIN dim_product p ON f.product_key = p.product_key
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT country, stockcode, rev,
+                 dense_rank() OVER (PARTITION BY country ORDER BY rev DESC, stockcode) AS rnk
+          FROM per_cp)
+      SELECT country, stockcode, CAST(rev AS DOUBLE) AS revenue, CAST(rnk AS INT) AS rnk
+      FROM ranked WHERE rnk <= 3"""))),
+
     QueryDef("olap_pivot_month_year", (s, dir) => pivotMonthYear(Warehouse(s, dir)), Some(q(s"""
       SELECT d.month,
              ${PivotYears.map(y =>

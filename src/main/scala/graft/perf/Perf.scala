@@ -165,7 +165,38 @@ object Perf extends QueryRegistry {
 
   private val w12 = ", w12 AS (SELECT max(full_date) - INTERVAL '12 months' AS min_date FROM dim_date)"
 
+  /** Distinct customer ids active in a calendar year (smart-key range scan —
+    * prunable by [[graft.plans.InferYearBoundsFromDateKey]] on a
+    * year-partitioned fact). */
+  private def customersInYear(w: Warehouse, year: Int): DataFrame =
+    w.factSalesElt
+      .filter(col("date_key").between(year * 10000000000L + 101000000L, year * 10000000000L + 1231235959L))
+      .select("customerid")
+
+  /** §2.7 extension (SURVEY lists INTERSECT/EXCEPT as unused-but-available):
+    * customers active in BOTH 1996 and 1997 — INTERSECT distinct semantics. */
+  def repeatCustomers(w: Warehouse): DataFrame =
+    customersInYear(w, 1996).intersect(customersInYear(w, 1997))
+
+  /** Customers active in 1996 but not 1997 — EXCEPT distinct semantics. */
+  def churnedCustomers(w: Warehouse): DataFrame =
+    customersInYear(w, 1996).except(customersInYear(w, 1997))
+
+  private def yearCustSql(year: Int): String =
+    s"""SELECT customerid FROM fact_sales_elt
+        WHERE date_key BETWEEN ${year}0101000000 AND ${year}1231235959"""
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("perf_repeat_customers", (s, dir) => repeatCustomers(Warehouse(s, dir)), Some(q(s"""
+      ${yearCustSql(1996)}
+      INTERSECT
+      ${yearCustSql(1997)}"""))),
+
+    QueryDef("perf_churned_customers", (s, dir) => churnedCustomers(Warehouse(s, dir)), Some(q(s"""
+      ${yearCustSql(1996)}
+      EXCEPT
+      ${yearCustSql(1997)}"""))),
+
     QueryDef("perf_star_join_top50", (s, dir) => starJoinTop50(Warehouse(s, dir)), Some(q(s"""
       $w12
       SELECT p.stockcode, CAST(sum(f.totalamount) AS DOUBLE) AS revenue
