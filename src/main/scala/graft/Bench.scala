@@ -58,9 +58,10 @@ object Bench {
     }
 
     // Build + cache the warehouse (reported separately, excluded from total).
-    // The ELT fact's plan transitively materializes every upstream cache
-    // (dims, staging intermediates); dim_date is the only table off that
-    // lineage — two actions, not one per table.
+    // The ELT fact's plan transitively materializes the caches every timed
+    // query touches (ELT dims, staging intermediates); dim_date is the only
+    // such table off that lineage — two actions, not one per table. The
+    // ETL-side fact/dim caches stay lazy: no timed query reads them.
     val tBuild = System.nanoTime()
     val w = Warehouse(spark, sfDir)
     noop(w.factSalesElt)

@@ -81,7 +81,7 @@ object Warehouse {
     val dimD = Transforms.dimDate(ts).cache()
 
     val fact = Transforms.factSales(sf, dimP, dimC).cache()
-    val factElt = Transforms.factSalesElt(fact, dimCElt).cache()
+    val factElt = Transforms.factSalesElt(sf, dimP, dimCElt).cache()
 
     Warehouse(stgC, stgP, stgS, stgD, cb, dimC, dimCElt, pb, pd, median, dimP,
       sp, sf, ts, dimD, fact, factElt)

@@ -247,7 +247,10 @@ object TextOps extends QueryRegistry {
     * signatures — an equi-join on the signature (bucket join, same shape as
     * LSH banding: candidates only, never all-pairs). Output is quadratic per
     * bucket, linear overall when signatures spread (random text is ~uniform
-    * over the 64k signatures). */
+    * over the 64k signatures). The signature pipeline is narrow, so the
+    * self-join recomputes it once per side; at warehouse scale, materialize
+    * [[simhash]] to a table first and self-join that (the pipeline pattern —
+    * signatures are reused by retrieval anyway). */
   def simhashPairs(docs: DataFrame): DataFrame = {
     val sh = simhash(docs)
     sh.select(col("doc_id").as("doc_a"), col("simhash16"))

@@ -41,7 +41,7 @@ object WarehouseProbe {
       t("  dimDate")(noop(dimD))
       val fact = Transforms.factSales(sf, dimP, dimC).cache()
       t("  factSales")(noop(fact))
-      val factElt = Transforms.factSalesElt(fact, dimCElt).cache()
+      val factElt = Transforms.factSalesElt(sf, dimP, dimCElt).cache()
       t("  factSalesElt")(noop(factElt))
       Seq(cb, dimC, dimCElt, pd, dimP, sp, sf, dimD, fact, factElt).foreach(_.unpersist(true))
       spark.sharedState.cacheManager.clearCache()
