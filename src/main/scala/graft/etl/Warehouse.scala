@@ -100,9 +100,9 @@ object Warehouse {
     graft.sources.Sources.materialize(w.dimDate, s"$outDir/dim_date")
     graft.sources.Sources.materialize(
       w.factSales.withColumn("year", graft.yearOfDateKey(col("date_key"))),
-      s"$outDir/fact_sales", partitionBy = Seq("year"))
+      s"$outDir/fact_sales", partitionBy = Seq("year"), sortWithin = Seq("date_key"))
     graft.sources.Sources.materialize(
       w.factSalesElt.withColumn("year", graft.yearOfDateKey(col("date_key"))),
-      s"$outDir/fact_sales_elt", partitionBy = Seq("year"))
+      s"$outDir/fact_sales_elt", partitionBy = Seq("year"), sortWithin = Seq("date_key"))
   }
 }

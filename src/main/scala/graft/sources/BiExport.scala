@@ -20,8 +20,8 @@ object BiExport {
     Sources.materialize(w.dimCustomerElt, s"$outDir/customers_elt")
     Sources.materialize(w.dimProduct, s"$outDir/products")
     Sources.materialize(w.dimDate, s"$outDir/dates")
-    Sources.materialize(w.factSales.withColumn("year", year), s"$outDir/fact_sales_etl", Seq("year"))
-    Sources.materialize(w.factSalesElt.withColumn("year", year), s"$outDir/fact_sales_elt", Seq("year"))
+    Sources.materialize(w.factSales.withColumn("year", year), s"$outDir/fact_sales_etl", Seq("year"), sortWithin = Seq("date_key"))
+    Sources.materialize(w.factSalesElt.withColumn("year", year), s"$outDir/fact_sales_elt", Seq("year"), sortWithin = Seq("date_key"))
     Sources.materialize(Molap.monthCountry(w), s"$outDir/molap_month_country")
     Sources.materialize(Molap.monthProduct(w), s"$outDir/molap_month_product")
     Sources.materialize(Molap.customerMonth(w), s"$outDir/molap_customer_month")

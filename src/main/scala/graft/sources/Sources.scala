@@ -29,9 +29,18 @@ object Sources {
 
   /** S3/S8: materialize a transform result (CTAS / materialized view). Facts
     * should pass a partition column (e.g. `year`) so 100 TB writes produce
-    * prunable Hive-style directories (SURVEY.md §4 R6). */
-  def materialize(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite")
+    * prunable Hive-style directories (SURVEY.md §4 R6), and a sort column
+    * (e.g. `date_key`) — the reference's B-tree-index analog (§4 R3): sorting
+    * rows within each output file tightens parquet row-group min/max stats,
+    * so range predicates skip row groups instead of scanning them. */
+  def materialize(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+                  sortWithin: Seq[String] = Nil): Unit = {
+    // the sort leads with the partition columns: the file writer requires
+    // partition-column ordering and would otherwise insert its own (order-
+    // destroying) sort on top of ours
+    val sortCols = (partitionBy ++ sortWithin).distinct
+    val sorted = if (sortWithin.nonEmpty) df.sortWithinPartitions(sortCols.map(df(_)): _*) else df
+    val w = sorted.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 

@@ -20,6 +20,17 @@ class BiExportSpec extends SparkSpec {
     val pruned = spark.read.parquet(s"$out/fact_sales_etl")
       .filter(org.apache.spark.sql.functions.col("year") === 1996)
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(year"))
+    // B-tree analog (R3): rows are date_key-sorted within each file, so
+    // row-group min/max stats are tight for range skipping
+    val files = new java.io.File(s"$out/fact_sales_etl").listFiles()
+      .filter(_.getName.startsWith("year=")).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.take(3).foreach { f =>
+      val keys = spark.read.parquet(f.getPath)
+        .select("date_key").collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted), f.getName)
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 }
