@@ -44,6 +44,19 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed+sorted table layout — the reference's composite-index analog
+    * (SURVEY.md §4 R5): hash-bucketing two tables on their join key lets the
+    * planner co-locate the join with NO shuffle exchange on either side (and
+    * no sort, when `sortBy` matches), which at 100 TB turns every repeated
+    * fact⋈fact / fact⋈big-dim join into a local merge. Catalog-backed
+    * (`saveAsTable`) because bucket metadata lives in the table catalog. */
+  def bucketTable(df: DataFrame, name: String, buckets: Int, key: String,
+                  sortBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w)
+      .saveAsTable(name)
+  }
+
   /** S5: INSERT..SELECT append. */
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)

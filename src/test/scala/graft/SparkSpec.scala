@@ -11,6 +11,9 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // bucketed-table specs saveAsTable; keep the warehouse out of the repo
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_test_wh").toString)
     .getOrCreate()
 }
 
