@@ -119,13 +119,20 @@ object Bench {
           .agg(sum("totalamount").as("rev")))
       // Same pruned scan with NO explicit year predicate: the
       // InferYearBoundsFromDateKey optimizer rule (SURVEY §4 R6) derives the
-      // partition filter from the smart-key range.
+      // partition filter from the smart-key range. Install + enable in a
+      // try/finally so a failed run can't leave the rule active for the
+      // rest of the bench.
       spark.experimental.extraOptimizations = Seq(graft.plans.InferYearBoundsFromDateKey)
-      time("partition_pruned_inferred_sum")(
-        spark.read.parquet(s"$base/fact_by_year")
-          .filter(col("date_key").between(19960101000000L, 19961231235959L))
-          .agg(sum("totalamount").as("rev")))
-      spark.experimental.extraOptimizations = Nil
+      spark.conf.set(graft.plans.InferYearBoundsFromDateKey.EnabledKey, "true")
+      try {
+        time("partition_pruned_inferred_sum")(
+          spark.read.parquet(s"$base/fact_by_year")
+            .filter(col("date_key").between(19960101000000L, 19961231235959L))
+            .agg(sum("totalamount").as("rev")))
+      } finally {
+        spark.conf.unset(graft.plans.InferYearBoundsFromDateKey.EnabledKey)
+        spark.experimental.extraOptimizations = Nil
+      }
 
       // Materialized view vs direct aggregation (R9; BASELINE 0.261→0.105 s).
       val mv = w.factSalesElt.select("date_key", "product_key", "totalamount")

@@ -33,10 +33,16 @@ object TextOps extends QueryRegistry {
     * A single small parquet file scans as ONE partition, which would run the
     * whole md5/fold pipeline on one core; only repartition when the source is
     * actually under-partitioned, so an already-well-partitioned 100 TB input
-    * pays no extra shuffle. */
+    * (thousands of files) pays no extra shuffle. The probe is
+    * `df.inputFiles.length` — served from the relation's cached file index,
+    * so it forces no physical planning or RDD materialization (a
+    * `df.rdd.getNumPartitions` probe would, on every operator invocation).
+    * Many-file sources are counted conservatively (splittable big files scan
+    * as more partitions than files), which only ever skips the repartition. */
   private def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val files = df.inputFiles.length
+    if (files > 0 && files < par) df.repartition(par) else df
   }
 
   private val words = split(col("text"), " ")
@@ -164,12 +170,15 @@ object TextOps extends QueryRegistry {
     * the *output* of LSH + Jaccard filtering, not the corpus itself), so when
     * it fits under `broadcastEdgeLimit` the components are solved with a
     * driver-side union-find in O(E α(E)) — one collect, zero iterative jobs.
-    * Above the limit it falls back to distributed min-label propagation: each
-    * round is one `groupBy(doc).min(label)` shuffle, converging in
-    * O(component diameter) rounds (the cap is a safety net, not a truncation
-    * — the loop exits on fixpoint). */
+    * The edges are collected as a `Dataset[(Long, Long)]` (primitive pairs,
+    * not `Row`s) and the default limit is sized so the collected array stays
+    * in the tens of MB on the driver. Above the limit it falls back to
+    * distributed min-label propagation: each round is one
+    * `groupBy(doc).min(label)` shuffle, converging in O(component diameter)
+    * rounds (the cap is a safety net, not a truncation — the loop exits on
+    * fixpoint). */
   def dedupClusters(docs: DataFrame, threshold: Double = 0.6,
-                    broadcastEdgeLimit: Long = 2000000L): DataFrame = {
+                    broadcastEdgeLimit: Long = 500000L): DataFrame = {
     val spark = docs.sparkSession
     val pairs = minhashPairs(docs).filter(col("jaccard") >= threshold)
       .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
@@ -185,8 +194,8 @@ object TextOps extends QueryRegistry {
           while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        pairs.collect().foreach { row =>
-          val (a, b) = (row.getLong(0), row.getLong(1))
+        import spark.implicits._
+        pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
           parent.getOrElseUpdate(a, a)
           parent.getOrElseUpdate(b, b)
           val (ra, rb) = (find(a), find(b))
@@ -195,7 +204,6 @@ object TextOps extends QueryRegistry {
           if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
         }
         val rows = parent.keys.toSeq.map(k => (k, find(k)))
-        import spark.implicits._
         rows.toDF("doc_id", "cluster_id")
       } else {
         val bidir = pairs

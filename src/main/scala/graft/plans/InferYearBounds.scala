@@ -25,25 +25,40 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * one-year probe of a 7-year fact touches 1/7th of the files with no query
   * rewrite by the user.
   *
-  * Scope guards: fires only when the filtered relation exposes both a
-  * LongType `date_key` and an integer `year` column and the predicate does
-  * not already constrain `year` (also the fixed-point idempotence guard).
-  * The added conjunct is implied by the original, so results are unchanged
-  * on any data — including rows whose `year` column disagrees with their
-  * `date_key` (impossible under the engine's write path, where both derive
-  * from the same timestamp).
+  * REQUIRED INVARIANT — this rewrite is only sound on tables where
+  * `year = date_key / 10^10` holds on **every row** (the engine's write
+  * path guarantees it: both columns derive from the same timestamp,
+  * [[graft.yearOfDateKey]]). On a table where a name-matched `year` column
+  * means something else (fiscal year, birth year, …) the inferred conjunct
+  * would silently drop rows. The rule therefore fires only when the session
+  * opts in via `spark.graft.inferYearBounds.enabled=true` — setting the flag
+  * is the user's assertion that every `(date_key: LONG, year: INT|LONG)`
+  * relation in the session satisfies the invariant. With the flag unset
+  * (the default), registering [[GraftExtensions]] globally changes no query.
+  *
+  * Structural guards on top of the flag: fires only when the filtered
+  * relation exposes both a LongType `date_key` and an integer `year` column
+  * and the predicate does not already constrain `year` (also the
+  * fixed-point idempotence guard).
   *
   * Registration: `.withExtensions(new GraftExtensions)` /
   * `spark.sql.extensions=graft.plans.GraftExtensions` at session build, or
   * `spark.experimental.extraOptimizations ++= Seq(InferYearBoundsFromDateKey)`
   * on a live session (the batch runs late, but partition filters are
-  * extracted at physical planning, so pruning still applies).
+  * extracted at physical planning, so pruning still applies) — then enable
+  * with `spark.conf.set(InferYearBoundsFromDateKey.EnabledKey, "true")`.
   */
 object InferYearBoundsFromDateKey extends Rule[LogicalPlan] {
+
+  /** Session opt-in flag; see the invariant note in the class doc. */
+  val EnabledKey = "spark.graft.inferYearBounds.enabled"
 
   private val DateKeyCol = "date_key"
   private val YearCol = "year"
   private val KeyPerYear = 10000000000L
+
+  private def enabled: Boolean =
+    conf.getConfString(EnabledKey, "false").equalsIgnoreCase("true")
 
   private def splitAnd(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitAnd(l) ++ splitAnd(r)
@@ -61,7 +76,7 @@ object InferYearBoundsFromDateKey extends Rule[LogicalPlan] {
     case _ => Literal(y.toInt)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else plan.transform {
     case f @ Filter(cond, child) =>
       val dkOpt = child.output.find(a => a.name == DateKeyCol && a.dataType == LongType)
       val yrOpt = child.output.find(a => a.name == YearCol &&
@@ -109,7 +124,10 @@ object InferYearBoundsFromDateKey extends Rule[LogicalPlan] {
 
 /** `SparkSessionExtensions` hook registering the engine's optimizer rules:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. Registration
+  * alone is inert — each rule additionally requires its session opt-in flag
+  * (e.g. [[InferYearBoundsFromDateKey.EnabledKey]]), so installing the
+  * extensions globally never changes results on foreign tables. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     ext.injectOptimizerRule((_: SparkSession) => InferYearBoundsFromDateKey)

@@ -5,9 +5,15 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 
 import graft.TestSpark
 
-/** The inferred-year-bounds rule must NEVER change results: for arbitrary
-  * date_key predicates over arbitrary (even year-inconsistent) data, query
-  * output with the rule installed equals output without it. */
+/** Result-invariance properties for the inferred-year-bounds rule, under the
+  * invariant the rule requires (see [[InferYearBoundsFromDateKey]]'s doc):
+  * `year = date_key / 10^10` on the rows the predicate keeps — the engine's
+  * write-path guarantee. Property 1 uses fully key-derived `year`; property 2
+  * weakens it to the minimum the rewrite needs (truthful `year` only inside
+  * the filter range, arbitrary outside), showing dropped-by-the-predicate
+  * rows place no constraint on `year`. The rule makes NO claim for tables
+  * that violate the invariant on kept rows — that is exactly why it is
+  * gated behind `spark.graft.inferYearBounds.enabled`. */
 object InferYearBoundsPropertiesSpec extends Properties("inferYearBounds") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
@@ -25,7 +31,16 @@ object InferYearBoundsPropertiesSpec extends Properties("inferYearBounds") {
 
   private val rowsGen = Gen.listOfN(30, keyGen)
 
-  property("filtered results identical with and without the rule") =
+  private def withRule[A](f: => A): A = {
+    spark.experimental.extraOptimizations = Seq(InferYearBoundsFromDateKey)
+    spark.conf.set(InferYearBoundsFromDateKey.EnabledKey, "true")
+    try f finally {
+      spark.conf.unset(InferYearBoundsFromDateKey.EnabledKey)
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  property("key-derived year: results identical with and without the rule") =
     Prop.forAll(rowsGen, keyGen, keyGen) { (keys, b1, b2) =>
       val (lo, hi) = (math.min(b1, b2), math.max(b1, b2))
       val df = keys.zipWithIndex.toDF("date_key", "v")
@@ -33,20 +48,17 @@ object InferYearBoundsPropertiesSpec extends Properties("inferYearBounds") {
       def run() = df.filter(col("date_key").between(lo, hi))
         .agg(count(lit(1)), coalesce(sum("v"), lit(0L))).head.toSeq
       val plain = run()
-      spark.experimental.extraOptimizations = Seq(InferYearBoundsFromDateKey)
-      val ruled = try run() finally { spark.experimental.extraOptimizations = Nil }
+      val ruled = withRule(run())
       plain == ruled
     }
 
-  property("results identical even when the year column lies about the key") =
+  property("year truthful only on kept rows: rows outside the filter range may lie") =
     Prop.forAll(rowsGen, Gen.chooseNum(1992, 1999), keyGen, keyGen) { (keys, fakeYear, b1, b2) =>
       val (lo, hi) = (math.min(b1, b2), math.max(b1, b2))
-      // year disagrees with date_key: the implied conjunct must still be
-      // harmless because it is only ever ANDed with the original predicate …
-      // on rows the original predicate keeps, year-from-key is in [lo/K, hi/K]
-      // only when year really derives from the key — so build it that way for
-      // kept rows and lie on the rest (the realistic invariant: writes derive
-      // year from the key; rows outside the filter range are unconstrained)
+      // The weakest precondition the rewrite needs: on rows the predicate
+      // keeps, year derives from the key (so year-from-key lands inside
+      // [lo/K, hi/K] and the inferred conjunct is implied); rows the
+      // predicate drops are unconstrained — give them an arbitrary year.
       val df = keys.zipWithIndex.toDF("date_key", "v")
         .withColumn("year",
           when(col("date_key").between(lo, hi), graft.yearOfDateKey(col("date_key")))
@@ -54,8 +66,7 @@ object InferYearBoundsPropertiesSpec extends Properties("inferYearBounds") {
       def run() = df.filter(col("date_key").between(lo, hi))
         .agg(count(lit(1)), coalesce(sum("v"), lit(0L))).head.toSeq
       val plain = run()
-      spark.experimental.extraOptimizations = Seq(InferYearBoundsFromDateKey)
-      val ruled = try run() finally { spark.experimental.extraOptimizations = Nil }
+      val ruled = withRule(run())
       plain == ruled
     }
 }

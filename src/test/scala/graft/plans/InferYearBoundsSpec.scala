@@ -19,7 +19,11 @@ class InferYearBoundsSpec extends SparkSpec {
 
   private def withRule[A](f: => A): A = {
     spark.experimental.extraOptimizations = Seq(InferYearBoundsFromDateKey)
-    try f finally spark.experimental.extraOptimizations = Nil
+    spark.conf.set(InferYearBoundsFromDateKey.EnabledKey, "true")
+    try f finally {
+      spark.conf.unset(InferYearBoundsFromDateKey.EnabledKey)
+      spark.experimental.extraOptimizations = Nil
+    }
   }
 
   private def writePartitioned(dir: String): Unit = {
@@ -79,6 +83,25 @@ class InferYearBoundsSpec extends SparkSpec {
       assert(q.count() == 1)
       assert(yearPreds <= 3, q.queryExecution.optimizedPlan.toString) // column def + one predicate, not a growing chain
     }
+  }
+
+  test("rule is inert when installed but not enabled via the session flag") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_yearpart3").toString
+    try {
+      writePartitioned(dir)
+      // installed globally (the GraftExtensions scenario) but NOT opted in:
+      // the plan must carry no inferred year partition filter
+      spark.experimental.extraOptimizations = Seq(InferYearBoundsFromDateKey)
+      try {
+        val q = spark.read.parquet(dir)
+          .filter(col("date_key").between(19960101000000L, 19961231235959L))
+          .agg(sum("amount").as("rev"))
+        assert(q.head.getDouble(0) == 45.0)
+        val scan = fileScan(q.queryExecution.executedPlan)
+        assert(!scan.metadata("PartitionFilters").contains("year"),
+          scan.metadata("PartitionFilters"))
+      } finally spark.experimental.extraOptimizations = Nil
+    } finally FileUtils.deleteQuietly(new File(dir))
   }
 
   test("GraftExtensions registers the rule on a session builder") {
