@@ -28,12 +28,19 @@ object Molap extends QueryRegistry {
   def dateMonth(w: Warehouse): DataFrame =
     w.dimDate.select(col("date_key"), monthOf("full_date").as("month"))
 
+  /** Month group key decoded arithmetically from the smart key — the
+    * dim_date access path the reference's summary-table builds use is a
+    * fact-sized shuffle against a row-per-second dim for digits the key
+    * already carries (see [[graft.dateOfDateKey]]); the fallback-key filter
+    * reproduces the inner join's row set. */
+  private def keyMonth = graft.monthOfDateKey(col("date_key")).as("month")
+
   /** MOLAP 1: monthly revenue by country. */
   def monthCountry(w: Warehouse): DataFrame =
     w.factSalesElt
-      .join(dateMonth(w), Seq("date_key"))
+      .filter(col("date_key") =!= graft.FallbackDateKey)
       .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
-      .groupBy(col("month"), coalesce(col("country"), lit("UNKNOWN")).as("country"))
+      .groupBy(keyMonth, coalesce(col("country"), lit("UNKNOWN")).as("country"))
       .agg(
         sum("totalamount").cast("double").as("total_revenue"),
         sum("quantity").as("total_quantity"),
@@ -45,8 +52,8 @@ object Molap extends QueryRegistry {
     * key ↔ (stockcode, description) mapping is 1:1 so results are equal). */
   def monthProduct(w: Warehouse): DataFrame =
     w.factSalesElt.select("date_key", "product_key", "totalamount", "quantity", "unitprice")
-      .join(dateMonth(w), Seq("date_key"))
-      .groupBy("month", "product_key")
+      .filter(col("date_key") =!= graft.FallbackDateKey)
+      .groupBy(keyMonth, col("product_key"))
       .agg(
         sum("totalamount").cast("double").as("revenue"),
         sum("quantity").as("total_qty"),
@@ -57,9 +64,9 @@ object Molap extends QueryRegistry {
   /** MOLAP 3: customer monthly revenue (only months with sales). */
   def customerMonth(w: Warehouse): DataFrame =
     w.factSalesElt.select("date_key", "customer_key", "invoiceid", "totalamount", "quantity")
-      .join(dateMonth(w), Seq("date_key"))
+      .filter(col("date_key") =!= graft.FallbackDateKey)
       .join(w.dimCustomerElt.select("customer_key", "customerid"), Seq("customer_key"))
-      .groupBy("month", "customerid")
+      .groupBy(keyMonth, col("customerid"))
       .agg(
         sum("totalamount").cast("double").as("revenue"),
         count_distinct(col("invoiceid")).as("orders"),
@@ -68,10 +75,8 @@ object Molap extends QueryRegistry {
   /** MOLAP 4: top-10 products over the last 3 months (the `>=`-window
     * variant of OLAP Q2 — reference `Iteration 2/Group No.6_MOLAP.sql:82-103`). */
   def top10Last3m(w: Warehouse): DataFrame = {
-    val minD = java.sql.Date.valueOf(w.maxFullDate.minusMonths(3))
     w.factSalesElt.select("date_key", "product_key", "totalamount", "quantity")
-      .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
-      .filter(col("full_date") >= lit(minD))
+      .filter(graft.dateKeyRange(w.maxFullDate.minusMonths(3), w.maxFullDate))
       .join(w.dimProduct.select("product_key", "stockcode", "description"), Seq("product_key"))
       .groupBy("stockcode", "description")
       .agg(sum("totalamount").cast("double").as("revenue"), sum("quantity").as("qty_sold"))
@@ -83,9 +88,8 @@ object Molap extends QueryRegistry {
   def daily90(w: Warehouse): DataFrame = {
     val maxD = w.maxFullDate
     w.factSalesElt
-      .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
-      .filter(col("full_date") >= lit(java.sql.Date.valueOf(maxD.minusDays(90))))
-      .groupBy("full_date")
+      .filter(graft.dateKeyRange(maxD.minusDays(90), maxD))
+      .groupBy(graft.dateOfDateKey(col("date_key")).as("full_date"))
       .agg(sum("totalamount").cast("double").as("daily_revenue"))
       .orderBy("full_date")
       .limit(30)
@@ -97,9 +101,10 @@ object Molap extends QueryRegistry {
       .filter(col("signupdate").isNotNull)
       .select(col("customer_key").as("s_key"), monthOf("signupdate").as("signup_month"))
     val revenue = w.factSalesElt
-      .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
+      .filter(col("date_key") =!= graft.FallbackDateKey)
       .join(w.dimCustomerElt.select("customer_key"), Seq("customer_key"))
-      .groupBy(col("customer_key").as("r_key"), monthOf("full_date").as("sale_month"))
+      .groupBy(col("customer_key").as("r_key"),
+        graft.monthOfDateKey(col("date_key")).as("sale_month"))
       .agg(sum("totalamount").as("revenue"))
     signup
       .join(revenue, col("r_key") === col("s_key"), "left")

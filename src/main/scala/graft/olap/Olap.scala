@@ -34,22 +34,30 @@ object Olap extends QueryRegistry {
 
   private def d(x: LocalDate): Column = lit(java.sql.Date.valueOf(x))
 
-  /** Q1: monthly sales by country. */
+  /** Q1: monthly sales by country. The year/month group keys decode
+    * arithmetically from the smart key ([[graft.dateOfDateKey]] note) — the
+    * dim_date join the reference writes would shuffle the whole fact against
+    * a row-per-second dimension just to read digits the key already carries.
+    * The fallback-key filter reproduces the reference's inner-join row set. */
   def q1(w: Warehouse): DataFrame =
     w.factSalesElt
-      .join(w.dimDate.select("date_key", "year", "month"), Seq("date_key"))
+      .filter(col("date_key") =!= graft.FallbackDateKey)
       .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
-      .groupBy(col("year"), col("month"), countryOrUnknown.as("country"))
+      .groupBy(graft.yearOfDateKey(col("date_key")).as("year"),
+        graft.monthNumOfDateKey(col("date_key")).as("month"),
+        countryOrUnknown.as("country"))
       .agg(
         sum("totalamount").cast("double").as("total_revenue"),
         sum("quantity").as("total_quantity"))
 
-  /** Q2: top-10 products by revenue over the last 3 months. */
+  /** Q2: top-10 products by revenue over the last 3 months. The date window
+    * is a [[graft.dateKeyRange]] scan predicate (P6/J5 pushdown form): it
+    * prunes row groups on the date-sorted fact files instead of joining
+    * dim_date to evaluate `full_date BETWEEN`. */
   def q2(w: Warehouse): DataFrame = {
     val maxD = maxFullDate(w)
     w.factSalesElt.select("date_key", "product_key", "totalamount", "quantity")
-      .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
-      .filter(col("full_date").between(d(maxD.minusMonths(3)), d(maxD)))
+      .filter(graft.dateKeyRange(maxD.minusMonths(3), maxD))
       .join(w.dimProduct.select("product_key", "stockcode", "description"), Seq("product_key"))
       .groupBy("stockcode", "description")
       .agg(sum("totalamount").cast("double").as("revenue"), sum("quantity").as("qty_sold"))
@@ -60,15 +68,17 @@ object Olap extends QueryRegistry {
   /** Q3: customer lifetime value (LEFT joins keep zero-sales customers).
     * Shaped scale-first: the fact aggregates by the long surrogate key before
     * touching the dim — one narrow shuffle on `customer_key` instead of
-    * carrying name strings through the join and grouping on them. */
+    * carrying name strings through the join and grouping on them. The last
+    * purchase date decodes from `max(date_key)`: the key orders like the
+    * timestamp and the fallback key is the minimum, so the max is a real key
+    * whenever one exists (and the fallback decodes to NULL like the dim miss). */
   def q3(w: Warehouse): DataFrame = {
     val perCustomer = w.factSalesElt
       .select("customer_key", "date_key", "invoiceid", "totalamount")
-      .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"), "left")
       .groupBy("customer_key")
       .agg(
         sum("totalamount").as("rev"),
-        max("full_date").as("last_purchase_date"),
+        graft.dateOfDateKey(max("date_key")).as("last_purchase_date"),
         count_distinct(col("invoiceid")).as("orders"))
     w.dimCustomerElt.select("customer_key", "customerid", "customername")
       .join(perCustomer, Seq("customer_key"), "left")
@@ -79,13 +89,13 @@ object Olap extends QueryRegistry {
         coalesce(col("orders"), lit(0L)).as("order_count"))
   }
 
-  /** Q4: daily revenue trend over the last 90 days. */
+  /** Q4: daily revenue trend over the last 90 days — date_key range scan +
+    * arithmetic date decode, no dim join (see [[q2]]). */
   def q4(w: Warehouse): DataFrame = {
     val maxD = maxFullDate(w)
     w.factSalesElt
-      .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
-      .filter(col("full_date").between(d(maxD.minusDays(90)), d(maxD)))
-      .groupBy("full_date")
+      .filter(graft.dateKeyRange(maxD.minusDays(90), maxD))
+      .groupBy(graft.dateOfDateKey(col("date_key")).as("full_date"))
       .agg(sum("totalamount").cast("double").as("daily_revenue"))
   }
 
@@ -111,8 +121,9 @@ object Olap extends QueryRegistry {
       .filter(col("signupdate").isNotNull)
       .select(col("customer_key").as("s_key"), trunc(col("signupdate"), "month").as("signup_month"))
     val revenue = w.factSalesElt
-      .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"))
-      .groupBy(col("customer_key").as("r_key"), trunc(col("full_date"), "month").as("sale_month"))
+      .filter(col("date_key") =!= graft.FallbackDateKey)
+      .groupBy(col("customer_key").as("r_key"),
+        graft.monthOfDateKey(col("date_key")).as("sale_month"))
       .agg(sum("totalamount").as("revenue"))
     signup
       .join(revenue,
@@ -143,9 +154,10 @@ object Olap extends QueryRegistry {
     * the concept; Spark's `.cube` provides it natively). */
   def cubeYearCountry(w: Warehouse): DataFrame =
     w.factSalesElt
-      .join(w.dimDate.select("date_key", "year"), Seq("date_key"))
+      .filter(col("date_key") =!= graft.FallbackDateKey)
       .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
-      .cube(col("year"), coalesce(col("country"), lit("UNKNOWN")).as("country"))
+      .cube(graft.yearOfDateKey(col("date_key")).as("year"),
+        coalesce(col("country"), lit("UNKNOWN")).as("country"))
       .agg(sum("totalamount").cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
 
@@ -155,7 +167,9 @@ object Olap extends QueryRegistry {
     * 100 TB-safe form: the column set is fixed, not data-dependent. */
   def pivotMonthYear(w: Warehouse): DataFrame =
     w.factSalesElt
-      .join(w.dimDate.select("date_key", "year", "month"), Seq("date_key"))
+      .filter(col("date_key") =!= graft.FallbackDateKey)
+      .select(graft.yearOfDateKey(col("date_key")).as("year"),
+        graft.monthNumOfDateKey(col("date_key")).as("month"), col("totalamount"))
       .groupBy(col("month"))
       .pivot("year", PivotYears.map(y => y: Any))
       .agg(sum("totalamount").cast("double"))
@@ -167,8 +181,9 @@ object Olap extends QueryRegistry {
     * `Iteration 2/Group No.6_Schema_Justification.sql:59,98`). */
   def rollupYearMonth(w: Warehouse): DataFrame =
     w.factSalesElt
-      .join(w.dimDate.select("date_key", "year", "month"), Seq("date_key"))
-      .rollup(col("year"), col("month"))
+      .filter(col("date_key") =!= graft.FallbackDateKey)
+      .rollup(graft.yearOfDateKey(col("date_key")).as("year"),
+        graft.monthNumOfDateKey(col("date_key")).as("month"))
       .agg(sum("totalamount").cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
 

@@ -73,6 +73,50 @@ package object graft {
   def yearOfDateKey(dateKey: Column): Column =
     floor(dateKey / 10000000000L).cast("int")
 
+  /** The fact-load fallback key for unparseable timestamps (reference
+    * `19700101000000`, `Iteration 1/Group No.6_ETL.sql:337`). Queries that
+    * decode dates from the key arithmetically must treat it as "no date" —
+    * exactly what a `dim_date` join yields (the fallback key has no dim row). */
+  val FallbackDateKey = 19700101000000L
+
+  /** Month component (1-12) of a smart date key. */
+  def monthNumOfDateKey(dateKey: Column): Column =
+    ((dateKey % 10000000000L) / 100000000L).cast("int")
+
+  /** Calendar date encoded in a smart date key's top 8 digits.
+    *
+    * The smart key is a *covering* encoding: any query needing only
+    * date parts can decode them arithmetically instead of joining
+    * `dim_date` — at scale that deletes a fact⋈dim shuffle per query, and a
+    * `full_date` range predicate becomes a `date_key` range that reaches the
+    * parquet scan (row-group skipping on the date-sorted fact files).
+    * Equivalent to the join for every key the engine writes: non-fallback
+    * keys all appear in `dim_date` (the date domain is built from the same
+    * timestamps), and the fallback key decodes to NULL here just as the
+    * missing dim row does. */
+  def dateOfDateKey(dateKey: Column): Column =
+    when(dateKey =!= FallbackDateKey,
+      make_date(yearOfDateKey(dateKey), monthNumOfDateKey(dateKey),
+        ((dateKey % 100000000L) / 1000000L).cast("int")))
+
+  /** First-of-month date of a smart date key (NULL for the fallback key) —
+    * the arithmetic form of `trunc(full_date, 'month')` after a dim_date
+    * join. */
+  def monthOfDateKey(dateKey: Column): Column =
+    when(dateKey =!= FallbackDateKey,
+      make_date(yearOfDateKey(dateKey), monthNumOfDateKey(dateKey), lit(1)))
+
+  /** The inclusive `date_key` interval covering calendar dates `[lo, hi]` —
+    * the pushdown form of a `full_date BETWEEN lo AND hi` filter (P6/J5):
+    * a plain scan-level range on the sort/partition column, no dim join.
+    * Excludes the fallback key by construction (real keys start at year
+    * 1000+). */
+  def dateKeyRange(lo: java.time.LocalDate, hi: java.time.LocalDate): Column = {
+    def k(d: java.time.LocalDate): Long =
+      d.getYear * 10000000000L + d.getMonthValue * 100000000L + d.getDayOfMonth * 1000000L
+    col("date_key").between(k(lo), k(hi) + 235959L)
+  }
+
   /** DAX DIVIDE: null-safe division (Iteration 4 measures 3-7). */
   def safeDiv(num: Column, den: Column): Column =
     when(den.isNotNull && den =!= 0, num / den)

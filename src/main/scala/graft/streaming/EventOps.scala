@@ -121,6 +121,62 @@ object EventOps extends QueryRegistry {
         col("n_events"), col("value_cents"))
   }
 
+  private val AttrWindowUs = 30L * 60 * 1000000L
+
+  /** Click→purchase attribution: every purchase picks up the clicks the same
+    * user made in the 30 minutes up to (and including) the purchase. The
+    * batch form of the stream-stream interval join
+    * ([[streamingAttribution]]): an equi-join on `user_id` with a range
+    * conjunct — shuffles both sides once on the key, never a broadcast
+    * nested loop, so it scales with users like the sessionizer. LEFT join:
+    * un-attributed purchases stay (n_clicks_30m = 0). The range compare runs
+    * in µs (`ts div 1000`), the precision the oracle's timestamps carry. */
+  def attribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr("ts div 1000").as("p_us"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("c_us"))
+    purchases
+      .join(clicks,
+        purchases("user_id") === clicks("user_id") &&
+          col("c_us") > col("p_us") - AttrWindowUs && col("c_us") <= col("p_us"),
+        "left")
+      .groupBy(col("purchase_id"), purchases("user_id").as("user_id"), col("p_us"))
+      .agg(count(col("c_us")).as("n_clicks_30m"),
+        max(col("c_us")).as("last_c_us"))
+      .select(
+        col("purchase_id"), col("user_id"),
+        expr("timestamp_micros(p_us)").cast("timestamp_ntz").as("t"),
+        col("n_clicks_30m"),
+        expr("timestamp_micros(last_c_us)").cast("timestamp_ntz").as("last_click_t"))
+  }
+
+  /** Stream-stream interval join (§2.10): the streaming form of
+    * [[attribution]] — clicks and purchases arrive as two independent
+    * streams; each purchase joins the same user's clicks from the preceding
+    * 30 minutes. Both sides carry watermarks, and the time-bound condition
+    * lets Spark expire click state past `watermark + 30min` — state is
+    * bounded by the interval, not the stream (inner join: the un-attributed
+    * purchases need an outer join, which additionally waits out the
+    * watermark before emitting). */
+  def streamingAttribution(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def stream = spark.readStream.schema(eventSchema).parquet(eventsDir)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), expr("timestamp_micros(ts div 1000)").as("c_t"))
+      .withWatermark("c_t", "2 hours")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        expr("timestamp_micros(ts div 1000)").as("p_t"))
+      .withWatermark("p_t", "2 hours")
+    purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("c_t") > col("p_t") - expr("INTERVAL 30 MINUTES") && col("c_t") <= col("p_t"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_t").cast("timestamp_ntz").as("t"), col("c_t").cast("timestamp_ntz").as("click_t"))
+  }
+
   /** JSON property extraction (§2.8 JSON surface): parse the `props` JSON
     * payload with the codegen'd `get_json_object` path and aggregate by a
     * derived bucket. The oracle extracts the same field with a regex so the
@@ -220,6 +276,18 @@ object EventOps extends QueryRegistry {
              CAST(err_ts AS TIMESTAMP) AS last_error_t,
              epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(err_ts AS TIMESTAMP)) AS us_since_error
       FROM w"""))),
+
+    QueryDef("events_attribution", (s, d) => attribution(events(s, d)), Some(oq("""
+      SELECT p.event_id AS purchase_id, p.user_id,
+             CAST(p.ts AS TIMESTAMP) AS t,
+             count(c.ts) AS n_clicks_30m,
+             CAST(max(c.ts) AS TIMESTAMP) AS last_click_t
+      FROM events p
+      LEFT JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+       AND c.ts > p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+      WHERE p.event_type = 'purchase'
+      GROUP BY 1, 2, 3"""))),
 
     QueryDef("events_json_props", (s, d) => propsBuckets(events(s, d)), Some(oq("""
       , parsed AS (

@@ -98,6 +98,44 @@ class EventOpsSpec extends SparkSpec {
     assert(deduped === distinctIds)
   }
 
+  test("attribution counts only same-user clicks in the 30min window before the purchase") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val ev = Seq(
+      (1L, 0L * ns, 7L, "click", 0.0, "{}"),              // 29min before → in window
+      (2L, 60L * ns, 7L, "click", 0.0, "{}"),             // 28min before → in window
+      (3L, (29L * 60) * ns, 7L, "purchase", 5.0, "{}"),
+      (4L, (29L * 60) * ns, 7L, "click", 0.0, "{}"),      // exactly at purchase → inclusive
+      (5L, (100L * 60) * ns, 7L, "click", 0.0, "{}"),     // after → out
+      (6L, (29L * 60) * ns, 9L, "click", 0.0, "{}"),      // other user → out
+      (7L, (200L * 60) * ns, 9L, "purchase", 1.0, "{}"))  // no clicks in window
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.attribution(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(3L -> 3L, 7L -> 0L))
+  }
+
+  test("stream-stream interval join matches the batch attribution pairs") {
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_attr")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dropDir.resolve("events.parquet"))
+    val q = EventOps.streamingAttribution(spark, dropDir.toString)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // inner pairs per purchase == the batch LEFT-join counts where > 0
+    val streamed = spark.table("attr_out")
+      .groupBy("purchase_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = EventOps.attribution(EventOps.events(spark, sfDir))
+      .filter(col("n_clicks_30m") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionization splits on >30min gaps per user") {
     import spark.implicits._
     val ns = 1000000000L
