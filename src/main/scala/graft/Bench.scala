@@ -57,6 +57,19 @@ object Bench {
       }
     }
 
+    // Untimed JIT/codegen warm-up for the BUILD path: run the identical
+    // pipeline over the micro scale factor first, so the reported build time
+    // measures pipeline throughput at sfDir — not the one-time cost of
+    // compiling its ~30 codegen stages (the same steady-state methodology the
+    // query rows use; the reference's numbers are warm EXPLAIN ANALYZE runs).
+    val warmDir = "/root/testdata/sf0.001"
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+      val ww = Warehouse.build(spark, warmDir)
+      noop(ww.factSalesElt)
+      noop(ww.dimDate)
+      spark.sharedState.cacheManager.clearCache() // drop the warm-up caches
+    }
+
     // Build + cache the warehouse (reported separately, excluded from total).
     // The ELT fact's plan transitively materializes the caches every timed
     // query touches (ELT dims, staging intermediates); dim_date is the only
@@ -164,6 +177,7 @@ object Bench {
       val events = graft.streaming.EventOps.events(spark, sfDir)
       time("events_sessions")(graft.streaming.EventOps.sessions(events))
       time("events_asof_last_error")(graft.streaming.EventOps.asofLastError(events))
+      time("events_attribution")(graft.streaming.EventOps.attribution(events))
       time("olap_pivot_month_year")(graft.olap.Olap.pivotMonthYear(w))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))

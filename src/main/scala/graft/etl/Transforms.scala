@@ -130,7 +130,9 @@ object Transforms {
 
   /** ts_domain: UNION-dedup of sale timestamps and the stg_date midnight
     * domain (reference `:202-214`; SQL UNION dedups — Spark needs the
-    * explicit distinct, SURVEY.md §7 hard-part 3). */
+    * explicit distinct, SURVEY.md §7 hard-part 3). Any frame carrying the
+    * parsed `sale_ts` works — the build feeds the cached [[salesFinal]],
+    * whose rows (and so timestamps) are 1:1 with the parse layer. */
   def tsDomain(salesParsed: DataFrame, stgDates: DataFrame): DataFrame =
     salesParsed
       .filter(col("sale_ts").isNotNull)

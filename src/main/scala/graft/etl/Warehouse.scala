@@ -62,9 +62,8 @@ object Warehouse {
     val stgS = Staging.sales(spark, dir)
     val stgD = Staging.dates(spark, dir)
 
-    // customersBase feeds both dedup directions; salesParsed feeds
-    // sales_final and the date domain — cache the shared intermediates so
-    // the staging joins run once, not per consumer.
+    // customersBase feeds both dedup directions — cache the shared
+    // intermediates so the staging joins run once, not per consumer.
     val cb = Transforms.customersBase(stgC).cache()
     val dimC = Transforms.dimCustomer(cb).cache()
     val dimCElt = Transforms.dimCustomerElt(cb).cache()
@@ -74,10 +73,15 @@ object Warehouse {
     val median = Transforms.medianPrice(pd)
     val dimP = Transforms.dimProduct(pd, median).cache()
 
-    val sp = Transforms.salesParsed(stgS).cache()
+    // salesParsed stays UNcached: salesFinal preserves rows 1:1 (the price
+    // repair is a left join against a deduped dim), so every multi-use
+    // consumer — the date domain included — reads the cached salesFinal
+    // instead. Caching the parse layer too would materialize the same 600k
+    // rows twice per build for no extra reuse.
+    val sp = Transforms.salesParsed(stgS)
     val sf = Transforms.salesFinal(sp, dimP).cache()
 
-    val ts = Transforms.tsDomain(sp, stgD)
+    val ts = Transforms.tsDomain(sf, stgD)
     val dimD = Transforms.dimDate(ts).cache()
 
     val fact = Transforms.factSales(sf, dimP, dimC).cache()
