@@ -234,6 +234,19 @@ object TextOps extends QueryRegistry {
     out
   }
 
+  /** The dedup pipeline's output stage: the corpus with near-duplicates
+    * dropped. A document survives when it is either untouched by any
+    * near-dup cluster or its cluster's representative (the min doc_id —
+    * [[dedupClusters]]' label). The cluster assignment is tiny relative to
+    * the corpus (only documents with a verified near-dup appear), so the
+    * final join broadcasts; the corpus itself is never shuffled. */
+  def dedupKeep(docs: DataFrame, threshold: Double = 0.6): DataFrame =
+    docs.join(dedupClusters(docs, threshold), Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"),
+        when(col("cluster_id").isNotNull, lit("cluster_representative"))
+          .otherwise(lit("unique")).as("keep_reason"))
+
   /** 16-bit SimHash per document from per-word md5 hex digits.
     *
     * Narrow per-document shape: hash each word once, then fold the hash
@@ -382,6 +395,40 @@ object TextOps extends QueryRegistry {
         UNION
         SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst)
       SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id""")),
+
+    QueryDef("doc_dedup_keep", (s, d) => dedupKeep(docs(s, d), 0.6), Some(s"""
+      WITH RECURSIVE $sqlShingles,
+      sigs AS (
+        SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+        FROM shingles, generate_series(0, ${NumHashes - 1}) AS gh(h)
+        GROUP BY doc_id, h),
+      bands AS (
+        SELECT doc_id, CAST(floor(h / $BandSize) AS INT) AS band,
+               md5(string_agg(mh, '|' ORDER BY h)) AS band_key
+        FROM sigs GROUP BY doc_id, CAST(floor(h / $BandSize) AS INT)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN shingle_sets sa ON sa.doc_id = c.doc_a
+        JOIN shingle_sets sb ON sb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT src AS doc_id, src AS label FROM edges
+        UNION
+        SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst),
+      clusters AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+      SELECT d.doc_id,
+             CASE WHEN c.doc_id IS NOT NULL THEN 'cluster_representative' ELSE 'unique' END AS keep_reason
+      FROM documents d
+      LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id""")),
 
     QueryDef("doc_simhash", (s, d) => simhash(docs(s, d)), Some(oq("""
       , w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

@@ -71,6 +71,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(distributed === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("dedup keep: cluster representative and untouched docs survive, dups drop") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val text2 = "the quick brown fox jumps over the lazy dog again and again more"
+    val kept = TextOps.dedupKeep(docsDF(
+      (1L, text), (2L, text), (3L, text2),
+      (4L, "completely different words that share no shingles at all with others one two")),
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(kept === Map(1L -> "cluster_representative", 4L -> "unique"))
+  }
+
   test("simhash is identical for identical docs and 16 bits long") {
     val out = TextOps.simhash(docsDF((1L, "a b c d e f"), (2L, "a b c d e f")))
       .select("simhash16").as[String].collect()

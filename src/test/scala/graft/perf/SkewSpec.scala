@@ -1,12 +1,58 @@
 package graft.perf
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
 
 import graft.SparkSpec
 import graft.etl.Warehouse
 
-/** Salted aggregation must agree exactly with the direct aggregation. */
+/** Salted aggregation must agree exactly with the direct aggregation, and
+  * AQE's skew-join handling must actually engage on a hot join key (the
+  * engine's answer for skewed JOINS; salting covers aggregations). */
 class SkewSpec extends SparkSpec {
+
+  test("AQE splits the hot key's join partition, results unchanged") {
+    import spark.implicits._
+    // thresholds shrunk so local-scale data exhibits "100 TB" skew
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4096")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~90% of rows land on key 1 — the viral-product shape. The payload is
+      // per-row-unique (md5) so the hot shuffle partition stays big after
+      // compression, and the post-join aggregate consumes it so column
+      // pruning can't drop it before the exchange. The aggregate is GLOBAL:
+      // a groupBy(k) would reuse the join's hash partitioning, which forbids
+      // AQE from splitting the skewed partition.
+      val left = (1 to 20000)
+        .map(i => (if (i % 10 == 0) (i % 50).toLong else 1L, i)).toDF("k", "i")
+        .withColumn("pad", md5(col("i").cast("string")))
+      val right = (0L to 49L).map(k => (k, s"dim$k")).toDF("k", "name")
+      val joined = left.join(right, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("bytes"))
+      // collect() on this same QueryExecution finalizes the adaptive plan
+      val row = joined.collect().head
+      assert(row.getLong(0) === 20000L && row.getLong(1) === 20000L * 32)
+      // query stages are leaf nodes wrapping their stage plan — recurse into
+      // them or the traversal stops at the ResultQueryStage
+      def skewedReads(p: SparkPlan): Seq[AQEShuffleReadExec] = p.collect {
+        case a: AdaptiveSparkPlanExec => skewedReads(a.executedPlan)
+        case q: QueryStageExec => skewedReads(q.plan)
+        case r: AQEShuffleReadExec if r.hasSkewedPartition => Seq(r)
+      }.flatten
+      assert(skewedReads(joined.queryExecution.executedPlan).nonEmpty,
+        joined.queryExecution.executedPlan.toString)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 
   test("salted sum/count equal direct groupBy results on a skewed key") {
     val w = Warehouse(spark, sfDir)
