@@ -38,4 +38,59 @@ object IncrementalEtl {
     val repaired = Transforms.salesFinal(parsed, w.dimProduct)
     Transforms.factSales(repaired, w.dimProduct, w.dimCustomer)
   }
+
+  /** The month×country summary cells of a fact slice, in mergeable form:
+    * revenue and quantity are algebraic sums; the distinct-invoice count is
+    * kept as an HLL sketch (`hll_sketch_agg`) because a distinct COUNT does
+    * not merge across batches — the sketch is the scale-correct
+    * incremental representation (union of sketches ≡ sketch of the union,
+    * so the maintained estimate is bit-identical to a one-shot build). */
+  def monthCountryCells(fact: DataFrame, dimCustomer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    fact.filter(col("date_key") =!= graft.FallbackDateKey)
+      .join(dimCustomer.select("customer_key", "country"), Seq("customer_key"), "left")
+      .groupBy(graft.monthOfDateKey(col("date_key")).as("month"),
+        coalesce(col("country"), lit("UNKNOWN")).as("country"))
+      .agg(
+        sum("totalamount").as("revenue"),
+        sum("quantity").as("qty"),
+        hll_sketch_agg(col("invoiceid")).as("inv_sketch"))
+  }
+
+  /** Incremental MOLAP maintenance (S8 at scale): keep the month×country
+    * summary table current as fact batches stream in, WITHOUT rebuilding it.
+    * Each micro-batch reduces to its own summary cells first — cost and
+    * shuffle scale with the batch, not the table — then merges into the
+    * stored summary by keyed re-aggregation (sums + HLL union). The merge
+    * re-reads the summary, so it is snapshotted (`localCheckpoint`) before
+    * the overwrite; at warehouse scale the sink would be a transactional
+    * table format's MERGE with the same cell frame. */
+  def maintainMonthCountry(spark: SparkSession, dropDir: String, w: Warehouse,
+      summaryPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    streamingFactLoad(spark, dropDir, w).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cells = monthCountryCells(batch, w.dimCustomer)
+        val fs = new org.apache.hadoop.fs.Path(summaryPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val merged =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(summaryPath))) cells
+          else spark.read.parquet(summaryPath).unionByName(cells)
+            .groupBy("month", "country")
+            .agg(sum("revenue").as("revenue"), sum("qty").as("qty"),
+              hll_union_agg(col("inv_sketch")).as("inv_sketch"))
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(summaryPath)
+        ()
+      }
+  }
+
+  /** Read the maintained summary, estimating the distinct-invoice count from
+    * the maintained sketch. */
+  def readMonthCountry(spark: SparkSession, summaryPath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(summaryPath)
+      .select(col("month"), col("country"), col("revenue"), col("qty"),
+        hll_sketch_estimate(col("inv_sketch")).as("order_count"))
+  }
 }

@@ -25,11 +25,11 @@ object OlapProbe {
     t("q3 two-level") {
       val perInvoice = w.factSalesElt
         .select("customer_key", "date_key", "invoiceid", "totalamount")
-        .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"), "left")
         .groupBy("customer_key", "invoiceid")
-        .agg(sum("totalamount").as("rev"), max("full_date").as("d"))
+        .agg(sum("totalamount").as("rev"), max("date_key").as("k"))
       val perCustomer = perInvoice.groupBy("customer_key")
-        .agg(sum("rev").as("rev"), max("d").as("last_purchase_date"),
+        .agg(sum("rev").as("rev"),
+          graft.dateOfDateKey(max("k")).as("last_purchase_date"),
           count(col("invoiceid")).as("orders"))
       w.dimCustomerElt.select("customer_key", "customerid", "customername")
         .join(perCustomer, Seq("customer_key"), "left")
@@ -40,6 +40,7 @@ object OlapProbe {
           coalesce(col("orders"), lit(0L)).as("order_count"))
     }
     t("q6 current")(graft.olap.Olap.q6(w))
+    t("molap_customer_month cur")(graft.olap.Molap.customerMonth(w))
     spark.stop()
   }
 }

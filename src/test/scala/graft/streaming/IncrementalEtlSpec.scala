@@ -36,4 +36,47 @@ class IncrementalEtlSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     staged.unpersist()
   }
+
+  test("incrementally maintained month×country summary equals the one-shot build") {
+    val w = Warehouse(spark, sfDir)
+    val dropDir = java.nio.file.Files.createTempDirectory("graft_molap_drops").toString
+    val summary = java.nio.file.Files.createTempDirectory("graft_molap_sum").toString + "/mc"
+
+    val staged = Staging.sales(spark, sfDir).limit(2000).cache()
+    val Array(dropA, dropB) = staged.randomSplit(Array(0.5, 0.5), seed = 42)
+    dropA.write.parquet(s"$dropDir/drop_a")
+    dropB.write.parquet(s"$dropDir/drop_b")
+
+    // one file per trigger forces >1 micro-batch, so the merge path runs
+    val query = IncrementalEtl.maintainMonthCountry(spark, s"$dropDir/*", w, summary)
+      .option("maxFilesPerTrigger", "1")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+
+    val maintained = IncrementalEtl.readMonthCountry(spark, summary)
+      .collect().map(r => (r.getDate(0), r.getString(1)) ->
+        ((r.getDecimal(2), r.getLong(3), r.getLong(4)))).toMap
+
+    val batchFact = Transforms.factSales(
+      Transforms.salesFinal(Transforms.salesParsed(staged), w.dimProduct),
+      w.dimProduct, w.dimCustomer)
+    val oneShot = IncrementalEtl.monthCountryCells(batchFact, w.dimCustomer)
+      .select(org.apache.spark.sql.functions.col("month"),
+        org.apache.spark.sql.functions.col("country"),
+        org.apache.spark.sql.functions.col("revenue"),
+        org.apache.spark.sql.functions.col("qty"),
+        org.apache.spark.sql.functions.expr("hll_sketch_estimate(inv_sketch)").as("order_count"))
+      .collect().map(r => (r.getDate(0), r.getString(1)) ->
+        ((r.getDecimal(2), r.getLong(3), r.getLong(4)))).toMap
+
+    assert(maintained.keySet === oneShot.keySet)
+    oneShot.foreach { case (k, (rev, qty, orders)) =>
+      assert(maintained(k)._1.compareTo(rev) === 0, s"revenue mismatch at $k")
+      assert(maintained(k)._2 === qty, s"qty mismatch at $k")
+      assert(maintained(k)._3 === orders, s"order sketch mismatch at $k")
+    }
+    assert(maintained.nonEmpty)
+    staged.unpersist()
+  }
 }
