@@ -69,4 +69,25 @@ object TransformPropertiesSpec extends Properties("transforms") {
         fact.agg(sum("totalamount")).head().getDecimal(0) ==
           sf.agg(sum("totalamount")).head().getDecimal(0)
     }
+
+  private val tsGen: Gen[java.sql.Timestamp] = for {
+    y <- Gen.chooseNum(1970, 2099); mo <- Gen.chooseNum(1, 12); d <- Gen.chooseNum(1, 28)
+    h <- Gen.chooseNum(0, 23); mi <- Gen.chooseNum(0, 59); s <- Gen.chooseNum(0, 59)
+  } yield java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(y, mo, d, h, mi, s))
+
+  // The smart key must be a COVERING encoding of its date parts — the
+  // invariant the dim-join-free OLAP/MOLAP access path rests on.
+  property("smart key round-trips: decode(smartDateKey(ts)) == date/month of ts") =
+    Prop.forAll(Gen.listOfN(12, tsGen)) { tss =>
+      val df = tss.toDF("ts")
+        .withColumn("k", graft.smartDateKey(col("ts")))
+      df.filter(
+        !(graft.dateOfDateKey(col("k")) <=> col("ts").cast("date")) ||
+          !(graft.monthOfDateKey(col("k")) <=> trunc(col("ts"), "month")) ||
+          !(graft.yearOfDateKey(col("k")) <=> year(col("ts"))) ||
+          !(graft.monthNumOfDateKey(col("k")) <=> month(col("ts"))))
+        // the 1970-01-01 00:00:00 second IS the fallback key and decodes to
+        // NULL by design — the one legitimate mismatch
+        .filter(col("k") =!= graft.FallbackDateKey).count() == 0
+    }
 }
