@@ -36,6 +36,24 @@ class PlanQualitySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("a calendar window runs as a pushed date_key range on the materialized fact") {
+    val out = materializedFact
+    val q = spark.read.parquet(s"$out/fact_sales_elt")
+      .filter(graft.dateKeyRange(java.time.LocalDate.of(1996, 1, 1),
+        java.time.LocalDate.of(1996, 3, 31)))
+      .groupBy(graft.dateOfDateKey(col("date_key")).as("full_date"))
+      .agg(sum("totalamount").as("rev"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the whole window reaches the scan as a key range — no dim_date join,
+    // no post-scan date arithmetic in the filter path
+    assert(plan.contains("PushedFilters: [IsNotNull(date_key), GreaterThanOrEqual(date_key,19960101000000)"), plan)
+    // the pushed-filter list is truncated in toString; the data-filter line
+    // carries the upper bound un-truncated
+    assert(plan.contains("<= 19960331235959)"), plan)
+    assert(!plan.contains("Join"), plan)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("top-k uses TakeOrderedAndProject, not a global sort") {
     val plan = graft.olap.Olap.q2(w).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
