@@ -92,6 +92,17 @@ object TextOps extends QueryRegistry {
       size(words).as("ws_tokens"),
       ceil(length(col("text")) / lit(4.0)).cast("long").as("bpe_est_tokens"))
 
+  /** Regex tokenization (the BPE-style pre-tokenizer split): word runs and
+    * single non-space punctuation each count as one token. Narrow per-doc
+    * codegen'd regex — no shuffle; the pattern is ASCII-equivalent between
+    * Java and RE2 regex dialects so the oracle tokenizes identically. */
+  def regexTokens(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(expr("""regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]', 0)"""))
+        .as("n_tokens"),
+      size(expr("""regexp_extract_all(text, '[A-Za-z0-9_]+', 0)""")).as("n_word_tokens"))
+
   /** Document fingerprinting: digest prefix + an ordered rolling md5 chain
     * over the words (order-sensitive, unlike a bag-of-words digest). */
   def fingerprint(docs: DataFrame): DataFrame =
@@ -336,6 +347,12 @@ object TextOps extends QueryRegistry {
       SELECT doc_id,
              len(string_split(text, ' ')) AS ws_tokens,
              CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens
+      FROM documents"""))),
+
+    QueryDef("doc_regex_tokens", (s, d) => regexTokens(docs(s, d)), Some(oq("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS INT) AS n_word_tokens
       FROM documents"""))),
 
     QueryDef("doc_fingerprint", (s, d) => fingerprint(docs(s, d)), Some(oq("""

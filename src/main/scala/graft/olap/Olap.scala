@@ -208,7 +208,40 @@ object Olap extends QueryRegistry {
         col("rev").cast("double").as("revenue"), col("rnk"))
   }
 
+  /** Beyond-parity: customer-value quartiles via NTILE — the BI segmentation
+    * frame (top-25% revenue share etc.). The window runs over the
+    * per-customer AGGREGATE (|customers| rows), never the raw fact; its
+    * global order is NTILE's semantic, so at 100 TB-scale customer counts
+    * the same frame would bucket by approx-percentile boundaries instead
+    * (documented trade: equal-count buckets need a global order). Output is
+    * the 4-row rollup, not the per-customer assignment. */
+  def ltvQuartiles(w: Warehouse): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ltv = w.factSalesElt.groupBy("customer_key")
+      .agg(sum("totalamount").as("ltv"))
+      .join(w.dimCustomerElt.select("customer_key", "customerid"), Seq("customer_key"))
+    ltv
+      .withColumn("quartile",
+        ntile(4).over(Window.orderBy(col("ltv").desc, col("customerid"))))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n_customers"),
+        graft.moneyOut(sum("ltv")).as("revenue"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("olap_ltv_quartiles", (s, dir) => ltvQuartiles(Warehouse(s, dir)), Some(q("""
+      , ltv AS (
+          SELECT c.customerid, sum(f.totalamount) AS ltv
+          FROM fact_sales_elt f
+          JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          GROUP BY 1),
+        bucketed AS (
+          SELECT ltv, CAST(ntile(4) OVER (ORDER BY ltv DESC, customerid) AS INT) AS quartile
+          FROM ltv)
+      SELECT quartile, count(*) AS n_customers,
+             CAST(CAST(sum(ltv) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+      FROM bucketed GROUP BY quartile"""))),
+
     QueryDef("olap_rollup_year_month", (s, dir) => rollupYearMonth(Warehouse(s, dir)), Some(q("""
       SELECT d.year, d.month,
              CAST(sum(f.totalamount) AS DOUBLE) AS revenue,
