@@ -94,8 +94,9 @@ object Bench {
     time("star_join_smj")(Perf.starJoinTop50(w, Some("MERGE")))
     // Spark's only nested-loop strategy is replicate-cartesian (no index-NLJ
     // in a scan-based engine) — unbounded it is O(|fact|·|dim|), so the NLJ
-    // matrix row runs on a 300-row fact sample to stay comparable in shape.
-    time("star_join_nlj_300", reps = 1)(Perf.starJoinTop50NlSample(w, 300))
+    // matrix row runs on a 300-row fact sample to stay comparable in shape
+    // (the sample is cheap enough for the standard best-of-3).
+    time("star_join_nlj_300")(Perf.starJoinTop50NlSample(w, 300))
 
     // DSS vs OLTP (BASELINE: ~1200 ms / ~15 ms).
     time("dss_monthly_country")(Perf.dssMonthlyCountry(w))
