@@ -258,13 +258,24 @@ object TextOps extends QueryRegistry {
         when(col("cluster_id").isNotNull, lit("cluster_representative"))
           .otherwise(lit("unique")).as("keep_reason"))
 
-  /** 16-bit SimHash per document from per-word md5 hex digits.
-    *
-    * Narrow per-document shape: hash each word once, then fold the hash
-    * array per bit position — same values as the exploded
-    * `(word × bit)`-rows formulation (each bit is an order-free ±1 integer
-    * sum), with zero shuffles and 16× fewer md5 evaluations. */
+  /** 16-bit SimHash per document from per-word md5 hex digits, via the
+    * native [[org.apache.spark.sql.graft.SimHash16]] kernel — one codegen'd
+    * call per row, zero shuffles. Values are bit-identical to
+    * [[simhashHof]] (spec-asserted) and to the oracle's exploded
+    * `(word × bit)` SQL (each bit is an order-free ±1 integer sum). */
   def simhash(docs: DataFrame): DataFrame = {
+    val ge = org.apache.spark.sql.graft.expressions
+    spread(docs).select(col("doc_id"),
+      ge.column(org.apache.spark.sql.graft.SimHash16(ge.expression(col("text"))))
+        .as("simhash16"))
+  }
+
+  /** The composable-HOF formulation of [[simhash]] (hash each word, fold the
+    * hash array per bit). Semantically identical; kept as the executable
+    * specification the native kernel is tested against — HOFs run
+    * interpreted (CodegenFallback), which is why the hot path uses the
+    * kernel. */
+  def simhashHof(docs: DataFrame): DataFrame = {
     val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     spread(docs)
       .select(col("doc_id"), transform(words, w => md5(w)).as("hs"))

@@ -18,7 +18,8 @@ object TextProbe {
       println(f"[probe] $label%-24s cold ${times.head}%8.2f s   warm ${times.last}%8.2f s")
     }
     val docs = graft.llm.TextOps.docs(spark, dir)
-    t("simhash")(graft.llm.TextOps.simhash(docs))
+    t("simhash (native)")(graft.llm.TextOps.simhash(docs))
+    t("simhash (hof)")(graft.llm.TextOps.simhashHof(docs))
     t("fingerprint")(graft.llm.TextOps.fingerprint(docs))
     t("minhash_pairs")(graft.llm.TextOps.minhashPairs(docs))
     t("dedup_clusters")(graft.llm.TextOps.dedupClusters(docs))

@@ -75,6 +75,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(q.head().getDouble(0) > 0.0)
   }
 
+  test("the native simhash kernel runs inside whole-stage codegen") {
+    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val q = graft.llm.TextOps.simhash(graft.llm.TextOps.docs(spark, sfDir))
+    q.collect() // the spread repartition makes the plan adaptive — finalize it
+    def codegenWithKernel(p: SparkPlan): Boolean = p.exists {
+      case a: AdaptiveSparkPlanExec => codegenWithKernel(a.executedPlan)
+      case s: QueryStageExec => codegenWithKernel(s.plan)
+      case w: WholeStageCodegenExec => w.toString.contains("simhash16")
+      case _ => false
+    }
+    assert(codegenWithKernel(q.queryExecution.executedPlan),
+      q.queryExecution.executedPlan.toString)
+  }
+
   test("star join broadcasts every dim and aggregates map-side before the shuffle") {
     val df = graft.perf.Perf.starJoinTop50(w)
     df.collect() // executes THIS QueryExecution, so AQE finalizes in place

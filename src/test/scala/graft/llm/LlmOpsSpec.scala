@@ -89,6 +89,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.head.length === 16 && out.head.forall(c => c == '0' || c == '1'))
   }
 
+  test("native simhash kernel is bit-identical to the HOF formulation on real docs") {
+    val docs = TextOps.docs(spark, sfDir).select("doc_id", "text")
+      // edge shapes the corpus may lack: empty string, double/trailing spaces
+      .union(docsDF((100001L, ""), (100002L, "a  b "), (100003L, " leading"))
+        .select("doc_id", "text"))
+    val native = TextOps.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hof = TextOps.simhashHof(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native === hof)
+    assert(native.nonEmpty)
+  }
+
   test("token count: whitespace tokens and chars/4 estimate") {
     val r = TextOps.tokenCount(docsDF((1L, "one two three"))).head()
     assert(r.getInt(1) === 3)
