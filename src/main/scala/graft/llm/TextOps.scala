@@ -122,36 +122,50 @@ object TextOps extends QueryRegistry {
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands × 2 rows
 
+  /** Per-doc 3-word shingle arrays; <3-word docs drop (no shingles → no
+    * signature, matching the oracle). */
+  def shingles(docs: DataFrame): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), shingleArr.as("shs"))
+      .filter(size(col("shs")) > 0)
+
+  /** The signature stage as an exploded `groupBy(doc_id).agg(min(md5))` —
+    * the executable specification [[org.apache.spark.sql.graft.MinHashSigs]]
+    * is tested bit-identical against. Historical shapes, slowest first:
+    * `array_min(transform(...))` folds ran interpreted (HOFs are
+    * CodegenFallback, ~3× slower end-to-end at sf0.1); this exploded form
+    * keeps md5 codegen'd but pays the row explosion plus a shuffle of k
+    * hashes per document; the native kernel does one codegen'd pass per
+    * document with zero extra rows and zero shuffle. */
+  def minhashSigsExploded(shingled: DataFrame): DataFrame = {
+    val minCols = (0 until NumHashes).map(h =>
+      min(md5(concat(lit(s"$h:"), col("sgl")))).as(s"mh$h"))
+    shingled
+      .select(col("doc_id"), explode(col("shs")).as("sgl"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+  }
+
   /** MinHash-LSH near-dup candidates with exact-Jaccard verification.
-    * Pipeline: shingle → k md5-minhashes → band keys → equi-self-join on
-    * (band, band_key) → candidate pairs → Jaccard on shingle sets.
-    *
-    * The signature stage explodes shingles to rows and takes the k per-hash
-    * minima with a plain `groupBy(doc_id).agg(min(md5(h:shingle)))`: every
-    * md5 is a codegen'd native expression and the aggregate does map-side
-    * partial combine, so the one shuffle moves only k hashes per document.
-    * The earlier array-fold form (`array_min(transform(...))`) avoided the
-    * shuffle but ran every hash through interpreted `CodegenFallback` HOF
-    * eval — ~3× slower end-to-end at sf0.1 despite the extra exchange. */
+    * Pipeline: shingle → k-way native minhash signature (one codegen'd
+    * kernel call per document — no explode, no shuffle; see
+    * [[minhashSigsExploded]] for the history) → band keys → equi-self-join
+    * on (band, band_key) → candidate pairs → Jaccard on shingle sets. */
   def minhashPairs(docs: DataFrame): DataFrame = {
     // Two physical-plan guards that dominate wall-clock (profiled at sf0.1):
     //  - the single-file scan must be spread across cores (see `spread`);
     //  - the band self-join and the two Jaccard-verify joins would otherwise
     //    recompute the shingle pipeline once per reference — cache the
     //    shingled docs so it runs once.
-    val shingled = spread(docs)
-      .select(col("doc_id"), shingleArr.as("shs"))
-      .filter(size(col("shs")) > 0) // <3-word docs have no shingles → no signature (matches oracle)
-      .cache()
-    val minCols = (0 until NumHashes).map(h =>
-      min(md5(concat(lit(s"$h:"), col("sgl")))).as(s"mh$h"))
-    val sigs = shingled
-      .select(col("doc_id"), explode(col("shs")).as("sgl"))
-      .groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
+    val shingled = shingles(docs).cache()
+    val ge = org.apache.spark.sql.graft.expressions
+    val sigs = shingled.select(col("doc_id"),
+      ge.column(org.apache.spark.sql.graft.MinHashSigs(ge.expression(col("shs")), NumHashes))
+        .as("mh"))
     val bandStructs = (0 until NumHashes / BandSize).map(b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until BandSize).map(r => col(s"mh${b * BandSize + r}")): _*))
+        md5(concat_ws("|",
+          (0 until BandSize).map(r => element_at(col("mh"), b * BandSize + r + 1)): _*))
           .as("band_key")))
     val bands = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))

@@ -89,6 +89,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.head.length === 16 && out.head.forall(c => c == '0' || c == '1'))
   }
 
+  test("native minhash signatures equal the exploded groupBy-min formulation") {
+    val ge = org.apache.spark.sql.graft.expressions
+    val shingled = TextOps.shingles(TextOps.docs(spark, sfDir).select("doc_id", "text")
+      .union(docsDF((200001L, "a b c"), (200002L, "x y z w v")).select("doc_id", "text")))
+    val kernel = shingled.select(col("doc_id"),
+      ge.column(org.apache.spark.sql.graft.MinHashSigs(ge.expression(col("shs")), 8)).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val exploded = TextOps.minhashSigsExploded(shingled)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i))).toMap
+    assert(kernel.keySet === exploded.keySet)
+    exploded.foreach { case (id, sig) => assert(kernel(id) === sig, s"doc $id") }
+    assert(kernel.nonEmpty)
+  }
+
   test("native simhash kernel is bit-identical to the HOF formulation on real docs") {
     val docs = TextOps.docs(spark, sfDir).select("doc_id", "text")
       // edge shapes the corpus may lack: empty string, double/trailing spaces
