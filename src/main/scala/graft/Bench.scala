@@ -122,6 +122,23 @@ object Bench {
     // vs full flat scan of the same data.
     val base = java.nio.file.Files.createTempDirectory("graft_bench").toString
     try {
+      // Bucketed+sorted access path for the OLTP point lookup — the honest
+      // index analog (reference R2's B-tree on invoiceid): bucket pruning
+      // reads 1 of 32 buckets and the sorted files give row-group min/max
+      // skipping inside it. The residual gap vs an indexed point read is
+      // Spark's fixed per-query planning overhead (documented in COVERAGE.md).
+      graft.sources.Sources.bucketTable(
+        w.factSalesElt, "bench_fact_by_invoice", buckets = 32, key = "invoiceid",
+        sortBy = Seq("invoiceid"), path = Some(s"$base/fact_by_invoice"))
+      val inv = w.minInvoiceId
+      time("oltp_invoice_lookup_bucketed")(
+        spark.table("bench_fact_by_invoice")
+          .filter(col("invoiceid") === lit(inv))
+          .join(w.dimDate.select("date_key", "full_date"), Seq("date_key"), "left")
+          .select(col("invoiceid"), col("stockcode"), col("customerid"),
+            col("linenumber"), col("quantity"),
+            col("totalamount").cast("double").as("totalamount"), col("full_date")))
+
       val withYear = w.factSalesElt.withColumn("year", graft.yearOfDateKey(col("date_key")))
       withYear.write.mode("overwrite").partitionBy("year").parquet(s"$base/fact_by_year")
       withYear.write.mode("overwrite").parquet(s"$base/fact_flat")
@@ -149,10 +166,16 @@ object Bench {
       }
 
       // Materialized view vs direct aggregation (R9; BASELINE 0.261→0.105 s).
+      // The month group key decodes arithmetically from the smart key — the
+      // same covering-key access path the MOLAP builds use; joining the
+      // row-per-second dateMonth frame for a month digit was the engine's own
+      // anti-pattern (VERDICT r5). The fallback-key filter reproduces the row
+      // set the inner dim join produced.
       val mv = w.factSalesElt.select("date_key", "product_key", "totalamount")
-        .join(Molap.dateMonth(w), Seq("date_key"))
+        .filter(col("date_key") =!= graft.FallbackDateKey)
         .join(w.dimProduct.select("product_key", "category"), Seq("product_key"))
-        .groupBy("month", "category").agg(sum("totalamount").as("rev"))
+        .groupBy(graft.monthOfDateKey(col("date_key")).as("month"), col("category"))
+        .agg(sum("totalamount").as("rev"))
       mv.write.mode("overwrite").parquet(s"$base/mv_month_category")
       time("mv_direct_agg")(mv)
       time("mv_precomputed_read")(
@@ -181,13 +204,24 @@ object Bench {
       time("events_attribution")(graft.streaming.EventOps.attribution(events))
       time("olap_pivot_month_year")(graft.olap.Olap.pivotMonthYear(w))
     } finally {
+      try spark.sql("DROP TABLE IF EXISTS bench_fact_by_invoice")
+      catch { case _: Throwable => () }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }
 
     val qs = (results.map { case (k, v) => s""""$k":$v""" } ++
       Seq(s""""warehouse_build":$buildSec""")).mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Machine-readable copy: sbt wraps stdout in [info] prefixes, which broke
+    // the driver's JSON parse every round (BENCH_r*.json "parsed": null) —
+    // also drop the line in a file next to the repo for anything that wants
+    // the raw JSON without scraping logs.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -51,6 +51,67 @@ object Errors extends QueryRegistry {
   def errorSummary(w: Warehouse): DataFrame =
     rejectFlags(w).groupBy("error_message").agg(count(lit(1)).as("n"))
 
+  // ---------------------------------------------------------------- ELT side
+
+  /** Parsed smart key of a RAW staging date string (the ELT audit joins
+    * dim_date on this — the in-warehouse parse the ELT pipeline applies). */
+  private def rawDateKey = smartDateKey(dualTimestamp("saledate"))
+
+  /** The reference's format probe: the raw date string starts like either
+    * accepted format (`^\d{4}-` ISO / `^\d{2}/` day-first). */
+  private def looksDated =
+    trim(col("saledate")).rlike("^[0-9]{4}-") || trim(col("saledate")).rlike("^[0-9]{2}/")
+
+  /** ELT-side reject audit (reference `Iteration 1/Group No.6_ELT.sql:297-324`):
+    * unlike the ETL audit over the cleaned feed ([[rejectFlags]]), the ELT
+    * pipeline cleans in-warehouse, so its reject log probes the RAW staging
+    * rows (non-blank invoice) against the ELT dims, with the reference's
+    * prioritized reason strings. Each probe is a broadcast equi-join on the
+    * trimmed natural key at scale. */
+  private def eltRejectFlags(w: Warehouse): DataFrame =
+    w.stgSales
+      .filter(nonBlank("invoiceid"))
+      .join(w.dimProduct.select(col("stockcode").as("p_code"), col("product_key")),
+        trim(col("stockcode")) === col("p_code"), "left")
+      .join(w.dimCustomerElt.select(col("customerid").as("c_id"), col("customer_key")),
+        trim(col("customerid")) === col("c_id"), "left")
+      .join(w.dimDate.select(col("date_key").as("d_key")), rawDateKey === col("d_key"), "left")
+      .filter(col("product_key").isNull || col("customer_key").isNull || col("d_key").isNull)
+      .withColumn("error_message",
+        when(col("product_key").isNull && col("customer_key").isNull,
+          lit("Missing product AND customer mapping"))
+          .when(col("product_key").isNull, lit("Missing product mapping"))
+          .when(col("customer_key").isNull, lit("Missing customer mapping"))
+          .when(looksDated && rawDateKey.isNull,
+            lit("Missing date mapping (no matching dim_date_elt)"))
+          .otherwise(lit("Other mapping issue")))
+
+  /** Full ELT reject frame (engine API): `source_table`, JSON `source_row`
+    * of the raw staging row, `error_message`, `created_at` — the Spark form
+    * of `INSERT INTO staging.elt_errors` (reference `:297-301`). */
+  def eltErrors(w: Warehouse): DataFrame =
+    eltRejectFlags(w).select(
+      lit("dw.raw_sales_raw").as("source_table"),
+      to_json(struct(
+        col("invoiceid"), col("stockcode"), col("customerid"), col("saledate"),
+        col("quantity"), col("unitprice"), col("totalamount"), col("linenumber")))
+        .as("source_row"),
+      col("error_message"),
+      current_timestamp().as("created_at"))
+
+  /** ELT reject counts by reason. */
+  def eltErrorSummary(w: Warehouse): DataFrame =
+    eltRejectFlags(w).groupBy("error_message").agg(count(lit(1)).as("n"))
+
+  /** The ELT-rejected natural keys (trimmed — the identity the dims key on). */
+  def eltRejectedRows(w: Warehouse): DataFrame =
+    eltRejectFlags(w).select(
+      trim(col("invoiceid")).as("invoiceid"),
+      trim(col("stockcode")).as("stockcode"),
+      trim(col("customerid")).as("customerid"),
+      expr("try_cast(linenumber AS INT)").as("linenumber"),
+      col("error_message"))
+
   /** The rejected natural keys (deterministic identity of the reject set). */
   def rejectedRows(w: Warehouse): DataFrame =
     rejectFlags(w).select("invoiceid", "stockcode", "customerid", "linenumber", "error_message")
@@ -77,7 +138,42 @@ object Errors extends QueryRegistry {
       LEFT JOIN dim_date d ON CAST(strftime(s.sale_ts, '%Y%m%d%H%M%S') AS BIGINT) = d.date_key
       WHERE p.product_key IS NULL OR c.customer_key IS NULL OR d.date_key IS NULL"""
 
+  /** Oracle form of the raw-date smart key (same coalesce(try, try) parse the
+    * sales_parsed CTE uses — equivalent to the engine's dispatch, see
+    * [[graft.dualTimestamp]]). */
+  private val rawKeySql =
+    """CAST(strftime(coalesce(try_strptime(trim(rs.saledate), '%Y-%m-%d %H:%M:%S'),
+                              try_strptime(trim(rs.saledate), '%d/%m/%Y %H:%M:%S')),
+                     '%Y%m%d%H%M%S') AS BIGINT)"""
+
+  private val eltRejectSql = s"""
+      SELECT trim(rs.invoiceid) AS invoiceid, trim(rs.stockcode) AS stockcode,
+             trim(rs.customerid) AS customerid, try_cast(rs.linenumber AS INT) AS linenumber,
+             CASE
+               WHEN p.product_key IS NULL AND c.customer_key IS NULL THEN 'Missing product AND customer mapping'
+               WHEN p.product_key IS NULL THEN 'Missing product mapping'
+               WHEN c.customer_key IS NULL THEN 'Missing customer mapping'
+               WHEN (regexp_matches(trim(rs.saledate), '^[0-9]{4}-') OR regexp_matches(trim(rs.saledate), '^[0-9]{2}/'))
+                    AND $rawKeySql IS NULL
+                 THEN 'Missing date mapping (no matching dim_date_elt)'
+               ELSE 'Other mapping issue'
+             END AS error_message
+      FROM stg_sales rs
+      LEFT JOIN dim_product p ON trim(rs.stockcode) = p.stockcode
+      LEFT JOIN dim_customer_elt c ON trim(rs.customerid) = c.customerid
+      LEFT JOIN dim_date d ON $rawKeySql = d.date_key
+      WHERE coalesce(trim(rs.invoiceid), '') <> ''
+        AND (p.product_key IS NULL OR c.customer_key IS NULL OR d.date_key IS NULL)"""
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("elt_error_summary", (s, dir) => eltErrorSummary(Warehouse(s, dir)), Some(q(s"""
+      , elt_rejects AS ($eltRejectSql)
+      SELECT error_message, count(*) AS n FROM elt_rejects GROUP BY error_message"""))),
+
+    QueryDef("elt_rejected_rows", (s, dir) => eltRejectedRows(Warehouse(s, dir)), Some(q(s"""
+      , elt_rejects AS ($eltRejectSql)
+      SELECT invoiceid, stockcode, customerid, linenumber, error_message FROM elt_rejects"""))),
+
     QueryDef("etl_error_summary", (s, dir) => errorSummary(Warehouse(s, dir)), Some(q(s"""
       , rejects AS ($rejectSql)
       SELECT error_message, count(*) AS n FROM rejects GROUP BY error_message"""))),

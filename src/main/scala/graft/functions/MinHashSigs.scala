@@ -45,6 +45,16 @@ object MinHashKernel {
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
+  // the k prefix byte arrays ("0:", "1:", …) are identical for every row of
+  // an expression with the same k — building them per row was a per-row
+  // allocation (format + UTF-8 encode × k) in a kernel whose whole point is
+  // per-row throughput
+  private val prefixCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+
+  private def prefixesFor(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k,
+      kk => Array.tabulate(kk)(h => s"$h:".getBytes(StandardCharsets.UTF_8)))
+
   private val hexChars = "0123456789abcdef".toCharArray
 
   private def hex(d: Array[Byte]): UTF8String = {
@@ -75,7 +85,7 @@ object MinHashKernel {
     * shingle-less docs out before signing, matching the oracle). */
   def compute(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
-    val prefixes = Array.tabulate(k)(h => s"$h:".getBytes(StandardCharsets.UTF_8))
+    val prefixes = prefixesFor(k)
     val mins = new Array[Array[Byte]](k)
     val md = digests.get()
     var i = 0

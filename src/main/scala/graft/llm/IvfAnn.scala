@@ -103,11 +103,12 @@ object IvfAnn {
   }
 }
 
-/** Registry. The k-means rows stay rows-only (Lloyd iterations are not
-  * reasonably oracle-expressible; IvfAnnSpec covers determinism + recall),
-  * but the seed-quantizer assignment — `train(iters = 0)`, i.e. argmin
-  * squared distance to the k smallest-vec_id embeddings — IS expressible,
-  * so the IVF assignment path gets a real hash-checked row. */
+/** Registry. The assignment path is hash-checked twice: the seed quantizer
+  * (`train(iters = 0)` — argmin squared distance to the k smallest-vec_id
+  * embeddings) and the full fixed 2-iteration Lloyd path, unrolled as chained
+  * DuckDB CTEs. Only `emb_ivf_search` stays rows-only (its probe + re-rank
+  * SQL on top of the unrolled training gets unwieldy); IvfAnnSpec covers its
+  * determinism + recall. */
 object IvfAnnQueries extends QueryRegistry {
 
   private val K = 16
@@ -133,6 +134,53 @@ object IvfAnnQueries extends QueryRegistry {
         FROM dists)
       SELECT vec_id, cid AS centroid_id FROM ranked WHERE rn = 1"""
 
+  /** One argmin-assignment pass against centroid CTE `cents` (double lists),
+    * producing `<name>` = (vec_id, cid). Mirrors `IvfAnn.nearest`: strict-<
+    * scan == ORDER BY (distance, cid). */
+  private def assignCtes(cents: String, name: String): String = s"""
+      ${name}_d AS (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_sum([$sqlDiffSq FOR i IN generate_series(1, $Dim)]), c.cid) AS rn
+        FROM embeddings e CROSS JOIN $cents c),
+      $name AS (SELECT vec_id, cid FROM ${name}_d WHERE rn = 1)"""
+
+  /** One Lloyd mean update from assignment `assign` over previous centroids
+    * `prev`, producing `<name>` = (cid, ce): per-dimension avg of the
+    * assigned vectors; a centroid with an empty list keeps its previous
+    * coordinates (exactly `IvfAnn.train`'s cell-preserving update — when a
+    * cid has any vector, all $Dim dims are present). */
+  private def meanCtes(assign: String, prev: String, name: String): String = s"""
+      ${name}_m AS (
+        SELECT a.cid, t.i AS pos, avg(CAST(e.embedding[t.i] AS DOUBLE)) AS m
+        FROM $assign a
+        JOIN embeddings e ON a.vec_id = e.vec_id
+        CROSS JOIN generate_series(1, $Dim) t(i)
+        GROUP BY a.cid, t.i),
+      $name AS (
+        SELECT p.cid, coalesce(mm.ce, p.ce) AS ce
+        FROM $prev p
+        LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS ce FROM ${name}_m GROUP BY cid) mm
+               ON p.cid = mm.cid)"""
+
+  /** The fixed 2-iteration Lloyd path unrolled as chained CTEs:
+    * seed → assign → mean → assign → mean → final assign. Deterministic by
+    * the same construction as the Scala kernel (smallest-vec_id seeds, fixed
+    * iteration count, lower-cid tie-break); the only cross-engine freedom is
+    * double-summation order inside `avg`, ~1e-13 relative — far below the
+    * centroid separation that decides an argmin. */
+  private val lloyd2Oracle = s"""
+      WITH seeds AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               [CAST(embedding[i] AS DOUBLE) FOR i IN generate_series(1, $Dim)] AS ce
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $K) s),
+      ${assignCtes("seeds", "a1")},
+      ${meanCtes("a1", "seeds", "c1")},
+      ${assignCtes("c1", "a2")},
+      ${meanCtes("a2", "c1", "c2")},
+      ${assignCtes("c2", "a3")}
+      SELECT vec_id, cid AS centroid_id FROM a3"""
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("emb_ivf_seed_assignments", (s, d) => {
       val e = EmbeddingOps.emb(s, d)
@@ -141,7 +189,7 @@ object IvfAnnQueries extends QueryRegistry {
     QueryDef("emb_ivf_assignments", (s, d) => {
       val e = EmbeddingOps.emb(s, d)
       IvfAnn.assignments(e, IvfAnn.train(e))
-    }, None),
+    }, Some(lloyd2Oracle)),
     QueryDef("emb_ivf_search", (s, d) => {
       val e = EmbeddingOps.emb(s, d)
       IvfAnn.search(e, IvfAnn.train(e))

@@ -42,7 +42,12 @@ object TextOps extends QueryRegistry {
   private def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val files = df.inputFiles.length
-    if (files > 0 && files < par) df.repartition(par) else df
+    // 0 files = not file-backed (in-memory/derived frame): the file index
+    // says nothing, so fall back to the physical partition count — that probe
+    // costs a plan, but only on the non-file path a single-partition
+    // localized corpus would otherwise run un-spread on one core.
+    val parts = if (files > 0) files else df.rdd.getNumPartitions
+    if (parts < par) df.repartition(par) else df
   }
 
   private val words = split(col("text"), " ")

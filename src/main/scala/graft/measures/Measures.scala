@@ -35,6 +35,17 @@ object Measures extends QueryRegistry {
 
   private def fact(w: Warehouse): DataFrame = w.factSalesElt
 
+  /** §1 under a country slicer — the DAX filter-context path ([[sliced]])
+    * exercised end-to-end: the slicer column joins onto the fact, the
+    * predicate applies in [[sliced]], then the unchanged measure evaluates in
+    * that context (the reference dashboard's slicer interactivity,
+    * `Iteration 4/Group No.6_Insights_Report.docx` "Interactivity"). */
+  def totalRevenueSlicedByCountry(w: Warehouse, country: String): DataFrame = {
+    val withSlicerCol = w.factSalesElt
+      .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+    totalRevenue(sliced(w.copy(factSalesElt = withSlicerCol), col("country") === country))
+  }
+
   /** §1 Total Revenue. */
   def totalRevenue(w: Warehouse): DataFrame =
     fact(w).agg(sum("totalamount").cast("double").as("total_revenue"))
@@ -156,6 +167,13 @@ object Measures extends QueryRegistry {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_total_revenue", (s, d) => totalRevenue(Warehouse(s, d)), Some(q(
       "SELECT CAST(sum(totalamount) AS DOUBLE) AS total_revenue FROM fact_sales_elt"))),
+
+    QueryDef("m01_total_revenue_france",
+      (s, d) => totalRevenueSlicedByCountry(Warehouse(s, d), "France"), Some(q("""
+      SELECT CAST(sum(f.totalamount) AS DOUBLE) AS total_revenue
+      FROM fact_sales_elt f
+      LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+      WHERE c.country = 'France'"""))),
 
     QueryDef("m02_total_orders", (s, d) => totalOrders(Warehouse(s, d)), Some(q(
       "SELECT count(DISTINCT invoiceid) AS total_orders FROM fact_sales_elt"))),

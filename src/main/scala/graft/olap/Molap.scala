@@ -61,16 +61,22 @@ object Molap extends QueryRegistry {
       .join(w.dimProduct.select("product_key", "stockcode", "description"), Seq("product_key"))
       .select("month", "stockcode", "description", "revenue", "total_qty", "avg_unitprice")
 
-  /** MOLAP 3: customer monthly revenue (only months with sales). */
+  /** MOLAP 3: customer monthly revenue (only months with sales). Like
+    * [[monthProduct]], aggregates on the narrow surrogate key first and joins
+    * `customerid` onto the 13k-group result — the string never rides the
+    * fact-sized shuffle (nor the count-distinct expansion on it), and the
+    * inner join drops dim-miss groups exactly as the pre-join form dropped
+    * dim-miss rows (customer_key ↔ customerid is 1:1 in the deduped dim). */
   def customerMonth(w: Warehouse): DataFrame =
     w.factSalesElt.select("date_key", "customer_key", "invoiceid", "totalamount", "quantity")
       .filter(col("date_key") =!= graft.FallbackDateKey)
-      .join(w.dimCustomerElt.select("customer_key", "customerid"), Seq("customer_key"))
-      .groupBy(keyMonth, col("customerid"))
+      .groupBy(keyMonth, col("customer_key"))
       .agg(
         sum("totalamount").cast("double").as("revenue"),
         count_distinct(col("invoiceid")).as("orders"),
         sum("quantity").as("total_quantity"))
+      .join(w.dimCustomerElt.select("customer_key", "customerid"), Seq("customer_key"))
+      .select("month", "customerid", "revenue", "orders", "total_quantity")
 
   /** MOLAP 4: top-10 products over the last 3 months (the `>=`-window
     * variant of OLAP Q2 — reference `Iteration 2/Group No.6_MOLAP.sql:82-103`). */

@@ -109,12 +109,14 @@ package object graft {
   /** The inclusive `date_key` interval covering calendar dates `[lo, hi]` —
     * the pushdown form of a `full_date BETWEEN lo AND hi` filter (P6/J5):
     * a plain scan-level range on the sort/partition column, no dim join.
-    * Excludes the fallback key by construction (real keys start at year
-    * 1000+). */
+    * The explicit `=!= FallbackDateKey` conjunct keeps the dim_date-join
+    * semantics (the fallback key has no dim row) even for ranges spanning
+    * 1970-01-01 — for modern ranges it is a single always-true long compare
+    * on rows that already passed the range. */
   def dateKeyRange(lo: java.time.LocalDate, hi: java.time.LocalDate): Column = {
     def k(d: java.time.LocalDate): Long =
       d.getYear * 10000000000L + d.getMonthValue * 100000000L + d.getDayOfMonth * 1000000L
-    col("date_key").between(k(lo), k(hi) + 235959L)
+    col("date_key").between(k(lo), k(hi) + 235959L) && col("date_key") =!= FallbackDateKey
   }
 
   /** DAX DIVIDE: null-safe division (Iteration 4 measures 3-7). */

@@ -51,9 +51,10 @@ object Sources {
     * fact⋈fact / fact⋈big-dim join into a local merge. Catalog-backed
     * (`saveAsTable`) because bucket metadata lives in the table catalog. */
   def bucketTable(df: DataFrame, name: String, buckets: Int, key: String,
-                  sortBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
-    (if (sortBy.nonEmpty) w.sortBy(sortBy.head, sortBy.tail: _*) else w)
+                  sortBy: Seq[String] = Nil, path: Option[String] = None): Unit = {
+    val w0 = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    val w1 = path.fold(w0)(p => w0.option("path", p)) // external table when given
+    (if (sortBy.nonEmpty) w1.sortBy(sortBy.head, sortBy.tail: _*) else w1)
       .saveAsTable(name)
   }
 

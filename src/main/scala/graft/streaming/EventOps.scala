@@ -135,14 +135,18 @@ object EventOps extends QueryRegistry {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         expr("ts div 1000").as("p_us"))
+    // the click leg renames its key (as streamingAttribution does): both legs
+    // resolve against the same source relation, and `purchases("user_id") ===
+    // clicks("user_id")` is the ambiguous self-join reference Spark warns is
+    // trivially true — the rename makes the join condition unambiguous
     val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id"), expr("ts div 1000").as("c_us"))
+      .select(col("user_id").as("c_user"), expr("ts div 1000").as("c_us"))
     purchases
       .join(clicks,
-        purchases("user_id") === clicks("user_id") &&
+        col("user_id") === col("c_user") &&
           col("c_us") > col("p_us") - AttrWindowUs && col("c_us") <= col("p_us"),
         "left")
-      .groupBy(col("purchase_id"), purchases("user_id").as("user_id"), col("p_us"))
+      .groupBy(col("purchase_id"), col("user_id"), col("p_us"))
       .agg(count(col("c_us")).as("n_clicks_30m"),
         max(col("c_us")).as("last_c_us"))
       .select(

@@ -62,9 +62,12 @@ object IncrementalEtl {
     * Each micro-batch reduces to its own summary cells first — cost and
     * shuffle scale with the batch, not the table — then merges into the
     * stored summary by keyed re-aggregation (sums + HLL union). The merge
-    * re-reads the summary, so it is snapshotted (`localCheckpoint`) before
-    * the overwrite; at warehouse scale the sink would be a transactional
-    * table format's MERGE with the same cell frame. */
+    * re-reads the summary, so the merged cells are written to a sibling temp
+    * path first and swapped in with a delete + rename — the stored summary is
+    * never the input and the output of the same job, and a crash mid-merge
+    * leaves either the old summary or both directories on disk (recoverable),
+    * never a half-written one. At warehouse scale the sink would be a
+    * transactional table format's MERGE with the same cell frame. */
   def maintainMonthCountry(spark: SparkSession, dropDir: String, w: Warehouse,
       summaryPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions._
@@ -72,15 +75,21 @@ object IncrementalEtl {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val cells = monthCountryCells(batch, w.dimCustomer)
-        val fs = new org.apache.hadoop.fs.Path(summaryPath)
-          .getFileSystem(spark.sessionState.newHadoopConf())
+        val dest = new org.apache.hadoop.fs.Path(summaryPath)
+        val tmp = new org.apache.hadoop.fs.Path(summaryPath + ".tmp")
+        val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
         val merged =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(summaryPath))) cells
+          if (!fs.exists(dest)) cells
           else spark.read.parquet(summaryPath).unionByName(cells)
             .groupBy("month", "country")
             .agg(sum("revenue").as("revenue"), sum("qty").as("qty"),
               hll_union_agg(col("inv_sketch")).as("inv_sketch"))
-        merged.localCheckpoint(true).write.mode("overwrite").parquet(summaryPath)
+        // write-then-swap: the job reads `dest` while writing `tmp`, so no
+        // snapshot of the input is needed and the window where `dest` is
+        // absent is a single metadata rename, not a whole job
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(dest)) fs.delete(dest, true)
+        fs.rename(tmp, dest)
         ()
       }
   }

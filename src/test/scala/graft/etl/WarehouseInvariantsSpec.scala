@@ -64,4 +64,21 @@ class WarehouseInvariantsSpec extends SparkSpec {
       .filter(graft.smartDateKey(col("full_datetime")) =!= col("date_key")).count()
     assert(bad === 0)
   }
+
+  test("the fallback date key never appears in dim_date") {
+    // Every `date_key =!= FallbackDateKey` filter in the OLAP/MOLAP layer
+    // reproduces an inner dim_date join ONLY under this invariant: if the ts
+    // domain ever contained 1970-01-01 00:00:00, dim_date would carry the
+    // fallback key and the reference join would keep rows the filter drops.
+    assert(w.dimDate.filter(col("date_key") === graft.FallbackDateKey).count() === 0)
+  }
+
+  test("ELT reject audit: reasons account for real ELT-dim misses") {
+    val rejects = Errors.eltRejectedRows(w)
+    assert(rejects.count() > 0) // the synthetic dirty data always produces rejects
+    // every 'Missing customer mapping' row is genuinely absent from the ELT dim
+    val matched = rejects.filter(col("error_message") === "Missing customer mapping")
+      .join(w.dimCustomerElt, Seq("customerid"), "left_semi")
+    assert(matched.count() === 0)
+  }
 }
