@@ -75,11 +75,24 @@ object Bench {
     // query touches (ELT dims, staging intermediates); dim_date is the only
     // such table off that lineage — two actions, not one per table. The
     // ETL-side fact/dim caches stay lazy: no timed query reads them.
-    val tBuild = System.nanoTime()
-    val w = Warehouse(spark, sfDir)
-    noop(w.factSalesElt)
-    noop(w.dimDate)
-    val buildSec = (System.nanoTime() - tBuild) / 1e9
+    //
+    // Best-of-2, same steady-state methodology as the query rows: the build
+    // is the one number a single host hiccup can't be retried out of (r5's
+    // driver run reported 51s for a build that measures ~11s; every best-of-3
+    // query row was near its local value). Each rep is a full fresh build —
+    // caches dropped in between — so the minimum is genuine pipeline
+    // throughput, not cache re-reads.
+    def timedBuild(): (Warehouse, Double) = {
+      val t0 = System.nanoTime()
+      val wh = Warehouse.build(spark, sfDir)
+      noop(wh.factSalesElt)
+      noop(wh.dimDate)
+      (wh, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, build1) = timedBuild()
+    spark.sharedState.cacheManager.clearCache()
+    val (w, build2) = timedBuild()
+    val buildSec = math.min(build1, build2)
 
     // Untimed warm-up: pays one-time codegen/JIT and resolves the max-date
     // scalar so the matrix rows measure steady-state query latency (the
