@@ -120,7 +120,9 @@ object EmbeddingOps extends QueryRegistry {
   private def sqlDot(a: String, b: String): String =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN generate_series(1, $Dim)])"
 
-  private def sqlCos(a: String, b: String): String =
+  /** Oracle-side cosine over float lists — the DuckDB mirror of [[cosine]]
+    * (bit-identical fold order; shared with the IVF search oracle). */
+  private[llm] def sqlCos(a: String, b: String): String =
     s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
   private def sqlBit(j: Int): String =

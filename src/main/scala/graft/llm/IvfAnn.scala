@@ -103,12 +103,11 @@ object IvfAnn {
   }
 }
 
-/** Registry. The assignment path is hash-checked twice: the seed quantizer
+/** Registry. Every IVF row is hash-checked: the seed quantizer
   * (`train(iters = 0)` — argmin squared distance to the k smallest-vec_id
-  * embeddings) and the full fixed 2-iteration Lloyd path, unrolled as chained
-  * DuckDB CTEs. Only `emb_ivf_search` stays rows-only (its probe + re-rank
-  * SQL on top of the unrolled training gets unwieldy); IvfAnnSpec covers its
-  * determinism + recall. */
+  * embeddings), the full fixed 2-iteration Lloyd assignment, and the
+  * probe + exact-re-rank search path, all unrolled as chained DuckDB CTEs.
+  * IvfAnnSpec additionally covers determinism + recall vs brute force. */
 object IvfAnnQueries extends QueryRegistry {
 
   private val K = 16
@@ -169,7 +168,7 @@ object IvfAnnQueries extends QueryRegistry {
     * iteration count, lower-cid tie-break); the only cross-engine freedom is
     * double-summation order inside `avg`, ~1e-13 relative — far below the
     * centroid separation that decides an argmin. */
-  private val lloyd2Oracle = s"""
+  private val lloyd2Ctes = s"""
       WITH seeds AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                [CAST(embedding[i] AS DOUBLE) FOR i IN generate_series(1, $Dim)] AS ce
@@ -178,8 +177,41 @@ object IvfAnnQueries extends QueryRegistry {
       ${meanCtes("a1", "seeds", "c1")},
       ${assignCtes("c1", "a2")},
       ${meanCtes("a2", "c1", "c2")},
-      ${assignCtes("c2", "a3")}
+      ${assignCtes("c2", "a3")}"""
+
+  private val lloyd2Oracle = s"""
+      $lloyd2Ctes
       SELECT vec_id, cid AS centroid_id FROM a3"""
+
+  /** `IvfAnn.search` on the trained quantizer: each probe takes its nProbe=2
+    * nearest trained centroids (same (distance, cid) order), candidates come
+    * only from those inverted lists (each vector lives in exactly one list,
+    * so no duplicate candidates), exact cosine re-rank, top-5. */
+  private val lloyd2SearchOracle = s"""
+      $lloyd2Ctes,
+      probes_d AS (
+        SELECT e.vec_id AS query_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_sum([$sqlDiffSq FOR i IN generate_series(1, $Dim)]), c.cid) AS rn
+        FROM embeddings e CROSS JOIN c2 c
+        WHERE e.vec_id % 100 = 0),
+      probes AS (SELECT query_id, cid FROM probes_d WHERE rn <= 2),
+      cands AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN a3 a ON p.cid = a.cid
+        WHERE a.vec_id <> p.query_id),
+      scored AS (
+        SELECT cd.query_id, cd.vec_id AS neighbor_id,
+               ${EmbeddingOps.sqlCos("q.embedding", "e.embedding")} AS cos
+        FROM cands cd
+        JOIN embeddings q ON q.vec_id = cd.query_id
+        JOIN embeddings e ON e.vec_id = cd.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored)
+      SELECT query_id, neighbor_id,
+             CAST(CAST(round(cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
+      FROM ranked WHERE rn <= 5"""
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("emb_ivf_seed_assignments", (s, d) => {
@@ -193,5 +225,5 @@ object IvfAnnQueries extends QueryRegistry {
     QueryDef("emb_ivf_search", (s, d) => {
       val e = EmbeddingOps.emb(s, d)
       IvfAnn.search(e, IvfAnn.train(e))
-    }, None))
+    }, Some(lloyd2SearchOracle)))
 }

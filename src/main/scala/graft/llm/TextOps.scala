@@ -108,6 +108,39 @@ object TextOps extends QueryRegistry {
         .as("n_tokens"),
       size(expr("""regexp_extract_all(text, '[A-Za-z0-9_]+', 0)""")).as("n_word_tokens"))
 
+  private val wordTokens = expr("""regexp_extract_all(text, '[A-Za-z0-9_]+', 0)""")
+
+  /** Corpus vocabulary, top-k by frequency — the token frequency table a
+    * BPE/vocab training pass starts from (occurrences + document frequency,
+    * the IDF numerator). Explode + hash aggregate: partial counts combine
+    * map-side, so the shuffle moves (token, partial state) pairs — corpus
+    * rows never move. The global top-k is a TakeOrdered over the aggregated
+    * vocab (|vocab| rows, not |corpus|), deterministic via the token
+    * tie-break. */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), explode(wordTokens).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"), count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
+  /** Top-k word bigrams — the pair-frequency table one BPE merge step ranks
+    * (same aggregate shape as [[vocabTopK]]; the bigram array is a narrow
+    * per-doc transform, empty for <2-token docs on both engines). */
+  def bigramsTopK(docs: DataFrame, k: Int = 100): DataFrame = {
+    val toks = wordTokens
+    val n = size(toks)
+    val idx = when(n >= 2, sequence(lit(1), n - 1)).otherwise(expr("array()"))
+    val bigrams = transform(idx, i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    spread(docs)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Document fingerprinting: digest prefix + an ordered rolling md5 chain
     * over the words (order-sensitive, unlike a bag-of-words digest). */
   def fingerprint(docs: DataFrame): DataFrame =
@@ -384,6 +417,25 @@ object TextOps extends QueryRegistry {
              CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INT) AS n_tokens,
              CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS INT) AS n_word_tokens
       FROM documents"""))),
+
+    QueryDef("doc_vocab_top100", (s, d) => vocabTopK(docs(s, d)), Some(oq("""
+      , toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+          FROM documents)
+      SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+      FROM toks GROUP BY token
+      ORDER BY n_occurrences DESC, token
+      LIMIT 100"""))),
+
+    QueryDef("doc_bigrams_top100", (s, d) => bigramsTopK(docs(s, d)), Some(oq("""
+      , ws AS (SELECT regexp_extract_all(text, '[A-Za-z0-9_]+') AS t FROM documents),
+      bg AS (
+          SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)]) AS bigram
+          FROM ws)
+      SELECT bigram, count(*) AS n_occurrences
+      FROM bg GROUP BY bigram
+      ORDER BY n_occurrences DESC, bigram
+      LIMIT 100"""))),
 
     QueryDef("doc_fingerprint", (s, d) => fingerprint(docs(s, d)), Some(oq("""
       SELECT doc_id,

@@ -168,12 +168,14 @@ object Measures extends QueryRegistry {
     QueryDef("m01_total_revenue", (s, d) => totalRevenue(Warehouse(s, d)), Some(q(
       "SELECT CAST(sum(totalamount) AS DOUBLE) AS total_revenue FROM fact_sales_elt"))),
 
-    QueryDef("m01_total_revenue_france",
-      (s, d) => totalRevenueSlicedByCountry(Warehouse(s, d), "France"), Some(q("""
+    // slicer value: the testdata's country domain is Nation_0..Nation_24 at
+    // every SF (synthetic nation names), so Nation_7 always selects real rows
+    QueryDef("m01_total_revenue_sliced",
+      (s, d) => totalRevenueSlicedByCountry(Warehouse(s, d), "Nation_7"), Some(q("""
       SELECT CAST(sum(f.totalamount) AS DOUBLE) AS total_revenue
       FROM fact_sales_elt f
       LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
-      WHERE c.country = 'France'"""))),
+      WHERE c.country = 'Nation_7'"""))),
 
     QueryDef("m02_total_orders", (s, d) => totalOrders(Warehouse(s, d)), Some(q(
       "SELECT count(DISTINCT invoiceid) AS total_orders FROM fact_sales_elt"))),

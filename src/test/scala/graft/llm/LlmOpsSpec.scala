@@ -122,6 +122,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.getLong(2) === math.ceil(13 / 4.0).toLong)
   }
 
+  test("vocab top-k counts occurrences and document frequency") {
+    // in-memory (non-file) corpus also exercises spread()'s partition-count
+    // fallback path
+    val out = TextOps.vocabTopK(docsDF(
+      (1L, "the cat and the dog"), (2L, "the cat")), k = 2)
+      .as[(String, Long, Long)].collect().toList
+    assert(out === List(("the", 3L, 2L), ("cat", 2L, 2L)))
+  }
+
+  test("bigrams top-k: counts adjacent pairs, single-token docs contribute none") {
+    val out = TextOps.bigramsTopK(docsDF(
+      (1L, "a b a b"), (2L, "a"), (3L, "b a")), k = 3)
+      .as[(String, Long)].collect().toList
+    assert(out === List(("a b", 2L), ("b a", 2L)))
+  }
+
   test("rolling fingerprint is order-sensitive") {
     val fps = TextOps.fingerprint(docsDF((1L, "a b"), (2L, "b a")))
       .select("rolling_fp").as[String].collect()
