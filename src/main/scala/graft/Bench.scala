@@ -209,6 +209,7 @@ object Bench {
       time("doc_exact_dedup")(graft.llm.TextOps.exactDedup(docs))
       time("doc_dedup_clusters")(graft.llm.TextOps.dedupClusters(docs))
       time("doc_simhash")(graft.llm.TextOps.simhash(docs))
+      time("doc_vocab_top100")(graft.llm.TextOps.vocabTopK(docs))
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       val events = graft.streaming.EventOps.events(spark, sfDir)

@@ -97,4 +97,25 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan) // all three dims
     assert(plan.contains("partial_sum"), plan) // map-side combine
   }
+
+  test("ELT reject audit probes the dims as broadcast joins, never a cartesian") {
+    val df = Errors.eltRejectedRows(w)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the raw staging feed (the big side at scale) stays in place; each dim
+    // probe is a broadcast equi-join on the trimmed key / parsed date key
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("vocab frequency table combines map-side before its shuffles") {
+    val df = graft.llm.TextOps.vocabTopK(w.stgSales.sparkSession
+      .read.parquet(s"$sfDir/documents.parquet"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // partial aggregation below the exchange: the shuffle moves (token,
+    // partial state), not exploded corpus rows
+    assert(plan.contains("partial_count"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan) // top-k, no global sort
+  }
 }

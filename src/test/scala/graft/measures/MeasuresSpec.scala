@@ -79,6 +79,17 @@ class MeasuresSpec extends SparkSpec {
       Measures.highValueSales(w).head().getLong(0))
   }
 
+  test("country slicer equals a direct dim-joined filter") {
+    val sliced = Measures.totalRevenueSlicedByCountry(w, "Nation_7").head().getDouble(0)
+    val expected = w.factSalesElt
+      .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+      .filter(col("country") === "Nation_7")
+      .agg(sum("totalamount").cast("double")).head().getDouble(0)
+    assert(sliced === expected)
+    assert(sliced > 0)
+    assert(sliced < Measures.totalRevenue(w).head().getDouble(0))
+  }
+
   test("approximate cardinalities land within 5% of exact counts") {
     val r = Measures.approxCardinalities(w).head()
     val exactOrders = Measures.totalOrders(w).head().getLong(0).toDouble
