@@ -141,6 +141,36 @@ object TextOps extends QueryRegistry {
       .limit(k)
   }
 
+  /** Deterministic train/val/test split (90/5/5): an md5 hash bucket of the
+    * document id. Hash-based assignment is the 100 TB split discipline —
+    * stable under reshuffles, reruns, and engine changes (no `sample()`
+    * RNG, no global sort), so a document's split never silently flips
+    * between pipeline runs; the cross-engine oracle checks exactly that
+    * property. Narrow per-row projection, no shuffle. */
+  def trainSplit(docs: DataFrame): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100).as("bucket")
+    docs.select(col("doc_id"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Benchmark-contamination check: corpus documents sharing any 3-word
+    * shingle with the benchmark set (here `doc_id % 100 = 0`), with the
+    * shared-shingle count as the contamination strength. Candidate
+    * generation is a distinct-shingle equi-join — shuffles on the shingle
+    * key, never doc × doc — the same scale shape as the dedup family. */
+  def contamination(docs: DataFrame): DataFrame = {
+    val ex = shingles(docs).select(col("doc_id"), explode(col("shs")).as("shingle"))
+    val bench = ex.filter(col("doc_id") % 100 === 0).select("shingle").distinct()
+    ex.filter(col("doc_id") % 100 =!= 0)
+      .join(bench, Seq("shingle"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("shingle")).as("n_shared_shingles"))
+  }
+
   /** Document fingerprinting: digest prefix + an ordered rolling md5 chain
     * over the words (order-sensitive, unlike a bag-of-words digest). */
   def fingerprint(docs: DataFrame): DataFrame =
@@ -417,6 +447,22 @@ object TextOps extends QueryRegistry {
              CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INT) AS n_tokens,
              CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS INT) AS n_word_tokens
       FROM documents"""))),
+
+    QueryDef("doc_train_split", (s, d) => trainSplit(docs(s, d)), Some(oq("""
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents"""))),
+
+    QueryDef("doc_contamination", (s, d) => contamination(docs(s, d)), Some(oq(s"""
+      , $sqlShingles,
+      bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 100 = 0)
+      SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared_shingles
+      FROM shingles s JOIN bench b ON s.shingle = b.shingle
+      WHERE s.doc_id % 100 <> 0
+      GROUP BY s.doc_id"""))),
 
     QueryDef("doc_vocab_top100", (s, d) => vocabTopK(docs(s, d)), Some(oq("""
       , toks AS (

@@ -138,6 +138,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === List(("a b", 2L), ("b a", 2L)))
   }
 
+  test("train split: stable hash buckets in [0,100) with the 90/5/5 mapping") {
+    val docs = docsDF((1 to 200).map(i => (i.toLong, s"doc $i")): _*)
+    val out = TextOps.trainSplit(docs).as[(Long, Long, String)].collect()
+    assert(out.forall { case (_, b, _) => b >= 0 && b < 100 })
+    assert(out.forall { case (_, b, s) =>
+      s == (if (b < 90) "train" else if (b < 95) "val" else "test") })
+    // deterministic: a second run assigns every doc identically
+    val again = TextOps.trainSplit(docs).as[(Long, Long, String)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    assert(out.count(_._3 == "train") > 150) // ~90% of 200
+  }
+
+  test("contamination flags corpus docs sharing a shingle with the benchmark set") {
+    val out = TextOps.contamination(docsDF(
+      (0L, "a b c d"),   // benchmark doc (id % 100 == 0)
+      (1L, "a b c x"),   // shares shingle "a b c"
+      (2L, "z z z z")))  // unrelated
+      .as[(Long, Long)].collect().toList
+    assert(out === List((1L, 1L)))
+  }
+
   test("rolling fingerprint is order-sensitive") {
     val fps = TextOps.fingerprint(docsDF((1L, "a b"), (2L, "b a")))
       .select("rolling_fp").as[String].collect()
