@@ -171,6 +171,58 @@ object TextOps extends QueryRegistry {
       .agg(count_distinct(col("shingle")).as("n_shared_shingles"))
   }
 
+  /** Within-document repetition stats (the Gopher/RefinedWeb-style
+    * repetition filters): max single-token frequency, its fraction of the
+    * document, and the duplicate-word fraction. The max frequency is the
+    * longest run in the sorted token array, computed by one ordered
+    * `aggregate` fold — a narrow per-doc transform with NO shuffle, where
+    * the textbook implementation (explode + per-(doc, token) groupBy)
+    * shuffles the whole tokenized corpus. The oracle runs that textbook
+    * shape; hash equality proves the fold. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val runState = aggregate(
+      sort_array(words),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    val n = size(words).cast("long")
+    val nDistinct = size(array_distinct(words)).cast("long")
+    docs.select(
+      col("doc_id"),
+      n.as("n_words"),
+      runState.as("max_tok_freq"),
+      (runState.cast("double") / n).as("max_tok_frac"),
+      (lit(1.0) - nDistinct.cast("double") / n).as("dup_word_frac"))
+  }
+
+  /** Cross-source overlap matrix: for each pair of ingest sources, the
+    * number of distinct 3-word shingles present in both and the Jaccard
+    * similarity of the two shingle sets — the corpus-curation view of which
+    * feeds duplicate each other. Candidate generation is a distinct
+    * (source, shingle) equi-join on the shingle key: the shuffle moves the
+    * deduplicated shingle vocabulary, never a source × source comparison,
+    * and the pair aggregate runs over |sources|²-bounded groups. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val ss = spread(docs)
+      .select(col("source"), explode(shingleArr).as("shingle"))
+      .distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val pairs = ss
+      .join(ss.select(col("source").as("source_b"), col("shingle")), Seq("shingle"))
+      .filter(col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        (col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+          .as("jaccard"))
+  }
+
   /** Document fingerprinting: digest prefix + an ordered rolling md5 chain
     * over the words (order-sensitive, unlike a bag-of-words digest). */
   def fingerprint(docs: DataFrame): DataFrame =
@@ -482,6 +534,32 @@ object TextOps extends QueryRegistry {
       FROM bg GROUP BY bigram
       ORDER BY n_occurrences DESC, bigram
       LIMIT 100"""))),
+
+    QueryDef("doc_repetition", (s, d) => repetition(docs(s, d)), Some(oq("""
+      , tf AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+          GROUP BY doc_id, tok)
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(max(c) AS BIGINT) AS max_tok_freq,
+             CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS max_tok_frac,
+             1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dup_word_frac
+      FROM tf GROUP BY doc_id"""))),
+
+    QueryDef("doc_source_overlap", (s, d) => sourceOverlap(docs(s, d)), Some(oq(s"""
+      , $sqlShingles,
+      ss AS (SELECT DISTINCT d.source, s.shingle
+             FROM shingles s JOIN documents d ON s.doc_id = d.doc_id),
+      sizes AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source),
+      pairs AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+                FROM ss a JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+                GROUP BY 1, 2)
+      SELECT p.source_a, p.source_b, p.n_shared,
+             CAST(p.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - p.n_shared) AS jaccard
+      FROM pairs p
+      JOIN sizes sa ON sa.source = p.source_a
+      JOIN sizes sb ON sb.source = p.source_b"""))),
 
     QueryDef("doc_fingerprint", (s, d) => fingerprint(docs(s, d)), Some(oq("""
       SELECT doc_id,

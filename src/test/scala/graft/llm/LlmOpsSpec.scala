@@ -82,6 +82,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept === Map(1L -> "cluster_representative", 4L -> "unique"))
   }
 
+  test("repetition: longest sorted run equals the max token frequency") {
+    val out = TextOps.repetition(docsDF((1L, "b a b c b"), (2L, "x y z")))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // doc 1: b×3, a, c -> max freq 3 of 5 tokens, 3 distinct of 5
+    assert(out(1L) === ((5L, 3L, 3.0 / 5, 1.0 - 3.0 / 5)))
+    assert(out(2L) === ((3L, 1L, 1.0 / 3, 0.0)))
+  }
+
+  test("source overlap: shared shingles count once per pair, jaccard over distinct sets") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"), // shingles {a b c, b c d}
+      (2L, "a b c", "s2"), // {a b c}
+      (3L, "p q r", "s2")) // {p q r}
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // shared {a b c}: 1 of (2 + 2 - 1) distinct shingles
+    assert(out === Map(("s1", "s2") -> ((1L, 1.0 / 3))))
+  }
+
   test("simhash is identical for identical docs and 16 bits long") {
     val out = TextOps.simhash(docsDF((1L, "a b c d e f"), (2L, "a b c d e f")))
       .select("simhash16").as[String].collect()
