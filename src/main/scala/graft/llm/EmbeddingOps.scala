@@ -117,6 +117,37 @@ object EmbeddingOps extends QueryRegistry {
       .filter(col("cosine") >= threshold)
   }
 
+  /** HOF dot in double over any numeric array pair (the centroid side is
+    * double, so the native float-only kernel doesn't apply). */
+  private def dotAny(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cosAny(a: Column, b: Column): Column =
+    dotAny(a, b) / (sqrt(dotAny(a, a)) * sqrt(dotAny(b, b)))
+
+  /** Per-vector cohesion to its label centroid — the class-outlier filter a
+    * curation pipeline ranks by (low cohesion = likely mislabeled/noise).
+    * The centroid is a per-(label, dim) mean: one posexplode aggregation
+    * shuffle of n×dim scalar rows with map-side partial means (corpus rows
+    * never move whole), then the |labels|-row centroid frame broadcasts back
+    * onto the corpus for a narrow per-row cosine. Cross-engine mean-order
+    * freedom is ~1e-13 relative, far below the 6-dp discretization (the IVF
+    * oracle's tolerance argument, `IvfAnnQueries`). */
+  def labelCohesion(emb: DataFrame): DataFrame = {
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s("m")).as("ce"))
+    emb.join(broadcast(cents), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(cosAny(col("embedding"), col("ce")), 6)
+          .cast("decimal(10,6)").cast("double").as("cos_centroid"))
+  }
+
   private def sqlDot(a: String, b: String): String =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN generate_series(1, $Dim)])"
 
@@ -160,6 +191,16 @@ object EmbeddingOps extends QueryRegistry {
                CAST(CAST(round(${sqlCos("a.embedding", "b.embedding")}, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
         FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       SELECT keep_id, dup_id, cosine FROM pairs WHERE cosine >= 0.35"""))),
+
+    QueryDef("emb_label_cohesion", (s, d) => labelCohesion(emb(s, d)), Some(oq(s"""
+      , cm AS (
+          SELECT label, t.i AS pos, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+          FROM embeddings CROSS JOIN generate_series(1, $Dim) t(i)
+          GROUP BY label, t.i),
+      cents AS (SELECT label, list(m ORDER BY pos) AS ce FROM cm GROUP BY label)
+      SELECT e.vec_id, e.label,
+             CAST(CAST(round(${sqlCos("e.embedding", "c.ce")}, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_centroid
+      FROM embeddings e JOIN cents c ON e.label = c.label"""))),
 
     QueryDef("emb_ann_bucketed", (s, d) => annBucketed(emb(s, d)), Some(oq(s"""
       , $sqlBuckets,

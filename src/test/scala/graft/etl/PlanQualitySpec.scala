@@ -118,4 +118,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_count"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan) // top-k, no global sort
   }
+
+  test("repetition stats run as a narrow per-doc transform — zero exchanges") {
+    val df = graft.llm.TextOps.repetition(w.stgSales.sparkSession
+      .read.parquet(s"$sfDir/documents.parquet"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the sorted-run fold replaces the textbook explode + per-(doc, token)
+    // groupBy, so the corpus never shuffles at all
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("label cohesion broadcasts the centroid frame back onto the corpus") {
+    val df = graft.llm.EmbeddingOps.labelCohesion(w.stgSales.sparkSession
+      .read.parquet(s"$sfDir/embeddings.parquet"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-(label, dim) mean combines map-side; the corpus-side join is a
+    // broadcast of the |labels|-row centroid frame, never a corpus shuffle
+    assert(plan.contains("partial_avg"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

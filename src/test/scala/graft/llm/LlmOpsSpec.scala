@@ -105,6 +105,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === Map(("s1", "s2") -> ((1L, 1.0 / 3))))
   }
 
+  test("label cohesion: centroid member of a symmetric pair scores cos(45°), singleton scores 1") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), 1), // label-1 centroid = [0.5, 0.5]
+      (2L, Array(0f, 1f), 1),
+      (3L, Array(3f, 4f), 2)) // singleton label: centroid = itself
+      .toDF("vec_id", "embedding", "label")
+    val out = EmbeddingOps.labelCohesion(emb).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) === 0.707107) // 0.5 / (1 * sqrt(0.5)), rounded to 6dp
+    assert(out(2L) === 0.707107)
+    assert(out(3L) === 1.0)
+  }
+
   test("simhash is identical for identical docs and 16 bits long") {
     val out = TextOps.simhash(docsDF((1L, "a b c d e f"), (2L, "a b c d e f")))
       .select("simhash16").as[String].collect()
