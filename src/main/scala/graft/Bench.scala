@@ -214,8 +214,10 @@ object Bench {
       time("doc_dedup_clusters")(graft.llm.TextOps.dedupClusters(docs))
       time("doc_simhash")(graft.llm.TextOps.simhash(docs))
       time("doc_vocab_top100")(graft.llm.TextOps.vocabTopK(docs))
+      time("doc_repetition")(graft.llm.TextOps.repetition(docs))
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
+      time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))
       val events = graft.streaming.EventOps.events(spark, sfDir)
       time("events_sessions")(graft.streaming.EventOps.sessions(events))
       time("events_asof_last_error")(graft.streaming.EventOps.asofLastError(events))

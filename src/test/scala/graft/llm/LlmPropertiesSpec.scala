@@ -1,0 +1,33 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.TestSpark
+
+/** Property invariants for the text-curation operators. */
+object LlmPropertiesSpec extends Properties("llm") {
+
+  // Spark jobs per case are expensive; 10 diverse cases per property suffice.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val tokGen = Gen.oneOf("a", "b", "c", "dd", "e")
+
+  // The sorted-run fold IS the term frequency: for arbitrary token bags the
+  // narrow no-shuffle formulation must equal the textbook count (the same
+  // equality the DuckDB oracle checks, here over adversarial inputs).
+  property("repetition fold == brute-force max term frequency") =
+    Prop.forAll(Gen.nonEmptyListOf(tokGen).map(_.take(30))) { toks =>
+      val expectMax = toks.groupBy(identity).values.map(_.size).max
+      val expectDistinct = toks.distinct.size
+      val row = TextOps.repetition(Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"))
+        .select("n_words", "max_tok_freq", "dup_word_frac").head()
+      row.getLong(0) == toks.size &&
+        row.getLong(1) == expectMax &&
+        math.abs(row.getDouble(2) - (1.0 - expectDistinct.toDouble / toks.size)) < 1e-12
+    }
+}
