@@ -171,6 +171,17 @@ object TextOps extends QueryRegistry {
       .agg(count_distinct(col("shingle")).as("n_shared_shingles"))
   }
 
+  /** Max single-token frequency = the longest run in the sorted token array,
+    * one ordered fold (shared by [[repetition]] and [[filterCascade]]). */
+  private def maxTokenFreq: Column = aggregate(
+    sort_array(words),
+    struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+    (acc, w) => {
+      val run = when(w === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
+      struct(w.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+    },
+    acc => acc("best"))
+
   /** Within-document repetition stats (the Gopher/RefinedWeb-style
     * repetition filters): max single-token frequency, its fraction of the
     * document, and the duplicate-word fraction. The max frequency is the
@@ -180,14 +191,7 @@ object TextOps extends QueryRegistry {
     * shuffles the whole tokenized corpus. The oracle runs that textbook
     * shape; hash equality proves the fold. */
   def repetition(docs: DataFrame): DataFrame = {
-    val runState = aggregate(
-      sort_array(words),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, w) => {
-        val run = when(w === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
-        struct(w.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
-      },
-      acc => acc("best"))
+    val runState = maxTokenFreq
     val n = size(words).cast("long")
     val nDistinct = size(array_distinct(words)).cast("long")
     docs.select(
@@ -196,6 +200,23 @@ object TextOps extends QueryRegistry {
       runState.as("max_tok_freq"),
       (runState.cast("double") / n).as("max_tok_frac"),
       (lit(1.0) - nDistinct.cast("double") / n).as("dup_word_frac"))
+  }
+
+  /** The keep/drop filter cascade (a RefinedWeb/FineWeb-style curation
+    * gate): rules evaluate in priority order and a dropped document carries
+    * the FIRST failing rule as its reject reason — the same prioritized
+    * per-reason attribution discipline as the warehouse reject audits
+    * (`Errors`). All rules are narrow per-doc expressions sharing one pass:
+    * no shuffle, no joins; at 100 TB this is a map-only scan. */
+  def filterCascade(docs: DataFrame): DataFrame = {
+    val n = size(words)
+    val enRatio = size(filter(words, w => w === "the" || w === "a")).cast("double") / n
+    val maxFrac = maxTokenFreq.cast("double") / n
+    val reason = when(n < 20, lit("too_short"))
+      .when(enRatio < 0.05, lit("not_english"))
+      .when(maxFrac > 0.14, lit("too_repetitive"))
+      .otherwise(lit(null).cast("string"))
+    docs.select(col("doc_id"), reason.isNull.as("keep"), reason.as("reject_reason"))
   }
 
   /** Cross-source overlap matrix: for each pair of ingest sources, the
@@ -546,6 +567,28 @@ object TextOps extends QueryRegistry {
              CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS max_tok_frac,
              1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dup_word_frac
       FROM tf GROUP BY doc_id"""))),
+
+    QueryDef("doc_filter_cascade", (s, d) => filterCascade(docs(s, d)), Some(oq("""
+      , tf AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+          GROUP BY doc_id, tok),
+      mx AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS max_frac
+             FROM tf GROUP BY doc_id),
+      base AS (
+          SELECT d.doc_id,
+                 len(string_split(text, ' ')) AS n,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS er,
+                 m.max_frac
+          FROM documents d JOIN mx m ON d.doc_id = m.doc_id),
+      flagged AS (
+          SELECT doc_id,
+                 CASE WHEN n < 20 THEN 'too_short'
+                      WHEN er < 0.05 THEN 'not_english'
+                      WHEN max_frac > 0.14 THEN 'too_repetitive' END AS reject_reason
+          FROM base)
+      SELECT doc_id, reject_reason IS NULL AS keep, reject_reason FROM flagged"""))),
 
     QueryDef("doc_source_overlap", (s, d) => sourceOverlap(docs(s, d)), Some(oq(s"""
       , $sqlShingles,

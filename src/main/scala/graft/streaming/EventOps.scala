@@ -82,6 +82,32 @@ object EventOps extends QueryRegistry {
       .agg(count(lit(1)).as("n_events"), sum("new_s").as("n_sessions"))
   }
 
+  /** Ordered conversion funnel: first view → first click STRICTLY AFTER it →
+    * first purchase strictly after that, collapsed to stage counts and
+    * conversion rates. The three whole-partition windows share one shuffle on
+    * `user_id`, and the per-user collapse groups on the same key (the
+    * exchange is already satisfied) — no event ever leaves its user
+    * partition, so the shape survives any user count. */
+  def funnel(events: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy("user_id")
+    val perUser = events
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(wAll))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" && col("ts") > col("v_ts"), col("ts"))).over(wAll))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"), col("ts"))).over(wAll))
+      .groupBy("user_id")
+      .agg(max("v_ts").as("v_ts"), max("c_ts").as("c_ts"), max("p_ts").as("p_ts"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(col("v_ts")).as("viewed"),
+      count(col("c_ts")).as("clicked_after_view"),
+      count(col("p_ts")).as("purchased_after_funnel"),
+      (count(col("c_ts")).cast("double") / count(col("v_ts"))).as("view_to_click"),
+      (count(col("p_ts")).cast("double") / count(col("c_ts"))).as("click_to_purchase"))
+  }
+
   /** As-of join: every event picks up the most recent STRICTLY PRIOR `error`
     * event of the same user (time-to-last-error). Spark has no native as-of
     * operator; the scale-correct shape is not a range join (which plans as a
@@ -292,6 +318,30 @@ object EventOps extends QueryRegistry {
        AND c.ts > p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
       WHERE p.event_type = 'purchase'
       GROUP BY 1, 2, 3"""))),
+
+    QueryDef("events_funnel", (s, d) => funnel(events(s, d)), Some(oq("""
+      , w1 AS (
+          SELECT user_id, ts, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS v_ts
+          FROM events),
+      w2 AS (
+          SELECT *, min(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+                      OVER (PARTITION BY user_id) AS c_ts
+          FROM w1),
+      w3 AS (
+          SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+                      OVER (PARTITION BY user_id) AS p_ts
+          FROM w2),
+      pu AS (SELECT user_id, max(v_ts) AS v_ts, max(c_ts) AS c_ts, max(p_ts) AS p_ts
+             FROM w3 GROUP BY user_id)
+      SELECT count(*) AS n_users,
+             count(v_ts) AS viewed,
+             count(c_ts) AS clicked_after_view,
+             count(p_ts) AS purchased_after_funnel,
+             CAST(count(c_ts) AS DOUBLE) / count(v_ts) AS view_to_click,
+             CAST(count(p_ts) AS DOUBLE) / count(c_ts) AS click_to_purchase
+      FROM pu"""))),
 
     QueryDef("events_json_props", (s, d) => propsBuckets(events(s, d)), Some(oq("""
       , parsed AS (

@@ -92,6 +92,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2L) === ((3L, 1L, 1.0 / 3, 0.0)))
   }
 
+  test("filter cascade: first failing rule wins, clean docs keep") {
+    val longTail = (1 to 30).map(i => s"w$i").mkString(" ")
+    val out = TextOps.filterCascade(docsDF(
+      (1L, "too short"), // < 20 words
+      (2L, (1 to 25).map(_ => "x").mkString(" ")), // long but repetitive AND non-en: short-circuits to not_english
+      (3L, s"the a the a $longTail"), // en-ratio high, diverse -> keep
+      (4L, "the a the a the a the a the a the a the a the a the a the a the a")))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(out(1L) === ((false, Some("too_short"))))
+    assert(out(2L) === ((false, Some("not_english"))))
+    assert(out(3L) === ((true, None)))
+    assert(out(4L) === ((false, Some("too_repetitive")))) // en-ratio passes, max freq 11/22
+  }
+
   test("source overlap: shared shingles count once per pair, jaccard over distinct sets") {
     val docs = Seq(
       (1L, "a b c d", "s1"), // shingles {a b c, b c d}

@@ -55,6 +55,26 @@ class EventOpsSpec extends SparkSpec {
     assert(out(5L) === -1L)                 // user 2 never errored
   }
 
+  test("funnel: stages require strict event-time order within each user") {
+    import spark.implicits._
+    val ns = (s: Long) => s * 1000000000L
+    val ev = Seq(
+      // user 1 completes the ordered funnel
+      (1L, ns(10), 1L, "view", 0.0, "{}"),
+      (2L, ns(20), 1L, "click", 0.0, "{}"),
+      (3L, ns(30), 1L, "purchase", 0.0, "{}"),
+      // user 2's click PRECEDES its first view -> not a funnel click
+      (4L, ns(10), 2L, "click", 0.0, "{}"),
+      (5L, ns(20), 2L, "view", 0.0, "{}"),
+      // user 3 views only
+      (6L, ns(10), 3L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.funnel(ev).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 3L, 1L, 1L)))
+    assert(r.getDouble(4) === 1.0 / 3) // view_to_click
+    assert(r.getDouble(5) === 1.0) // click_to_purchase
+  }
+
   test("stateful streaming sessionizer emits closed sessions across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
