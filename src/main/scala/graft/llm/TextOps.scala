@@ -292,13 +292,9 @@ object TextOps extends QueryRegistry {
     * kernel call per document — no explode, no shuffle; see
     * [[minhashSigsExploded]] for the history) → band keys → equi-self-join
     * on (band, band_key) → candidate pairs → Jaccard on shingle sets. */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    // Two physical-plan guards that dominate wall-clock (profiled at sf0.1):
-    //  - the single-file scan must be spread across cores (see `spread`);
-    //  - the band self-join and the two Jaccard-verify joins would otherwise
-    //    recompute the shingle pipeline once per reference — cache the
-    //    shingled docs so it runs once.
-    val shingled = shingles(docs).cache()
+  /** (doc_id, band, band_key) LSH index rows of a shingled frame: native
+    * k-way minhash signature, bands of `BandSize` rows digested to one key. */
+  private def bandKeys(shingled: DataFrame): DataFrame = {
     val ge = org.apache.spark.sql.graft.expressions
     val sigs = shingled.select(col("doc_id"),
       ge.column(org.apache.spark.sql.graft.MinHashSigs(ge.expression(col("shs")), NumHashes))
@@ -308,9 +304,19 @@ object TextOps extends QueryRegistry {
         md5(concat_ws("|",
           (0 until BandSize).map(r => element_at(col("mh"), b * BandSize + r + 1)): _*))
           .as("band_key")))
-    val bands = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    // Two physical-plan guards that dominate wall-clock (profiled at sf0.1):
+    //  - the single-file scan must be spread across cores (see `spread`);
+    //  - the band self-join and the two Jaccard-verify joins would otherwise
+    //    recompute the shingle pipeline once per reference — cache the
+    //    shingled docs so it runs once.
+    val shingled = shingles(docs).cache()
+    val bands = bandKeys(shingled)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
     val cand = a.join(b, Seq("band", "band_key"))
@@ -324,6 +330,52 @@ object TextOps extends QueryRegistry {
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** Incoming-vs-corpus near-dup pairs: each NEW document is checked against
+    * the standing corpus through the same banded-LSH candidate generation as
+    * [[minhashPairs]] — an equi-join of the (small) new-batch band keys
+    * against the corpus band index, never new × corpus — then exact-Jaccard
+    * verified. This is the incremental form of corpus dedup: at 100 TB the
+    * corpus index is built once and each ingestion batch pays only its own
+    * shingling plus a band-key join. */
+  def crossNearDup(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val shNew = shingles(newDocs).cache()
+    val shCorpus = shingles(corpus).cache()
+    val bNew = bandKeys(shNew)
+      .select(col("doc_id").as("new_doc"), col("band"), col("band_key"))
+    val bCorpus = bandKeys(shCorpus)
+      .select(col("doc_id").as("corpus_doc"), col("band"), col("band_key"))
+    val cand = bNew.join(bCorpus, Seq("band", "band_key"))
+      .filter(col("new_doc") =!= col("corpus_doc"))
+      .select("new_doc", "corpus_doc").distinct()
+    val setsNew = shNew.select(col("doc_id").as("new_doc"), array_distinct(col("shs")).as("sh_n"))
+    val setsCorpus = shCorpus.select(col("doc_id").as("corpus_doc"), array_distinct(col("shs")).as("sh_c"))
+    cand
+      .join(setsNew, Seq("new_doc"))
+      .join(setsCorpus, Seq("corpus_doc"))
+      .select(col("new_doc"), col("corpus_doc"),
+        (size(array_intersect(col("sh_n"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_c")))).as("jaccard"))
+  }
+
+  /** Streaming form of [[crossNearDup]]: a drop directory of new-document
+    * parquet batches, each micro-batch LSH-checked against the static corpus
+    * and its verified pairs appended to `outPath`. foreachBatch gives every
+    * batch full batch semantics (the candidate `distinct` needs no streaming
+    * state), mirroring [[graft.streaming.IncrementalEtl]]'s maintenance
+    * pattern; state never grows with the stream. */
+  def streamingNearDup(spark: SparkSession, dropDir: String, corpus: DataFrame,
+      outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(dropDir).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        crossNearDup(batch, corpus).write.mode("append").parquet(outPath)
+        ()
+      }
   }
 
   /** Near-dup clusters: connected components over the MinHash candidate-pair

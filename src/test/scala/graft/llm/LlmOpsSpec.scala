@@ -132,6 +132,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3L) === 1.0)
   }
 
+  test("streaming near-dup over two drops equals the batch cross check") {
+    import org.apache.spark.sql.streaming.Trigger
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = docsDF(
+      (1L, text),
+      (2L, "completely different words that share no shingles at all with others one two"))
+    val newDocs = docsDF(
+      (11L, text), // dup of corpus doc 1
+      (12L, text + " extended"), // near-dup of 1
+      (13L, "nothing in common with anything here at all whatsoever truly")) // clean
+    val base = java.nio.file.Files.createTempDirectory("graft_doc_drops")
+    val dropDir = s"$base/drops"
+    val outPath = s"$base/pairs"
+    val Array(dropA, dropB) = Array(newDocs.filter($"doc_id" <= 12), newDocs.filter($"doc_id" > 12))
+    dropA.write.parquet(s"$dropDir/a")
+    dropB.write.parquet(s"$dropDir/b")
+
+    val query = TextOps.streamingNearDup(spark, s"$dropDir/*", corpus, outPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(outPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = TextOps.crossNearDup(newDocs, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.map(p => (p._1, p._2)).contains((11L, 1L))) // the exact dup
+    assert(streamed.forall(_._2 === 1L)) // nothing pairs with corpus doc 2
+    assert(!streamed.exists(_._1 === 13L)) // the clean doc produces no pair
+  }
+
   test("simhash is identical for identical docs and 16 bits long") {
     val out = TextOps.simhash(docsDF((1L, "a b c d e f"), (2L, "a b c d e f")))
       .select("simhash16").as[String].collect()
