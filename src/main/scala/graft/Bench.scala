@@ -215,13 +215,18 @@ object Bench {
       time("doc_simhash")(graft.llm.TextOps.simhash(docs))
       time("doc_vocab_top100")(graft.llm.TextOps.vocabTopK(docs))
       time("doc_repetition")(graft.llm.TextOps.repetition(docs))
+      time("doc_filter_cascade")(graft.llm.TextOps.filterCascade(docs))
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))
+      // IVF row includes quantizer training (2 Lloyd passes) per rep — the
+      // full index-build-plus-search cost, not just the probe
+      time("emb_ivf_search")(graft.llm.IvfAnn.search(emb, graft.llm.IvfAnn.train(emb)))
       val events = graft.streaming.EventOps.events(spark, sfDir)
       time("events_sessions")(graft.streaming.EventOps.sessions(events))
       time("events_asof_last_error")(graft.streaming.EventOps.asofLastError(events))
       time("events_attribution")(graft.streaming.EventOps.attribution(events))
+      time("events_funnel")(graft.streaming.EventOps.funnel(events))
       time("olap_pivot_month_year")(graft.olap.Olap.pivotMonthYear(w))
     } finally {
       try spark.sql("DROP TABLE IF EXISTS bench_fact_by_invoice")
