@@ -129,6 +129,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("funnel stages and the per-user collapse share one user_id exchange") {
+    val df = graft.streaming.EventOps.funnel(
+      graft.streaming.EventOps.events(w.stgSales.sparkSession, sfDir))
+    df.collect()
+    // AQE's toString prints the initial plan after the final one — count
+    // exchanges in the final (executed) section only
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan").head
+    // one hash exchange on user_id feeds all three windows AND the per-user
+    // groupBy (its partitioning is already satisfied); the only other
+    // exchange is the single-partition one for the final global aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("label cohesion broadcasts the centroid frame back onto the corpus") {
     val df = graft.llm.EmbeddingOps.labelCohesion(w.stgSales.sparkSession
       .read.parquet(s"$sfDir/embeddings.parquet"))
