@@ -11,6 +11,15 @@ class WarehouseInvariantsSpec extends SparkSpec {
 
   private lazy val w = Warehouse(spark, sfDir)
 
+  test("oracle prefix resource is byte-identical to the dev-loop checker copy") {
+    // tools/check.py reads tools/prefix.sql while the shipped oracle SQL
+    // embeds the classpath resource — a drifted copy would make the local
+    // gate and the driver's gate silently check different warehouses
+    val dev = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/prefix.sql")), "UTF-8")
+    assert(graft.oracle.OracleSql.prefix === dev)
+  }
+
   test("revenue reconciliation: fact total == cleaned-staging total") {
     val fact = w.factSales.agg(sum("totalamount")).head().getDecimal(0)
     val staging = w.salesFinal.agg(sum("totalamount")).head().getDecimal(0)
