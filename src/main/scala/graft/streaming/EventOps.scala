@@ -128,6 +128,24 @@ object EventOps extends QueryRegistry {
         (expr("ts div 1000") - expr("err_ts div 1000")).as("us_since_error"))
   }
 
+  /** The generic as-of operator ([[graft.operators.AsOf]]) instantiated:
+    * each purchase picks up the latest STRICTLY-PRIOR click of the same user
+    * (payload = click value + time). The oracle runs DuckDB's native
+    * `ASOF LEFT JOIN` — a cross-engine check of true as-of semantics against
+    * an independent implementation, not a re-expression of this plan. */
+  def asofLastClick(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    graft.operators.AsOf.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts", strict = true)
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz").as("t"),
+        expr("timestamp_micros(asof.ts div 1000)").cast("timestamp_ntz").as("last_click_t"),
+        col("asof.value").as("last_click_value"))
+  }
+
   /** Structured Streaming form of [[hourlyAgg]]: file-source stream over a
     * directory of event parquet drops → event-time watermark → tumbling 1h
     * window. Run with `.writeStream.outputMode("complete")` (tests) or
@@ -318,6 +336,15 @@ object EventOps extends QueryRegistry {
        AND c.ts > p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
       WHERE p.event_type = 'purchase'
       GROUP BY 1, 2, 3"""))),
+
+    QueryDef("events_asof_join_click", (s, d) => asofLastClick(events(s, d)), Some(oq("""
+      SELECT p.event_id AS purchase_id, p.user_id,
+             CAST(p.ts AS TIMESTAMP) AS t,
+             CAST(c.ts AS TIMESTAMP) AS last_click_t,
+             c.value AS last_click_value
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts < p.ts"""))),
 
     QueryDef("events_funnel", (s, d) => funnel(events(s, d)), Some(oq("""
       , w1 AS (

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics of the generic as-of join. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq((1L, "k1", 100L), (2L, "k1", 300L), (3L, "k2", 100L))
+    .toDF("id", "k", "t")
+  private def right = Seq(("k1", 50L, "a"), ("k1", 200L, "b"), ("k3", 10L, "z"))
+    .toDF("k", "t", "v")
+
+  private def run(strict: Boolean) =
+    AsOf.asOfJoin(left, right, Seq("k"), "t", "t", strict)
+      .select(col("id"), col("asof.v"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+
+  test("each left row picks the latest right row at-or-before its time, per key") {
+    val out = run(strict = false)
+    assert(out === Map(1L -> "a", 2L -> "b", 3L -> null)) // k2 has no rights; k3 unseen
+  }
+
+  test("strict mode excludes the same-instant right row; non-strict includes it") {
+    val l = Seq((1L, "k", 100L)).toDF("id", "k", "t")
+    val r = Seq(("k", 100L, "now"), ("k", 99L, "before")).toDF("k", "t", "v")
+    def one(strict: Boolean) = AsOf.asOfJoin(l, r, Seq("k"), "t", "t", strict)
+      .select(col("asof.v")).head().getString(0)
+    assert(one(strict = false) === "now")
+    assert(one(strict = true) === "before")
+  }
+
+  test("the as-of plan is one key shuffle — no nested-loop or range join") {
+    val df = AsOf.asOfJoin(left, right, Seq("k"), "t", "t", strict = true)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan").head
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("matches the events-table instance shape: strictly-prior click per purchase") {
+    val events = graft.streaming.EventOps.events(spark, sfDir)
+    val out = graft.streaming.EventOps.asofLastClick(events)
+    // every purchase appears exactly once, with last_click strictly before it
+    val n = events.filter(col("event_type") === "purchase").count()
+    assert(out.count() === n)
+    assert(out.filter(col("last_click_t") >= col("t")).count() === 0)
+  }
+}
