@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic point-in-interval range join — left rows with a point `t`
+  * matched to right rows with an interval `[lo, hi)`.
+  *
+  * With no equi-conjunct, Catalyst plans a pure range join as a
+  * BroadcastNestedLoopJoin — every (left, right) pair compared, quadratic
+  * and O(|left|·|right|) at scale. The bucketization trick restores an
+  * equi-join: both sides map to fixed-width time buckets (the interval side
+  * to EVERY bucket it overlaps via `sequence`), the join runs on the bucket
+  * key, and the exact range predicate filters within the bucket-collocated
+  * candidates. One shuffle on the bucket key; work scales with
+  * |rows| × (interval width / bucket width), not |left| × |right|.
+  *
+  * `bucketWidth` should be on the order of the typical interval length:
+  * wider buckets = fewer duplicate interval copies but more in-bucket
+  * candidates to filter.
+  */
+object RangeJoin {
+
+  /** Inner point-in-interval join; output = left columns + right columns.
+    * `t`, `lo`, `hi` are long-typed columns (epoch ticks at any resolution);
+    * intervals are half-open `[lo, hi)`. Distinct matched pairs emerge once
+    * even when an interval spans many buckets (the containing bucket of `t`
+    * is unique, and the interval copy in that bucket produces the match). */
+  def pointInInterval(left: DataFrame, right: DataFrame,
+      t: String, lo: String, hi: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val lB = left.withColumn("_bucket", floor(col(t) / bucketWidth))
+    val rB = right.withColumn("_bucket",
+      explode(sequence(floor(col(lo) / bucketWidth),
+        // hi is exclusive: an interval ending exactly on a bucket boundary
+        // does not reach into that bucket
+        floor((col(hi) - 1) / bucketWidth))))
+    lB.join(rB, Seq("_bucket"))
+      .filter(col(t) >= col(lo) && col(t) < col(hi))
+      .drop("_bucket")
+  }
+}

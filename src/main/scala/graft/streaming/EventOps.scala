@@ -146,6 +146,23 @@ object EventOps extends QueryRegistry {
         col("asof.value").as("last_click_value"))
   }
 
+  /** The generic bucketized range join ([[graft.operators.RangeJoin]])
+    * instantiated KEYLESS — each purchase counted against every error
+    * incident window `[error_ts, error_ts + 10 min)` corpus-wide. With no
+    * equi-conjunct Catalyst would plan this as a BroadcastNestedLoopJoin
+    * (|purchases| × |errors| comparisons); the bucket key restores a hash
+    * join (RangeJoinSpec asserts no NL join survives in the plan). */
+  def purchasesInErrorWindows(events: DataFrame): DataFrame = {
+    val winNs = 600L * 1000000000L // 10 minutes
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"))
+    val incidents = events.filter(col("event_type") === "error")
+      .select(col("ts").as("lo"), (col("ts") + winNs).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(purchases, incidents, "ts", "lo", "hi", winNs)
+      .groupBy(col("event_id").as("purchase_id"))
+      .agg(count(lit(1)).as("n_active_incidents"))
+  }
+
   /** Structured Streaming form of [[hourlyAgg]]: file-source stream over a
     * directory of event parquet drops → event-time watermark → tumbling 1h
     * window. Run with `.writeStream.outputMode("complete")` (tests) or
@@ -345,6 +362,14 @@ object EventOps extends QueryRegistry {
       FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
       ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
         ON p.user_id = c.user_id AND c.ts < p.ts"""))),
+
+    QueryDef("events_range_join_incidents", (s, d) => purchasesInErrorWindows(events(s, d)), Some(oq("""
+      SELECT p.event_id AS purchase_id, count(*) AS n_active_incidents
+      FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT ts AS lo, ts + INTERVAL '10 minutes' AS hi
+            FROM events WHERE event_type = 'error') i
+        ON p.ts >= i.lo AND p.ts < i.hi
+      GROUP BY 1"""))),
 
     QueryDef("events_funnel", (s, d) => funnel(events(s, d)), Some(oq("""
       , w1 AS (

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics + plan shape of the bucketized point-in-interval join. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("half-open boundaries: t == lo matches, t == hi does not") {
+    val pts = Seq((1L, 100L), (2L, 200L), (3L, 99L)).toDF("id", "t")
+    val ivs = Seq(("a", 100L, 200L)).toDF("name", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, ivs, "t", "lo", "hi", 50L)
+      .select("id").as[Long].collect().toSet
+    assert(out === Set(1L)) // 200 == hi excluded, 99 < lo excluded
+  }
+
+  test("an interval spanning many buckets matches a contained point exactly once") {
+    val pts = Seq((1L, 500L)).toDF("id", "t")
+    val ivs = Seq(("wide", 0L, 1000L)).toDF("name", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, ivs, "t", "lo", "hi", 10L)
+    assert(out.count() === 1) // 100 bucket copies, one containing-bucket match
+  }
+
+  test("bucketized result equals the naive cross-join filter on random data") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 200).map(i => (i.toLong, rnd.nextInt(10000).toLong)).toDF("id", "t")
+    val ivs = (1 to 50).map { i =>
+      val lo = rnd.nextInt(10000).toLong; (i.toLong, lo, lo + rnd.nextInt(900).toLong + 1)
+    }.toDF("iid", "lo", "hi")
+    val bucketed = RangeJoin.pointInInterval(pts, ivs, "t", "lo", "hi", 256L)
+      .select("id", "iid").as[(Long, Long)].collect().toSet
+    val naive = pts.crossJoin(ivs)
+      .filter(col("t") >= col("lo") && col("t") < col("hi"))
+      .select("id", "iid").as[(Long, Long)].collect().toSet
+    assert(bucketed === naive)
+    assert(naive.nonEmpty)
+  }
+
+  test("the keyless range join plans as a hash join on the bucket — no NL join") {
+    val events = graft.streaming.EventOps.events(spark, sfDir)
+    val df = graft.streaming.EventOps.purchasesInErrorWindows(events)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan").head
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+}
