@@ -157,6 +157,26 @@ object TextOps extends QueryRegistry {
           .otherwise(lit("test")))
   }
 
+  /** Shard-local sequence packing (concat-and-chunk): documents pack in a
+    * deterministic order into fixed-capacity training sequences. Packing is
+    * inherently sequential, so the scale discipline is SHARD-local packing —
+    * how distributed training-data builders actually run it: the corpus
+    * hashes into independent shards (the [[trainSplit]] md5 bucketing, mod
+    * `shards`), each shard orders its docs and chunks by running token
+    * count, and a document's sequence is `floor(preceding_tokens /
+    * capacity)` within its shard. One partitioned window — a single shuffle
+    * on the shard key, no global state, shards scale with the cluster. */
+  def packSequences(docs: DataFrame, capacity: Long = 4096, shards: Int = 8): DataFrame = {
+    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % shards).as("shard")
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), shard, size(words).cast("long").as("n_tokens"))
+      .withColumn("seq_id",
+        floor(coalesce(sum("n_tokens").over(wnd), lit(0L)) / capacity))
+  }
+
   /** Benchmark-contamination check: corpus documents sharing any 3-word
     * shingle with the benchmark set (here `doc_id % 100 = 0`), with the
     * shared-shingle count as the contamination strength. Candidate
@@ -580,6 +600,18 @@ object TextOps extends QueryRegistry {
                   WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
                   ELSE 'test' END AS split
       FROM documents"""))),
+
+    QueryDef("doc_pack_sequences", (s, d) => packSequences(docs(s, d)), Some(oq("""
+      , sized AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents)
+      SELECT doc_id, shard, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        / 4096.0) AS BIGINT) AS seq_id
+      FROM sized"""))),
 
     QueryDef("doc_contamination", (s, d) => contamination(docs(s, d)), Some(oq(s"""
       , $sqlShingles,

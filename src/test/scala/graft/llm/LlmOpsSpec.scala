@@ -92,6 +92,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2L) === ((3L, 1L, 1.0 / 3, 0.0)))
   }
 
+  test("sequence packing: a doc's sequence is its shard-local preceding token count / capacity") {
+    val out = TextOps.packSequences(docsDF(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"), (4L, "a b c d")),
+      capacity = 10, shards = 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    // preceding tokens 0, 4, 8, 12 -> sequences 0, 0, 0, 1
+    assert(out === Array((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L)))
+  }
+
   test("filter cascade: first failing rule wins, clean docs keep") {
     val longTail = (1 to 30).map(i => s"w$i").mkString(" ")
     val out = TextOps.filterCascade(docsDF(
