@@ -56,6 +56,25 @@ object MultimodalOps extends QueryRegistry {
     mediaTable(spark, dir).select("doc_id", "media").as[MediaRow]
   }
 
+  /** Frame-sampling plumbing (the video analog): every `every`-th frame
+    * index of each media payload with its byte-window offset — the
+    * row-explosion stage a video pipeline feeds to the batched decoder.
+    * Narrow per-row `sequence` + `explode`, no shuffle; frame count and
+    * geometry come from the same stub arithmetic as [[decodeFeatures]]
+    * (a real deployment reads them from the container header), and the
+    * decode of each sampled window stays stubbed. */
+  def sampleFrames(spark: SparkSession, dir: String, every: Int = 5): DataFrame = {
+    val frames = (length(col("media")) % 30).cast("long")
+    val idx = when(frames > 0, sequence(lit(0L), frames - 1, lit(every.toLong)))
+      .otherwise(expr("array()"))
+    mediaTable(spark, dir)
+      .select(col("doc_id"), length(col("media")).cast("long").as("n_bytes"),
+        frames.as("n_frames"), explode(idx).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * floor(col("n_bytes") / col("n_frames"))).cast("long")
+          .as("byte_offset"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("multimodal_meta",
       (s, d) => mediaTable(s, d).select(
@@ -66,6 +85,17 @@ object MultimodalOps extends QueryRegistry {
                octet_length(text::BLOB) AS n_bytes,
                substr(hex(text::BLOB), 1, 8) AS prefix_hex
         FROM documents"""))),
+
+    QueryDef("multimodal_frames", (s, d) => sampleFrames(s, d), Some(oq("""
+      , geom AS (
+          SELECT doc_id,
+                 CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+                 CAST(octet_length(text::BLOB) % 30 AS BIGINT) AS n_frames
+          FROM documents)
+      SELECT doc_id, f.frame_idx,
+             CAST(f.frame_idx * (n_bytes // n_frames) AS BIGINT) AS byte_offset
+      FROM geom, unnest(generate_series(0, n_frames - 1, 5)) AS f(frame_idx)
+      WHERE n_frames > 0"""))),
 
     QueryDef("multimodal_features",
       (s, d) => decodeFeatures(mediaAsDataset(s, d)).toDF(),

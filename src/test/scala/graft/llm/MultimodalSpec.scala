@@ -15,6 +15,16 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("frame sampling explodes partition-local — no exchange, every 5th frame") {
+    val frames = MultimodalOps.sampleFrames(spark, sfDir)
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    val idx = frames.select("frame_idx")
+      .collect().map(_.getLong(0)).toSet
+    assert(idx.forall(_ % 5 === 0))
+    assert(frames.count() > 0)
+  }
+
   test("stub features are deterministic functions of the payload bytes") {
     val feats = MultimodalOps.decodeFeatures(MultimodalOps.mediaAsDataset(spark, sfDir))
       .collect().map(f => f.doc_id -> f).toMap
