@@ -264,6 +264,27 @@ object TextOps extends QueryRegistry {
           .as("jaccard"))
   }
 
+  /** One-row corpus card — the curation-side analog of the warehouse's
+    * summary-KPI frame (`d10_summary_kpis`): scale, token mass, language
+    * mix, exact-duplication rate, source spread. All counts/sums are exact
+    * integers (the two ratios are single divisions of exact values), so the
+    * report is accumulation-order-independent. One global aggregate with
+    * map-side partials — the corpus never shuffles. */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val n = size(words)
+    val hits = size(filter(words, w => w === "the" || w === "a"))
+    docs.select(col("source"), md5(col("text")).as("h"), n.as("nw"),
+        (hits.cast("double") / n >= 0.05).as("is_en"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("h")).as("n_distinct_texts"),
+        count_distinct(col("source")).as("n_sources"),
+        sum("nw").as("total_words"),
+        (sum("nw").cast("double") / count(lit(1))).as("avg_words"),
+        (sum(when(col("is_en"), 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("en_fraction"))
+  }
+
   /** Document fingerprinting: digest prefix + an ordered rolling md5 chain
     * over the words (order-sensitive, unlike a bag-of-words digest). */
   def fingerprint(docs: DataFrame): DataFrame =
@@ -687,6 +708,21 @@ object TextOps extends QueryRegistry {
       FROM pairs p
       JOIN sizes sa ON sa.source = p.source_a
       JOIN sizes sb ON sb.source = p.source_b"""))),
+
+    QueryDef("doc_corpus_report", (s, d) => corpusReport(docs(s, d)), Some(oq("""
+      , base AS (
+          SELECT source, md5(text) AS h,
+                 len(string_split(text, ' ')) AS nw,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                   / len(string_split(text, ' ')) >= 0.05 AS is_en
+          FROM documents)
+      SELECT count(*) AS n_docs,
+             count(DISTINCT h) AS n_distinct_texts,
+             count(DISTINCT source) AS n_sources,
+             CAST(sum(nw) AS BIGINT) AS total_words,
+             CAST(sum(nw) AS DOUBLE) / count(*) AS avg_words,
+             CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS en_fraction
+      FROM base"""))),
 
     QueryDef("doc_fingerprint", (s, d) => fingerprint(docs(s, d)), Some(oq("""
       SELECT doc_id,

@@ -92,6 +92,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2L) === ((3L, 1L, 1.0 / 3, 0.0)))
   }
 
+  test("corpus report: one exact row over docs with duplicates and mixed languages") {
+    val docs = Seq(
+      (1L, "the a x y z", "s1"), // en (2/5)
+      (2L, "the a x y z", "s1"), // exact dup of 1
+      (3L, "p q r", "s2")) // not en
+      .toDF("doc_id", "text", "source")
+    val r = TextOps.corpusReport(docs).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 2L, 2L, 13L)))
+    assert(r.getDouble(4) === 13.0 / 3)
+    assert(r.getDouble(5) === 2.0 / 3)
+  }
+
   test("sequence packing: a doc's sequence is its shard-local preceding token count / capacity") {
     val out = TextOps.packSequences(docsDF(
       (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c d"), (4L, "a b c d")),
