@@ -239,6 +239,23 @@ object TextOps extends QueryRegistry {
     docs.select(col("doc_id"), reason.isNull.as("keep"), reason.as("reject_reason"))
   }
 
+  /** The end-to-end curation pipeline: cheap per-doc filters first
+    * ([[filterCascade]]), then near-dup removal ([[dedupKeep]]) over the
+    * SURVIVORS only — the standard ordering (narrow map-only rules prune the
+    * corpus before the shuffling dedup pays for it). Every document gets a
+    * final disposition: `rejected:<rule>`, `duplicate`, or `kept`. */
+  def curationPipeline(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val flags = filterCascade(docs)
+    val passed = docs.join(flags.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val survivors = dedupKeep(passed, threshold)
+      .select(col("doc_id"), lit(true).as("survived"))
+    flags.join(survivors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("keep"), concat(lit("rejected:"), col("reject_reason")))
+          .when(col("survived").isNull, lit("duplicate"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
   /** Cross-source overlap matrix: for each pair of ingest sources, the
     * number of distinct 3-word shingles present in both and the Jaccard
     * similarity of the two shingle sets — the corpus-curation view of which
@@ -562,14 +579,47 @@ object TextOps extends QueryRegistry {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
-  private val sqlShingles = """
-      words_t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  private def sqlShinglesFrom(src: String): String = s"""
+      words_t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
       shingles AS (
         SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
         FROM words_t),
       shingle_sets AS (
         SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
         FROM words_t)"""
+
+  private val sqlShingles = sqlShinglesFrom("documents")
+
+  /** sigs → bands → cand → pairs → edges → reach: the minhash-LSH +
+    * Jaccard(0.6) + transitive-closure chain over whatever `words_t`/
+    * `shingles`/`shingle_sets` were built from (shared by the cluster, keep
+    * and pipeline oracles). */
+  private val sqlClusterChainCtes = s"""
+      sigs AS (
+        SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+        FROM shingles, generate_series(0, ${NumHashes - 1}) AS gh(h)
+        GROUP BY doc_id, h),
+      bands AS (
+        SELECT doc_id, CAST(floor(h / $BandSize) AS INT) AS band,
+               md5(string_agg(mh, '|' ORDER BY h)) AS band_key
+        FROM sigs GROUP BY doc_id, CAST(floor(h / $BandSize) AS INT)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN shingle_sets sa ON sa.doc_id = c.doc_a
+        JOIN shingle_sets sb ON sb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT src AS doc_id, src AS label FROM edges
+        UNION
+        SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst)"""
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("doc_exact_dedup", (s, d) => exactDedup(docs(s, d)), Some(oq("""
@@ -695,6 +745,38 @@ object TextOps extends QueryRegistry {
           FROM base)
       SELECT doc_id, reject_reason IS NULL AS keep, reject_reason FROM flagged"""))),
 
+    QueryDef("doc_curation_pipeline", (s, d) => curationPipeline(docs(s, d)), Some(s"""
+      WITH RECURSIVE
+      ctf AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+          GROUP BY doc_id, tok),
+      cmx AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS max_frac
+              FROM ctf GROUP BY doc_id),
+      cbase AS (
+          SELECT d.doc_id,
+                 len(string_split(text, ' ')) AS n,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS er,
+                 m.max_frac
+          FROM documents d JOIN cmx m ON d.doc_id = m.doc_id),
+      flagged AS (
+          SELECT doc_id,
+                 CASE WHEN n < 20 THEN 'too_short'
+                      WHEN er < 0.05 THEN 'not_english'
+                      WHEN max_frac > 0.14 THEN 'too_repetitive' END AS reject_reason
+          FROM cbase),
+      docs_f AS (SELECT d.doc_id, d.text FROM documents d
+                 JOIN flagged f ON d.doc_id = f.doc_id WHERE f.reject_reason IS NULL),
+      ${sqlShinglesFrom("docs_f")},
+      $sqlClusterChainCtes,
+      clusters AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+      SELECT f.doc_id,
+             CASE WHEN f.reject_reason IS NOT NULL THEN 'rejected:' || f.reject_reason
+                  WHEN c.doc_id IS NOT NULL AND c.cluster_id <> f.doc_id THEN 'duplicate'
+                  ELSE 'kept' END AS status
+      FROM flagged f LEFT JOIN clusters c ON c.doc_id = f.doc_id""")),
+
     QueryDef("doc_source_overlap", (s, d) => sourceOverlap(docs(s, d)), Some(oq(s"""
       , $sqlShingles,
       ss AS (SELECT DISTINCT d.source, s.shingle
@@ -755,60 +837,12 @@ object TextOps extends QueryRegistry {
     // documents table doesn't need the warehouse CTEs anyway).
     QueryDef("doc_dedup_clusters", (s, d) => dedupClusters(docs(s, d), 0.6), Some(s"""
       WITH RECURSIVE $sqlShingles,
-      sigs AS (
-        SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
-        FROM shingles, generate_series(0, ${NumHashes - 1}) AS gh(h)
-        GROUP BY doc_id, h),
-      bands AS (
-        SELECT doc_id, CAST(floor(h / $BandSize) AS INT) AS band,
-               md5(string_agg(mh, '|' ORDER BY h)) AS band_key
-        FROM sigs GROUP BY doc_id, CAST(floor(h / $BandSize) AS INT)),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-      pairs AS (
-        SELECT c.doc_a, c.doc_b
-        FROM cand c
-        JOIN shingle_sets sa ON sa.doc_id = c.doc_a
-        JOIN shingle_sets sb ON sb.doc_id = c.doc_b
-        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6),
-      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                UNION ALL
-                SELECT doc_b, doc_a FROM pairs),
-      reach AS (
-        SELECT src AS doc_id, src AS label FROM edges
-        UNION
-        SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst)
+      $sqlClusterChainCtes
       SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id""")),
 
     QueryDef("doc_dedup_keep", (s, d) => dedupKeep(docs(s, d), 0.6), Some(s"""
       WITH RECURSIVE $sqlShingles,
-      sigs AS (
-        SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
-        FROM shingles, generate_series(0, ${NumHashes - 1}) AS gh(h)
-        GROUP BY doc_id, h),
-      bands AS (
-        SELECT doc_id, CAST(floor(h / $BandSize) AS INT) AS band,
-               md5(string_agg(mh, '|' ORDER BY h)) AS band_key
-        FROM sigs GROUP BY doc_id, CAST(floor(h / $BandSize) AS INT)),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-      pairs AS (
-        SELECT c.doc_a, c.doc_b
-        FROM cand c
-        JOIN shingle_sets sa ON sa.doc_id = c.doc_a
-        JOIN shingle_sets sb ON sb.doc_id = c.doc_b
-        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6),
-      edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                UNION ALL
-                SELECT doc_b, doc_a FROM pairs),
-      reach AS (
-        SELECT src AS doc_id, src AS label FROM edges
-        UNION
-        SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst),
+      $sqlClusterChainCtes,
       clusters AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
       SELECT d.doc_id,
              CASE WHEN c.doc_id IS NOT NULL THEN 'cluster_representative' ELSE 'unique' END AS keep_reason

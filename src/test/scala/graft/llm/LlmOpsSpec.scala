@@ -127,6 +127,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(4L) === ((false, Some("too_repetitive")))) // en-ratio passes, max freq 11/22
   }
 
+  test("curation pipeline: filters first, dedup over survivors, full disposition") {
+    val txt = "the a " + (1 to 30).map(i => s"w$i").mkString(" ")
+    val out = TextOps.curationPipeline(docsDF(
+      (1L, txt), (2L, txt), // exact dup pair -> 1 kept, 2 duplicate
+      (3L, "too short"), // cascade rejects before dedup sees it
+      (4L, txt + " tail"))) // near-dup of 1
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "kept", 2L -> "duplicate", 3L -> "rejected:too_short", 4L -> "duplicate"))
+  }
+
   test("source overlap: shared shingles count once per pair, jaccard over distinct sets") {
     val docs = Seq(
       (1L, "a b c d", "s1"), // shingles {a b c, b c d}
