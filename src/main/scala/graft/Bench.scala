@@ -216,6 +216,7 @@ object Bench {
       time("doc_vocab_top100")(graft.llm.TextOps.vocabTopK(docs))
       time("doc_repetition")(graft.llm.TextOps.repetition(docs))
       time("doc_filter_cascade")(graft.llm.TextOps.filterCascade(docs))
+      time("doc_curation_pipeline")(graft.llm.TextOps.curationPipeline(docs))
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))
