@@ -191,9 +191,20 @@ object TextOps extends QueryRegistry {
       .agg(count_distinct(col("shingle")).as("n_shared_shingles"))
   }
 
-  /** Max single-token frequency = the longest run in the sorted token array,
-    * one ordered fold (shared by [[repetition]] and [[filterCascade]]). */
-  private def maxTokenFreq: Column = aggregate(
+  /** Max single-token frequency (shared by [[repetition]] and
+    * [[filterCascade]]): the native codegen'd kernel
+    * ([[org.apache.spark.sql.graft.MaxTokenFreq]] — one sort + run-scan per
+    * row inside whole-stage codegen). [[maxTokenFreqHof]] is the composable
+    * executable specification it is equality-tested against. */
+  private def maxTokenFreq: Column = {
+    val ge = org.apache.spark.sql.graft.expressions
+    ge.column(org.apache.spark.sql.graft.MaxTokenFreq(ge.expression(col("text"))))
+  }
+
+  /** The sorted-run fold as composable HOFs — the executable spec of
+    * [[maxTokenFreq]] (runs interpreted: HOFs are CodegenFallback; kept for
+    * the kernel equality test, LlmOpsSpec). */
+  def maxTokenFreqHof: Column = aggregate(
     sort_array(words),
     struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
     (acc, w) => {

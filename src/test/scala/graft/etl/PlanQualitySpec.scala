@@ -119,14 +119,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan) // top-k, no global sort
   }
 
-  test("repetition stats run as a narrow per-doc transform — zero exchanges") {
+  test("repetition stats run as a narrow per-doc transform — zero exchanges, kernel codegen'd") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
     val df = graft.llm.TextOps.repetition(w.stgSales.sparkSession
       .read.parquet(s"$sfDir/documents.parquet"))
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    // the sorted-run fold replaces the textbook explode + per-(doc, token)
-    // groupBy, so the corpus never shuffles at all
-    assert(!plan.contains("Exchange"), plan)
+    val plan = df.queryExecution.executedPlan
+    // the native run-scan kernel replaces the textbook explode + per-(doc,
+    // token) groupBy, so the corpus never shuffles at all
+    assert(!plan.toString.contains("Exchange"), plan.toString)
+    assert(plan.exists {
+      case w: WholeStageCodegenExec => w.toString.contains("max_token_freq")
+      case _ => false
+    }, plan.toString)
   }
 
   test("funnel stages and the per-user collapse share one user_id exchange") {

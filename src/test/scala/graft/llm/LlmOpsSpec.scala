@@ -82,6 +82,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept === Map(1L -> "cluster_representative", 4L -> "unique"))
   }
 
+  test("native max-token-freq kernel equals the HOF fold on real and edge docs") {
+    val ge = org.apache.spark.sql.graft.expressions
+    val docs = TextOps.docs(spark, sfDir).select("doc_id", "text")
+      .union(docsDF((300001L, ""), (300002L, "a  b "), (300003L, "x"),
+        (300004L, "t t t"), (300005L, " ")).select("doc_id", "text"))
+    val rows = docs.select(col("doc_id"),
+      ge.column(org.apache.spark.sql.graft.MaxTokenFreq(ge.expression(col("text")))).as("k"),
+      TextOps.maxTokenFreqHof.as("h")).collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2), s"doc ${r.getLong(0)}"))
+    assert(rows.nonEmpty)
+  }
+
   test("repetition: longest sorted run equals the max token frequency") {
     val out = TextOps.repetition(docsDF((1L, "b a b c b"), (2L, "x y z")))
       .collect()
