@@ -250,6 +250,21 @@ object TextOps extends QueryRegistry {
     docs.select(col("doc_id"), reason.isNull.as("keep"), reason.as("reject_reason"))
   }
 
+  /** Lexical-vs-semantic consistency diagnostic: every minhash near-dup
+    * candidate pair with BOTH its exact shingle Jaccard and its embedding
+    * cosine — the corpus-quality view that catches disagreeing modalities
+    * (high lexical overlap with low semantic similarity flags templated
+    * boilerplate; the reverse flags paraphrase duplicates LSH can't see).
+    * Pairs come from the banded index (never doc × doc); the embedding
+    * attach is two id equi-joins on the tiny pair set. */
+  def semanticConsistency(docs: DataFrame, emb: DataFrame): DataFrame =
+    minhashPairs(docs)
+      .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")), Seq("doc_a"))
+      .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(EmbeddingOps.cosine(col("ea"), col("eb")), 6)
+          .cast("decimal(10,6)").cast("double").as("cosine"))
+
   /** The end-to-end curation pipeline: cheap per-doc filters first
     * ([[filterCascade]]), then near-dup removal ([[dedupKeep]]) over the
     * SURVIVORS only — the standard ordering (narrow map-only rules prune the
@@ -601,11 +616,10 @@ object TextOps extends QueryRegistry {
 
   private val sqlShingles = sqlShinglesFrom("documents")
 
-  /** sigs → bands → cand → pairs → edges → reach: the minhash-LSH +
-    * Jaccard(0.6) + transitive-closure chain over whatever `words_t`/
-    * `shingles`/`shingle_sets` were built from (shared by the cluster, keep
-    * and pipeline oracles). */
-  private val sqlClusterChainCtes = s"""
+  /** sigs → bands → cand: minhash signatures, band keys, LSH candidate
+    * pairs over whatever `shingles` was built from (shared by the near-dup,
+    * consistency and cluster oracles — non-recursive, prelude-safe). */
+  private val sqlLshCandCtes = s"""
       sigs AS (
         SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
         FROM shingles, generate_series(0, ${NumHashes - 1}) AS gh(h)
@@ -616,7 +630,13 @@ object TextOps extends QueryRegistry {
         FROM sigs GROUP BY doc_id, CAST(floor(h / $BandSize) AS INT)),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+
+  /** … → pairs → edges → reach: the Jaccard(0.6) verify + transitive-closure
+    * extension of [[sqlLshCandCtes]] (shared by the cluster, keep and
+    * pipeline oracles; `reach` is recursive — WITH RECURSIVE statements only). */
+  private val sqlClusterChainCtes = s"""
+      $sqlLshCandCtes,
       pairs AS (
         SELECT c.doc_a, c.doc_b
         FROM cand c
@@ -825,23 +845,30 @@ object TextOps extends QueryRegistry {
 
     QueryDef("doc_minhash_near_dup", (s, d) => minhashPairs(docs(s, d)), Some(oq(s"""
       , $sqlShingles,
-      sigs AS (
-        SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
-        FROM shingles, generate_series(0, ${NumHashes - 1}) AS gh(h)
-        GROUP BY doc_id, h),
-      bands AS (
-        SELECT doc_id, CAST(floor(h / $BandSize) AS INT) AS band,
-               md5(string_agg(mh, '|' ORDER BY h)) AS band_key
-        FROM sigs GROUP BY doc_id, CAST(floor(h / $BandSize) AS INT)),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+      $sqlLshCandCtes
       SELECT c.doc_a, c.doc_b,
              CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
                len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
       FROM cand c
       JOIN shingle_sets sa ON sa.doc_id = c.doc_a
       JOIN shingle_sets sb ON sb.doc_id = c.doc_b"""))),
+
+    QueryDef("doc_semantic_consistency",
+      (s, d) => semanticConsistency(docs(s, d), EmbeddingOps.emb(s, d)), Some(oq(s"""
+      , $sqlShingles,
+      $sqlLshCandCtes,
+      jp AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+        FROM cand c
+        JOIN shingle_sets sa ON sa.doc_id = c.doc_a
+        JOIN shingle_sets sb ON sb.doc_id = c.doc_b)
+      SELECT j.doc_a, j.doc_b, j.jaccard,
+             CAST(CAST(round(${EmbeddingOps.sqlCos("a.embedding", "b.embedding")}, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
+      FROM jp j
+      JOIN embeddings a ON a.vec_id = j.doc_a
+      JOIN embeddings b ON b.vec_id = j.doc_b"""))),
 
     // Standalone WITH RECURSIVE statement (transitive closure needs the
     // RECURSIVE keyword, which can't be appended to the shared prelude; the
