@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Generic point-in-interval range join — left rows with a point `t`
@@ -22,19 +22,27 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Inner point-in-interval join; output = left columns + right columns.
-    * `t`, `lo`, `hi` are long-typed columns (epoch ticks at any resolution);
-    * intervals are half-open `[lo, hi)`. Distinct matched pairs emerge once
-    * even when an interval spans many buckets (the containing bucket of `t`
-    * is unique, and the interval copy in that bucket produces the match). */
+    * `t`, `lo`, `hi` are NON-NEGATIVE long-typed columns (epoch ticks at any
+    * resolution); intervals are half-open `[lo, hi)`. Distinct matched pairs
+    * emerge once even when an interval spans many buckets (the containing
+    * bucket of `t` is unique, and the interval copy in that bucket produces
+    * the match).
+    *
+    * Bucket ids use INTEGER division (`div`), not `floor(t / w)`: epoch-ns
+    * ticks (~1.7e18) exceed double's 2^53 mantissa, so the double quotient
+    * can floor into the wrong bucket within an ulp of a boundary — a silent
+    * missed match that test-scale data will essentially never hit but
+    * trillions of rows will. (`div` truncates toward zero, which equals
+    * floor only for non-negative ticks — hence the precondition.) */
   def pointInInterval(left: DataFrame, right: DataFrame,
       t: String, lo: String, hi: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val lB = left.withColumn("_bucket", floor(col(t) / bucketWidth))
+    val lB = left.withColumn("_bucket", expr(s"`$t` div ${bucketWidth}L"))
     val rB = right.withColumn("_bucket",
-      explode(sequence(floor(col(lo) / bucketWidth),
+      explode(sequence(expr(s"`$lo` div ${bucketWidth}L"),
         // hi is exclusive: an interval ending exactly on a bucket boundary
         // does not reach into that bucket
-        floor((col(hi) - 1) / bucketWidth))))
+        expr(s"(`$hi` - 1L) div ${bucketWidth}L"))))
     lB.join(rB, Seq("_bucket"))
       .filter(col(t) >= col(lo) && col(t) < col(hi))
       .drop("_bucket")

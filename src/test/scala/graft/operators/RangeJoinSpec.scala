@@ -38,6 +38,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("bucket ids stay exact at epoch-ns magnitudes beyond double precision") {
+    // ~1.7e18 exceeds double's 2^53 mantissa: floor(t / w) in double can
+    // land a tick in the wrong bucket within an ulp of a boundary. The
+    // integer `div` form must agree with the naive filter on a grid packed
+    // around the boundary.
+    val w = 600000000000L
+    val boundary = w * 2833333L
+    val pts = (-3L to 3L).map(d => (d + 10, boundary + d)).toDF("id", "t")
+    val ivs = (-3L to 3L).map(d => (d + 20, boundary + d - 2, boundary + d + 2))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, ivs, "t", "lo", "hi", w)
+      .select("id", "iid").as[(Long, Long)].collect().toSet
+    val want = pts.crossJoin(ivs)
+      .filter(col("t") >= col("lo") && col("t") < col("hi"))
+      .select("id", "iid").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
   test("the keyless range join plans as a hash join on the bucket — no NL join") {
     val events = graft.streaming.EventOps.events(spark, sfDir)
     val df = graft.streaming.EventOps.purchasesInErrorWindows(events)
