@@ -173,8 +173,11 @@ object TextOps extends QueryRegistry {
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs.select(col("doc_id"), shard, size(words).cast("long").as("n_tokens"))
-      .withColumn("seq_id",
-        floor(coalesce(sum("n_tokens").over(wnd), lit(0L)) / capacity))
+      // integer div, not floor(/): a shard's cumulative token count can
+      // pass double's 2^53 mantissa at corpus scale (the RangeJoin lesson)
+      .withColumn("_cum", coalesce(sum("n_tokens").over(wnd), lit(0L)))
+      .withColumn("seq_id", expr(s"_cum div ${capacity}L"))
+      .drop("_cum")
   }
 
   /** Benchmark-contamination check: corpus documents sharing any 3-word
@@ -710,9 +713,9 @@ object TextOps extends QueryRegistry {
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
           FROM documents)
       SELECT doc_id, shard, n_tokens,
-             CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                        / 4096.0) AS BIGINT) AS seq_id
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // 4096 AS BIGINT) AS seq_id
       FROM sized"""))),
 
     QueryDef("doc_contamination", (s, d) => contamination(docs(s, d)), Some(oq(s"""
