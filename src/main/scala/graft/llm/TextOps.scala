@@ -465,6 +465,42 @@ object TextOps extends QueryRegistry {
       }
   }
 
+  /** Per-batch disposition of new docs against a static corpus: the
+    * map-only cascade first, then cross-corpus LSH dedup over the survivors
+    * only ([[curationPipeline]]'s ordering on the ingestion path). */
+  def curateBatch(batch: DataFrame, corpus: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val flags = filterCascade(batch)
+    val passed = batch.join(flags.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val dups = crossNearDup(passed, corpus)
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_doc").as("doc_id")).distinct()
+      .withColumn("_dup", lit(true))
+    flags.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("keep"), concat(lit("rejected:"), col("reject_reason")))
+          .when(col("_dup"), lit("duplicate"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
+  /** Streaming curation: every micro-batch from the drop directory gets the
+    * full [[curateBatch]] treatment against the standing corpus, appending a
+    * per-doc disposition log. Batch-internal duplicates are intentionally
+    * not linked — standing ingestion admits documents batch-by-batch against
+    * the corpus; the corpus index refresh cadence is the caller's choice.
+    * foreachBatch semantics as [[streamingNearDup]]: no streaming state. */
+  def streamingCuration(spark: SparkSession, dropDir: String, corpus: DataFrame,
+      outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(dropDir).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateBatch(batch, corpus).write.mode("append").parquet(outPath)
+        ()
+      }
+  }
+
   /** Near-dup clusters: connected components over the MinHash candidate-pair
     * graph (exact Jaccard >= `threshold`).
     * `cluster_id` = the smallest doc_id in the component, so the output is

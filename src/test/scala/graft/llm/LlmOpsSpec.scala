@@ -176,6 +176,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3L) === 1.0)
   }
 
+  test("streaming curation: per-batch disposition equals the batch composition") {
+    import org.apache.spark.sql.streaming.Trigger
+    val txt = "the a " + (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = docsDF((1L, txt))
+    val newDocs = docsDF(
+      (11L, txt), // corpus dup
+      (12L, "too short"), // cascade reject
+      (13L, "the a " + (31 to 60).map(i => s"v$i").mkString(" "))) // clean
+    val base = java.nio.file.Files.createTempDirectory("graft_curation_drops")
+    newDocs.filter($"doc_id" <= 12).write.parquet(s"$base/drops/a")
+    newDocs.filter($"doc_id" > 12).write.parquet(s"$base/drops/b")
+
+    val query = TextOps.streamingCuration(spark, s"$base/drops/*", corpus, s"$base/log")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(s"$base/log").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed === Map(
+      11L -> "duplicate", 12L -> "rejected:too_short", 13L -> "kept"))
+    val batch = TextOps.curateBatch(newDocs, corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming near-dup over two drops equals the batch cross check") {
     import org.apache.spark.sql.streaming.Trigger
     val text = "the quick brown fox jumps over the lazy dog again and again"
