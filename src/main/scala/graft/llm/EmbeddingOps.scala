@@ -148,6 +148,35 @@ object EmbeddingOps extends QueryRegistry {
           .cast("decimal(10,6)").cast("double").as("cos_centroid"))
   }
 
+  /** Int8 scalar-quantization quality report: per-dimension min/max over the
+    * corpus define a 255-step linear code per dim; each vector reports its
+    * max and mean absolute reconstruction error — the go/no-go evidence for
+    * shrinking a 100 TB float corpus 4× before ANN indexing. The 64-row
+    * dim-stats frame broadcasts back onto the corpus (same shape as
+    * [[labelCohesion]]); codes/errors are per-element arithmetic over
+    * identical doubles in both engines, means fold in index order. */
+  def quantizeInt8Stats(emb: DataFrame): DataFrame = {
+    val dimStats = emb
+      .select(posexplode(col("embedding")))
+      .groupBy("pos")
+      .agg(min(col("col").cast("double")).as("mn"), max(col("col").cast("double")).as("mx"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx")))),
+        s => struct(s("mn").as("mn"), s("mx").as("mx"))).as("stats"))
+    val errs = zip_with(col("embedding"), col("stats"), (x, st) => {
+      val xd = x.cast("double")
+      val scale = (st("mx") - st("mn")) / 255.0
+      val recon = when(st("mx") === st("mn"), st("mn"))
+        .otherwise(st("mn") + round((xd - st("mn")) / scale) * scale)
+      abs(xd - recon)
+    })
+    emb.crossJoin(broadcast(dimStats))
+      .select(col("vec_id"),
+        round(array_max(errs), 6).cast("decimal(10,6)").cast("double").as("max_abs_err"),
+        round(aggregate(errs, lit(0.0), (acc, e) => acc + e) / size(col("embedding")), 6)
+          .cast("decimal(10,6)").cast("double").as("mean_abs_err"))
+  }
+
   private def sqlDot(a: String, b: String): String =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) FOR i IN generate_series(1, $Dim)])"
 
@@ -191,6 +220,27 @@ object EmbeddingOps extends QueryRegistry {
                CAST(CAST(round(${sqlCos("a.embedding", "b.embedding")}, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
         FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       SELECT keep_id, dup_id, cosine FROM pairs WHERE cosine >= 0.35"""))),
+
+    QueryDef("emb_quantize_int8", (s, d) => quantizeInt8Stats(emb(s, d)), Some(oq(s"""
+      , dim_stats AS (
+          SELECT t.i AS pos, min(CAST(embedding[t.i] AS DOUBLE)) AS mn,
+                 max(CAST(embedding[t.i] AS DOUBLE)) AS mx
+          FROM embeddings CROSS JOIN generate_series(1, $Dim) t(i)
+          GROUP BY t.i),
+      stats AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM dim_stats),
+      errs AS (
+          SELECT e.vec_id,
+                 [CASE WHEN s.mxs[i] = s.mns[i] THEN abs(CAST(e.embedding[i] AS DOUBLE) - s.mns[i])
+                       ELSE abs(CAST(e.embedding[i] AS DOUBLE) -
+                                (s.mns[i] + round((CAST(e.embedding[i] AS DOUBLE) - s.mns[i])
+                                                  / ((s.mxs[i] - s.mns[i]) / 255.0))
+                                           * ((s.mxs[i] - s.mns[i]) / 255.0))) END
+                  FOR i IN generate_series(1, $Dim)] AS el
+          FROM embeddings e CROSS JOIN stats s)
+      SELECT vec_id,
+             CAST(CAST(round(list_aggregate(el, 'max'), 6) AS DECIMAL(10,6)) AS DOUBLE) AS max_abs_err,
+             CAST(CAST(round(list_sum(el) / len(el), 6) AS DECIMAL(10,6)) AS DOUBLE) AS mean_abs_err
+      FROM errs"""))),
 
     QueryDef("emb_label_cohesion", (s, d) => labelCohesion(emb(s, d)), Some(oq(s"""
       , cm AS (

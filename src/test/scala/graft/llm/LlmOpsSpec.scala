@@ -163,6 +163,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === Map(("s1", "s2") -> ((1L, 1.0 / 3))))
   }
 
+  test("int8 quantization: values on code points reconstruct exactly, midpoints carry half-step error") {
+    // dim 1 spans [0, 255]: scale 1.0, so integer values are exact code
+    // points; 0.5 sits exactly between codes -> error 0.5. dim 2 constant.
+    val emb = Seq(
+      (1L, Array(0f, 7f), 0),
+      (2L, Array(255f, 7f), 0),
+      (3L, Array(0.5f, 7f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = EmbeddingOps.quantizeInt8Stats(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((0.0, 0.0)))
+    assert(out(2L) === ((0.0, 0.0)))
+    assert(out(3L) === ((0.5, 0.25))) // (0.5 + 0.0) / 2 dims
+  }
+
   test("label cohesion: centroid member of a symmetric pair scores cos(45°), singleton scores 1") {
     val emb = Seq(
       (1L, Array(1f, 0f), 1), // label-1 centroid = [0.5, 0.5]

@@ -41,6 +41,32 @@ class AsOfSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("window formulation equals the naive range-join + keep-latest on random data") {
+    val rnd = new scala.util.Random(11)
+    val l = (1 to 150).map(i => (i.toLong, s"k${rnd.nextInt(8)}", rnd.nextInt(1000).toLong))
+      .toDF("id", "k", "t")
+    // distinct (k, t) on the right so "latest" is unambiguous on both paths
+    val r = rnd.shuffle((0 until 1000).toList).take(60).zipWithIndex
+      .map { case (t, i) => (s"k${t % 8}", t.toLong, s"v$i") }
+      .toDF("k", "t", "v")
+    val windowed = AsOf.asOfJoin(l, r, Seq("k"), "t", "t", strict = true)
+      .select(col("id"), col("asof.v").as("v"))
+      .collect().map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    val naive = l.join(r.select(col("k"), col("t").as("rt"), col("v")), Seq("k"), "left")
+      .filter(col("rt").isNull || col("rt") < col("t"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("rt").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .collect().map(x => x.getLong(x.fieldIndex("id")) ->
+        Option(x.getString(x.fieldIndex("v")))).toMap
+    // the naive left join drops rows where every right candidate fails the
+    // filter — those lefts simply have no match
+    l.select("id").collect().map(_.getLong(0)).foreach { id =>
+      assert(windowed.getOrElse(id, None) === naive.getOrElse(id, None), s"left $id")
+    }
+    assert(windowed.values.flatten.nonEmpty)
+  }
+
   test("matches the events-table instance shape: strictly-prior click per purchase") {
     val events = graft.streaming.EventOps.events(spark, sfDir)
     val out = graft.streaming.EventOps.asofLastClick(events)
