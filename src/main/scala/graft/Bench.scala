@@ -228,6 +228,9 @@ object Bench {
       time("events_asof_last_error")(graft.streaming.EventOps.asofLastError(events))
       time("events_attribution")(graft.streaming.EventOps.attribution(events))
       time("events_funnel")(graft.streaming.EventOps.funnel(events))
+      time("events_asof_join")(graft.streaming.EventOps.asofLastClick(events))
+      time("events_range_join")(graft.streaming.EventOps.purchasesInErrorWindows(events))
+      time("emb_quantize_int8")(graft.llm.EmbeddingOps.quantizeInt8Stats(emb))
       time("olap_pivot_month_year")(graft.olap.Olap.pivotMonthYear(w))
     } finally {
       try spark.sql("DROP TABLE IF EXISTS bench_fact_by_invoice")
