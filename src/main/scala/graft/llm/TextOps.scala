@@ -310,6 +310,23 @@ object TextOps extends QueryRegistry {
           .as("jaccard"))
   }
 
+  /** Document-length histogram: width-10 word-count buckets with counts and
+    * the cumulative share — the length-distribution view a truncation/
+    * packing policy is tuned against. The heavy step is one map-side-combined
+    * aggregate to |buckets| rows; the running share is a window over that
+    * tiny frame, not the corpus. */
+  def lengthHistogram(docs: DataFrame, width: Int = 10): DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window.orderBy("bucket_lo")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val total = docs.count()
+    docs.select((expr(s"size(split(text, ' ')) div $width") * width).as("bucket_lo"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("cum_share",
+        (sum("n_docs").over(wnd).cast("double") / total))
+  }
+
   /** One-row corpus card — the curation-side analog of the warehouse's
     * summary-KPI frame (`d10_summary_kpis`): scale, token mass, language
     * mix, exact-duplication rate, source spread. All counts/sums are exact
@@ -860,6 +877,17 @@ object TextOps extends QueryRegistry {
       FROM pairs p
       JOIN sizes sa ON sa.source = p.source_a
       JOIN sizes sb ON sb.source = p.source_b"""))),
+
+    QueryDef("doc_length_histogram", (s, d) => lengthHistogram(docs(s, d)), Some(oq("""
+      , lb AS (
+          SELECT (len(string_split(text, ' ')) // 10) * 10 AS bucket_lo
+          FROM documents),
+      hist AS (SELECT bucket_lo, count(*) AS n_docs FROM lb GROUP BY bucket_lo)
+      SELECT bucket_lo, n_docs,
+             CAST(sum(n_docs) OVER (ORDER BY bucket_lo
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / (SELECT count(*) FROM documents) AS cum_share
+      FROM hist"""))),
 
     QueryDef("doc_corpus_report", (s, d) => corpusReport(docs(s, d)), Some(oq("""
       , base AS (
