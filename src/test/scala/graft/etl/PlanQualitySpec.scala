@@ -147,6 +147,19 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("quantization report broadcasts the one-row dim stats — corpus never shuffles for it") {
+    val df = graft.llm.EmbeddingOps.quantizeInt8Stats(w.stgSales.sparkSession
+      .read.parquet(s"$sfDir/embeddings.parquet"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan").head
+    // the only join is the 1-row stats cross attach (a broadcast NL of one
+    // row, not a corpus-sized comparison); the per-dim min/max combine
+    // map-side before their shuffle
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("label cohesion broadcasts the centroid frame back onto the corpus") {
     val df = graft.llm.EmbeddingOps.labelCohesion(w.stgSales.sparkSession
       .read.parquet(s"$sfDir/embeddings.parquet"))

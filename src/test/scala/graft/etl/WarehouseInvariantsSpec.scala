@@ -11,6 +11,10 @@ class WarehouseInvariantsSpec extends SparkSpec {
 
   private lazy val w = Warehouse(spark, sfDir)
 
+  test("the driver's flagship entry point returns rows") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("oracle prefix resource is byte-identical to the dev-loop checker copy") {
     // tools/check.py reads tools/prefix.sql while the shipped oracle SQL
     // embeds the classpath resource — a drifted copy would make the local
