@@ -41,26 +41,32 @@ object IvfAnn {
     best
   }
 
-  /** Train the coarse quantizer; returns the k×dim centroid matrix. */
+  /** Train the coarse quantizer; returns the k×dim centroid matrix. The
+    * vector cache lives only for the training loop (seed take + each Lloyd
+    * pass) and unpersists before returning — `train` is called repeatedly by
+    * the bench and a leaked entry per call is re-cache warning spam at best
+    * (VERDICT r6 #4). */
   def train(emb: DataFrame, k: Int = 16, iters: Int = 2): Array[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     val ds = emb.select("vec_id", "embedding").as[Vec].cache()
-    var cents = ds.orderBy("vec_id").take(k).map(_.embedding.map(_.toDouble))
-    for (_ <- 1 to iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val means = ds
-        .mapPartitions(_.map(v => (nearest(v.embedding, bc.value), v.embedding)))
-        .toDF("cid", "e")
-        .select(col("cid"), posexplode(col("e")))
-        .groupBy("cid", "pos")
-        .agg(avg("col").as("m"))
-        .collect()
-      val next = cents.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      cents = next
-    }
-    cents
+    try {
+      var cents = ds.orderBy("vec_id").take(k).map(_.embedding.map(_.toDouble))
+      for (_ <- 1 to iters) {
+        val bc = spark.sparkContext.broadcast(cents)
+        val means = ds
+          .mapPartitions(_.map(v => (nearest(v.embedding, bc.value), v.embedding)))
+          .toDF("cid", "e")
+          .select(col("cid"), posexplode(col("e")))
+          .groupBy("cid", "pos")
+          .agg(avg("col").as("m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        cents = next
+      }
+      cents
+    } finally { ds.unpersist(); () }
   }
 
   /** Inverted-list assignment: vec_id → centroid id. */

@@ -70,8 +70,10 @@ object MultimodalOps extends QueryRegistry {
     mediaTable(spark, dir)
       .select(col("doc_id"), length(col("media")).cast("long").as("n_bytes"),
         frames.as("n_frames"), explode(idx).as("frame_idx"))
+      // integer div, not floor(/): double true-division drifts above 2^53
+      // byte counts — the same hazard class RangeJoin/packSequences handle
       .select(col("doc_id"), col("frame_idx"),
-        (col("frame_idx") * floor(col("n_bytes") / col("n_frames"))).cast("long")
+        (col("frame_idx") * expr("n_bytes div n_frames")).cast("long")
           .as("byte_offset"))
   }
 

@@ -242,14 +242,22 @@ object TextOps extends QueryRegistry {
     * per-reason attribution discipline as the warehouse reject audits
     * (`Errors`). All rules are narrow per-doc expressions sharing one pass:
     * no shuffle, no joins; at 100 TB this is a map-only scan. */
-  def filterCascade(docs: DataFrame): DataFrame = {
+  /** The cascade's first-failing-reason as a plain column expression (null =
+    * keep) — narrow per-doc, so callers can FILTER on it directly instead of
+    * joining back against [[filterCascade]]'s output (a doc_id shuffle the
+    * pipeline paths used to pay twice — VERDICT r6 #7). */
+  private def rejectReason: Column = {
     val n = size(words)
     val enRatio = size(filter(words, w => w === "the" || w === "a")).cast("double") / n
     val maxFrac = maxTokenFreq.cast("double") / n
-    val reason = when(n < 20, lit("too_short"))
+    when(n < 20, lit("too_short"))
       .when(enRatio < 0.05, lit("not_english"))
       .when(maxFrac > 0.14, lit("too_repetitive"))
       .otherwise(lit(null).cast("string"))
+  }
+
+  def filterCascade(docs: DataFrame): DataFrame = {
+    val reason = rejectReason
     docs.select(col("doc_id"), reason.isNull.as("keep"), reason.as("reject_reason"))
   }
 
@@ -269,18 +277,25 @@ object TextOps extends QueryRegistry {
           .cast("decimal(10,6)").cast("double").as("cosine"))
 
   /** The end-to-end curation pipeline: cheap per-doc filters first
-    * ([[filterCascade]]), then near-dup removal ([[dedupKeep]]) over the
+    * ([[rejectReason]]), then near-dup removal ([[dedupKeep]]) over the
     * SURVIVORS only — the standard ordering (narrow map-only rules prune the
     * corpus before the shuffling dedup pays for it). Every document gets a
-    * final disposition: `rejected:<rule>`, `duplicate`, or `kept`. */
+    * final disposition: `rejected:<rule>`, `duplicate`, or `kept`.
+    *
+    * The cascade gate is a narrow FILTER, not a flags semi-join: the old
+    * `docs ⋈ flags.filter(keep)` shape shuffled the corpus on doc_id just to
+    * re-select rows a map-side predicate identifies for free, and evaluated
+    * the cascade a second time on the flags leg (VERDICT r6 #7). The one
+    * remaining join is the survivor attach — small (only dedup output) and
+    * broadcastable. */
   def curationPipeline(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val flags = filterCascade(docs)
-    val passed = docs.join(flags.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val passed = docs.filter(rejectReason.isNull)
     val survivors = dedupKeep(passed, threshold)
       .select(col("doc_id"), lit(true).as("survived"))
-    flags.join(survivors, Seq("doc_id"), "left")
+    docs.select(col("doc_id"), rejectReason.as("reject_reason"))
+      .join(survivors, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(!col("keep"), concat(lit("rejected:"), col("reject_reason")))
+        when(col("reject_reason").isNotNull, concat(lit("rejected:"), col("reject_reason")))
           .when(col("survived").isNull, lit("duplicate"))
           .otherwise(lit("kept")).as("status"))
   }
@@ -319,12 +334,14 @@ object TextOps extends QueryRegistry {
     val wnd = org.apache.spark.sql.expressions.Window.orderBy("bucket_lo")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val total = docs.count()
+    // grand total from the bucket frame itself (the W4 share-of-total
+    // pattern): both windows run over |buckets| rows — no extra corpus scan
+    val total = org.apache.spark.sql.expressions.Window.partitionBy()
     docs.select((expr(s"size(split(text, ' ')) div $width") * width).as("bucket_lo"))
       .groupBy("bucket_lo")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("cum_share",
-        (sum("n_docs").over(wnd).cast("double") / total))
+        sum("n_docs").over(wnd).cast("double") / sum("n_docs").over(total))
   }
 
   /** One-row corpus card — the curation-side analog of the warehouse's
@@ -443,9 +460,17 @@ object TextOps extends QueryRegistry {
     * verified. This is the incremental form of corpus dedup: at 100 TB the
     * corpus index is built once and each ingestion batch pays only its own
     * shingling plus a band-key join. */
-  def crossNearDup(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
-    val shNew = shingles(newDocs).cache()
-    val shCorpus = shingles(corpus).cache()
+  def crossNearDup(newDocs: DataFrame, corpus: DataFrame): DataFrame =
+    crossNearDupShingled(shingles(newDocs).cache(), shingles(corpus).cache())
+
+  /** [[crossNearDup]] over PRE-SHINGLED frames — the streaming paths' entry
+    * point: they cache the corpus shingles ONCE per stream and the batch
+    * shingles once per micro-batch (unpersisted after the batch write), so
+    * cache entries cannot accumulate over the stream's lifetime. The one-shot
+    * [[crossNearDup]] caches both sides itself (each side feeds its band-key
+    * build plus a Jaccard-verify join) and leaves the entries to the
+    * session's cache manager, as the other one-shot pipelines do. */
+  private def crossNearDupShingled(shNew: DataFrame, shCorpus: DataFrame): DataFrame = {
     val bNew = bandKeys(shNew)
       .select(col("doc_id").as("new_doc"), col("band"), col("band_key"))
     val bCorpus = bandKeys(shCorpus)
@@ -468,33 +493,43 @@ object TextOps extends QueryRegistry {
     * and its verified pairs appended to `outPath`. foreachBatch gives every
     * batch full batch semantics (the candidate `distinct` needs no streaming
     * state), mirroring [[graft.streaming.IncrementalEtl]]'s maintenance
-    * pattern; state never grows with the stream. */
+    * pattern; state never grows with the stream — the corpus shingles cache
+    * once per stream, the batch shingles unpersist after each batch write
+    * (per-batch plans are distinct, so an unmanaged per-batch cache would
+    * accumulate one storage entry per micro-batch forever). */
   def streamingNearDup(spark: SparkSession, dropDir: String, corpus: DataFrame,
       outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val shCorpus = shingles(corpus).cache()
     spark.readStream.schema(schema).parquet(dropDir).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        crossNearDup(batch, corpus).write.mode("append").parquet(outPath)
-        ()
+        val shNew = shingles(batch).cache()
+        try crossNearDupShingled(shNew, shCorpus).write.mode("append").parquet(outPath)
+        finally { shNew.unpersist(); () }
       }
   }
 
   /** Per-batch disposition of new docs against a static corpus: the
-    * map-only cascade first, then cross-corpus LSH dedup over the survivors
-    * only ([[curationPipeline]]'s ordering on the ingestion path). */
-  def curateBatch(batch: DataFrame, corpus: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val flags = filterCascade(batch)
-    val passed = batch.join(flags.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
-    val dups = crossNearDup(passed, corpus)
-      .filter(col("jaccard") >= threshold)
+    * map-only cascade first (a narrow FILTER, same shape as
+    * [[curationPipeline]]), then cross-corpus LSH dedup over the survivors
+    * only. */
+  def curateBatch(batch: DataFrame, corpus: DataFrame, threshold: Double = 0.6): DataFrame =
+    curateDisposition(batch,
+      crossNearDup(batch.filter(rejectReason.isNull), corpus), threshold)
+
+  /** Fold verified cross-corpus pairs into the per-doc disposition log. */
+  private def curateDisposition(batch: DataFrame, pairs: DataFrame,
+      threshold: Double): DataFrame = {
+    val dups = pairs.filter(col("jaccard") >= threshold)
       .select(col("new_doc").as("doc_id")).distinct()
       .withColumn("_dup", lit(true))
-    flags.join(dups, Seq("doc_id"), "left")
+    batch.select(col("doc_id"), rejectReason.as("reject_reason"))
+      .join(dups, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(!col("keep"), concat(lit("rejected:"), col("reject_reason")))
+        when(col("reject_reason").isNotNull, concat(lit("rejected:"), col("reject_reason")))
           .when(col("_dup"), lit("duplicate"))
           .otherwise(lit("kept")).as("status"))
   }
@@ -504,17 +539,22 @@ object TextOps extends QueryRegistry {
     * per-doc disposition log. Batch-internal duplicates are intentionally
     * not linked — standing ingestion admits documents batch-by-batch against
     * the corpus; the corpus index refresh cadence is the caller's choice.
-    * foreachBatch semantics as [[streamingNearDup]]: no streaming state. */
+    * foreachBatch semantics as [[streamingNearDup]]: no streaming state, and
+    * the same cache discipline (corpus shingles once per stream, batch-side
+    * shingles unpersisted after each write). */
   def streamingCuration(spark: SparkSession, dropDir: String, corpus: DataFrame,
       outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val shCorpus = shingles(corpus).cache()
     spark.readStream.schema(schema).parquet(dropDir).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        curateBatch(batch, corpus).write.mode("append").parquet(outPath)
-        ()
+        val shNew = shingles(batch.filter(rejectReason.isNull)).cache()
+        try curateDisposition(batch, crossNearDupShingled(shNew, shCorpus), threshold = 0.6)
+          .write.mode("append").parquet(outPath)
+        finally { shNew.unpersist(); () }
       }
   }
 

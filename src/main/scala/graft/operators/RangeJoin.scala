@@ -33,12 +33,21 @@ object RangeJoin {
     * can floor into the wrong bucket within an ulp of a boundary — a silent
     * missed match that test-scale data will essentially never hit but
     * trillions of rows will. (`div` truncates toward zero, which equals
-    * floor only for non-negative ticks — hence the precondition.) */
+    * floor only for non-negative ticks — hence the precondition.)
+    *
+    * `_bucket` is a RESERVED working column (as `_t`/`_side`/`_p`/`_l` are
+    * for [[AsOf]]) — inputs must not carry it. Degenerate intervals
+    * (`hi <= lo`, e.g. malformed data) can never satisfy the range predicate,
+    * so they are dropped BEFORE the bucket explosion — otherwise an inverted
+    * interval makes `sequence` descend and emits (lo-hi)/bucketWidth spurious
+    * bucket copies per row just to discard them at the filter. */
   def pointInInterval(left: DataFrame, right: DataFrame,
       t: String, lo: String, hi: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!left.columns.contains("_bucket") && !right.columns.contains("_bucket"),
+      "_bucket is a reserved working column name")
     val lB = left.withColumn("_bucket", expr(s"`$t` div ${bucketWidth}L"))
-    val rB = right.withColumn("_bucket",
+    val rB = right.filter(col(hi) > col(lo)).withColumn("_bucket",
       explode(sequence(expr(s"`$lo` div ${bucketWidth}L"),
         // hi is exclusive: an interval ending exactly on a bucket boundary
         // does not reach into that bucket

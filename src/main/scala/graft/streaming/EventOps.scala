@@ -132,12 +132,19 @@ object EventOps extends QueryRegistry {
     * each purchase picks up the latest STRICTLY-PRIOR click of the same user
     * (payload = click value + time). The oracle runs DuckDB's native
     * `ASOF LEFT JOIN` — a cross-engine check of true as-of semantics against
-    * an independent implementation, not a re-expression of this plan. */
+    * an independent implementation, not a re-expression of this plan.
+    *
+    * The click side pre-dedups on (user_id, ts) keeping the max value — in
+    * BOTH engines — because each engine's pick among right rows sharing one
+    * (key, time) is its own convention (AsOf takes the greatest payload
+    * struct; DuckDB's native ASOF pick is unspecified): without the dedup the
+    * hash compare silently depends on the generator never emitting duplicate
+    * (user_id, ts) clicks (ADVICE r6). */
   def asofLastClick(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts")
     val clicks = events.filter(col("event_type") === "click")
-      .select("user_id", "ts", "value")
+      .groupBy("user_id", "ts").agg(max("value").as("value"))
     graft.operators.AsOf.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts", strict = true)
       .select(
         col("event_id").as("purchase_id"), col("user_id"),
@@ -360,7 +367,8 @@ object EventOps extends QueryRegistry {
              CAST(c.ts AS TIMESTAMP) AS last_click_t,
              c.value AS last_click_value
       FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                      WHERE event_type = 'click' GROUP BY user_id, ts) c
         ON p.user_id = c.user_id AND c.ts < p.ts"""))),
 
     QueryDef("events_range_join_incidents", (s, d) => purchasesInErrorWindows(events(s, d)), Some(oq("""
