@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * the longest run is collation-independent) and to the DuckDB oracle's
   * per-(doc, token) count — but the HOF tree runs interpreted per row
   * (CodegenFallback), while this kernel is one sort + run-scan inside
-  * whole-stage codegen, the [[SimHash16]]/[[FloatVecDot]] treatment for the
+  * whole-stage codegen, the [[SimHash64]]/[[FloatVecDot]] treatment for the
   * curation hot path. */
 case class MaxTokenFreq(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

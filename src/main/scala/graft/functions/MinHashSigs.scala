@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * fold avoids the shuffle but runs interpreted (HOFs are CodegenFallback).
   * This kernel gets both: one codegen'd call per document, all k minima in a
   * single pass, zero extra rows and zero shuffle — the same treatment
-  * [[SimHash16]]/[[FloatVecDot]] give the other hot kernels. */
+  * [[SimHash64]]/[[FloatVecDot]] give the other hot kernels. */
 case class MinHashSigs(child: Expression, numHashes: Int)
     extends UnaryExpression with ExpectsInputTypes {
 

@@ -83,7 +83,7 @@ class PlanQualitySpec extends SparkSpec {
     def codegenWithKernel(p: SparkPlan): Boolean = p.exists {
       case a: AdaptiveSparkPlanExec => codegenWithKernel(a.executedPlan)
       case s: QueryStageExec => codegenWithKernel(s.plan)
-      case w: WholeStageCodegenExec => w.toString.contains("simhash16")
+      case w: WholeStageCodegenExec => w.toString.contains("simhash64")
       case _ => false
     }
     assert(codegenWithKernel(q.queryExecution.executedPlan),
