@@ -19,6 +19,7 @@ object SparkEntry {
     graft.llm.MultimodalOps,
     graft.llm.IvfAnnQueries,
     graft.perf.Perf,
+    graft.sources.SinkQueries,
     graft.streaming.EventOps)
 
   lazy val defs: Seq[QueryDef] = {

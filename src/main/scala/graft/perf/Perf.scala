@@ -186,7 +186,32 @@ object Perf extends QueryRegistry {
     s"""SELECT customerid FROM fact_sales_elt
         WHERE date_key BETWEEN ${year}0101000000 AND ${year}1231235959"""
 
+  /** The star join's oracle, shared by the default row and the J11 forced-
+    * strategy matrix rows: a join HINT may change the physical plan but must
+    * never change the result, so all four registered variants hash-compare
+    * against this one statement (reference
+    * `Iteration 2/Group No.6_JoinPerformance.sql:19-80` — the same query
+    * under `enable_hashjoin/mergejoin/nestloop` toggles). */
+  private val starJoinOracle: String = q(s"""
+      $w12
+      SELECT p.stockcode, CAST(sum(f.totalamount) AS DOUBLE) AS revenue
+      FROM fact_sales_elt f
+      JOIN dim_date d ON f.date_key = d.date_key
+      JOIN dim_product p ON f.product_key = p.product_key
+      JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+      JOIN w12 ON d.full_date >= w12.min_date
+      GROUP BY p.stockcode
+      ORDER BY revenue DESC, p.stockcode
+      LIMIT 50""")
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("perf_star_join_bhj",
+      (s, dir) => starJoinTop50(Warehouse(s, dir), Some("BROADCAST")), Some(starJoinOracle)),
+    QueryDef("perf_star_join_shj",
+      (s, dir) => starJoinTop50(Warehouse(s, dir), Some("SHUFFLE_HASH")), Some(starJoinOracle)),
+    QueryDef("perf_star_join_smj",
+      (s, dir) => starJoinTop50(Warehouse(s, dir), Some("MERGE")), Some(starJoinOracle)),
+
     QueryDef("perf_repeat_customers", (s, dir) => repeatCustomers(Warehouse(s, dir)), Some(q(s"""
       ${yearCustSql(1996)}
       INTERSECT
@@ -197,17 +222,8 @@ object Perf extends QueryRegistry {
       EXCEPT
       ${yearCustSql(1997)}"""))),
 
-    QueryDef("perf_star_join_top50", (s, dir) => starJoinTop50(Warehouse(s, dir)), Some(q(s"""
-      $w12
-      SELECT p.stockcode, CAST(sum(f.totalamount) AS DOUBLE) AS revenue
-      FROM fact_sales_elt f
-      JOIN dim_date d ON f.date_key = d.date_key
-      JOIN dim_product p ON f.product_key = p.product_key
-      JOIN dim_customer_elt c ON f.customer_key = c.customer_key
-      JOIN w12 ON d.full_date >= w12.min_date
-      GROUP BY p.stockcode
-      ORDER BY revenue DESC, p.stockcode
-      LIMIT 50"""))),
+    QueryDef("perf_star_join_top50",
+      (s, dir) => starJoinTop50(Warehouse(s, dir)), Some(starJoinOracle)),
 
     QueryDef("perf_dss_monthly_country", (s, dir) => dssMonthlyCountry(Warehouse(s, dir)), Some(q(s"""
       $w12

@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Warehouse
+import graft.{QueryDef, QueryRegistry}
+
+/** Oracle-checked round trips for the write-path sinks (SURVEY.md §2.1
+  * S3/S4/S5/S10) — the operators whose OUTPUT is a side effect rather than a
+  * DataFrame, closed into the correctness gate by writing, reading back, and
+  * hash-comparing the read-back rows against the same oracle the source
+  * frame satisfies (VERDICT r6 next-round #1). A round trip proves the full
+  * contract: schema fidelity through the parquet writer, partition-column
+  * round-tripping, append atomicity with respect to the base write, and
+  * no row loss/duplication.
+  *
+  * Each invocation writes under a fresh temp directory (the read-back plan
+  * holds the files until the session's action completes; the OS owns
+  * cleanup), so repeated runs can't collide.
+  */
+object SinkQueries extends QueryRegistry {
+
+  /** The ELT fact's identity oracle — the same statement the `fact_sales_elt`
+    * row compares against, looked up from the registry so the two can never
+    * drift. */
+  private def factOracle: String =
+    graft.etl.WarehouseQueries.defs.find(_.name == "fact_sales_elt").get.oracle.get
+
+  /** Surrogate keys dropped (engine-specific values), decimals to DOUBLE,
+    * the derived partition column dropped — the registered fact identity
+    * projection applied to a read-back frame. */
+  private def identityProjection(df: DataFrame): DataFrame =
+    df.drop("product_key", "customer_key", "year")
+      .withColumn("unitprice", col("unitprice").cast("double"))
+      .withColumn("totalamount", col("totalamount").cast("double"))
+
+  /** S3: CTAS/materialize round trip — the fact written year-partitioned and
+    * date_key-sorted-within (the 100 TB layout), read back through the
+    * partition-discovering scan. */
+  private def materializeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val w = Warehouse(s, dir)
+    val out = Files.createTempDirectory("graft_sink_ctas_").toString
+    Sources.materialize(
+      w.factSalesElt.withColumn("year", graft.yearOfDateKey(col("date_key"))),
+      s"$out/fact", partitionBy = Seq("year"), sortWithin = Seq("date_key"))
+    identityProjection(s.read.parquet(s"$out/fact"))
+  }
+
+  /** S5: INSERT..SELECT append round trip — a base write of the pre-1997
+    * rows, the rest appended, the union read back. Every fact row lands in
+    * exactly one slice (the 1970 fallback key sorts below the split), so
+    * base + append must reproduce the identity exactly. */
+  private def appendRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val w = Warehouse(s, dir)
+    val out = Files.createTempDirectory("graft_sink_append_").toString
+    val split = 19970101000000L
+    Sources.materialize(w.factSalesElt.filter(col("date_key") < split), s"$out/fact")
+    Sources.append(w.factSalesElt.filter(col("date_key") >= split), s"$out/fact")
+    identityProjection(s.read.parquet(s"$out/fact"))
+  }
+
+  /** S4: empty-schema clone (`CREATE TABLE .. WITH NO DATA`) — zero rows,
+    * schema preserved. The compared frame is the clone's row count plus its
+    * column list (computed FROM the clone's schema); the oracle asserts the
+    * expected literal, so a schema drift or a leaked row hash-mismatches. */
+  private def emptyClone(s: SparkSession, dir: String): DataFrame = {
+    val clone = Sources.emptyLike(s, Warehouse(s, dir).salesFinal)
+    clone.agg(count(lit(1)).as("n_rows"))
+      .withColumn("columns", lit(clone.columns.mkString(",")))
+  }
+
+  /** S10: BI-export round trip — the full semantic-model export runs, and
+    * the read-back MOLAP summary must satisfy the same oracle as the live
+    * `molap_month_country` aggregate. */
+  private def biExportRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sink_bi_").toString
+    BiExport.export(s, dir, out)
+    s.read.parquet(s"$out/molap_month_country")
+  }
+
+  private def molapOracle: String =
+    graft.olap.Molap.defs.find(_.name == "molap_month_country").get.oracle.get
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("sink_materialize_roundtrip", materializeRoundtrip, Some(factOracle)),
+    QueryDef("sink_append_roundtrip", appendRoundtrip, Some(factOracle)),
+    QueryDef("sink_empty_clone", emptyClone, Some("""
+      SELECT CAST(0 AS BIGINT) AS n_rows,
+             'invoiceid,stockcode,customerid,sale_ts,quantity,linenumber,unitprice,totalamount' AS columns""")),
+    QueryDef("sink_bi_export_roundtrip", biExportRoundtrip, Some(molapOracle)))
+}
