@@ -174,14 +174,22 @@ object Transforms {
         col("invoiceid"), col("stockcode"), col("customerid"), col("linenumber"),
         col("quantity"), col("unitprice"), col("totalamount"))
 
+  /** The injectable ELT load-audit clock. The reference stamps `now()` on
+    * every loaded row (`Iteration 1/Group No.6_ELT.sql:218-228`); a wall
+    * clock is nondeterministic under hash compare, so the load timestamp is
+    * a pipeline-run PARAMETER — a production run passes its orchestrator's
+    * logical run time, tests and the oracle share this fixed epoch. */
+  val DefaultLoadTs = "2020-01-01 00:00:00"
+
   /** fact_sales_elt: the ELT fact load — the same triple join as
     * [[factSales]] but resolving customers against the ELT dim (reference
-    * `Iteration 1/Group No.6_ELT.sql:249-264`). Loaded directly from the
-    * cleaned sales, NOT derived from the ETL fact: deriving would pay the
-    * ETL customer join only to drop its key and join again (~one extra
-    * fact-sized join per build, measured at sf0.1). */
+    * `Iteration 1/Group No.6_ELT.sql:249-264`), plus the `load_ts` audit
+    * stamp from the injected clock. Loaded directly from the cleaned sales,
+    * NOT derived from the ETL fact: deriving would pay the ETL customer join
+    * only to drop its key and join again (~one extra fact-sized join per
+    * build, measured at sf0.1). */
   def factSalesElt(salesFinal: DataFrame, dimProduct: DataFrame,
-                   dimCustomerElt: DataFrame): DataFrame =
+                   dimCustomerElt: DataFrame, loadTs: String = DefaultLoadTs): DataFrame =
     salesFinal
       .join(dimProduct.select("stockcode", "product_key"), Seq("stockcode"), "left")
       .join(dimCustomerElt.select("customerid", "customer_key"), Seq("customerid"), "left")
@@ -189,5 +197,8 @@ object Transforms {
         coalesce(smartDateKey(col("sale_ts")), lit(19700101000000L)).as("date_key"),
         col("product_key"), col("customer_key"),
         col("invoiceid"), col("stockcode"), col("customerid"), col("linenumber"),
-        col("quantity"), col("unitprice"), col("totalamount"))
+        col("quantity"), col("unitprice"), col("totalamount"),
+        // string → ntz cast is timezone-free (a java.sql.Timestamp literal
+        // would round-trip through the session zone)
+        lit(loadTs).cast("timestamp_ntz").as("load_ts"))
 }

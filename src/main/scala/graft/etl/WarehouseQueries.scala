@@ -84,5 +84,5 @@ object WarehouseQueries extends QueryRegistry {
         .withColumn("totalamount", col("totalamount").cast("double")),
       Some(q("""SELECT date_key, invoiceid, stockcode, customerid, linenumber, quantity,
                  CAST(unitprice AS DOUBLE) AS unitprice,
-                 CAST(totalamount AS DOUBLE) AS totalamount FROM fact_sales_elt"""))))
+                 CAST(totalamount AS DOUBLE) AS totalamount, load_ts FROM fact_sales_elt"""))))
 }

@@ -138,8 +138,11 @@ fact_sales AS (
   LEFT JOIN dim_customer c ON s.customerid = c.customerid
 ),
 fact_sales_elt AS (
+  -- load_ts is the ELT load audit stamp (reference ELT.sql:218-228); the
+  -- engine injects a fixed clock so the hash compare stays deterministic
   SELECT f.date_key, f.product_key, c.customer_key, f.invoiceid, f.stockcode, f.customerid,
-         f.linenumber, f.quantity, f.unitprice, f.totalamount
+         f.linenumber, f.quantity, f.unitprice, f.totalamount,
+         TIMESTAMP '2020-01-01 00:00:00' AS load_ts
   FROM (SELECT date_key, product_key, invoiceid, stockcode, customerid, linenumber, quantity, unitprice, totalamount FROM fact_sales) f
   LEFT JOIN dim_customer_elt c ON f.customerid = c.customerid
 )
