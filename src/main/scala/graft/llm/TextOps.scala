@@ -430,13 +430,20 @@ object TextOps extends QueryRegistry {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
+  /** cache() unless this exact plan is already cached — repeated invocations
+    * over the same input (bench reps, the pipeline calling the pair builder
+    * twice) then REUSE the warm entry instead of warning "already cached"
+    * once per call (the r6 bench-tail spam, VERDICT r6 #4/#5). */
+  private def cacheOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.cache() else df
+
   def minhashPairs(docs: DataFrame): DataFrame = {
     // Two physical-plan guards that dominate wall-clock (profiled at sf0.1):
     //  - the single-file scan must be spread across cores (see `spread`);
     //  - the band self-join and the two Jaccard-verify joins would otherwise
     //    recompute the shingle pipeline once per reference — cache the
     //    shingled docs so it runs once.
-    val shingled = shingles(docs).cache()
+    val shingled = cacheOnce(shingles(docs))
     val bands = bandKeys(shingled)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
