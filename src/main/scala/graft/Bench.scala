@@ -222,6 +222,7 @@ object Bench {
       time("doc_exact_dedup")(graft.llm.TextOps.exactDedup(docs))
       time("doc_dedup_clusters")(graft.llm.TextOps.dedupClusters(docs))
       time("doc_simhash")(graft.llm.TextOps.simhash(docs))
+      time("doc_simhash_pairs")(graft.llm.TextOps.simhashPairs(docs))
       time("doc_vocab_top100")(graft.llm.TextOps.vocabTopK(docs))
       time("doc_repetition")(graft.llm.TextOps.repetition(docs))
       time("doc_filter_cascade")(graft.llm.TextOps.filterCascade(docs))
