@@ -702,13 +702,14 @@ object TextOps extends QueryRegistry {
     *
     * The Hamming verify decodes each 16-bit band to a long and sums
     * `bit_count(xor)` — narrow codegen'd arithmetic on the (small) candidate
-    * set. The signature pipeline is narrow, so the self-join recomputes it
-    * once per side; at warehouse scale, materialize [[simhash]] to a table
-    * first and self-join that (signatures are reused by retrieval anyway). */
+    * set. The signature frame is cached ([[cacheOnce]]) so the self-join
+    * reads it twice instead of running the kernel pipeline once per side;
+    * at warehouse scale, materialize [[simhash]] to a table instead
+    * (signatures are reused by retrieval anyway). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < SimHashBands,
       s"banded recall guarantee holds only for maxHamming < $SimHashBands")
-    val sh = simhash(docs)
+    val sh = cacheOnce(simhash(docs))
     def bands(id: String, sig: String) = sh
       .select(col("doc_id").as(id), col("simhash64").as(sig),
         explode(array((0 until SimHashBands).map(b =>

@@ -55,6 +55,22 @@ class EventOpsSpec extends SparkSpec {
     assert(out(5L) === -1L)                 // user 2 never errored
   }
 
+  test("as-of click join: duplicate (user, ts) clicks dedup to the max value") {
+    import spark.implicits._
+    // two clicks at the SAME instant before the purchase — each engine's
+    // pick among (key, time) ties is its own convention, so asofLastClick
+    // pre-dedups keeping max(value) in BOTH engines (ADVICE r6)
+    val ns = (s: Long) => s * 1000000000L
+    val ev = Seq(
+      (1L, ns(100), 1L, "click", 2.5, "{}"),
+      (2L, ns(100), 1L, "click", 7.5, "{}"),
+      (3L, ns(200), 1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.asofLastClick(ev).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("last_click_value") === 7.5)
+  }
+
   test("funnel: stages require strict event-time order within each user") {
     import spark.implicits._
     val ns = (s: Long) => s * 1000000000L
