@@ -134,17 +134,19 @@ object EventOps extends QueryRegistry {
     * `ASOF LEFT JOIN` — a cross-engine check of true as-of semantics against
     * an independent implementation, not a re-expression of this plan.
     *
-    * The click side pre-dedups on (user_id, ts) keeping the max value — in
-    * BOTH engines — because each engine's pick among right rows sharing one
-    * (key, time) is its own convention (AsOf takes the greatest payload
-    * struct; DuckDB's native ASOF pick is unspecified): without the dedup the
-    * hash compare silently depends on the generator never emitting duplicate
-    * (user_id, ts) clicks (ADVICE r6). */
+    * Duplicate (user_id, ts) clicks resolve to the MAX value on both sides
+    * (ADVICE r6 — without a pinned rule the hash compare silently depends on
+    * the generator never emitting such ties): AsOf's own tie-break already
+    * picks the greatest payload struct, whose leading field is `value`, so
+    * the Spark side needs no extra dedup aggregation; DuckDB's native ASOF
+    * pick on time ties is unspecified, so the ORACLE pre-dedups its click
+    * side with `GROUP BY user_id, ts → max(value)` to assert the same rule
+    * (EventOpsSpec pins the equivalence). */
   def asofLastClick(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts")
     val clicks = events.filter(col("event_type") === "click")
-      .groupBy("user_id", "ts").agg(max("value").as("value"))
+      .select("user_id", "ts", "value")
     graft.operators.AsOf.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts", strict = true)
       .select(
         col("event_id").as("purchase_id"), col("user_id"),
