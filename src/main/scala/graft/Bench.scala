@@ -227,6 +227,8 @@ object Bench {
       time("doc_repetition")(graft.llm.TextOps.repetition(docs))
       time("doc_filter_cascade")(graft.llm.TextOps.filterCascade(docs))
       time("doc_curation_pipeline")(graft.llm.TextOps.curationPipeline(docs))
+      time("doc_chunks")(graft.llm.TextOps.chunkDocs(docs))
+      time("doc_salient_terms")(graft.llm.TextOps.salientTerms(docs))
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))

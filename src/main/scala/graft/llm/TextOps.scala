@@ -180,6 +180,55 @@ object TextOps extends QueryRegistry {
       .drop("_cum")
   }
 
+  /** Fixed-size overlapping token chunks — the RAG-ingestion splitter: a
+    * chunk starts every `size - overlap` tokens and carries up to `size`
+    * tokens (the final chunks may run short). Pure narrow arithmetic
+    * (`sequence` + `explode` + `slice`) with NO shuffle — at 100 TB this is
+    * a map-only scan, and the chunk text is emitted as an md5 content hash
+    * plus offsets so the output stays narrow (a real ingestion pipeline
+    * would emit the slice itself to the embedding stage). */
+  def chunkDocs(docs: DataFrame, size: Int = 64, overlap: Int = 16): DataFrame = {
+    require(size > overlap && overlap >= 0, "need size > overlap >= 0")
+    val stride = size - overlap
+    val chunk = slice(words, col("start"), lit(size))
+    spread(docs)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), org.apache.spark.sql.functions.size(words), lit(stride)))
+          .as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"(start - 1) div $stride").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_token"),
+        org.apache.spark.sql.functions.size(chunk).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", chunk)).as("chunk_hash"))
+  }
+
+  /** Top-k salient terms per document — the TF-IDF retrieval primitive with
+    * a rational rarity weight: `score = tf / df` (term frequency over
+    * corpus document frequency). Division of two exact integers is
+    * correctly-rounded IEEE on both engines, so scores (and the ranking) are
+    * bit-identical cross-engine — a log-idf would hang the hash compare on
+    * libm ulp differences. Shape: one map-side-combined (doc, token)
+    * aggregate, a vocab-sized df aggregate, and an equi-join on the token
+    * key (the df side is |vocab| rows — broadcastable at most scales; AQE
+    * splits the stop-token skew otherwise); the top-k window partitions by
+    * document. */
+  def salientTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = spread(docs).select(col("doc_id"), explode(wordTokens).as("token"))
+    // df derives FROM the tf aggregate (its groups ARE the distinct
+    // (doc, token) set) — one pass over the tokenized corpus, not two
+    val tf = cacheOnce(toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(dfq, Seq("token"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(wnd))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("rank").cast("long").as("rank"))
+  }
+
   /** Benchmark-contamination check: corpus documents sharing any 3-word
     * shingle with the benchmark set (here `doc_id % 100 = 0`), with the
     * shared-shingle count as the contamination strength. Candidate
@@ -849,6 +898,33 @@ object TextOps extends QueryRegistry {
                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                   // 4096 AS BIGINT) AS seq_id
       FROM sized"""))),
+
+    QueryDef("doc_chunks", (s, d) => chunkDocs(docs(s, d)), Some(oq("""
+      , w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      st AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws), 48)) AS start FROM w)
+      SELECT doc_id,
+             CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+             CAST(start AS BIGINT) AS start_token,
+             CAST(len(ws[start:least(start + 63, len(ws))]) AS BIGINT) AS n_tokens,
+             md5(array_to_string(ws[start:least(start + 63, len(ws))], ' ')) AS chunk_hash
+      FROM st"""))),
+
+    QueryDef("doc_salient_terms", (s, d) => salientTerms(docs(s, d)), Some(oq("""
+      , toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+          FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+      dfq AS (SELECT token, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+      scored AS (
+          SELECT t.doc_id, t.token, t.tf, d.df,
+                 CAST(t.tf AS DOUBLE) / d.df AS score
+          FROM tf t JOIN dfq d ON t.token = d.token),
+      ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+          FROM scored)
+      SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 3"""))),
 
     QueryDef("doc_contamination", (s, d) => contamination(docs(s, d)), Some(oq(s"""
       , $sqlShingles,

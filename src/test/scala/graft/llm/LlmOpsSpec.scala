@@ -328,6 +328,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("chunking: stride-48 starts, size-64 slices, short tail chunks") {
+    // 100 tokens, size 64 / overlap 16 -> starts at 1, 49, 97
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val out = TextOps.chunkDocs(docsDF((1L, text)))
+      .select("chunk_id", "start_token", "n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(out === List((0L, 1L, 64L), (1L, 49L, 52L), (2L, 97L, 4L)))
+    // chunks overlap by 16: chunk 0 covers 1..64, chunk 1 covers 49..100
+    val short = TextOps.chunkDocs(docsDF((2L, "a b c")))
+      .select("chunk_id", "n_tokens").as[(Long, Long)].collect().toList
+    assert(short === List((0L, 3L)))
+  }
+
+  test("salient terms rank by tf/df with token tie-break") {
+    // 'rare' appears only in doc 1 (df=1); 'common' in both (df=2)
+    val out = TextOps.salientTerms(docsDF(
+      (1L, "rare rare common zz"), (2L, "common common common")), k = 2)
+      .select("doc_id", "token", "tf", "df", "score", "rank")
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._6).toList).toMap
+    // doc 1: rare tf=2 df=1 score=2.0 beats zz tf=1 df=1 score=1.0
+    assert(out(1L).map(t => (t._2, t._5)) === List(("rare", 2.0), ("zz", 1.0)))
+    // doc 2: common tf=3 df=2 = 1.5
+    assert(out(2L).head._2 === "common" && out(2L).head._5 === 1.5)
+  }
+
   test("token count: whitespace tokens and chars/4 estimate") {
     val r = TextOps.tokenCount(docsDF((1L, "one two three"))).head()
     assert(r.getInt(1) === 3)
