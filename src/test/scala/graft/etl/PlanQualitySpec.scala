@@ -134,6 +134,32 @@ class PlanQualitySpec extends SparkSpec {
     }, plan.toString)
   }
 
+  test("chunking is join-free and aggregate-free — only the spread repartition") {
+    val df = graft.llm.TextOps.chunkDocs(w.stgSales.sparkSession
+      .read.parquet(s"$sfDir/documents.parquet"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan").head
+    // narrow sequence/explode/slice arithmetic: the only exchange a
+    // single-file test corpus sees is spread()'s round-robin fan-out; a
+    // key exchange, join or aggregate appearing here means the splitter
+    // stopped being map-only
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
+  }
+
+  test("salient terms aggregate the tokenized corpus once, map-side combined") {
+    val df = graft.llm.TextOps.salientTerms(w.stgSales.sparkSession
+      .read.parquet(s"$sfDir/documents.parquet"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan").head
+    // partial aggregation below the exchange (the shuffle moves partial
+    // (doc, token) states, not exploded corpus rows), and exactly one
+    // explode of the corpus — df derives from the tf aggregate, not from a
+    // second tokenization pass
+    assert(plan.contains("partial_count"), plan)
+    assert("Generate explode".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("funnel stages and the per-user collapse share one user_id exchange") {
     val df = graft.streaming.EventOps.funnel(
       graft.streaming.EventOps.events(w.stgSales.sparkSession, sfDir))
