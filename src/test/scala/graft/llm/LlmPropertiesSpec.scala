@@ -30,4 +30,30 @@ object LlmPropertiesSpec extends Properties("llm") {
         row.getLong(1) == expectMax &&
         math.abs(row.getDouble(2) - (1.0 - expectDistinct.toDouble / toks.size)) < 1e-12
     }
+
+  // Chunking invariants for arbitrary documents and (size, overlap) configs:
+  // starts advance by exactly the stride from 1, every token lands in at
+  // least one chunk (the last chunk reaches the document end), and every
+  // chunk except short tails carries exactly `size` tokens.
+  property("chunking covers every token with stride-spaced starts") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(tokGen).map(_.take(200)),
+      Gen.chooseNum(2, 20),
+      Gen.chooseNum(0, 10)) { (toks, size, rawOverlap) =>
+      val overlap = math.min(rawOverlap, size - 1)
+      val stride = size - overlap
+      val n = toks.size
+      val chunks = TextOps.chunkDocs(
+        Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"), size, overlap)
+        .select("chunk_id", "start_token", "n_tokens")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+      val startsOk = chunks.zipWithIndex.forall { case ((id, start, _), i) =>
+        id == i && start == 1L + i.toLong * stride
+      }
+      val sizesOk = chunks.forall { case (_, start, len) =>
+        len == math.min(size.toLong, n - start + 1)
+      }
+      val covered = chunks.map { case (_, s, l) => s + l - 1 }.max == n.toLong
+      startsOk && sizesOk && covered && chunks.head._2 == 1L
+    }
 }
