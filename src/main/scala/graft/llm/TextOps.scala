@@ -414,6 +414,36 @@ object TextOps extends QueryRegistry {
           .as("en_fraction"))
   }
 
+  /** Near-dup cluster-size histogram — the dedup-health view: how many
+    * clusters of each size the MinHash pipeline found (big clusters =
+    * templated/mirrored content; the count at size 2 vs the tail shapes the
+    * dedup threshold choice). Two tiny aggregates over [[dedupClusters]]'
+    * output — the cluster assignment is orders of magnitude smaller than the
+    * corpus (only documents with a verified near-dup appear). */
+  def clusterSizeHistogram(docs: DataFrame, threshold: Double = 0.6): DataFrame =
+    dedupClusters(docs, threshold)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
+  /** Per-source corpus card — [[corpusReport]] grouped by ingest source: the
+    * curation view that ranks feeds by duplication rate and language mix
+    * before any source-level keep/drop decision. Same one-pass map-side-
+    * combined aggregate, |sources| output rows. */
+  def sourceReport(docs: DataFrame): DataFrame = {
+    val n = size(words)
+    val hits = size(filter(words, w => w === "the" || w === "a"))
+    docs.select(col("source"), md5(col("text")).as("h"), n.as("nw"),
+        (hits.cast("double") / n >= 0.05).as("is_en"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("h")).as("n_distinct_texts"),
+        sum("nw").as("total_words"),
+        (sum("nw").cast("double") / count(lit(1))).as("avg_words"),
+        (sum(when(col("is_en"), 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("en_fraction"))
+  }
+
   /** Document fingerprinting: digest prefix + an ordered rolling md5 chain
     * over the words (order-sensitive, unlike a bag-of-words digest). */
   def fingerprint(docs: DataFrame): DataFrame =
@@ -1109,6 +1139,29 @@ object TextOps extends QueryRegistry {
       FROM documents d
       LEFT JOIN clusters c ON c.doc_id = d.doc_id
       WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id""")),
+
+    QueryDef("doc_cluster_size_histogram",
+      (s, d) => clusterSizeHistogram(docs(s, d), 0.6), Some(s"""
+      WITH RECURSIVE $sqlShingles,
+      $sqlClusterChainCtes,
+      clusters AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+      sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+      SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size""")),
+
+    QueryDef("doc_source_report", (s, d) => sourceReport(docs(s, d)), Some(oq("""
+      , base AS (
+          SELECT source, md5(text) AS h,
+                 len(string_split(text, ' ')) AS nw,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                   / len(string_split(text, ' ')) >= 0.05 AS is_en
+          FROM documents)
+      SELECT source,
+             count(*) AS n_docs,
+             count(DISTINCT h) AS n_distinct_texts,
+             CAST(sum(nw) AS BIGINT) AS total_words,
+             CAST(sum(nw) AS DOUBLE) / count(*) AS avg_words,
+             CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS en_fraction
+      FROM base GROUP BY source"""))),
 
     QueryDef("doc_simhash", (s, d) => simhash(docs(s, d)), Some(oq("""
       , w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

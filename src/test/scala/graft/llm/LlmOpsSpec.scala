@@ -354,6 +354,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(2L).head._2 === "common" && out(2L).head._5 === 1.5)
   }
 
+  test("cluster size histogram counts dup groups by size") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words that share no shingles at all with others one two"
+    // docs 1,2,3 identical (one 3-cluster); docs 4,5 identical (one 2-cluster)
+    val out = TextOps.clusterSizeHistogram(docsDF(
+      (1L, text), (2L, text), (3L, text), (4L, other), (5L, other)))
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((3L, 1L), (2L, 1L)))
+  }
+
+  test("per-source report: counts, dup rate and language mix by source") {
+    val src = Seq(
+      (1L, "the a the a the a x y z", "feedA"),
+      (2L, "the a the a the a x y z", "feedA"),
+      (3L, "zz yy xx ww vv uu tt ss", "feedB"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceReport(src)
+      .select("source", "n_docs", "n_distinct_texts", "en_fraction")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("feedA") === ("feedA", 2L, 1L, 1.0)) // duplicated, english
+    assert(out("feedB") === ("feedB", 1L, 1L, 0.0))
+  }
+
   test("token count: whitespace tokens and chars/4 estimate") {
     val r = TextOps.tokenCount(docsDF((1L, "one two three"))).head()
     assert(r.getInt(1) === 3)
