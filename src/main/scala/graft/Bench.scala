@@ -45,10 +45,11 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // Best-of-3: single runs swing ±2× on a shared host from GC/JIT noise;
     // the minimum approximates the steady-state latency the reference's
-    // EXPLAIN ANALYZE timings report. Sub-250ms rows get two extra reps
-    // (best-of-5): there the noise is the same order as the signal, and one
+    // EXPLAIN ANALYZE timings report. Sub-450ms rows get two extra reps
+    // (best-of-5): there the noise is the same order as the signal — one
     // scheduler hiccup per rep fabricated a 49× reading for a ~0.15s row in
-    // BENCH_r06 (VERDICT r6 #1/#5). Failures record -1, excluded from total.
+    // BENCH_r06 (VERDICT r6 #1/#5), and the 0.25-0.45s rows still swing
+    // ±40% across best-of-3 runs. Failures record -1, excluded from total.
     def time(name: String, reps: Int = 3)(f: => DataFrame): Unit = {
       try {
         def run(): Double = {
@@ -57,7 +58,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         val first = (1 to reps).map(_ => run())
-        val runs = if (first.min < 0.25) first ++ (1 to 2).map(_ => run()) else first
+        val runs = if (first.min < 0.45) first ++ (1 to 2).map(_ => run()) else first
         results(name) = runs.min
       } catch {
         case e: Throwable =>
