@@ -647,25 +647,45 @@ object TextOps extends QueryRegistry {
   /** Near-dup clusters: connected components over the MinHash candidate-pair
     * graph (exact Jaccard >= `threshold`).
     * `cluster_id` = the smallest doc_id in the component, so the output is
-    * engine- and iteration-order-independent.
+    * engine- and iteration-order-independent. */
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.6,
+                    broadcastEdgeLimit: Long = 500000L): DataFrame =
+    connectedComponents(
+      minhashPairs(docs).filter(col("jaccard") >= threshold)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+      broadcastEdgeLimit)
+
+  /** Connected components of an undirected edge list `(src, dst)` — long
+    * ids; output `(doc_id, cluster_id)` with `cluster_id` = the smallest id
+    * in the component (only ids that appear in an edge are emitted).
     *
-    * Size-gated execution, same logic as a broadcast join: the verified
-    * near-dup edge set is orders of magnitude smaller than the corpus (it is
+    * Size-gated execution, same logic as a broadcast join: a verified
+    * near-dup edge set is orders of magnitude smaller than its corpus (it is
     * the *output* of LSH + Jaccard filtering, not the corpus itself), so when
     * it fits under `broadcastEdgeLimit` the components are solved with a
     * driver-side union-find in O(E α(E)) — one collect, zero iterative jobs.
     * The edges are collected as a `Dataset[(Long, Long)]` (primitive pairs,
     * not `Row`s) and the default limit is sized so the collected array stays
-    * in the tens of MB on the driver. Above the limit it falls back to
-    * distributed min-label propagation: each round is one
-    * `groupBy(doc).min(label)` shuffle, converging in O(component diameter)
-    * rounds (the cap is a safety net, not a truncation — the loop exits on
-    * fixpoint). */
-  def dedupClusters(docs: DataFrame, threshold: Double = 0.6,
-                    broadcastEdgeLimit: Long = 500000L): DataFrame = {
-    val spark = docs.sparkSession
-    val pairs = minhashPairs(docs).filter(col("jaccard") >= threshold)
-      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+    * in the tens of MB on the driver.
+    *
+    * Above the limit: distributed min-label propagation with POINTER-JUMPING
+    * — each round takes the min label over (a) the node's neighbors (one
+    * edge hop) and (b) its own label's label (a shortcut hop through the
+    * label graph, Shiloach–Vishkin style). The shortcut halves the distance
+    * to the component minimum every round, so convergence is O(log diameter)
+    * rounds, not O(diameter) — a billion-document chain of shingled
+    * boilerplate converges in ~30 rounds where plain propagation would need
+    * a billion (VERDICT r7 #2). Every label value is always some node id of
+    * the same component (init = self; min over in-component values stays in
+    * component), so the shortcut never crosses components. The loop exits on
+    * fixpoint of the NEIGHBOR hop (label constant across every edge ⇒ labels
+    * are component minima); the round cap is a backstop that now FAILS LOUDLY
+    * instead of silently emitting partial labels. */
+  def connectedComponents(edges: DataFrame,
+                          broadcastEdgeLimit: Long = 500000L): DataFrame = {
+    val spark = edges.sparkSession
+    val pairs = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .cache()
     val edgeCount = pairs.count()
     val out =
@@ -693,25 +713,43 @@ object TextOps extends QueryRegistry {
         val bidir = pairs
           .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
           .cache()
+        // localCheckpoint (not cache) on every round's labels: the pointer
+        // jump references `hop` twice, so an uncheckpointed loop doubles the
+        // logical plan per round — 2^rounds tree growth OOMs the driver just
+        // BUILDING plan strings by round ~8. Checkpointing truncates lineage
+        // to the materialized RDD each round.
         var labels = bidir.select(col("src").as("doc_id")).distinct()
-          .withColumn("label", col("doc_id")).cache()
-        labels.count()
+          .withColumn("label", col("doc_id")).localCheckpoint()
         var changed = 1L
         var rounds = 0
-        while (changed > 0 && rounds < 32) {
+        val maxRounds = 64 // O(log diameter) rounds: unreachable for any real graph
+        while (changed > 0 && rounds < maxRounds) {
           val viaNeighbor = bidir
             .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
             .select(col("src").as("doc_id"), col("label"))
-          val next = labels.union(viaNeighbor)
+          val hop = labels.union(viaNeighbor)
             .groupBy("doc_id").agg(min("label").as("label")).cache()
+          // pointer jump: label(u) <- min(label(u), label(label(u)))
+          val next = hop
+            .join(hop.select(col("doc_id").as("label"), col("label").as("ll")),
+              Seq("label"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+            .localCheckpoint()
           changed = next
             .join(labels.select(col("doc_id"), col("label").as("prev")), Seq("doc_id"))
             .filter(col("label") < col("prev")).count()
-          labels.unpersist()
+          hop.unpersist()
           labels = next
           rounds += 1
         }
         bidir.unpersist()
+        if (changed > 0) {
+          throw new IllegalStateException(
+            s"connectedComponents: label propagation still changing after " +
+              s"$maxRounds rounds over $edgeCount edges — refusing to emit " +
+              "partial cluster labels")
+        }
         labels.select(col("doc_id"), col("label").as("cluster_id"))
       }
     pairs.unpersist()

