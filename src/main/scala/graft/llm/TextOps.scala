@@ -187,7 +187,14 @@ object TextOps extends QueryRegistry {
     * a map-only scan, and the chunk text is emitted as an md5 content hash
     * plus offsets so the output stays narrow (a real ingestion pipeline
     * would emit the slice itself to the embedding stage). */
-  def chunkDocs(docs: DataFrame, size: Int = 64, overlap: Int = 16): DataFrame = {
+  /** Registered chunking geometry — the `doc_chunks` QueryDef passes these
+    * to [[chunkDocs]] AND interpolates them into its oracle SQL, so the two
+    * sides cannot drift (ADVICE r7 #4). */
+  private[llm] val ChunkSize = 64
+  private[llm] val ChunkOverlap = 16
+  private[llm] val ChunkStride = ChunkSize - ChunkOverlap
+
+  def chunkDocs(docs: DataFrame, size: Int = ChunkSize, overlap: Int = ChunkOverlap): DataFrame = {
     require(size > overlap && overlap >= 0, "need size > overlap >= 0")
     val stride = size - overlap
     val chunk = slice(words, col("start"), lit(size))
@@ -584,18 +591,29 @@ object TextOps extends QueryRegistry {
     * (per-batch plans are distinct, so an unmanaged per-batch cache would
     * accumulate one storage entry per micro-batch forever). */
   def streamingNearDup(spark: SparkSession, dropDir: String, corpus: DataFrame,
-      outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    streamingNearDupManaged(spark, dropDir, corpus, outPath)._1
+
+  /** [[streamingNearDup]] plus the per-stream corpus-shingle cache's release
+    * hook: call the returned thunk after the stream terminates, or the
+    * stream's corpus cache entry outlives it (one leaked storage entry per
+    * stream over a long-lived session). The writer cannot register this
+    * itself — it is returned un-started, so no query id exists yet to hang a
+    * StreamingQueryListener on. */
+  def streamingNearDupManaged(spark: SparkSession, dropDir: String, corpus: DataFrame,
+      outPath: String): (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], () => Unit) = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
     val shCorpus = shingles(corpus).cache()
-    spark.readStream.schema(schema).parquet(dropDir).writeStream
+    val writer = spark.readStream.schema(schema).parquet(dropDir).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val shNew = shingles(batch).cache()
         try crossNearDupShingled(shNew, shCorpus).write.mode("append").parquet(outPath)
         finally { shNew.unpersist(); () }
       }
+    (writer, () => { shCorpus.unpersist(); () })
   }
 
   /** Per-batch disposition of new docs against a static corpus: the
@@ -629,12 +647,18 @@ object TextOps extends QueryRegistry {
     * the same cache discipline (corpus shingles once per stream, batch-side
     * shingles unpersisted after each write). */
   def streamingCuration(spark: SparkSession, dropDir: String, corpus: DataFrame,
-      outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    streamingCurationManaged(spark, dropDir, corpus, outPath)._1
+
+  /** [[streamingCuration]] plus the corpus-cache release hook — same
+    * contract as [[streamingNearDupManaged]]. */
+  def streamingCurationManaged(spark: SparkSession, dropDir: String, corpus: DataFrame,
+      outPath: String): (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], () => Unit) = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
     val shCorpus = shingles(corpus).cache()
-    spark.readStream.schema(schema).parquet(dropDir).writeStream
+    val writer = spark.readStream.schema(schema).parquet(dropDir).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val shNew = shingles(batch.filter(rejectReason.isNull)).cache()
@@ -642,6 +666,44 @@ object TextOps extends QueryRegistry {
           .write.mode("append").parquet(outPath)
         finally { shNew.unpersist(); () }
       }
+    (writer, () => { shCorpus.unpersist(); () })
+  }
+
+  /** Correctness round trip for [[streamingNearDup]] (VERDICT r7 #5): a
+    * deterministic two-drop ingestion — new docs = `doc_id % 4 = 3`, split
+    * into two parquet drops by `doc_id % 8`, corpus = the rest — streamed
+    * against the standing corpus with an AvailableNow trigger, then the
+    * appended pair log read back. The output SET is batch-composition-
+    * independent (each new doc's pairs depend only on itself + corpus), so
+    * the log hash-checks against a plain batch oracle. */
+  private def streamNearDupRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_nd_").toString
+    all.filter(col("doc_id") % 8 === 3).coalesce(1).write.parquet(s"$base/drops/a")
+    all.filter(col("doc_id") % 8 === 7).coalesce(1).write.parquet(s"$base/drops/b")
+    val (writer, release) = streamingNearDupManaged(
+      s, s"$base/drops/*", all.filter(col("doc_id") % 4 =!= 3), s"$base/pairs")
+    val query = writer
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try query.awaitTermination(300000L) finally release()
+    s.read.parquet(s"$base/pairs")
+  }
+
+  /** Correctness round trip for [[streamingCuration]] — same two-drop
+    * ingestion as [[streamNearDupRoundtrip]], reading back the per-doc
+    * disposition log (the cascade applies to new docs; the corpus is taken
+    * as-is, exactly the streaming path's semantics). */
+  private def streamCurationRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir).select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_cur_").toString
+    all.filter(col("doc_id") % 8 === 3).coalesce(1).write.parquet(s"$base/drops/a")
+    all.filter(col("doc_id") % 8 === 7).coalesce(1).write.parquet(s"$base/drops/b")
+    val (writer, release) = streamingCurationManaged(
+      s, s"$base/drops/*", all.filter(col("doc_id") % 4 =!= 3), s"$base/log")
+    val query = writer
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try query.awaitTermination(300000L) finally release()
+    s.read.parquet(s"$base/log")
   }
 
   /** Near-dup clusters: connected components over the MinHash candidate-pair
@@ -967,14 +1029,18 @@ object TextOps extends QueryRegistry {
                   // 4096 AS BIGINT) AS seq_id
       FROM sized"""))),
 
-    QueryDef("doc_chunks", (s, d) => chunkDocs(docs(s, d)), Some(oq("""
+    // stride/size interpolated from the SAME constants the Spark call uses
+    // (ADVICE r7 #4: a literal-valued oracle would silently desynchronize if
+    // the chunkDocs defaults changed)
+    QueryDef("doc_chunks", (s, d) => chunkDocs(docs(s, d),
+        size = ChunkSize, overlap = ChunkOverlap), Some(oq(s"""
       , w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      st AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws), 48)) AS start FROM w)
+      st AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws), $ChunkStride)) AS start FROM w)
       SELECT doc_id,
-             CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+             CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
              CAST(start AS BIGINT) AS start_token,
-             CAST(len(ws[start:least(start + 63, len(ws))]) AS BIGINT) AS n_tokens,
-             md5(array_to_string(ws[start:least(start + 63, len(ws))], ' ')) AS chunk_hash
+             CAST(len(ws[start:least(start + ${ChunkSize - 1}, len(ws))]) AS BIGINT) AS n_tokens,
+             md5(array_to_string(ws[start:least(start + ${ChunkSize - 1}, len(ws))], ' ')) AS chunk_hash
       FROM st"""))),
 
     QueryDef("doc_salient_terms", (s, d) => salientTerms(docs(s, d)), Some(oq("""
@@ -1246,5 +1312,59 @@ object TextOps extends QueryRegistry {
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-      FROM shingle_sets a JOIN shingle_sets b ON b.doc_id = a.doc_id + 1"""))))
+      FROM shingle_sets a JOIN shingle_sets b ON b.doc_id = a.doc_id + 1"""))),
+
+    // Streaming round trips (VERDICT r7 #5): the appended logs the streaming
+    // paths produce over a deterministic two-drop directory, hash-checked
+    // against plain batch oracles. Band keys are per-doc (signature of the
+    // doc's own shingles), so the oracle computes them over ALL documents and
+    // applies the new/corpus split (doc_id % 4) in the candidate join.
+    QueryDef("stream_neardup_roundtrip", streamNearDupRoundtrip, Some(oq(s"""
+      , $sqlShingles,
+      $sqlLshCandCtes,
+      cand_x AS (
+        SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id % 4 = 3 AND b.doc_id % 4 <> 3)
+      SELECT c.new_doc, c.corpus_doc,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+               len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+      FROM cand_x c
+      JOIN shingle_sets sa ON sa.doc_id = c.new_doc
+      JOIN shingle_sets sb ON sb.doc_id = c.corpus_doc"""))),
+
+    QueryDef("stream_curation_roundtrip", streamCurationRoundtrip, Some(oq(s"""
+      , $sqlShingles,
+      $sqlLshCandCtes,
+      sctf AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id % 4 = 3) t
+          GROUP BY doc_id, tok),
+      scmx AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS max_frac
+               FROM sctf GROUP BY doc_id),
+      sflagged AS (
+          SELECT d.doc_id,
+                 CASE WHEN len(string_split(text, ' ')) < 20 THEN 'too_short'
+                      WHEN CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                             / len(string_split(text, ' ')) < 0.05 THEN 'not_english'
+                      WHEN m.max_frac > 0.14 THEN 'too_repetitive' END AS reject_reason
+          FROM documents d JOIN scmx m ON d.doc_id = m.doc_id
+          WHERE d.doc_id % 4 = 3),
+      sdups AS (
+        SELECT DISTINCT a.doc_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+        JOIN shingle_sets sa ON sa.doc_id = a.doc_id
+        JOIN shingle_sets sb ON sb.doc_id = b.doc_id
+        JOIN sflagged f ON f.doc_id = a.doc_id AND f.reject_reason IS NULL
+        WHERE a.doc_id % 4 = 3 AND b.doc_id % 4 <> 3
+          AND CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6)
+      SELECT f.doc_id,
+             CASE WHEN f.reject_reason IS NOT NULL THEN 'rejected:' || f.reject_reason
+                  WHEN d.doc_id IS NOT NULL THEN 'duplicate'
+                  ELSE 'kept' END AS status
+      FROM sflagged f LEFT JOIN sdups d ON d.doc_id = f.doc_id"""))))
 }

@@ -217,10 +217,10 @@ class LlmOpsSpec extends SparkSpec {
     newDocs.filter($"doc_id" <= 12).write.parquet(s"$base/drops/a")
     newDocs.filter($"doc_id" > 12).write.parquet(s"$base/drops/b")
 
-    val query = TextOps.streamingCuration(spark, s"$base/drops/*", corpus, s"$base/log")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination(120000)
+    val (writer, release) =
+      TextOps.streamingCurationManaged(spark, s"$base/drops/*", corpus, s"$base/log")
+    val query = writer.trigger(Trigger.AvailableNow()).start()
+    try query.awaitTermination(120000) finally release()
 
     val streamed = spark.read.parquet(s"$base/log").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -248,10 +248,10 @@ class LlmOpsSpec extends SparkSpec {
     dropA.write.parquet(s"$dropDir/a")
     dropB.write.parquet(s"$dropDir/b")
 
-    val query = TextOps.streamingNearDup(spark, s"$dropDir/*", corpus, outPath)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination(120000)
+    val (writer, release) =
+      TextOps.streamingNearDupManaged(spark, s"$dropDir/*", corpus, outPath)
+    val query = writer.trigger(Trigger.AvailableNow()).start()
+    try query.awaitTermination(120000) finally release()
 
     val streamed = spark.read.parquet(outPath).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
