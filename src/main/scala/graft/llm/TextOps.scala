@@ -157,6 +157,51 @@ object TextOps extends QueryRegistry {
           .otherwise(lit("test")))
   }
 
+  /** Deterministic stratified sampling — the training-mix downsampler. Each
+    * document keeps iff its salted md5 bucket (0-9999) falls under its
+    * source's rate, so the sample is reshuffle-stable, reproducible across
+    * runs/engines (no RNG — the [[trainSplit]] bucketing idiom), and
+    * map-only: at 100 TB this is a narrow filter on the scan with ZERO
+    * shuffle, and changing one source's rate only touches that source's
+    * rows. Rates are compared in exact integer bucket space
+    * (`bucket < long(rate * 10000)`), giving 0.01% granularity. */
+  def sampleStratified(docs: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double = 0.125, salt: String = "mix"): DataFrame = {
+    val bucket = (conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000)
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("source"), bucket.as("sample_bucket"))
+      .filter(col("sample_bucket") < (rate * 10000).cast("long"))
+  }
+
+  /** Mixture plan for a target per-source token-share: given available
+    * per-source token counts, the largest total `N` such that every
+    * participating source can supply its share (`N = min T_s / share_s`),
+    * each source's planned token budget `floor(share_s · N)` and the
+    * acceptance rate to feed [[sampleStratified]]. Shape: one
+    * map-side-combined aggregate down to |sources| rows, then a 1-row
+    * broadcast cross join for the bottleneck minimum (the `Measures` scalar
+    * idiom) — nothing here grows with the corpus. */
+  def mixPlan(docs: DataFrame, targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0))
+    val share = targetShares.tail.foldLeft(
+      when(col("source") === targetShares.head._1, lit(targetShares.head._2))) {
+      case (acc, (src, s)) => acc.when(col("source") === src, lit(s))
+    }
+    val tok = docs.filter(col("source").isInCollection(targetShares.keys.toSeq))
+      .groupBy("source")
+      .agg(sum(org.apache.spark.sql.functions.size(words)).cast("long").as("tokens_available"))
+      .withColumn("target_share", share.cast("double"))
+    val n = tok.agg(min(col("tokens_available").cast("double") / col("target_share")).as("n_total"))
+    tok.crossJoin(broadcast(n))
+      .withColumn("planned_tokens", floor(col("target_share") * col("n_total")))
+      .select(col("source"), col("tokens_available"), col("target_share"),
+        col("planned_tokens"),
+        (col("planned_tokens").cast("double") / col("tokens_available")).as("accept_rate"))
+  }
+
   /** Shard-local sequence packing (concat-and-chunk): documents pack in a
     * deterministic order into fixed-capacity training sequences. Packing is
     * inherently sequential, so the scale discipline is SHARD-local packing —
@@ -1016,6 +1061,34 @@ object TextOps extends QueryRegistry {
                   WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
                   ELSE 'test' END AS split
       FROM documents"""))),
+
+    // Training-mix construction (r8): stratified hash sampling + the
+    // bottleneck-bounded mixture plan. Rates in the registered rows are
+    // binary-exact doubles (1.0/0.5/0.25/0.125) so the rate×10000 threshold
+    // is the same integer on both engines.
+    QueryDef("doc_sample_stratified", (s, d) => sampleStratified(docs(s, d),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)), Some(oq("""
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS sample_bucket
+      FROM documents
+      WHERE CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+            < CAST(CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                                    WHEN 'src2' THEN 0.25 ELSE 0.125 END AS DOUBLE) * 10000 AS BIGINT)"""))),
+
+    QueryDef("doc_mix_plan", (s, d) => mixPlan(docs(s, d),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)), Some(oq("""
+      , mixtok AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_available,
+                 CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                                  WHEN 'src2' THEN 0.2 END AS DOUBLE) AS target_share
+          FROM documents WHERE source IN ('src0', 'src1', 'src2')
+          GROUP BY source),
+      mixn AS (SELECT min(CAST(tokens_available AS DOUBLE) / target_share) AS n_total FROM mixtok)
+      SELECT source, tokens_available, target_share,
+             CAST(floor(target_share * n_total) AS BIGINT) AS planned_tokens,
+             CAST(CAST(floor(target_share * n_total) AS BIGINT) AS DOUBLE) / tokens_available AS accept_rate
+      FROM mixtok, mixn"""))),
 
     QueryDef("doc_pack_sequences", (s, d) => packSequences(docs(s, d)), Some(oq("""
       , sized AS (

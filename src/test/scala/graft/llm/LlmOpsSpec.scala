@@ -85,6 +85,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(500L) === 500L && out(501L) === 500L)
   }
 
+  test("stratified sampling: rate 1 keeps all, rate 0 keeps none, deterministic") {
+    val docs = (1L to 200L).map(i => (i, "w", if (i <= 100) "all" else "none"))
+      .toDF("doc_id", "text", "source")
+    val kept = TextOps.sampleStratified(docs, Map("all" -> 1.0, "none" -> 0.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === (1L to 100L).toSet)
+    // a fractional rate keeps a stable subset: same call, same rows
+    val half1 = TextOps.sampleStratified(docs, Map("all" -> 0.5, "none" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    val half2 = TextOps.sampleStratified(docs, Map("all" -> 0.5, "none" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(half1 === half2 && half1.nonEmpty && half1.size < 200)
+  }
+
+  test("mix plan: the bottleneck source caps the total, rates follow shares") {
+    // src a: 100 tokens at share 0.8 -> N = min(125, 500) = 125; a plans all
+    // 100 of its tokens (rate 1.0), b plans floor(0.2*125)=25 of 100 (0.25)
+    val docs = Seq(
+      (1L, (1 to 100).map(_ => "t").mkString(" "), "a"),
+      (2L, (1 to 100).map(_ => "t").mkString(" "), "b"),
+      (3L, "ignored entirely", "c"))
+      .toDF("doc_id", "text", "source")
+    val plan = TextOps.mixPlan(docs, Map("a" -> 0.8, "b" -> 0.2))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    assert(plan.keySet === Set("a", "b"))
+    assert(plan("a") === ((100L, 100L, 1.0)))
+    assert(plan("b") === ((100L, 25L, 0.25)))
+  }
+
   test("dedup keep: cluster representative and untouched docs survive, dups drop") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val text2 = "the quick brown fox jumps over the lazy dog again and again more"
