@@ -952,6 +952,15 @@ object TextOps extends QueryRegistry {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash-channel near-dup clusters: the generic [[connectedComponents]]
+    * solver over [[simhashPairs]]' verified ≤`maxHamming` pair stream — the
+    * lexical-hash twin of [[dedupClusters]] (MinHash/Jaccard channel). Same
+    * scale posture: the edge set is LSH-verified output, orders of magnitude
+    * under the corpus, so the size gate almost always solves on the driver. */
+  def simhashClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    connectedComponents(simhashPairs(docs, maxHamming)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+
   /** Exact 3-gram Jaccard between consecutive doc_ids (a deterministic,
     * linear-cost pairing — the pairwise primitive without the quadratic join). */
   def ngramJaccard(docs: DataFrame): DataFrame = {
@@ -974,6 +983,35 @@ object TextOps extends QueryRegistry {
         FROM words_t)"""
 
   private val sqlShingles = sqlShinglesFrom("documents")
+
+  /** SimHash signature → 4×16-bit bands → candidate pairs → Hamming verify
+    * (shared by the pair and cluster oracles; `spairs` is the verified
+    * ≤3-Hamming pair set). */
+  private val sqlSimhashPairCtes = """
+      w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      bits AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN strpos('89abcdef', substr(md5(word) || md5('1:' || word), j, 1)) > 0 THEN 1 ELSE -1 END) AS s
+        FROM w, generate_series(1, 64) AS g(j)
+        GROUP BY doc_id, j),
+      sig AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash64
+        FROM bits GROUP BY doc_id),
+      sbands AS (
+        SELECT doc_id, simhash64, b, substr(simhash64, b * 16 + 1, 16) AS band_key
+        FROM sig, generate_series(0, 3) AS g(b)),
+      scand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash64 AS sig_a, b.simhash64 AS sig_b
+        FROM sbands a JOIN sbands b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      sham AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_filter(generate_series(1, 64),
+                 i -> substr(sig_a, i, 1) <> substr(sig_b, i, 1))) AS BIGINT) AS hamming
+        FROM scand),
+      spairs AS (SELECT doc_a, doc_b FROM sham WHERE hamming <= 3)"""
 
   /** sigs → bands → cand: minhash signatures, band keys, LSH candidate
     * pairs over whatever `shingles` was built from (shared by the near-dup,
@@ -1354,31 +1392,24 @@ object TextOps extends QueryRegistry {
     // The oracle mirrors the banded plan (band equi-join, then exact
     // Hamming) — by the pigeonhole recall guarantee this is identical to
     // brute-force all-pairs at hamming <= 3, but stays tractable at sf0.1.
-    QueryDef("doc_simhash_pairs", (s, d) => simhashPairs(docs(s, d)), Some(oq("""
-      , w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-      bits AS (
-        SELECT doc_id, j,
-               sum(CASE WHEN strpos('89abcdef', substr(md5(word) || md5('1:' || word), j, 1)) > 0 THEN 1 ELSE -1 END) AS s
-        FROM w, generate_series(1, 64) AS g(j)
-        GROUP BY doc_id, j),
-      sig AS (
-        SELECT doc_id,
-               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash64
-        FROM bits GROUP BY doc_id),
-      sbands AS (
-        SELECT doc_id, simhash64, b, substr(simhash64, b * 16 + 1, 16) AS band_key
-        FROM sig, generate_series(0, 3) AS g(b)),
-      scand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.simhash64 AS sig_a, b.simhash64 AS sig_b
-        FROM sbands a JOIN sbands b
-          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-      sham AS (
-        SELECT doc_a, doc_b,
-               CAST(len(list_filter(generate_series(1, 64),
-                 i -> substr(sig_a, i, 1) <> substr(sig_b, i, 1))) AS BIGINT) AS hamming
-        FROM scand)
+    QueryDef("doc_simhash_pairs", (s, d) => simhashPairs(docs(s, d)), Some(oq(s"""
+      , $sqlSimhashPairCtes
       SELECT doc_a, doc_b, hamming FROM sham WHERE hamming <= 3"""))),
+
+    // Generic connectedComponents composed with the SimHash channel — the
+    // same solver (union-find / pointer-jumping propagation) clusters
+    // whatever near-dup pair stream feeds it. Standalone WITH RECURSIVE for
+    // the same reason as doc_dedup_clusters.
+    QueryDef("doc_simhash_clusters", (s, d) => simhashClusters(docs(s, d)), Some(s"""
+      WITH RECURSIVE $sqlSimhashPairCtes,
+      sedges AS (SELECT doc_a AS src, doc_b AS dst FROM spairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM spairs),
+      sreach AS (
+        SELECT src AS doc_id, src AS label FROM sedges
+        UNION
+        SELECT e.src AS doc_id, r.label FROM sedges e JOIN sreach r ON r.doc_id = e.dst)
+      SELECT doc_id, min(label) AS cluster_id FROM sreach GROUP BY doc_id""")),
 
     QueryDef("doc_ngram_jaccard", (s, d) => ngramJaccard(docs(s, d)), Some(oq(s"""
       , $sqlShingles

@@ -147,6 +147,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
   }
 
+  test("stratified sampling is map-only — a filter on the scan, zero exchanges") {
+    val df = graft.llm.TextOps.sampleStratified(
+      w.stgSales.sparkSession.read.parquet(s"$sfDir/documents.parquet"),
+      Map("src0" -> 1.0, "src1" -> 0.5))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan").head
+    // the training-mix downsampler's 100 TB contract: a narrow filter +
+    // projection over the scan — any exchange/join/aggregate here means the
+    // sampler stopped being map-only
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
+  }
+
   test("salient terms aggregate the tokenized corpus once, map-side combined") {
     val df = graft.llm.TextOps.salientTerms(w.stgSales.sparkSession
       .read.parquet(s"$sfDir/documents.parquet"))

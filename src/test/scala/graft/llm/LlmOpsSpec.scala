@@ -317,6 +317,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(dup === Seq((1L, 2L, 0L)))
   }
 
+  test("simhash clusters: identical docs share one min-labeled cluster") {
+    val t = "a b c d e f g h i j"
+    val out = TextOps.simhashClusters(docsDF(
+      (1L, t), (2L, t), (3L, t),
+      (4L, "unrelated different tokens entirely elsewhere now then always maybe")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.keySet.contains(1L) && out.keySet.contains(2L) && out.keySet.contains(3L))
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
+    assert(out.get(4L).forall(_ != 1L))
+  }
+
   test("simhash band buckets stay far from quadratic on the corpus") {
     // the r6 finding: 16-bit whole-signature buckets cannot spread a large
     // corpus, so the pair join emitted a quadratic candidate mass. The
