@@ -876,6 +876,29 @@ object TextOps extends QueryRegistry {
         when(col("cluster_id").isNotNull, lit("cluster_representative"))
           .otherwise(lit("unique")).as("keep_reason"))
 
+  /** Quality-aware variant of [[dedupKeep]]: each near-dup cluster keeps its
+    * LONGEST member (most informative text; min doc_id breaks ties) instead
+    * of the smallest id — the representative policy real curation pipelines
+    * use when near-dups are subset/superset pairs. Same scale shape: the
+    * cluster assignment and representative set are broadcast-scale (only
+    * docs with a verified near-dup appear), the member-length window runs
+    * over that tiny frame, and the corpus itself is never shuffled. */
+  def dedupKeepBest(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val clusters = dedupClusters(docs, threshold)
+    val members = docs.join(broadcast(clusters), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), length(col("text")).as("len"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("len").desc, col("doc_id").asc)
+    val reps = members.withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") === 1).select(col("doc_id"), lit(true).as("_rep"))
+    docs.join(broadcast(clusters), Seq("doc_id"), "left")
+      .join(broadcast(reps), Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("_rep"))
+      .select(col("doc_id"),
+        when(col("cluster_id").isNotNull, lit("cluster_best"))
+          .otherwise(lit("unique")).as("keep_reason"))
+  }
+
   /** 64-bit SimHash per document from per-word md5 hex digits (digits 1-32
     * from `md5(word)`, 33-64 from `md5('1:' || word)`), via the native
     * [[org.apache.spark.sql.graft.SimHash64]] kernel — one codegen'd call
@@ -1354,6 +1377,24 @@ object TextOps extends QueryRegistry {
       FROM documents d
       LEFT JOIN clusters c ON c.doc_id = d.doc_id
       WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id""")),
+
+    QueryDef("doc_dedup_keep_best", (s, d) => dedupKeepBest(docs(s, d), 0.6), Some(s"""
+      WITH RECURSIVE $sqlShingles,
+      $sqlClusterChainCtes,
+      clusters AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+      kmembers AS (
+        SELECT c.doc_id, c.cluster_id, len(d.text) AS len
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+      kreps AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id) AS rn
+          FROM kmembers) WHERE rn = 1)
+      SELECT d.doc_id,
+             CASE WHEN c.doc_id IS NOT NULL THEN 'cluster_best' ELSE 'unique' END AS keep_reason
+      FROM documents d
+      LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      WHERE c.doc_id IS NULL OR d.doc_id IN (SELECT doc_id FROM kreps)""")),
 
     QueryDef("doc_cluster_size_histogram",
       (s, d) => clusterSizeHistogram(docs(s, d), 0.6), Some(s"""

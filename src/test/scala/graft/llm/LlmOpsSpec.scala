@@ -126,6 +126,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept === Map(1L -> "cluster_representative", 4L -> "unique"))
   }
 
+  test("dedup keep-best: the longest cluster member wins, not the min doc_id") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val longer = text + " with extra informative trailing content"
+    val kept = TextOps.dedupKeepBest(docsDF(
+      (1L, text), (2L, longer),
+      (4L, "completely different words that share no shingles at all with others one two")),
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // dedupKeep would keep doc 1 (min id); keep-best keeps the longer doc 2
+    assert(kept === Map(2L -> "cluster_best", 4L -> "unique"))
+  }
+
   test("native max-token-freq kernel equals the HOF fold on real and edge docs") {
     val ge = org.apache.spark.sql.graft.expressions
     val docs = TextOps.docs(spark, sfDir).select("doc_id", "text")
