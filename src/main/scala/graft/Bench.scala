@@ -113,6 +113,11 @@ object Bench {
         while (rescue < 3 && expect.exists(e => runs.min > e * 1.5)) {
           runs = runs :+ run(); rescue += 1
         }
+        // a row still >1.5× its recorded steady value after rescue reps is
+        // either a real regression or sustained host contention — flag it in
+        // the artifact's stderr so the reading isn't silently trusted
+        expect.filter(e => runs.min > e * 1.5).foreach(e => System.err.println(
+          f"[bench] WARN $name: min ${runs.min}%.3fs is ${runs.min / e}%.1fx the recorded ${e}%.3fs after $rescue rescue reps"))
         results(name) = runs.min
       } catch {
         case e: Throwable =>

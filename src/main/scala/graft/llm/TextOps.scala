@@ -57,6 +57,22 @@ object TextOps extends QueryRegistry {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_docs"))
 
+  /** PII scrub — the redaction stage of a curation pipeline. Emails and
+    * IPv4 literals replace with typed placeholder tokens; counts are taken
+    * on the ORIGINAL text (emails first — an address swallowed by `<EMAIL>`
+    * is not re-counted as an IP). Patterns restrict to syntax with identical
+    * semantics in Java regex (Spark) and RE2 (the DuckDB oracle): character
+    * classes, bounded quantifiers, `\b`. Map-only — a narrow projection on
+    * the scan, zero shuffle at any corpus size. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+        .as("text"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"))
+
   /** Per-doc text statistics: word/char counts + type-token ratio. */
   def textStats(docs: DataFrame): DataFrame =
     docs.select(
@@ -1121,6 +1137,16 @@ object TextOps extends QueryRegistry {
              CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
                   WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
                   ELSE 'test' END AS split
+      FROM documents"""))),
+
+    // PII scrub: on this clean synthetic corpus the row pins the
+    // no-false-positive property (text survives unchanged, zero counts);
+    // the redaction semantics themselves are spec-tested on PII-laden docs.
+    QueryDef("doc_redact_pii", (s, d) => redactPii(docs(s, d)), Some(oq(s"""
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g') AS text,
+             CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips
       FROM documents"""))),
 
     // Training-mix construction (r8): stratified hash sampling + the

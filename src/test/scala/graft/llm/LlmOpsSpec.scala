@@ -85,6 +85,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(500L) === 500L && out(501L) === 500L)
   }
 
+  test("pii redaction: emails and ips replace with typed tokens, clean text untouched") {
+    val out = TextOps.redactPii(docsDF(
+      (1L, "contact bob.smith+x@example.co.uk or 10.0.0.1 today"),
+      (2L, "two mails a@b.io c@d.org and 192.168.1.255 8.8.8.8"),
+      (3L, "nothing sensitive here at all")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("contact <EMAIL> or <IP> today", 1L, 1L)))
+    assert(out(2L) === (("two mails <EMAIL> <EMAIL> and <IP> <IP>", 2L, 2L)))
+    assert(out(3L) === (("nothing sensitive here at all", 0L, 0L)))
+  }
+
   test("stratified sampling: rate 1 keeps all, rate 0 keeps none, deterministic") {
     val docs = (1L to 200L).map(i => (i, "w", if (i <= 100) "all" else "none"))
       .toDF("doc_id", "text", "source")
