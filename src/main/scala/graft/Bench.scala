@@ -47,7 +47,6 @@ object Bench {
     "category_group_agg" -> 0.38, "composite_filter_sum" -> 0.10,
     "pk_point_lookup" -> 0.04, "secondary_filter" -> 0.04,
     "seq_scan_sum" -> 0.09, "oltp_invoice_lookup_bucketed" -> 0.06,
-    "oltp_invoice_lookup_prepared" -> 0.02,
     "partition_pruned_year_sum" -> 0.11, "unpartitioned_year_sum" -> 0.12,
     "partition_pruned_inferred_sum" -> 0.11, "mv_direct_agg" -> 0.36,
     "mv_precomputed_read" -> 0.08, "olap_q1" -> 0.36, "olap_q2" -> 0.23,

@@ -163,9 +163,16 @@ object TextOps extends QueryRegistry {
     * RNG, no global sort), so a document's split never silently flips
     * between pipeline runs; the cross-engine oracle checks exactly that
     * property. Narrow per-row projection, no shuffle. */
+  /** Deterministic hash bucket in `[0, mod)` from a key column's md5 — the
+    * no-RNG assignment primitive under [[trainSplit]], [[packSequences]] and
+    * [[sampleStratified]]: stable across reshuffles, reruns and engines
+    * (the oracle reproduces it as `CAST(concat('0x', substr(md5(k),1,8)) AS
+    * BIGINT) % mod`). */
+  private def md5Bucket(key: Column, mod: Int): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % mod
+
   def trainSplit(docs: DataFrame): DataFrame = {
-    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100).as("bucket")
+    val bucket = md5Bucket(col("doc_id").cast("string"), 100).as("bucket")
     docs.select(col("doc_id"), bucket)
       .withColumn("split",
         when(col("bucket") < 90, lit("train"))
@@ -183,8 +190,7 @@ object TextOps extends QueryRegistry {
     * (`bucket < long(rate * 10000)`), giving 0.01% granularity. */
   def sampleStratified(docs: DataFrame, rates: Map[String, Double],
                        defaultRate: Double = 0.125, salt: String = "mix"): DataFrame = {
-    val bucket = (conv(substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("long") % 10000)
+    val bucket = md5Bucket(concat(lit(s"$salt:"), col("doc_id").cast("string")), 10000)
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
       when(col("source") === src, lit(r)).otherwise(acc)
     }
@@ -228,8 +234,7 @@ object TextOps extends QueryRegistry {
     * capacity)` within its shard. One partitioned window — a single shuffle
     * on the shard key, no global state, shards scale with the cluster. */
   def packSequences(docs: DataFrame, capacity: Long = 4096, shards: Int = 8): DataFrame = {
-    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % shards).as("shard")
+    val shard = md5Bucket(col("doc_id").cast("string"), shards).as("shard")
     val wnd = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -730,42 +735,32 @@ object TextOps extends QueryRegistry {
     (writer, () => { shCorpus.unpersist(); () })
   }
 
-  /** Correctness round trip for [[streamingNearDup]] (VERDICT r7 #5): a
+  /** Correctness round trips for the streaming paths (VERDICT r7 #5): a
     * deterministic two-drop ingestion — new docs = `doc_id % 4 = 3`, split
     * into two parquet drops by `doc_id % 8`, corpus = the rest — streamed
     * against the standing corpus with an AvailableNow trigger, then the
-    * appended pair log read back. The output SET is batch-composition-
-    * independent (each new doc's pairs depend only on itself + corpus), so
-    * the log hash-checks against a plain batch oracle. */
-  private def streamNearDupRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    * appended log read back. The output SET is batch-composition-independent
+    * (each new doc's rows depend only on itself + corpus), so the log
+    * hash-checks against a plain batch oracle. */
+  private def twoDropRoundtrip(s: SparkSession, dir: String)(
+      mk: (String, DataFrame, String) => (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], () => Unit)): DataFrame = {
     val all = docs(s, dir).select(col("doc_id"), col("text"))
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_nd_").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_").toString
     all.filter(col("doc_id") % 8 === 3).coalesce(1).write.parquet(s"$base/drops/a")
     all.filter(col("doc_id") % 8 === 7).coalesce(1).write.parquet(s"$base/drops/b")
-    val (writer, release) = streamingNearDupManaged(
-      s, s"$base/drops/*", all.filter(col("doc_id") % 4 =!= 3), s"$base/pairs")
+    val (writer, release) =
+      mk(s"$base/drops/*", all.filter(col("doc_id") % 4 =!= 3), s"$base/out")
     val query = writer
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     try query.awaitTermination(300000L) finally release()
-    s.read.parquet(s"$base/pairs")
+    s.read.parquet(s"$base/out")
   }
 
-  /** Correctness round trip for [[streamingCuration]] — same two-drop
-    * ingestion as [[streamNearDupRoundtrip]], reading back the per-doc
-    * disposition log (the cascade applies to new docs; the corpus is taken
-    * as-is, exactly the streaming path's semantics). */
-  private def streamCurationRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val all = docs(s, dir).select(col("doc_id"), col("text"))
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_cur_").toString
-    all.filter(col("doc_id") % 8 === 3).coalesce(1).write.parquet(s"$base/drops/a")
-    all.filter(col("doc_id") % 8 === 7).coalesce(1).write.parquet(s"$base/drops/b")
-    val (writer, release) = streamingCurationManaged(
-      s, s"$base/drops/*", all.filter(col("doc_id") % 4 =!= 3), s"$base/log")
-    val query = writer
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    try query.awaitTermination(300000L) finally release()
-    s.read.parquet(s"$base/log")
-  }
+  private def streamNearDupRoundtrip(s: SparkSession, dir: String): DataFrame =
+    twoDropRoundtrip(s, dir)(streamingNearDupManaged(s, _, _, _))
+
+  private def streamCurationRoundtrip(s: SparkSession, dir: String): DataFrame =
+    twoDropRoundtrip(s, dir)(streamingCurationManaged(s, _, _, _))
 
   /** Near-dup clusters: connected components over the MinHash candidate-pair
     * graph (exact Jaccard >= `threshold`).
