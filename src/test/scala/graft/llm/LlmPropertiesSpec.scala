@@ -56,4 +56,28 @@ object LlmPropertiesSpec extends Properties("llm") {
       val covered = chunks.map { case (_, s, l) => s + l - 1 }.max == n.toLong
       startsOk && sizesOk && covered && chunks.head._2 == 1L
     }
+
+  // The distributed pointer-jumping label propagation must produce the same
+  // components as the driver union-find on ARBITRARY graphs — random edge
+  // lists with self-loops, duplicates and many small/joined components, the
+  // shapes the chain spec can't cover. Both paths must also agree with a
+  // reference union-find computed in plain Scala.
+  property("connectedComponents: distributed path == union-find on random graphs") =
+    Prop.forAll(Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L)))) { es =>
+      val edges = es.toDF("src", "dst")
+      val viaUnionFind = TextOps.connectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      val viaDistributed = TextOps.connectedComponents(edges, broadcastEdgeLimit = 0L)
+        .as[(Long, Long)].collect().toMap
+      // plain-Scala reference
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val expect = parent.keys.map(k => k -> find(k)).toMap
+      viaUnionFind == expect && viaDistributed == expect
+    }
 }
