@@ -117,6 +117,18 @@ object EmbeddingOps extends QueryRegistry {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Semantic-channel near-dup clusters: the generic
+    * [[TextOps.connectedComponents]] solver over [[cosineNearDup]]'s
+    * verified pair stream — the third clustering channel after MinHash
+    * ([[TextOps.dedupClusters]]) and SimHash ([[TextOps.simhashClusters]]).
+    * Catches paraphrase duplicates the lexical channels can't see; the edge
+    * set is bucketed-LSH output, so the size gate almost always solves on
+    * the driver. */
+  def embDedupClusters(emb: DataFrame, threshold: Double = 0.35): DataFrame =
+    TextOps.connectedComponents(cosineNearDup(emb, threshold)
+      .select(col("keep_id").as("src"), col("dup_id").as("dst")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
   /** HOF dot in double over any numeric array pair (the centroid side is
     * double, so the native float-only kernel doesn't apply). */
   private def dotAny(a: Column, b: Column): Column =
@@ -220,6 +232,24 @@ object EmbeddingOps extends QueryRegistry {
                CAST(CAST(round(${sqlCos("a.embedding", "b.embedding")}, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
         FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       SELECT keep_id, dup_id, cosine FROM pairs WHERE cosine >= 0.35"""))),
+
+    // Standalone WITH RECURSIVE (transitive closure; embeddings-only — no
+    // warehouse prelude needed), same pattern as doc_dedup_clusters.
+    QueryDef("emb_dedup_clusters", (s, d) => embDedupClusters(emb(s, d), 0.35), Some(s"""
+      WITH RECURSIVE $sqlBuckets,
+      wb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+      epairs AS (
+        SELECT a.vec_id AS keep_id, b.vec_id AS dup_id
+        FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE CAST(CAST(round(${sqlCos("a.embedding", "b.embedding")}, 6) AS DECIMAL(10,6)) AS DOUBLE) >= 0.35),
+      eedges AS (SELECT keep_id AS src, dup_id AS dst FROM epairs
+                 UNION ALL
+                 SELECT dup_id, keep_id FROM epairs),
+      ereach AS (
+        SELECT src AS vec_id, src AS label FROM eedges
+        UNION
+        SELECT e.src AS vec_id, r.label FROM eedges e JOIN ereach r ON r.vec_id = e.dst)
+      SELECT vec_id, min(label) AS cluster_id FROM ereach GROUP BY vec_id""")),
 
     QueryDef("emb_quantize_int8", (s, d) => quantizeInt8Stats(emb(s, d)), Some(oq(s"""
       , dim_stats AS (

@@ -150,6 +150,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept === Map(2L -> "cluster_best", 4L -> "unique"))
   }
 
+  test("embedding dedup clusters: identical vectors cluster under the min vec_id") {
+    val same = Array.tabulate(64)(i => if (i == 0) 1f else 0.01f)
+    val far = Array.tabulate(64)(i => if (i == 1) -1f else -0.01f)
+    val emb = Seq((1L, same), (2L, same), (3L, same), (9L, far))
+      .toDF("vec_id", "embedding")
+    val out = EmbeddingOps.embDedupClusters(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.view.filterKeys(Set(1L, 2L, 3L)).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(out.get(9L).forall(_ != 1L))
+  }
+
   test("native max-token-freq kernel equals the HOF fold on real and edge docs") {
     val ge = org.apache.spark.sql.graft.expressions
     val docs = TextOps.docs(spark, sfDir).select("doc_id", "text")
