@@ -198,6 +198,23 @@ object TextOps extends QueryRegistry {
       .filter(col("sample_bucket") < (rate * 10000).cast("long"))
   }
 
+  /** Deterministic fixed-size sample per source: the `k` documents with the
+    * smallest salted hash in each source — the no-RNG analog of reservoir
+    * sampling (build an eval set of exactly k docs per source, stable
+    * across reruns and engines). One window per source over a NARROW
+    * (doc_id, source, bucket) projection — the shuffle never carries text;
+    * at 100 TB pre-filter on a generous bucket threshold first if a single
+    * source dominates the corpus. */
+  def samplePerSource(docs: DataFrame, k: Int = 100, salt: String = "mix"): DataFrame = {
+    val bucket = md5Bucket(concat(lit(s"$salt:"), col("doc_id").cast("string")), 1000000)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("sample_bucket").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"), bucket.as("sample_bucket"))
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("sample_rank"))
+  }
+
   /** Mixture plan for a target per-source token-share: given available
     * per-source token counts, the largest total `N` such that every
     * participating source can supply its share (`N = min T_s / share_s`),
@@ -1156,6 +1173,14 @@ object TextOps extends QueryRegistry {
       WHERE CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
             < CAST(CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                                     WHEN 'src2' THEN 0.25 ELSE 0.125 END AS DOUBLE) * 10000 AS BIGINT)"""))),
+
+    QueryDef("doc_sample_per_source", (s, d) => samplePerSource(docs(s, d), k = 5), Some(oq("""
+      SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY
+                 CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000,
+                 doc_id) AS rn
+        FROM documents) t WHERE rn <= 5"""))),
 
     QueryDef("doc_mix_plan", (s, d) => mixPlan(docs(s, d),
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)), Some(oq("""

@@ -111,6 +111,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(half1 === half2 && half1.nonEmpty && half1.size < 200)
   }
 
+  test("per-source sample: exactly k docs per source, rank-stable across runs") {
+    val docs = (1L to 60L).map(i => (i, "w", s"s${i % 3}")).toDF("doc_id", "text", "source")
+    val out1 = TextOps.samplePerSource(docs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out1.length === 12)
+    assert(out1.groupBy(_._2).forall { case (_, rows) =>
+      rows.length == 4 && rows.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L)
+    })
+    val out2 = TextOps.samplePerSource(docs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out1.toSet === out2.toSet)
+  }
+
   test("mix plan: the bottleneck source caps the total, rates follow shares") {
     // src a: 100 tokens at share 0.8 -> N = min(125, 500) = 125; a plans all
     // 100 of its tokens (rate 1.0), b plans floor(0.2*125)=25 of 100 (0.25)
