@@ -157,6 +157,35 @@ object TextOps extends QueryRegistry {
       .limit(k)
   }
 
+  /** Corpus-LM familiarity — the cheap perplexity proxy for quality
+    * filtering: the average corpus attestation of a document's bigram
+    * occurrences, `sum(corpus_count(bg)) / n_bigrams`. Low scores flag
+    * gibberish/OCR noise (bigrams the corpus never sees elsewhere); high
+    * scores flag boilerplate. All-integer sums with ONE final division, so
+    * the score is bit-identical cross-engine — a log-probability would
+    * diverge on libm ulps (the salientTerms rational-weight reasoning).
+    * Shape: one tokenization pass into a cached (doc, bigram, k) frame;
+    * corpus counts derive FROM that aggregate; the attach is an equi-join
+    * on the bigram key — never doc × doc. Docs with <2 tokens have no
+    * bigrams and are absent. */
+  def lmFamiliarity(docs: DataFrame): DataFrame = {
+    val toks = wordTokens
+    val n = size(toks)
+    val idx = when(n >= 2, sequence(lit(1), n - 1)).otherwise(expr("array()"))
+    val bigrams = transform(idx, i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val tf = cacheOnce(spread(docs)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k")))
+    val corpus = tf.groupBy("bigram").agg(sum("k").as("c"))
+    tf.join(corpus, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(sum("k").cast("long").as("n_bigrams"),
+        sum(col("k") * col("c")).cast("long").as("attested_mass"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("attested_mass").cast("double") / col("n_bigrams")).as("familiarity"))
+  }
+
   /** Deterministic train/val/test split (90/5/5): an md5 hash bucket of the
     * document id. Hash-based assignment is the 100 TB split discipline —
     * stable under reshuffles, reruns, and engine changes (no `sample()`
@@ -1173,6 +1202,19 @@ object TextOps extends QueryRegistry {
       WHERE CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
             < CAST(CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                                     WHEN 'src2' THEN 0.25 ELSE 0.125 END AS DOUBLE) * 10000 AS BIGINT)"""))),
+
+    QueryDef("doc_lm_familiarity", (s, d) => lmFamiliarity(docs(s, d)), Some(oq("""
+      , lmws AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t FROM documents),
+      lmbg AS (
+          SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)]) AS bigram
+          FROM lmws),
+      lmtf AS (SELECT doc_id, bigram, count(*) AS k FROM lmbg GROUP BY doc_id, bigram),
+      lmc AS (SELECT bigram, sum(k) AS c FROM lmtf GROUP BY bigram)
+      SELECT t.doc_id,
+             CAST(sum(t.k) AS BIGINT) AS n_bigrams,
+             CAST(CAST(sum(t.k * c.c) AS BIGINT) AS DOUBLE) / CAST(sum(t.k) AS BIGINT) AS familiarity
+      FROM lmtf t JOIN lmc c ON c.bigram = t.bigram
+      GROUP BY t.doc_id"""))),
 
     QueryDef("doc_sample_per_source", (s, d) => samplePerSource(docs(s, d), k = 5), Some(oq("""
       SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM (

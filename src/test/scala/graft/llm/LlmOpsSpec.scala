@@ -111,6 +111,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(half1 === half2 && half1.nonEmpty && half1.size < 200)
   }
 
+  test("lm familiarity: average corpus attestation of a doc's bigram occurrences") {
+    // corpus bigram counts: "a b" -> 3 (twice in doc 1, once in doc 2),
+    // "b a" -> 1, "b c" -> 1; doc 1 mass = 3+1+3 = 7 over 3 bigrams,
+    // doc 2 mass = 3+1 = 4 over 2; doc 3 (single token) has no bigrams
+    val out = TextOps.lmFamiliarity(docsDF(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "x")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map(1L -> ((3L, 7.0 / 3)), 2L -> ((2L, 2.0))))
+  }
+
   test("per-source sample: exactly k docs per source, rank-stable across runs") {
     val docs = (1L to 60L).map(i => (i, "w", s"s${i % 3}")).toDF("doc_id", "text", "source")
     val out1 = TextOps.samplePerSource(docs, k = 4)
