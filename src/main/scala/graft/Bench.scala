@@ -58,7 +58,8 @@ object Bench {
     "doc_simhash_pairs" -> 0.40, "doc_vocab_top100" -> 0.55,
     "doc_repetition" -> 0.12, "doc_filter_cascade" -> 0.15,
     "doc_curation_pipeline" -> 0.65, "doc_chunks" -> 0.09,
-    "doc_salient_terms" -> 0.43, "emb_ann_bucketed" -> 0.27,
+    "doc_salient_terms" -> 0.43, "doc_lm_familiarity" -> 0.63,
+    "emb_ann_bucketed" -> 0.27,
     "emb_label_cohesion" -> 0.18, "emb_ivf_search" -> 0.41,
     "events_sessions" -> 0.18, "events_asof_last_error" -> 0.21,
     "events_attribution" -> 0.15, "events_funnel" -> 0.24,
@@ -242,12 +243,17 @@ object Bench {
       // read. Timed directly (no noop sink): the result is a single row.
       try {
         val prepared = bucketedLookup.queryExecution.executedPlan
-        require(prepared.execute().count() > 0) // warm-up + sanity
-        val runs = (1 to 5).map { _ =>
+        def runPrepared(): Double = {
           val t0 = System.nanoTime()
           require(prepared.execute().count() > 0)
           (System.nanoTime() - t0) / 1e9
         }
+        runPrepared() // warm-up + sanity
+        var runs = (1 to 5).map(_ => runPrepared())
+        // same rescue policy as time(): a ~20ms row is pure noise-floor
+        // territory — buy extra reps before recording an inflated reading
+        var rescue = 0
+        while (rescue < 3 && runs.min > 0.03) { runs = runs :+ runPrepared(); rescue += 1 }
         results("oltp_invoice_lookup_prepared") = runs.min
       } catch {
         case e: Throwable =>
@@ -331,6 +337,7 @@ object Bench {
       time("doc_curation_pipeline")(graft.llm.TextOps.curationPipeline(docs))
       time("doc_chunks")(graft.llm.TextOps.chunkDocs(docs))
       time("doc_salient_terms")(graft.llm.TextOps.salientTerms(docs))
+      time("doc_lm_familiarity")(graft.llm.TextOps.lmFamiliarity(docs))
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))
