@@ -362,6 +362,28 @@ object TextOps extends QueryRegistry {
       .agg(count_distinct(col("shingle")).as("n_shared_shingles"))
   }
 
+  /** Decontamination keep-stage — [[contamination]] turned into a verdict:
+    * each training doc's benchmark-overlap RATIO (shared distinct shingles
+    * over its own distinct shingles — length-unbiased, unlike the raw
+    * count) and the keep decision at `maxOverlap`. The contaminated stats
+    * are semi-join output (small); the ratio is two exact integers divided
+    * once, so verdicts are engine-stable. Benchmark set = `doc_id % 100 = 0`
+    * (the [[contamination]] convention). */
+  def decontaminate(docs: DataFrame, maxOverlap: Double = 0.5): DataFrame = {
+    val sh = cacheOnce(shingles(docs))
+    val train = sh.filter(col("doc_id") % 100 =!= 0)
+    val bench = sh.filter(col("doc_id") % 100 === 0)
+      .select(explode(col("shs")).as("shingle")).distinct()
+    val shared = train
+      .select(col("doc_id"), explode(array_distinct(col("shs"))).as("shingle"))
+      .join(bench, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val ratio = coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_distinct")
+    train.select(col("doc_id"), size(array_distinct(col("shs"))).as("n_distinct"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), ratio.as("overlap_ratio"), (ratio <= maxOverlap).as("keep"))
+  }
+
   /** Max single-token frequency (shared by [[repetition]] and
     * [[filterCascade]]): the native codegen'd kernel
     * ([[org.apache.spark.sql.graft.MaxTokenFreq]] — one sort + run-scan per
@@ -846,7 +868,8 @@ object TextOps extends QueryRegistry {
     * are component minima); the round cap is a backstop that now FAILS LOUDLY
     * instead of silently emitting partial labels. */
   def connectedComponents(edges: DataFrame,
-                          broadcastEdgeLimit: Long = 500000L): DataFrame = {
+                          broadcastEdgeLimit: Long = 500000L,
+                          maxRounds: Int = 64): DataFrame = {
     val spark = edges.sparkSession
     val pairs = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
@@ -886,7 +909,8 @@ object TextOps extends QueryRegistry {
           .withColumn("label", col("doc_id")).localCheckpoint()
         var changed = 1L
         var rounds = 0
-        val maxRounds = 64 // O(log diameter) rounds: unreachable for any real graph
+        // default 64 covers any real graph (O(log diameter) rounds);
+        // injectable so the loud-failure contract below is testable
         while (changed > 0 && rounds < maxRounds) {
           val viaNeighbor = bidir
             .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
@@ -1289,6 +1313,22 @@ object TextOps extends QueryRegistry {
       FROM shingles s JOIN bench b ON s.shingle = b.shingle
       WHERE s.doc_id % 100 <> 0
       GROUP BY s.doc_id"""))),
+
+    QueryDef("doc_decontaminate", (s, d) => decontaminate(docs(s, d), 0.5), Some(oq(s"""
+      , $sqlShingles,
+      dbench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 100 = 0),
+      dshared AS (
+        SELECT t.doc_id, count(*) AS n_shared
+        FROM (SELECT doc_id, unnest(sh) AS shingle
+              FROM shingle_sets WHERE doc_id % 100 <> 0) t
+        JOIN dbench b ON t.shingle = b.shingle
+        GROUP BY t.doc_id),
+      dtot AS (SELECT doc_id, len(sh) AS n_distinct
+               FROM shingle_sets WHERE doc_id % 100 <> 0 AND len(sh) > 0)
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_shared, 0) AS DOUBLE) / d.n_distinct AS overlap_ratio,
+             CAST(coalesce(s.n_shared, 0) AS DOUBLE) / d.n_distinct <= 0.5 AS keep
+      FROM dtot d LEFT JOIN dshared s ON s.doc_id = d.doc_id"""))),
 
     QueryDef("doc_vocab_top100", (s, d) => vocabTopK(docs(s, d)), Some(oq("""
       , toks AS (

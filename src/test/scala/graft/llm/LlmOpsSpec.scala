@@ -111,6 +111,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(half1 === half2 && half1.nonEmpty && half1.size < 200)
   }
 
+  test("decontaminate: overlap ratio against the benchmark set drives the verdict") {
+    // doc 100 is the benchmark (id % 100 == 0); doc 1 repeats its text
+    // exactly (ratio 1.0 -> drop), doc 2 shares nothing (ratio 0 -> keep)
+    val bench = "alpha beta gamma delta epsilon zeta eta theta"
+    val out = TextOps.decontaminate(docsDF(
+      (100L, bench), (1L, bench),
+      (2L, "totally unrelated words nothing shared here at all")), maxOverlap = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((1.0, false)))
+    assert(out(2L) === ((0.0, true)))
+    assert(!out.contains(100L))
+  }
+
   test("lm familiarity: average corpus attestation of a doc's bigram occurrences") {
     // corpus bigram counts: "a b" -> 3 (twice in doc 1, once in doc 2),
     // "b a" -> 1, "b c" -> 1; doc 1 mass = 3+1+3 = 7 over 3 bigrams,
@@ -148,6 +161,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.keySet === Set("a", "b"))
     assert(plan("a") === ((100L, 100L, 1.0)))
     assert(plan("b") === ((100L, 25L, 0.25)))
+  }
+
+  test("connected components: an exhausted round cap fails loudly, never truncates") {
+    // pre-r8 behavior was to silently emit whatever labels round 32 held;
+    // with the cap forced to 1 round a 20-node chain cannot converge and the
+    // solver must refuse to return partial labels
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      TextOps.connectedComponents(chain, broadcastEdgeLimit = 0L, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("refusing to emit"))
   }
 
   test("dedup keep: cluster representative and untouched docs survive, dups drop") {
