@@ -490,6 +490,34 @@ object TextOps extends QueryRegistry {
           .otherwise(lit("kept")).as("status"))
   }
 
+  /** Full curation pipeline v2 — every r8 stage composed in production
+    * order: the map-only cascade gates first; benchmark-holdout docs
+    * (`doc_id % 100 = 0`, the [[contamination]] convention) are set aside;
+    * surviving training docs pass [[decontaminate]]'s overlap verdict; the
+    * remainder dedups under [[dedupKeepBest]] (longest representative).
+    * Per-doc status ∈ benchmark_holdout | rejected:<reason> | contaminated |
+    * duplicate | kept. Narrow-first ordering as [[curationPipeline]]: each
+    * stage's shuffling work runs only over the previous stage's survivors. */
+  def curationPipelineV2(docs: DataFrame, threshold: Double = 0.6,
+                         maxOverlap: Double = 0.5): DataFrame = {
+    val isBench = col("doc_id") % 100 === 0
+    val contam = decontaminate(docs, maxOverlap)
+      .select(col("doc_id"), col("keep").as("decon_keep"))
+    val dedupInput = docs.filter(rejectReason.isNull && !isBench)
+      .join(contam.filter(col("decon_keep")), Seq("doc_id"), "left_semi")
+    val survivors = dedupKeepBest(dedupInput, threshold)
+      .select(col("doc_id"), lit(true).as("survived"))
+    docs.select(col("doc_id"), rejectReason.as("reject_reason"), isBench.as("is_bench"))
+      .join(contam, Seq("doc_id"), "left")
+      .join(survivors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_bench"), lit("benchmark_holdout"))
+          .when(col("reject_reason").isNotNull, concat(lit("rejected:"), col("reject_reason")))
+          .when(not(col("decon_keep")), lit("contaminated"))
+          .when(col("survived").isNull, lit("duplicate"))
+          .otherwise(lit("kept")).as("status"))
+  }
+
   /** Cross-source overlap matrix: for each pair of ingest sources, the
     * number of distinct 3-word shingles present in both and the Jaccard
     * similarity of the two shingle sets — the corpus-curation view of which
@@ -1382,6 +1410,75 @@ object TextOps extends QueryRegistry {
                       WHEN max_frac > 0.14 THEN 'too_repetitive' END AS reject_reason
           FROM base)
       SELECT doc_id, reject_reason IS NULL AS keep, reject_reason FROM flagged"""))),
+
+    // v2: cascade → benchmark holdout → decontamination → keep-best dedup.
+    // The decon leg re-derives its shingle sets under d-prefixed CTE names
+    // because the shared sqlShinglesFrom names are taken by the dedup leg
+    // (which must shingle only the filtered survivor set).
+    QueryDef("doc_curation_pipeline_v2",
+      (s, d) => curationPipelineV2(docs(s, d), 0.6, 0.5), Some(s"""
+      WITH RECURSIVE
+      ctf AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+          GROUP BY doc_id, tok),
+      cmx AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS max_frac
+              FROM ctf GROUP BY doc_id),
+      cbase AS (
+          SELECT d.doc_id,
+                 len(string_split(text, ' ')) AS n,
+                 CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS er,
+                 m.max_frac
+          FROM documents d JOIN cmx m ON d.doc_id = m.doc_id),
+      flagged AS (
+          SELECT doc_id,
+                 CASE WHEN n < 20 THEN 'too_short'
+                      WHEN er < 0.05 THEN 'not_english'
+                      WHEN max_frac > 0.14 THEN 'too_repetitive' END AS reject_reason
+          FROM cbase),
+      dws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      dsets AS (
+          SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM dws),
+      dbench AS (SELECT DISTINCT unnest(sh) AS shingle FROM dsets WHERE doc_id % 100 = 0),
+      dshared AS (
+          SELECT t.doc_id, count(*) AS n_shared
+          FROM (SELECT doc_id, unnest(sh) AS shingle FROM dsets WHERE doc_id % 100 <> 0) t
+          JOIN dbench b ON t.shingle = b.shingle
+          GROUP BY t.doc_id),
+      dkeep AS (
+          SELECT d.doc_id,
+                 CAST(coalesce(s.n_shared, 0) AS DOUBLE) / len(d.sh) <= 0.5 AS decon_keep
+          FROM dsets d LEFT JOIN dshared s ON s.doc_id = d.doc_id
+          WHERE d.doc_id % 100 <> 0 AND len(d.sh) > 0),
+      docs_f2 AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN flagged f ON f.doc_id = d.doc_id AND f.reject_reason IS NULL
+          JOIN dkeep k ON k.doc_id = d.doc_id AND k.decon_keep
+          WHERE d.doc_id % 100 <> 0),
+      ${sqlShinglesFrom("docs_f2")},
+      $sqlClusterChainCtes,
+      clusters AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+      kmembers AS (
+          SELECT c.doc_id, c.cluster_id, len(d.text) AS len
+          FROM clusters c JOIN documents d ON d.doc_id = c.doc_id),
+      kreps AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id) AS rn
+            FROM kmembers) WHERE rn = 1)
+      SELECT f.doc_id,
+             CASE WHEN f.doc_id % 100 = 0 THEN 'benchmark_holdout'
+                  WHEN f.reject_reason IS NOT NULL THEN 'rejected:' || f.reject_reason
+                  WHEN NOT coalesce(k.decon_keep, TRUE) THEN 'contaminated'
+                  WHEN c.doc_id IS NOT NULL AND f.doc_id NOT IN (SELECT doc_id FROM kreps)
+                    THEN 'duplicate'
+                  ELSE 'kept' END AS status
+      FROM flagged f
+      LEFT JOIN dkeep k ON k.doc_id = f.doc_id
+      LEFT JOIN clusters c ON c.doc_id = f.doc_id""")),
 
     QueryDef("doc_curation_pipeline", (s, d) => curationPipeline(docs(s, d)), Some(s"""
       WITH RECURSIVE

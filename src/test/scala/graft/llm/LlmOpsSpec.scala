@@ -277,6 +277,31 @@ class LlmOpsSpec extends SparkSpec {
       1L -> "kept", 2L -> "duplicate", 3L -> "rejected:too_short", 4L -> "duplicate"))
   }
 
+  test("curation pipeline v2: every stage's verdict lands in the status column") {
+    // benchmark text passes the cascade itself (stopwords present) so its
+    // near-copy reaches the contamination stage instead of dying earlier
+    val bench = "the a alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau"
+    val benchLike = bench + " phi"      // shares ~all benchmark shingles
+    val keepText = "the a " + (1 to 25).map(i => s"w$i").mkString(" ")
+    val dupText = keepText + " extra trailing informative words here"
+    val out = TextOps.curationPipelineV2(docsDF(
+      (100L, bench),              // benchmark holdout
+      (1L, benchLike),            // contaminated
+      (2L, "too short"),          // rejected:too_short
+      (3L, keepText),             // duplicate (shorter member of the cluster)
+      (4L, dupText),              // kept (longest representative)
+      (5L, "the a " + (1 to 25).map(i => s"z$i").mkString(" "))), // kept, unique
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(100L) === "benchmark_holdout")
+    assert(out(1L) === "contaminated")
+    assert(out(2L) === "rejected:too_short")
+    assert(out(3L) === "duplicate")
+    assert(out(4L) === "kept")
+    assert(out(5L) === "kept")
+  }
+
   test("source overlap: shared shingles count once per pair, jaccard over distinct sets") {
     val docs = Seq(
       (1L, "a b c d", "s1"), // shingles {a b c, b c d}
