@@ -1084,6 +1084,24 @@ object TextOps extends QueryRegistry {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Lexical k-nearest-neighbors: each document's top-`k` most-similar
+    * documents by exact shingle Jaccard, candidates from the banded MinHash
+    * index ([[minhashPairs]] — never doc × doc; docs whose LSH bands collide
+    * with nothing have no lexical neighbors and are absent). The pair set
+    * symmetrizes (a neighbor list is per-doc, both directions) and a window
+    * per doc takes the top k, ties broken by neighbor id for deterministic
+    * output. The lexical twin of the embedding-side cosine top-k. */
+  def lexicalKnn(docs: DataFrame, k: Int = 3): DataFrame = {
+    val pairs = minhashPairs(docs)
+    val sym = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor_id"), col("jaccard"))
+      .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("neighbor_id"), col("jaccard")))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("jaccard").desc, col("neighbor_id").asc)
+    sym.withColumn("rank", row_number().over(wnd))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("neighbor_id"), col("jaccard"), col("rank").cast("long").as("rank"))
+  }
+
   /** SimHash-channel near-dup clusters: the generic [[connectedComponents]]
     * solver over [[simhashPairs]]' verified ≤`maxHamming` pair stream — the
     * lexical-hash twin of [[dedupClusters]] (MinHash/Jaccard channel). Same
@@ -1567,6 +1585,24 @@ object TextOps extends QueryRegistry {
       FROM cand c
       JOIN shingle_sets sa ON sa.doc_id = c.doc_a
       JOIN shingle_sets sb ON sb.doc_id = c.doc_b"""))),
+
+    QueryDef("doc_lexical_knn", (s, d) => lexicalKnn(docs(s, d)), Some(oq(s"""
+      , $sqlShingles,
+      $sqlLshCandCtes,
+      jpairs AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+        FROM cand c
+        JOIN shingle_sets sa ON sa.doc_id = c.doc_a
+        JOIN shingle_sets sb ON sb.doc_id = c.doc_b),
+      sym AS (SELECT doc_a AS doc_id, doc_b AS neighbor_id, jaccard FROM jpairs
+              UNION ALL
+              SELECT doc_b, doc_a, jaccard FROM jpairs)
+      SELECT doc_id, neighbor_id, jaccard, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT doc_id, neighbor_id, jaccard,
+               row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, neighbor_id) AS rank
+        FROM sym) t WHERE rank <= 3"""))),
 
     QueryDef("doc_semantic_consistency",
       (s, d) => semanticConsistency(docs(s, d), EmbeddingOps.emb(s, d)), Some(oq(s"""

@@ -425,6 +425,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(dup === Seq((1L, 2L, 0L)))
   }
 
+  test("lexical knn: neighbor lists are symmetric, ranked by jaccard then id") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val out = TextOps.lexicalKnn(docsDF(
+      (1L, t), (2L, t), (3L, t + " more"),
+      (4L, "no overlap with anything else at all in this unrelated text here")), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // docs 1 and 2 are identical (jaccard 1.0 -> each other's rank 1);
+    // doc 3 is the near-dup second choice for both, and 1,2 are its top two
+    assert(out === Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 1L, 1L), (2L, 3L, 2L),
+      (3L, 1L, 1L), (3L, 2L, 2L)))
+  }
+
   test("simhash clusters: identical docs share one min-labeled cluster") {
     val t = "a b c d e f g h i j"
     val out = TextOps.simhashClusters(docsDF(
