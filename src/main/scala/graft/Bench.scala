@@ -64,7 +64,20 @@ object Bench {
     "events_sessions" -> 0.18, "events_asof_last_error" -> 0.21,
     "events_attribution" -> 0.15, "events_funnel" -> 0.24,
     "events_asof_join" -> 0.17, "events_range_join" -> 0.16,
-    "emb_quantize_int8" -> 0.35, "olap_pivot_month_year" -> 0.22)
+    "emb_quantize_int8" -> 0.35, "olap_pivot_month_year" -> 0.22,
+    // r9 (VERDICT r8 #1): the two rows timed OUTSIDE time() sat outside the
+    // expected-value defense — r8's official artifact shipped the prepared
+    // row at 0.127s (4× its judge-measured 0.029s steady value) with no
+    // WARN. Registering them here routes both through the same
+    // rescue-then-WARN contract as every other row.
+    "oltp_invoice_lookup_prepared" -> 0.03, "warehouse_build" -> 8.3)
+
+  /** The shared post-rescue contract (anti-noise layer 3's WARN): a row still
+    * >1.5× its recorded steady value after rescue reps is either a real
+    * regression or sustained host contention — flag it, never silently trust. */
+  private def warnIfInflated(name: String, minSec: Double, rescue: Int): Unit =
+    expectedSec.get(name).filter(e => minSec > e * 1.5).foreach(e => System.err.println(
+      f"[bench] WARN $name: min ${minSec}%.3fs is ${minSec / e}%.1fx the recorded ${e}%.3fs after $rescue rescue reps"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,11 +126,7 @@ object Bench {
         while (rescue < 3 && expect.exists(e => runs.min > e * 1.5)) {
           runs = runs :+ run(); rescue += 1
         }
-        // a row still >1.5× its recorded steady value after rescue reps is
-        // either a real regression or sustained host contention — flag it in
-        // the artifact's stderr so the reading isn't silently trusted
-        expect.filter(e => runs.min > e * 1.5).foreach(e => System.err.println(
-          f"[bench] WARN $name: min ${runs.min}%.3fs is ${runs.min / e}%.1fx the recorded ${e}%.3fs after $rescue rescue reps"))
+        warnIfInflated(name, runs.min, rescue)
         results(name) = runs.min
       } catch {
         case e: Throwable =>
@@ -164,13 +173,16 @@ object Bench {
     // Rescue rep, same rationale as the query rows: the build measures ~8s
     // judge-side (r7) but the driver artifact has reported 13.6s (r7) and 51s
     // (r5) under host contention. One extra fresh build when both reps read
-    // >1.5× the recorded steady value.
-    val (w, buildSec) =
-      if (math.min(build1, build2) > 8.0 * 1.5) {
+    // >1.5× the recorded steady value (expectedSec, like every other row),
+    // and the standard WARN if it STILL reads inflated.
+    val buildExpect = expectedSec("warehouse_build")
+    val (w, buildSec, buildRescues) =
+      if (math.min(build1, build2) > buildExpect * 1.5) {
         spark.sharedState.cacheManager.clearCache()
         val (w2, build3) = timedBuild()
-        (w2, math.min(math.min(build1, build2), build3))
-      } else (w0, math.min(build1, build2))
+        (w2, math.min(math.min(build1, build2), build3), 1)
+      } else (w0, math.min(build1, build2), 0)
+    warnIfInflated("warehouse_build", buildSec, buildRescues)
 
     // Untimed warm-up: pays one-time codegen/JIT and resolves the max-date
     // scalar so the matrix rows measure steady-state query latency (the
@@ -250,10 +262,15 @@ object Bench {
         }
         runPrepared() // warm-up + sanity
         var runs = (1 to 5).map(_ => runPrepared())
-        // same rescue policy as time(): a ~20ms row is pure noise-floor
-        // territory — buy extra reps before recording an inflated reading
+        // same rescue policy as time(), keyed off expectedSec like every
+        // other row: a ~20ms row is pure noise-floor territory — buy extra
+        // reps before recording an inflated reading, and WARN if it still
+        // reads >1.5× the recorded steady value (r8's artifact shipped this
+        // row 4× inflated with no flag).
+        val prepExpect = expectedSec("oltp_invoice_lookup_prepared")
         var rescue = 0
-        while (rescue < 3 && runs.min > 0.03) { runs = runs :+ runPrepared(); rescue += 1 }
+        while (rescue < 3 && runs.min > prepExpect * 1.5) { runs = runs :+ runPrepared(); rescue += 1 }
+        warnIfInflated("oltp_invoice_lookup_prepared", runs.min, rescue)
         results("oltp_invoice_lookup_prepared") = runs.min
       } catch {
         case e: Throwable =>

@@ -39,14 +39,39 @@ object TextOps extends QueryRegistry {
     * `df.rdd.getNumPartitions` probe would, on every operator invocation).
     * Many-file sources are counted conservatively (splittable big files scan
     * as more partitions than files), which only ever skips the repartition. */
+  // Probe cache for spread's non-file fallback, keyed by the frame's
+  // CANONICALIZED analyzed plan (expr-id-normalized, so structurally equal
+  // lineages hit): curationPipelineV2 calls several spread-using stages over
+  // the same filtered corpus, and each `df.rdd.getNumPartitions` probe forces
+  // a fresh physical planning pass — cache it per lineage (VERDICT r8 #7).
+  // WeakHashMap: entries drop with their plans, nothing pins a session.
+  private val spreadProbeCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Integer]())
+  /** Number of physical-planning probes actually paid (test observability). */
+  private[llm] val spreadProbeCount = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val files = df.inputFiles.length
     // 0 files = not file-backed (in-memory/derived frame): the file index
     // says nothing, so fall back to the physical partition count — that probe
-    // costs a plan, but only on the non-file path a single-partition
-    // localized corpus would otherwise run un-spread on one core.
-    val parts = if (files > 0) files else df.rdd.getNumPartitions
+    // costs a plan (cached per lineage above), but only on the non-file path
+    // a single-partition localized corpus would otherwise run un-spread on
+    // one core.
+    val parts =
+      if (files > 0) files
+      else {
+        val key = df.queryExecution.analyzed.canonicalized
+        val cached = spreadProbeCache.get(key)
+        if (cached != null) cached.intValue()
+        else {
+          spreadProbeCount.incrementAndGet()
+          val p = df.rdd.getNumPartitions
+          spreadProbeCache.put(key, p)
+          p
+        }
+      }
     if (parts < par) df.repartition(par) else df
   }
 
@@ -58,20 +83,22 @@ object TextOps extends QueryRegistry {
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_docs"))
 
   /** PII scrub — the redaction stage of a curation pipeline. Emails and
-    * IPv4 literals replace with typed placeholder tokens; counts are taken
-    * on the ORIGINAL text (emails first — an address swallowed by `<EMAIL>`
-    * is not re-counted as an IP). Patterns restrict to syntax with identical
+    * IPv4 literals replace with typed placeholder tokens; emails redact
+    * first, and `n_ips` is counted on the email-redacted text, so an IPv4
+    * shape swallowed into `<EMAIL>` (e.g. `bob@1.2.3.4.com`) is not
+    * re-counted as an IP. Patterns restrict to syntax with identical
     * semantics in Java regex (Spark) and RE2 (the DuckDB oracle): character
     * classes, bounded quantifiers, `\b`. Map-only — a narrow projection on
     * the scan, zero shuffle at any corpus size. */
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-  def redactPii(docs: DataFrame): DataFrame =
+  def redactPii(docs: DataFrame): DataFrame = {
+    val deEmailed = regexp_replace(col("text"), EmailRe, "<EMAIL>")
     docs.select(col("doc_id"),
-      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
-        .as("text"),
+      regexp_replace(deEmailed, Ipv4Re, "<IP>").as("text"),
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"))
+      size(regexp_extract_all(deEmailed, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"))
+  }
 
   /** Per-doc text statistics: word/char counts + type-token ratio. */
   def textStats(docs: DataFrame): DataFrame =
@@ -216,7 +243,10 @@ object TextOps extends QueryRegistry {
     * map-only: at 100 TB this is a narrow filter on the scan with ZERO
     * shuffle, and changing one source's rate only touches that source's
     * rows. Rates are compared in exact integer bucket space
-    * (`bucket < long(rate * 10000)`), giving 0.01% granularity. */
+    * (`bucket < floor(rate * 10000)`), giving 0.01% granularity — FLOOR is
+    * explicit and identical on both engines, because a bare double→long
+    * cast truncates in Spark but rounds-to-nearest in DuckDB, which would
+    * silently shift the threshold for non-binary-exact rates like 0.3. */
   def sampleStratified(docs: DataFrame, rates: Map[String, Double],
                        defaultRate: Double = 0.125, salt: String = "mix"): DataFrame = {
     val bucket = md5Bucket(concat(lit(s"$salt:"), col("doc_id").cast("string")), 10000)
@@ -224,7 +254,7 @@ object TextOps extends QueryRegistry {
       when(col("source") === src, lit(r)).otherwise(acc)
     }
     docs.select(col("doc_id"), col("source"), bucket.as("sample_bucket"))
-      .filter(col("sample_bucket") < (rate * 10000).cast("long"))
+      .filter(col("sample_bucket") < floor(rate * 10000).cast("long"))
   }
 
   /** Deterministic fixed-size sample per source: the `k` documents with the
@@ -513,7 +543,9 @@ object TextOps extends QueryRegistry {
       .select(col("doc_id"),
         when(col("is_bench"), lit("benchmark_holdout"))
           .when(col("reject_reason").isNotNull, concat(lit("rejected:"), col("reject_reason")))
-          .when(not(col("decon_keep")), lit("contaminated"))
+          // coalesce mirrors the oracle's null convention: a doc absent from
+          // decontaminate's output (no shingles) is NOT contaminated.
+          .when(not(coalesce(col("decon_keep"), lit(true))), lit("contaminated"))
           .when(col("survived").isNull, lit("duplicate"))
           .otherwise(lit("kept")).as("status"))
   }
@@ -848,7 +880,15 @@ object TextOps extends QueryRegistry {
       mk(s"$base/drops/*", all.filter(col("doc_id") % 4 =!= 3), s"$base/out")
     val query = writer
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    try query.awaitTermination(300000L) finally release()
+    // A false return = timeout: stop the stream and fail loudly, instead of
+    // hash-checking a partial output log as a confusing oracle mismatch.
+    try {
+      if (!query.awaitTermination(300000L)) {
+        query.stop()
+        throw new IllegalStateException(
+          "streaming roundtrip did not finish within 300 s; output log is partial")
+      }
+    } finally release()
     s.read.parquet(s"$base/out")
   }
 
@@ -902,6 +942,10 @@ object TextOps extends QueryRegistry {
     val pairs = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .cache()
+    // try/finally on every cached frame: a mid-loop failure (including the
+    // loud round-cap IllegalStateException below) must not leak cache
+    // entries into a long-lived session.
+    try {
     val edgeCount = pairs.count()
     val out =
       if (edgeCount <= broadcastEdgeLimit) {
@@ -928,6 +972,7 @@ object TextOps extends QueryRegistry {
         val bidir = pairs
           .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
           .cache()
+        try {
         // localCheckpoint (not cache) on every round's labels: the pointer
         // jump references `hop` twice, so an uncheckpointed loop doubles the
         // logical plan per round — 2^rounds tree growth OOMs the driver just
@@ -945,21 +990,21 @@ object TextOps extends QueryRegistry {
             .select(col("src").as("doc_id"), col("label"))
           val hop = labels.union(viaNeighbor)
             .groupBy("doc_id").agg(min("label").as("label")).cache()
-          // pointer jump: label(u) <- min(label(u), label(label(u)))
-          val next = hop
-            .join(hop.select(col("doc_id").as("label"), col("label").as("ll")),
-              Seq("label"), "left")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-            .localCheckpoint()
-          changed = next
-            .join(labels.select(col("doc_id"), col("label").as("prev")), Seq("doc_id"))
-            .filter(col("label") < col("prev")).count()
-          hop.unpersist()
-          labels = next
+          try {
+            // pointer jump: label(u) <- min(label(u), label(label(u)))
+            val next = hop
+              .join(hop.select(col("doc_id").as("label"), col("label").as("ll")),
+                Seq("label"), "left")
+              .select(col("doc_id"),
+                least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+              .localCheckpoint()
+            changed = next
+              .join(labels.select(col("doc_id"), col("label").as("prev")), Seq("doc_id"))
+              .filter(col("label") < col("prev")).count()
+            labels = next
+          } finally hop.unpersist()
           rounds += 1
         }
-        bidir.unpersist()
         if (changed > 0) {
           throw new IllegalStateException(
             s"connectedComponents: label propagation still changing after " +
@@ -967,9 +1012,10 @@ object TextOps extends QueryRegistry {
               "partial cluster labels")
         }
         labels.select(col("doc_id"), col("label").as("cluster_id"))
+        } finally bidir.unpersist()
       }
-    pairs.unpersist()
     out
+    } finally { pairs.unpersist(); () }
   }
 
   /** The dedup pipeline's output stage: the corpus with near-duplicates
@@ -1257,21 +1303,21 @@ object TextOps extends QueryRegistry {
       SELECT doc_id,
              regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g') AS text,
              CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
-             CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips
+             CAST(len(regexp_extract_all(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re')) AS BIGINT) AS n_ips
       FROM documents"""))),
 
     // Training-mix construction (r8): stratified hash sampling + the
-    // bottleneck-bounded mixture plan. Rates in the registered rows are
-    // binary-exact doubles (1.0/0.5/0.25/0.125) so the rate×10000 threshold
-    // is the same integer on both engines.
+    // bottleneck-bounded mixture plan. The threshold is floor(rate*10000)
+    // on BOTH engines (r9) so any rate — not just binary-exact ones —
+    // yields the same integer cross-engine.
     QueryDef("doc_sample_stratified", (s, d) => sampleStratified(docs(s, d),
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)), Some(oq("""
       SELECT doc_id, source,
              CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS sample_bucket
       FROM documents
       WHERE CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
-            < CAST(CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
-                                    WHEN 'src2' THEN 0.25 ELSE 0.125 END AS DOUBLE) * 10000 AS BIGINT)"""))),
+            < CAST(FLOOR(CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                                          WHEN 'src2' THEN 0.25 ELSE 0.125 END AS DOUBLE) * 10000) AS BIGINT)"""))),
 
     QueryDef("doc_lm_familiarity", (s, d) => lmFamiliarity(docs(s, d)), Some(oq("""
       , lmws AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t FROM documents),

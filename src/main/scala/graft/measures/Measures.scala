@@ -35,16 +35,33 @@ object Measures extends QueryRegistry {
 
   private def fact(w: Warehouse): DataFrame = w.factSalesElt
 
-  /** §1 under a country slicer — the DAX filter-context path ([[sliced]])
-    * exercised end-to-end: the slicer column joins onto the fact, the
-    * predicate applies in [[sliced]], then the unchanged measure evaluates in
-    * that context (the reference dashboard's slicer interactivity,
-    * `Iteration 4/Group No.6_Insights_Report.docx` "Interactivity"). */
-  def totalRevenueSlicedByCountry(w: Warehouse, country: String): DataFrame = {
+  /** The country slicer as a filter context: the slicer column joins onto
+    * the fact, the predicate applies in [[sliced]], then the UNCHANGED
+    * measure evaluates in that context (the reference dashboard's slicer
+    * interactivity, `Iteration 4/Group No.6_Insights_Report.docx`
+    * "Interactivity"). The dim side broadcasts; the fact never reshuffles
+    * for the slicer at any scale. */
+  private def slicedByCountry(w: Warehouse, country: String): Warehouse = {
     val withSlicerCol = w.factSalesElt
       .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
-    totalRevenue(sliced(w.copy(factSalesElt = withSlicerCol), col("country") === country))
+    sliced(w.copy(factSalesElt = withSlicerCol), col("country") === country)
   }
+
+  /** §1 under a country slicer — the DAX filter-context path exercised
+    * end-to-end on a plain aggregate measure. */
+  def totalRevenueSlicedByCountry(w: Warehouse, country: String): DataFrame =
+    totalRevenue(slicedByCountry(w, country))
+
+  /** §8 under a country slicer (VERDICT r8 #2) — filter context × window
+    * frame: the slicer narrows the yearly grain BEFORE the lag window, so
+    * `prev` is the sliced country's previous year, not the global one. */
+  def yoyGrowthSlicedByCountry(w: Warehouse, country: String): DataFrame =
+    yoyGrowth(slicedByCountry(w, country))
+
+  /** §12 under a country slicer (VERDICT r8 #2) — the rolling 3-month range
+    * frame evaluates over the sliced monthly series. */
+  def rolling3mSlicedByCountry(w: Warehouse, country: String): DataFrame =
+    rolling3m(slicedByCountry(w, country))
 
   /** §1 Total Revenue. */
   def totalRevenue(w: Warehouse): DataFrame =
@@ -210,6 +227,27 @@ object Measures extends QueryRegistry {
              END AS yoy_growth
       FROM yearly"""))),
 
+    // filter context × window frame (VERDICT r8 #2): the slicer must narrow
+    // the series BEFORE the lag/rolling window evaluates — the one measure
+    // path where slicing could silently diverge from the dashboard.
+    QueryDef("m08_yoy_growth_sliced",
+      (s, d) => yoyGrowthSlicedByCountry(Warehouse(s, d), "Nation_7"), Some(q("""
+      , yearly AS (
+          SELECT d.year, sum(f.totalamount) AS rev
+          FROM fact_sales_elt f
+          JOIN dim_date d ON f.date_key = d.date_key
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          WHERE c.country = 'Nation_7'
+          GROUP BY d.year)
+      SELECT year,
+             CAST(rev AS DOUBLE) AS revenue,
+             CASE WHEN lag(rev) OVER (ORDER BY year) IS NOT NULL
+                   AND lag(rev) OVER (ORDER BY year) <> 0
+                  THEN (CAST(rev AS DOUBLE) - CAST(lag(rev) OVER (ORDER BY year) AS DOUBLE))
+                       / CAST(lag(rev) OVER (ORDER BY year) AS DOUBLE)
+             END AS yoy_growth
+      FROM yearly"""))),
+
     QueryDef("m09_top_region", (s, d) => topRegion(Warehouse(s, d)), Some(q("""
       , by_country AS (
           SELECT c.country, sum(f.totalamount) AS rev
@@ -236,6 +274,23 @@ object Measures extends QueryRegistry {
                  year(d.full_date) * 12 + month(d.full_date) AS month_idx,
                  sum(f.totalamount) AS rev
           FROM fact_sales_elt f JOIN dim_date d ON f.date_key = d.date_key
+          GROUP BY 1, 2)
+      SELECT month,
+             CAST(rev AS DOUBLE) AS monthly_revenue,
+             CAST(CAST(sum(rev) OVER (ORDER BY month_idx RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(18,2)) AS DOUBLE) AS rolling_3m_revenue
+      FROM monthly"""))),
+
+    QueryDef("m12_rolling_3m_sliced",
+      (s, d) => rolling3mSlicedByCountry(Warehouse(s, d), "Nation_7"), Some(q("""
+      , monthly AS (
+          SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+                 year(d.full_date) * 12 + month(d.full_date) AS month_idx,
+                 sum(f.totalamount) AS rev
+          FROM fact_sales_elt f
+          JOIN dim_date d ON f.date_key = d.date_key
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          WHERE c.country = 'Nation_7'
           GROUP BY 1, 2)
       SELECT month,
              CAST(rev AS DOUBLE) AS monthly_revenue,

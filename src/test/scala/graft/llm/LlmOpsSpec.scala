@@ -567,6 +567,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === List(("the", 3L, 2L), ("cat", 2L, 2L)))
   }
 
+  test("spread's non-file partition probe is cached per lineage (VERDICT r8 #7)") {
+    val docs = docsDF(
+      (1L, "the a " + (1 to 25).map(i => s"w$i").mkString(" ")),
+      (2L, "the a " + (1 to 25).map(i => s"z$i").mkString(" ")),
+      (3L, "too short"))
+    // first pass pays the physical-planning probes for each distinct lineage
+    TextOps.curationPipelineV2(docs, threshold = 0.5).collect()
+    TextOps.vocabTopK(docs).collect()
+    val afterFirst = TextOps.spreadProbeCount.get()
+    assert(afterFirst > 0) // the non-file fallback actually ran
+    // repeat: every spread-using stage re-derives the SAME lineages, so the
+    // canonicalized-plan cache must absorb all probes — zero new planning
+    TextOps.curationPipelineV2(docs, threshold = 0.5).collect()
+    TextOps.vocabTopK(docs).collect()
+    assert(TextOps.spreadProbeCount.get() === afterFirst)
+  }
+
   test("bigrams top-k: counts adjacent pairs, single-token docs contribute none") {
     val out = TextOps.bigramsTopK(docsDF(
       (1L, "a b a b"), (2L, "a"), (3L, "b a")), k = 3)
