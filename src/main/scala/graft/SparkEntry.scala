@@ -20,7 +20,8 @@ object SparkEntry {
     graft.llm.IvfAnnQueries,
     graft.perf.Perf,
     graft.sources.SinkQueries,
-    graft.streaming.EventOps)
+    graft.streaming.EventOps,
+    graft.streaming.IncrementalEtl)
 
   lazy val defs: Seq[QueryDef] = {
     val ds = registries.flatMap(_.defs)

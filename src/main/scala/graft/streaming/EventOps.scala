@@ -270,15 +270,49 @@ object EventOps extends QueryRegistry {
     * bounds state to the late-arrival window (the training-data ingestion
     * dedup shape: state scales with the window, not the stream). */
   def streamingDedup(spark: SparkSession, eventsDir: String,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
+    val reader = spark.readStream.schema(eventSchema)
+    maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(eventsDir)
       .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("t"),
         col("user_id"), col("event_type"), col("value"))
       .withWatermark("t", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+  }
+
+  /** Correctness roundtrip for [[streamingDedup]] (VERDICT r8 #4): the
+    * events feed split into two drops, the second RE-DELIVERING half of the
+    * first (the at-least-once redelivery scenario the operator exists for),
+    * forced into one-file micro-batches so the duplicate arrives in a LATER
+    * batch and must be dropped from cross-batch state — not by within-batch
+    * dedup. The watermark is wider than the feed's time span, so no dedup
+    * state expires mid-test and the appended log must hold every event
+    * exactly once; redelivered rows are exact copies, making the output set
+    * independent of which copy the state keeps. */
+  private def streamDedupRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_dedup_").toString
+    ev.filter(col("event_id") % 4 === 1).coalesce(1).write.parquet(s"$base/drops/a")
+    ev.filter(col("event_id") % 4 === 3 || col("event_id") % 8 === 1)
+      .coalesce(1).write.parquet(s"$base/drops/b")
+    val query = streamingDedup(s, s"$base/drops/*",
+        watermark = "87600 hours", maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000L)) {
+      query.stop()
+      throw new IllegalStateException(
+        "stream_dedup_roundtrip did not finish within 300 s; output log is partial")
+    }
+    s.read.parquet(s"$base/out")
+      .select(col("event_id"), col("t").cast("timestamp_ntz").as("t"),
+        col("user_id"), col("event_type"), col("value"))
   }
 
   final case class SessionEvent(user_id: Long, ts: Long) // ns epoch
@@ -421,5 +455,13 @@ object EventOps extends QueryRegistry {
                       THEN 1 ELSE 0 END AS new_s
           FROM events)
       SELECT user_id, count(*) AS n_events, CAST(sum(new_s) AS BIGINT) AS n_sessions
-      FROM flagged GROUP BY user_id"""))))
+      FROM flagged GROUP BY user_id"""))),
+
+    // Streaming dedup roundtrip (VERDICT r8 #4): drop B redelivers half of
+    // drop A as exact copies; the oracle is the plain one-row-per-event
+    // select — any redelivered row surviving the cross-batch state would
+    // break the row-count/hash match.
+    QueryDef("stream_dedup_roundtrip", streamDedupRoundtrip, Some(oq("""
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS t, user_id, event_type, value
+      FROM events WHERE event_id % 4 IN (1, 3)"""))))
 }

@@ -3,7 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
+import graft.{QueryDef, QueryRegistry}
 import graft.etl.{Transforms, Warehouse}
+import graft.oracle.OracleSql.q
 
 /** Incremental ETL: the reference's "Incremental ETL / Automated scheduling"
   * roadmap item (`README.md:180-184`, SURVEY.md §2.10) built Spark-first —
@@ -19,7 +21,7 @@ import graft.etl.{Transforms, Warehouse}
   * ingestion pipeline: the batch build bootstraps the dims, the stream keeps
   * the fact current between rebuilds.
   */
-object IncrementalEtl {
+object IncrementalEtl extends QueryRegistry {
 
   /** The all-string staged-sales schema (reference staging DDL
     * `Iteration 1/Group No.6_ETL.sql:39-49`); file streams require an
@@ -32,8 +34,11 @@ object IncrementalEtl {
   /** Streaming fact load over a drop directory of staged-sales parquet.
     * Returns an unbounded DataFrame of fact rows (same columns as the batch
     * [[Transforms.factSales]]) ready for `.writeStream` into the fact sink. */
-  def streamingFactLoad(spark: SparkSession, dropDir: String, w: Warehouse): DataFrame = {
-    val staged = spark.readStream.schema(stgSalesSchema).parquet(dropDir)
+  def streamingFactLoad(spark: SparkSession, dropDir: String, w: Warehouse,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(stgSalesSchema)
+    val staged = maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(dropDir)
     val parsed = Transforms.salesParsed(staged)
     val repaired = Transforms.salesFinal(parsed, w.dimProduct)
     Transforms.factSales(repaired, w.dimProduct, w.dimCustomer)
@@ -69,9 +74,10 @@ object IncrementalEtl {
     * never a half-written one. At warehouse scale the sink would be a
     * transactional table format's MERGE with the same cell frame. */
   def maintainMonthCountry(spark: SparkSession, dropDir: String, w: Warehouse,
-      summaryPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      summaryPath: String, maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions._
-    streamingFactLoad(spark, dropDir, w).writeStream
+    streamingFactLoad(spark, dropDir, w, maxFilesPerTrigger).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val cells = monthCountryCells(batch, w.dimCustomer)
@@ -102,4 +108,49 @@ object IncrementalEtl {
       .select(col("month"), col("country"), col("revenue"), col("qty"),
         hll_sketch_estimate(col("inv_sketch")).as("order_count"))
   }
+
+  /** Correctness roundtrip for [[maintainMonthCountry]] (VERDICT r8 #4): the
+    * FULL staged-sales feed split into two drops (by line-number parity),
+    * forced into one-file micro-batches so the second batch exercises the
+    * read-merge-swap path, then the maintained summary read back. The oracle
+    * is the one-shot batch summary over all sales — merge-across-batches ≡
+    * one-shot build. The distinct-invoice estimate compares EXACTLY against
+    * `count(DISTINCT invoiceid)` because per-cell cardinalities keep the HLL
+    * sketch in sparse (exact) mode at every test SF; revenue/qty are
+    * algebraic sums, split-invariant by construction. */
+  private def streamMolapRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = Warehouse.build(s, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_molap_").toString
+    val even = col("linenumber").cast("int") % 2 === 0
+    w.stgSales.filter(even).coalesce(1).write.parquet(s"$base/drops/a")
+    w.stgSales.filter(!even).coalesce(1).write.parquet(s"$base/drops/b")
+    val query = maintainMonthCountry(s, s"$base/drops/*", w, s"$base/summary",
+        maxFilesPerTrigger = Some(1))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000L)) {
+      query.stop()
+      throw new IllegalStateException(
+        "stream_molap_roundtrip did not finish within 300 s; summary is partial")
+    }
+    readMonthCountry(s, s"$base/summary")
+      .select(col("month"), col("country"),
+        col("revenue").cast("double").as("revenue"),
+        col("qty").cast("bigint").as("qty"),
+        col("order_count"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_molap_roundtrip", streamMolapRoundtrip, Some(q("""
+      SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+             coalesce(c.country, 'UNKNOWN') AS country,
+             CAST(sum(f.totalamount) AS DOUBLE) AS revenue,
+             CAST(sum(f.quantity) AS BIGINT) AS qty,
+             count(DISTINCT f.invoiceid) AS order_count
+      FROM fact_sales f
+      JOIN dim_date d ON f.date_key = d.date_key
+      LEFT JOIN dim_customer c ON f.customer_key = c.customer_key
+      WHERE f.date_key <> 19700101000000
+      GROUP BY 1, 2"""))))
 }
