@@ -58,6 +58,31 @@ object Sources {
       .saveAsTable(name)
   }
 
+  /** R2: cost-based-optimizer statistics — the Spark analog of the
+    * reference's `ANALYZE` / `VACUUM ANALYZE` step before its join
+    * experiments (`Iteration 2/Group No.6_JoinPerformance.sql:11-14`,
+    * `README.md:134-136`). Computes table-level statistics (rowCount,
+    * sizeInBytes) and, when columns are given, per-column histograms-lite
+    * (ndv, min/max, null count) into the catalog, so with
+    * `spark.sql.cbo.enabled` Catalyst estimates FILTER SELECTIVITY and join
+    * sides from data rather than raw file sizes — the decision AQE can only
+    * make one shuffle too late: a first-stage broadcast choice needs stats
+    * before any runtime sizes exist. Catalog-backed tables only (stats live
+    * in the catalog, like bucket metadata in [[bucketTable]]). */
+  def analyzeTable(spark: SparkSession, name: String, columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS FOR COLUMNS " +
+        columns.map(c => s"`$c`").mkString(", "))
+  }
+
+  /** The optimizer's current statistics for a catalog table — rowCount is
+    * defined only after [[analyzeTable]]; attributeStats only for analyzed
+    * columns. */
+  def tableStats(spark: SparkSession, name: String)
+      : org.apache.spark.sql.catalyst.plans.logical.Statistics =
+    spark.table(name).queryExecution.optimizedPlan.stats
+
   /** S5: INSERT..SELECT append. */
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
