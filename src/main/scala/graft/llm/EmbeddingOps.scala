@@ -103,6 +103,37 @@ object EmbeddingOps extends QueryRegistry {
         round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
   }
 
+  /** Multi-probe ANN (Hamming ≤ 1): each query probes its own LSH bucket
+    * PLUS the 8 buckets one bit-flip away — the standard multi-probe LSH
+    * recall fix for the single-bucket loss `tools/QuantRecallProbe` measures
+    * (a near-random corpus splits true neighbors across adjacent buckets).
+    * Shape is unchanged at scale: the query side explodes 9x (still tiny)
+    * and candidates remain an equi-join on the bucket key — candidate mass
+    * grows ~9× over [[annBucketed]], never toward all-pairs. Probe buckets
+    * are distinct by construction, so no pair is scored twice. */
+  def annMultiProbe(emb: DataFrame): DataFrame = {
+    val wb = withBucket(emb)
+    val flips = (1 to NumPlanes).map { j =>
+      concat(
+        substring(col("bucket"), 1, j - 1),
+        when(substring(col("bucket"), j, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("bucket"), j + 1, NumPlanes - j))
+    }
+    val qs = wb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    val scored = qs.join(wb, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val wnd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate detection: candidate pairs from the LSH
     * bucket equi-join (never all-pairs), exact cosine filter at `threshold`,
     * emitted as (keep = smaller vec_id, dup = larger). */
@@ -187,6 +218,55 @@ object EmbeddingOps extends QueryRegistry {
         round(array_max(errs), 6).cast("decimal(10,6)").cast("double").as("max_abs_err"),
         round(aggregate(errs, lit(0.0), (acc, e) => acc + e) / size(col("embedding")), 6)
           .cast("decimal(10,6)").cast("double").as("mean_abs_err"))
+  }
+
+  /** The int8 reconstruction of the corpus (VERDICT r8 #6): per-dim min/max
+    * define the 255-step code ([[quantizeInt8Stats]]' exact arithmetic);
+    * each vector decodes to `mn + round((x-mn)/scale)*scale` per dimension.
+    * This is what an ANN index built over int8 codes actually searches —
+    * the 64-row stats frame broadcasts, the decode is a narrow per-row
+    * projection, and at 100 TB the corpus stores/ships 4× smaller. */
+  def quantizeDecode(emb: DataFrame): DataFrame = {
+    val dimStats = emb
+      .select(posexplode(col("embedding")))
+      .groupBy("pos")
+      .agg(min(col("col").cast("double")).as("mn"), max(col("col").cast("double")).as("mx"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx")))),
+        s => struct(s("mn").as("mn"), s("mx").as("mx"))).as("stats"))
+    val recon = zip_with(col("embedding"), col("stats"), (x, st) => {
+      val xd = x.cast("double")
+      val scale = (st("mx") - st("mn")) / 255.0
+      when(st("mx") === st("mn"), st("mn"))
+        .otherwise(st("mn") + round((xd - st("mn")) / scale) * scale)
+    })
+    emb.crossJoin(broadcast(dimStats))
+      .select(col("vec_id"), recon.as("embedding"))
+  }
+
+  /** [[annBucketed]] over the int8-DECODED corpus — the quantized search
+    * path composed end-to-end: buckets, candidates and the exact re-rank all
+    * evaluate on reconstructed vectors, exactly as a deployed int8 index
+    * would (the float corpus never enters the search). Double arrays, so the
+    * HOF cosine ([[cosAny]]) re-ranks instead of the float-native kernel.
+    * Recall vs the float path is measured by `tools/QuantRecallProbe`
+    * (COVERAGE.md). */
+  def annBucketedQuantized(emb: DataFrame): DataFrame = {
+    val wb = quantizeDecode(emb)
+      .select(col("vec_id"), col("embedding"),
+        concat((1 to NumPlanes).map(planeBit): _*).as("bucket"))
+    val qs = wb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val scored = qs.join(wb, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosAny(col("qe"), col("embedding")).as("cos"))
+    val wnd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
   }
 
   private def sqlDot(a: String, b: String): String =
@@ -293,5 +373,56 @@ object EmbeddingOps extends QueryRegistry {
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
         FROM scored)
       SELECT query_id, neighbor_id, CAST(CAST(round(cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
-      FROM ranked WHERE rn <= 5"""))))
+      FROM ranked WHERE rn <= 5"""))),
+
+    // Multi-probe ANN: Hamming<=1 bucket expansion before the exact re-rank
+    // (the recall fix QuantRecallProbe motivated).
+    QueryDef("emb_ann_multiprobe", (s, d) => annMultiProbe(emb(s, d)), Some(oq(s"""
+      , $sqlBuckets,
+      wb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+      qprobes AS (
+        SELECT vec_id AS query_id, embedding AS qe,
+               unnest([bucket] || [substr(bucket, 1, i-1) ||
+                                   (CASE substr(bucket, i, 1) WHEN '1' THEN '0' ELSE '1' END) ||
+                                   substr(bucket, i+1, $NumPlanes - i)
+                                   FOR i IN generate_series(1, $NumPlanes)]) AS bucket
+        FROM wb WHERE vec_id % 100 = 0),
+      mscored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, ${sqlCos("q.qe", "e.embedding")} AS cos
+        FROM qprobes q JOIN wb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+      mranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM mscored)
+      SELECT query_id, neighbor_id, CAST(CAST(round(cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
+      FROM mranked WHERE rn <= 5"""))),
+
+    // Quantized search (VERDICT r8 #6): the whole ANN pipeline — decode,
+    // bucket, candidate join, exact re-rank — over int8-reconstructed
+    // vectors; the oracle decodes with the identical code arithmetic.
+    QueryDef("emb_ann_bucketed_quantized", (s, d) => annBucketedQuantized(emb(s, d)), Some(oq(s"""
+      , dim_stats AS (
+          SELECT t.i AS pos, min(CAST(embedding[t.i] AS DOUBLE)) AS mn,
+                 max(CAST(embedding[t.i] AS DOUBLE)) AS mx
+          FROM embeddings CROSS JOIN generate_series(1, $Dim) t(i)
+          GROUP BY t.i),
+      qstats AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM dim_stats),
+      dec AS (
+          SELECT e.vec_id,
+                 [CASE WHEN s.mxs[i] = s.mns[i] THEN s.mns[i]
+                       ELSE s.mns[i] + round((CAST(e.embedding[i] AS DOUBLE) - s.mns[i])
+                                             / ((s.mxs[i] - s.mns[i]) / 255.0))
+                                      * ((s.mxs[i] - s.mns[i]) / 255.0) END
+                  FOR i IN generate_series(1, $Dim)] AS embedding
+          FROM embeddings e CROSS JOIN qstats s),
+      qbuckets AS (SELECT vec_id, ${(1 to NumPlanes).map(sqlBit).mkString(" || ")} AS bucket FROM dec),
+      qwb AS (SELECT d.vec_id, d.embedding, b.bucket FROM dec d JOIN qbuckets b ON d.vec_id = b.vec_id),
+      qqs AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM qwb WHERE vec_id % 100 = 0),
+      qscored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, ${sqlCos("q.qe", "e.embedding")} AS cos
+        FROM qqs q JOIN qwb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+      qranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM qscored)
+      SELECT query_id, neighbor_id, CAST(CAST(round(cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
+      FROM qranked WHERE rn <= 5"""))))
 }

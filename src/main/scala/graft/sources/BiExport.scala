@@ -26,4 +26,37 @@ object BiExport {
     Sources.materialize(Molap.monthProduct(w), s"$outDir/molap_month_product")
     Sources.materialize(Molap.customerMonth(w), s"$outDir/molap_customer_month")
   }
+
+  /** The import side of incremental refresh (VERDICT r8 #8): scan ONLY the
+    * requested year partitions of an exported fact. The equality/IN predicate
+    * on the partition column prunes the directory listing — at 100 TB a BI
+    * import of the current year reads that year's files and nothing else
+    * (asserted on the executed plan's file listing in BiExportSpec). */
+  def readFactYears(spark: SparkSession, outDir: String, table: String,
+                    years: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(s"$outDir/$table").filter(col("year").isInCollection(years))
+  }
+
+  /** The export side of incremental refresh: recompute and overwrite ONLY the
+    * chosen year partitions of a previously exported fact table. The source
+    * is filtered on the derived partition value before the write, and the
+    * write runs under DYNAMIC partition overwrite, so untouched years are
+    * neither read nor rewritten — refresh cost scales with the refreshed
+    * slice, not the table (the Power BI incremental-refresh analog of the
+    * reference's full-model import, `Iteration 4/model_view.png`). */
+  def refreshFactYears(spark: SparkSession, dir: String, outDir: String,
+                       table: String, years: Seq[Int]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val w = Warehouse(spark, dir)
+    val fact = if (table == "fact_sales_etl") w.factSales else w.factSalesElt
+    val slice = fact.withColumn("year", graft.yearOfDateKey(col("date_key")))
+      .filter(col("year").isInCollection(years))
+      .sortWithinPartitions("year", "date_key")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try slice.write.mode("overwrite").partitionBy("year").parquet(s"$outDir/$table")
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }

@@ -669,4 +669,60 @@ class LlmOpsSpec extends SparkSpec {
     assert(overlapping.nonEmpty)
     overlapping.foreach { case (q, n, c) => assert(brute((q, n)) === c, s"($q,$n)") }
   }
+
+  test("multi-probe ANN matches a plain-Scala Hamming<=1 reference and finds cross-bucket neighbors") {
+    // LCG-dispersed deterministic vectors: spread across many LSH buckets so
+    // nearest neighbors genuinely live in adjacent (Hamming-1) buckets
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(64)(i => ((((id * 1103515245L + i * 12345L) % 1009L) - 504L) / 100.0).toFloat)
+    val n = 300
+    val df = (0L until n).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+
+    // plain-Scala reference with the same plane formula / fold order
+    def bits(v: Array[Float]): String = (1 to 8).map { j =>
+      val s = (1 to 64).map(i => v(i - 1).toDouble * (((j * 31 + i * 17) % 7) - 3).toDouble).sum
+      if (s > 0) "1" else "0"
+    }.mkString
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      (0 until 64).foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def cosv(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val buckets = (0L until n).map(id => id -> bits(vec(id))).toMap
+    // top-5 SETS per query (rank order within 6dp ties is compared as sets —
+    // the full rank contract is oracle-checked by emb_ann_multiprobe)
+    val expected = (0L until n).filter(_ % 100 == 0).map { q =>
+      val cands = (0L until n).filter(o => o != q && hamming(buckets(o), buckets(q)) <= 1)
+      q -> cands.map(o => (o, cosv(vec(q), vec(o))))
+        .sortBy { case (o, c) => (-c, o) }.take(5).map(p => p._1 -> round6(p._2)).toMap
+    }.toMap
+
+    val out = EmbeddingOps.annMultiProbe(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (q, exp) => assert(out(q) === exp, s"query $q") }
+    // the expansion genuinely crosses buckets for at least one query
+    assert(expected.exists { case (q, ns) => ns.keys.exists(o => buckets(o) != buckets(q)) })
+  }
+
+  test("quantized decode matches the int8 report's reconstruction arithmetic") {
+    val df = (0L until 50L)
+      .map(id => (id, Array.tabulate(64)(i => (math.sin(id * 3.1 + i) * 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dec = EmbeddingOps.quantizeDecode(df)
+      .select(col("vec_id"), col("embedding").as("recon"))
+    val err = df.join(dec, Seq("vec_id"))
+      .select(col("vec_id"),
+        round(array_max(zip_with(col("embedding"), col("recon"),
+          (x, y) => abs(x.cast("double") - y))), 6)
+          .cast("decimal(10,6)").cast("double").as("max_err"))
+      .as[(Long, Double)].collect().toMap
+    val reported = EmbeddingOps.quantizeInt8Stats(df)
+      .select("vec_id", "max_abs_err").as[(Long, Double)].collect().toMap
+    assert(err.keySet === reported.keySet)
+    err.foreach { case (id, e) => assert(e === reported(id), s"vec $id") }
+  }
 }

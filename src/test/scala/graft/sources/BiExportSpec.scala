@@ -33,4 +33,40 @@ class BiExportSpec extends SparkSpec {
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
+
+  test("sliced export: year-sliced read lists only matching partitions; refresh rewrites only its slice") {
+    val out = java.nio.file.Files.createTempDirectory("graft_bi_slice").toString
+    try {
+      BiExport.export(spark, sfDir, out)
+      val table = "fact_sales_elt"
+      val full = spark.read.parquet(s"$out/$table")
+      val totalBefore = full.count()
+      val years = full.select("year").distinct().collect().map(_.getInt(0)).sorted
+      assert(years.length >= 2, s"need >=2 year partitions, got ${years.toSeq}")
+      val (target, untouched) = (years.last, years.head)
+
+      // import side: the files the pruned read ACTUALLY scans (inputFiles is
+      // the pre-pruning index) are only year=<target>'s
+      val sliced = BiExport.readFactYears(spark, out, table, Seq(target))
+      val readFiles = sliced
+        .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+        .distinct().collect().map(_.getString(0))
+      assert(readFiles.nonEmpty)
+      assert(readFiles.forall(_.contains(s"year=$target")),
+        s"unpruned files: ${readFiles.filterNot(_.contains(s"year=$target")).take(3).toSeq}")
+      val slicedCount = sliced.count()
+
+      // export side: dynamic-partition refresh replaces ONLY the target year
+      def fileSet(y: Int) = Option(new java.io.File(s"$out/$table/year=$y").listFiles())
+        .fold(Set.empty[String])(_.map(f => f.getName -> f.lastModified).toSet.map((p: (String, Long)) => s"${p._1}@${p._2}"))
+      val untouchedBefore = fileSet(untouched)
+      val targetBefore = fileSet(target)
+      BiExport.refreshFactYears(spark, sfDir, out, table, Seq(target))
+      assert(fileSet(untouched) === untouchedBefore, "untouched year was rewritten")
+      assert(fileSet(target) !== targetBefore, "target year was not rewritten")
+      // table integrity: row counts preserved overall and per slice
+      assert(spark.read.parquet(s"$out/$table").count() === totalBefore)
+      assert(BiExport.readFactYears(spark, out, table, Seq(target)).count() === slicedCount)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
 }
