@@ -355,6 +355,45 @@ object EventOps extends QueryRegistry {
       }
   }
 
+  /** Correctness roundtrip for the stateful [[sessionize]] path (the last
+    * streaming surface without an oracle row): the events feed split into
+    * two TIME-ORDERED drops at the ts midpoint, one-file micro-batches, so
+    * sessions spanning the split are closed by the SECOND batch out of the
+    * state store — the emitted set equals a single time-ordered pass. The
+    * oracle computes gap-based sessions per user and excludes each user's
+    * last session (still open in the state store, never emitted under
+    * NoTimeout — exactly the operator's contract). */
+  private def streamSessionizeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // µs-truncated but kept in ns units: DuckDB surfaces the TIMESTAMP(NANOS)
+    // column at µs precision, so both engines must sessionize the same
+    // µs-floored instants (gap math in [[sessionize]] stays ns-based)
+    val ev = events(s, dir).select(col("user_id"),
+      expr("(ts div 1000) * 1000").as("ts"))
+    val r = ev.agg(min("ts"), max("ts")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_sess_").toString
+    ev.filter(col("ts") <= mid).coalesce(1).write.parquet(s"$base/drops/a")
+    ev.filter(col("ts") > mid).coalesce(1).write.parquet(s"$base/drops/b")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", LongType)))
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/drops/*").as[SessionEvent]
+    val query = sessionize(stream, gapMinutes = 30)
+      .toDF().writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000L)) {
+      query.stop()
+      throw new IllegalStateException(
+        "stream_sessionize_roundtrip did not finish within 300 s; output log is partial")
+    }
+    s.read.parquet(s"$base/out")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("events_hourly", (s, d) => hourlyAgg(events(s, d)), Some(oq("""
       SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
@@ -463,5 +502,31 @@ object EventOps extends QueryRegistry {
     // break the row-count/hash match.
     QueryDef("stream_dedup_roundtrip", streamDedupRoundtrip, Some(oq("""
       SELECT event_id, CAST(ts AS TIMESTAMP) AS t, user_id, event_type, value
-      FROM events WHERE event_id % 4 IN (1, 3)"""))))
+      FROM events WHERE event_id % 4 IN (1, 3)"""))),
+
+    // Stateful sessionizer roundtrip: closed sessions only — each user's
+    // LAST session stays open in the state store and must not appear.
+    QueryDef("stream_sessionize_roundtrip", streamSessionizeRoundtrip, Some(oq("""
+      , sflag AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) * 1000 AS tsn,
+                 CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)) * 1000)
+                            OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))) IS NULL
+                       OR (epoch_us(CAST(ts AS TIMESTAMP))
+                           - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                             OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)))) * 1000
+                          > 1800000000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+      sgrp AS (
+          SELECT user_id, tsn,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY tsn
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM sflag),
+      sess AS (
+          SELECT user_id, sid, min(tsn) AS start_ts, max(tsn) AS end_ts,
+                 count(*) AS n_events
+          FROM sgrp GROUP BY user_id, sid),
+      lastsid AS (SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY user_id)
+      SELECT s.user_id, s.start_ts, s.end_ts, CAST(s.n_events AS BIGINT) AS n_events
+      FROM sess s JOIN lastsid l ON s.user_id = l.user_id AND s.sid <> l.last_sid"""))))
 }
