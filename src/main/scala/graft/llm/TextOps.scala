@@ -414,6 +414,36 @@ object TextOps extends QueryRegistry {
       .select(col("doc_id"), ratio.as("overlap_ratio"), (ratio <= maxOverlap).as("keep"))
   }
 
+  /** [[decontaminate]] with the corpus→benchmark semi join bloom-pruned
+    * ([[graft.operators.BloomJoin]]). At 100 TB the exploded corpus shingle
+    * frame is the second-largest thing in the whole pipeline, and the plain
+    * formulation shuffles ALL of it onto the shingle key just to discard
+    * ~everything at the semi join; here a Bloom filter of the (bounded)
+    * benchmark shingle set drops non-matching corpus shingles map-side, so
+    * only hits + `fpp` false positives ride the exchange. The exact semi
+    * join then clears the false positives — the output is bit-identical to
+    * [[decontaminate]] (same oracle row), only the shuffle shrinks. The
+    * filter is sized from the benchmark side's exact distinct count (one
+    * extra action on the SMALL side). */
+  def decontaminateBloom(docs: DataFrame, maxOverlap: Double = 0.5,
+                         fpp: Double = 0.01): DataFrame = {
+    val sh = cacheOnce(shingles(docs))
+    val train = sh.filter(col("doc_id") % 100 =!= 0)
+    val bench = cacheOnce(sh.filter(col("doc_id") % 100 === 0)
+      .select(explode(col("shs")).as("shingle")).distinct())
+    val bloom = graft.operators.BloomJoin.bloomOf(
+      bench, "shingle", math.max(bench.count(), 1L), fpp)
+    val shared = train
+      .select(col("doc_id"), explode(array_distinct(col("shs"))).as("shingle"))
+      .filter(graft.operators.BloomJoin.mightContain(bloom, col("shingle")))
+      .join(bench, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val ratio = coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_distinct")
+    train.select(col("doc_id"), size(array_distinct(col("shs"))).as("n_distinct"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), ratio.as("overlap_ratio"), (ratio <= maxOverlap).as("keep"))
+  }
+
   /** Max single-token frequency (shared by [[repetition]] and
     * [[filterCascade]]): the native codegen'd kernel
     * ([[org.apache.spark.sql.graft.MaxTokenFreq]] — one sort + run-scan per
@@ -1245,6 +1275,25 @@ object TextOps extends QueryRegistry {
         UNION
         SELECT e.src AS doc_id, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst)"""
 
+  /** Shared by `doc_decontaminate` and `doc_decontaminate_bloom`: the bloom
+    * variant must satisfy the SAME oracle — exactness of the pruned path is
+    * part of the checked contract, not a code comment. */
+  private lazy val decontaminateOracle: String = oq(s"""
+      , $sqlShingles,
+      dbench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 100 = 0),
+      dshared AS (
+        SELECT t.doc_id, count(*) AS n_shared
+        FROM (SELECT doc_id, unnest(sh) AS shingle
+              FROM shingle_sets WHERE doc_id % 100 <> 0) t
+        JOIN dbench b ON t.shingle = b.shingle
+        GROUP BY t.doc_id),
+      dtot AS (SELECT doc_id, len(sh) AS n_distinct
+               FROM shingle_sets WHERE doc_id % 100 <> 0 AND len(sh) > 0)
+      SELECT d.doc_id,
+             CAST(coalesce(s.n_shared, 0) AS DOUBLE) / d.n_distinct AS overlap_ratio,
+             CAST(coalesce(s.n_shared, 0) AS DOUBLE) / d.n_distinct <= 0.5 AS keep
+      FROM dtot d LEFT JOIN dshared s ON s.doc_id = d.doc_id""")
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("doc_exact_dedup", (s, d) => exactDedup(docs(s, d)), Some(oq("""
       SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_docs
@@ -1406,21 +1455,14 @@ object TextOps extends QueryRegistry {
       WHERE s.doc_id % 100 <> 0
       GROUP BY s.doc_id"""))),
 
-    QueryDef("doc_decontaminate", (s, d) => decontaminate(docs(s, d), 0.5), Some(oq(s"""
-      , $sqlShingles,
-      dbench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 100 = 0),
-      dshared AS (
-        SELECT t.doc_id, count(*) AS n_shared
-        FROM (SELECT doc_id, unnest(sh) AS shingle
-              FROM shingle_sets WHERE doc_id % 100 <> 0) t
-        JOIN dbench b ON t.shingle = b.shingle
-        GROUP BY t.doc_id),
-      dtot AS (SELECT doc_id, len(sh) AS n_distinct
-               FROM shingle_sets WHERE doc_id % 100 <> 0 AND len(sh) > 0)
-      SELECT d.doc_id,
-             CAST(coalesce(s.n_shared, 0) AS DOUBLE) / d.n_distinct AS overlap_ratio,
-             CAST(coalesce(s.n_shared, 0) AS DOUBLE) / d.n_distinct <= 0.5 AS keep
-      FROM dtot d LEFT JOIN dshared s ON s.doc_id = d.doc_id"""))),
+    QueryDef("doc_decontaminate", (s, d) => decontaminate(docs(s, d), 0.5),
+      Some(decontaminateOracle)),
+
+    // bit-identical to doc_decontaminate by construction (the bloom stage is
+    // a pre-filter ahead of the exact semi join) — same oracle, so the gate
+    // proves the equivalence cross-engine rather than assuming it
+    QueryDef("doc_decontaminate_bloom", (s, d) => decontaminateBloom(docs(s, d), 0.5),
+      Some(decontaminateOracle)),
 
     QueryDef("doc_vocab_top100", (s, d) => vocabTopK(docs(s, d)), Some(oq("""
       , toks AS (
