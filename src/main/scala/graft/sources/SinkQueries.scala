@@ -84,11 +84,36 @@ object SinkQueries extends QueryRegistry {
   private def molapOracle: String =
     graft.olap.Molap.defs.find(_.name == "molap_month_country").get.oracle.get
 
+  /** Z-order layout round trip: events re-clustered on (user_id, value),
+    * read back through a 2-d box predicate + aggregate. The oracle sees the
+    * ORIGINAL table — a lost, duplicated, or value-mangled row anywhere in
+    * the re-layout hash-mismatches; the multi-file data-skipping effect
+    * itself is asserted in ZOrderSpec (layout must not change semantics, so
+    * it cannot show up in a correctness row). */
+  private def zorderBoxAgg(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sink_zorder_").toString
+    // events carries a TIMESTAMP(NANOS) column — read through the EventOps
+    // accessor, which flips the session's nanosAsLong switch
+    ZOrder.materializeZordered(graft.streaming.EventOps.events(s, dir), s"$out/events_z",
+      Seq("user_id", "value"), bits = 6, numFiles = 16)
+    s.read.parquet(s"$out/events_z")
+      .filter(col("user_id").between(30L, 60L) &&
+        col("value") >= 20.0 && col("value") < 120.0)
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sink_materialize_roundtrip", materializeRoundtrip, Some(factOracle)),
     QueryDef("sink_append_roundtrip", appendRoundtrip, Some(factOracle)),
     QueryDef("sink_empty_clone", emptyClone, Some("""
       SELECT CAST(0 AS BIGINT) AS n_rows,
              'invoiceid,stockcode,customerid,sale_ts,quantity,linenumber,unitprice,totalamount' AS columns""")),
-    QueryDef("sink_bi_export_roundtrip", biExportRoundtrip, Some(molapOracle)))
+    QueryDef("sink_bi_export_roundtrip", biExportRoundtrip, Some(molapOracle)),
+    QueryDef("sink_zorder_box_agg", zorderBoxAgg, Some(graft.oracle.OracleSql.q("""
+      SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events
+      WHERE user_id BETWEEN 30 AND 60 AND value >= 20.0 AND value < 120.0"""))))
 }
