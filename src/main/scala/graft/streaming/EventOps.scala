@@ -176,10 +176,11 @@ object EventOps extends QueryRegistry {
     * directory of event parquet drops → event-time watermark → tumbling 1h
     * window. Run with `.writeStream.outputMode("complete")` (tests) or
     * `append` + watermark close in production. */
-  def streamingHourlyAgg(spark: SparkSession, eventsDir: String): DataFrame = {
+  def streamingHourlyAgg(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
+    val r0 = spark.readStream.schema(eventSchema)
+    maxFilesPerTrigger.fold(r0)(n => r0.option("maxFilesPerTrigger", n))
       .parquet(eventsDir)
       // watermarks require TIMESTAMP (session-tz) event time, not NTZ;
       // session tz is pinned UTC so the wall-clock values coincide
@@ -355,6 +356,39 @@ object EventOps extends QueryRegistry {
       }
   }
 
+  /** Correctness roundtrip for [[streamingHourlyAgg]] in APPEND mode — the
+    * watermark-closure semantics the `complete`-mode spec can't see: a
+    * window row is emitted exactly once, when the watermark (max event time
+    * seen in prior batches minus the 1 h delay) passes the window end. The
+    * feed splits into two time-ordered drops at the ts midpoint with
+    * one-file micro-batches, so the first batch's windows close during the
+    * second batch / the terminal no-data batch, out of the state store.
+    * The oracle replays the contract: hourly groups whose window end is at
+    * or before `max(t) - 1 h`; each user-visible value matches the batch
+    * aggregate, proving append-mode emission loses and duplicates nothing
+    * short of the (still-open) tail windows. */
+  private def streamHourlyRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val r = ev.agg(min("ts"), max("ts")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_hourly_").toString
+    ev.filter(col("ts") <= mid).coalesce(1).write.parquet(s"$base/drops/a")
+    ev.filter(col("ts") > mid).coalesce(1).write.parquet(s"$base/drops/b")
+    val query = streamingHourlyAgg(s, s"$base/drops/*", maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000L)) {
+      query.stop()
+      throw new IllegalStateException(
+        "stream_hourly_roundtrip did not finish within 300 s; output log is partial")
+    }
+    s.read.parquet(s"$base/out")
+  }
+
   /** Correctness roundtrip for the stateful [[sessionize]] path (the last
     * streaming surface without an oracle row): the events feed split into
     * two TIME-ORDERED drops at the ts midpoint, one-file micro-batches, so
@@ -503,6 +537,22 @@ object EventOps extends QueryRegistry {
     QueryDef("stream_dedup_roundtrip", streamDedupRoundtrip, Some(oq("""
       SELECT event_id, CAST(ts AS TIMESTAMP) AS t, user_id, event_type, value
       FROM events WHERE event_id % 4 IN (1, 3)"""))),
+
+    // Append-mode windowed-agg roundtrip: only watermark-closed windows
+    // (window end at or before max event time minus the 1 h delay) may
+    // appear, each exactly once with its full batch-equal aggregate.
+    QueryDef("stream_hourly_roundtrip", streamHourlyRoundtrip, Some(oq("""
+      , hev AS (
+          SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 CAST(ts AS TIMESTAMP) AS t
+          FROM events),
+      hwm AS (SELECT max(t) - INTERVAL 1 HOUR AS w FROM hev)
+      SELECT hour, event_type, count(*) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS value_cents
+      FROM hev, hwm
+      WHERE hour + INTERVAL 1 HOUR <= w
+      GROUP BY hour, event_type"""))),
 
     // Stateful sessionizer roundtrip: closed sessions only — each user's
     // LAST session stays open in the state store and must not appear.
