@@ -70,7 +70,9 @@ object Bench {
     // row at 0.127s (4× its judge-measured 0.029s steady value) with no
     // WARN. Registering them here routes both through the same
     // rescue-then-WARN contract as every other row.
-    "oltp_invoice_lookup_prepared" -> 0.03, "warehouse_build" -> 8.3)
+    "oltp_invoice_lookup_prepared" -> 0.03, "warehouse_build" -> 8.3,
+    // r9 additions, steady values from the r9 builder run
+    "doc_decontaminate" -> 0.60, "doc_decontaminate_bloom" -> 0.54)
 
   /** The shared post-rescue contract (anti-noise layer 3's WARN): a row still
     * >1.5× its recorded steady value after rescue reps is either a real
@@ -355,6 +357,10 @@ object Bench {
       time("doc_chunks")(graft.llm.TextOps.chunkDocs(docs))
       time("doc_salient_terms")(graft.llm.TextOps.salientTerms(docs))
       time("doc_lm_familiarity")(graft.llm.TextOps.lmFamiliarity(docs))
+      // the decontamination pair shares the warm shingle cache, so the
+      // delta isolates the semi-join shuffle the bloom stage prunes
+      time("doc_decontaminate")(graft.llm.TextOps.decontaminate(docs))
+      time("doc_decontaminate_bloom")(graft.llm.TextOps.decontaminateBloom(docs))
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))

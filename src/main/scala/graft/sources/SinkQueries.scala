@@ -84,6 +84,23 @@ object SinkQueries extends QueryRegistry {
   private def molapOracle: String =
     graft.olap.Molap.defs.find(_.name == "molap_month_country").get.oracle.get
 
+  /** Manifest-pruned read of a z-ordered layout: same re-clustering as
+    * [[zorderBoxAgg]], but the box scan goes through [[SkippingIndex]] —
+    * only stats-admitted files open. The oracle sees the original table, so
+    * an unsoundly skipped file (lost rows) hash-mismatches; the skipping
+    * effectiveness itself is asserted in SkippingIndexSpec. */
+  private def zorderPrunedAgg(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sink_zprune_").toString
+    ZOrder.materializeZordered(graft.streaming.EventOps.events(s, dir), s"$out/events_z",
+      Seq("user_id", "value"), bits = 6, numFiles = 16)
+    val idx = SkippingIndex.build(s, s"$out/events_z", Seq("user_id", "value"))
+    SkippingIndex.prunedRead(s, s"$out/events_z", idx,
+        Seq(SkippingIndex.Box("user_id", 30L, 60L), SkippingIndex.Box("value", 20.0, 120.0)))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+  }
+
   /** Z-order layout round trip: events re-clustered on (user_id, value),
     * read back through a 2-d box predicate + aggregate. The oracle sees the
     * ORIGINAL table — a lost, duplicated, or value-mangled row anywhere in
@@ -115,5 +132,10 @@ object SinkQueries extends QueryRegistry {
       SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       FROM events
-      WHERE user_id BETWEEN 30 AND 60 AND value >= 20.0 AND value < 120.0"""))))
+      WHERE user_id BETWEEN 30 AND 60 AND value >= 20.0 AND value < 120.0"""))),
+    QueryDef("sink_zorder_pruned_agg", zorderPrunedAgg, Some(graft.oracle.OracleSql.q("""
+      SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events
+      WHERE user_id BETWEEN 30 AND 60 AND value BETWEEN 20.0 AND 120.0"""))))
 }
