@@ -192,6 +192,23 @@ object EventOps extends QueryRegistry {
         col("n_events"), col("value_cents"))
   }
 
+  /** Per-type top-k spenders via the heap aggregate
+    * ([[graft.operators.TopK]]) — the window-free top-k-per-group shape: the
+    * per-(type, user) rollup shuffles once on its own key with map-side
+    * combine, then the heap aggregate prunes to k pairs per type per task
+    * before the (tiny) second exchange. The `row_number()` window form would
+    * re-shuffle and SORT every (type, user) row just to keep k of them —
+    * the difference between `groups × k` and `users` riding the second
+    * exchange at 100 TB. */
+  def topkUsersBySpend(events: DataFrame, k: Int = 5): DataFrame = {
+    val perUser = events.groupBy("event_type", "user_id")
+      .agg(sum(cents).as("cents"))
+    graft.operators.TopK.perGroup(perUser, Seq("event_type"),
+        col("cents"), col("user_id"), k)
+      .select(col("event_type"), col("rank"),
+        col("id").as("user_id"), col("score").as("value_cents"))
+  }
+
   private val AttrWindowUs = 30L * 60 * 1000000L
 
   /** Click→purchase attribution: every purchase picks up the clicks the same
@@ -537,6 +554,19 @@ object EventOps extends QueryRegistry {
     QueryDef("stream_dedup_roundtrip", streamDedupRoundtrip, Some(oq("""
       SELECT event_id, CAST(ts AS TIMESTAMP) AS t, user_id, event_type, value
       FROM events WHERE event_id % 4 IN (1, 3)"""))),
+
+    // Heap-aggregate top-k: the oracle is the window idiom it replaces —
+    // identical output proves the aggregate IS the window semantics
+    QueryDef("events_topk_users", (s, d) => topkUsersBySpend(events(s, d)), Some(oq("""
+      SELECT event_type, CAST(rn AS BIGINT) AS rank, user_id, value_cents
+      FROM (
+        SELECT event_type, user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+               row_number() OVER (
+                 PARTITION BY event_type
+                 ORDER BY sum(CAST(round(value * 100) AS BIGINT)) DESC, user_id) AS rn
+        FROM events GROUP BY event_type, user_id)
+      WHERE rn <= 5"""))),
 
     // Append-mode windowed-agg roundtrip: only watermark-closed windows
     // (window end at or before max event time minus the 1 h delay) may
