@@ -15,11 +15,13 @@ object SparkEntry {
     graft.etl.Dsuite,
     graft.etl.Errors,
     graft.llm.TextOps,
+    graft.llm.CorpusOps,
     graft.llm.EmbeddingOps,
     graft.llm.MultimodalOps,
     graft.llm.IvfAnnQueries,
     graft.perf.Perf,
     graft.sources.SinkQueries,
+    graft.sources.Compaction,
     graft.streaming.EventOps,
     graft.streaming.IncrementalEtl)
 

@@ -51,7 +51,7 @@ object TextOps extends QueryRegistry {
   /** Number of physical-planning probes actually paid (test observability). */
   private[llm] val spreadProbeCount = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def spread(df: DataFrame): DataFrame = {
+  private[llm] def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val files = df.inputFiles.length
     // 0 files = not file-backed (in-memory/derived frame): the file index
@@ -768,6 +768,40 @@ object TextOps extends QueryRegistry {
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** Estimator audit for the MinHash stack: per LSH candidate pair, the
+    * signature-agreement estimate (matching components / k) against the
+    * exact shingle-set Jaccard, with the absolute error. This is the
+    * report that justifies k and the band layout before scaling the index
+    * to the full corpus: at 100 TB one runs it on a slice and reads off
+    * whether k hashes bound the error tightly enough for the dedup
+    * threshold in use. Candidates only — never all pairs; the zip_with
+    * comparison runs on the candidate set, not the corpus. */
+  def minhashAccuracy(docs: DataFrame): DataFrame = {
+    val shingled = cacheOnce(shingles(docs))
+    val ge = org.apache.spark.sql.graft.expressions
+    val sigs = shingled.select(col("doc_id"),
+      ge.column(org.apache.spark.sql.graft.MinHashSigs(ge.expression(col("shs")), NumHashes))
+        .as("mh"))
+    val bands = bandKeys(shingled)
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
+    val cand = a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = shingled.select(col("doc_id"), array_distinct(col("shs")).as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("exact_jaccard"),
+        (size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), p => p))
+          .cast("double") / NumHashes).as("est_jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
   }
 
   /** Incoming-vs-corpus near-dup pairs: each NEW document is checked against
@@ -1673,6 +1707,29 @@ object TextOps extends QueryRegistry {
       FROM cand c
       JOIN shingle_sets sa ON sa.doc_id = c.doc_a
       JOIN shingle_sets sb ON sb.doc_id = c.doc_b"""))),
+
+    QueryDef("doc_minhash_accuracy", (s, d) => minhashAccuracy(docs(s, d)), Some(oq(s"""
+      , $sqlShingles,
+      $sqlLshCandCtes,
+      sigagree AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+                 / $NumHashes AS est_jaccard
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+        GROUP BY c.doc_a, c.doc_b),
+      jexact AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                 len(list_distinct(list_concat(sa.sh, sb.sh))) AS exact_jaccard
+        FROM cand c
+        JOIN shingle_sets sa ON sa.doc_id = c.doc_a
+        JOIN shingle_sets sb ON sb.doc_id = c.doc_b)
+      SELECT j.doc_a, j.doc_b, j.exact_jaccard, g.est_jaccard,
+             abs(g.est_jaccard - j.exact_jaccard) AS abs_err
+      FROM jexact j
+      JOIN sigagree g ON g.doc_a = j.doc_a AND g.doc_b = j.doc_b"""))),
 
     QueryDef("doc_lexical_knn", (s, d) => lexicalKnn(docs(s, d)), Some(oq(s"""
       , $sqlShingles,
