@@ -44,8 +44,11 @@ object EmbeddingOps extends QueryRegistry {
   def cosine(a: Column, b: Column): Column =
     dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
 
-  /** Exact brute-force cosine top-10 for the `vec_id % 100 = 0` query set. */
-  def cosineTop10(emb: DataFrame): DataFrame = {
+  /** Exact brute-force ranking for the `vec_id % 100 = 0` query set:
+    * every (query, neighbor) pair scored and rank-numbered on the RAW
+    * cosine (ties broken by neighbor_id) — the ground truth the ANN
+    * variants cut candidates from. */
+  private def bruteRanked(emb: DataFrame): DataFrame = {
     val e = emb.select("vec_id", "embedding")
     val qs = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -54,11 +57,33 @@ object EmbeddingOps extends QueryRegistry {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
     val wnd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rn", row_number().over(wnd))
+    scored.withColumn("rn", row_number().over(wnd))
+  }
+
+  /** Exact brute-force cosine top-10 for the `vec_id % 100 = 0` query set. */
+  def cosineTop10(emb: DataFrame): DataFrame =
+    bruteRanked(emb)
       .filter(col("rn") <= 10)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
+
+  /** Recall@5 of [[annBucketed]] against the exact brute-force top-5 — the
+    * accuracy side of the speed/recall trade the bucket-join candidate cut
+    * makes, as a first-class oracle-checked query rather than a probe-tool
+    * number. At 100 TB this runs over a query SAMPLE (here the %100 query
+    * set) while the ANN index serves the full corpus: the exact side is
+    * |queries| × corpus, which the sample keeps bounded. Integer hit
+    * counts and one division — cross-engine exact. */
+  def annRecall(emb: DataFrame): DataFrame = {
+    val exact = bruteRanked(emb).filter(col("rn") <= 5)
+      .select("query_id", "neighbor_id")
+    val ann = annBucketed(emb)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall_at_5"))
   }
 
   /** Deterministic pseudo-random hyperplane component (identical arithmetic
@@ -374,6 +399,32 @@ object EmbeddingOps extends QueryRegistry {
         FROM scored)
       SELECT query_id, neighbor_id, CAST(CAST(round(cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
       FROM ranked WHERE rn <= 5"""))),
+
+    QueryDef("emb_ann_recall", (s, d) => annRecall(emb(s, d)), Some(oq(s"""
+      , $sqlBuckets,
+      wb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+      qs AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM wb WHERE vec_id % 100 = 0),
+      ascored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, ${sqlCos("q.qe", "e.embedding")} AS cos
+        FROM qs q JOIN wb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+      aranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM ascored),
+      ann5 AS (SELECT query_id, neighbor_id FROM aranked WHERE rn <= 5),
+      bscored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, ${sqlCos("q.qe", "e.embedding")} AS cos
+        FROM qs q, embeddings e WHERE e.vec_id <> q.query_id),
+      branked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM bscored),
+      bexact AS (SELECT query_id, neighbor_id FROM branked WHERE rn <= 5)
+      SELECT b.query_id,
+             CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS recall_at_5
+      FROM bexact b LEFT JOIN ann5 a
+        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id"""))),
 
     // Multi-probe ANN: Hamming<=1 bucket expansion before the exact re-rank
     // (the recall fix QuantRecallProbe motivated).

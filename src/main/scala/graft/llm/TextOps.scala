@@ -274,6 +274,23 @@ object TextOps extends QueryRegistry {
       .select(col("doc_id"), col("source"), col("rn").cast("long").as("sample_rank"))
   }
 
+  /** Length-weighted deterministic sampling: each document keeps with
+    * probability proportional to its size (capped at `capChars`), so the
+    * sample's TOKEN mass is spread across documents instead of
+    * over-representing the many tiny ones — the token-budget-proportional
+    * downsampler. Pure integer arithmetic on both engines: keep iff
+    * `md5-bucket(doc) < least(n_chars, cap) · 10000 div cap` (the same
+    * rate-as-integer-threshold discipline as [[sampleStratified]] — no FP
+    * rounding can diverge cross-engine). Map-only, zero shuffle. */
+  def sampleWeighted(docs: DataFrame, capChars: Long = 500L,
+      salt: String = "wt"): DataFrame = {
+    val bucket = md5Bucket(concat(lit(s"$salt:"), col("doc_id").cast("string")), 10000)
+    val threshold = expr(s"least(n_chars, ${capChars}L) * 10000L div ${capChars}L")
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+        bucket.as("sample_bucket"), threshold.as("keep_threshold"))
+      .filter(col("sample_bucket") < col("keep_threshold"))
+  }
+
   /** Mixture plan for a target per-source token-share: given available
     * per-source token counts, the largest total `N` such that every
     * participating source can supply its share (`N = min T_s / share_s`),
@@ -1422,6 +1439,15 @@ object TextOps extends QueryRegistry {
                  CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000,
                  doc_id) AS rn
         FROM documents) t WHERE rn <= 5"""))),
+
+    QueryDef("doc_sample_weighted", (s, d) => sampleWeighted(docs(s, d)), Some(oq("""
+      , wsamp AS (
+        SELECT doc_id, source, n_chars,
+               CAST(concat('0x', substr(md5('wt:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS sample_bucket,
+               least(n_chars, 500) * 10000 // 500 AS keep_threshold
+        FROM documents)
+      SELECT doc_id, source, n_chars, sample_bucket, keep_threshold
+      FROM wsamp WHERE sample_bucket < keep_threshold"""))),
 
     QueryDef("doc_mix_plan", (s, d) => mixPlan(docs(s, d),
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)), Some(oq("""

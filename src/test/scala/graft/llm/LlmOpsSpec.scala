@@ -725,4 +725,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(err.keySet === reported.keySet)
     err.foreach { case (id, e) => assert(e === reported(id), s"vec $id") }
   }
+
+  test("length-weighted sample: cap-sized docs always kept, rate tracks n_chars") {
+    import spark.implicits._
+    val docs = TextOps.docs(spark, sfDir)
+    val kept = TextOps.sampleWeighted(docs, capChars = 500L).collect()
+    // threshold arithmetic: bucket < least(n_chars,500)*10000 div 500 == n_chars*20 capped
+    kept.foreach { r =>
+      val (nc, bucket, thr) = (r.getAs[Long]("n_chars"),
+        r.getAs[Long]("sample_bucket"), r.getAs[Long]("keep_threshold"))
+      assert(thr === math.min(nc, 500L) * 10000L / 500L)
+      assert(bucket < thr)
+    }
+    // every >= cap-sized doc has threshold 10000 → always kept
+    val capIds = docs.filter($"n_chars" >= 500).select("doc_id").as[Long].collect().toSet
+    assert(capIds.subsetOf(kept.map(_.getAs[Long]("doc_id")).toSet))
+    // deterministic: second run identical
+    val again = TextOps.sampleWeighted(docs, capChars = 500L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === kept.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("ANN recall@5 agrees with a direct set comparison of ann vs brute top-5") {
+    import spark.implicits._
+    val emb = EmbeddingOps.emb(spark, sfDir)
+    val recall = EmbeddingOps.annRecall(emb)
+      .select("query_id", "recall_at_5").as[(Long, Double)].collect().toMap
+    val brute = EmbeddingOps.cosineTop10(emb).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(5)
+        .map(_.getLong(1)).toSet).toMap
+    val ann = EmbeddingOps.annBucketed(emb).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(recall.keySet === brute.keySet)
+    recall.foreach { case (q, r) =>
+      val expected = (brute(q) & ann.getOrElse(q, Set.empty)).size / 5.0
+      assert(r === expected, s"query $q")
+      assert(r >= 0.0 && r <= 1.0)
+    }
+  }
 }
