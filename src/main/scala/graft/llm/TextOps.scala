@@ -503,6 +503,59 @@ object TextOps extends QueryRegistry {
       (lit(1.0) - nDistinct.cast("double") / n).as("dup_word_frac"))
   }
 
+  private[llm] val SegWords = 3
+  private[llm] val SegMaxFreq = 2L
+
+  /** CCNet-style sub-document boilerplate removal: hash every SEGMENT of
+    * every document, count segment frequency across the whole corpus, delete
+    * the segments that repeat (navigation chrome, license headers, templated
+    * footers — text that is common because it is boilerplate, not because it
+    * is good), and reassemble each document from its surviving segments in
+    * original order. This is the paragraph-hash dedup CCNet runs before
+    * perplexity filtering; this corpus has no newlines, so the segmentation
+    * unit is a fixed window of [[SegWords]] consecutive words (documented
+    * corpus-specific choice — the operator is segmentation-agnostic).
+    *
+    * Scale shape — the document text never rides a shuffle:
+    *  1. segmentation is a narrow per-doc `transform` (map-only);
+    *  2. the frequency count exchanges only `(md5 digest)` — 32 bytes per
+    *     segment, not the segment text;
+    *  3. the boilerplate set (freq > maxFreq) is orders of magnitude smaller
+    *     than the corpus, and the dropped-index frame derived from it is
+    *     `(doc_id, index)` pairs for affected docs only — AQE broadcasts it
+    *     back onto the doc-side reassembly join;
+    *  4. reassembly filters the doc's OWN in-row segment array by dropped
+    *     index — a narrow lambda, no per-segment rows ever regroup.
+    * At 100 TB: two map passes over the corpus + one digest-width shuffle
+    * + one broadcast join. */
+  def segmentDedup(docs: DataFrame, segWords: Int = SegWords,
+      maxFreq: Long = SegMaxFreq): DataFrame = {
+    val ws = words
+    val nSeg = ceil(size(ws).cast("double") / segWords).cast("int")
+    val segged = docs.select(col("doc_id"),
+      transform(sequence(lit(0), nSeg - lit(1)),
+        i => array_join(slice(ws, i * segWords + 1, lit(segWords)), " ")).as("segments"))
+    val segIdx = spread(segged).select(col("doc_id"),
+        posexplode(col("segments")).as(Seq("seg_idx", "segment")))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        md5(col("segment")).as("d"))
+    val boiler = segIdx.groupBy("d").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxFreq)
+    val dropped = segIdx.join(boiler, "d")
+      .groupBy("doc_id")
+      .agg(collect_set(col("seg_idx")).as("dropped_idx"),
+        count(lit(1)).as("n_dropped"))
+    val droppedOrEmpty =
+      coalesce(col("dropped_idx"), array().cast("array<long>"))
+    segged.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(col("segments"),
+          (_, i) => not(array_contains(droppedOrEmpty, i.cast("long")))), " ")
+          .as("text"),
+        size(col("segments")).cast("long").as("n_segments"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** The keep/drop filter cascade (a RefinedWeb/FineWeb-style curation
     * gate): rules evaluate in priority order and a dropped document carries
     * the FIRST failing rule as its reject reason — the same prioritized
@@ -1489,6 +1542,23 @@ object TextOps extends QueryRegistry {
              CAST(len(ws[start:least(start + ${ChunkSize - 1}, len(ws))]) AS BIGINT) AS n_tokens,
              md5(array_to_string(ws[start:least(start + ${ChunkSize - 1}, len(ws))], ' ')) AS chunk_hash
       FROM st"""))),
+
+    // segWords/maxFreq interpolated from the SAME constants the Spark call
+    // uses (the doc_chunks discipline: a literal-valued oracle would silently
+    // desynchronize if the defaults changed)
+    QueryDef("doc_segment_dedup", (s, d) => segmentDedup(docs(s, d)), Some(oq(s"""
+      , sgw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sgs AS (
+        SELECT doc_id, CAST((start - 1) // $SegWords AS BIGINT) AS seg_idx,
+               array_to_string(ws[start:least(start + ${SegWords - 1}, len(ws))], ' ') AS segment
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws), $SegWords)) AS start FROM sgw)),
+      sgf AS (SELECT md5(segment) AS d, count(*) AS freq FROM sgs GROUP BY 1)
+      SELECT s.doc_id,
+             coalesce(string_agg(CASE WHEN f.freq <= $SegMaxFreq THEN s.segment END, ' ' ORDER BY s.seg_idx), '') AS text,
+             count(*) AS n_segments,
+             CAST(count(CASE WHEN f.freq > $SegMaxFreq THEN 1 END) AS BIGINT) AS n_dropped
+      FROM sgs s JOIN sgf f ON md5(s.segment) = f.d
+      GROUP BY s.doc_id"""))),
 
     QueryDef("doc_salient_terms", (s, d) => salientTerms(docs(s, d)), Some(oq("""
       , toks AS (
