@@ -109,8 +109,8 @@ object SinkQueries extends QueryRegistry {
     * it cannot show up in a correctness row). */
   private def zorderBoxAgg(s: SparkSession, dir: String): DataFrame = {
     val out = Files.createTempDirectory("graft_sink_zorder_").toString
-    // events carries a TIMESTAMP(NANOS) column — read through the EventOps
-    // accessor, which flips the session's nanosAsLong switch
+    // read through the EventOps accessor, which normalizes ts to µs-epoch
+    // whatever encoding the feed carries (the engine's ingestion contract)
     ZOrder.materializeZordered(graft.streaming.EventOps.events(s, dir), s"$out/events_z",
       Seq("user_id", "value"), bits = 6, numFiles = 16)
     s.read.parquet(s"$out/events_z")

@@ -37,13 +37,13 @@ class EventOpsSpec extends SparkSpec {
   test("as-of join attaches the most recent strictly-prior error per user") {
     import spark.implicits._
     // user 1: error@100s, click@200s, error@300s, click@400s; user 2: no errors
-    val ns = (s: Long) => s * 1000000000L
+    val us = (s: Long) => s * 1000000L
     val ev = Seq(
-      (1L, ns(100), 1L, "error", 0.0, "{}"),
-      (2L, ns(200), 1L, "click", 0.0, "{}"),
-      (3L, ns(300), 1L, "error", 0.0, "{}"),
-      (4L, ns(400), 1L, "click", 0.0, "{}"),
-      (5L, ns(500), 2L, "click", 0.0, "{}"))
+      (1L, us(100), 1L, "error", 0.0, "{}"),
+      (2L, us(200), 1L, "click", 0.0, "{}"),
+      (3L, us(300), 1L, "error", 0.0, "{}"),
+      (4L, us(400), 1L, "click", 0.0, "{}"),
+      (5L, us(500), 2L, "click", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = EventOps.asofLastError(ev)
       .select("event_id", "us_since_error")
@@ -60,11 +60,11 @@ class EventOpsSpec extends SparkSpec {
     // two clicks at the SAME instant before the purchase — each engine's
     // pick among (key, time) ties is its own convention, so asofLastClick
     // pre-dedups keeping max(value) in BOTH engines (ADVICE r6)
-    val ns = (s: Long) => s * 1000000000L
+    val us = (s: Long) => s * 1000000L
     val ev = Seq(
-      (1L, ns(100), 1L, "click", 2.5, "{}"),
-      (2L, ns(100), 1L, "click", 7.5, "{}"),
-      (3L, ns(200), 1L, "purchase", 0.0, "{}"))
+      (1L, us(100), 1L, "click", 2.5, "{}"),
+      (2L, us(100), 1L, "click", 7.5, "{}"),
+      (3L, us(200), 1L, "purchase", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = EventOps.asofLastClick(ev).collect()
     assert(out.length === 1)
@@ -73,17 +73,17 @@ class EventOpsSpec extends SparkSpec {
 
   test("funnel: stages require strict event-time order within each user") {
     import spark.implicits._
-    val ns = (s: Long) => s * 1000000000L
+    val us = (s: Long) => s * 1000000L
     val ev = Seq(
       // user 1 completes the ordered funnel
-      (1L, ns(10), 1L, "view", 0.0, "{}"),
-      (2L, ns(20), 1L, "click", 0.0, "{}"),
-      (3L, ns(30), 1L, "purchase", 0.0, "{}"),
+      (1L, us(10), 1L, "view", 0.0, "{}"),
+      (2L, us(20), 1L, "click", 0.0, "{}"),
+      (3L, us(30), 1L, "purchase", 0.0, "{}"),
       // user 2's click PRECEDES its first view -> not a funnel click
-      (4L, ns(10), 2L, "click", 0.0, "{}"),
-      (5L, ns(20), 2L, "view", 0.0, "{}"),
+      (4L, us(10), 2L, "click", 0.0, "{}"),
+      (5L, us(20), 2L, "view", 0.0, "{}"),
       // user 3 views only
-      (6L, ns(10), 3L, "view", 0.0, "{}"))
+      (6L, us(10), 3L, "view", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val r = EventOps.funnel(ev).head()
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) === ((3L, 3L, 1L, 1L)))
@@ -96,22 +96,22 @@ class EventOpsSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
     implicit val sq = spark.sqlContext
-    val ns = 1000000000L
+    val us = 1000000L
     val input = MemoryStream[EventOps.SessionEvent]
     val q = EventOps.sessionize(input.toDS(), gapMinutes = 30)
       .writeStream.format("memory").queryName("sessions_out")
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
     try {
       // batch 1: two events 60s apart (one open session)
-      input.addData(EventOps.SessionEvent(7L, 0L), EventOps.SessionEvent(7L, 60L * ns))
+      input.addData(EventOps.SessionEvent(7L, 0L), EventOps.SessionEvent(7L, 60L * us))
       q.processAllAvailable()
       assert(spark.table("sessions_out").count() === 0) // still open
       // batch 2: an event 31min later closes the first session
-      input.addData(EventOps.SessionEvent(7L, (31L * 60 + 60) * ns))
+      input.addData(EventOps.SessionEvent(7L, (31L * 60 + 60) * us))
       q.processAllAvailable()
       val sessions = spark.table("sessions_out")
         .as[EventOps.SessionSummary].collect()
-      assert(sessions.toSeq === Seq(EventOps.SessionSummary(7L, 0L, 60L * ns, 2L)))
+      assert(sessions.toSeq === Seq(EventOps.SessionSummary(7L, 0L, 60L * us, 2L)))
     } finally q.stop()
   }
 
@@ -136,15 +136,15 @@ class EventOpsSpec extends SparkSpec {
 
   test("attribution counts only same-user clicks in the 30min window before the purchase") {
     import spark.implicits._
-    val ns = 1000000000L
+    val us = 1000000L
     val ev = Seq(
-      (1L, 0L * ns, 7L, "click", 0.0, "{}"),              // 29min before → in window
-      (2L, 60L * ns, 7L, "click", 0.0, "{}"),             // 28min before → in window
-      (3L, (29L * 60) * ns, 7L, "purchase", 5.0, "{}"),
-      (4L, (29L * 60) * ns, 7L, "click", 0.0, "{}"),      // exactly at purchase → inclusive
-      (5L, (100L * 60) * ns, 7L, "click", 0.0, "{}"),     // after → out
-      (6L, (29L * 60) * ns, 9L, "click", 0.0, "{}"),      // other user → out
-      (7L, (200L * 60) * ns, 9L, "purchase", 1.0, "{}"))  // no clicks in window
+      (1L, 0L * us, 7L, "click", 0.0, "{}"),              // 29min before → in window
+      (2L, 60L * us, 7L, "click", 0.0, "{}"),             // 28min before → in window
+      (3L, (29L * 60) * us, 7L, "purchase", 5.0, "{}"),
+      (4L, (29L * 60) * us, 7L, "click", 0.0, "{}"),      // exactly at purchase → inclusive
+      (5L, (100L * 60) * us, 7L, "click", 0.0, "{}"),     // after → out
+      (6L, (29L * 60) * us, 9L, "click", 0.0, "{}"),      // other user → out
+      (7L, (200L * 60) * us, 9L, "purchase", 1.0, "{}"))  // no clicks in window
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = EventOps.attribution(ev).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
@@ -174,12 +174,12 @@ class EventOpsSpec extends SparkSpec {
 
   test("sessionization splits on >30min gaps per user") {
     import spark.implicits._
-    val ns = 1000000000L
+    val us = 1000000L
     val ev = Seq(
-      (1L, 0L * ns, 7L, "click", 1.0, "{}"),
-      (2L, 60L * ns, 7L, "click", 1.0, "{}"),          // same session
-      (3L, (31L * 60 + 61) * ns, 7L, "click", 1.0, "{}"), // gap > 30min → new session
-      (4L, 0L * ns, 9L, "view", 1.0, "{}"))
+      (1L, 0L * us, 7L, "click", 1.0, "{}"),
+      (2L, 60L * us, 7L, "click", 1.0, "{}"),          // same session
+      (3L, (31L * 60 + 61) * us, 7L, "click", 1.0, "{}"), // gap > 30min → new session
+      (4L, 0L * us, 9L, "view", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = EventOps.sessions(ev).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
