@@ -30,7 +30,16 @@ object SparkEntry {
     // toMap would silently drop a shadowed query from the correctness gate
     val dups = ds.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names across registries: ${dups.mkString(", ")}")
-    ds
+    // Env-gated forced-fail canary (VERDICT r9 #2 "done" criterion): proves
+    // the gate turns a throwing query into a RED row, never an absence.
+    // Exercise with `SPARK_GRAFT_FAIL_CANARY=1 sbt "runMain graft.Verify
+    // <sfDir> <outDir> zz_fail_canary"` → check.py must print a FAIL row
+    // (column `_verify_error`), never skip it. Absent from driver runs.
+    if (sys.env.contains("SPARK_GRAFT_FAIL_CANARY"))
+      ds :+ QueryDef("zz_fail_canary",
+        (_, _) => throw new IllegalStateException("forced-fail canary"),
+        Some("SELECT 1 AS one"))
+    else ds
   }
 
   /** Flagship query: OLAP Q1 (monthly sales by country) on sf0.001. */

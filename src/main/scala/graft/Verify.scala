@@ -17,15 +17,42 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // A failing query must produce a RED gate row, never an absent one
+    // (VERDICT r9 #3: 9 broken queries silently vanished from the compare).
+    // On failure we write a zero-row marker parquet whose lone column
+    // `_verify_error` matches no oracle schema and no rows-only check, so
+    // every registered query yields exactly one — red or green — row.
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        failures += name -> msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("_verify_error",
+                org.apache.spark.sql.types.StringType))))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
+    // Gate-shrink assertion: every selected query must have produced a dump.
+    val written = selected.keySet.filter(n => Files.exists(Paths.get(s"$outDir/$n")))
+    val absent = selected.keySet -- written
+    System.err.println(
+      s"[verify] dumped ${written.size}/${selected.size} queries" +
+        (if (failures.nonEmpty)
+          s"; ${failures.size} FAILED (marker rows written): " +
+            failures.map(_._1).toSeq.sorted.mkString(", ")
+        else "") +
+        (if (absent.nonEmpty)
+          s"; ${absent.size} ABSENT — the gate would shrink: " +
+            absent.toSeq.sorted.mkString(", ")
+        else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
