@@ -55,7 +55,7 @@ object Bench {
     "molap_month_product" -> 1.00, "molap_customer_month" -> 0.68,
     "doc_minhash_near_dup" -> 0.36, "doc_exact_dedup" -> 0.08,
     "doc_dedup_clusters" -> 0.53, "doc_simhash" -> 0.08,
-    "doc_simhash_pairs" -> 0.40, "doc_vocab_top100" -> 0.55,
+    "doc_simhash_pairs" -> 0.40, "doc_vocab_top100" -> 0.38,
     "doc_repetition" -> 0.12, "doc_filter_cascade" -> 0.15,
     "doc_curation_pipeline" -> 0.65, "doc_chunks" -> 0.09,
     "doc_salient_terms" -> 0.43, "doc_lm_familiarity" -> 0.63,
