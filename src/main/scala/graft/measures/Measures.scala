@@ -63,6 +63,29 @@ object Measures extends QueryRegistry {
   def rolling3mSlicedByCountry(w: Warehouse, country: String): DataFrame =
     rolling3m(slicedByCountry(w, country))
 
+  /** The category slicer (VERDICT r9 #7 — the dashboard's second slicer
+    * dimension): same filter-context shape as the country slicer, joining
+    * the product dim instead. The dim broadcasts; the fact stays put. */
+  private def slicedByCategory(w: Warehouse, category: String): Warehouse = {
+    val withSlicerCol = w.factSalesElt
+      .join(w.dimProduct.select("product_key", "category"), Seq("product_key"), "left")
+    sliced(w.copy(factSalesElt = withSlicerCol), col("category") === category)
+  }
+
+  /** §1 under a category slicer. */
+  def totalRevenueSlicedByCategory(w: Warehouse, category: String): DataFrame =
+    totalRevenue(slicedByCategory(w, category))
+
+  /** §12 under a category slicer — windowed measure × the second slicer. */
+  def rolling3mSlicedByCategory(w: Warehouse, category: String): DataFrame =
+    rolling3m(slicedByCategory(w, category))
+
+  /** §1 under BOTH slicers at once — Power BI slicers compose as an AND
+    * over the filter context; each dim joins (broadcast) and predicates
+    * stack, the fact is still never reshuffled for slicing. */
+  def totalRevenueSlicedComposite(w: Warehouse, country: String, category: String): DataFrame =
+    totalRevenue(slicedByCountry(slicedByCategory(w, category), country))
+
   /** §1 Total Revenue. */
   def totalRevenue(w: Warehouse): DataFrame =
     fact(w).agg(sum("totalamount").cast("double").as("total_revenue"))
@@ -194,6 +217,24 @@ object Measures extends QueryRegistry {
       LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
       WHERE c.country = 'Nation_7'"""))),
 
+    // the second slicer dimension (category domain is Small/Medium/Large/
+    // Standard/Economy/Promo at every SF) plus the two-slicer composite —
+    // Power BI slicers AND together over the filter context
+    QueryDef("m01_total_revenue_sliced_category",
+      (s, d) => totalRevenueSlicedByCategory(Warehouse(s, d), "Promo"), Some(q("""
+      SELECT CAST(sum(f.totalamount) AS DOUBLE) AS total_revenue
+      FROM fact_sales_elt f
+      LEFT JOIN dim_product p ON f.product_key = p.product_key
+      WHERE p.category = 'Promo'"""))),
+
+    QueryDef("m01_total_revenue_sliced_combo",
+      (s, d) => totalRevenueSlicedComposite(Warehouse(s, d), "Nation_7", "Promo"), Some(q("""
+      SELECT CAST(sum(f.totalamount) AS DOUBLE) AS total_revenue
+      FROM fact_sales_elt f
+      LEFT JOIN dim_product p ON f.product_key = p.product_key
+      LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+      WHERE p.category = 'Promo' AND c.country = 'Nation_7'"""))),
+
     QueryDef("m02_total_orders", (s, d) => totalOrders(Warehouse(s, d)), Some(q(
       "SELECT count(DISTINCT invoiceid) AS total_orders FROM fact_sales_elt"))),
 
@@ -291,6 +332,23 @@ object Measures extends QueryRegistry {
           JOIN dim_date d ON f.date_key = d.date_key
           LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
           WHERE c.country = 'Nation_7'
+          GROUP BY 1, 2)
+      SELECT month,
+             CAST(rev AS DOUBLE) AS monthly_revenue,
+             CAST(CAST(sum(rev) OVER (ORDER BY month_idx RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(18,2)) AS DOUBLE) AS rolling_3m_revenue
+      FROM monthly"""))),
+
+    QueryDef("m12_rolling_3m_sliced_category",
+      (s, d) => rolling3mSlicedByCategory(Warehouse(s, d), "Promo"), Some(q("""
+      , monthly AS (
+          SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+                 year(d.full_date) * 12 + month(d.full_date) AS month_idx,
+                 sum(f.totalamount) AS rev
+          FROM fact_sales_elt f
+          JOIN dim_date d ON f.date_key = d.date_key
+          LEFT JOIN dim_product p ON f.product_key = p.product_key
+          WHERE p.category = 'Promo'
           GROUP BY 1, 2)
       SELECT month,
              CAST(rev AS DOUBLE) AS monthly_revenue,
