@@ -86,6 +86,14 @@ object Measures extends QueryRegistry {
   def totalRevenueSlicedComposite(w: Warehouse, country: String, category: String): DataFrame =
     totalRevenue(slicedByCountry(slicedByCategory(w, category), country))
 
+  /** §10 under a year slicer — the dashboard's time slicer expressed as a
+    * smart-key range directly on the fact: no dim join is needed to slice
+    * on time, and the range predicate pushes to the scan (row-group
+    * skipping / partition pruning at scale). */
+  def monthlyRevenueSlicedByYear(w: Warehouse, year: Int): DataFrame =
+    monthlyRevenue(sliced(w, graft.dateKeyRange(
+      java.time.LocalDate.of(year, 1, 1), java.time.LocalDate.of(year, 12, 31))))
+
   /** §1 Total Revenue. */
   def totalRevenue(w: Warehouse): DataFrame =
     fact(w).agg(sum("totalamount").cast("double").as("total_revenue"))
@@ -304,6 +312,15 @@ object Measures extends QueryRegistry {
       SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
              CAST(sum(f.totalamount) AS DOUBLE) AS monthly_revenue
       FROM fact_sales_elt f JOIN dim_date d ON f.date_key = d.date_key
+      GROUP BY 1"""))),
+
+    // the time slicer: a smart-key range on the fact, no dim join to slice
+    QueryDef("m10_monthly_revenue_sliced_year",
+      (s, d) => monthlyRevenueSlicedByYear(Warehouse(s, d), 1997), Some(q("""
+      SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+             CAST(sum(f.totalamount) AS DOUBLE) AS monthly_revenue
+      FROM fact_sales_elt f JOIN dim_date d ON f.date_key = d.date_key
+      WHERE f.date_key BETWEEN 19970101000000 AND 19971231235959
       GROUP BY 1"""))),
 
     QueryDef("m11_high_value_sales", (s, d) => highValueSales(Warehouse(s, d)), Some(q(

@@ -75,35 +75,51 @@ object EventOps extends QueryRegistry {
         spark.read.parquet(path)
     }
 
+  /** Per-feed unit-inference cache: the min/max probe on a long-encoded
+    * feed scans the `ts` column chunks, which at 100 TB is a real job —
+    * pay it ONCE per (session, path), not on every operator construction.
+    * Timestamp-typed feeds never probe at all. */
+  private val tsFactorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   /** The normalizing `ts` expression for a raw events frame, derived from
     * its actual schema (shared by batch and streaming reads; the one
-    * min/max job on long feeds reads only parquet column chunks of `ts`). */
-  private def tsToUs(raw: DataFrame): Column = raw.schema("ts").dataType match {
-    case TimestampType | TimestampNTZType =>
-      // session tz is pinned UTC at every entry point, so NTZ wall-clock
-      // and instant µs coincide — same value DuckDB's epoch_us computes
-      unix_micros(col("ts").cast("timestamp"))
-    case LongType =>
-      val mm = raw.agg(min("ts"), max("ts")).head()
-      if (mm.isNullAt(1)) col("ts") // empty feed: nothing to infer
-      else {
-        val f = usFactor(mm.getLong(1))
-        val (lo, hi) = (toUs(mm.getLong(0), f), toUs(mm.getLong(1), f))
-        if (lo < MinSaneUs || hi >= MaxSaneUs) throw new IllegalStateException(
-          s"events.ts: long values [${mm.getLong(0)}, ${mm.getLong(1)}] do not normalize " +
-            s"into a sane epoch-µs range ([$lo, $hi] vs [$MinSaneUs, $MaxSaneUs)); " +
-            "refusing to guess the unit — fix the feed or the ingestion contract")
+    * min/max job on long feeds reads only parquet column chunks of `ts`,
+    * cached per feed path when one is supplied). */
+  private def tsToUs(raw: DataFrame, cacheKey: Option[String] = None): Column =
+    raw.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        // session tz is pinned UTC at every entry point, so NTZ wall-clock
+        // and instant µs coincide — same value DuckDB's epoch_us computes
+        unix_micros(col("ts").cast("timestamp"))
+      case LongType =>
+        def infer(): (Long, Long) = {
+          val mm = raw.agg(min("ts"), max("ts")).head()
+          if (mm.isNullAt(1)) (1L, 1L) // empty feed: nothing to infer
+          else {
+            val f = usFactor(mm.getLong(1))
+            val (lo, hi) = (toUs(mm.getLong(0), f), toUs(mm.getLong(1), f))
+            if (lo < MinSaneUs || hi >= MaxSaneUs) throw new IllegalStateException(
+              s"events.ts: long values [${mm.getLong(0)}, ${mm.getLong(1)}] do not normalize " +
+                s"into a sane epoch-µs range ([$lo, $hi] vs [$MinSaneUs, $MaxSaneUs)); " +
+                "refusing to guess the unit — fix the feed or the ingestion contract")
+            f
+          }
+        }
+        val f = cacheKey match {
+          case Some(k) => tsFactorCache.computeIfAbsent(k, _ => infer())
+          case None => infer()
+        }
         usColumn(f)
-      }
-    case other => throw new IllegalStateException(
-      s"events.ts: unsupported physical type $other (expected timestamp or long)")
-  }
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected timestamp or long)")
+    }
 
   /** The events feed with `ts` normalized to µs-epoch LongType, whatever
     * encoding the file carries (see the class doc's ingestion contract). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = rawEvents(spark, s"$dir/events.parquet")
-    raw.withColumn("ts", tsToUs(raw))
+    raw.withColumn("ts", tsToUs(raw, Some(s"$dir/events.parquet")))
   }
 
   /** File-source stream over `eventsDir` with the SAME normalization as the
@@ -113,6 +129,8 @@ object EventOps extends QueryRegistry {
   private def streamSource(spark: SparkSession, eventsDir: String,
       maxFilesPerTrigger: Option[Int]): DataFrame = {
     val batch = rawEvents(spark, eventsDir)
+    // no cache key: a stream's drop directory grows between calls, so a
+    // cached inference could go stale; the setup probe is one-time anyway
     val tsCol = tsToUs(batch)
     val r0 = spark.readStream.schema(batch.schema)
     maxFilesPerTrigger.fold(r0)(n => r0.option("maxFilesPerTrigger", n))
