@@ -9,6 +9,7 @@ object SparkEntry {
 
   private def registries: Seq[QueryRegistry] = Seq(
     graft.etl.WarehouseQueries,
+    graft.etl.Scd2,
     graft.olap.Olap,
     graft.olap.Molap,
     graft.measures.Measures,

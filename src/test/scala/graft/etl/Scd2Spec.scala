@@ -1,0 +1,85 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics + plan shape of the SCD Type-2 merge. */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (Long, String, Double)*) =
+    rows.toDF("id", "name", "price")
+
+  private val T1 = "2020-01-01 00:00:00"
+  private val T2 = "2020-02-01 00:00:00"
+  private val T3 = "2020-03-01 00:00:00"
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("id"), col("name"), col("price"),
+        col("valid_from").cast("string"), col("valid_to").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), Option(r.getString(4)))).toSet
+
+  test("merge covers new, changed, deleted, and unchanged keys in one pass") {
+    val h1 = Scd2.initialLoad(snap((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), T1)
+    val v2 = snap((1L, "a", 1.0), (2L, "b", 9.0), (4L, "d", 4.0)) // 3 deleted, 2 changed, 4 new
+    val out = rowsOf(Scd2.merge(h1, v2, Seq("id"), Seq("name", "price"), T2))
+    assert(out === Set(
+      (1L, "a", 1.0, T1, None),      // unchanged: still open
+      (2L, "b", 2.0, T1, Some(T2)),  // changed: old version closed...
+      (2L, "b", 9.0, T2, None),      // ...new version opened
+      (3L, "c", 3.0, T1, Some(T2)),  // deleted: closed
+      (4L, "d", 4.0, T2, None)))     // new: opened
+  }
+
+  test("closeDeletes=false keeps versions of absent keys open") {
+    val h1 = Scd2.initialLoad(snap((1L, "a", 1.0), (2L, "b", 2.0)), T1)
+    val out = rowsOf(Scd2.merge(h1, snap((1L, "a", 1.0)), Seq("id"),
+      Seq("name", "price"), T2, closeDeletes = false))
+    assert(out === Set((1L, "a", 1.0, T1, None), (2L, "b", 2.0, T1, None)))
+  }
+
+  test("closed versions pass through later merges untouched") {
+    val h1 = Scd2.initialLoad(snap((1L, "a", 1.0)), T1)
+    val h2 = Scd2.merge(h1, snap((1L, "a", 5.0)), Seq("id"), Seq("name", "price"), T2)
+    val h3 = Scd2.merge(h2, snap((1L, "a", 5.0), (2L, "b", 2.0)),
+      Seq("id"), Seq("name", "price"), T3)
+    assert(rowsOf(h3) === Set(
+      (1L, "a", 1.0, T1, Some(T2)),
+      (1L, "a", 5.0, T2, None),
+      (2L, "b", 2.0, T3, None)))
+  }
+
+  test("null-safe attribute compare: null -> value and value -> null are changes") {
+    val h1 = Scd2.initialLoad(
+      Seq((1L, null.asInstanceOf[String], 1.0), (2L, "b", 2.0)).toDF("id", "name", "price"), T1)
+    val v2 = Seq((1L, "now-set", 1.0), (2L, null.asInstanceOf[String], 2.0)).toDF("id", "name", "price")
+    val out = Scd2.merge(h1, v2, Seq("id"), Seq("name", "price"), T2)
+    // both keys changed: 2 closed + 2 reopened
+    assert(out.filter(col("valid_to").isNotNull).count() === 2)
+    assert(out.filter(col("valid_to").isNull).count() === 2)
+  }
+
+  test("point-in-time read reconstructs each snapshot exactly") {
+    val h1 = Scd2.initialLoad(snap((1L, "a", 1.0), (2L, "b", 2.0)), T1)
+    val h2 = Scd2.merge(h1, snap((1L, "a", 7.0)), Seq("id"), Seq("name", "price"), T2)
+    def at(ts: String) =
+      Scd2.asOfSnapshot(h2, ts).select("id", "name", "price")
+        .as[(Long, String, Double)].collect().toSet
+    assert(at("2020-01-15 00:00:00") === Set((1L, "a", 1.0), (2L, "b", 2.0)))
+    assert(at("2020-02-15 00:00:00") === Set((1L, "a", 7.0)))
+    // the boundary instant itself belongs to the NEW version (valid_to exclusive)
+    assert(at(T2) === Set((1L, "a", 7.0)))
+  }
+
+  test("the merge plans as equi-joins only — no cartesian or nested loop") {
+    val h1 = Scd2.initialLoad(snap((1L, "a", 1.0), (2L, "b", 2.0)), T1)
+    val df = Scd2.merge(h1, snap((1L, "a", 3.0)), Seq("id"), Seq("name", "price"), T2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+}
