@@ -89,15 +89,53 @@ object Scd2 extends QueryRegistry {
     history.filter(col("valid_from") <= tsLit(asOf) &&
       (col("valid_to").isNull || col("valid_to") > tsLit(asOf)))
 
-  /** Oracle scenario: the product dim initial-loaded at 2020-01-01, then a
-    * second deterministic snapshot (every 3rd stockcode's price +1.00,
-    * every 17th deleted) merged at 2020-02-01 — exercising new, changed,
-    * deleted, and unchanged keys from one data-derived source. Keyed on the
-    * NATURAL stockcode (numeric at the source): surrogate keys are engine
-    * conventions (xxhash64 here vs row_number in the oracle) and never
-    * comparable. */
-  private def productScd2(spark: SparkSession, dir: String): DataFrame = {
-    val w = Warehouse(spark, dir)
+  /** Continuous dimension maintenance (the streaming face of [[merge]]):
+    * a drop directory of snapshot files, each row stamped with its
+    * snapshot's effective timestamp in an `as_of` column — the timestamp
+    * belongs IN the feed, not to arrival wall-clock, so replays and
+    * multi-snapshot batches stay deterministic. Each micro-batch folds its
+    * snapshots into the stored history in ascending `as_of` order (a batch
+    * may carry several drops; the per-`as_of` driver loop is
+    * snapshot-count-sized). The history store uses the same
+    * write-to-sibling-then-swap discipline as
+    * [[graft.streaming.IncrementalEtl.maintainMonthCountry]]: the stored
+    * table is never input and output of one job, and a crash leaves a
+    * recoverable state, never a half-written history. */
+  def maintainHistory(spark: SparkSession, dropDir: String, keys: Seq[String],
+      attrs: Seq[String], historyPath: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // schema from a batch read of the already-present drops — the same
+    // no-hard-coded-schema discipline as the events reader
+    val reader = spark.readStream.schema(spark.read.parquet(dropDir).schema)
+    maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(dropDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val asOfs = batch.select("as_of").distinct()
+          .collect().map(_.getString(0)).sorted
+        asOfs.foreach { asOf =>
+          val snapshot = batch.filter(col("as_of") === asOf).drop("as_of")
+          val dest = new org.apache.hadoop.fs.Path(historyPath)
+          val tmp = new org.apache.hadoop.fs.Path(historyPath + ".tmp")
+          val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+          val merged =
+            if (!fs.exists(dest)) initialLoad(snapshot, asOf)
+            else merge(spark.read.parquet(historyPath), snapshot, keys, attrs, asOf)
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          if (fs.exists(dest)) fs.delete(dest, true)
+          fs.rename(tmp, dest)
+        }
+        ()
+      }
+  }
+
+  /** The deterministic two-snapshot churn both oracle scenarios share:
+    * v1 = the product dim (natural stockcode key — surrogate keys are
+    * engine conventions, xxhash64 here vs row_number in the oracle, never
+    * comparable); v2 = every 3rd stockcode's price +1.00 (exact decimal
+    * addition — no rounding-boundary risk), every 17th deleted. */
+  private def productSnapshots(w: Warehouse): (DataFrame, DataFrame) = {
     val code = col("stockcode").cast("long")
     val v1 = w.dimProduct.select("stockcode", "unitprice")
     val v2 = v1.filter(code % 17 =!= 0)
@@ -105,9 +143,44 @@ object Scd2 extends QueryRegistry {
         when(code % 3 === 0,
           (col("unitprice") + lit(BigDecimal("1.00"))).cast("decimal(12,2)"))
           .otherwise(col("unitprice")))
+    (v1, v2)
+  }
+
+  /** Oracle scenario: the product dim initial-loaded at 2020-01-01, then
+    * the churned snapshot merged at 2020-02-01 — exercising new, changed,
+    * deleted, and unchanged keys from one data-derived source. */
+  private def productScd2(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = productSnapshots(Warehouse(spark, dir))
     merge(initialLoad(v1, "2020-01-01 00:00:00"), v2,
       keys = Seq("stockcode"), attrs = Seq("unitprice"),
       asOf = "2020-02-01 00:00:00")
+      .withColumn("unitprice", col("unitprice").cast("double"))
+  }
+
+  /** Streaming roundtrip: the SAME two snapshots delivered as `as_of`-
+    * stamped drops through [[maintainHistory]] (one-file micro-batches, so
+    * the second snapshot exercises the read-merge-swap path against the
+    * stored history), read back — must equal the batch merge row-for-row,
+    * so it shares `dim_product_scd2`'s oracle. */
+  private def streamScd2Roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = productSnapshots(Warehouse(spark, dir))
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2_stream_").toString
+    v1.withColumn("as_of", lit("2020-01-01 00:00:00"))
+      .coalesce(1).write.parquet(s"$base/drops/a")
+    v2.withColumn("as_of", lit("2020-02-01 00:00:00"))
+      .coalesce(1).write.parquet(s"$base/drops/b")
+    val query = maintainHistory(spark, s"$base/drops/*",
+      keys = Seq("stockcode"), attrs = Seq("unitprice"),
+      historyPath = s"$base/history", maxFilesPerTrigger = Some(1))
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000L)) {
+      query.stop()
+      throw new IllegalStateException(
+        "stream_scd2_roundtrip did not finish within 300 s; history is partial")
+    }
+    spark.read.parquet(s"$base/history")
       .withColumn("unitprice", col("unitprice").cast("double"))
   }
 
@@ -117,11 +190,10 @@ object Scd2 extends QueryRegistry {
     asOfSnapshot(productScd2(spark, dir), "2020-01-15 00:00:00")
       .select("stockcode", "unitprice")
 
-  def defs: Seq[QueryDef] = Seq(
-    // The oracle spells out the merged history row-by-row (the semantic
-    // spec, not a replay of the implementation): v1 rows close iff changed
-    // (+1.00 is always a change) or deleted; changed v2 rows reopen.
-    QueryDef("dim_product_scd2", productScd2, Some(oq("""
+  // The oracle spells out the merged history row-by-row (the semantic
+  // spec, not a replay of the implementation): v1 rows close iff changed
+  // (+1.00 is always a change) or deleted; changed v2 rows reopen.
+  private val mergedHistoryOracle = oq("""
       , pv1 AS (SELECT stockcode, CAST(stockcode AS BIGINT) AS code, unitprice
                 FROM dim_product)
       SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice,
@@ -133,10 +205,17 @@ object Scd2 extends QueryRegistry {
       SELECT stockcode, CAST(unitprice + 1.00 AS DOUBLE) AS unitprice,
              TIMESTAMP '2020-02-01 00:00:00' AS valid_from,
              NULL AS valid_to
-      FROM pv1 WHERE code % 3 = 0 AND code % 17 <> 0"""))),
+      FROM pv1 WHERE code % 3 = 0 AND code % 17 <> 0""")
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("dim_product_scd2", productScd2, Some(mergedHistoryOracle)),
 
     QueryDef("dim_product_scd2_asof", productScd2AsOf, Some(oq("""
       SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice
-      FROM dim_product""")))
+      FROM dim_product"""))),
+
+    // stream-maintained history ≡ batch merge: same oracle, by construction
+    // of the roundtrip (the equivalence is gate-checked, not assumed)
+    QueryDef("stream_scd2_roundtrip", streamScd2Roundtrip, Some(mergedHistoryOracle))
   )
 }
