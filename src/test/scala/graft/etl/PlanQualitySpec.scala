@@ -108,6 +108,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("slicer filter context joins broadcast — the fact is never reshuffled to slice") {
+    // the two-slicer composite is the worst case: both dims must broadcast
+    // and the only exchange left is the final single-row aggregate's
+    val df = graft.measures.Measures.totalRevenueSlicedComposite(w, "Nation_7", "Promo")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan").head
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("the year slicer pushes the smart-key range into the fact lineage — no dim join to slice") {
+    val df = graft.measures.Measures.monthlyRevenueSlicedByYear(w, 1997)
+    df.collect()
+    // cut at the cached warehouse lineage: InMemoryRelation embeds the
+    // BUILD plan's joins, which are not part of this query's execution
+    val plan = df.queryExecution.executedPlan.toString
+      .split("Initial Plan").head.split("InMemoryRelation").head
+    // the range predicate filters the fact BEFORE the date-dim join; the
+    // slicer itself adds no join (only monthlyRevenue's own dim lookup)
+    assert(plan.contains("19970101000000"), plan)
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("vocab frequency table combines map-side before its shuffles") {
     val df = graft.llm.TextOps.vocabTopK(w.stgSales.sparkSession
       .read.parquet(s"$sfDir/documents.parquet"))
