@@ -381,6 +381,10 @@ object Bench {
       // IVF row includes quantizer training (2 Lloyd passes) per rep — the
       // full index-build-plus-search cost, not just the probe
       time("emb_ivf_search")(graft.llm.IvfAnn.search(emb, graft.llm.IvfAnn.train(emb)))
+      // PQ row likewise: codebook training + encode + ADC prefilter + exact
+      // re-rank per rep (r10)
+      time("emb_pq_adc_rerank")(
+        graft.llm.PqAnn.searchAdcRerank(emb, graft.llm.PqAnn.train(emb)))
       val events = graft.streaming.EventOps.events(spark, sfDir)
       time("events_sessions")(graft.streaming.EventOps.sessions(events))
       time("events_asof_last_error")(graft.streaming.EventOps.asofLastError(events))

@@ -20,6 +20,7 @@ object SparkEntry {
     graft.llm.EmbeddingOps,
     graft.llm.MultimodalOps,
     graft.llm.IvfAnnQueries,
+    graft.llm.PqAnn,
     graft.perf.Perf,
     graft.sources.SinkQueries,
     graft.sources.Compaction,

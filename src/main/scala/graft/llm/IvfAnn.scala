@@ -25,7 +25,7 @@ object IvfAnn {
 
   final case class Vec(vec_id: Long, embedding: Array[Float])
 
-  private def sqDist(a: Array[Float], c: Array[Double]): Double = {
+  private[llm] def sqDist(a: Array[Float], c: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
     s
