@@ -66,6 +66,25 @@ class EventIngestionSpec extends SparkSpec {
     assert(e.getMessage.contains("sane epoch"))
   }
 
+  test("the streaming path normalizes the same way — no silent 1000x-off timestamps") {
+    // r9's failure mode: a hard-coded LongType stream schema read µs values
+    // as ns and produced 1970-adjacent timestamps that still row-counted
+    // clean. The streamed hourly rollup over a µs fixture must land in the
+    // fixture's real year.
+    val df = eventRows(wantUs)
+      .withColumn("ts", expr("timestamp_micros(ts)").cast("timestamp_ntz"))
+    val dir = writeFixture(df)
+    val q = EventOps.streamingHourlyAgg(spark, s"$dir/events.parquet")
+      .writeStream.format("memory").queryName("ingest_canary_hourly")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val hours = spark.table("ingest_canary_hourly")
+      .select(year(col("hour"))).as[Int].collect()
+    assert(hours.nonEmpty && hours.forall(_ === 2024), hours.toSeq)
+  }
+
   test("the real testdata feed ingests inside the sane epoch range at µs precision") {
     val ev = EventOps.events(spark, sfDir)
     assert(ev.schema("ts").dataType === LongType)
