@@ -72,7 +72,9 @@ object Bench {
     // rescue-then-WARN contract as every other row.
     "oltp_invoice_lookup_prepared" -> 0.03, "warehouse_build" -> 8.3,
     // r9 additions, steady values from the r9 builder run
-    "doc_decontaminate" -> 0.60, "doc_decontaminate_bloom" -> 0.54)
+    "doc_decontaminate" -> 0.60, "doc_decontaminate_bloom" -> 0.54,
+    // r10 addition, steady value from the r10 builder run
+    "emb_pq_adc_rerank" -> 0.48)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds

@@ -24,10 +24,12 @@ import graft.oracle.OracleSql.{q => oq}
   *
   * Scale shape: ONE equi-join of open versions against the snapshot on the
   * key (both dim-sized; broadcast under AQE when the snapshot is small),
-  * two projections unioned — identical join subtrees, so the exchange is
-  * planned once and reused. Closed history never enters the join: the
-  * operator's cost is the CURRENT dimension's size regardless of how deep
-  * the history grows. Attribute comparison is null-safe (`<=>`). */
+  * then a single pass emitting 0-2 versions per joined row via explode —
+  * not a two-projection union, which would plan the join twice (measured:
+  * exchange reuse does not materialize across union branches). Closed
+  * history never enters the join: the operator's cost is the CURRENT
+  * dimension's size regardless of how deep the history grows. Attribute
+  * comparison is null-safe (`<=>`). */
 object Scd2 extends QueryRegistry {
 
   private def tsLit(ts: String): Column =
@@ -64,24 +66,31 @@ object Scd2 extends QueryRegistry {
     val sExists = col("s_mark").isNotNull
     val changed = attrs.map(a => !(col(s"c_$a") <=> col(s"s_$a"))).reduce(_ || _)
 
-    // current-side verdicts: kept open, or closed at asOf
-    val closeNow = cExists &&
-      (sExists && changed || (!sExists && lit(closeDeletes)))
-    val fromCurrent = j.filter(cExists).select(
+    // each joined row emits 0-2 versions in ONE pass (a two-projection
+    // union would plan the join twice — measured: no exchange reuse
+    // materializes across union branches, so the single-join explode is the
+    // shape that holds at scale):
+    //  - the current version, kept open or closed at asOf
+    //  - a new open version for new or changed keys
+    val closeNow = sExists && changed || (!sExists && lit(closeDeletes))
+    val currentVersion = struct(
       keys.map(k => col(s"k_$k").as(k)) ++
         attrs.map(a => col(s"c_$a").as(a)) :+
         col("c_valid_from").as("valid_from") :+
-        when(closeNow, tsLit(asOf)).as("valid_to"): _*)
-
-    // snapshot-side verdicts: a new open version for new or changed keys
-    val openNow = sExists && (!cExists || changed)
-    val fromSnapshot = j.filter(openNow).select(
+        when(closeNow, tsLit(asOf)).otherwise(nullTs).as("valid_to"): _*)
+    val newVersion = struct(
       keys.map(k => col(s"k_$k").as(k)) ++
         attrs.map(a => col(s"s_$a").as(a)) :+
         tsLit(asOf).as("valid_from") :+
         nullTs.as("valid_to"): _*)
+    val openNow = sExists && (!cExists || changed)
+    val emitted = j
+      .select(explode(filter(array(
+        when(cExists, currentVersion),
+        when(openNow, newVersion)), x => x.isNotNull)).as("r"))
+      .select((keys ++ attrs :+ "valid_from" :+ "valid_to").map(n => col(s"r.$n")): _*)
 
-    closed.unionByName(fromCurrent).unionByName(fromSnapshot)
+    closed.unionByName(emitted)
   }
 
   /** Point-in-time read: the dimension as it stood at `asOf`. */

@@ -74,12 +74,13 @@ class Scd2Spec extends SparkSpec {
     assert(at(T2) === Set((1L, "a", 7.0)))
   }
 
-  test("the merge plans as equi-joins only — no cartesian or nested loop") {
+  test("the merge plans exactly ONE equi-join — no cartesian, no per-branch re-join") {
     val h1 = Scd2.initialLoad(snap((1L, "a", 1.0), (2L, "b", 2.0)), T1)
     val df = Scd2.merge(h1, snap((1L, "a", 3.0)), Seq("id"), Seq("name", "price"), T2)
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan").head
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert("Join".r.findAllIn(plan).size === 1, plan)
   }
 }
