@@ -98,6 +98,25 @@ object Scd2 extends QueryRegistry {
     history.filter(col("valid_from") <= tsLit(asOf) &&
       (col("valid_to").isNull || col("valid_to") > tsLit(asOf)))
 
+  /** Temporal fact→dimension lookup — the reason a warehouse keeps SCD2
+    * history: each fact row joins the version valid AT ITS OWN TIME, not
+    * today's. The naive formulation is a per-key range join
+    * (`valid_from <= t < valid_to`), quadratic per key; this rides the
+    * generic [[graft.operators.AsOf]] operator instead — one shuffle on
+    * the key, a single ordered pass picking the latest `valid_from <= t`,
+    * then a residual null-out where that version had already closed
+    * (`valid_to <= t`: the key was deleted, or `t` predates all versions).
+    * Returns the fact columns + an `asof` struct of the live version's
+    * attributes, `valid_to`, and `valid_from` (null when none was live). */
+  def temporalLookup(fact: DataFrame, history: DataFrame, keys: Seq[String],
+      timeCol: String): DataFrame = {
+    val joined = graft.operators.AsOf.asOfJoin(
+      fact, history, keys, timeCol, "valid_from", strict = false)
+    val live = col("asof").isNotNull &&
+      (col("asof.valid_to").isNull || col("asof.valid_to") > col(timeCol))
+    joined.withColumn("asof", when(live, col("asof")))
+  }
+
   /** Continuous dimension maintenance (the streaming face of [[merge]]):
     * a drop directory of snapshot files, each row stamped with its
     * snapshot's effective timestamp in an `as_of` column — the timestamp
@@ -199,6 +218,26 @@ object Scd2 extends QueryRegistry {
     asOfSnapshot(productScd2(spark, dir), "2020-01-15 00:00:00")
       .select("stockcode", "unitprice")
 
+  /** Oracle scenario for [[temporalLookup]]: the same churn versioned
+    * INSIDE the fact's date range (v1 at 1995, v2 at 1998), every fact row
+    * decoding its event time from the smart key — facts before 1998 must
+    * see v1 prices, later ones v2 (or nothing, for keys v2 deleted);
+    * stockcodes outside the dim and pre-1995 times match no version. */
+  private def factScd2Temporal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Warehouse(spark, dir)
+    val (v1, v2) = productSnapshots(w)
+    val hist = merge(initialLoad(v1, "1995-01-01 00:00:00"), v2,
+      keys = Seq("stockcode"), attrs = Seq("unitprice"), asOf = "1998-01-01 00:00:00")
+    val fact = w.factSalesElt.select(
+      col("invoiceid"), col("stockcode"), col("linenumber"),
+      to_timestamp(col("date_key").cast("string"), "yyyyMMddHHmmss")
+        .cast("timestamp_ntz").as("t"))
+    temporalLookup(fact, hist, Seq("stockcode"), "t")
+      .select(col("invoiceid"), col("stockcode"), col("linenumber"), col("t"),
+        col("asof.unitprice").cast("double").as("version_price"),
+        col("asof.valid_from").as("version_from"))
+  }
+
   // The oracle spells out the merged history row-by-row (the semantic
   // spec, not a replay of the implementation): v1 rows close iff changed
   // (+1.00 is always a change) or deleted; changed v2 rows reopen.
@@ -225,6 +264,30 @@ object Scd2 extends QueryRegistry {
 
     // stream-maintained history ≡ batch merge: same oracle, by construction
     // of the roundtrip (the equivalence is gate-checked, not assumed)
-    QueryDef("stream_scd2_roundtrip", streamScd2Roundtrip, Some(mergedHistoryOracle))
+    QueryDef("stream_scd2_roundtrip", streamScd2Roundtrip, Some(mergedHistoryOracle)),
+
+    // the oracle replays version selection as CASE logic over the fact's
+    // decoded time — deleted keys and pre-history times fall to NULL
+    QueryDef("fact_scd2_temporal_join", factScd2Temporal, Some(oq("""
+      SELECT f.invoiceid, f.stockcode, f.linenumber,
+             strptime(CAST(f.date_key AS VARCHAR), '%Y%m%d%H%M%S') AS t,
+             CAST(CASE
+               WHEN p.stockcode IS NULL THEN NULL
+               WHEN strptime(CAST(f.date_key AS VARCHAR), '%Y%m%d%H%M%S') < TIMESTAMP '1995-01-01' THEN NULL
+               WHEN strptime(CAST(f.date_key AS VARCHAR), '%Y%m%d%H%M%S') >= TIMESTAMP '1998-01-01'
+                    AND CAST(p.stockcode AS BIGINT) % 17 = 0 THEN NULL
+               WHEN strptime(CAST(f.date_key AS VARCHAR), '%Y%m%d%H%M%S') >= TIMESTAMP '1998-01-01'
+                    AND CAST(p.stockcode AS BIGINT) % 3 = 0 THEN p.unitprice + 1.00
+               ELSE p.unitprice END AS DOUBLE) AS version_price,
+             CASE
+               WHEN p.stockcode IS NULL THEN NULL
+               WHEN strptime(CAST(f.date_key AS VARCHAR), '%Y%m%d%H%M%S') < TIMESTAMP '1995-01-01' THEN NULL
+               WHEN strptime(CAST(f.date_key AS VARCHAR), '%Y%m%d%H%M%S') >= TIMESTAMP '1998-01-01'
+                    AND CAST(p.stockcode AS BIGINT) % 17 = 0 THEN NULL
+               WHEN strptime(CAST(f.date_key AS VARCHAR), '%Y%m%d%H%M%S') >= TIMESTAMP '1998-01-01'
+                    AND CAST(p.stockcode AS BIGINT) % 3 = 0 THEN TIMESTAMP '1998-01-01'
+               ELSE TIMESTAMP '1995-01-01' END AS version_from
+      FROM fact_sales_elt f
+      LEFT JOIN dim_product p ON f.stockcode = p.stockcode""")))
   )
 }

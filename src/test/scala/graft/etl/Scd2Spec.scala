@@ -74,6 +74,28 @@ class Scd2Spec extends SparkSpec {
     assert(at(T2) === Set((1L, "a", 7.0)))
   }
 
+  test("temporal lookup: each fact row sees the version live at its own time") {
+    import spark.implicits._
+    val h1 = Scd2.initialLoad(snap((1L, "a", 1.0), (2L, "b", 2.0)), T1)
+    val h2 = Scd2.merge(h1, snap((1L, "a", 9.0)), Seq("id"), Seq("name", "price"), T2)
+    // key 1 changed at T2; key 2 deleted at T2; key 3 never existed
+    val facts = Seq(
+      (100L, 1L, "2019-12-15 00:00:00"), // pre-history → null
+      (101L, 1L, "2020-01-15 00:00:00"), // v1 window
+      (102L, 1L, "2020-02-01 00:00:00"), // boundary → v2 (valid_to exclusive)
+      (103L, 2L, "2020-01-20 00:00:00"), // v1 window of the later-deleted key
+      (104L, 2L, "2020-03-01 00:00:00"), // after deletion → null
+      (105L, 3L, "2020-01-15 00:00:00")) // unknown key → null
+      .toDF("fact_id", "id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val out = Scd2.temporalLookup(facts, h2, Seq("id"), "ts").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(r.fieldIndex("asof"))) None
+        else Some(r.getStruct(r.fieldIndex("asof")).getDouble(1)))).toMap
+    assert(out === Map(
+      100L -> None, 101L -> Some(1.0), 102L -> Some(9.0),
+      103L -> Some(2.0), 104L -> None, 105L -> None))
+  }
+
   test("the merge plans exactly ONE equi-join — no cartesian, no per-branch re-join") {
     val h1 = Scd2.initialLoad(snap((1L, "a", 1.0), (2L, "b", 2.0)), T1)
     val df = Scd2.merge(h1, snap((1L, "a", 3.0)), Seq("id"), Seq("name", "price"), T2)
