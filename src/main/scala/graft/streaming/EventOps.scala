@@ -158,6 +158,32 @@ object EventOps extends QueryRegistry {
       .groupBy(date_trunc("day", col("t")).cast("date").as("day"))
       .agg(count_distinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
 
+  /** Day-7 cohort retention — the product-analytics staple over the event
+    * feed: users grouped by their FIRST active day, with the share active
+    * again exactly seven days later. Shape: one distinct over (user, day)
+    * (the shuffle that bounds everything downstream — activity collapses to
+    * at most one row per user-day before any join), a per-user min for the
+    * cohort day, then an equi-join back on (user, day = cohort+7). No
+    * window over raw events, no cross-day blowup — linear at any feed
+    * size. */
+  def retentionD7(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr("timestamp_micros(ts)").cast("timestamp_ntz").as("t"))
+      .select(col("user_id"), date_trunc("day", col("t")).cast("date").as("day"))
+      .distinct()
+    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    // rename the rejoined leg: both frames descend from `days`, and the
+    // rename keeps the self-join condition unambiguous (the attribution
+    // pattern)
+    val retained = days.select(col("user_id").as("r_user"), col("day").as("r_day"))
+    cohorts
+      .join(retained,
+        col("user_id") === col("r_user") &&
+          col("r_day") === date_add(col("cohort_day"), 7), "left")
+      .groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_users"), count(col("r_day")).as("n_retained_d7"))
+  }
+
   /** Per-type value stats (min/max are order-free; avg via exact cents). */
   def typeStats(events: DataFrame): DataFrame =
     events
@@ -542,6 +568,17 @@ object EventOps extends QueryRegistry {
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              count(DISTINCT user_id) AS n_users, count(*) AS n_events
       FROM events GROUP BY 1"""))),
+
+    QueryDef("events_retention_d7", (s, d) => retentionD7(events(s, d)), Some(oq("""
+      , udays AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+          FROM events),
+      ucohort AS (SELECT user_id, min(day) AS cohort_day FROM udays GROUP BY user_id)
+      SELECT c.cohort_day, count(*) AS n_users,
+             count(r.user_id) AS n_retained_d7
+      FROM ucohort c
+      LEFT JOIN udays r ON r.user_id = c.user_id AND r.day = c.cohort_day + 7
+      GROUP BY 1"""))),
 
     QueryDef("events_type_stats", (s, d) => typeStats(events(s, d)), Some(oq("""
       SELECT event_type, count(*) AS n_events,
