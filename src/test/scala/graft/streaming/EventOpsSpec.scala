@@ -172,6 +172,27 @@ class EventOpsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("D7 retention counts exactly-day-7 returners against first-day cohorts") {
+    import spark.implicits._
+    val day = 86400L * 1000000L // µs
+    val ev = Seq(
+      (1L, 0L, 1L, "click", 0.0, "{}"),            // u1 first on day 0...
+      (2L, 7 * day, 1L, "click", 0.0, "{}"),       // ...back exactly day 7 → retained
+      (3L, 0L, 2L, "click", 0.0, "{}"),            // u2 first on day 0...
+      (4L, 6 * day, 2L, "click", 0.0, "{}"),       // ...day 6 doesn't count
+      (5L, 8 * day, 2L, "click", 0.0, "{}"),       // ...day 8 doesn't either
+      (6L, 1 * day, 3L, "click", 0.0, "{}"),       // u3 cohort day 1, never returns
+      (7L, 7 * day, 4L, "click", 0.0, "{}"),       // u4 cohort day 7 (not u1's return)
+      (8L, 14 * day, 4L, "click", 0.0, "{}"))      // ...and retained on day 14
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.retentionD7(ev).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(
+      "1970-01-01" -> ((2L, 1L)),  // u1 retained, u2 not
+      "1970-01-02" -> ((1L, 0L)),  // u3
+      "1970-01-08" -> ((1L, 1L)))) // u4
+  }
+
   test("sessionization splits on >30min gaps per user") {
     import spark.implicits._
     val us = 1000000L
