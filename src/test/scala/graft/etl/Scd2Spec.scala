@@ -74,6 +74,27 @@ class Scd2Spec extends SparkSpec {
     assert(at(T2) === Set((1L, "a", 7.0)))
   }
 
+  test("streaming maintainer folds TWO snapshots landing in ONE batch in as_of order") {
+    // no maxFilesPerTrigger: both drops arrive in a single micro-batch and
+    // correctness hangs on the per-as_of ascending driver loop
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2_onebatch_").toString
+    snap((1L, "a", 1.0), (2L, "b", 2.0)).withColumn("as_of", lit(T1))
+      .coalesce(1).write.parquet(s"$base/drops/a")
+    snap((1L, "a", 9.0)).withColumn("as_of", lit(T2))
+      .coalesce(1).write.parquet(s"$base/drops/b")
+    val q = Scd2.maintainHistory(spark, s"$base/drops/*",
+        Seq("id"), Seq("name", "price"), s"$base/history")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val out = rowsOf(spark.read.parquet(s"$base/history"))
+    assert(out === Set(
+      (1L, "a", 1.0, T1, Some(T2)), // v1 of the changed key, closed at T2
+      (1L, "a", 9.0, T2, None),     // reopened by the second snapshot
+      (2L, "b", 2.0, T1, Some(T2)))) // absent from snapshot 2: closed
+  }
+
   test("temporal lookup: each fact row sees the version live at its own time") {
     import spark.implicits._
     val h1 = Scd2.initialLoad(snap((1L, "a", 1.0), (2L, "b", 2.0)), T1)
