@@ -73,8 +73,9 @@ object Bench {
     "oltp_invoice_lookup_prepared" -> 0.03, "warehouse_build" -> 8.3,
     // r9 additions, steady values from the r9 builder run
     "doc_decontaminate" -> 0.60, "doc_decontaminate_bloom" -> 0.54,
-    // r10 addition, steady value from the r10 builder run
-    "emb_pq_adc_rerank" -> 0.48)
+    // r10 additions, steady values from the r10 builder run
+    "emb_pq_adc_rerank" -> 0.48, "dim_scd2_merge" -> 0.11,
+    "fact_scd2_temporal_join" -> 1.16)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds
@@ -396,6 +397,11 @@ object Bench {
       time("events_range_join")(graft.streaming.EventOps.purchasesInErrorWindows(events))
       time("emb_quantize_int8")(graft.llm.EmbeddingOps.quantizeInt8Stats(emb))
       time("olap_pivot_month_year")(graft.olap.Olap.pivotMonthYear(w))
+      // r10 SCD2 family: the two-snapshot dim merge and the 600k-fact
+      // temporal version lookup (as-of window, one fact exchange)
+      time("dim_scd2_merge")(SparkEntry.queries("dim_product_scd2")(spark, sfDir))
+      time("fact_scd2_temporal_join")(
+        SparkEntry.queries("fact_scd2_temporal_join")(spark, sfDir))
     } finally {
       try spark.sql("DROP TABLE IF EXISTS bench_fact_by_invoice")
       catch { case _: Throwable => () }
