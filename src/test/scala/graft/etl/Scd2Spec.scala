@@ -109,12 +109,23 @@ class Scd2Spec extends SparkSpec {
       (105L, 3L, "2020-01-15 00:00:00")) // unknown key → null
       .toDF("fact_id", "id", "ts")
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
-    val out = Scd2.temporalLookup(facts, h2, Seq("id"), "ts").collect()
+    val df = Scd2.temporalLookup(facts, h2, Seq("id"), "ts")
+    val out = df.collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(r.fieldIndex("asof"))) None
         else Some(r.getStruct(r.fieldIndex("asof")).getDouble(1)))).toMap
     assert(out === Map(
       100L -> None, 101L -> Some(1.0), 102L -> Some(9.0),
       103L -> Some(2.0), 104L -> None, 105L -> None))
+    // disjoint versions → equi-join + residual: the FACT side (everything
+    // above the broadcast build of the history) must not be sorted,
+    // shuffled, or windowed — cut the plan at the BroadcastExchange, below
+    // which lives the history-build subtree with its own (dim-sized) joins
+    val plan = df.queryExecution.executedPlan.toString
+      .split("Initial Plan").head.split("BroadcastExchange").head
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
   test("the merge plans exactly ONE equi-join — no cartesian, no per-branch re-join") {
