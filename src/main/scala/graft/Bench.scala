@@ -75,7 +75,7 @@ object Bench {
     "doc_decontaminate" -> 0.60, "doc_decontaminate_bloom" -> 0.54,
     // r10 additions, steady values from the r10 builder run
     "emb_pq_adc_rerank" -> 0.48, "dim_scd2_merge" -> 0.11,
-    "fact_scd2_temporal_join" -> 1.16)
+    "fact_scd2_temporal_join" -> 1.30, "events_retention_d7" -> 0.25)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds
@@ -395,6 +395,7 @@ object Bench {
       time("events_funnel")(graft.streaming.EventOps.funnel(events))
       time("events_asof_join")(graft.streaming.EventOps.asofLastClick(events))
       time("events_range_join")(graft.streaming.EventOps.purchasesInErrorWindows(events))
+      time("events_retention_d7")(graft.streaming.EventOps.retentionD7(events))
       time("emb_quantize_int8")(graft.llm.EmbeddingOps.quantizeInt8Stats(emb))
       time("olap_pivot_month_year")(graft.olap.Olap.pivotMonthYear(w))
       // r10 SCD2 family: the two-snapshot dim merge and the 600k-fact
