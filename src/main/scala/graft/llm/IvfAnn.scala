@@ -121,7 +121,7 @@ object IvfAnnQueries extends QueryRegistry {
 
   // (x-c)^2 written as a product, not ^: DuckDB's ^ is pow(), which need not
   // be bit-identical to the multiplication the Scala kernel does
-  private val sqlDiffSq =
+  private[llm] val sqlDiffSq =
     s"(CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) * " +
       s"(CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))"
 
@@ -174,7 +174,7 @@ object IvfAnnQueries extends QueryRegistry {
     * iteration count, lower-cid tie-break); the only cross-engine freedom is
     * double-summation order inside `avg`, ~1e-13 relative — far below the
     * centroid separation that decides an argmin. */
-  private val lloyd2Ctes = s"""
+  private[llm] val lloyd2Ctes = s"""
       WITH seeds AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
                [CAST(embedding[i] AS DOUBLE) FOR i IN generate_series(1, $Dim)] AS ce

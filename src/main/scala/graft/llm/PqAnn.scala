@@ -329,6 +329,48 @@ object PqAnn extends QueryRegistry {
              CAST(CAST(round(cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
       FROM pq_rr WHERE rn <= 5"""
 
+  /** IVF-PQ oracle — the scale path gate-checked, not just spec-checked:
+    * the IVF Lloyd CTEs ([[IvfAnnQueries.lloyd2Ctes]]: trained centroids
+    * `c2`, inverted lists `a3`) composed with the PQ codebook CTEs, probes
+    * restricted to each query's 2 nearest lists, ADC via the same
+    * sequential lookup fold over ONLY those candidates. */
+  private val ivfPqOracle = s"""
+      ${IvfAnnQueries.lloyd2Ctes},
+      ${codebookCtes.replaceFirst("""\s*WITH""", "")},
+      ipq_probes_d AS (
+        SELECT e.vec_id AS query_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_sum([${IvfAnnQueries.sqlDiffSq} FOR i IN generate_series(1, 64)]), c.cid) AS rn
+        FROM embeddings e CROSS JOIN c2 c
+        WHERE e.vec_id % 100 = 0),
+      ipq_probes AS (SELECT query_id, cid FROM ipq_probes_d WHERE rn <= 2),
+      ipq_cands AS (
+        SELECT p.query_id, a.vec_id
+        FROM ipq_probes p JOIN a3 a ON p.cid = a.cid
+        WHERE a.vec_id <> p.query_id),
+      ipq_qt AS (
+        SELECT q.vec_id AS query_id, c.s, c.cid,
+               list_sum([${subDiffSq("q", "c")} FOR i IN generate_series(1, $Sub)]) AS d
+        FROM embeddings q CROSS JOIN pq_c1 c
+        WHERE q.vec_id % 100 = 0),
+      ipq_qtab AS (
+        SELECT query_id, list(d ORDER BY s, cid) AS tab FROM ipq_qt GROUP BY query_id),
+      ipq_carr AS (
+        SELECT vec_id, list(cid ORDER BY s) AS cds FROM pq_codes GROUP BY vec_id),
+      ipq_adc AS (
+        SELECT cd.query_id, cd.vec_id AS neighbor_id,
+               list_sum([t.tab[s * $K + v.cds[s + 1] + 1]
+                         FOR s IN generate_series(0, ${M - 1})]) AS adc
+        FROM ipq_cands cd
+        JOIN ipq_qtab t ON t.query_id = cd.query_id
+        JOIN ipq_carr v ON v.vec_id = cd.vec_id),
+      ipq_ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+        FROM ipq_adc)
+      SELECT query_id, neighbor_id,
+             CAST(CAST(round(adc, 6) AS DECIMAL(18,6)) AS DOUBLE) AS adc_dist
+      FROM ipq_ranked WHERE rn <= 5"""
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("emb_pq_codes", (s, d) => {
       val e = EmbeddingOps.emb(s, d)
@@ -341,5 +383,9 @@ object PqAnn extends QueryRegistry {
     QueryDef("emb_pq_adc_rerank", (s, d) => {
       val e = EmbeddingOps.emb(s, d)
       searchAdcRerank(e, train(e))
-    }, Some(adcRerankOracle)))
+    }, Some(adcRerankOracle)),
+    QueryDef("emb_ivfpq_search", (s, d) => {
+      val e = EmbeddingOps.emb(s, d)
+      searchIvfAdc(e, IvfAnn.train(e), train(e))
+    }, Some(ivfPqOracle)))
 }
