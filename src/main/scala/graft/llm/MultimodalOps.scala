@@ -77,7 +77,50 @@ object MultimodalOps extends QueryRegistry {
           .as("byte_offset"))
   }
 
+  /** Frame-level exact dedup — the keyframe dedup a video pipeline runs
+    * before paying decode cost: each sampled frame's byte window hashed
+    * (over its hex text, identical in both engines) and grouped, duplicate
+    * windows collapsing to the smallest doc id. Narrow explode + one
+    * digest-keyed aggregate — media bytes never shuffle, only digests. */
+  def frameDedup(spark: SparkSession, dir: String, every: Int = 5): DataFrame = {
+    val frames = (length(col("media")) % 30).cast("long")
+    val idx = when(frames > 0, sequence(lit(0L), frames - 1, lit(every.toLong)))
+      .otherwise(expr("array()"))
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("media"),
+        length(col("media")).cast("long").as("n_bytes"), frames.as("n_frames"),
+        explode(idx).as("frame_idx"))
+      // the window slices the HEX text (2 chars/byte): DuckDB has no BLOB
+      // substring, and the hex round-trip is engine-identical either way
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(
+          "substring(hex(media), frame_idx * (n_bytes div n_frames) * 2 + 1, (n_bytes div n_frames) * 2)"))
+          .as("frame_hash"))
+      .groupBy("frame_hash")
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min("doc_id").as("keep_doc_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("multimodal_frame_dedup", (s, d) => frameDedup(s, d), Some(oq("""
+      , fgeom AS (
+          SELECT doc_id, text::BLOB AS media,
+                 CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+                 CAST(octet_length(text::BLOB) % 30 AS BIGINT) AS n_frames
+          FROM documents),
+      fwin AS (
+          SELECT doc_id, f.frame_idx,
+                 md5(substring(hex(media),
+                   CAST(f.frame_idx * (n_bytes // n_frames) * 2 AS BIGINT) + 1,
+                   CAST((n_bytes // n_frames) * 2 AS BIGINT))) AS frame_hash
+          FROM fgeom, unnest(generate_series(0, n_frames - 1, 5)) AS f(frame_idx)
+          WHERE n_frames > 0)
+      SELECT frame_hash, count(*) AS n_copies,
+             count(DISTINCT doc_id) AS n_docs,
+             min(doc_id) AS keep_doc_id
+      FROM fwin GROUP BY 1"""))),
+
     QueryDef("multimodal_meta",
       (s, d) => mediaTable(s, d).select(
         col("doc_id"), col("meta.mime").as("mime"),

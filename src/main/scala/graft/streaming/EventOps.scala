@@ -207,6 +207,33 @@ object EventOps extends QueryRegistry {
       .agg(count(lit(1)).as("n_events"), sum("new_s").as("n_sessions"))
   }
 
+  /** Per-session rollup — the sessionizer extended to session-grain facts:
+    * each (user, session) with its bounds, event count, and exact-cents
+    * purchase revenue. The running `sum(new_s)` over the SAME window that
+    * detects gaps assigns the session id, so everything still rides one
+    * `user_id` shuffle; the session aggregate groups on (user, sid) — the
+    * key the window already clustered. */
+  def sessionFacts(events: DataFrame): DataFrame = {
+    val wnd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000L
+    events
+      .withColumn("new_s",
+        when(lag(col("ts"), 1).over(wnd).isNull ||
+          col("ts") - lag(col("ts"), 1).over(wnd) > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum("new_s").over(
+        wnd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(
+        min("ts").as("start_us"), max("ts").as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", cents).otherwise(0L))
+          .as("purchase_cents"))
+      .select(col("user_id"), col("sid"),
+        expr("timestamp_micros(start_us)").cast("timestamp_ntz").as("start_t"),
+        expr("timestamp_micros(end_us)").cast("timestamp_ntz").as("end_t"),
+        col("n_events"), col("purchase_cents"))
+  }
+
   /** Ordered conversion funnel: first view → first click STRICTLY AFTER it →
     * first purchase strictly after that, collapsed to stage counts and
     * conversion rates. The three whole-partition windows share one shuffle on
@@ -568,6 +595,28 @@ object EventOps extends QueryRegistry {
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              count(DISTINCT user_id) AS n_users, count(*) AS n_events
       FROM events GROUP BY 1"""))),
+
+    QueryDef("events_session_facts", (s, d) => sessionFacts(events(s, d)), Some(oq("""
+      , sflag2 AS (
+          SELECT user_id, event_id, ts, event_type, value,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+      sgrp2 AS (
+          SELECT user_id, ts, event_type, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM sflag2)
+      SELECT user_id, CAST(sid AS BIGINT) AS sid,
+             CAST(min(ts) AS TIMESTAMP) AS start_t,
+             CAST(max(ts) AS TIMESTAMP) AS end_t,
+             count(*) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS purchase_cents
+      FROM sgrp2 GROUP BY user_id, sid"""))),
 
     QueryDef("events_retention_d7", (s, d) => retentionD7(events(s, d)), Some(oq("""
       , udays AS (
