@@ -158,6 +158,32 @@ object EventOps extends QueryRegistry {
       .groupBy(date_trunc("day", col("t")).cast("date").as("day"))
       .agg(count_distinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
 
+  /** Hourly volume anomalies — ops-monitoring over the event feed: each
+    * (type, hour) cell z-scored against its type's hourly distribution,
+    * flagged beyond 3σ. All statistics stay EXACT integers (count, sum,
+    * sum-of-squares over hourly counts) until one final arithmetic chain
+    * `(x*n - s) / n / sqrt((n*ssq - s*s) / (n*(n-1)))` written IDENTICALLY
+    * in both engines — exact integer operands through the same IEEE
+    * operation sequence give bit-identical z-scores, where stddev_samp's
+    * engine-internal accumulation order would not. The stats frame is
+    * |types| rows and broadcasts back onto the (already tiny) hourly
+    * series. */
+  def hourlyAnomalies(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), eventTime)
+      .groupBy(col("event_type"), date_trunc("hour", col("t")).as("hour"))
+      .agg(count(lit(1)).as("x"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("ssq"))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .filter(col("n") > 1)
+      .select(col("event_type"), col("hour"), col("x").as("n_events"),
+        round(expr(
+          "(x * n - s) / n / sqrt((n * ssq - s * s) / (n * (n - 1)))"), 6).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 3.0)
+  }
+
   /** Day-7 cohort retention — the product-analytics staple over the event
     * feed: users grouped by their FIRST active day, with the share active
     * again exactly seven days later. Shape: one distinct over (user, day)
@@ -595,6 +621,19 @@ object EventOps extends QueryRegistry {
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              count(DISTINCT user_id) AS n_users, count(*) AS n_events
       FROM events GROUP BY 1"""))),
+
+    QueryDef("events_hourly_anomalies", (s, d) => hourlyAnomalies(events(s, d)), Some(oq("""
+      , ahourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS x
+          FROM events GROUP BY 1, 2),
+      astats AS (
+          SELECT event_type, count(*) AS n, sum(x) AS s, sum(x * x) AS ssq
+          FROM ahourly GROUP BY 1)
+      SELECT h.event_type, h.hour, h.x AS n_events,
+             round((h.x * t.n - t.s) / t.n / sqrt((t.n * t.ssq - t.s * t.s) / (t.n * (t.n - 1))), 6) AS z,
+             abs(round((h.x * t.n - t.s) / t.n / sqrt((t.n * t.ssq - t.s * t.s) / (t.n * (t.n - 1))), 6)) > 3.0 AS is_anomaly
+      FROM ahourly h JOIN astats t ON h.event_type = t.event_type
+      WHERE t.n > 1"""))),
 
     QueryDef("events_session_facts", (s, d) => sessionFacts(events(s, d)), Some(oq("""
       , sflag2 AS (
