@@ -193,6 +193,34 @@ class EventOpsSpec extends SparkSpec {
       "1970-01-08" -> ((1L, 1L)))) // u4
   }
 
+  test("session facts attribute purchase revenue to the containing session") {
+    import spark.implicits._
+    val m = 60L * 1000000L // minute in µs
+    val ev = Seq(
+      (1L, 0L * m, 7L, "click", 0.0, "{}"),
+      (2L, 10L * m, 7L, "purchase", 2.5, "{}"),     // session 1: 250 cents
+      (3L, 50L * m, 7L, "purchase", 1.0, "{}"),     // >30min gap → session 2
+      (4L, 55L * m, 7L, "click", 9.9, "{}"))        // click value is NOT revenue
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.sessionFacts(ev).collect()
+      .map(r => r.getLong(1) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(out === Map(1L -> ((2L, 250L)), 2L -> ((2L, 100L))))
+  }
+
+  test("hourly anomalies: a single spiked hour flags at |z| > 3, steady hours don't") {
+    import spark.implicits._
+    val h = 3600L * 1000000L
+    // 20 steady hours of 1 event + one hour with 30: the spike dominates
+    val steady = (0 until 20).map(i => (i.toLong, i * h, 1L, "click", 0.0, "{}"))
+    val spike = (0 until 30).map(i => (100L + i, 20 * h + i * 1000L, 1L, "click", 0.0, "{}"))
+    val ev = (steady ++ spike)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.hourlyAnomalies(ev).collect()
+      .map(r => r.getLong(2) -> r.getBoolean(4)).toMap
+    assert(out(30L) === true)   // the spiked hour
+    assert(out(1L) === false)   // steady hours
+  }
+
   test("sessionization splits on >30min gaps per user") {
     import spark.implicits._
     val us = 1000000L
