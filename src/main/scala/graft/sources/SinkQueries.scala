@@ -101,6 +101,43 @@ object SinkQueries extends QueryRegistry {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
   }
 
+  /** Incremental index refresh round trip (r10): the layout grows by an
+    * appended drop AND loses a compacted-away file after the index was
+    * built; [[SkippingIndex.refresh]] restats ONLY the new file, and the
+    * pruned read through the refreshed index must still aggregate exactly
+    * what the oracle computes over the surviving rows. A stale index
+    * (missing the append, or keeping the vanished file) hash-mismatches. */
+  private def skippingRefreshAgg(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sink_sidx_").toString
+    val ev = graft.streaming.EventOps.events(s, dir)
+    // v1 layout: the even-id half as two DATA-DETERMINED files (ids ≡0 and
+    // ≡2 mod 4) so the later deletion removes a row set the oracle can name
+    ev.filter(col("event_id") % 4 === 0).coalesce(1).write.parquet(s"$out/events_s")
+    ev.filter(col("event_id") % 4 === 2)
+      .coalesce(1).write.mode("append").parquet(s"$out/events_s")
+    val idx0 = SkippingIndex.build(s, s"$out/events_s", Seq("user_id", "value"))
+      .cache() // pin the pre-change stats: refresh must not rescan these
+    idx0.count()
+    // layout change 1: append the odd-id half as one new file
+    ev.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(s"$out/events_s")
+    // layout change 2: the ids≡0-mod-4 file vanishes (compaction/vacuum);
+    // identified by CONTENT, so the removed row set is exactly id % 4 = 0
+    val hconf = s.sessionState.newHadoopConf()
+    val v1Files = idx0.select("file").collect().map(_.getString(0))
+    val dropped = v1Files.find { f =>
+      s.read.parquet(f).select("event_id").head().getLong(0) % 4 == 0
+    }.get
+    new org.apache.hadoop.fs.Path(dropped).getFileSystem(hconf)
+      .delete(new org.apache.hadoop.fs.Path(dropped), false)
+    val idx = SkippingIndex.refresh(s, s"$out/events_s", idx0, Seq("user_id", "value"))
+    SkippingIndex.prunedRead(s, s"$out/events_s", idx,
+        Seq(SkippingIndex.Box("user_id", 30L, 60L), SkippingIndex.Box("value", 20.0, 120.0)))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+  }
+
   /** Z-order layout round trip: events re-clustered on (user_id, value),
     * read back through a 2-d box predicate + aggregate. The oracle sees the
     * ORIGINAL table — a lost, duplicated, or value-mangled row anywhere in
@@ -137,5 +174,13 @@ object SinkQueries extends QueryRegistry {
       SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       FROM events
-      WHERE user_id BETWEEN 30 AND 60 AND value BETWEEN 20.0 AND 120.0"""))))
+      WHERE user_id BETWEEN 30 AND 60 AND value BETWEEN 20.0 AND 120.0"""))),
+
+    // survivors = everything except the vacuumed ids≡0-mod-4 file's rows
+    QueryDef("sink_skipping_refresh_agg", skippingRefreshAgg, Some(graft.oracle.OracleSql.q("""
+      SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events
+      WHERE user_id BETWEEN 30 AND 60 AND value BETWEEN 20.0 AND 120.0
+        AND event_id % 4 <> 0"""))))
 }

@@ -40,6 +40,39 @@ object SkippingIndex {
         cols.flatMap(c => Seq(
           min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
 
+  /** Incremental index maintenance — the manifest-refresh operation a
+    * growing layout needs: stats are computed ONLY for files the index has
+    * not seen (an append's marginal cost is its own files, never a rescan),
+    * and rows for files no longer on disk (compacted/vacuumed away) drop
+    * out. File listings are driver-resident metadata on both sides — the
+    * same shape every planner's file index already holds; no data is read
+    * for unchanged files. */
+  def refresh(spark: SparkSession, path: String, index: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    // a refresh is called precisely because files changed OUT OF BAND
+    // (append/compaction/vacuum by another writer): invalidate Spark's
+    // cached listings/footers for the path first, else the session can
+    // keep serving vanished files (observed: a stale read returned a
+    // deleted file's rows)
+    spark.catalog.refreshByPath(path)
+    val current = spark.read.parquet(path).inputFiles.toSet // listing only, no job
+    val known = index.select("file").collect().map(_.getString(0)).toSet
+    val added = (current -- known).toSeq.sorted
+    val kept = index.join(
+      current.intersect(known).toSeq.toDF("file"), Seq("file"), "left_semi")
+    if (added.isEmpty) kept
+    else {
+      val schema = spark.read.parquet(path).schema
+      val addedStats = spark.read.schema(schema).parquet(added: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(
+            min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+      kept.unionByName(addedStats)
+    }
+  }
+
   /** An inclusive box predicate on an indexed column. */
   final case class Box(column: String, lo: Any, hi: Any)
 

@@ -52,4 +52,27 @@ class SkippingIndexSpec extends SparkSpec {
     assert(pruned.count() === 0)
     assert(pruned.columns.toSeq === Seq("id", "v"))
   }
+
+  test("refresh restats only new files and drops vanished ones — equal to a full rebuild") {
+    val out = Files.createTempDirectory("graft_skip_refresh_").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").coalesce(1).write.parquet(s"$out/d")
+    Seq((3L, 30L), (4L, 40L)).toDF("id", "v").coalesce(1).write.mode("append").parquet(s"$out/d")
+    val idx0 = SkippingIndex.build(spark, s"$out/d", Seq("v")).cache()
+    idx0.count()
+    // append a third file; vacuum the file holding v=30..40 (found by content)
+    Seq((5L, 50L), (6L, 60L)).toDF("id", "v").coalesce(1).write.mode("append").parquet(s"$out/d")
+    val dropped = idx0.filter(col("v_min") === 30L).select("file").head().getString(0)
+    new org.apache.hadoop.fs.Path(dropped)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(dropped), false)
+    val refreshed = SkippingIndex.refresh(spark, s"$out/d", idx0, Seq("v"))
+    // the reference rebuild must not see the session's stale listing either
+    spark.catalog.refreshByPath(s"$out/d")
+    val rebuilt = SkippingIndex.build(spark, s"$out/d", Seq("v"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(norm(refreshed) === norm(rebuilt))
+    assert(!refreshed.collect().map(_.getString(0)).contains(dropped))
+    assert(norm(refreshed).exists(_._3 == 50L)) // the appended file restatted
+  }
 }
