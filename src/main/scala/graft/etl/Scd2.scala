@@ -163,6 +163,9 @@ object Scd2 extends QueryRegistry {
           merged.write.mode("overwrite").parquet(tmp.toString)
           if (fs.exists(dest)) fs.delete(dest, true)
           fs.rename(tmp, dest)
+          // the swap changed the path's files out of band — invalidate any
+          // cached listing before the next snapshot's merge re-reads it
+          spark.catalog.refreshByPath(historyPath)
         }
         ()
       }

@@ -96,6 +96,9 @@ object IncrementalEtl extends QueryRegistry {
         merged.write.mode("overwrite").parquet(tmp.toString)
         if (fs.exists(dest)) fs.delete(dest, true)
         fs.rename(tmp, dest)
+        // the swap changed the path's files out of band — invalidate any
+        // cached listing so the NEXT batch's merge reads the new summary
+        spark.catalog.refreshByPath(summaryPath)
         ()
       }
   }
