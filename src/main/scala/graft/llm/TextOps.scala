@@ -586,6 +586,43 @@ object TextOps extends QueryRegistry {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** Cross-document segment containment — partial-copy detection at the
+    * paragraph grain whole-document hashing misses: doc pairs sharing
+    * segment digests, scored `shared / min(|segs_a|, |segs_b|)` (the
+    * containment coefficient — 1.0 = one doc's segments all appear in the
+    * other, the quotation/subset case Jaccard under-scores). Pairs come
+    * ONLY from the digest equi-join (never doc × doc), corpus-boilerplate
+    * digests (freq > maxFreq across docs) are dropped before pairing — the
+    * same hot-key control as [[segmentDedup]], which also bounds the join's
+    * per-digest fan-out — and all scores are exact-integer ratios with one
+    * final division, identical in both engines. */
+  def segmentContainment(docs: DataFrame, segWords: Int = SegWords,
+      maxFreq: Long = SegMaxFreq, threshold: Double = 0.25): DataFrame = {
+    val ws = words
+    val nSeg = ceil(size(ws).cast("double") / segWords).cast("int")
+    val segged = docs.select(col("doc_id"),
+      transform(sequence(lit(0), nSeg - lit(1)),
+        i => array_join(slice(ws, i * segWords + 1, lit(segWords)), " ")).as("segments"))
+    val segs = spread(segged)
+      .select(col("doc_id"), explode(col("segments")).as("segment"))
+      .select(col("doc_id"), md5(col("segment")).as("d"))
+      .distinct()
+    val sizes = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+    val hot = segs.groupBy("d").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxFreq)
+    val clean = segs.join(hot, Seq("d"), "left_anti")
+    val shared = clean.select(col("d"), col("doc_id").as("doc_a"))
+      .join(clean.select(col("d"), col("doc_id").as("doc_b")), Seq("d"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_segs").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_segs").as("nb")), Seq("doc_b"))
+      .filter(col("n_shared") / least(col("na"), col("nb")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("na"), col("nb"),
+        round(col("n_shared") / least(col("na"), col("nb")), 6).as("containment"))
+  }
+
   /** The keep/drop filter cascade (a RefinedWeb/FineWeb-style curation
     * gate): rules evaluate in priority order and a dropped document carries
     * the FIRST failing rule as its reject reason — the same prioritized
@@ -1589,6 +1626,26 @@ object TextOps extends QueryRegistry {
              CAST(count(CASE WHEN f.freq > $SegMaxFreq THEN 1 END) AS BIGINT) AS n_dropped
       FROM sgs s JOIN sgf f ON md5(s.segment) = f.d
       GROUP BY s.doc_id"""))),
+
+    QueryDef("doc_segment_containment", (s, d) => segmentContainment(docs(s, d)), Some(oq(s"""
+      , scw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      scs AS (
+        SELECT DISTINCT doc_id,
+               md5(array_to_string(ws[start:least(start + ${SegWords - 1}, len(ws))], ' ')) AS d
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws), $SegWords)) AS start FROM scw)),
+      scn AS (SELECT doc_id, count(*) AS n_segs FROM scs GROUP BY 1),
+      schot AS (SELECT d FROM scs GROUP BY d HAVING count(*) > $SegMaxFreq),
+      scc AS (SELECT * FROM scs WHERE d NOT IN (SELECT d FROM schot)),
+      scp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM scc a JOIN scc b ON a.d = b.d AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT p.doc_a, p.doc_b, p.n_shared, x.n_segs AS na, y.n_segs AS nb,
+             round(p.n_shared / least(x.n_segs, y.n_segs), 6) AS containment
+      FROM scp p
+      JOIN scn x ON x.doc_id = p.doc_a
+      JOIN scn y ON y.doc_id = p.doc_b
+      WHERE p.n_shared / least(x.n_segs, y.n_segs) >= 0.25"""))),
 
     QueryDef("doc_salient_terms", (s, d) => salientTerms(docs(s, d)), Some(oq("""
       , toks AS (
