@@ -47,10 +47,20 @@ object Scd2 extends QueryRegistry {
   def merge(history: DataFrame, snapshot: DataFrame, keys: Seq[String],
       attrs: Seq[String], asOf: String, closeDeletes: Boolean = true): DataFrame = {
     val outCols = (keys ++ attrs :+ "valid_from" :+ "valid_to").map(col)
-
     val closed = history.filter(col("valid_to").isNotNull).select(outCols: _*)
-    val current = history.filter(col("valid_to").isNull)
+    closed.unionByName(foldEmitted(history.filter(col("valid_to").isNull),
+      snapshot, keys, attrs, asOf, closeDeletes))
+  }
 
+  /** The single-fold kernel shared by [[merge]] and the segmented store:
+    * folds `snapshot` against the OPEN version set only and returns every
+    * version the fold touches — kept-open, closed-at-asOf, and newly
+    * opened. Previously-closed history never enters (the caller owns it),
+    * which is exactly what makes the append-only segment layout's per-drop
+    * cost O(current dim). */
+  private def foldEmitted(current: DataFrame, snapshot: DataFrame,
+      keys: Seq[String], attrs: Seq[String], asOf: String,
+      closeDeletes: Boolean): DataFrame = {
     // prefix-rename both sides so the full-outer join is unambiguous
     val c = current.select(
       keys.map(k => col(k).as(s"k_$k")) ++
@@ -84,13 +94,10 @@ object Scd2 extends QueryRegistry {
         tsLit(asOf).as("valid_from") :+
         nullTs.as("valid_to"): _*)
     val openNow = sExists && (!cExists || changed)
-    val emitted = j
-      .select(explode(filter(array(
+    j.select(explode(filter(array(
         when(cExists, currentVersion),
         when(openNow, newVersion)), x => x.isNotNull)).as("r"))
       .select((keys ++ attrs :+ "valid_from" :+ "valid_to").map(n => col(s"r.$n")): _*)
-
-    closed.unionByName(emitted)
   }
 
   /** Point-in-time read: the dimension as it stood at `asOf`. */
@@ -127,18 +134,162 @@ object Scd2 extends QueryRegistry {
       .drop(keys.map(k => s"_k_$k") ++ pFields.map(c => s"_h_$c"): _*)
   }
 
-  /** Continuous dimension maintenance (the streaming face of [[merge]]):
-    * a drop directory of snapshot files, each row stamped with its
-    * snapshot's effective timestamp in an `as_of` column — the timestamp
-    * belongs IN the feed, not to arrival wall-clock, so replays and
-    * multi-snapshot batches stay deterministic. Each micro-batch folds its
-    * snapshots into the stored history in ascending `as_of` order (a batch
-    * may carry several drops; the per-`as_of` driver loop is
-    * snapshot-count-sized). The history store uses the same
-    * write-to-sibling-then-swap discipline as
-    * [[graft.streaming.IncrementalEtl.maintainMonthCountry]]: the stored
-    * table is never input and output of one job, and a crash leaves a
-    * recoverable state, never a half-written history. */
+  // ---------------------------------------------------------------------
+  // Segmented history store (r11, VERDICT r10 #1b). The r10 store rewrote
+  // the ENTIRE history parquet per snapshot drop — correct, but O(full
+  // history) per drop at deep history. This layout makes the per-drop cost
+  // O(current dim) and nothing else:
+  //
+  //   <root>/closed/seg_<fold>/   versions closed by fold <fold>; written
+  //                               once, NEVER rewritten (append-only)
+  //   <root>/open_<fold>/         the full open-version set after fold
+  //                               <fold> (dim-sized; prior one deleted
+  //                               after commit)
+  //   <root>/_commit              tiny manifest: "<fold>\n<as_of>" — the
+  //                               ONE mutable object; a fold exists only
+  //                               once named here
+  //
+  // A fold runs ONE Spark job: [[foldEmitted]] over open_<i> + snapshot,
+  // written partitioned by open/closed state, then two metadata renames
+  // install the parts and the commit swap publishes them. Crash-safety: a
+  // crash before the commit swap leaves _commit at fold i, so the reader
+  // ignores any orphaned seg_/open_ dirs > i and the retried fold deletes
+  // and rewrites them. Closed segments named ≤ the committed fold are
+  // immutable forever (spec-pinned byte-stable), so history readers can
+  // cache/index them incrementally, and cached file listings can never go
+  // stale: every committed path is written exactly once.
+  // ---------------------------------------------------------------------
+
+  private def tsOf(asOf: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(asOf)
+
+  private final case class Commit(fold: Int, asOf: String)
+
+  private def fsOf(spark: SparkSession, root: String) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def readCommit(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Commit] = {
+    val c = new org.apache.hadoop.fs.Path(root, "_commit")
+    val tmp = new org.apache.hadoop.fs.Path(root, "_commit.tmp")
+    // the swap window: tmp written, old commit deleted, rename pending —
+    // roll the tmp forward so the committed fold is never lost
+    if (!fs.exists(c) && fs.exists(tmp)) fs.rename(tmp, c)
+    if (!fs.exists(c)) None
+    else {
+      val in = fs.open(c)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split("\n").toList match {
+        case fold :: asOf :: _ => Some(Commit(fold.trim.toInt, asOf.trim))
+        case _ => throw new IllegalStateException(
+          s"corrupt SCD2 commit manifest at $c: '$txt'")
+      }
+    }
+  }
+
+  private def writeCommit(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, commit: Commit): Unit = {
+    val c = new org.apache.hadoop.fs.Path(root, "_commit")
+    val tmp = new org.apache.hadoop.fs.Path(root, "_commit.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"${commit.fold}\n${commit.asOf}\n".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(c)) fs.delete(c, false)
+    fs.rename(tmp, c)
+  }
+
+  /** Fold one snapshot into the segmented store at `root` (creating it on
+    * first use). Ordering contract (ADVICE r10): drops must arrive in
+    * ascending `asOf` — a fold at the COMMITTED `asOf` is an at-least-once
+    * replay of work already done and is skipped idempotently; a fold
+    * strictly behind it would corrupt the interval history and fails
+    * loudly. Returns true when the fold was applied, false when skipped. */
+  def foldSnapshot(spark: SparkSession, snapshot: DataFrame, asOf: String,
+      keys: Seq[String], attrs: Seq[String], root: String,
+      closeDeletes: Boolean = true): Boolean = {
+    val (fs, rootP) = fsOf(spark, root)
+    fs.mkdirs(rootP)
+    val committed = readCommit(fs, rootP)
+    if (committed.exists(_.asOf == asOf)) return false // replayed committed fold
+    committed.foreach { c =>
+      if (!tsOf(asOf).after(tsOf(c.asOf))) throw new IllegalStateException(
+        s"SCD2 store at $root is committed through as_of ${c.asOf}; " +
+          s"folding $asOf would write versions with valid_to earlier than " +
+          "valid_from — snapshot drops must arrive in ascending as_of order")
+    }
+    val next = committed.map(_.fold + 1).getOrElse(1)
+    val tmp = new org.apache.hadoop.fs.Path(rootP, "_fold.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+
+    val snapCols = snapshot.select((keys ++ attrs).map(col): _*)
+    val emitted = committed match {
+      case None => initialLoad(snapCols, asOf)
+      case Some(c) => foldEmitted(
+        spark.read.parquet(s"$root/open_${c.fold}"),
+        snapCols, keys, attrs, asOf, closeDeletes)
+    }
+    emitted
+      .withColumn("_state", when(col("valid_to").isNull, "open").otherwise("closed"))
+      .write.partitionBy("_state").parquet(tmp.toString)
+
+    // install the parts: pure renames, no data rewrite. Dirs named `next`
+    // can only be debris of a crashed uncommitted attempt — safe to drop.
+    val closedPart = new org.apache.hadoop.fs.Path(tmp, "_state=closed")
+    if (fs.exists(closedPart)) {
+      val segDest = new org.apache.hadoop.fs.Path(rootP, f"closed/seg_$next%06d")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(rootP, "closed"))
+      if (fs.exists(segDest)) fs.delete(segDest, true)
+      fs.rename(closedPart, segDest)
+    }
+    val openPart = new org.apache.hadoop.fs.Path(tmp, "_state=open")
+    val openDest = new org.apache.hadoop.fs.Path(rootP, s"open_$next")
+    if (fs.exists(openDest)) fs.delete(openDest, true)
+    if (fs.exists(openPart)) fs.rename(openPart, openDest)
+    else // every key closed (e.g. an empty snapshot): the open set is empty
+      initialLoad(snapCols.limit(0), asOf).write.parquet(openDest.toString)
+
+    writeCommit(fs, rootP, Commit(next, asOf))
+    // the previous open set is garbage now (its closed rows live in the
+    // new segment, its still-open rows in open_<next>)
+    committed.foreach(c =>
+      fs.delete(new org.apache.hadoop.fs.Path(rootP, s"open_${c.fold}"), true))
+    fs.delete(tmp, true)
+    true
+  }
+
+  /** The full version history of a segmented store: the committed open set
+    * plus every committed closed segment. Orphans of a crashed fold (dirs
+    * numbered past the commit) are never read. */
+  def readHistory(spark: SparkSession, root: String): DataFrame = {
+    val (fs, rootP) = fsOf(spark, root)
+    val c = readCommit(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"no committed SCD2 history at $root"))
+    val open = spark.read.parquet(s"$root/open_${c.fold}")
+    val closedDir = new org.apache.hadoop.fs.Path(rootP, "closed")
+    val segs =
+      if (!fs.exists(closedDir)) Seq.empty
+      else fs.listStatus(closedDir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("seg_") &&
+          p.getName.stripPrefix("seg_").toInt <= c.fold)
+        .map(_.toString).sorted
+    if (segs.isEmpty) open
+    else open.unionByName(spark.read.parquet(segs: _*))
+  }
+
+  /** Continuous dimension maintenance (the streaming face of
+    * [[foldSnapshot]]): a drop directory of snapshot files, each row
+    * stamped with its snapshot's effective timestamp in an `as_of` column —
+    * the timestamp belongs IN the feed, not to arrival wall-clock, so
+    * replays and multi-snapshot batches stay deterministic. Each
+    * micro-batch folds its snapshots into the segmented store in ascending
+    * `as_of` order (a batch may carry several drops; the per-`as_of` driver
+    * loop is snapshot-count-sized). Crash/replay safety comes from the
+    * store itself: a replayed batch's already-committed folds skip
+    * idempotently, and per-drop cost is O(current dim) however deep the
+    * closed history grows. Read the result with [[readHistory]]. */
   def maintainHistory(spark: SparkSession, dropDir: String, keys: Seq[String],
       attrs: Seq[String], historyPath: String,
       maxFilesPerTrigger: Option[Int] = None)
@@ -153,19 +304,8 @@ object Scd2 extends QueryRegistry {
         val asOfs = batch.select("as_of").distinct()
           .collect().map(_.getString(0)).sorted
         asOfs.foreach { asOf =>
-          val snapshot = batch.filter(col("as_of") === asOf).drop("as_of")
-          val dest = new org.apache.hadoop.fs.Path(historyPath)
-          val tmp = new org.apache.hadoop.fs.Path(historyPath + ".tmp")
-          val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
-          val merged =
-            if (!fs.exists(dest)) initialLoad(snapshot, asOf)
-            else merge(spark.read.parquet(historyPath), snapshot, keys, attrs, asOf)
-          merged.write.mode("overwrite").parquet(tmp.toString)
-          if (fs.exists(dest)) fs.delete(dest, true)
-          fs.rename(tmp, dest)
-          // the swap changed the path's files out of band — invalidate any
-          // cached listing before the next snapshot's merge re-reads it
-          spark.catalog.refreshByPath(historyPath)
+          foldSnapshot(spark, batch.filter(col("as_of") === asOf).drop("as_of"),
+            asOf, keys, attrs, historyPath)
         }
         ()
       }
@@ -200,8 +340,8 @@ object Scd2 extends QueryRegistry {
 
   /** Streaming roundtrip: the SAME two snapshots delivered as `as_of`-
     * stamped drops through [[maintainHistory]] (one-file micro-batches, so
-    * the second snapshot exercises the read-merge-swap path against the
-    * stored history), read back — must equal the batch merge row-for-row,
+    * the second snapshot exercises a real fold against the committed
+    * segmented store), read back — must equal the batch merge row-for-row,
     * so it shares `dim_product_scd2`'s oracle. */
   private def streamScd2Roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val (v1, v2) = productSnapshots(Warehouse(spark, dir))
@@ -221,7 +361,7 @@ object Scd2 extends QueryRegistry {
       throw new IllegalStateException(
         "stream_scd2_roundtrip did not finish within 300 s; history is partial")
     }
-    spark.read.parquet(s"$base/history")
+    readHistory(spark, s"$base/history")
       .withColumn("unitprice", col("unitprice").cast("double"))
   }
 
@@ -251,6 +391,102 @@ object Scd2 extends QueryRegistry {
         col("asof.valid_from").as("version_from"))
   }
 
+  private val CT1 = "2021-01-01 00:00:00"
+  private val CT2 = "2021-02-01 00:00:00"
+  private val CT3 = "2021-03-01 00:00:00"
+  private val CT4 = "2021-04-01 00:00:00"
+
+  /** Multi-attribute churn for the customer dim (r11, VERDICT r10 #1a):
+    * TWO tracked attributes across THREE distinct snapshots, churn derived
+    * from the data (cid = the numeric customerid):
+    *   v2: every 3rd customer relocates (country suffix), every 5th gets a
+    *       name title — keys divisible by 15 change both attrs at once;
+    *   v3 (state on top of v2): every 7th customer deleted, every 4th
+    *       moves to 'Atlantis'. */
+  private def customerSnapshots(w: Warehouse): (DataFrame, DataFrame, DataFrame) = {
+    val cid = col("customerid").cast("long")
+    val v1 = w.dimCustomer.select("customerid", "customername", "country")
+    val v2 = v1
+      .withColumn("customername",
+        when(cid % 5 === 0, concat(lit("Dr. "), col("customername")))
+          .otherwise(col("customername")))
+      .withColumn("country",
+        when(cid % 3 === 0, concat(col("country"), lit(" (Relocated)")))
+          .otherwise(col("country")))
+    val v3 = v2.filter(cid % 7 =!= 0)
+      .withColumn("country",
+        when(cid % 4 === 0, lit("Atlantis")).otherwise(col("country")))
+    (v1, v2, v3)
+  }
+
+  private val custKeys = Seq("customerid")
+  private val custAttrs = Seq("customername", "country")
+
+  /** Batch path: four chained merges over the generic `attrs` API — the
+    * fourth folds v3 AGAIN at a later asOf, gate-proving that an unchanged
+    * snapshot is a no-op (no spurious versions) at the oracle, not just in
+    * Scd2Spec. */
+  private def customerScd2Multi(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2, v3) = customerSnapshots(Warehouse(spark, dir))
+    val h2 = merge(initialLoad(v1, CT1), v2, custKeys, custAttrs, CT2)
+    val h3 = merge(h2, v3, custKeys, custAttrs, CT3)
+    merge(h3, v3, custKeys, custAttrs, CT4)
+  }
+
+  /** The SAME four folds through the segmented store — gate-proving the
+    * append-only layout end-to-end (initial load, two real folds, one
+    * no-op fold) against the identical row-by-row oracle. */
+  private def customerScd2Store(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2, v3) = customerSnapshots(Warehouse(spark, dir))
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2_store_").toString + "/hist"
+    foldSnapshot(spark, v1, CT1, custKeys, custAttrs, root)
+    foldSnapshot(spark, v2, CT2, custKeys, custAttrs, root)
+    foldSnapshot(spark, v3, CT3, custKeys, custAttrs, root)
+    foldSnapshot(spark, v3, CT4, custKeys, custAttrs, root)
+    readHistory(spark, root)
+  }
+
+  // Row-by-row semantic spec of the 3-snapshot multi-attr history. A
+  // "change" is a VALUE change (IS DISTINCT FROM — the null-safe compare):
+  // a NULL-country key hit by the %3 relocation rule still has a NULL
+  // country afterwards (concat with NULL), so no version turns over.
+  //   version1 closes at T2 iff any attr value changed, else at T3 iff
+  //   deleted (cid%7) or moved to Atlantis (cid%4), else stays open;
+  //   version2 exists iff changed at T2, closing at T3 on the same terms;
+  //   version3 exists iff the key survives T3 AND moves to Atlantis
+  //   ('Atlantis' differs from every ctry2 value, including NULL).
+  //   The T4 re-fold of the identical snapshot adds NOTHING.
+  private val customerMultiOracle = oq(s"""
+      , mc AS (SELECT customerid, CAST(customerid AS BIGINT) AS cid,
+                      customername, country
+               FROM dim_customer),
+      mc2 AS (SELECT *,
+                CASE WHEN cid % 5 = 0 THEN 'Dr. ' || customername
+                     ELSE customername END AS name2,
+                CASE WHEN cid % 3 = 0 THEN country || ' (Relocated)'
+                     ELSE country END AS ctry2
+              FROM mc),
+      mc3 AS (SELECT *,
+                (name2 IS DISTINCT FROM customername
+                 OR ctry2 IS DISTINCT FROM country) AS chg12
+              FROM mc2)
+      SELECT customerid, customername, country,
+             TIMESTAMP '$CT1' AS valid_from,
+             CASE WHEN chg12 THEN TIMESTAMP '$CT2'
+                  WHEN cid % 7 = 0 OR cid % 4 = 0 THEN TIMESTAMP '$CT3'
+                  END AS valid_to
+      FROM mc3
+      UNION ALL
+      SELECT customerid, name2 AS customername, ctry2 AS country,
+             TIMESTAMP '$CT2' AS valid_from,
+             CASE WHEN cid % 7 = 0 OR cid % 4 = 0 THEN TIMESTAMP '$CT3'
+                  END AS valid_to
+      FROM mc3 WHERE chg12
+      UNION ALL
+      SELECT customerid, name2 AS customername, 'Atlantis' AS country,
+             TIMESTAMP '$CT3' AS valid_from, NULL AS valid_to
+      FROM mc3 WHERE cid % 7 <> 0 AND cid % 4 = 0""")
+
   // The oracle spells out the merged history row-by-row (the semantic
   // spec, not a replay of the implementation): v1 rows close iff changed
   // (+1.00 is always a change) or deleted; changed v2 rows reopen.
@@ -270,6 +506,11 @@ object Scd2 extends QueryRegistry {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("dim_product_scd2", productScd2, Some(mergedHistoryOracle)),
+
+    QueryDef("dim_customer_scd2_multi", customerScd2Multi, Some(customerMultiOracle)),
+
+    // segmented-store fold chain ≡ batch merge chain: same oracle
+    QueryDef("dim_customer_scd2_store", customerScd2Store, Some(customerMultiOracle)),
 
     QueryDef("dim_product_scd2_asof", productScd2AsOf, Some(oq("""
       SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice

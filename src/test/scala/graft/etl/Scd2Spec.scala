@@ -88,11 +88,80 @@ class Scd2Spec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     assert(q.awaitTermination(120000))
-    val out = rowsOf(spark.read.parquet(s"$base/history"))
+    val out = rowsOf(Scd2.readHistory(spark, s"$base/history"))
     assert(out === Set(
       (1L, "a", 1.0, T1, Some(T2)), // v1 of the changed key, closed at T2
       (1L, "a", 9.0, T2, None),     // reopened by the second snapshot
       (2L, "b", 2.0, T1, Some(T2)))) // absent from snapshot 2: closed
+  }
+
+  // -- segmented store (r11) ------------------------------------------------
+
+  test("segmented store: fold chain equals the batch merge chain") {
+    val root = java.nio.file.Files.createTempDirectory("graft_seg_eq_").toString + "/h"
+    Scd2.foldSnapshot(spark, snap((1L, "a", 1.0), (2L, "b", 2.0)), T1,
+      Seq("id"), Seq("name", "price"), root)
+    Scd2.foldSnapshot(spark, snap((1L, "a", 9.0)), T2,
+      Seq("id"), Seq("name", "price"), root)
+    val viaStore = rowsOf(Scd2.readHistory(spark, root))
+    val viaMerge = rowsOf(Scd2.merge(
+      Scd2.initialLoad(snap((1L, "a", 1.0), (2L, "b", 2.0)), T1),
+      snap((1L, "a", 9.0)), Seq("id"), Seq("name", "price"), T2))
+    assert(viaStore === viaMerge)
+  }
+
+  test("segmented store: committed closed segments are byte-stable across later folds") {
+    val root = java.nio.file.Files.createTempDirectory("graft_seg_stable_").toString + "/h"
+    val ks = Seq("id"); val as = Seq("name", "price")
+    Scd2.foldSnapshot(spark, snap((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), T1, ks, as, root)
+    Scd2.foldSnapshot(spark, snap((1L, "a", 9.0), (2L, "b", 2.0)), T2, ks, as, root)
+    def closedBytes(): Map[String, Seq[Byte]] = {
+      val closed = new java.io.File(s"$root/closed")
+      closed.listFiles.flatMap(seg => seg.listFiles.filter(_.isFile).map(f =>
+        s"${seg.getName}/${f.getName}" ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq)).toMap
+    }
+    val afterFold2 = closedBytes()
+    assert(afterFold2.keySet.forall(_.startsWith("seg_000002/")))
+    Scd2.foldSnapshot(spark, snap((1L, "a", 9.0)), T3, ks, as, root)
+    val afterFold3 = closedBytes()
+    // every fold-2 file still present, bit-identical; fold 3 only appended
+    afterFold2.foreach { case (name, bytes) =>
+      assert(afterFold3.get(name).contains(bytes), s"$name was rewritten")
+    }
+    assert(afterFold3.keySet.exists(_.startsWith("seg_000003/")))
+    // and the history is still the merge-chain result
+    val expect = rowsOf(Scd2.merge(Scd2.merge(
+      Scd2.initialLoad(snap((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), T1),
+      snap((1L, "a", 9.0), (2L, "b", 2.0)), ks, as, T2),
+      snap((1L, "a", 9.0)), ks, as, T3))
+    assert(rowsOf(Scd2.readHistory(spark, root)) === expect)
+  }
+
+  test("segmented store: out-of-order folds fail; committed-asOf replays skip") {
+    val root = java.nio.file.Files.createTempDirectory("graft_seg_order_").toString + "/h"
+    val ks = Seq("id"); val as = Seq("name", "price")
+    assert(Scd2.foldSnapshot(spark, snap((1L, "a", 1.0)), T2, ks, as, root))
+    // a replay of the committed fold is an at-least-once no-op
+    assert(!Scd2.foldSnapshot(spark, snap((1L, "a", 1.0)), T2, ks, as, root))
+    val before = rowsOf(Scd2.readHistory(spark, root))
+    // a genuinely earlier snapshot must fail loudly, never corrupt
+    intercept[IllegalStateException] {
+      Scd2.foldSnapshot(spark, snap((1L, "a", 7.0)), T1, ks, as, root)
+    }
+    assert(rowsOf(Scd2.readHistory(spark, root)) === before)
+  }
+
+  test("segmented store: a fold that closes every key leaves a readable empty open set") {
+    val root = java.nio.file.Files.createTempDirectory("graft_seg_empty_").toString + "/h"
+    val ks = Seq("id"); val as = Seq("name", "price")
+    Scd2.foldSnapshot(spark, snap((1L, "a", 1.0)), T1, ks, as, root)
+    Scd2.foldSnapshot(spark, snap((1L, "a", 1.0)).limit(0), T2, ks, as, root)
+    assert(rowsOf(Scd2.readHistory(spark, root)) === Set((1L, "a", 1.0, T1, Some(T2))))
+    // and the store keeps working after the empty state
+    Scd2.foldSnapshot(spark, snap((2L, "b", 2.0)), T3, ks, as, root)
+    assert(rowsOf(Scd2.readHistory(spark, root)) === Set(
+      (1L, "a", 1.0, T1, Some(T2)), (2L, "b", 2.0, T3, None)))
   }
 
   test("temporal lookup: each fact row sees the version live at its own time") {
