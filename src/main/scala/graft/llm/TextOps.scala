@@ -623,6 +623,56 @@ object TextOps extends QueryRegistry {
         round(col("n_shared") / least(col("na"), col("nb")), 6).as("containment"))
   }
 
+  /** Position-aware shared spans (r11, VERDICT r10 #4): where
+    * [[segmentContainment]] says "these two docs share N segments", this
+    * reports WHICH contiguous region they share — the evidence needed to
+    * excise a quoted block rather than drop a whole document. A shared span
+    * is a maximal run of segment positions (ia, ia+1, …) in doc_a matching
+    * consecutive positions (ib, ib+1, …) in doc_b — i.e. a run of matches
+    * on one DIAGONAL `ia - ib` of the segment-alignment matrix, found with
+    * the islands idiom (`ia - row_number()` per (pair, diagonal) is
+    * constant exactly within a consecutive run; no self-join over match
+    * rows). Runs shorter than `minSegments` are noise (any two docs can
+    * share one 3-word window) and are dropped.
+    *
+    * Scale shape: matches come ONLY from the digest equi-join (never
+    * doc × doc) with the same distinct-doc-frequency hot-digest drop as
+    * containment bounding per-digest fan-out; the islands window shuffles
+    * match rows (pair-candidate-sized, not corpus-sized) on the pair key
+    * once. Document text never rides any shuffle — digests and positions
+    * only. */
+  def sharedSpans(docs: DataFrame, segWords: Int = SegWords,
+      maxFreq: Long = SegMaxFreq, minSegments: Long = 2L): DataFrame = {
+    val ws = words
+    val nSeg = ceil(size(ws).cast("double") / segWords).cast("int")
+    val segged = docs.select(col("doc_id"),
+      transform(sequence(lit(0), nSeg - lit(1)),
+        i => array_join(slice(ws, i * segWords + 1, lit(segWords)), " ")).as("segments"))
+    val segIdx = spread(segged).select(col("doc_id"),
+        posexplode(col("segments")).as(Seq("seg_idx", "segment")))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        md5(col("segment")).as("d"))
+    val hot = segIdx.select("d", "doc_id").distinct()
+      .groupBy("d").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxFreq)
+    val clean = segIdx.join(hot, Seq("d"), "left_anti")
+    val matches = clean.select(col("d"), col("doc_id").as("doc_a"), col("seg_idx").as("ia"))
+      .join(clean.select(col("d"), col("doc_id").as("doc_b"), col("seg_idx").as("ib")), Seq("d"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ia"), col("ib"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("ia"))
+    matches
+      .withColumn("diag", col("ia") - col("ib"))
+      .withColumn("grp", col("ia") - row_number().over(wnd))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min("ia").as("start_a"), max("ia").as("end_a"),
+        min("ib").as("start_b"), max("ib").as("end_b"),
+        count(lit(1)).as("n_segments"))
+      .filter(col("n_segments") >= minSegments)
+      .drop("diag", "grp")
+  }
+
   /** The keep/drop filter cascade (a RefinedWeb/FineWeb-style curation
     * gate): rules evaluate in priority order and a dropped document carries
     * the FIRST failing rule as its reject reason — the same prioritized
@@ -1646,6 +1696,33 @@ object TextOps extends QueryRegistry {
       JOIN scn x ON x.doc_id = p.doc_a
       JOIN scn y ON y.doc_id = p.doc_b
       WHERE p.n_shared / least(x.n_segs, y.n_segs) >= 0.25"""))),
+
+    // the oracle spells the islands construction over positioned segments:
+    // consecutive matched positions on one alignment diagonal merge into a
+    // span via the same ia - row_number() grouping key
+    QueryDef("doc_shared_spans", (s, d) => sharedSpans(docs(s, d)), Some(oq(s"""
+      , sww AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sws AS (
+        SELECT doc_id, CAST((start - 1) / $SegWords AS BIGINT) AS seg_idx,
+               md5(array_to_string(ws[start:least(start + ${SegWords - 1}, len(ws))], ' ')) AS d
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws), $SegWords)) AS start
+              FROM sww)),
+      swhot AS (SELECT d FROM (SELECT DISTINCT doc_id, d FROM sws)
+                GROUP BY d HAVING count(*) > $SegMaxFreq),
+      swclean AS (SELECT * FROM sws WHERE d NOT IN (SELECT d FROM swhot)),
+      swm AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.seg_idx AS ia, b.seg_idx AS ib
+        FROM swclean a JOIN swclean b ON a.d = b.d AND a.doc_id < b.doc_id),
+      swg AS (
+        SELECT *, ia - ib AS diag,
+               ia - row_number() OVER (PARTITION BY doc_a, doc_b, ia - ib
+                                       ORDER BY ia) AS grp
+        FROM swm)
+      SELECT doc_a, doc_b, min(ia) AS start_a, max(ia) AS end_a,
+             min(ib) AS start_b, max(ib) AS end_b, count(*) AS n_segments
+      FROM swg GROUP BY doc_a, doc_b, diag, grp
+      HAVING count(*) >= 2"""))),
 
     QueryDef("doc_salient_terms", (s, d) => salientTerms(docs(s, d)), Some(oq("""
       , toks AS (

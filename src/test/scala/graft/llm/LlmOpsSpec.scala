@@ -17,6 +17,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(out === Set((1L, 2L), (3L, 1L)))
   }
 
+  test("sharedSpans merges consecutive matched segments across an offset diagonal") {
+    // segments are 3-word windows. doc 1: segs 0..3; doc 2 carries doc 1's
+    // segs 1..2 ("d e f", "g h i") shifted to its OWN positions 2..3 — one
+    // contiguous 2-segment span on diagonal -1 — plus an isolated 1-segment
+    // match ("m n o" at 1:3 vs 2:0) that must be dropped as noise.
+    val out = TextOps.sharedSpans(docsDF(
+      (1L, "a b c d e f g h i m n o"),
+      (2L, "m n o q r s d e f g h i")),
+      minSegments = 2L)
+      .select("doc_a", "doc_b", "start_a", "end_a", "start_b", "end_b", "n_segments")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 1L, 2L, 2L, 3L, 2L)))
+    // with the noise floor off, the isolated match surfaces too
+    val all = TextOps.sharedSpans(docsDF(
+      (1L, "a b c d e f g h i m n o"),
+      (2L, "m n o q r s d e f g h i")),
+      minSegments = 1L)
+      .select("start_a", "start_b", "n_segments")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(all === Set((1L, 2L, 2L), (3L, 0L, 1L)))
+  }
+
   test("minhash finds identical documents with jaccard 1.0 and skips unrelated ones") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val out = TextOps.minhashPairs(docsDF(
