@@ -80,6 +80,13 @@ object Measures extends QueryRegistry {
   def rolling3mSlicedByCategory(w: Warehouse, category: String): DataFrame =
     rolling3m(slicedByCategory(w, category))
 
+  /** §9 under a category slicer (r11 — completes the slicer matrix across
+    * every windowed/ranked measure class): the top-1 ranking re-evaluates
+    * inside the narrowed filter context, so the winning region can differ
+    * from the global one. */
+  def topRegionSlicedByCategory(w: Warehouse, category: String): DataFrame =
+    topRegion(slicedByCategory(w, category))
+
   /** §1 under BOTH slicers at once — Power BI slicers compose as an AND
     * over the filter context; each dim joins (broadcast) and predicates
     * stack, the fact is still never reshuffled for slicing. */
@@ -305,6 +312,20 @@ object Measures extends QueryRegistry {
           GROUP BY c.country)
       SELECT country || ' — ' || format('{:,}', CAST(round(rev, 0) AS BIGINT)) AS top_region
       FROM by_country
+      ORDER BY rev DESC, country
+      LIMIT 1"""))),
+
+    QueryDef("m09_top_region_sliced_category",
+      (s, d) => topRegionSlicedByCategory(Warehouse(s, d), "Promo"), Some(q("""
+      , by_country_sc AS (
+          SELECT c.country, sum(f.totalamount) AS rev
+          FROM fact_sales_elt f
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          LEFT JOIN dim_product p ON f.product_key = p.product_key
+          WHERE p.category = 'Promo'
+          GROUP BY c.country)
+      SELECT country || ' — ' || format('{:,}', CAST(round(rev, 0) AS BIGINT)) AS top_region
+      FROM by_country_sc
       ORDER BY rev DESC, country
       LIMIT 1"""))),
 

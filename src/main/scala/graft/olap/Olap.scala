@@ -191,6 +191,22 @@ object Olap extends QueryRegistry {
       .agg(sum("totalamount").cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
 
+  /** Grouping sets with a measure-level HAVING analog (r11): the subtotal
+    * grid filtered on its AGGREGATED revenue's SHARE of the grand total —
+    * a post-aggregation predicate evaluated identically at every grouping
+    * grain (a country subtotal survives while most of its per-year cells
+    * fall below the floor), and scale-FREE: an absolute floor would be a
+    * no-op or a wipe-out depending on data volume, where a share keeps the
+    * same selectivity at any SF. The 1-row total broadcasts onto the
+    * subtotal grid; same one-pass Expand plan underneath. */
+  def groupingSetsHaving(w: Warehouse, minShare: Double = 0.005): DataFrame = {
+    val total = w.factSalesElt.agg(sum("totalamount").cast("double").as("_total"))
+    groupingSetsYearCountry(w)
+      .crossJoin(broadcast(total))
+      .filter(col("revenue") > lit(minShare) * col("_total"))
+      .drop("_total")
+  }
+
   /** Beyond-parity: ROLLUP(year, month) — hierarchical subtotals + grand
     * total in one pass (the CUBE sibling; reference mentions the concept in
     * `Iteration 2/Group No.6_Schema_Justification.sql:59,98`). */
@@ -298,6 +314,19 @@ object Olap extends QueryRegistry {
       LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
       GROUP BY GROUPING SETS ((d.year, coalesce(c.country, 'UNKNOWN')),
                               (coalesce(c.country, 'UNKNOWN')))"""))),
+
+    QueryDef("olap_grouping_sets_having",
+      (s, dir) => groupingSetsHaving(Warehouse(s, dir)), Some(q("""
+      SELECT d.year, coalesce(c.country, 'UNKNOWN') AS country,
+             CAST(sum(f.totalamount) AS DOUBLE) AS revenue,
+             count(*) AS n_rows
+      FROM fact_sales_elt f
+      JOIN dim_date d ON f.date_key = d.date_key
+      LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+      GROUP BY GROUPING SETS ((d.year, coalesce(c.country, 'UNKNOWN')),
+                              (coalesce(c.country, 'UNKNOWN')))
+      HAVING CAST(sum(f.totalamount) AS DOUBLE) >
+             0.005 * (SELECT CAST(sum(totalamount) AS DOUBLE) FROM fact_sales_elt)"""))),
 
     QueryDef("olap_cube_year_country", (s, dir) => cubeYearCountry(Warehouse(s, dir)), Some(q("""
       SELECT d.year, coalesce(c.country, 'UNKNOWN') AS country,
