@@ -55,6 +55,13 @@ object Bench {
     "molap_month_product" -> 1.00, "molap_customer_month" -> 0.68,
     "doc_minhash_near_dup" -> 0.36, "doc_exact_dedup" -> 0.08,
     "doc_dedup_clusters" -> 0.53, "doc_simhash" -> 0.08,
+    // r11 drift-watch resolution (VERDICT r10 #6): in BENCH context (after
+    // the doc-op family has warmed JIT/codegen) the row measures 0.384 at
+    // sf0.1 — at its recorded value; the 0.48-0.52 readings (two artifacts
+    // + a cold tools/R11Probe where it ran FIRST in a fresh session) are
+    // first-query JIT cost, which the in-bench untimed warm-up + the rows
+    // ahead of it absorb. Keep 0.40: it grants best-of-5 and keeps the
+    // 0.60s WARN line tight.
     "doc_simhash_pairs" -> 0.40, "doc_vocab_top100" -> 0.38,
     "doc_repetition" -> 0.12, "doc_filter_cascade" -> 0.15,
     "doc_curation_pipeline" -> 0.65, "doc_chunks" -> 0.09,
@@ -78,7 +85,9 @@ object Bench {
     // r11 re-record (VERDICT r10 #2): the 1.30 recorded at build time was a
     // pre-broadcast-rewrite value; steady state measures ~1.0 (judge-fresh
     // 0.96) — an inflated expectation would let a real 1.5× regression pass
-    "fact_scd2_temporal_join" -> 1.00, "events_retention_d7" -> 0.25)
+    "fact_scd2_temporal_join" -> 1.00, "events_retention_d7" -> 0.25,
+    // r11 additions, steady values from tools/R11Probe at sf0.1
+    "doc_shared_spans" -> 1.10, "multimodal_ppm_decode" -> 0.15)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds
@@ -381,6 +390,12 @@ object Bench {
       // delta isolates the semi-join shuffle the bloom stage prunes
       time("doc_decontaminate")(graft.llm.TextOps.decontaminate(docs))
       time("doc_decontaminate_bloom")(graft.llm.TextOps.decontaminateBloom(docs))
+      // r11: positioned segment-alignment spans (window over the digest
+      // join's match rows) and the real P6 decode over the PPM fixture
+      time("doc_shared_spans")(graft.llm.TextOps.sharedSpans(docs))
+      time("multimodal_ppm_decode")(
+        graft.llm.MultimodalOps.decodePpm(
+          graft.llm.MultimodalOps.ppmFixture(spark, sfDir)).toDF())
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))

@@ -648,10 +648,14 @@ object TextOps extends QueryRegistry {
     val segged = docs.select(col("doc_id"),
       transform(sequence(lit(0), nSeg - lit(1)),
         i => array_join(slice(ws, i * segWords + 1, lit(segWords)), " ")).as("segments"))
-    val segIdx = spread(segged).select(col("doc_id"),
+    // three consumers (hot count + both join legs) would re-run the
+    // segmentation+digest pass each — cache it once (the minhashPairs
+    // discipline); the cached frame is positions+digests, ~48 B/segment,
+    // never the text
+    val segIdx = cacheOnce(spread(segged).select(col("doc_id"),
         posexplode(col("segments")).as(Seq("seg_idx", "segment")))
       .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
-        md5(col("segment")).as("d"))
+        md5(col("segment")).as("d")))
     val hot = segIdx.select("d", "doc_id").distinct()
       .groupBy("d").agg(count(lit(1)).as("freq"))
       .filter(col("freq") > maxFreq)

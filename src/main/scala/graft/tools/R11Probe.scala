@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dev probe (r11): steady-state wall seconds for the simhash-pairs drift
+  * watch (VERDICT r10 #6) and the r11-new operators, measured best-of-5
+  * after an untimed warm-up — the values recorded into Bench.expectedSec. */
+object R11Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+    def t(label: String)(f: => DataFrame): Unit = {
+      noop(f) // warm-up
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); noop(f); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $label%-28s min ${times.min}%7.3f s   med ${times.sorted.apply(2)}%7.3f s")
+    }
+    val docs = graft.llm.TextOps.docs(spark, dir)
+    t("doc_simhash_pairs")(graft.llm.TextOps.simhashPairs(docs))
+    t("doc_shared_spans")(graft.llm.TextOps.sharedSpans(docs))
+    t("multimodal_ppm_decode")(
+      graft.llm.MultimodalOps.decodePpm(graft.llm.MultimodalOps.ppmFixture(spark, dir)).toDF())
+    t("dim_customer_scd2_store")(graft.SparkEntry.queries("dim_customer_scd2_store")(spark, dir))
+    spark.stop()
+  }
+}
