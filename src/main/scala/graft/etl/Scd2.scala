@@ -163,7 +163,12 @@ object Scd2 extends QueryRegistry {
   private def tsOf(asOf: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(asOf)
 
-  private final case class Commit(fold: Int, asOf: String)
+  /** The manifest is the AUTHORITY for which closed segments exist: `segs`
+    * lists them by name, so compaction can retire many small segments for
+    * one merged one with a single commit swap — any dir under `closed/`
+    * not named here is debris of a crashed fold/compaction and is never
+    * read. */
+  private final case class Commit(fold: Int, asOf: String, segs: Seq[String])
 
   private def fsOf(spark: SparkSession, root: String) = {
     val p = new org.apache.hadoop.fs.Path(root)
@@ -183,7 +188,11 @@ object Scd2 extends QueryRegistry {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       txt.split("\n").toList match {
-        case fold :: asOf :: _ => Some(Commit(fold.trim.toInt, asOf.trim))
+        case fold :: asOf :: rest =>
+          val segs = rest.find(_.startsWith("segs:"))
+            .map(_.stripPrefix("segs:").split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)
+          Some(Commit(fold.trim.toInt, asOf.trim, segs))
         case _ => throw new IllegalStateException(
           s"corrupt SCD2 commit manifest at $c: '$txt'")
       }
@@ -195,7 +204,9 @@ object Scd2 extends QueryRegistry {
     val c = new org.apache.hadoop.fs.Path(root, "_commit")
     val tmp = new org.apache.hadoop.fs.Path(root, "_commit.tmp")
     val out = fs.create(tmp, true)
-    try out.write(s"${commit.fold}\n${commit.asOf}\n".getBytes("UTF-8"))
+    try out.write(
+      s"${commit.fold}\n${commit.asOf}\nsegs:${commit.segs.mkString(",")}\n"
+        .getBytes("UTF-8"))
     finally out.close()
     if (fs.exists(c)) fs.delete(c, false)
     fs.rename(tmp, c)
@@ -238,11 +249,13 @@ object Scd2 extends QueryRegistry {
     // install the parts: pure renames, no data rewrite. Dirs named `next`
     // can only be debris of a crashed uncommitted attempt — safe to drop.
     val closedPart = new org.apache.hadoop.fs.Path(tmp, "_state=closed")
-    if (fs.exists(closedPart)) {
-      val segDest = new org.apache.hadoop.fs.Path(rootP, f"closed/seg_$next%06d")
+    val newSeg = if (!fs.exists(closedPart)) None else {
+      val segName = f"seg_$next%06d"
+      val segDest = new org.apache.hadoop.fs.Path(rootP, s"closed/$segName")
       fs.mkdirs(new org.apache.hadoop.fs.Path(rootP, "closed"))
       if (fs.exists(segDest)) fs.delete(segDest, true)
       fs.rename(closedPart, segDest)
+      Some(segName)
     }
     val openPart = new org.apache.hadoop.fs.Path(tmp, "_state=open")
     val openDest = new org.apache.hadoop.fs.Path(rootP, s"open_$next")
@@ -251,7 +264,8 @@ object Scd2 extends QueryRegistry {
     else // every key closed (e.g. an empty snapshot): the open set is empty
       initialLoad(snapCols.limit(0), asOf).write.parquet(openDest.toString)
 
-    writeCommit(fs, rootP, Commit(next, asOf))
+    writeCommit(fs, rootP,
+      Commit(next, asOf, committed.map(_.segs).getOrElse(Seq.empty) ++ newSeg))
     // the previous open set is garbage now (its closed rows live in the
     // new segment, its still-open rows in open_<next>)
     committed.foreach(c =>
@@ -261,22 +275,55 @@ object Scd2 extends QueryRegistry {
   }
 
   /** The full version history of a segmented store: the committed open set
-    * plus every committed closed segment. Orphans of a crashed fold (dirs
-    * numbered past the commit) are never read. */
+    * plus exactly the closed segments the manifest names. Orphans of a
+    * crashed fold or compaction are never read. */
   def readHistory(spark: SparkSession, root: String): DataFrame = {
     val (fs, rootP) = fsOf(spark, root)
     val c = readCommit(fs, rootP).getOrElse(throw new IllegalStateException(
       s"no committed SCD2 history at $root"))
     val open = spark.read.parquet(s"$root/open_${c.fold}")
+    if (c.segs.isEmpty) open
+    else open.unionByName(
+      spark.read.parquet(c.segs.map(s => s"$root/closed/$s"): _*))
+  }
+
+  /** Closed-segment compaction — the maintenance op a DEEP history needs:
+    * every fold that closes versions appends one (often small) immutable
+    * segment, so after thousands of drops the closed set is thousands of
+    * files. This merges all committed segments into ONE and retires the
+    * originals with a single manifest swap (the manifest is the segment
+    * authority, so the swap is the commit point): a crash before it leaves
+    * the merged dir as ignored debris, a crash after it leaves the old
+    * segments as garbage that the post-commit sweep (re-)collects next
+    * time. Concurrent with NO fold — the store is single-writer by
+    * contract (the streaming maintainer's foreachBatch). Byte-stability of
+    * committed segments holds ACROSS FOLDS; compaction is the explicit op
+    * that retires them. Returns true when a compaction was performed. */
+  def compactSegments(spark: SparkSession, root: String): Boolean = {
+    val (fs, rootP) = fsOf(spark, root)
+    val c = readCommit(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"no committed SCD2 history at $root"))
+    // sweep debris from any earlier crashed/committed compaction first, so
+    // repeated calls converge to a clean layout even after failures
     val closedDir = new org.apache.hadoop.fs.Path(rootP, "closed")
-    val segs =
-      if (!fs.exists(closedDir)) Seq.empty
-      else fs.listStatus(closedDir).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith("seg_") &&
-          p.getName.stripPrefix("seg_").toInt <= c.fold)
-        .map(_.toString).sorted
-    if (segs.isEmpty) open
-    else open.unionByName(spark.read.parquet(segs: _*))
+    if (fs.exists(closedDir))
+      fs.listStatus(closedDir).map(_.getPath)
+        .filterNot(p => c.segs.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+    if (c.segs.size <= 1) return false
+    val segName = f"cseg_${c.fold}%06d"
+    val tmp = new org.apache.hadoop.fs.Path(rootP, "_compact.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(c.segs.map(s => s"$root/closed/$s"): _*)
+      .write.parquet(tmp.toString)
+    val dest = new org.apache.hadoop.fs.Path(rootP, s"closed/$segName")
+    if (fs.exists(dest)) fs.delete(dest, true)
+    fs.rename(tmp, dest)
+    val old = c.segs
+    writeCommit(fs, rootP, c.copy(segs = Seq(segName)))
+    old.foreach(s =>
+      fs.delete(new org.apache.hadoop.fs.Path(rootP, s"closed/$s"), true))
+    true
   }
 
   /** Continuous dimension maintenance (the streaming face of
@@ -446,6 +493,20 @@ object Scd2 extends QueryRegistry {
     readHistory(spark, root)
   }
 
+  /** The same fold chain, then [[compactSegments]] — the compacted store
+    * must read back the identical history (same oracle), gating that
+    * segment retirement loses and duplicates nothing. */
+  private def customerScd2Compact(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2, v3) = customerSnapshots(Warehouse(spark, dir))
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2_cmp_").toString + "/hist"
+    foldSnapshot(spark, v1, CT1, custKeys, custAttrs, root)
+    foldSnapshot(spark, v2, CT2, custKeys, custAttrs, root)
+    foldSnapshot(spark, v3, CT3, custKeys, custAttrs, root)
+    require(compactSegments(spark, root), "expected a multi-segment compaction")
+    foldSnapshot(spark, v3, CT4, custKeys, custAttrs, root) // store keeps working after
+    readHistory(spark, root)
+  }
+
   // Row-by-row semantic spec of the 3-snapshot multi-attr history. A
   // "change" is a VALUE change (IS DISTINCT FROM — the null-safe compare):
   // a NULL-country key hit by the %3 relocation rule still has a NULL
@@ -511,6 +572,9 @@ object Scd2 extends QueryRegistry {
 
     // segmented-store fold chain ≡ batch merge chain: same oracle
     QueryDef("dim_customer_scd2_store", customerScd2Store, Some(customerMultiOracle)),
+
+    // compaction retires segments without changing the readable history
+    QueryDef("dim_customer_scd2_compact", customerScd2Compact, Some(customerMultiOracle)),
 
     QueryDef("dim_product_scd2_asof", productScd2AsOf, Some(oq("""
       SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice

@@ -152,6 +152,31 @@ class Scd2Spec extends SparkSpec {
     assert(rowsOf(Scd2.readHistory(spark, root)) === before)
   }
 
+  test("segment compaction merges committed segments, sweeps debris, and changes nothing readable") {
+    val root = java.nio.file.Files.createTempDirectory("graft_seg_cmp_").toString + "/h"
+    val ks = Seq("id"); val as = Seq("name", "price")
+    Scd2.foldSnapshot(spark, snap((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), T1, ks, as, root)
+    Scd2.foldSnapshot(spark, snap((1L, "a", 9.0), (2L, "b", 2.0)), T2, ks, as, root)
+    Scd2.foldSnapshot(spark, snap((1L, "a", 9.0)), T3, ks, as, root)
+    val before = rowsOf(Scd2.readHistory(spark, root))
+    // plant crash debris: an orphan segment dir the manifest doesn't name
+    val orphan = new java.io.File(s"$root/closed/seg_999999")
+    orphan.mkdirs()
+    assert(new java.io.File(s"$root/closed").listFiles.length === 3)
+    assert(Scd2.compactSegments(spark, root))
+    val segDirs = new java.io.File(s"$root/closed").listFiles
+    assert(segDirs.length === 1 && segDirs.head.getName.startsWith("cseg_"), segDirs.mkString(","))
+    assert(rowsOf(Scd2.readHistory(spark, root)) === before)
+    // nothing left to merge: second call is a no-op
+    assert(!Scd2.compactSegments(spark, root))
+    // the store keeps folding + reading after compaction (key 1 stays in
+    // the snapshot so only the new key turns over)
+    Scd2.foldSnapshot(spark, snap((1L, "a", 9.0), (4L, "d", 4.0)),
+      "2020-04-01 00:00:00", ks, as, root)
+    assert(rowsOf(Scd2.readHistory(spark, root)) ===
+      before + ((4L, "d", 4.0, "2020-04-01 00:00:00", None)))
+  }
+
   test("segmented store: a fold that closes every key leaves a readable empty open set") {
     val root = java.nio.file.Files.createTempDirectory("graft_seg_empty_").toString + "/h"
     val ks = Seq("id"); val as = Seq("name", "price")
