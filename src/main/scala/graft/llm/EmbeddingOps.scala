@@ -128,6 +128,32 @@ object EmbeddingOps extends QueryRegistry {
         round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
   }
 
+  /** Filtered ANN (r11) — vector search constrained by a metadata
+    * predicate, the retrieval-stack staple ("nearest English docs",
+    * "same-tenant vectors only"). This is the PRE-filter form: the
+    * predicate prunes the CANDIDATE corpus before the bucket equi-join, so
+    * recall over the admissible set is exactly [[annBucketed]]'s — the
+    * post-filter alternative (rank first, filter the top-k after) silently
+    * returns fewer than k or nothing when the predicate is selective. At
+    * scale the predicate is a map-side scan filter (pushed to parquet for
+    * column predicates): fewer candidates ever reach the shuffle, queries
+    * stay unfiltered. */
+  def annBucketedFiltered(emb: DataFrame, pred: Column): DataFrame = {
+    val qs = withBucket(emb).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val cand = withBucket(emb.filter(pred))
+    val scored = qs.join(cand, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val wnd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
+  }
+
   /** Multi-probe ANN (Hamming ≤ 1): each query probes its own LSH bucket
     * PLUS the 8 buckets one bit-flip away — the standard multi-probe LSH
     * recall fix for the single-bucket loss `tools/QuantRecallProbe` measures
@@ -399,6 +425,25 @@ object EmbeddingOps extends QueryRegistry {
         FROM scored)
       SELECT query_id, neighbor_id, CAST(CAST(round(cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
       FROM ranked WHERE rn <= 5"""))),
+
+    // the pre-filter form: candidates carry the predicate, queries don't —
+    // the oracle filters the candidate leg identically
+    QueryDef("emb_ann_filtered",
+      (s, d) => annBucketedFiltered(emb(s, d), col("label") % 2 === 0), Some(oq(s"""
+      , $sqlBuckets,
+      fwb AS (SELECT e.vec_id, e.embedding, e.label, b.bucket
+              FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+      fqs AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+              FROM fwb WHERE vec_id % 100 = 0),
+      fscored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, ${sqlCos("q.qe", "e.embedding")} AS cos
+        FROM fqs q JOIN fwb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+        WHERE e.label % 2 = 0),
+      franked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM fscored)
+      SELECT query_id, neighbor_id, CAST(CAST(round(cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
+      FROM franked WHERE rn <= 5"""))),
 
     QueryDef("emb_ann_recall", (s, d) => annRecall(emb(s, d)), Some(oq(s"""
       , $sqlBuckets,

@@ -158,7 +158,34 @@ object SinkQueries extends QueryRegistry {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
   }
 
+  /** Schema-evolution round trip (r11): two drops of the product dim
+    * written under different schema VERSIONS — v 'a' before the `category`
+    * column existed, v 'b' after — read back through [[Sources.readEvolved]]
+    * as one frame. The oracle spells the union semantics (v 'a' rows carry
+    * NULL category), so a reader that drops pre-evolution rows, misaligns
+    * columns by position, or fails to null-fill hash-mismatches. */
+  private def schemaEvolutionRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sink_evo_").toString
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("category"))
+    p.select(lit("a").as("v"), col("stockcode"), col("unitprice"))
+      .write.parquet(s"$out/drops/a")
+    p.select(lit("b").as("v"), col("stockcode"), col("unitprice"), col("category"))
+      .write.parquet(s"$out/drops/b")
+    Sources.readEvolved(s, s"$out/drops/*")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sink_schema_evolution", schemaEvolutionRoundtrip,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT 'a' AS v, stockcode, CAST(unitprice AS DOUBLE) AS unitprice,
+             NULL AS category
+      FROM dim_product
+      UNION ALL
+      SELECT 'b' AS v, stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM dim_product"""))),
+
     QueryDef("sink_materialize_roundtrip", materializeRoundtrip, Some(factOracle)),
     QueryDef("sink_append_roundtrip", appendRoundtrip, Some(factOracle)),
     QueryDef("sink_empty_clone", emptyClone, Some("""

@@ -91,4 +91,21 @@ object Sources {
     * `Iteration 1/Group No.6_ELT.sql:30-40`). */
   def emptyLike(spark: SparkSession, df: DataFrame): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+
+  /** Schema-evolution read (r11): an ingestion directory whose parquet
+    * files were written under DIFFERENT schema versions (columns added
+    * over time) reads as one frame — file footers merge into the union
+    * schema and files lacking a column null-fill it. Footer merging is a
+    * distributed job over every file's metadata, fine for drop
+    * directories; once the unified schema is known (catalog), prefer
+    * [[readAs]] — identical null-fill semantics with ZERO footer scan,
+    * the 100 TB path. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** The explicit-schema form of [[readEvolved]]: columns a file lacks
+    * null-fill against the supplied schema without reading any footer. */
+  def readAs(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, path: String): DataFrame =
+    spark.read.schema(schema).parquet(path)
 }
