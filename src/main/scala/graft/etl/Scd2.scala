@@ -336,10 +336,15 @@ object Scd2 extends QueryRegistry {
     * loop is snapshot-count-sized). Crash/replay safety comes from the
     * store itself: a replayed batch's already-committed folds skip
     * idempotently, and per-drop cost is O(current dim) however deep the
-    * closed history grows. Read the result with [[readHistory]]. */
+    * closed history grows. `compactAtSegments` bounds the closed set's
+    * file count in-stream: once the committed segment count reaches the
+    * threshold, [[compactSegments]] runs between folds (the maintainer IS
+    * the store's single writer, so the maintenance slot is here). Read the
+    * result with [[readHistory]]. */
   def maintainHistory(spark: SparkSession, dropDir: String, keys: Seq[String],
       attrs: Seq[String], historyPath: String,
-      maxFilesPerTrigger: Option[Int] = None)
+      maxFilesPerTrigger: Option[Int] = None,
+      compactAtSegments: Option[Int] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     // schema from a batch read of the already-present drops — the same
     // no-hard-coded-schema discipline as the events reader
@@ -353,6 +358,11 @@ object Scd2 extends QueryRegistry {
         asOfs.foreach { asOf =>
           foldSnapshot(spark, batch.filter(col("as_of") === asOf).drop("as_of"),
             asOf, keys, attrs, historyPath)
+          compactAtSegments.foreach { n =>
+            val (fs, rootP) = fsOf(spark, historyPath)
+            if (readCommit(fs, rootP).exists(_.segs.size >= n))
+              compactSegments(spark, historyPath)
+          }
         }
         ()
       }

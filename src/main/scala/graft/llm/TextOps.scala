@@ -677,6 +677,51 @@ object TextOps extends QueryRegistry {
       .drop("diag", "grp")
   }
 
+  /** Winnowed document fingerprints (r11) — the Schleimer/Wilkerson/Aiken
+    * SIGMOD'03 selection scheme (MOSS): hash every k-gram, slide a window
+    * of `w` consecutive hashes, keep each window's MINIMUM — any shared
+    * substring of ≥ w+k-1 tokens is GUARANTEED to share a selected
+    * fingerprint, while only ~2/(w+1) of all k-gram hashes survive. That
+    * density factor is the scale story: downstream overlap joins shuffle a
+    * w/2-times smaller fingerprint set than full k-gram shingling with the
+    * same long-match guarantee. Selection is a narrow per-doc HOF chain
+    * (no shuffle, no explosion before the distinct); fingerprints are
+    * fixed-width lowercase hex, so lexicographic MIN == numeric MIN in
+    * both engines. Docs with fewer than w k-grams winnow to the single
+    * global minimum. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    val ws = words
+    val n = size(ws)
+    val m = n - lit(k) + 1 // k-gram count
+    val hs = transform(sequence(lit(1), m),
+      i => substring(md5(array_join(slice(ws, i, lit(k)), " ")), 1, 12))
+    val sel = when(m >= w,
+        transform(sequence(lit(1), m - lit(w) + 1),
+          j => array_min(slice(hs, j, lit(w)))))
+      .otherwise(array(array_min(hs)))
+    docs.filter(n >= k)
+      .select(col("doc_id"), explode(array_distinct(sel)).as("fingerprint"))
+  }
+
+  /** Document-pair overlap on winnowed fingerprints — the MOSS match
+    * report: pairs ranked by how many selected fingerprints they share.
+    * Same hot-key discipline as [[segmentContainment]] (corpus-common
+    * fingerprints are boilerplate and would drive the join's fan-out);
+    * pairs only ever come from the fingerprint equi-join. */
+  def winnowOverlap(docs: DataFrame, k: Int = 4, w: Int = 5,
+      maxFreq: Long = SegMaxFreq, minShared: Long = 2L): DataFrame = {
+    // fingerprints are distinct per doc, so count(*) = distinct-doc freq
+    val fp = cacheOnce(winnowFingerprints(docs, k, w))
+    val hot = fp.groupBy("fingerprint").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxFreq)
+    val clean = fp.join(hot, Seq("fingerprint"), "left_anti")
+    clean.select(col("fingerprint"), col("doc_id").as("doc_a"))
+      .join(clean.select(col("fingerprint"), col("doc_id").as("doc_b")), Seq("fingerprint"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The keep/drop filter cascade (a RefinedWeb/FineWeb-style curation
     * gate): rules evaluate in priority order and a dropped document carries
     * the FIRST failing rule as its reject reason — the same prioritized
@@ -1726,6 +1771,46 @@ object TextOps extends QueryRegistry {
       SELECT doc_a, doc_b, min(ia) AS start_a, max(ia) AS end_a,
              min(ib) AS start_b, max(ib) AS end_b, count(*) AS n_segments
       FROM swg GROUP BY doc_a, doc_b, diag, grp
+      HAVING count(*) >= 2"""))),
+
+    // winnowing: the oracle replays k-gram hashing, the sliding min-window
+    // selection, and the per-doc distinct — fixed-width hex makes MIN agree
+    QueryDef("doc_winnow_fingerprints",
+      (s, d) => winnowFingerprints(docs(s, d)), Some(oq(s"""
+      , wwd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      wwg AS (SELECT doc_id, ws, len(ws) - 4 + 1 AS m FROM wwd WHERE len(ws) >= 4),
+      wwh AS (SELECT doc_id, m,
+                list_transform(generate_series(1, m),
+                  i -> substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 12)) AS hs
+              FROM wwg)
+      SELECT DISTINCT doc_id, f AS fingerprint
+      FROM (SELECT doc_id, unnest(
+              CASE WHEN m >= 5
+                   THEN list_transform(generate_series(1, m - 5 + 1),
+                          j -> list_min(hs[j:j+4]))
+                   ELSE [list_min(hs)] END) AS f
+            FROM wwh)"""))),
+
+    QueryDef("doc_winnow_overlap", (s, d) => winnowOverlap(docs(s, d)), Some(oq(s"""
+      , wwd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      wwg AS (SELECT doc_id, ws, len(ws) - 4 + 1 AS m FROM wwd WHERE len(ws) >= 4),
+      wwh AS (SELECT doc_id, m,
+                list_transform(generate_series(1, m),
+                  i -> substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 12)) AS hs
+              FROM wwg),
+      wwfp AS (
+        SELECT DISTINCT doc_id, f
+        FROM (SELECT doc_id, unnest(
+                CASE WHEN m >= 5
+                     THEN list_transform(generate_series(1, m - 5 + 1),
+                            j -> list_min(hs[j:j+4]))
+                     ELSE [list_min(hs)] END) AS f
+              FROM wwh)),
+      wwhot AS (SELECT f FROM wwfp GROUP BY f HAVING count(*) > $SegMaxFreq),
+      wwcl AS (SELECT * FROM wwfp WHERE f NOT IN (SELECT f FROM wwhot))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM wwcl a JOIN wwcl b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
       HAVING count(*) >= 2"""))),
 
     QueryDef("doc_salient_terms", (s, d) => salientTerms(docs(s, d)), Some(oq("""

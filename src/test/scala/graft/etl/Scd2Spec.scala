@@ -189,6 +189,32 @@ class Scd2Spec extends SparkSpec {
       (1L, "a", 1.0, T1, Some(T2)), (2L, "b", 2.0, T3, None)))
   }
 
+  test("streaming maintainer with in-stream compaction keeps history identical and segments bounded") {
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2_mcomp_").toString
+    snap((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).withColumn("as_of", lit(T1))
+      .coalesce(1).write.parquet(s"$base/drops/a")
+    snap((1L, "a", 9.0), (2L, "b", 2.0)).withColumn("as_of", lit(T2))
+      .coalesce(1).write.parquet(s"$base/drops/b")
+    snap((1L, "a", 9.0)).withColumn("as_of", lit(T3))
+      .coalesce(1).write.parquet(s"$base/drops/c")
+    val q = Scd2.maintainHistory(spark, s"$base/drops/*",
+        Seq("id"), Seq("name", "price"), s"$base/history",
+        maxFilesPerTrigger = Some(1), compactAtSegments = Some(2))
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    // compaction ran: the closed set is bounded, not one segment per fold
+    val segs = new java.io.File(s"$base/history/closed").listFiles
+    assert(segs.length <= 2, segs.mkString(","))
+    // and the history still equals the batch merge chain
+    val expect = rowsOf(Scd2.merge(Scd2.merge(
+      Scd2.initialLoad(snap((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), T1),
+      snap((1L, "a", 9.0), (2L, "b", 2.0)), Seq("id"), Seq("name", "price"), T2),
+      snap((1L, "a", 9.0)), Seq("id"), Seq("name", "price"), T3))
+    assert(rowsOf(Scd2.readHistory(spark, s"$base/history")) === expect)
+  }
+
   test("temporal lookup: each fact row sees the version live at its own time") {
     import spark.implicits._
     val h1 = Scd2.initialLoad(snap((1L, "a", 1.0), (2L, "b", 2.0)), T1)

@@ -39,6 +39,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(all === Set((1L, 2L, 2L), (3L, 0L, 1L)))
   }
 
+  test("winnowing guarantee: a shared substring of w+k-1 tokens shares a fingerprint") {
+    // k=4, w=5 → any shared run of >= 8 tokens must collide on >= 1
+    // selected fingerprint, wherever it sits in either doc
+    val shared = "q r s t u v w x" // 8 tokens
+    val fp = TextOps.winnowFingerprints(docsDF(
+      (1L, s"a b c d e $shared f g h i j"),
+      (2L, s"k l m n $shared o p")))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val f1 = fp.collect { case (1L, f) => f }.toSet
+    val f2 = fp.collect { case (2L, f) => f }.toSet
+    assert((f1 & f2).nonEmpty)
+    // density: far fewer fingerprints than k-grams survive selection
+    assert(f1.size < 18 - 4 + 1)
+    // short doc (fewer than w k-grams) winnows to exactly one fingerprint
+    val short = TextOps.winnowFingerprints(docsDF((3L, "a b c d e")))
+      .collect()
+    assert(short.length === 1)
+  }
+
   test("minhash finds identical documents with jaccard 1.0 and skips unrelated ones") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val out = TextOps.minhashPairs(docsDF(
