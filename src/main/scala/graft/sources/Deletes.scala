@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Targeted row deletion over an immutable parquet layout — the
+  * right-to-be-forgotten / retention-purge operator (`DELETE WHERE` in a
+  * table format): rows matching the predicate disappear, everything else
+  * survives byte-for-byte.
+  *
+  * The 100 TB shape is FILE-SELECTIVE copy-on-write:
+  *  1. ONE distributed probe scan finds the files that actually contain
+  *     matching rows (`input_file_name()` + distinct — the predicate
+  *     pushes to the scan, so the probe reads only the predicate columns
+  *     and row-group stats skip clean files);
+  *  2. only the affected files pay decode → filter → re-encode;
+  *  3. untouched files are byte-copied unchanged into the new layout
+  *     (with a manifest-based table format even the copy disappears — the
+  *     new snapshot just references the old files; on a raw filesystem the
+  *     copy IS the snapshot isolation, same discipline as
+  *     [[Compaction.compactDir]]).
+  * Deletion follows SQL `DELETE WHERE` semantics: rows where the predicate
+  * is TRUE are removed; FALSE and NULL rows are kept.
+  */
+object Deletes {
+
+  /** Apply `DELETE WHERE pred` to the layout at `dir`, writing the
+    * surviving layout to `outDir` (partition directory structure
+    * preserved). `pred` must reference DATA columns only: a delete keyed
+    * on a partition column is a directory drop, not a row rewrite — a
+    * different (and trivial) operation this one does not fold in.
+    * Returns the per-file decision frame `(part, file_id, rewritten)` —
+    * metadata-sized, one row per file. */
+  def deleteWhere(spark: SparkSession, dir: String, outDir: String,
+      pred: Column): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val rootAbs = fs.makeQualified(root).toUri.getPath
+
+    // probe: which files contain at least one matching row (URI → path
+    // relative to the layout root, so it keys the catalog exactly)
+    val affectedRel = spark.read.parquet(dir).filter(pred)
+      .select(input_file_name().as("f")).distinct()
+      .collect()
+      .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
+      .map(_.stripPrefix(rootAbs).stripPrefix("/"))
+      .toSet
+
+    def relOf(part: String, name: String) =
+      if (part == ".") name else s"$part/$name"
+    def inPath(part: String, name: String) =
+      if (part == ".") s"$dir/$name" else s"$dir/$part/$name"
+    def outPart(part: String) = if (part == ".") outDir else s"$outDir/$part"
+
+    val files = Compaction.listFiles(spark, dir).collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
+    val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
+
+    // rewrite ONLY the affected files, per partition dir, keeping rows
+    // where the predicate is not TRUE (SQL DELETE semantics)
+    hit.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, fsOfPart) =>
+      spark.read.parquet(fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq: _*)
+        .filter(!coalesce(pred, lit(false)))
+        .write.mode("append").parquet(outPart(part))
+    }
+    // clean files carry no matching rows: byte-copy, no decode/re-encode
+    clean.foreach { case (part, name) =>
+      val src = new Path(inPath(part, name))
+      val dstDir = new Path(outPart(part))
+      fs.mkdirs(dstDir)
+      FileUtil.copy(fs, src, fs, new Path(dstDir, name), false, conf)
+    }
+    (hit.map { case (p, n) => (p, n, true) } ++
+      clean.map { case (p, n) => (p, n, false) })
+      .toSeq.toDF("part", "file_id", "rewritten")
+  }
+}

@@ -176,7 +176,35 @@ object SinkQueries extends QueryRegistry {
     Sources.readEvolved(s, s"$out/drops/*")
   }
 
+  /** DELETE WHERE round trip (r11): the events feed laid out in
+    * user-bucket partition dirs, a user-range delete applied
+    * copy-on-write, survivors read back and aggregated. The oracle
+    * aggregates `events WHERE NOT pred`, so a lost survivor, a surviving
+    * victim, or a double-copied file hash-mismatches; file-selectivity
+    * (clean files byte-copied, not re-encoded) is asserted in
+    * DeletesSpec. */
+  private def deleteWhereRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sink_del_").toString
+    graft.streaming.EventOps.events(s, dir)
+      .withColumn("ubucket", expr("user_id div 50"))
+      .write.partitionBy("ubucket").parquet(s"$out/events_v1")
+    Deletes.deleteWhere(s, s"$out/events_v1", s"$out/events_v2",
+      col("user_id").between(30L, 60L))
+    s.read.parquet(s"$out/events_v2")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sink_delete_where", deleteWhereRoundtrip,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events
+      WHERE NOT (user_id BETWEEN 30 AND 60)"""))),
+
     QueryDef("sink_schema_evolution", schemaEvolutionRoundtrip,
       Some(graft.oracle.OracleSql.q("""
       SELECT 'a' AS v, stockcode, CAST(unitprice AS DOUBLE) AS unitprice,

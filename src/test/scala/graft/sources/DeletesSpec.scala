@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** File-selective DELETE WHERE: victims disappear, survivors are intact,
+  * and files with no matching rows are byte-copied, never re-encoded. */
+class DeletesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fileBytes(dir: String): Map[String, Seq[Byte]] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+    val root = new java.io.File(dir)
+    walk(root).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath.stripPrefix(root.getAbsolutePath) ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq)
+      .toMap
+  }
+
+  test("deleteWhere removes exactly the matching rows and byte-copies clean files") {
+    val base = java.nio.file.Files.createTempDirectory("graft_del_").toString
+    // three partition dirs (ids 1-19 → bucket 0, 20-39 → 1, 40 → 2);
+    // victims (id 10..19) live only in bucket 0
+    (1L to 40L).map(i => (i, s"row_$i", i / 20))
+      .toDF("id", "payload", "bucket")
+      .repartition(2, col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$base/v1")
+    val plan = Deletes.deleteWhere(spark, s"$base/v1", s"$base/v2",
+      col("id").between(10L, 19L))
+    // row survivors are exact
+    val out = spark.read.parquet(s"$base/v2")
+    assert(out.select("id").as[Long].collect().toSet ===
+      ((1L to 9L) ++ (20L to 40L)).toSet)
+    // the decision frame: only bucket 0's files rewrote
+    val decisions = plan.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(decisions.filter(_._1.contains("bucket=0")).forall(_._3))
+    assert(decisions.filterNot(_._1.contains("bucket=0")).forall(!_._3))
+    assert(decisions.exists(!_._3))
+    // clean files carried over byte-identical under the same names
+    val v1 = fileBytes(s"$base/v1")
+    val v2 = fileBytes(s"$base/v2")
+    decisions.filterNot(_._3).foreach { case (part, name, _) =>
+      val k = s"/$part/$name"
+      assert(v2.get(k).contains(v1(k)), s"$k was re-encoded")
+    }
+  }
+
+  test("SQL DELETE semantics: NULL predicate rows are kept") {
+    val base = java.nio.file.Files.createTempDirectory("graft_delnull_").toString
+    Seq((1L, Some(5.0)), (2L, None), (3L, Some(50.0)))
+      .toDF("id", "score")
+      .coalesce(1).write.parquet(s"$base/v1")
+    Deletes.deleteWhere(spark, s"$base/v1", s"$base/v2", col("score") > 10.0)
+    assert(spark.read.parquet(s"$base/v2").select("id").as[Long].collect().toSet ===
+      Set(1L, 2L)) // NULL comparison is not TRUE → row 2 survives
+  }
+}
