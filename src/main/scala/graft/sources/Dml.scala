@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * Deletion follows SQL `DELETE WHERE` semantics: rows where the predicate
   * is TRUE are removed; FALSE and NULL rows are kept.
   */
-object Deletes {
+object Dml {
 
   /** Apply `DELETE WHERE pred` to the layout at `dir`, writing the
     * surviving layout to `outDir` (partition directory structure
@@ -73,6 +73,74 @@ object Deletes {
       fs.mkdirs(dstDir)
       FileUtil.copy(fs, src, fs, new Path(dstDir, name), false, conf)
     }
+    (hit.map { case (p, n) => (p, n, true) } ++
+      clean.map { case (p, n) => (p, n, false) })
+      .toSeq.toDF("part", "file_id", "rewritten")
+  }
+
+  /** File-selective MERGE INTO (whole-row upsert): target rows whose key
+    * matches an `updates` row are REPLACED by it, unmatched update rows
+    * are INSERTED — `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    * INSERT *`. Same copy-on-write shape as [[deleteWhere]]:
+    *  1. the probe is a LEFT SEMI join of the target against the distinct
+    *     update keys (update sets are change-sized — they broadcast; the
+    *     probe's `input_file_name` + distinct is metadata-sized);
+    *  2. only files holding matched rows pay decode → anti-join →
+    *     re-encode (their matched rows drop out);
+    *  3. clean files byte-copy unchanged;
+    *  4. ALL update rows land as new files (replacements + inserts in one
+    *     append — matched old versions are already gone).
+    * `updates` must carry the target's DATA schema; for a partitioned
+    * layout pass its partition columns so update rows route to their
+    * directories (an update may legitimately move a row across
+    * partitions). */
+  def mergeInto(spark: SparkSession, dir: String, outDir: String,
+      updates: DataFrame, keys: Seq[String],
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val rootAbs = fs.makeQualified(root).toUri.getPath
+
+    val updKeys = updates.select(keys.map(col): _*).distinct()
+    // file name is tagged BEFORE the join: input_file_name() is only
+    // defined against a single source, and the tag pins it to the scan
+    val affectedRel = spark.read.parquet(dir)
+      .withColumn("_probe_file", input_file_name())
+      .join(updKeys, keys, "left_semi")
+      .select(col("_probe_file").as("f")).distinct()
+      .collect()
+      .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
+      .map(_.stripPrefix(rootAbs).stripPrefix("/"))
+      .toSet
+
+    def relOf(part: String, name: String) =
+      if (part == ".") name else s"$part/$name"
+    def inPath(part: String, name: String) =
+      if (part == ".") s"$dir/$name" else s"$dir/$part/$name"
+    def outPart(part: String) = if (part == ".") outDir else s"$outDir/$part"
+
+    val files = Compaction.listFiles(spark, dir).collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
+    val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
+
+    hit.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, fsOfPart) =>
+      spark.read.parquet(fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq: _*)
+        .join(updKeys, keys, "left_anti")
+        .write.mode("append").parquet(outPart(part))
+    }
+    clean.foreach { case (part, name) =>
+      val src = new Path(inPath(part, name))
+      val dstDir = new Path(outPart(part))
+      fs.mkdirs(dstDir)
+      FileUtil.copy(fs, src, fs, new Path(dstDir, name), false, conf)
+    }
+    // replacements + inserts in one append, partition-routed when asked
+    val w0 = updates.write.mode("append")
+    (if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0)
+      .parquet(outDir)
+
     (hit.map { case (p, n) => (p, n, true) } ++
       clean.map { case (p, n) => (p, n, false) })
       .toSeq.toDF("part", "file_id", "rewritten")

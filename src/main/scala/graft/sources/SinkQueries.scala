@@ -182,13 +182,13 @@ object SinkQueries extends QueryRegistry {
     * aggregates `events WHERE NOT pred`, so a lost survivor, a surviving
     * victim, or a double-copied file hash-mismatches; file-selectivity
     * (clean files byte-copied, not re-encoded) is asserted in
-    * DeletesSpec. */
+    * DmlSpec. */
   private def deleteWhereRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = Files.createTempDirectory("graft_sink_del_").toString
     graft.streaming.EventOps.events(s, dir)
       .withColumn("ubucket", expr("user_id div 50"))
       .write.partitionBy("ubucket").parquet(s"$out/events_v1")
-    Deletes.deleteWhere(s, s"$out/events_v1", s"$out/events_v2",
+    Dml.deleteWhere(s, s"$out/events_v1", s"$out/events_v2",
       col("user_id").between(30L, 60L))
     s.read.parquet(s"$out/events_v2")
       .agg(count(lit(1)).as("n_events"),
@@ -196,7 +196,49 @@ object SinkQueries extends QueryRegistry {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
   }
 
+  /** MERGE INTO round trip (r11): the product dim laid out in stockcode
+    * buckets, an update set of changed prices (every 4th code, +5.00
+    * exact decimal) plus inserted rows (every 10th code re-keyed past the
+    * domain) merged copy-on-write, the result read back whole. The oracle
+    * spells the post-merge table (CASE for updates, UNION ALL for
+    * inserts), so a lost row, a stale pre-update version, or a dropped
+    * insert hash-mismatches. */
+  private def mergeIntoRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sink_merge_").toString
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+      .withColumn("pbucket", expr("CAST(stockcode AS BIGINT) div 500"))
+    p.write.partitionBy("pbucket").parquet(s"$out/v1")
+    val changed = p.filter(code % 4 === 0)
+      .withColumn("unitprice",
+        (col("unitprice") + lit(BigDecimal("5.00"))).cast("decimal(12,2)"))
+    val inserts = p.filter(code % 10 === 0)
+      .select((code + 100000).cast("string").as("stockcode"),
+        col("unitprice"), lit("New").as("category"))
+      .withColumn("pbucket", expr("CAST(stockcode AS BIGINT) div 500"))
+    Dml.mergeInto(s, s"$out/v1", s"$out/v2",
+      changed.unionByName(inserts), Seq("stockcode"), Seq("pbucket"))
+    s.read.parquet(s"$out/v2")
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("category"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sink_merge_into", mergeIntoRoundtrip,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode,
+             CAST(CASE WHEN CAST(stockcode AS BIGINT) % 4 = 0
+                       THEN unitprice + 5.00 ELSE unitprice END AS DOUBLE)
+               AS unitprice,
+             category
+      FROM dim_product
+      UNION ALL
+      SELECT CAST(CAST(stockcode AS BIGINT) + 100000 AS VARCHAR) AS stockcode,
+             CAST(unitprice AS DOUBLE) AS unitprice, 'New' AS category
+      FROM dim_product
+      WHERE CAST(stockcode AS BIGINT) % 10 = 0"""))),
+
     QueryDef("sink_delete_where", deleteWhereRoundtrip,
       Some(graft.oracle.OracleSql.q("""
       SELECT count(*) AS n_events,

@@ -6,7 +6,7 @@ import graft.SparkSpec
 
 /** File-selective DELETE WHERE: victims disappear, survivors are intact,
   * and files with no matching rows are byte-copied, never re-encoded. */
-class DeletesSpec extends SparkSpec {
+class DmlSpec extends SparkSpec {
   import spark.implicits._
 
   private def fileBytes(dir: String): Map[String, Seq[Byte]] = {
@@ -27,7 +27,7 @@ class DeletesSpec extends SparkSpec {
       .toDF("id", "payload", "bucket")
       .repartition(2, col("bucket"))
       .write.partitionBy("bucket").parquet(s"$base/v1")
-    val plan = Deletes.deleteWhere(spark, s"$base/v1", s"$base/v2",
+    val plan = Dml.deleteWhere(spark, s"$base/v1", s"$base/v2",
       col("id").between(10L, 19L))
     // row survivors are exact
     val out = spark.read.parquet(s"$base/v2")
@@ -48,12 +48,37 @@ class DeletesSpec extends SparkSpec {
     }
   }
 
+  test("mergeInto replaces matched rows, inserts new keys, and moves rows across partitions") {
+    val base = java.nio.file.Files.createTempDirectory("graft_merge_").toString
+    (1L to 40L).map(i => (i, s"old_$i", i / 20))
+      .toDF("id", "payload", "bucket")
+      .repartition(2, col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$base/v1")
+    // update a key in bucket 0, insert a brand-new key into bucket 2, and
+    // MOVE key 25 from bucket 1 to bucket 0 (a partition-changing update)
+    val updates = Seq(
+      (5L, "new_5", 0L), (99L, "new_99", 2L), (25L, "moved_25", 0L))
+      .toDF("id", "payload", "bucket")
+    Dml.mergeInto(spark, s"$base/v1", s"$base/v2",
+      updates, Seq("id"), partitionCols = Seq("bucket"))
+    val out = spark.read.parquet(s"$base/v2")
+      .select("id", "payload", "bucket")
+      .as[(Long, String, Long)].collect()
+    assert(out.length === 41) // 40 originals - 0 lost + 1 insert
+    val byId = out.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(5L) === ("new_5", 0L))        // matched: replaced in place
+    assert(byId(99L) === ("new_99", 2L))      // unmatched: inserted
+    assert(byId(25L) === ("moved_25", 0L))    // moved partitions, old version gone
+    assert(byId(6L) === ("old_6", 0L))        // untouched neighbors intact
+    assert(byId(26L) === ("old_26", 1L))
+  }
+
   test("SQL DELETE semantics: NULL predicate rows are kept") {
     val base = java.nio.file.Files.createTempDirectory("graft_delnull_").toString
     Seq((1L, Some(5.0)), (2L, None), (3L, Some(50.0)))
       .toDF("id", "score")
       .coalesce(1).write.parquet(s"$base/v1")
-    Deletes.deleteWhere(spark, s"$base/v1", s"$base/v2", col("score") > 10.0)
+    Dml.deleteWhere(spark, s"$base/v1", s"$base/v2", col("score") > 10.0)
     assert(spark.read.parquet(s"$base/v2").select("id").as[Long].collect().toSet ===
       Set(1L, 2L)) // NULL comparison is not TRUE → row 2 survives
   }
