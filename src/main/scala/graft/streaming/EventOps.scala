@@ -334,6 +334,36 @@ object EventOps extends QueryRegistry {
       (count(col("p_ts")).cast("double") / count(col("c_ts"))).as("click_to_purchase"))
   }
 
+  /** Time-bounded funnel (r11): the ordered funnel with a conversion
+    * DEADLINE per stage — first view, first click within `maxGapHours` of
+    * it, first purchase within `maxGapHours` of the click. Product
+    * analytics measures conversion this way (an unbounded funnel credits a
+    * purchase made months later); the deadline is pure µs-integer
+    * arithmetic inside the SAME per-user windows, so the one-shuffle shape
+    * of [[funnel]] is unchanged. */
+  def funnelWindowed(events: DataFrame, maxGapHours: Int = 48): DataFrame = {
+    val gapUs = maxGapHours * 3600L * 1000000L
+    val wAll = Window.partitionBy("user_id")
+    val perUser = events
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(wAll))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" && col("ts") > col("v_ts") &&
+          col("ts") <= col("v_ts") + gapUs, col("ts"))).over(wAll))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("c_ts") &&
+          col("ts") <= col("c_ts") + gapUs, col("ts"))).over(wAll))
+      .groupBy("user_id")
+      .agg(max("v_ts").as("v_ts"), max("c_ts").as("c_ts"), max("p_ts").as("p_ts"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(col("v_ts")).as("viewed"),
+      count(col("c_ts")).as("clicked_in_window"),
+      count(col("p_ts")).as("purchased_in_window"),
+      (count(col("c_ts")).cast("double") / count(col("v_ts"))).as("view_to_click"),
+      (count(col("p_ts")).cast("double") / count(col("c_ts"))).as("click_to_purchase"))
+  }
+
   /** As-of join: every event picks up the most recent STRICTLY PRIOR `error`
     * event of the same user (time-to-last-error). Spark has no native as-of
     * operator; the scale-correct shape is not a range join (which plans as a
@@ -764,6 +794,33 @@ object EventOps extends QueryRegistry {
             FROM events WHERE event_type = 'error') i
         ON p.ts >= i.lo AND p.ts < i.hi
       GROUP BY 1"""))),
+
+    QueryDef("events_funnel_windowed",
+      (s, d) => funnelWindowed(events(s, d)), Some(oq("""
+      , fw1 AS (
+          SELECT user_id, ts, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS v_ts
+          FROM events),
+      fw2 AS (
+          SELECT *, min(CASE WHEN event_type = 'click' AND ts > v_ts
+                              AND ts <= v_ts + INTERVAL '48 hours' THEN ts END)
+                      OVER (PARTITION BY user_id) AS c_ts
+          FROM fw1),
+      fw3 AS (
+          SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c_ts
+                              AND ts <= c_ts + INTERVAL '48 hours' THEN ts END)
+                      OVER (PARTITION BY user_id) AS p_ts
+          FROM fw2),
+      fpu AS (SELECT user_id, max(v_ts) AS v_ts, max(c_ts) AS c_ts, max(p_ts) AS p_ts
+              FROM fw3 GROUP BY user_id)
+      SELECT count(*) AS n_users,
+             count(v_ts) AS viewed,
+             count(c_ts) AS clicked_in_window,
+             count(p_ts) AS purchased_in_window,
+             CAST(count(c_ts) AS DOUBLE) / count(v_ts) AS view_to_click,
+             CAST(count(p_ts) AS DOUBLE) / count(c_ts) AS click_to_purchase
+      FROM fpu"""))),
 
     QueryDef("events_funnel", (s, d) => funnel(events(s, d)), Some(oq("""
       , w1 AS (
