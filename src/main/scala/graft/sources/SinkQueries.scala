@@ -224,7 +224,51 @@ object SinkQueries extends QueryRegistry {
         col("category"))
   }
 
+  /** Versioned-table scenario (r11): the product dim created at v1, a
+    * DELETE (every 7th code) committed as v2, a price MERGE (every 4th
+    * surviving code, +5.00) committed as v3. Two gate rows read it:
+    * time travel to v1 must see the ORIGINAL dim untouched by both later
+    * mutations, and the latest read must see exactly the post-delete,
+    * post-merge table. */
+  private def versionedScenario(s: SparkSession, dir: String): String = {
+    val root = Files.createTempDirectory("graft_sink_vt_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+      .withColumn("pbucket", expr("CAST(stockcode AS BIGINT) div 500"))
+    VersionedTable.create(s, root, p, Seq("pbucket"))
+    VersionedTable.deleteWhere(s, root, code % 7 === 0)
+    val updates = p.filter(code % 4 === 0 && code % 7 =!= 0)
+      .withColumn("unitprice",
+        (col("unitprice") + lit(BigDecimal("5.00"))).cast("decimal(12,2)"))
+    VersionedTable.mergeInto(s, root, updates, Seq("stockcode"), Seq("pbucket"))
+    root
+  }
+
+  private def versionedProjection(df: DataFrame): DataFrame =
+    df.select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+      col("category"))
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sink_versioned_timetravel",
+      (s, d) => versionedProjection(
+        VersionedTable.read(s, versionedScenario(s, d), Some(1))),
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM dim_product"""))),
+
+    QueryDef("sink_versioned_latest",
+      (s, d) => versionedProjection(
+        VersionedTable.read(s, versionedScenario(s, d))),
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode,
+             CAST(CASE WHEN CAST(stockcode AS BIGINT) % 4 = 0
+                       THEN unitprice + 5.00 ELSE unitprice END AS DOUBLE)
+               AS unitprice,
+             category
+      FROM dim_product
+      WHERE CAST(stockcode AS BIGINT) % 7 <> 0"""))),
+
     QueryDef("sink_merge_into", mergeIntoRoundtrip,
       Some(graft.oracle.OracleSql.q("""
       SELECT stockcode,

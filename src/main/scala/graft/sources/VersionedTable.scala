@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Snapshot-versioned table — time travel over the copy-on-write DML ops
+  * ([[Dml.deleteWhere]]/[[Dml.mergeInto]]/[[Compaction.compactDir]]), the
+  * poor-man's table format this filesystem-only engine can honestly offer:
+  *
+  *   <root>/v00001/ v00002/ ...   immutable snapshot layouts
+  *   <root>/_latest               tiny manifest naming the committed version
+  *
+  * Every mutation reads snapshot N and writes a COMPLETE snapshot N+1 (the
+  * DML ops byte-copy clean files and re-encode only affected ones), then a
+  * single manifest swap publishes it — the same commit discipline as the
+  * SCD2 segment store: a crash before the swap leaves an orphan dir readers
+  * never see (the retry overwrites it), a crash after is simply the new
+  * version. Readers pin a version for as long as a query runs; concurrent
+  * readers and ONE writer need no coordination. With a production manifest
+  * format the full-copy disappears (snapshots share unchanged files by
+  * reference) — the protocol here is the same, only the sharing is
+  * physical. [[vacuum]] retires history once nobody time-travels to it. */
+object VersionedTable {
+
+  private def fsOf(spark: SparkSession, root: String) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def vDir(root: String, v: Int) = f"$root/v$v%05d"
+
+  private def readLatest(fs: org.apache.hadoop.fs.FileSystem, rootP: Path): Option[Int] = {
+    val c = new Path(rootP, "_latest")
+    val tmp = new Path(rootP, "_latest.tmp")
+    if (!fs.exists(c) && fs.exists(tmp)) fs.rename(tmp, c) // roll the swap forward
+    if (!fs.exists(c)) None
+    else {
+      val in = fs.open(c)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def commit(fs: org.apache.hadoop.fs.FileSystem, rootP: Path, v: Int): Unit = {
+    val c = new Path(rootP, "_latest")
+    val tmp = new Path(rootP, "_latest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    if (fs.exists(c)) fs.delete(c, false)
+    fs.rename(tmp, c)
+  }
+
+  /** Prepare the next version's directory (clearing any crashed orphan)
+    * and return (next, its path). */
+  private def nextDir(spark: SparkSession, root: String): (Int, String) = {
+    val (fs, rootP) = fsOf(spark, root)
+    fs.mkdirs(rootP)
+    val next = readLatest(fs, rootP).getOrElse(0) + 1
+    val dir = vDir(root, next)
+    if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
+    (next, dir)
+  }
+
+  /** Create the table at snapshot v1. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      partitionCols: Seq[String] = Nil): Int = {
+    val (next, dir) = nextDir(spark, root)
+    require(next == 1, s"table at $root already exists (latest v${next - 1})")
+    val w = df.write
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
+    val (fs, rootP) = fsOf(spark, root)
+    commit(fs, rootP, next)
+    next
+  }
+
+  def latestVersion(spark: SparkSession, root: String): Int = {
+    val (fs, rootP) = fsOf(spark, root)
+    readLatest(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"no committed table at $root"))
+  }
+
+  /** Read a snapshot — the committed latest, or any still-vacuum-retained
+    * version (time travel). */
+  def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    spark.read.parquet(vDir(root, v))
+  }
+
+  /** `DELETE WHERE` as a new snapshot; returns the committed version. */
+  def deleteWhere(spark: SparkSession, root: String, pred: Column): Int = {
+    val cur = vDir(root, latestVersion(spark, root))
+    val (next, dir) = nextDir(spark, root)
+    Dml.deleteWhere(spark, cur, dir, pred)
+    val (fs, rootP) = fsOf(spark, root)
+    commit(fs, rootP, next)
+    next
+  }
+
+  /** `MERGE INTO` as a new snapshot; returns the committed version. */
+  def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
+      keys: Seq[String], partitionCols: Seq[String] = Nil): Int = {
+    val cur = vDir(root, latestVersion(spark, root))
+    val (next, dir) = nextDir(spark, root)
+    Dml.mergeInto(spark, cur, dir, updates, keys, partitionCols)
+    val (fs, rootP) = fsOf(spark, root)
+    commit(fs, rootP, next)
+    next
+  }
+
+  /** Retire history: drop every version older than the newest `keep`
+    * (readers of dropped versions lose time travel, nothing else). */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 1): Seq[Int] = {
+    require(keep >= 1, "must keep at least the latest version")
+    val (fs, rootP) = fsOf(spark, root)
+    val latest = latestVersion(spark, root)
+    val dropped = (1 to latest - keep).filter(v => fs.exists(new Path(vDir(root, v))))
+    dropped.foreach(v => fs.delete(new Path(vDir(root, v)), true))
+    dropped
+  }
+}
