@@ -677,6 +677,103 @@ object TextOps extends QueryRegistry {
       .drop("diag", "grp")
   }
 
+  /** BPE merge-table training (r11) — the actual byte-pair-encoding merge
+    * computation (Sennrich et al. 2016), not just its frequency-table
+    * inputs: count adjacent symbol pairs across the word vocabulary
+    * (weighted by word frequency), adopt the most frequent pair as the next
+    * merge, rewrite every word's symbol sequence greedily left-to-right,
+    * repeat. Ties break deterministically on (count desc, left, right).
+    *
+    * Scale shape — the corpus is touched ONCE: the tokenize + word-count
+    * aggregate produces the |vocab|-sized (word, freq) table, and every
+    * one of the `nMerges` iterations runs entirely on that vocab frame
+    * (pair explode + aggregate + a 1-row argmax collect — merges are
+    * inherently sequential, so the per-iteration driver collect is the
+    * algorithm, not a shortcut). Greedy application is a per-word
+    * `aggregate` fold: merge when the accumulator's last symbol is `left`
+    * and the incoming one is `right` — a merged symbol can never equal
+    * `left`, so the fold IS left-to-right non-overlapping replacement. */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordFreq = docs.select(explode(words).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var syms = wordFreq
+      .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var done = false
+    for (i <- 1 to nMerges if !done) {
+      // guard the single-symbol words: sequence(1, 0) DESCENDS in Spark
+      val pairArr = when(size(col("syms")) >= 2,
+        transform(sequence(lit(1), size(col("syms")) - 1),
+          k => struct(element_at(col("syms"), k).as("l"),
+            element_at(col("syms"), k + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val pairs = syms.select(col("freq"), explode(pairArr).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((i, l, r, cnt))
+        val next = syms.withColumn("syms",
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(x)))))
+          .cache()
+        next.count() // materialize before releasing the parent iteration
+        syms.unpersist()
+        syms = next
+      }
+    }
+    syms.unpersist()
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Standalone WITH RECURSIVE oracle for [[bpeMerges]]: each iteration is
+    * unrolled as (pair-count, argmax, recursive greedy apply) CTEs — the
+    * apply recursion consumes two symbols on a match and one otherwise,
+    * which is exactly the left-to-right fold. */
+  private def bpeOracle(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH RECURSIVE
+      bpw AS MATERIALIZED (SELECT w AS word, count(*) AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+              GROUP BY 1),
+      it0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM bpw)""")
+    for (i <- 1 to n) {
+      val (p, b, a, prev) = (s"it${i}_pairs", s"it${i}_best", s"it${i}_ap", s"it${i - 1}")
+      sb.append(s""",
+      $p AS (SELECT pr['l'] AS l, pr['r'] AS r, sum(freq) AS cnt FROM (
+          SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+            i -> {'l': syms[i], 'r': syms[i + 1]})) AS pr
+          FROM $prev) GROUP BY 1, 2),
+      $b AS MATERIALIZED (SELECT l, r, cnt FROM $p ORDER BY cnt DESC, l, r LIMIT 1),
+      $a(word, freq, rest, acc) AS (
+        SELECT word, freq, syms, CAST([] AS VARCHAR[]) FROM $prev
+        UNION ALL
+        SELECT word, freq,
+          CASE WHEN len(rest) >= 2 AND rest[1] = (SELECT l FROM $b)
+                    AND rest[2] = (SELECT r FROM $b)
+               THEN rest[3:] ELSE rest[2:] END,
+          CASE WHEN len(rest) >= 2 AND rest[1] = (SELECT l FROM $b)
+                    AND rest[2] = (SELECT r FROM $b)
+               THEN list_append(acc, (SELECT l FROM $b) || (SELECT r FROM $b))
+               ELSE list_append(acc, rest[1]) END
+        FROM $a WHERE len(rest) > 0),
+      it$i AS MATERIALIZED (SELECT word, freq, acc AS syms FROM $a WHERE len(rest) = 0)""")
+    }
+    sb.append("\n" + (1 to n).map(i =>
+        s"      SELECT $i AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM it${i}_best")
+      .mkString("", "\n      UNION ALL\n", ""))
+    sb.toString
+  }
+
   /** Winnowed document fingerprints (r11) — the Schleimer/Wilkerson/Aiken
     * SIGMOD'03 selection scheme (MOSS): hash every k-gram, slide a window
     * of `w` consecutive hashes, keep each window's MINIMUM — any shared
@@ -1772,6 +1869,9 @@ object TextOps extends QueryRegistry {
              min(ib) AS start_b, max(ib) AS end_b, count(*) AS n_segments
       FROM swg GROUP BY doc_a, doc_b, diag, grp
       HAVING count(*) >= 2"""))),
+
+    // BPE merges: standalone recursive oracle (greedy apply needs recursion)
+    QueryDef("doc_bpe_merges", (s, d) => bpeMerges(docs(s, d)), Some(bpeOracle(10))),
 
     // winnowing: the oracle replays k-gram hashing, the sliding min-window
     // selection, and the per-doc distinct — fixed-width hex makes MIN agree

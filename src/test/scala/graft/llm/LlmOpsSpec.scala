@@ -39,6 +39,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(all === Set((1L, 2L, 2L), (3L, 0L, 1L)))
   }
 
+  test("bpeMerges reproduces the classic merge sequence on the Sennrich corpus") {
+    // {low:5, lower:2, newest:6, widest:3} — (e,s) wins rank 1 on the
+    // lexicographic tie with (s,t) at count 9, then (es,t), then (l,o)
+    val ws = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val out = TextOps.bpeMerges(docsDF((1L, ws.mkString(" "))), nMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(out === Seq((1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L)))
+  }
+
   test("winnowing guarantee: a shared substring of w+k-1 tokens shares a fingerprint") {
     // k=4, w=5 → any shared run of >= 8 tokens must collide on >= 1
     // selected fingerprint, wherever it sits in either doc
