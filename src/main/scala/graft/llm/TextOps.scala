@@ -693,7 +693,13 @@ object TextOps extends QueryRegistry {
     * `aggregate` fold: merge when the accumulator's last symbol is `left`
     * and the incoming one is `right` — a merged symbol can never equal
     * `left`, so the fold IS left-to-right non-overlapping replacement. */
-  def bpeMerges(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+  def bpeMerges(docs: DataFrame, nMerges: Int = 10): DataFrame =
+    bpeTrain(docs, nMerges)._1
+
+  /** The trainer's full output: the merge table AND the vocabulary's final
+    * symbolization `(word, freq, syms)` — the artifact [[bpeTokenCounts]]
+    * encodes with. */
+  private def bpeTrain(docs: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val wordFreq = docs.select(explode(words).as("word"))
@@ -731,15 +737,31 @@ object TextOps extends QueryRegistry {
         syms = next
       }
     }
-    syms.unpersist()
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+    (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count"), syms)
+  }
+
+  /** BPE ENCODE — the trainer's counterpart: per-document token counts
+    * under the learned merges. Tokenizing a corpus is a vocab join, not a
+    * re-run of the merge fold per document: every word's final
+    * symbolization is already in the trainer's vocab frame, so encoding
+    * is `explode(words) ⋈ vocab` (vocab ≪ corpus — AQE broadcasts it
+    * while it fits, falls back to a hash join on a 10M-word vocab) + a
+    * per-doc aggregate — the token-budget accounting a dataset pipeline
+    * runs before packing. */
+  def bpeTokenCounts(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val vocab = bpeTrain(docs, nMerges)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    docs.select(col("doc_id"), explode(words).as("word"))
+      .join(vocab, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_tokens"))
   }
 
   /** Standalone WITH RECURSIVE oracle for [[bpeMerges]]: each iteration is
     * unrolled as (pair-count, argmax, recursive greedy apply) CTEs — the
     * apply recursion consumes two symbols on a match and one otherwise,
     * which is exactly the left-to-right fold. */
-  private def bpeOracle(n: Int): String = {
+  private def bpeOracle(n: Int, suffix: Option[String] = None): String = {
     val sb = new StringBuilder
     sb.append("""WITH RECURSIVE
       bpw AS MATERIALIZED (SELECT w AS word, count(*) AS freq
@@ -768,9 +790,10 @@ object TextOps extends QueryRegistry {
         FROM $a WHERE len(rest) > 0),
       it$i AS MATERIALIZED (SELECT word, freq, acc AS syms FROM $a WHERE len(rest) = 0)""")
     }
-    sb.append("\n" + (1 to n).map(i =>
-        s"      SELECT $i AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM it${i}_best")
-      .mkString("", "\n      UNION ALL\n", ""))
+    sb.append(suffix.getOrElse(
+      "\n" + (1 to n).map(i =>
+          s"      SELECT $i AS merge_rank, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count FROM it${i}_best")
+        .mkString("", "\n      UNION ALL\n", "")))
     sb.toString
   }
 
@@ -1872,6 +1895,15 @@ object TextOps extends QueryRegistry {
 
     // BPE merges: standalone recursive oracle (greedy apply needs recursion)
     QueryDef("doc_bpe_merges", (s, d) => bpeMerges(docs(s, d)), Some(bpeOracle(10))),
+
+    // the encode side reuses the same unrolled chain's FINAL symbolization
+    QueryDef("doc_bpe_token_counts",
+      (s, d) => bpeTokenCounts(docs(s, d)), Some(bpeOracle(10,
+        suffix = Some("""
+      SELECT d.doc_id, count(*) AS n_words, CAST(sum(len(v.syms)) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+      JOIN it10 v ON d.word = v.word
+      GROUP BY 1""")))),
 
     // winnowing: the oracle replays k-gram hashing, the sliding min-window
     // selection, and the per-doc distinct — fixed-width hex makes MIN agree
