@@ -87,7 +87,8 @@ object Bench {
     // 0.96) — an inflated expectation would let a real 1.5× regression pass
     "fact_scd2_temporal_join" -> 1.00, "events_retention_d7" -> 0.25,
     // r11 additions, steady values from tools/R11Probe at sf0.1
-    "doc_shared_spans" -> 1.10, "multimodal_ppm_decode" -> 0.15)
+    "doc_shared_spans" -> 1.10, "multimodal_ppm_decode" -> 0.15,
+    "doc_winnow_overlap" -> 0.40, "doc_bpe_merges" -> 1.70)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds
@@ -396,6 +397,10 @@ object Bench {
       time("multimodal_ppm_decode")(
         graft.llm.MultimodalOps.decodePpm(
           graft.llm.MultimodalOps.ppmFixture(spark, sfDir)).toDF())
+      // winnowed-fingerprint overlap and the 10-iteration BPE trainer
+      // (the latter's cost is 10 sequential vocab-sized argmax rounds)
+      time("doc_winnow_overlap")(graft.llm.TextOps.winnowOverlap(docs))
+      time("doc_bpe_merges")(graft.llm.TextOps.bpeMerges(docs))
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))

@@ -725,16 +725,16 @@ object TextOps extends QueryRegistry {
         val (l, r, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((i, l, r, cnt))
-        val next = syms.withColumn("syms",
+        // each iteration stays cached (vocab-sized); the NEXT iteration's
+        // argmax materializes it lazily — an eager count would add a
+        // third job per iteration for nothing
+        syms = syms.withColumn("syms",
             aggregate(col("syms"), array().cast("array<string>"),
               (acc, x) => when(size(acc) > 0 &&
                   element_at(acc, -1) === lit(l) && x === lit(r),
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
                 .otherwise(concat(acc, array(x)))))
           .cache()
-        next.count() // materialize before releasing the parent iteration
-        syms.unpersist()
-        syms = next
       }
     }
     (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count"), syms)

@@ -27,6 +27,8 @@ object R11Probe {
     t("multimodal_ppm_decode")(
       graft.llm.MultimodalOps.decodePpm(graft.llm.MultimodalOps.ppmFixture(spark, dir)).toDF())
     t("dim_customer_scd2_store")(graft.SparkEntry.queries("dim_customer_scd2_store")(spark, dir))
+    t("doc_winnow_overlap")(graft.llm.TextOps.winnowOverlap(docs))
+    t("doc_bpe_merges")(graft.llm.TextOps.bpeMerges(docs))
     spark.stop()
   }
 }
