@@ -154,6 +154,72 @@ object EmbeddingOps extends QueryRegistry {
         round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
   }
 
+  /** Greedy k-center (farthest-point) diversity sampling (r11) — coreset
+    * selection for training-data diversity (Gonzalez's 2-approximation to
+    * the k-center objective): start from the smallest vec_id, repeatedly
+    * adopt the vector FARTHEST from the selected set, i.e. the argmax of
+    * each vector's min cosine-distance to any chosen center. Selection is
+    * inherently sequential (k rounds), but each round is ONE narrow pass:
+    * the running min-distance column updates against only the NEWEST
+    * center (a broadcast literal), then a 1-row argmax collects — no
+    * pairwise matrix, no k×corpus re-scoring, the incremental-min trick
+    * that makes greedy k-center linear per round. Distances are rounded to
+    * 6 dp BEFORE the argmax so selection is cross-engine deterministic;
+    * ties break on vec_id. */
+  def kcenterSample(emb: DataFrame, k: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    def distTo(center: Seq[Float]): Column =
+      round(lit(1.0) - cosine(col("embedding"), typedLit(center.toArray)), 6)
+    val seed = base.orderBy("vec_id").limit(1).collect()(0)
+    val seedId = seed.getLong(0)
+    var state = base.filter(col("vec_id") =!= seedId)
+      .withColumn("min_dist", distTo(seed.getSeq[Float](1))).cache()
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, seedId, None))
+    for (i <- 2 to k) {
+      val best = state.orderBy(col("min_dist").desc, col("vec_id")).limit(1)
+        .select("vec_id", "min_dist", "embedding").collect()(0)
+      picks += ((i, best.getLong(0), Some(best.getDouble(1))))
+      state = state.filter(col("vec_id") =!= best.getLong(0))
+        .withColumn("min_dist",
+          least(col("min_dist"), distTo(best.getSeq[Float](2)))).cache()
+    }
+    picks.toSeq.toDF("sample_rank", "vec_id", "min_dist")
+  }
+
+  /** Unrolled oracle for [[kcenterSample]]: per round, the argmax CTE and
+    * the incremental min-distance CTE — the distance frames MATERIALIZED
+    * (each is referenced twice; an unmaterialized chain re-evaluates
+    * upstream exponentially, the doc_bpe_merges lesson). */
+  private def kcenterOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""
+      , kc0 AS (SELECT vec_id, embedding FROM embeddings),
+      ks1 AS MATERIALIZED (SELECT vec_id, embedding FROM kc0 ORDER BY vec_id LIMIT 1),
+      kd1 AS MATERIALIZED (
+        SELECT c.vec_id, c.embedding,
+               round(1.0 - """ + sqlCos("c.embedding", "s.embedding") + """, 6) AS md
+        FROM kc0 c, ks1 s WHERE c.vec_id <> s.vec_id)""")
+    for (i <- 2 to k) {
+      val (p, dPrev, d) = (s"kp$i", s"kd${i - 1}", s"kd$i")
+      sb.append(s""",
+      $p AS MATERIALIZED (SELECT vec_id, embedding, md FROM $dPrev
+                          ORDER BY md DESC, vec_id LIMIT 1)""")
+      if (i < k) sb.append(s""",
+      $d AS MATERIALIZED (
+        SELECT c.vec_id, c.embedding,
+               least(c.md, round(1.0 - ${sqlCos("c.embedding", "p.embedding")}, 6)) AS md
+        FROM $dPrev c, $p p WHERE c.vec_id <> p.vec_id)""")
+    }
+    sb.append("""
+      SELECT 1 AS sample_rank, vec_id, CAST(NULL AS DOUBLE) AS min_dist FROM ks1""")
+    (2 to k).foreach(i => sb.append(s"""
+      UNION ALL SELECT $i AS sample_rank, vec_id, md AS min_dist FROM kp$i"""))
+    sb.toString
+  }
+
   /** Multi-probe ANN (Hamming ≤ 1): each query probes its own LSH bucket
     * PLUS the 8 buckets one bit-flip away — the standard multi-probe LSH
     * recall fix for the single-bucket loss `tools/QuantRecallProbe` measures
@@ -425,6 +491,9 @@ object EmbeddingOps extends QueryRegistry {
         FROM scored)
       SELECT query_id, neighbor_id, CAST(CAST(round(cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
       FROM ranked WHERE rn <= 5"""))),
+
+    QueryDef("emb_kcenter_sample",
+      (s, d) => kcenterSample(emb(s, d)), Some(oq(kcenterOracle(8)))),
 
     // the pre-filter form: candidates carry the predicate, queries don't —
     // the oracle filters the candidate leg identically

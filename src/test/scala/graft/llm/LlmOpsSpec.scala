@@ -248,6 +248,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(kept === Map(2L -> "cluster_best", 4L -> "unique"))
   }
 
+  test("kcenterSample picks the geometrically farthest points in order") {
+    def v(x: Float, y: Float) = Array.tabulate(64)(i =>
+      if (i == 0) x else if (i == 1) y else 0f)
+    val emb = Seq(
+      (1L, v(1f, 0f)),      // seed (smallest id)
+      (2L, v(0.95f, 0.05f)), // near the seed
+      (3L, v(-1f, 0f)),     // antipode: distance 2.0 — picked second
+      (4L, v(0f, 1f)))      // orthogonal to both: distance 1.0 — third
+      .toDF("vec_id", "embedding")
+    val out = EmbeddingOps.kcenterSample(emb, k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.map(p => p._1 -> p._2).toSeq === Seq(1 -> 1L, 2 -> 3L, 3 -> 4L, 4 -> 2L))
+    assert(out(1)._3.contains(2.0)) // antipodal cosine distance
+    assert(out(2)._3.contains(1.0)) // orthogonal
+    assert(out(3)._3.exists(_ < 0.01)) // the near-seed point comes last
+  }
+
   test("embedding dedup clusters: identical vectors cluster under the min vec_id") {
     val same = Array.tabulate(64)(i => if (i == 0) 1f else 0.01f)
     val far = Array.tabulate(64)(i => if (i == 1) -1f else -0.01f)
