@@ -347,6 +347,35 @@ object TextOps extends QueryRegistry {
         (col("planned_tokens").cast("double") / col("tokens_available")).as("accept_rate"))
   }
 
+  /** Square-root temperature mixing (r11) — the standard low-resource
+    * upweighting for multi-source training mixes (T=2 "square-root
+    * sampling", the multilingual NMT/mBERT recipe): a source's mix share
+    * is `sqrt(tokens_s) / Σ sqrt(tokens_t)`, damping the dominance of
+    * large sources without drowning small ones. Numerics chosen for
+    * cross-engine determinism: `sqrt` is the ONE transcendental IEEE 754
+    * requires correctly rounded (bit-identical everywhere, unlike
+    * pow/log, which is why general-temperature pow is not offered), and
+    * the Σ is a window cumulative sum in source order — a fixed
+    * left-to-right association both engines reproduce, where a parallel
+    * SUM over doubles would be partitioning-dependent. The |sources|-row
+    * frame makes the ordered window free. */
+  def mixSqrtTemperature(docs: DataFrame): DataFrame = {
+    val tok = docs.groupBy("source")
+      .agg(sum(org.apache.spark.sql.functions.size(words)).cast("long")
+        .as("tokens_available"))
+      .withColumn("w", sqrt(col("tokens_available").cast("double")))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("source")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy("source")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    tok
+      .withColumn("cw", sum("w").over(wOrd))
+      .withColumn("w_total", last("cw").over(wAll))
+      .select(col("source"), col("tokens_available"),
+        round(col("w") / col("w_total"), 6).as("mix_share"))
+  }
+
   /** Shard-local sequence packing (concat-and-chunk): documents pack in a
     * deterministic order into fixed-capacity training sequences. Packing is
     * inherently sequential, so the scale discipline is SHARD-local packing —
@@ -1802,6 +1831,25 @@ object TextOps extends QueryRegistry {
              CAST(floor(target_share * n_total) AS BIGINT) AS planned_tokens,
              CAST(CAST(floor(target_share * n_total) AS BIGINT) AS DOUBLE) / tokens_available AS accept_rate
       FROM mixtok, mixn"""))),
+
+    // Σ sqrt(tokens) via the same ordered cumulative sum — fp association
+    // fixed left-to-right in both engines
+    QueryDef("doc_mix_sqrt_temperature",
+      (s, d) => mixSqrtTemperature(docs(s, d)), Some(oq("""
+      , mst AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_available,
+                 sqrt(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)) AS w
+          FROM documents GROUP BY source),
+      mstc AS (
+          SELECT *, sum(w) OVER (ORDER BY source
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+          FROM mst),
+      mstt AS (SELECT max(cw) AS w_total FROM (
+                 SELECT cw FROM mstc
+                 ORDER BY source DESC LIMIT 1))
+      SELECT source, tokens_available, round(w / w_total, 6) AS mix_share
+      FROM mstc, mstt"""))),
 
     QueryDef("doc_pack_sequences", (s, d) => packSequences(docs(s, d)), Some(oq("""
       , sized AS (
