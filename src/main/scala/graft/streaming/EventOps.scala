@@ -334,6 +334,28 @@ object EventOps extends QueryRegistry {
       (count(col("p_ts")).cast("double") / count(col("c_ts"))).as("click_to_purchase"))
   }
 
+  /** Nearest-incident attribution (r11): each purchase paired with the
+    * error CLOSEST in time for the same user — either direction, within a
+    * tolerance — via the generic [[graft.operators.AsOf.nearestJoin]]
+    * (backward running-last + forward running-first sharing ONE user_id
+    * shuffle). The backward-only as-of answers "what broke before this?";
+    * nearest answers the incident-correlation question "what incident is
+    * this purchase closest to?", which a purchase seconds BEFORE an error
+    * belongs to just as much. */
+  def nearestError(events: DataFrame,
+      toleranceUs: Long = 6L * 3600 * 1000000L): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val errors = events.filter(col("event_type") === "error")
+      .select("user_id", "ts")
+    graft.operators.AsOf.nearestJoin(purchases, errors, Seq("user_id"),
+        "ts", "ts", Some(toleranceUs))
+      .select(col("event_id"), col("user_id"),
+        expr("timestamp_micros(ts)").cast("timestamp_ntz").as("t"),
+        expr("timestamp_micros(asof.ts)").cast("timestamp_ntz").as("nearest_error_t"),
+        col("delta_us"))
+  }
+
   /** Time-bounded funnel (r11): the ordered funnel with a conversion
     * DEADLINE per stage — first view, first click within `maxGapHours` of
     * it, first purchase within `maxGapHours` of the click. Product
@@ -794,6 +816,23 @@ object EventOps extends QueryRegistry {
             FROM events WHERE event_type = 'error') i
         ON p.ts >= i.lo AND p.ts < i.hi
       GROUP BY 1"""))),
+
+    // the oracle resolves nearest per purchase by (distance, earlier-ts) —
+    // the same tie rule the operator's prev-on-tie implements
+    QueryDef("events_nearest_error",
+      (s, d) => nearestError(events(s, d)), Some(oq("""
+      , npur AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      nsel AS (
+        SELECT p.event_id, p.user_id, p.ts AS t,
+          (SELECT e.ts FROM events e
+           WHERE e.user_id = p.user_id AND e.event_type = 'error'
+             AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 21600000000
+           ORDER BY abs(epoch_us(e.ts) - epoch_us(p.ts)), e.ts LIMIT 1) AS nearest_error_t
+        FROM npur p)
+      SELECT event_id, user_id, t, nearest_error_t,
+             CASE WHEN nearest_error_t IS NOT NULL
+                  THEN abs(epoch_us(nearest_error_t) - epoch_us(t)) END AS delta_us
+      FROM nsel"""))),
 
     QueryDef("events_funnel_windowed",
       (s, d) => funnelWindowed(events(s, d)), Some(oq("""

@@ -32,6 +32,37 @@ class AsOfSpec extends SparkSpec {
     assert(one(strict = true) === "before")
   }
 
+  test("forward as-of picks the earliest right row at-or-after, per key") {
+    val out = AsOf.asOfJoinForward(left, right, Seq("k"), "t", "t")
+      .select(col("id"), col("asof.v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out === Map(1L -> "b", 2L -> null, 3L -> null)) // 100 → next right at 200
+  }
+
+  test("forward strict mode excludes the same-instant right row") {
+    val l = Seq((1L, "k", 100L)).toDF("id", "k", "t")
+    val r = Seq(("k", 100L, "now"), ("k", 101L, "after")).toDF("k", "t", "v")
+    def one(strict: Boolean) = AsOf.asOfJoinForward(l, r, Seq("k"), "t", "t", strict)
+      .select(col("asof.v")).head().getString(0)
+    assert(one(strict = false) === "now")
+    assert(one(strict = true) === "after")
+  }
+
+  test("nearest join picks the closer side, prefers earlier on ties, honors tolerance") {
+    val l = Seq((1L, "k", 100L), (2L, "k", 210L), (3L, "k", 285L), (4L, "k", 1000L))
+      .toDF("id", "k", "t")
+    val r = Seq(("k", 140L, "a"), ("k", 280L, "b")).toDF("k", "t", "v")
+    val out = AsOf.nearestJoin(l, r, Seq("k"), "t", "t", Some(300L))
+      .select(col("id"), col("asof.v"), col("delta_us"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === ("a", 40L))   // forward is closer (40 vs nothing behind)
+    assert(out(2L) === ("a", 70L))   // EQUAL distance 70 both ways → earlier wins
+    assert(out(3L) === ("b", 5L))    // backward is closer
+    assert(out(4L) === null)         // nothing within tolerance 300
+  }
+
   test("the as-of plan is one key shuffle — no nested-loop or range join") {
     val df = AsOf.asOfJoin(left, right, Seq("k"), "t", "t", strict = true)
     df.collect()
