@@ -428,6 +428,19 @@ object Scd2 extends QueryRegistry {
     asOfSnapshot(productScd2(spark, dir), "2020-01-15 00:00:00")
       .select("stockcode", "unitprice")
 
+  /** The fact side of the temporal-lookup scenarios: every ELT fact row
+    * with its event time decoded from the smart key. */
+  private def temporalFact(w: Warehouse): DataFrame =
+    w.factSalesElt.select(
+      col("invoiceid"), col("stockcode"), col("linenumber"),
+      to_timestamp(col("date_key").cast("string"), "yyyyMMddHHmmss")
+        .cast("timestamp_ntz").as("t"))
+
+  private def temporalProjection(df: DataFrame): DataFrame =
+    df.select(col("invoiceid"), col("stockcode"), col("linenumber"), col("t"),
+      col("asof.unitprice").cast("double").as("version_price"),
+      col("asof.valid_from").as("version_from"))
+
   /** Oracle scenario for [[temporalLookup]]: the same churn versioned
     * INSIDE the fact's date range (v1 at 1995, v2 at 1998), every fact row
     * decoding its event time from the smart key — facts before 1998 must
@@ -438,14 +451,49 @@ object Scd2 extends QueryRegistry {
     val (v1, v2) = productSnapshots(w)
     val hist = merge(initialLoad(v1, "1995-01-01 00:00:00"), v2,
       keys = Seq("stockcode"), attrs = Seq("unitprice"), asOf = "1998-01-01 00:00:00")
-    val fact = w.factSalesElt.select(
-      col("invoiceid"), col("stockcode"), col("linenumber"),
-      to_timestamp(col("date_key").cast("string"), "yyyyMMddHHmmss")
-        .cast("timestamp_ntz").as("t"))
-    temporalLookup(fact, hist, Seq("stockcode"), "t")
-      .select(col("invoiceid"), col("stockcode"), col("linenumber"), col("t"),
-        col("asof.unitprice").cast("double").as("version_price"),
-        col("asof.valid_from").as("version_from"))
+    temporalProjection(temporalLookup(temporalFact(w), hist, Seq("stockcode"), "t"))
+  }
+
+  /** Continuous temporal enrichment (r11) — the streaming face of
+    * [[temporalLookup]]: a fact drop directory enriched per micro-batch
+    * against the segmented history store (stream-static; the dim-sized
+    * [[readHistory]] broadcasts, each batch's facts never shuffle) with
+    * results appended. Composes the round's store with the r10 lookup;
+    * the roundtrip must equal the batch temporal join row-for-row, so it
+    * SHARES `fact_scd2_temporal_join`'s oracle. */
+  private def streamScd2EnrichRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val w = Warehouse(spark, dir)
+    val (v1, v2) = productSnapshots(w)
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2_enrich_").toString
+    foldSnapshot(spark, v1, "1995-01-01 00:00:00",
+      Seq("stockcode"), Seq("unitprice"), s"$base/hist")
+    foldSnapshot(spark, v2, "1998-01-01 00:00:00",
+      Seq("stockcode"), Seq("unitprice"), s"$base/hist")
+    val fact = temporalFact(w)
+    fact.filter(col("invoiceid").cast("long") % 2 === 0)
+      .coalesce(1).write.parquet(s"$base/drops/a")
+    fact.filter(col("invoiceid").cast("long") % 2 =!= 0)
+      .coalesce(1).write.parquet(s"$base/drops/b")
+    val hist = readHistory(spark, s"$base/hist")
+    val query = spark.readStream
+      .schema(spark.read.parquet(s"$base/drops/*").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/drops/*")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        temporalProjection(temporalLookup(batch, hist, Seq("stockcode"), "t"))
+          .write.mode("append").parquet(s"$base/out")
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000L)) {
+      query.stop()
+      throw new IllegalStateException(
+        "stream_scd2_enrich_roundtrip did not finish within 300 s; output is partial")
+    }
+    spark.read.parquet(s"$base/out")
   }
 
   private val CT1 = "2021-01-01 00:00:00"
@@ -596,7 +644,14 @@ object Scd2 extends QueryRegistry {
 
     // the oracle replays version selection as CASE logic over the fact's
     // decoded time — deleted keys and pre-history times fall to NULL
-    QueryDef("fact_scd2_temporal_join", factScd2Temporal, Some(oq("""
+    QueryDef("fact_scd2_temporal_join", factScd2Temporal, Some(temporalJoinOracle)),
+
+    // stream-enriched ≡ batch temporal join, by roundtrip construction
+    QueryDef("stream_scd2_enrich_roundtrip", streamScd2EnrichRoundtrip,
+      Some(temporalJoinOracle))
+  )
+
+  private lazy val temporalJoinOracle = oq("""
       SELECT f.invoiceid, f.stockcode, f.linenumber,
              strptime(CAST(f.date_key AS VARCHAR), '%Y%m%d%H%M%S') AS t,
              CAST(CASE
@@ -616,6 +671,5 @@ object Scd2 extends QueryRegistry {
                     AND CAST(p.stockcode AS BIGINT) % 3 = 0 THEN TIMESTAMP '1998-01-01'
                ELSE TIMESTAMP '1995-01-01' END AS version_from
       FROM fact_sales_elt f
-      LEFT JOIN dim_product p ON f.stockcode = p.stockcode""")))
-  )
+      LEFT JOIN dim_product p ON f.stockcode = p.stockcode""")
 }
