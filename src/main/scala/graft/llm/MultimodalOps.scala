@@ -25,6 +25,9 @@ object MultimodalOps extends QueryRegistry {
   final case class MediaRow(doc_id: Long, media: Array[Byte])
   final case class PpmFeatures(doc_id: Long, width: Int, height: Int,
       mean_r: Double, mean_g: Double, mean_b: Double)
+  final case class WavFeatures(doc_id: Long, n_channels: Int, sample_rate: Int,
+      n_frames: Long, duration_s: Double, mean_amp: Double, rms: Double,
+      peak: Int)
 
   /** Media table: documents' text re-typed as an opaque binary payload with
     * metadata (mime + byte length + content prefix). */
@@ -83,6 +86,114 @@ object MultimodalOps extends QueryRegistry {
   def decodePpm(media: Dataset[MediaRow]): Dataset[PpmFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m => parsePpm(m.doc_id, m.media)))
+  }
+
+  /** Real WAV (RIFF / PCM16) decode — the audio twin of [[parsePpm]] (r11):
+    * validates the RIFF/WAVE container, walks the chunk list (skipping
+    * unknown chunks, honoring the odd-size pad byte), parses the `fmt `
+    * descriptor (PCM format code 1, 16-bit only, block-align/byte-rate
+    * cross-checks), and reduces the `data` chunk's interleaved little-endian
+    * signed samples to duration + amplitude statistics. All statistics stay
+    * EXACT 64-bit integers (sum, sum-of-squares, max |sample|) until one
+    * final division (+ one correctly-rounded sqrt for RMS) — the same
+    * `CAST(int_sum AS DOUBLE)/n` chain the oracle computes, so every value
+    * is bit-identical cross-engine. */
+  private[llm] def parseWav(id: Long, bytes: Array[Byte]): WavFeatures = {
+    def err(msg: String): Nothing =
+      throw new IllegalArgumentException(s"media of doc $id: $msg")
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      err("not a RIFF/WAVE container")
+    if (u32(4) != bytes.length - 8)
+      err(s"RIFF size ${u32(4)} != payload ${bytes.length - 8} (truncated?)")
+    var channels = -1; var rate = -1; var dataOff = -1; var dataLen = -1L
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id4 = tag(i); val size = u32(i + 4)
+      if (i + 8 + size > bytes.length) err(s"chunk $id4 overruns the container")
+      id4 match {
+        case "fmt " =>
+          if (size < 16) err(s"fmt chunk too short ($size bytes)")
+          val fmt = u16(i + 8)
+          if (fmt != 1) err(s"unsupported format code $fmt (PCM only)")
+          channels = u16(i + 10); rate = u32(i + 12).toInt
+          val byteRate = u32(i + 16); val blockAlign = u16(i + 20)
+          val bits = u16(i + 22)
+          if (bits != 16) err(s"unsupported $bits-bit samples (16-bit only)")
+          if (channels < 1) err("zero channels")
+          if (blockAlign != channels * 2)
+            err(s"blockAlign $blockAlign != channels*2")
+          if (byteRate != rate.toLong * blockAlign)
+            err(s"byteRate $byteRate != rate*blockAlign")
+        case "data" => dataOff = i + 8; dataLen = size
+        case _ => // unknown chunk (LIST, cue , ...) — skip
+      }
+      i += 8 + size.toInt + (size % 2).toInt // odd-size chunks carry a pad byte
+    }
+    if (channels < 0) err("missing fmt chunk")
+    if (dataOff < 0) err("missing data chunk")
+    if (dataLen % (channels * 2) != 0)
+      err(s"data length $dataLen not a whole number of frames")
+    val nSamples = dataLen / 2
+    if (nSamples == 0) err("empty data chunk")
+    var sum = 0L; var ssq = 0L; var peak = 0
+    var p = dataOff
+    val end = dataOff + dataLen.toInt
+    while (p < end) {
+      // sign-correct LE 16-bit decode (the classic codec bug is losing the
+      // sign on the high byte)
+      val v = ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort.toInt
+      sum += v; ssq += v.toLong * v
+      val a = if (v < 0) -v else v
+      if (a > peak) peak = a
+      p += 2
+    }
+    val nFrames = nSamples / channels
+    WavFeatures(id, channels, rate, nFrames,
+      nFrames.toDouble / rate, sum.toDouble / nSamples,
+      math.sqrt(ssq.toDouble / nSamples), peak)
+  }
+
+  def decodeWav(media: Dataset[MediaRow]): Dataset[WavFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => parseWav(m.doc_id, m.media)))
+  }
+
+  /** Deterministic WAV corpus derived from the documents table (the
+    * container ships no real audio files): each doc becomes a PCM16 WAV
+    * whose geometry (mono/stereo, sample rate, frame count) and sample
+    * ramp are closed-form functions of `doc_id`, so the decoded statistics
+    * have an analytic DuckDB oracle while the decoder does the full
+    * container-walk + sign-correct sample decode on varied bytes. Every
+    * 5th doc carries a junk `cue ` chunk of ODD size before `fmt `, so the
+    * chunk-skip + pad-byte path is exercised on real gate data. */
+  def wavFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Sources.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val nFrames = 200 + id % 57
+        val n = (nFrames * channels).toInt
+        val junk = if (id % 5 == 0)
+          "cue ".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 9, 9, 9, 0)
+        else Array.emptyByteArray
+        val out = new java.io.ByteArrayOutputStream(44 + junk.length + 2 * n)
+        def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+        def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+        def wtag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+        wtag("RIFF"); w32(4 + junk.length + 24 + 8 + 2L * n); wtag("WAVE")
+        out.write(junk)
+        wtag("fmt "); w32(16); w16(1); w16(channels); w32(rate)
+        w32(rate.toLong * channels * 2); w16(channels * 2); w16(16)
+        wtag("data"); w32(2L * n)
+        var k = 0
+        while (k < n) { w16((((id * 31 + k * 17) % 4001) - 2000).toInt & 0xffff); k += 1 }
+        MediaRow(id, out.toByteArray)
+      })
   }
 
   def mediaAsDataset(spark: SparkSession, dir: String): Dataset[MediaRow] = {
@@ -203,6 +314,32 @@ object MultimodalOps extends QueryRegistry {
              CAST(f.frame_idx * (n_bytes // n_frames) AS BIGINT) AS byte_offset
       FROM geom, unnest(generate_series(0, n_frames - 1, 5)) AS f(frame_idx)
       WHERE n_frames > 0"""))),
+
+    // the audio twin of multimodal_features: the oracle re-derives the PCM
+    // ramp analytically per sample index while the Spark side must WALK the
+    // actual RIFF container (junk chunk + pad byte included) and decode the
+    // signed little-endian samples — a chunk-offset, sign-extension, or
+    // statistics bug cannot pass
+    QueryDef("multimodal_wav_features",
+      (s, d) => decodeWav(wavFixture(s, d)).toDF(),
+      Some(oq("""
+        , wgeom AS (
+            SELECT doc_id, 1 + doc_id % 2 AS ch,
+                   8000 + (doc_id % 3) * 4000 AS rate,
+                   200 + doc_id % 57 AS nf
+            FROM documents),
+        wsamp AS (
+            SELECT doc_id, ch, rate, nf,
+                   ((doc_id * 31 + k.k * 17) % 4001) - 2000 AS v
+            FROM wgeom, unnest(generate_series(0, nf * ch - 1)) AS k(k))
+        SELECT doc_id, CAST(ch AS INT) AS n_channels,
+               CAST(rate AS INT) AS sample_rate,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(nf AS DOUBLE) / rate AS duration_s,
+               CAST(sum(v) AS DOUBLE) / (nf * ch) AS mean_amp,
+               sqrt(CAST(sum(v * v) AS DOUBLE) / (nf * ch)) AS rms,
+               CAST(max(abs(v)) AS INT) AS peak
+        FROM wsamp GROUP BY doc_id, ch, rate, nf"""))),
 
     // the oracle re-derives the ramp analytically per pixel index and
     // averages it — the Spark side must PARSE the actual P6 bytes to get

@@ -249,6 +249,35 @@ object SinkQueries extends QueryRegistry {
     df.select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
       col("category"))
 
+  /** CDC scenario (r11): its own versioned table whose v1→v3 span exercises
+    * every change class — deletes (every 7th code at v2), updates (every
+    * 4th surviving code re-priced at v3) AND inserts (every 10th code
+    * re-keyed past the domain at v3) — then reads the v1→v3 change feed.
+    * The oracle spells each class's expected image rows explicitly, so a
+    * missed class, a leaked unchanged row, or a pre/post image swap
+    * hash-mismatches. */
+  private def cdcChanges(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_cdc_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+      .withColumn("pbucket", expr("CAST(stockcode AS BIGINT) div 500"))
+    VersionedTable.create(s, root, p, Seq("pbucket"))
+    VersionedTable.deleteWhere(s, root, code % 7 === 0)
+    val updates = p.filter(code % 4 === 0 && code % 7 =!= 0)
+      .withColumn("unitprice",
+        (col("unitprice") + lit(BigDecimal("5.00"))).cast("decimal(12,2)"))
+    val inserts = p.filter(code % 10 === 0)
+      .select((code + 100000).cast("string").as("stockcode"),
+        col("unitprice"), lit("New").as("category"))
+      .withColumn("pbucket", expr("CAST(stockcode AS BIGINT) div 500"))
+    VersionedTable.mergeInto(s, root, updates.unionByName(inserts),
+      Seq("stockcode"), Seq("pbucket"))
+    VersionedTable.changes(s, root, 1, 3, Seq("stockcode"))
+      .select(col("stockcode"), col("change_type"),
+        col("unitprice").cast("double").as("unitprice"), col("category"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sink_versioned_timetravel",
       (s, d) => versionedProjection(
@@ -268,6 +297,27 @@ object SinkQueries extends QueryRegistry {
              category
       FROM dim_product
       WHERE CAST(stockcode AS BIGINT) % 7 <> 0"""))),
+
+    QueryDef("sink_versioned_changes", cdcChanges,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode, 'delete' AS change_type,
+             CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM dim_product WHERE CAST(stockcode AS BIGINT) % 7 = 0
+      UNION ALL
+      SELECT stockcode, 'update_preimage' AS change_type,
+             CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM dim_product
+      WHERE CAST(stockcode AS BIGINT) % 4 = 0 AND CAST(stockcode AS BIGINT) % 7 <> 0
+      UNION ALL
+      SELECT stockcode, 'update_postimage' AS change_type,
+             CAST(unitprice + 5.00 AS DOUBLE) AS unitprice, category
+      FROM dim_product
+      WHERE CAST(stockcode AS BIGINT) % 4 = 0 AND CAST(stockcode AS BIGINT) % 7 <> 0
+      UNION ALL
+      SELECT CAST(CAST(stockcode AS BIGINT) + 100000 AS VARCHAR) AS stockcode,
+             'insert' AS change_type,
+             CAST(unitprice AS DOUBLE) AS unitprice, 'New' AS category
+      FROM dim_product WHERE CAST(stockcode AS BIGINT) % 10 = 0"""))),
 
     QueryDef("sink_merge_into", mergeIntoRoundtrip,
       Some(graft.oracle.OracleSql.q("""

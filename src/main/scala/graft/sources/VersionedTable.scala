@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Snapshot-versioned table — time travel over the copy-on-write DML ops
   * ([[Dml.deleteWhere]]/[[Dml.mergeInto]]/[[Compaction.compactDir]]), the
@@ -105,6 +106,51 @@ object VersionedTable {
     val (fs, rootP) = fsOf(spark, root)
     commit(fs, rootP, next)
     next
+  }
+
+  /** Row-level change feed between two committed snapshots — the CDC read
+    * a downstream incremental pipeline consumes instead of re-scanning the
+    * table (r11): every key classified as insert / delete / update (emitting
+    * BOTH the pre- and post-image, the shape a streaming apply or an audit
+    * needs), unchanged keys dropped. The diff is computed from snapshot
+    * STATES, so it is well-defined between any two retained versions without
+    * replaying the intermediate DML — a key deleted and later re-inserted
+    * with a new payload reads as one update across the span. */
+  def changes(spark: SparkSession, root: String, fromV: Int, toV: Int,
+      keys: Seq[String]): DataFrame = {
+    require(fromV < toV, s"change feed needs fromV < toV (got $fromV, $toV)")
+    changeFeed(read(spark, root, Some(fromV)), read(spark, root, Some(toV)), keys)
+  }
+
+  /** The diff engine behind [[changes]]: one full-outer equi-join on the
+    * key (the dim-sized side broadcasts under AQE; at fact scale it is the
+    * ONE key shuffle any keyed diff needs), payloads carried as structs and
+    * compared with native null-safe struct equality, unchanged pairs
+    * filtered BEFORE the explode that emits the 1-2 image rows per change.
+    * For wide-payload corpora where even one payload shuffle hurts, compose
+    * digests first (the `CorpusOps.corpusDiff` shape) and join images back
+    * for changed keys only — here the images are the OUTPUT, so the payload
+    * must ride the join exactly once regardless. */
+  def changeFeed(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      s"snapshots disagree on columns: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
+    val payload = oldDf.columns.filterNot(keys.contains).toSeq
+    require(payload.nonEmpty, "change feed needs at least one non-key column")
+    def side(df: DataFrame, tag: String) =
+      df.select(keys.map(col) :+ struct(payload.map(col): _*).as(tag): _*)
+    val j = side(oldDf, "o_p").join(side(newDf, "n_p"), keys, "full_outer")
+      .filter(!(col("o_p") <=> col("n_p")))
+    val images = explode(
+      when(col("o_p").isNull,
+        array(struct(lit("insert").as("change_type"), col("n_p").as("p"))))
+      .when(col("n_p").isNull,
+        array(struct(lit("delete").as("change_type"), col("o_p").as("p"))))
+      .otherwise(array(
+        struct(lit("update_preimage").as("change_type"), col("o_p").as("p")),
+        struct(lit("update_postimage").as("change_type"), col("n_p").as("p")))))
+    j.select(keys.map(col) :+ images.as("c"): _*)
+      .select(keys.map(col) :+ col("c.change_type").as("change_type")
+        :+ col("c.p.*"): _*)
   }
 
   /** Retire history: drop every version older than the newest `keep`

@@ -77,6 +77,79 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.nonEmpty)
   }
 
+  // -- the real WAV (RIFF/PCM16) codec (r11) -------------------------------
+
+  /** Minimal hand-assembled mono PCM16 WAV: header + the given samples. */
+  private def wav(samples: Seq[Int], channels: Int = 1, rate: Int = 8000,
+      extraChunk: Array[Byte] = Array.emptyByteArray,
+      fmtCode: Int = 1, bits: Int = 16): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    def wtag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    wtag("RIFF"); w32(4 + extraChunk.length + 24 + 8 + 2L * samples.size); wtag("WAVE")
+    out.write(extraChunk)
+    wtag("fmt "); w32(16); w16(fmtCode); w16(channels); w32(rate)
+    w32(rate.toLong * channels * 2); w16(channels * 2); w16(bits)
+    wtag("data"); w32(2L * samples.size)
+    samples.foreach(v => w16(v & 0xffff))
+    out.toByteArray
+  }
+
+  test("parseWav decodes a hand-computed stereo clip exactly") {
+    // 2 frames × 2 channels: samples 100, -100, 300, -300
+    val f = MultimodalOps.parseWav(3L, wav(Seq(100, -100, 300, -300), channels = 2))
+    assert(f.n_channels === 2 && f.sample_rate === 8000 && f.n_frames === 2L)
+    assert(f.duration_s === 2.0 / 8000)
+    assert(f.mean_amp === 0.0)
+    assert(f.rms === math.sqrt((100.0 * 100 * 2 + 300.0 * 300 * 2) / 4))
+    assert(f.peak === 300)
+  }
+
+  test("parseWav is sign-correct on the high byte and skips unknown chunks") {
+    // -1 encodes as 0xFF 0xFF — an unsigned decode would read 65535
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val f = MultimodalOps.parseWav(1L, wav(Seq(-1, -32768, 32767), extraChunk = junk))
+    assert(f.mean_amp === (-1.0 - 32768 + 32767) / 3)
+    assert(f.peak === 32768)
+  }
+
+  test("parseWav rejects bad magic, non-PCM, 8-bit, and truncated containers") {
+    val good = wav(Seq(1, 2, 3))
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException] { MultimodalOps.parseWav(1L, badMagic) }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.parseWav(1L, wav(Seq(1, 2), fmtCode = 3)) // IEEE float
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.parseWav(1L, wav(Seq(1, 2), bits = 8))
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.parseWav(1L, good.dropRight(2)) // truncated data
+    }
+  }
+
+  test("wav decode is partition-local — no exchange in the plan") {
+    val feats = MultimodalOps.decodeWav(MultimodalOps.wavFixture(spark, sfDir))
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("fixture wavs round-trip through the decoder to their analytic stats") {
+    val feats = MultimodalOps.decodeWav(MultimodalOps.wavFixture(spark, sfDir))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats.nonEmpty)
+    feats.foreach { case (id, f) =>
+      assert(f.n_channels === (1 + id % 2).toInt, s"doc $id")
+      assert(f.sample_rate === (8000 + (id % 3) * 4000).toInt)
+      assert(f.n_frames === 200 + id % 57)
+      val n = (f.n_frames * f.n_channels).toInt
+      val vs = (0 until n).map(k => ((id * 31 + k * 17) % 4001) - 2000)
+      assert(f.mean_amp === vs.sum.toDouble / n, s"doc $id")
+      assert(f.peak === vs.map(math.abs).max.toInt, s"doc $id")
+    }
+  }
+
   test("metadata struct carries mime, byte length, and content prefix") {
     val m = MultimodalOps.mediaTable(spark, sfDir)
       .select("meta.mime", "meta.n_bytes", "meta.prefix_hex").head()

@@ -39,6 +39,57 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).select("id").as[Long].collect().toSet === Set(1L))
   }
 
+  // -- CDC change feed (r11) -----------------------------------------------
+
+  test("change feed classifies insert / delete / update with pre+post images") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_cdc_").toString + "/t"
+    VersionedTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "payload"))
+    VersionedTable.deleteWhere(spark, root, col("id") === 3L)
+    VersionedTable.mergeInto(spark, root,
+      Seq((2L, "b2"), (4L, "d")).toDF("id", "payload"), Seq("id"))
+    val feed = VersionedTable.changes(spark, root, 1, 3, Seq("id"))
+      .as[(Long, String, String)].collect().toSet
+    assert(feed === Set(
+      (3L, "delete", "c"),
+      (2L, "update_preimage", "b"), (2L, "update_postimage", "b2"),
+      (4L, "insert", "d")))
+    // unchanged key 1 emits nothing; the single-step feeds decompose cleanly
+    assert(VersionedTable.changes(spark, root, 1, 2, Seq("id"))
+      .as[(Long, String, String)].collect().toSet === Set((3L, "delete", "c")))
+    assert(VersionedTable.changes(spark, root, 2, 3, Seq("id"))
+      .as[(Long, String, String)].collect().toSet === Set(
+        (2L, "update_preimage", "b"), (2L, "update_postimage", "b2"),
+        (4L, "insert", "d")))
+  }
+
+  test("change feed diffs states, not DML history: delete + re-insert spans as update") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_cdc2_").toString + "/t"
+    VersionedTable.create(spark, root, Seq((1L, "old"), (2L, "keep")).toDF("id", "payload"))
+    VersionedTable.deleteWhere(spark, root, col("id") === 1L)
+    VersionedTable.mergeInto(spark, root,
+      Seq((1L, "new")).toDF("id", "payload"), Seq("id"))
+    assert(VersionedTable.changes(spark, root, 1, 3, Seq("id"))
+      .as[(Long, String, String)].collect().toSet === Set(
+        (1L, "update_preimage", "old"), (1L, "update_postimage", "new")))
+    // a re-insert with the ORIGINAL payload is invisible across the span
+    VersionedTable.deleteWhere(spark, root, col("id") === 1L)
+    VersionedTable.mergeInto(spark, root,
+      Seq((1L, "old")).toDF("id", "payload"), Seq("id"))
+    assert(VersionedTable.changes(spark, root, 1, 5, Seq("id")).count() === 0)
+  }
+
+  test("change feed compares null-safely: NULL→NULL unchanged, NULL→value update") {
+    val a = Seq((1L, Option.empty[String]), (2L, Option.empty[String]), (3L, Some("x")))
+      .toDF("id", "payload")
+    val b = Seq((1L, Option.empty[String]), (2L, Some("v")), (3L, Some("x")))
+      .toDF("id", "payload")
+    val feed = VersionedTable.changeFeed(a, b, Seq("id"))
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(feed === Set(
+      (2L, "update_preimage", None), (2L, "update_postimage", Some("v"))))
+  }
+
   test("vacuum retires old versions and keeps time travel to the rest") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_v_").toString + "/t"
     VersionedTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "payload"))
