@@ -220,6 +220,98 @@ object EmbeddingOps extends QueryRegistry {
     sb.toString
   }
 
+  /** MMR (maximal-marginal-relevance) diversity re-rank (r11) — the
+    * retrieval-stack stage between ANN and the consumer: from each query's
+    * top-`nCand` candidate window, greedily select `k` results maximizing
+    * `0.7·rel(q,d) − 0.3·max_{s∈S} sim(d,s)` (Carbonell & Goldstein '98),
+    * so two near-duplicate passages never both fill the context window.
+    *
+    * Unlike [[kcenterSample]] (global selection, 1-row argmax collects),
+    * EVERY query advances through the k greedy rounds simultaneously and
+    * nothing ever reaches the driver: each round is one per-query
+    * `row_number` pick + one equi-join updating the running max-similarity
+    * against only that query's NEWEST pick (the incremental-max trick).
+    * All rounds operate on the rerank window — |queries|·nCand rows,
+    * independent of corpus size; candidate generation is the ANN stage's
+    * job. Similarities go through the decimal(10,6) normalization before
+    * scoring and ties break on cand_id, so selection is cross-engine
+    * deterministic; the 0.7/0.3 weights are written as separate literals
+    * in both engines (never `1−λ`, whose double differs from the literal
+    * `0.3`). */
+  def mmrRerank(emb: DataFrame, k: Int = 5, nCand: Int = 20): DataFrame = {
+    val e = emb.select("vec_id", "embedding")
+    val qs = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    def r6(c: Column): Column = round(c, 6).cast("decimal(10,6)").cast("double")
+    val wnd = Window.partitionBy("query_id").orderBy(col("raw").desc, col("cand_id"))
+    var state = broadcast(qs).crossJoin(e)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"), col("embedding"),
+        cosine(col("qe"), col("embedding")).as("raw"))
+      .withColumn("rn", row_number().over(wnd)).filter(col("rn") <= nCand)
+      .select(col("query_id"), col("cand_id"), col("embedding"),
+        r6(col("raw")).as("rel"), lit(-1.0).as("max_sim"))
+    var picks: DataFrame = null
+    for (r <- 1 to k) {
+      val sw = Window.partitionBy("query_id")
+        .orderBy((lit(0.7) * col("rel") - lit(0.3) * col("max_sim")).desc, col("cand_id"))
+      val sel = state.withColumn("srn", row_number().over(sw))
+        .filter(col("srn") === 1)
+        .select(col("query_id"), col("cand_id"), col("embedding"), col("rel"))
+        .cache()
+      val out = sel.select(col("query_id"), lit(r).as("mmr_rank"),
+        col("cand_id").as("neighbor_id"), col("rel").as("relevance"))
+      picks = if (picks == null) out else picks.unionByName(out)
+      if (r < k)
+        state = state
+          .join(sel.select(col("query_id"), col("cand_id").as("sel_id"),
+            col("embedding").as("sel_emb")), Seq("query_id"))
+          .filter(col("cand_id") =!= col("sel_id"))
+          .select(col("query_id"), col("cand_id"), col("embedding"), col("rel"),
+            greatest(col("max_sim"),
+              r6(cosine(col("embedding"), col("sel_emb")))).as("max_sim"))
+    }
+    picks
+  }
+
+  /** Unrolled oracle for [[mmrRerank]]: per round, the per-query argmax CTE
+    * and the incremental max-sim CTE, MATERIALIZED (each state is referenced
+    * twice — the doc_bpe_merges lesson). */
+  private def mmrOracle(k: Int, nCand: Int): String = {
+    def r6(x: String) = s"CAST(CAST(round($x, 6) AS DECIMAL(10,6)) AS DOUBLE)"
+    val sb = new StringBuilder
+    sb.append(s"""
+      , mq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+      mraw AS (
+        SELECT q.query_id, e.vec_id AS cand_id, e.embedding,
+               ${sqlCos("q.qe", "e.embedding")} AS raw
+        FROM mq q, embeddings e WHERE e.vec_id <> q.query_id),
+      ms0 AS MATERIALIZED (
+        SELECT query_id, cand_id, embedding, ${r6("raw")} AS rel,
+               CAST(-1.0 AS DOUBLE) AS max_sim
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, cand_id) AS rn
+              FROM mraw) WHERE rn <= $nCand)""")
+    for (r <- 1 to k) {
+      sb.append(s""",
+      mp$r AS MATERIALIZED (
+        SELECT query_id, cand_id, embedding, rel
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY 0.7 * rel - 0.3 * max_sim DESC, cand_id) AS srn
+              FROM ms${r - 1}) WHERE srn = 1)""")
+      if (r < k) sb.append(s""",
+      ms$r AS MATERIALIZED (
+        SELECT c.query_id, c.cand_id, c.embedding, c.rel,
+               greatest(c.max_sim, ${r6(sqlCos("c.embedding", "p.embedding"))}) AS max_sim
+        FROM ms${r - 1} c JOIN mp$r p
+          ON c.query_id = p.query_id AND c.cand_id <> p.cand_id)""")
+    }
+    sb.append(s"""
+      SELECT query_id, 1 AS mmr_rank, cand_id AS neighbor_id, rel AS relevance FROM mp1""")
+    (2 to k).foreach(r => sb.append(s"""
+      UNION ALL SELECT query_id, $r AS mmr_rank, cand_id AS neighbor_id, rel AS relevance FROM mp$r"""))
+    sb.toString
+  }
+
   /** Multi-probe ANN (Hamming ≤ 1): each query probes its own LSH bucket
     * PLUS the 8 buckets one bit-flip away — the standard multi-probe LSH
     * recall fix for the single-bucket loss `tools/QuantRecallProbe` measures
@@ -494,6 +586,12 @@ object EmbeddingOps extends QueryRegistry {
 
     QueryDef("emb_kcenter_sample",
       (s, d) => kcenterSample(emb(s, d)), Some(oq(kcenterOracle(8)))),
+
+    // MMR diversity re-rank: 5 picks from each query's top-20 window; the
+    // oracle unrolls the greedy rounds, so a pick-order or max-sim-update
+    // bug hash-mismatches
+    QueryDef("emb_mmr_rerank",
+      (s, d) => mmrRerank(emb(s, d)), Some(oq(mmrOracle(5, 20)))),
 
     // the pre-filter form: candidates carry the predicate, queries don't —
     // the oracle filters the candidate leg identically

@@ -266,6 +266,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3)._3.exists(_ < 0.01)) // the near-seed point comes last
   }
 
+  test("mmrRerank trades relevance for diversity against the picked set") {
+    def v(x: Float, y: Float) = Array.tabulate(64)(i =>
+      if (i == 0) x else if (i == 1) y else 0f)
+    // query 100 along x; a (id 1) most relevant, b (id 2) nearly identical
+    // to a, c (id 3) less relevant but diverse. Pure relevance ranks a,b,c;
+    // MMR must demote the near-duplicate b below c.
+    val emb = Seq(
+      (100L, v(1f, 0f)),
+      (1L, v(0.95f, 0.312f)),
+      (2L, v(0.94f, 0.341f)),
+      (3L, v(0.8f, -0.6f)))
+      .toDF("vec_id", "embedding")
+    val out = EmbeddingOps.mmrRerank(emb)
+      .orderBy("mmr_rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq(1 -> 1L, 2 -> 3L, 3 -> 2L))
+    // relevance alone would order 1, 2, 3 — checked so the fixture can't
+    // silently degenerate into agreeing with the unreranked order
+    val rel = EmbeddingOps.cosineTop10(emb)
+      .orderBy(desc("cosine")).collect().map(_.getLong(1))
+    assert(rel.toSeq === Seq(1L, 2L, 3L))
+    // candidate exhaustion: only 3 candidates exist, so ranks stop at 3
+    assert(out.length === 3)
+  }
+
   test("embedding dedup clusters: identical vectors cluster under the min vec_id") {
     val same = Array.tabulate(64)(i => if (i == 0) 1f else 0.01f)
     val far = Array.tabulate(64)(i => if (i == 1) -1f else -0.01f)
