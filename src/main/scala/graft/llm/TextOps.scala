@@ -151,6 +151,49 @@ object TextOps extends QueryRegistry {
         when(ttr > 0.3, lit(1.0)).otherwise(lit(0.7))).as("quality"))
   }
 
+  /** Gopher-style rule-based quality filter (r11) — the fuller document
+    * ruleset (Rae et al. 2021, §A1.1) beside the [[quality]] score: word
+    * count bounds, mean word length bounds, symbol-to-word ratio (`#` +
+    * `...`), bullet-started and ellipsis-ended line shares, alphabetic-word
+    * share, and the required-stopword count. Each rule's metric stays an
+    * EXACT integer until one final division, so every ratio is bit-identical
+    * cross-engine; the verdict reports the FIRST failing rule in a fixed
+    * priority order (the `filterCascade` attribution discipline). Map-only:
+    * a narrow projection on the scan, zero shuffle at any corpus size. */
+  def qualityGopher(docs: DataFrame): DataFrame = {
+    val n = size(words)
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines)
+    val wordChars = aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x)
+    val meanWl = wordChars.cast("double") / n
+    val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+    val nEll = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)
+    val symbolRatio = (nHash + nEll).cast("double") / n
+    val bulletRatio = size(filter(lines,
+      l => startswith(l, lit("-")) || startswith(l, lit("*")))).cast("double") / nLines
+    val ellLineRatio = size(filter(lines,
+      l => endswith(l, lit("...")))).cast("double") / nLines
+    val alphaRatio = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / n
+    val stopHits = size(filter(
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*),
+      s => array_contains(words, s)))
+    val firstFail =
+      when(n < 50 || n > 100000, lit("word_count"))
+        .when(meanWl < 3.0 || meanWl > 10.0, lit("mean_word_length"))
+        .when(symbolRatio > 0.1, lit("symbol_ratio"))
+        .when(bulletRatio > 0.9, lit("bullet_lines"))
+        .when(ellLineRatio > 0.3, lit("ellipsis_lines"))
+        .when(alphaRatio < 0.8, lit("alpha_words"))
+        .when(stopHits < 2, lit("stopwords"))
+    docs.select(
+      col("doc_id"), n.as("n_words"), meanWl.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+      ellLineRatio.as("ellipsis_line_ratio"), alphaRatio.as("alpha_ratio"),
+      stopHits.as("n_stop_hits"), firstFail.as("first_fail"),
+      firstFail.isNull.as("keep"))
+  }
+
   /** Token counting: whitespace tokens + a chars/4 BPE-style estimate. */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(
@@ -1743,6 +1786,38 @@ object TextOps extends QueryRegistry {
              least(1.0, len(ws) / 100.0) *
                (CASE WHEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) > 0.3 THEN 1.0 ELSE 0.7 END) AS quality
       FROM w"""))),
+
+    QueryDef("doc_quality_gopher", (s, d) => qualityGopher(docs(s, d)), Some(oq("""
+      , gq AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 string_split(text, chr(10)) AS ls,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+          FROM documents),
+      gm AS (
+          SELECT doc_id, len(ws) AS n_words,
+                 CAST(list_sum([len(w) FOR w IN ws]) AS DOUBLE) / len(ws) AS mean_word_len,
+                 CAST(n_hash + n_ell AS DOUBLE) / len(ws) AS symbol_ratio,
+                 CAST(len(list_filter(ls, l -> starts_with(l, '-') OR starts_with(l, '*'))) AS DOUBLE) / len(ls) AS bullet_ratio,
+                 CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE) / len(ls) AS ellipsis_line_ratio,
+                 CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(ws) AS alpha_ratio,
+                 len(list_filter(['the','be','to','of','and','that','have','with'],
+                     s -> list_contains(ws, s))) AS n_stop_hits
+          FROM gq),
+      gv AS (
+          SELECT *,
+                 CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+                      WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_length'
+                      WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+                      WHEN bullet_ratio > 0.9 THEN 'bullet_lines'
+                      WHEN ellipsis_line_ratio > 0.3 THEN 'ellipsis_lines'
+                      WHEN alpha_ratio < 0.8 THEN 'alpha_words'
+                      WHEN n_stop_hits < 2 THEN 'stopwords' END AS first_fail
+          FROM gm)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+             ellipsis_line_ratio, alpha_ratio, n_stop_hits, first_fail,
+             first_fail IS NULL AS keep
+      FROM gv"""))),
 
     QueryDef("doc_token_count", (s, d) => tokenCount(docs(s, d)), Some(oq("""
       SELECT doc_id,

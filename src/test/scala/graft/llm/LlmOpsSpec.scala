@@ -266,6 +266,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3)._3.exists(_ < 0.01)) // the near-seed point comes last
   }
 
+  test("qualityGopher attributes the first failing rule in priority order") {
+    val fifty = (1 to 48).map(i => s"word$i").mkString(" ")
+    val docs = docsDF(
+      (1L, s"the of $fifty"),                              // clean: keeps
+      (2L, "the of too short"),                            // < 50 words
+      (3L, s"the of $fifty " + Seq.fill(80)("a").mkString(" ")), // mean word len < 3
+      (4L, s"the of $fifty ### ### ### ### ### ###"),      // symbol ratio > 0.1
+      (5L, s"- the of $fifty\n- bullets\n- everywhere"),   // >90% bullet lines
+      (6L, s"the of $fifty...\nmore..."),                  // >30% ellipsis lines
+      (7L, s"the of $fifty 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15"), // alpha < 0.8
+      (8L, s"the $fifty extra1 extra2"))                   // only 1 stopword
+    val out = TextOps.qualityGopher(docs).collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(8)), r.getBoolean(9))).toMap
+    assert(out(1L) === (None, true))
+    assert(out(2L) === (Some("word_count"), false))
+    assert(out(3L) === (Some("mean_word_length"), false))
+    assert(out(4L) === (Some("symbol_ratio"), false))
+    assert(out(5L) === (Some("bullet_lines"), false))
+    assert(out(6L) === (Some("ellipsis_lines"), false))
+    assert(out(7L) === (Some("alpha_words"), false))
+    assert(out(8L) === (Some("stopwords"), false))
+  }
+
   test("mmrRerank trades relevance for diversity against the picked set") {
     def v(x: Float, y: Float) = Array.tabulate(64)(i =>
       if (i == 0) x else if (i == 1) y else 0f)
