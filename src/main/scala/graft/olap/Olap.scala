@@ -259,7 +259,112 @@ object Olap extends QueryRegistry {
         graft.moneyOut(sum("ltv")).as("revenue"))
   }
 
+  /** Market-basket affinity (r11) — the "frequently bought together"
+    * analysis an e-commerce warehouse runs over its invoices: support,
+    * directional confidence, and lift for every product pair co-occurring
+    * in ≥ `minPairN` baskets. The scale shape is basket-aggregation, never
+    * a fact self-join: one shuffle builds each invoice's sorted distinct
+    * item set (baskets above `maxBasket` items are dropped — the degenerate
+    * wholesale-order control that bounds the quadratic pair fan-out), pairs
+    * are generated MAP-SIDE from each basket array, and one more shuffle
+    * counts them. Item counts and the basket total are |catalog|-sized and
+    * broadcast back; every ratio is one division of exact integers. */
+  def basketLift(w: Warehouse, minPairN: Long = 2, maxBasket: Int = 50): DataFrame = {
+    val baskets = w.salesFinal.select("invoiceid", "stockcode").distinct()
+      .groupBy("invoiceid")
+      .agg(sort_array(collect_set(col("stockcode"))).as("items"))
+      .filter(size(col("items")).between(2, maxBasket))
+    val items = baskets.select(col("invoiceid"), explode(col("items")).as("stockcode"))
+    val itemN = items.groupBy("stockcode").agg(count(lit(1)).as("n"))
+    val total = baskets.agg(count(lit(1)).as("n_baskets"))
+    val pairs = baskets.select(explode(expr(
+      """flatten(transform(items,
+         (x, i) -> transform(slice(items, i + 2, size(items)),
+                             y -> struct(x AS s1, y AS s2))))""")).as("p"))
+      .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minPairN)
+    pairs
+      .join(broadcast(itemN.withColumnRenamed("stockcode", "s1").withColumnRenamed("n", "n1")), Seq("s1"))
+      .join(broadcast(itemN.withColumnRenamed("stockcode", "s2").withColumnRenamed("n", "n2")), Seq("s2"))
+      .crossJoin(broadcast(total))
+      .select(col("s1"), col("s2"), col("pair_n"), col("n1"), col("n2"),
+        (col("pair_n").cast("double") / col("n_baskets")).as("support"),
+        (col("pair_n").cast("double") / col("n1")).as("conf_1_to_2"),
+        (col("pair_n").cast("double") / col("n2")).as("conf_2_to_1"),
+        ((col("pair_n") * col("n_baskets")).cast("double") / (col("n1") * col("n2"))).as("lift"))
+  }
+
+  /** RFM customer segmentation (r11) — the classic CRM cube: per customer,
+    * recency (days since last purchase, anchored on the corpus max sale
+    * date), frequency (distinct invoices), monetary (exact cents), each cut
+    * into quintiles (best = 1) with the customerid tie-break that makes
+    * NTILE deterministic; output is the segment-level rollup (counts +
+    * exact total cents). The windows run over the per-customer AGGREGATE —
+    * orders of magnitude smaller than the fact — the same altitude as the
+    * reference's LTV-quartile idiom. */
+  def rfmSegments(w: Warehouse): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = w.salesFinal.filter(graft.nonBlank("customerid"))
+      .groupBy("customerid")
+      .agg(max(col("sale_ts").cast("date")).as("last_date"),
+        count_distinct(col("invoiceid")).as("n_orders"),
+        sum((col("totalamount") * 100).cast("long")).as("cents"))
+    val anchor = perCust.agg(max("last_date").as("anchor_date"))
+    perCust.crossJoin(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("anchor_date"), col("last_date")))
+      .withColumn("r_quintile",
+        ntile(5).over(Window.orderBy(col("recency_days").asc, col("customerid"))))
+      .withColumn("f_quintile",
+        ntile(5).over(Window.orderBy(col("n_orders").desc, col("customerid"))))
+      .withColumn("m_quintile",
+        ntile(5).over(Window.orderBy(col("cents").desc, col("customerid"))))
+      .groupBy("r_quintile", "f_quintile", "m_quintile")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("monetary_cents"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    // the oracle enumerates pairs by invoice self-join with s1 < s2 — the
+    // textbook shape the basket-array plan must reproduce exactly
+    QueryDef("olap_basket_lift", (s, dir) => basketLift(Warehouse(s, dir)), Some(q("""
+      , bk AS (SELECT DISTINCT invoiceid, stockcode FROM sales_final),
+      bsz AS (SELECT invoiceid FROM bk GROUP BY invoiceid HAVING count(*) BETWEEN 2 AND 50),
+      bi AS (SELECT b.invoiceid, b.stockcode FROM bk b JOIN bsz s ON b.invoiceid = s.invoiceid),
+      pc AS (SELECT a.stockcode AS s1, c.stockcode AS s2, count(*) AS pair_n
+             FROM bi a JOIN bi c ON a.invoiceid = c.invoiceid AND a.stockcode < c.stockcode
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+      itn AS (SELECT stockcode, count(*) AS n FROM bi GROUP BY 1),
+      tot AS (SELECT count(DISTINCT invoiceid) AS nb FROM bi)
+      SELECT pc.s1, pc.s2, pc.pair_n, i1.n AS n1, i2.n AS n2,
+             CAST(pc.pair_n AS DOUBLE) / nb AS support,
+             CAST(pc.pair_n AS DOUBLE) / i1.n AS conf_1_to_2,
+             CAST(pc.pair_n AS DOUBLE) / i2.n AS conf_2_to_1,
+             CAST(pc.pair_n * nb AS DOUBLE) / (i1.n * i2.n) AS lift
+      FROM pc JOIN itn i1 ON pc.s1 = i1.stockcode
+              JOIN itn i2 ON pc.s2 = i2.stockcode, tot"""))),
+
+    QueryDef("olap_rfm_segments", (s, dir) => rfmSegments(Warehouse(s, dir)), Some(q("""
+      , rcust AS (
+          SELECT customerid,
+                 max(CAST(sale_ts AS DATE)) AS last_date,
+                 count(DISTINCT invoiceid) AS n_orders,
+                 CAST(sum(CAST(totalamount * 100 AS BIGINT)) AS BIGINT) AS cents
+          FROM sales_final
+          WHERE customerid IS NOT NULL AND trim(customerid) <> ''
+          GROUP BY 1),
+      ranchor AS (SELECT max(last_date) AS anchor_date FROM rcust),
+      rq AS (
+          SELECT customerid, n_orders, cents,
+                 ntile(5) OVER (ORDER BY date_diff('day', last_date, anchor_date) ASC, customerid) AS r_quintile,
+                 ntile(5) OVER (ORDER BY n_orders DESC, customerid) AS f_quintile,
+                 ntile(5) OVER (ORDER BY cents DESC, customerid) AS m_quintile
+          FROM rcust, ranchor)
+      SELECT CAST(r_quintile AS INT) AS r_quintile,
+             CAST(f_quintile AS INT) AS f_quintile,
+             CAST(m_quintile AS INT) AS m_quintile,
+             count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS monetary_cents
+      FROM rq GROUP BY 1, 2, 3"""))),
+
     QueryDef("olap_ltv_quartiles", (s, dir) => ltvQuartiles(Warehouse(s, dir)), Some(q("""
       , ltv AS (
           SELECT c.customerid, sum(f.totalamount) AS ltv

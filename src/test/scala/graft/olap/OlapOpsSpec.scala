@@ -1,0 +1,51 @@
+package graft.olap
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.etl.Warehouse
+
+/** Direct semantics checks for the r11 OLAP additions: basket-affinity
+  * pair generation (map-side from the basket array — the part a slice/index
+  * bug would corrupt silently) and RFM quintile determinism. */
+class OlapOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh = Warehouse(spark, sfDir)
+
+  test("basketLift counts every unordered pair once and respects the basket cap") {
+    // hand-checkable micro-warehouse: 3 baskets over items A,B,C
+    //   i1 = {A,B,C}, i2 = {A,B}, i3 = {A,C}, plus a degenerate 60-item basket
+    val big = (1 to 60).map(k => ("i9", f"Z$k%02d"))
+    val sales = (Seq(
+      ("i1", "A"), ("i1", "B"), ("i1", "C"), ("i1", "A"), // dup line collapses
+      ("i2", "A"), ("i2", "B"),
+      ("i3", "A"), ("i3", "C"),
+      ("i4", "D")) ++ big) // i4 is a singleton basket: no pairs
+      .toDF("invoiceid", "stockcode")
+    val w = wh.copy(salesFinal = sales)
+    val out = Olap.basketLift(w, minPairN = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(8))).toMap
+    // 3 capped baskets with >=2 items (the 60-item basket is dropped);
+    // pair (A,B): 2 of 3 baskets, n_A=3, n_B=2 → lift = 2*3/(3*2) = 1.0
+    assert(out(("A", "B")) === ((2L, 3L, 2L, 1.0)))
+    assert(out(("A", "C")) === ((2L, 3L, 2L, 1.0)))
+    // (B,C) co-occur once; lift = 1*3/(2*2)
+    assert(out(("B", "C")) === ((1L, 2L, 2L, 0.75)))
+    assert(out.size === 3) // no Z-pairs, no singleton pairs, no self pairs
+  }
+
+  test("rfm quintiles are deterministic and cover every customer once") {
+    val seg = Olap.rfmSegments(wh)
+      .agg(sum("n_customers"), min("r_quintile"), max("m_quintile")).head()
+    val nCust = wh.salesFinal.filter(graft.nonBlank("customerid"))
+      .select("customerid").distinct().count()
+    assert(seg.getLong(0) === nCust)
+    assert(seg.getInt(1) >= 1 && seg.getInt(2) <= 5)
+    // determinism: two independent evaluations agree cell-for-cell
+    val a = Olap.rfmSegments(wh).collect().map(_.toSeq).toSet
+    val b = Olap.rfmSegments(wh).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+}
