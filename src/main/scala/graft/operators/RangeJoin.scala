@@ -56,4 +56,36 @@ object RangeJoin {
       .filter(col(t) >= col(lo) && col(t) < col(hi))
       .drop("_bucket")
   }
+
+  /** Interval × interval OVERLAP join (r11) — the missing member of the
+    * temporal-join family beside as-of (backward/forward/nearest) and
+    * point-in-interval: emit each (left, right) pair whose half-open
+    * intervals `[lLo, lHi)` / `[rLo, rHi)` intersect. Same bucketization as
+    * [[pointInInterval]] (both sides explode to every covered bucket, the
+    * join runs on the bucket key, the exact overlap predicate filters
+    * in-bucket), plus the dedup-free emission rule a two-sided explosion
+    * needs: a pair spanning many shared buckets emits ONLY from the bucket
+    * containing the overlap START `max(lLo, rLo)` — an instant both
+    * intervals cover, so both sides have a copy there, and exactly one
+    * bucket satisfies the equality. No DISTINCT pass, no pair ever built
+    * twice. Work scales with |rows| × (interval width / bucket width);
+    * column names of the two inputs must not collide (same contract as any
+    * column-name-addressed join helper here). Non-negative long ticks and
+    * the `_bucket` reservation as above; degenerate intervals dropped
+    * before explosion on BOTH sides. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(!left.columns.contains("_bucket") && !right.columns.contains("_bucket"),
+      "_bucket is a reserved working column name")
+    def burst(df: DataFrame, lo: String, hi: String) =
+      df.filter(col(hi) > col(lo)).withColumn("_bucket",
+        explode(sequence(expr(s"`$lo` div ${bucketWidth}L"),
+          expr(s"(`$hi` - 1L) div ${bucketWidth}L"))))
+    burst(left, lLo, lHi).join(burst(right, rLo, rHi), Seq("_bucket"))
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi))
+      .filter(col("_bucket") === expr(s"greatest(`$lLo`, `$rLo`) div ${bucketWidth}L"))
+      .drop("_bucket")
+  }
 }

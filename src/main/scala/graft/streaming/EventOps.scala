@@ -438,6 +438,28 @@ object EventOps extends QueryRegistry {
     * equi-conjunct Catalyst would plan this as a BroadcastNestedLoopJoin
     * (|purchases| × |errors| comparisons); the bucket key restores a hash
     * join (RangeJoinSpec asserts no NL join survives in the plan). */
+  /** Interval-overlap join (r11): each error's 10-minute incident window
+    * against each purchase's ±5-minute activity window — which purchases
+    * had ANY of their activity window inside an incident, with the overlap
+    * duration (exact µs integers). KEYLESS like [[purchasesInErrorWindows]]
+    * (Catalyst would plan a BroadcastNestedLoopJoin), so it runs on the
+    * bucketized [[graft.operators.RangeJoin.intervalOverlap]]. */
+  def incidentActivityOverlap(events: DataFrame): DataFrame = {
+    val tenMinUs = 600L * 1000000L
+    val fiveMinUs = 300L * 1000000L
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("e_lo"),
+        (col("ts") + tenMinUs).as("e_hi"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), (col("ts") - fiveMinUs).as("p_lo"),
+        (col("ts") + fiveMinUs).as("p_hi"))
+    graft.operators.RangeJoin
+      .intervalOverlap(errors, purchases, "e_lo", "e_hi", "p_lo", "p_hi", tenMinUs)
+      .select(col("error_id"), col("purchase_id"),
+        (least(col("e_hi"), col("p_hi")) - greatest(col("e_lo"), col("p_lo")))
+          .as("overlap_us"))
+  }
+
   def purchasesInErrorWindows(events: DataFrame): DataFrame = {
     val winUs = 600L * 1000000L // 10 minutes
     val purchases = events.filter(col("event_type") === "purchase")
@@ -808,6 +830,17 @@ object EventOps extends QueryRegistry {
       ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
                       WHERE event_type = 'click' GROUP BY user_id, ts) c
         ON p.user_id = c.user_id AND c.ts < p.ts"""))),
+
+    QueryDef("events_interval_overlap", (s, d) => incidentActivityOverlap(events(s, d)), Some(oq("""
+      , ierr AS (SELECT event_id AS error_id, epoch_us(ts) AS e_lo,
+                        epoch_us(ts) + 600000000 AS e_hi
+                 FROM events WHERE event_type = 'error'),
+      ipur AS (SELECT event_id AS purchase_id, epoch_us(ts) - 300000000 AS p_lo,
+                      epoch_us(ts) + 300000000 AS p_hi
+               FROM events WHERE event_type = 'purchase')
+      SELECT e.error_id, p.purchase_id,
+             least(e.e_hi, p.p_hi) - greatest(e.e_lo, p.p_lo) AS overlap_us
+      FROM ierr e JOIN ipur p ON e.e_lo < p.p_hi AND p.p_lo < e.e_hi"""))),
 
     QueryDef("events_range_join_incidents", (s, d) => purchasesInErrorWindows(events(s, d)), Some(oq("""
       SELECT p.event_id AS purchase_id, count(*) AS n_active_incidents

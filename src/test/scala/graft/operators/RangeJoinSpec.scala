@@ -57,6 +57,44 @@ class RangeJoinSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  // -- interval × interval overlap (r11) -----------------------------------
+
+  test("overlap join: half-open semantics — touching intervals do not overlap") {
+    val a = Seq((1L, 0L, 10L), (2L, 10L, 20L)).toDF("aid", "alo", "ahi")
+    val b = Seq((7L, 10L, 15L)).toDF("bid", "blo", "bhi")
+    val out = RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", 4L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(out === Set((2L, 7L))) // [0,10) touches [10,15) only at the boundary
+  }
+
+  test("overlap join: a pair sharing many buckets emits exactly once") {
+    val a = Seq((1L, 0L, 1000L)).toDF("aid", "alo", "ahi")
+    val b = Seq((7L, 500L, 900L)).toDF("bid", "blo", "bhi")
+    val out = RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", 10L)
+    assert(out.count() === 1) // 40 shared bucket copies, one emission
+  }
+
+  test("overlap join equals the naive cross-join filter; degenerates dropped") {
+    val rnd = new scala.util.Random(11)
+    val a = (1 to 80).map { i =>
+      val lo = rnd.nextInt(10000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(700).toLong - 50) // ~7% degenerate hi<=lo
+    }.toDF("aid", "alo", "ahi")
+    val b = (1 to 60).map { i =>
+      val lo = rnd.nextInt(10000).toLong
+      (i.toLong, lo, lo + rnd.nextInt(900).toLong + 1)
+    }.toDF("bid", "blo", "bhi")
+    val bucketed = RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", 256L)
+      .select("aid", "bid").as[(Long, Long)].collect()
+    val naive = a.crossJoin(b)
+      .filter(col("ahi") > col("alo") && col("bhi") > col("blo") &&
+        col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(bucketed.toSet === naive)
+    assert(bucketed.length === naive.size) // dedup-free: no pair built twice
+    assert(naive.nonEmpty)
+  }
+
   test("the keyless range join plans as a hash join on the bucket — no NL join") {
     val events = graft.streaming.EventOps.events(spark, sfDir)
     val df = graft.streaming.EventOps.purchasesInErrorWindows(events)
