@@ -696,6 +696,24 @@ object EventOps extends QueryRegistry {
     s.read.parquet(s"$base/out")
   }
 
+  /** Streaming trending top-k (r11) — "what's hot this hour" in the
+    * production serving shape: the STREAM maintains only the per-(hour,
+    * type) counts ([[streamingHourlyAgg]], append mode, watermark closure),
+    * and the trending question — each closed hour's top-3 event types — is
+    * answered at READ time by ranking the maintained aggregate, a frame of
+    * |hours|·|types| rows that never touches raw events. Splitting the rank
+    * out of the stream is the point: chained stateful aggregations inside
+    * one streaming query are unsupported/fragile, and the serving-side rank
+    * re-evaluates correctly however late the read happens. */
+  private def streamTrendingRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val stored = streamHourlyRoundtrip(s, dir)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour").orderBy(col("n_events").desc, col("event_type"))
+    stored.withColumn("rank", row_number().over(wnd))
+      .filter(col("rank") <= 3)
+      .select(col("hour"), col("rank"), col("event_type"), col("n_events"))
+  }
+
   /** Correctness roundtrip for the stateful [[sessionize]] path (the last
     * streaming surface without an oracle row): the events feed split into
     * two TIME-ORDERED drops at the ts midpoint, one-file micro-batches, so
@@ -972,6 +990,29 @@ object EventOps extends QueryRegistry {
       FROM hev, hwm
       WHERE hour + INTERVAL 1 HOUR <= w
       GROUP BY hour, event_type"""))),
+
+    // Trending consumer over the stream-maintained hourly counts: the
+    // oracle replays the watermark-closure contract, then ranks each
+    // closed hour's types — a leaked open window, a lost closed one, or a
+    // tie broken differently all hash-mismatch
+    QueryDef("stream_trending_roundtrip", streamTrendingRoundtrip, Some(oq("""
+      , tev AS (
+          SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                 CAST(ts AS TIMESTAMP) AS t
+          FROM events),
+      twm AS (SELECT max(t) - INTERVAL 1 HOUR AS w FROM tev),
+      tcnt AS (
+          SELECT hour, event_type, count(*) AS n_events
+          FROM tev, twm
+          WHERE hour + INTERVAL 1 HOUR <= w
+          GROUP BY hour, event_type),
+      trank AS (
+          SELECT hour, event_type, n_events,
+                 row_number() OVER (PARTITION BY hour
+                                    ORDER BY n_events DESC, event_type) AS rank
+          FROM tcnt)
+      SELECT hour, CAST(rank AS INT) AS rank, event_type, n_events
+      FROM trank WHERE rank <= 3"""))),
 
     // Stateful sessionizer roundtrip: closed sessions only — each user's
     // LAST session stays open in the state store and must not appear.
