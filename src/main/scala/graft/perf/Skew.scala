@@ -37,4 +37,44 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum("_partial").as("n"))
   }
+
+  /** EXACT heavy-hitter detection without shuffling the full key space
+    * (r11) — the other side of skew handling: find the hot keys themselves.
+    * A key is heavy when its count exceeds `factorPct`% of the mean
+    * per-key count (a scale-free threshold, decided by pure integer
+    * cross-multiplication — no division ever happens).
+    *
+    * The classic distributed two-phase shape with a pigeonhole guarantee:
+    * (1) each partition counts ONLY its local keys in memory and emits the
+    * keys with local count ≥ ceil(T/P) — any key with global count ≥ T
+    * must clear that bar in at least one of the P partitions, so the
+    * candidate set is a guaranteed SUPERSET of the true heavy hitters;
+    * (2) an exact count over just the candidate keys (broadcast semi-join,
+    * so only candidate rows ride the one shuffle) clears the false
+    * positives. Result is exact and partitioning-invariant. The per-
+    * partition map is local-distinct-keys-sized; for feeds where even that
+    * is unbounded, swap the local counter for a SpaceSaving/Misra-Gries
+    * summary of size m (undercount ≤ rows_p/m keeps the superset guarantee
+    * when m ≥ P·rows_p/T). Keys must be long-typed. Meant for T ≫ P —
+    * a threshold near the mean on uniform data degrades toward emitting
+    * every key, which is what the data is then saying. */
+  def heavyKeys(df: DataFrame, key: String, factorPct: Long = 120): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = df.agg(count(lit(1)), count_distinct(col(key))).head()
+    val (total, nKeys) = (r.getLong(0), r.getLong(1))
+    // smallest integer count with 100*n*nKeys > factorPct*total
+    val tMin = (factorPct * total) / (100L * nKeys) + 1
+    val keys = df.select(col(key).cast("long")).as[Long]
+    val p = keys.rdd.getNumPartitions.toLong
+    val localThresh = (tMin + p - 1) / p
+    val cands = keys.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
+      it.foreach(k => m.update(k, m.getOrElse(k, 0L) + 1))
+      m.iterator.filter(_._2 >= localThresh).map(_._1)
+    }.distinct().toDF(key)
+    df.join(broadcast(cands), Seq(key), "left_semi")
+      .groupBy(key).agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= tMin)
+  }
 }

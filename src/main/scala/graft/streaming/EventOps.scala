@@ -849,6 +849,20 @@ object EventOps extends QueryRegistry {
                       WHERE event_type = 'click' GROUP BY user_id, ts) c
         ON p.user_id = c.user_id AND c.ts < p.ts"""))),
 
+    // Exact heavy-hitter detection (graft.perf.Skew.heavyKeys): the oracle
+    // is the plain HAVING-over-groupBy truth — the pigeonhole prefilter +
+    // verify pipeline must reproduce it exactly (the bloom-join equivalence
+    // discipline); threshold is scale-free (>120% of the mean per-user
+    // count) so the row bites at every SF
+    QueryDef("events_heavy_users",
+      (s, d) => graft.perf.Skew.heavyKeys(events(s, d), "user_id"), Some(oq("""
+      , htot AS (SELECT count(*) AS total, count(DISTINCT user_id) AS nkeys
+                 FROM events)
+      SELECT user_id, count(*) AS n_events
+      FROM events, htot
+      GROUP BY user_id, total, nkeys
+      HAVING 100 * count(*) * nkeys > 120 * total"""))),
+
     QueryDef("events_interval_overlap", (s, d) => incidentActivityOverlap(events(s, d)), Some(oq("""
       , ierr AS (SELECT event_id AS error_id, epoch_us(ts) AS e_lo,
                         epoch_us(ts) + 600000000 AS e_hi

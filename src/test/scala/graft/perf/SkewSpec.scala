@@ -76,4 +76,25 @@ class SkewSpec extends SparkSpec {
       assert(counts(k) === n, s"count mismatch for $k")
     }
   }
+
+  test("heavyKeys equals the groupBy-HAVING truth and is partitioning-invariant") {
+    import spark.implicits._
+    // one hot key (500 rows), 100 cold keys (5 rows each): mean ≈ 9.9,
+    // threshold 120% → only the hot key clears it
+    val rows = Seq.fill(500)(7L) ++ (1L to 100L).flatMap(k => Seq.fill(5)(100 + k))
+    def run(parts: Int) = Skew.heavyKeys(
+      rows.toDF("user_id").repartition(parts), "user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(3) === Map(7L -> 500L))
+    assert(run(17) === Map(7L -> 500L)) // superset-then-verify is exact at any P
+    // uniform data near the threshold: must still equal the exact answer
+    val uni = (1L to 40L).flatMap(k => Seq.fill(if (k % 4 == 0) 13 else 9)(k))
+      .toDF("user_id")
+    val expect = uni.groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (_, n) => 100L * n * 40 > 120L * uni.count() }.toMap
+    assert(Skew.heavyKeys(uni.repartition(5), "user_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === expect)
+    assert(expect.nonEmpty)
+  }
 }
