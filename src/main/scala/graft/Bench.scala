@@ -88,7 +88,12 @@ object Bench {
     "fact_scd2_temporal_join" -> 1.00, "events_retention_d7" -> 0.25,
     // r11 additions, steady values from tools/R11Probe at sf0.1
     "doc_shared_spans" -> 1.10, "multimodal_ppm_decode" -> 0.15,
-    "doc_winnow_overlap" -> 0.40, "doc_bpe_merges" -> 1.70)
+    "doc_winnow_overlap" -> 0.40, "doc_bpe_merges" -> 1.70,
+    // late-r11 additions (tools/R11Probe best-of-5, sf0.1)
+    "olap_basket_lift" -> 1.80, "olap_rfm_segments" -> 0.85,
+    "emb_mmr_rerank" -> 0.45, "events_interval_overlap" -> 0.18,
+    "events_heavy_users" -> 0.25, "multimodal_wav_decode" -> 0.15,
+    "doc_quality_gopher" -> 0.90)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds
@@ -371,6 +376,11 @@ object Bench {
       time("molap_month_country")(Molap.monthCountry(w))
       time("molap_month_product")(Molap.monthProduct(w))
       time("molap_customer_month")(Molap.customerMonth(w))
+      // late r11: basket-affinity (object-hash basket agg + map-side pair
+      // fan-out) and the RFM quintile rollup (three ntile windows over the
+      // customer aggregate)
+      time("olap_basket_lift")(Olap.basketLift(w))
+      time("olap_rfm_segments")(Olap.rfmSegments(w))
 
       // Training-data + event-stream operators (no BASELINE rows — recorded
       // to track engine throughput on the non-warehouse surfaces).
@@ -401,6 +411,12 @@ object Bench {
       // (the latter's cost is 10 sequential vocab-sized argmax rounds)
       time("doc_winnow_overlap")(graft.llm.TextOps.winnowOverlap(docs))
       time("doc_bpe_merges")(graft.llm.TextOps.bpeMerges(docs))
+      // late r11: the Gopher ruleset (map-only but lambda-heavy: per-word
+      // regex + three HOF filters) and the WAV container decode
+      time("doc_quality_gopher")(graft.llm.TextOps.qualityGopher(docs))
+      time("multimodal_wav_decode")(
+        graft.llm.MultimodalOps.decodeWav(
+          graft.llm.MultimodalOps.wavFixture(spark, sfDir)).toDF())
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))
@@ -411,6 +427,9 @@ object Bench {
       // re-rank per rep (r10)
       time("emb_pq_adc_rerank")(
         graft.llm.PqAnn.searchAdcRerank(emb, graft.llm.PqAnn.train(emb)))
+      // late r11: MMR re-rank — 5 greedy rounds (window pick + max-sim
+      // update join) over the queries×20 candidate window
+      time("emb_mmr_rerank")(graft.llm.EmbeddingOps.mmrRerank(emb))
       val events = graft.streaming.EventOps.events(spark, sfDir)
       time("events_sessions")(graft.streaming.EventOps.sessions(events))
       time("events_asof_last_error")(graft.streaming.EventOps.asofLastError(events))
@@ -419,6 +438,11 @@ object Bench {
       time("events_asof_join")(graft.streaming.EventOps.asofLastClick(events))
       time("events_range_join")(graft.streaming.EventOps.purchasesInErrorWindows(events))
       time("events_retention_d7")(graft.streaming.EventOps.retentionD7(events))
+      // late r11: bucketized interval-overlap join and the pigeonhole
+      // heavy-hitter pipeline (candidate prefilter + exact verify)
+      time("events_interval_overlap")(
+        graft.streaming.EventOps.incidentActivityOverlap(events))
+      time("events_heavy_users")(graft.perf.Skew.heavyKeys(events, "user_id"))
       time("emb_quantize_int8")(graft.llm.EmbeddingOps.quantizeInt8Stats(emb))
       time("olap_pivot_month_year")(graft.olap.Olap.pivotMonthYear(w))
       // r10 SCD2 family: the two-snapshot dim merge and the 600k-fact

@@ -270,7 +270,11 @@ object Olap extends QueryRegistry {
     * counts them. Item counts and the basket total are |catalog|-sized and
     * broadcast back; every ratio is one division of exact integers. */
   def basketLift(w: Warehouse, minPairN: Long = 2, maxBasket: Int = 50): DataFrame = {
-    val baskets = w.salesFinal.select("invoiceid", "stockcode").distinct()
+    // collect_set dedups per basket, so a pre-`distinct()` would be a second
+    // full shuffle doing the same work (row cost is the object-hash basket
+    // aggregation itself — probe-measured unchanged by the extra shuffle at
+    // sf0.1, but at 100 TB one exchange of the fact is one too many)
+    val baskets = w.salesFinal.select("invoiceid", "stockcode")
       .groupBy("invoiceid")
       .agg(sort_array(collect_set(col("stockcode"))).as("items"))
       .filter(size(col("items")).between(2, maxBasket))

@@ -29,6 +29,18 @@ object R11Probe {
     t("dim_customer_scd2_store")(graft.SparkEntry.queries("dim_customer_scd2_store")(spark, dir))
     t("doc_winnow_overlap")(graft.llm.TextOps.winnowOverlap(docs))
     t("doc_bpe_merges")(graft.llm.TextOps.bpeMerges(docs))
+    // late-r11 additions
+    val w = graft.etl.Warehouse(spark, dir)
+    t("olap_basket_lift")(graft.olap.Olap.basketLift(w))
+    t("olap_rfm_segments")(graft.olap.Olap.rfmSegments(w))
+    val emb = graft.llm.EmbeddingOps.emb(spark, dir)
+    t("emb_mmr_rerank")(graft.llm.EmbeddingOps.mmrRerank(emb))
+    val events = graft.streaming.EventOps.events(spark, dir)
+    t("events_interval_overlap")(graft.streaming.EventOps.incidentActivityOverlap(events))
+    t("events_heavy_users")(graft.perf.Skew.heavyKeys(events, "user_id"))
+    t("multimodal_wav_decode")(
+      graft.llm.MultimodalOps.decodeWav(graft.llm.MultimodalOps.wavFixture(spark, dir)).toDF())
+    t("doc_quality_gopher")(graft.llm.TextOps.qualityGopher(docs))
     spark.stop()
   }
 }
