@@ -1111,6 +1111,28 @@ object TextOps extends QueryRegistry {
       substring(md5(col("text")), 1, 16).as("fp16"),
       aggregate(words, lit(""), (acc, w) => md5(concat(acc, w))).as("rolling_fp"))
 
+  /** Per-doc novelty score (r11) — the boilerplate↔original spectrum at the
+    * shingle grain: the share of a doc's DISTINCT shingles attested in no
+    * other document (corpus document-frequency exactly 1). Low novelty =
+    * template/mirrored content even when no single partner doc crosses a
+    * near-dup threshold; the corpus-wide complement of the pairwise dedup
+    * channels. Shingles travel as md5 DIGESTS (mirrored in the oracle, so
+    * counts are identical by construction) — the shuffle carries fixed-width
+    * keys, never text; df is one digest-keyed aggregate and the score one
+    * integer division. */
+  def novelty(docs: DataFrame): DataFrame = {
+    val ds = shingles(docs)
+      .select(col("doc_id"), explode(array_distinct(col("shs"))).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("sh_d"))
+    val dfreq = ds.groupBy("sh_d").agg(count(lit(1)).as("df"))
+    ds.join(dfreq, Seq("sh_d"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+  }
+
   /** 3-word shingles per document (1-based positions, matching the oracle). */
   private def shingleArr: Column = {
     val n = size(words)
@@ -2084,6 +2106,16 @@ object TextOps extends QueryRegistry {
           FROM scored)
       SELECT doc_id, token, tf, df, score, CAST(rank AS BIGINT) AS rank
       FROM ranked WHERE rank <= 3"""))),
+
+    QueryDef("doc_novelty", (s, d) => novelty(docs(s, d)), Some(oq(s"""
+      , $sqlShingles,
+      nvds AS (SELECT DISTINCT doc_id, md5(shingle) AS sh_d FROM shingles),
+      nvdf AS (SELECT sh_d, count(*) AS df FROM nvds GROUP BY 1)
+      SELECT d.doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+             CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+      FROM nvds d JOIN nvdf f ON d.sh_d = f.sh_d
+      GROUP BY d.doc_id"""))),
 
     QueryDef("doc_contamination", (s, d) => contamination(docs(s, d)), Some(oq(s"""
       , $sqlShingles,

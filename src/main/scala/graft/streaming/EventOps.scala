@@ -216,6 +216,38 @@ object EventOps extends QueryRegistry {
     * degenerate case must never reach the division (ADVICE r10). The
     * stats frame is |types| rows and broadcasts back onto the (already
     * tiny) hourly series. */
+  /** Robust (median/MAD) hourly anomalies (r11) — the outlier-resistant
+    * twin of [[hourlyAnomalies]]: mean/stddev z-scores let a single extreme
+    * hour inflate its own baseline and mask itself; the modified z-score
+    * `0.6745·(x − median)/MAD` (Iglewicz–Hoaglin, flag at |z| > 3.5) is
+    * breakdown-resistant to half the cells. Determinism without integers:
+    * both engines implement the SAME type-7 interpolated percentile, hourly
+    * counts are integers, so the median is a .5-step value, absolute
+    * deviations are .5-step values, and the MAD is a .25-step value — every
+    * intermediate is exactly representable and the arithmetic chain is
+    * written identically. Zero-MAD types (over half the hours at the
+    * median) are excluded in both engines, the zero-variance discipline of
+    * the z-score variant. Shape: the percentile aggregates run over the
+    * |types|×|hours| pre-collapse, never raw events; stats broadcast
+    * back. */
+  def hourlyAnomaliesMad(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), eventTime)
+      .groupBy(col("event_type"), date_trunc("hour", col("t")).as("hour"))
+      .agg(count(lit(1)).as("x"))
+    val med = hourly.groupBy("event_type")
+      .agg(expr("percentile(x, 0.5D)").as("med"))
+    val dev = hourly.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("x") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("mad") > 0)
+      .select(col("event_type"), col("hour"), col("x").as("n_events"),
+        round(lit(0.6745) * (col("x") - col("med")) / col("mad"), 6).as("robust_z"))
+      .withColumn("is_anomaly", abs(col("robust_z")) > 3.5)
+  }
+
   def hourlyAnomalies(events: DataFrame): DataFrame = {
     val hourly = events
       .select(col("event_type"), eventTime)
@@ -774,6 +806,24 @@ object EventOps extends QueryRegistry {
              abs(round((h.x * t.n - t.s) / t.n / sqrt((t.n * t.ssq - t.s * t.s) / (t.n * (t.n - 1))), 6)) > 3.0 AS is_anomaly
       FROM ahourly h JOIN astats t ON h.event_type = t.event_type
       WHERE t.n > 1 AND t.n * t.ssq - t.s * t.s > 0"""))),
+
+    // robust (median/MAD) variant: DuckDB's quantile_cont and Spark's
+    // percentile are the same type-7 interpolation, and every intermediate
+    // is a .25-step value — exactly representable, so round(…,6) agrees
+    QueryDef("events_hourly_anomalies_mad",
+      (s, d) => hourlyAnomaliesMad(events(s, d)), Some(oq("""
+      , mhourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS x
+          FROM events GROUP BY 1, 2),
+      mmed AS (SELECT event_type, quantile_cont(x, 0.5) AS med FROM mhourly GROUP BY 1),
+      mdev AS (SELECT h.event_type, h.hour, h.x, m.med, abs(h.x - m.med) AS dev
+               FROM mhourly h JOIN mmed m ON h.event_type = m.event_type),
+      mmad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM mdev GROUP BY 1)
+      SELECT d.event_type, d.hour, d.x AS n_events,
+             round(0.6745 * (d.x - d.med) / t.mad, 6) AS robust_z,
+             abs(round(0.6745 * (d.x - d.med) / t.mad, 6)) > 3.5 AS is_anomaly
+      FROM mdev d JOIN mmad t ON d.event_type = t.event_type
+      WHERE t.mad > 0"""))),
 
     QueryDef("events_session_facts", (s, d) => sessionFacts(events(s, d)), Some(oq("""
       , sflag2 AS (

@@ -266,6 +266,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3)._3.exists(_ < 0.01)) // the near-seed point comes last
   }
 
+  test("novelty scores corpus-unique shingles against shared ones") {
+    val docs = docsDF(
+      (1L, "a b c d"),  // shingles {a b c, b c d}: first shared with doc 2
+      (2L, "a b c x"),  // {a b c, b c x}
+      (3L, "p q r s"))  // {p q r, q r s}: fully unique
+    val out = TextOps.novelty(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((2L, 2L, 1.0)))
+  }
+
   test("qualityGopher attributes the first failing rule in priority order") {
     val fifty = (1 to 48).map(i => s"word$i").mkString(" ")
     val docs = docsDF(

@@ -221,6 +221,32 @@ class EventOpsSpec extends SparkSpec {
     assert(out(1L) === false)   // steady hours
   }
 
+  test("MAD anomalies flag a spike the mean/stddev z-score masks") {
+    import spark.implicits._
+    val h = 3600L * 1000000L
+    // hourly counts 10,12,10,14,10,12,100: the 100-spike inflates its own
+    // stddev so z ≈ 2.3 stays under the 3σ line; median 12 / MAD 2 gives
+    // robust_z = 0.6745·88/2 ≈ 29.7 — flagged
+    val counts = Seq(10, 12, 10, 14, 10, 12, 100)
+    val ev = counts.zipWithIndex.flatMap { case (n, hr) =>
+      (0 until n).map(i => (hr * 1000L + i, hr * h + i * 1000L, 1L, "click", 0.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val z = EventOps.hourlyAnomalies(ev).collect()
+      .map(r => r.getLong(2) -> r.getBoolean(4)).toMap
+    assert(z(100L) === false) // masked by its own contribution to stddev
+    val mad = EventOps.hourlyAnomaliesMad(ev).collect()
+      .map(r => r.getLong(2) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(mad(100L)._2 === true)
+    assert(mad(100L)._1 === BigDecimal(0.6745 * (100 - 12) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(mad(10L)._2 === false)
+    // a zero-MAD type (majority of hours at the median) is excluded
+    val flat = (0 until 5).flatMap(hr => (0 until 3).map(i =>
+      (9000L + hr * 10 + i, hr * h + i * 1000L, 1L, "view", 0.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(EventOps.hourlyAnomaliesMad(flat).count() === 0)
+  }
+
   test("sessionization splits on >30min gaps per user") {
     import spark.implicits._
     val us = 1000000L
