@@ -428,6 +428,31 @@ object TextOps extends QueryRegistry {
     * count, and a document's sequence is `floor(preceding_tokens /
     * capacity)` within its shard. One partitioned window — a single shuffle
     * on the shard key, no global state, shards scale with the cluster. */
+  /** Length-bucketed inference batching (r11) — the padding-waste
+    * minimizer beside [[packSequences]]' concat-and-chunk: when documents
+    * must stay whole (inference, reward scoring, embedding), a batch pads
+    * every member to its longest, so random batching wastes
+    * ~(max−mean)·batchSize tokens per batch. Sorting each shard by token
+    * count before cutting fixed-size batches bounds the in-batch length
+    * spread; the report carries the exact padding waste per batch
+    * (`n·max − Σ`, all exact integers). Shard-local like the packer: one
+    * shuffle on the md5 shard, the sort runs within shards, shards scale
+    * with the cluster. */
+  def lengthBatches(docs: DataFrame, batchSize: Int = 32, shards: Int = 8): DataFrame = {
+    val shard = md5Bucket(col("doc_id").cast("string"), shards).as("shard")
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("n_tokens"), col("doc_id"))
+    docs.select(col("doc_id"), shard, size(words).cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(wnd))
+      .withColumn("batch_id", expr(s"(rn - 1) div $batchSize"))
+      .groupBy("shard", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .select(col("shard"), col("batch_id"), col("n_docs"), col("max_tokens"),
+        col("sum_tokens"),
+        (col("n_docs") * col("max_tokens") - col("sum_tokens")).as("pad_waste_tokens"))
+  }
+
   def packSequences(docs: DataFrame, capacity: Long = 4096, shards: Int = 8): DataFrame = {
     val shard = md5Bucket(col("doc_id").cast("string"), shards).as("shard")
     val wnd = org.apache.spark.sql.expressions.Window
@@ -1947,6 +1972,22 @@ object TextOps extends QueryRegistry {
                  ORDER BY source DESC LIMIT 1))
       SELECT source, tokens_available, round(w / w_total, 6) AS mix_share
       FROM mstc, mstt"""))),
+
+    QueryDef("doc_length_batches", (s, d) => lengthBatches(docs(s, d)), Some(oq("""
+      , lbs AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+      lbr AS (
+          SELECT shard, n_tokens,
+                 row_number() OVER (PARTITION BY shard ORDER BY n_tokens, doc_id) AS rn
+          FROM lbs)
+      SELECT shard, CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+             count(*) AS n_docs, max(n_tokens) AS max_tokens,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_waste_tokens
+      FROM lbr GROUP BY 1, 2"""))),
 
     QueryDef("doc_pack_sequences", (s, d) => packSequences(docs(s, d)), Some(oq("""
       , sized AS (

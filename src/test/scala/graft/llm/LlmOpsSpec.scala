@@ -266,6 +266,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3)._3.exists(_ < 0.01)) // the near-seed point comes last
   }
 
+  test("length-bucketed batching cuts padding waste vs arrival-order batching") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = TextOps.docs(spark, sfDir)
+    val sorted = TextOps.lengthBatches(docs)
+    // batch invariants: waste is exactly n*max - sum, batches hold <= 32
+    assert(sorted.filter(
+      col("pad_waste_tokens") =!= col("n_docs") * col("max_tokens") - col("sum_tokens") ||
+        col("n_docs") > 32).count() === 0)
+    val waste = sorted.agg(sum("pad_waste_tokens")).head().getLong(0)
+    // the length-sorted cut beats a doc_id-ordered cut on the real corpus
+    val byArrival = docs
+      .select(col("doc_id"), expr("size(split(text, ' '))").cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(Window.orderBy("doc_id")))
+      .withColumn("batch_id", expr("(rn - 1) div 32"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n"), max("n_tokens").as("mx"), sum("n_tokens").as("sm"))
+      .agg(sum(col("n") * col("mx") - col("sm"))).head().getLong(0)
+    assert(waste < byArrival, s"sorted $waste vs arrival $byArrival")
+  }
+
   test("novelty scores corpus-unique shingles against shared ones") {
     val docs = docsDF(
       (1L, "a b c d"),  // shingles {a b c, b c d}: first shared with doc 2
