@@ -317,8 +317,11 @@ object Olap extends QueryRegistry {
     val anchor = perCust.agg(max("last_date").as("anchor_date"))
     perCust.crossJoin(broadcast(anchor))
       .withColumn("recency_days", datediff(col("anchor_date"), col("last_date")))
+      // nulls-last matches DuckDB's ASC default, so an all-null-ts customer
+      // (possible under the parse-or-null staging) can never split the
+      // engines on quintile assignment
       .withColumn("r_quintile",
-        ntile(5).over(Window.orderBy(col("recency_days").asc, col("customerid"))))
+        ntile(5).over(Window.orderBy(col("recency_days").asc_nulls_last, col("customerid"))))
       .withColumn("f_quintile",
         ntile(5).over(Window.orderBy(col("n_orders").desc, col("customerid"))))
       .withColumn("m_quintile",
@@ -327,7 +330,73 @@ object Olap extends QueryRegistry {
       .agg(count(lit(1)).as("n_customers"), sum("cents").as("monetary_cents"))
   }
 
+  /** Cohort LTV curve (r11) — the retention-economics triangle behind the
+    * q6 cohort pivot: customers grouped by FIRST-purchase month, each
+    * cohort's revenue accumulated by age (months since first purchase),
+    * normalized per member. Month indices are integer arithmetic
+    * (`year·12+month`), money stays exact cents; the cumulative window
+    * runs over the |cohorts|×|ages| aggregate, never the fact, and the
+    * cohort-size frame broadcasts back. */
+  def cohortLtvCurve(w: Warehouse): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // a NULL sale_ts row (the parse-or-null CASE) has no month, so no
+    // cohort age — and it would otherwise sort NULLS FIRST in Spark's
+    // cumulative window vs NULLS LAST in DuckDB's
+    val sales = w.salesFinal
+      .filter(graft.nonBlank("customerid") && col("sale_ts").isNotNull)
+      .select(col("customerid"),
+        (year(col("sale_ts")) * 12 + month(col("sale_ts"))).as("midx"),
+        (col("totalamount") * 100).cast("long").as("cents"))
+    val firsts = sales.groupBy("customerid").agg(min("midx").as("fidx"))
+    val sized = firsts.groupBy("fidx")
+      .agg(count_distinct(col("customerid")).as("cohort_size"))
+    val cells = sales.join(firsts, Seq("customerid"))
+      .groupBy(col("fidx"), (col("midx") - col("fidx")).as("age_months"))
+      .agg(count_distinct(col("customerid")).as("n_active"),
+        sum("cents").as("revenue_cents"))
+    val wnd = Window.partitionBy("fidx").orderBy("age_months")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.join(broadcast(sized), Seq("fidx"))
+      .withColumn("cum_revenue_cents", sum("revenue_cents").over(wnd))
+      .select(
+        expr("CAST(((fidx - 1) div 12) * 100 + ((fidx - 1) % 12) + 1 AS BIGINT)")
+          .as("cohort_month"),
+        col("age_months").cast("long").as("age_months"),
+        col("n_active"), col("cohort_size"), col("revenue_cents"),
+        col("cum_revenue_cents"),
+        (col("cum_revenue_cents").cast("double") / col("cohort_size"))
+          .as("ltv_cents_per_customer"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("olap_cohort_ltv_curve", (s, dir) => cohortLtvCurve(Warehouse(s, dir)), Some(q("""
+      , csales AS (
+          SELECT customerid, year(sale_ts) * 12 + month(sale_ts) AS midx,
+                 CAST(totalamount * 100 AS BIGINT) AS cents
+          FROM sales_final
+          WHERE customerid IS NOT NULL AND trim(customerid) <> ''
+            AND sale_ts IS NOT NULL),
+      cfirst AS (SELECT customerid, min(midx) AS fidx FROM csales GROUP BY 1),
+      csize AS (SELECT fidx, count(DISTINCT customerid) AS cohort_size
+                FROM cfirst GROUP BY 1),
+      ccell AS (
+          SELECT f.fidx, s.midx - f.fidx AS age_months,
+                 count(DISTINCT s.customerid) AS n_active,
+                 CAST(sum(s.cents) AS BIGINT) AS revenue_cents
+          FROM csales s JOIN cfirst f ON s.customerid = f.customerid
+          GROUP BY 1, 2),
+      ccum AS (
+          SELECT c.fidx, c.age_months, c.n_active, c.revenue_cents, z.cohort_size,
+                 CAST(sum(c.revenue_cents) OVER (PARTITION BY c.fidx ORDER BY c.age_months
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_revenue_cents
+          FROM ccell c JOIN csize z ON c.fidx = z.fidx)
+      SELECT CAST(((fidx - 1) // 12) * 100 + ((fidx - 1) % 12) + 1 AS BIGINT) AS cohort_month,
+             CAST(age_months AS BIGINT) AS age_months, n_active, cohort_size,
+             revenue_cents, cum_revenue_cents,
+             CAST(cum_revenue_cents AS DOUBLE) / cohort_size AS ltv_cents_per_customer
+      FROM ccum"""))),
+
     // the oracle enumerates pairs by invoice self-join with s1 < s2 — the
     // textbook shape the basket-array plan must reproduce exactly
     QueryDef("olap_basket_lift", (s, dir) => basketLift(Warehouse(s, dir)), Some(q("""

@@ -571,6 +571,41 @@ object EventOps extends QueryRegistry {
         expr("timestamp_micros(last_c_us)").cast("timestamp_ntz").as("last_click_t"))
   }
 
+  /** Multi-touch linear attribution with EXACT cents (r11) — [[attribution]]
+    * counts the window's clicks; this splits each purchase's revenue across
+    * them, under the warehouse discipline that money must sum exactly: a
+    * floating 1/n share accumulates order-dependently and loses cents, so
+    * the split is integer division with the remainder going one cent each
+    * to the R EARLIEST clicks (deterministic, and Σ shares == cents by
+    * construction — spec-pinned). Clicks collapse to distinct (user, ts)
+    * first, making the within-purchase rank total; the join + both windows
+    * ride the same user-keyed shuffle family as [[attribution]]. Purchases
+    * with no windowed click keep their full revenue unattributed
+    * (click_ts NULL). */
+  def attributionLinear(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_us"), cents.as("cents"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_us")).distinct()
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_us") > col("p_us") - AttrWindowUs && col("c_us") <= col("p_us"),
+      "left")
+    val wnd = org.apache.spark.sql.expressions.Window.partitionBy("purchase_id")
+    val ord = wnd.orderBy(col("c_us").asc)
+    joined
+      .withColumn("n", count(col("c_us")).over(wnd))
+      .withColumn("k", row_number().over(ord))
+      .select(col("purchase_id"), col("user_id"),
+        expr("timestamp_micros(p_us)").cast("timestamp_ntz").as("t"),
+        expr("timestamp_micros(c_us)").cast("timestamp_ntz").as("click_t"),
+        when(col("n") === 0, col("cents"))
+          .otherwise(expr("cents div n") +
+            when(col("k") <= expr("cents % n"), lit(1L)).otherwise(lit(0L)))
+          .as("attributed_cents"))
+  }
+
   /** Stream-stream interval join (§2.10): the streaming form of
     * [[attribution]] — clicks and purchases arrive as two independent
     * streams; each purchase joins the same user's clicks from the preceding
@@ -898,6 +933,29 @@ object EventOps extends QueryRegistry {
       ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
                       WHERE event_type = 'click' GROUP BY user_id, ts) c
         ON p.user_id = c.user_id AND c.ts < p.ts"""))),
+
+    // exact-cents multi-touch split: the oracle replays the integer
+    // division + remainder-to-earliest rule, so a lost cent, a float
+    // share, or a different remainder placement hash-mismatches
+    QueryDef("events_attribution_linear",
+      (s, d) => attributionLinear(events(s, d)), Some(oq("""
+      , lpur AS (SELECT event_id AS purchase_id, user_id, ts AS p_t,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events WHERE event_type = 'purchase'),
+      lclk AS (SELECT DISTINCT user_id AS c_user, ts AS c_t
+               FROM events WHERE event_type = 'click'),
+      lj AS (SELECT p.purchase_id, p.user_id, p.p_t, p.cents, c.c_t
+             FROM lpur p LEFT JOIN lclk c
+               ON p.user_id = c.c_user
+              AND c.c_t > p.p_t - INTERVAL '30 minutes' AND c.c_t <= p.p_t),
+      lr AS (SELECT *, count(c_t) OVER (PARTITION BY purchase_id) AS n,
+                    row_number() OVER (PARTITION BY purchase_id ORDER BY c_t ASC) AS k
+             FROM lj)
+      SELECT purchase_id, user_id, p_t AS t, c_t AS click_t,
+             CAST(CASE WHEN n = 0 THEN cents
+                       ELSE cents // n + (CASE WHEN k <= cents % n THEN 1 ELSE 0 END)
+                  END AS BIGINT) AS attributed_cents
+      FROM lr"""))),
 
     // Exact heavy-hitter detection (graft.perf.Skew.heavyKeys): the oracle
     // is the plain HAVING-over-groupBy truth — the pigeonhole prefilter +

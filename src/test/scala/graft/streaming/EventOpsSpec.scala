@@ -221,6 +221,34 @@ class EventOpsSpec extends SparkSpec {
     assert(out(1L) === false)   // steady hours
   }
 
+  test("linear attribution conserves every cent and places remainders earliest") {
+    import spark.implicits._
+    val m = 60L * 1000000L
+    // purchase of 1.00 (100 cents) with 3 windowed clicks: 34/33/33 with
+    // the extra cent on the EARLIEST click; an unattributed purchase keeps
+    // its full revenue
+    val ev = Seq(
+      (1L, 0L, 7L, "click", 0.0, "{}"),
+      (2L, 5L * m, 7L, "click", 0.0, "{}"),
+      (3L, 10L * m, 7L, "click", 0.0, "{}"),
+      (4L, 20L * m, 7L, "purchase", 1.0, "{}"),
+      (5L, 0L, 9L, "purchase", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.attributionLinear(ev).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.toString), r.getLong(4)))
+    val p4 = out.filter(_._1 == 4L).sortBy(_._2)
+    assert(p4.map(_._3).toSeq === Seq(34L, 33L, 33L))
+    assert(p4.map(_._3).sum === 100L)
+    assert(out.filter(_._1 == 5L).map(_._3).toSeq === Seq(250L))
+    // conservation on the real feed: attributed totals == purchase totals
+    val events = EventOps.events(spark, sfDir)
+    val attributed = EventOps.attributionLinear(events)
+      .agg(sum("attributed_cents")).head().getLong(0)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))).head().getLong(0)
+    assert(attributed === purchases)
+  }
+
   test("MAD anomalies flag a spike the mean/stddev z-score masks") {
     import spark.implicits._
     val h = 3600L * 1000000L
