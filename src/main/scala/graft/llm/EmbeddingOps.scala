@@ -220,6 +220,34 @@ object EmbeddingOps extends QueryRegistry {
     sb.toString
   }
 
+  /** Per-dimension distribution report (r11) — the feature-QA pass run
+    * before normalization or quantization commits to per-dim ranges:
+    * median, quartiles, IQR, and the count of values beyond the 1.5·IQR
+    * Tukey fences for every embedding dimension. Exact percentiles are
+    * order-INdependent (sort-based, not accumulation-based), so they are
+    * the rare float statistic both engines agree on; quartiles go through
+    * round(…,6) before any derived arithmetic, so the fences are
+    * bit-identical by construction. Two aggregations over the posexploded
+    * values; the |dims|-row quartile frame broadcasts back. At 100 TB the
+    * exact percentile swaps for `approx_percentile` per dim — same shape,
+    * sketch-mergeable. */
+  def embDimStats(emb: DataFrame): DataFrame = {
+    val vals = emb.select(posexplode(col("embedding")).as(Seq("pos0", "vf")))
+      .select((col("pos0") + 1).as("dim"), col("vf").cast("double").as("v"))
+    val q = vals.groupBy("dim").agg(
+      round(expr("percentile(v, 0.25D)"), 6).as("q1"),
+      round(expr("percentile(v, 0.5D)"), 6).as("median"),
+      round(expr("percentile(v, 0.75D)"), 6).as("q3"),
+      count(lit(1)).as("n"))
+    val iqr = col("q3") - col("q1")
+    vals.join(broadcast(q), Seq("dim"))
+      .groupBy(col("dim"), col("n"), col("median"), col("q1"), col("q3"))
+      .agg(sum(when(col("v") < col("q1") - iqr * 1.5 ||
+          col("v") > col("q3") + iqr * 1.5, 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("dim"), col("n"), col("median"), col("q1"), col("q3"),
+        iqr.as("iqr"), col("n_outliers"))
+  }
+
   /** MMR (maximal-marginal-relevance) diversity re-rank (r11) — the
     * retrieval-stack stage between ANN and the consumer: from each query's
     * top-`nCand` candidate window, greedily select `k` results maximizing
@@ -592,6 +620,23 @@ object EmbeddingOps extends QueryRegistry {
     // bug hash-mismatches
     QueryDef("emb_mmr_rerank",
       (s, d) => mmrRerank(emb(s, d)), Some(oq(mmrOracle(5, 20)))),
+
+    QueryDef("emb_dim_stats", (s, d) => embDimStats(emb(s, d)), Some(oq(s"""
+      , dvals AS (
+          SELECT t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS v
+          FROM embeddings CROSS JOIN generate_series(1, $Dim) t(i)),
+      dq AS (
+          SELECT dim, round(quantile_cont(v, 0.25), 6) AS q1,
+                 round(quantile_cont(v, 0.5), 6) AS median,
+                 round(quantile_cont(v, 0.75), 6) AS q3,
+                 count(*) AS n
+          FROM dvals GROUP BY 1)
+      SELECT q.dim, q.n, q.median, q.q1, q.q3, q.q3 - q.q1 AS iqr,
+             CAST(sum(CASE WHEN d.v < q.q1 - (q.q3 - q.q1) * 1.5
+                            OR d.v > q.q3 + (q.q3 - q.q1) * 1.5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dvals d JOIN dq q ON d.dim = q.dim
+      GROUP BY q.dim, q.n, q.median, q.q1, q.q3"""))),
 
     // the pre-filter form: candidates carry the predicate, queries don't —
     // the oracle filters the candidate leg identically
