@@ -298,6 +298,20 @@ object SinkQueries extends QueryRegistry {
       FROM dim_product
       WHERE CAST(stockcode AS BIGINT) % 7 <> 0"""))),
 
+    // the SQL surface: literal reference-style SQL over the registered
+    // views, hash-checked against the SAME oracle as the DSL form
+    // (olap_q1) — the two surfaces are proven to agree cross-engine
+    QueryDef("sql_monthly_country",
+      (s, d) => SqlSurface.monthlyCountrySql(s, d),
+      Some(graft.oracle.OracleSql.q("""
+      SELECT d.year, d.month, coalesce(c.country, 'UNKNOWN') AS country,
+             CAST(sum(f.totalamount) AS DOUBLE) AS total_revenue,
+             CAST(sum(f.quantity) AS BIGINT) AS total_quantity
+      FROM fact_sales_elt f
+      JOIN dim_date d ON f.date_key = d.date_key
+      LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+      GROUP BY 1, 2, 3"""))),
+
     QueryDef("sink_versioned_changes", cdcChanges,
       Some(graft.oracle.OracleSql.q("""
       SELECT stockcode, 'delete' AS change_type,
