@@ -275,6 +275,28 @@ class EventOpsSpec extends SparkSpec {
     assert(EventOps.hourlyAnomaliesMad(flat).count() === 0)
   }
 
+  test("native session_window agrees with the lag idiom, exact-gap instant included") {
+    import spark.implicits._
+    val m = 60L * 1000000L
+    val ev = Seq(
+      (1L, 0L, 7L, "click", 0.0, "{}"),
+      (2L, 30L * m, 7L, "click", 0.0, "{}"),   // exactly 30 min after #1: merges
+      (3L, 90L * m, 7L, "click", 0.0, "{}"),   // clear new session
+      (4L, 90L * m + 30L * m + 1L, 7L, "click", 0.0, "{}")) // 1 µs past gap: splits
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val native = EventOps.sessionsNativeWindow(ev).head()
+    val legacy = EventOps.sessions(ev).head()
+    assert((native.getLong(1), native.getLong(2)) === ((4L, 3L)))
+    assert((legacy.getLong(1), legacy.getLong(2)) === ((4L, 3L)))
+    // and on the real feed
+    val real = EventOps.events(spark, sfDir)
+    val a = EventOps.sessionsNativeWindow(real).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = EventOps.sessions(real).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a === b)
+  }
+
   test("sessionization splits on >30min gaps per user") {
     import spark.implicits._
     val us = 1000000L
