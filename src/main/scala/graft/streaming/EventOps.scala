@@ -798,6 +798,54 @@ object EventOps extends QueryRegistry {
       .select(col("hour"), col("rank"), col("event_type"), col("n_events"))
   }
 
+  /** Streaming form of the NATIVE session window (r11) — the claim behind
+    * [[sessionsNativeWindow]] made real: the same `session_window` call
+    * under a watermark, per-user session rows (bounds + event count)
+    * emitted in append mode once the watermark passes the session's end.
+    * State is engine-managed (merge-on-arrival, eviction at watermark) —
+    * the alternative to [[sessionize]]'s hand-rolled
+    * `flatMapGroupsWithState` state machine, compared head-to-head by
+    * their roundtrip oracles. */
+  def streamingSessionWindow(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    streamSource(spark, eventsDir, maxFilesPerTrigger)
+      .select(col("user_id"), expr("timestamp_micros(ts)").as("t"))
+      .withWatermark("t", "1 hour")
+      .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start)").as("start_ts"),
+        expr("unix_micros(session_window.end)").as("end_gap_ts"),
+        col("n_events"))
+
+  /** Roundtrip for [[streamingSessionWindow]]: time-ordered two-drop
+    * ingestion, one-file micro-batches; the emitted set must be exactly
+    * the sessions whose window END (last event + gap) is at or before the
+    * final watermark `max(t) − 1 h` — each exactly once with its full
+    * batch-equal bounds and count. The oracle replays gap sessionization
+    * plus that closure predicate. */
+  private def streamSessionWindowRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val r = ev.agg(min("ts"), max("ts")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_swin_").toString
+    ev.filter(col("ts") <= mid).coalesce(1).write.parquet(s"$base/drops/a")
+    ev.filter(col("ts") > mid).coalesce(1).write.parquet(s"$base/drops/b")
+    val query = streamingSessionWindow(s, s"$base/drops/*", maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000L)) {
+      query.stop()
+      throw new IllegalStateException(
+        "stream_session_window_roundtrip did not finish within 300 s; output log is partial")
+    }
+    s.read.parquet(s"$base/out")
+  }
+
   /** Correctness roundtrip for the stateful [[sessionize]] path (the last
     * streaming surface without an oracle row): the events feed split into
     * two TIME-ORDERED drops at the ts midpoint, one-file micro-batches, so
@@ -1164,6 +1212,29 @@ object EventOps extends QueryRegistry {
           FROM tcnt)
       SELECT hour, CAST(rank AS INT) AS rank, event_type, n_events
       FROM trank WHERE rank <= 3"""))),
+
+    // Native-session-window streaming roundtrip: only sessions whose end
+    // (last event + gap) has been passed by the final watermark may
+    // appear, exactly once, with batch-equal bounds — cross-batch session
+    // MERGING in the engine-managed state is the behavior under test
+    QueryDef("stream_session_window_roundtrip", streamSessionWindowRoundtrip, Some(oq("""
+      , swb AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events),
+      swf AS (SELECT user_id, tsu,
+                     CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) IS NULL
+                           OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                              > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM swb),
+      swg AS (SELECT user_id, tsu,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM swf),
+      sws AS (SELECT user_id, min(tsu) AS start_ts,
+                     max(tsu) + 1800000000 AS end_gap_ts, count(*) AS n_events
+              FROM swg GROUP BY user_id, sid),
+      swm AS (SELECT max(tsu) - 3600000000 AS wm FROM swb)
+      SELECT s.user_id, s.start_ts, s.end_gap_ts, CAST(s.n_events AS BIGINT) AS n_events
+      FROM sws s, swm WHERE s.end_gap_ts <= swm.wm"""))),
 
     // Stateful sessionizer roundtrip: closed sessions only — each user's
     // LAST session stays open in the state store and must not appear.
