@@ -453,6 +453,29 @@ object TextOps extends QueryRegistry {
         (col("n_docs") * col("max_tokens") - col("sum_tokens")).as("pad_waste_tokens"))
   }
 
+  /** Mixture-plan APPLICATION (r11) — [[mixPlan]] computes each source's
+    * token budget; this enforces it: docs admitted in deterministic
+    * salted-hash order (reshuffle/rerun/engine-stable, like every sampler
+    * here) while the source's running token total is still under budget.
+    * The admit rule is `preceding-cumulative < budget` — overshoot is
+    * bounded by one document, and a positive budget always admits at least
+    * one doc; the doc that crosses the line is the last one in. One
+    * source-keyed window over a narrow (id, source, tokens, hash)
+    * projection — text never shuffles; the |sources|-row plan broadcasts. */
+  def mixApply(docs: DataFrame, targetShares: Map[String, Double]): DataFrame = {
+    val plan = mixPlan(docs, targetShares).select(col("source"), col("planned_tokens"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.filter(col("source").isInCollection(targetShares.keys.toSeq))
+      .select(col("doc_id"), col("source"), size(words).cast("long").as("n_tokens"),
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("pre", coalesce(sum("n_tokens").over(wnd), lit(0L)))
+      .join(broadcast(plan), Seq("source"))
+      .filter(col("pre") < col("planned_tokens"))
+      .select("doc_id", "source", "n_tokens")
+  }
+
   def packSequences(docs: DataFrame, capacity: Long = 4096, shards: Int = 8): DataFrame = {
     val shard = md5Bucket(col("doc_id").cast("string"), shards).as("shard")
     val wnd = org.apache.spark.sql.expressions.Window
@@ -1953,6 +1976,35 @@ object TextOps extends QueryRegistry {
              CAST(floor(target_share * n_total) AS BIGINT) AS planned_tokens,
              CAST(CAST(floor(target_share * n_total) AS BIGINT) AS DOUBLE) / tokens_available AS accept_rate
       FROM mixtok, mixn"""))),
+
+    // plan → apply composition: the oracle recomputes the budgets and
+    // replays the salted-hash admission order, so a budget overshoot
+    // beyond one doc, a dropped source, or an order change hash-mismatches
+    QueryDef("doc_mix_apply", (s, d) => mixApply(docs(s, d),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)), Some(oq("""
+      , aptok AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_available,
+                 CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                                  WHEN 'src2' THEN 0.2 END AS DOUBLE) AS target_share
+          FROM documents WHERE source IN ('src0', 'src1', 'src2')
+          GROUP BY source),
+      apn AS (SELECT min(CAST(tokens_available AS DOUBLE) / target_share) AS n_total
+              FROM aptok),
+      aplan AS (SELECT source, CAST(floor(target_share * n_total) AS BIGINT) AS planned_tokens
+                FROM aptok, apn),
+      apdo AS (
+          SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+      appre AS (
+          SELECT doc_id, source, n_tokens,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+          FROM apdo)
+      SELECT d.doc_id, d.source, d.n_tokens
+      FROM appre d JOIN aplan p ON d.source = p.source
+      WHERE d.pre < p.planned_tokens"""))),
 
     // Σ sqrt(tokens) via the same ordered cumulative sum — fp association
     // fixed left-to-right in both engines

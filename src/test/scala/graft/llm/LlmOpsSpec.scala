@@ -266,6 +266,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3)._3.exists(_ < 0.01)) // the near-seed point comes last
   }
 
+  test("mixApply admits in hash order until the budget, overshoot bounded by one doc") {
+    val docs = TextOps.docs(spark, sfDir)
+    val shares = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+    val plan = TextOps.mixPlan(docs, shares).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val kept = TextOps.mixApply(docs, shares)
+    val perSource = kept.groupBy("source")
+      .agg(sum("n_tokens").as("kept"), max("n_tokens").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    plan.foreach { case (src, budget) =>
+      val (keptTok, mx) = perSource(src)
+      assert(keptTok >= budget, s"$src under budget: $keptTok < $budget")
+      assert(keptTok < budget + mx, s"$src overshoot beyond one doc")
+    }
+    // reshuffle-stable: same kept set from a different partitioning
+    val again = TextOps.mixApply(docs.repartition(7), shares)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("length-bucketed batching cuts padding waste vs arrival-order batching") {
     import org.apache.spark.sql.expressions.Window
     val docs = TextOps.docs(spark, sfDir)
