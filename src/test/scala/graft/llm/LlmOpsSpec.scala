@@ -933,4 +933,63 @@ class LlmOpsSpec extends SparkSpec {
       assert(r >= 0.0 && r <= 1.0)
     }
   }
+
+  test("distilled classifier matches a plain-Scala NB reference; exclusive tokens steer the sign") {
+    // Positive docs are stopword-rich (label rule fires) and carry `posXY`
+    // content tokens; negative docs carry `negXY`. 60 ids so both classes
+    // land in both splits whatever the md5 buckets do.
+    val rows = (1L to 60L).map { i =>
+      if (i % 2 == 1) (i, s"the a the cat pos${i % 5} pos${(i + 1) % 5}")
+      else (i, s"datum vector neg${i % 5} neg${(i + 1) % 5} kernel tensor")
+    }
+    val out = TextOps.classifierScores(docsDF(rows: _*))
+      .select("doc_id", "label", "is_train", "score", "predicted", "agree")
+      .as[(Long, Boolean, Boolean, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // independent reference: same md5 split, same label rule, same integer
+    // weight and score arithmetic, in plain Scala
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+    }
+    val toks = rows.map { case (id, t) =>
+      id -> "[A-Za-z0-9_]+".r.findAllIn(t).toSeq }.toMap
+    def label(t: String): Boolean = {
+      val ws = t.split(" ", -1)
+      ws.count(w => w == "the" || w == "a").toDouble / ws.length >= 0.05
+    }
+    val lab = rows.map { case (id, t) => id -> label(t) }.toMap
+    val train = rows.map(_._1).filter(bucket(_) < 90)
+    assert(train.nonEmpty && train.size < rows.size) // both splits inhabited
+    val tfPos = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val tfNeg = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    train.foreach(id => toks(id).foreach { t =>
+      if (lab(id)) tfPos(t) += 1 else tfNeg(t) += 1 })
+    val (tPos, tNeg) = (tfPos.values.sum, tfNeg.values.sum)
+    def weight(t: String): Long = tfPos(t) * tNeg - tfNeg(t) * tPos
+    rows.foreach { case (id, _) =>
+      val score = toks(id).map(weight).sum
+      val exp = (id, lab(id), bucket(id) < 90, score, score > 0, (score > 0) == lab(id))
+      assert(out(id) === exp, s"doc $id")
+    }
+    // the content tokens alone steer the sign: every pos* weight positive,
+    // every neg* negative (they are class-exclusive in training)
+    assert((0 to 4).forall(i => weight(s"pos$i") > 0 && weight(s"neg$i") < 0))
+    // and the classifier fully recovers this separable fixture
+    assert(out.values.forall(_._6))
+  }
+
+  test("classifier eval aggregates agreement per split") {
+    val rows = (1L to 40L).map { i =>
+      if (i % 2 == 1) (i, "the a the cat") else (i, "datum vector kernel") }
+    val eval = TextOps.classifierEval(docsDF(rows: _*))
+      .select("is_train", "n_docs", "n_agree", "agreement")
+      .as[(Boolean, Long, Long, Double)].collect()
+    assert(eval.length === 2) // both splits present
+    assert(eval.map(_._2).sum === 40L)
+    eval.foreach { case (_, n, a, acc) =>
+      assert(a >= 0 && a <= n); assert(acc === a.toDouble / n) }
+  }
 }
