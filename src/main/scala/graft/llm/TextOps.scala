@@ -375,6 +375,33 @@ object TextOps extends QueryRegistry {
           .otherwise(lit("test")))
   }
 
+  /** Leakage-safe train/val/test split (r11) — [[trainSplit]] hardened
+    * against near-duplicate leakage: hashing each document's OWN id sends
+    * two near-identical documents to train and test ~10% of the time, and
+    * every such pair inflates held-out metrics (the evaluation set contains
+    * paraphrases of training data — the contamination failure mode
+    * train/test splits exist to prevent). Here the hash key is the
+    * document's near-dup CLUSTER representative ([[dedupClusters]]' min-id
+    * label; singletons key on themselves), so an entire near-dup family
+    * lands in ONE split by construction. Scale shape: the cluster
+    * assignment covers only documents with a verified near-dup — broadcast-
+    * scale next to the corpus — so the split is a broadcast LEFT join plus
+    * the same narrow md5-bucket projection as [[trainSplit]]; the corpus
+    * never shuffles. */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val clusters = dedupClusters(docs, threshold)
+    val keyed = docs.select("doc_id")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("split_key"))
+    keyed
+      .withColumn("bucket", md5Bucket(col("split_key").cast("string"), 100))
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Deterministic stratified sampling — the training-mix downsampler. Each
     * document keeps iff its salted md5 bucket (0-9999) falls under its
     * source's rate, so the sample is reshuffle-stable, reproducible across
@@ -2628,6 +2655,26 @@ object TextOps extends QueryRegistry {
       WITH RECURSIVE $sqlShingles,
       $sqlClusterChainCtes
       SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id""")),
+
+    // Leakage-safe split: same closure CTEs; the oracle re-derives the
+    // representative key and the md5 bucket, so a clustering OR bucketing
+    // drift both hash-mismatch.
+    QueryDef("doc_split_leakage_safe", (s, d) => leakageSafeSplit(docs(s, d), 0.6), Some(s"""
+      WITH RECURSIVE $sqlShingles,
+      $sqlClusterChainCtes,
+      clusters AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+      skeyed AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+      sbuck AS (
+        SELECT doc_id, split_key,
+               CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM skeyed)
+      SELECT doc_id, split_key, bucket,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM sbuck""")),
 
     QueryDef("doc_dedup_keep", (s, d) => dedupKeep(docs(s, d), 0.6), Some(s"""
       WITH RECURSIVE $sqlShingles,

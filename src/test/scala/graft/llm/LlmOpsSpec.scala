@@ -981,6 +981,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.values.forall(_._6))
   }
 
+  test("leakage-safe split keys every near-dup on its representative; singletons match trainSplit") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val text2 = "the quick brown fox jumps over the lazy dog again and again more"
+    val docs = docsDF(
+      (1L, text), (2L, text), (3L, text2),
+      (4L, "completely different words that share no shingles at all with others one two"))
+    val out = TextOps.leakageSafeSplit(docs, threshold = 0.5)
+      .select("doc_id", "split_key", "bucket", "split")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // the {1,2,3} cluster keys on representative 1 — identical split for all
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).forall(_ == 1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._4).distinct.size === 1)
+    // the singleton keys on itself, exactly as plain trainSplit would
+    assert(out(4L)._2 === 4L)
+    val plain = TextOps.trainSplit(docs).as[(Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert((out(4L)._3, out(4L)._4) === (plain(4L)._2, plain(4L)._3))
+    assert((out(2L)._3, out(2L)._4) === (plain(1L)._2, plain(1L)._3)) // dup inherits rep's split
+  }
+
   test("classifier eval aggregates agreement per split") {
     val rows = (1L to 40L).map { i =>
       if (i % 2 == 1) (i, "the a the cat") else (i, "datum vector kernel") }
