@@ -154,6 +154,37 @@ object EmbeddingOps extends QueryRegistry {
         round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
   }
 
+  /** Hard-negative mining (r11) — the contrastive-training staple: for each
+    * query, the k most-similar corpus vectors BELOW the positive threshold.
+    * Vectors at `cos >= posThreshold` are the near-duplicate/positive band
+    * ([[cosineNearDup]]'s default 0.35) — useless as negatives and harmful
+    * if sampled as such — so the hardest (most informative) negatives are
+    * the highest-scoring vectors just under that line; random negatives are
+    * too easy and the model learns nothing from them. The threshold and the
+    * rank both apply to the 6-dp ROUNDED cosine, so the cut boundary and
+    * tie order are cross-engine deterministic (ranking the raw double and
+    * thresholding the rounded one could disagree exactly at the boundary).
+    * Scale shape: identical to [[annBucketed]] — LSH-bucket equi-join
+    * candidate generation, never query × corpus; the bucket already holds
+    * the most-similar vectors, which is exactly where hard negatives live. */
+  def hardNegatives(emb: DataFrame, posThreshold: Double = 0.35, k: Int = 3): DataFrame = {
+    val wb = withBucket(emb)
+    val qs = wb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val scored = qs.join(wb, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qe"), col("embedding")), 6)
+          .cast("decimal(10,6)").cast("double").as("cosine"))
+      .filter(col("cosine") < posThreshold)
+    val wnd = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rn").cast("long").as("rn"))
+  }
+
   /** Greedy k-center (farthest-point) diversity sampling (r11) — coreset
     * selection for training-data diversity (Gonzalez's 2-approximation to
     * the k-center objective): start from the smallest vec_id, repeatedly
@@ -656,6 +687,24 @@ object EmbeddingOps extends QueryRegistry {
         FROM fscored)
       SELECT query_id, neighbor_id, CAST(CAST(round(cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
       FROM franked WHERE rn <= 5"""))),
+
+    // Hard negatives: the positive-band cut and the rank BOTH use the 6-dp
+    // rounded cosine, mirrored exactly — a boundary vector (rounded value
+    // == threshold) lands the same side in both engines.
+    QueryDef("emb_hard_negatives", (s, d) => hardNegatives(emb(s, d)), Some(oq(s"""
+      , $sqlBuckets,
+      hwb AS (SELECT e.vec_id, e.embedding, b.bucket
+              FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+      hqs AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+              FROM hwb WHERE vec_id % 100 = 0),
+      hscored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CAST(CAST(round(${sqlCos("q.qe", "e.embedding")}, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
+        FROM hqs q JOIN hwb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+      hranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM hscored WHERE cosine < 0.35)
+      SELECT query_id, neighbor_id, cosine, rn FROM hranked WHERE rn <= 3"""))),
 
     QueryDef("emb_ann_recall", (s, d) => annRecall(emb(s, d)), Some(oq(s"""
       , $sqlBuckets,

@@ -877,6 +877,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(expected.exists { case (q, ns) => ns.keys.exists(o => buckets(o) != buckets(q)) })
   }
 
+  test("hard negatives match a plain-Scala reference and exclude the positive band") {
+    val emb = EmbeddingOps.emb(spark, sfDir)
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def bits(v: Array[Float]): String = (1 to 8).map { j =>
+      val s = (1 to 64).map(i => v(i - 1).toDouble * (((j * 31 + i * 17) % 7) - 3).toDouble).sum
+      if (s > 0) "1" else "0"
+    }.mkString
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      (0 until 64).foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def cosv(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val buckets = vecs.map { case (id, v) => id -> bits(v) }
+    val expected = vecs.keys.filter(_ % 100 == 0).map { q =>
+      val scored = vecs.keys.toSeq
+        .filter(o => o != q && buckets(o) == buckets(q))
+        .map(o => o -> round6(cosv(vecs(q), vecs(o))))
+      q -> scored.filter(_._2 < 0.35)
+        .sortBy { case (o, c) => (-c, o) }.take(3).zipWithIndex
+        .map { case ((o, c), i) => (o, c, (i + 1).toLong) }
+    }.toMap
+    val out = EmbeddingOps.hardNegatives(emb)
+      .select("query_id", "neighbor_id", "cosine", "rn")
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq).toMap
+    val nonEmpty = expected.filter(_._2.nonEmpty)
+    assert(nonEmpty.nonEmpty)
+    assert(out.keySet === nonEmpty.keySet)
+    nonEmpty.foreach { case (q, exp) => assert(out(q) === exp, s"query $q") }
+    // the positive-band cut genuinely bites on this corpus: some in-bucket
+    // candidate scores >= 0.35 and is absent from the mined negatives
+    assert(vecs.keys.filter(_ % 100 == 0).exists { q =>
+      vecs.keys.exists(o => o != q && buckets(o) == buckets(q) &&
+        round6(cosv(vecs(q), vecs(o))) >= 0.35)
+    })
+  }
+
   test("quantized decode matches the int8 report's reconstruction arithmetic") {
     val df = (0L until 50L)
       .map(id => (id, Array.tabulate(64)(i => (math.sin(id * 3.1 + i) * 5).toFloat)))
