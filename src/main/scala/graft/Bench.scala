@@ -414,6 +414,11 @@ object Bench {
       // late r11: the Gopher ruleset (map-only but lambda-heavy: per-word
       // regex + three HOF filters) and the WAV container decode
       time("doc_quality_gopher")(graft.llm.TextOps.qualityGopher(docs))
+      // r11 additions: classifier = one token-key shuffle (tf aggregate) +
+      // broadcast vocab scoring join; leakage split rides the dedup-cluster
+      // machinery plus a broadcast rep join
+      time("doc_classifier_scores")(graft.llm.TextOps.classifierScores(docs))
+      time("doc_split_leakage_safe")(graft.llm.TextOps.leakageSafeSplit(docs))
       time("multimodal_wav_decode")(
         graft.llm.MultimodalOps.decodeWav(
           graft.llm.MultimodalOps.wavFixture(spark, sfDir)).toDF())
@@ -430,6 +435,7 @@ object Bench {
       // late r11: MMR re-rank — 5 greedy rounds (window pick + max-sim
       // update join) over the queries×20 candidate window
       time("emb_mmr_rerank")(graft.llm.EmbeddingOps.mmrRerank(emb))
+      time("emb_hard_negatives")(graft.llm.EmbeddingOps.hardNegatives(emb))
       val events = graft.streaming.EventOps.events(spark, sfDir)
       time("events_sessions")(graft.streaming.EventOps.sessions(events))
       time("events_asof_last_error")(graft.streaming.EventOps.asofLastError(events))

@@ -222,30 +222,79 @@ object TextOps extends QueryRegistry {
     * int64 (T_pos·T_neg grows as the corpus squared) — there the weights
     * normalize to double rate differences once at train time; the exact
     * integer form is the oracle-gate discipline at test scale. */
-  def classifierScores(docs: DataFrame): DataFrame = {
+  /** The labeled (doc, token, tf) frame both classifier phases read —
+    * cached once, so training and scoring share one tokenization pass
+    * (cacheOnce resolves by plan, so separate [[classifierTrain]] /
+    * [[classifierScores]] calls over the same input hit the same entry). */
+  private def classifierTf(docs: DataFrame): DataFrame = {
     val hits = size(filter(words, w => w === "the" || w === "a"))
     val label = (hits.cast("double") / size(words)) >= lit(0.05)
     val isTrain = md5Bucket(col("doc_id").cast("string"), 100) < 90
-    val tf = cacheOnce(
+    cacheOnce(
       docs.select(col("doc_id"), label.as("label"), isTrain.as("is_train"),
           explode(wordTokens).as("token"))
         .groupBy("doc_id", "label", "is_train", "token")
         .agg(count(lit(1)).as("tf")))
-    val cls = tf.filter(col("is_train"))
+  }
+
+  /** The trained model as a standalone (token, weight) artifact — the
+    * |vocab|-row frame the serving path broadcasts. Trains on `docs`' hash-
+    * split train slice only. */
+  def classifierTrain(docs: DataFrame): DataFrame = {
+    val cls = classifierTf(docs).filter(col("is_train"))
       .groupBy("token")
       .agg(sum(when(col("label"), col("tf")).otherwise(lit(0L))).as("tf_pos"),
         sum(when(!col("label"), col("tf")).otherwise(lit(0L))).as("tf_neg"))
     val totals = cls.agg(sum("tf_pos").as("t_pos"), sum("tf_neg").as("t_neg"))
-    val weights = cls.crossJoin(broadcast(totals))
+    cls.crossJoin(broadcast(totals))
       .select(col("token"),
         (col("tf_pos") * col("t_neg") - col("tf_neg") * col("t_pos")).as("weight"))
-    tf.join(broadcast(weights), Seq("token"), "left")
+  }
+
+  /** Score arbitrary (doc_id, text) rows against a trained weight table —
+    * the inference path: one narrow tokenize + tf aggregate per batch, a
+    * broadcast join on the token key, a per-doc sum. Unseen tokens score 0. */
+  def classifierScore(batch: DataFrame, weights: DataFrame): DataFrame =
+    batch.select(col("doc_id"), explode(wordTokens).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .join(broadcast(weights), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * coalesce(col("weight"), lit(0L))).as("score"))
+      .select(col("doc_id"), col("score").cast("long").as("score"),
+        (col("score") > 0).as("predicted"))
+
+  def classifierScores(docs: DataFrame): DataFrame = {
+    val tf = classifierTf(docs)
+    tf.join(broadcast(classifierTrain(docs)), Seq("token"), "left")
       .groupBy("doc_id", "label", "is_train")
       .agg(sum(col("tf") * coalesce(col("weight"), lit(0L))).as("score"))
       .select(col("doc_id"), col("label"), col("is_train"),
         col("score").cast("long").as("score"),
         (col("score") > 0).as("predicted"),
         ((col("score") > 0) === col("label")).as("agree"))
+  }
+
+  /** Streaming inference (r11) — the serving face of the distilled
+    * classifier: the weight table trains ONCE from the standing corpus and
+    * broadcasts into every micro-batch's [[classifierScore]]; per-batch
+    * results append. Stream-static with zero streaming state — each
+    * document's score depends only on itself and the fixed model, so the
+    * output set is batch-composition-independent (the roundtrip's oracle
+    * check). Same managed-cache contract as [[streamingNearDupManaged]]:
+    * release the weight cache after the stream terminates. */
+  def streamingScoringManaged(spark: SparkSession, dropDir: String, corpus: DataFrame,
+      outPath: String): (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], () => Unit) = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val weights = classifierTrain(corpus).cache()
+    val writer = spark.readStream.schema(schema).parquet(dropDir).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        classifierScore(batch, weights).write.mode("append").parquet(outPath)
+        ()
+      }
+    (writer, () => { weights.unpersist(); () })
   }
 
   /** The held-out evaluation of [[classifierScores]] — agreement with the
@@ -1553,6 +1602,9 @@ object TextOps extends QueryRegistry {
   private def streamCurationRoundtrip(s: SparkSession, dir: String): DataFrame =
     twoDropRoundtrip(s, dir)(streamingCurationManaged(s, _, _, _))
 
+  private def streamScoringRoundtrip(s: SparkSession, dir: String): DataFrame =
+    twoDropRoundtrip(s, dir)(streamingScoringManaged(s, _, _, _))
+
   /** Near-dup clusters: connected components over the MinHash candidate-pair
     * graph (exact Jaccard >= `threshold`).
     * `cluster_id` = the smallest doc_id in the component, so the output is
@@ -1925,11 +1977,17 @@ object TextOps extends QueryRegistry {
     * cross-multiplied weights. Every column casts back to BIGINT because
     * DuckDB widens BIGINT sums to HUGEINT, which the compare renders
     * differently. */
-  private def classifierOracle(sel: String): String = oq(s"""
-      , qcd AS (
+  private def classifierOracle(sel: String): String =
+    oq(s", ${classifierCtes("")} $sel")
+
+  /** The CTE chain itself, with an injectable corpus predicate so the
+    * streaming-scoring roundtrip can train on the `%4 <> 3` standing corpus
+    * while the batch rows train on everything. */
+  private def classifierCtes(where: String): String = s"""
+      qcd AS (
         SELECT doc_id, string_split(text, ' ') AS ws,
                regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
-        FROM documents),
+        FROM documents $where),
       qcl AS (
         SELECT doc_id, toks,
                CAST(len(list_filter(ws, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(ws) >= 0.05 AS label,
@@ -1949,8 +2007,7 @@ object TextOps extends QueryRegistry {
       qwt AS (
         SELECT token,
                tf_pos * (SELECT t_neg FROM qtot) - tf_neg * (SELECT t_pos FROM qtot) AS weight
-        FROM qw)
-      $sel""")
+        FROM qw)"""
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("doc_exact_dedup", (s, d) => exactDedup(docs(s, d)), Some(oq("""
@@ -2786,6 +2843,24 @@ object TextOps extends QueryRegistry {
       FROM cand_x c
       JOIN shingle_sets sa ON sa.doc_id = c.new_doc
       JOIN shingle_sets sb ON sb.doc_id = c.corpus_doc"""))),
+
+    // Streaming inference roundtrip: weights train on the %4<>3 standing
+    // corpus (its own hash-split train slice), the %4=3 docs arrive as two
+    // drops and score per micro-batch; the appended log must equal the
+    // batch scoring of the same docs — per-doc scores depend only on the
+    // doc + the fixed model, so the set is batch-composition-independent.
+    QueryDef("stream_scoring_roundtrip", streamScoringRoundtrip, Some(oq(s"""
+      , ${classifierCtes("WHERE doc_id % 4 <> 3")},
+      sdtf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+              FROM documents WHERE doc_id % 4 = 3) t
+        GROUP BY doc_id, token)
+      SELECT d.doc_id,
+             CAST(sum(d.tf * coalesce(w.weight, 0)) AS BIGINT) AS score,
+             sum(d.tf * coalesce(w.weight, 0)) > 0 AS predicted
+      FROM sdtf d LEFT JOIN qwt w ON w.token = d.token
+      GROUP BY d.doc_id"""))),
 
     QueryDef("stream_curation_roundtrip", streamCurationRoundtrip, Some(oq(s"""
       , $sqlShingles,

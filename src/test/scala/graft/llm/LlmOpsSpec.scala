@@ -1040,6 +1040,30 @@ class LlmOpsSpec extends SparkSpec {
     assert((out(2L)._3, out(2L)._4) === (plain(1L)._2, plain(1L)._3)) // dup inherits rep's split
   }
 
+  test("classifierScore applies a given weight table; OOV tokens score zero") {
+    val weights = Seq(("pos", 5L), ("neg", -3L)).toDF("token", "weight")
+    val out = TextOps.classifierScore(docsDF(
+      (1L, "pos pos neg"),   // 2*5 - 3 = 7 -> positive
+      (2L, "neg neg pos"),   // -6 + 5 = -1 -> negative
+      (3L, "oov tokens only")), weights)
+      .select("doc_id", "score", "predicted")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out === Map(1L -> (7L, true), 2L -> (-1L, false), 3L -> (0L, false)))
+  }
+
+  test("classifierScores equals the train-then-score composition") {
+    val rows = (1L to 50L).map { i =>
+      if (i % 2 == 1) (i, s"the a the cat pos${i % 5}") else (i, s"datum neg${i % 5} kernel") }
+    val docs = docsDF(rows: _*)
+    val composed = TextOps.classifierScore(docs, TextOps.classifierTrain(docs))
+      .select("doc_id", "score", "predicted")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val direct = TextOps.classifierScores(docs)
+      .select("doc_id", "score", "predicted")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(composed === direct)
+  }
+
   test("classifier eval aggregates agreement per split") {
     val rows = (1L to 40L).map { i =>
       if (i % 2 == 1) (i, "the a the cat") else (i, "datum vector kernel") }
