@@ -97,18 +97,48 @@ object Dml {
   def mergeInto(spark: SparkSession, dir: String, outDir: String,
       updates: DataFrame, keys: Seq[String],
       partitionCols: Seq[String] = Nil): DataFrame = {
+    val decisions = dropKeyedRows(spark, dir, outDir,
+      updates.select(keys.map(col): _*).distinct(), keys)
+    // replacements + inserts in one append, partition-routed when asked
+    val w0 = updates.write.mode("append")
+    (if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0)
+      .parquet(outDir)
+    decisions
+  }
+
+  /** Tombstone-keyed DELETE (r11) — the right-to-be-forgotten purge as it
+    * actually arrives: a KEY LIST (erasure requests), not a value
+    * predicate. [[deleteWhere]]'s predicate form cannot express a large key
+    * set (an `IN` literal caps out; a predicate cannot join), so the probe
+    * here is the semi-join [[mergeInto]] already uses, and the rewrite an
+    * anti-join. Key comparison is join equality: a NULL key row never
+    * matches a tombstone and SURVIVES (the sane erasure contract — SQL
+    * `NOT IN` would nuke the whole table on one NULL tombstone). The
+    * tombstone set broadcasts while change-sized; past that it shuffle-
+    * joins and every other part of the shape is unchanged. Returns the
+    * per-file `(part, file_id, rewritten)` decision frame. */
+  def deleteKeys(spark: SparkSession, dir: String, outDir: String,
+      tombstones: DataFrame, keys: Seq[String]): DataFrame =
+    dropKeyedRows(spark, dir, outDir,
+      tombstones.select(keys.map(col): _*).distinct(), keys)
+
+  /** The shared copy-on-write kernel of [[mergeInto]] and [[deleteKeys]]:
+    * drop every row whose key appears in `keySet` (pre-deduplicated), file-
+    * selectively — semi-join probe finds affected files, only those pay
+    * decode → anti-join → re-encode, clean files byte-copy. */
+  private def dropKeyedRows(spark: SparkSession, dir: String, outDir: String,
+      keySet: DataFrame, keys: Seq[String]): DataFrame = {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val rootAbs = fs.makeQualified(root).toUri.getPath
 
-    val updKeys = updates.select(keys.map(col): _*).distinct()
     // file name is tagged BEFORE the join: input_file_name() is only
     // defined against a single source, and the tag pins it to the scan
     val affectedRel = spark.read.parquet(dir)
       .withColumn("_probe_file", input_file_name())
-      .join(updKeys, keys, "left_semi")
+      .join(keySet, keys, "left_semi")
       .select(col("_probe_file").as("f")).distinct()
       .collect()
       .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
@@ -127,7 +157,7 @@ object Dml {
 
     hit.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, fsOfPart) =>
       spark.read.parquet(fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq: _*)
-        .join(updKeys, keys, "left_anti")
+        .join(keySet, keys, "left_anti")
         .write.mode("append").parquet(outPart(part))
     }
     clean.foreach { case (part, name) =>
@@ -136,10 +166,6 @@ object Dml {
       fs.mkdirs(dstDir)
       FileUtil.copy(fs, src, fs, new Path(dstDir, name), false, conf)
     }
-    // replacements + inserts in one append, partition-routed when asked
-    val w0 = updates.write.mode("append")
-    (if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0)
-      .parquet(outDir)
 
     (hit.map { case (p, n) => (p, n, true) } ++
       clean.map { case (p, n) => (p, n, false) })

@@ -196,6 +196,27 @@ object SinkQueries extends QueryRegistry {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
   }
 
+  /** Tombstone-purge round trip (r11): the same partitioned events layout,
+    * purged by a KEY LIST — every 13th user's erasure request, derived
+    * from the feed itself — through the semi-probe/anti-join path instead
+    * of a predicate. The oracle aggregates `events WHERE user_id % 13 <>
+    * 0`, so a surviving victim row, a lost survivor, or a double-copied
+    * clean file all hash-mismatch. */
+  private def deleteKeysRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sink_gdpr_").toString
+    val events = graft.streaming.EventOps.events(s, dir)
+    events.withColumn("ubucket", expr("user_id div 50"))
+      .write.partitionBy("ubucket").parquet(s"$out/events_v1")
+    val tombstones = events.filter(col("user_id") % 13 === 0)
+      .select("user_id").distinct()
+    Dml.deleteKeys(s, s"$out/events_v1", s"$out/events_v2",
+      tombstones, Seq("user_id"))
+    s.read.parquet(s"$out/events_v2")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+  }
+
   /** MERGE INTO round trip (r11): the product dim laid out in stockcode
     * buckets, an update set of changed prices (every 4th code, +5.00
     * exact decimal) plus inserted rows (every 10th code re-keyed past the
@@ -354,6 +375,14 @@ object SinkQueries extends QueryRegistry {
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       FROM events
       WHERE NOT (user_id BETWEEN 30 AND 60)"""))),
+
+    QueryDef("sink_delete_keys", deleteKeysRoundtrip,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events
+      WHERE user_id % 13 <> 0"""))),
 
     QueryDef("sink_schema_evolution", schemaEvolutionRoundtrip,
       Some(graft.oracle.OracleSql.q("""

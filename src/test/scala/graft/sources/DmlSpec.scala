@@ -73,6 +73,36 @@ class DmlSpec extends SparkSpec {
     assert(byId(26L) === ("old_26", 1L))
   }
 
+  test("deleteKeys purges exactly the tombstoned keys, byte-copies clean files, keeps NULL-key rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_delkeys_").toString
+    // victims (ids 10..19) live only in bucket 0; a NULL-key row rides in
+    // bucket 2 and must survive (join equality never matches NULL)
+    ((1L to 40L).map(i => (Some(i), s"row_$i", i / 20)) :+
+      ((None: Option[Long], "row_null", 2L)))
+      .toDF("id", "payload", "bucket")
+      .repartition(2, col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$base/v1")
+    // duplicate tombstones + a key absent from the table: both harmless
+    val tombstones = ((10L to 19L) ++ (10L to 19L) :+ 999L).toDF("id")
+    val plan = Dml.deleteKeys(spark, s"$base/v1", s"$base/v2",
+      tombstones, Seq("id"))
+    val out = spark.read.parquet(s"$base/v2")
+      .select("id", "payload").as[(Option[Long], String)].collect()
+    assert(out.flatMap(_._1).toSet === ((1L to 9L) ++ (20L to 40L)).toSet)
+    assert(out.exists(r => r._1.isEmpty && r._2 == "row_null"))
+    // only bucket 0's files rewrote; clean files are byte-identical
+    val decisions = plan.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(decisions.filter(_._1.contains("bucket=0")).forall(_._3))
+    assert(decisions.filterNot(_._1.contains("bucket=0")).forall(!_._3))
+    val v1 = fileBytes(s"$base/v1")
+    val v2 = fileBytes(s"$base/v2")
+    decisions.filterNot(_._3).foreach { case (part, name, _) =>
+      val k = s"/$part/$name"
+      assert(v2.get(k).contains(v1(k)), s"$k was re-encoded")
+    }
+  }
+
   test("SQL DELETE semantics: NULL predicate rows are kept") {
     val base = java.nio.file.Files.createTempDirectory("graft_delnull_").toString
     Seq((1L, Some(5.0)), (2L, None), (3L, Some(50.0)))
