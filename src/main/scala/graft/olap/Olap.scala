@@ -259,6 +259,27 @@ object Olap extends QueryRegistry {
         graft.moneyOut(sum("ltv")).as("revenue"))
   }
 
+  /** Country revenue percentiles (r11) — the remaining two ranking window
+    * functions ([[ltvQuartiles]] covers NTILE, top3 covers dense_rank):
+    * each country's `percent_rank` (share of countries strictly below it)
+    * and `cume_dist` (share at-or-below) over total revenue. Both are
+    * exact small-integer ratios — (rank−1)/(n−1) and peers/n — and tied
+    * peers share values in both engines, so the output is deterministic
+    * even if the tie ORDER differs; ordering uses the exact decimal
+    * revenue (never the double projection) with a country tie-break. The
+    * window runs over the |countries|-row aggregate, not the fact. */
+  def countryPercentiles(w: Warehouse): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = w.factSalesElt
+      .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+      .groupBy(countryOrUnknown.as("country"))
+      .agg(sum("totalamount").as("rev"))
+    val wnd = Window.orderBy(col("rev").asc, col("country").asc)
+    rev.select(col("country"), graft.moneyOut(col("rev")).as("revenue"),
+      percent_rank().over(wnd).as("pct_rank"),
+      cume_dist().over(wnd).as("cume_dist"))
+  }
+
   /** Market-basket affinity (r11) — the "frequently bought together"
     * analysis an e-commerce warehouse runs over its invoices: support,
     * directional confidence, and lift for every product pair co-occurring
@@ -450,6 +471,19 @@ object Olap extends QueryRegistry {
       SELECT quartile, count(*) AS n_customers,
              CAST(CAST(sum(ltv) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
       FROM bucketed GROUP BY quartile"""))),
+
+    QueryDef("olap_country_percentiles",
+      (s, dir) => countryPercentiles(Warehouse(s, dir)), Some(q("""
+      , crev AS (
+          SELECT COALESCE(c.country, 'UNKNOWN') AS country,
+                 sum(f.totalamount) AS rev
+          FROM fact_sales_elt f
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          GROUP BY 1)
+      SELECT country, CAST(CAST(rev AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+             percent_rank() OVER (ORDER BY rev ASC, country ASC) AS pct_rank,
+             cume_dist() OVER (ORDER BY rev ASC, country ASC) AS cume_dist
+      FROM crev"""))),
 
     QueryDef("olap_rollup_year_month", (s, dir) => rollupYearMonth(Warehouse(s, dir)), Some(q("""
       SELECT d.year, d.month,
