@@ -297,6 +297,41 @@ object TextOps extends QueryRegistry {
     (writer, () => { weights.unpersist(); () })
   }
 
+  /** Quality-quantity tradeoff curve (r11) — the curation-tuning artifact
+    * the classifier exists to produce: documents ranked into score DECILES
+    * (decile 1 = highest-scoring tenth), with cumulative document and token
+    * counts per cut — "keep the top k/10 by quality" → exactly how much
+    * training data survives. Deciles, not absolute thresholds, because raw
+    * integer scores scale with the corpus squared (threshold grids would
+    * need retuning per corpus); a rank cut is scale-free. Token counts
+    * reuse the cached tf frame (zero extra tokenization); the ntile runs
+    * over the NARROW (doc_id, score, n_tokens) frame and the cumulative
+    * windows over the 10-row rollup. At 100 TB the global ntile sort swaps
+    * for approx-quantile score boundaries + a map-side bucket assignment —
+    * same output contract; the exact rank is the gate discipline. */
+  def classifierThresholdSweep(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = classifierScores(docs).select("doc_id", "score")
+    val toks = classifierTf(docs).groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_tokens"))
+    val ranked = scores.join(toks, Seq("doc_id"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("score").desc, col("doc_id"))))
+    val byDecile = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("decile_tokens"))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = byDecile.agg(sum("decile_tokens").as("total_tokens"))
+    byDecile
+      .withColumn("cum_docs", sum("n_docs").over(cum).cast("long"))
+      .withColumn("cum_tokens", sum("decile_tokens").over(cum).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("decile").cast("long").as("decile"), col("n_docs"),
+        col("decile_tokens").cast("long").as("decile_tokens"),
+        col("cum_docs"), col("cum_tokens"),
+        (col("cum_tokens").cast("double") / col("total_tokens")).as("token_share"))
+  }
+
   /** The held-out evaluation of [[classifierScores]] — agreement with the
     * teaching rule per split. The train row measures fit, the held-out row
     * generalization; a large gap flags memorization. Two tiny rows off the
@@ -2098,6 +2133,27 @@ object TextOps extends QueryRegistry {
              CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
              CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS agreement
       FROM qsc GROUP BY is_train"""))),
+
+    QueryDef("doc_classifier_sweep", (s, d) => classifierThresholdSweep(docs(s, d)),
+      Some(classifierOracle("""
+      , qdoc AS (
+        SELECT q.doc_id,
+               CAST(sum(q.tf * coalesce(w.weight, 0)) AS BIGINT) AS score,
+               CAST(sum(q.tf) AS BIGINT) AS n_tokens
+        FROM qtf q LEFT JOIN qwt w ON w.token = q.token
+        GROUP BY q.doc_id),
+      qdec AS (
+        SELECT *, CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile
+        FROM qdoc),
+      qagg AS (
+        SELECT decile, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS decile_tokens
+        FROM qdec GROUP BY decile)
+      SELECT decile, n_docs, decile_tokens,
+             CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_docs,
+             CAST(sum(decile_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+             CAST(sum(decile_tokens) OVER (ORDER BY decile) AS DOUBLE) /
+               (SELECT sum(decile_tokens) FROM qagg) AS token_share
+      FROM qagg"""))),
 
     QueryDef("doc_token_count", (s, d) => tokenCount(docs(s, d)), Some(oq("""
       SELECT doc_id,

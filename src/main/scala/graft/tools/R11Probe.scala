@@ -41,6 +41,10 @@ object R11Probe {
     t("multimodal_wav_decode")(
       graft.llm.MultimodalOps.decodeWav(graft.llm.MultimodalOps.wavFixture(spark, dir)).toDF())
     t("doc_quality_gopher")(graft.llm.TextOps.qualityGopher(docs))
+    // final r11 additions
+    t("doc_classifier_scores")(graft.llm.TextOps.classifierScores(docs))
+    t("doc_split_leakage_safe")(graft.llm.TextOps.leakageSafeSplit(docs))
+    t("emb_hard_negatives")(graft.llm.EmbeddingOps.hardNegatives(emb))
     spark.stop()
   }
 }

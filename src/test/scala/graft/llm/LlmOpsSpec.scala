@@ -1064,6 +1064,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(composed === direct)
   }
 
+  test("classifier threshold sweep matches a direct decile computation") {
+    val rows = (1L to 40L).map { i =>
+      if (i % 2 == 1) (i, s"the a the cat pos${i % 7} extra$i")
+      else (i, s"datum vector neg${i % 7} kernel fill$i word$i") }
+    val docs = docsDF(rows: _*)
+    val out = TextOps.classifierThresholdSweep(docs)
+      .select("decile", "n_docs", "decile_tokens", "cum_docs", "cum_tokens", "token_share")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    // direct reference from the (already reference-pinned) per-doc scores
+    val scored = TextOps.classifierScores(docs)
+      .select("doc_id", "score").as[(Long, Long)].collect()
+    val toks = rows.map { case (id, t) =>
+      id -> "[A-Za-z0-9_]+".r.findAllIn(t).size.toLong }.toMap
+    val order = scored.sortBy { case (id, s) => (-s, id) }
+    // ntile(10) over 40 rows: 4 per decile
+    val deciles = order.grouped(4).toSeq
+    val totalTokens = toks.values.sum
+    var (cd, ct) = (0L, 0L)
+    out.zip(deciles).zipWithIndex.foreach { case (((d, n, dt, cdo, cto, share), grp), i) =>
+      val grpTokens = grp.map(g => toks(g._1)).sum
+      cd += 4; ct += grpTokens
+      assert((d, n, dt, cdo, cto) === ((i + 1).toLong, 4L, grpTokens, cd, ct), s"decile ${i + 1}")
+      assert(share === ct.toDouble / totalTokens)
+    }
+    assert(out.last._4 === 40L && out.last._6 === 1.0)
+  }
+
   test("classifier eval aggregates agreement per split") {
     val rows = (1L to 40L).map { i =>
       if (i % 2 == 1) (i, "the a the cat") else (i, "datum vector kernel") }
