@@ -170,7 +170,14 @@ object MultimodalOps extends QueryRegistry {
     * container-walk + sign-correct sample decode on varied bytes. Every
     * 5th doc carries a junk `cue ` chunk of ODD size before `fmt `, so the
     * chunk-skip + pad-byte path is exercised on real gate data. */
-  def wavFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def wavFixture(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    wavFixtureWith(spark, dir)((_, v) => v)
+
+  /** [[wavFixture]] with a per-sample transform — the quality fixture
+    * plants amplitude regimes through it while the container geometry (and
+    * the junk-chunk path) stays identical. */
+  private def wavFixtureWith(spark: SparkSession, dir: String)(
+      xform: (Long, Int) => Int): Dataset[MediaRow] = {
     import spark.implicits._
     Sources.table(spark, dir, "documents").select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
@@ -191,9 +198,41 @@ object MultimodalOps extends QueryRegistry {
         w32(rate.toLong * channels * 2); w16(channels * 2); w16(16)
         wtag("data"); w32(2L * n)
         var k = 0
-        while (k < n) { w16((((id * 31 + k * 17) % 4001) - 2000).toInt & 0xffff); k += 1 }
+        while (k < n) {
+          w16(xform(id, (((id * 31 + k * 17) % 4001) - 2000).toInt) & 0xffff)
+          k += 1
+        }
         MediaRow(id, out.toByteArray)
       })
+  }
+
+  /** The audio-quality fixture: the same corpus with amplitude REGIMES
+    * planted so every verdict class exists on gate data — every 13th doc
+    * near-silent (`v % 53`, |v| ≤ 52; `%` truncates identically in JVM and
+    * DuckDB, where an integer DIVISION would floor vs truncate apart on
+    * negatives), every remaining 11th clipped (×20 clamped to ±32767; the
+    * base ramp guarantees some |v| ≥ 1639 per clip, so the clamp always
+    * engages), the rest untouched. */
+  def wavQualityFixture(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    wavFixtureWith(spark, dir) { (id, v) =>
+      if (id % 13 == 0) v % 53
+      else if (id % 11 == 0) math.max(-32767, math.min(32767, v * 20))
+      else v
+    }
+
+  /** Audio quality verdicts (r11) — the curation cascade's audio face,
+    * over REAL decoded statistics (not metadata): first-fail attribution in
+    * fixed priority — `clipping` when the peak slams the PCM16 rail (the
+    * clamp value ±32767 — a clipped recording's defining artifact),
+    * `near_silent` when RMS < 100 (~0.3% of full scale — dead-air capture).
+    * The verdict derives from `rms`/`peak`, whose bit-identical cross-
+    * engine arithmetic the features gate already proves; map-only on the
+    * decoded frame. */
+  def wavQuality(decoded: Dataset[WavFeatures]): DataFrame = {
+    val verdict = when(col("peak") >= 32767, lit("clipping"))
+      .when(col("rms") < 100.0, lit("near_silent"))
+    decoded.toDF().select(col("doc_id"), col("rms"), col("peak"),
+      verdict.as("verdict"), verdict.isNull.as("keep"))
   }
 
   def mediaAsDataset(spark: SparkSession, dir: String): Dataset[MediaRow] = {
@@ -340,6 +379,35 @@ object MultimodalOps extends QueryRegistry {
                sqrt(CAST(sum(v * v) AS DOUBLE) / (nf * ch)) AS rms,
                CAST(max(abs(v)) AS INT) AS peak
         FROM wsamp GROUP BY doc_id, ch, rate, nf"""))),
+
+    // the regime arithmetic (truncating %, clamp) is mirrored exactly; the
+    // Spark side still decodes the actual PCM bytes, so a sign-extension
+    // or clamp bug surfaces as a verdict flip
+    QueryDef("multimodal_wav_quality",
+      (s, d) => wavQuality(decodeWav(wavQualityFixture(s, d))),
+      Some(oq("""
+        , qgeom AS (
+            SELECT doc_id, 1 + doc_id % 2 AS ch, 200 + doc_id % 57 AS nf
+            FROM documents),
+        qsamp AS (
+            SELECT doc_id, ch, nf,
+                   CASE WHEN doc_id % 13 = 0 THEN v % 53
+                        WHEN doc_id % 11 = 0 THEN least(greatest(v * 20, -32767), 32767)
+                        ELSE v END AS v
+            FROM (SELECT doc_id, ch, nf,
+                         ((doc_id * 31 + k.k * 17) % 4001) - 2000 AS v
+                  FROM qgeom, unnest(generate_series(0, nf * ch - 1)) AS k(k)) t),
+        qstat AS (
+            SELECT doc_id,
+                   sqrt(CAST(sum(v * v) AS DOUBLE) / (nf * ch)) AS rms,
+                   CAST(max(abs(v)) AS INT) AS peak
+            FROM qsamp GROUP BY doc_id, ch, nf)
+        SELECT doc_id, rms, peak,
+               CASE WHEN peak >= 32767 THEN 'clipping'
+                    WHEN rms < 100.0 THEN 'near_silent' END AS verdict,
+               (CASE WHEN peak >= 32767 THEN 'clipping'
+                     WHEN rms < 100.0 THEN 'near_silent' END) IS NULL AS keep
+        FROM qstat"""))),
 
     // the oracle re-derives the ramp analytically per pixel index and
     // averages it — the Spark side must PARSE the actual P6 bytes to get

@@ -150,6 +150,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wav quality: verdict priority and all three classes on the quality fixture") {
+    import spark.implicits._
+    // verdict logic on synthetic decoded stats: clipping wins over silence
+    // in the fixed priority; the rail value itself flags
+    val stats = Seq(
+      MultimodalOps.WavFeatures(1L, 1, 8000, 10L, 0.001, 0.0, 20000.0, 32767),
+      MultimodalOps.WavFeatures(2L, 1, 8000, 10L, 0.001, 0.0, 50.0, 52),
+      MultimodalOps.WavFeatures(3L, 1, 8000, 10L, 0.001, 0.0, 1100.0, 2000)).toDS()
+    val v = MultimodalOps.wavQuality(stats)
+      .select("doc_id", "verdict", "keep")
+      .as[(Long, Option[String], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(v(1L) === (1L, Some("clipping"), false))
+    assert(v(2L) === (2L, Some("near_silent"), false))
+    assert(v(3L) === (3L, None, true))
+    // the planted regimes decode from REAL bytes into their classes
+    val out = MultimodalOps.wavQuality(
+      MultimodalOps.decodeWav(MultimodalOps.wavQualityFixture(spark, sfDir)))
+      .select("doc_id", "verdict")
+      .as[(Long, Option[String])].collect().toMap
+    out.foreach { case (id, verdict) =>
+      val expected =
+        if (id % 13 == 0) Some("near_silent")
+        else if (id % 11 == 0) Some("clipping")
+        else None
+      assert(verdict === expected, s"doc $id")
+    }
+    assert(out.values.flatten.toSet === Set("clipping", "near_silent"))
+    assert(out.values.exists(_.isEmpty))
+  }
+
   test("metadata struct carries mime, byte length, and content prefix") {
     val m = MultimodalOps.mediaTable(spark, sfDir)
       .select("meta.mime", "meta.n_bytes", "meta.prefix_hex").head()
