@@ -93,7 +93,10 @@ object Bench {
     "olap_basket_lift" -> 1.80, "olap_rfm_segments" -> 0.85,
     "emb_mmr_rerank" -> 0.45, "events_interval_overlap" -> 0.18,
     "events_heavy_users" -> 0.25, "multimodal_wav_decode" -> 0.15,
-    "doc_quality_gopher" -> 0.90)
+    "doc_quality_gopher" -> 0.90,
+    // r11 final (tools/R11Probe best-of-5 at sf0.1)
+    "doc_classifier_scores" -> 0.63, "doc_split_leakage_safe" -> 0.56,
+    "emb_hard_negatives" -> 0.30)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds
