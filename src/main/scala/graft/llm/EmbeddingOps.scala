@@ -154,6 +154,46 @@ object EmbeddingOps extends QueryRegistry {
         round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
   }
 
+  /** Persisted ANN index (r11) — the index-build/serve split a production
+    * vector store runs on: the corpus is written ONCE partitioned by LSH
+    * bucket, so the bucket key becomes the physical directory layout and a
+    * query batch touches only its buckets' files at read time. */
+  def writeAnnIndex(emb: DataFrame, path: String): Unit =
+    withBucket(emb).write.partitionBy("bucket").parquet(path)
+
+  /** Serve a query set from a persisted index: identical candidate/rank
+    * semantics to [[annBucketed]], but candidates come from the INDEX TABLE
+    * on disk. The equi-join key IS the partition column, and the query side
+    * is small, so dynamic partition pruning derives the touched bucket set
+    * from the broadcast queries and the scan opens only those directories —
+    * the disk-layout analog of the in-memory bucket cut (plan-asserted in
+    * the spec). At 100 TB this is why the index is a table: a query batch
+    * reads its probe buckets, never the corpus. */
+  def annFromIndex(spark: SparkSession, indexPath: String, queries: DataFrame): DataFrame = {
+    val index = spark.read.parquet(indexPath)
+    val qs = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("bucket"))
+    val scored = qs.join(index, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val wnd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
+  }
+
+  /** Build-then-serve roundtrip: the persisted index must answer exactly
+    * like the in-memory bucket join — shares `emb_ann_bucketed`'s oracle. */
+  private def annIndexRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_idx_").toString + "/index"
+    val e = emb(spark, dir)
+    writeAnnIndex(e, path)
+    annFromIndex(spark, path, withBucket(e).filter(col("vec_id") % 100 === 0))
+  }
+
   /** Hard-negative mining (r11) — the contrastive-training staple: for each
     * query, the k most-similar corpus vectors BELOW the positive threshold.
     * Vectors at `cos >= posThreshold` are the near-duplicate/positive band
@@ -552,6 +592,19 @@ object EmbeddingOps extends QueryRegistry {
   private val sqlBuckets =
     s"buckets AS (SELECT vec_id, ${(1 to NumPlanes).map(sqlBit).mkString(" || ")} AS bucket FROM embeddings)"
 
+  private lazy val annBucketedOracle: String = oq(s"""
+      , $sqlBuckets,
+      wb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+      qs AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM wb WHERE vec_id % 100 = 0),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, ${sqlCos("q.qe", "e.embedding")} AS cos
+        FROM qs q JOIN wb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored)
+      SELECT query_id, neighbor_id, CAST(CAST(round(cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
+      FROM ranked WHERE rn <= 5""")
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("emb_cosine_top10", (s, d) => cosineTop10(emb(s, d)), Some(oq(s"""
       , qs AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
@@ -630,18 +683,12 @@ object EmbeddingOps extends QueryRegistry {
              CAST(CAST(round(${sqlCos("e.embedding", "c.ce")}, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_centroid
       FROM embeddings e JOIN cents c ON e.label = c.label"""))),
 
-    QueryDef("emb_ann_bucketed", (s, d) => annBucketed(emb(s, d)), Some(oq(s"""
-      , $sqlBuckets,
-      wb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
-      qs AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM wb WHERE vec_id % 100 = 0),
-      scored AS (
-        SELECT q.query_id, e.vec_id AS neighbor_id, ${sqlCos("q.qe", "e.embedding")} AS cos
-        FROM qs q JOIN wb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id),
-      ranked AS (
-        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
-        FROM scored)
-      SELECT query_id, neighbor_id, CAST(CAST(round(cos, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cosine
-      FROM ranked WHERE rn <= 5"""))),
+    QueryDef("emb_ann_bucketed", (s, d) => annBucketed(emb(s, d)),
+      Some(annBucketedOracle)),
+
+    // build-then-serve ≡ in-memory bucket join: same oracle by construction
+    QueryDef("emb_ann_index_roundtrip", annIndexRoundtrip,
+      Some(annBucketedOracle)),
 
     QueryDef("emb_kcenter_sample",
       (s, d) => kcenterSample(emb(s, d)), Some(oq(kcenterOracle(8)))),

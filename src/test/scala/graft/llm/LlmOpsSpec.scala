@@ -916,6 +916,22 @@ class LlmOpsSpec extends SparkSpec {
     })
   }
 
+  test("persisted ANN index serves identically to the in-memory bucket join, with partition pruning") {
+    val e = EmbeddingOps.emb(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_spec_").toString + "/index"
+    EmbeddingOps.writeAnnIndex(e, path)
+    val queries = spark.read.parquet(path).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val served = EmbeddingOps.annFromIndex(spark, path, queries)
+    val inMem = EmbeddingOps.annBucketed(e)
+    assert(served.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ===
+      inMem.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    // the index scan prunes partitions dynamically from the query buckets —
+    // the disk-layout analog of the bucket candidate cut
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(4000))
+  }
+
   test("quantized decode matches the int8 report's reconstruction arithmetic") {
     val df = (0L until 50L)
       .map(id => (id, Array.tabulate(64)(i => (math.sin(id * 3.1 + i) * 5).toFloat)))
