@@ -146,7 +146,76 @@ object Molap extends QueryRegistry {
       .limit(20)
   }
 
+  /** MV-rewrite scenario (r11, SURVEY §4 extension): a base-grain "silver"
+    * table (month, country, exact-decimal amount, quantity) and its summary
+    * are materialized, the summary registered as the serving table, and a
+    * COARSER aggregate (by country alone) issued against the BASE table
+    * with [[graft.plans.MvRewrite]] attached. The function itself asserts
+    * the executed plan scans the MV files and not the base — so if the
+    * rewrite ever stops firing, this gate row turns RED instead of quietly
+    * passing through the base-scan route; numeric equality to the direct
+    * aggregate is then the oracle's check (decimal partials re-aggregate
+    * exactly — a double partial would re-sum in a different order). */
+  private def mvRewriteCountry(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_mv_").toString
+    val w = Warehouse(s, dir)
+    w.factSalesElt
+      .filter(col("date_key") =!= graft.FallbackDateKey)
+      .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+      .select(keyMonth,
+        coalesce(col("country"), lit("UNKNOWN")).as("country"),
+        col("totalamount"), col("quantity"))
+      .write.parquet(s"$base/grain")
+    s.read.parquet(s"$base/grain")
+      .groupBy("month", "country")
+      .agg(sum("totalamount").as("rev_p"), sum("quantity").as("qty_p"),
+        count(lit(1)).as("n_rows"))
+      .write.parquet(s"$base/mv")
+    graft.plans.MvRewrite.register(s, s"$base/grain", s.read.parquet(s"$base/mv"),
+      keys = Seq("month", "country"),
+      sums = Map("totalamount" -> "rev_p", "quantity" -> "qty_p"),
+      countCol = "n_rows")
+    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    s.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+
+    val out = s.read.parquet(s"$base/grain")
+      .groupBy("country")
+      .agg(sum("totalamount").as("rev"), sum("quantity").as("total_quantity"),
+        count(lit(1)).as("n_rows"))
+      .select(col("country"), col("rev").cast("double").as("revenue"),
+        col("total_quantity"), col("n_rows"))
+    // inspect the optimized LOGICAL relations (the physical plan hides its
+    // scans inside the adaptive wrapper until execution)
+    val scanned = out.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    require(scanned.exists(_.endsWith("/mv")),
+      s"MV rewrite did not reroute the aggregate; scanned: ${scanned.mkString(", ")}")
+    require(!scanned.exists(_.endsWith("/grain")),
+      s"MV rewrite left a base-table scan in the plan: ${scanned.mkString(", ")}")
+    out
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("molap_mv_rewrite_country", mvRewriteCountry, Some(q(s"""
+      , mvb AS (
+          SELECT coalesce(c.country, 'UNKNOWN') AS country,
+                 f.totalamount, f.quantity
+          FROM fact_sales_elt f
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          WHERE f.date_key <> ${graft.FallbackDateKey})
+      SELECT country, CAST(sum(totalamount) AS DOUBLE) AS revenue,
+             CAST(sum(quantity) AS BIGINT) AS total_quantity,
+             count(*) AS n_rows
+      FROM mvb GROUP BY country"""))),
+
     QueryDef("molap_month_country", (s, dir) => monthCountry(Warehouse(s, dir)), Some(q("""
       SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
              coalesce(c.country, 'UNKNOWN') AS country,

@@ -129,6 +129,8 @@ object InferYearBoundsFromDateKey extends Rule[LogicalPlan] {
   * (e.g. [[InferYearBoundsFromDateKey.EnabledKey]]), so installing the
   * extensions globally never changes results on foreign tables. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule((_: SparkSession) => InferYearBoundsFromDateKey)
+    ext.injectOptimizerRule((_: SparkSession) => MvRewrite)
+  }
 }

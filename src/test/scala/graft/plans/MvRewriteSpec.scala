@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The MV-rewrite contract: aggregates derivable from the registered
+  * summary reroute to it (and only those), results are identical either
+  * route, and the rule is inert without its flag / registration. */
+class MvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scannedPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+
+  private def withMv[A](f: String => A): A = {
+    val base = java.nio.file.Files.createTempDirectory("graft_mvspec_").toString
+    // base grain: exact decimal measure + long measure, two keys
+    (1L to 100L).map(i => (i % 7, s"c${i % 3}", BigDecimal(i).setScale(2), i * 2))
+      .toDF("k", "c", "amount", "qty")
+      .write.parquet(s"$base/grain")
+    spark.read.parquet(s"$base/grain").groupBy("k", "c")
+      .agg(sum("amount").as("amount_p"), sum("qty").as("qty_p"),
+        count(lit(1)).as("n_rows"))
+      .write.parquet(s"$base/mv")
+    MvRewrite.register(spark, s"$base/grain", spark.read.parquet(s"$base/mv"),
+      keys = Seq("k", "c"), sums = Map("amount" -> "amount_p", "qty" -> "qty_p"),
+      countCol = "n_rows")
+    spark.experimental.extraOptimizations = Seq(MvRewrite)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    try f(base) finally {
+      spark.conf.unset(MvRewrite.EnabledKey)
+      spark.experimental.extraOptimizations = Nil
+      MvRewrite.clear()
+    }
+  }
+
+  test("coarser-grain sum/count aggregates reroute to the MV with identical results") {
+    withMv { base =>
+      def query() = spark.read.parquet(s"$base/grain")
+        .groupBy("c")
+        .agg(sum("amount").as("rev"), sum("qty").as("tq"), count(lit(1)).as("n"))
+        .select(col("c"), col("rev").cast("double").as("rev"), col("tq"), col("n"))
+      val rewritten = query()
+      assert(scannedPaths(rewritten).forall(_.endsWith("/mv")), scannedPaths(rewritten))
+      val served = rewritten.as[(String, Double, Long, Long)].collect().toSet
+      val direct = {
+        spark.conf.set(MvRewrite.EnabledKey, "false")
+        try query().as[(String, Double, Long, Long)].collect().toSet
+        finally spark.conf.set(MvRewrite.EnabledKey, "true")
+      }
+      assert(served === direct)
+      assert(served.toSeq.map(_._4).sum === 100L)
+    }
+  }
+
+  test("same-grain aggregate (all keys) also reroutes") {
+    withMv { base =>
+      val q = spark.read.parquet(s"$base/grain").groupBy("k", "c")
+        .agg(sum("qty").as("tq"))
+      assert(scannedPaths(q).forall(_.endsWith("/mv")))
+      assert(q.select(sum("tq")).as[Long].head() === (1L to 100L).map(_ * 2).sum)
+    }
+  }
+
+  test("non-derivable aggregates and non-key groups stay on the base table") {
+    withMv { base =>
+      val grain = spark.read.parquet(s"$base/grain")
+      // count distinct is not re-aggregable
+      val cd = grain.groupBy("c").agg(count_distinct(col("qty")).as("d"))
+      assert(scannedPaths(cd).forall(_.endsWith("/grain")), scannedPaths(cd))
+      // avg has no registered partial decomposition
+      val av = grain.groupBy("c").agg(avg("qty").as("a"))
+      assert(scannedPaths(av).forall(_.endsWith("/grain")))
+      // grouping by a non-key (measure) column must not reroute
+      val ng = grain.groupBy("qty").agg(sum("amount").as("s"))
+      assert(scannedPaths(ng).forall(_.endsWith("/grain")))
+    }
+  }
+
+  test("inert without the session flag and for unregistered tables") {
+    withMv { base =>
+      spark.conf.set(MvRewrite.EnabledKey, "false")
+      val q = spark.read.parquet(s"$base/grain").groupBy("c").agg(sum("qty").as("t"))
+      assert(scannedPaths(q).forall(_.endsWith("/grain")))
+      spark.conf.set(MvRewrite.EnabledKey, "true")
+      // a foreign parquet table with matching column names is untouched
+      val other = java.nio.file.Files.createTempDirectory("graft_mvother_").toString + "/t"
+      (1L to 10L).map(i => (s"c${i % 2}", i)).toDF("c", "qty").write.parquet(other)
+      val fq = spark.read.parquet(other).groupBy("c").agg(sum("qty").as("t"))
+      assert(scannedPaths(fq).forall(p => !p.endsWith("/mv")))
+      assert(fq.select(sum("t")).as[Long].head() === 55L)
+    }
+  }
+}
