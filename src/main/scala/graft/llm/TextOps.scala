@@ -297,6 +297,31 @@ object TextOps extends QueryRegistry {
     (writer, () => { weights.unpersist(); () })
   }
 
+  /** Classifier model card (r11) — the interpretability artifact a distilled
+    * model ships with: the k most class-indicative tokens per direction
+    * (largest positive and most negative weights), with their class tf
+    * counts. Rank is (|weight| desc, token) — integer weights, total order,
+    * cross-engine deterministic. Two TakeOrdered passes over the |vocab|-row
+    * weight frame; nothing corpus-sized moves. */
+  def classifierModelCard(docs: DataFrame, k: Int = 10): DataFrame = {
+    val cls = classifierTf(docs).filter(col("is_train"))
+      .groupBy("token")
+      .agg(sum(when(col("label"), col("tf")).otherwise(lit(0L))).as("tf_pos"),
+        sum(when(!col("label"), col("tf")).otherwise(lit(0L))).as("tf_neg"))
+    val totals = cls.agg(sum("tf_pos").as("t_pos"), sum("tf_neg").as("t_neg"))
+    val w = cls.crossJoin(broadcast(totals))
+      .select(col("token"), col("tf_pos").cast("long").as("tf_pos"),
+        col("tf_neg").cast("long").as("tf_neg"),
+        (col("tf_pos") * col("t_neg") - col("tf_neg") * col("t_pos")).as("weight"))
+    val pos = w.filter(col("weight") > 0)
+      .orderBy(col("weight").desc, col("token")).limit(k)
+      .withColumn("direction", lit("positive"))
+    val neg = w.filter(col("weight") < 0)
+      .orderBy(col("weight").asc, col("token")).limit(k)
+      .withColumn("direction", lit("negative"))
+    pos.unionByName(neg)
+  }
+
   /** Quality-quantity tradeoff curve (r11) — the curation-tuning artifact
     * the classifier exists to produce: documents ranked into score DECILES
     * (decile 1 = highest-scoring tenth), with cumulative document and token
@@ -2133,6 +2158,18 @@ object TextOps extends QueryRegistry {
              CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
              CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS agreement
       FROM qsc GROUP BY is_train"""))),
+
+    QueryDef("doc_classifier_model_card", (s, d) => classifierModelCard(docs(s, d)),
+      Some(classifierOracle("""
+      , qcard AS (
+        SELECT token, tf_pos, tf_neg,
+               tf_pos * (SELECT t_neg FROM qtot) - tf_neg * (SELECT t_pos FROM qtot) AS weight
+        FROM qw)
+      (SELECT token, tf_pos, tf_neg, weight, 'positive' AS direction
+       FROM qcard WHERE weight > 0 ORDER BY weight DESC, token LIMIT 10)
+      UNION ALL
+      (SELECT token, tf_pos, tf_neg, weight, 'negative' AS direction
+       FROM qcard WHERE weight < 0 ORDER BY weight ASC, token LIMIT 10)"""))),
 
     QueryDef("doc_classifier_sweep", (s, d) => classifierThresholdSweep(docs(s, d)),
       Some(classifierOracle("""

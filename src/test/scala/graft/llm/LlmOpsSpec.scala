@@ -1107,6 +1107,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.last._4 === 40L && out.last._6 === 1.0)
   }
 
+  test("classifier model card surfaces class-exclusive tokens with the right sign") {
+    val rows = (1L to 60L).map { i =>
+      if (i % 2 == 1) (i, s"the a the cat pos${i % 5}")
+      else (i, s"datum vector neg${i % 5} kernel") }
+    val card = TextOps.classifierModelCard(docsDF(rows: _*), k = 10)
+      .select("token", "tf_pos", "tf_neg", "weight", "direction")
+      .as[(String, Long, Long, Long, String)].collect()
+    val byDir = card.groupBy(_._5)
+    assert(byDir("positive").forall(_._4 > 0))
+    assert(byDir("negative").forall(_._4 < 0))
+    val posTokens = byDir("positive").map(_._1).toSet
+    val negTokens = byDir("negative").map(_._1).toSet
+    // class-exclusive content tokens surface on their side
+    assert((0 to 4).exists(i => posTokens(s"pos$i")))
+    assert((0 to 4).exists(i => negTokens(s"neg$i")))
+    // tf counts respect exclusivity: pos* never counted in the neg class
+    card.filter(_._1.startsWith("pos")).foreach(t => assert(t._3 === 0L))
+    card.filter(_._1.startsWith("neg")).foreach(t => assert(t._2 === 0L))
+  }
+
   test("classifier eval aggregates agreement per split") {
     val rows = (1L to 40L).map { i =>
       if (i % 2 == 1) (i, "the a the cat") else (i, "datum vector kernel") }
