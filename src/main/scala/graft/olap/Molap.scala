@@ -174,7 +174,7 @@ object Molap extends QueryRegistry {
     graft.plans.MvRewrite.register(s, s"$base/grain", s.read.parquet(s"$base/mv"),
       keys = Seq("month", "country"),
       sums = Map("totalamount" -> "rev_p", "quantity" -> "qty_p"),
-      countCol = "n_rows")
+      countCol = Some("n_rows"))
     if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.MvRewrite

@@ -55,7 +55,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * analyzed scan plan, the MV's group-key names, base measure column →
     * MV sum-partial column, and the MV's row-count partial column. */
   final case class Registration(baseLocation: String, mv: LogicalPlan,
-      keys: Set[String], sums: Map[String, String], countCol: String)
+      keys: Set[String], sums: Map[String, String], countCol: Option[String])
 
   private val registry =
     new java.util.concurrent.CopyOnWriteArrayList[Registration]()
@@ -64,10 +64,11 @@ object MvRewrite extends Rule[LogicalPlan] {
     * carrying sum partials per `sums` and a `count(*)` partial `countCol`)
     * as the serving table for aggregates over `basePath`. */
   def register(spark: SparkSession, basePath: String, mvDf: DataFrame,
-      keys: Seq[String], sums: Map[String, String], countCol: String): Unit = {
+      keys: Seq[String], sums: Map[String, String],
+      countCol: Option[String] = None): Unit = {
     val mvPlan = mvDf.queryExecution.analyzed
     val out = mvPlan.output.map(_.name).toSet
-    require((keys ++ sums.values :+ countCol).forall(out),
+    require((keys ++ sums.values ++ countCol).forall(out),
       s"MV output ${out.mkString(",")} is missing registered columns")
     registry.add(Registration(qualify(spark, basePath), mvPlan,
       keys.toSet, sums, countCol))
@@ -134,7 +135,8 @@ object MvRewrite extends Rule[LogicalPlan] {
         val partial = ae.aggregateFunction match {
           case Sum(e: AttributeReference, _) if reg.sums.contains(e.name) =>
             mvOut(reg.sums(e.name))
-          case Count(Seq(Literal(_, _))) => mvOut(reg.countCol)
+          case Count(Seq(Literal(_, _))) if reg.countCol.isDefined =>
+            mvOut(reg.countCol.get)
           case _ => return None
         }
         // the re-sum widens (decimal precision / long), cast back to the

@@ -144,7 +144,76 @@ object IncrementalEtl extends QueryRegistry {
         col("order_count"))
   }
 
+  /** Maintain-then-SERVE roundtrip (r11): the summary this stream maintains
+    * is registered as the [[graft.plans.MvRewrite]] serving table for the
+    * materialized base-grain table, and the gate query — written against
+    * the BASE — must be rewritten onto the stream-maintained summary
+    * (self-asserted in the optimized plan, like `molap_mv_rewrite_country`)
+    * and produce the direct aggregate's exact numbers. Closes the MV loop:
+    * continuous maintenance on one side, transparent query routing on the
+    * other. Exactness holds because the maintained partials are the grain's
+    * decimal/long sums — merge order never matters. */
+  private def streamMvServingRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = Warehouse.build(s, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_mv_serve_").toString
+    // the enriched base-grain table the dashboards query
+    w.factSales.filter(col("date_key") =!= graft.FallbackDateKey)
+      .join(w.dimCustomer.select("customer_key", "country"), Seq("customer_key"), "left")
+      .select(graft.monthOfDateKey(col("date_key")).as("month"),
+        coalesce(col("country"), lit("UNKNOWN")).as("country"),
+        col("totalamount"), col("quantity"))
+      .write.parquet(s"$base/grain")
+    // the summary, maintained from streaming fact drops (two one-file batches)
+    val even = col("linenumber").cast("int") % 2 === 0
+    w.stgSales.filter(even).coalesce(1).write.parquet(s"$base/drops/a")
+    w.stgSales.filter(!even).coalesce(1).write.parquet(s"$base/drops/b")
+    val query = maintainMonthCountry(s, s"$base/drops/*", w, s"$base/summary",
+        maxFilesPerTrigger = Some(1))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000L)) {
+      query.stop()
+      throw new IllegalStateException(
+        "stream_mv_serving_roundtrip did not finish within 300 s; summary is partial")
+    }
+    graft.plans.MvRewrite.register(s, s"$base/grain", s.read.parquet(s"$base/summary"),
+      keys = Seq("month", "country"),
+      sums = Map("totalamount" -> "revenue", "quantity" -> "qty"))
+    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.MvRewrite
+    s.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    val out = s.read.parquet(s"$base/grain")
+      .groupBy("country")
+      .agg(sum("totalamount").as("rev"), sum("quantity").as("total_quantity"))
+      .select(col("country"), col("rev").cast("double").as("revenue"),
+        col("total_quantity"))
+    val scanned = out.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    require(scanned.exists(_.endsWith("/summary")),
+      s"query was not rewritten onto the maintained summary; scanned: ${scanned.mkString(", ")}")
+    require(!scanned.exists(_.endsWith("/grain")),
+      s"rewrite left a base-grain scan in the plan: ${scanned.mkString(", ")}")
+    out
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_mv_serving_roundtrip", streamMvServingRoundtrip, Some(q("""
+      SELECT coalesce(c.country, 'UNKNOWN') AS country,
+             CAST(sum(f.totalamount) AS DOUBLE) AS revenue,
+             CAST(sum(f.quantity) AS BIGINT) AS total_quantity
+      FROM fact_sales f
+      LEFT JOIN dim_customer c ON f.customer_key = c.customer_key
+      WHERE f.date_key <> 19700101000000
+      GROUP BY 1"""))),
+
     QueryDef("stream_molap_roundtrip", streamMolapRoundtrip, Some(q("""
       SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
              coalesce(c.country, 'UNKNOWN') AS country,

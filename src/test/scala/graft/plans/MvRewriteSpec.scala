@@ -32,7 +32,7 @@ class MvRewriteSpec extends SparkSpec {
       .write.parquet(s"$base/mv")
     MvRewrite.register(spark, s"$base/grain", spark.read.parquet(s"$base/mv"),
       keys = Seq("k", "c"), sums = Map("amount" -> "amount_p", "qty" -> "qty_p"),
-      countCol = "n_rows")
+      countCol = Some("n_rows"))
     spark.experimental.extraOptimizations = Seq(MvRewrite)
     spark.conf.set(MvRewrite.EnabledKey, "true")
     try f(base) finally {
