@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HllUnionAgg, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -51,11 +51,22 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.mvRewrite.enabled"
 
+  /** Opt-in for APPROXIMATE distinct-count routing: `count(DISTINCT col)`
+    * rewrites to an HLL-union + estimate over a registered sketch partial.
+    * A separate flag because — unlike every other rewrite here — it CHANGES
+    * SEMANTICS from exact to approximate (exact in the sketch's sparse
+    * regime, ±~2% beyond it); enabling it is the user's statement that
+    * sketch-grade distinct counts are acceptable, the approximate-query-
+    * processing trade every sketch-serving OLAP store offers. */
+  val ApproxDistinctKey = "spark.graft.mvRewrite.approxDistinct.enabled"
+
   /** One registered summary: the base table's qualified location, the MV's
     * analyzed scan plan, the MV's group-key names, base measure column →
-    * MV sum-partial column, and the MV's row-count partial column. */
+    * MV sum-partial column, the MV's row-count partial column, and base
+    * column → MV HLL-sketch partial for approximate distinct counts. */
   final case class Registration(baseLocation: String, mv: LogicalPlan,
-      keys: Set[String], sums: Map[String, String], countCol: Option[String])
+      keys: Set[String], sums: Map[String, String], countCol: Option[String],
+      distincts: Map[String, String])
 
   private val registry =
     new java.util.concurrent.CopyOnWriteArrayList[Registration]()
@@ -65,13 +76,14 @@ object MvRewrite extends Rule[LogicalPlan] {
     * as the serving table for aggregates over `basePath`. */
   def register(spark: SparkSession, basePath: String, mvDf: DataFrame,
       keys: Seq[String], sums: Map[String, String],
-      countCol: Option[String] = None): Unit = {
+      countCol: Option[String] = None,
+      distincts: Map[String, String] = Map.empty): Unit = {
     val mvPlan = mvDf.queryExecution.analyzed
     val out = mvPlan.output.map(_.name).toSet
-    require((keys ++ sums.values ++ countCol).forall(out),
+    require((keys ++ sums.values ++ countCol ++ distincts.values).forall(out),
       s"MV output ${out.mkString(",")} is missing registered columns")
     registry.add(Registration(qualify(spark, basePath), mvPlan,
-      keys.toSet, sums, countCol))
+      keys.toSet, sums, countCol, distincts))
   }
 
   def clear(): Unit = registry.clear()
@@ -84,6 +96,9 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
     conf.getConfString(EnabledKey, "false").equalsIgnoreCase("true")
+
+  private def approxDistinct: Boolean =
+    conf.getConfString(ApproxDistinctKey, "false").equalsIgnoreCase("true")
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || registry.isEmpty) plan
@@ -131,18 +146,26 @@ object MvRewrite extends Rule[LogicalPlan] {
             (ae, (e: Expression) => outer.withNewChildren(Seq(e)))
           case _ => return None
         }
-        if (ae.isDistinct || ae.filter.isDefined) return None
-        val partial = ae.aggregateFunction match {
-          case Sum(e: AttributeReference, _) if reg.sums.contains(e.name) =>
-            mvOut(reg.sums(e.name))
-          case Count(Seq(Literal(_, _))) if reg.countCol.isDefined =>
-            mvOut(reg.countCol.get)
-          case _ => return None
-        }
+        if (ae.filter.isDefined) return None
         // the re-sum widens (decimal precision / long), cast back to the
         // original result type so the plan's schema is unchanged
-        val reSum = ae.copy(aggregateFunction = Sum(partial))
-        Alias(rebuild(Cast(reSum, ae.dataType)), name)(exprId = al.exprId)
+        val rewritten: Expression = ae.aggregateFunction match {
+          case Sum(e: AttributeReference, _)
+              if !ae.isDistinct && reg.sums.contains(e.name) =>
+            Cast(ae.copy(aggregateFunction = Sum(mvOut(reg.sums(e.name)))), ae.dataType)
+          case Count(Seq(Literal(_, _)))
+              if !ae.isDistinct && reg.countCol.isDefined =>
+            Cast(ae.copy(aggregateFunction = Sum(mvOut(reg.countCol.get))), ae.dataType)
+          // count(DISTINCT col) → union the cells' HLL sketches, estimate —
+          // only under the explicit approx opt-in (semantics change)
+          case Count(Seq(e: AttributeReference))
+              if ae.isDistinct && approxDistinct && reg.distincts.contains(e.name) =>
+            new HllSketchEstimate(ae.copy(
+              aggregateFunction = new HllUnionAgg(mvOut(reg.distincts(e.name))),
+              isDistinct = false))
+          case _ => return None
+        }
+        Alias(rebuild(rewritten), name)(exprId = al.exprId)
       case _ => return None
     }
     Some(Aggregate(groups, aggs, reg.mv, None))

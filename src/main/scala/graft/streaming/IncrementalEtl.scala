@@ -153,7 +153,11 @@ object IncrementalEtl extends QueryRegistry {
     * continuous maintenance on one side, transparent query routing on the
     * other. Exactness holds because the maintained partials are the grain's
     * decimal/long sums — merge order never matters. */
-  private def streamMvServingRoundtrip(s: SparkSession, dir: String): DataFrame = {
+  /** Build the serving scenario (base-grain table + stream-maintained
+    * summary), register the summary as the MV-rewrite serving table —
+    * including the invoice HLL sketch as the approximate-distinct partial —
+    * and attach the rule. Returns the scenario root. */
+  private def mvServingScenario(s: SparkSession, dir: String): String = {
     import org.apache.spark.sql.functions._
     val w = Warehouse.build(s, dir)
     val base = java.nio.file.Files.createTempDirectory("graft_mv_serve_").toString
@@ -162,7 +166,7 @@ object IncrementalEtl extends QueryRegistry {
       .join(w.dimCustomer.select("customer_key", "country"), Seq("customer_key"), "left")
       .select(graft.monthOfDateKey(col("date_key")).as("month"),
         coalesce(col("country"), lit("UNKNOWN")).as("country"),
-        col("totalamount"), col("quantity"))
+        col("invoiceid"), col("totalamount"), col("quantity"))
       .write.parquet(s"$base/grain")
     // the summary, maintained from streaming fact drops (two one-file batches)
     val even = col("linenumber").cast("int") % 2 === 0
@@ -175,20 +179,22 @@ object IncrementalEtl extends QueryRegistry {
     if (!query.awaitTermination(300000L)) {
       query.stop()
       throw new IllegalStateException(
-        "stream_mv_serving_roundtrip did not finish within 300 s; summary is partial")
+        "mv serving scenario did not finish within 300 s; summary is partial")
     }
     graft.plans.MvRewrite.register(s, s"$base/grain", s.read.parquet(s"$base/summary"),
       keys = Seq("month", "country"),
-      sums = Map("totalamount" -> "revenue", "quantity" -> "qty"))
+      sums = Map("totalamount" -> "revenue", "quantity" -> "qty"),
+      distincts = Map("invoiceid" -> "inv_sketch"))
     if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ graft.plans.MvRewrite
     s.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
-    val out = s.read.parquet(s"$base/grain")
-      .groupBy("country")
-      .agg(sum("totalamount").as("rev"), sum("quantity").as("total_quantity"))
-      .select(col("country"), col("rev").cast("double").as("revenue"),
-        col("total_quantity"))
+    base
+  }
+
+  /** Self-assert that `out`'s optimized plan reads the maintained summary
+    * and never the base grain — the rewrite's firing is part of the gate. */
+  private def requireServedFromSummary(out: DataFrame): DataFrame = {
     val scanned = out.queryExecution.optimizedPlan.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
@@ -204,6 +210,35 @@ object IncrementalEtl extends QueryRegistry {
     out
   }
 
+  private def streamMvServingRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = mvServingScenario(s, dir)
+    requireServedFromSummary(
+      s.read.parquet(s"$base/grain")
+        .groupBy("country")
+        .agg(sum("totalamount").as("rev"), sum("quantity").as("total_quantity"))
+        .select(col("country"), col("rev").cast("double").as("revenue"),
+          col("total_quantity")))
+  }
+
+  /** The approximate-distinct serving face: `count(DISTINCT invoiceid)` at
+    * the summary's own grain routes onto the maintained HLL sketch under
+    * the explicit approx opt-in. The oracle compares against the EXACT
+    * distinct count — valid here for the same reason as
+    * `stream_molap_roundtrip`: per-cell invoice cardinalities keep every
+    * sketch in its sparse (exact) regime at test SFs, so the estimate IS
+    * the exact count; at production cardinalities the estimate drifts ±~2%,
+    * which is precisely what the separate opt-in flag acknowledges. */
+  private def streamMvServingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = mvServingScenario(s, dir)
+    s.conf.set(graft.plans.MvRewrite.ApproxDistinctKey, "true")
+    requireServedFromSummary(
+      s.read.parquet(s"$base/grain")
+        .groupBy("month", "country")
+        .agg(count_distinct(col("invoiceid")).as("order_count")))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("stream_mv_serving_roundtrip", streamMvServingRoundtrip, Some(q("""
       SELECT coalesce(c.country, 'UNKNOWN') AS country,
@@ -213,6 +248,18 @@ object IncrementalEtl extends QueryRegistry {
       LEFT JOIN dim_customer c ON f.customer_key = c.customer_key
       WHERE f.date_key <> 19700101000000
       GROUP BY 1"""))),
+
+    // approximate-distinct routing, compared against the EXACT truth (the
+    // sparse-regime argument above makes that a valid equality at test SFs)
+    QueryDef("stream_mv_serving_distinct", streamMvServingDistinct, Some(q("""
+      SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+             coalesce(c.country, 'UNKNOWN') AS country,
+             count(DISTINCT f.invoiceid) AS order_count
+      FROM fact_sales f
+      JOIN dim_date d ON f.date_key = d.date_key
+      LEFT JOIN dim_customer c ON f.customer_key = c.customer_key
+      WHERE f.date_key <> 19700101000000
+      GROUP BY 1, 2"""))),
 
     QueryDef("stream_molap_roundtrip", streamMolapRoundtrip, Some(q("""
       SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,

@@ -85,6 +85,42 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("approx distinct: routes onto the sketch only under its own opt-in, exact in sparse regime") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mvhll_").toString
+    (1L to 100L).map(i => (s"c${i % 3}", i % 40, BigDecimal(i).setScale(2)))
+      .toDF("c", "inv", "amount")
+      .write.parquet(s"$base/grain")
+    spark.read.parquet(s"$base/grain").groupBy("c")
+      .agg(sum("amount").as("amount_p"), hll_sketch_agg(col("inv")).as("inv_sketch"))
+      .write.parquet(s"$base/mv")
+    MvRewrite.register(spark, s"$base/grain", spark.read.parquet(s"$base/mv"),
+      keys = Seq("c"), sums = Map("amount" -> "amount_p"),
+      distincts = Map("inv" -> "inv_sketch"))
+    spark.experimental.extraOptimizations = Seq(MvRewrite)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    try {
+      def q() = spark.read.parquet(s"$base/grain").groupBy("c")
+        .agg(count_distinct(col("inv")).as("d"))
+      // without the approx opt-in, a distinct count NEVER reroutes — the
+      // semantics change requires its own flag, not just a registration
+      assert(scannedPaths(q()).forall(_.endsWith("/grain")))
+      spark.conf.set(MvRewrite.ApproxDistinctKey, "true")
+      val served = q()
+      assert(scannedPaths(served).forall(_.endsWith("/mv")), scannedPaths(served))
+      // sparse-regime exactness: the estimate equals the exact count
+      val got = served.as[(String, Long)].collect().toMap
+      val exact = Map("c0" -> 40L, "c1" -> 40L, "c2" -> 40L)
+        .map { case (k, _) => k -> (1L to 100L).filter(i => s"c${i % 3}" == k)
+          .map(_ % 40).distinct.size.toLong }
+      assert(got === exact)
+    } finally {
+      spark.conf.unset(MvRewrite.ApproxDistinctKey)
+      spark.conf.unset(MvRewrite.EnabledKey)
+      spark.experimental.extraOptimizations = Nil
+      MvRewrite.clear()
+    }
+  }
+
   test("inert without the session flag and for unregistered tables") {
     withMv { base =>
       spark.conf.set(MvRewrite.EnabledKey, "false")
