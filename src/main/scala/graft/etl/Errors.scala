@@ -191,7 +191,76 @@ object Errors extends QueryRegistry {
       .toDF("n_rows", "n_null_ts", "n_blank_customer", "total_cents")
   }
 
+  /** Declarative data-quality constraint suite (r11) — the Deequ-style
+    * expectation report over the RAW staged feed: each constraint is a
+    * (name, metric, threshold, pass) row, and the suite evaluates in ONE
+    * shared scan of conditional aggregates plus one distinct-count
+    * pre-aggregate for the uniqueness check (kept OUT of the main agg —
+    * mixing `count` and `count_distinct` plans an Expand that duplicates
+    * every scanned row, the vocabTopK lesson). Metrics are exact-integer
+    * ratios cast to double once; thresholds are literals compared in double
+    * identically cross-engine, so pass/fail booleans can never flake. The
+    * suite deliberately carries one FAILING expectation
+    * (`saledate_parseable_all` — the feed plants `invalid-ts` rows) so the
+    * report provably distinguishes verdicts rather than rubber-stamping. */
+  def dataQualitySuite(w: Warehouse): DataFrame = {
+    val isoRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$"
+    val dmyRe = "^[0-9]{2}/[0-9]{2}/[0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2}$"
+    val counts = w.stgSales.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("invoiceid") =!= "", 1L).otherwise(0L)).as("inv_ok"),
+      sum(when(col("totalamount") =!= "", 1L).otherwise(0L)).as("amt_ok"),
+      sum(when(col("quantity").rlike("^[0-9]+$"), 1L).otherwise(0L)).as("qty_ok"),
+      sum(when(col("saledate").rlike(isoRe) || col("saledate").rlike(dmyRe), 1L)
+        .otherwise(0L)).as("date_ok"))
+    val uniq = w.stgSales.select("invoiceid", "stockcode", "linenumber")
+      .distinct().agg(count(lit(1)).as("n_keys"))
+    def ratio(ok: String) = col(ok).cast("double") / col("n")
+    def c(name: String, metric: org.apache.spark.sql.Column, threshold: Double) =
+      struct(lit(name).as("check_name"), metric.cast("double").as("metric"),
+        lit(threshold).as("threshold"), (metric >= threshold).as("pass"))
+    counts.crossJoin(uniq)
+      .select(explode(array(
+        c("row_count_positive", col("n").cast("double"), 1.0),
+        c("invoiceid_complete", ratio("inv_ok"), 0.99),
+        c("totalamount_complete", ratio("amt_ok"), 0.60),
+        c("quantity_all_digits", ratio("qty_ok"), 1.0),
+        c("saledate_parseable", ratio("date_ok"), 0.99),
+        c("saledate_parseable_all", ratio("date_ok"), 1.0), // expected FAIL
+        c("line_key_unique", ratio("n_keys"), 0.99))).as("r"))
+      .select("r.*")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("etl_data_quality_suite", (s, dir) => dataQualitySuite(Warehouse(s, dir)),
+      Some(q("""
+      , dqc AS (
+          SELECT count(*) AS n,
+                 sum(CASE WHEN invoiceid <> '' THEN 1 ELSE 0 END) AS inv_ok,
+                 sum(CASE WHEN totalamount <> '' THEN 1 ELSE 0 END) AS amt_ok,
+                 sum(CASE WHEN regexp_matches(quantity, '^[0-9]+$') THEN 1 ELSE 0 END) AS qty_ok,
+                 sum(CASE WHEN regexp_matches(saledate, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$')
+                            OR regexp_matches(saledate, '^[0-9]{2}/[0-9]{2}/[0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2}$')
+                          THEN 1 ELSE 0 END) AS date_ok
+          FROM stg_sales),
+      dqu AS (SELECT count(*) AS n_keys
+              FROM (SELECT DISTINCT invoiceid, stockcode, linenumber FROM stg_sales)),
+      dqr AS (SELECT c.*, u.n_keys FROM dqc c, dqu u)
+      SELECT 'row_count_positive' AS check_name, CAST(n AS DOUBLE) AS metric,
+             1.0 AS threshold, CAST(n AS DOUBLE) >= 1.0 AS pass FROM dqr
+      UNION ALL SELECT 'invoiceid_complete', CAST(inv_ok AS DOUBLE)/n, 0.99,
+             CAST(inv_ok AS DOUBLE)/n >= 0.99 FROM dqr
+      UNION ALL SELECT 'totalamount_complete', CAST(amt_ok AS DOUBLE)/n, 0.60,
+             CAST(amt_ok AS DOUBLE)/n >= 0.60 FROM dqr
+      UNION ALL SELECT 'quantity_all_digits', CAST(qty_ok AS DOUBLE)/n, 1.0,
+             CAST(qty_ok AS DOUBLE)/n >= 1.0 FROM dqr
+      UNION ALL SELECT 'saledate_parseable', CAST(date_ok AS DOUBLE)/n, 0.99,
+             CAST(date_ok AS DOUBLE)/n >= 0.99 FROM dqr
+      UNION ALL SELECT 'saledate_parseable_all', CAST(date_ok AS DOUBLE)/n, 1.0,
+             CAST(date_ok AS DOUBLE)/n >= 1.0 FROM dqr
+      UNION ALL SELECT 'line_key_unique', CAST(n_keys AS DOUBLE)/n, 0.99,
+             CAST(n_keys AS DOUBLE)/n >= 0.99 FROM dqr"""))),
+
     // the observe() counters must equal what a dedicated audit scan would
     // compute — gate-checked against the plain aggregate truth
     QueryDef("etl_observed_load_metrics", (s, d) => observedLoadMetrics(s, d),

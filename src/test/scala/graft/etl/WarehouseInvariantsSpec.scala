@@ -94,4 +94,21 @@ class WarehouseInvariantsSpec extends SparkSpec {
       .join(w.dimCustomerElt, Seq("customerid"), "left_semi")
     assert(matched.count() === 0)
   }
+
+  test("data-quality suite distinguishes verdicts and metrics are consistent ratios") {
+    val report = Errors.dataQualitySuite(w)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(report.size === 7)
+    // pass iff metric clears the threshold — the report's own invariant
+    report.foreach { case (name, (m, t, p)) => assert(p === (m >= t), name) }
+    // the planted invalid-ts rows make the strict parseability check FAIL
+    // while the 99% check passes — verdicts genuinely distinguish
+    assert(!report("saledate_parseable_all")._3)
+    assert(report("saledate_parseable")._3)
+    assert(report("saledate_parseable")._1 === report("saledate_parseable_all")._1)
+    // completeness ratios reflect the generator's planted blank shares
+    assert(report("invoiceid_complete")._1 > 0.99 && report("invoiceid_complete")._1 < 1.0)
+    assert(report("totalamount_complete")._1 > 0.6 && report("totalamount_complete")._1 < 0.7)
+    assert(report("quantity_all_digits")._1 === 1.0)
+  }
 }
