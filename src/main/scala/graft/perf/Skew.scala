@@ -77,4 +77,36 @@ object Skew {
       .groupBy(key).agg(count(lit(1)).as("n_events"))
       .filter(col("n_events") >= tMin)
   }
+
+  /** Key-skew diagnosis report (r11) — the measurement that DECIDES whether
+    * a key needs salting / AQE skew handling, before any mitigation runs:
+    * one row of distribution statistics over the per-key counts — top-1 key
+    * share, median and p99 counts (type-7 interpolation, the one float
+    * statistic both engines compute identically; rounded to 6dp before
+    * emission — the embDimStats discipline), and the exact Gini coefficient
+    * of the count distribution (0 = uniform, →1 = one key owns the table).
+    * Gini stays in integers until ONE division: with counts ranked
+    * ascending (ties broken by key — the tie ORDER never changes the sum,
+    * because within a tie block the counts are constant and Σ(2i) over the
+    * block is fixed), `gini = (Σ2·i·cᵢ − (n+1)·Σc) / (n·Σc)`. Shape: one
+    * key-count aggregate, a window + final fold over the |keys|-row frame —
+    * the raw table contributes one map-side-combined pass. */
+  def skewReport(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(key).agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.orderBy(col("c").asc, col(key).asc)))
+    ranked.agg(
+      count(lit(1)).as("n_keys"),
+      sum("c").cast("long").as("total_rows"),
+      max("c").cast("long").as("max_count"),
+      round(expr("percentile(c, 0.5)"), 6).as("p50_count"),
+      round(expr("percentile(c, 0.99)"), 6).as("p99_count"),
+      sum(lit(2L) * col("i") * col("c")).cast("long").as("s2"))
+    .select(col("n_keys"), col("total_rows"), col("max_count"),
+      (col("max_count").cast("double") / col("total_rows")).as("top1_share"),
+      col("p50_count"), col("p99_count"),
+      ((col("s2") - (col("n_keys") + 1L) * col("total_rows")).cast("double") /
+        (col("n_keys") * col("total_rows"))).as("gini"))
+  }
 }

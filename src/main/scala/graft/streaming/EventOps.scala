@@ -1027,6 +1027,25 @@ object EventOps extends QueryRegistry {
     // verify pipeline must reproduce it exactly (the bloom-join equivalence
     // discipline); threshold is scale-free (>120% of the mean per-user
     // count) so the row bites at every SF
+    // skew DIAGNOSIS beside the heavy-key DETECTION below: the one-row
+    // distribution report (top-1 share, p50/p99, exact-integer Gini) that
+    // decides whether mitigation is needed at all
+    QueryDef("events_key_skew_report",
+      (s, d) => graft.perf.Skew.skewReport(events(s, d), "user_id"), Some(oq("""
+      , skc AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+      skr AS (SELECT *, row_number() OVER (ORDER BY c, user_id) AS i FROM skc),
+      ska AS (SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS total_rows,
+                     CAST(max(c) AS BIGINT) AS max_count,
+                     round(quantile_cont(c, 0.5), 6) AS p50_count,
+                     round(quantile_cont(c, 0.99), 6) AS p99_count,
+                     CAST(sum(2 * i * c) AS BIGINT) AS s2
+              FROM skr)
+      SELECT n_keys, total_rows, max_count,
+             CAST(max_count AS DOUBLE) / total_rows AS top1_share,
+             p50_count, p99_count,
+             CAST(s2 - (n_keys + 1) * total_rows AS DOUBLE) / (n_keys * total_rows) AS gini
+      FROM ska"""))),
+
     QueryDef("events_heavy_users",
       (s, d) => graft.perf.Skew.heavyKeys(events(s, d), "user_id"), Some(oq("""
       , htot AS (SELECT count(*) AS total, count(DISTINCT user_id) AS nkeys

@@ -77,6 +77,25 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("skew report: hand-computed Gini, percentiles, and top-1 share on a fixed distribution") {
+    import spark.implicits._
+    // keys with counts 1, 1, 2, 4 (sorted): n=4, total=8
+    val rows = Seq.fill(1)(10L) ++ Seq.fill(1)(20L) ++ Seq.fill(2)(30L) ++ Seq.fill(4)(40L)
+    val out = Skew.skewReport(rows.toDF("user_id"), "user_id").head()
+    assert(out.getLong(0) === 4L)                 // n_keys
+    assert(out.getLong(1) === 8L)                 // total_rows
+    assert(out.getLong(2) === 4L)                 // max_count
+    assert(out.getDouble(3) === 0.5)              // top1_share
+    // type-7 percentiles over [1,1,2,4]: p50 h=2.5 -> 1.5; p99 h=3.97 -> 3.94
+    assert(out.getDouble(4) === 1.5)
+    assert(out.getDouble(5) === 3.94)
+    // gini = (sum(2*i*c) - (n+1)*total) / (n*total) = (50 - 40) / 32
+    assert(out.getDouble(6) === 10.0 / 32.0)
+    // uniform distribution -> gini 0
+    val uniform = (1L to 40L).map(i => i % 4).toDF("user_id")
+    assert(Skew.skewReport(uniform, "user_id").head().getDouble(6) === 0.0)
+  }
+
   test("heavyKeys equals the groupBy-HAVING truth and is partitioning-invariant") {
     import spark.implicits._
     // one hot key (500 rows), 100 cold keys (5 rows each): mean ≈ 9.9,
