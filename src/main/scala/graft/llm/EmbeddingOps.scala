@@ -319,6 +319,41 @@ object EmbeddingOps extends QueryRegistry {
         iqr.as("iqr"), col("n_outliers"))
   }
 
+  /** Feature-drift report (r11) — per-dimension distribution SHIFT between
+    * a reference slice and a current slice of the embedding corpus: the
+    * monitoring pass that catches a silently retrained/upgraded encoder or
+    * an upstream preprocessing change before it poisons dedup thresholds
+    * and ANN recall. Per dim and slice: sort-based median and IQR (the one
+    * float statistic both engines compute identically, 6-dp rounded — the
+    * [[embDimStats]] discipline), then the median shift NORMALIZED by the
+    * reference IQR — a robust scale-free effect size (PSI-like without its
+    * cross-engine-hostile log); a dim flags when |shift| exceeds half a
+    * reference IQR. Zero-IQR reference dims report an unnormalized shift
+    * and never flag (no scale to judge by). Shape: one posexplode pass,
+    * a (dim × slice) aggregate — 2·|dims| rows — and a dim-keyed join of
+    * two tiny frames. */
+  def embDriftReport(emb: DataFrame, current: Column): DataFrame = {
+    val vals = emb.select(current.as("cur"),
+        posexplode(col("embedding")).as(Seq("pos0", "vf")))
+      .select(col("cur"), (col("pos0") + 1).as("dim"), col("vf").cast("double").as("v"))
+    val stats = vals.groupBy("dim", "cur").agg(
+      count(lit(1)).as("n"),
+      round(expr("percentile(v, 0.5D)"), 6).as("median"),
+      round(expr("percentile(v, 0.75D)") - expr("percentile(v, 0.25D)"), 6).as("iqr"))
+    val ref = stats.filter(!col("cur"))
+      .select(col("dim"), col("n").as("n_ref"),
+        col("median").as("median_ref"), col("iqr").as("iqr_ref"))
+    val cur = stats.filter(col("cur"))
+      .select(col("dim"), col("n").as("n_cur"), col("median").as("median_cur"))
+    val shift = col("median_cur") - col("median_ref")
+    val norm = when(col("iqr_ref") > 0, shift / col("iqr_ref"))
+    ref.join(cur, Seq("dim"))
+      .select(col("dim"), col("n_ref"), col("n_cur"),
+        col("median_ref"), col("median_cur"), col("iqr_ref"),
+        shift.as("shift"), norm.as("norm_shift"),
+        coalesce(abs(norm) > 0.5, lit(false)).as("drifted"))
+  }
+
   /** MMR (maximal-marginal-relevance) diversity re-rank (r11) — the
     * retrieval-stack stage between ANN and the consumer: from each query's
     * top-`nCand` candidate window, greedily select `k` results maximizing
@@ -715,6 +750,32 @@ object EmbeddingOps extends QueryRegistry {
                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       FROM dvals d JOIN dq q ON d.dim = q.dim
       GROUP BY q.dim, q.n, q.median, q.q1, q.q3"""))),
+
+    // drift between the deterministic even/odd halves of the corpus: on the
+    // synthetic embeddings the halves are i.i.d., so the CORRECT report is
+    // "no drift" — the flag's bite is spec-pinned on a planted-shift fixture
+    QueryDef("emb_drift_report",
+      (s, d) => embDriftReport(emb(s, d), col("vec_id") % 2 === 1), Some(oq(s"""
+      , drv AS (
+          SELECT vec_id % 2 = 1 AS cur, t.i AS dim,
+                 CAST(embedding[t.i] AS DOUBLE) AS v
+          FROM embeddings CROSS JOIN generate_series(1, $Dim) t(i)),
+      drs AS (
+          SELECT dim, cur, count(*) AS n,
+                 round(quantile_cont(v, 0.5), 6) AS median,
+                 round(quantile_cont(v, 0.75) - quantile_cont(v, 0.25), 6) AS iqr
+          FROM drv GROUP BY 1, 2),
+      drr AS (SELECT dim, n AS n_ref, median AS median_ref, iqr AS iqr_ref
+              FROM drs WHERE NOT cur),
+      drc AS (SELECT dim, n AS n_cur, median AS median_cur FROM drs WHERE cur)
+      SELECT r.dim, r.n_ref, c.n_cur, r.median_ref, c.median_cur, r.iqr_ref,
+             c.median_cur - r.median_ref AS shift,
+             CASE WHEN r.iqr_ref > 0
+                  THEN (c.median_cur - r.median_ref) / r.iqr_ref END AS norm_shift,
+             coalesce(abs(CASE WHEN r.iqr_ref > 0
+                  THEN (c.median_cur - r.median_ref) / r.iqr_ref END) > 0.5,
+               FALSE) AS drifted
+      FROM drr r JOIN drc c ON r.dim = c.dim"""))),
 
     // the pre-filter form: candidates carry the predicate, queries don't —
     // the oracle filters the candidate leg identically

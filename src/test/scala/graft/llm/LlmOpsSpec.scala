@@ -932,6 +932,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"), plan.take(4000))
   }
 
+  test("drift report flags a planted median shift and stays quiet on identical slices") {
+    // reference (even ids): values centered at 0 in dim 1; current (odd):
+    // dim 1 shifted by +2 IQRs, every other dim identical
+    def vec(id: Long): Array[Float] = Array.tabulate(64) { j =>
+      val base = ((id * 7 + j * 13) % 11 - 5).toFloat / 10 // spread, iqr > 0
+      if (j == 0 && id % 2 == 1) base + 2.0f else base
+    }
+    val df = (0L until 200L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    val out = EmbeddingOps.embDriftReport(df, col("vec_id") % 2 === 1)
+      .select("dim", "shift", "drifted")
+      .as[(Int, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size === 64)
+    assert(out(1)._3, "planted shift in dim 1 must flag")
+    assert(out(1)._2 > 1.0)
+    assert((2 to 64).forall(d => !out(d)._3), "unshifted dims must not flag")
+    // mirrored slices (ids 2k and 2k+1 share content): exactly zero shift
+    def cleanVec(id: Long): Array[Float] =
+      Array.tabulate(64)(j => ((id * 7 + j * 13) % 11 - 5).toFloat / 10)
+    val mirrored = (0L until 200L).map(id => (id, cleanVec(id / 2)))
+      .toDF("vec_id", "embedding")
+    val same = EmbeddingOps.embDriftReport(mirrored, col("vec_id") % 2 === 1)
+      .select("shift", "drifted").as[(Double, Boolean)].collect()
+    assert(same.forall(r => r._1 === 0.0 && !r._2))
+  }
+
   test("quantized decode matches the int8 report's reconstruction arithmetic") {
     val df = (0L until 50L)
       .map(id => (id, Array.tabulate(64)(i => (math.sin(id * 3.1 + i) * 5).toFloat)))
