@@ -389,6 +389,52 @@ object TextOps extends QueryRegistry {
 
   private val wordTokens = expr("""regexp_extract_all(text, '[A-Za-z0-9_]+', 0)""")
 
+  /** Vocabulary-drift report (r11) — the text-side twin of the embedding
+    * drift monitor: per-token frequency-SHARE change between a reference
+    * and a current corpus slice, for every token in either slice's vocab.
+    * A new-crawl ingest whose token mix shifts (language drift, template
+    * takeover, spam burst) shows up here before it skews the trained
+    * classifier or the LM-familiarity baseline. All counts exact integers;
+    * each share is one division by its slice's total, the delta one
+    * subtraction — cross-engine identical; `drifted` flags when the share
+    * at least doubles or halves on a token with material mass (current
+    * share > 0.001), spelled as integer cross-multiplication so the
+    * boundary never floats. One tokenize pass, a (token × slice)
+    * aggregate, a token-keyed self-join of vocab-sized frames. */
+  def vocabDrift(docs: DataFrame, current: Column): DataFrame = {
+    val tf = docs.select(current.as("cur"), explode(wordTokens).as("token"))
+      .groupBy("cur", "token").agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy("cur").agg(sum("c").cast("long").as("t"))
+    val sliced = tf.join(tot, Seq("cur"))
+    val ref = sliced.filter(!col("cur"))
+      .select(col("token"), col("c").cast("long").as("c_ref"), col("t").as("t_ref"))
+    val cur = sliced.filter(col("cur"))
+      .select(col("token"), col("c").cast("long").as("c_cur"), col("t").as("t_cur"))
+    // full outer: a token vanishing from (or newborn in) the current slice
+    // IS the drift signal; absent side counts as 0 with its slice total
+    // carried from the other leg's frame via the 1-row totals broadcast
+    val totals = tot.agg(
+      max(when(!col("cur"), col("t"))).as("t_ref_all"),
+      max(when(col("cur"), col("t"))).as("t_cur_all"))
+    val j = ref.join(cur, Seq("token"), "full_outer").crossJoin(broadcast(totals))
+      .select(col("token"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("t_ref"), col("t_ref_all")).as("t_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"),
+        coalesce(col("t_cur"), col("t_cur_all")).as("t_cur"))
+    j.select(col("token"), col("c_ref"), col("c_cur"),
+      (col("c_ref").cast("double") / col("t_ref")).as("share_ref"),
+      (col("c_cur").cast("double") / col("t_cur")).as("share_cur"),
+      (col("c_cur").cast("double") / col("t_cur") -
+        col("c_ref").cast("double") / col("t_ref")).as("share_delta"),
+      // doubled-or-halved in integer cross-multiplication; material mass
+      // (share > 0.1%) in EITHER slice, so a vanished token still flags
+      ((col("c_cur") * col("t_ref") >= col("c_ref") * col("t_cur") * 2 ||
+        col("c_cur") * col("t_ref") * 2 <= col("c_ref") * col("t_cur")) &&
+        (col("c_cur") * lit(1000L) > col("t_cur") ||
+          col("c_ref") * lit(1000L) > col("t_ref"))).as("drifted"))
+  }
+
   /** Corpus vocabulary, top-k by frequency — the token frequency table a
     * BPE/vocab training pass starts from (occurrences + document frequency,
     * the IDF numerator). Explode + hash aggregate: partial counts combine
@@ -2529,6 +2575,37 @@ object TextOps extends QueryRegistry {
     // proves the equivalence cross-engine rather than assuming it
     QueryDef("doc_decontaminate_bloom", (s, d) => decontaminateBloom(docs(s, d), 0.5),
       Some(decontaminateOracle)),
+
+    // vocabulary drift between the even/odd halves — i.i.d. slices of the
+    // synthetic corpus, so material tokens stay put and only thin-mass
+    // tokens flag; the planted-shift bite is spec-pinned
+    QueryDef("doc_vocab_drift",
+      (s, d) => vocabDrift(docs(s, d), col("doc_id") % 2 === 1), Some(oq("""
+      , vdf AS (SELECT doc_id % 2 = 1 AS cur,
+                       unnest(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS token
+                FROM documents),
+      vdc AS (SELECT cur, token, CAST(count(*) AS BIGINT) AS c FROM vdf GROUP BY 1, 2),
+      vdt AS (SELECT cur, CAST(sum(c) AS BIGINT) AS t FROM vdc GROUP BY 1),
+      vdr AS (SELECT token, c AS c_ref, t AS t_ref
+              FROM vdc JOIN vdt USING (cur) WHERE NOT cur),
+      vdu AS (SELECT token, c AS c_cur, t AS t_cur
+              FROM vdc JOIN vdt USING (cur) WHERE cur),
+      vtot AS (SELECT max(CASE WHEN NOT cur THEN t END) AS t_ref_all,
+                      max(CASE WHEN cur THEN t END) AS t_cur_all FROM vdt),
+      vdj AS (
+        SELECT coalesce(r.token, u.token) AS token,
+               coalesce(r.c_ref, 0) AS c_ref,
+               coalesce(r.t_ref, (SELECT t_ref_all FROM vtot)) AS t_ref,
+               coalesce(u.c_cur, 0) AS c_cur,
+               coalesce(u.t_cur, (SELECT t_cur_all FROM vtot)) AS t_cur
+        FROM vdr r FULL OUTER JOIN vdu u ON r.token = u.token)
+      SELECT token, c_ref, c_cur,
+             CAST(c_ref AS DOUBLE) / t_ref AS share_ref,
+             CAST(c_cur AS DOUBLE) / t_cur AS share_cur,
+             CAST(c_cur AS DOUBLE) / t_cur - CAST(c_ref AS DOUBLE) / t_ref AS share_delta,
+             ((c_cur * t_ref >= c_ref * t_cur * 2 OR c_cur * t_ref * 2 <= c_ref * t_cur)
+              AND (c_cur * 1000 > t_cur OR c_ref * 1000 > t_ref)) AS drifted
+      FROM vdj"""))),
 
     QueryDef("doc_vocab_top100", (s, d) => vocabTopK(docs(s, d)), Some(oq("""
       , toks AS (

@@ -1132,6 +1132,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.last._4 === 40L && out.last._6 === 1.0)
   }
 
+  test("vocab drift flags doubled, vanished, and newborn material tokens; stable mix stays quiet") {
+    // ref (even ids) and cur (odd ids) share a stable base mix; cur doubles
+    // the share of `hot`, drops `gone` entirely, and introduces `newb`
+    val rows = (0L until 100L).map { i =>
+      val base = "alpha beta gamma delta epsilon zeta eta theta"
+      if (i % 2 == 0) (i, s"$base hot gone")
+      else (i, s"$base hot hot hot newb")
+    }
+    val out = TextOps.vocabDrift(docsDF(rows: _*), col("doc_id") % 2 === 1)
+      .select("token", "c_ref", "c_cur", "drifted")
+      .as[(String, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out("gone") === ("gone", 50L, 0L, true))   // vanished, material in ref
+    assert(out("newb") === ("newb", 0L, 50L, true))   // newborn, material in cur
+    assert(out("hot")._4, "share-tripled token must flag")
+    // the stable base mix must not flag (shares move <2x from the extra
+    // tokens' denominators)
+    Seq("alpha", "beta", "gamma").foreach(t => assert(!out(t)._4, t))
+    // count arithmetic: ref total 10*50, cur total 12*50
+    assert(out("hot")._2 === 50L && out("hot")._3 === 150L)
+  }
+
   test("classifier model card surfaces class-exclusive tokens with the right sign") {
     val rows = (1L to 60L).map { i =>
       if (i % 2 == 1) (i, s"the a the cat pos${i % 5}")
