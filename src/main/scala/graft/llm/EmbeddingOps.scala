@@ -86,6 +86,35 @@ object EmbeddingOps extends QueryRegistry {
         (col("n_hit").cast("double") / col("n_exact")).as("recall_at_5"))
   }
 
+  /** Reciprocal rank of the TRUE nearest neighbor within the ANN's top-5
+    * (r11) — the rank-position eval beside [[annRecall]]'s set-membership
+    * one: recall@5 says WHETHER the truth surfaced, RR says WHERE (an
+    * index serving rank-1 results scores 1.0; truth buried at rank 5
+    * scores 0.2; missed scores 0). Per-query rows, not a mean — a
+    * cross-query float mean would be accumulation-order-dependent, while
+    * each 1/rank is a single exact IEEE division. Exact side runs over the
+    * query sample, the ANN over the corpus — the [[annRecall]] scale
+    * shape. */
+  def annMrr(emb: DataFrame): DataFrame = {
+    val top1 = bruteRanked(emb).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id").as("top1_id"))
+    val wb = withBucket(emb)
+    val qs = wb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val wnd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val ann = qs.join(wb, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number().over(wnd))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id").as("top1_id"),
+        col("rn").cast("long").as("ann_rank"))
+    top1.join(ann, Seq("query_id", "top1_id"), "left")
+      .select(col("query_id"), col("top1_id"), col("ann_rank"),
+        coalesce(lit(1.0) / col("ann_rank"), lit(0.0)).as("rr"))
+  }
+
   /** Deterministic pseudo-random hyperplane component (identical arithmetic
     * in both engines): w(j)(i) = ((j*31 + i*17) mod 7) - 3, i 1-based. */
   private def planeWeights(j: Int): Column =
@@ -813,6 +842,31 @@ object EmbeddingOps extends QueryRegistry {
         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
         FROM hscored WHERE cosine < 0.35)
       SELECT query_id, neighbor_id, cosine, rn FROM hranked WHERE rn <= 3"""))),
+
+    QueryDef("emb_ann_rr", (s, d) => annMrr(emb(s, d)), Some(oq(s"""
+      , $sqlBuckets,
+      rwb AS (SELECT e.vec_id, e.embedding, b.bucket
+              FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id),
+      rqs AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+              FROM rwb WHERE vec_id % 100 = 0),
+      rbrute AS (
+        SELECT query_id, neighbor_id AS top1_id FROM (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${sqlCos("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+          FROM rqs q, embeddings e WHERE e.vec_id <> q.query_id)
+        WHERE rn = 1),
+      rann AS (
+        SELECT query_id, neighbor_id AS top1_id, CAST(rn AS BIGINT) AS ann_rank FROM (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${sqlCos("q.qe", "e.embedding")} DESC, e.vec_id) AS rn
+          FROM rqs q JOIN rwb e ON e.bucket = q.bucket AND e.vec_id <> q.query_id)
+        WHERE rn <= 5)
+      SELECT b.query_id, b.top1_id, a.ann_rank,
+             coalesce(CAST(1.0 AS DOUBLE) / a.ann_rank, CAST(0.0 AS DOUBLE)) AS rr
+      FROM rbrute b LEFT JOIN rann a
+        ON a.query_id = b.query_id AND a.top1_id = b.top1_id"""))),
 
     QueryDef("emb_ann_recall", (s, d) => annRecall(emb(s, d)), Some(oq(s"""
       , $sqlBuckets,

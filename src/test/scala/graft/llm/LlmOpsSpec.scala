@@ -877,6 +877,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(expected.exists { case (q, ns) => ns.keys.exists(o => buckets(o) != buckets(q)) })
   }
 
+  test("ANN reciprocal rank agrees with the brute top-1's position in the ann list") {
+    val emb = EmbeddingOps.emb(spark, sfDir)
+    val rr = EmbeddingOps.annMrr(emb)
+      .select("query_id", "top1_id", "rr")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val brute = EmbeddingOps.cosineTop10(emb).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.minBy(r => (-r.getDouble(2), r.getLong(1))).getLong(1)).toMap
+    val ann = EmbeddingOps.annBucketed(emb).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(r => (-r.getDouble(2), r.getLong(1))).map(_.getLong(1)).toList)
+      .toMap
+    assert(rr.keySet === brute.keySet)
+    rr.foreach { case (q, (t1, r)) =>
+      assert(t1 === brute(q), s"query $q top1")
+      val idx = ann.getOrElse(q, Nil).indexOf(t1)
+      assert(r === (if (idx < 0) 0.0 else 1.0 / (idx + 1)), s"query $q rr")
+    }
+  }
+
   test("hard negatives match a plain-Scala reference and exclude the positive band") {
     val emb = EmbeddingOps.emb(spark, sfDir)
     val vecs = emb.select("vec_id", "embedding")
