@@ -203,17 +203,22 @@ object Errors extends QueryRegistry {
     * suite deliberately carries one FAILING expectation
     * (`saledate_parseable_all` — the feed plants `invalid-ts` rows) so the
     * report provably distinguishes verdicts rather than rubber-stamping. */
-  def dataQualitySuite(w: Warehouse): DataFrame = {
+  def dataQualitySuite(w: Warehouse): DataFrame = qualityChecks(w.stgSales)
+
+  /** The suite kernel over ANY staged-sales-schema frame — the same checks
+    * run batch-wide ([[dataQualitySuite]]) or per ingestion micro-batch
+    * ([[streamingQualityMonitor]]). */
+  def qualityChecks(staged: DataFrame): DataFrame = {
     val isoRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$"
     val dmyRe = "^[0-9]{2}/[0-9]{2}/[0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2}$"
-    val counts = w.stgSales.agg(
+    val counts = staged.agg(
       count(lit(1)).as("n"),
       sum(when(col("invoiceid") =!= "", 1L).otherwise(0L)).as("inv_ok"),
       sum(when(col("totalamount") =!= "", 1L).otherwise(0L)).as("amt_ok"),
       sum(when(col("quantity").rlike("^[0-9]+$"), 1L).otherwise(0L)).as("qty_ok"),
       sum(when(col("saledate").rlike(isoRe) || col("saledate").rlike(dmyRe), 1L)
         .otherwise(0L)).as("date_ok"))
-    val uniq = w.stgSales.select("invoiceid", "stockcode", "linenumber")
+    val uniq = staged.select("invoiceid", "stockcode", "linenumber")
       .distinct().agg(count(lit(1)).as("n_keys"))
     def ratio(ok: String) = col(ok).cast("double") / col("n")
     def c(name: String, metric: org.apache.spark.sql.Column, threshold: Double) =
@@ -231,35 +236,112 @@ object Errors extends QueryRegistry {
       .select("r.*")
   }
 
-  def defs: Seq[QueryDef] = Seq(
-    QueryDef("etl_data_quality_suite", (s, dir) => dataQualitySuite(Warehouse(s, dir)),
-      Some(q("""
-      , dqc AS (
+
+  /** Streaming quality monitoring (r11) — the constraint suite on the
+    * ingestion path: every micro-batch from the drop directory evaluates
+    * [[qualityChecks]] per feed tag and APPENDS its verdict rows, so a bad
+    * drop (schema rot, upstream format change, a vanished column's blanks)
+    * surfaces as failing constraints the moment it lands, not when a
+    * downstream join starts misbehaving. The feed tag travels IN the data
+    * (multi-drop batches split per tag, processed in sorted order), so
+    * replays and batch-boundary shifts produce the same log — which is
+    * what lets the roundtrip hash-check against a per-slice batch oracle.
+    * Zero streaming state; each batch's checks are one conditional-
+    * aggregate pass over that batch. */
+  def streamingQualityMonitor(spark: org.apache.spark.sql.SparkSession,
+      dropDir: String, outPath: String,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val reader = spark.readStream.schema(spark.read.parquet(dropDir).schema)
+    maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(dropDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val feeds = batch.select("feed").distinct()
+          .collect().map(_.getString(0)).sorted
+        feeds.foreach { f =>
+          qualityChecks(batch.filter(col("feed") === f).drop("feed"))
+            .withColumn("feed", lit(f))
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+  }
+
+  /** Roundtrip: the staged feed split into two tagged drops (linenumber
+    * parity), monitored in one-file batches, the appended verdict log read
+    * back — must equal the per-slice suites computed in batch. */
+  private def streamQualityRoundtrip(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val w = Warehouse(s, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_dq_stream_").toString
+    val even = col("linenumber").cast("int") % 2 === 0
+    w.stgSales.filter(even).withColumn("feed", lit("a"))
+      .coalesce(1).write.parquet(s"$base/drops/a")
+    w.stgSales.filter(!even).withColumn("feed", lit("b"))
+      .coalesce(1).write.parquet(s"$base/drops/b")
+    val query = streamingQualityMonitor(s, s"$base/drops/*", s"$base/out",
+        maxFilesPerTrigger = Some(1))
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000L)) {
+      query.stop()
+      throw new IllegalStateException(
+        "stream_quality_roundtrip did not finish within 300 s; log is partial")
+    }
+    s.read.parquet(s"$base/out")
+  }
+
+  /** DuckDB CTE chain for one slice's quality checks (suffix-namespaced so
+    * two slices compose in one statement; `where` filters the staged feed). */
+  private def dqCtes(sfx: String, where: String): String = s"""
+      dqc$sfx AS (
           SELECT count(*) AS n,
                  sum(CASE WHEN invoiceid <> '' THEN 1 ELSE 0 END) AS inv_ok,
                  sum(CASE WHEN totalamount <> '' THEN 1 ELSE 0 END) AS amt_ok,
-                 sum(CASE WHEN regexp_matches(quantity, '^[0-9]+$') THEN 1 ELSE 0 END) AS qty_ok,
-                 sum(CASE WHEN regexp_matches(saledate, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$')
-                            OR regexp_matches(saledate, '^[0-9]{2}/[0-9]{2}/[0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2}$')
+                 sum(CASE WHEN regexp_matches(quantity, '^[0-9]+$$') THEN 1 ELSE 0 END) AS qty_ok,
+                 sum(CASE WHEN regexp_matches(saledate, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$$')
+                            OR regexp_matches(saledate, '^[0-9]{2}/[0-9]{2}/[0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2}$$')
                           THEN 1 ELSE 0 END) AS date_ok
-          FROM stg_sales),
-      dqu AS (SELECT count(*) AS n_keys
-              FROM (SELECT DISTINCT invoiceid, stockcode, linenumber FROM stg_sales)),
-      dqr AS (SELECT c.*, u.n_keys FROM dqc c, dqu u)
-      SELECT 'row_count_positive' AS check_name, CAST(n AS DOUBLE) AS metric,
-             1.0 AS threshold, CAST(n AS DOUBLE) >= 1.0 AS pass FROM dqr
-      UNION ALL SELECT 'invoiceid_complete', CAST(inv_ok AS DOUBLE)/n, 0.99,
-             CAST(inv_ok AS DOUBLE)/n >= 0.99 FROM dqr
-      UNION ALL SELECT 'totalamount_complete', CAST(amt_ok AS DOUBLE)/n, 0.60,
-             CAST(amt_ok AS DOUBLE)/n >= 0.60 FROM dqr
-      UNION ALL SELECT 'quantity_all_digits', CAST(qty_ok AS DOUBLE)/n, 1.0,
-             CAST(qty_ok AS DOUBLE)/n >= 1.0 FROM dqr
-      UNION ALL SELECT 'saledate_parseable', CAST(date_ok AS DOUBLE)/n, 0.99,
-             CAST(date_ok AS DOUBLE)/n >= 0.99 FROM dqr
-      UNION ALL SELECT 'saledate_parseable_all', CAST(date_ok AS DOUBLE)/n, 1.0,
-             CAST(date_ok AS DOUBLE)/n >= 1.0 FROM dqr
-      UNION ALL SELECT 'line_key_unique', CAST(n_keys AS DOUBLE)/n, 0.99,
-             CAST(n_keys AS DOUBLE)/n >= 0.99 FROM dqr"""))),
+          FROM stg_sales $where),
+      dqu$sfx AS (SELECT count(*) AS n_keys
+              FROM (SELECT DISTINCT invoiceid, stockcode, linenumber FROM stg_sales $where)),
+      dqr$sfx AS (SELECT c.*, u.n_keys FROM dqc$sfx c, dqu$sfx u)"""
+
+  /** The seven-constraint SELECT over one slice's `dqr` frame; `feedLit`
+    * (e.g. `'a'`) appends a feed column for the streaming verdict log. */
+  private def dqSelect(sfx: String, feedLit: String): String = {
+    val feed = if (feedLit.isEmpty) "" else s", $feedLit AS feed"
+    s"""
+      SELECT * FROM (
+        SELECT 'row_count_positive' AS check_name, CAST(n AS DOUBLE) AS metric,
+               1.0 AS threshold, CAST(n AS DOUBLE) >= 1.0 AS pass$feed FROM dqr$sfx
+        UNION ALL SELECT 'invoiceid_complete', CAST(inv_ok AS DOUBLE)/n, 0.99,
+               CAST(inv_ok AS DOUBLE)/n >= 0.99$feed FROM dqr$sfx
+        UNION ALL SELECT 'totalamount_complete', CAST(amt_ok AS DOUBLE)/n, 0.60,
+               CAST(amt_ok AS DOUBLE)/n >= 0.60$feed FROM dqr$sfx
+        UNION ALL SELECT 'quantity_all_digits', CAST(qty_ok AS DOUBLE)/n, 1.0,
+               CAST(qty_ok AS DOUBLE)/n >= 1.0$feed FROM dqr$sfx
+        UNION ALL SELECT 'saledate_parseable', CAST(date_ok AS DOUBLE)/n, 0.99,
+               CAST(date_ok AS DOUBLE)/n >= 0.99$feed FROM dqr$sfx
+        UNION ALL SELECT 'saledate_parseable_all', CAST(date_ok AS DOUBLE)/n, 1.0,
+               CAST(date_ok AS DOUBLE)/n >= 1.0$feed FROM dqr$sfx
+        UNION ALL SELECT 'line_key_unique', CAST(n_keys AS DOUBLE)/n, 0.99,
+               CAST(n_keys AS DOUBLE)/n >= 0.99$feed FROM dqr$sfx) dqx$sfx"""
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("etl_data_quality_suite", (s, dir) => dataQualitySuite(Warehouse(s, dir)),
+      Some(q(s", ${dqCtes("", "")} ${dqSelect("", "")}"))),
+
+    // per-batch verdict log == the per-slice suite: each drop carries a feed
+    // tag, the monitor evaluates the identical checks per feed, and the
+    // oracle replays both slices' suites
+    QueryDef("stream_quality_roundtrip", streamQualityRoundtrip, Some(q(s"""
+      , ${dqCtes("_a", "WHERE CAST(linenumber AS INT) % 2 = 0")},
+      ${dqCtes("_b", "WHERE CAST(linenumber AS INT) % 2 <> 0")}
+      ${dqSelect("_a", "'a'")} UNION ALL ${dqSelect("_b", "'b'")}"""))),
 
     // the observe() counters must equal what a dedicated audit scan would
     // compute — gate-checked against the plain aggregate truth
