@@ -175,19 +175,22 @@ object Molap extends QueryRegistry {
       keys = Seq("month", "country"),
       sums = Map("totalamount" -> "rev_p", "quantity" -> "qty_p"),
       countCol = Some("n_rows"))
-    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.MvRewrite
-    s.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    graft.plans.MvRewrite.servingScoped(s) {
+      val out = s.read.parquet(s"$base/grain")
+        .groupBy("country")
+        .agg(sum("totalamount").as("rev"), sum("quantity").as("total_quantity"),
+          count(lit(1)).as("n_rows"))
+        .select(col("country"), col("rev").cast("double").as("revenue"),
+          col("total_quantity"), col("n_rows"))
+      requireMvScan(out)
+      out
+    }
+  }
 
-    val out = s.read.parquet(s"$base/grain")
-      .groupBy("country")
-      .agg(sum("totalamount").as("rev"), sum("quantity").as("total_quantity"),
-        count(lit(1)).as("n_rows"))
-      .select(col("country"), col("rev").cast("double").as("revenue"),
-        col("total_quantity"), col("n_rows"))
-    // inspect the optimized LOGICAL relations (the physical plan hides its
-    // scans inside the adaptive wrapper until execution)
+  /** Shared plan assert for the MV-rewrite gate rows: the optimized LOGICAL
+    * relations (the physical plan hides its scans inside the adaptive
+    * wrapper until execution) must read the /mv layout and never /grain. */
+  private def requireMvScan(out: DataFrame): Unit = {
     val scanned = out.queryExecution.optimizedPlan.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
@@ -200,10 +203,76 @@ object Molap extends QueryRegistry {
       s"MV rewrite did not reroute the aggregate; scanned: ${scanned.mkString(", ")}")
     require(!scanned.exists(_.endsWith("/grain")),
       s"MV rewrite left a base-table scan in the plan: ${scanned.mkString(", ")}")
-    out
+  }
+
+  /** AVG / MIN / MAX derivability gate (r12, VERDICT r11 #5): same scenario
+    * shape as [[mvRewriteCountry]], but the summary carries the per-measure
+    * count / min / max partials and the rerouted aggregate asks for the
+    * reference MV's own shapes (`Iteration 3/Group
+    * No.6_Indexing_Partitioning.sql:148-158` materializes exactly avg/sum/
+    * count at month grain): `avg(decimal)` re-derives as Σsum/Σcount through
+    * the bit-exact decimal divide, `avg(bigint)` through the IEEE double
+    * divide, `min`/`max` from their partials. Plan-asserted MV-only scan;
+    * numeric equality to the direct route is the oracle's check. */
+  private def mvRewriteAvg(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_mvavg_").toString
+    val w = Warehouse(s, dir)
+    w.factSalesElt
+      .filter(col("date_key") =!= graft.FallbackDateKey)
+      .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+      .select(keyMonth,
+        coalesce(col("country"), lit("UNKNOWN")).as("country"),
+        col("totalamount"), col("quantity"))
+      .write.parquet(s"$base/grain")
+    s.read.parquet(s"$base/grain")
+      .groupBy("month", "country")
+      .agg(sum("totalamount").as("rev_p"), count(col("totalamount")).as("rev_cnt"),
+        min("totalamount").as("rev_min"), max("totalamount").as("rev_max"),
+        sum("quantity").as("qty_p"), count(col("quantity")).as("qty_cnt"),
+        count(lit(1)).as("n_rows"))
+      .write.parquet(s"$base/mv")
+    graft.plans.MvRewrite.register(s, s"$base/grain", s.read.parquet(s"$base/mv"),
+      keys = Seq("month", "country"),
+      sums = Map("totalamount" -> "rev_p", "quantity" -> "qty_p"),
+      countCol = Some("n_rows"),
+      counts = Map("totalamount" -> "rev_cnt", "quantity" -> "qty_cnt"),
+      mins = Map("totalamount" -> "rev_min"),
+      maxs = Map("totalamount" -> "rev_max"))
+    graft.plans.MvRewrite.servingScoped(s) {
+      val out = s.read.parquet(s"$base/grain")
+        .groupBy("country")
+        .agg(avg("totalamount").cast("double").as("avg_amount"),
+          avg("quantity").as("avg_qty"),
+          min("totalamount").cast("double").as("min_amount"),
+          max("totalamount").cast("double").as("max_amount"),
+          count(lit(1)).as("n_rows"))
+      requireMvScan(out)
+      out
+    }
   }
 
   def defs: Seq[QueryDef] = Seq(
+    // the decimal avg oracle replicates Spark's exact decimal divide
+    // (round-half-up at the result scale 6) in integer cents — DuckDB's own
+    // avg(DECIMAL) runs in floating point and can differ in the last ulp;
+    // the integral avg is the same IEEE double divide in both engines
+    QueryDef("molap_mv_rewrite_avg", mvRewriteAvg, Some(q(s"""
+      , mvb AS (
+          SELECT coalesce(c.country, 'UNKNOWN') AS country,
+                 f.totalamount, f.quantity
+          FROM fact_sales_elt f
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          WHERE f.date_key <> ${graft.FallbackDateKey})
+      SELECT country,
+             CAST((sum(CAST(totalamount * 100 AS BIGINT)) * 10000
+                   + count(totalamount) // 2) // count(totalamount) AS DOUBLE)
+               / 1000000 AS avg_amount,
+             CAST(sum(quantity) AS DOUBLE) / count(quantity) AS avg_qty,
+             CAST(min(totalamount) AS DOUBLE) AS min_amount,
+             CAST(max(totalamount) AS DOUBLE) AS max_amount,
+             count(*) AS n_rows
+      FROM mvb GROUP BY country"""))),
+
     QueryDef("molap_mv_rewrite_country", mvRewriteCountry, Some(q(s"""
       , mvb AS (
           SELECT coalesce(c.country, 'UNKNOWN') AS country,

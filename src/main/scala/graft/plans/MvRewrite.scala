@@ -4,11 +4,13 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HllUnionAgg, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, HllUnionAgg, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /** Materialized-view rewrite (SURVEY.md §4 extension; r11) — summary-table
   * ROUTING: an aggregate over a registered base-grain TABLE is rewritten to
@@ -60,38 +62,79 @@ object MvRewrite extends Rule[LogicalPlan] {
     * processing trade every sketch-serving OLAP store offers. */
   val ApproxDistinctKey = "spark.graft.mvRewrite.approxDistinct.enabled"
 
-  /** One registered summary: the base table's qualified location, the MV's
-    * analyzed scan plan, the MV's group-key names, base measure column →
-    * MV sum-partial column, the MV's row-count partial column, and base
-    * column → MV HLL-sketch partial for approximate distinct counts. */
+  /** One registered summary: the base table's qualified location (FULL URI —
+    * scheme + authority + path, so identically named paths on different
+    * filesystems can never collide), the MV's analyzed scan plan, the MV's
+    * group-key names, base measure column → MV sum-partial column, the MV's
+    * row-count partial column, base column → MV HLL-sketch partial for
+    * approximate distinct counts, and the per-column non-null-count /
+    * min / max partials that make AVG and MIN/MAX derivable. */
   final case class Registration(baseLocation: String, mv: LogicalPlan,
       keys: Set[String], sums: Map[String, String], countCol: Option[String],
-      distincts: Map[String, String])
+      distincts: Map[String, String], counts: Map[String, String],
+      mins: Map[String, String], maxs: Map[String, String])
 
   private val registry =
     new java.util.concurrent.CopyOnWriteArrayList[Registration]()
 
   /** Register `mvDf` (an aggregate of the table at `basePath` by `keys`,
     * carrying sum partials per `sums` and a `count(*)` partial `countCol`)
-    * as the serving table for aggregates over `basePath`. */
+    * as the serving table for aggregates over `basePath`. `counts` maps a
+    * base column to its `count(col)` (non-null) partial — required for AVG
+    * derivability (avg = Σsum-partial / Σcount-partial, exact in decimal and
+    * integer types); `mins`/`maxs` map a base column to its `min(col)` /
+    * `max(col)` partial (min of mins IS the min — the classic algebraic
+    * decompositions the reference's MV carries,
+    * `Iteration 3/Group No.6_Indexing_Partitioning.sql:148-158`). */
   def register(spark: SparkSession, basePath: String, mvDf: DataFrame,
       keys: Seq[String], sums: Map[String, String],
       countCol: Option[String] = None,
-      distincts: Map[String, String] = Map.empty): Unit = {
+      distincts: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty): Unit = {
     val mvPlan = mvDf.queryExecution.analyzed
     val out = mvPlan.output.map(_.name).toSet
-    require((keys ++ sums.values ++ countCol ++ distincts.values).forall(out),
+    require((keys ++ sums.values ++ countCol ++ distincts.values ++
+      counts.values ++ mins.values ++ maxs.values).forall(out),
       s"MV output ${out.mkString(",")} is missing registered columns")
     registry.add(Registration(qualify(spark, basePath), mvPlan,
-      keys.toSet, sums, countCol, distincts))
+      keys.toSet, sums, countCol, distincts, counts, mins, maxs))
   }
 
   def clear(): Unit = registry.clear()
 
+  /** Run an MV-serving scenario with the rewrite enabled and hand back an
+    * EAGERLY MATERIALIZED copy of its result, restoring both conf flags to
+    * their prior values afterwards (ADVICE r11: a gate row that enabled the
+    * rewrite — or the approx-distinct semantics change — left it active for
+    * every later query in the shared session). The materialization runs
+    * while the flags are still on, so what the caller observed in the plan
+    * assert is what actually executed; registrations stay in the registry
+    * but are inert once the enable flag is back off. */
+  def servingScoped(spark: SparkSession, withApproxDistinct: Boolean = false)
+      (body: => DataFrame): DataFrame = {
+    val prevEnabled = spark.conf.getOption(EnabledKey)
+    val prevApprox = spark.conf.getOption(ApproxDistinctKey)
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+    spark.conf.set(EnabledKey, "true")
+    if (withApproxDistinct) spark.conf.set(ApproxDistinctKey, "true")
+    try {
+      val df = body
+      val rows = java.util.Arrays.asList(df.collect(): _*)
+      spark.createDataFrame(rows, df.schema)
+    } finally {
+      prevEnabled.fold(spark.conf.unset(EnabledKey))(spark.conf.set(EnabledKey, _))
+      prevApprox.fold(spark.conf.unset(ApproxDistinctKey))(spark.conf.set(ApproxDistinctKey, _))
+    }
+  }
+
   private def qualify(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf())
-      .makeQualified(p).toUri.getPath
+      .makeQualified(p).toUri.toString
   }
 
   private def enabled: Boolean =
@@ -119,7 +162,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     strip(child) match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
-          val paths = fs.location.rootPaths.map(_.toUri.getPath).toSet
+          // full qualified URI on both sides (registration runs makeQualified,
+          // Spark qualifies rootPaths at resolution) — a path-only compare
+          // would let file:///x shadow hdfs:///x and reroute a foreign table
+          val paths = fs.location.rootPaths.map(_.toUri.toString).toSet
           registry.asScala.find(r => paths.contains(r.baseLocation))
         case _ => None
       }
@@ -127,8 +173,23 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** A fresh-exprId instance of the registered MV plan. The analyzed plan
+    * is inlined PER REWRITE; reusing its original expression ids would
+    * inject duplicates when one query aggregates the registered base twice
+    * (a union / self-join of two aggregates) — DeduplicateRelations has
+    * already run by optimization time, so nothing downstream would repair
+    * the ambiguity. `transformUpWithNewOutput` rebinds any references
+    * between the re-instanced leaves and the MV plan's top. */
+  private def freshMv(mv: LogicalPlan): LogicalPlan =
+    mv.transformUpWithNewOutput {
+      case leaf: LeafNode if leaf.isInstanceOf[MultiInstanceRelation] =>
+        val fresh = leaf.asInstanceOf[MultiInstanceRelation].newInstance()
+        (fresh, leaf.output.zip(fresh.output))
+    }
+
   private def tryRewrite(agg: Aggregate, reg: Registration): Option[LogicalPlan] = {
-    val mvOut = reg.mv.output.map(a => a.name -> a).toMap
+    val mv = freshMv(reg.mv)
+    val mvOut = mv.output.map(a => a.name -> a).toMap
     val groups = agg.groupingExpressions.map {
       case a: AttributeReference if reg.keys(a.name) => mvOut(a.name)
       case _ => return None
@@ -147,15 +208,63 @@ object MvRewrite extends Rule[LogicalPlan] {
           case _ => return None
         }
         if (ae.filter.isDefined) return None
+        // a re-aggregated partial under a FRESH result id — two rewritten
+        // aggregates derived from the same template must not share one
+        def reAgg(fn: AggregateFunction): AggregateExpression =
+          ae.copy(aggregateFunction = fn, resultId = NamedExpression.newExprId)
         // the re-sum widens (decimal precision / long), cast back to the
         // original result type so the plan's schema is unchanged
         val rewritten: Expression = ae.aggregateFunction match {
           case Sum(e: AttributeReference, _)
               if !ae.isDistinct && reg.sums.contains(e.name) =>
-            Cast(ae.copy(aggregateFunction = Sum(mvOut(reg.sums(e.name)))), ae.dataType)
-          case Count(Seq(Literal(_, _)))
-              if !ae.isDistinct && reg.countCol.isDefined =>
-            Cast(ae.copy(aggregateFunction = Sum(mvOut(reg.countCol.get))), ae.dataType)
+            Cast(reAgg(Sum(mvOut(reg.sums(e.name)))), ae.dataType)
+          // count(*) / count(non-null literal) → Σ row-count partials.
+          // count(NULL) is excluded (it is constantly 0, NOT the row count),
+          // and the re-sum is coalesced to 0: over an EMPTY base a global
+          // Sum returns NULL where Count's contract is 0 — the coalesce
+          // also keeps the output attribute non-nullable, like Count.
+          case Count(Seq(Literal(v, _)))
+              if v != null && !ae.isDistinct && reg.countCol.isDefined =>
+            Cast(Coalesce(Seq(reAgg(Sum(mvOut(reg.countCol.get))),
+              Literal(0L))), ae.dataType)
+          // avg(col) → Σsum-partial / Σcount-partial, rebuilt in EXACTLY the
+          // shape Average.evaluateExpression uses so the result is
+          // bit-identical to the direct aggregate: the re-summed partial is
+          // cast back to Average's internal sumDataType (value-preserving —
+          // a total that overflowed it would overflow the direct route too)
+          // and the division node is the same If/DecimalDivideWithOverflowCheck
+          // (decimal) or legacy Divide (integral). Float/double inputs are
+          // NOT derivable — re-summing fp partials reorders the accumulation.
+          case Average(e: AttributeReference, _)
+              if !ae.isDistinct && reg.sums.contains(e.name) &&
+                reg.counts.contains(e.name) &&
+                (e.dataType match {
+                  case _: DecimalType | ByteType | ShortType | IntegerType | LongType => true
+                  case _ => false
+                }) =>
+            val sumAgg: Expression =
+              Cast(reAgg(Sum(mvOut(reg.sums(e.name)))), Sum(e).dataType)
+            // ONE shared count aggregate, referenced from both the zero
+            // guard and the divide (same resultId → computed once)
+            val cntAgg = reAgg(Sum(mvOut(reg.counts(e.name))))
+            e.dataType match {
+              case _: DecimalType =>
+                val rt = ae.dataType.asInstanceOf[DecimalType]
+                If(EqualTo(cntAgg, Literal(0L)), Literal(null, rt),
+                  DecimalDivideWithOverflowCheck(sumAgg,
+                    Cast(cntAgg, DecimalType(20, 0)), rt, null,
+                    nullOnOverflow = true))
+              case _ =>
+                Divide(Cast(sumAgg, ae.dataType), Cast(cntAgg, ae.dataType),
+                  EvalMode.LEGACY)
+            }
+          // min of mins IS the min (max likewise) — type-preserving, no cast
+          case Min(e: AttributeReference)
+              if !ae.isDistinct && reg.mins.contains(e.name) =>
+            reAgg(Min(mvOut(reg.mins(e.name))))
+          case Max(e: AttributeReference)
+              if !ae.isDistinct && reg.maxs.contains(e.name) =>
+            reAgg(Max(mvOut(reg.maxs(e.name))))
           // count(DISTINCT col) → union the cells' HLL sketches, estimate —
           // only under the explicit approx opt-in (semantics change)
           case Count(Seq(e: AttributeReference))
@@ -168,6 +277,6 @@ object MvRewrite extends Rule[LogicalPlan] {
         Alias(rebuild(rewritten), name)(exprId = al.exprId)
       case _ => return None
     }
-    Some(Aggregate(groups, aggs, reg.mv, None))
+    Some(Aggregate(groups, aggs, mv, None))
   }
 }

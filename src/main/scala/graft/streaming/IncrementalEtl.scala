@@ -185,10 +185,11 @@ object IncrementalEtl extends QueryRegistry {
       keys = Seq("month", "country"),
       sums = Map("totalamount" -> "revenue", "quantity" -> "qty"),
       distincts = Map("invoiceid" -> "inv_sketch"))
-    if (!s.experimental.extraOptimizations.contains(graft.plans.MvRewrite))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.MvRewrite
-    s.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+    // flags are NOT set here: each gate row runs its query inside
+    // MvRewrite.servingScoped, which enables the rewrite, materializes the
+    // result while it is active, and restores the session confs (ADVICE
+    // r11 — the previous shape left the rewrite + approx-distinct semantics
+    // enabled for every later query in the shared gate session)
     base
   }
 
@@ -213,12 +214,14 @@ object IncrementalEtl extends QueryRegistry {
   private def streamMvServingRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val base = mvServingScenario(s, dir)
-    requireServedFromSummary(
-      s.read.parquet(s"$base/grain")
-        .groupBy("country")
-        .agg(sum("totalamount").as("rev"), sum("quantity").as("total_quantity"))
-        .select(col("country"), col("rev").cast("double").as("revenue"),
-          col("total_quantity")))
+    graft.plans.MvRewrite.servingScoped(s) {
+      requireServedFromSummary(
+        s.read.parquet(s"$base/grain")
+          .groupBy("country")
+          .agg(sum("totalamount").as("rev"), sum("quantity").as("total_quantity"))
+          .select(col("country"), col("rev").cast("double").as("revenue"),
+            col("total_quantity")))
+    }
   }
 
   /** The approximate-distinct serving face: `count(DISTINCT invoiceid)` at
@@ -232,11 +235,12 @@ object IncrementalEtl extends QueryRegistry {
   private def streamMvServingDistinct(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val base = mvServingScenario(s, dir)
-    s.conf.set(graft.plans.MvRewrite.ApproxDistinctKey, "true")
-    requireServedFromSummary(
-      s.read.parquet(s"$base/grain")
-        .groupBy("month", "country")
-        .agg(count_distinct(col("invoiceid")).as("order_count")))
+    graft.plans.MvRewrite.servingScoped(s, withApproxDistinct = true) {
+      requireServedFromSummary(
+        s.read.parquet(s"$base/grain")
+          .groupBy("month", "country")
+          .agg(count_distinct(col("invoiceid")).as("order_count")))
+    }
   }
 
   def defs: Seq[QueryDef] = Seq(

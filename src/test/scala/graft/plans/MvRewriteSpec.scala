@@ -28,11 +28,15 @@ class MvRewriteSpec extends SparkSpec {
       .write.parquet(s"$base/grain")
     spark.read.parquet(s"$base/grain").groupBy("k", "c")
       .agg(sum("amount").as("amount_p"), sum("qty").as("qty_p"),
+        count(col("amount")).as("amount_cnt"), count(col("qty")).as("qty_cnt"),
+        min("amount").as("amount_min"), max("amount").as("amount_max"),
         count(lit(1)).as("n_rows"))
       .write.parquet(s"$base/mv")
     MvRewrite.register(spark, s"$base/grain", spark.read.parquet(s"$base/mv"),
       keys = Seq("k", "c"), sums = Map("amount" -> "amount_p", "qty" -> "qty_p"),
-      countCol = Some("n_rows"))
+      countCol = Some("n_rows"),
+      counts = Map("amount" -> "amount_cnt", "qty" -> "qty_cnt"),
+      mins = Map("amount" -> "amount_min"), maxs = Map("amount" -> "amount_max"))
     spark.experimental.extraOptimizations = Seq(MvRewrite)
     spark.conf.set(MvRewrite.EnabledKey, "true")
     try f(base) finally {
@@ -76,12 +80,79 @@ class MvRewriteSpec extends SparkSpec {
       // count distinct is not re-aggregable
       val cd = grain.groupBy("c").agg(count_distinct(col("qty")).as("d"))
       assert(scannedPaths(cd).forall(_.endsWith("/grain")), scannedPaths(cd))
-      // avg has no registered partial decomposition
-      val av = grain.groupBy("c").agg(avg("qty").as("a"))
-      assert(scannedPaths(av).forall(_.endsWith("/grain")))
+      // min has a registered partial for amount but NOT for qty
+      val mn = grain.groupBy("c").agg(min("qty").as("m"))
+      assert(scannedPaths(mn).forall(_.endsWith("/grain")))
+      // count(NULL) is constantly 0, not the row count — it must never
+      // route onto the Σ n_rows partial (ADVICE r11)
+      val cn = grain.groupBy("c").agg(count(lit(null)).as("z"))
+      assert(scannedPaths(cn).forall(_.endsWith("/grain")), scannedPaths(cn))
+      assert(cn.as[(String, Long)].collect().forall(_._2 === 0L))
       // grouping by a non-key (measure) column must not reroute
       val ng = grain.groupBy("qty").agg(sum("amount").as("s"))
       assert(scannedPaths(ng).forall(_.endsWith("/grain")))
+    }
+  }
+
+  test("avg/min/max reroute via their partials with bit-identical results") {
+    withMv { base =>
+      def query() = spark.read.parquet(s"$base/grain")
+        .groupBy("c")
+        .agg(avg("amount").as("avg_dec"), avg("qty").as("avg_int"),
+          min("amount").as("mn"), max("amount").as("mx"))
+      val rewritten = query()
+      assert(scannedPaths(rewritten).forall(_.endsWith("/mv")), scannedPaths(rewritten))
+      val direct = {
+        spark.conf.set(MvRewrite.EnabledKey, "false")
+        try query().collect().toSet
+        finally spark.conf.set(MvRewrite.EnabledKey, "true")
+      }
+      // Row equality compares the decimal avg exactly — the rewrite must
+      // reproduce Average's decimal divide bit-for-bit, not approximately
+      assert(rewritten.collect().toSet === direct)
+      // avg over doubles is NOT derivable (re-summing fp partials reorders
+      // the accumulation) — it must stay on the base even when a sum
+      // partial of a same-named column exists
+      val dbl = spark.read.parquet(s"$base/grain")
+        .withColumn("amount", col("amount").cast("double"))
+        .groupBy("c").agg(avg("amount").as("a"))
+      assert(scannedPaths(dbl).forall(_.endsWith("/grain")))
+    }
+  }
+
+  test("empty base: rewritten global count is 0 (not NULL) and schema stays non-nullable") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mvempty_").toString
+    Seq.empty[(String, Long)].toDF("c", "qty").write.parquet(s"$base/grain")
+    spark.read.parquet(s"$base/grain").groupBy("c")
+      .agg(sum("qty").as("qty_p"), count(lit(1)).as("n_rows"))
+      .write.parquet(s"$base/mv")
+    MvRewrite.register(spark, s"$base/grain", spark.read.parquet(s"$base/mv"),
+      keys = Seq("c"), sums = Map("qty" -> "qty_p"), countCol = Some("n_rows"))
+    spark.experimental.extraOptimizations = Seq(MvRewrite)
+    spark.conf.set(MvRewrite.EnabledKey, "true")
+    try {
+      val g = spark.read.parquet(s"$base/grain").agg(count(lit(1)).as("n"))
+      assert(scannedPaths(g).forall(_.endsWith("/mv")), scannedPaths(g))
+      assert(!g.schema("n").nullable)
+      assert(g.as[Long].head() === 0L)
+    } finally {
+      spark.conf.unset(MvRewrite.EnabledKey)
+      spark.experimental.extraOptimizations = Nil
+      MvRewrite.clear()
+    }
+  }
+
+  test("a query aggregating the registered base twice reroutes both without exprId collisions") {
+    withMv { base =>
+      def agg1 = spark.read.parquet(s"$base/grain").groupBy("c")
+        .agg(sum("amount").as("v"))
+      val u = agg1.union(agg1)
+      assert(scannedPaths(u).forall(_.endsWith("/mv")), scannedPaths(u))
+      val got = u.groupBy("c").agg(sum("v").cast("double").as("t"))
+        .as[(String, Double)].collect().toMap
+      val expect = (1L to 100L).groupBy(i => s"c${i % 3}")
+        .map { case (k, is) => k -> is.map(_.toDouble).sum * 2 }
+      assert(got === expect)
     }
   }
 
