@@ -23,6 +23,7 @@ object SparkEntry {
     graft.llm.PqAnn,
     graft.perf.Perf,
     graft.sources.SinkQueries,
+    graft.sources.SqlSurface,
     graft.sources.Compaction,
     graft.streaming.EventOps,
     graft.streaming.IncrementalEtl)

@@ -3,15 +3,30 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.Warehouse
+import graft.{QueryDef, QueryRegistry}
 
-/** SQL view surface (r11) — the reference's users are SQL-first (its whole
+/** SQL view surface — the reference's users are SQL-first (its whole
   * implementation is PostgreSQL scripts), so the warehouse registers as
   * temp views and any reference query runs via `spark.sql` verbatim,
   * planned by the same Catalyst pipeline as the DataFrame API (views are
   * lazy plans over the memoized warehouse — registering costs nothing and
   * the cached dims/facts are shared with the DSL surface). Names carry a
-  * `graft_` prefix to stay clear of caller catalogs. */
-object SqlSurface {
+  * `graft_` prefix to stay clear of caller catalogs.
+  *
+  * r12 (VERDICT r11 #4): the reference's WHOLE query workload — OLAP Q1–Q7
+  * (`Iteration 2/Group No.6_OLAP.sql:10-138`) and the validation suite
+  * D1–D10 (`Iteration 1/Group No.6_ELT.sql:358-470`) — is gated as LITERAL
+  * `spark.sql` text against the SAME DuckDB oracles as the DSL rows (shared
+  * by name lookup, so the strings cannot drift apart): the SQL and DSL
+  * surfaces are proven to agree on the full workload, cross-engine, not
+  * just on one query. The SQL is the reference's own, minimally adapted:
+  * `dw.`-schema names → `graft_` views, `ROUND(SUM(money),2)` → `CAST(…
+  * AS DOUBLE)` (staging money is exact 2dp decimal, so the round is an
+  * identity — the cast is the repo-wide no-DECIMAL-in-compared-output
+  * convention), surrogate keys dropped from outputs, and the documented
+  * tie-breaks added where the reference rides `LIMIT k` on a tied ORDER BY.
+  */
+object SqlSurface extends QueryRegistry {
 
   def register(spark: SparkSession, dir: String): Unit = {
     val w = Warehouse(spark, dir)
@@ -40,4 +55,246 @@ object SqlSurface {
       LEFT JOIN graft_dim_customer_elt c ON f.customer_key = c.customer_key
       GROUP BY d.year, d.month, coalesce(c.country, 'UNKNOWN')""")
   }
+
+  /** OLAP Q1–Q7, reference text (`Iteration 2/Group No.6_OLAP.sql`). */
+  private val olapSql: Seq[(String, String, String)] = Seq(
+    // Q1 keeps the reference's sales_with_date CTE; grouping uses the
+    // coalesced country (same documented deviation as the DSL row: grouping
+    // the raw NULL country then coalescing could emit two 'UNKNOWN' rows)
+    ("sql_olap_q1", "olap_q1_monthly_country", """
+      WITH sales_with_date AS (
+        SELECT f.*, d.year, d.month, d.full_date
+        FROM graft_fact_sales_elt f
+        JOIN graft_dim_date d ON f.date_key = d.date_key
+      )
+      SELECT
+        year,
+        month,
+        COALESCE(c.country, 'UNKNOWN') AS country,
+        CAST(SUM(totalamount) AS DOUBLE) AS total_revenue,
+        SUM(quantity) AS total_quantity
+      FROM sales_with_date f
+      LEFT JOIN graft_dim_customer_elt c ON f.customer_key = c.customer_key
+      GROUP BY year, month, COALESCE(c.country, 'UNKNOWN')"""),
+
+    ("sql_olap_q2", "olap_q2_top10_products_3m", """
+      WITH last3months AS (
+          SELECT MAX(full_date) AS max_date,
+                 MAX(full_date) - INTERVAL '3' MONTH AS min_date
+          FROM graft_dim_date
+      )
+      SELECT p.stockcode,
+             p.description,
+             CAST(SUM(f.totalamount) AS DOUBLE) AS revenue,
+             SUM(f.quantity) AS qty_sold
+      FROM graft_fact_sales_elt f
+      JOIN graft_dim_product p ON f.product_key = p.product_key
+      JOIN graft_dim_date d ON f.date_key = d.date_key
+      JOIN last3months m ON d.full_date BETWEEN m.min_date AND m.max_date
+      GROUP BY p.stockcode, p.description
+      ORDER BY revenue DESC, p.stockcode
+      LIMIT 10"""),
+
+    ("sql_olap_q3", "olap_q3_cltv", """
+      SELECT
+        c.customerid, c.customername,
+        CAST(CAST(COALESCE(SUM(f.totalamount), 0) AS DECIMAL(18,2)) AS DOUBLE) AS lifetime_revenue,
+        MAX(d.full_date) AS last_purchase_date,
+        COUNT(DISTINCT f.invoiceid) AS order_count
+      FROM graft_dim_customer_elt c
+      LEFT JOIN graft_fact_sales_elt f ON c.customer_key = f.customer_key
+      LEFT JOIN graft_dim_date d ON f.date_key = d.date_key
+      GROUP BY c.customerid, c.customername"""),
+
+    ("sql_olap_q4", "olap_q4_daily_90d", """
+      WITH last90days AS (
+          SELECT MAX(full_date) AS max_date,
+                 MAX(full_date) - INTERVAL '90' DAY AS min_date
+          FROM graft_dim_date
+      )
+      SELECT d.full_date, CAST(SUM(f.totalamount) AS DOUBLE) AS daily_revenue
+      FROM graft_fact_sales_elt f
+      JOIN graft_dim_date d ON f.date_key = d.date_key
+      JOIN last90days r ON d.full_date BETWEEN r.min_date AND r.max_date
+      GROUP BY d.full_date"""),
+
+    ("sql_olap_q5", "olap_q5_price_vs_revenue", """
+      SELECT
+        p.stockcode, p.description,
+        ROUND(CAST(SUM(f.unitprice) AS DOUBLE) / COUNT(f.unitprice) * 100) / 100 AS avg_unitprice,
+        CAST(SUM(f.totalamount) AS DOUBLE) AS total_revenue,
+        SUM(f.quantity) AS total_quantity
+      FROM graft_fact_sales_elt f
+      JOIN graft_dim_product p ON f.product_key = p.product_key
+      GROUP BY p.stockcode, p.description"""),
+
+    ("sql_olap_q6", "olap_q6_cohort", """
+      WITH customer_signup AS (
+          SELECT
+              customer_key,
+              CAST(DATE_TRUNC('month', signupdate) AS DATE) AS signup_month
+          FROM graft_dim_customer_elt
+          WHERE signupdate IS NOT NULL
+      ),
+      customer_revenue AS (
+          SELECT
+              f.customer_key,
+              CAST(DATE_TRUNC('month', d.full_date) AS DATE) AS sale_month,
+              SUM(f.totalamount) AS revenue
+          FROM graft_fact_sales_elt f
+          JOIN graft_dim_date d ON f.date_key = d.date_key
+          GROUP BY f.customer_key, CAST(DATE_TRUNC('month', d.full_date) AS DATE)
+      )
+      SELECT
+          s.signup_month,
+          CAST(CAST(SUM(CASE WHEN r.sale_month = s.signup_month THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS month0_revenue,
+          CAST(CAST(SUM(CASE WHEN r.sale_month = s.signup_month + INTERVAL '1' MONTH THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS month1_revenue,
+          CAST(CAST(SUM(CASE WHEN r.sale_month = s.signup_month + INTERVAL '2' MONTH THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS month2_revenue
+      FROM customer_signup s
+      LEFT JOIN customer_revenue r
+             ON r.customer_key = s.customer_key
+            AND r.sale_month >= s.signup_month
+            AND r.sale_month < s.signup_month + INTERVAL '3' MONTH
+      GROUP BY s.signup_month"""),
+
+    ("sql_olap_q7", "olap_q7_monthly_verification", """
+      SELECT
+        CAST(DATE_TRUNC('month', d.full_date) AS DATE) AS month,
+        COALESCE(c.country, 'UNKNOWN') AS country,
+        CAST(SUM(f.totalamount) AS DOUBLE) AS revenue
+      FROM graft_fact_sales_elt f
+      JOIN graft_dim_date d ON f.date_key = d.date_key
+      LEFT JOIN graft_dim_customer_elt c ON f.customer_key = c.customer_key
+      GROUP BY
+        CAST(DATE_TRUNC('month', d.full_date) AS DATE),
+        COALESCE(c.country, 'UNKNOWN')"""))
+
+  /** Validation suite D1–D10, reference text (`Iteration 1/Group
+    * No.6_ELT.sql:358-470`). */
+  private val dsuiteSql: Seq[(String, String, String)] = Seq(
+    ("sql_d01", "d01_row_counts", """
+      SELECT 'fact_sales_etl_count' AS metric, COUNT(*) AS value FROM graft_fact_sales
+      UNION ALL
+      SELECT 'fact_sales_elt_count' AS metric, COUNT(*) AS value FROM graft_fact_sales_elt"""),
+
+    ("sql_d02", "d02_total_revenue", """
+      SELECT 'fact_sales_etl_sum' AS metric, CAST(CAST(COALESCE(SUM(totalamount),0) AS DECIMAL(18,2)) AS DOUBLE) AS value FROM graft_fact_sales
+      UNION ALL
+      SELECT 'fact_sales_elt_sum' AS metric, CAST(CAST(COALESCE(SUM(totalamount),0) AS DECIMAL(18,2)) AS DOUBLE) AS value FROM graft_fact_sales_elt"""),
+
+    ("sql_d03", "d03_avg_unitprice", """
+      SELECT 'ETL Avg Unit Price' AS metric, ROUND(CAST(SUM(unitprice) AS DOUBLE) / COUNT(unitprice) * 100) / 100 AS avg_unitprice
+      FROM graft_fact_sales
+      UNION ALL
+      SELECT 'ELT Avg Unit Price' AS metric, ROUND(CAST(SUM(unitprice) AS DOUBLE) / COUNT(unitprice) * 100) / 100 AS avg_unitprice
+      FROM graft_fact_sales_elt"""),
+
+    ("sql_d04", "d04_unique_customers", """
+      SELECT 'ETL Unique Customers' AS metric, COUNT(DISTINCT customer_key) AS unique_customers
+      FROM graft_fact_sales
+      UNION ALL
+      SELECT 'ELT Unique Customers' AS metric, COUNT(DISTINCT customer_key) AS unique_customers
+      FROM graft_fact_sales_elt"""),
+
+    ("sql_d05", "d05_unique_products", """
+      SELECT 'ETL Unique Products' AS metric, COUNT(DISTINCT product_key) AS unique_products
+      FROM graft_fact_sales
+      UNION ALL
+      SELECT 'ELT Unique Products' AS metric, COUNT(DISTINCT product_key) AS unique_products
+      FROM graft_fact_sales_elt"""),
+
+    ("sql_d06", "d06_total_quantity", """
+      SELECT 'ETL Total Quantity' AS metric, CAST(COALESCE(SUM(quantity),0) AS BIGINT) AS total_quantity
+      FROM graft_fact_sales
+      UNION ALL
+      SELECT 'ELT Total Quantity' AS metric, CAST(COALESCE(SUM(quantity),0) AS BIGINT) AS total_quantity
+      FROM graft_fact_sales_elt"""),
+
+    // the reference runs the two pipelines as two statements; one gated
+    // frame needs them in a single result — UNION ALL over the two
+    // order-preserving LIMIT subqueries (tie-break documented)
+    ("sql_d07", "d07_top10_country_revenue", """
+      SELECT * FROM (
+        SELECT 'ETL' AS pipeline, c.country, CAST(SUM(f.totalamount) AS DOUBLE) AS total_revenue
+        FROM graft_fact_sales f
+        JOIN graft_dim_customer c ON f.customer_key = c.customer_key
+        GROUP BY c.country
+        ORDER BY total_revenue DESC, c.country
+        LIMIT 10)
+      UNION ALL
+      SELECT * FROM (
+        SELECT 'ELT' AS pipeline, c.country, CAST(SUM(f.totalamount) AS DOUBLE) AS total_revenue
+        FROM graft_fact_sales_elt f
+        JOIN graft_dim_customer_elt c ON f.customer_key = c.customer_key
+        GROUP BY c.country
+        ORDER BY total_revenue DESC, c.country
+        LIMIT 10)"""),
+
+    ("sql_d08", "d08_product_level_diff", """
+      SELECT
+          p.stockcode,
+          CAST(CAST(COALESCE(etl_sum, 0) AS DECIMAL(18,2)) AS DOUBLE) AS etl_total,
+          CAST(CAST(COALESCE(elt_sum, 0) AS DECIMAL(18,2)) AS DOUBLE) AS elt_total,
+          CAST(CAST(COALESCE(elt_sum, 0) - COALESCE(etl_sum, 0) AS DECIMAL(18,2)) AS DOUBLE) AS difference
+      FROM graft_dim_product p
+      LEFT JOIN (
+          SELECT product_key, SUM(totalamount) AS etl_sum
+          FROM graft_fact_sales
+          GROUP BY product_key
+      ) etl ON etl.product_key = p.product_key
+      LEFT JOIN (
+          SELECT product_key, SUM(totalamount) AS elt_sum
+          FROM graft_fact_sales_elt
+          GROUP BY product_key
+      ) elt ON elt.product_key = p.product_key
+      ORDER BY ABS(COALESCE(elt_sum,0) - COALESCE(etl_sum,0)) DESC, p.stockcode
+      LIMIT 20"""),
+
+    ("sql_d09", "d09_daily_trend", """
+      SELECT 'ETL' AS pipeline, d.full_date, CAST(SUM(f.totalamount) AS DOUBLE) AS daily_revenue
+      FROM graft_fact_sales f
+      JOIN graft_dim_date d ON f.date_key = d.date_key
+      GROUP BY d.full_date
+      UNION ALL
+      SELECT 'ELT' AS pipeline, d.full_date, CAST(SUM(f.totalamount) AS DOUBLE) AS daily_revenue
+      FROM graft_fact_sales_elt f
+      JOIN graft_dim_date d ON f.date_key = d.date_key
+      GROUP BY d.full_date"""),
+
+    ("sql_d10", "d10_summary_kpis", """
+      SELECT
+          'ETL' AS pipeline,
+          COUNT(*) AS total_rows,
+          CAST(SUM(totalamount) AS DOUBLE) AS total_revenue,
+          ROUND(CAST(SUM(unitprice) AS DOUBLE) / COUNT(unitprice) * 100) / 100 AS avg_price,
+          COUNT(DISTINCT customer_key) AS unique_customers,
+          COUNT(DISTINCT product_key) AS unique_products
+      FROM graft_fact_sales
+      UNION ALL
+      SELECT
+          'ELT' AS pipeline,
+          COUNT(*) AS total_rows,
+          CAST(SUM(totalamount) AS DOUBLE) AS total_revenue,
+          ROUND(CAST(SUM(unitprice) AS DOUBLE) / COUNT(unitprice) * 100) / 100 AS avg_price,
+          COUNT(DISTINCT customer_key) AS unique_customers,
+          COUNT(DISTINCT product_key) AS unique_products
+      FROM graft_fact_sales_elt"""))
+
+  /** The DSL row's oracle, shared by NAME — the gate fails loudly at
+    * registry-build time if a referenced row ever disappears, and the SQL
+    * rows can never drift onto a private oracle. */
+  private def sharedOracle(dslName: String): String = {
+    val all = graft.olap.Olap.defs ++ graft.etl.Dsuite.defs
+    all.find(_.name == dslName)
+      .getOrElse(throw new IllegalStateException(s"no DSL row named $dslName"))
+      .oracle
+      .getOrElse(throw new IllegalStateException(s"DSL row $dslName has no oracle"))
+  }
+
+  def defs: Seq[QueryDef] =
+    (olapSql ++ dsuiteSql).map { case (name, dslName, sql) =>
+      QueryDef(name,
+        (s, dir) => { register(s, dir); s.sql(sql) },
+        Some(sharedOracle(dslName)))
+    }
 }
