@@ -38,6 +38,35 @@ object Skew {
       .agg(sum("_partial").as("n"))
   }
 
+  /** [[autoSaltedSum]]'s outcome: the result frame plus the decision
+    * evidence (whether salting fired, and the measured top-1 key share
+    * that drove it) so callers and gate rows can assert the decision, not
+    * just the — intentionally identical — numbers. */
+  final case class AutoSalted(result: DataFrame, salted: Boolean, top1Share: Double)
+
+  /** Report → mitigation, closed-loop (r12, VERDICT r11 #7): measure the
+    * key distribution first, salt ONLY when the top-1 key's share of the
+    * rows crosses `topShareThreshold` (strictly greater). The decision
+    * runs on the |keys|-row count frame — one map-side-combined count
+    * pass, then a 1-row max/total aggregate — never a second scan of the
+    * fact for deciding. Uniform feeds skip the salting's second shuffle
+    * entirely; skewed feeds get the two-phase shape. Results are identical
+    * either route (the SkewSpec contract); only the physical plan differs. */
+  def autoSaltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      topShareThreshold: Double = 0.2, shards: Int = 16): AutoSalted = {
+    val r = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(max("c"), sum("c")).head()
+    val top1Share =
+      if (r.isNullAt(0) || r.getLong(1) == 0L) 0.0
+      else r.getLong(0).toDouble / r.getLong(1)
+    val salted = top1Share > topShareThreshold
+    val result =
+      if (salted) saltedSum(df, keys, valueCol, shards)
+      else df.groupBy(keys.map(col): _*)
+        .agg(sum(valueCol).as(s"sum_$valueCol"))
+    AutoSalted(result, salted, top1Share)
+  }
+
   /** EXACT heavy-hitter detection without shuffling the full key space
     * (r11) — the other side of skew handling: find the hot keys themselves.
     * A key is heavy when its count exceeds `factorPct`% of the mean

@@ -1055,6 +1055,28 @@ object EventOps extends QueryRegistry {
       GROUP BY user_id, total, nkeys
       HAVING 100 * count(*) * nkeys > 120 * total"""))),
 
+    // Report→mitigation closed loop (r12): a PLANTED 80%-hot key (every
+    // user_id ending 0-7 collapses onto key 0) must flip the auto-salting
+    // decision — the require turns a silent decision regression into a RED
+    // row — and the salted two-phase aggregate must equal the plain
+    // group-by truth the oracle computes.
+    QueryDef("events_auto_salted_sum",
+      (s, d) => {
+        val planted = events(s, d).select(
+          when(col("user_id") % 10 < 8, lit(0L)).otherwise(col("user_id"))
+            .as("hot_key"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val auto = graft.perf.Skew.autoSaltedSum(planted, Seq("hot_key"), "cents")
+        require(auto.salted,
+          f"planted 80%% skew must trigger salting (top1=${auto.top1Share}%.3f)")
+        auto.result
+      }, Some(oq("""
+      , asf AS (SELECT CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id END AS hot_key,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events)
+      SELECT hot_key, CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM asf GROUP BY hot_key"""))),
+
     QueryDef("events_interval_overlap", (s, d) => incidentActivityOverlap(events(s, d)), Some(oq("""
       , ierr AS (SELECT event_id AS error_id, epoch_us(ts) AS e_lo,
                         epoch_us(ts) + 600000000 AS e_hi

@@ -77,6 +77,35 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("autoSaltedSum: salts above the top-1 share threshold only, identical results either route") {
+    import spark.implicits._
+    // 100 rows: key "hot" holds exactly 30 → top-1 share 0.30
+    val df = ((1 to 30).map(i => ("hot", i.toLong)) ++
+      (31 to 100).map(i => (s"k${i % 35}", i.toLong)))
+      .toDF("k", "v")
+    val truth = df.groupBy("k").agg(sum("v").as("sum_v"))
+      .as[(String, Long)].collect().toMap
+
+    // strictly-greater boundary: share 0.30 vs threshold 0.30 → no salt;
+    // one epsilon below → salt
+    val at = Skew.autoSaltedSum(df, Seq("k"), "v", topShareThreshold = 0.30)
+    assert(!at.salted && math.abs(at.top1Share - 0.30) < 1e-12)
+    val below = Skew.autoSaltedSum(df, Seq("k"), "v", topShareThreshold = 0.2999)
+    assert(below.salted)
+    // identical numbers either route
+    assert(at.result.as[(String, Long)].collect().toMap === truth)
+    assert(below.result.as[(String, Long)].collect().toMap === truth)
+    // the salted route really is the two-phase plan (two aggregates deep)
+    val aggs = below.result.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size >= 2, below.result.queryExecution.optimizedPlan.toString)
+
+    // a uniform feed never salts at the default threshold
+    val uniform = (1 to 100).map(i => (s"k${i % 50}", i.toLong)).toDF("k", "v")
+    assert(!Skew.autoSaltedSum(uniform, Seq("k"), "v").salted)
+  }
+
   test("skew report: hand-computed Gini, percentiles, and top-1 share on a fixed distribution") {
     import spark.implicits._
     // keys with counts 1, 1, 2, 4 (sorted): n=4, total=8
