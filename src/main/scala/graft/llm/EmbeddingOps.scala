@@ -328,12 +328,15 @@ object EmbeddingOps extends QueryRegistry {
     * the rare float statistic both engines agree on; quartiles go through
     * round(…,6) before any derived arithmetic, so the fences are
     * bit-identical by construction. Two aggregations over the posexploded
-    * values; the |dims|-row quartile frame broadcasts back. At 100 TB the
-    * exact percentile swaps for `approx_percentile` per dim — same shape,
-    * sketch-mergeable. */
-  def embDimStats(emb: DataFrame): DataFrame = {
-    val vals = emb.select(posexplode(col("embedding")).as(Seq("pos0", "vf")))
+    * values; the |dims|-row quartile frame broadcasts back. The 100 TB
+    * form — `approx_percentile` per dim, sketch-mergeable, same shape —
+    * is [[embDimStatsApprox]], rank-contract-gated. */
+  private def dimVals(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("pos0", "vf")))
       .select((col("pos0") + 1).as("dim"), col("vf").cast("double").as("v"))
+
+  def embDimStats(emb: DataFrame): DataFrame = {
+    val vals = dimVals(emb)
     val q = vals.groupBy("dim").agg(
       round(expr("percentile(v, 0.25D)"), 6).as("q1"),
       round(expr("percentile(v, 0.5D)"), 6).as("median"),
@@ -346,6 +349,85 @@ object EmbeddingOps extends QueryRegistry {
           col("v") > col("q3") + iqr * 1.5, 1L).otherwise(0L)).as("n_outliers"))
       .select(col("dim"), col("n"), col("median"), col("q1"), col("q3"),
         iqr.as("iqr"), col("n_outliers"))
+  }
+
+  /** The 100 TB opt-in variant of [[embDimStats]] (r12, VERDICT r11 #2 —
+    * the swap the exact form's doc promised, now runnable): per-dim
+    * quartiles from `approx_percentile` (Greenwald–Khanna, rank error
+    * ≤ n/accuracy), whose sketches are MERGEABLE — partial aggregation
+    * combines per-partition sketches instead of sorting each dim's value
+    * column, the property that makes the pass feasible when one dim's
+    * values no longer sort in memory. Same fence/outlier shape; quartiles
+    * are actual data values (GK returns sample points, no interpolation),
+    * so they are deliberately NOT rounded — there is no synthetic
+    * interpolated float to stabilize. */
+  def embDimStatsApprox(emb: DataFrame, accuracy: Int = 1000): DataFrame = {
+    val vals = dimVals(emb)
+    val q = vals.groupBy("dim").agg(
+      expr(s"approx_percentile(v, 0.25D, $accuracy)").as("q1"),
+      expr(s"approx_percentile(v, 0.5D, $accuracy)").as("median"),
+      expr(s"approx_percentile(v, 0.75D, $accuracy)").as("q3"),
+      count(lit(1)).as("n"))
+    val iqr = col("q3") - col("q1")
+    vals.join(broadcast(q), Seq("dim"))
+      .groupBy(col("dim"), col("n"), col("median"), col("q1"), col("q3"))
+      .agg(sum(when(col("v") < col("q1") - iqr * 1.5 ||
+          col("v") > col("q3") + iqr * 1.5, 1L).otherwise(0L)).as("n_outliers"))
+      .select(col("dim"), col("n"), col("median"), col("q1"), col("q3"),
+        iqr.as("iqr"), col("n_outliers"))
+  }
+
+  /** Shared oracle for the exact dim-stats report and the approx gate row
+    * (which self-asserts the sketch and emits the exact frame). */
+  private def dimStatsOracleSql: String = s"""
+      , dvals AS (
+          SELECT t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS v
+          FROM embeddings CROSS JOIN generate_series(1, $Dim) t(i)),
+      dq AS (
+          SELECT dim, round(quantile_cont(v, 0.25), 6) AS q1,
+                 round(quantile_cont(v, 0.5), 6) AS median,
+                 round(quantile_cont(v, 0.75), 6) AS q3,
+                 count(*) AS n
+          FROM dvals GROUP BY 1)
+      SELECT q.dim, q.n, q.median, q.q1, q.q3, q.q3 - q.q1 AS iqr,
+             CAST(sum(CASE WHEN d.v < q.q1 - (q.q3 - q.q1) * 1.5
+                            OR d.v > q.q3 + (q.q3 - q.q1) * 1.5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dvals d JOIN dq q ON d.dim = q.dim
+      GROUP BY q.dim, q.n, q.median, q.q1, q.q3"""
+
+  /** Gate face of [[embDimStatsApprox]]: PROVES the approx path honors its
+    * rank contract, then emits the exact report for the shared oracle. For
+    * every dim and quartile p, the returned value's rank interval
+    * [count(v<a)+1, count(v≤a)] must intersect ⌈p·n⌉ ± (n/accuracy + 1) —
+    * the GK guarantee verified against the data itself, not against a
+    * tolerance picked to pass. A sketch regression turns this row RED. */
+  def embDimStatsApproxChecked(emb: DataFrame, accuracy: Int = 1000): DataFrame = {
+    val a = embDimStatsApprox(emb, accuracy)
+    val checks = dimVals(emb)
+      .join(broadcast(a.select("dim", "n", "q1", "median", "q3")), Seq("dim"))
+      .groupBy("dim", "n")
+      .agg(
+        sum(when(col("v") <= col("q1"), 1L).otherwise(0L)).as("le1"),
+        sum(when(col("v") < col("q1"), 1L).otherwise(0L)).as("lt1"),
+        sum(when(col("v") <= col("median"), 1L).otherwise(0L)).as("le2"),
+        sum(when(col("v") < col("median"), 1L).otherwise(0L)).as("lt2"),
+        sum(when(col("v") <= col("q3"), 1L).otherwise(0L)).as("le3"),
+        sum(when(col("v") < col("q3"), 1L).otherwise(0L)).as("lt3"))
+      .collect()
+    checks.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val tol = n.toDouble / accuracy + 1
+      Seq((0.25, "le1", "lt1"), (0.5, "le2", "lt2"), (0.75, "le3", "lt3"))
+        .foreach { case (p, le, lt) =>
+          val target = math.ceil(p * n)
+          require(r.getAs[Long](lt) < target + tol && r.getAs[Long](le) >= target - tol,
+            s"approx_percentile($p) rank violation on dim ${r.getAs[Long]("dim")}: " +
+              s"rank interval [${r.getAs[Long](lt) + 1}, ${r.getAs[Long](le)}] " +
+              s"vs target $target ± $tol")
+        }
+    }
+    embDimStats(emb)
   }
 
   /** Feature-drift report (r11) — per-dimension distribution SHIFT between
@@ -763,22 +845,16 @@ object EmbeddingOps extends QueryRegistry {
     QueryDef("emb_mmr_rerank",
       (s, d) => mmrRerank(emb(s, d)), Some(oq(mmrOracle(5, 20)))),
 
-    QueryDef("emb_dim_stats", (s, d) => embDimStats(emb(s, d)), Some(oq(s"""
-      , dvals AS (
-          SELECT t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS v
-          FROM embeddings CROSS JOIN generate_series(1, $Dim) t(i)),
-      dq AS (
-          SELECT dim, round(quantile_cont(v, 0.25), 6) AS q1,
-                 round(quantile_cont(v, 0.5), 6) AS median,
-                 round(quantile_cont(v, 0.75), 6) AS q3,
-                 count(*) AS n
-          FROM dvals GROUP BY 1)
-      SELECT q.dim, q.n, q.median, q.q1, q.q3, q.q3 - q.q1 AS iqr,
-             CAST(sum(CASE WHEN d.v < q.q1 - (q.q3 - q.q1) * 1.5
-                            OR d.v > q.q3 + (q.q3 - q.q1) * 1.5
-                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-      FROM dvals d JOIN dq q ON d.dim = q.dim
-      GROUP BY q.dim, q.n, q.median, q.q1, q.q3"""))),
+    QueryDef("emb_dim_stats", (s, d) => embDimStats(emb(s, d)),
+      Some(oq(dimStatsOracleSql))),
+
+    // the promised 100 TB approx-percentile swap, runnable and gated (r12):
+    // the query fn verifies the GK rank contract per dim/quartile against
+    // the data (require → RED on violation), then emits the exact report
+    // for the shared oracle
+    QueryDef("emb_dim_stats_approx",
+      (s, d) => embDimStatsApproxChecked(emb(s, d)),
+      Some(oq(dimStatsOracleSql))),
 
     // drift between the deterministic even/odd halves of the corpus: on the
     // synthetic embeddings the halves are i.i.d., so the CORRECT report is

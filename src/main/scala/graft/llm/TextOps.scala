@@ -219,9 +219,10 @@ object TextOps extends QueryRegistry {
     * |vocab|-row weight table that BROADCASTS onto the scoring join — the
     * corpus shuffles once on the token key for the tf aggregate and never
     * again. At trillion-token scale the integer weights would overflow
-    * int64 (T_pos·T_neg grows as the corpus squared) — there the weights
-    * normalize to double rate differences once at train time; the exact
-    * integer form is the oracle-gate discipline at test scale. */
+    * int64 (T_pos·T_neg grows as the corpus squared) — that regime's
+    * normalized-weight path is [[classifierTrainNormalized]], gated to the
+    * same decision surface; the exact integer form is the oracle-gate
+    * discipline at test scale. */
   /** The labeled (doc, token, tf) frame both classifier phases read —
     * cached once, so training and scoring share one tokenization pass
     * (cacheOnce resolves by plan, so separate [[classifierTrain]] /
@@ -270,6 +271,43 @@ object TextOps extends QueryRegistry {
       .agg(sum(col("tf") * coalesce(col("weight"), lit(0L))).as("score"))
       .select(col("doc_id"), col("label"), col("is_train"),
         col("score").cast("long").as("score"),
+        (col("score") > 0).as("predicted"),
+        ((col("score") > 0) === col("label")).as("agree"))
+  }
+
+  /** The trillion-token opt-in variant of [[classifierTrain]] (r12, VERDICT
+    * r11 #2 — the normalization the exact form's doc promised, now
+    * runnable): weights as double RATE differences `tf_pos/T_pos −
+    * tf_neg/T_neg`. The integer cross-multiplied weight is exactly this
+    * value scaled by the positive constant `T_pos·T_neg` — which grows as
+    * the corpus SQUARED and exits int64 near trillion-token class totals;
+    * the normalized form stays O(1) forever. Same positive scaling ⇒ token
+    * ranking and score signs are preserved (spec-pinned rank identity on
+    * the fixture; signs hold whenever |score| clears the fp accumulation
+    * error, ~1e-18 of a term vs ≥1/(T_pos·T_neg) for any nonzero score). */
+  def classifierTrainNormalized(docs: DataFrame): DataFrame = {
+    val cls = classifierTf(docs).filter(col("is_train"))
+      .groupBy("token")
+      .agg(sum(when(col("label"), col("tf")).otherwise(lit(0L))).as("tf_pos"),
+        sum(when(!col("label"), col("tf")).otherwise(lit(0L))).as("tf_neg"))
+    val totals = cls.agg(sum("tf_pos").as("t_pos"), sum("tf_neg").as("t_neg"))
+    cls.crossJoin(broadcast(totals))
+      .select(col("token"),
+        (col("tf_pos").cast("double") / col("t_pos") -
+          col("tf_neg").cast("double") / col("t_neg")).as("weight"))
+  }
+
+  /** [[classifierScores]] through the NORMALIZED weights — the at-scale
+    * serving path. Raw double scores are accumulation-order-dependent and
+    * never emitted; the decision surface (predicted/agree) is what the
+    * gate compares, against the INTEGER-weight oracle: the two weight
+    * forms must reach identical verdicts. */
+  def classifierScoresNormalized(docs: DataFrame): DataFrame = {
+    val tf = classifierTf(docs)
+    tf.join(broadcast(classifierTrainNormalized(docs)), Seq("token"), "left")
+      .groupBy("doc_id", "label", "is_train")
+      .agg(sum(col("tf") * coalesce(col("weight"), lit(0.0))).as("score"))
+      .select(col("doc_id"), col("label"), col("is_train"),
         (col("score") > 0).as("predicted"),
         ((col("score") > 0) === col("label")).as("agree"))
   }
@@ -331,9 +369,10 @@ object TextOps extends QueryRegistry {
     * need retuning per corpus); a rank cut is scale-free. Token counts
     * reuse the cached tf frame (zero extra tokenization); the ntile runs
     * over the NARROW (doc_id, score, n_tokens) frame and the cumulative
-    * windows over the 10-row rollup. At 100 TB the global ntile sort swaps
-    * for approx-quantile score boundaries + a map-side bucket assignment —
-    * same output contract; the exact rank is the gate discipline. */
+    * windows over the 10-row rollup. The 100 TB form — approx-quantile
+    * score boundaries + a map-side bucket assignment, no global sort — is
+    * [[classifierThresholdSweepApprox]], gated within its analytical bound;
+    * the exact rank here is the gate discipline. */
   def classifierThresholdSweep(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scores = classifierScores(docs).select("doc_id", "score")
@@ -355,6 +394,88 @@ object TextOps extends QueryRegistry {
         col("decile_tokens").cast("long").as("decile_tokens"),
         col("cum_docs"), col("cum_tokens"),
         (col("cum_tokens").cast("double") / col("total_tokens")).as("token_share"))
+  }
+
+  /** The 100 TB opt-in variant of [[classifierThresholdSweep]] (r12,
+    * VERDICT r11 #2): decile BOUNDARIES from `approx_percentile` over the
+    * narrow score frame, then a MAP-SIDE bucket assignment — no global
+    * ntile sort anywhere. Bucketing semantics differ from ntile only where
+    * ties straddle a boundary (value-bucketing keeps a tie block together
+    * where a rank cut splits it) plus the sketch's rank error — both
+    * bounded, and pinned by [[classifierSweepApproxChecked]]. */
+  def classifierThresholdSweepApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = classifierScores(docs).select("doc_id", "score")
+    val toks = classifierTf(docs).groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_tokens"))
+    // 9 descending boundaries (p90..p10 of the score distribution); decile
+    // 1 = scores at/above the p90 boundary, matching ntile's top tenth
+    val bounds = scores.agg(expr(
+      s"approx_percentile(score, array(${(1 to 9).reverse.map(_ / 10.0).mkString(", ")}), $accuracy)")
+      .as("bs")).head().getSeq[Long](0)
+    val bArr = array(bounds.map(lit): _*)
+    val ranked = scores.join(toks, Seq("doc_id"))
+      .withColumn("decile",
+        (lit(1) + size(filter(bArr, b => b > col("score")))).cast("int"))
+    val byDecile = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("decile_tokens"))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = byDecile.agg(sum("decile_tokens").as("total_tokens"))
+    byDecile
+      .withColumn("cum_docs", sum("n_docs").over(cum).cast("long"))
+      .withColumn("cum_tokens", sum("decile_tokens").over(cum).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col("decile").cast("long").as("decile"), col("n_docs"),
+        col("decile_tokens").cast("long").as("decile_tokens"),
+        col("cum_docs"), col("cum_tokens"),
+        (col("cum_tokens").cast("double") / col("total_tokens")).as("token_share"))
+  }
+
+  /** Shared oracle for the exact sweep and its approx gate (which pins the
+    * approx rollup to this truth, then emits the exact frame). */
+  private def sweepOracleSql: String = """
+      , qdoc AS (
+        SELECT q.doc_id,
+               CAST(sum(q.tf * coalesce(w.weight, 0)) AS BIGINT) AS score,
+               CAST(sum(q.tf) AS BIGINT) AS n_tokens
+        FROM qtf q LEFT JOIN qwt w ON w.token = q.token
+        GROUP BY q.doc_id),
+      qdec AS (
+        SELECT *, CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile
+        FROM qdoc),
+      qagg AS (
+        SELECT decile, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS decile_tokens
+        FROM qdec GROUP BY decile)
+      SELECT decile, n_docs, decile_tokens,
+             CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_docs,
+             CAST(sum(decile_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+             CAST(sum(decile_tokens) OVER (ORDER BY decile) AS DOUBLE) /
+               (SELECT sum(decile_tokens) FROM qagg) AS token_share
+      FROM qagg"""
+
+  /** Gate face of [[classifierThresholdSweepApprox]]: PROVES the map-side
+    * bucket rollup tracks the exact ntile rollup within its analytical
+    * bound — per decile, cumulative doc counts may differ by at most the
+    * sketch's rank error (n/accuracy) plus the largest score tie block
+    * (measured from the data, not hand-picked), +1 slack — then emits the
+    * exact sweep for the shared oracle. */
+  def classifierSweepApproxChecked(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val exact = classifierThresholdSweep(docs)
+    val approx = classifierThresholdSweepApprox(docs, accuracy)
+    val scores = classifierScores(docs).select("doc_id", "score")
+    val n = scores.count()
+    val maxTie = scores.groupBy("score").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head().getLong(0)
+    val tol = n.toDouble / accuracy + maxTie + 1
+    val e = exact.select("decile", "cum_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    approx.select("decile", "cum_docs").collect().foreach { r =>
+      val (d, c) = (r.getLong(0), r.getLong(1))
+      require(math.abs(c - e.getOrElse(d, 0L)) <= tol,
+        s"approx sweep decile $d cum_docs $c vs exact ${e.getOrElse(d, 0L)} exceeds tolerance $tol")
+    }
+    exact
   }
 
   /** The held-out evaluation of [[classifierScores]] — agreement with the
@@ -2218,25 +2339,27 @@ object TextOps extends QueryRegistry {
        FROM qcard WHERE weight < 0 ORDER BY weight ASC, token LIMIT 10)"""))),
 
     QueryDef("doc_classifier_sweep", (s, d) => classifierThresholdSweep(docs(s, d)),
+      Some(classifierOracle(sweepOracleSql))),
+
+    // the promised at-scale sweep (approx boundaries + map-side buckets),
+    // runnable and gated: the fn pins the rollup to the exact ntile truth
+    // within the analytical bound (rank error + largest tie block), then
+    // emits the exact sweep for the shared oracle
+    QueryDef("doc_classifier_sweep_approx",
+      (s, d) => classifierSweepApproxChecked(docs(s, d)),
+      Some(classifierOracle(sweepOracleSql))),
+
+    // the promised trillion-token weight normalization: double rate-diff
+    // weights must reach the SAME decision surface as the exact integer
+    // weights — the oracle recomputes predictions from the integer form
+    QueryDef("doc_classifier_scores_normalized",
+      (s, d) => classifierScoresNormalized(docs(s, d)),
       Some(classifierOracle("""
-      , qdoc AS (
-        SELECT q.doc_id,
-               CAST(sum(q.tf * coalesce(w.weight, 0)) AS BIGINT) AS score,
-               CAST(sum(q.tf) AS BIGINT) AS n_tokens
-        FROM qtf q LEFT JOIN qwt w ON w.token = q.token
-        GROUP BY q.doc_id),
-      qdec AS (
-        SELECT *, CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS decile
-        FROM qdoc),
-      qagg AS (
-        SELECT decile, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS decile_tokens
-        FROM qdec GROUP BY decile)
-      SELECT decile, n_docs, decile_tokens,
-             CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT) AS cum_docs,
-             CAST(sum(decile_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
-             CAST(sum(decile_tokens) OVER (ORDER BY decile) AS DOUBLE) /
-               (SELECT sum(decile_tokens) FROM qagg) AS token_share
-      FROM qagg"""))),
+      SELECT q.doc_id, q.label, q.is_train,
+             sum(q.tf * coalesce(w.weight, 0)) > 0 AS predicted,
+             (sum(q.tf * coalesce(w.weight, 0)) > 0) = q.label AS agree
+      FROM qtf q LEFT JOIN qwt w ON w.token = q.token
+      GROUP BY q.doc_id, q.label, q.is_train"""))),
 
     QueryDef("doc_token_count", (s, d) => tokenCount(docs(s, d)), Some(oq("""
       SELECT doc_id,

@@ -1193,6 +1193,61 @@ class LlmOpsSpec extends SparkSpec {
     card.filter(_._1.startsWith("neg")).foreach(t => assert(t._2 === 0L))
   }
 
+  test("normalized weights are rank-identical to integer weights and reach the same verdicts") {
+    val docs = TextOps.docs(spark, sfDir).select("doc_id", "text")
+    // token ranking: the normalized weight is the integer weight divided by
+    // the positive constant T_pos*T_neg, so (weight desc, token) order must
+    // agree exactly
+    def ranking(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("weight").desc, col("token"))
+      .select("token").as[String].collect().toSeq
+    assert(ranking(TextOps.classifierTrainNormalized(docs)) ===
+      ranking(TextOps.classifierTrain(docs).select(col("token"),
+        col("weight").cast("double").as("weight"))))
+    // decision surface: per-doc predicted/agree identical through either
+    // weight form
+    val ints = TextOps.classifierScores(docs)
+      .select("doc_id", "predicted", "agree")
+      .as[(Long, Boolean, Boolean)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val norm = TextOps.classifierScoresNormalized(docs)
+      .select("doc_id", "predicted", "agree")
+      .as[(Long, Boolean, Boolean)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(norm === ints)
+  }
+
+  test("approx sweep tracks the exact decile rollup within its analytical bound") {
+    val docs = TextOps.docs(spark, sfDir).select("doc_id", "text")
+    // the checked gate face requires the bound internally and returns the
+    // exact frame — a violated bound throws, a passing one is the gate row
+    val out = TextOps.classifierSweepApproxChecked(docs)
+    assert(out.count() === 10L)
+    // the approx variant's own rollup conserves docs and tokens exactly
+    val exact = TextOps.classifierThresholdSweep(docs)
+      .agg(sum("n_docs"), sum("decile_tokens")).as[(Long, Long)].head()
+    val approx = TextOps.classifierThresholdSweepApprox(docs)
+      .agg(sum("n_docs"), sum("decile_tokens")).as[(Long, Long)].head()
+    assert(approx === exact)
+  }
+
+  test("approx dim stats honor the GK rank contract and the checked gate emits the exact frame") {
+    val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
+    val checked = graft.llm.EmbeddingOps.embDimStatsApproxChecked(emb)
+    val exact = graft.llm.EmbeddingOps.embDimStats(emb)
+    assert(checked.collect().toSeq.toSet === exact.collect().toSeq.toSet)
+    // the approx variant agrees with exact on n and stays inside the
+    // exact quartile envelope on this well-populated fixture
+    val a = graft.llm.EmbeddingOps.embDimStatsApprox(emb)
+      .select("dim", "n", "median").as[(Long, Long, Double)].collect()
+      .map { case (d, n, m) => d -> ((n, m)) }.toMap
+    val e = exact.select("dim", "n", "q1", "q3")
+      .as[(Long, Long, Double, Double)].collect()
+    e.foreach { case (d, n, q1, q3) =>
+      val (na, ma) = a(d)
+      assert(na === n)
+      assert(ma >= q1 && ma <= q3, s"dim $d: approx median $ma outside [$q1, $q3]")
+    }
+  }
+
   test("classifier eval aggregates agreement per split") {
     val rows = (1L to 40L).map { i =>
       if (i % 2 == 1) (i, "the a the cat") else (i, "datum vector kernel") }
