@@ -437,6 +437,11 @@ object Bench {
       time("multimodal_wav_decode")(
         graft.llm.MultimodalOps.decodeWav(
           graft.llm.MultimodalOps.wavFixture(spark, sfDir)).toDF())
+      // r12: the compressed codec — encode+deflate fixture and full
+      // CRC/inflate/filter-reconstruction decode per rep, partition-local
+      time("multimodal_png_decode")(
+        graft.llm.MultimodalOps.decodePng(
+          graft.llm.MultimodalOps.pngFixture(spark, sfDir)).toDF())
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))

@@ -60,6 +60,81 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // -- the real PNG codec (r12) --------------------------------------------
+
+  test("parsePng decodes a hand-computed image exactly under every filter type") {
+    // 2 wide × 5 tall — one row per filter type (None/Sub/Up/Average/Paeth),
+    // values spanning the byte range so the modular filter arithmetic and
+    // sign handling are both exercised
+    val px = Array(
+      0, 10, 20, 250, 240, 230,
+      5, 15, 25, 255, 1, 128,
+      100, 110, 120, 130, 140, 150,
+      200, 201, 202, 3, 4, 5,
+      90, 80, 70, 60, 50, 40).map(_.toByte)
+    val img = MultimodalOps.pngEncode(px, 2, 5, y => y)
+    val f = MultimodalOps.parsePng(9L, img)
+    def mean(c: Int) = (0 until 10).map(p => px(3 * p + c) & 0xff).sum / 10.0
+    assert(f === MultimodalOps.PngFeatures(9L, 2, 5, mean(0), mean(1), mean(2)))
+  }
+
+  test("parsePng concatenates a split IDAT stream and skips CRC-valid ancillary chunks") {
+    val px = Array.tabulate(3 * 4 * 3)(i => ((i * 37) % 256).toByte)
+    val img = MultimodalOps.pngEncode(px, 3, 4, _ % 5, idatChunks = 3)
+    val f = MultimodalOps.parsePng(1L, img)
+    assert(f.width === 3 && f.height === 4)
+    assert(f.mean_r === (0 until 12).map(p => px(3 * p) & 0xff).sum / 12.0)
+  }
+
+  test("parsePng rejects bad signature, CRC corruption, truncated IDAT, and wrong profile") {
+    val px = Array.tabulate(2 * 2 * 3)(i => (i * 11).toByte)
+    val good = MultimodalOps.pngEncode(px, 2, 2, _ => 0)
+    // signature
+    intercept[IllegalArgumentException] {
+      MultimodalOps.parsePng(1L, "JFIF".getBytes ++ good.drop(4))
+    }
+    // flip one raster byte inside the first IDAT payload → CRC mismatch
+    val crcBad = good.clone()
+    val idatOff = {
+      var o = 8
+      while (new String(crcBad, o + 4, 4, "US-ASCII") != "IDAT")
+        o += 12 + (((crcBad(o) & 0xff) << 24) | ((crcBad(o + 1) & 0xff) << 16) |
+          ((crcBad(o + 2) & 0xff) << 8) | (crcBad(o + 3) & 0xff))
+      o
+    }
+    crcBad(idatOff + 10) = (crcBad(idatOff + 10) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException] { MultimodalOps.parsePng(1L, crcBad) }
+    assert(e.getMessage.contains("CRC"))
+    // truncated container (IEND never reached)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.parsePng(1L, good.dropRight(13))
+    }
+    // greyscale color type is outside the supported profile
+    val grey = good.clone()
+    grey(8 + 8 + 9) = 0 // IHDR color-type byte
+    val crc = new java.util.zip.CRC32()
+    crc.update(grey, 12, 17) // re-CRC the doctored IHDR (type + 13 data bytes)
+    val v = crc.getValue
+    grey(29) = ((v >> 24) & 0xff).toByte; grey(30) = ((v >> 16) & 0xff).toByte
+    grey(31) = ((v >> 8) & 0xff).toByte; grey(32) = (v & 0xff).toByte
+    val e2 = intercept[IllegalArgumentException] { MultimodalOps.parsePng(1L, grey) }
+    assert(e2.getMessage.contains("color type"))
+  }
+
+  test("png decode is partition-local and fixture images hit their analytic features") {
+    val ds = MultimodalOps.decodePng(MultimodalOps.pngFixture(spark, sfDir))
+    assert(!ds.queryExecution.executedPlan.toString.contains("Exchange"))
+    val feats = ds.collect().map(f => f.doc_id -> f).toMap
+    assert(feats.nonEmpty)
+    feats.foreach { case (id, f) =>
+      val w = (1 + id % 32).toInt; val h = (1 + id % 24).toInt
+      assert(f.width === w && f.height === h)
+      val n = w * h
+      assert(f.mean_r === (0 until n).map(p => ((id + p) % 256).toDouble).sum / n)
+      assert(f.mean_g === (0 until n).map(p => ((id + p + 17) % 256).toDouble).sum / n)
+    }
+  }
+
   test("fixture images round-trip through the decoder to their analytic features") {
     val feats = MultimodalOps.decodePpm(MultimodalOps.ppmFixture(spark, sfDir))
       .collect().map(f => f.doc_id -> f).toMap
