@@ -99,4 +99,23 @@ class PqAnnSpec extends SparkSpec {
       assert(brute((r.getLong(0), r.getLong(1))) === r.getDouble(2))
     }
   }
+
+  test("persisted IVF-PQ index serves identically to in-memory IVF-ADC, with partition pruning") {
+    val cents = IvfAnn.train(emb)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec_")
+      .toString + "/index"
+    PqAnn.writeIvfPqIndex(emb, cents, books, path)
+    // the layout is one directory per IVF list, holding codes (no floats)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+    assert(dirs.nonEmpty)
+    assert(!spark.read.parquet(path).columns.contains("embedding"))
+    val served = PqAnn.searchIvfPqIndex(spark, path, emb, cents, books)
+    val inMem = PqAnn.searchIvfAdc(emb, cents, books)
+    assert(served.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ===
+      inMem.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    // the serve scan prunes list directories dynamically from the probes
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(4000))
+  }
 }
