@@ -205,6 +205,44 @@ object Molap extends QueryRegistry {
       s"MV rewrite left a base-table scan in the plan: ${scanned.mkString(", ")}")
   }
 
+  /** Key-filter derivability gate (r12): the dashboard slice — an aggregate
+    * WITH a WHERE on a group-key column — must still serve from the MV: a
+    * key predicate selects whole summary cells, so it replays on the MV
+    * exactly (the rewrite maps it onto the summary's columns). The
+    * scenario mirrors [[mvRewriteCountry]]; the query slices to months
+    * from 1997 on before rolling up by country. */
+  private def mvRewriteFiltered(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_mvfil_").toString
+    val w = Warehouse(s, dir)
+    w.factSalesElt
+      .filter(col("date_key") =!= graft.FallbackDateKey)
+      .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+      .select(keyMonth,
+        coalesce(col("country"), lit("UNKNOWN")).as("country"),
+        col("totalamount"), col("quantity"))
+      .write.parquet(s"$base/grain")
+    s.read.parquet(s"$base/grain")
+      .groupBy("month", "country")
+      .agg(sum("totalamount").as("rev_p"), sum("quantity").as("qty_p"),
+        count(lit(1)).as("n_rows"))
+      .write.parquet(s"$base/mv")
+    graft.plans.MvRewrite.register(s, s"$base/grain", s.read.parquet(s"$base/mv"),
+      keys = Seq("month", "country"),
+      sums = Map("totalamount" -> "rev_p", "quantity" -> "qty_p"),
+      countCol = Some("n_rows"))
+    graft.plans.MvRewrite.servingScoped(s) {
+      val out = s.read.parquet(s"$base/grain")
+        .filter(col("month") >= lit(java.sql.Date.valueOf("1997-01-01")))
+        .groupBy("country")
+        .agg(sum("totalamount").as("rev"), sum("quantity").as("total_quantity"),
+          count(lit(1)).as("n_rows"))
+        .select(col("country"), col("rev").cast("double").as("revenue"),
+          col("total_quantity"), col("n_rows"))
+      requireMvScan(out)
+      out
+    }
+  }
+
   /** AVG / MIN / MAX derivability gate (r12, VERDICT r11 #5): same scenario
     * shape as [[mvRewriteCountry]], but the summary carries the per-measure
     * count / min / max partials and the rerouted aggregate asks for the
@@ -272,6 +310,20 @@ object Molap extends QueryRegistry {
              CAST(max(totalamount) AS DOUBLE) AS max_amount,
              count(*) AS n_rows
       FROM mvb GROUP BY country"""))),
+
+    QueryDef("molap_mv_rewrite_filtered", mvRewriteFiltered, Some(q(s"""
+      , mvg AS (
+          SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+                 coalesce(c.country, 'UNKNOWN') AS country,
+                 f.totalamount, f.quantity
+          FROM fact_sales_elt f
+          JOIN dim_date d ON f.date_key = d.date_key
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          WHERE f.date_key <> ${graft.FallbackDateKey})
+      SELECT country, CAST(sum(totalamount) AS DOUBLE) AS revenue,
+             CAST(sum(quantity) AS BIGINT) AS total_quantity,
+             count(*) AS n_rows
+      FROM mvg WHERE month >= DATE '1997-01-01' GROUP BY country"""))),
 
     QueryDef("molap_mv_rewrite_country", mvRewriteCountry, Some(q(s"""
       , mvb AS (

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, HllUnionAgg, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
@@ -28,7 +28,12 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   *    map, or `count(<literal>)` with a registered row-count partial —
   *    both re-aggregable as sums of partials. Non-decomposable aggregates
   *    (count DISTINCT, medians) disqualify the whole aggregate;
-  *  - no DISTINCT / FILTER modifiers.
+  *  - no DISTINCT / FILTER modifiers;
+  *  - WHERE predicates between the aggregate and the scan (r12) are
+  *    deterministic and reference GROUP-KEY columns only — such a
+  *    predicate selects whole MV cells and replays on the summary
+  *    exactly; anything touching a measure column filters rows inside a
+  *    cell (not derivable from partials) and disqualifies.
   * Exactness: partials are kept in the base's EXACT types (decimal/long),
   * so re-aggregation is bit-identical to the direct aggregate — a double
   * partial would re-sum in a different accumulation order. The re-sum's
@@ -147,16 +152,25 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (!enabled || registry.isEmpty) plan
     else plan.transform {
       case agg @ Aggregate(_, _, child, _) =>
-        matchBase(child).flatMap(tryRewrite(agg, _)).getOrElse(agg)
+        matchBase(child).flatMap { case (reg, keyFilters) =>
+          tryRewrite(agg, reg, keyFilters)
+        }.getOrElse(agg)
     }
 
-  /** The registration whose base table `child` scans — plain-column
-    * projections between aggregate and scan are accepted (pruning leaves
-    * them in varying shapes), anything computed disqualifies. */
-  private def matchBase(child: LogicalPlan): Option[Registration] = {
+  /** The registration whose base table `child` scans, plus any filters
+    * found between the aggregate and the scan. Plain-column projections
+    * are accepted (pruning leaves them in varying shapes). Filters are
+    * accepted ONLY when deterministic and referencing GROUP-KEY columns
+    * exclusively (r12): a key predicate selects whole MV cells, so it
+    * commutes with partial re-aggregation and replays on the summary
+    * exactly; a predicate touching any measure column filters base ROWS
+    * inside a cell — not derivable from partials — and disqualifies. */
+  private def matchBase(child: LogicalPlan): Option[(Registration, Seq[Expression])] = {
+    var filters = List.empty[Expression]
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case Project(projList, c)
           if projList.forall(_.isInstanceOf[AttributeReference]) => strip(c)
+      case Filter(cond, c) => filters ::= cond; strip(c)
       case other => other
     }
     strip(child) match {
@@ -167,6 +181,11 @@ object MvRewrite extends Rule[LogicalPlan] {
           // would let file:///x shadow hdfs:///x and reroute a foreign table
           val paths = fs.location.rootPaths.map(_.toUri.toString).toSet
           registry.asScala.find(r => paths.contains(r.baseLocation))
+            .filter { r =>
+              filters.forall(f => f.deterministic &&
+                f.references.forall(a => r.keys(a.name)))
+            }
+            .map(r => (r, filters))
         case _ => None
       }
       case _ => None
@@ -187,9 +206,17 @@ object MvRewrite extends Rule[LogicalPlan] {
         (fresh, leaf.output.zip(fresh.output))
     }
 
-  private def tryRewrite(agg: Aggregate, reg: Registration): Option[LogicalPlan] = {
-    val mv = freshMv(reg.mv)
-    val mvOut = mv.output.map(a => a.name -> a).toMap
+  private def tryRewrite(agg: Aggregate, reg: Registration,
+      keyFilters: Seq[Expression]): Option[LogicalPlan] = {
+    val mvScan = freshMv(reg.mv)
+    val mvOut = mvScan.output.map(a => a.name -> a).toMap
+    // replay the base's key predicates on the MV (same columns, same
+    // values — whole cells pass or fail exactly as their rows did)
+    val mv: LogicalPlan =
+      if (keyFilters.isEmpty) mvScan
+      else Filter(keyFilters.map(_.transform {
+        case a: AttributeReference => mvOut(a.name)
+      }).reduce(And), mvScan)
     val groups = agg.groupingExpressions.map {
       case a: AttributeReference if reg.keys(a.name) => mvOut(a.name)
       case _ => return None

@@ -217,6 +217,30 @@ object SinkQueries extends QueryRegistry {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
   }
 
+  /** Versioned compaction (r12): the maintenance op as a committed
+    * snapshot — the dim created FRAGMENTED (40 files), compacted into a
+    * published v2. The fn self-asserts the protocol contract: the CDC feed
+    * across the compaction is EMPTY (bytes moved, rows never), the file
+    * count genuinely shrank, and v1 stays time-travelable; the oracle then
+    * hash-checks the compacted read against the dim identity. */
+  private def versionedCompact(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_vtcomp_").toString + "/t"
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(s, root, p.repartition(40))
+    require(VersionedTable.compact(s, root, targetBytes = 1L << 30) == 2,
+      "compaction must commit as v2")
+    require(VersionedTable.changes(s, root, 1, 2, Seq("stockcode")).isEmpty,
+      "compaction must not change any row")
+    def nFiles(v: Int) = new java.io.File(f"$root/v$v%05d").listFiles()
+      .count(_.getName.startsWith("part-"))
+    require(nFiles(2) < nFiles(1),
+      s"compaction must shrink the file count (v1=${nFiles(1)}, v2=${nFiles(2)})")
+    VersionedTable.read(s, root)
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("category"))
+  }
+
   /** Versioned erasure purge (r12, VERDICT r11 #6): the product dim created
     * at v1, every 13th stockcode purged by TOMBSTONE LIST through
     * [[VersionedTable.deleteKeys]] (the erasure request as it actually
@@ -355,6 +379,11 @@ object SinkQueries extends QueryRegistry {
       JOIN dim_date d ON f.date_key = d.date_key
       LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
       GROUP BY 1, 2, 3"""))),
+
+    QueryDef("sink_versioned_compact", versionedCompact,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM dim_product"""))),
 
     QueryDef("sink_versioned_delete_keys", versionedDeleteKeys,
       Some(graft.oracle.OracleSql.q("""

@@ -128,6 +128,23 @@ object VersionedTable {
     next
   }
 
+  /** Small-file compaction as a committed snapshot (r12) — the maintenance
+    * op composed with the protocol: [[Compaction.compactDir]] packs the
+    * current snapshot's fragments into ≥`targetBytes` files (keep-as-is
+    * files byte-copied, never re-encoded) and one manifest swap publishes
+    * the result. Readers of older versions are untouched; the [[changes]]
+    * feed across a compaction is EMPTY by construction — the operation
+    * moves bytes, never rows (spec- and gate-asserted). Returns the
+    * committed version. */
+  def compact(spark: SparkSession, root: String, targetBytes: Long): Int = {
+    val cur = vDir(root, latestVersion(spark, root))
+    val (next, dir) = nextDir(spark, root)
+    Compaction.compactDir(spark, cur, dir, targetBytes)
+    val (fs, rootP) = fsOf(spark, root)
+    commit(fs, rootP, next)
+    next
+  }
+
   /** Row-level change feed between two committed snapshots — the CDC read
     * a downstream incremental pipeline consumes instead of re-scanning the
     * table (r11): every key classified as insert / delete / update (emitting

@@ -120,6 +120,33 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("key-column filters replay on the MV; measure or nondeterministic filters stay on base") {
+    withMv { base =>
+      val grain = spark.read.parquet(s"$base/grain")
+      // a deterministic predicate over a group key reroutes, with the
+      // filter replayed on the summary cells — results identical
+      def query() = grain.filter(col("k") >= 3L)
+        .groupBy("c").agg(sum("qty").as("tq"), count(lit(1)).as("n"))
+      val rr = query()
+      assert(scannedPaths(rr).forall(_.endsWith("/mv")), scannedPaths(rr))
+      val direct = {
+        spark.conf.set(MvRewrite.EnabledKey, "false")
+        try query().as[(String, Long, Long)].collect().toSet
+        finally spark.conf.set(MvRewrite.EnabledKey, "true")
+      }
+      assert(rr.as[(String, Long, Long)].collect().toSet === direct)
+      assert(rr.select(sum("n")).as[Long].head() ===
+        (1L to 100L).count(i => i % 7 >= 3).toLong)
+      // a predicate on a MEASURE filters rows inside a cell — not derivable
+      val mf = grain.filter(col("qty") > 50L).groupBy("c").agg(sum("qty").as("t"))
+      assert(scannedPaths(mf).forall(_.endsWith("/grain")), scannedPaths(mf))
+      // a nondeterministic predicate never reroutes, even when it touches
+      // no measure column (rand() < 1 gets constant-folded; .999999 doesn't)
+      val nd = grain.filter(rand() < 0.999999).groupBy("c").agg(sum("qty").as("t"))
+      assert(scannedPaths(nd).forall(_.endsWith("/grain")), scannedPaths(nd))
+    }
+  }
+
   test("empty base: rewritten global count is 0 (not NULL) and schema stays non-nullable") {
     val base = java.nio.file.Files.createTempDirectory("graft_mvempty_").toString
     Seq.empty[(String, Long)].toDF("c", "qty").write.parquet(s"$base/grain")

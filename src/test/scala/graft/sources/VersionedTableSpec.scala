@@ -46,6 +46,21 @@ class VersionedTableSpec extends SparkSpec {
     assert(feed === Set(("delete", 3L), ("delete", 7L)))
   }
 
+  test("compaction commits a byte-moving snapshot: same rows, empty feed, fewer files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_c_").toString + "/t"
+    val v1 = (1L to 200L).map(i => (i, s"p_$i")).toDF("id", "payload")
+    VersionedTable.create(spark, root, v1.repartition(16))
+    assert(VersionedTable.compact(spark, root, targetBytes = 1L << 30) === 2)
+    def rows(v: Option[Int]) = VersionedTable.read(spark, root, v)
+      .as[(Long, String)].collect().toSet
+    assert(rows(None) === rows(Some(1)))
+    assert(rows(None).size === 200)
+    assert(VersionedTable.changes(spark, root, 1, 2, Seq("id")).isEmpty)
+    def nFiles(v: Int) = new java.io.File(f"$root/v$v%05d").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(nFiles(2) < nFiles(1))
+  }
+
   test("an orphan version dir from a crashed commit is invisible and overwritten") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_o_").toString + "/t"
     VersionedTable.create(spark, root, Seq((1L, "a")).toDF("id", "payload"))
