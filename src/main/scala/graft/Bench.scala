@@ -98,7 +98,9 @@ object Bench {
     "events_heavy_users" -> 0.25, "multimodal_wav_decode" -> 0.14,
     "doc_quality_gopher" -> 0.85,
     "doc_classifier_scores" -> 0.63, "doc_split_leakage_safe" -> 0.49,
-    "emb_hard_negatives" -> 0.28)
+    "emb_hard_negatives" -> 0.28,
+    // r12 additions, steady values from a clean (warns:[]) r12 builder run
+    "multimodal_png_decode" -> 0.30, "sql_olap_q1" -> 0.50)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds
@@ -386,6 +388,10 @@ object Bench {
 
       // OLAP suite + MOLAP builds.
       time("olap_q1")(Olap.q1(w)); time("olap_q2")(Olap.q2(w)); time("olap_q3")(Olap.q3(w))
+      // r12: the verbatim-SQL surface must cost what the DSL costs — same
+      // Catalyst pipeline, same cached warehouse (the delta is re-planning
+      // the SQL text per rep, which IS the surface's real serving cost)
+      time("sql_olap_q1")(SparkEntry.queries("sql_olap_q1")(spark, sfDir))
       time("olap_q4")(Olap.q4(w)); time("olap_q5")(Olap.q5(w)); time("olap_q6")(Olap.q6(w))
       time("olap_q7")(Olap.q7(w))
       time("molap_month_country")(Molap.monthCountry(w))

@@ -59,6 +59,12 @@ object IncrementalEtl extends QueryRegistry {
       .agg(
         sum("totalamount").as("revenue"),
         sum("quantity").as("qty"),
+        // r12: the full algebraic partial set — row count (merges by sum),
+        // min/max (merge by min/max) — so the maintained summary also
+        // serves count(*), avg (Σsum/Σcount), and min/max through MvRewrite
+        count(lit(1)).as("n_rows"),
+        min("totalamount").as("amt_min"),
+        max("totalamount").as("amt_max"),
         hll_sketch_agg(col("invoiceid")).as("inv_sketch"))
   }
 
@@ -89,6 +95,8 @@ object IncrementalEtl extends QueryRegistry {
           else spark.read.parquet(summaryPath).unionByName(cells)
             .groupBy("month", "country")
             .agg(sum("revenue").as("revenue"), sum("qty").as("qty"),
+              sum("n_rows").as("n_rows"),
+              min("amt_min").as("amt_min"), max("amt_max").as("amt_max"),
               hll_union_agg(col("inv_sketch")).as("inv_sketch"))
         // write-then-swap: the job reads `dest` while writing `tmp`, so no
         // snapshot of the input is needed and the window where `dest` is
@@ -184,7 +192,15 @@ object IncrementalEtl extends QueryRegistry {
     graft.plans.MvRewrite.register(s, s"$base/grain", s.read.parquet(s"$base/summary"),
       keys = Seq("month", "country"),
       sums = Map("totalamount" -> "revenue", "quantity" -> "qty"),
-      distincts = Map("invoiceid" -> "inv_sketch"))
+      distincts = Map("invoiceid" -> "inv_sketch"),
+      // r12: the maintained row-count/min/max partials serve count(*),
+      // avg (Σsum/Σcount — the count partials are valid per-column counts
+      // because the fact's measures are non-null by construction; the
+      // oracle compare would catch a NULL slipping in), and min/max
+      countCol = Some("n_rows"),
+      counts = Map("totalamount" -> "n_rows", "quantity" -> "n_rows"),
+      mins = Map("totalamount" -> "amt_min"),
+      maxs = Map("totalamount" -> "amt_max"))
     // flags are NOT set here: each gate row runs its query inside
     // MvRewrite.servingScoped, which enables the rewrite, materializes the
     // result while it is active, and restores the session confs (ADVICE
@@ -243,7 +259,43 @@ object IncrementalEtl extends QueryRegistry {
     }
   }
 
+  /** The avg/min/max serving face (r12): the same stream-maintained
+    * summary answers the dashboard's `avg`/`min`/`max`/`count(*)` rollup
+    * through the extended [[graft.plans.MvRewrite]] derivations — avg as
+    * Σsum-partial / Σcount-partial (bit-exact decimal divide), min/max
+    * from the maintained extrema. Plan-asserted summary-only scan; the
+    * oracle recomputes the decimal average in integer cents (the
+    * `molap_mv_rewrite_avg` discipline). */
+  private def streamMvServingAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = mvServingScenario(s, dir)
+    graft.plans.MvRewrite.servingScoped(s) {
+      requireServedFromSummary(
+        s.read.parquet(s"$base/grain")
+          .groupBy("country")
+          .agg(avg("totalamount").cast("double").as("avg_amount"),
+            min("totalamount").cast("double").as("min_amount"),
+            max("totalamount").cast("double").as("max_amount"),
+            count(lit(1)).as("n_rows")))
+    }
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_mv_serving_avg", streamMvServingAvg, Some(q("""
+      , sag AS (
+          SELECT coalesce(c.country, 'UNKNOWN') AS country, f.totalamount
+          FROM fact_sales f
+          LEFT JOIN dim_customer c ON f.customer_key = c.customer_key
+          WHERE f.date_key <> 19700101000000)
+      SELECT country,
+             CAST((sum(CAST(totalamount * 100 AS BIGINT)) * 10000
+                   + count(totalamount) // 2) // count(totalamount) AS DOUBLE)
+               / 1000000 AS avg_amount,
+             CAST(min(totalamount) AS DOUBLE) AS min_amount,
+             CAST(max(totalamount) AS DOUBLE) AS max_amount,
+             count(*) AS n_rows
+      FROM sag GROUP BY country"""))),
+
     QueryDef("stream_mv_serving_roundtrip", streamMvServingRoundtrip, Some(q("""
       SELECT coalesce(c.country, 'UNKNOWN') AS country,
              CAST(sum(f.totalamount) AS DOUBLE) AS revenue,
