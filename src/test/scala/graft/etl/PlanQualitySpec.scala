@@ -233,4 +233,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("the verbatim-SQL Q1 plans like the DSL row: broadcast dims, map-side partial agg, no SMJ") {
+    // same Catalyst pipeline is the SQL surface's core claim — the literal
+    // reference SQL must pick the plan the DSL row gets, not a worse one
+    val q = graft.SparkEntry.queries("sql_olap_q1")(spark, sfDir)
+    q.queryExecution.toRdd.count() // finalize AQE so the real joins show
+    // cut at the cached warehouse lineage (InMemoryRelation embeds the
+    // BUILD plan, which is not part of this query's execution)
+    val plan = q.queryExecution.executedPlan.toString
+      .split("InMemoryRelation").head
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan) // date + customer dims
+    assert(plan.contains("partial_sum"), plan) // map-side combine below the exchange
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
