@@ -326,6 +326,76 @@ object Scd2 extends QueryRegistry {
     true
   }
 
+  /** Right-to-be-forgotten purge across the WHOLE version history (r12):
+    * tombstoned keys disappear from the open set AND from every closed
+    * segment — erasure is the one operation allowed to rewrite committed
+    * history (the legal mandate overrides the append-only contract, which
+    * otherwise holds). Segment-SELECTIVE: one semi-join probe over the
+    * manifest's segments finds which actually hold a victim row
+    * (`input_file_name` → segment dir, metadata-sized), only those are
+    * rewritten (anti-join, under a purge name); untouched segments survive
+    * byte-stable under their existing names. The open set rewrites to
+    * `open_<fold+1>` and ONE manifest swap at `fold+1` with the SAME
+    * committed `as_of` publishes everything — a purge is not a snapshot
+    * drop, so replay-skip and ordering semantics of future folds are
+    * unchanged. Crash before the swap leaves only debris the existing
+    * sweeps ignore/collect; crash after leaves retired dirs the post-commit
+    * sweep (re-)collects. NULL-keyed rows never match a tombstone and
+    * survive, as in [[graft.sources.Dml.deleteKeys]]. Single-writer by
+    * contract, like every store mutation. Returns the names of the
+    * segments that were rewritten. */
+  def purgeKeys(spark: SparkSession, root: String, tombstones: DataFrame,
+      keys: Seq[String]): Seq[String] = {
+    val (fs, rootP) = fsOf(spark, root)
+    val c = readCommit(fs, rootP).getOrElse(throw new IllegalStateException(
+      s"no committed SCD2 history at $root"))
+    val next = c.fold + 1
+    val keySet = tombstones.select(keys.map(col): _*).distinct().cache()
+    try {
+      // probe: which committed segments hold at least one victim version
+      val affected: Set[String] =
+        if (c.segs.isEmpty) Set.empty
+        else spark.read.parquet(c.segs.map(s => s"$root/closed/$s"): _*)
+          .withColumn("_probe_file", input_file_name())
+          .join(keySet, keys, "left_semi")
+          .select("_probe_file").distinct().collect()
+          .map(r => new org.apache.hadoop.fs.Path(
+            new java.net.URI(r.getString(0))).getParent.getName)
+          .toSet
+      val newSegs = c.segs.map { s =>
+        if (!affected(s)) s
+        else {
+          val purged = f"pseg_$next%06d_$s"
+          val tmp = new org.apache.hadoop.fs.Path(rootP, "_purge.tmp")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          spark.read.parquet(s"$root/closed/$s")
+            .join(keySet, keys, "left_anti")
+            .write.parquet(tmp.toString)
+          val dest = new org.apache.hadoop.fs.Path(rootP, s"closed/$purged")
+          if (fs.exists(dest)) fs.delete(dest, true)
+          fs.rename(tmp, dest)
+          purged
+        }
+      }
+      // the open set always rewrites to the next fold's directory
+      val openTmp = new org.apache.hadoop.fs.Path(rootP, "_purge_open.tmp")
+      if (fs.exists(openTmp)) fs.delete(openTmp, true)
+      spark.read.parquet(s"$root/open_${c.fold}")
+        .join(keySet, keys, "left_anti")
+        .write.parquet(openTmp.toString)
+      val openDest = new org.apache.hadoop.fs.Path(rootP, s"open_$next")
+      if (fs.exists(openDest)) fs.delete(openDest, true)
+      fs.rename(openTmp, openDest)
+      // the commit point
+      writeCommit(fs, rootP, Commit(next, c.asOf, newSegs))
+      // post-commit sweep: retired segments + the pre-purge open set
+      affected.foreach(s =>
+        fs.delete(new org.apache.hadoop.fs.Path(rootP, s"closed/$s"), true))
+      fs.delete(new org.apache.hadoop.fs.Path(rootP, s"open_${c.fold}"), true)
+      c.segs.filter(affected).toList
+    } finally { keySet.unpersist(); () }
+  }
+
   /** Continuous dimension maintenance (the streaming face of
     * [[foldSnapshot]]): a drop directory of snapshot files, each row
     * stamped with its snapshot's effective timestamp in an `as_of` column —
@@ -565,6 +635,26 @@ object Scd2 extends QueryRegistry {
     readHistory(spark, root)
   }
 
+  /** The fold chain, then an erasure purge of every 10th customer across
+    * the whole store (r12). Every victim IS multi-version (cid%10 ⇒ cid%5 ⇒
+    * the T2 title change closed its v1 row), so the purge must genuinely
+    * rewrite closed segments — the require turns a no-op purge RED. The
+    * oracle is the full-history spec minus the victims, so a surviving
+    * victim version (open or closed) or a lost survivor hash-mismatches. */
+  private def customerScd2Purged(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2, v3) = customerSnapshots(Warehouse(spark, dir))
+    val root = java.nio.file.Files.createTempDirectory("graft_scd2_purge_").toString + "/hist"
+    foldSnapshot(spark, v1, CT1, custKeys, custAttrs, root)
+    foldSnapshot(spark, v2, CT2, custKeys, custAttrs, root)
+    foldSnapshot(spark, v3, CT3, custKeys, custAttrs, root)
+    foldSnapshot(spark, v3, CT4, custKeys, custAttrs, root)
+    val tombstones = v1.filter(col("customerid").cast("long") % 10 === 0)
+      .select("customerid")
+    require(purgeKeys(spark, root, tombstones, custKeys).nonEmpty,
+      "the purge must rewrite at least one closed segment")
+    readHistory(spark, root)
+  }
+
   // Row-by-row semantic spec of the 3-snapshot multi-attr history. A
   // "change" is a VALUE change (IS DISTINCT FROM — the null-safe compare):
   // a NULL-country key hit by the %3 relocation rule still has a NULL
@@ -606,6 +696,39 @@ object Scd2 extends QueryRegistry {
              TIMESTAMP '$CT3' AS valid_from, NULL AS valid_to
       FROM mc3 WHERE cid % 7 <> 0 AND cid % 4 = 0""")
 
+  // The same semantic spec minus the purged keys (cid % 10) — every
+  // version of a victim is gone, every survivor version untouched.
+  private val customerPurgedOracle = oq(s"""
+      , mc AS (SELECT customerid, CAST(customerid AS BIGINT) AS cid,
+                      customername, country
+               FROM dim_customer),
+      mc2 AS (SELECT *,
+                CASE WHEN cid % 5 = 0 THEN 'Dr. ' || customername
+                     ELSE customername END AS name2,
+                CASE WHEN cid % 3 = 0 THEN country || ' (Relocated)'
+                     ELSE country END AS ctry2
+              FROM mc),
+      mc3 AS (SELECT *,
+                (name2 IS DISTINCT FROM customername
+                 OR ctry2 IS DISTINCT FROM country) AS chg12
+              FROM mc2)
+      SELECT customerid, customername, country,
+             TIMESTAMP '$CT1' AS valid_from,
+             CASE WHEN chg12 THEN TIMESTAMP '$CT2'
+                  WHEN cid % 7 = 0 OR cid % 4 = 0 THEN TIMESTAMP '$CT3'
+                  END AS valid_to
+      FROM mc3 WHERE cid % 10 <> 0
+      UNION ALL
+      SELECT customerid, name2 AS customername, ctry2 AS country,
+             TIMESTAMP '$CT2' AS valid_from,
+             CASE WHEN cid % 7 = 0 OR cid % 4 = 0 THEN TIMESTAMP '$CT3'
+                  END AS valid_to
+      FROM mc3 WHERE chg12 AND cid % 10 <> 0
+      UNION ALL
+      SELECT customerid, name2 AS customername, 'Atlantis' AS country,
+             TIMESTAMP '$CT3' AS valid_from, NULL AS valid_to
+      FROM mc3 WHERE cid % 7 <> 0 AND cid % 4 = 0 AND cid % 10 <> 0""")
+
   // The oracle spells out the merged history row-by-row (the semantic
   // spec, not a replay of the implementation): v1 rows close iff changed
   // (+1.00 is always a change) or deleted; changed v2 rows reopen.
@@ -633,6 +756,10 @@ object Scd2 extends QueryRegistry {
 
     // compaction retires segments without changing the readable history
     QueryDef("dim_customer_scd2_compact", customerScd2Compact, Some(customerMultiOracle)),
+
+    // erasure across the whole version history: the purge rewrites exactly
+    // the victim-holding segments and the open set (r12)
+    QueryDef("dim_customer_scd2_purged", customerScd2Purged, Some(customerPurgedOracle)),
 
     QueryDef("dim_product_scd2_asof", productScd2AsOf, Some(oq("""
       SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice

@@ -138,6 +138,48 @@ class Scd2Spec extends SparkSpec {
     assert(rowsOf(Scd2.readHistory(spark, root)) === expect)
   }
 
+  test("history purge erases every version of the tombstoned keys, segment-selectively") {
+    val ks = Seq("id"); val as = Seq("name", "price")
+    def buildStore(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft_seg_purge_").toString + "/h"
+      Scd2.foldSnapshot(spark, snap((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), T1, ks, as, root)
+      Scd2.foldSnapshot(spark, snap((1L, "a", 9.0), (2L, "b", 2.0)), T2, ks, as, root) // seg2: id1 v1 + deleted id3
+      Scd2.foldSnapshot(spark, snap((1L, "a", 8.0), (2L, "b", 2.0)), T3, ks, as, root) // seg3: id1 v2
+      root
+    }
+    def fullChain() = Scd2.merge(Scd2.merge(
+      Scd2.initialLoad(snap((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)), T1),
+      snap((1L, "a", 9.0), (2L, "b", 2.0)), ks, as, T2),
+      snap((1L, "a", 8.0), (2L, "b", 2.0)), ks, as, T3)
+
+    // id 1 has closed versions in BOTH segments → both rewrite; survivors
+    // keep every version, victims keep none
+    val root = buildStore()
+    assert(Scd2.purgeKeys(spark, root, Seq(1L).toDF("id"), ks).toSet ===
+      Set("seg_000002", "seg_000003"))
+    assert(rowsOf(Scd2.readHistory(spark, root)) ===
+      rowsOf(fullChain().filter(col("id") =!= 1L)))
+    // an absent-key purge is a readable no-op (it still commits a fold)
+    assert(Scd2.purgeKeys(spark, root, Seq(99L).toDF("id"), ks).isEmpty)
+    assert(rowsOf(Scd2.readHistory(spark, root)) ===
+      rowsOf(fullChain().filter(col("id") =!= 1L)))
+    // the store keeps folding after a purge, and the purge does not
+    // resurrect ordering state: the next genuine drop applies normally
+    val T4 = "2020-04-01 00:00:00"
+    assert(Scd2.foldSnapshot(spark, snap((2L, "b", 5.0)), T4, ks, as, root))
+    assert(rowsOf(Scd2.readHistory(spark, root)).exists(r =>
+      r._1 == 2L && r._3 == 5.0 && r._5.isEmpty))
+
+    // selectivity: purging a key held by ONE segment leaves the other
+    // byte-stable under its committed name
+    val root2 = buildStore()
+    assert(Scd2.purgeKeys(spark, root2, Seq(3L).toDF("id"), ks).toSet ===
+      Set("seg_000002"))
+    assert(new java.io.File(s"$root2/closed/seg_000003").isDirectory)
+    assert(rowsOf(Scd2.readHistory(spark, root2)) ===
+      rowsOf(fullChain().filter(col("id") =!= 3L)))
+  }
+
   test("segmented store: out-of-order folds fail; committed-asOf replays skip") {
     val root = java.nio.file.Files.createTempDirectory("graft_seg_order_").toString + "/h"
     val ks = Seq("id"); val as = Seq("name", "price")
