@@ -780,6 +780,49 @@ object EventOps extends QueryRegistry {
     s.read.parquet(s"$base/out")
   }
 
+  /** Watermark late-data discipline proven on gate data (r12): the
+    * roundtrips above feed drops in time order, so nothing ever arrives
+    * late — here the feed's ENTIRE first half arrives LAST, weeks behind
+    * the watermark, and the engine must drop every row of it: the
+    * maintained hourly aggregate equals the on-time-half-only truth (any
+    * late row leaking into a count hash-mismatches the oracle), closed
+    * per the same watermark-emission rule as `stream_hourly_roundtrip`.
+    * The on-time half lands as TWO time-ordered drops first, because of
+    * Spark's two-watermark design (probed empirically —
+    * `tools/WmProbe`): a batch filters late events against the PREVIOUS
+    * batch's watermark and evicts/emits against the current one, so the
+    * watermark that drops the late file must have been established one
+    * batch before it arrives. This is the state-bound contract that makes
+    * streaming aggregation viable at 100 TB — state is the late-arrival
+    * window, not the feed. */
+  private def streamLateDataRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val r = ev.agg(min("ts"), max("ts")).head()
+    val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
+    val mid2 = mid + (r.getLong(1) - mid) / 2
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_late_").toString
+    // third quarter, then fourth (carrying the max — the watermark stands
+    // at max − 1h from batch 2 on) ...
+    ev.filter(col("ts") > mid && col("ts") <= mid2)
+      .coalesce(1).write.parquet(s"$base/drops/a")
+    ev.filter(col("ts") > mid2).coalesce(1).write.parquet(s"$base/drops/b")
+    // ... then the whole first half arrives entirely behind it
+    ev.filter(col("ts") <= mid).coalesce(1).write.parquet(s"$base/drops/c")
+    val query = streamingHourlyAgg(s, s"$base/drops/*", maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!query.awaitTermination(300000L)) {
+      query.stop()
+      throw new IllegalStateException(
+        "stream_late_data_roundtrip did not finish within 300 s; output log is partial")
+    }
+    s.read.parquet(s"$base/out")
+  }
+
   /** Streaming trending top-k (r11) — "what's hot this hour" in the
     * production serving shape: the STREAM maintains only the per-(hour,
     * type) counts ([[streamingHourlyAgg]], append mode, watermark closure),
@@ -1218,6 +1261,25 @@ object EventOps extends QueryRegistry {
     // Append-mode windowed-agg roundtrip: only watermark-closed windows
     // (window end at or before max event time minus the 1 h delay) may
     // appear, each exactly once with its full batch-equal aggregate.
+    // the inverted-drop watermark gate: the oracle aggregates ONLY the
+    // on-time (second) half under the same emission rule — a late row
+    // surviving into any count, or a window leaking open, hash-mismatches
+    QueryDef("stream_late_data_roundtrip", streamLateDataRoundtrip, Some(oq("""
+      , lev AS (
+          SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 CAST(ts AS TIMESTAMP) AS t
+          FROM events),
+      lmid AS (SELECT min(epoch_us(t)) + (max(epoch_us(t)) - min(epoch_us(t))) // 2 AS m
+               FROM lev),
+      lon AS (SELECT lev.* FROM lev, lmid WHERE epoch_us(t) > m),
+      lwm AS (SELECT max(t) - INTERVAL 1 HOUR AS w FROM lon)
+      SELECT hour, event_type, count(*) AS n_events,
+             CAST(sum(cents) AS BIGINT) AS value_cents
+      FROM lon, lwm
+      WHERE hour + INTERVAL 1 HOUR <= w
+      GROUP BY hour, event_type"""))),
+
     QueryDef("stream_hourly_roundtrip", streamHourlyRoundtrip, Some(oq("""
       , hev AS (
           SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
