@@ -78,6 +78,74 @@ object Dml {
       .toSeq.toDF("part", "file_id", "rewritten")
   }
 
+  /** File-selective `UPDATE … SET … WHERE` (r12) — the remaining classic
+    * DML verb beside [[deleteWhere]] / [[mergeInto]] / [[deleteKeys]]: rows
+    * where `pred` is TRUE get the `assignments` applied, FALSE/NULL rows
+    * survive byte-for-byte (and so do all clean files — same copy-on-write
+    * shape: one pushed-predicate probe scan finds the affected files, only
+    * those pay decode → conditional projection → re-encode). Standard SQL
+    * UPDATE semantics: every assignment expression sees the OLD row values
+    * (all are evaluated in one projection from the original columns, so
+    * `SET a = b, b = a` swaps). Assignments cast back to each column's
+    * original type — the layout's schema can never fork. Returns the
+    * per-file `(part, file_id, rewritten)` decision frame. */
+  def updateWhere(spark: SparkSession, dir: String, outDir: String,
+      pred: Column, assignments: Map[String, Column]): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val rootAbs = fs.makeQualified(root).toUri.getPath
+
+    val schema = spark.read.parquet(dir).schema
+    val unknown = assignments.keySet.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"UPDATE assigns unknown columns: ${unknown.mkString(", ")}")
+
+    val affectedRel = spark.read.parquet(dir).filter(pred)
+      .select(input_file_name().as("f")).distinct()
+      .collect()
+      .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
+      .map(_.stripPrefix(rootAbs).stripPrefix("/"))
+      .toSet
+
+    def relOf(part: String, name: String) =
+      if (part == ".") name else s"$part/$name"
+    def inPath(part: String, name: String) =
+      if (part == ".") s"$dir/$name" else s"$dir/$part/$name"
+    def outPart(part: String) = if (part == ".") outDir else s"$outDir/$part"
+
+    val files = Compaction.listFiles(spark, dir).collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
+    val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
+
+    hit.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, fsOfPart) =>
+      val src = spark.read.parquet(fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq: _*)
+      // project against the FILE-level schema: partition columns live in
+      // the directory name, not the files — assigning one is a row MOVE,
+      // a different operation this verb does not fold in (the mergeInto
+      // route covers it), so it fails loudly here
+      val partitionAssigns = assignments.keySet.filterNot(src.schema.fieldNames.contains)
+      require(partitionAssigns.isEmpty,
+        s"UPDATE cannot assign partition columns: ${partitionAssigns.mkString(", ")}")
+      src.select(src.schema.fields.map { f =>
+        assignments.get(f.name)
+          .map(a => when(coalesce(pred, lit(false)), a.cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name))
+          .getOrElse(col(f.name))
+      }.toSeq: _*)
+        .write.mode("append").parquet(outPart(part))
+    }
+    clean.foreach { case (part, name) =>
+      val src = new Path(inPath(part, name))
+      val dstDir = new Path(outPart(part))
+      fs.mkdirs(dstDir)
+      FileUtil.copy(fs, src, fs, new Path(dstDir, name), false, conf)
+    }
+    (hit.map { case (p, n) => (p, n, true) } ++
+      clean.map { case (p, n) => (p, n, false) })
+      .toSeq.toDF("part", "file_id", "rewritten")
+  }
+
   /** File-selective MERGE INTO (whole-row upsert): target rows whose key
     * matches an `updates` row are REPLACED by it, unmatched update rows
     * are INSERTED — `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN

@@ -196,6 +196,24 @@ object SinkQueries extends QueryRegistry {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
   }
 
+  /** UPDATE-WHERE round trip (r12): the partitioned events layout, every
+    * 9th user's value doubled in place through the file-selective
+    * copy-on-write path, the whole layout read back and aggregated. The
+    * oracle aggregates the CASE-doubled feed, so a missed victim, a
+    * doubled survivor, or a dropped/duplicated file all hash-mismatch. */
+  private def updateWhereRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sink_upd_").toString
+    val events = graft.streaming.EventOps.events(s, dir)
+    events.withColumn("ubucket", expr("user_id div 50"))
+      .write.partitionBy("ubucket").parquet(s"$out/events_v1")
+    Dml.updateWhere(s, s"$out/events_v1", s"$out/events_v2",
+      col("user_id") % 9 === 0, Map("value" -> (col("value") * 2)))
+    s.read.parquet(s"$out/events_v2")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+  }
+
   /** Tombstone-purge round trip (r11): the same partitioned events layout,
     * purged by a KEY LIST — every 13th user's erasure request, derived
     * from the feed itself — through the semi-probe/anti-join path instead
@@ -215,6 +233,25 @@ object SinkQueries extends QueryRegistry {
       .agg(count(lit(1)).as("n_events"),
         count_distinct(col("user_id")).as("n_users"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+  }
+
+  /** Versioned UPDATE-WHERE (r12): a price repair committed as a snapshot,
+    * gated through its CDC feed — which must carry EXACTLY the repaired
+    * rows as pre/post image pairs (every victim's price genuinely changes,
+    * so none may drop out as unchanged). */
+  private def versionedUpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_vtupd_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+      .withColumn("pbucket", expr("CAST(stockcode AS BIGINT) div 500"))
+    VersionedTable.create(s, root, p, Seq("pbucket"))
+    require(VersionedTable.updateWhere(s, root, code % 6 === 0,
+      Map("unitprice" -> (col("unitprice") + lit(BigDecimal("5.00"))))) == 2,
+      "the update must commit as v2")
+    VersionedTable.changes(s, root, 1, 2, Seq("stockcode"))
+      .select(col("stockcode"), col("change_type"),
+        col("unitprice").cast("double").as("unitprice"), col("category"))
   }
 
   /** Versioned compaction (r12): the maintenance op as a committed
@@ -433,6 +470,25 @@ object SinkQueries extends QueryRegistry {
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
       FROM events
       WHERE NOT (user_id BETWEEN 30 AND 60)"""))),
+
+    QueryDef("sink_update_where", updateWhereRoundtrip,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             CAST(sum(CAST(round((CASE WHEN user_id % 9 = 0 THEN value * 2
+                                       ELSE value END) * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM events"""))),
+
+    QueryDef("sink_versioned_update_where", versionedUpdateWhere,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode, 'update_preimage' AS change_type,
+             CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM dim_product WHERE CAST(stockcode AS BIGINT) % 6 = 0
+      UNION ALL
+      SELECT stockcode, 'update_postimage' AS change_type,
+             CAST(unitprice + 5.00 AS DOUBLE) AS unitprice, category
+      FROM dim_product WHERE CAST(stockcode AS BIGINT) % 6 = 0"""))),
 
     QueryDef("sink_delete_keys", deleteKeysRoundtrip,
       Some(graft.oracle.OracleSql.q("""

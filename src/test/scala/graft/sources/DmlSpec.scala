@@ -48,6 +48,44 @@ class DmlSpec extends SparkSpec {
     }
   }
 
+  test("updateWhere rewrites victims in place, byte-copies clean files, sees OLD values") {
+    val base = java.nio.file.Files.createTempDirectory("graft_upd_").toString
+    // victims (id 10..19) live only in bucket 0; a NULL-pred row (id 40
+    // with NULL flag) must survive untouched
+    (1L to 40L).map(i => (i, i * 10L, i * 100L,
+      if (i == 40L) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf(i), i / 20))
+      .toDF("id", "a", "b", "flag", "bucket")
+      .repartition(2, col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$base/v1")
+    // the swap assignment is the classic old-values test: both columns must
+    // read the pre-update row
+    val plan = Dml.updateWhere(spark, s"$base/v1", s"$base/v2",
+      col("flag").between(10L, 19L), Map("a" -> col("b"), "b" -> col("a")))
+    val out = spark.read.parquet(s"$base/v2")
+      .select("id", "a", "b").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    (1L to 39L).foreach { i =>
+      if (i >= 10 && i <= 19) assert(out(i) === (i * 100L, i * 10L), s"id $i must swap")
+      else assert(out(i) === (i * 10L, i * 100L), s"id $i must be untouched")
+    }
+    assert(out(40L) === (400L, 4000L)) // NULL predicate → kept as-is
+    // only bucket 0 (the victims' partition) rewrote; clean files byte-copy
+    val decisions = plan.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(decisions.filter(_._1.contains("bucket=0")).forall(_._3))
+    assert(decisions.filterNot(_._1.contains("bucket=0")).forall(!_._3))
+    val v1 = fileBytes(s"$base/v1"); val v2 = fileBytes(s"$base/v2")
+    decisions.filterNot(_._3).foreach { case (part, name, _) =>
+      val k = s"/$part/$name"
+      assert(v2.get(k).contains(v1(k)), s"$k was re-encoded")
+    }
+    // assigning an unknown column fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Dml.updateWhere(spark, s"$base/v1", s"$base/v3",
+        col("id") === 1L, Map("nope" -> lit(1)))
+    }
+  }
+
   test("mergeInto replaces matched rows, inserts new keys, and moves rows across partitions") {
     val base = java.nio.file.Files.createTempDirectory("graft_merge_").toString
     (1L to 40L).map(i => (i, s"old_$i", i / 20))
