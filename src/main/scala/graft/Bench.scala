@@ -493,9 +493,15 @@ object Bench {
 
     var (results, buildSec) = runSuite()
     var suiteReran = false
+    // The discarded pass's evidence survives into the artifact (ADVICE r12):
+    // recording only the second pass could launder an intermittent real
+    // regression into a clean artifact — a judge can now compare the two
+    // passes directly instead of losing the discarded one.
+    var discarded: Option[(Map[String, Double], Double, Seq[String])] = None
     if (warns.size > 2) {
       System.err.println(s"[bench] ${warns.size} rows warned after rescue — " +
         "discarding the pass as host contention and re-running the whole suite once")
+      discarded = Some((results.toMap, buildSec, warns.toSeq))
       spark.sharedState.cacheManager.clearCache()
       suiteReran = true
       val second = runSuite()
@@ -521,10 +527,15 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val javaProcs = ProcessHandle.allProcesses()
       .filter(p => p.info().command().orElse("").contains("java")).count()
+    val discardedJson = discarded.map { case (dq, db, dw) =>
+      val dqs = (dq.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" } ++
+        Seq(s""""warehouse_build":$db""")).mkString("{", ",", "}")
+      s""","discarded_pass":{"queries":$dqs,"warns":${jarr(dw)}}"""
+    }.getOrElse("")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":${jarr(errored)},"warns":${jarr(warns.toSeq)},""" +
-      s""""load_avg":$loadAvg,"java_procs":$javaProcs,"suite_reran":$suiteReran,""" +
-      s""""sf":"$sfDir"}"""
+      s""""load_avg":$loadAvg,"java_procs":$javaProcs,"suite_reran":$suiteReran""" +
+      discardedJson + s""","sf":"$sfDir"}"""
     println(json)
     // Machine-readable copy: sbt wraps stdout in [info] prefixes, which broke
     // the driver's JSON parse every round (BENCH_r*.json "parsed": null) —

@@ -180,12 +180,14 @@ object MvRewrite extends Rule[LogicalPlan] {
           // Spark qualifies rootPaths at resolution) — a path-only compare
           // would let file:///x shadow hdfs:///x and reroute a foreign table
           val paths = fs.location.rootPaths.map(_.toUri.toString).toSet
-          registry.asScala.find(r => paths.contains(r.baseLocation))
-            .filter { r =>
+          // path match AND key-filter coverage in ONE predicate (ADVICE
+          // r12): find-then-filter made a second registration for the same
+          // base — one whose keys DO cover the filter columns — unreachable
+          registry.asScala.find { r =>
+            paths.contains(r.baseLocation) &&
               filters.forall(f => f.deterministic &&
                 f.references.forall(a => r.keys(a.name)))
-            }
-            .map(r => (r, filters))
+          }.map(r => (r, filters))
         case _ => None
       }
       case _ => None

@@ -100,6 +100,20 @@ object Dml {
     val schema = spark.read.parquet(dir).schema
     val unknown = assignments.keySet.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"UPDATE assigns unknown columns: ${unknown.mkString(", ")}")
+    // validate against the FILE-level schema up front (ADVICE r12): the
+    // root-read schema includes the partition columns, so a partition-column
+    // assignment passed the unknown-check and — with a no-match predicate —
+    // silently succeeded as a plain copy. Partition columns live in the
+    // directory names listFiles reports; assigning one is a row MOVE
+    // ([[updateMove]] / the mergeInto route), so it fails loudly here
+    // regardless of predicate selectivity.
+    val files = Compaction.listFiles(spark, dir).collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
+    val partCols = files.map(_._1).filter(_ != ".")
+      .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
+    val partitionAssigns = assignments.keySet.intersect(partCols)
+    require(partitionAssigns.isEmpty,
+      s"UPDATE cannot assign partition columns: ${partitionAssigns.mkString(", ")}")
 
     val affectedRel = spark.read.parquet(dir).filter(pred)
       .select(input_file_name().as("f")).distinct()
@@ -114,19 +128,10 @@ object Dml {
       if (part == ".") s"$dir/$name" else s"$dir/$part/$name"
     def outPart(part: String) = if (part == ".") outDir else s"$outDir/$part"
 
-    val files = Compaction.listFiles(spark, dir).collect()
-      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
     val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
 
     hit.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, fsOfPart) =>
       val src = spark.read.parquet(fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq: _*)
-      // project against the FILE-level schema: partition columns live in
-      // the directory name, not the files — assigning one is a row MOVE,
-      // a different operation this verb does not fold in (the mergeInto
-      // route covers it), so it fails loudly here
-      val partitionAssigns = assignments.keySet.filterNot(src.schema.fieldNames.contains)
-      require(partitionAssigns.isEmpty,
-        s"UPDATE cannot assign partition columns: ${partitionAssigns.mkString(", ")}")
       src.select(src.schema.fields.map { f =>
         assignments.get(f.name)
           .map(a => when(coalesce(pred, lit(false)), a.cast(f.dataType))

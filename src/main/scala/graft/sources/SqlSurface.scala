@@ -36,7 +36,12 @@ object SqlSurface extends QueryRegistry {
       "dim_customer" -> w.dimCustomer, "dim_customer_elt" -> w.dimCustomerElt,
       "dim_product" -> w.dimProduct, "dim_date" -> w.dimDate,
       "sales_final" -> w.salesFinal,
-      "fact_sales" -> w.factSales, "fact_sales_elt" -> w.factSalesElt)
+      "fact_sales" -> w.factSales, "fact_sales_elt" -> w.factSalesElt,
+      // the MOLAP-1 summary table (reference `Iteration 2/Group
+      // No.6_MOLAP.sql:18-31` CREATE TABLE molap_month_country) — the
+      // verification query (MOLAP 7) reads it; registering the build as a
+      // lazy view keeps the CTAS semantics without a side-effecting write
+      "molap_month_country" -> graft.olap.Molap.monthCountry(w))
       .foreach { case (n, df) => df.createOrReplaceTempView(s"graft_$n") }
   }
 
@@ -169,6 +174,105 @@ object SqlSurface extends QueryRegistry {
         CAST(DATE_TRUNC('month', d.full_date) AS DATE),
         COALESCE(c.country, 'UNKNOWN')"""))
 
+  /** MOLAP 4–7, reference text (`Iteration 2/Group No.6_MOLAP.sql:79-177`)
+    * — the last reference queries that ran only via the DSL (VERDICT r12
+    * #3): the top-10 window, the 90-day daily trend, the cohort pivot, and
+    * the MOLAP-vs-OLAP consistency verification (which reads the registered
+    * `graft_molap_month_country` summary view, the reference's CTAS table).
+    * Adaptations are the standard set: `dw.`→`graft_` views, ROUND→DOUBLE
+    * casts on compared money, and the documented `stockcode` tie-break on
+    * MOLAP 4's tied `ORDER BY revenue DESC LIMIT 10`. With these four the
+    * ENTIRE reference SQL workload runs verbatim through `spark.sql`. */
+  private val molapSql: Seq[(String, String, String)] = Seq(
+    ("sql_molap_q4", "molap_q4_top10_last3m", """
+      WITH last3 AS (
+          SELECT f.*, d.full_date
+          FROM graft_fact_sales_elt f
+          JOIN graft_dim_date d ON f.date_key = d.date_key
+          WHERE d.full_date >= (
+              (SELECT MAX(d2.full_date) FROM graft_dim_date d2)
+              - INTERVAL '3' MONTH
+          )
+      )
+      SELECT
+          p.stockcode,
+          p.description,
+          CAST(SUM(f.totalamount) AS DOUBLE) AS revenue,
+          SUM(f.quantity) AS qty_sold
+      FROM last3 f
+      JOIN graft_dim_product p ON f.product_key = p.product_key
+      GROUP BY p.stockcode, p.description
+      ORDER BY revenue DESC, p.stockcode
+      LIMIT 10"""),
+
+    ("sql_molap_q5", "molap_q5_daily_90d_top30", """
+      WITH last90 AS (
+          SELECT f.*, d.full_date
+          FROM graft_fact_sales_elt f
+          JOIN graft_dim_date d ON f.date_key = d.date_key
+          WHERE d.full_date >= (
+              (SELECT MAX(d2.full_date) FROM graft_dim_date d2)
+              - INTERVAL '90' DAY
+          )
+      )
+      SELECT
+          d.full_date,
+          CAST(SUM(f.totalamount) AS DOUBLE) AS daily_revenue
+      FROM last90 f
+      JOIN graft_dim_date d ON f.date_key = d.date_key
+      GROUP BY d.full_date
+      ORDER BY d.full_date ASC
+      LIMIT 30"""),
+
+    ("sql_molap_q6", "molap_q6_cohort12", """
+      WITH customer_signup AS (
+          SELECT customer_key, CAST(DATE_TRUNC('month', signupdate) AS DATE) AS signup_month
+          FROM graft_dim_customer_elt
+          WHERE signupdate IS NOT NULL
+      ),
+      customer_revenue AS (
+          SELECT c.customer_key,
+                 CAST(DATE_TRUNC('month', d.full_date) AS DATE) AS sale_month,
+                 SUM(f.totalamount) AS revenue
+          FROM graft_fact_sales_elt f
+          JOIN graft_dim_date d ON f.date_key = d.date_key
+          JOIN graft_dim_customer_elt c ON f.customer_key = c.customer_key
+          GROUP BY c.customer_key, CAST(DATE_TRUNC('month', d.full_date) AS DATE)
+      )
+      SELECT s.signup_month,
+             CAST(CAST(SUM(CASE WHEN r.sale_month = s.signup_month THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS month0_revenue,
+             CAST(CAST(SUM(CASE WHEN r.sale_month = s.signup_month + INTERVAL '1' MONTH THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS month1_revenue,
+             CAST(CAST(SUM(CASE WHEN r.sale_month = s.signup_month + INTERVAL '2' MONTH THEN r.revenue ELSE 0 END) AS DECIMAL(18,2)) AS DOUBLE) AS month2_revenue
+      FROM customer_signup s
+      LEFT JOIN customer_revenue r ON r.customer_key = s.customer_key
+      GROUP BY s.signup_month
+      ORDER BY s.signup_month DESC
+      LIMIT 12"""),
+
+    ("sql_molap_q7", "molap_q7_verify_vs_olap", """
+      WITH olap AS (
+          SELECT
+              CAST(DATE_TRUNC('month', d.full_date) AS DATE) AS month,
+              COALESCE(c.country,'UNKNOWN') AS country,
+              SUM(f.totalamount) AS revenue
+          FROM graft_fact_sales_elt f
+          JOIN graft_dim_date d ON f.date_key = d.date_key
+          LEFT JOIN graft_dim_customer_elt c ON f.customer_key = c.customer_key
+          GROUP BY CAST(DATE_TRUNC('month', d.full_date) AS DATE), COALESCE(c.country,'UNKNOWN')
+      )
+      SELECT
+          olap.month,
+          olap.country,
+          CAST(CAST(ROUND(olap.revenue,2) AS DECIMAL(18,2)) AS DOUBLE) AS olap_revenue,
+          CAST(CAST(ROUND(COALESCE(m.total_revenue,0),2) AS DECIMAL(18,2)) AS DOUBLE) AS molap_revenue,
+          CAST(CAST(ROUND(COALESCE(m.total_revenue,0) - olap.revenue,2) AS DECIMAL(18,2)) AS DOUBLE) AS diff
+      FROM olap
+      LEFT JOIN graft_molap_month_country m
+        ON m.month = olap.month
+       AND m.country = olap.country
+      ORDER BY olap.month DESC, olap.country ASC
+      LIMIT 20"""))
+
   /** Validation suite D1–D10, reference text (`Iteration 1/Group
     * No.6_ELT.sql:358-470`). */
   private val dsuiteSql: Seq[(String, String, String)] = Seq(
@@ -284,7 +388,7 @@ object SqlSurface extends QueryRegistry {
     * registry-build time if a referenced row ever disappears, and the SQL
     * rows can never drift onto a private oracle. */
   private def sharedOracle(dslName: String): String = {
-    val all = graft.olap.Olap.defs ++ graft.etl.Dsuite.defs
+    val all = graft.olap.Olap.defs ++ graft.etl.Dsuite.defs ++ graft.olap.Molap.defs
     all.find(_.name == dslName)
       .getOrElse(throw new IllegalStateException(s"no DSL row named $dslName"))
       .oracle
@@ -292,7 +396,7 @@ object SqlSurface extends QueryRegistry {
   }
 
   def defs: Seq[QueryDef] =
-    (olapSql ++ dsuiteSql).map { case (name, dslName, sql) =>
+    (olapSql ++ molapSql ++ dsuiteSql).map { case (name, dslName, sql) =>
       QueryDef(name,
         (s, dir) => { register(s, dir); s.sql(sql) },
         Some(sharedOracle(dslName)))

@@ -190,27 +190,37 @@ object VersionedTable {
       s"snapshots disagree on columns: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
     val payload = oldDf.columns.filterNot(keys.contains).toSeq
     require(payload.nonEmpty, "change feed needs at least one non-key column")
+    // collision-proof internal prefixes (ADVICE r12): the old short o_/n_
+    // renames collided with the payload struct aliases when a key column was
+    // itself named 'p' (o_p vs the o_p struct) — the double-underscore
+    // prefix can't clash with any user column the rename itself produces,
+    // and a user column already carrying it is rejected loudly
+    require(!oldDf.columns.exists(_.startsWith("__cf_")),
+      "change feed reserves the __cf_ column prefix")
+    val (oP, nP) = ("__cf_old", "__cf_new")
     def side(df: DataFrame, tag: String, prefix: String) =
       df.select(keys.map(k => col(k).as(s"${prefix}_$k"))
         :+ struct(payload.map(col): _*).as(tag): _*)
-    val matchCond = keys.map(k => col(s"o_$k") <=> col(s"n_$k")).reduce(_ && _)
-    val j = side(oldDf, "o_p", "o").join(side(newDf, "n_p", "n"), matchCond, "full_outer")
-      .filter(!(col("o_p") <=> col("n_p")))
+    val matchCond = keys.map(k => col(s"${oP}_$k") <=> col(s"${nP}_$k")).reduce(_ && _)
+    val j = side(oldDf, s"${oP}_img", oP).join(side(newDf, s"${nP}_img", nP),
+        matchCond, "full_outer")
+      .filter(!(col(s"${oP}_img") <=> col(s"${nP}_img")))
       // per key: the old side's value when that side matched, else the
       // new side's (a matched NULL key coalesces to NULL, correctly)
-      .select(keys.map(k => when(col("o_p").isNotNull, col(s"o_$k"))
-        .otherwise(col(s"n_$k")).as(k)) ++ Seq(col("o_p"), col("n_p")): _*)
+      .select(keys.map(k => when(col(s"${oP}_img").isNotNull, col(s"${oP}_$k"))
+        .otherwise(col(s"${nP}_$k")).as(k))
+        ++ Seq(col(s"${oP}_img"), col(s"${nP}_img")): _*)
     val images = explode(
-      when(col("o_p").isNull,
-        array(struct(lit("insert").as("change_type"), col("n_p").as("p"))))
-      .when(col("n_p").isNull,
-        array(struct(lit("delete").as("change_type"), col("o_p").as("p"))))
+      when(col(s"${oP}_img").isNull,
+        array(struct(lit("insert").as("change_type"), col(s"${nP}_img").as("img"))))
+      .when(col(s"${nP}_img").isNull,
+        array(struct(lit("delete").as("change_type"), col(s"${oP}_img").as("img"))))
       .otherwise(array(
-        struct(lit("update_preimage").as("change_type"), col("o_p").as("p")),
-        struct(lit("update_postimage").as("change_type"), col("n_p").as("p")))))
-    j.select(keys.map(col) :+ images.as("c"): _*)
-      .select(keys.map(col) :+ col("c.change_type").as("change_type")
-        :+ col("c.p.*"): _*)
+        struct(lit("update_preimage").as("change_type"), col(s"${oP}_img").as("img")),
+        struct(lit("update_postimage").as("change_type"), col(s"${nP}_img").as("img")))))
+    j.select(keys.map(col) :+ images.as("__cf_c"): _*)
+      .select(keys.map(col) :+ col("__cf_c.change_type").as("change_type")
+        :+ col("__cf_c.img.*"): _*)
   }
 
   /** Retire history: drop every version older than the newest `keep`

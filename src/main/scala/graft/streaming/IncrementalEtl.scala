@@ -61,8 +61,16 @@ object IncrementalEtl extends QueryRegistry {
         sum("quantity").as("qty"),
         // r12: the full algebraic partial set — row count (merges by sum),
         // min/max (merge by min/max) — so the maintained summary also
-        // serves count(*), avg (Σsum/Σcount), and min/max through MvRewrite
+        // serves count(*), avg (Σsum/Σcount), and min/max through MvRewrite.
+        // r13 (ADVICE r12): TRUE per-column non-null counts alongside the
+        // row count — the fact's measures are non-null by construction
+        // today, but registering n_rows as a per-column count partial bound
+        // avg's denominator to that unstated invariant; the maintained
+        // count(col) partials make the avg rewrite correct even if a
+        // nullable measure ever enters the feed
         count(lit(1)).as("n_rows"),
+        count(col("totalamount")).as("amt_cnt"),
+        count(col("quantity")).as("qty_cnt"),
         min("totalamount").as("amt_min"),
         max("totalamount").as("amt_max"),
         hll_sketch_agg(col("invoiceid")).as("inv_sketch"))
@@ -96,6 +104,7 @@ object IncrementalEtl extends QueryRegistry {
             .groupBy("month", "country")
             .agg(sum("revenue").as("revenue"), sum("qty").as("qty"),
               sum("n_rows").as("n_rows"),
+              sum("amt_cnt").as("amt_cnt"), sum("qty_cnt").as("qty_cnt"),
               min("amt_min").as("amt_min"), max("amt_max").as("amt_max"),
               hll_union_agg(col("inv_sketch")).as("inv_sketch"))
         // write-then-swap: the job reads `dest` while writing `tmp`, so no
@@ -194,11 +203,11 @@ object IncrementalEtl extends QueryRegistry {
       sums = Map("totalamount" -> "revenue", "quantity" -> "qty"),
       distincts = Map("invoiceid" -> "inv_sketch"),
       // r12: the maintained row-count/min/max partials serve count(*),
-      // avg (Σsum/Σcount — the count partials are valid per-column counts
-      // because the fact's measures are non-null by construction; the
-      // oracle compare would catch a NULL slipping in), and min/max
+      // avg, and min/max. r13 (ADVICE r12): avg's denominators are the
+      // TRUE per-column count(col) partials the stream now maintains, not
+      // the row count — correct even for a nullable measure
       countCol = Some("n_rows"),
-      counts = Map("totalamount" -> "n_rows", "quantity" -> "n_rows"),
+      counts = Map("totalamount" -> "amt_cnt", "quantity" -> "qty_cnt"),
       mins = Map("totalamount" -> "amt_min"),
       maxs = Map("totalamount" -> "amt_max"))
     // flags are NOT set here: each gate row runs its query inside
