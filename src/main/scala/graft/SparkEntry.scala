@@ -12,6 +12,7 @@ object SparkEntry {
     graft.etl.Scd2,
     graft.olap.Olap,
     graft.olap.Molap,
+    graft.olap.IncrementalMv,
     graft.measures.Measures,
     graft.etl.Dsuite,
     graft.etl.Errors,

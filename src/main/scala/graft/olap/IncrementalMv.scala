@@ -1,0 +1,291 @@
+package graft.olap
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Warehouse
+import graft.sources.VersionedTable
+import graft.{QueryDef, QueryRegistry}
+
+/** Incremental materialized-view maintenance from a CDC feed (r13, VERDICT
+  * r12 #1) — the missing third leg of the MV loop: [[Molap]] builds
+  * summaries, [[graft.plans.MvRewrite]] serves queries from them, and this
+  * module keeps them CURRENT from the versioned table's change feed instead
+  * of rebuilding. The reference refreshes its MV wholesale
+  * (`Iteration 3/Group No.6_Indexing_Partitioning.sql:161-166`,
+  * `REFRESH MATERIALIZED VIEW`); at 100 TB a full rebuild per base-table
+  * commit is the scale-killer — the change feed is change-sized, and the
+  * work here tracks IT, not the base.
+  *
+  * Delta algebra per summary cell (grouped by the MV keys):
+  *  - `sum` / `count` partials are fully algebraic under deletion: inserted
+  *    images add, deleted images subtract, update pre/post pairs do both —
+  *    EXACT in the partials' own decimal/long types, so the maintained
+  *    summary is bit-identical to a recompute;
+  *  - `min`/`max` partials are algebraic under INSERTION only
+  *    (`least(old, min-of-inserted)`); a deletion can only matter if the
+  *    removed value TIES the cell's current extreme, so exactly those cells
+  *    — and no others — re-scan their slice of the new snapshot (key
+  *    semi-join, partition-prunable when the MV keys align with the
+  *    layout). A delete strictly inside the cell's range merges with no
+  *    base read at all.
+  * Cells the feed never mentions pass through untouched; cells whose row
+  * count reaches zero are dropped (their rows are gone from the base).
+  *
+  * The base snapshot is a THUNK, evaluated only when some cell genuinely
+  * needs a re-scan — the gate row passes a thunk that THROWS, turning "the
+  * refresh read only the change feed" into a hard runtime assert rather
+  * than a claim.
+  */
+object IncrementalMv extends QueryRegistry {
+
+  /** One maintained measure: the base column and its partial-column names
+    * in the summary. `sum`+`cnt` are the algebraic pair every summary
+    * carries (they serve sum/count/avg through MvRewrite); `min`/`max` are
+    * optional and are what introduces the delete-of-extreme re-scan. */
+  final case class MeasureSpec(col: String, sum: String, cnt: String,
+      min: Option[String] = None, max: Option[String] = None)
+
+  /** Apply a CDC feed (the [[VersionedTable.changes]] shape: key columns +
+    * `change_type` + payload) to `summary`. Returns the refreshed summary
+    * and the per-cell decision frame `(keys..., action, n_rows_before,
+    * n_rows_after)` — change-cell-sized, carrying only touched cells, with
+    * `action` ∈ insert / merge / rescan / drop. `rescanBase` is called at
+    * most once, and only if ≥1 cell needs a delete-of-extreme re-scan. */
+  def applyChanges(summary: DataFrame, changes: DataFrame, keys: Seq[String],
+      rowCount: String, measures: Seq[MeasureSpec],
+      rescanBase: () => DataFrame): (DataFrame, DataFrame) = {
+    val types = summary.schema.fields.map(f => f.name -> f.dataType).toMap
+    require((Seq(rowCount) ++ measures.flatMap(m =>
+      Seq(m.sum, m.cnt) ++ m.min ++ m.max)).forall(types.contains),
+      "summary is missing registered partial columns")
+
+    // signed image: insert/post-image rows add to the cell, delete/pre-image
+    // rows subtract — an update contributes both sides of its pair
+    val sgn = when(col("change_type").isin("insert", "update_postimage"),
+      lit(1)).otherwise(lit(-1))
+    val deltaAggs: Seq[Column] =
+      Seq(sum(sgn).as("__imv_d_rows")) ++ measures.flatMap { m =>
+        val v = col(m.col)
+        Seq(
+          sum(when(sgn === 1, v).otherwise(-v)).as(s"__imv_dsum_${m.col}"),
+          sum(when(v.isNotNull, sgn).otherwise(lit(0))).as(s"__imv_dcnt_${m.col}"),
+          min(when(sgn === 1, v)).as(s"__imv_insmin_${m.col}"),
+          max(when(sgn === 1, v)).as(s"__imv_insmax_${m.col}"),
+          min(when(sgn === -1, v)).as(s"__imv_delmin_${m.col}"),
+          max(when(sgn === -1, v)).as(s"__imv_delmax_${m.col}"))
+      }
+    // one change-feed aggregation, cached: the cell-delta frame is read by
+    // the merge, the re-scan key set, and the decision frame — change-cell-
+    // sized, so the cache is tiny regardless of base-table scale
+    val delta = changes.groupBy(keys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*).persist()
+
+    val j = summary.join(delta, keys, "full_outer")
+    val touched = col("__imv_d_rows").isNotNull
+    val newRows = coalesce(col(rowCount), lit(0L)) + coalesce(col("__imv_d_rows"), lit(0L))
+    val dropCell = touched && newRows === 0
+    // a deleted value tying the cell's current extreme means the surviving
+    // extreme is unknown without looking at the cell's remaining rows
+    val rescanCell = measures.flatMap { m =>
+      m.min.map(mn => col(s"__imv_delmin_${m.col}").isNotNull &&
+        col(mn).isNotNull && col(s"__imv_delmin_${m.col}") <= col(mn)).toSeq ++
+      m.max.map(mx => col(s"__imv_delmax_${m.col}").isNotNull &&
+        col(mx).isNotNull && col(s"__imv_delmax_${m.col}") >= col(mx)).toSeq
+    }.reduceOption(_ || _).getOrElse(lit(false)) && !dropCell
+
+    // the algebraic merge — identity for untouched cells (all deltas null)
+    val mergedCols: Seq[Column] = summary.columns.toSeq.map { c =>
+      if (keys.contains(c)) col(c)
+      else if (c == rowCount) newRows.cast(types(c)).as(c)
+      else measures.find(_.sum == c).map { m =>
+        val cnt = coalesce(col(m.cnt), lit(0L)) + coalesce(col(s"__imv_dcnt_${m.col}"), lit(0L))
+        when(cnt === 0, lit(null))
+          .otherwise(coalesce(col(c), lit(0)) + coalesce(col(s"__imv_dsum_${m.col}"), lit(0)))
+          .cast(types(c)).as(c)
+      }.orElse(measures.find(_.cnt == c).map { m =>
+        (coalesce(col(c), lit(0L)) + coalesce(col(s"__imv_dcnt_${m.col}"), lit(0L)))
+          .cast(types(c)).as(c)
+      }).orElse(measures.find(_.min.contains(c)).map { m =>
+        least(col(c), col(s"__imv_insmin_${m.col}")).cast(types(c)).as(c)
+      }).orElse(measures.find(_.max.contains(c)).map { m =>
+        greatest(col(c), col(s"__imv_insmax_${m.col}")).cast(types(c)).as(c)
+      }).getOrElse(col(c)) // a partial this refresh doesn't maintain: keep
+    }
+
+    val kept = j.filter(!touched || (!dropCell && !rescanCell))
+      .select(mergedCols: _*)
+    val rescanKeys = j.filter(rescanCell).select(keys.map(col): _*)
+    val newSummary =
+      if (rescanKeys.isEmpty) kept
+      else {
+        // ONLY the affected cells' slice of the new snapshot is read: the
+        // semi-join restricts the scan to change-cell-sized key set (and
+        // prunes partitions when the MV keys align with the layout)
+        val slice = rescanBase().join(rescanKeys, keys, "left_semi")
+        val fullAggs: Seq[Column] =
+          Seq(count(lit(1)).cast(types(rowCount)).as(rowCount)) ++
+            measures.flatMap { m =>
+              Seq(sum(col(m.col)).cast(types(m.sum)).as(m.sum),
+                count(col(m.col)).cast(types(m.cnt)).as(m.cnt)) ++
+                m.min.map(mn => min(col(m.col)).cast(types(mn)).as(mn)) ++
+                m.max.map(mx => max(col(m.col)).cast(types(mx)).as(mx))
+            }
+        val recomputed = slice.groupBy(keys.map(col): _*)
+          .agg(fullAggs.head, fullAggs.tail: _*)
+        kept.unionByName(recomputed, allowMissingColumns = true)
+      }
+
+    val decisions = j.filter(touched).select(
+      keys.map(col) ++ Seq(
+        when(dropCell, lit("drop")).when(rescanCell, lit("rescan"))
+          .when(col(rowCount).isNull, lit("insert"))
+          .otherwise(lit("merge")).as("action"),
+        coalesce(col(rowCount), lit(0L)).cast("long").as("n_rows_before"),
+        newRows.cast("long").as("n_rows_after")): _*)
+    (newSummary, decisions)
+  }
+
+  /** Path-level refresh with the same write-then-swap discipline as
+    * [[graft.streaming.IncrementalEtl.maintainMonthCountry]]: the refreshed
+    * summary lands beside the stored one and a single rename publishes it —
+    * the stored summary is never input and output of one job, and a crash
+    * mid-refresh leaves either the old summary or both directories, never a
+    * half-written one. Returns the MATERIALIZED decision frame. */
+  def refreshPath(spark: SparkSession, summaryPath: String, changes: DataFrame,
+      keys: Seq[String], rowCount: String, measures: Seq[MeasureSpec],
+      rescanBase: () => DataFrame): DataFrame = {
+    val (newSummary, decisions) = applyChanges(
+      spark.read.parquet(summaryPath), changes, keys, rowCount, measures, rescanBase)
+    val dest = new org.apache.hadoop.fs.Path(summaryPath)
+    val tmp = new org.apache.hadoop.fs.Path(summaryPath + ".tmp")
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    newSummary.write.mode("overwrite").parquet(tmp.toString)
+    // materialize the decision evidence while the old summary still exists
+    // (it reads the pre-refresh state)
+    val decRows = java.util.Arrays.asList(decisions.collect(): _*)
+    val dec = spark.createDataFrame(decRows, decisions.schema)
+    fs.delete(dest, true)
+    fs.rename(tmp, dest)
+    spark.catalog.refreshByPath(summaryPath)
+    dec
+  }
+
+  // ---------------------------------------------------------------- gates
+
+  private def productCode = col("stockcode").cast("long")
+
+  private def baseProducts(s: SparkSession, dir: String): DataFrame =
+    Warehouse(s, dir).dimProduct.select("stockcode", "unitprice", "category")
+
+  /** The sum/count summary at category grain — the reference MV's own
+    * partial set (`Iteration 3/Group No.6_Indexing_Partitioning.sql:148-158`
+    * materializes avg/sum/count): fully algebraic, so its refresh NEVER
+    * touches the base. */
+  private def sumCountSummary(df: DataFrame): DataFrame =
+    df.groupBy("category").agg(
+      sum("unitprice").as("up_sum"), count(col("unitprice")).as("up_cnt"),
+      count(lit(1)).as("n_rows"))
+
+  private def summaryProjection(df: DataFrame): DataFrame =
+    df.select(col("category"), col("up_sum").cast("double").as("sum_unitprice"),
+      col("up_cnt"), col("n_rows"))
+
+  /** Gate 1 (VERDICT r12 #1): the full DML mix — deletes (every 7th code),
+    * whole-row updates (every 4th surviving code, +5.00) and inserts (every
+    * 10th code re-keyed) — committed through the versioned table, then the
+    * category summary refreshed FROM THE v1→v3 CHANGE FEED ALONE: the
+    * base-snapshot thunk THROWS, so a refresh that reads anything but the
+    * feed turns this row red. The oracle recomputes the summary from the
+    * spelled-out final table — incremental maintenance ≡ full recompute. */
+  private def incrementalRefresh(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_imv_").toString
+    val root = s"$base/t"
+    val p = baseProducts(s, dir)
+    VersionedTable.create(s, root, p)
+    sumCountSummary(VersionedTable.read(s, root)).write.parquet(s"$base/summary")
+    VersionedTable.deleteWhere(s, root, productCode % 7 === 0)
+    val updates = p.filter(productCode % 4 === 0 && productCode % 7 =!= 0)
+      .withColumn("unitprice",
+        (col("unitprice") + lit(BigDecimal("5.00"))).cast("decimal(12,2)"))
+    val inserts = p.filter(productCode % 10 === 0)
+      .select((productCode + 100000).cast("string").as("stockcode"),
+        col("unitprice"), lit("New").as("category"))
+    VersionedTable.mergeInto(s, root, updates.unionByName(inserts), Seq("stockcode"))
+    val feed = VersionedTable.changes(s, root, 1, 3, Seq("stockcode"))
+    val decisions = refreshPath(s, s"$base/summary", feed, Seq("category"), "n_rows",
+      Seq(MeasureSpec("unitprice", "up_sum", "up_cnt")),
+      () => throw new IllegalStateException(
+        "sum/count refresh must read ONLY the change feed, never the base"))
+    require(decisions.filter(col("action") === "insert").count() == 1,
+      "the 'New' category must arrive as a fresh cell")
+    summaryProjection(s.read.parquet(s"$base/summary"))
+  }
+
+  /** Gate 2: min/max partials and a DETERMINISTIC delete-of-extreme — the
+    * single globally cheapest product (ties broken by numeric stockcode) is
+    * purged by tombstone; its cell's stored min dies with it, so exactly
+    * that ONE cell re-scans its slice of v2 while every other cell must
+    * merge with no base read (asserted on the decision frame). The oracle
+    * recomputes all partials from the post-purge table. */
+  private def incrementalRefreshMinMax(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_imvmm_").toString
+    val root = s"$base/t"
+    val p = baseProducts(s, dir)
+    VersionedTable.create(s, root, p)
+    VersionedTable.read(s, root).groupBy("category").agg(
+      sum("unitprice").as("up_sum"), count(col("unitprice")).as("up_cnt"),
+      min("unitprice").as("up_min"), max("unitprice").as("up_max"),
+      count(lit(1)).as("n_rows"))
+      .write.parquet(s"$base/summary")
+    val victim = p.orderBy(col("unitprice").asc, productCode.asc)
+      .limit(1).select("stockcode")
+    VersionedTable.deleteKeys(s, root, victim, Seq("stockcode"))
+    val feed = VersionedTable.changes(s, root, 1, 2, Seq("stockcode"))
+    val decisions = refreshPath(s, s"$base/summary", feed, Seq("category"), "n_rows",
+      Seq(MeasureSpec("unitprice", "up_sum", "up_cnt",
+        min = Some("up_min"), max = Some("up_max"))),
+      () => VersionedTable.read(s, root))
+    // selectivity is the contract: ONE cell re-scanned, nothing else touched
+    require(decisions.count() == 1 &&
+      decisions.filter(col("action") === "rescan").count() == 1,
+      "exactly the victim's cell must re-scan; every other cell is untouched")
+    s.read.parquet(s"$base/summary")
+      .select(col("category"), col("up_sum").cast("double").as("sum_unitprice"),
+        col("up_cnt"), col("up_min").cast("double").as("min_unitprice"),
+        col("up_max").cast("double").as("max_unitprice"), col("n_rows"))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("molap_incremental_refresh", incrementalRefresh,
+      Some(graft.oracle.OracleSql.q("""
+      , imv_final AS (
+          SELECT CASE WHEN CAST(stockcode AS BIGINT) % 4 = 0
+                      THEN CAST(unitprice + 5.00 AS DECIMAL(12,2))
+                      ELSE unitprice END AS unitprice,
+                 category
+          FROM dim_product WHERE CAST(stockcode AS BIGINT) % 7 <> 0
+          UNION ALL
+          SELECT unitprice, 'New' AS category
+          FROM dim_product WHERE CAST(stockcode AS BIGINT) % 10 = 0)
+      SELECT category, CAST(sum(unitprice) AS DOUBLE) AS sum_unitprice,
+             count(unitprice) AS up_cnt, count(*) AS n_rows
+      FROM imv_final GROUP BY category"""))),
+
+    QueryDef("molap_incremental_refresh_minmax", incrementalRefreshMinMax,
+      Some(graft.oracle.OracleSql.q("""
+      , imv_victim AS (
+          SELECT stockcode FROM dim_product
+          ORDER BY unitprice ASC, CAST(stockcode AS BIGINT) ASC LIMIT 1),
+        imv_kept AS (
+          SELECT unitprice, category FROM dim_product
+          WHERE stockcode NOT IN (SELECT stockcode FROM imv_victim))
+      SELECT category, CAST(sum(unitprice) AS DOUBLE) AS sum_unitprice,
+             count(unitprice) AS up_cnt,
+             CAST(min(unitprice) AS DOUBLE) AS min_unitprice,
+             CAST(max(unitprice) AS DOUBLE) AS max_unitprice,
+             count(*) AS n_rows
+      FROM imv_kept GROUP BY category"""))))
+}
