@@ -159,6 +159,71 @@ object VersionedTable {
     next
   }
 
+  private def batchMarker(dir: String) = new Path(dir, "_batch_id")
+
+  private def readBatchId(fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[Long] = {
+    val m = batchMarker(dir)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** The highest streaming batch id committed into this table, if any —
+    * the restart-recovery read a `foreachBatch` sink performs before
+    * applying a batch. */
+  def lastCommittedBatch(spark: SparkSession, root: String): Option[Long] = {
+    val (fs, rootP) = fsOf(spark, root)
+    readLatest(fs, rootP).flatMap(v => readBatchId(fs, vDir(root, v)))
+  }
+
+  /** Exactly-once micro-batch append (r13, VERDICT r12 #4): commit a
+    * streaming batch as snapshot N+1, IDEMPOTENT under batch replay — the
+    * composition that makes `foreachBatch` into the versioned table
+    * exactly-once. Structured Streaming's contract is at-least-once per
+    * batch id (after a crash between the sink write and the checkpoint
+    * commit, the SAME batch id is re-delivered on restart); the table
+    * turns that into exactly-once by stamping each streamed snapshot with
+    * its batch id BEFORE the manifest swap and skipping any batch id ≤ the
+    * latest committed one (the transactional-writer protocol production
+    * table formats expose as idempotent writes). Crash anatomy:
+    *  - crash before the manifest swap → orphan vN+1 (marker included)
+    *    readers never see; the replay overwrites it and commits;
+    *  - crash after the swap → the batch IS committed; the replay reads
+    *    the marker and returns None, committing nothing.
+    * Returns the committed version, or None for a skipped replay. */
+  def appendBatch(spark: SparkSession, root: String, batchId: Long,
+      batch: DataFrame, partitionCols: Seq[String] = Nil): Option[Int] = {
+    val (fs, rootP) = fsOf(spark, root)
+    fs.mkdirs(rootP)
+    val latest = readLatest(fs, rootP)
+    if (latest.flatMap(v => readBatchId(fs, vDir(root, v))).exists(_ >= batchId))
+      return None
+    val (next, dir) = nextDir(spark, root)
+    // the new snapshot = current snapshot's files byte-copied (the physical
+    // stand-in for manifest-level file sharing) + the batch's new files
+    latest.foreach { v =>
+      val cur = vDir(root, v)
+      val conf = spark.sessionState.newHadoopConf()
+      Compaction.listFiles(spark, cur).collect().foreach { r =>
+        val (part, name) = (r.getAs[String]("part"), r.getAs[String]("file_id"))
+        val dstDir = if (part == ".") new Path(dir) else new Path(s"$dir/$part")
+        fs.mkdirs(dstDir)
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new Path(if (part == ".") s"$cur/$name" else s"$cur/$part/$name"),
+          fs, new Path(dstDir, name), false, conf)
+      }
+    }
+    val w = batch.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
+    val out = fs.create(batchMarker(dir), true)
+    try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+    commit(fs, rootP, next)
+    Some(next)
+  }
+
   /** Row-level change feed between two committed snapshots — the CDC read
     * a downstream incremental pipeline consumes instead of re-scanning the
     * table (r11): every key classified as insert / delete / update (emitting

@@ -120,6 +120,76 @@ object IncrementalEtl extends QueryRegistry {
       }
   }
 
+  /** Streaming fact ingestion committed EXACTLY-ONCE into the versioned
+    * table (r13, VERDICT r12 #4): each micro-batch of conformed fact rows
+    * lands as one [[graft.sources.VersionedTable]] snapshot through
+    * [[graft.sources.VersionedTable.appendBatch]] — the batch id rides the
+    * snapshot, so a replayed batch (Structured Streaming's at-least-once
+    * redelivery after a crash between sink write and checkpoint commit)
+    * commits nothing. The lakehouse-native streaming shape: downstream
+    * consumers time-travel/diff the table (the [[graft.sources
+    * .VersionedTable.changes]] feed) instead of watching raw files. */
+  def streamIntoVersioned(spark: SparkSession, dropDir: String, w: Warehouse,
+      tableRoot: String, maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    streamingFactLoad(spark, dropDir, w, maxFilesPerTrigger).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.VersionedTable.appendBatch(spark, tableRoot, batchId, batch)
+        ()
+      }
+
+  /** The exactly-once roundtrip gate: feed drop A through a checkpointed
+    * stream (commits v1), REPLAY batch 0 directly (the post-crash
+    * redelivery: same id, same rows) and require it commits nothing, then
+    * restart the stream from the SAME checkpoint over drop A+B — the
+    * restart must process only B (batch 1 → v2). The final table must hash-
+    * match the batch-built fact identity: a duplicated replay, a lost
+    * batch, or a restart reprocessing A would all break the row multiset. */
+  private def streamVersionedCommit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val w = Warehouse.build(s, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_vt_").toString
+    val root = s"$base/fact_table"
+    val ckpt = s"$base/ckpt"
+    val even = col("linenumber").cast("int") % 2 === 0
+    w.stgSales.filter(even).coalesce(1).write.parquet(s"$base/drops/a")
+    def runStream(): Unit = {
+      val q = streamIntoVersioned(s, s"$base/drops/*", w, root)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException("versioned-commit stream did not finish in 300 s")
+      }
+    }
+    runStream() // batch 0 = drop A → v1
+    require(graft.sources.VersionedTable.latestVersion(s, root) == 1,
+      "drop A must commit exactly one snapshot")
+    // the crash replay: batch id 0 redelivered with the same rows — the
+    // table must recognize it and commit NOTHING
+    val replayRows = Transforms.factSales(
+      Transforms.salesFinal(Transforms.salesParsed(w.stgSales.filter(even)), w.dimProduct),
+      w.dimProduct, w.dimCustomer)
+    require(graft.sources.VersionedTable.appendBatch(s, root, 0L, replayRows).isEmpty,
+      "a replayed batch id must commit no second snapshot")
+    require(graft.sources.VersionedTable.latestVersion(s, root) == 1,
+      "the replay must leave the table at v1")
+    // mid-feed restart: drop B arrives, the stream restarts from the SAME
+    // checkpoint and must process only the new file as batch 1
+    w.stgSales.filter(!even).coalesce(1).write.parquet(s"$base/drops/b")
+    runStream()
+    require(graft.sources.VersionedTable.latestVersion(s, root) == 2,
+      "drop B must commit exactly one more snapshot")
+    require(graft.sources.VersionedTable.lastCommittedBatch(s, root).contains(1L),
+      "the restarted stream must resume at batch id 1")
+    graft.sources.VersionedTable.read(s, root)
+      .drop("product_key", "customer_key")
+      .withColumn("unitprice", col("unitprice").cast("double"))
+      .withColumn("totalamount", col("totalamount").cast("double"))
+  }
+
   /** Read the maintained summary, estimating the distinct-invoice count from
     * the maintained sketch. */
   def readMonthCountry(spark: SparkSession, summaryPath: String): DataFrame = {
@@ -290,6 +360,14 @@ object IncrementalEtl extends QueryRegistry {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    // the streamed table must be the batch fact, row for row — same
+    // identity oracle as the batch `fact_sales` row
+    QueryDef("stream_versioned_commit", streamVersionedCommit, Some(q("""
+      SELECT date_key, invoiceid, stockcode, customerid, linenumber, quantity,
+             CAST(unitprice AS DOUBLE) AS unitprice,
+             CAST(totalamount AS DOUBLE) AS totalamount
+      FROM fact_sales"""))),
+
     QueryDef("stream_mv_serving_avg", streamMvServingAvg, Some(q("""
       , sag AS (
           SELECT coalesce(c.country, 'UNKNOWN') AS country, f.totalamount

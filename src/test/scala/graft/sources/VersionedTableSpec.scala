@@ -124,6 +124,44 @@ class VersionedTableSpec extends SparkSpec {
       (2L, "update_preimage", None), (2L, "update_postimage", Some("v"))))
   }
 
+  test("appendBatch is exactly-once: a replayed batch id commits nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_b_").toString + "/t"
+    assert(VersionedTable.appendBatch(spark, root, 0L,
+      Seq((1L, "a")).toDF("id", "payload")) === Some(1))
+    assert(VersionedTable.appendBatch(spark, root, 1L,
+      Seq((2L, "b")).toDF("id", "payload")) === Some(2))
+    // the post-crash redelivery: same id (and even an OLDER id) must be
+    // recognized as already committed — no snapshot, no duplicate rows
+    assert(VersionedTable.appendBatch(spark, root, 1L,
+      Seq((2L, "b")).toDF("id", "payload")).isEmpty)
+    assert(VersionedTable.appendBatch(spark, root, 0L,
+      Seq((1L, "a")).toDF("id", "payload")).isEmpty)
+    assert(VersionedTable.latestVersion(spark, root) === 2)
+    assert(VersionedTable.lastCommittedBatch(spark, root) === Some(1L))
+    assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    // the next genuine batch continues the chain, and time travel still
+    // sees the single-batch state
+    assert(VersionedTable.appendBatch(spark, root, 2L,
+      Seq((3L, "c")).toDF("id", "payload")) === Some(3))
+    assert(VersionedTable.read(spark, root, Some(1))
+      .as[(Long, String)].collect().toSet === Set((1L, "a")))
+  }
+
+  test("appendBatch recovers a crashed orphan: retry of the batch commits once") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_o_").toString + "/t"
+    VersionedTable.appendBatch(spark, root, 0L, Seq((1L, "a")).toDF("id", "payload"))
+    // simulate a crash AFTER writing v2's files but BEFORE the manifest
+    // swap: an orphan v00002 exists, _latest still names v1
+    Seq((99L, "garbage")).toDF("id", "payload").write.parquet(s"$root/v00002")
+    assert(VersionedTable.latestVersion(spark, root) === 1)
+    // the replayed batch overwrites the orphan and commits exactly once
+    assert(VersionedTable.appendBatch(spark, root, 1L,
+      Seq((2L, "b")).toDF("id", "payload")) === Some(2))
+    assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("vacuum retires old versions and keeps time travel to the rest") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_v_").toString + "/t"
     VersionedTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "payload"))
