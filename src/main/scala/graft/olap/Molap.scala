@@ -289,7 +289,99 @@ object Molap extends QueryRegistry {
     }
   }
 
+  /** Shared scenario for the r13 gate rows: materialize the (month, country,
+    * amount, quantity) base grain + its sum/count summary under a fresh temp
+    * root, register the summary, and return the root. Identical layout to
+    * [[mvRewriteCountry]]'s. */
+  private def grainWithMv(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val base = java.nio.file.Files.createTempDirectory("graft_mvgs_").toString
+    val w = Warehouse(s, dir)
+    w.factSalesElt
+      .filter(col("date_key") =!= graft.FallbackDateKey)
+      .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+      .select(keyMonth,
+        coalesce(col("country"), lit("UNKNOWN")).as("country"),
+        col("totalamount"), col("quantity"))
+      .write.parquet(s"$base/grain")
+    s.read.parquet(s"$base/grain")
+      .groupBy("month", "country")
+      .agg(sum("totalamount").as("rev_p"), sum("quantity").as("qty_p"),
+        count(lit(1)).as("n_rows"))
+      .write.parquet(s"$base/mv")
+    graft.plans.MvRewrite.register(s, s"$base/grain", s.read.parquet(s"$base/mv"),
+      keys = Seq("month", "country"),
+      sums = Map("totalamount" -> "rev_p", "quantity" -> "qty_p"),
+      countCol = Some("n_rows"))
+    base
+  }
+
+  /** HAVING derivability gate (r13, VERDICT r12 #5): a post-aggregate
+    * predicate on an aggregate RESULT sits as a Filter above the Aggregate;
+    * the rewrite keeps the aggregate's output exprIds and bit-identical
+    * values (decimal partial re-sum), so the HAVING selects exactly the
+    * same groups over the MV route. Plan-asserted MV-only scan. */
+  private def mvRewriteHaving(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = grainWithMv(s, dir)
+    graft.plans.MvRewrite.servingScoped(s) {
+      val out = s.read.parquet(s"$base/grain")
+        .groupBy("country")
+        .agg(sum("totalamount").as("rev"), count(lit(1)).as("n_rows"))
+        .filter(col("rev") > 1000)
+        .select(col("country"), col("rev").cast("double").as("revenue"),
+          col("n_rows"))
+      requireMvScan(out)
+      out
+    }
+  }
+
+  /** ROLLUP derivability gate (r13, VERDICT r12 #5): every grain of a
+    * rollup over the MV's keys — (month, country), (month), grand total —
+    * is served from the summary at once, through the grouping-set Expand
+    * replayed over MV cells instead of base rows (MV-cardinality input to
+    * the aggregate, the 100 TB win). Plan-asserted MV-only scan; the
+    * all-grain numeric equality is the oracle's check. */
+  private def mvRewriteRollup(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = grainWithMv(s, dir)
+    graft.plans.MvRewrite.servingScoped(s) {
+      val out = s.read.parquet(s"$base/grain")
+        .rollup("month", "country")
+        .agg(sum("totalamount").as("rev"), sum("quantity").as("total_quantity"),
+          count(lit(1)).as("n_rows"))
+        .select(col("month"), col("country"),
+          col("rev").cast("double").as("revenue"),
+          col("total_quantity"), col("n_rows"))
+      requireMvScan(out)
+      out
+    }
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("molap_mv_rewrite_having", mvRewriteHaving, Some(q(s"""
+      , mvb AS (
+          SELECT coalesce(c.country, 'UNKNOWN') AS country,
+                 f.totalamount
+          FROM fact_sales_elt f
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          WHERE f.date_key <> ${graft.FallbackDateKey})
+      SELECT country, CAST(sum(totalamount) AS DOUBLE) AS revenue,
+             count(*) AS n_rows
+      FROM mvb GROUP BY country
+      HAVING sum(totalamount) > 1000"""))),
+
+    QueryDef("molap_mv_rewrite_rollup", mvRewriteRollup, Some(q(s"""
+      , mvg AS (
+          SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+                 coalesce(c.country, 'UNKNOWN') AS country,
+                 f.totalamount, f.quantity
+          FROM fact_sales_elt f
+          JOIN dim_date d ON f.date_key = d.date_key
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          WHERE f.date_key <> ${graft.FallbackDateKey})
+      SELECT month, country, CAST(sum(totalamount) AS DOUBLE) AS revenue,
+             CAST(sum(quantity) AS BIGINT) AS total_quantity,
+             count(*) AS n_rows
+      FROM mvg GROUP BY ROLLUP(month, country)"""))),
+
     // the decimal avg oracle replicates Spark's exact decimal divide
     // (round-half-up at the result scale 6) in integer cents — DuckDB's own
     // avg(DECIMAL) runs in floating point and can differ in the last ulp;

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, HllUnionAgg, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
@@ -151,6 +151,15 @@ object MvRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || registry.isEmpty) plan
     else plan.transform {
+      // HAVING needs no case of its own: the analyzer plants it as a
+      // Filter ABOVE the aggregate referencing the aggregate's output
+      // attributes, and the rewrite preserves every output exprId — the
+      // filter applies unchanged over the rerouted aggregate (bit-identical
+      // values, so the predicate selects the same groups either route).
+      case agg @ Aggregate(_, _, expand: Expand, _) =>
+        matchBase(expand.child).flatMap { case (reg, keyFilters) =>
+          tryRewriteSets(agg, expand, reg, keyFilters)
+        }.getOrElse(agg)
       case agg @ Aggregate(_, _, child, _) =>
         matchBase(child).flatMap { case (reg, keyFilters) =>
           tryRewrite(agg, reg, keyFilters)
@@ -208,17 +217,20 @@ object MvRewrite extends Rule[LogicalPlan] {
         (fresh, leaf.output.zip(fresh.output))
     }
 
+  /** Replay the base's key predicates on the MV scan (same columns, same
+    * values — whole cells pass or fail exactly as their rows did). */
+  private def replayFilters(mvScan: LogicalPlan, mvOut: Map[String, Attribute],
+      keyFilters: Seq[Expression]): LogicalPlan =
+    if (keyFilters.isEmpty) mvScan
+    else Filter(keyFilters.map(_.transform {
+      case a: AttributeReference => mvOut(a.name)
+    }).reduce(And), mvScan)
+
   private def tryRewrite(agg: Aggregate, reg: Registration,
       keyFilters: Seq[Expression]): Option[LogicalPlan] = {
     val mvScan = freshMv(reg.mv)
     val mvOut = mvScan.output.map(a => a.name -> a).toMap
-    // replay the base's key predicates on the MV (same columns, same
-    // values — whole cells pass or fail exactly as their rows did)
-    val mv: LogicalPlan =
-      if (keyFilters.isEmpty) mvScan
-      else Filter(keyFilters.map(_.transform {
-        case a: AttributeReference => mvOut(a.name)
-      }).reduce(And), mvScan)
+    val mv = replayFilters(mvScan, mvOut, keyFilters)
     val groups = agg.groupingExpressions.map {
       case a: AttributeReference if reg.keys(a.name) => mvOut(a.name)
       case _ => return None
@@ -227,85 +239,167 @@ object MvRewrite extends Rule[LogicalPlan] {
       // grouping column passthrough — keep the original output exprId
       case a: AttributeReference if reg.keys(a.name) =>
         Alias(mvOut(a.name), a.name)(exprId = a.exprId)
-      case al @ Alias(c, name) =>
-        // accept the aggregate bare or under a cast (CollapseProject folds
-        // a post-aggregate projection's cast into the aggregate list)
-        val (ae, rebuild): (AggregateExpression, Expression => Expression) = c match {
-          case ae: AggregateExpression => (ae, identity[Expression] _)
-          case outer @ Cast(ae: AggregateExpression, _, _, _) =>
-            (ae, (e: Expression) => outer.withNewChildren(Seq(e)))
-          case _ => return None
-        }
-        if (ae.filter.isDefined) return None
-        // a re-aggregated partial under a FRESH result id — two rewritten
-        // aggregates derived from the same template must not share one
-        def reAgg(fn: AggregateFunction): AggregateExpression =
-          ae.copy(aggregateFunction = fn, resultId = NamedExpression.newExprId)
-        // the re-sum widens (decimal precision / long), cast back to the
-        // original result type so the plan's schema is unchanged
-        val rewritten: Expression = ae.aggregateFunction match {
-          case Sum(e: AttributeReference, _)
-              if !ae.isDistinct && reg.sums.contains(e.name) =>
-            Cast(reAgg(Sum(mvOut(reg.sums(e.name)))), ae.dataType)
-          // count(*) / count(non-null literal) → Σ row-count partials.
-          // count(NULL) is excluded (it is constantly 0, NOT the row count),
-          // and the re-sum is coalesced to 0: over an EMPTY base a global
-          // Sum returns NULL where Count's contract is 0 — the coalesce
-          // also keeps the output attribute non-nullable, like Count.
-          case Count(Seq(Literal(v, _)))
-              if v != null && !ae.isDistinct && reg.countCol.isDefined =>
-            Cast(Coalesce(Seq(reAgg(Sum(mvOut(reg.countCol.get))),
-              Literal(0L))), ae.dataType)
-          // avg(col) → Σsum-partial / Σcount-partial, rebuilt in EXACTLY the
-          // shape Average.evaluateExpression uses so the result is
-          // bit-identical to the direct aggregate: the re-summed partial is
-          // cast back to Average's internal sumDataType (value-preserving —
-          // a total that overflowed it would overflow the direct route too)
-          // and the division node is the same If/DecimalDivideWithOverflowCheck
-          // (decimal) or legacy Divide (integral). Float/double inputs are
-          // NOT derivable — re-summing fp partials reorders the accumulation.
-          case Average(e: AttributeReference, _)
-              if !ae.isDistinct && reg.sums.contains(e.name) &&
-                reg.counts.contains(e.name) &&
-                (e.dataType match {
-                  case _: DecimalType | ByteType | ShortType | IntegerType | LongType => true
-                  case _ => false
-                }) =>
-            val sumAgg: Expression =
-              Cast(reAgg(Sum(mvOut(reg.sums(e.name)))), Sum(e).dataType)
-            // ONE shared count aggregate, referenced from both the zero
-            // guard and the divide (same resultId → computed once)
-            val cntAgg = reAgg(Sum(mvOut(reg.counts(e.name))))
-            e.dataType match {
-              case _: DecimalType =>
-                val rt = ae.dataType.asInstanceOf[DecimalType]
-                If(EqualTo(cntAgg, Literal(0L)), Literal(null, rt),
-                  DecimalDivideWithOverflowCheck(sumAgg,
-                    Cast(cntAgg, DecimalType(20, 0)), rt, null,
-                    nullOnOverflow = true))
-              case _ =>
-                Divide(Cast(sumAgg, ae.dataType), Cast(cntAgg, ae.dataType),
-                  EvalMode.LEGACY)
-            }
-          // min of mins IS the min (max likewise) — type-preserving, no cast
-          case Min(e: AttributeReference)
-              if !ae.isDistinct && reg.mins.contains(e.name) =>
-            reAgg(Min(mvOut(reg.mins(e.name))))
-          case Max(e: AttributeReference)
-              if !ae.isDistinct && reg.maxs.contains(e.name) =>
-            reAgg(Max(mvOut(reg.maxs(e.name))))
-          // count(DISTINCT col) → union the cells' HLL sketches, estimate —
-          // only under the explicit approx opt-in (semantics change)
-          case Count(Seq(e: AttributeReference))
-              if ae.isDistinct && approxDistinct && reg.distincts.contains(e.name) =>
-            new HllSketchEstimate(ae.copy(
-              aggregateFunction = new HllUnionAgg(mvOut(reg.distincts(e.name))),
-              isDistinct = false))
-          case _ => return None
-        }
-        Alias(rebuild(rewritten), name)(exprId = al.exprId)
+      case al: Alias => rewriteAggAlias(al, reg, mvOut).getOrElse(return None)
       case _ => return None
     }
     Some(Aggregate(groups, aggs, mv, None))
+  }
+
+  /** GROUPING SETS / ROLLUP / CUBE routing (r13). The analyzer plants an
+    * [[Expand]] under the aggregate that replicates each base row once per
+    * grouping set, nulling out the keys the set drops and tagging the copy
+    * with a `spark_grouping_id` bitmask literal; the aggregate then groups
+    * by the nulled key attrs + the bitmask. The identical Expand replayed
+    * over the SUMMARY replicates each MV cell the same way, and partial
+    * re-aggregation inside each (set, keys) group is the ordinary
+    * coarser-grain collapse — so every grain of the rollup is served from
+    * the MV at once, at MV (not base) cardinality through the Expand.
+    *
+    * Derivability adds one condition to the flat contract: every Expand
+    * column the aggregate GROUPS on must be a registered key (or the
+    * bitmask literal). Measure passthrough columns are replaced by the
+    * partial columns the rewritten aggregates read. Grouping-set key attrs
+    * and the bitmask attr keep their exprIds, so `grouping()` /
+    * `grouping_id()` projections over them — and any HAVING above — are
+    * untouched. */
+  private def tryRewriteSets(agg: Aggregate, expand: Expand, reg: Registration,
+      keyFilters: Seq[Expression]): Option[LogicalPlan] = {
+    val mvScan = freshMv(reg.mv)
+    val mvOut = mvScan.output.map(a => a.name -> a).toMap
+    val mv = replayFilters(mvScan, mvOut, keyFilters)
+    // Expand positions the grouping side reads: the (nullable) key attrs
+    // and the grouping-id bitmask. Everything else is measure passthrough.
+    val groupRefs = AttributeSet(agg.groupingExpressions.flatMap(_.references))
+    if (!agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]))
+      return None
+    val keepPos = expand.output.zipWithIndex.collect {
+      case (a, i) if groupRefs.contains(a) => i
+    }
+    // every kept position must hold, across ALL grouping-set projections,
+    // either a registered key column, or a literal (the set's null for a
+    // dropped key / the bitmask). A non-key attr here means the query
+    // grouped by a measure column — not derivable.
+    val replayable = keepPos.forall { i =>
+      expand.projections.forall {
+        _(i) match {
+          case a: AttributeReference => reg.keys(a.name)
+          case Literal(_, _) => true
+          case _ => false
+        }
+      }
+    }
+    if (!replayable) return None
+    val keptAttrs = AttributeSet(keepPos.map(expand.output))
+    val aggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      // grouping-set key / bitmask passthrough, and grouping()/grouping_id()
+      // shapes over the bitmask — all reference kept Expand outputs, which
+      // keep their exprIds: leave them verbatim
+      case a: AttributeReference if keptAttrs.contains(a) => a
+      // nonEmpty guards the reference-free aggregates — count(1)'s empty
+      // reference set is vacuously a subset, but it must be REWRITTEN onto
+      // the row-count partial, not kept (kept, it would count MV cells)
+      case al: Alias
+          if al.references.nonEmpty && al.references.subsetOf(keptAttrs) => al
+      case al: Alias => rewriteAggAlias(al, reg, mvOut).getOrElse(return None)
+      case _ => return None
+    }
+    // the MV columns the rewritten aggregates read ride the new Expand as
+    // identity passthrough (same attrs — references bind unchanged)
+    val needed = mv.output.filter(AttributeSet(aggs.flatMap(_.references)).contains)
+    val newExpand = Expand(
+      expand.projections.map { p =>
+        (needed: Seq[Expression]) ++ keepPos.map { i =>
+          p(i) match {
+            case a: AttributeReference => mvOut(a.name)
+            case lit => lit
+          }
+        }
+      },
+      needed ++ keepPos.map(expand.output), mv)
+    Some(Aggregate(agg.groupingExpressions, aggs, newExpand, None))
+  }
+
+  /** One output alias of the aggregate, rewritten to read the summary's
+    * partials — or None when it is not derivable (which disqualifies the
+    * whole rewrite). Shared by the flat and grouping-sets paths. */
+  private def rewriteAggAlias(al: Alias, reg: Registration,
+      mvOut: Map[String, Attribute]): Option[NamedExpression] = {
+    val name = al.name
+    // accept the aggregate bare or under a cast (CollapseProject folds
+    // a post-aggregate projection's cast into the aggregate list)
+    val (ae, rebuild): (AggregateExpression, Expression => Expression) = al.child match {
+      case ae: AggregateExpression => (ae, identity[Expression] _)
+      case outer @ Cast(ae: AggregateExpression, _, _, _) =>
+        (ae, (e: Expression) => outer.withNewChildren(Seq(e)))
+      case _ => return None
+    }
+    if (ae.filter.isDefined) return None
+    // a re-aggregated partial under a FRESH result id — two rewritten
+    // aggregates derived from the same template must not share one
+    def reAgg(fn: AggregateFunction): AggregateExpression =
+      ae.copy(aggregateFunction = fn, resultId = NamedExpression.newExprId)
+    // the re-sum widens (decimal precision / long), cast back to the
+    // original result type so the plan's schema is unchanged
+    val rewritten: Expression = ae.aggregateFunction match {
+      case Sum(e: AttributeReference, _)
+          if !ae.isDistinct && reg.sums.contains(e.name) =>
+        Cast(reAgg(Sum(mvOut(reg.sums(e.name)))), ae.dataType)
+      // count(*) / count(non-null literal) → Σ row-count partials.
+      // count(NULL) is excluded (it is constantly 0, NOT the row count),
+      // and the re-sum is coalesced to 0: over an EMPTY base a global
+      // Sum returns NULL where Count's contract is 0 — the coalesce
+      // also keeps the output attribute non-nullable, like Count.
+      case Count(Seq(Literal(v, _)))
+          if v != null && !ae.isDistinct && reg.countCol.isDefined =>
+        Cast(Coalesce(Seq(reAgg(Sum(mvOut(reg.countCol.get))),
+          Literal(0L))), ae.dataType)
+      // avg(col) → Σsum-partial / Σcount-partial, rebuilt in EXACTLY the
+      // shape Average.evaluateExpression uses so the result is
+      // bit-identical to the direct aggregate: the re-summed partial is
+      // cast back to Average's internal sumDataType (value-preserving —
+      // a total that overflowed it would overflow the direct route too)
+      // and the division node is the same If/DecimalDivideWithOverflowCheck
+      // (decimal) or legacy Divide (integral). Float/double inputs are
+      // NOT derivable — re-summing fp partials reorders the accumulation.
+      case Average(e: AttributeReference, _)
+          if !ae.isDistinct && reg.sums.contains(e.name) &&
+            reg.counts.contains(e.name) &&
+            (e.dataType match {
+              case _: DecimalType | ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            }) =>
+        val sumAgg: Expression =
+          Cast(reAgg(Sum(mvOut(reg.sums(e.name)))), Sum(e).dataType)
+        // ONE shared count aggregate, referenced from both the zero
+        // guard and the divide (same resultId → computed once)
+        val cntAgg = reAgg(Sum(mvOut(reg.counts(e.name))))
+        e.dataType match {
+          case _: DecimalType =>
+            val rt = ae.dataType.asInstanceOf[DecimalType]
+            If(EqualTo(cntAgg, Literal(0L)), Literal(null, rt),
+              DecimalDivideWithOverflowCheck(sumAgg,
+                Cast(cntAgg, DecimalType(20, 0)), rt, null,
+                nullOnOverflow = true))
+          case _ =>
+            Divide(Cast(sumAgg, ae.dataType), Cast(cntAgg, ae.dataType),
+              EvalMode.LEGACY)
+        }
+      // min of mins IS the min (max likewise) — type-preserving, no cast
+      case Min(e: AttributeReference)
+          if !ae.isDistinct && reg.mins.contains(e.name) =>
+        reAgg(Min(mvOut(reg.mins(e.name))))
+      case Max(e: AttributeReference)
+          if !ae.isDistinct && reg.maxs.contains(e.name) =>
+        reAgg(Max(mvOut(reg.maxs(e.name))))
+      // count(DISTINCT col) → union the cells' HLL sketches, estimate —
+      // only under the explicit approx opt-in (semantics change)
+      case Count(Seq(e: AttributeReference))
+          if ae.isDistinct && approxDistinct && reg.distincts.contains(e.name) =>
+        new HllSketchEstimate(ae.copy(
+          aggregateFunction = new HllUnionAgg(mvOut(reg.distincts(e.name))),
+          isDistinct = false))
+      case _ => return None
+    }
+    Some(Alias(rebuild(rewritten), name)(exprId = al.exprId))
   }
 }

@@ -219,6 +219,75 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("HAVING (filter above the aggregate) routes and selects the same groups") {
+    withMv { base =>
+      // HAVING references the aggregate's output attrs; the rewrite keeps
+      // their exprIds, so the filter applies unchanged over the MV route
+      def query() = spark.read.parquet(s"$base/grain")
+        .groupBy("c")
+        .agg(sum("qty").as("tq"), count(lit(1)).as("n"))
+        .filter(col("tq") > 3350L)
+      val rr = query()
+      assert(scannedPaths(rr).forall(_.endsWith("/mv")), scannedPaths(rr))
+      val direct = {
+        spark.conf.set(MvRewrite.EnabledKey, "false")
+        try query().as[(String, Long, Long)].collect().toSet
+        finally spark.conf.set(MvRewrite.EnabledKey, "true")
+      }
+      assert(rr.as[(String, Long, Long)].collect().toSet === direct)
+      // the predicate actually splits the groups (not vacuous): sums are
+      // c2=3300, c0=3366, c1=3434 — the 3350 cut keeps c0/c1, drops c2
+      val expect = (1L to 100L).groupBy(i => s"c${i % 3}")
+        .collect { case (k, is) if is.map(_ * 2).sum > 3350L =>
+          (k, is.map(_ * 2).sum, is.size.toLong) }.toSet
+      assert(direct === expect && expect.nonEmpty && expect.size < 3)
+    }
+  }
+
+  test("ROLLUP/CUBE over MV keys route through the replayed Expand, grouping_id intact") {
+    withMv { base =>
+      def query() = spark.read.parquet(s"$base/grain")
+        .rollup("k", "c")
+        .agg(sum("amount").as("rev"), avg("amount").as("avg_a"),
+          min("amount").as("mn"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+      val rr = query()
+      assert(scannedPaths(rr).forall(_.endsWith("/mv")), scannedPaths(rr))
+      val direct = {
+        spark.conf.set(MvRewrite.EnabledKey, "false")
+        try query().collect().toSet
+        finally spark.conf.set(MvRewrite.EnabledKey, "true")
+      }
+      // decimal sum/avg must be bit-identical at every grain incl. the
+      // grand total; row set covers all 3 rollup grains
+      assert(rr.collect().toSet === direct)
+      assert(direct.count(r => r.isNullAt(0) && r.isNullAt(1)) === 1)
+      assert(rr.count() === (7 * 3 + 7 + 1))
+      // cube and a coarser one-key rollup take the same path
+      val cube = spark.read.parquet(s"$base/grain")
+        .cube("k", "c").agg(sum("qty").as("tq"))
+      assert(scannedPaths(cube).forall(_.endsWith("/mv")), scannedPaths(cube))
+      assert(cube.count() === (7 * 3 + 7 + 3 + 1))
+      val r1 = spark.read.parquet(s"$base/grain")
+        .rollup("c").agg(sum("qty").as("tq"))
+      assert(scannedPaths(r1).forall(_.endsWith("/mv")))
+      assert(r1.filter(col("c").isNull).as[(String, Long)].head()._2 ===
+        (1L to 100L).map(_ * 2).sum)
+    }
+  }
+
+  test("grouping sets touching a measure column or non-derivable aggregate stay on base") {
+    withMv { base =>
+      val grain = spark.read.parquet(s"$base/grain")
+      // rollup over a measure column is not replayable on the summary
+      val mr = grain.rollup("c", "qty").agg(sum("amount").as("s"))
+      assert(scannedPaths(mr).forall(_.endsWith("/grain")), scannedPaths(mr))
+      // a non-derivable aggregate disqualifies the whole rollup
+      val cd = grain.rollup("k", "c").agg(count_distinct(col("qty")).as("d"))
+      assert(scannedPaths(cd).forall(_.endsWith("/grain")), scannedPaths(cd))
+    }
+  }
+
   test("inert without the session flag and for unregistered tables") {
     withMv { base =>
       spark.conf.set(MvRewrite.EnabledKey, "false")
