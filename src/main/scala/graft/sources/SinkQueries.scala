@@ -214,6 +214,36 @@ object SinkQueries extends QueryRegistry {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
   }
 
+  /** Row-move UPDATE round trip (r13, VERDICT r12 #6): the partitioned
+    * events layout, every 7th user re-keyed +100000 — which changes the
+    * PARTITION column (ubucket = user_id div 50), the assignment
+    * [[Dml.updateWhere]] rejects by contract. [[Dml.updateMove]] relocates
+    * the movers partition-routed; the fn self-asserts the physical
+    * contract (some file actually rewrote; every read-back row sits in the
+    * directory its user_id names), and the compared aggregate pins the key
+    * shift (`user_id_sum`), the routing (`ubucket_sum` from the PARTITION
+    * column), and row preservation against the CASE-shifted oracle. */
+  private def updateMoveRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sink_umv_").toString
+    val events = graft.streaming.EventOps.events(s, dir)
+    events.withColumn("ubucket", expr("user_id div 50"))
+      .write.partitionBy("ubucket").parquet(s"$out/events_v1")
+    val dec = Dml.updateMove(s, s"$out/events_v1", s"$out/events_v2",
+      col("user_id") % 7 === 0,
+      Map("user_id" -> (col("user_id") + 100000L),
+        "ubucket" -> expr("(user_id + 100000) div 50")))
+    require(dec.filter(col("rewritten")).count() > 0,
+      "the move must rewrite at least one source file")
+    val back = s.read.parquet(s"$out/events_v2")
+    require(back.filter(col("ubucket") =!= expr("user_id div 50")).isEmpty,
+      "a moved row landed in a partition its user_id does not name")
+    back.agg(count(lit(1)).as("n_events"),
+      count_distinct(col("user_id")).as("n_users"),
+      sum(col("user_id")).as("user_id_sum"),
+      sum(col("ubucket").cast("long")).as("ubucket_sum"),
+      sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+  }
+
   /** Tombstone-purge round trip (r11): the same partitioned events layout,
     * purged by a KEY LIST — every 13th user's erasure request, derived
     * from the feed itself — through the semi-probe/anti-join path instead
@@ -489,6 +519,17 @@ object SinkQueries extends QueryRegistry {
       SELECT stockcode, 'update_postimage' AS change_type,
              CAST(unitprice + 5.00 AS DOUBLE) AS unitprice, category
       FROM dim_product WHERE CAST(stockcode AS BIGINT) % 6 = 0"""))),
+
+    QueryDef("sink_update_move", updateMoveRoundtrip,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             CAST(sum(user_id) AS BIGINT) AS user_id_sum,
+             CAST(sum(user_id // 50) AS BIGINT) AS ubucket_sum,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM (SELECT CASE WHEN user_id % 7 = 0 THEN user_id + 100000
+                        ELSE user_id END AS user_id, value
+            FROM events) moved"""))),
 
     QueryDef("sink_delete_keys", deleteKeysRoundtrip,
       Some(graft.oracle.OracleSql.q("""

@@ -122,6 +122,24 @@ object VersionedTable {
     next
   }
 
+  /** Row-move UPDATE as a new snapshot (r13): the partition-column
+    * assignment [[updateWhere]] rejects, supported through
+    * [[Dml.updateMove]] — movers leave their source partition and land
+    * partition-routed, in one committed version. In the [[changes]] feed a
+    * moved row is its key's pre/post image PAIR (the old partition value in
+    * the preimage, the new in the postimage) — the delete-from-old +
+    * insert-to-new the move physically performs, expressed at the row
+    * level. Returns the committed version. */
+  def updateMove(spark: SparkSession, root: String, pred: Column,
+      assignments: Map[String, Column]): Int = {
+    val cur = vDir(root, latestVersion(spark, root))
+    val (next, dir) = nextDir(spark, root)
+    Dml.updateMove(spark, cur, dir, pred, assignments)
+    val (fs, rootP) = fsOf(spark, root)
+    commit(fs, rootP, next)
+    next
+  }
+
   /** Tombstone-keyed DELETE as a new snapshot (r12, VERDICT r11 #6): the
     * erasure purge composed with the versioned protocol — production
     * right-to-be-forgotten requests run against the TABLE, not a raw

@@ -86,6 +86,68 @@ class DmlSpec extends SparkSpec {
     }
   }
 
+  test("updateMove relocates movers partition-routed; survivors and clean files intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_umv_").toString
+    // buckets 0/1/2; one NULL-bucket row (id 41) and one NULL-pred row (id 40)
+    ((1L to 40L).map(i => (i, s"row_$i",
+      if (i == 40L) null.asInstanceOf[java.lang.Long] else java.lang.Long.valueOf(i),
+      java.lang.Long.valueOf(i / 20))) :+
+      ((41L, "row_41", java.lang.Long.valueOf(41L), null.asInstanceOf[java.lang.Long])))
+      .toDF("id", "payload", "flag", "bucket")
+      .repartition(2, col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$base/v1")
+    // movers: flag 10..19 (all in bucket 0) relocate to bucket = flag div 2
+    // (5..9) with the payload stamped — assignments see OLD values; the
+    // NULL-pred row (id 40, NULL flag) must survive untouched
+    val plan = Dml.updateMove(spark, s"$base/v1", s"$base/v2",
+      col("flag").between(10L, 19L),
+      Map("bucket" -> expr("flag div 2"),
+        "payload" -> concat(lit("moved_"), col("id"))))
+    val out = spark.read.parquet(s"$base/v2")
+      .select("id", "payload", "bucket")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size === 41)
+    (10L to 19L).foreach { i =>
+      assert(out(i) === (s"moved_$i", Some(i / 2)), s"id $i must move")
+    }
+    ((1L to 9L) ++ (20L to 39L)).foreach { i =>
+      assert(out(i) === (s"row_$i", Some(i / 20)), s"id $i must be untouched")
+    }
+    assert(out(40L) === ("row_40", Some(2L))) // NULL predicate → kept in place
+    assert(out(41L) === ("row_41", None))     // NULL partition value survives
+    // only bucket 0 (the movers' source partition) rewrote; clean byte-copy
+    val decisions = plan.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(decisions.filter(_._1.contains("bucket=0")).forall(_._3))
+    assert(decisions.filterNot(_._1.contains("bucket=0")).forall(!_._3))
+    val v1 = fileBytes(s"$base/v1"); val v2 = fileBytes(s"$base/v2")
+    decisions.filterNot(_._3).foreach { case (part, name, _) =>
+      val k = s"/$part/$name"
+      assert(v2.get(k).contains(v1(k)), s"$k was re-encoded")
+    }
+    // a predicate over the PARTITION column itself (re-injected from the
+    // directory name): move the NULL-bucket row into bucket 9
+    Dml.updateMove(spark, s"$base/v2", s"$base/v3",
+      col("bucket").isNull, Map("bucket" -> lit(9L)))
+    val v3 = spark.read.parquet(s"$base/v3")
+    assert(v3.filter(col("bucket").isNull).isEmpty)
+    assert(v3.filter(col("id") === 41L).select("bucket").as[Long].head() === 9L)
+    assert(v3.count() === 41)
+    // contract rejections: no partition column assigned → updateWhere's job;
+    // an unpartitioned layout has nowhere to move rows
+    intercept[IllegalArgumentException] {
+      Dml.updateMove(spark, s"$base/v1", s"$base/vx",
+        col("id") === 1L, Map("payload" -> lit("p")))
+    }
+    val flat = java.nio.file.Files.createTempDirectory("graft_umvflat_").toString
+    (1L to 5L).map(i => (i, i)).toDF("id", "v").write.parquet(s"$flat/v1")
+    intercept[IllegalArgumentException] {
+      Dml.updateMove(spark, s"$flat/v1", s"$flat/v2",
+        col("id") === 1L, Map("v" -> lit(0L)))
+    }
+  }
+
   test("mergeInto replaces matched rows, inserts new keys, and moves rows across partitions") {
     val base = java.nio.file.Files.createTempDirectory("graft_merge_").toString
     (1L to 40L).map(i => (i, s"old_$i", i / 20))

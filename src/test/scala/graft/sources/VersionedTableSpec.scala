@@ -46,6 +46,34 @@ class VersionedTableSpec extends SparkSpec {
     assert(feed === Set(("delete", 3L), ("delete", 7L)))
   }
 
+  test("updateMove commits a move snapshot; CDC pairs pre/post images per moved key") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_umv_").toString + "/t"
+    val v1 = (1L to 30L).map(i => (i, s"p_$i", i / 10)).toDF("id", "payload", "bucket")
+    assert(VersionedTable.create(spark, root, v1, Seq("bucket")) === 1)
+    // ids 4,8,12,… relocate to bucket 7 — a partition-column assignment,
+    // which updateWhere rejects and this path supports
+    assert(VersionedTable.updateMove(spark, root, col("id") % 4 === 0,
+      Map("bucket" -> lit(7L))) === 2)
+    val moved = (1L to 30L).filter(_ % 4 == 0).toSet
+    val latest = VersionedTable.read(spark, root)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(latest.size === 30)
+    moved.foreach(i => assert(latest(i) === 7L, s"id $i must land in bucket 7"))
+    (1L to 30L).filterNot(moved).foreach(i => assert(latest(i) === i / 10))
+    // the feed carries each moved key EXACTLY as its pre/post image pair —
+    // the delete-from-old + insert-to-new the move physically performs —
+    // with the old partition value in the pre image and 7 in the post
+    val feed = VersionedTable.changes(spark, root, 1, 2, Seq("id"))
+      .select("id", "change_type", "bucket").as[(Long, String, Long)]
+      .collect()
+    assert(feed.map(_._1).toSet === moved)
+    assert(feed.length === moved.size * 2)
+    moved.foreach { i =>
+      val pair = feed.filter(_._1 == i).map(r => r._2 -> r._3).toMap
+      assert(pair === Map("update_preimage" -> i / 10, "update_postimage" -> 7L))
+    }
+  }
+
   test("compaction commits a byte-moving snapshot: same rows, empty feed, fewer files") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_c_").toString + "/t"
     val v1 = (1L to 200L).map(i => (i, s"p_$i")).toDF("id", "payload")
