@@ -46,6 +46,38 @@ object Molap extends QueryRegistry {
         sum("quantity").as("total_quantity"),
         count_distinct(col("invoiceid")).as("order_count"))
 
+  /** [[monthCountryGuarded]]'s outcome: the summary plus a one-row decision
+    * frame recording what the skew loop measured and chose. */
+  final case class GuardedBuild(summary: DataFrame, decision: DataFrame)
+
+  /** MOLAP 1's sum grain built through the skew closed loop (r13, VERDICT
+    * r12 #8): the production build measures the (month, country) key
+    * distribution FIRST — the known-hot key risk is the dim-miss absorber
+    * `country='UNKNOWN'` — and salts only when the top-1 cell actually
+    * crosses the threshold. On the current feed countries are near-uniform,
+    * so the honest decision is the plain single-pass aggregate (no wasted
+    * second shuffle); a feed where UNKNOWN absorbs a fat slice flips the
+    * decision to [[graft.perf.Skew.saltedSums]]'s two-phase shape with no
+    * code change. Outputs are schema- and value-identical either route;
+    * the decision frame logs the measurement with the choice. */
+  def monthCountryGuarded(w: Warehouse): GuardedBuild = {
+    import w.factSalesElt.sparkSession.implicits._
+    val base = w.factSalesElt
+      .filter(col("date_key") =!= graft.FallbackDateKey)
+      .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+      .select(keyMonth,
+        coalesce(col("country"), lit("UNKNOWN")).as("country"),
+        col("totalamount"), col("quantity"))
+    val auto = graft.perf.Skew.autoSaltedSums(base, Seq("month", "country"),
+      Seq("totalamount", "quantity"))
+    val summary = auto.result.select(col("month"), col("country"),
+      col("sum_totalamount").cast("double").as("total_revenue"),
+      col("sum_quantity").as("total_quantity"))
+    val decision = Seq((auto.salted, auto.top1Share, 0.2))
+      .toDF("salted", "top1_share", "threshold")
+    GuardedBuild(summary, decision)
+  }
+
   /** MOLAP 2: monthly product summary. Aggregates on the narrow surrogate
     * key first and joins the (stockcode, description) strings onto the
     * 49k-group result — not through the 600k-row shuffle (q3's shape; the
@@ -428,6 +460,43 @@ object Molap extends QueryRegistry {
              CAST(sum(quantity) AS BIGINT) AS total_quantity,
              count(*) AS n_rows
       FROM mvb GROUP BY country"""))),
+
+    // The skew loop guarding the real MOLAP build (r13): the fn requires a
+    // CONSISTENT decision (salted ⇔ measured share over threshold — on this
+    // near-uniform feed that means the plain route, no wasted shuffle) and
+    // requires the FORCED two-phase route to agree with the decided one row
+    // for row (the byte-identity contract), then emits the summary the
+    // oracle hash-checks. A decision regression, a salted/plain divergence,
+    // or a wrong sum all turn this row RED.
+    QueryDef("molap_month_country_guarded", (s, dir) => {
+      val w = Warehouse(s, dir)
+      val g = monthCountryGuarded(w)
+      val d = g.decision.head()
+      require(d.getBoolean(0) == (d.getDouble(1) > d.getDouble(2)),
+        s"skew decision inconsistent with its measurement: $d")
+      val forced = graft.perf.Skew.saltedSums(
+        w.factSalesElt
+          .filter(col("date_key") =!= graft.FallbackDateKey)
+          .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+          .select(keyMonth, coalesce(col("country"), lit("UNKNOWN")).as("country"),
+            col("totalamount"), col("quantity")),
+        Seq("month", "country"), Seq("totalamount", "quantity"))
+        .select(col("month"), col("country"),
+          col("sum_totalamount").cast("double").as("total_revenue"),
+          col("sum_quantity").as("total_quantity"))
+      require(forced.exceptAll(g.summary).isEmpty &&
+        g.summary.exceptAll(forced).isEmpty,
+        "salted and plain routes must produce identical summaries")
+      g.summary
+    }, Some(q("""
+      SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+             coalesce(c.country, 'UNKNOWN') AS country,
+             CAST(sum(f.totalamount) AS DOUBLE) AS total_revenue,
+             CAST(sum(f.quantity) AS BIGINT) AS total_quantity
+      FROM fact_sales_elt f
+      JOIN dim_date d ON f.date_key = d.date_key
+      LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+      GROUP BY 1, 2"""))),
 
     QueryDef("molap_month_country", (s, dir) => monthCountry(Warehouse(s, dir)), Some(q("""
       SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,

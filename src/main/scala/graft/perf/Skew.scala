@@ -21,12 +21,27 @@ object Skew {
   private def salt(n: Int): Column = pmod(spark_partition_id(), lit(n))
 
   /** sum(valueCol) grouped by `keys`, resistant to hot keys. */
-  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String, shards: Int = 16): DataFrame = {
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String, shards: Int = 16): DataFrame =
+    saltedSums(df, keys, Seq(valueCol), shards)
+
+  /** Multi-measure [[saltedSum]] (r13): all measures ride ONE two-phase
+    * pass (one partial aggregate per salt shard, one combine) instead of a
+    * pass per measure. Each re-summed partial casts back to the partial's
+    * own type — which IS the plain `groupBy.sum` result type — so the
+    * salted route is schema-identical to the direct one, not just
+    * value-identical (value-preserving: a total overflowing that type
+    * would overflow the direct route too). */
+  def saltedSums(df: DataFrame, keys: Seq[String], valueCols: Seq[String],
+      shards: Int = 16): DataFrame = {
+    require(valueCols.nonEmpty, "saltedSums needs at least one measure")
     val keyCols = keys.map(col)
-    df.groupBy(keyCols :+ salt(shards).as("_salt"): _*)
-      .agg(sum(valueCol).as("_partial"))
-      .groupBy(keyCols: _*)
-      .agg(sum("_partial").as(s"sum_$valueCol"))
+    val partials = df.groupBy(keyCols :+ salt(shards).as("_salt"): _*)
+      .agg(sum(valueCols.head).as(s"_p_${valueCols.head}"),
+        valueCols.tail.map(v => sum(v).as(s"_p_$v")): _*)
+    def combined(v: String) =
+      sum(s"_p_$v").cast(partials.schema(s"_p_$v").dataType).as(s"sum_$v")
+    partials.groupBy(keyCols: _*)
+      .agg(combined(valueCols.head), valueCols.tail.map(combined): _*)
   }
 
   /** count(*) grouped by `keys`, resistant to hot keys. */
@@ -64,6 +79,27 @@ object Skew {
       if (salted) saltedSum(df, keys, valueCol, shards)
       else df.groupBy(keys.map(col): _*)
         .agg(sum(valueCol).as(s"sum_$valueCol"))
+    AutoSalted(result, salted, top1Share)
+  }
+
+  /** Multi-measure [[autoSaltedSum]] (r13): ONE distribution measurement
+    * decides for all measures together, then either the plain single-pass
+    * aggregate or [[saltedSums]]'s two-phase shape — schema-identical
+    * either route. */
+  def autoSaltedSums(df: DataFrame, keys: Seq[String], valueCols: Seq[String],
+      topShareThreshold: Double = 0.2, shards: Int = 16): AutoSalted = {
+    require(valueCols.nonEmpty, "autoSaltedSums needs at least one measure")
+    val r = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(max("c"), sum("c")).head()
+    val top1Share =
+      if (r.isNullAt(0) || r.getLong(1) == 0L) 0.0
+      else r.getLong(0).toDouble / r.getLong(1)
+    val salted = top1Share > topShareThreshold
+    val result =
+      if (salted) saltedSums(df, keys, valueCols, shards)
+      else df.groupBy(keys.map(col): _*)
+        .agg(sum(valueCols.head).as(s"sum_${valueCols.head}"),
+          valueCols.tail.map(v => sum(v).as(s"sum_$v")): _*)
     AutoSalted(result, salted, top1Share)
   }
 

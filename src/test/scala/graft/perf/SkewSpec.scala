@@ -106,6 +106,24 @@ class SkewSpec extends SparkSpec {
     assert(!Skew.autoSaltedSum(uniform, Seq("k"), "v").salted)
   }
 
+  test("saltedSums: multi-measure two-phase equals direct groupBy, schema-identical") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (s"k${i % 5}", BigDecimal(i).setScale(2), i * 3L))
+      .toDF("k", "amt", "qty")
+    val direct = df.groupBy("k")
+      .agg(sum("amt").as("sum_amt"), sum("qty").as("sum_qty"))
+    val salted = Skew.saltedSums(df, Seq("k"), Seq("amt", "qty"))
+    // the re-summed decimal partial casts back, so the salted route's
+    // schema matches the plain one EXACTLY (not a wider re-sum decimal)
+    assert(salted.schema === direct.schema)
+    assert(salted.collect().toSet === direct.collect().toSet)
+    // one decision, both measures: the multi-measure auto variant takes the
+    // plain route on this uniform feed and the same numbers come out
+    val auto = Skew.autoSaltedSums(df, Seq("k"), Seq("amt", "qty"))
+    assert(!auto.salted)
+    assert(auto.result.collect().toSet === direct.collect().toSet)
+  }
+
   test("skew report: hand-computed Gini, percentiles, and top-1 share on a fixed distribution") {
     import spark.implicits._
     // keys with counts 1, 1, 2, 4 (sorted): n=4, total=8
