@@ -448,6 +448,11 @@ object Bench {
       time("multimodal_png_decode")(
         graft.llm.MultimodalOps.decodePng(
           graft.llm.MultimodalOps.pngFixture(spark, sfDir)).toDF())
+      // r13: the lossy codec — coefficient-domain encode fixture and full
+      // Huffman/DPCM/dequant/IDCT decode per rep, partition-local
+      time("multimodal_jpeg_decode")(
+        graft.llm.MultimodalOps.decodeJpeg(
+          graft.llm.MultimodalOps.jpegFixture(spark, sfDir)).toDF())
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))

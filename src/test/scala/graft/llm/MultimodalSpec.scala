@@ -171,6 +171,102 @@ class MultimodalSpec extends SparkSpec {
     out.toByteArray
   }
 
+  // -- the baseline JPEG codec (r13) ---------------------------------------
+
+  // the (4,4) DCT basis sign pattern: s(x)s(y) = ±1 per pixel
+  private val S = Array(1, -1, -1, 1, 1, -1, -1, 1)
+
+  test("parseJpeg decodes a two-block coefficient plan exactly (DC + AC(4,4))") {
+    val img = MultimodalOps.jpegEncode(16, 8, Array(100, 200), Array(2, -1))
+    val px = for {
+      y <- 0 until 8; x <- 0 until 16
+      (c, k) = if (x < 8) (100, 2) else (200, -1)
+    } yield c + k * S(x % 8) * S(y)
+    val f = MultimodalOps.parseJpeg(3L, img)
+    assert(f === MultimodalOps.JpegFeatures(3L, 16, 8,
+      px.sum.toDouble / px.size, px.min, px.max))
+    assert(f.min_luma === 98 && f.max_luma === 201 && f.mean_luma === 150.0)
+  }
+
+  test("parseJpeg clips edge MCUs to the declared geometry") {
+    // 12x10 over a 2x2 block grid: the right/bottom blocks are clipped, so
+    // the mean is the area-weighted mean of the block constants
+    val img = MultimodalOps.jpegEncode(12, 10, Array(10, 20, 30, 40), Array(0, 0, 0, 0))
+    val f = MultimodalOps.parseJpeg(4L, img)
+    assert(f.width === 12 && f.height === 10)
+    assert(f.mean_luma === (64 * 10 + 32 * 20 + 16 * 30 + 8 * 40).toDouble / 120)
+    assert(f.min_luma === 10 && f.max_luma === 40)
+  }
+
+  test("parseJpeg handles restart markers: aligned RSTn, predictor reset, same stats") {
+    val dc = Array(7, 250, 3, 128, 99, 180, 2, 253)
+    val k = Array(1, -2, 0, 2, -1, 0, 2, -2)
+    val plain = MultimodalOps.parseJpeg(5L, MultimodalOps.jpegEncode(64, 8, dc, k))
+    val rst = MultimodalOps.parseJpeg(5L,
+      MultimodalOps.jpegEncode(64, 8, dc, k, restartInterval = 2))
+    assert(rst === plain)
+    assert(rst.min_luma === dc.zip(k).map { case (c, j) => c - math.abs(j) }.min)
+  }
+
+  test("parseJpeg unstuffs FF00 bytes; a DC sweep stresses every category") {
+    // 252 blocks sweeping every DC constant (all diff categories), with a
+    // +1023 AC(4,4) and a +1 follower coefficient per block: the ten-ones
+    // extend + all-ones (0,1) code + one-bit extend is a 15-run of ones,
+    // which contains a byte-aligned 0xFF at EVERY alignment — stuffing is
+    // structurally guaranteed, and asserted present so the unstuffing path
+    // provably ran. c±1023 clamps every pixel to 0/255 (half each sign —
+    // the follower shifts by ≤4, never across the clamp), so the decoded
+    // statistics stay closed-form
+    val dc = Array.tabulate(252)(b => 2 + b)
+    val k = Array.fill(252)(1023)
+    val img = MultimodalOps.jpegEncode(2016, 8, dc, k, acNext = Array.fill(252)(1))
+    val sos = {
+      var o = 2
+      while (!((img(o) & 0xff) == 0xff && (img(o + 1) & 0xff) == 0xda))
+        o += 2 + (((img(o + 2) & 0xff) << 8) | (img(o + 3) & 0xff))
+      o + 10
+    }
+    val stuffed = (sos until img.length - 2).exists(o =>
+      (img(o) & 0xff) == 0xff && (img(o + 1) & 0xff) == 0x00)
+    assert(stuffed, "the ±1023 sweep must produce at least one stuffed byte")
+    val f = MultimodalOps.parseJpeg(6L, img)
+    assert(f.mean_luma === 127.5 && f.min_luma === 0 && f.max_luma === 255)
+  }
+
+  test("parseJpeg rejects non-JPEG, progressive frames, and truncated streams") {
+    val good = MultimodalOps.jpegEncode(8, 8, Array(100), Array(1))
+    intercept[IllegalArgumentException] {
+      MultimodalOps.parseJpeg(1L, "not a jpeg".getBytes)
+    }
+    // SOF0 follows SOI(2) + APP0(18) + DQT(69): flip it to progressive SOF2
+    val prog = good.clone()
+    assert((prog(89) & 0xff) == 0xff && (prog(90) & 0xff) == 0xc0)
+    prog(90) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException] { MultimodalOps.parseJpeg(1L, prog) }
+    assert(e.getMessage.contains("progressive"))
+    // truncation loses the EOI
+    intercept[IllegalArgumentException] {
+      MultimodalOps.parseJpeg(1L, good.dropRight(4))
+    }
+  }
+
+  test("jpeg decode is partition-local and fixture images hit their analytic features") {
+    val ds = MultimodalOps.decodeJpeg(MultimodalOps.jpegFixture(spark, sfDir))
+    assert(!ds.queryExecution.executedPlan.toString.contains("Exchange"))
+    val feats = ds.collect().map(f => f.doc_id -> f).toMap
+    assert(feats.nonEmpty)
+    feats.foreach { case (id, f) =>
+      val w = (8 * (1 + id % 4)).toInt; val h = (8 * (1 + id % 3)).toInt
+      val nb = (w / 8) * (h / 8)
+      val cs = Array.tabulate(nb)(b => (2 + (id * 7 + b * 13) % 252).toInt)
+      val ks = Array.tabulate(nb)(b => ((id + b) % 5 - 2).toInt)
+      assert(f.width === w && f.height === h, s"doc $id geometry")
+      assert(f.mean_luma === cs.map(_ * 64L).sum.toDouble / (w * h), s"doc $id mean")
+      assert(f.min_luma === cs.zip(ks).map { case (c, j) => c - math.abs(j) }.min)
+      assert(f.max_luma === cs.zip(ks).map { case (c, j) => c + math.abs(j) }.max)
+    }
+  }
+
   test("parseWav decodes a hand-computed stereo clip exactly") {
     // 2 frames × 2 channels: samples 100, -100, 300, -300
     val f = MultimodalOps.parseWav(3L, wav(Seq(100, -100, 300, -300), channels = 2))
