@@ -387,7 +387,138 @@ object Molap extends QueryRegistry {
     }
   }
 
+  /** Join-aware routing gate (r13): the dashboard STAR shape — the base
+    * grain joined to a region dim on the MV key `country`, grouped by the
+    * DIM's region column — served from the summary: cells join to the dim
+    * exactly as their rows did (key values are cell-constant), so the
+    * rewrite replays `summary JOIN dim` at summary cardinality. The region
+    * dim derives deterministically from the distinct countries so the
+    * oracle can re-derive it analytically. Plan-asserted MV-only scan. */
+  private def mvRewriteJoin(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = grainWithMv(s, dir)
+    s.read.parquet(s"$base/grain").select("country").distinct()
+      .withColumn("region",
+        concat(lit("R"), (length(col("country")) % 3).cast("string")))
+      .write.parquet(s"$base/regions")
+    graft.plans.MvRewrite.servingScoped(s) {
+      val out = s.read.parquet(s"$base/grain")
+        .join(s.read.parquet(s"$base/regions"), Seq("country"))
+        .groupBy("region")
+        .agg(sum("totalamount").as("rev"), sum("quantity").as("total_quantity"),
+          count(lit(1)).as("n_rows"))
+        .select(col("region"), col("rev").cast("double").as("revenue"),
+          col("total_quantity"), col("n_rows"))
+      requireMvScan(out)
+      out
+    }
+  }
+
+  /** Full-MV-loop composition gate (r13): build → REFRESH → serve. The
+    * grain is committed as a versioned table, the summary materialized,
+    * the base mutated through versioned DML (a price uplift on every 6th
+    * invoice-month cell's rows), the summary refreshed FROM THE CDC FEED
+    * ALONE ([[IncrementalMv]] — the re-scan thunk throws), re-registered,
+    * and a coarser aggregate against the NEW base snapshot is served from
+    * the refreshed summary. The oracle recomputes from the post-DML state,
+    * so a stale, drifted, or wrongly-merged partial hash-mismatches; the
+    * plan assert proves the serve never read the base. */
+  private def mvServeRefreshed(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_mvloop_").toString
+    val root = s"$base/t"
+    val w = Warehouse(s, dir)
+    // rid: a synthetic row key for the CDC diff — the natural line-item key
+    // (invoiceid, stockcode, linenumber) is NOT unique in this feed. Its
+    // values are stable across versions (v2's copy-on-write preserves the
+    // column) and never enter the compared output.
+    val grain = w.factSalesElt
+      .filter(col("date_key") =!= graft.FallbackDateKey)
+      .join(w.dimCustomerElt.select("customer_key", "country"), Seq("customer_key"), "left")
+      .select(monotonically_increasing_id().as("rid"), col("invoiceid"), keyMonth,
+        coalesce(col("country"), lit("UNKNOWN")).as("country"),
+        col("totalamount"), col("quantity"))
+    graft.sources.VersionedTable.create(s, root, grain)
+    s.read.parquet(f"$root/v${1}%05d")
+      .groupBy("month", "country")
+      .agg(sum("totalamount").as("rev_p"), count(col("totalamount")).as("rev_cnt"),
+        sum("quantity").as("qty_p"), count(col("quantity")).as("qty_cnt"),
+        count(lit(1)).as("n_rows"))
+      .write.parquet(s"$base/summary")
+    // the mutation: +1.00 on every 6th invoice's rows, as a committed v2
+    graft.sources.VersionedTable.updateWhere(s, root,
+      col("invoiceid").cast("long") % 6 === 0,
+      Map("totalamount" -> (col("totalamount") + lit(BigDecimal("1.00")))))
+    val feed = graft.sources.VersionedTable.changes(s, root, 1, 2, Seq("rid"))
+    IncrementalMv.refreshPath(s, s"$base/summary", feed,
+      Seq("month", "country"), "n_rows",
+      Seq(IncrementalMv.MeasureSpec("totalamount", "rev_p", "rev_cnt"),
+        IncrementalMv.MeasureSpec("quantity", "qty_p", "qty_cnt")),
+      () => throw new IllegalStateException(
+        "sum/count refresh must read ONLY the change feed, never the base"))
+    graft.plans.MvRewrite.register(s, f"$root/v${2}%05d", s.read.parquet(s"$base/summary"),
+      keys = Seq("month", "country"),
+      sums = Map("totalamount" -> "rev_p", "quantity" -> "qty_p"),
+      countCol = Some("n_rows"),
+      counts = Map("totalamount" -> "rev_cnt", "quantity" -> "qty_cnt"))
+    graft.plans.MvRewrite.servingScoped(s) {
+      val out = s.read.parquet(f"$root/v${2}%05d")
+        .groupBy("country")
+        .agg(sum("totalamount").as("rev"), avg("totalamount").as("avg_amt"),
+          count(lit(1)).as("n_rows"))
+        .select(col("country"), col("rev").cast("double").as("revenue"),
+          col("avg_amt").cast("double").as("avg_amount"), col("n_rows"))
+      requireServedFrom(out, mustScan = "/summary", mustNotScan = "/t/v")
+      out
+    }
+  }
+
+  /** Like [[requireMvScan]] but with configurable path markers. */
+  private def requireServedFrom(out: DataFrame, mustScan: String,
+      mustNotScan: String): Unit = {
+    val scanned = out.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    require(scanned.exists(_.contains(mustScan)),
+      s"MV rewrite did not reroute the aggregate; scanned: ${scanned.mkString(", ")}")
+    require(!scanned.exists(_.contains(mustNotScan)),
+      s"a base-table scan survived in the plan: ${scanned.mkString(", ")}")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("molap_mv_rewrite_join", mvRewriteJoin, Some(q(s"""
+      , mvb AS (
+          SELECT coalesce(c.country, 'UNKNOWN') AS country,
+                 f.totalamount, f.quantity
+          FROM fact_sales_elt f
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          WHERE f.date_key <> ${graft.FallbackDateKey})
+      SELECT 'R' || CAST(length(country) % 3 AS VARCHAR) AS region,
+             CAST(sum(totalamount) AS DOUBLE) AS revenue,
+             CAST(sum(quantity) AS BIGINT) AS total_quantity,
+             count(*) AS n_rows
+      FROM mvb GROUP BY 1"""))),
+
+    // the decimal avg oracle replicates Spark's exact decimal divide in
+    // integer cents, like molap_mv_rewrite_avg's
+    QueryDef("molap_mv_serve_refreshed", mvServeRefreshed, Some(q(s"""
+      , mvu AS (
+          SELECT coalesce(c.country, 'UNKNOWN') AS country,
+                 CASE WHEN CAST(f.invoiceid AS BIGINT) % 6 = 0
+                      THEN f.totalamount + 1.00 ELSE f.totalamount END AS totalamount
+          FROM fact_sales_elt f
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          WHERE f.date_key <> ${graft.FallbackDateKey})
+      SELECT country, CAST(sum(totalamount) AS DOUBLE) AS revenue,
+             CAST((sum(CAST(totalamount * 100 AS BIGINT)) * 10000
+                   + count(totalamount) // 2) // count(totalamount) AS DOUBLE)
+               / 1000000 AS avg_amount,
+             count(*) AS n_rows
+      FROM mvu GROUP BY country"""))),
+
     QueryDef("molap_mv_rewrite_having", mvRewriteHaving, Some(q(s"""
       , mvb AS (
           SELECT coalesce(c.country, 'UNKNOWN') AS country,

@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Count, HllUnionAgg, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LeafNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, Join, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
@@ -34,6 +35,12 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   *    predicate selects whole MV cells and replays on the summary
   *    exactly; anything touching a measure column filters rows inside a
   *    cell (not derivable from partials) and disqualifies.
+  * Shapes beyond the flat aggregate (r13): HAVING passes through for free
+  * (a Filter above the aggregate, output exprIds preserved);
+  * ROLLUP/CUBE/GROUPING SETS route via [[tryRewriteSets]] (the grouping-set
+  * Expand replayed over summary cells); and `base JOIN dim` routes via
+  * [[tryRewriteJoin]] when the base side of the join touches group keys
+  * only (the dashboard star shape, served at summary cardinality).
   * Exactness: partials are kept in the base's EXACT types (decimal/long),
   * so re-aggregation is bit-identical to the direct aggregate — a double
   * partial would re-sum in a different accumulation order. The re-sum's
@@ -157,13 +164,13 @@ object MvRewrite extends Rule[LogicalPlan] {
       // filter applies unchanged over the rerouted aggregate (bit-identical
       // values, so the predicate selects the same groups either route).
       case agg @ Aggregate(_, _, expand: Expand, _) =>
-        matchBase(expand.child).flatMap { case (reg, keyFilters) =>
+        matchBase(expand.child).flatMap { case (reg, keyFilters, _) =>
           tryRewriteSets(agg, expand, reg, keyFilters)
         }.getOrElse(agg)
       case agg @ Aggregate(_, _, child, _) =>
-        matchBase(child).flatMap { case (reg, keyFilters) =>
+        matchBase(child).flatMap { case (reg, keyFilters, _) =>
           tryRewrite(agg, reg, keyFilters)
-        }.getOrElse(agg)
+        }.orElse(tryRewriteJoin(agg, child)).getOrElse(agg)
     }
 
   /** The registration whose base table `child` scans, plus any filters
@@ -174,7 +181,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * commutes with partial re-aggregation and replays on the summary
     * exactly; a predicate touching any measure column filters base ROWS
     * inside a cell — not derivable from partials — and disqualifies. */
-  private def matchBase(child: LogicalPlan): Option[(Registration, Seq[Expression])] = {
+  private def matchBase(child: LogicalPlan): Option[(Registration, Seq[Expression], AttributeSet)] = {
     var filters = List.empty[Expression]
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case Project(projList, c)
@@ -196,9 +203,78 @@ object MvRewrite extends Rule[LogicalPlan] {
             paths.contains(r.baseLocation) &&
               filters.forall(f => f.deterministic &&
                 f.references.forall(a => r.keys(a.name)))
-          }.map(r => (r, filters))
+          }.map(r => (r, filters, lr.outputSet))
         case _ => None
       }
+      case _ => None
+    }
+  }
+
+  /** Join-aware routing (r13) — the dashboard star shape: an aggregate over
+    * `base JOIN dim` reroutes to `summary JOIN dim` whenever the BASE side
+    * of the join condition touches GROUP-KEY columns only. Why that is
+    * sufficient: all rows of one MV cell share the cell's key values, so
+    * they join to exactly the same `dim` rows — replacing the rows by
+    * their cell replays the join verbatim at cell cardinality, and any row
+    * multiplication a non-unique `dim` key causes multiplies cells exactly
+    * as it multiplied their rows (partials re-aggregate through it
+    * unchanged). Grouping may mix MV keys with ANY dim columns; aggregates
+    * must read base measures only (an aggregate over a dim column sees
+    * per-ROW duplication the summary cannot reproduce — disqualifies).
+    * Join types: Inner/Cross, and LeftOuter with the base on the left
+    * (an unmatched CELL carries its partials exactly as its unmatched rows
+    * did); Right/Full are out — an unmatched dim row contributes one
+    * NULL-extended row either route, but a rewritten count(*) would sum a
+    * NULL row-count partial over it and drop it. The dim subtree is kept
+    * VERBATIM — whatever filters/joins live inside it replay unchanged. */
+  private def tryRewriteJoin(agg: Aggregate, child: LogicalPlan): Option[LogicalPlan] = {
+    // filters above the join replay above the rewritten join when
+    // deterministic over (base keys ∪ dim columns) — cells pass exactly
+    // as their rows did, because key and dim values are cell-constant
+    var aboveFilters = List.empty[Expression]
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(projList, c)
+          if projList.forall(_.isInstanceOf[AttributeReference]) => strip(c)
+      case Filter(cond, c) => aboveFilters ::= cond; strip(c)
+      case other => other
+    }
+    strip(child) match {
+      case j @ Join(left, right, jt, cond, _)
+          if jt == Inner || jt == Cross || jt == LeftOuter =>
+        matchBase(left).flatMap { case (reg, keyFilters, baseOut) =>
+          def keyOnly(e: Expression): Boolean = e.deterministic &&
+            e.references.forall(a =>
+              if (baseOut.contains(a)) reg.keys(a.name)
+              else right.outputSet.contains(a))
+          if (!cond.forall(keyOnly) || !aboveFilters.forall(keyOnly)) None
+          else {
+            val mvScan = freshMv(reg.mv)
+            val mvOut = mvScan.output.map(a => a.name -> a).toMap
+            val mv = replayFilters(mvScan, mvOut, keyFilters)
+            def remap(e: Expression): Expression = e.transform {
+              case a: AttributeReference if baseOut.contains(a) => mvOut(a.name)
+            }
+            val groups = agg.groupingExpressions.map {
+              case a: AttributeReference if baseOut.contains(a) && reg.keys(a.name) =>
+                mvOut(a.name)
+              case a: AttributeReference if right.outputSet.contains(a) => a
+              case _ => return None
+            }
+            val aggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+              case a: AttributeReference if baseOut.contains(a) && reg.keys(a.name) =>
+                Alias(mvOut(a.name), a.name)(exprId = a.exprId)
+              case a: AttributeReference if right.outputSet.contains(a) => a
+              case al: Alias if al.references.subsetOf(baseOut) =>
+                rewriteAggAlias(al, reg, mvOut).getOrElse(return None)
+              case _ => return None
+            }
+            val newJoin = Join(mv, right, jt, cond.map(remap), j.hint)
+            val rejoined =
+              if (aboveFilters.isEmpty) newJoin
+              else Filter(aboveFilters.map(remap).reduce(And), newJoin)
+            Some(Aggregate(groups, aggs, rejoined, None))
+          }
+        }
       case _ => None
     }
   }

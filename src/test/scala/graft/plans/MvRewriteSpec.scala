@@ -288,6 +288,79 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("aggregate over base JOIN dim reroutes when the join key is an MV key") {
+    withMv { base =>
+      // dim keyed by the MV key `c`, carrying a grouping attribute
+      val dim = Seq(("c0", "west"), ("c1", "east"), ("c2", "east"))
+        .toDF("c", "region")
+      val dimPath = s"$base/dim"
+      dim.write.parquet(dimPath)
+      def query(jt: String) = spark.read.parquet(s"$base/grain")
+        .join(spark.read.parquet(dimPath), Seq("c"), jt)
+        .groupBy("region")
+        .agg(sum("amount").as("rev"), avg("amount").as("avg_a"),
+          count(lit(1)).as("n"))
+      for (jt <- Seq("inner", "left")) {
+        val rr = query(jt)
+        assert(scannedPaths(rr).exists(_.endsWith("/mv")), (jt, scannedPaths(rr)))
+        assert(!scannedPaths(rr).exists(_.endsWith("/grain")), jt)
+        val direct = {
+          spark.conf.set(MvRewrite.EnabledKey, "false")
+          try query(jt).collect().toSet
+          finally spark.conf.set(MvRewrite.EnabledKey, "true")
+        }
+        assert(rr.collect().toSet === direct, jt)
+      }
+      // grouping by BOTH a dim column and an MV key still routes
+      val mixed = spark.read.parquet(s"$base/grain")
+        .join(spark.read.parquet(dimPath), Seq("c"), "inner")
+        .groupBy("region", "k").agg(sum("qty").as("tq"))
+      assert(scannedPaths(mixed).exists(_.endsWith("/mv")), scannedPaths(mixed))
+      assert(mixed.select(sum("tq")).as[Long].head() === (1L to 100L).map(_ * 2).sum)
+      // a non-unique dim key duplicates cells exactly as it duplicated rows
+      val dup = dim.union(Seq(("c1", "north")).toDF("c", "region"))
+      dup.write.parquet(s"$base/dimdup")
+      def dupQ() = spark.read.parquet(s"$base/grain")
+        .join(spark.read.parquet(s"$base/dimdup"), Seq("c"), "inner")
+        .groupBy("region").agg(sum("qty").as("tq"), count(lit(1)).as("n"))
+      val rrD = dupQ()
+      assert(scannedPaths(rrD).exists(_.endsWith("/mv")))
+      val directD = {
+        spark.conf.set(MvRewrite.EnabledKey, "false")
+        try dupQ().as[(String, Long, Long)].collect().toSet
+        finally spark.conf.set(MvRewrite.EnabledKey, "true")
+      }
+      assert(rrD.as[(String, Long, Long)].collect().toSet === directD)
+    }
+  }
+
+  test("join rewrite declines: measure-column join keys, dim aggregates, outer dim side") {
+    withMv { base =>
+      val dim = Seq((2L, "low"), (100L, "high")).toDF("qty", "cls")
+      dim.write.parquet(s"$base/dimq")
+      val dimQ = spark.read.parquet(s"$base/dimq")
+      // join on a MEASURE column: cells cannot replay it — stays on base
+      val mj = spark.read.parquet(s"$base/grain").join(dimQ, Seq("qty"), "inner")
+        .groupBy("cls").agg(sum("amount").as("s"))
+      assert(scannedPaths(mj).forall(p => !p.endsWith("/mv")), scannedPaths(mj))
+      // an aggregate over a DIM column sees per-row duplication — declines
+      val dimC = Seq(("c0", 5L), ("c1", 6L), ("c2", 7L)).toDF("c", "wt")
+      dimC.write.parquet(s"$base/dimc")
+      val da = spark.read.parquet(s"$base/grain")
+        .join(spark.read.parquet(s"$base/dimc"), Seq("c"), "inner")
+        .groupBy("k").agg(sum("wt").as("s"))
+      assert(scannedPaths(da).forall(p => !p.endsWith("/mv")), scannedPaths(da))
+      // RIGHT OUTER keeps unmatched dim rows — count(*) is not derivable
+      val dimR = Seq(("c0", "west"), ("cX", "ghost")).toDF("c", "region")
+      dimR.write.parquet(s"$base/dimr")
+      val ro = spark.read.parquet(s"$base/grain")
+        .join(spark.read.parquet(s"$base/dimr"), Seq("c"), "right")
+        .groupBy("region").agg(count(lit(1)).as("n"))
+      assert(scannedPaths(ro).forall(p => !p.endsWith("/mv")), scannedPaths(ro))
+      assert(ro.filter(col("region") === "ghost").as[(String, Long)].head()._2 === 1L)
+    }
+  }
+
   test("inert without the session flag and for unregistered tables") {
     withMv { base =>
       spark.conf.set(MvRewrite.EnabledKey, "false")
