@@ -173,6 +173,86 @@ object IncrementalMv extends QueryRegistry {
     dec
   }
 
+  private def markerOf(summaryPath: String) =
+    new org.apache.hadoop.fs.Path(summaryPath, "_applied_version")
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      summaryPath: String): Option[Int] = {
+    val m = markerOf(summaryPath)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      v: Int): Unit = {
+    val out = fs.create(markerOf(dir), true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Materialize `df` as the summary of the versioned table's snapshot
+    * `version`, stamping the applied-version marker INTO the summary
+    * directory — the starting state [[maintainFromVersioned]] resumes
+    * from. The marker travels with the directory, so the summary and its
+    * watermark can never publish separately. */
+  def initSummaryAt(spark: SparkSession, summaryPath: String, df: DataFrame,
+      version: Int): Unit = {
+    df.write.parquet(summaryPath)
+    val fs = new org.apache.hadoop.fs.Path(summaryPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    writeMarker(fs, summaryPath, version)
+  }
+
+  /** The resumable CONTINUOUS maintainer (r13): catch the summary up to the
+    * versioned table's latest committed snapshot by applying the CDC span
+    * `(applied, latest]` in ONE [[applyChanges]] pass — however many DML
+    * commits landed since the last call. State is the applied-version
+    * marker inside the summary directory; publication is the same
+    * write-then-swap as [[refreshPath]], with the NEW marker written into
+    * the staged directory BEFORE the swap, so summary and watermark move
+    * atomically-together. Crash anatomy: a crash before the swap leaves
+    * the old summary + a stale `.tmp` the retry overwrites; a crash
+    * between the delete and the rename leaves only the `.tmp` — the next
+    * call ROLLS IT FORWARD (the staged state is complete, marker
+    * included) and then continues from its marker. Already-current tables
+    * return None without touching anything — repeated calls are no-ops,
+    * which with the span semantics makes the maintainer idempotent and
+    * exactly-once per version span. Returns the (appliedVersion,
+    * decision-frame) pair for an applied span, None when current. */
+  def maintainFromVersioned(spark: SparkSession, root: String,
+      summaryPath: String, rowKeys: Seq[String], mvKeys: Seq[String],
+      rowCount: String, measures: Seq[MeasureSpec],
+      rescanBase: Int => DataFrame): Option[(Int, DataFrame)] = {
+    val dest = new org.apache.hadoop.fs.Path(summaryPath)
+    val tmp = new org.apache.hadoop.fs.Path(summaryPath + ".tmp")
+    val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    // roll a crashed publish forward: the staged dir is a COMPLETE state
+    // (summary files + marker written before the swap began)
+    if (!fs.exists(dest) && fs.exists(tmp)) {
+      fs.rename(tmp, dest)
+      spark.catalog.refreshByPath(summaryPath)
+    }
+    val from = readMarker(fs, summaryPath).getOrElse(throw new IllegalStateException(
+      s"$summaryPath carries no applied-version marker; create it with initSummaryAt"))
+    val to = VersionedTable.latestVersion(spark, root)
+    if (to <= from) return None
+    val feed = VersionedTable.changes(spark, root, from, to, rowKeys)
+    val (newSummary, decisions) = applyChanges(
+      spark.read.parquet(summaryPath), feed, mvKeys, rowCount, measures,
+      () => rescanBase(to))
+    newSummary.write.mode("overwrite").parquet(tmp.toString)
+    writeMarker(fs, tmp.toString, to)
+    val decRows = java.util.Arrays.asList(decisions.collect(): _*)
+    val dec = spark.createDataFrame(decRows, decisions.schema)
+    fs.delete(dest, true)
+    fs.rename(tmp, dest)
+    spark.catalog.refreshByPath(summaryPath)
+    Some((to, dec))
+  }
+
   // ---------------------------------------------------------------- gates
 
   private def productCode = col("stockcode").cast("long")
@@ -258,7 +338,68 @@ object IncrementalMv extends QueryRegistry {
         col("up_max").cast("double").as("max_unitprice"), col("n_rows"))
   }
 
+  /** Gate 3 (r13): the CONTINUOUS maintainer — the summary catches up to
+    * whatever has been committed since it last looked, in one CDC-span
+    * pass per call. Scenario: v2+v3 land (delete mix + merge) before the
+    * first catch-up (one span, marker 1→3), v4 (a price uplift) before the
+    * second (3→4), and a third call must be a NO-OP. The re-scan thunk
+    * throws — the maintainer reads only change feeds, never the base. The
+    * oracle recomputes from the final state, so a skipped span, a
+    * double-applied span, or a wrongly-merged partial hash-mismatches. */
+  private def continuousRefresh(s: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft_imvc_").toString
+    val root = s"$base/t"
+    val p = baseProducts(s, dir)
+    VersionedTable.create(s, root, p)
+    initSummaryAt(s, s"$base/summary",
+      sumCountSummary(VersionedTable.read(s, root)), 1)
+    VersionedTable.deleteWhere(s, root, productCode % 7 === 0)
+    val updates = p.filter(productCode % 4 === 0 && productCode % 7 =!= 0)
+      .withColumn("unitprice",
+        (col("unitprice") + lit(BigDecimal("5.00"))).cast("decimal(12,2)"))
+    val inserts = p.filter(productCode % 10 === 0)
+      .select((productCode + 100000).cast("string").as("stockcode"),
+        col("unitprice"), lit("New").as("category"))
+    VersionedTable.mergeInto(s, root, updates.unionByName(inserts), Seq("stockcode"))
+    val spec = Seq(MeasureSpec("unitprice", "up_sum", "up_cnt"))
+    def maintain() = maintainFromVersioned(s, root, s"$base/summary",
+      Seq("stockcode"), Seq("category"), "n_rows", spec,
+      _ => throw new IllegalStateException(
+        "sum/count maintenance must read ONLY change feeds, never the base"))
+    require(maintain().exists(_._1 == 3),
+      "the first catch-up must apply the v1→v3 span in one pass")
+    VersionedTable.updateWhere(s, root, productCode % 5 === 0,
+      Map("unitprice" -> (col("unitprice") + lit(BigDecimal("2.00")))))
+    require(maintain().exists(_._1 == 4),
+      "the second catch-up must apply the v3→v4 span")
+    require(maintain().isEmpty, "a current summary must be a no-op")
+    summaryProjection(s.read.parquet(s"$base/summary"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("molap_continuous_refresh", continuousRefresh,
+      Some(graft.oracle.OracleSql.q("""
+      , cr3 AS (
+          SELECT CASE WHEN CAST(stockcode AS BIGINT) % 4 = 0
+                      THEN CAST(unitprice + 5.00 AS DECIMAL(12,2))
+                      ELSE unitprice END AS unitprice,
+                 stockcode, category
+          FROM dim_product WHERE CAST(stockcode AS BIGINT) % 7 <> 0
+          UNION ALL
+          SELECT unitprice,
+                 CAST(CAST(stockcode AS BIGINT) + 100000 AS VARCHAR) AS stockcode,
+                 'New' AS category
+          FROM dim_product WHERE CAST(stockcode AS BIGINT) % 10 = 0),
+        cr4 AS (
+          SELECT CASE WHEN CAST(stockcode AS BIGINT) % 5 = 0
+                      THEN CAST(unitprice + 2.00 AS DECIMAL(12,2))
+                      ELSE unitprice END AS unitprice,
+                 category
+          FROM cr3)
+      SELECT category, CAST(sum(unitprice) AS DOUBLE) AS sum_unitprice,
+             count(unitprice) AS up_cnt, count(*) AS n_rows
+      FROM cr4 GROUP BY category"""))),
+
     QueryDef("molap_incremental_refresh", incrementalRefresh,
       Some(graft.oracle.OracleSql.q("""
       , imv_final AS (

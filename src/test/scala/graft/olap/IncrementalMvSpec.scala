@@ -119,6 +119,52 @@ class IncrementalMvSpec extends SparkSpec {
     assert(dec.collect().head.getAs[String]("action") === "insert")
   }
 
+  test("maintainFromVersioned: span catch-up, no-op when current, crashed publish rolls forward") {
+    val base = java.nio.file.Files.createTempDirectory("graft_imvm_").toString
+    val root = s"$base/t"
+    val t0 = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (4L, "b", 7L))
+      .toDF("id", "k", "v")
+    graft.sources.VersionedTable.create(spark, root, t0)
+    IncrementalMv.initSummaryAt(spark, s"$base/s",
+      summarize(t0.select("k", "v")), 1)
+    def maintain() = IncrementalMv.maintainFromVersioned(spark, root, s"$base/s",
+      Seq("id"), keys, "n_rows", sumOnly,
+      _ => throw new IllegalStateException("read the base"))
+    // two commits land before the first catch-up: ONE span applies both
+    graft.sources.VersionedTable.deleteWhere(spark, root, col("id") === 1L)
+    graft.sources.VersionedTable.mergeInto(spark, root,
+      Seq((3L, "b", 50L), (5L, "c", 8L)).toDF("id", "k", "v"), Seq("id"))
+    val r1 = maintain()
+    assert(r1.map(_._1) === Some(3))
+    def snap(): Seq[(String, Long, Long)] =
+      spark.read.parquet(s"$base/s").orderBy("k")
+        .select(col("k"), col("v_sum").cast("long"), col("n_rows"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want3 = Seq(("a", 20L, 1L), ("b", 57L, 2L), ("c", 8L, 1L))
+    assert(snap() === want3)
+    // current → strict no-op
+    assert(maintain().isEmpty)
+    // crash between the delete and the rename: only the staged dir exists —
+    // the next call rolls it forward and continues from ITS marker
+    val fs = new org.apache.hadoop.fs.Path(s"$base/s")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(s"$base/s"),
+      new org.apache.hadoop.fs.Path(s"$base/s.tmp"))
+    assert(maintain().isEmpty) // rolled forward, still current
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$base/s")))
+    assert(snap() === want3)
+    // and maintenance keeps working after the recovery
+    graft.sources.VersionedTable.deleteWhere(spark, root, col("id") === 5L)
+    assert(maintain().map(_._1) === Some(4))
+    assert(snap() === Seq(("a", 20L, 1L), ("b", 57L, 2L)))
+    // a summary without a marker fails loudly, not silently from v1
+    spark.read.parquet(s"$base/s").write.parquet(s"$base/unmarked")
+    intercept[IllegalStateException] {
+      IncrementalMv.maintainFromVersioned(spark, root, s"$base/unmarked",
+        Seq("id"), keys, "n_rows", sumOnly, _ => t0)
+    }
+  }
+
   test("sum/count-only registration never evaluates the base thunk") {
     val base = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v")
     // delete the min AND the max of cell a — algebraic partials don't care
