@@ -366,6 +366,53 @@ object Molap extends QueryRegistry {
     }
   }
 
+  /** SQL-path serving gate (r13): a BI tool's VERBATIM SQL — key-column
+    * WHERE, GROUP BY, and HAVING in one statement against a registered
+    * view of the base table — routes onto the summary through the same
+    * plan-level rule (a temp view resolves to the same scan the rewrite
+    * matches; nothing is SQL-specific). Plan-asserted MV-only scan. */
+  private def mvRewriteSql(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = grainWithMv(s, dir)
+    s.read.parquet(s"$base/grain").createOrReplaceTempView("graft_mv_grain")
+    graft.plans.MvRewrite.servingScoped(s) {
+      val out = s.sql("""
+        SELECT country, CAST(sum(totalamount) AS DOUBLE) AS revenue,
+               sum(quantity) AS total_quantity, count(*) AS n_rows
+        FROM graft_mv_grain
+        WHERE month >= DATE '1997-01-01'
+        GROUP BY country
+        HAVING count(*) > 50""")
+      requireMvScan(out)
+      out
+    }
+  }
+
+  /** Composed-shape gate (r13-late): a verbatim SQL ROLLUP over the STAR —
+    * grain joined to the region dim, rolled up by (region, country) — is
+    * served from the summary: the grouping-set Expand replays over
+    * `summary JOIN dim`, so every grain of the star rollup runs at summary
+    * cardinality. SQL form throughout (the Dataset API's rollup-after-join
+    * trips Spark's own ambiguity heuristic; SQL resolves by name).
+    * Plan-asserted MV-only scan. */
+  private def mvRollupStar(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val base = grainWithMv(s, dir)
+    s.read.parquet(s"$base/grain").select("country").distinct()
+      .withColumn("region",
+        concat(lit("R"), (length(col("country")) % 3).cast("string")))
+      .write.parquet(s"$base/regions")
+    s.read.parquet(s"$base/grain").createOrReplaceTempView("graft_star_grain")
+    s.read.parquet(s"$base/regions").createOrReplaceTempView("graft_star_regions")
+    graft.plans.MvRewrite.servingScoped(s) {
+      val out = s.sql("""
+        SELECT region, country, CAST(sum(totalamount) AS DOUBLE) AS revenue,
+               sum(quantity) AS total_quantity, count(*) AS n_rows
+        FROM graft_star_grain JOIN graft_star_regions USING (country)
+        GROUP BY ROLLUP (region, country)""")
+      requireMvScan(out)
+      out
+    }
+  }
+
   /** ROLLUP derivability gate (r13, VERDICT r12 #5): every grain of a
     * rollup over the MV's keys — (month, country), (month), grand total —
     * is served from the summary at once, through the grouping-set Expand
@@ -518,6 +565,38 @@ object Molap extends QueryRegistry {
                / 1000000 AS avg_amount,
              count(*) AS n_rows
       FROM mvu GROUP BY country"""))),
+
+    QueryDef("sql_mv_serving", mvRewriteSql, Some(q(s"""
+      , mvg AS (
+          SELECT CAST(date_trunc('month', d.full_date) AS DATE) AS month,
+                 coalesce(c.country, 'UNKNOWN') AS country,
+                 f.totalamount, f.quantity
+          FROM fact_sales_elt f
+          JOIN dim_date d ON f.date_key = d.date_key
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          WHERE f.date_key <> ${graft.FallbackDateKey})
+      SELECT country, CAST(sum(totalamount) AS DOUBLE) AS revenue,
+             CAST(sum(quantity) AS BIGINT) AS total_quantity,
+             count(*) AS n_rows
+      FROM mvg WHERE month >= DATE '1997-01-01'
+      GROUP BY country HAVING count(*) > 50"""))),
+
+    QueryDef("sql_mv_rollup_star", mvRollupStar, Some(q(s"""
+      , mvb AS (
+          SELECT coalesce(c.country, 'UNKNOWN') AS country,
+                 f.totalamount, f.quantity
+          FROM fact_sales_elt f
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          WHERE f.date_key <> ${graft.FallbackDateKey}),
+        star_regions AS (
+          SELECT DISTINCT country,
+                 'R' || CAST(length(country) % 3 AS VARCHAR) AS region
+          FROM mvb)
+      SELECT region, country, CAST(sum(totalamount) AS DOUBLE) AS revenue,
+             CAST(sum(quantity) AS BIGINT) AS total_quantity,
+             count(*) AS n_rows
+      FROM mvb JOIN star_regions USING (country)
+      GROUP BY ROLLUP (region, country)"""))),
 
     QueryDef("molap_mv_rewrite_having", mvRewriteHaving, Some(q(s"""
       , mvb AS (

@@ -164,14 +164,28 @@ object MvRewrite extends Rule[LogicalPlan] {
       // filter applies unchanged over the rerouted aggregate (bit-identical
       // values, so the predicate selects the same groups either route).
       case agg @ Aggregate(_, _, expand: Expand, _) =>
-        matchBase(expand.child).flatMap { case (reg, keyFilters, _) =>
-          tryRewriteSets(agg, expand, reg, keyFilters)
-        }.getOrElse(agg)
+        matchSource(expand.child).flatMap(tryRewriteSets(agg, expand, _))
+          .getOrElse(agg)
       case agg @ Aggregate(_, _, child, _) =>
-        matchBase(child).flatMap { case (reg, keyFilters, _) =>
-          tryRewrite(agg, reg, keyFilters)
-        }.orElse(tryRewriteJoin(agg, child)).getOrElse(agg)
+        matchSource(child).flatMap(tryRewriteFlat(agg, _)).getOrElse(agg)
     }
+
+  /** A rewritable source under the aggregate (or its grouping-set Expand):
+    * the replacement child — the filtered summary scan, possibly joined to
+    * the verbatim dim subtree — plus what the rewrite needs to map
+    * references: the summary's output by name, the base scan's attr set
+    * (whose key attrs map onto the summary and whose measure attrs the
+    * aggregates may read), and the dim side's attr set (kept verbatim). */
+  private final case class Source(reg: Registration, newChild: LogicalPlan,
+      mvOut: Map[String, Attribute], baseOut: AttributeSet, rightOut: AttributeSet)
+
+  private def matchSource(child: LogicalPlan): Option[Source] =
+    matchBase(child).map { case (reg, keyFilters, baseOut) =>
+      val mvScan = freshMv(reg.mv)
+      val mvOut = mvScan.output.map(a => a.name -> a).toMap
+      Source(reg, replayFilters(mvScan, mvOut, keyFilters), mvOut, baseOut,
+        AttributeSet.empty)
+    }.orElse(matchJoinSource(child))
 
   /** The registration whose base table `child` scans, plus any filters
     * found between the aggregate and the scan. Plain-column projections
@@ -227,7 +241,7 @@ object MvRewrite extends Rule[LogicalPlan] {
     * NULL-extended row either route, but a rewritten count(*) would sum a
     * NULL row-count partial over it and drop it. The dim subtree is kept
     * VERBATIM — whatever filters/joins live inside it replay unchanged. */
-  private def tryRewriteJoin(agg: Aggregate, child: LogicalPlan): Option[LogicalPlan] = {
+  private def matchJoinSource(child: LogicalPlan): Option[Source] = {
     // filters above the join replay above the rewritten join when
     // deterministic over (base keys ∪ dim columns) — cells pass exactly
     // as their rows did, because key and dim values are cell-constant
@@ -254,25 +268,11 @@ object MvRewrite extends Rule[LogicalPlan] {
             def remap(e: Expression): Expression = e.transform {
               case a: AttributeReference if baseOut.contains(a) => mvOut(a.name)
             }
-            val groups = agg.groupingExpressions.map {
-              case a: AttributeReference if baseOut.contains(a) && reg.keys(a.name) =>
-                mvOut(a.name)
-              case a: AttributeReference if right.outputSet.contains(a) => a
-              case _ => return None
-            }
-            val aggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
-              case a: AttributeReference if baseOut.contains(a) && reg.keys(a.name) =>
-                Alias(mvOut(a.name), a.name)(exprId = a.exprId)
-              case a: AttributeReference if right.outputSet.contains(a) => a
-              case al: Alias if al.references.subsetOf(baseOut) =>
-                rewriteAggAlias(al, reg, mvOut).getOrElse(return None)
-              case _ => return None
-            }
             val newJoin = Join(mv, right, jt, cond.map(remap), j.hint)
             val rejoined =
               if (aboveFilters.isEmpty) newJoin
               else Filter(aboveFilters.map(remap).reduce(And), newJoin)
-            Some(Aggregate(groups, aggs, rejoined, None))
+            Some(Source(reg, rejoined, mvOut, baseOut, right.outputSet))
           }
         }
       case _ => None
@@ -302,23 +302,29 @@ object MvRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference => mvOut(a.name)
     }).reduce(And), mvScan)
 
-  private def tryRewrite(agg: Aggregate, reg: Registration,
-      keyFilters: Seq[Expression]): Option[LogicalPlan] = {
-    val mvScan = freshMv(reg.mv)
-    val mvOut = mvScan.output.map(a => a.name -> a).toMap
-    val mv = replayFilters(mvScan, mvOut, keyFilters)
+  /** The flat aggregate over a matched [[Source]] — the pure-base case
+    * (rightOut empty) and the star case in one shape: base key groups map
+    * onto the summary, dim groups pass through verbatim, aggregates over
+    * base measures re-aggregate partials. */
+  private def tryRewriteFlat(agg: Aggregate, src: Source): Option[LogicalPlan] = {
     val groups = agg.groupingExpressions.map {
-      case a: AttributeReference if reg.keys(a.name) => mvOut(a.name)
+      case a: AttributeReference if src.baseOut.contains(a) && src.reg.keys(a.name) =>
+        src.mvOut(a.name)
+      case a: AttributeReference if src.rightOut.contains(a) => a
       case _ => return None
     }
     val aggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       // grouping column passthrough — keep the original output exprId
-      case a: AttributeReference if reg.keys(a.name) =>
-        Alias(mvOut(a.name), a.name)(exprId = a.exprId)
-      case al: Alias => rewriteAggAlias(al, reg, mvOut).getOrElse(return None)
+      case a: AttributeReference if src.baseOut.contains(a) && src.reg.keys(a.name) =>
+        Alias(src.mvOut(a.name), a.name)(exprId = a.exprId)
+      case a: AttributeReference if src.rightOut.contains(a) => a
+      // aggregates must read BASE measures only: a dim-column aggregate
+      // sees per-row duplication the summary cannot reproduce
+      case al: Alias if al.references.subsetOf(src.baseOut) =>
+        rewriteAggAlias(al, src.reg, src.mvOut).getOrElse(return None)
       case _ => return None
     }
-    Some(Aggregate(groups, aggs, mv, None))
+    Some(Aggregate(groups, aggs, src.newChild, None))
   }
 
   /** GROUPING SETS / ROLLUP / CUBE routing (r13). The analyzer plants an
@@ -332,17 +338,16 @@ object MvRewrite extends Rule[LogicalPlan] {
     * the MV at once, at MV (not base) cardinality through the Expand.
     *
     * Derivability adds one condition to the flat contract: every Expand
-    * column the aggregate GROUPS on must be a registered key (or the
-    * bitmask literal). Measure passthrough columns are replaced by the
+    * column the aggregate GROUPS on must be a registered key, a DIM column
+    * (a join [[Source]] — dim values are cell-constant through the join, so
+    * a rollup by dim attributes replays over joined cells; r13-late), or
+    * the bitmask literal. Measure passthrough columns are replaced by the
     * partial columns the rewritten aggregates read. Grouping-set key attrs
     * and the bitmask attr keep their exprIds, so `grouping()` /
     * `grouping_id()` projections over them — and any HAVING above — are
     * untouched. */
-  private def tryRewriteSets(agg: Aggregate, expand: Expand, reg: Registration,
-      keyFilters: Seq[Expression]): Option[LogicalPlan] = {
-    val mvScan = freshMv(reg.mv)
-    val mvOut = mvScan.output.map(a => a.name -> a).toMap
-    val mv = replayFilters(mvScan, mvOut, keyFilters)
+  private def tryRewriteSets(agg: Aggregate, expand: Expand,
+      src: Source): Option[LogicalPlan] = {
     // Expand positions the grouping side reads: the (nullable) key attrs
     // and the grouping-id bitmask. Everything else is measure passthrough.
     val groupRefs = AttributeSet(agg.groupingExpressions.flatMap(_.references))
@@ -352,13 +357,15 @@ object MvRewrite extends Rule[LogicalPlan] {
       case (a, i) if groupRefs.contains(a) => i
     }
     // every kept position must hold, across ALL grouping-set projections,
-    // either a registered key column, or a literal (the set's null for a
-    // dropped key / the bitmask). A non-key attr here means the query
-    // grouped by a measure column — not derivable.
+    // either a registered key column, a dim column, or a literal (the
+    // set's null for a dropped key / the bitmask). A base MEASURE attr
+    // here means the query grouped by a measure column — not derivable.
     val replayable = keepPos.forall { i =>
       expand.projections.forall {
         _(i) match {
-          case a: AttributeReference => reg.keys(a.name)
+          case a: AttributeReference =>
+            (src.baseOut.contains(a) && src.reg.keys(a.name)) ||
+              src.rightOut.contains(a)
           case Literal(_, _) => true
           case _ => false
         }
@@ -376,22 +383,27 @@ object MvRewrite extends Rule[LogicalPlan] {
       // the row-count partial, not kept (kept, it would count MV cells)
       case al: Alias
           if al.references.nonEmpty && al.references.subsetOf(keptAttrs) => al
-      case al: Alias => rewriteAggAlias(al, reg, mvOut).getOrElse(return None)
+      // aggregates must read BASE measures only (same contract as the flat
+      // path — a dim-column aggregate sees per-row duplication)
+      case al: Alias if al.references.subsetOf(src.baseOut) =>
+        rewriteAggAlias(al, src.reg, src.mvOut).getOrElse(return None)
       case _ => return None
     }
-    // the MV columns the rewritten aggregates read ride the new Expand as
-    // identity passthrough (same attrs — references bind unchanged)
-    val needed = mv.output.filter(AttributeSet(aggs.flatMap(_.references)).contains)
+    // the source columns the rewritten aggregates read ride the new Expand
+    // as identity passthrough (same attrs — references bind unchanged)
+    val needed = src.newChild.output
+      .filter(AttributeSet(aggs.flatMap(_.references)).contains)
     val newExpand = Expand(
       expand.projections.map { p =>
         (needed: Seq[Expression]) ++ keepPos.map { i =>
           p(i) match {
-            case a: AttributeReference => mvOut(a.name)
-            case lit => lit
+            case a: AttributeReference if src.baseOut.contains(a) =>
+              src.mvOut(a.name)
+            case other => other // dim attr (verbatim) or literal
           }
         }
       },
-      needed ++ keepPos.map(expand.output), mv)
+      needed ++ keepPos.map(expand.output), src.newChild)
     Some(Aggregate(agg.groupingExpressions, aggs, newExpand, None))
   }
 

@@ -334,6 +334,44 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("ROLLUP over base JOIN dim routes: the star rollup served from summary cells") {
+    withMv { base =>
+      val dim = Seq(("c0", "west"), ("c1", "east"), ("c2", "east"))
+        .toDF("c", "region")
+      dim.write.parquet(s"$base/dimro")
+      // the SQL form: the Dataset API's rollup-after-join trips Spark's
+      // own DetectAmbiguousSelfJoin dataset-id heuristic (analyzer-side,
+      // before any optimizer rule — verified against plain Spark with the
+      // rewrite disabled); SQL resolves by name and plans the identical
+      // Aggregate-Expand-Join shape the rewrite serves
+      spark.read.parquet(s"$base/grain").createOrReplaceTempView("mvspec_grain")
+      spark.read.parquet(s"$base/dimro").createOrReplaceTempView("mvspec_dim")
+      def query() = spark.sql("""
+        SELECT region, k, sum(amount) AS rev, avg(amount) AS avg_a,
+               count(1) AS n, grouping_id() AS gid
+        FROM mvspec_grain g JOIN mvspec_dim d USING (c)
+        GROUP BY ROLLUP (region, k)""")
+      val rr = query()
+      assert(scannedPaths(rr).exists(_.endsWith("/mv")), scannedPaths(rr))
+      assert(!scannedPaths(rr).exists(_.endsWith("/grain")))
+      val direct = {
+        spark.conf.set(MvRewrite.EnabledKey, "false")
+        try query().collect().toSet
+        finally spark.conf.set(MvRewrite.EnabledKey, "true")
+      }
+      // every grain — (region,k), (region), grand total — bit-identical,
+      // decimal avg included, grouping_id intact
+      assert(rr.collect().toSet === direct)
+      assert(rr.count() === (2 * 7 + 2 + 1))
+      // rollup touching a base MEASURE column under the join still declines
+      val bad = spark.sql("""
+        SELECT region, qty, sum(amount) AS s
+        FROM mvspec_grain g JOIN mvspec_dim d USING (c)
+        GROUP BY ROLLUP (region, qty)""")
+      assert(scannedPaths(bad).forall(p => !p.endsWith("/mv")), scannedPaths(bad))
+    }
+  }
+
   test("join rewrite declines: measure-column join keys, dim aggregates, outer dim side") {
     withMv { base =>
       val dim = Seq((2L, "low"), (100L, "high")).toDF("qty", "cls")
