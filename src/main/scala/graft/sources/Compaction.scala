@@ -80,17 +80,22 @@ object Compaction extends QueryRegistry {
     * byte-copied unchanged (no decode/re-encode cost for data that is
     * already right-sized). Returns the executed plan. */
   def compactDir(spark: SparkSession, dir: String, outDir: String,
-      targetBytes: Long): DataFrame = {
+      targetBytes: Long,
+      fileSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val plan = planCompaction(listFiles(spark, dir), targetBytes)
     val rows = plan.collect() // one row per file: metadata-sized
     def inPath(part: String, name: String) =
       if (part == ".") s"$dir/$name" else s"$dir/$part/$name"
     def outPart(part: String) = if (part == ".") outDir else s"$outDir/$part"
+    // under an explicit file-level schema (a schema-evolved table whose
+    // older files lack the added columns) a mixed-schema bin re-encodes
+    // with every file null-filled to the table's current shape
+    val reader = fileSchema.map(spark.read.schema(_)).getOrElse(spark.read)
     rows.filter(_.getAs[Boolean]("compact"))
       .groupBy(r => (r.getAs[String]("part"), r.getAs[Long]("bin")))
       .toSeq.sortBy(_._1)
       .foreach { case ((part, _), fs) =>
-        spark.read.parquet(fs.map(r => inPath(part, r.getAs[String]("file_id"))).toSeq: _*)
+        reader.parquet(fs.map(r => inPath(part, r.getAs[String]("file_id"))).toSeq: _*)
           .coalesce(1).write.mode("append").parquet(outPart(part))
       }
     val conf = spark.sessionState.newHadoopConf()

@@ -25,6 +25,31 @@ import org.apache.spark.sql.functions._
   */
 object Dml {
 
+  /** Root-level reader for a layout: under an explicit `tableSchema` (a
+    * schema-evolved table whose older files lack the added columns — see
+    * [[VersionedTable.evolve]]) every file null-fills its missing columns;
+    * otherwise the plain footer-schema read. */
+  private def readRoot(spark: SparkSession, dir: String,
+      tableSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    tableSchema.map(spark.read.schema(_)).getOrElse(spark.read).parquet(dir)
+
+  /** File-level reader: same null-fill contract, but partition columns live
+    * in directory names, never file bytes — the explicit schema handed to a
+    * by-path read must exclude them or they would materialize as data
+    * columns in the rewrite. */
+  private def readFiles(spark: SparkSession, paths: Seq[String],
+      tableSchema: Option[org.apache.spark.sql.types.StructType],
+      partCols: Set[String]): DataFrame =
+    tableSchema
+      .map(s => org.apache.spark.sql.types.StructType(
+        s.fields.filterNot(f => partCols(f.name))))
+      .map(spark.read.schema(_)).getOrElse(spark.read).parquet(paths: _*)
+
+  /** Partition column names as the directory layout spells them. */
+  private def partColsOf(files: Array[(String, String)]): Set[String] =
+    files.map(_._1).filter(_ != ".")
+      .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
+
   /** Apply `DELETE WHERE pred` to the layout at `dir`, writing the
     * surviving layout to `outDir` (partition directory structure
     * preserved). `pred` must reference DATA columns only: a delete keyed
@@ -33,7 +58,8 @@ object Dml {
     * Returns the per-file decision frame `(part, file_id, rewritten)` —
     * metadata-sized, one row per file. */
   def deleteWhere(spark: SparkSession, dir: String, outDir: String,
-      pred: Column): DataFrame = {
+      pred: Column,
+      tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
@@ -42,7 +68,7 @@ object Dml {
 
     // probe: which files contain at least one matching row (URI → path
     // relative to the layout root, so it keys the catalog exactly)
-    val affectedRel = spark.read.parquet(dir).filter(pred)
+    val affectedRel = readRoot(spark, dir, tableSchema).filter(pred)
       .select(input_file_name().as("f")).distinct()
       .collect()
       .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
@@ -57,12 +83,14 @@ object Dml {
 
     val files = Compaction.listFiles(spark, dir).collect()
       .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
+    val partCols = partColsOf(files)
     val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
 
     // rewrite ONLY the affected files, per partition dir, keeping rows
     // where the predicate is not TRUE (SQL DELETE semantics)
     hit.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, fsOfPart) =>
-      spark.read.parquet(fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq: _*)
+      readFiles(spark, fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq,
+          tableSchema, partCols)
         .filter(!coalesce(pred, lit(false)))
         .write.mode("append").parquet(outPart(part))
     }
@@ -90,14 +118,15 @@ object Dml {
     * original type — the layout's schema can never fork. Returns the
     * per-file `(part, file_id, rewritten)` decision frame. */
   def updateWhere(spark: SparkSession, dir: String, outDir: String,
-      pred: Column, assignments: Map[String, Column]): DataFrame = {
+      pred: Column, assignments: Map[String, Column],
+      tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val rootAbs = fs.makeQualified(root).toUri.getPath
 
-    val schema = spark.read.parquet(dir).schema
+    val schema = tableSchema.getOrElse(spark.read.parquet(dir).schema)
     val unknown = assignments.keySet.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"UPDATE assigns unknown columns: ${unknown.mkString(", ")}")
     // validate against the FILE-level schema up front (ADVICE r12): the
@@ -115,7 +144,7 @@ object Dml {
     require(partitionAssigns.isEmpty,
       s"UPDATE cannot assign partition columns: ${partitionAssigns.mkString(", ")}")
 
-    val affectedRel = spark.read.parquet(dir).filter(pred)
+    val affectedRel = readRoot(spark, dir, tableSchema).filter(pred)
       .select(input_file_name().as("f")).distinct()
       .collect()
       .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
@@ -131,7 +160,8 @@ object Dml {
     val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
 
     hit.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, fsOfPart) =>
-      val src = spark.read.parquet(fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq: _*)
+      val src = readFiles(spark, fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq,
+        tableSchema, partCols)
       src.select(src.schema.fields.map { f =>
         assignments.get(f.name)
           .map(a => when(coalesce(pred, lit(false)), a.cast(f.dataType))
@@ -171,14 +201,15 @@ object Dml {
     * partition column itself is fine. Returns the `(part, file_id,
     * rewritten)` decision frame. */
   def updateMove(spark: SparkSession, dir: String, outDir: String,
-      pred: Column, assignments: Map[String, Column]): DataFrame = {
+      pred: Column, assignments: Map[String, Column],
+      tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val rootAbs = fs.makeQualified(root).toUri.getPath
 
-    val schema = spark.read.parquet(dir).schema
+    val schema = tableSchema.getOrElse(spark.read.parquet(dir).schema)
     val unknown = assignments.keySet.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"UPDATE assigns unknown columns: ${unknown.mkString(", ")}")
 
@@ -193,7 +224,7 @@ object Dml {
     require(assignments.keySet.exists(partCols.contains),
       s"no partition column assigned (${partCols.mkString(", ")}); use updateWhere")
 
-    val affectedRel = spark.read.parquet(dir).filter(pred)
+    val affectedRel = readRoot(spark, dir, tableSchema).filter(pred)
       .select(input_file_name().as("f")).distinct()
       .collect()
       .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
@@ -209,7 +240,8 @@ object Dml {
     hit.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, fsOfPart) =>
       // the file-level read lacks the partition columns — re-inject them
       // from the directory name so pred/assignments see the whole row
-      val raw = spark.read.parquet(fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq: _*)
+      val raw = readFiles(spark, fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq,
+        tableSchema, partCols.toSet)
       val src = part.split("/").foldLeft(raw) { (df, seg) =>
         val Array(k, v) = seg.split("=", 2)
         df.withColumn(k, hivePartLiteral(v).cast(schema(k).dataType))
@@ -275,9 +307,10 @@ object Dml {
     * partitions). */
   def mergeInto(spark: SparkSession, dir: String, outDir: String,
       updates: DataFrame, keys: Seq[String],
-      partitionCols: Seq[String] = Nil): DataFrame = {
+      partitionCols: Seq[String] = Nil,
+      tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val decisions = dropKeyedRows(spark, dir, outDir,
-      updates.select(keys.map(col): _*).distinct(), keys)
+      updates.select(keys.map(col): _*).distinct(), keys, tableSchema)
     // replacements + inserts in one append, partition-routed when asked
     val w0 = updates.write.mode("append")
     (if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0)
@@ -297,16 +330,18 @@ object Dml {
     * joins and every other part of the shape is unchanged. Returns the
     * per-file `(part, file_id, rewritten)` decision frame. */
   def deleteKeys(spark: SparkSession, dir: String, outDir: String,
-      tombstones: DataFrame, keys: Seq[String]): DataFrame =
+      tombstones: DataFrame, keys: Seq[String],
+      tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     dropKeyedRows(spark, dir, outDir,
-      tombstones.select(keys.map(col): _*).distinct(), keys)
+      tombstones.select(keys.map(col): _*).distinct(), keys, tableSchema)
 
   /** The shared copy-on-write kernel of [[mergeInto]] and [[deleteKeys]]:
     * drop every row whose key appears in `keySet` (pre-deduplicated), file-
     * selectively — semi-join probe finds affected files, only those pay
     * decode → anti-join → re-encode, clean files byte-copy. */
   private def dropKeyedRows(spark: SparkSession, dir: String, outDir: String,
-      keySet: DataFrame, keys: Seq[String]): DataFrame = {
+      keySet: DataFrame, keys: Seq[String],
+      tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
@@ -315,7 +350,7 @@ object Dml {
 
     // file name is tagged BEFORE the join: input_file_name() is only
     // defined against a single source, and the tag pins it to the scan
-    val affectedRel = spark.read.parquet(dir)
+    val affectedRel = readRoot(spark, dir, tableSchema)
       .withColumn("_probe_file", input_file_name())
       .join(keySet, keys, "left_semi")
       .select(col("_probe_file").as("f")).distinct()
@@ -332,10 +367,12 @@ object Dml {
 
     val files = Compaction.listFiles(spark, dir).collect()
       .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
+    val partCols = partColsOf(files)
     val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
 
     hit.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, fsOfPart) =>
-      spark.read.parquet(fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq: _*)
+      readFiles(spark, fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq,
+          tableSchema, partCols)
         .join(keySet, keys, "left_anti")
         .write.mode("append").parquet(outPart(part))
     }

@@ -308,6 +308,57 @@ object SinkQueries extends QueryRegistry {
         col("category"))
   }
 
+  /** Zero-rewrite schema evolution through the versioned protocol (r13):
+    * the product dim created partitioned at v1, a nullable `tier` column
+    * ADDED at v2 — the fn REQUIRES that v2's data files are byte-identical
+    * to v1's under the same names (an evolution that rewrote or dropped a
+    * single data file fails before any oracle sees it), that the v1→v2 CDC
+    * feed is EMPTY (old rows read as themselves + NULL), and that time
+    * travel to v1 still shows the pre-evolution shape. v3 then BACKFILLS
+    * the new column file-selectively through ordinary UPDATE WHERE (its
+    * feed must be pure updates), and v4 merges in new rows that carry the
+    * column — the full lifecycle of a column added to a 100 TB table
+    * without touching its data. The oracle spells the final state: every
+    * original row with its CASE-derived tier (NULL where the backfill
+    * didn't reach — those rows still live in never-rewritten v1 bytes),
+    * plus the merged inserts. */
+  private def versionedEvolve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val root = Files.createTempDirectory("graft_sink_vtevo_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+      .withColumn("pbucket", expr("CAST(stockcode AS BIGINT) div 500"))
+    VersionedTable.create(s, root, p, Seq("pbucket"))
+    require(VersionedTable.evolve(s, root,
+      StructType(Seq(StructField("tier", StringType, nullable = true)))) == 2,
+      "evolution must commit as v2")
+    def fileSet(v: Int) = Compaction.listFiles(s, f"$root/v$v%05d").collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"),
+        r.getAs[Long]("bytes"))).toSet
+    require(fileSet(2) == fileSet(1),
+      "evolution must not rewrite, drop or add a single data file")
+    require(VersionedTable.changes(s, root, 1, 2, Seq("stockcode")).isEmpty,
+      "evolution must read as zero changes")
+    require(!VersionedTable.read(s, root, Some(1)).columns.contains("tier"),
+      "time travel below the evolution must see the old schema")
+    require(VersionedTable.updateWhere(s, root, col("unitprice") >= 10,
+      Map("tier" -> lit("premium"))) == 3, "the backfill must commit as v3")
+    val backfill = VersionedTable.changes(s, root, 2, 3, Seq("stockcode"))
+    require(backfill.filter(!col("change_type").startsWith("update")).isEmpty,
+      "a backfill feed is pure updates")
+    val inserts = p.filter(code % 10 === 0)
+      .withColumn("stockcode", (code + 200000).cast("string"))
+      .withColumn("tier", lit("new"))
+      .withColumn("pbucket", expr("CAST(stockcode AS BIGINT) div 500"))
+      .select("stockcode", "unitprice", "category", "tier", "pbucket")
+    require(VersionedTable.mergeInto(s, root, inserts, Seq("stockcode"),
+      Seq("pbucket")) == 4, "the merge must commit as v4")
+    VersionedTable.read(s, root)
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("category"), col("tier"))
+  }
+
   /** Versioned erasure purge (r12, VERDICT r11 #6): the product dim created
     * at v1, every 13th stockcode purged by TOMBSTONE LIST through
     * [[VersionedTable.deleteKeys]] (the erasure request as it actually
@@ -451,6 +502,16 @@ object SinkQueries extends QueryRegistry {
       Some(graft.oracle.OracleSql.q("""
       SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category
       FROM dim_product"""))),
+
+    QueryDef("sink_versioned_evolve", versionedEvolve,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category,
+             CASE WHEN unitprice >= 10 THEN 'premium' END AS tier
+      FROM dim_product
+      UNION ALL
+      SELECT CAST(CAST(stockcode AS BIGINT) + 200000 AS VARCHAR) AS stockcode,
+             CAST(unitprice AS DOUBLE) AS unitprice, category, 'new' AS tier
+      FROM dim_product WHERE CAST(stockcode AS BIGINT) % 10 = 0"""))),
 
     QueryDef("sink_versioned_delete_keys", versionedDeleteKeys,
       Some(graft.oracle.OracleSql.q("""

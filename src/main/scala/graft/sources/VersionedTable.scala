@@ -51,15 +51,108 @@ object VersionedTable {
     fs.rename(tmp, c)
   }
 
-  /** Prepare the next version's directory (clearing any crashed orphan)
-    * and return (next, its path). */
+  /** Prepare the next version's directory (clearing any crashed orphan
+    * and any schema-log entry a crashed [[evolve]] left for this version —
+    * a later non-evolve commit must not inherit it) and return (next, its
+    * path). */
   private def nextDir(spark: SparkSession, root: String): (Int, String) = {
     val (fs, rootP) = fsOf(spark, root)
     fs.mkdirs(rootP)
     val next = readLatest(fs, rootP).getOrElse(0) + 1
     val dir = vDir(root, next)
     if (fs.exists(new Path(dir))) fs.delete(new Path(dir), true)
+    val stale = schemaEntry(root, next)
+    if (fs.exists(stale)) fs.delete(stale, false)
     (next, dir)
+  }
+
+  // ---------------------------------------------------------------- schema
+  // Zero-rewrite schema evolution (r13). The log lives OUTSIDE the version
+  // dirs — <root>/_schema/v%05d.ddl, "the table's schema from version N
+  // onward (until a later entry)" — so adding a column to a 100 TB table
+  // writes one tiny DDL file and byte-copies nothing it wouldn't anyway:
+  // data files are NEVER rewritten for an evolution; readers null-fill each
+  // file's missing columns against the effective schema (the manifest-level
+  // schema tracking every production table format does). Entries survive
+  // [[vacuum]] (they define the schema of LATER, retained versions).
+
+  private def schemaEntry(root: String, v: Int) =
+    new Path(s"$root/_schema", f"v$v%05d.ddl")
+
+  private def writeSchemaEntry(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Int, schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = schemaEntry(root, v)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write((schema.toDDL + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The schema in force at `version`: the newest log entry at or below it,
+    * or None for a never-evolved table (footer schema applies). */
+  def effectiveSchema(spark: SparkSession, root: String,
+      version: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, _) = fsOf(spark, root)
+    val dir = new Path(s"$root/_schema")
+    if (!fs.exists(dir)) return None
+    val entries = fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".ddl") =>
+        n.stripPrefix("v").stripSuffix(".ddl").toInt }
+      .filter(_ <= version)
+    if (entries.isEmpty) None
+    else {
+      val v = entries.max
+      val in = fs.open(schemaEntry(root, v))
+      val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
+  }
+
+  /** Byte-copy every data file of snapshot `fromDir` into `toDir` — the
+    * physical stand-in for manifest-level file sharing (with a production
+    * manifest format this loop disappears: the new snapshot just references
+    * the old files). */
+  private def copySnapshot(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, fromDir: String, toDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    Compaction.listFiles(spark, fromDir).collect().foreach { r =>
+      val (part, name) = (r.getAs[String]("part"), r.getAs[String]("file_id"))
+      val dstDir = if (part == ".") new Path(toDir) else new Path(s"$toDir/$part")
+      fs.mkdirs(dstDir)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new Path(if (part == ".") s"$fromDir/$name" else s"$fromDir/$part/$name"),
+        fs, new Path(dstDir, name), false, conf)
+    }
+  }
+
+  /** ADD COLUMNS as a committed snapshot — ZERO data rewrite (r13): the new
+    * version's data files are the old version's bytes (shared by reference
+    * in a manifest format; byte-copied here, never re-encoded), plus one
+    * schema-log entry naming the evolved shape. Every added column must be
+    * nullable — existing rows have no value for it, and readers null-fill
+    * per file. All later reads, DML and CDC run under the evolved schema:
+    * an UPDATE can backfill the new column file-selectively, appends carry
+    * it, and the [[changes]] feed across the evolution span is EMPTY (old
+    * rows read as themselves + NULL). Time travel below the evolution
+    * version still sees the old schema. Returns the committed version. */
+  def evolve(spark: SparkSession, root: String,
+      adds: org.apache.spark.sql.types.StructType): Int = {
+    require(adds.nonEmpty, "evolve needs at least one added column")
+    require(adds.forall(_.nullable),
+      s"added columns must be nullable (existing rows null-fill): ${
+        adds.filterNot(_.nullable).map(_.name).mkString(", ")}")
+    val latest = latestVersion(spark, root)
+    val current = effectiveSchema(spark, root, latest)
+      .getOrElse(read(spark, root, Some(latest)).schema)
+    val clash = adds.fieldNames.toSet.intersect(current.fieldNames.toSet)
+    require(clash.isEmpty, s"columns already exist: ${clash.mkString(", ")}")
+    val evolved = org.apache.spark.sql.types.StructType(current.fields ++ adds.fields)
+    val (next, dir) = nextDir(spark, root)
+    val (fs, rootP) = fsOf(spark, root)
+    copySnapshot(spark, fs, vDir(root, latest), dir)
+    writeSchemaEntry(fs, root, next, evolved)
+    commit(fs, rootP, next)
+    next
   }
 
   /** Create the table at snapshot v1. */
@@ -81,17 +174,28 @@ object VersionedTable {
   }
 
   /** Read a snapshot — the committed latest, or any still-vacuum-retained
-    * version (time travel). */
+    * version (time travel). An evolved table reads under the schema in
+    * force AT THAT VERSION (older files null-fill their missing columns);
+    * time travel below the evolution sees the old shape. */
   def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, root))
-    spark.read.parquet(vDir(root, v))
+    effectiveSchema(spark, root, v)
+      .map(spark.read.schema(_)).getOrElse(spark.read)
+      .parquet(vDir(root, v))
   }
+
+  /** The stored schema in force at the CURRENT latest version, if the
+    * table has ever evolved — what every mutation's reads must run under
+    * (older files null-fill). */
+  private def activeSchema(spark: SparkSession, root: String, latest: Int) =
+    effectiveSchema(spark, root, latest)
 
   /** `DELETE WHERE` as a new snapshot; returns the committed version. */
   def deleteWhere(spark: SparkSession, root: String, pred: Column): Int = {
-    val cur = vDir(root, latestVersion(spark, root))
+    val latest = latestVersion(spark, root)
+    val cur = vDir(root, latest)
     val (next, dir) = nextDir(spark, root)
-    Dml.deleteWhere(spark, cur, dir, pred)
+    Dml.deleteWhere(spark, cur, dir, pred, activeSchema(spark, root, latest))
     val (fs, rootP) = fsOf(spark, root)
     commit(fs, rootP, next)
     next
@@ -100,9 +204,11 @@ object VersionedTable {
   /** `MERGE INTO` as a new snapshot; returns the committed version. */
   def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
       keys: Seq[String], partitionCols: Seq[String] = Nil): Int = {
-    val cur = vDir(root, latestVersion(spark, root))
+    val latest = latestVersion(spark, root)
+    val cur = vDir(root, latest)
     val (next, dir) = nextDir(spark, root)
-    Dml.mergeInto(spark, cur, dir, updates, keys, partitionCols)
+    Dml.mergeInto(spark, cur, dir, updates, keys, partitionCols,
+      activeSchema(spark, root, latest))
     val (fs, rootP) = fsOf(spark, root)
     commit(fs, rootP, next)
     next
@@ -114,9 +220,11 @@ object VersionedTable {
     * changed as pre/post image pairs. */
   def updateWhere(spark: SparkSession, root: String, pred: Column,
       assignments: Map[String, Column]): Int = {
-    val cur = vDir(root, latestVersion(spark, root))
+    val latest = latestVersion(spark, root)
+    val cur = vDir(root, latest)
     val (next, dir) = nextDir(spark, root)
-    Dml.updateWhere(spark, cur, dir, pred, assignments)
+    Dml.updateWhere(spark, cur, dir, pred, assignments,
+      activeSchema(spark, root, latest))
     val (fs, rootP) = fsOf(spark, root)
     commit(fs, rootP, next)
     next
@@ -132,9 +240,11 @@ object VersionedTable {
     * level. Returns the committed version. */
   def updateMove(spark: SparkSession, root: String, pred: Column,
       assignments: Map[String, Column]): Int = {
-    val cur = vDir(root, latestVersion(spark, root))
+    val latest = latestVersion(spark, root)
+    val cur = vDir(root, latest)
     val (next, dir) = nextDir(spark, root)
-    Dml.updateMove(spark, cur, dir, pred, assignments)
+    Dml.updateMove(spark, cur, dir, pred, assignments,
+      activeSchema(spark, root, latest))
     val (fs, rootP) = fsOf(spark, root)
     commit(fs, rootP, next)
     next
@@ -152,9 +262,11 @@ object VersionedTable {
     * committed version. */
   def deleteKeys(spark: SparkSession, root: String, tombstones: DataFrame,
       keys: Seq[String]): Int = {
-    val cur = vDir(root, latestVersion(spark, root))
+    val latest = latestVersion(spark, root)
+    val cur = vDir(root, latest)
     val (next, dir) = nextDir(spark, root)
-    Dml.deleteKeys(spark, cur, dir, tombstones, keys)
+    Dml.deleteKeys(spark, cur, dir, tombstones, keys,
+      activeSchema(spark, root, latest))
     val (fs, rootP) = fsOf(spark, root)
     commit(fs, rootP, next)
     next
@@ -169,9 +281,19 @@ object VersionedTable {
     * moves bytes, never rows (spec- and gate-asserted). Returns the
     * committed version. */
   def compact(spark: SparkSession, root: String, targetBytes: Long): Int = {
-    val cur = vDir(root, latestVersion(spark, root))
+    val latest = latestVersion(spark, root)
+    val cur = vDir(root, latest)
     val (next, dir) = nextDir(spark, root)
-    Compaction.compactDir(spark, cur, dir, targetBytes)
+    // bin re-encodes read at FILE level — partition columns ride directory
+    // names, so an evolved table's stored schema sheds them for the read
+    val fileSchema = activeSchema(spark, root, latest).map { s =>
+      val partCols = Compaction.listFiles(spark, cur).collect()
+        .map(_.getAs[String]("part")).filter(_ != ".")
+        .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
+      org.apache.spark.sql.types.StructType(
+        s.fields.filterNot(f => partCols(f.name)))
+    }
+    Compaction.compactDir(spark, cur, dir, targetBytes, fileSchema)
     val (fs, rootP) = fsOf(spark, root)
     commit(fs, rootP, next)
     next
@@ -222,19 +344,19 @@ object VersionedTable {
     val (next, dir) = nextDir(spark, root)
     // the new snapshot = current snapshot's files byte-copied (the physical
     // stand-in for manifest-level file sharing) + the batch's new files
-    latest.foreach { v =>
-      val cur = vDir(root, v)
-      val conf = spark.sessionState.newHadoopConf()
-      Compaction.listFiles(spark, cur).collect().foreach { r =>
-        val (part, name) = (r.getAs[String]("part"), r.getAs[String]("file_id"))
-        val dstDir = if (part == ".") new Path(dir) else new Path(s"$dir/$part")
-        fs.mkdirs(dstDir)
-        org.apache.hadoop.fs.FileUtil.copy(fs,
-          new Path(if (part == ".") s"$cur/$name" else s"$cur/$part/$name"),
-          fs, new Path(dstDir, name), false, conf)
-      }
-    }
-    val w = batch.write.mode("append")
+    latest.foreach(v => copySnapshot(spark, fs, vDir(root, v), dir))
+    // an evolved table aligns the batch to the stored schema: missing
+    // columns null-fill (a producer not yet emitting the new column keeps
+    // streaming), unknown columns fail loudly, types pin to the table's
+    val aligned = latest.flatMap(v => effectiveSchema(spark, root, v)).map { s =>
+      val extra = batch.columns.filterNot(s.fieldNames.contains)
+      require(extra.isEmpty,
+        s"batch carries columns the table schema lacks: ${extra.mkString(", ")}")
+      batch.select(s.fields.map(f =>
+        (if (batch.columns.contains(f.name)) col(f.name) else lit(null))
+          .cast(f.dataType).as(f.name)).toSeq: _*)
+    }.getOrElse(batch)
+    val w = aligned.write.mode("append")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
     val out = fs.create(batchMarker(dir), true)
     try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
@@ -253,7 +375,15 @@ object VersionedTable {
   def changes(spark: SparkSession, root: String, fromV: Int, toV: Int,
       keys: Seq[String]): DataFrame = {
     require(fromV < toV, s"change feed needs fromV < toV (got $fromV, $toV)")
-    changeFeed(read(spark, root, Some(fromV)), read(spark, root, Some(toV)), keys)
+    // A span crossing a schema evolution diffs BOTH states under the span's
+    // TARGET schema (the older snapshot null-fills the added columns), so
+    // the feed stays well-defined: a pure evolution reads as zero changes
+    // (old rows diff as themselves + NULL), and post-evolution backfills
+    // surface as ordinary updates whose preimage has the NULL.
+    val toSchema = effectiveSchema(spark, root, toV)
+    val oldDf = toSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+      .parquet(vDir(root, fromV))
+    changeFeed(oldDf, read(spark, root, Some(toV)), keys)
   }
 
   /** The diff engine behind [[changes]]: one full-outer equi-join on the

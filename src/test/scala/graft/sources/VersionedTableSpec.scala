@@ -190,6 +190,83 @@ class VersionedTableSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("evolve adds a column with zero rewrite; reads, DML and CDC run under the evolved schema") {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_evo_").toString + "/t"
+    val v1 = (1L to 20L).map(i => (i, s"p_$i", i % 3)).toDF("id", "payload", "bucket")
+    assert(VersionedTable.create(spark, root, v1, Seq("bucket")) === 1)
+    assert(VersionedTable.evolve(spark, root,
+      StructType(Seq(StructField("tag", StringType)))) === 2)
+    // zero rewrite: v2's data files are v1's, byte for byte
+    def files(v: Int) = Compaction.listFiles(spark, f"$root/v$v%05d").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(files(2) === files(1))
+    // evolution reads as zero changes; time travel sees the old shape
+    assert(VersionedTable.changes(spark, root, 1, 2, Seq("id")).isEmpty)
+    assert(!VersionedTable.read(spark, root, Some(1)).columns.contains("tag"))
+    assert(VersionedTable.read(spark, root).filter(col("tag").isNotNull).count() === 0)
+    // backfill through ordinary UPDATE WHERE — file-selective on mixed files
+    assert(VersionedTable.updateWhere(spark, root, col("id") <= 5L,
+      Map("tag" -> lit("early"))) === 3)
+    val tagged = VersionedTable.read(spark, root)
+      .filter(col("tag") === "early").select("id").as[Long].collect().toSet
+    assert(tagged === (1L to 5L).toSet)
+    // the backfill's CDC span: updates only, preimage tag NULL
+    val feed = VersionedTable.changes(spark, root, 2, 3, Seq("id"))
+    assert(feed.filter(!col("change_type").startsWith("update")).isEmpty)
+    assert(feed.filter(col("change_type") === "update_preimage")
+      .filter(col("tag").isNotNull).isEmpty)
+    // deleteKeys and compact still work over the mixed-schema layout
+    assert(VersionedTable.deleteKeys(spark, root, Seq(2L).toDF("id"), Seq("id")) === 4)
+    assert(VersionedTable.compact(spark, root, targetBytes = 1L << 30) === 5)
+    val fin = VersionedTable.read(spark, root)
+      .select("id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(fin.size === 19 && !fin.contains(2L))
+    assert(fin(1L) === Some("early") && fin(10L) === None)
+  }
+
+  test("evolve rejects non-nullable and colliding columns; a crashed evolve's schema entry is not inherited") {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_evo2_").toString + "/t"
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("id", "payload"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.evolve(spark, root,
+        StructType(Seq(StructField("tag", StringType, nullable = false))))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.evolve(spark, root,
+        StructType(Seq(StructField("payload", StringType))))
+    }
+    // simulate a crashed evolve: schema entry written for v2, manifest never
+    // swapped — a later non-evolve commit of v2 must not inherit the entry
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stale = new org.apache.hadoop.fs.Path(s"$root/_schema/v00002.ddl")
+    fs.mkdirs(stale.getParent)
+    val out = fs.create(stale, true)
+    out.write("`id` BIGINT,`payload` STRING,`ghost` STRING\n".getBytes("UTF-8"))
+    out.close()
+    assert(VersionedTable.deleteWhere(spark, root, col("id") === 99L) === 2)
+    assert(!VersionedTable.read(spark, root).columns.contains("ghost"))
+  }
+
+  test("appendBatch aligns an evolved table's batches: missing column null-fills, unknown column fails") {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_evo3_").toString + "/t"
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("id", "payload"))
+    VersionedTable.evolve(spark, root, StructType(Seq(StructField("tag", StringType))))
+    // a producer not yet emitting the new column keeps streaming
+    assert(VersionedTable.appendBatch(spark, root, 1L,
+      Seq((2L, "b")).toDF("id", "payload")).contains(3))
+    val rows = VersionedTable.read(spark, root)
+      .select("id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(rows === Map(1L -> None, 2L -> None))
+    intercept[IllegalArgumentException] {
+      VersionedTable.appendBatch(spark, root, 2L,
+        Seq((3L, "c", 1.0)).toDF("id", "payload", "oops"))
+    }
+  }
+
   test("vacuum retires old versions and keeps time travel to the rest") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_v_").toString + "/t"
     VersionedTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "payload"))
