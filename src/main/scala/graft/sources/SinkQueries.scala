@@ -359,6 +359,55 @@ object SinkQueries extends QueryRegistry {
         col("category"), col("tier"))
   }
 
+  /** Versioned data-skipping stats end to end (r13): the product dim
+    * committed as 8 range-tight files on the numeric stockcode, stats
+    * enabled at v1, a file-selective price repair committed at v2, and the
+    * stats REFRESHED INCREMENTALLY — the fn REQUIRES the refresh decision
+    * frame to show every byte-copied file carried and ONLY the
+    * newly-written names scanned (the 100 TB contract: a commit that
+    * rewrote k files re-stats k files, never the table), then serves a
+    * range query through [[VersionedStats.prunedRead]] and REQUIRES that
+    * pruning actually skipped files AND that the pruned read row-for-row
+    * equals the exact full-scan filter (skipping soundness at run time).
+    * The oracle spells the repaired-and-filtered state, so a stale stats
+    * row, a wrongly-skipped file, or a lost update all hash-mismatch. */
+  private def versionedStatsPrune(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_vtstats_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+      .withColumn("code", code)
+    VersionedTable.create(s, root, p.repartitionByRange(8, col("code")))
+    require(VersionedStats.enable(s, root, Seq("code")) == 1,
+      "stats must publish for v1")
+    val maxCode = p.agg(max("code")).head().getLong(0)
+    val lo = maxCode / 10
+    require(VersionedTable.updateWhere(s, root, col("code") <= lo,
+      Map("unitprice" -> col("unitprice") * 2)) == 2, "repair must commit as v2")
+    def names(v: Int) = Compaction.listFiles(s, VersionedTable.vDir(root, v))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val (n1, n2) = (names(1), names(2))
+    val dec = VersionedStats.refresh(s, root)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getString(2)))
+      .groupBy(_._2).map { case (a, xs) => (a, xs.map(_._1).toSet) }
+    require(dec.getOrElse("scanned", Set()) == (n2 -- n1) && (n2 -- n1).nonEmpty,
+      "refresh must scan exactly the newly-written files")
+    require(dec.getOrElse("carried", Set()) == n2.intersect(n1) && n2.intersect(n1).nonEmpty,
+      "refresh must carry every byte-copied file (file-selective DML held)")
+    require(dec.getOrElse("dropped", Set()) == (n1 -- n2),
+      "refresh must drop vanished names")
+    val hi = 2 * lo
+    val box = SkippingIndex.Box("code", 0L, hi)
+    require(VersionedStats.survivingNames(s, root, 2, Seq(box)).size < n2.size,
+      "the box must actually skip files")
+    val pruned = VersionedStats.prunedRead(s, root, Seq(box))
+    val exact = VersionedTable.read(s, root).filter(col("code") >= 0L && col("code") <= hi)
+    require(pruned.exceptAll(exact).isEmpty && exact.exceptAll(pruned).isEmpty,
+      "pruned read must equal the exact full-scan filter")
+    pruned.select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+      col("category"))
+  }
+
   /** Versioned erasure purge (r12, VERDICT r11 #6): the product dim created
     * at v1, every 13th stockcode purged by TOMBSTONE LIST through
     * [[VersionedTable.deleteKeys]] (the erasure request as it actually
@@ -512,6 +561,17 @@ object SinkQueries extends QueryRegistry {
       SELECT CAST(CAST(stockcode AS BIGINT) + 200000 AS VARCHAR) AS stockcode,
              CAST(unitprice AS DOUBLE) AS unitprice, category, 'new' AS tier
       FROM dim_product WHERE CAST(stockcode AS BIGINT) % 10 = 0"""))),
+
+    QueryDef("sink_versioned_stats_prune", versionedStatsPrune,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode,
+             CAST(CASE WHEN CAST(stockcode AS BIGINT)
+                            <= (SELECT max(CAST(stockcode AS BIGINT)) // 10 FROM dim_product)
+                       THEN unitprice * 2 ELSE unitprice END AS DOUBLE) AS unitprice,
+             category
+      FROM dim_product
+      WHERE CAST(stockcode AS BIGINT)
+            <= (SELECT 2 * (max(CAST(stockcode AS BIGINT)) // 10) FROM dim_product)"""))),
 
     QueryDef("sink_versioned_delete_keys", versionedDeleteKeys,
       Some(graft.oracle.OracleSql.q("""

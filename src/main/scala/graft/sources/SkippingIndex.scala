@@ -76,17 +76,22 @@ object SkippingIndex {
   /** An inclusive box predicate on an indexed column. */
   final case class Box(column: String, lo: Any, hi: Any)
 
-  /** Files whose stats admit a row matching EVERY box (conjunction).
+  /** The stats-overlap predicate for a conjunction of boxes: a row (file)
+    * is admitted when every box's range can contain a matching value.
     * Null-safe: a file with null stats (all-null column) is kept — skipping
-    * is only ever justified by positive evidence. */
-  def survivingFiles(index: DataFrame, boxes: Seq[Box]): Seq[String] = {
-    val admits = boxes.map { b =>
+    * is only ever justified by positive evidence. Shared with
+    * [[VersionedStats]], whose stats tables carry the same `<c>_min` /
+    * `<c>_max` shape. */
+  private[sources] def admitsAll(boxes: Seq[Box]): Column =
+    boxes.map { b =>
       val (mn, mx) = (col(s"${b.column}_min"), col(s"${b.column}_max"))
       (mn <= lit(b.hi) && mx >= lit(b.lo)) || mn.isNull
     }.reduce(_ && _)
-    index.filter(admits).select("file")
+
+  /** Files whose stats admit a row matching EVERY box (conjunction). */
+  def survivingFiles(index: DataFrame, boxes: Seq[Box]): Seq[String] =
+    index.filter(admitsAll(boxes)).select("file")
       .collect().map(_.getString(0)).toSeq
-  }
 
   /** Manifest-style read: only files the index admits are opened; `boxes`
     * is re-applied exactly on top (file-level stats are necessary, not

@@ -1,0 +1,263 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Versioned data-skipping statistics — [[SkippingIndex]] composed with the
+  * [[VersionedTable]] commit protocol: the manifest-stats layer every
+  * production table format (Delta/Iceberg) maintains, here as a per-version
+  * stats table published alongside each snapshot.
+  *
+  * Layout under the table root:
+  * {{{
+  *   <root>/_stats/columns      the indexed column names, one per line
+  *   <root>/_stats/v00007/      parquet stats table for snapshot v00007:
+  *                              (part, file_id, n_rows, <c>_min, <c>_max …)
+  * }}}
+  *
+  * The scale contract is INCREMENTAL maintenance. The copy-on-write DML ops
+  * never modify a data file in place: a file either survives a commit under
+  * the SAME relative name (byte-copied / manifest-shared — byte-identical by
+  * protocol) or is replaced by a freshly-written file under a NEW name. So a
+  * [[refresh]] from the last statted version to the head carries stats rows
+  * forward for every surviving name, scans ONLY names it has never seen, and
+  * drops names no longer on disk — a commit that rewrote 10 files of an
+  * 80 000-file table re-stats 10 files, and the scan reads only the indexed
+  * columns of those. Both file listings are driver-resident metadata (the
+  * shape every planner's file index already holds).
+  *
+  * [[prunedRead]] is the serving side: the version's stats table is
+  * consulted like a manifest, only admitted files are handed to the reader
+  * (with the exact predicate re-applied on top — file stats are necessary,
+  * not sufficient), and an evolved table reads under its
+  * [[VersionedTable.effectiveSchema]] as usual. Indexing a PARTITION column
+  * works too (its per-file min = max = the directory value), making stats
+  * pruning a superset of partition pruning that extends to data columns.
+  * Pruning soundness is inherited from [[SkippingIndex.admitsAll]]: a file
+  * is skipped only on positive evidence; null stats (all-null column, or a
+  * column added by schema evolution after the file was written) keep the
+  * file.
+  *
+  * Publication is crash-safe the same way every commit here is: the stats
+  * table is written to a `.tmp` directory and renamed into place — a crash
+  * mid-write leaves a tmp orphan the retry sweeps, a crash after the rename
+  * is simply the published table, and a replayed refresh that finds the
+  * destination already published is a no-op.
+  */
+object VersionedStats {
+
+  import SkippingIndex.Box
+
+  private def fsOf(spark: SparkSession, root: String) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def statsRoot(root: String) = s"$root/_stats"
+  private def colsPath(root: String) = new Path(statsRoot(root), "columns")
+  private[sources] def statsDir(root: String, v: Int) =
+    f"${statsRoot(root)}/v$v%05d"
+  private def tmpDir(root: String, v: Int) = f"${statsRoot(root)}/.tmp_v$v%05d"
+
+  /** The indexed column names, or None when stats were never enabled. */
+  def indexedColumns(spark: SparkSession, root: String): Option[Seq[String]] = {
+    val (fs, _) = fsOf(spark, root)
+    val p = colsPath(root)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+    }
+  }
+
+  /** Versions that have a published stats table. */
+  def stattedVersions(spark: SparkSession, root: String): Seq[Int] = {
+    val (fs, _) = fsOf(spark, root)
+    val dir = new Path(statsRoot(root))
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.forall(c => c == 'v' || c.isDigit) =>
+        n.stripPrefix("v").toInt }
+      .toSeq.sorted
+  }
+
+  /** The published stats table for `version`. */
+  def statsFor(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val (fs, _) = fsOf(spark, root)
+    require(fs.exists(new Path(statsDir(root, version))),
+      s"no stats published for v$version at $root — run refresh first")
+    spark.read.parquet(statsDir(root, version))
+  }
+
+  /** Per-file stats for `rel` (relative (part, file_id) names) of snapshot
+    * `versionDir`: one scan reading ONLY the indexed columns of ONLY those
+    * files (plus partition values from the directory names via basePath).
+    * The rel mapping back from `input_file_name` happens driver-side on the
+    * one-row-per-file aggregate — metadata-sized by construction. */
+  private def scanStats(spark: SparkSession, versionDir: String,
+      rel: Seq[(String, String)], cols: Seq[String],
+      schemaOpt: Option[StructType]): DataFrame = {
+    val (fs, _) = fsOf(spark, versionDir)
+    val rootAbs = fs.makeQualified(new Path(versionDir)).toUri.getPath
+    val outSchema = { // fixed even when there is nothing to scan
+      val probe = schemaOpt.map(spark.read.schema(_)).getOrElse(spark.read)
+        .parquet(versionDir)
+      StructType(
+        StructField("part", StringType, nullable = false) +:
+        StructField("file_id", StringType, nullable = false) +:
+        StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false) +:
+        cols.flatMap { c =>
+          val dt = probe.schema(c).dataType
+          Seq(StructField(s"${c}_min", dt), StructField(s"${c}_max", dt))
+        })
+    }
+    if (rel.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), outSchema)
+    val paths = rel.map { case (p, n) =>
+      if (p == ".") s"$versionDir/$n" else s"$versionDir/$p/$n" }
+    val agg = schemaOpt.map(spark.read.schema(_)).getOrElse(spark.read)
+      .option("basePath", versionDir).parquet(paths: _*)
+      .groupBy(input_file_name().as("__abs"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+    val rows = agg.collect().toSeq.map { r =>
+      val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+      val relPath = abs.stripPrefix(rootAbs).stripPrefix("/")
+      val (part, name) = relPath.lastIndexOf('/') match {
+        case -1 => (".", relPath)
+        case i  => (relPath.substring(0, i), relPath.substring(i + 1))
+      }
+      Row.fromSeq(part +: name +: r.toSeq.drop(1))
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, outSchema)
+  }
+
+  /** Publish a stats table for `version`: write to a tmp dir, rename into
+    * place. A destination that already exists is an already-published
+    * replay — left untouched. */
+  private def publish(spark: SparkSession, root: String, version: Int,
+      stats: DataFrame): Unit = {
+    val (fs, _) = fsOf(spark, root)
+    val dest = new Path(statsDir(root, version))
+    if (fs.exists(dest)) return
+    val tmp = new Path(tmpDir(root, version))
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    stats.coalesce(1).write.parquet(tmp.toString)
+    fs.rename(tmp, dest)
+  }
+
+  /** Enable stats on `cols` for the table at `root`: records the indexed
+    * columns and publishes the stats table for the current latest version
+    * (one scan of only those columns). Returns the statted version. */
+  def enable(spark: SparkSession, root: String, cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "need at least one indexed column")
+    require(indexedColumns(spark, root).isEmpty,
+      s"stats already enabled at $root on ${indexedColumns(spark, root).get.mkString(", ")}")
+    val latest = VersionedTable.latestVersion(spark, root)
+    val snapshot = VersionedTable.read(spark, root, Some(latest))
+    val missing = cols.filterNot(snapshot.columns.contains)
+    require(missing.isEmpty, s"indexed columns not in table: ${missing.mkString(", ")}")
+    val (fs, _) = fsOf(spark, root)
+    fs.mkdirs(new Path(statsRoot(root)))
+    val out = fs.create(colsPath(root), true)
+    try out.write((cols.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    val files = Compaction.listFiles(spark, VersionedTable.vDir(root, latest))
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"))).toSeq
+    publish(spark, root, latest,
+      scanStats(spark, VersionedTable.vDir(root, latest), files, cols,
+        VersionedTable.effectiveSchema(spark, root, latest)))
+    latest
+  }
+
+  /** Bring the stats up to the table's latest version INCREMENTALLY from the
+    * newest statted version: stats rows carry forward for every file name
+    * that survived (byte-identical by the copy-on-write protocol), only
+    * never-seen names are scanned, vanished names drop. Works across
+    * multi-commit spans in one pass and is a no-op on a current table.
+    * Returns the per-file decision frame `(part, file_id, action)` with
+    * action ∈ carried | scanned | dropped — metadata-sized. */
+  def refresh(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val cols = indexedColumns(spark, root).getOrElse(
+      throw new IllegalStateException(s"stats never enabled at $root"))
+    val latest = VersionedTable.latestVersion(spark, root)
+    val statted = stattedVersions(spark, root)
+    require(statted.nonEmpty, s"no stats published at $root")
+    val base = statted.max
+    require(base <= latest, s"stats at v$base ahead of table head v$latest")
+
+    val current = Compaction.listFiles(spark, VersionedTable.vDir(root, latest))
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"))).toSeq
+    val currentSet = current.toSet
+    val prior = statsFor(spark, root, base)
+    val known = prior.select("part", "file_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+
+    val scanned = current.filterNot(known)
+    val carriedNames = current.filter(known)
+    val dropped = known.toSeq.filterNot(currentSet).sorted
+
+    if (base != latest) {
+      val carried = prior.join(
+        carriedNames.toDF("part", "file_id"), Seq("part", "file_id"), "left_semi")
+      // an evolution inside the span may have widened the schema: fresh
+      // scans run under the head's effective schema; carried rows keep the
+      // stats they were built with (their files predate the new columns, so
+      // those columns' stats would be null anyway) and align by name
+      val fresh = scanStats(spark, VersionedTable.vDir(root, latest),
+        scanned, cols, VersionedTable.effectiveSchema(spark, root, latest))
+      val merged =
+        if (carried.columns.sameElements(fresh.columns)) carried.union(fresh)
+        else fresh.columns.foldRight(carried) { (c, df) =>
+          if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+        }.select(fresh.columns.map(col).toSeq: _*).union(fresh)
+      publish(spark, root, latest, merged)
+    }
+    (carriedNames.map { case (p, n) => (p, n, "carried") }
+      ++ scanned.map { case (p, n) => (p, n, "scanned") }
+      ++ dropped.map { case (p, n) => (p, n, "dropped") })
+      .toDF("part", "file_id", "action")
+  }
+
+  /** The (part, file_id) names of `version` whose stats admit every box. */
+  def survivingNames(spark: SparkSession, root: String, version: Int,
+      boxes: Seq[Box]): Seq[(String, String)] =
+    statsFor(spark, root, version).filter(SkippingIndex.admitsAll(boxes))
+      .select("part", "file_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Manifest-style versioned read: only files whose published stats admit
+    * the boxes are opened, the exact box predicate re-applied on top, the
+    * whole thing under the version's effective schema (time travel and
+    * schema evolution both behave exactly like [[VersionedTable.read]]).
+    * Requires stats published for the version — refresh first. */
+  def prunedRead(spark: SparkSession, root: String, boxes: Seq[Box],
+      version: Option[Int] = None): DataFrame = {
+    require(boxes.nonEmpty, "prunedRead needs at least one box")
+    val v = version.getOrElse(VersionedTable.latestVersion(spark, root))
+    val idxCols = indexedColumns(spark, root).getOrElse(
+      throw new IllegalStateException(s"stats never enabled at $root"))
+    val outside = boxes.map(_.column).filterNot(idxCols.contains)
+    require(outside.isEmpty, s"columns not indexed: ${outside.mkString(", ")}")
+    val exact = boxes.map(b => col(b.column) >= lit(b.lo) && col(b.column) <= lit(b.hi))
+      .reduce(_ && _)
+    val names = survivingNames(spark, root, v, boxes)
+    val dir = VersionedTable.vDir(root, v)
+    if (names.isEmpty) VersionedTable.read(spark, root, Some(v)).filter(lit(false))
+    else {
+      val paths = names.map { case (p, n) =>
+        if (p == ".") s"$dir/$n" else s"$dir/$p/$n" }
+      VersionedTable.effectiveSchema(spark, root, v)
+        .map(spark.read.schema(_)).getOrElse(spark.read)
+        .option("basePath", dir).parquet(paths: _*)
+        .filter(exact)
+    }
+  }
+}

@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructType, StructField, StringType}
+
+import graft.SparkSpec
+import graft.sources.SkippingIndex.Box
+
+/** Versioned data-skipping stats: per-version stats tables maintained
+  * incrementally through the commit protocol (carried for byte-copied
+  * files, scanned only for new names), pruning soundness, crash-safe
+  * publication, and behavior across schema evolution. */
+class VersionedStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(prefix: String): String = {
+    val root = java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+    // 4 range-tight files on id: [1..25] [26..50] [51..75] [76..100]
+    val df = (1L to 100L).map(i => (i, s"p_$i", i % 7)).toDF("id", "payload", "grp")
+      .repartitionByRange(4, col("id"))
+    VersionedTable.create(spark, root, df)
+    root
+  }
+
+  test("enable builds per-file min/max; prunedRead opens only admitted files and matches the exact filter") {
+    val root = mkTable("graft_vs_")
+    assert(VersionedStats.enable(spark, root, Seq("id")) === 1)
+    val stats = VersionedStats.statsFor(spark, root, 1)
+      .select("id_min", "id_max", "n_rows")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(stats.length === 4 && stats.map(_._3).sum === 100L)
+    // files tile the range without overlap
+    assert(stats.sliding(2).forall { case Array(a, b) => a._2 < b._1; case _ => true })
+    // a box inside one file's range admits exactly that file
+    val survivors = VersionedStats.survivingNames(spark, root, 1, Seq(Box("id", 30L, 40L)))
+    assert(survivors.size === 1)
+    val pruned = VersionedStats.prunedRead(spark, root, Seq(Box("id", 30L, 40L)))
+    assert(pruned.select("id").as[Long].collect().toSet === (30L to 40L).toSet)
+    // a box admitting nothing returns an empty frame with the table schema
+    val empty = VersionedStats.prunedRead(spark, root, Seq(Box("id", 1000L, 2000L)))
+    assert(empty.count() === 0 && empty.columns.toSet === Set("id", "payload", "grp"))
+  }
+
+  test("refresh carries stats for surviving names without rescanning (sentinel survives), scans only new names, drops vanished ones") {
+    val root = mkTable("graft_vs_inc_")
+    VersionedStats.enable(spark, root, Seq("id"))
+    def names(v: Int) = Compaction.listFiles(spark, VersionedTable.vDir(root, v))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a delete confined to the first file's range rewrites exactly one file
+    assert(VersionedTable.deleteWhere(spark, root, col("id") <= 10L) === 2)
+    val (v1, v2) = (names(1), names(2))
+    val carriedExp = v1.intersect(v2)
+    assert(carriedExp.size === 3 && (v2 -- v1).size === 1)
+    // sentinel: tamper the prior stats of one carried file (n_rows is not
+    // used for pruning); if refresh rescans instead of carrying, the
+    // sentinel is lost
+    val tampered = carriedExp.head
+    val prior = VersionedStats.statsFor(spark, root, 1).collect().toSeq
+    val schema = VersionedStats.statsFor(spark, root, 1).schema
+    val poked = prior.map { r =>
+      if ((r.getString(0), r.getString(1)) == tampered)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq.updated(
+          schema.fieldIndex("n_rows"), 999999L))
+      else r
+    }
+    import scala.jdk.CollectionConverters._
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sdir = new org.apache.hadoop.fs.Path(VersionedStats.statsDir(root, 1))
+    fs.delete(sdir, true)
+    spark.createDataFrame(poked.asJava, schema).coalesce(1).write.parquet(sdir.toString)
+
+    val dec = VersionedStats.refresh(spark, root)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getString(2))).toMap
+    assert(dec.filter(_._2 == "carried").keySet === carriedExp)
+    assert(dec.filter(_._2 == "scanned").keySet === (v2 -- v1))
+    assert(dec.filter(_._2 == "dropped").keySet === (v1 -- v2))
+    val s2 = VersionedStats.statsFor(spark, root, 2)
+    assert(s2.filter(col("n_rows") === 999999L).count() === 1)
+    // the freshly scanned file's stats reflect the delete
+    assert(s2.agg(min("id_min")).as[Long].head() === 11L)
+    // pruning over the new version still matches the exact filter
+    val pruned = VersionedStats.prunedRead(spark, root, Seq(Box("id", 1L, 30L)))
+    assert(pruned.select("id").as[Long].collect().toSet === (11L to 30L).toSet)
+    // a second refresh on a current table is a no-op: nothing scanned
+    val dec2 = VersionedStats.refresh(spark, root)
+    assert(dec2.filter(col("action") =!= "carried").count() === 0)
+  }
+
+  test("null stats keep the file; multi-box conjunction prunes on every box") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vs_null_").toString + "/t"
+    val withVal = (1L to 20L).map(i => (i, Some(i * 10L))).toDF("id", "v")
+      .repartitionByRange(2, col("id"))
+    val allNull = Seq((100L, None: Option[Long]), (101L, None)).toDF("id", "v")
+      .coalesce(1)
+    // union concatenates partitions: 2 range-tight valued files + 1 all-null file
+    VersionedTable.create(spark, root, withVal.unionByName(allNull))
+    VersionedStats.enable(spark, root, Seq("id", "v"))
+    // the all-null-v file has null v stats and must survive any v box
+    val survivors = VersionedStats.survivingNames(spark, root, 1,
+      Seq(Box("v", 5000L, 6000L)))
+    val s = VersionedStats.statsFor(spark, root, 1)
+    assert(s.filter(col("v_min").isNull).count() === 1)
+    assert(survivors.size === 1) // only the null-stats file survives
+    // conjunction: id box admits one file, v box admits another → intersection empty
+    assert(VersionedStats.prunedRead(spark, root,
+      Seq(Box("id", 1L, 5L), Box("v", 150L, 190L))).count() === 0)
+    // consistent boxes return the exact rows
+    assert(VersionedStats.prunedRead(spark, root,
+      Seq(Box("id", 1L, 5L), Box("v", 10L, 50L)))
+      .select("id").as[Long].collect().toSet === (1L to 5L).toSet)
+  }
+
+  test("partition-column stats subsume partition pruning") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vs_part_").toString + "/t"
+    val df = (1L to 60L).map(i => (i, i % 3)).toDF("id", "bucket")
+    VersionedTable.create(spark, root, df, Seq("bucket"))
+    VersionedStats.enable(spark, root, Seq("bucket", "id"))
+    val survivors = VersionedStats.survivingNames(spark, root, 1,
+      Seq(Box("bucket", 1L, 1L)))
+    assert(survivors.nonEmpty && survivors.forall(_._1 == "bucket=1"))
+    assert(VersionedStats.prunedRead(spark, root, Seq(Box("bucket", 1L, 1L)))
+      .select("id").as[Long].collect().toSet === (1L to 60L).filter(_ % 3 == 1).toSet)
+  }
+
+  test("crash-safe publication: a tmp orphan is swept, an already-published replay is a no-op") {
+    val root = mkTable("graft_vs_crash_")
+    VersionedStats.enable(spark, root, Seq("id"))
+    VersionedTable.deleteWhere(spark, root, col("id") > 90L)
+    // plant a crashed half-written tmp for v2
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_stats/.tmp_v00002")
+    fs.mkdirs(tmp)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(tmp, "part-junk.parquet"), true)
+    junk.write(Array[Byte](1, 2, 3)); junk.close()
+    VersionedStats.refresh(spark, root)
+    assert(!fs.exists(tmp))
+    assert(VersionedStats.statsFor(spark, root, 2)
+      .agg(sum("n_rows")).as[Long].head() === 90L)
+    // replay: refresh again must not disturb the published table
+    VersionedStats.refresh(spark, root)
+    assert(VersionedStats.stattedVersions(spark, root) === Seq(1, 2))
+  }
+
+  test("schema evolution: fresh scans run under the evolved schema, carried rows align, evolved-column stats are null for old files") {
+    val root = mkTable("graft_vs_evo_")
+    VersionedStats.enable(spark, root, Seq("id"))
+    VersionedTable.evolve(spark, root,
+      StructType(Seq(StructField("tag", StringType))))
+    // backfill touches the first file only → one fresh scan under evolved schema
+    VersionedTable.updateWhere(spark, root, col("id") <= 10L,
+      Map("tag" -> lit("early")))
+    val dec = VersionedStats.refresh(spark, root)
+    assert(dec.filter(col("action") === "scanned").count() === 1)
+    val pruned = VersionedStats.prunedRead(spark, root, Seq(Box("id", 5L, 12L)))
+    assert(pruned.columns.contains("tag"))
+    assert(pruned.filter(col("tag") === "early").count() === 6) // ids 5..10
+    assert(pruned.filter(col("tag").isNull).count() === 2)      // ids 11..12
+    // guards
+    intercept[IllegalArgumentException] {
+      VersionedStats.prunedRead(spark, root, Seq(Box("payload", "a", "b")))
+    }
+    intercept[IllegalStateException] {
+      VersionedStats.refresh(spark, java.nio.file.Files
+        .createTempDirectory("graft_vs_none_").toString)
+    }
+  }
+}
