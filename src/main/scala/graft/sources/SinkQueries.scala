@@ -359,6 +359,39 @@ object SinkQueries extends QueryRegistry {
         col("category"), col("tier"))
   }
 
+  /** Optimistic multi-writer concurrency (r13): two writers race the same
+    * table — writer A (a price repair) reads the head, and WHILE A is still
+    * mutating, writer B commits a delete; A's commit rename loses the race,
+    * so A re-runs its mutation against B's head and commits on the retry.
+    * The fn REQUIRES the interleave actually happened (B got v2, A got v3 —
+    * i.e. A detected the conflict and retried rather than clobbering or
+    * losing B's commit), and the oracle spells BOTH effects composed in
+    * order (the delete applied, then the repair over the survivors) — a
+    * lost update on either side hash-mismatches. */
+  private def versionedConcurrent(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_vtcc_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(s, root, p.repartition(4))
+    var bVersion = 0
+    val aVersion = VersionedTable.transact(s, root) { (_, cur, stage) =>
+      if (bVersion == 0)
+        bVersion = VersionedTable.transact(s, root) { (_, bCur, bStage) =>
+          Dml.deleteWhere(s, bCur, bStage, code % 13 === 0)
+        }
+      Dml.updateWhere(s, cur, stage, code % 10 === 7,
+        Map("unitprice" -> (col("unitprice") * 2)))
+    }
+    require(bVersion == 2, s"writer B must land v2 (got v$bVersion)")
+    require(aVersion == 3,
+      s"writer A must lose the race and commit v3 on retry (got v$aVersion)")
+    require(VersionedTable.latestVersion(s, root) == 3, "head must be v3")
+    VersionedTable.read(s, root)
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("category"))
+  }
+
   /** Versioned data-skipping stats end to end (r13): the product dim
     * committed as 8 range-tight files on the numeric stockcode, stats
     * enabled at v1, a file-selective price repair committed at v2, and the
@@ -561,6 +594,15 @@ object SinkQueries extends QueryRegistry {
       SELECT CAST(CAST(stockcode AS BIGINT) + 200000 AS VARCHAR) AS stockcode,
              CAST(unitprice AS DOUBLE) AS unitprice, category, 'new' AS tier
       FROM dim_product WHERE CAST(stockcode AS BIGINT) % 10 = 0"""))),
+
+    QueryDef("sink_versioned_concurrent", versionedConcurrent,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode,
+             CAST(CASE WHEN CAST(stockcode AS BIGINT) % 10 = 7
+                       THEN unitprice * 2 ELSE unitprice END AS DOUBLE) AS unitprice,
+             category
+      FROM dim_product
+      WHERE CAST(stockcode AS BIGINT) % 13 <> 0"""))),
 
     QueryDef("sink_versioned_stats_prune", versionedStatsPrune,
       Some(graft.oracle.OracleSql.q("""

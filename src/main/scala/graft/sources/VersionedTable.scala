@@ -30,7 +30,7 @@ object VersionedTable {
 
   private[sources] def vDir(root: String, v: Int) = f"$root/v$v%05d"
 
-  private def readLatest(fs: org.apache.hadoop.fs.FileSystem, rootP: Path): Option[Int] = {
+  private def readLatestRaw(fs: org.apache.hadoop.fs.FileSystem, rootP: Path): Option[Int] = {
     val c = new Path(rootP, "_latest")
     val tmp = new Path(rootP, "_latest.tmp")
     if (!fs.exists(c) && fs.exists(tmp)) fs.rename(tmp, c) // roll the swap forward
@@ -42,6 +42,20 @@ object VersionedTable {
     }
   }
 
+  /** The committed head: the `_latest` value ROLLED FORWARD through any
+    * txn-marked versions above it. A [[transact]] commit is made durable by
+    * the atomic stage→vN rename (the marker inside proves completeness);
+    * the `_latest` swap after it is only a cache, so a crash between the
+    * two must not lose the commit — readers probe forward instead. A
+    * direct-written orphan (crashed single-writer commit, no marker) stays
+    * invisible, exactly as before. */
+  private def readLatest(fs: org.apache.hadoop.fs.FileSystem, rootP: Path): Option[Int] =
+    readLatestRaw(fs, rootP).map { v0 =>
+      var v = v0
+      while (fs.exists(new Path(new Path(rootP, f"v${v + 1}%05d"), "_txn"))) v += 1
+      v
+    }
+
   private def commit(fs: org.apache.hadoop.fs.FileSystem, rootP: Path, v: Int): Unit = {
     val c = new Path(rootP, "_latest")
     val tmp = new Path(rootP, "_latest.tmp")
@@ -49,6 +63,92 @@ object VersionedTable {
     try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
     if (fs.exists(c)) fs.delete(c, false)
     fs.rename(tmp, c)
+  }
+
+  /** Forward-only `_latest` swap: never regress the published head (a
+    * delayed writer's swap racing a faster writer's). With pure-[[transact]]
+    * concurrency any momentary regression is healed by the marker
+    * roll-forward in [[readLatest]]; this guard closes the common case
+    * outright. */
+  private def commitForward(fs: org.apache.hadoop.fs.FileSystem, rootP: Path,
+      v: Int): Unit =
+    if (!readLatestRaw(fs, rootP).exists(_ >= v)) commit(fs, rootP, v)
+
+  private def txnMarker(dir: String) = new Path(dir, "_txn")
+
+  /** Atomic no-overwrite rename — the transact claim primitive. The
+    * FileSystem API's rename is NOT usable here: on an existing destination
+    * directory it moves the source INSIDE it (observed locally) instead of
+    * failing. FileContext.rename with Rename.NONE has the required
+    * contract: it throws FileAlreadyExistsException when the destination
+    * exists (atomically on HDFS; local filesystems approximate with a
+    * check-then-rename whose window the single-host tests never hit). */
+  private def renameNoOverwrite(conf: org.apache.hadoop.conf.Configuration,
+      src: Path, dst: Path): Boolean = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+    try { fc.rename(fc.makeQualified(src), fc.makeQualified(dst)); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException
+        if e.getMessage != null && e.getMessage.contains("already exists") => false
+    }
+  }
+
+  /** One OPTIMISTIC TRANSACTION against the table — the multi-writer commit
+    * path (the single-writer DML verbs above stay the uncoordinated fast
+    * path; mixing live direct writers with transact writers is out of
+    * contract). Protocol, per attempt:
+    *
+    *  1. read the head version B (no lock);
+    *  2. `mutate(B, vDir(B), stage)` builds the COMPLETE next snapshot in a
+    *     writer-private staging dir (typically via the file-selective
+    *     [[Dml]] ops, reading snapshot B);
+    *  3. stamp a `_txn` marker inside the stage, then atomically RENAME
+    *     stage → v(B+1). The rename is the commit point and the only
+    *     coordination: it fails if another writer claimed v(B+1) first
+    *     (their rename landed a non-empty dir there), in which case this
+    *     writer lost the race — its snapshot is based on a stale head, so
+    *     it RE-RUNS `mutate` against the new head and tries again (the
+    *     semantic retry that makes lost updates impossible, not just
+    *     detectable).
+    *
+    * Data work never holds a lock, so non-conflicting writers pay nothing;
+    * a conflicting writer pays one re-run of its own mutation. Crash
+    * anatomy: before the rename → a private `.txn_*` stage orphan, invisible
+    * to every reader and swept by [[vacuum]]; after the rename but before
+    * the `_latest` swap → the commit IS durable: the marker makes
+    * [[latestVersion]] roll forward to it (the swap is only a cache). A
+    * squatting NON-marked v(B+1) dir (a direct writer's crashed orphan) is
+    * cleared before the rename — readers never saw it. Throws
+    * `ConcurrentModificationException` after `maxRetries` lost races.
+    * Returns the committed version. */
+  def transact(spark: SparkSession, root: String, maxRetries: Int = 5)
+      (mutate: (Int, String, String) => Unit): Int = {
+    val (fs, rootP) = fsOf(spark, root)
+    val stage = new Path(s"$root/.txn_${java.util.UUID.randomUUID()}")
+    try {
+      var attempts = 0
+      while (attempts <= maxRetries) {
+        attempts += 1
+        val base = latestVersion(spark, root)
+        if (fs.exists(stage)) fs.delete(stage, true)
+        mutate(base, vDir(root, base), stage.toString)
+        require(fs.exists(stage), "mutate must write the staged snapshot")
+        val out = fs.create(txnMarker(stage.toString), true)
+        try out.write(s"$base\n".getBytes("UTF-8")) finally out.close()
+        val target = new Path(vDir(root, base + 1))
+        if (fs.exists(target) && !fs.exists(txnMarker(target.toString))
+            && latestVersion(spark, root) == base)
+          fs.delete(target, true) // crashed direct-commit orphan, never visible
+        if (renameNoOverwrite(spark.sessionState.newHadoopConf(), stage, target)) {
+          commitForward(fs, rootP, base + 1)
+          return base + 1
+        }
+        // lost the race to v(base+1): loop re-reads the head and re-mutates
+      }
+      throw new java.util.ConcurrentModificationException(
+        s"transaction on $root gave up after $maxRetries lost races")
+    } finally if (fs.exists(stage)) fs.delete(stage, true)
   }
 
   /** Prepare the next version's directory (clearing any crashed orphan
@@ -437,13 +537,20 @@ object VersionedTable {
   }
 
   /** Retire history: drop every version older than the newest `keep`
-    * (readers of dropped versions lose time travel, nothing else). */
+    * (readers of dropped versions lose time travel, nothing else), and
+    * sweep crashed [[transact]] stage orphans (`.txn_*` dirs a writer died
+    * holding — private, never visible to readers). Vacuum is the
+    * maintenance op: it runs with no live writers, so every stage present
+    * is dead. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 1): Seq[Int] = {
     require(keep >= 1, "must keep at least the latest version")
     val (fs, rootP) = fsOf(spark, root)
     val latest = latestVersion(spark, root)
     val dropped = (1 to latest - keep).filter(v => fs.exists(new Path(vDir(root, v))))
     dropped.foreach(v => fs.delete(new Path(vDir(root, v)), true))
+    fs.listStatus(rootP).map(_.getPath)
+      .filter(_.getName.startsWith(".txn_"))
+      .foreach(fs.delete(_, true))
     dropped
   }
 }

@@ -267,6 +267,87 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("transact: a lost race re-runs the mutation against the new head — both writers' effects land") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_txn_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 100L).map(i => (i, s"p_$i")).toDF("id", "payload"))
+    var bDone = false
+    var aAttempts = 0
+    val aV = VersionedTable.transact(spark, root) { (base, cur, stage) =>
+      aAttempts += 1
+      if (!bDone) { // writer B wins the race while A is still mutating
+        bDone = true
+        assert(VersionedTable.transact(spark, root) { (_, bCur, bStage) =>
+          Dml.deleteWhere(spark, bCur, bStage, col("id") > 90L)
+        } === 2)
+      }
+      Dml.updateWhere(spark, cur, stage, col("id") <= 10L,
+        Map("payload" -> lit("A")))
+    }
+    assert(aV === 3 && aAttempts === 2)
+    val fin = VersionedTable.read(spark, root)
+      .select("id", "payload").as[(Long, String)].collect().toMap
+    assert(fin.size === 90)                        // B's delete survived
+    assert((1L to 10L).forall(fin(_) == "A"))      // A's update re-applied
+    assert(fin(50L) === "p_50")
+  }
+
+  test("transact: crash after the rename rolls forward; crashed stage orphans are invisible and vacuumed; a squatting direct orphan is cleared") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_txn2_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 10L).map(i => (i, s"p_$i")).toDF("id", "payload"))
+    assert(VersionedTable.transact(spark, root) { (_, cur, stage) =>
+      Dml.deleteWhere(spark, cur, stage, col("id") > 8L)
+    } === 2)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a crash between the rename and the _latest swap
+    val latest = new org.apache.hadoop.fs.Path(root, "_latest")
+    val out = fs.create(latest, true); out.write("1\n".getBytes); out.close()
+    assert(VersionedTable.latestVersion(spark, root) === 2) // rolled forward
+    assert(VersionedTable.read(spark, root).count() === 8)
+    // a crashed stage orphan is invisible to readers and swept by vacuum
+    val dead = new org.apache.hadoop.fs.Path(root, ".txn_dead")
+    fs.mkdirs(dead)
+    assert(VersionedTable.read(spark, root).count() === 8)
+    // a squatting NON-txn v3 dir (crashed direct commit) is cleared by transact
+    val squat = new org.apache.hadoop.fs.Path(root, "v00003")
+    fs.mkdirs(squat)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(squat, "junk"), true)
+    junk.write(Array[Byte](9)); junk.close()
+    assert(VersionedTable.transact(spark, root) { (_, cur, stage) =>
+      Dml.deleteWhere(spark, cur, stage, col("id") > 7L)
+    } === 3)
+    assert(VersionedTable.read(spark, root).count() === 7)
+    VersionedTable.vacuum(spark, root, keep = 3)
+    assert(!fs.exists(dead))
+    // direct single-writer ops compose on top of the transact head
+    assert(VersionedTable.deleteWhere(spark, root, col("id") > 6L) === 4)
+    assert(VersionedTable.read(spark, root).count() === 6)
+  }
+
+  test("transact gives up with ConcurrentModificationException after maxRetries lost races") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_txn3_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 10L).map(i => (i, s"p_$i")).toDF("id", "payload"))
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.transact(spark, root, maxRetries = 1) { (_, cur, stage) =>
+        // a competitor lands a commit on every attempt
+        VersionedTable.transact(spark, root) { (_, c2, s2) =>
+          Dml.deleteWhere(spark, c2, s2, lit(false))
+        }
+        Dml.updateWhere(spark, cur, stage, col("id") === 1L,
+          Map("payload" -> lit("x")))
+      }
+    }
+    // the loser's stage is cleaned up; the winners' commits stand
+    assert(VersionedTable.latestVersion(spark, root) === 3)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .forall(!_.getPath.getName.startsWith(".txn_")))
+  }
+
   test("vacuum retires old versions and keeps time travel to the rest") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_v_").toString + "/t"
     VersionedTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "payload"))
