@@ -351,6 +351,76 @@ class MultimodalSpec extends SparkSpec {
     assert(out.values.exists(_.isEmpty))
   }
 
+  /** Hand-assembled Y4M stream. */
+  private def y4m(header: String, frames: Seq[(String, Seq[Int])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((header + "\n").getBytes("US-ASCII"))
+    frames.foreach { case (marker, planes) =>
+      out.write((marker + "\n").getBytes("US-ASCII"))
+      planes.foreach(out.write)
+    }
+    out.toByteArray
+  }
+
+  test("parseY4m decodes a hand-computed two-frame 4:2:0 clip exactly, with a scene cut") {
+    // 2x2 luma + 1x1 chroma planes; frame order Y,U,V
+    val clip = y4m("YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420jpeg", Seq(
+      ("FRAME", Seq(10, 10, 10, 10, 100, 200)),
+      ("FRAME", Seq(200, 200, 200, 200, 110, 210))))
+    val f = MultimodalOps.parseY4m(7L, clip)
+    assert(f === MultimodalOps.Y4mFeatures(7L, 2, 2, 25, 1, 2, "420jpeg",
+      105.0, Some(105.0), Some(205.0), 1, 2))
+  }
+
+  test("parseY4m: mono layout, NTSC ratio, order-free tags, FRAME params, sub-threshold diffs") {
+    // tags reordered + unknown Xtag; mono → no chroma planes
+    val clip = y4m("YUV4MPEG2 F30000:1001 Xgraft H1 W4 Cmono Ip", Seq(
+      ("FRAME Xscene=0", Seq(10, 10, 10, 10)),
+      ("FRAME", Seq(25, 25, 25, 25)),   // +15 < 16 → no cut
+      ("FRAME", Seq(41, 41, 41, 41)))) // +16 → cut
+    val f = MultimodalOps.parseY4m(1L, clip)
+    assert(f.width === 4 && f.height === 1 && f.fps_num === 30000 && f.fps_den === 1001)
+    assert(f.chroma === "mono" && f.mean_u.isEmpty && f.mean_v.isEmpty)
+    assert(f.mean_luma === (10.0 + 25.0 + 41.0) / 3)
+    assert(f.n_cuts === 1 && f.n_keyframes === 2)
+  }
+
+  test("parseY4m rejects bad magic, unsupported chroma, odd 4:2:0 dims, truncation, and trailing garbage") {
+    intercept[IllegalArgumentException] {
+      MultimodalOps.parseY4m(1L, y4m("YUV4MPEG W2 H2 F25:1", Nil))
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.parseY4m(1L, y4m("YUV4MPEG2 W2 H2 F25:1 C422", Nil))
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.parseY4m(1L, y4m("YUV4MPEG2 W3 H2 F25:1 C420jpeg", Nil))
+    }
+    intercept[IllegalArgumentException] { // frame cut short
+      MultimodalOps.parseY4m(1L, y4m("YUV4MPEG2 W2 H2 F25:1 C420jpeg",
+        Seq(("FRAME", Seq(1, 2, 3)))))
+    }
+    intercept[IllegalArgumentException] { // missing W
+      MultimodalOps.parseY4m(1L, y4m("YUV4MPEG2 H2 F25:1", Nil))
+    }
+    intercept[IllegalArgumentException] { // garbage after the last frame
+      val ok = y4m("YUV4MPEG2 W2 H2 F25:1 Cmono", Seq(("FRAME", Seq(1, 2, 3, 4))))
+      MultimodalOps.parseY4m(1L, ok ++ Array[Byte](9, 9))
+    }
+  }
+
+  test("y4m decode is partition-local and fixture clips hit their analytic features") {
+    val plan = MultimodalOps.decodeY4m(MultimodalOps.y4mFixture(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    val f = MultimodalOps.decodeY4m(MultimodalOps.y4mFixture(spark, sfDir))
+      .filter(col("doc_id") === 6L).head() // mono (6%3=0), 25fps, nf=8, sl=5
+    assert(f.chroma === "mono" && f.n_frames === 8 && f.fps_num === 25)
+    // scene plan: c_f = 16 + (6 + (f/5)*41) % 224 → scenes at f=0 and f=5
+    val c = (0 until 8).map(fr => 16 + ((6 + (fr / 5) * 41) % 224))
+    assert(f.mean_luma === c.sum.toDouble / 8)
+    assert(f.n_cuts === 1 && f.n_keyframes === 2)
+  }
+
   test("metadata struct carries mime, byte length, and content prefix") {
     val m = MultimodalOps.mediaTable(spark, sfDir)
       .select("meta.mime", "meta.n_bytes", "meta.prefix_hex").head()
