@@ -481,6 +481,11 @@ object Bench {
       time("multimodal_jpeg_decode")(
         graft.llm.MultimodalOps.decodeJpeg(
           graft.llm.MultimodalOps.jpegFixture(spark, sfDir)).toDF())
+      // r13-late: the video container — full Y4M header/frame/plane walk
+      // with scene-cut detection per rep, partition-local
+      time("multimodal_y4m_decode")(
+        graft.llm.MultimodalOps.decodeY4m(
+          graft.llm.MultimodalOps.y4mFixture(spark, sfDir)).toDF())
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))

@@ -33,22 +33,42 @@ object Dml {
       tableSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
     tableSchema.map(spark.read.schema(_)).getOrElse(spark.read).parquet(dir)
 
-  /** File-level reader: same null-fill contract, but partition columns live
-    * in directory names, never file bytes — the explicit schema handed to a
-    * by-path read must exclude them or they would materialize as data
-    * columns in the rewrite. */
-  private def readFiles(spark: SparkSession, paths: Seq[String],
-      tableSchema: Option[org.apache.spark.sql.types.StructType],
-      partCols: Set[String]): DataFrame =
-    tableSchema
-      .map(s => org.apache.spark.sql.types.StructType(
-        s.fields.filterNot(f => partCols(f.name))))
-      .map(spark.read.schema(_)).getOrElse(spark.read).parquet(paths: _*)
-
   /** Partition column names as the directory layout spells them. */
   private def partColsOf(files: Array[(String, String)]): Set[String] =
     files.map(_._1).filter(_ != ".")
       .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
+
+  /** The hit-file rewrite as ONE Spark job (r13): all affected files read
+    * together with `basePath` (partition values ride in from the directory
+    * names), `transform` applied, and the result written with dynamic
+    * `partitionBy` so every row lands back in the directory its partition
+    * values name. The earlier shape — one sequential job per affected
+    * partition directory — was a driver-side loop that at lakehouse scale
+    * (thousands of partitions touched by one DELETE) becomes thousands of
+    * sequential tiny jobs; this is the same work as one distributed write.
+    * Directory-name spelling is canonicalized for rewritten partitions
+    * (identical to what any Spark/table-format writer produces — values,
+    * escaping and the NULL partition round-trip exactly; only non-canonical
+    * spellings like a zero-padded numeral are normalized, which the
+    * root-level reads already did when inferring the column). */
+  private def rewriteHits(spark: SparkSession, dir: String, outDir: String,
+      hit: Seq[(String, String)],
+      tableSchema: Option[org.apache.spark.sql.types.StructType])(
+      transform: DataFrame => DataFrame): Unit = {
+    if (hit.isEmpty) return
+    val paths = hit.map { case (p, n) =>
+      if (p == ".") s"$dir/$n" else s"$dir/$p/$n" }
+    val partCols = hit.map(_._1).find(_ != ".").toSeq
+      .flatMap(_.split("/").map(_.split("=", 2)(0)).toSeq)
+    // always read under the ROOT-level schema: partition-type inference over
+    // only the hit subset could disagree with the whole layout's (e.g. an
+    // all-numeric subset of a string-typed bucket column)
+    val schema = tableSchema.getOrElse(spark.read.parquet(dir).schema)
+    val src = spark.read.schema(schema)
+      .option("basePath", dir).parquet(paths: _*)
+    val w = transform(src).write.mode("append")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(outDir)
+  }
 
   /** Apply `DELETE WHERE pred` to the layout at `dir`, writing the
     * surviving layout to `outDir` (partition directory structure
@@ -83,17 +103,12 @@ object Dml {
 
     val files = Compaction.listFiles(spark, dir).collect()
       .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
-    val partCols = partColsOf(files)
     val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
 
-    // rewrite ONLY the affected files, per partition dir, keeping rows
-    // where the predicate is not TRUE (SQL DELETE semantics)
-    hit.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, fsOfPart) =>
-      readFiles(spark, fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq,
-          tableSchema, partCols)
-        .filter(!coalesce(pred, lit(false)))
-        .write.mode("append").parquet(outPart(part))
-    }
+    // rewrite ONLY the affected files — one job, keeping rows where the
+    // predicate is not TRUE (SQL DELETE semantics)
+    rewriteHits(spark, dir, outDir, hit.toSeq, tableSchema)(
+      _.filter(!coalesce(pred, lit(false))))
     // clean files carry no matching rows: byte-copy, no decode/re-encode
     clean.foreach { case (part, name) =>
       val src = new Path(inPath(part, name))
@@ -159,16 +174,13 @@ object Dml {
 
     val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
 
-    hit.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, fsOfPart) =>
-      val src = readFiles(spark, fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq,
-        tableSchema, partCols)
+    rewriteHits(spark, dir, outDir, hit.toSeq, tableSchema) { src =>
       src.select(src.schema.fields.map { f =>
         assignments.get(f.name)
           .map(a => when(coalesce(pred, lit(false)), a.cast(f.dataType))
             .otherwise(col(f.name)).as(f.name))
           .getOrElse(col(f.name))
       }.toSeq: _*)
-        .write.mode("append").parquet(outPart(part))
     }
     clean.foreach { case (part, name) =>
       val src = new Path(inPath(part, name))
@@ -237,30 +249,20 @@ object Dml {
 
     val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
 
-    hit.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, fsOfPart) =>
-      // the file-level read lacks the partition columns — re-inject them
-      // from the directory name so pred/assignments see the whole row
-      val raw = readFiles(spark, fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq,
-        tableSchema, partCols.toSet)
-      val src = part.split("/").foldLeft(raw) { (df, seg) =>
-        val Array(k, v) = seg.split("=", 2)
-        df.withColumn(k, hivePartLiteral(v).cast(schema(k).dataType))
-      }
-      // survivors stay in their directory, partition columns back out of
-      // the data bytes (the directory name carries them, as before)
-      src.filter(!coalesce(pred, lit(false)))
-        .drop(partCols: _*)
-        .write.mode("append").parquet(s"$outDir/$part")
-      // movers: every assignment sees the OLD values (one projection),
-      // casts pin each column's original type, the write routes rows to
-      // the directories their NEW partition values name
-      src.filter(coalesce(pred, lit(false)))
-        .select(schema.fields.map { f =>
-          assignments.get(f.name)
-            .map(_.cast(f.dataType).as(f.name))
-            .getOrElse(col(f.name))
-        }.toSeq: _*)
-        .write.mode("append").partitionBy(partCols: _*).parquet(outDir)
+    // one job: the basePath read rides partition values in from the
+    // directory names (hive-unescaped, NULL marker honored), the
+    // conditional projection applies every assignment to movers only —
+    // each expression seeing the OLD row values, casts pinning each
+    // column's original type — and the dynamic partitionBy write routes
+    // every row to the directory its (old or new) partition values name
+    rewriteHits(spark, dir, outDir, hit.toSeq,
+        tableSchema.orElse(Some(schema))) { src =>
+      src.select(schema.fields.map { f =>
+        assignments.get(f.name)
+          .map(a => when(coalesce(pred, lit(false)), a.cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name))
+          .getOrElse(col(f.name))
+      }.toSeq: _*)
     }
     clean.foreach { case (part, name) =>
       val src = new Path(inPath(part, name))
@@ -273,21 +275,6 @@ object Dml {
       .toSeq.toDF("part", "file_id", "rewritten")
   }
 
-  /** A hive-escaped partition-directory value back to a literal: `%xx`
-    * escapes decoded (hive's escapePathName, NOT URL encoding — `+` is a
-    * literal plus), the default-partition marker back to NULL. */
-  private def hivePartLiteral(v: String): Column = {
-    if (v == "__HIVE_DEFAULT_PARTITION__") return lit(null)
-    val sb = new StringBuilder
-    var i = 0
-    while (i < v.length) {
-      if (v.charAt(i) == '%' && i + 3 <= v.length) {
-        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(v.charAt(i)); i += 1 }
-    }
-    lit(sb.toString)
-  }
 
   /** File-selective MERGE INTO (whole-row upsert): target rows whose key
     * matches an `updates` row are REPLACED by it, unmatched update rows
@@ -370,12 +357,8 @@ object Dml {
     val partCols = partColsOf(files)
     val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
 
-    hit.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, fsOfPart) =>
-      readFiles(spark, fsOfPart.map { case (p, n) => inPath(p, n) }.toSeq,
-          tableSchema, partCols)
-        .join(keySet, keys, "left_anti")
-        .write.mode("append").parquet(outPart(part))
-    }
+    rewriteHits(spark, dir, outDir, hit.toSeq, tableSchema)(
+      _.join(keySet, keys, "left_anti"))
     clean.foreach { case (part, name) =>
       val src = new Path(inPath(part, name))
       val dstDir = new Path(outPart(part))

@@ -275,7 +275,10 @@ object SinkQueries extends QueryRegistry {
     val p = Warehouse(s, dir).dimProduct
       .select(col("stockcode"), col("unitprice"), col("category"))
       .withColumn("pbucket", expr("CAST(stockcode AS BIGINT) div 500"))
-    VersionedTable.create(s, root, p, Seq("pbucket"))
+    // cluster by the partition key before the partitioned write: without it
+    // every shuffle partition crosses every bucket and the layout explodes
+    // into |tasks|×|buckets| tiny files — the first thing a real writer fixes
+    VersionedTable.create(s, root, p.repartition(col("pbucket")), Seq("pbucket"))
     require(VersionedTable.updateWhere(s, root, code % 6 === 0,
       Map("unitprice" -> (col("unitprice") + lit(BigDecimal("5.00"))))) == 2,
       "the update must commit as v2")
@@ -329,7 +332,10 @@ object SinkQueries extends QueryRegistry {
     val p = Warehouse(s, dir).dimProduct
       .select(col("stockcode"), col("unitprice"), col("category"))
       .withColumn("pbucket", expr("CAST(stockcode AS BIGINT) div 500"))
-    VersionedTable.create(s, root, p, Seq("pbucket"))
+    // cluster by the partition key before the partitioned write: without it
+    // every shuffle partition crosses every bucket and the layout explodes
+    // into |tasks|×|buckets| tiny files — the first thing a real writer fixes
+    VersionedTable.create(s, root, p.repartition(col("pbucket")), Seq("pbucket"))
     require(VersionedTable.evolve(s, root,
       StructType(Seq(StructField("tier", StringType, nullable = true)))) == 2,
       "evolution must commit as v2")
@@ -455,7 +461,10 @@ object SinkQueries extends QueryRegistry {
     val p = Warehouse(s, dir).dimProduct
       .select(col("stockcode"), col("unitprice"), col("category"))
       .withColumn("pbucket", expr("CAST(stockcode AS BIGINT) div 500"))
-    VersionedTable.create(s, root, p, Seq("pbucket"))
+    // cluster by the partition key before the partitioned write: without it
+    // every shuffle partition crosses every bucket and the layout explodes
+    // into |tasks|×|buckets| tiny files — the first thing a real writer fixes
+    VersionedTable.create(s, root, p.repartition(col("pbucket")), Seq("pbucket"))
     val tombstones = p.filter(code % 13 === 0).select("stockcode").distinct()
     require(VersionedTable.deleteKeys(s, root, tombstones, Seq("stockcode")) == 2,
       "purge must commit as v2")
@@ -504,7 +513,10 @@ object SinkQueries extends QueryRegistry {
     val p = Warehouse(s, dir).dimProduct
       .select(col("stockcode"), col("unitprice"), col("category"))
       .withColumn("pbucket", expr("CAST(stockcode AS BIGINT) div 500"))
-    VersionedTable.create(s, root, p, Seq("pbucket"))
+    // cluster by the partition key before the partitioned write: without it
+    // every shuffle partition crosses every bucket and the layout explodes
+    // into |tasks|×|buckets| tiny files — the first thing a real writer fixes
+    VersionedTable.create(s, root, p.repartition(col("pbucket")), Seq("pbucket"))
     VersionedTable.deleteWhere(s, root, code % 7 === 0)
     val updates = p.filter(code % 4 === 0 && code % 7 =!= 0)
       .withColumn("unitprice",
@@ -530,7 +542,10 @@ object SinkQueries extends QueryRegistry {
     val p = Warehouse(s, dir).dimProduct
       .select(col("stockcode"), col("unitprice"), col("category"))
       .withColumn("pbucket", expr("CAST(stockcode AS BIGINT) div 500"))
-    VersionedTable.create(s, root, p, Seq("pbucket"))
+    // cluster by the partition key before the partitioned write: without it
+    // every shuffle partition crosses every bucket and the layout explodes
+    // into |tasks|×|buckets| tiny files — the first thing a real writer fixes
+    VersionedTable.create(s, root, p.repartition(col("pbucket")), Seq("pbucket"))
     VersionedTable.deleteWhere(s, root, code % 7 === 0)
     val updates = p.filter(code % 4 === 0 && code % 7 =!= 0)
       .withColumn("unitprice",
