@@ -128,7 +128,9 @@ object Bench {
     "unpartitioned_year_sum" -> 0.14,
     // r13-new row: observed 0.22-0.34 across four runs (the tight decode
     // loops are JIT-position-sensitive); recorded at the median steady 0.25
-    "multimodal_jpeg_decode" -> 0.25)
+    "multimodal_jpeg_decode" -> 0.25,
+    // r13-late row: observed 0.11-0.15 across probe + clean bench runs
+    "multimodal_y4m_decode" -> 0.14)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds
