@@ -365,6 +365,60 @@ object SinkQueries extends QueryRegistry {
         col("category"), col("tier"))
   }
 
+  /** OPTIMIZE ZORDER BY through the versioned protocol, served by the
+    * stats index (r13): the product dim committed HASH-SCATTERED at v1
+    * (both query dimensions spread across every file — the layout a table
+    * accretes under random ingestion), stats enabled, then CLUSTERED on
+    * (code, price) as a committed v2. The fn REQUIRES the clustering to
+    * move bytes and never rows (empty v1→v2 CDC feed, disjoint file sets),
+    * the stats refresh to scan the all-new files, and — the point — a
+    * two-dimensional box to admit STRICTLY FEWER files at v2 than at v1
+    * while the pruned read stays row-for-row equal to the exact filter.
+    * The oracle spells the box contents, so a clustering that drops or
+    * duplicates a row, or a prune that skips a matching file, cannot
+    * pass. */
+  private def versionedZorderServe(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_vtzo_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+      .withColumn("code", code)
+      // a second query dimension DECORRELATED from the first (a full-period
+      // permutation mod a prime): the dim's own price is a pure function of
+      // the code, which would make any 2-D box degenerate
+      .withColumn("w", (code * 37) % 97)
+    VersionedTable.create(s, root, p.repartition(8))
+    require(VersionedStats.enable(s, root, Seq("code", "w")) == 1,
+      "stats must publish for v1")
+    val maxCode = p.agg(max("code")).head().getLong(0)
+    val boxes = Seq(
+      SkippingIndex.Box("code", maxCode / 4, maxCode / 2),
+      SkippingIndex.Box("w", 10L, 30L))
+    val before = VersionedStats.survivingNames(s, root, 1, boxes).size
+    require(VersionedTable.cluster(s, root, Seq("code", "w"),
+      bits = 6, numFiles = 8) == 2, "clustering must commit as v2")
+    require(VersionedTable.changes(s, root, 1, 2, Seq("stockcode")).isEmpty,
+      "clustering moves bytes, never rows")
+    def names(v: Int) = Compaction.listFiles(s, VersionedTable.vDir(root, v))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    require(names(1).intersect(names(2)).isEmpty,
+      "a re-clustering rewrites every file")
+    val dec = VersionedStats.refresh(s, root)
+    require(dec.filter(col("action") === "carried").isEmpty,
+      "nothing carries across a full rewrite")
+    val after = VersionedStats.survivingNames(s, root, 2, boxes).size
+    require(after < before && after < names(2).size,
+      s"the 2-D box must prune strictly better on the clustered layout " +
+        s"($after of ${names(2).size} vs $before of ${names(1).size})")
+    val pruned = VersionedStats.prunedRead(s, root, boxes)
+    val exact = VersionedTable.read(s, root).filter(
+      code.between(maxCode / 4, maxCode / 2) && col("w").between(10L, 30L))
+    require(pruned.exceptAll(exact).isEmpty && exact.exceptAll(pruned).isEmpty,
+      "pruned read must equal the exact filter")
+    pruned.select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+      col("category"))
+  }
+
   /** Optimistic multi-writer concurrency (r13): two writers race the same
     * table — writer A (a price repair) reads the head, and WHILE A is still
     * mutating, writer B commits a delete; A's commit rename loses the race,
@@ -609,6 +663,15 @@ object SinkQueries extends QueryRegistry {
       SELECT CAST(CAST(stockcode AS BIGINT) + 200000 AS VARCHAR) AS stockcode,
              CAST(unitprice AS DOUBLE) AS unitprice, category, 'new' AS tier
       FROM dim_product WHERE CAST(stockcode AS BIGINT) % 10 = 0"""))),
+
+    QueryDef("sink_versioned_zorder_serve", versionedZorderServe,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM dim_product
+      WHERE CAST(stockcode AS BIGINT)
+              BETWEEN (SELECT max(CAST(stockcode AS BIGINT)) // 4 FROM dim_product)
+                  AND (SELECT max(CAST(stockcode AS BIGINT)) // 2 FROM dim_product)
+        AND (CAST(stockcode AS BIGINT) * 37) % 97 BETWEEN 10 AND 30"""))),
 
     QueryDef("sink_versioned_concurrent", versionedConcurrent,
       Some(graft.oracle.OracleSql.q("""

@@ -399,6 +399,33 @@ object VersionedTable {
     next
   }
 
+  /** `OPTIMIZE ZORDER BY` as a committed snapshot (r13): the current
+    * snapshot rewritten through [[ZOrder.materializeZordered]] — every row
+    * survives (the [[changes]] feed across a clustering is EMPTY, like
+    * [[compact]]), but the physical layout re-clusters on the Morton key of
+    * `cols`, so every clustered column is locally narrow in every file and
+    * a multi-dimensional box prune ([[VersionedStats.prunedRead]] after a
+    * refresh — which scans everything here, honestly: re-clustering
+    * rewrites every file, exactly like a production OPTIMIZE) skips most of
+    * the table. Unpartitioned layouts only — production z-order clusters
+    * WITHIN a partition; a partitioned table's per-partition variant is the
+    * same call fanned out. Readers of older versions are untouched.
+    * Returns the committed version. */
+  def cluster(spark: SparkSession, root: String, cols: Seq[String],
+      bits: Int = 8, numFiles: Int = 32): Int = {
+    val latest = latestVersion(spark, root)
+    val parts = Compaction.listFiles(spark, vDir(root, latest)).collect()
+      .map(_.getAs[String]("part")).distinct
+    require(parts.sameElements(Array(".")),
+      s"cluster expects an unpartitioned layout, found dirs: ${parts.mkString(", ")}")
+    val (next, dir) = nextDir(spark, root)
+    ZOrder.materializeZordered(read(spark, root, Some(latest)), dir, cols,
+      bits, numFiles)
+    val (fs, rootP) = fsOf(spark, root)
+    commit(fs, rootP, next)
+    next
+  }
+
   private def batchMarker(dir: String) = new Path(dir, "_batch_id")
 
   private def readBatchId(fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[Long] = {

@@ -123,6 +123,36 @@ class VersionedStatsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet === (1L to 60L).filter(_ % 3 == 1).toSet)
   }
 
+  test("cluster (OPTIMIZE ZORDER) commits a row-identical snapshot whose 2-D pruning strictly improves") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vs_zo_").toString + "/t"
+    // v1 sorted on a ONLY: a narrow b box can't prune an a-ranged layout
+    // beyond what the (wide) a box already does
+    val df = (0L until 1024L).map(i => (i, (i * 37) % 97)).toDF("a", "b")
+      .repartitionByRange(16, col("a"))
+    VersionedTable.create(spark, root, df)
+    VersionedStats.enable(spark, root, Seq("a", "b"))
+    val boxes = Seq(Box("b", 10L, 30L))
+    val before = VersionedStats.survivingNames(spark, root, 1, boxes).size
+    assert(before === 16) // b is spread across every a-ranged file
+    assert(VersionedTable.cluster(spark, root, Seq("a", "b"),
+      bits = 6, numFiles = 16) === 2)
+    assert(VersionedTable.changes(spark, root, 1, 2, Seq("a")).isEmpty)
+    val dec = VersionedStats.refresh(spark, root)
+    assert(dec.filter(col("action") === "carried").count() === 0)
+    val after = VersionedStats.survivingNames(spark, root, 2, boxes).size
+    assert(after < before, s"$after !< $before")
+    val got = VersionedStats.prunedRead(spark, root, boxes)
+      .select("a").as[Long].collect().toSet
+    assert(got === (0L until 1024L).filter(i => { val b = (i * 37) % 97; b >= 10 && b <= 30 }).toSet)
+    // partitioned layouts are out of contract
+    val root2 = java.nio.file.Files.createTempDirectory("graft_vs_zo2_").toString + "/t"
+    VersionedTable.create(spark, root2,
+      (1L to 10L).map(i => (i, i % 2)).toDF("id", "p"), Seq("p"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.cluster(spark, root2, Seq("id", "p"))
+    }
+  }
+
   test("crash-safe publication: a tmp orphan is swept, an already-published replay is a no-op") {
     val root = mkTable("graft_vs_crash_")
     VersionedStats.enable(spark, root, Seq("id"))
