@@ -1,0 +1,214 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.sources.{Compaction, VersionedStats, VersionedTable}
+
+/** Automatic data skipping through the optimizer (r13) — the serving face
+  * of [[graft.sources.VersionedStats]] that needs NO API change: a plain
+  * `VersionedTable.read(root).filter(...)` (or any SQL over a view of it)
+  * gets its parquet scan swapped for one that lists ONLY the files whose
+  * registered stats admit the filter. This is the Catalyst-integrated shape
+  * of what `VersionedStats.prunedRead` does explicitly — the same move a
+  * production table format makes in its scan builder, expressed as a
+  * `Rule[LogicalPlan]` like its sibling [[MvRewrite]].
+  *
+  * Mechanics, all driver-side metadata (the rule never launches a job):
+  *  - [[register]] pins (snapshot directory → indexed columns + the
+  *    COLLECTED stats rows) for a table's current version — the same
+  *    driver-resident footprint every planner's file index already holds;
+  *  - the rule matches `Filter` over a scan of a registered snapshot,
+  *    extracts conservative per-column boxes from the filter's conjuncts
+  *    (`a >= lit` / `a > lit` / `a <= lit` / `a < lit` / `a = lit`, either
+  *    operand order, attribute and literal type-identical — anything else
+  *    contributes no box, which is always sound), admits files against the
+  *    stats with Catalyst's own comparison semantics (null stats admit),
+  *    and rebuilds the relation over the surviving paths, KEEPING the
+  *    original output exprIds so every operator above — including the
+  *    filter itself, which stays for exactness — binds unchanged;
+  *  - no boxes, nothing pruned, or any shape surprise → the plan is left
+  *    untouched.
+  *
+  * Session discipline matches [[MvRewrite]]: inert unless
+  * `spark.graft.statsPrune.enabled=true` AND the scan's location is
+  * registered; attach via `spark.experimental.extraOptimizations` (the
+  * [[servingScoped]] harness does both and restores the conf). Staleness is
+  * the caller's contract: registrations pin a VERSION's directory and
+  * stats — a new commit serves full scans until re-registered, never wrong
+  * answers (old-version reads keep pruning correctly, since their stats
+  * are theirs forever).
+  */
+object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
+
+  val EnabledKey = "spark.graft.statsPrune.enabled"
+
+  /** One registered snapshot: qualified directory URI, the read schema the
+    * snapshot serves under, indexed columns with their types, and the
+    * collected stats — per file (relative part/name), per indexed column,
+    * the (min, max) as EXTERNAL Scala values (null = null stats). */
+  final case class Registration(location: String, dir: String,
+      schema: StructType, colTypes: Map[String, DataType],
+      files: Seq[FileStats])
+  final case class FileStats(part: String, name: String,
+      minMax: Map[String, (Any, Any)])
+
+  private val registry =
+    new java.util.concurrent.CopyOnWriteArrayList[Registration]()
+
+  /** Register the CURRENT version of the versioned table at `root` for
+    * automatic pruning (stats must be published — enable/refresh first).
+    * Returns the number of files registered. */
+  def register(spark: SparkSession, root: String): Int = {
+    val v = VersionedTable.latestVersion(spark, root)
+    val cols = VersionedStats.indexedColumns(spark, root).getOrElse(
+      throw new IllegalStateException(s"stats never enabled at $root"))
+    val dir = VersionedTable.vDir(root, v)
+    val schema = VersionedTable.effectiveSchema(spark, root, v)
+      .getOrElse(spark.read.parquet(dir).schema)
+    val stats = VersionedStats.statsFor(spark, root, v)
+    val st = stats.schema
+    val colTypes = cols.map(c => c -> st(s"${c}_min").dataType).toMap
+    val rows = stats.collect().toSeq.map { r =>
+      FileStats(r.getAs[String]("part"), r.getAs[String]("file_id"),
+        cols.map(c => c -> ((r.getAs[Any](s"${c}_min"), r.getAs[Any](s"${c}_max")))).toMap)
+    }
+    registry.add(Registration(qualify(spark, dir), dir, schema, colTypes, rows))
+    rows.size
+  }
+
+  def clear(): Unit = registry.clear()
+
+  /** Run `body` with the rule attached + enabled, hand back an eagerly
+    * materialized copy, and restore the conf (the [[MvRewrite.servingScoped]]
+    * discipline — a gate must not leave the rule active for later queries). */
+  def servingScoped(spark: SparkSession)(body: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val prev = spark.conf.getOption(EnabledKey)
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+    spark.conf.set(EnabledKey, "true")
+    try {
+      val df = body
+      val rows = java.util.Arrays.asList(df.collect(): _*)
+      spark.createDataFrame(rows, df.schema)
+    } finally prev.fold(spark.conf.unset(EnabledKey))(spark.conf.set(EnabledKey, _))
+  }
+
+  private def qualify(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toUri.toString
+  }
+
+  private def enabled: Boolean =
+    conf.getConfString(EnabledKey, "false").equalsIgnoreCase("true")
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled || registry.isEmpty) plan
+    else plan.transform {
+      case f @ Filter(cond, child) =>
+        findScan(child).flatMap { lr =>
+          registry.asScala.find { r =>
+            lr.relation match {
+              case fs: HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.toString).contains(r.location) &&
+                  lr.schema == r.schema
+              case _ => false
+            }
+          }.flatMap(prune(f, cond, child, lr, _))
+        }.getOrElse(f)
+    }
+
+  /** The single parquet relation under plain projections, if any. */
+  private def findScan(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case lr: LogicalRelation => Some(lr)
+    case Project(projList, c) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      findScan(c)
+    case _ => None
+  }
+
+  /** Conservative per-column inclusive bounds from the filter's conjuncts.
+    * Strict comparisons relax to inclusive (a superset — sound); conjuncts
+    * in any other shape contribute nothing. Bounds keep the predicate's own
+    * Literal nodes, so admission compares with exactly Catalyst's
+    * semantics for the column's type. */
+  private def extractBoxes(cond: Expression,
+      colTypes: Map[String, DataType]): Map[String, (Option[Literal], Option[Literal])] = {
+    var lo = Map.empty[String, Literal]
+    var hi = Map.empty[String, Literal]
+    def indexed(a: AttributeReference, l: Literal): Boolean =
+      colTypes.get(a.name).contains(a.dataType) && l.dataType == a.dataType &&
+        l.value != null
+    def tighterLo(c: String, l: Literal): Unit =
+      if (!lo.get(c).exists(p => lteq(l.dataType, l, p))) lo += c -> l
+    def tighterHi(c: String, l: Literal): Unit =
+      if (!hi.get(c).exists(p => lteq(l.dataType, p, l))) hi += c -> l
+    splitConjunctivePredicates(cond).foreach {
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if indexed(a, l) => tighterLo(a.name, l)
+      case GreaterThan(a: AttributeReference, l: Literal) if indexed(a, l)        => tighterLo(a.name, l)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if indexed(a, l)    => tighterHi(a.name, l)
+      case LessThan(a: AttributeReference, l: Literal) if indexed(a, l)           => tighterHi(a.name, l)
+      case EqualTo(a: AttributeReference, l: Literal) if indexed(a, l) =>
+        tighterLo(a.name, l); tighterHi(a.name, l)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if indexed(a, l) => tighterHi(a.name, l)
+      case GreaterThan(l: Literal, a: AttributeReference) if indexed(a, l)        => tighterHi(a.name, l)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) if indexed(a, l)    => tighterLo(a.name, l)
+      case LessThan(l: Literal, a: AttributeReference) if indexed(a, l)           => tighterLo(a.name, l)
+      case EqualTo(l: Literal, a: AttributeReference) if indexed(a, l) =>
+        tighterLo(a.name, l); tighterHi(a.name, l)
+      case _ => // no box — sound
+    }
+    (lo.keySet ++ hi.keySet).map(c => c -> ((lo.get(c), hi.get(c)))).toMap
+  }
+
+  /** Catalyst-semantics `x <= y` over one literal pair (constant-fold
+    * evaluation — no job, no codegen). */
+  private def lteq(dt: DataType, x: Literal, y: Literal): Boolean =
+    LessThanOrEqual(x, y).eval(null).asInstanceOf[Boolean]
+
+  private def statLit(dt: DataType, external: Any): Literal =
+    Literal.create(external, dt) // converts the Row's external value
+
+  private def prune(f: Filter, cond: Expression, child: LogicalPlan,
+      lr: LogicalRelation, reg: Registration): Option[LogicalPlan] = {
+    val boxes = extractBoxes(cond, reg.colTypes)
+    if (boxes.isEmpty) return None
+    val surviving = reg.files.filter { fileRow =>
+      boxes.forall { case (c, (loB, hiB)) =>
+        val dt = reg.colTypes(c)
+        val (mn, mx) = fileRow.minMax(c)
+        mn == null || ( // null stats (all-null column) always admit
+          loB.forall(l => lteq(dt, l, statLit(dt, mx))) &&
+          hiB.forall(h => lteq(dt, statLit(dt, mn), h)))
+      }
+    }
+    if (surviving.size >= reg.files.size) return None // nothing pruned
+    val spark = SparkSession.active
+    val newScan: LogicalPlan =
+      if (surviving.isEmpty) LocalRelation(lr.output)
+      else {
+        val paths = surviving.map(fr =>
+          if (fr.part == ".") s"${reg.dir}/${fr.name}"
+          else s"${reg.dir}/${fr.part}/${fr.name}")
+        val fresh = spark.read.schema(reg.schema)
+          .option("basePath", reg.dir).parquet(paths: _*)
+          .queryExecution.analyzed.collectFirst { case l: LogicalRelation => l }
+        fresh match {
+          // keep the ORIGINAL exprIds: everything above binds unchanged
+          case Some(nl) if nl.schema == lr.schema => nl.copy(output = lr.output)
+          case _ => return None
+        }
+      }
+    val newChild = child.transformUp { case l: LogicalRelation if l eq lr => newScan }
+    Some(Filter(cond, newChild))
+  }
+}

@@ -365,6 +365,49 @@ object SinkQueries extends QueryRegistry {
         col("category"), col("tier"))
   }
 
+  /** AUTOMATIC stats pruning through the optimizer (r13): the same
+    * build → file-selective repair → incremental refresh scenario as
+    * [[versionedStatsPrune]], but the serving side needs NO special API —
+    * the snapshot is registered with [[graft.plans.StatsPrune]] and a PLAIN
+    * `read(...).filter(...)` gets its scan swapped for the admitted files
+    * by the optimizer rule. The fn REQUIRES the executed plan to list
+    * strictly fewer files than the snapshot holds (the rewrite actually
+    * fired at plan level), and the oracle — the same repaired-and-filtered
+    * state — proves the pruned scan lost nothing. */
+  private def versionedStatsAuto(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_vtsa_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+      .withColumn("code", code)
+    VersionedTable.create(s, root, p.repartitionByRange(8, col("code")))
+    require(VersionedStats.enable(s, root, Seq("code")) == 1,
+      "stats must publish for v1")
+    val maxCode = p.agg(max("code")).head().getLong(0)
+    val lo = maxCode / 10
+    require(VersionedTable.updateWhere(s, root, col("code") <= lo,
+      Map("unitprice" -> col("unitprice") * 2)) == 2, "repair must commit as v2")
+    VersionedStats.refresh(s, root)
+    val total = Compaction.listFiles(s, VersionedTable.vDir(root, 2)).count()
+    graft.plans.StatsPrune.register(s, root)
+    try graft.plans.StatsPrune.servingScoped(s) {
+      val q = VersionedTable.read(s, root)
+        .filter(col("code") >= 0L && col("code") <= 2 * lo)
+      val scanned = (q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case pl => pl
+      }).collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.relation.location.inputFiles.length
+      }
+      require(scanned.exists(_ < total),
+        s"the rule must prune the plain filtered read (scanned $scanned of $total)")
+      q.select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("category"))
+    } finally graft.plans.StatsPrune.clear()
+  }
+
   /** OPTIMIZE ZORDER BY through the versioned protocol, served by the
     * stats index (r13): the product dim committed HASH-SCATTERED at v1
     * (both query dimensions spread across every file — the layout a table
@@ -663,6 +706,17 @@ object SinkQueries extends QueryRegistry {
       SELECT CAST(CAST(stockcode AS BIGINT) + 200000 AS VARCHAR) AS stockcode,
              CAST(unitprice AS DOUBLE) AS unitprice, category, 'new' AS tier
       FROM dim_product WHERE CAST(stockcode AS BIGINT) % 10 = 0"""))),
+
+    QueryDef("sink_versioned_stats_auto", versionedStatsAuto,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode,
+             CAST(CASE WHEN CAST(stockcode AS BIGINT)
+                            <= (SELECT max(CAST(stockcode AS BIGINT)) // 10 FROM dim_product)
+                       THEN unitprice * 2 ELSE unitprice END AS DOUBLE) AS unitprice,
+             category
+      FROM dim_product
+      WHERE CAST(stockcode AS BIGINT)
+            <= (SELECT 2 * (max(CAST(stockcode AS BIGINT)) // 10) FROM dim_product)"""))),
 
     QueryDef("sink_versioned_zorder_serve", versionedZorderServe,
       Some(graft.oracle.OracleSql.q("""

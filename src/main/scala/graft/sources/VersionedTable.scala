@@ -28,7 +28,7 @@ object VersionedTable {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  private[sources] def vDir(root: String, v: Int) = f"$root/v$v%05d"
+  private[graft] def vDir(root: String, v: Int) = f"$root/v$v%05d"
 
   private def readLatestRaw(fs: org.apache.hadoop.fs.FileSystem, rootP: Path): Option[Int] = {
     val c = new Path(rootP, "_latest")

@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.SparkSpec
+import graft.sources.{VersionedStats, VersionedTable}
+
+/** The automatic data-skipping rule: plan-level file pruning for filtered
+  * reads of stats-registered versioned snapshots, with exactness, exprId
+  * preservation, soundness fallbacks, and scoped enablement. */
+class StatsPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scanFiles(df: org.apache.spark.sql.DataFrame): Option[Int] = {
+    // unwrap AQE: AdaptiveSparkPlanExec hides its subtree from collect
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collectFirst {
+      case s: FileSourceScanExec => s.relation.location.inputFiles.length
+    }
+  }
+
+  private def mkRegistered(prefix: String): String = {
+    val root = java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+    val df = (1L to 100L).map(i => (i, s"p_$i", (i * 37) % 97)).toDF("id", "payload", "w")
+      .repartitionByRange(4, col("id"))
+    VersionedTable.create(spark, root, df)
+    VersionedStats.enable(spark, root, Seq("id", "w"))
+    StatsPrune.register(spark, root)
+    root
+  }
+
+  test("a filtered read plans only admitted files; result equals the unpruned read; strict bounds relax soundly") {
+    val root = mkRegistered("graft_sp_")
+    try {
+      val expected = (30L to 40L).map(i => (i, s"p_$i")).toSet
+      val got = StatsPrune.servingScoped(spark) {
+        val q = VersionedTable.read(spark, root)
+          .filter(col("id") > 29L && col("id") < 41L) // strict → inclusive box
+          .select("id", "payload")
+        assert(scanFiles(q) === Some(1)) // 30..40 lives in the [26..50] file
+        q
+      }
+      assert(got.as[(Long, String)].collect().toSet === expected)
+      // conjunct on BOTH indexed columns: the w bound tightens admission
+      val got2 = StatsPrune.servingScoped(spark) {
+        VersionedTable.read(spark, root)
+          .filter(col("id") >= 30L && col("id") <= 40L && col("w") === 36L)
+          .select("id").orderBy("id")
+      }
+      assert(got2.as[Long].collect().toSeq ===
+        (30L to 40L).filter(i => (i * 37) % 97 == 36))
+    } finally StatsPrune.clear()
+  }
+
+  test("aggregates above the filter bind unchanged (exprIds preserved); empty box yields an empty plan with the right schema") {
+    val root = mkRegistered("graft_sp_agg_")
+    try {
+      val got = StatsPrune.servingScoped(spark) {
+        val q = VersionedTable.read(spark, root)
+          .filter(col("id") >= 26L && col("id") <= 50L)
+          .groupBy((col("id") % 2L).as("par")).agg(sum("id").as("s"))
+        assert(scanFiles(q) === Some(1)) // 26..50 is exactly the 2nd file
+        q
+      }
+      assert(got.select(sum("s")).as[Long].head() === (26L to 50L).sum)
+      val empty = StatsPrune.servingScoped(spark) {
+        val q = VersionedTable.read(spark, root).filter(col("id") > 1000L)
+        assert(scanFiles(q).isEmpty) // LocalRelation: no file scan at all
+        q
+      }
+      assert(empty.count() === 0 && empty.columns.toSet === Set("id", "payload", "w"))
+    } finally StatsPrune.clear()
+  }
+
+  test("sound fallbacks: unindexed/non-literal predicates, disabled flag, and unregistered tables scan everything") {
+    val root = mkRegistered("graft_sp_fb_")
+    try {
+      StatsPrune.servingScoped(spark) {
+        // payload is not indexed; id vs id is not a literal bound
+        val q1 = VersionedTable.read(spark, root).filter(col("payload") === "p_3")
+        assert(scanFiles(q1) === Some(4))
+        val q2 = VersionedTable.read(spark, root).filter(col("id") > col("w"))
+        assert(scanFiles(q2) === Some(4))
+        assert(q1.count() === 1)
+        q1
+      }
+      // flag off (restored by servingScoped): same filter prunes nothing
+      val q3 = VersionedTable.read(spark, root).filter(col("id") >= 26L && col("id") <= 50L)
+      assert(scanFiles(q3) === Some(4))
+      // a different, unregistered table is never touched
+      val other = java.nio.file.Files.createTempDirectory("graft_sp_o_").toString + "/t"
+      VersionedTable.create(spark, other, (1L to 10L).map(i => (i, i)).toDF("id", "w"))
+      StatsPrune.servingScoped(spark) {
+        val q = VersionedTable.read(spark, other).filter(col("id") <= 3L)
+        assert(scanFiles(q).exists(_ >= 1)) // untouched: its full file set
+        assert(q.count() === 3)
+        q
+      }
+    } finally StatsPrune.clear()
+  }
+}
