@@ -544,6 +544,35 @@ object SinkQueries extends QueryRegistry {
       col("category"))
   }
 
+  /** Zero-rewrite DROP COLUMN (r13) — the sibling lifecycle of
+    * [[versionedEvolve]]: category dropped from the product dim at v2 with
+    * the fn REQUIRING byte-identical file sets (an implementation that
+    * rewrote data to drop a column fails before any oracle sees it), an
+    * EMPTY v1→v2 feed, time travel below the drop still carrying the
+    * column, and DML continuing under the narrowed schema (a delete commits
+    * v3). The oracle spells the narrowed post-delete state. */
+  private def versionedDrop(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_vtdrop_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(s, root, p.repartition(4))
+    require(VersionedTable.dropColumns(s, root, Seq("category")) == 2,
+      "the drop must commit as v2")
+    def fileSet(v: Int) = Compaction.listFiles(s, VersionedTable.vDir(root, v))
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"),
+        r.getAs[Long]("bytes"))).toSet
+    require(fileSet(2) == fileSet(1), "a drop must not rewrite a single data file")
+    require(VersionedTable.changes(s, root, 1, 2, Seq("stockcode")).isEmpty,
+      "a drop must read as zero changes")
+    require(VersionedTable.read(s, root, Some(1)).columns.contains("category"),
+      "time travel below the drop must keep the column")
+    require(VersionedTable.deleteWhere(s, root, code % 7 === 0) == 3,
+      "DML under the narrowed schema must commit as v3")
+    VersionedTable.read(s, root)
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"))
+  }
+
   /** Versioned erasure purge (r12, VERDICT r11 #6): the product dim created
     * at v1, every 13th stockcode purged by TOMBSTONE LIST through
     * [[VersionedTable.deleteKeys]] (the erasure request as it actually
@@ -696,6 +725,12 @@ object SinkQueries extends QueryRegistry {
       Some(graft.oracle.OracleSql.q("""
       SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category
       FROM dim_product"""))),
+
+    QueryDef("sink_versioned_drop", versionedDrop,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice
+      FROM dim_product
+      WHERE CAST(stockcode AS BIGINT) % 7 <> 0"""))),
 
     QueryDef("sink_versioned_evolve", versionedEvolve,
       Some(graft.oracle.OracleSql.q("""

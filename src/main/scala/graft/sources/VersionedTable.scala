@@ -246,11 +246,75 @@ object VersionedTable {
       .getOrElse(read(spark, root, Some(latest)).schema)
     val clash = adds.fieldNames.toSet.intersect(current.fieldNames.toSet)
     require(clash.isEmpty, s"columns already exist: ${clash.mkString(", ")}")
+    val reAdd = adds.fieldNames.toSet.intersect(droppedColumns(spark, root))
+    require(reAdd.isEmpty,
+      s"cannot re-add dropped columns (name-based resolution would resurface " +
+        s"old bytes from never-rewritten files): ${reAdd.mkString(", ")}")
     val evolved = org.apache.spark.sql.types.StructType(current.fields ++ adds.fields)
     val (next, dir) = nextDir(spark, root)
     val (fs, rootP) = fsOf(spark, root)
     copySnapshot(spark, fs, vDir(root, latest), dir)
     writeSchemaEntry(fs, root, next, evolved)
+    commit(fs, rootP, next)
+    next
+  }
+
+  private def droppedLog(root: String) = new Path(s"$root/_schema", "dropped")
+
+  /** Column names ever dropped from this table (the re-add tombstone set). */
+  def droppedColumns(spark: SparkSession, root: String): Set[String] = {
+    val (fs, _) = fsOf(spark, root)
+    val p = droppedLog(root)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split("\n").map(_.trim).filter(_.nonEmpty).toSet
+    }
+  }
+
+  /** DROP COLUMNS as a committed snapshot — ZERO data rewrite, the sibling
+    * of [[evolve]]: the new version's data files are the old version's
+    * bytes, plus one schema-log entry WITHOUT the dropped columns; readers
+    * simply never project them (their bytes stay in the files — and in
+    * every retained older version, where time travel still sees them — the
+    * way every zero-rewrite DROP works; a later rewrite of a file sheds
+    * them physically). Partition columns cannot be dropped (the directory
+    * layout spells them). Dropped names are TOMBSTONED: re-adding one via
+    * [[evolve]] is rejected, because name-based column resolution would
+    * resurface the old bytes from never-rewritten files — production
+    * formats solve this with field IDs; rejecting reuse is the honest
+    * name-based contract. The [[changes]] feed across a drop is EMPTY
+    * (both snapshots diff under the narrowed schema). Returns the
+    * committed version. */
+  def dropColumns(spark: SparkSession, root: String, names: Seq[String]): Int = {
+    require(names.nonEmpty, "dropColumns needs at least one column")
+    val latest = latestVersion(spark, root)
+    val current = effectiveSchema(spark, root, latest)
+      .getOrElse(read(spark, root, Some(latest)).schema)
+    val missing = names.filterNot(current.fieldNames.contains)
+    require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
+    require(names.size < current.size, "cannot drop every column")
+    val partCols = Compaction.listFiles(spark, vDir(root, latest)).collect()
+      .map(_.getAs[String]("part")).filter(_ != ".")
+      .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
+    val partHit = names.filter(partCols)
+    require(partHit.isEmpty,
+      s"cannot drop partition columns: ${partHit.mkString(", ")}")
+    val narrowed = org.apache.spark.sql.types.StructType(
+      current.fields.filterNot(f => names.contains(f.name)))
+    val (next, dir) = nextDir(spark, root)
+    val (fs, rootP) = fsOf(spark, root)
+    copySnapshot(spark, fs, vDir(root, latest), dir)
+    writeSchemaEntry(fs, root, next, narrowed)
+    // tombstone BEFORE the commit: a crash between leaves extra tombstones
+    // for columns that still exist, which only ever REJECT a later re-add —
+    // never corrupt a read
+    val all = droppedColumns(spark, root) ++ names
+    val out = fs.create(droppedLog(root), true)
+    try out.write((all.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
     commit(fs, rootP, next)
     next
   }

@@ -267,6 +267,47 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("dropColumns: zero rewrite, empty feed, narrowed DML, tombstoned re-add, time travel keeps the column") {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_drop_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 20L).map(i => (i, s"p_$i", s"t_$i")).toDF("id", "payload", "tag"))
+    assert(VersionedTable.dropColumns(spark, root, Seq("tag")) === 2)
+    def files(v: Int) = Compaction.listFiles(spark, f"$root/v$v%05d").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(files(2) === files(1)) // zero rewrite
+    assert(VersionedTable.read(spark, root).columns.toSeq === Seq("id", "payload"))
+    assert(VersionedTable.read(spark, root, Some(1)).columns.contains("tag"))
+    assert(VersionedTable.changes(spark, root, 1, 2, Seq("id")).isEmpty)
+    // DML runs under the narrowed schema; assigning the dropped column fails
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, root, col("id") === 1L,
+        Map("tag" -> lit("x")))
+    }
+    assert(VersionedTable.deleteWhere(spark, root, col("id") > 18L) === 3)
+    assert(VersionedTable.read(spark, root).count() === 18)
+    // re-adding the dropped name is tombstoned; a fresh name still evolves
+    intercept[IllegalArgumentException] {
+      VersionedTable.evolve(spark, root,
+        StructType(Seq(StructField("tag", StringType))))
+    }
+    assert(VersionedTable.evolve(spark, root,
+      StructType(Seq(StructField("tag2", StringType)))) === 4)
+    // guards
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumns(spark, root, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumns(spark, root, Seq("id", "payload", "tag2"))
+    }
+    val part = java.nio.file.Files.createTempDirectory("graft_vt_drop2_").toString + "/t"
+    VersionedTable.create(spark, part,
+      (1L to 10L).map(i => (i, i % 2)).toDF("id", "b"), Seq("b"))
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumns(spark, part, Seq("b"))
+    }
+  }
+
   test("transact: a lost race re-runs the mutation against the new head — both writers' effects land") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_txn_").toString + "/t"
     VersionedTable.create(spark, root,
