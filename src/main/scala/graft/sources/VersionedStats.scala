@@ -193,6 +193,13 @@ object VersionedStats {
     val base = statted.max
     require(base <= latest, s"stats at v$base ahead of table head v$latest")
 
+    // an indexed column dropped by schema evolution invalidates the index:
+    // fail with the remedy instead of a downstream resolution error
+    val gone = VersionedTable.effectiveSchema(spark, root, latest)
+      .map(sch => cols.filterNot(sch.fieldNames.contains)).getOrElse(Nil)
+    require(gone.isEmpty,
+      s"indexed columns were dropped (${gone.mkString(", ")}); " +
+        "remove _stats and re-enable on current columns")
     val current = Compaction.listFiles(spark, VersionedTable.vDir(root, latest))
       .collect().map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"))).toSeq
     val currentSet = current.toSet

@@ -77,6 +77,21 @@ class StatsPruneSpec extends SparkSpec {
     } finally StatsPrune.clear()
   }
 
+  test("the rule fires through the SQL surface: a filtered view query plans only admitted files") {
+    val root = mkRegistered("graft_sp_sql_")
+    try {
+      val got = StatsPrune.servingScoped(spark) {
+        VersionedTable.read(spark, root).createOrReplaceTempView("sp_sql_t")
+        val q = spark.sql(
+          "SELECT id, payload FROM sp_sql_t WHERE id BETWEEN 30 AND 40")
+        assert(scanFiles(q) === Some(1))
+        q
+      }
+      assert(got.as[(Long, String)].collect().toSet ===
+        (30L to 40L).map(i => (i, s"p_$i")).toSet)
+    } finally StatsPrune.clear()
+  }
+
   test("sound fallbacks: unindexed/non-literal predicates, disabled flag, and unregistered tables scan everything") {
     val root = mkRegistered("graft_sp_fb_")
     try {

@@ -195,5 +195,9 @@ class VersionedStatsSpec extends SparkSpec {
       VersionedStats.refresh(spark, java.nio.file.Files
         .createTempDirectory("graft_vs_none_").toString)
     }
+    // dropping an INDEXED column invalidates the index with the remedy
+    VersionedTable.dropColumns(spark, root, Seq("id"))
+    val e = intercept[IllegalArgumentException] { VersionedStats.refresh(spark, root) }
+    assert(e.getMessage.contains("re-enable"))
   }
 }
