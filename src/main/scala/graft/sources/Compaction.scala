@@ -87,17 +87,35 @@ object Compaction extends QueryRegistry {
     def inPath(part: String, name: String) =
       if (part == ".") s"$dir/$name" else s"$dir/$part/$name"
     def outPart(part: String) = if (part == ".") outDir else s"$outDir/$part"
-    // under an explicit file-level schema (a schema-evolved table whose
-    // older files lack the added columns) a mixed-schema bin re-encodes
-    // with every file null-filled to the table's current shape
-    val reader = fileSchema.map(spark.read.schema(_)).getOrElse(spark.read)
-    rows.filter(_.getAs[Boolean]("compact"))
-      .groupBy(r => (r.getAs[String]("part"), r.getAs[Long]("bin")))
-      .toSeq.sortBy(_._1)
-      .foreach { case ((part, _), fs) =>
-        reader.parquet(fs.map(r => inPath(part, r.getAs[String]("file_id"))).toSeq: _*)
-          .coalesce(1).write.mode("append").parquet(outPart(part))
-      }
+    // Bin re-encodes run CONCURRENTLY per partition directory (r13): a
+    // sequential bin loop was the same driver-side scale bug as the Dml
+    // per-partition rewrite — thousands of bins = thousands of sequential
+    // tiny jobs. Concurrency is per PART dir, not per bin: two jobs
+    // committing into the same output directory would fight over the
+    // shared `_temporary` staging dir, while distinct directories give
+    // each committer its own; bins within one part stay sequential on
+    // their thread. Spark supports multi-threaded job submission.
+    val byPart = rows.filter(_.getAs[Boolean]("compact"))
+      .groupBy(_.getAs[String]("part")).toSeq.sortBy(_._1)
+    if (byPart.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, byPart.size))
+      try {
+        byPart.map { case (part, ofPart) =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              ofPart.groupBy(_.getAs[Long]("bin")).toSeq.sortBy(_._1).foreach {
+                case (_, binFiles) =>
+                  // fresh reader per task: DataFrameReader is mutable state
+                  fileSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+                    .parquet(binFiles.map(r =>
+                      inPath(part, r.getAs[String]("file_id"))).toSeq: _*)
+                    .coalesce(1).write.mode("append").parquet(outPart(part))
+              }
+          })
+        }.foreach(_.get()) // propagate the first failure
+      } finally pool.shutdown()
+    }
     val conf = spark.sessionState.newHadoopConf()
     val hfs = new Path(dir).getFileSystem(conf)
     rows.filterNot(_.getAs[Boolean]("compact")).foreach { r =>
