@@ -26,7 +26,10 @@ object R13LateProbe {
       "sink_versioned_evolve",      // zero-rewrite ADD COLUMNS + backfill + merge
       "sink_versioned_stats_prune", // stats enable + incremental refresh + prune
       "sink_versioned_concurrent",  // two racing writers, conflict + retry
-      "multimodal_y4m_features")    // full Y4M container decode
+      "multimodal_y4m_features",    // full Y4M container decode
+      "sink_versioned_stats_auto",  // optimizer-rule pruning end to end
+      "sink_versioned_drop",        // zero-rewrite DROP + post-drop DML
+      "sink_versioned_zorder_serve") // cluster commit + refresh + 2-D prune
     Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { sf =>
       println(s"== $sf")
       names.foreach { n =>
