@@ -165,6 +165,22 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
       case LessThan(l: Literal, a: AttributeReference) if indexed(a, l)           => tighterLo(a.name, l)
       case EqualTo(l: Literal, a: AttributeReference) if indexed(a, l) =>
         tighterLo(a.name, l); tighterHi(a.name, l)
+      case EqualNullSafe(a: AttributeReference, l: Literal) if indexed(a, l) =>
+        tighterLo(a.name, l); tighterHi(a.name, l)
+      case EqualNullSafe(l: Literal, a: AttributeReference) if indexed(a, l) =>
+        tighterLo(a.name, l); tighterHi(a.name, l)
+      // IN-list → the [min, max] envelope of its literals (conservative:
+      // a file overlapping the envelope but containing none of the values
+      // is admitted and cleared by the exactness filter)
+      case In(a: AttributeReference, list)
+          if colTypes.get(a.name).contains(a.dataType) && list.nonEmpty &&
+            list.forall {
+              case l: Literal => l.dataType == a.dataType && l.value != null
+              case _ => false
+            } =>
+        val ls = list.collect { case l: Literal => l }
+        tighterLo(a.name, ls.reduce((x, y) => if (lteq(a.dataType, x, y)) x else y))
+        tighterHi(a.name, ls.reduce((x, y) => if (lteq(a.dataType, x, y)) y else x))
       case _ => // no box — sound
     }
     (lo.keySet ++ hi.keySet).map(c => c -> ((lo.get(c), hi.get(c)))).toMap

@@ -54,6 +54,14 @@ class StatsPruneSpec extends SparkSpec {
       }
       assert(got2.as[Long].collect().toSeq ===
         (30L to 40L).filter(i => (i * 37) % 97 == 36))
+      // IN-list prunes via its [min, max] envelope
+      val got3 = StatsPrune.servingScoped(spark) {
+        val q = VersionedTable.read(spark, root)
+          .filter(col("id").isin(31L, 33L, 40L)).select("id")
+        assert(scanFiles(q) === Some(1)) // envelope [31, 40] ⊂ [26..50]
+        q
+      }
+      assert(got3.as[Long].collect().toSet === Set(31L, 33L, 40L))
     } finally StatsPrune.clear()
   }
 
