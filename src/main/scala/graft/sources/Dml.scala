@@ -305,6 +305,131 @@ object Dml {
     decisions
   }
 
+  /** One ordered `WHEN MATCHED` clause of [[mergeClauses]]. */
+  sealed trait MergeClause { def cond: Column }
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET …` — assignment expressions
+    * see the OLD target row by plain column name and the matching source
+    * row through [[Dml.src]]. */
+  final case class WhenMatchedUpdate(cond: Column, set: Map[String, Column])
+      extends MergeClause
+  /** `WHEN MATCHED [AND cond] THEN DELETE`. */
+  final case class WhenMatchedDelete(cond: Column) extends MergeClause
+
+  /** A source column inside a matched clause's condition or assignment
+    * (the `src.col` of SQL MERGE's aliased source). */
+  def src(name: String): Column = col(s"__src_$name")
+
+  /** Full conditional `MERGE INTO` (r13) — the SQL verb with ordered
+    * clauses, beyond the replace-by-key upsert of [[mergeInto]]:
+    * {{{
+    *   MERGE INTO target USING source ON keys
+    *   WHEN MATCHED [AND c1] THEN UPDATE SET … / DELETE   (ordered, first
+    *   WHEN MATCHED [AND c2] THEN …                        true clause wins)
+    *   WHEN NOT MATCHED [AND c] THEN INSERT
+    * }}}
+    * Semantics: a target row with a key match evaluates the matched
+    * clauses IN ORDER against (target row, source row) — the first clause
+    * whose condition holds applies (update projects its assignments, every
+    * expression seeing OLD values; delete drops the row); no true clause
+    * leaves the row untouched. Matched-clause conditions and update
+    * expressions reference target columns by name and source columns via
+    * [[src]]. A source row matching NO target key inserts when it passes
+    * `notMatchedInsert` (plain source column names; `None` ignores
+    * unmatched source rows). SQL's cardinality rule is enforced: a source
+    * with duplicate keys fails loudly (one target row must never match two
+    * source rows). NULL keys never match, as in SQL.
+    *
+    * Execution is the same file-selective copy-on-write as every verb
+    * here: one semi-join probe finds the files holding matched keys, only
+    * those pay decode → left-join(source) → clause fold → re-encode (ONE
+    * job), clean files byte-copy, inserts append partition-routed.
+    * Returns the `(part, file_id, rewritten)` decision frame. */
+  def mergeClauses(spark: SparkSession, dir: String, outDir: String,
+      source: DataFrame, keys: Seq[String], matched: Seq[MergeClause],
+      notMatchedInsert: Option[Column] = None,
+      partitionCols: Seq[String] = Nil,
+      tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    import spark.implicits._
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty, "an empty MERGE")
+    require(source.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).isEmpty,
+      "MERGE cardinality violation: source holds duplicate keys")
+    val schema = tableSchema.getOrElse(spark.read.parquet(dir).schema)
+    matched.collect { case u: WhenMatchedUpdate => u }.foreach { u =>
+      val unknown = u.set.keySet.filterNot(schema.fieldNames.contains)
+      require(unknown.isEmpty, s"UPDATE assigns unknown columns: ${unknown.mkString(", ")}")
+    }
+
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val rootAbs = fs.makeQualified(root).toUri.getPath
+    val srcRenamed = source.select(source.columns.map(c => col(c).as(s"__src_$c")).toSeq: _*)
+      .withColumn("__src__matched", lit(true))
+    val keyCond = keys.map(k => col(k) === col(s"__src_$k")).reduce(_ && _)
+
+    // probe: files holding at least one matched key
+    val affectedRel = readRoot(spark, dir, tableSchema)
+      .withColumn("_probe_file", input_file_name())
+      .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .select(col("_probe_file").as("f")).distinct()
+      .collect()
+      .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
+      .map(_.stripPrefix(rootAbs).stripPrefix("/"))
+      .toSet
+    def relOf(part: String, name: String) =
+      if (part == ".") name else s"$part/$name"
+    def inPath(part: String, name: String) =
+      if (part == ".") s"$dir/$name" else s"$dir/$part/$name"
+    def outPart(part: String) = if (part == ".") outDir else s"$outDir/$part"
+    val files = Compaction.listFiles(spark, dir).collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
+    val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
+
+    rewriteHits(spark, dir, outDir, hit.toSeq, tableSchema.orElse(Some(schema))) { tgt =>
+      val joined = tgt.join(srcRenamed, keyCond, "left_outer")
+      val isMatched = col("__src__matched").isNotNull
+      // first-true-clause index: 0 = no clause applies (row survives as-is)
+      val clauseIdx = matched.zipWithIndex.foldRight(lit(0)) { case ((c, i), rest) =>
+        when(isMatched && coalesce(c.cond, lit(false)), lit(i + 1)).otherwise(rest)
+      }
+      val deleteIdxs = matched.zipWithIndex.collect {
+        case (_: WhenMatchedDelete, i) => i + 1 }
+      val kept =
+        if (deleteIdxs.isEmpty) joined.withColumn("__clause", clauseIdx)
+        else joined.withColumn("__clause", clauseIdx)
+          .filter(!col("__clause").isin(deleteIdxs.map(Integer.valueOf): _*))
+      kept.select(schema.fields.map { f =>
+        matched.zipWithIndex.foldRight(col(f.name)) {
+          case ((u: WhenMatchedUpdate, i), rest) if u.set.contains(f.name) =>
+            when(col("__clause") === (i + 1), u.set(f.name).cast(f.dataType))
+              .otherwise(rest)
+          case (_, rest) => rest
+        }.as(f.name)
+      }.toSeq: _*)
+    }
+    clean.foreach { case (part, name) =>
+      val s = new Path(inPath(part, name))
+      val dstDir = new Path(outPart(part))
+      fs.mkdirs(dstDir)
+      FileUtil.copy(fs, s, fs, new Path(dstDir, name), false, conf)
+    }
+    // WHEN NOT MATCHED: source rows whose key exists nowhere in the target
+    notMatchedInsert.foreach { insCond =>
+      val inserts = source
+        .join(readRoot(spark, dir, tableSchema).select(keys.map(col): _*).distinct(),
+          keys, "left_anti")
+        .filter(insCond)
+        .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      val w = inserts.write.mode("append")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(outDir)
+    }
+    (hit.map { case (p, n) => (p, n, true) } ++
+      clean.map { case (p, n) => (p, n, false) })
+      .toSeq.toDF("part", "file_id", "rewritten")
+  }
+
   /** Tombstone-keyed DELETE (r11) — the right-to-be-forgotten purge as it
     * actually arrives: a KEY LIST (erasure requests), not a value
     * predicate. [[deleteWhere]]'s predicate form cannot express a large key

@@ -544,6 +544,71 @@ object SinkQueries extends QueryRegistry {
       col("category"))
   }
 
+  /** RESTORE — mistake recovery (r13): a bad delete wipes a third of the
+    * product dim at v2; `restore(v1)` commits the original content as v3
+    * WITHOUT rewriting history (the fn REQUIRES v2 to stay readable at its
+    * damaged count and the v2→v3 feed to be exactly the mistake's inverse —
+    * pure re-inserts). The oracle is the original dim identity: a restore
+    * that lost or duplicated a row hash-mismatches. */
+  private def versionedRestore(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_vtrst_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(s, root, p.repartition(4))
+    val n = p.count()
+    require(VersionedTable.deleteWhere(s, root, code % 3 === 0) == 2,
+      "the mistake must commit as v2")
+    val damaged = VersionedTable.read(s, root).count()
+    require(VersionedTable.restore(s, root, 1) == 3, "the restore must commit as v3")
+    require(VersionedTable.read(s, root, Some(2)).count() == damaged,
+      "history must keep the damaged version readable")
+    val feed = VersionedTable.changes(s, root, 2, 3, Seq("stockcode"))
+    require(feed.filter(col("change_type") =!= "insert").isEmpty
+        && feed.count() == n - damaged,
+      "the restore feed must be exactly the mistake's inverse")
+    VersionedTable.read(s, root)
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("category"))
+  }
+
+  /** Full conditional MERGE (r13): the SQL verb with ordered WHEN MATCHED
+    * clauses against the product dim — every 5th product arrives in the
+    * source, where every 10th is a REPRICE (update: price × the source's
+    * adj factor, the expression mixing target and [[Dml.src]] columns) and
+    * the odd 5ths are DISCONTINUED (delete); unmatched source rows insert
+    * only when they pass the price floor. The committed feed must carry
+    * all three change classes, and the oracle spells the merged state —
+    * a clause misfire, a wrong-order application, or a leaked unmatched
+    * row hash-mismatches. */
+  private def versionedMergeClauses(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_vtmc_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(s, root, p.repartition(4))
+    val matchedSrc = p.filter(code % 5 === 0)
+      .withColumn("adj", when(code % 10 === 0, 2.0).otherwise(0.0))
+    val insertSrc = p.filter(code % 9 === 0)
+      .withColumn("stockcode", (code + 300000).cast("string"))
+      .withColumn("adj", lit(1.0))
+    require(VersionedTable.mergeClauses(s, root,
+      matchedSrc.unionByName(insertSrc), Seq("stockcode"),
+      matched = Seq(
+        Dml.WhenMatchedUpdate(Dml.src("adj") > 0.0,
+          Map("unitprice" -> (col("unitprice") * Dml.src("adj")))),
+        Dml.WhenMatchedDelete(Dml.src("adj") === 0.0)),
+      notMatchedInsert = Some(col("unitprice") >= 910)) == 2,
+      "the merge must commit as v2")
+    val classes = VersionedTable.changes(s, root, 1, 2, Seq("stockcode"))
+      .select("change_type").distinct().collect().map(_.getString(0)).toSet
+    require(classes == Set("insert", "delete", "update_preimage", "update_postimage"),
+      s"the merge feed must carry all change classes (got ${classes.mkString(", ")})")
+    VersionedTable.read(s, root)
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("category"))
+  }
+
   /** Zero-rewrite DROP COLUMN (r13) — the sibling lifecycle of
     * [[versionedEvolve]]: category dropped from the product dim at v2 with
     * the fn REQUIRING byte-identical file sets (an implementation that
@@ -725,6 +790,27 @@ object SinkQueries extends QueryRegistry {
       Some(graft.oracle.OracleSql.q("""
       SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category
       FROM dim_product"""))),
+
+    QueryDef("sink_versioned_restore", versionedRestore,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM dim_product"""))),
+
+    QueryDef("sink_merge_clauses", versionedMergeClauses,
+      Some(graft.oracle.OracleSql.q("""
+      , mt AS (SELECT stockcode, unitprice, category,
+                      CAST(stockcode AS BIGINT) AS code
+               FROM dim_product)
+      SELECT stockcode,
+             CAST(CASE WHEN code % 10 = 0 THEN unitprice * 2
+                       ELSE unitprice END AS DOUBLE) AS unitprice,
+             category
+      FROM mt
+      WHERE NOT (code % 5 = 0 AND code % 10 <> 0)
+      UNION ALL
+      SELECT CAST(code + 300000 AS VARCHAR) AS stockcode,
+             CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM mt WHERE code % 9 = 0 AND unitprice >= 910"""))),
 
     QueryDef("sink_versioned_drop", versionedDrop,
       Some(graft.oracle.OracleSql.q("""

@@ -378,6 +378,26 @@ object VersionedTable {
     next
   }
 
+  /** Full conditional `MERGE INTO` as a new snapshot (r13): the ordered
+    * WHEN MATCHED UPDATE/DELETE + WHEN NOT MATCHED INSERT verb of
+    * [[Dml.mergeClauses]], committed through the protocol; the [[changes]]
+    * feed carries exactly the updates as pre/post pairs, the deletes as
+    * delete images, and the inserts as insert images. Returns the
+    * committed version. */
+  def mergeClauses(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String], matched: Seq[Dml.MergeClause],
+      notMatchedInsert: Option[Column] = None,
+      partitionCols: Seq[String] = Nil): Int = {
+    val latest = latestVersion(spark, root)
+    val cur = vDir(root, latest)
+    val (next, dir) = nextDir(spark, root)
+    Dml.mergeClauses(spark, cur, dir, source, keys, matched, notMatchedInsert,
+      partitionCols, activeSchema(spark, root, latest))
+    val (fs, rootP) = fsOf(spark, root)
+    commit(fs, rootP, next)
+    next
+  }
+
   /** `UPDATE … SET … WHERE` as a new snapshot (r12): returns the committed
     * version. Same file-selective copy-on-write as the other DML verbs;
     * the [[changes]] feed carries exactly the rows the update actually
@@ -459,6 +479,42 @@ object VersionedTable {
     }
     Compaction.compactDir(spark, cur, dir, targetBytes, fileSchema)
     val (fs, rootP) = fsOf(spark, root)
+    commit(fs, rootP, next)
+    next
+  }
+
+  /** RESTORE as a committed snapshot (r13) — mistake recovery, the
+    * time-travel use case: the table's head becomes a NEW version whose
+    * content is a retained older version's. History is never rewritten
+    * (the bad versions stay readable between them — an audit can still see
+    * what the mistake was), the restore is itself just a commit, and the
+    * [[changes]] feed from the bad head to the restored head reads as the
+    * exact inverse of the mistake. The restored version's schema comes
+    * with it: restoring below a schema evolution re-logs the OLD shape at
+    * the new version (the schema log is versioned like everything else).
+    * Returns the committed version. */
+  def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
+    val latest = latestVersion(spark, root)
+    require(toVersion >= 1 && toVersion <= latest,
+      s"cannot restore to v$toVersion (head is v$latest)")
+    val (fs, rootP) = fsOf(spark, root)
+    require(fs.exists(new Path(vDir(root, toVersion))),
+      s"v$toVersion was vacuumed away")
+    if (toVersion == latest) return latest // restoring the head is a no-op
+    val (next, dir) = nextDir(spark, root)
+    copySnapshot(spark, fs, vDir(root, toVersion), dir)
+    // the restored content must read under ITS schema: if any evolution
+    // log entry exists at or below the target, re-log that shape for the
+    // new version; if entries exist only ABOVE the target (the restore
+    // crosses an evolution downward), the pre-evolution footer schema
+    // applies and must be re-logged explicitly to mask the later entry
+    effectiveSchema(spark, root, toVersion) match {
+      case Some(sch) => writeSchemaEntry(fs, root, next, sch)
+      case None if effectiveSchema(spark, root, latest).isDefined =>
+        writeSchemaEntry(fs, root, next,
+          spark.read.parquet(vDir(root, toVersion)).schema)
+      case None => // never-evolved table: footer schema applies everywhere
+    }
     commit(fs, rootP, next)
     next
   }

@@ -203,6 +203,61 @@ class DmlSpec extends SparkSpec {
     }
   }
 
+  test("mergeClauses: ordered matched clauses (first wins), src() references, conditional insert, untouched non-matches") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mc_").toString
+    // target: (id, qty, price); files split so ids 1-10 / 11-20 separate
+    (1L to 20L).map(i => (i, i * 10L, i.toDouble)).toDF("id", "qty", "price")
+      .repartitionByRange(2, col("id")).write.parquet(s"$base/v1")
+    // source: updates for 2 (stock arrives), 3 (cond false -> second clause),
+    // 11 (other file), an unmatched 100 (inserts), an unmatched 101 (filtered)
+    val srcDf = Seq((2L, 7L, 99.0), (3L, 0L, 0.5), (11L, 1L, 11.5),
+      (100L, 5L, 42.0), (101L, 5L, -1.0)).toDF("id", "qty", "price")
+    val plan = Dml.mergeClauses(spark, s"$base/v1", s"$base/v2", srcDf, Seq("id"),
+      matched = Seq(
+        // clause 1: a real restock (src qty > 0) adds stock and reprices
+        Dml.WhenMatchedUpdate(Dml.src("qty") > 0L,
+          Map("qty" -> (col("qty") + Dml.src("qty")), "price" -> Dml.src("price"))),
+        // clause 2: zero-qty source rows discontinue the product
+        Dml.WhenMatchedDelete(Dml.src("qty") === 0L)),
+      notMatchedInsert = Some(col("price") > 0.0))
+    val out = spark.read.parquet(s"$base/v2")
+      .select("id", "qty", "price").as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(2L) === ((27L, 99.0)))        // clause 1: qty 20+7, repriced
+    assert(!out.contains(3L))                // clause 2 (clause 1 cond false)
+    assert(out(11L) === ((111L, 11.5)))      // hit in the other file
+    assert(out(100L) === ((5L, 42.0)))       // inserted
+    assert(!out.contains(101L))              // insert condition filtered
+    assert(out(5L) === ((50L, 5.0)))         // matched file, unmatched row
+    assert(out.size === 20)                  // 20 - 1 delete + 1 insert
+    // both files held matched keys -> both rewritten
+    assert(plan.filter(col("rewritten")).count() === 2)
+    // cardinality violation fails loudly
+    intercept[IllegalArgumentException] {
+      Dml.mergeClauses(spark, s"$base/v2", s"$base/v3",
+        Seq((2L, 1L, 1.0), (2L, 2L, 2.0)).toDF("id", "qty", "price"), Seq("id"),
+        Seq(Dml.WhenMatchedDelete(lit(true))))
+    }
+  }
+
+  test("mergeClauses: clause order decides when both conditions hold; clean files byte-copy") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mc2_").toString
+    (1L to 20L).map(i => (i, i * 10L)).toDF("id", "qty")
+      .repartitionByRange(2, col("id")).write.parquet(s"$base/v1")
+    val before = fileBytes(s"$base/v1")
+    // delete clause FIRST: a row both clauses accept is deleted, not updated
+    Dml.mergeClauses(spark, s"$base/v1", s"$base/v2",
+      Seq((2L, 5L)).toDF("id", "qty"), Seq("id"),
+      matched = Seq(
+        Dml.WhenMatchedDelete(lit(true)),
+        Dml.WhenMatchedUpdate(lit(true), Map("qty" -> lit(0L)))))
+    val out = spark.read.parquet(s"$base/v2")
+    assert(out.count() === 19 && out.filter(col("id") === 2L).count() === 0)
+    // the unmatched file is byte-identical
+    val after = fileBytes(s"$base/v2")
+    assert(before.exists { case (_, bytes) => after.values.exists(_ == bytes) })
+  }
+
   test("SQL DELETE semantics: NULL predicate rows are kept") {
     val base = java.nio.file.Files.createTempDirectory("graft_delnull_").toString
     Seq((1L, Some(5.0)), (2L, None), (3L, Some(50.0)))

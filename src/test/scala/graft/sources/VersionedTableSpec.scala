@@ -267,6 +267,49 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("restore commits an old version's content as the new head; CDC reads the inverse of the mistake") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_rst_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 10L).map(i => (i, s"p_$i")).toDF("id", "payload"))
+    assert(VersionedTable.deleteWhere(spark, root, col("id") > 3L) === 2) // the mistake
+    assert(VersionedTable.restore(spark, root, 1) === 3)
+    assert(VersionedTable.read(spark, root).count() === 10)
+    // the bad version stays readable (history never rewrites)
+    assert(VersionedTable.read(spark, root, Some(2)).count() === 3)
+    // the restore's feed is the mistake's inverse: 7 re-inserts
+    val feed = VersionedTable.changes(spark, root, 2, 3, Seq("id"))
+    assert(feed.filter(col("change_type") === "insert").count() === 7)
+    assert(feed.count() === 7)
+    // restoring the head is a no-op; vacuumed/absurd targets fail
+    assert(VersionedTable.restore(spark, root, 3) === 3)
+    intercept[IllegalArgumentException] { VersionedTable.restore(spark, root, 9) }
+    // restoring below a schema evolution re-logs the old shape at the head
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    VersionedTable.evolve(spark, root, StructType(Seq(StructField("tag", StringType))))
+    assert(VersionedTable.restore(spark, root, 3) === 5)
+    assert(!VersionedTable.read(spark, root).columns.contains("tag"))
+    assert(VersionedTable.read(spark, root, Some(4)).columns.contains("tag"))
+  }
+
+  test("mergeClauses commits a conditional merge whose CDC carries updates, deletes and inserts") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_mc_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 10L).map(i => (i, i * 10L)).toDF("id", "qty"))
+    assert(VersionedTable.mergeClauses(spark, root,
+      Seq((2L, 5L), (3L, 0L), (100L, 7L)).toDF("id", "qty"), Seq("id"),
+      matched = Seq(
+        Dml.WhenMatchedUpdate(Dml.src("qty") > 0L,
+          Map("qty" -> (col("qty") + Dml.src("qty")))),
+        Dml.WhenMatchedDelete(Dml.src("qty") === 0L)),
+      notMatchedInsert = Some(lit(true))) === 2)
+    val feed = VersionedTable.changes(spark, root, 1, 2, Seq("id"))
+      .select("id", "change_type").as[(Long, String)].collect().toSet
+    assert(feed === Set((2L, "update_preimage"), (2L, "update_postimage"),
+      (3L, "delete"), (100L, "insert")))
+    assert(VersionedTable.read(spark, root)
+      .filter(col("id") === 2L).select("qty").as[Long].head() === 25L)
+  }
+
   test("dropColumns: zero rewrite, empty feed, narrowed DML, tombstoned re-add, time travel keeps the column") {
     import org.apache.spark.sql.types.{StructType, StructField, StringType}
     val root = java.nio.file.Files.createTempDirectory("graft_vt_drop_").toString + "/t"
