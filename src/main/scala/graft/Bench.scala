@@ -126,9 +126,10 @@ object Bench {
     "olap_q7" -> 0.48, "partition_pruned_inferred_sum" -> 0.13,
     "seq_scan_sum" -> 0.11, "sql_olap_q1" -> 0.60, "star_join_shj" -> 1.11,
     "unpartitioned_year_sum" -> 0.14,
-    // r13-new row: observed 0.22-0.34 across four runs (the tight decode
-    // loops are JIT-position-sensitive); recorded at the median steady 0.25
-    "multimodal_jpeg_decode" -> 0.25,
+    // r13-new row: observed 0.20-0.38 across six clean runs (the tight
+    // decode loops are JIT-position-sensitive — suite-order changes move
+    // it); recorded at the median steady 0.30
+    "multimodal_jpeg_decode" -> 0.30,
     // r13-late row: observed 0.11-0.15 across probe + clean bench runs
     "multimodal_y4m_decode" -> 0.14)
 

@@ -29,7 +29,9 @@ object R13LateProbe {
       "multimodal_y4m_features",    // full Y4M container decode
       "sink_versioned_stats_auto",  // optimizer-rule pruning end to end
       "sink_versioned_drop",        // zero-rewrite DROP + post-drop DML
-      "sink_versioned_zorder_serve") // cluster commit + refresh + 2-D prune
+      "sink_versioned_zorder_serve", // cluster commit + refresh + 2-D prune
+      "sink_merge_clauses",          // conditional MERGE, all three classes
+      "sink_versioned_restore")      // rollback commit + inverse feed
     Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { sf =>
       println(s"== $sf")
       names.foreach { n =>
