@@ -544,6 +544,37 @@ object SinkQueries extends QueryRegistry {
       col("category"))
   }
 
+  /** CHECK constraints enforced at commit time (r13): a non-negative-price
+    * constraint registered against the product dim, a valid repricing
+    * committed, then a VIOLATING repair attempted — the fn REQUIRES the
+    * violation to throw (naming the constraint) and the head to stay at
+    * the valid version, so the violating snapshot never became visible.
+    * Enforcement is file-selective (only the mutation's new files
+    * validate). The oracle spells the valid-repair-only state: a leaked
+    * violating row, or a rejected-but-committed version, hash-mismatches. */
+  private def versionedConstraint(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_vtchk_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(s, root, p.repartition(4))
+    VersionedTable.addConstraint(s, root, "price_nonneg", "unitprice >= 0")
+    require(VersionedTable.updateWhere(s, root, code % 10 === 0,
+      Map("unitprice" -> (col("unitprice") * 2))) == 2,
+      "the valid repricing must commit as v2")
+    val rejected =
+      try { VersionedTable.updateWhere(s, root, code % 11 === 0,
+        Map("unitprice" -> (col("unitprice") - 1000000))); None }
+      catch { case e: IllegalStateException => Some(e.getMessage) }
+    require(rejected.exists(_.contains("price_nonneg")),
+      "the violating update must be rejected naming the constraint")
+    require(VersionedTable.latestVersion(s, root) == 2,
+      "a rejected mutation must not move the head")
+    VersionedTable.read(s, root)
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("category"))
+  }
+
   /** RESTORE — mistake recovery (r13): a bad delete wipes a third of the
     * product dim at v2; `restore(v1)` commits the original content as v3
     * WITHOUT rewriting history (the fn REQUIRES v2 to stay readable at its
@@ -789,6 +820,14 @@ object SinkQueries extends QueryRegistry {
     QueryDef("sink_versioned_compact", versionedCompact,
       Some(graft.oracle.OracleSql.q("""
       SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM dim_product"""))),
+
+    QueryDef("sink_versioned_constraint", versionedConstraint,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode,
+             CAST(CASE WHEN CAST(stockcode AS BIGINT) % 10 = 0
+                       THEN unitprice * 2 ELSE unitprice END AS DOUBLE) AS unitprice,
+             category
       FROM dim_product"""))),
 
     QueryDef("sink_versioned_restore", versionedRestore,

@@ -134,6 +134,7 @@ object VersionedTable {
         if (fs.exists(stage)) fs.delete(stage, true)
         mutate(base, vDir(root, base), stage.toString)
         require(fs.exists(stage), "mutate must write the staged snapshot")
+        enforceConstraints(spark, root, Some(base), stage.toString)
         val out = fs.create(txnMarker(stage.toString), true)
         try out.write(s"$base\n".getBytes("UTF-8")) finally out.close()
         val target = new Path(vDir(root, base + 1))
@@ -259,6 +260,95 @@ object VersionedTable {
     next
   }
 
+  // ----------------------------------------------------------- constraints
+  // CHECK constraints (r13), enforced FILE-SELECTIVELY at commit time: a
+  // mutation validates ONLY the files that are new relative to the prior
+  // snapshot (byte-copied files hold rows that passed when they were
+  // written — valid by induction), so enforcement cost tracks the change,
+  // never the table. SQL CHECK semantics: a row violates only when the
+  // expression is FALSE — NULL passes. A violating mutation throws BEFORE
+  // the manifest swap, so the staged version stays an invisible orphan and
+  // the table is untouched.
+
+  private def constraintsLog(root: String) = new Path(s"$root/_constraints")
+
+  /** The registered CHECK constraints: (name, SQL expression). */
+  def constraints(spark: SparkSession, root: String): Seq[(String, String)] = {
+    val (fs, _) = fsOf(spark, root)
+    val p = constraintsLog(root)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split("\n").filter(_.contains("\t")).toSeq.map { l =>
+        val Array(n, e) = l.split("\t", 2); (n, e)
+      }
+    }
+  }
+
+  /** Register `CHECK (exprSql)` under `name`. The CURRENT table must
+    * already satisfy it (one validation scan — the registration cost);
+    * every later mutation enforces it on its new files only. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      exprSql: String): Unit = {
+    require(name.nonEmpty && !name.contains("\t") && !exprSql.contains("\n"),
+      "constraint name/expression must be single-line, tab-free")
+    require(!constraints(spark, root).exists(_._1 == name),
+      s"constraint $name already exists")
+    val bad = read(spark, root)
+      .filter(!coalesce(expr(exprSql).cast("boolean"), lit(true))).count()
+    require(bad == 0,
+      s"existing rows violate CHECK $name ($exprSql): $bad row(s)")
+    val (fs, _) = fsOf(spark, root)
+    val all = constraints(spark, root) :+ (name -> exprSql)
+    val out = fs.create(constraintsLog(root), true)
+    try out.write(all.map { case (n, e) => s"$n\t$e" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def dropConstraint(spark: SparkSession, root: String, name: String): Unit = {
+    val (fs, _) = fsOf(spark, root)
+    val rest = constraints(spark, root).filterNot(_._1 == name)
+    val out = fs.create(constraintsLog(root), true)
+    try out.write(rest.map { case (n, e) => s"$n\t$e" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Enforce every registered constraint on the files of `newDir` that are
+    * NEW relative to snapshot `priorV` (None = validate everything — the
+    * first commit). Throws before the caller's manifest swap on violation,
+    * naming the constraint and the violation count. */
+  private def enforceConstraints(spark: SparkSession, root: String,
+      priorV: Option[Int], newDir: String): Unit = {
+    val cs = constraints(spark, root)
+    if (cs.isEmpty) return
+    val prior: Set[(String, String)] = priorV.map { v =>
+      Compaction.listFiles(spark, vDir(root, v)).collect()
+        .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"))).toSet
+    }.getOrElse(Set.empty)
+    val fresh = Compaction.listFiles(spark, newDir).collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
+      .filterNot(prior).toSeq
+    if (fresh.isEmpty) return
+    val paths = fresh.map { case (p, n) =>
+      if (p == ".") s"$newDir/$n" else s"$newDir/$p/$n" }
+    val schemaOpt = priorV.flatMap(v => effectiveSchema(spark, root, v))
+    val df = schemaOpt.map(spark.read.schema(_)).getOrElse(spark.read)
+      .option("basePath", newDir).parquet(paths: _*)
+    // one pass for all constraints: count violations per constraint
+    val counts = df.select(cs.map { case (n, e) =>
+      sum(when(!coalesce(expr(e).cast("boolean"), lit(true)), 1L)
+        .otherwise(0L)).as(n) }: _*).head()
+    cs.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      if (bad > 0) throw new IllegalStateException(
+        s"CHECK constraint $n violated by $bad new row(s): $e")
+    }
+  }
+
   private def droppedLog(root: String) = new Path(s"$root/_schema", "dropped")
 
   /** Column names ever dropped from this table (the re-add tombstone set). */
@@ -373,6 +463,7 @@ object VersionedTable {
     val (next, dir) = nextDir(spark, root)
     Dml.mergeInto(spark, cur, dir, updates, keys, partitionCols,
       activeSchema(spark, root, latest))
+    enforceConstraints(spark, root, Some(latest), dir)
     val (fs, rootP) = fsOf(spark, root)
     commit(fs, rootP, next)
     next
@@ -393,6 +484,7 @@ object VersionedTable {
     val (next, dir) = nextDir(spark, root)
     Dml.mergeClauses(spark, cur, dir, source, keys, matched, notMatchedInsert,
       partitionCols, activeSchema(spark, root, latest))
+    enforceConstraints(spark, root, Some(latest), dir)
     val (fs, rootP) = fsOf(spark, root)
     commit(fs, rootP, next)
     next
@@ -409,6 +501,7 @@ object VersionedTable {
     val (next, dir) = nextDir(spark, root)
     Dml.updateWhere(spark, cur, dir, pred, assignments,
       activeSchema(spark, root, latest))
+    enforceConstraints(spark, root, Some(latest), dir)
     val (fs, rootP) = fsOf(spark, root)
     commit(fs, rootP, next)
     next
@@ -429,6 +522,7 @@ object VersionedTable {
     val (next, dir) = nextDir(spark, root)
     Dml.updateMove(spark, cur, dir, pred, assignments,
       activeSchema(spark, root, latest))
+    enforceConstraints(spark, root, Some(latest), dir)
     val (fs, rootP) = fsOf(spark, root)
     commit(fs, rootP, next)
     next
@@ -605,6 +699,7 @@ object VersionedTable {
     }.getOrElse(batch)
     val w = aligned.write.mode("append")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
+    enforceConstraints(spark, root, latest, dir)
     val out = fs.create(batchMarker(dir), true)
     try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
     commit(fs, rootP, next)

@@ -267,6 +267,52 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints: registration validates, commits enforce new files only, violations leave the table untouched") {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_chk_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 20L).map(i => (i, i * 10L)).toDF("id", "qty"))
+    VersionedTable.addConstraint(spark, root, "qty_pos", "qty >= 0")
+    // registering a constraint the current data violates fails
+    intercept[IllegalArgumentException] {
+      VersionedTable.addConstraint(spark, root, "impossible", "qty > 150")
+    }
+    // a valid mutation commits
+    assert(VersionedTable.updateWhere(spark, root, col("id") === 1L,
+      Map("qty" -> (col("qty") + 5L))) === 2)
+    // a violating update is rejected BEFORE the manifest swap
+    intercept[IllegalStateException] {
+      VersionedTable.updateWhere(spark, root, col("id") === 2L,
+        Map("qty" -> lit(-1L)))
+    }
+    assert(VersionedTable.latestVersion(spark, root) === 2)
+    assert(VersionedTable.read(spark, root).filter(col("id") === 2L)
+      .select("qty").as[Long].head() === 20L)
+    // SQL CHECK: NULL passes — a null in the constrained column is fine
+    VersionedTable.evolve(spark, root, StructType(Seq(StructField("tag", StringType))))
+    VersionedTable.addConstraint(spark, root, "tag_short", "length(tag) <= 3")
+    assert(VersionedTable.appendBatch(spark, root, 1L,
+      Seq((21L, 5L)).toDF("id", "qty")).contains(4)) // tag null-fills: passes
+    // a violating batch throws before the batch marker — replayable
+    intercept[IllegalStateException] {
+      VersionedTable.appendBatch(spark, root, 2L,
+        Seq((22L, 5L, "xxxx")).toDF("id", "qty", "tag"))
+    }
+    assert(VersionedTable.lastCommittedBatch(spark, root).contains(1L))
+    // a violating transact mutation throws; the stage never publishes
+    intercept[IllegalStateException] {
+      VersionedTable.transact(spark, root) { (_, cur, stage) =>
+        Dml.updateWhere(spark, cur, stage, col("id") === 3L,
+          Map("qty" -> lit(-7L)))
+      }
+    }
+    assert(VersionedTable.latestVersion(spark, root) === 4)
+    // dropConstraint unblocks the same mutation
+    VersionedTable.dropConstraint(spark, root, "qty_pos")
+    assert(VersionedTable.updateWhere(spark, root, col("id") === 2L,
+      Map("qty" -> lit(-1L))) === 5)
+  }
+
   test("restore commits an old version's content as the new head; CDC reads the inverse of the mistake") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_rst_").toString + "/t"
     VersionedTable.create(spark, root,
