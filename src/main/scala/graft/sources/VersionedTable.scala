@@ -621,21 +621,50 @@ object VersionedTable {
     * a multi-dimensional box prune ([[VersionedStats.prunedRead]] after a
     * refresh — which scans everything here, honestly: re-clustering
     * rewrites every file, exactly like a production OPTIMIZE) skips most of
-    * the table. Unpartitioned layouts only — production z-order clusters
-    * WITHIN a partition; a partitioned table's per-partition variant is the
-    * same call fanned out. Readers of older versions are untouched.
-    * Returns the committed version. */
+    * the table. A PARTITIONED table clusters WITHIN each partition (what
+    * production z-order does — a partition is already the coarsest
+    * clustering): every partition directory re-clusters its own rows
+    * concurrently (the committer-per-directory thread pool of
+    * [[Compaction.compactDir]]; `numFiles` is then per partition), and the
+    * clustered columns must be data columns — a partition column is
+    * constant within its directory. Readers of older versions are
+    * untouched. Returns the committed version. */
   def cluster(spark: SparkSession, root: String, cols: Seq[String],
       bits: Int = 8, numFiles: Int = 32): Int = {
     val latest = latestVersion(spark, root)
-    val parts = Compaction.listFiles(spark, vDir(root, latest)).collect()
-      .map(_.getAs[String]("part")).distinct
-    require(parts.sameElements(Array(".")),
-      s"cluster expects an unpartitioned layout, found dirs: ${parts.mkString(", ")}")
+    val cur = vDir(root, latest)
+    val parts = Compaction.listFiles(spark, cur).collect()
+      .map(_.getAs[String]("part")).distinct.sorted
     val (next, dir) = nextDir(spark, root)
-    ZOrder.materializeZordered(read(spark, root, Some(latest)), dir, cols,
-      bits, numFiles)
     val (fs, rootP) = fsOf(spark, root)
+    if (parts.sameElements(Array("."))) {
+      ZOrder.materializeZordered(read(spark, root, Some(latest)), dir, cols,
+        bits, numFiles)
+    } else {
+      val partCols = parts.filter(_ != ".")
+        .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
+      val clash = cols.filter(partCols)
+      require(clash.isEmpty,
+        s"cannot z-order on partition columns (constant within a directory): ${clash.mkString(", ")}")
+      // file-level schema for evolved tables: partition columns ride the
+      // directory names, never file bytes
+      val fileSchema = effectiveSchema(spark, root, latest).map(s =>
+        org.apache.spark.sql.types.StructType(
+          s.fields.filterNot(f => partCols(f.name))))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, parts.length))
+      try {
+        parts.toSeq.map { part =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              ZOrder.materializeZordered(
+                fileSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+                  .parquet(s"$cur/$part"),
+                s"$dir/$part", cols, bits, numFiles)
+          })
+        }.foreach(_.get())
+      } finally pool.shutdown()
+    }
     commit(fs, rootP, next)
     next
   }

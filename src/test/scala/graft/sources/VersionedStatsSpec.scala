@@ -144,10 +144,23 @@ class VersionedStatsSpec extends SparkSpec {
     val got = VersionedStats.prunedRead(spark, root, boxes)
       .select("a").as[Long].collect().toSet
     assert(got === (0L until 1024L).filter(i => { val b = (i * 37) % 97; b >= 10 && b <= 30 }).toSet)
-    // partitioned layouts are out of contract
+    // a partitioned table clusters WITHIN each partition; clustering on a
+    // partition column is rejected (constant within its directory)
     val root2 = java.nio.file.Files.createTempDirectory("graft_vs_zo2_").toString + "/t"
     VersionedTable.create(spark, root2,
-      (1L to 10L).map(i => (i, i % 2)).toDF("id", "p"), Seq("p"))
+      (1L to 200L).map(i => (i, (i * 37) % 97, i % 2)).toDF("id", "w", "p"),
+      Seq("p"))
+    VersionedStats.enable(spark, root2, Seq("id", "w"))
+    assert(VersionedTable.cluster(spark, root2, Seq("id", "w"),
+      bits = 6, numFiles = 2) === 2)
+    assert(VersionedTable.changes(spark, root2, 1, 2, Seq("id")).isEmpty)
+    val dirs2 = Compaction.listFiles(spark, VersionedTable.vDir(root2, 2))
+      .collect().map(_.getString(0)).toSet
+    assert(dirs2 === Set("p=0", "p=1")) // rows never leave their partition
+    VersionedStats.refresh(spark, root2)
+    val sv = VersionedStats.prunedRead(spark, root2, Seq(Box("w", 10L, 30L)))
+    assert(sv.select("id").as[Long].collect().toSet ===
+      (1L to 200L).filter(i => { val w = (i * 37) % 97; w >= 10 && w <= 30 }).toSet)
     intercept[IllegalArgumentException] {
       VersionedTable.cluster(spark, root2, Seq("id", "p"))
     }
