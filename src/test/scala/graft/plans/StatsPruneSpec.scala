@@ -100,6 +100,25 @@ class StatsPruneSpec extends SparkSpec {
     } finally StatsPrune.clear()
   }
 
+  test("the rule prunes a partitioned table's scan and rebuilds partition values via basePath") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sp_part_").toString + "/t"
+    val df = (1L to 120L).map(i => (i, i % 3)).toDF("id", "bucket")
+    VersionedTable.create(spark, root, df, Seq("bucket"))
+    VersionedStats.enable(spark, root, Seq("bucket", "id"))
+    StatsPrune.register(spark, root)
+    try {
+      val got = StatsPrune.servingScoped(spark) {
+        val q = VersionedTable.read(spark, root)
+          .filter(col("bucket") === 1L && col("id") <= 60L)
+        assert(scanFiles(q).exists(_ < 3)) // only bucket=1's file(s) planned
+        q
+      }
+      // partition values survive the rebuilt relation
+      assert(got.select("id", "bucket").as[(Long, Long)].collect().toSet ===
+        (1L to 60L).filter(_ % 3 == 1).map(i => (i, 1L)).toSet)
+    } finally StatsPrune.clear()
+  }
+
   test("sound fallbacks: unindexed/non-literal predicates, disabled flag, and unregistered tables scan everything") {
     val root = mkRegistered("graft_sp_fb_")
     try {
