@@ -33,11 +33,6 @@ object Dml {
       tableSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
     tableSchema.map(spark.read.schema(_)).getOrElse(spark.read).parquet(dir)
 
-  /** Partition column names as the directory layout spells them. */
-  private def partColsOf(files: Array[(String, String)]): Set[String] =
-    files.map(_._1).filter(_ != ".")
-      .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
-
   /** The hit-file rewrite as ONE Spark job (r13): all affected files read
     * together with `basePath` (partition values ride in from the directory
     * names), `transform` applied, and the result written with dynamic
@@ -351,7 +346,13 @@ object Dml {
       tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     import spark.implicits._
     require(matched.nonEmpty || notMatchedInsert.nonEmpty, "an empty MERGE")
-    require(source.groupBy(keys.map(col): _*).count()
+    // SQL's cardinality rule applies to keys that can MATCH: NULL keys never
+    // match a target row (the same function's documented contract), so two
+    // NULL-key source rows are legitimate, non-conflicting insert candidates
+    // — excluding them here instead of rejecting them as "duplicates"
+    // (ADVICE r13)
+    require(source.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*).count()
         .filter(col("count") > 1).isEmpty,
       "MERGE cardinality violation: source holds duplicate keys")
     val schema = tableSchema.getOrElse(spark.read.parquet(dir).schema)
@@ -364,8 +365,17 @@ object Dml {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val rootAbs = fs.makeQualified(root).toUri.getPath
+    // the match marker lives OUTSIDE the __src_ rename image (ADVICE r13:
+    // the old __src__matched name collided with a source column named
+    // `_matched`, whose rename the withColumn silently replaced — clause
+    // conditions then read the constant instead of the source value); no
+    // rename can produce this name, and a column already carrying it is
+    // rejected loudly
+    val marker = "__graft_matched"
+    require(!source.columns.contains(marker) && !schema.fieldNames.contains(marker),
+      s"MERGE reserves the $marker column name")
     val srcRenamed = source.select(source.columns.map(c => col(c).as(s"__src_$c")).toSeq: _*)
-      .withColumn("__src__matched", lit(true))
+      .withColumn(marker, lit(true))
     val keyCond = keys.map(k => col(k) === col(s"__src_$k")).reduce(_ && _)
 
     // probe: files holding at least one matched key
@@ -388,7 +398,7 @@ object Dml {
 
     rewriteHits(spark, dir, outDir, hit.toSeq, tableSchema.orElse(Some(schema))) { tgt =>
       val joined = tgt.join(srcRenamed, keyCond, "left_outer")
-      val isMatched = col("__src__matched").isNotNull
+      val isMatched = col(marker).isNotNull
       // first-true-clause index: 0 = no clause applies (row survives as-is)
       val clauseIdx = matched.zipWithIndex.foldRight(lit(0)) { case ((c, i), rest) =>
         when(isMatched && coalesce(c.cond, lit(false)), lit(i + 1)).otherwise(rest)
@@ -479,7 +489,6 @@ object Dml {
 
     val files = Compaction.listFiles(spark, dir).collect()
       .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
-    val partCols = partColsOf(files)
     val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
 
     rewriteHits(spark, dir, outDir, hit.toSeq, tableSchema)(

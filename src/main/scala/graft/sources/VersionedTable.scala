@@ -141,6 +141,13 @@ object VersionedTable {
         if (fs.exists(target) && !fs.exists(txnMarker(target.toString))
             && latestVersion(spark, root) == base)
           fs.delete(target, true) // crashed direct-commit orphan, never visible
+        // a crashed evolve/dropColumns writes its schema-log entry BEFORE its
+        // commit; a transact commit claiming the same version must not
+        // inherit the ghost shape — mirror nextDir's stale-entry cleanup
+        // (ADVICE r13)
+        val staleSchema = schemaEntry(root, base + 1)
+        if (fs.exists(staleSchema) && latestVersion(spark, root) == base)
+          fs.delete(staleSchema, false)
         if (renameNoOverwrite(spark.sessionState.newHadoopConf(), stage, target)) {
           commitForward(fs, rootP, base + 1)
           return base + 1
@@ -322,7 +329,8 @@ object VersionedTable {
     * first commit). Throws before the caller's manifest swap on violation,
     * naming the constraint and the violation count. */
   private def enforceConstraints(spark: SparkSession, root: String,
-      priorV: Option[Int], newDir: String): Unit = {
+      priorV: Option[Int], newDir: String,
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val cs = constraints(spark, root)
     if (cs.isEmpty) return
     val prior: Set[(String, String)] = priorV.map { v =>
@@ -335,7 +343,7 @@ object VersionedTable {
     if (fresh.isEmpty) return
     val paths = fresh.map { case (p, n) =>
       if (p == ".") s"$newDir/$n" else s"$newDir/$p/$n" }
-    val schemaOpt = priorV.flatMap(v => effectiveSchema(spark, root, v))
+    val schemaOpt = readSchema.orElse(priorV.flatMap(v => effectiveSchema(spark, root, v)))
     val df = schemaOpt.map(spark.read.schema(_)).getOrElse(spark.read)
       .option("basePath", newDir).parquet(paths: _*)
     // one pass for all constraints: count violations per constraint
@@ -609,6 +617,13 @@ object VersionedTable {
           spark.read.parquet(vDir(root, toVersion)).schema)
       case None => // never-evolved table: footer schema applies everywhere
     }
+    // the restored content must satisfy the CURRENT constraint set in FULL
+    // (ADVICE r13): file-selective induction does not apply here — rows
+    // deleted/changed BEFORE a constraint was registered (addConstraint
+    // validates only the then-current table) would otherwise resurface as
+    // the new head silently violating it. Throws before the manifest swap,
+    // so a violating restore leaves only an invisible staged orphan.
+    enforceConstraints(spark, root, None, dir, effectiveSchema(spark, root, next))
     commit(fs, rootP, next)
     next
   }

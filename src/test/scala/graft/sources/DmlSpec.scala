@@ -258,6 +258,51 @@ class DmlSpec extends SparkSpec {
     assert(before.exists { case (_, bytes) => after.values.exists(_ == bytes) })
   }
 
+  test("mergeClauses: NULL-key source rows are legitimate inserts, not cardinality violations") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mcnull_").toString
+    (1L to 5L).map(i => (i, i * 10L)).toDF("id", "qty")
+      .coalesce(1).write.parquet(s"$base/v1")
+    // two NULL-key rows: under SQL MERGE semantics NULL keys never match a
+    // target row, so they cannot conflict — the duplicate-key check must
+    // not reject them (ADVICE r13), and both land as inserts
+    val srcDf = Seq((Some(2L), 7L), (None, 100L), (None, 200L))
+      .toDF("id", "qty")
+    Dml.mergeClauses(spark, s"$base/v1", s"$base/v2", srcDf, Seq("id"),
+      matched = Seq(Dml.WhenMatchedUpdate(lit(true),
+        Map("qty" -> Dml.src("qty")))),
+      notMatchedInsert = Some(lit(true)))
+    val out = spark.read.parquet(s"$base/v2")
+    assert(out.count() === 7) // 5 target + 2 NULL-key inserts
+    assert(out.filter(col("id") === 2L).select("qty").as[Long].head() === 7L)
+    assert(out.filter(col("id").isNull).select("qty").as[Long].collect().toSet
+      === Set(100L, 200L))
+    // TWO source rows with the SAME non-null key still fail loudly
+    intercept[IllegalArgumentException] {
+      Dml.mergeClauses(spark, s"$base/v2", s"$base/v3",
+        Seq((Some(2L), 1L), (Some(2L), 2L)).toDF("id", "qty"), Seq("id"),
+        Seq(Dml.WhenMatchedDelete(lit(true))))
+    }
+  }
+
+  test("mergeClauses: a source column named _matched reaches clause conditions intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mcm_").toString
+    (1L to 4L).map(i => (i, i * 10L)).toDF("id", "qty")
+      .coalesce(1).write.parquet(s"$base/v1")
+    // the rename maps _matched → __src__matched, which the OLD marker name
+    // collided with (the withColumn replaced it with the constant true, so
+    // every matched row read _matched as true) — ADVICE r13; with the
+    // collision-proof marker, only the rows whose _matched is really true
+    // take the clause
+    val srcDf = Seq((1L, true), (2L, false), (3L, true))
+      .toDF("id", "_matched")
+    Dml.mergeClauses(spark, s"$base/v1", s"$base/v2", srcDf, Seq("id"),
+      matched = Seq(Dml.WhenMatchedUpdate(Dml.src("_matched") === lit(true),
+        Map("qty" -> lit(0L)))))
+    val out = spark.read.parquet(s"$base/v2")
+      .select("id", "qty").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 20L, 3L -> 0L, 4L -> 40L))
+  }
+
   test("SQL DELETE semantics: NULL predicate rows are kept") {
     val base = java.nio.file.Files.createTempDirectory("graft_delnull_").toString
     Seq((1L, Some(5.0)), (2L, None), (3L, Some(50.0)))

@@ -337,6 +337,49 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root, Some(4)).columns.contains("tag"))
   }
 
+  test("restore validates the restored content against the CURRENT constraints") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_rstc_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 10L).map(i => (i, i * 10L - 50L)).toDF("id", "qty")) // ids 1-4 negative
+    assert(VersionedTable.deleteWhere(spark, root, col("qty") < 0L) === 2)
+    // the constraint registers against the CLEANED head — v1's negative
+    // rows predate it, so a restore to v1 would resurface violating rows;
+    // induction doesn't cover restored content (ADVICE r13): full validation
+    // must reject the restore BEFORE the manifest swap
+    VersionedTable.addConstraint(spark, root, "qty_nonneg", "qty >= 0")
+    val rejected = intercept[IllegalStateException] {
+      VersionedTable.restore(spark, root, 1)
+    }
+    assert(rejected.getMessage.contains("qty_nonneg"))
+    assert(VersionedTable.latestVersion(spark, root) === 2)
+    // a restore whose content satisfies the constraints still commits
+    assert(VersionedTable.deleteWhere(spark, root, col("id") === 9L) === 3)
+    assert(VersionedTable.restore(spark, root, 2) === 4)
+    assert(VersionedTable.read(spark, root).count() === 6)
+  }
+
+  test("transact does not inherit a crashed evolve's stale schema entry") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_txns_").toString + "/t"
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("id", "payload"))
+    // simulate a crashed evolve: schema entry written for v2, manifest never
+    // swapped — a transact commit claiming v2 must not inherit the ghost
+    // shape (ADVICE r13; the direct-commit path already cleans it in nextDir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stale = new org.apache.hadoop.fs.Path(s"$root/_schema/v00002.ddl")
+    fs.mkdirs(stale.getParent)
+    val out = fs.create(stale, true)
+    out.write("`id` BIGINT,`payload` STRING,`ghost` STRING\n".getBytes("UTF-8"))
+    out.close()
+    assert(VersionedTable.transact(spark, root) { (_, cur, stage) =>
+      Dml.deleteWhere(spark, cur, stage, col("id") === 99L)
+    } === 2)
+    assert(!VersionedTable.read(spark, root).columns.contains("ghost"))
+    // later DML keeps running under the footer schema
+    assert(VersionedTable.deleteWhere(spark, root, col("id") === 99L) === 3)
+    assert(VersionedTable.read(spark, root).columns.toSeq === Seq("id", "payload"))
+  }
+
   test("mergeClauses commits a conditional merge whose CDC carries updates, deletes and inserts") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_mc_").toString + "/t"
     VersionedTable.create(spark, root,
