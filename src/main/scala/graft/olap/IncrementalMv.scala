@@ -173,6 +173,14 @@ object IncrementalMv extends QueryRegistry {
     dec
   }
 
+  /** The applied-version marker of a maintained summary (None before
+    * [[initSummaryAt]]) — the watermark the continuous maintainers move. */
+  def appliedVersion(spark: SparkSession, summaryPath: String): Option[Int] = {
+    val fs = new org.apache.hadoop.fs.Path(summaryPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    readMarker(fs, summaryPath)
+  }
+
   private def markerOf(summaryPath: String) =
     new org.apache.hadoop.fs.Path(summaryPath, "_applied_version")
 
@@ -252,6 +260,75 @@ object IncrementalMv extends QueryRegistry {
     spark.catalog.refreshByPath(summaryPath)
     Some((to, dec))
   }
+
+  /** Auto-served MV over a versioned table (r14, VERDICT r13 #2): one call
+    * closes the loop the reference pays a manual `REFRESH MATERIALIZED
+    * VIEW` for (`Iteration 3/Group No.6_Indexing_Partitioning.sql:161-166`)
+    * — the summary is registered as the [[graft.plans.MvRewrite]] serving
+    * table for the table's CURRENT head, and a [[VersionedTable]] commit
+    * listener keeps it that way: after every later commit to `root` it
+    *  1. catches the summary up from the CDC span
+    *     ([[maintainFromVersioned]] — change-sized work, idempotent),
+    *  2. drops the stale registration(s) under the root, and
+    *  3. re-registers the refreshed summary against the new head's
+    *     directory via the caller's `register` closure.
+    * The 1→2→3 order makes a mid-way failure safe: an unregistered window
+    * serves full scans (correct), never a stale summary against a new
+    * snapshot. `register(session, version)` must register against
+    * `VersionedTable.vDir(root, version)` reading the summary FRESH. */
+  def autoServe(spark: SparkSession, root: String, summaryPath: String,
+      rowKeys: Seq[String], mvKeys: Seq[String], rowCount: String,
+      measures: Seq[MeasureSpec], rescanBase: Int => DataFrame)(
+      register: (SparkSession, Int) => Unit): Unit = {
+    register(spark, VersionedTable.latestVersion(spark, root))
+    VersionedTable.setCommitListener(s"mvserve:$root", (s, r, _) =>
+      if (r == root) {
+        maintainFromVersioned(s, root, summaryPath, rowKeys, mvKeys,
+          rowCount, measures, rescanBase)
+        graft.plans.MvRewrite.unregisterUnder(s, root)
+        register(s, VersionedTable.latestVersion(s, root))
+      })
+  }
+
+  /** Detach the [[autoServe]] commit listener for `root` (registrations
+    * already made stay, inert without the MvRewrite enable flag). */
+  def stopAutoServe(root: String): Unit =
+    VersionedTable.clearCommitListener(s"mvserve:$root")
+
+  /** The commit log consumed AS A STREAM (r14, VERDICT r13 #3) — the Delta
+    * change-data-feed shape: a Structured Streaming file source over the
+    * versioned table's `<root>/_log` (one tiny marker file per commit)
+    * drives [[maintainFromVersioned]] in `foreachBatch`, so the summary
+    * catches up CONTINUOUSLY as DML commits land, with no poller to write.
+    * Semantics stack three idempotence layers, so every crash window is
+    * covered:
+    *  - the file source's checkpoint remembers which markers each batch
+    *    saw — a restart resumes at the first unseen marker;
+    *  - the maintainer is SPAN-based (applied-version marker inside the
+    *    summary dir): however many markers a batch carries, it applies the
+    *    one span `(applied, latest]` exactly once, and a replayed batch
+    *    (or a lost checkpoint re-delivering everything) finds `to <= from`
+    *    and no-ops;
+    *  - a crash mid-publish rolls forward from the staged summary on the
+    *    next batch ([[maintainFromVersioned]]'s contract).
+    * A marker written for a commit the manifest hasn't published yet (the
+    * one crash window the log allows) wakes the maintainer into a no-op;
+    * the next commit's marker triggers the span catch-up — never a lost
+    * change. Start with a checkpoint + trigger of the caller's choice. */
+  def maintainerStream(spark: SparkSession, root: String, summaryPath: String,
+      rowKeys: Seq[String], mvKeys: Seq[String], rowCount: String,
+      measures: Seq[MeasureSpec], rescanBase: Int => DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.text(VersionedTable.logDir(root)).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // markers are wake-ups, not payload: the maintainer reads the table
+        // head itself and applies the whole outstanding span in one pass
+        if (!batch.isEmpty)
+          maintainFromVersioned(spark, root, summaryPath, rowKeys, mvKeys,
+            rowCount, measures, rescanBase)
+        ()
+      }
 
   // ---------------------------------------------------------------- gates
 
@@ -376,7 +453,111 @@ object IncrementalMv extends QueryRegistry {
     summaryProjection(s.read.parquet(s"$base/summary"))
   }
 
+  /** Gate 4 (r14, VERDICT r13 #3): the version log consumed AS A STREAM.
+    * Three phases, each closing one crash window of the continuous shape:
+    *  1. the maintainer stream RUNS while versioned DML commits land (v2
+    *     delete mix, v3 merge, then v4 price uplift) — the summary must
+    *     catch up to each head without the gate calling anything (polled on
+    *     the applied-version watermark);
+    *  2. a commit lands while the stream is DOWN (v5); a restart from the
+    *     SAME checkpoint must resume at the unseen marker and apply the
+    *     missed span;
+    *  3. the checkpoint is LOST — a fresh stream re-delivers every marker,
+    *     and the span semantics must make the full replay a no-op.
+    * The re-scan thunk throws throughout (feed-only maintenance is a hard
+    * runtime assert), and the oracle recomputes the final state, so a
+    * skipped or double-applied span hash-mismatches. */
+  private def cdcStreamMaintain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_imvstream_").toString
+    val root = s"$base/t"
+    val summary = s"$base/summary"
+    val p = baseProducts(s, dir)
+    VersionedTable.create(s, root, p)
+    initSummaryAt(s, summary, sumCountSummary(VersionedTable.read(s, root)), 1)
+    val spec = Seq(MeasureSpec("unitprice", "up_sum", "up_cnt"))
+    def startStream(ckpt: String, trigger: Trigger) =
+      maintainerStream(s, root, summary, Seq("stockcode"), Seq("category"),
+        "n_rows", spec,
+        _ => throw new IllegalStateException(
+          "sum/count maintenance must read ONLY change feeds, never the base"))
+        .option("checkpointLocation", ckpt).trigger(trigger).start()
+    def awaitApplied(q: org.apache.spark.sql.streaming.StreamingQuery,
+        v: Int): Unit = {
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (!appliedVersion(s, summary).exists(_ >= v)) {
+        q.exception.foreach(throw _)
+        if (System.nanoTime() > deadline) {
+          q.stop()
+          throw new IllegalStateException(
+            s"maintainer stream did not reach v$v within 180 s " +
+              s"(applied: ${appliedVersion(s, summary)})")
+        }
+        Thread.sleep(200L)
+      }
+    }
+    // phase 1: commits land WHILE the maintainer runs
+    val live = startStream(s"$base/ckpt", Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      VersionedTable.deleteWhere(s, root, productCode % 7 === 0) // v2
+      val updates = p.filter(productCode % 4 === 0 && productCode % 7 =!= 0)
+        .withColumn("unitprice",
+          (col("unitprice") + lit(BigDecimal("5.00"))).cast("decimal(12,2)"))
+      val inserts = p.filter(productCode % 10 === 0)
+        .select((productCode + 100000).cast("string").as("stockcode"),
+          col("unitprice"), lit("New").as("category"))
+      VersionedTable.mergeInto(s, root, updates.unionByName(inserts),
+        Seq("stockcode")) // v3
+      awaitApplied(live, 3)
+      VersionedTable.updateWhere(s, root, productCode % 5 === 0,
+        Map("unitprice" -> (col("unitprice") + lit(BigDecimal("2.00"))))) // v4
+      awaitApplied(live, 4)
+    } finally { live.stop(); live.awaitTermination() }
+    // phase 2: a zero-change commit lands while the stream is DOWN; the
+    // restart from the SAME checkpoint must consume the missed marker
+    VersionedTable.deleteWhere(s, root, lit(false)) // v5
+    val resumed = startStream(s"$base/ckpt", Trigger.AvailableNow())
+    if (!resumed.awaitTermination(300000L)) {
+      resumed.stop()
+      throw new IllegalStateException("restarted maintainer did not finish in 300 s")
+    }
+    require(appliedVersion(s, summary).contains(5),
+      s"the restart must apply the missed v4→v5 span (applied: ${appliedVersion(s, summary)})")
+    // phase 3: checkpoint lost — the full marker replay must be a no-op
+    val replay = startStream(s"$base/ckpt2", Trigger.AvailableNow())
+    if (!replay.awaitTermination(300000L)) {
+      replay.stop()
+      throw new IllegalStateException("replayed maintainer did not finish in 300 s")
+    }
+    require(appliedVersion(s, summary).contains(5),
+      "a full marker replay must leave the watermark untouched")
+    summaryProjection(s.read.parquet(summary))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("stream_cdc_maintain", cdcStreamMaintain,
+      Some(graft.oracle.OracleSql.q("""
+      , scm3 AS (
+          SELECT CASE WHEN CAST(stockcode AS BIGINT) % 4 = 0
+                      THEN CAST(unitprice + 5.00 AS DECIMAL(12,2))
+                      ELSE unitprice END AS unitprice,
+                 stockcode, category
+          FROM dim_product WHERE CAST(stockcode AS BIGINT) % 7 <> 0
+          UNION ALL
+          SELECT unitprice,
+                 CAST(CAST(stockcode AS BIGINT) + 100000 AS VARCHAR) AS stockcode,
+                 'New' AS category
+          FROM dim_product WHERE CAST(stockcode AS BIGINT) % 10 = 0),
+        scm4 AS (
+          SELECT CASE WHEN CAST(stockcode AS BIGINT) % 5 = 0
+                      THEN CAST(unitprice + 2.00 AS DECIMAL(12,2))
+                      ELSE unitprice END AS unitprice,
+                 category
+          FROM scm3)
+      SELECT category, CAST(sum(unitprice) AS DOUBLE) AS sum_unitprice,
+             count(unitprice) AS up_cnt, count(*) AS n_rows
+      FROM scm4 GROUP BY category"""))),
+
     QueryDef("molap_continuous_refresh", continuousRefresh,
       Some(graft.oracle.OracleSql.q("""
       , cr3 AS (

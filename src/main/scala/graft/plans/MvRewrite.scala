@@ -116,6 +116,18 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   def clear(): Unit = registry.clear()
 
+  /** Remove every registration whose base location is `rootPath` or sits
+    * UNDER it — for a versioned table, that is every version directory of
+    * the root. The removal half of commit-time re-registration (r14): the
+    * auto-serve loop drops the stale registration BEFORE re-registering the
+    * refreshed summary against the new head, so a failure in between only
+    * ever degrades to a full scan, never serves stale cells. */
+  def unregisterUnder(spark: SparkSession, rootPath: String): Unit = {
+    val q = qualify(spark, rootPath).stripSuffix("/")
+    registry.removeIf(r =>
+      r.baseLocation == q || r.baseLocation.startsWith(q + "/"))
+  }
+
   /** Run an MV-serving scenario with the rewrite enabled and hand back an
     * EAGERLY MATERIALIZED copy of its result, restoring both conf flags to
     * their prior values afterwards (ADVICE r11: a gate row that enabled the

@@ -40,21 +40,28 @@ import graft.sources.{Compaction, VersionedStats, VersionedTable}
   * Session discipline matches [[MvRewrite]]: inert unless
   * `spark.graft.statsPrune.enabled=true` AND the scan's location is
   * registered; attach via `spark.experimental.extraOptimizations` (the
-  * [[servingScoped]] harness does both and restores the conf). Staleness is
-  * the caller's contract: registrations pin a VERSION's directory and
-  * stats — a new commit serves full scans until re-registered, never wrong
-  * answers (old-version reads keep pruning correctly, since their stats
-  * are theirs forever).
+  * [[servingScoped]] harness does both and restores the conf).
+  *
+  * Staleness closes itself at COMMIT time (r14, VERDICT r13 #2): [[register]]
+  * installs a [[VersionedTable]] commit listener for its root, so every
+  * later DML commit refreshes the stats incrementally
+  * ([[VersionedStats.refresh]] — a commit rewriting k files re-stats k) and
+  * re-pins the registration at the new head, the way a production format's
+  * scan builder reads the stats out of the commit it serves. A failed
+  * auto-refresh logs and leaves the OLD registration in place — old-version
+  * reads keep pruning correctly (their stats are theirs forever) and
+  * new-head reads fall back to full scans, never wrong answers.
   */
 object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
 
   val EnabledKey = "spark.graft.statsPrune.enabled"
 
-  /** One registered snapshot: qualified directory URI, the read schema the
-    * snapshot serves under, indexed columns with their types, and the
-    * collected stats — per file (relative part/name), per indexed column,
-    * the (min, max) as EXTERNAL Scala values (null = null stats). */
-  final case class Registration(location: String, dir: String,
+  /** One registered snapshot: the table root it came from, qualified
+    * directory URI, the read schema the snapshot serves under, indexed
+    * columns with their types, and the collected stats — per file (relative
+    * part/name), per indexed column, the (min, max) as EXTERNAL Scala
+    * values (null = null stats). */
+  final case class Registration(root: String, location: String, dir: String,
       schema: StructType, colTypes: Map[String, DataType],
       files: Seq[FileStats])
   final case class FileStats(part: String, name: String,
@@ -63,10 +70,9 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
   private val registry =
     new java.util.concurrent.CopyOnWriteArrayList[Registration]()
 
-  /** Register the CURRENT version of the versioned table at `root` for
-    * automatic pruning (stats must be published — enable/refresh first).
-    * Returns the number of files registered. */
-  def register(spark: SparkSession, root: String): Int = {
+  /** The registration snapshot for the CURRENT head of `root` (stats must
+    * already be published for it). */
+  private def registrationFor(spark: SparkSession, root: String): Registration = {
     val v = VersionedTable.latestVersion(spark, root)
     val cols = VersionedStats.indexedColumns(spark, root).getOrElse(
       throw new IllegalStateException(s"stats never enabled at $root"))
@@ -80,11 +86,36 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
       FileStats(r.getAs[String]("part"), r.getAs[String]("file_id"),
         cols.map(c => c -> ((r.getAs[Any](s"${c}_min"), r.getAs[Any](s"${c}_max")))).toMap)
     }
-    registry.add(Registration(qualify(spark, dir), dir, schema, colTypes, rows))
-    rows.size
+    Registration(root, qualify(spark, dir), dir, schema, colTypes, rows)
   }
 
-  def clear(): Unit = registry.clear()
+  /** Register the CURRENT version of the versioned table at `root` for
+    * automatic pruning (stats must be published — enable/refresh first),
+    * and keep the registration CURRENT: a commit listener refreshes the
+    * stats incrementally and re-pins the registration at every later
+    * commit to this root (r14 — no manual re-register after DML).
+    * Returns the number of files registered. */
+  def register(spark: SparkSession, root: String): Int = {
+    val reg = registrationFor(spark, root)
+    registry.removeIf(_.root == root)
+    registry.add(reg)
+    VersionedTable.setCommitListener(s"statsprune:$root", (s, r, _) =>
+      // fire only while a registration for this root is live: a clear()ed
+      // rule must not resurrect itself on a later commit
+      if (r == root && registry.asScala.exists(_.root == root)) {
+        VersionedStats.refresh(s, root)
+        val fresh = registrationFor(s, root)
+        registry.removeIf(_.root == root)
+        registry.add(fresh)
+      })
+    reg.files.size
+  }
+
+  def clear(): Unit = {
+    registry.asScala.map(_.root).toSet[String]
+      .foreach(r => VersionedTable.clearCommitListener(s"statsprune:$r"))
+    registry.clear()
+  }
 
   /** Run `body` with the rule attached + enabled, hand back an eagerly
     * materialized copy, and restore the conf (the [[MvRewrite.servingScoped]]

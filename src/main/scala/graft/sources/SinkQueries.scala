@@ -408,6 +408,51 @@ object SinkQueries extends QueryRegistry {
     } finally graft.plans.StatsPrune.clear()
   }
 
+  /** Commit-time RE-registration of the pruning rule (r14, VERDICT r13
+    * #2): the same scenario as [[versionedStatsAuto]], but the
+    * registration happens BEFORE the DML commit and nothing refreshes or
+    * re-registers by hand — the commit listener
+    * [[graft.plans.StatsPrune.register]] installs must refresh the stats
+    * incrementally and re-pin the registration at v2 on its own. A
+    * listener that skipped either half turns the row red two ways: a
+    * stale v1 registration never matches the v2 scan (the pruning plan
+    * assert fails), and the oracle's repaired values exist only in v2. */
+  private def versionedStatsAutoReg(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_vtsar_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+      .withColumn("code", code)
+    VersionedTable.create(s, root, p.repartitionByRange(8, col("code")))
+    require(VersionedStats.enable(s, root, Seq("code")) == 1,
+      "stats must publish for v1")
+    graft.plans.StatsPrune.register(s, root) // BEFORE the mutation
+    try {
+      val maxCode = p.agg(max("code")).head().getLong(0)
+      val lo = maxCode / 10
+      require(VersionedTable.updateWhere(s, root, col("code") <= lo,
+        Map("unitprice" -> col("unitprice") * 2)) == 2, "repair must commit as v2")
+      // NO refresh, NO re-register — the commit hook must have done both
+      val total = Compaction.listFiles(s, VersionedTable.vDir(root, 2)).count()
+      graft.plans.StatsPrune.servingScoped(s) {
+        val q = VersionedTable.read(s, root)
+          .filter(col("code") >= 0L && col("code") <= 2 * lo)
+        val scanned = (q.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case pl => pl
+        }).collectFirst {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+            sc.relation.location.inputFiles.length
+        }
+        require(scanned.exists(_ < total),
+          s"the auto-refreshed registration must prune the v2 read (scanned $scanned of $total)")
+        q.select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+          col("category"))
+      }
+    } finally graft.plans.StatsPrune.clear()
+  }
+
   /** OPTIMIZE ZORDER BY through the versioned protocol, served by the
     * stats index (r13): the product dim committed HASH-SCATTERED at v1
     * (both query dimensions spread across every file — the layout a table
@@ -866,6 +911,17 @@ object SinkQueries extends QueryRegistry {
       SELECT CAST(CAST(stockcode AS BIGINT) + 200000 AS VARCHAR) AS stockcode,
              CAST(unitprice AS DOUBLE) AS unitprice, category, 'new' AS tier
       FROM dim_product WHERE CAST(stockcode AS BIGINT) % 10 = 0"""))),
+
+    QueryDef("sink_versioned_stats_autoreg", versionedStatsAutoReg,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode,
+             CAST(CASE WHEN CAST(stockcode AS BIGINT)
+                            <= (SELECT max(CAST(stockcode AS BIGINT)) // 10 FROM dim_product)
+                       THEN unitprice * 2 ELSE unitprice END AS DOUBLE) AS unitprice,
+             category
+      FROM dim_product
+      WHERE CAST(stockcode AS BIGINT)
+            <= (SELECT 2 * (max(CAST(stockcode AS BIGINT)) // 10) FROM dim_product)"""))),
 
     QueryDef("sink_versioned_stats_auto", versionedStatsAuto,
       Some(graft.oracle.OracleSql.q("""

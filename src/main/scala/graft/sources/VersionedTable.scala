@@ -63,6 +63,65 @@ object VersionedTable {
     try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
     if (fs.exists(c)) fs.delete(c, false)
     fs.rename(tmp, c)
+    writeLogMarker(fs, rootP.toString, v)
+  }
+
+  // ------------------------------------------------------------ commit log
+  // r14 (VERDICT r13 #2/#3): every commit leaves two kinds of evidence
+  // beyond the manifest swap —
+  //  (a) a tiny marker file under <root>/_log naming the committed version:
+  //      the CONSUMABLE version log a Structured Streaming file source can
+  //      watch (the Delta change-data-feed shape; see
+  //      [[graft.olap.IncrementalMv.maintainerStream]]) — markers name
+  //      COMMITTED versions (written after the swap; a crash between swap
+  //      and marker costs one stream wake-up, healed by the next commit
+  //      because the maintainer is span-based, never a lost change);
+  //  (b) an in-process notification to keyed COMMIT LISTENERS — how the
+  //      optimizer-registration layers ([[graft.plans.StatsPrune]] /
+  //      [[graft.plans.MvRewrite]] auto re-registration) stay current
+  //      without the caller re-registering by hand. Listener failures log
+  //      and never fail the commit (it is already durable); the layers are
+  //      ordered so a half-applied listener only ever degrades to a full
+  //      scan, never a wrong answer.
+
+  private[graft] def logDir(root: String) = s"$root/_log"
+
+  private def writeLogMarker(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, v: Int): Unit = {
+    val p = new Path(logDir(root), f"v$v%05d.commit")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private val commitListeners =
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, String, Int) => Unit]()
+
+  /** Install (or replace) the commit listener stored under `key`; it fires
+    * with (session, tableRoot, committedVersion) after every commit from
+    * this process. Keyed so repeated registration of the same concern
+    * (e.g. stats auto-refresh for one root) replaces rather than stacks. */
+  def setCommitListener(key: String,
+      l: (SparkSession, String, Int) => Unit): Unit =
+    commitListeners.put(key, l)
+
+  def clearCommitListener(key: String): Unit = commitListeners.remove(key)
+
+  private def notifyCommit(spark: SparkSession, root: String, v: Int): Unit =
+    commitListeners.forEach { (key, l) =>
+      try l(spark, root, v)
+      catch {
+        case e: Throwable => System.err.println(
+          s"[graft] commit listener $key failed on $root v$v: ${e.getMessage}")
+      }
+    }
+
+  /** The standard tail of every mutating verb: manifest swap + listener
+    * notification. */
+  private def commitVersion(spark: SparkSession, root: String, v: Int): Unit = {
+    val (fs, rootP) = fsOf(spark, root)
+    commit(fs, rootP, v)
+    notifyCommit(spark, root, v)
   }
 
   /** Forward-only `_latest` swap: never regress the published head (a
@@ -150,6 +209,11 @@ object VersionedTable {
           fs.delete(staleSchema, false)
         if (renameNoOverwrite(spark.sessionState.newHadoopConf(), stage, target)) {
           commitForward(fs, rootP, base + 1)
+          // commitForward may skip the swap (a faster writer already moved
+          // _latest past us) — the marker and notification still fire: this
+          // version IS committed, and the log must name every commit
+          writeLogMarker(fs, root, base + 1)
+          notifyCommit(spark, root, base + 1)
           return base + 1
         }
         // lost the race to v(base+1): loop re-reads the head and re-mutates
@@ -263,7 +327,7 @@ object VersionedTable {
     val (fs, rootP) = fsOf(spark, root)
     copySnapshot(spark, fs, vDir(root, latest), dir)
     writeSchemaEntry(fs, root, next, evolved)
-    commit(fs, rootP, next)
+    commitVersion(spark, root, next)
     next
   }
 
@@ -413,7 +477,7 @@ object VersionedTable {
     val out = fs.create(droppedLog(root), true)
     try out.write((all.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    commit(fs, rootP, next)
+    commitVersion(spark, root, next)
     next
   }
 
@@ -424,8 +488,7 @@ object VersionedTable {
     require(next == 1, s"table at $root already exists (latest v${next - 1})")
     val w = df.write
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
-    val (fs, rootP) = fsOf(spark, root)
-    commit(fs, rootP, next)
+    commitVersion(spark, root, next)
     next
   }
 
@@ -458,8 +521,7 @@ object VersionedTable {
     val cur = vDir(root, latest)
     val (next, dir) = nextDir(spark, root)
     Dml.deleteWhere(spark, cur, dir, pred, activeSchema(spark, root, latest))
-    val (fs, rootP) = fsOf(spark, root)
-    commit(fs, rootP, next)
+    commitVersion(spark, root, next)
     next
   }
 
@@ -472,8 +534,7 @@ object VersionedTable {
     Dml.mergeInto(spark, cur, dir, updates, keys, partitionCols,
       activeSchema(spark, root, latest))
     enforceConstraints(spark, root, Some(latest), dir)
-    val (fs, rootP) = fsOf(spark, root)
-    commit(fs, rootP, next)
+    commitVersion(spark, root, next)
     next
   }
 
@@ -493,8 +554,7 @@ object VersionedTable {
     Dml.mergeClauses(spark, cur, dir, source, keys, matched, notMatchedInsert,
       partitionCols, activeSchema(spark, root, latest))
     enforceConstraints(spark, root, Some(latest), dir)
-    val (fs, rootP) = fsOf(spark, root)
-    commit(fs, rootP, next)
+    commitVersion(spark, root, next)
     next
   }
 
@@ -510,8 +570,7 @@ object VersionedTable {
     Dml.updateWhere(spark, cur, dir, pred, assignments,
       activeSchema(spark, root, latest))
     enforceConstraints(spark, root, Some(latest), dir)
-    val (fs, rootP) = fsOf(spark, root)
-    commit(fs, rootP, next)
+    commitVersion(spark, root, next)
     next
   }
 
@@ -531,8 +590,7 @@ object VersionedTable {
     Dml.updateMove(spark, cur, dir, pred, assignments,
       activeSchema(spark, root, latest))
     enforceConstraints(spark, root, Some(latest), dir)
-    val (fs, rootP) = fsOf(spark, root)
-    commit(fs, rootP, next)
+    commitVersion(spark, root, next)
     next
   }
 
@@ -553,8 +611,7 @@ object VersionedTable {
     val (next, dir) = nextDir(spark, root)
     Dml.deleteKeys(spark, cur, dir, tombstones, keys,
       activeSchema(spark, root, latest))
-    val (fs, rootP) = fsOf(spark, root)
-    commit(fs, rootP, next)
+    commitVersion(spark, root, next)
     next
   }
 
@@ -580,8 +637,7 @@ object VersionedTable {
         s.fields.filterNot(f => partCols(f.name)))
     }
     Compaction.compactDir(spark, cur, dir, targetBytes, fileSchema)
-    val (fs, rootP) = fsOf(spark, root)
-    commit(fs, rootP, next)
+    commitVersion(spark, root, next)
     next
   }
 
@@ -624,7 +680,7 @@ object VersionedTable {
     // the new head silently violating it. Throws before the manifest swap,
     // so a violating restore leaves only an invisible staged orphan.
     enforceConstraints(spark, root, None, dir, effectiveSchema(spark, root, next))
-    commit(fs, rootP, next)
+    commitVersion(spark, root, next)
     next
   }
 
@@ -680,7 +736,7 @@ object VersionedTable {
         }.foreach(_.get())
       } finally pool.shutdown()
     }
-    commit(fs, rootP, next)
+    commitVersion(spark, root, next)
     next
   }
 
@@ -746,7 +802,7 @@ object VersionedTable {
     enforceConstraints(spark, root, latest, dir)
     val out = fs.create(batchMarker(dir), true)
     try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
-    commit(fs, rootP, next)
+    commitVersion(spark, root, next)
     Some(next)
   }
 
