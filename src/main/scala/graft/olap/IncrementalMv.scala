@@ -233,6 +233,25 @@ object IncrementalMv extends QueryRegistry {
   def maintainFromVersioned(spark: SparkSession, root: String,
       summaryPath: String, rowKeys: Seq[String], mvKeys: Seq[String],
       rowCount: String, measures: Seq[MeasureSpec],
+      rescanBase: Int => DataFrame): Option[(Int, DataFrame)] =
+    // Serialize per summary path (ADVICE r14): the staged `.tmp` dir and the
+    // delete-dest → rename publish are not safe under concurrent invocation,
+    // and two independent drivers exist (the autoServe commit listener and
+    // maintainerStream's foreachBatch) that a caller may compose over the
+    // same summary. Under the lock the second entrant finds the marker
+    // already at the head and no-ops — the span semantics make serialized
+    // execution equivalent to either order.
+    maintainLocks.computeIfAbsent(summaryPath, _ => new Object).synchronized {
+      maintainFromVersionedLocked(spark, root, summaryPath, rowKeys, mvKeys,
+        rowCount, measures, rescanBase)
+    }
+
+  private val maintainLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def maintainFromVersionedLocked(spark: SparkSession, root: String,
+      summaryPath: String, rowKeys: Seq[String], mvKeys: Seq[String],
+      rowCount: String, measures: Seq[MeasureSpec],
       rescanBase: Int => DataFrame): Option[(Int, DataFrame)] = {
     val dest = new org.apache.hadoop.fs.Path(summaryPath)
     val tmp = new org.apache.hadoop.fs.Path(summaryPath + ".tmp")
@@ -280,19 +299,45 @@ object IncrementalMv extends QueryRegistry {
       rowKeys: Seq[String], mvKeys: Seq[String], rowCount: String,
       measures: Seq[MeasureSpec], rescanBase: Int => DataFrame)(
       register: (SparkSession, Int) => Unit): Unit = {
+    // the shared heal: catch the summary up from the CDC span (change-sized,
+    // idempotent), drop the stale registration(s), re-register at the head —
+    // the 1→2→3 order that makes a mid-way failure degrade to a full scan
+    def heal(s: SparkSession): Unit = {
+      maintainFromVersioned(s, root, summaryPath, rowKeys, mvKeys,
+        rowCount, measures, rescanBase)
+      graft.plans.MvRewrite.unregisterUnder(s, root)
+      register(s, VersionedTable.latestVersion(s, root))
+    }
+    // catch the summary up BEFORE the initial registration (ADVICE r14): if
+    // any commit landed after the summary's last maintain, registering first
+    // would serve the stale summary for the current head — wrong answers,
+    // not a degraded scan. maintainFromVersioned is a no-op when current.
+    maintainFromVersioned(spark, root, summaryPath, rowKeys, mvKeys,
+      rowCount, measures, rescanBase)
     register(spark, VersionedTable.latestVersion(spark, root))
+    // commits from THIS process refresh through the listener; commits from
+    // another process (whose listeners we never see) are caught by the
+    // plan-time head check, which runs the SAME heal when a query scans an
+    // unregistered head (r15, VERDICT r14 #4)
     VersionedTable.setCommitListener(s"mvserve:$root", (s, r, _) =>
-      if (r == root) {
-        maintainFromVersioned(s, root, summaryPath, rowKeys, mvKeys,
-          rowCount, measures, rescanBase)
-        graft.plans.MvRewrite.unregisterUnder(s, root)
-        register(s, VersionedTable.latestVersion(s, root))
-      })
+      if (r == root) heal(s))
+    graft.plans.MvRewrite.setHeadCheck(root, heal)
   }
 
-  /** Detach the [[autoServe]] commit listener for `root` (registrations
-    * already made stay, inert without the MvRewrite enable flag). */
-  def stopAutoServe(root: String): Unit =
+  /** Detach the [[autoServe]] commit listener and plan-time head check for
+    * `root` (registrations already made stay, inert without the MvRewrite
+    * enable flag). */
+  def stopAutoServe(root: String): Unit = {
+    VersionedTable.clearCommitListener(s"mvserve:$root")
+    graft.plans.MvRewrite.clearHeadCheck(root)
+  }
+
+  /** Detach ONLY the commit listener, keeping the plan-time head check —
+    * how a commit from ANOTHER writer process looks to this one (its
+    * in-process listeners never fire; the table head moves anyway). The
+    * cross-process gate row commits DML behind this and requires the next
+    * query to still serve from the summary. */
+  def detachListenerKeepHeadCheck(root: String): Unit =
     VersionedTable.clearCommitListener(s"mvserve:$root")
 
   /** The commit log consumed AS A STREAM (r14, VERDICT r13 #3) — the Delta

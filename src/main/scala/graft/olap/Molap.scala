@@ -529,7 +529,23 @@ object Molap extends QueryRegistry {
     * post-DML numbers (oracle-asserted) — a listener that skipped the
     * refresh serves stale values, one that skipped the re-register leaves
     * a base scan in the plan; both turn the row red. */
-  private def mvAutoServe(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  private def mvAutoServe(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    mvAutoServeScenario(s, dir, crossProcess = false)
+
+  /** Cross-process auto-serve (r15, VERDICT r14 #4): the SAME scenario, but
+    * the DML commit lands with the commit listener DETACHED — how a commit
+    * from another writer process looks to this one (its in-process
+    * listeners never fire; `_latest` moves anyway). The fn REQUIRES the
+    * summary to still be stale after the commit (proving the listener
+    * genuinely never ran), then the serve against the new head must route
+    * to the summary anyway: MvRewrite's plan-time head check sees an
+    * unregistered head scan, runs the heal inline, and the plan + oracle
+    * asserts are identical to the in-process row. */
+  private def mvHeadCheck(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    mvAutoServeScenario(s, dir, crossProcess = true)
+
+  private def mvAutoServeScenario(s: org.apache.spark.sql.SparkSession,
+      dir: String, crossProcess: Boolean): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_mvauto_").toString
     val root = s"$base/t"
     val w = Warehouse(s, dir)
@@ -564,12 +580,19 @@ object Molap extends QueryRegistry {
           counts = Map("totalamount" -> "rev_cnt", "quantity" -> "qty_cnt"))
     }
     try {
+      // cross-process simulation: the foreign writer's commit never fires
+      // THIS process's listeners — only the head check can close the gap
+      if (crossProcess) IncrementalMv.detachListenerKeepHeadCheck(root)
       // the mutation commits — and the commit IS the refresh trigger
       graft.sources.VersionedTable.updateWhere(s, root,
         col("invoiceid").cast("long") % 6 === 0,
         Map("totalamount" -> (col("totalamount") + lit(BigDecimal("1.00")))))
-      require(IncrementalMv.appliedVersion(s, s"$base/summary").contains(2),
-        "the commit listener must have caught the summary up to v2")
+      if (crossProcess)
+        require(IncrementalMv.appliedVersion(s, s"$base/summary").contains(1),
+          "the detached listener must NOT have refreshed the summary")
+      else
+        require(IncrementalMv.appliedVersion(s, s"$base/summary").contains(2),
+          "the commit listener must have caught the summary up to v2")
       graft.plans.MvRewrite.servingScoped(s) {
         val out = s.read.parquet(f"$root/v${2}%05d")
           .groupBy("country")
@@ -578,6 +601,9 @@ object Molap extends QueryRegistry {
           .select(col("country"), col("rev").cast("double").as("revenue"),
             col("avg_amt").cast("double").as("avg_amount"), col("n_rows"))
         requireServedFrom(out, mustScan = "/summary", mustNotScan = "/t/v")
+        if (crossProcess)
+          require(IncrementalMv.appliedVersion(s, s"$base/summary").contains(2),
+            "the plan-time head check must have healed the summary to v2")
         out
       }
     } finally IncrementalMv.stopAutoServe(root)
@@ -600,6 +626,24 @@ object Molap extends QueryRegistry {
       s"a base-table scan survived in the plan: ${scanned.mkString(", ")}")
   }
 
+  /** Shared by `molap_mv_autoserve` and `molap_mv_headcheck` — the two
+    * rows end in the same post-DML state; only the refresh trigger
+    * (in-process listener vs plan-time head check) differs. */
+  private lazy val autoServeOracle: String = q(s"""
+      , mva AS (
+          SELECT coalesce(c.country, 'UNKNOWN') AS country,
+                 CASE WHEN CAST(f.invoiceid AS BIGINT) % 6 = 0
+                      THEN f.totalamount + 1.00 ELSE f.totalamount END AS totalamount
+          FROM fact_sales_elt f
+          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          WHERE f.date_key <> ${graft.FallbackDateKey})
+      SELECT country, CAST(sum(totalamount) AS DOUBLE) AS revenue,
+             CAST((sum(CAST(totalamount * 100 AS BIGINT)) * 10000
+                   + count(totalamount) // 2) // count(totalamount) AS DOUBLE)
+               / 1000000 AS avg_amount,
+             count(*) AS n_rows
+      FROM mva GROUP BY country""")
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("molap_mv_rewrite_join", mvRewriteJoin, Some(q(s"""
       , mvb AS (
@@ -615,20 +659,12 @@ object Molap extends QueryRegistry {
       FROM mvb GROUP BY 1"""))),
 
     // same final state as molap_mv_serve_refreshed — the loop ran itself
-    QueryDef("molap_mv_autoserve", mvAutoServe, Some(q(s"""
-      , mva AS (
-          SELECT coalesce(c.country, 'UNKNOWN') AS country,
-                 CASE WHEN CAST(f.invoiceid AS BIGINT) % 6 = 0
-                      THEN f.totalamount + 1.00 ELSE f.totalamount END AS totalamount
-          FROM fact_sales_elt f
-          LEFT JOIN dim_customer_elt c ON f.customer_key = c.customer_key
-          WHERE f.date_key <> ${graft.FallbackDateKey})
-      SELECT country, CAST(sum(totalamount) AS DOUBLE) AS revenue,
-             CAST((sum(CAST(totalamount * 100 AS BIGINT)) * 10000
-                   + count(totalamount) // 2) // count(totalamount) AS DOUBLE)
-               / 1000000 AS avg_amount,
-             count(*) AS n_rows
-      FROM mva GROUP BY country"""))),
+    QueryDef("molap_mv_autoserve", mvAutoServe, Some(autoServeOracle)),
+
+    // same scenario + oracle, but the commit lands with the listener
+    // detached (a foreign-process write): only the plan-time head check
+    // can heal the serve — stale values or a base scan turn the row red
+    QueryDef("molap_mv_headcheck", mvHeadCheck, Some(autoServeOracle)),
 
     // the decimal avg oracle replicates Spark's exact decimal divide in
     // integer cents, like molap_mv_rewrite_avg's

@@ -128,6 +128,61 @@ object MvRewrite extends Rule[LogicalPlan] {
       r.baseLocation == q || r.baseLocation.startsWith(q + "/"))
   }
 
+  // ------------------------------------------------------- plan-time heal
+  // r15 (VERDICT r14 #4): the commit listener closes staleness for commits
+  // made in THIS process; a commit from another writer process moves the
+  // versioned table's `_latest` without firing it, leaving this process's
+  // registration pinned at the old head — correct but unrouted. The head
+  // check closes that window at PLAN time: when an aggregate scans the
+  // CURRENT head directory of a hooked root and no registration serves it,
+  // the heal thunk (installed by [[graft.olap.IncrementalMv.autoServe]] —
+  // the same maintain→unregister→re-register the listener runs) fires
+  // inline and the match retries, the way a production format's scan
+  // builder reads the serving metadata out of the commit it serves.
+
+  private val headChecks =
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession => Unit]()
+
+  /** Install (or replace) the plan-time heal for the versioned table at
+    * `root`. `heal` must catch the serving summary up and re-register it
+    * against the table's current head. */
+  def setHeadCheck(root: String, heal: SparkSession => Unit): Unit =
+    headChecks.put(root, heal)
+
+  def clearHeadCheck(root: String): Unit = headChecks.remove(root)
+
+  private val healing = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Fire any applicable heal for a scan of `paths`. Trigger is precise:
+    * the scanned location must be EXACTLY a hooked root's current head
+    * directory (one tiny `_latest` read decides) with no registration
+    * already pinning it — a time-travel read of an older version never
+    * heals (nothing to serve it from), and a registered head never re-runs
+    * the heal. Re-entrancy guarded: the heal runs Spark jobs (the CDC
+    * maintain) whose plans pass back through this rule. Failures log and
+    * leave the full scan — correct, never stale. */
+  private def headHeal(paths: Set[String]): Unit = {
+    if (healing.get || headChecks.isEmpty) return
+    headChecks.forEach { (root, heal) =>
+      try {
+        val spark = SparkSession.active
+        val head = graft.sources.VersionedTable.latestVersion(spark, root)
+        val headLoc = qualify(spark, graft.sources.VersionedTable.vDir(root, head))
+        if (paths.contains(headLoc) &&
+            !registry.asScala.exists(_.baseLocation == headLoc)) {
+          healing.set(true)
+          try heal(spark) finally healing.set(false)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] MvRewrite head check failed for $root: ${e.getMessage}")
+      }
+    }
+  }
+
   /** Run an MV-serving scenario with the rewrite enabled and hand back an
     * EAGERLY MATERIALIZED copy of its result, restoring both conf flags to
     * their prior values afterwards (ADVICE r11: a gate row that enabled the
@@ -225,11 +280,13 @@ object MvRewrite extends Rule[LogicalPlan] {
           // path match AND key-filter coverage in ONE predicate (ADVICE
           // r12): find-then-filter made a second registration for the same
           // base — one whose keys DO cover the filter columns — unreachable
-          registry.asScala.find { r =>
+          def find = registry.asScala.find { r =>
             paths.contains(r.baseLocation) &&
               filters.forall(f => f.deterministic &&
                 f.references.forall(a => r.keys(a.name)))
-          }.map(r => (r, filters, lr.outputSet))
+          }
+          find.orElse { headHeal(paths); find }
+            .map(r => (r, filters, lr.outputSet))
         case _ => None
       }
       case _ => None

@@ -417,7 +417,22 @@ object SinkQueries extends QueryRegistry {
     * listener that skipped either half turns the row red two ways: a
     * stale v1 registration never matches the v2 scan (the pruning plan
     * assert fails), and the oracle's repaired values exist only in v2. */
-  private def versionedStatsAutoReg(s: SparkSession, dir: String): DataFrame = {
+  private def versionedStatsAutoReg(s: SparkSession, dir: String): DataFrame =
+    statsAutoRegScenario(s, dir, crossProcess = false)
+
+  /** Cross-process re-registration (r15, VERDICT r14 #4): the same
+    * scenario, but the DML commit lands with the commit listener DETACHED —
+    * a commit from another writer process never fires this process's
+    * listeners; `_latest` moves anyway. The registration is left pinned at
+    * v1, so only [[graft.plans.StatsPrune]]'s plan-time head check (the
+    * scanned location IS the unregistered new head of a live root → run
+    * the refresh+re-pin inline) can make the v2 read prune — the same
+    * plan assert and repaired-values oracle as the in-process row. */
+  private def versionedStatsHeadCheck(s: SparkSession, dir: String): DataFrame =
+    statsAutoRegScenario(s, dir, crossProcess = true)
+
+  private def statsAutoRegScenario(s: SparkSession, dir: String,
+      crossProcess: Boolean): DataFrame = {
     val root = Files.createTempDirectory("graft_sink_vtsar_").toString + "/t"
     val code = col("stockcode").cast("long")
     val p = Warehouse(s, dir).dimProduct
@@ -428,11 +443,13 @@ object SinkQueries extends QueryRegistry {
       "stats must publish for v1")
     graft.plans.StatsPrune.register(s, root) // BEFORE the mutation
     try {
+      if (crossProcess) graft.plans.StatsPrune.detachListenerKeepHeadCheck(root)
       val maxCode = p.agg(max("code")).head().getLong(0)
       val lo = maxCode / 10
       require(VersionedTable.updateWhere(s, root, col("code") <= lo,
         Map("unitprice" -> col("unitprice") * 2)) == 2, "repair must commit as v2")
-      // NO refresh, NO re-register — the commit hook must have done both
+      // NO refresh, NO re-register — the commit hook (or, cross-process,
+      // the plan-time head check) must do both
       val total = Compaction.listFiles(s, VersionedTable.vDir(root, 2)).count()
       graft.plans.StatsPrune.servingScoped(s) {
         val q = VersionedTable.read(s, root)
@@ -828,6 +845,20 @@ object SinkQueries extends QueryRegistry {
         col("unitprice").cast("double").as("unitprice"), col("category"))
   }
 
+  /** Shared by `sink_versioned_stats_autoreg` and
+    * `sink_versioned_stats_headcheck` — identical final state; only the
+    * re-registration trigger (in-process listener vs plan-time head check)
+    * differs. */
+  private lazy val statsRepairOracle: String = graft.oracle.OracleSql.q("""
+      SELECT stockcode,
+             CAST(CASE WHEN CAST(stockcode AS BIGINT)
+                            <= (SELECT max(CAST(stockcode AS BIGINT)) // 10 FROM dim_product)
+                       THEN unitprice * 2 ELSE unitprice END AS DOUBLE) AS unitprice,
+             category
+      FROM dim_product
+      WHERE CAST(stockcode AS BIGINT)
+            <= (SELECT 2 * (max(CAST(stockcode AS BIGINT)) // 10) FROM dim_product)""")
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sink_versioned_timetravel",
       (s, d) => versionedProjection(
@@ -913,15 +944,13 @@ object SinkQueries extends QueryRegistry {
       FROM dim_product WHERE CAST(stockcode AS BIGINT) % 10 = 0"""))),
 
     QueryDef("sink_versioned_stats_autoreg", versionedStatsAutoReg,
-      Some(graft.oracle.OracleSql.q("""
-      SELECT stockcode,
-             CAST(CASE WHEN CAST(stockcode AS BIGINT)
-                            <= (SELECT max(CAST(stockcode AS BIGINT)) // 10 FROM dim_product)
-                       THEN unitprice * 2 ELSE unitprice END AS DOUBLE) AS unitprice,
-             category
-      FROM dim_product
-      WHERE CAST(stockcode AS BIGINT)
-            <= (SELECT 2 * (max(CAST(stockcode AS BIGINT)) // 10) FROM dim_product)"""))),
+      Some(statsRepairOracle)),
+
+    // same scenario + oracle, DML committed with the listener detached (a
+    // foreign-process write): only the plan-time head check can restore
+    // pruning — an unpruned v2 scan or stale values turn the row red
+    QueryDef("sink_versioned_stats_headcheck", versionedStatsHeadCheck,
+      Some(statsRepairOracle)),
 
     QueryDef("sink_versioned_stats_auto", versionedStatsAuto,
       Some(graft.oracle.OracleSql.q("""

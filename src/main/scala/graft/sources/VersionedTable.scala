@@ -111,8 +111,15 @@ object VersionedTable {
     commitListeners.forEach { (key, l) =>
       try l(spark, root, v)
       catch {
-        case e: Throwable => System.err.println(
-          s"[graft] commit listener $key failed on $root v$v: ${e.getMessage}")
+        // NonFatal only (ADVICE r14): an OutOfMemoryError or an interrupt
+        // must propagate, not be swallowed (a caught InterruptedException
+        // would even clear the thread's interrupt flag). The full stack
+        // trace is the diagnostic a silently-degraded serving layer needs —
+        // getMessage alone loses where the auto-refresh failed.
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft] commit listener $key failed on $root v$v: ${e.getMessage}")
+          e.printStackTrace()
       }
     }
 
@@ -170,6 +177,14 @@ object VersionedTable {
     *     it RE-RUNS `mutate` against the new head and tries again (the
     *     semantic retry that makes lost updates impossible, not just
     *     detectable).
+    *
+    * Concurrency contract (ADVICE r14): [[evolve]]/[[dropColumns]] write
+    * their `_schema` log entry BEFORE their commit, and both transact and
+    * the direct verbs clear a stale schema entry for the version they are
+    * about to claim — so a schema-changing verb must NOT run concurrently
+    * with transact (or any other writer) on the same root. Schema changes
+    * are rare administrative operations; run them in the single-writer
+    * window, like every production format's ALTER TABLE.
     *
     * Data work never holds a lock, so non-conflicting writers pay nothing;
     * a conflicting writer pays one re-run of its own mutation. Crash
