@@ -25,6 +25,7 @@ object SparkEntry {
     graft.perf.Perf,
     graft.sources.SinkQueries,
     graft.sources.SqlSurface,
+    graft.sources.SqlDml,
     graft.sources.Compaction,
     graft.streaming.EventOps,
     graft.streaming.IncrementalEtl)

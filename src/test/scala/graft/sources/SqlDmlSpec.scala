@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The SQL DML router — statement structure, alias rewriting, quote-aware
+  * scanning, clause ordering, and the loud rejections at the surface's
+  * deliberate bounds. Semantics of the underlying verbs are DmlSpec /
+  * VersionedTableSpec territory; here each statement is checked to reach
+  * the RIGHT verb with the RIGHT arguments. */
+class SqlDmlSpec extends SparkSpec {
+
+  private def freshProducts(): (String, DataFrame) = {
+    val root = Files.createTempDirectory("graft_sqldml_").toString + "/t"
+    val p = graft.etl.Warehouse(spark, sfDir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(spark, root, p)
+    (root, p)
+  }
+
+  private def code = col("stockcode").cast("long")
+
+  test("DELETE without WHERE empties the table; WHERE applies SQL semantics") {
+    val (root, p) = freshProducts()
+    val t = Map("p" -> root)
+    assert(SqlDml.execute(spark, "DELETE FROM p WHERE CAST(stockcode AS LONG) % 2 = 0", t) == 2)
+    val expect = p.filter(!(code % 2 === 0)).count()
+    assert(VersionedTable.read(spark, root).count() == expect)
+    assert(SqlDml.execute(spark, "DELETE FROM p", t) == 3)
+    assert(VersionedTable.read(spark, root).count() == 0)
+  }
+
+  test("UPDATE with table alias, qualified columns, and old-value semantics") {
+    val (root, p) = freshProducts()
+    val t = Map("p" -> root)
+    // every assignment sees the OLD row: category reads the pre-update price
+    assert(SqlDml.execute(spark,
+      """UPDATE p pr SET unitprice = pr.unitprice * 2,
+         category = concat(pr.category, '_was_', CAST(pr.unitprice AS STRING))
+         WHERE CAST(pr.stockcode AS LONG) % 5 = 0""", t) == 2)
+    val got = VersionedTable.read(spark, root).filter(code % 5 === 0)
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    val want = p.filter(code % 5 === 0).select(col("stockcode"),
+      (col("unitprice") * 2).cast("decimal(12,2)").as("unitprice"),
+      concat(col("category"), lit("_was_"), col("unitprice").cast("string")).as("category"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // untouched rows survive byte-for-byte
+    assert(VersionedTable.read(spark, root).filter(code % 5 =!= 0)
+      .exceptAll(p.filter(code % 5 =!= 0)).isEmpty)
+  }
+
+  test("string literals containing keywords and separators never split the statement") {
+    val (root, p) = freshProducts()
+    val t = Map("p" -> root)
+    assert(SqlDml.execute(spark,
+      """UPDATE p SET category = 'WHERE, AND = THEN (WHEN' WHERE unitprice < 0""",
+      t) == 2)
+    // the predicate matched nothing — the table is unchanged
+    assert(VersionedTable.read(spark, root).filter(
+      col("category") === "WHERE, AND = THEN (WHEN").count() == 0)
+    assert(VersionedTable.read(spark, root).exceptAll(p).isEmpty)
+  }
+
+  test("UPDATE assigning a partition column routes to the row-move verb") {
+    val root = Files.createTempDirectory("graft_sqlmove_").toString + "/t"
+    val events = graft.streaming.EventOps.events(spark, sfDir)
+      .withColumn("ubucket", expr("user_id div 50"))
+    VersionedTable.create(spark, root,
+      events.repartition(col("ubucket")), Seq("ubucket"))
+    assert(SqlDml.execute(spark,
+      """UPDATE events SET user_id = user_id + 100000,
+         ubucket = (user_id + 100000) div 50
+         WHERE user_id % 7 = 0""", Map("events" -> root)) == 2)
+    val back = VersionedTable.read(spark, root)
+    // movers landed in the directory their NEW user_id names
+    assert(back.filter(col("ubucket") =!= expr("user_id div 50")).isEmpty)
+    assert(back.filter(col("user_id") >= 100000L).count() ==
+      events.filter(col("user_id") % 7 === 0).count())
+  }
+
+  test("MERGE: ordered matched clauses (conditional DELETE before UPDATE) and conditional INSERT") {
+    val (root, p) = freshProducts()
+    val t = Map("p" -> root)
+    val source = p.filter(code % 3 === 0)
+      .withColumn("unitprice", (col("unitprice") + lit(BigDecimal("1.00"))).cast("decimal(12,2)"))
+      .unionByName(p.filter(code % 10 === 0)
+        .select((code + 500000).cast("string").as("stockcode"),
+          col("unitprice"), lit("Fresh").as("category")))
+    source.createOrReplaceTempView("sqldml_src")
+    assert(SqlDml.execute(spark, """
+      MERGE INTO p AS t USING sqldml_src AS u ON t.stockcode = u.stockcode
+      WHEN MATCHED AND t.unitprice > 50 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET unitprice = u.unitprice
+      WHEN NOT MATCHED AND u.category = 'Fresh' THEN INSERT *""", t) == 2)
+    val got = VersionedTable.read(spark, root)
+    // matched + expensive → deleted; matched + cheap → re-priced; the rest survive
+    val expensive = p.filter(code % 3 === 0 && col("unitprice") > 50)
+    assert(got.join(expensive, Seq("stockcode"), "left_semi").count() == 0)
+    val repriced = p.filter(code % 3 === 0 && col("unitprice") <= 50)
+    assert(got.join(repriced, Seq("stockcode"), "left_semi").count() == repriced.count())
+    assert(got.filter(col("category") === "Fresh").count() ==
+      p.filter(code % 10 === 0).count())
+    // first-true-clause-wins: repriced rows carry source price +1.00
+    val gotPrices = got.join(repriced.select("stockcode"), Seq("stockcode"), "left_semi")
+      .select(col("stockcode"), col("unitprice"))
+    val wantPrices = repriced.select(col("stockcode"),
+      (col("unitprice") + lit(BigDecimal("1.00"))).cast("decimal(12,2)").as("unitprice"))
+    assert(gotPrices.exceptAll(wantPrices).isEmpty)
+  }
+
+  test("MERGE accepts a parenthesized subquery source and identity INSERT (cols) VALUES") {
+    val (root, p) = freshProducts()
+    val t = Map("p" -> root)
+    p.createOrReplaceTempView("sqldml_base")
+    assert(SqlDml.execute(spark, """
+      MERGE INTO p t
+      USING (SELECT CAST(CAST(stockcode AS LONG) + 900000 AS STRING) AS stockcode,
+                    unitprice, 'Sub' AS category
+             FROM sqldml_base WHERE CAST(stockcode AS LONG) % 100 = 0) s
+      ON t.stockcode = s.stockcode
+      WHEN NOT MATCHED THEN INSERT (stockcode, unitprice, category)
+        VALUES (s.stockcode, s.unitprice, s.category)""", t) == 2)
+    assert(VersionedTable.read(spark, root).filter(col("category") === "Sub").count() ==
+      p.filter(code % 100 === 0).count())
+  }
+
+  test("loud rejections: unknown table, non-identity VALUES, double NOT MATCHED, non-equi ON, non-DML") {
+    val (root, p) = freshProducts()
+    val t = Map("p" -> root)
+    p.createOrReplaceTempView("sqldml_rej")
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.execute(spark, "DELETE FROM nope", t)
+    }.getMessage.contains("unknown table"))
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.execute(spark, """
+        MERGE INTO p t USING sqldml_rej s ON t.stockcode = s.stockcode
+        WHEN NOT MATCHED THEN INSERT (stockcode, unitprice, category)
+          VALUES (s.stockcode, s.unitprice * 2, s.category)""", t)
+    }.getMessage.contains("identity INSERT"))
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.execute(spark, """
+        MERGE INTO p t USING sqldml_rej s ON t.stockcode = s.stockcode
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED THEN INSERT *""", t)
+    }.getMessage.contains("at most one"))
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.execute(spark, """
+        MERGE INTO p t USING sqldml_rej s ON t.stockcode < s.stockcode
+        WHEN NOT MATCHED THEN INSERT *""", t)
+    }.getMessage.contains("equality"))
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.execute(spark, "SELECT 1", t)
+    }.getMessage.contains("not a DML statement"))
+  }
+}
