@@ -26,6 +26,7 @@ object SparkEntry {
     graft.sources.SinkQueries,
     graft.sources.SqlSurface,
     graft.sources.SqlDml,
+    graft.sources.Maintenance,
     graft.sources.Compaction,
     graft.streaming.EventOps,
     graft.streaming.IncrementalEtl)

@@ -38,7 +38,10 @@ object ZOrder {
     * bit `i` of column `j` lands at position `i * n + j`. */
   def zValue(buckets: Seq[Column], bits: Int): Column = {
     val n = buckets.size
-    require(n >= 2, "z-ordering needs at least two columns")
+    // n == 1 degenerates to the column's own bucket rank — linear (sort)
+    // clustering, the single-column OPTIMIZE every production format also
+    // accepts (r15: the maintenance loop clusters on one column)
+    require(n >= 1, "z-ordering needs at least one column")
     require(n * bits <= 63, s"$n columns x $bits bits exceeds a long")
     val terms = for {
       i <- 0 until bits
