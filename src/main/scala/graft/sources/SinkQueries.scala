@@ -845,6 +845,67 @@ object SinkQueries extends QueryRegistry {
         col("unitprice").cast("double").as("unitprice"), col("category"))
   }
 
+  /** The commit log as a GENERIC change-feed stream (r15, VERDICT r14 #7):
+    * [[VersionedTable.changesStream]] hands ANY consumer — here a plain
+    * span collector — the row-level CDC feed of each outstanding version
+    * span as commits land. Three phases, each closing one crash window:
+    *  1. two DML commits (delete mix, merge) land before the first
+    *     catch-up run — which must deliver them as ONE span (1→3], never
+    *     per-commit re-reads;
+    *  2. a commit lands while the stream is DOWN (a price uplift, v4); the
+    *     restart from the SAME checkpoint must resume at the unseen marker
+    *     and deliver exactly the missed span (3→4];
+    *  3. the checkpoint is LOST — the full marker replay must deliver
+    *     NOTHING (the consumer watermark makes the replay a no-op).
+    * The compared output is every delivered span's images tagged
+    * (from_v, to_v); the oracle spells both spans' change images, so a
+    * skipped span, a double-delivered span, or per-commit (non-span)
+    * delivery all hash-mismatch. */
+  private def versionedChangesFeed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_sink_cdcs_").toString
+    val root = s"$base/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(s, root, p)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def run(ckpt: String): Unit = {
+      val q = VersionedTable.changesStream(s, root, Seq("stockcode"),
+        s"$base/state", startAfter = 1) { (from, to, feed) =>
+        val proj = feed.select(col("stockcode"), col("change_type"),
+          col("unitprice").cast("double").as("unitprice"), col("category"),
+          lit(from).as("from_v"), lit(to).as("to_v"))
+        val rows = java.util.Arrays.asList(proj.collect(): _*)
+        spans += s.createDataFrame(rows, proj.schema)
+      }.option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000L)) {
+        q.stop(); throw new IllegalStateException("changes stream did not finish in 300 s")
+      }
+    }
+    // phase 1: v2 (delete mix) + v3 (merge) already committed → ONE span
+    VersionedTable.deleteWhere(s, root, code % 7 === 0)
+    val updates = p.filter(code % 4 === 0 && code % 7 =!= 0)
+      .withColumn("unitprice",
+        (col("unitprice") + lit(BigDecimal("5.00"))).cast("decimal(12,2)"))
+    val inserts = p.filter(code % 10 === 0)
+      .select((code + 100000).cast("string").as("stockcode"),
+        col("unitprice"), lit("New").as("category"))
+    VersionedTable.mergeInto(s, root, updates.unionByName(inserts), Seq("stockcode"))
+    run(s"$base/ckpt")
+    require(spans.size == 1,
+      s"the catch-up must deliver the v1→v3 span in ONE feed (got ${spans.size})")
+    // phase 2: a commit while the stream is down; same checkpoint resumes
+    VersionedTable.updateWhere(s, root, code % 5 === 0,
+      Map("unitprice" -> (col("unitprice") + lit(BigDecimal("2.00")))))
+    run(s"$base/ckpt")
+    require(spans.size == 2, "the restart must deliver exactly the missed v3→v4 span")
+    // phase 3: lost checkpoint — the full marker replay must deliver nothing
+    run(s"$base/ckpt2")
+    require(spans.size == 2, "a full marker replay must be a no-op")
+    spans.reduce(_ unionByName _)
+  }
+
   /** Shared by `sink_versioned_stats_autoreg` and
     * `sink_versioned_stats_headcheck` — identical final state; only the
     * re-registration trigger (in-process listener vs plan-time head check)
@@ -942,6 +1003,52 @@ object SinkQueries extends QueryRegistry {
       SELECT CAST(CAST(stockcode AS BIGINT) + 200000 AS VARCHAR) AS stockcode,
              CAST(unitprice AS DOUBLE) AS unitprice, category, 'new' AS tier
       FROM dim_product WHERE CAST(stockcode AS BIGINT) % 10 = 0"""))),
+
+    QueryDef("stream_versioned_changes_feed", versionedChangesFeed,
+      Some(graft.oracle.OracleSql.q("""
+      , vcf3 AS (
+          SELECT stockcode,
+                 CASE WHEN CAST(stockcode AS BIGINT) % 4 = 0
+                      THEN CAST(unitprice + 5.00 AS DECIMAL(12,2))
+                      ELSE unitprice END AS unitprice,
+                 category
+          FROM dim_product WHERE CAST(stockcode AS BIGINT) % 7 <> 0
+          UNION ALL
+          SELECT CAST(CAST(stockcode AS BIGINT) + 100000 AS VARCHAR) AS stockcode,
+                 unitprice, 'New' AS category
+          FROM dim_product WHERE CAST(stockcode AS BIGINT) % 10 = 0)
+      SELECT stockcode, 'delete' AS change_type,
+             CAST(unitprice AS DOUBLE) AS unitprice, category,
+             1 AS from_v, 3 AS to_v
+      FROM dim_product WHERE CAST(stockcode AS BIGINT) % 7 = 0
+      UNION ALL
+      SELECT stockcode, 'update_preimage' AS change_type,
+             CAST(unitprice AS DOUBLE) AS unitprice, category,
+             1 AS from_v, 3 AS to_v
+      FROM dim_product
+      WHERE CAST(stockcode AS BIGINT) % 4 = 0 AND CAST(stockcode AS BIGINT) % 7 <> 0
+      UNION ALL
+      SELECT stockcode, 'update_postimage' AS change_type,
+             CAST(unitprice + 5.00 AS DOUBLE) AS unitprice, category,
+             1 AS from_v, 3 AS to_v
+      FROM dim_product
+      WHERE CAST(stockcode AS BIGINT) % 4 = 0 AND CAST(stockcode AS BIGINT) % 7 <> 0
+      UNION ALL
+      SELECT CAST(CAST(stockcode AS BIGINT) + 100000 AS VARCHAR) AS stockcode,
+             'insert' AS change_type,
+             CAST(unitprice AS DOUBLE) AS unitprice, 'New' AS category,
+             1 AS from_v, 3 AS to_v
+      FROM dim_product WHERE CAST(stockcode AS BIGINT) % 10 = 0
+      UNION ALL
+      SELECT stockcode, 'update_preimage' AS change_type,
+             CAST(unitprice AS DOUBLE) AS unitprice, category,
+             3 AS from_v, 4 AS to_v
+      FROM vcf3 WHERE CAST(stockcode AS BIGINT) % 5 = 0
+      UNION ALL
+      SELECT stockcode, 'update_postimage' AS change_type,
+             CAST(unitprice + 2.00 AS DOUBLE) AS unitprice, category,
+             3 AS from_v, 4 AS to_v
+      FROM vcf3 WHERE CAST(stockcode AS BIGINT) % 5 = 0"""))),
 
     QueryDef("sink_versioned_stats_autoreg", versionedStatsAutoReg,
       Some(statsRepairOracle)),

@@ -893,6 +893,53 @@ object VersionedTable {
         :+ col("__cf_c.img.*"): _*)
   }
 
+  /** The commit log consumed as a GENERIC change-feed stream (r15, VERDICT
+    * r14 #7) — the Delta-CDF shape for ANY downstream consumer, not just
+    * the MV maintainer: a Structured Streaming file source over the
+    * `<root>/_log` markers wakes `consume(fromV, toV, changes)` with the
+    * row-level [[changes]] feed of the outstanding span whenever commits
+    * land. The consumer's own watermark (a tiny `_applied_version` marker
+    * under `stateDir`, seeded at `startAfter` on first run) makes delivery
+    * SPAN-BASED: however many commits a batch carries — or however many
+    * marker files a lost checkpoint re-delivers — each version span is
+    * handed over exactly once, and a replay finds `to <= from` and no-ops.
+    * The watermark advances AFTER `consume` returns, so a crash inside the
+    * consumer re-delivers its span: at-least-once per span, exactly-once
+    * when `consume` is idempotent — the same contract Structured
+    * Streaming's own `foreachBatch` gives, now carrying row-level change
+    * images instead of raw file contents. Start with a checkpoint +
+    * trigger of the caller's choice. */
+  def changesStream(spark: SparkSession, root: String, keys: Seq[String],
+      stateDir: String, startAfter: Int)
+      (consume: (Int, Int, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.text(logDir(root)).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // markers are wake-ups, not payload: the span is computed from the
+        // consumer watermark and the table head, so ordering/duplication
+        // of marker delivery cannot skip or double-apply a change
+        if (!batch.isEmpty) {
+          val stateP = new Path(stateDir, "_applied_version")
+          val fs = stateP.getFileSystem(spark.sessionState.newHadoopConf())
+          val from =
+            if (!fs.exists(stateP)) startAfter
+            else {
+              val in = fs.open(stateP)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+              finally in.close()
+            }
+          val to = latestVersion(spark, root)
+          if (to > from) {
+            consume(from, to, changes(spark, root, from, to, keys))
+            fs.mkdirs(stateP.getParent)
+            val out = fs.create(stateP, true)
+            try out.write(s"$to\n".getBytes("UTF-8")) finally out.close()
+          }
+        }
+        ()
+      }
+
   /** Retire history: drop every version older than the newest `keep`
     * (readers of dropped versions lose time travel, nothing else), and
     * sweep crashed [[transact]] stage orphans (`.txn_*` dirs a writer died
