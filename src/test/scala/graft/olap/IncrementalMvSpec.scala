@@ -165,6 +165,68 @@ class IncrementalMvSpec extends SparkSpec {
     }
   }
 
+  test("autoServe catches a lagging summary up BEFORE registering it (ADVICE r14)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_imvas_").toString
+    val root = s"$base/t"
+    val t0 = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)).toDF("id", "k", "v")
+    graft.sources.VersionedTable.create(spark, root, t0)
+    IncrementalMv.initSummaryAt(spark, s"$base/s",
+      summarize(t0.select("k", "v")), 1)
+    // a commit lands while NOTHING is auto-serving: the summary lags the head
+    graft.sources.VersionedTable.deleteWhere(spark, root, col("id") === 1L)
+    assert(IncrementalMv.appliedVersion(spark, s"$base/s").contains(1))
+    // autoServe must maintain FIRST — registering the v1 summary for the v2
+    // head would silently serve a value that includes the deleted row
+    var registeredAt = -1
+    IncrementalMv.autoServe(spark, root, s"$base/s",
+      rowKeys = Seq("id"), mvKeys = keys, rowCount = "n_rows",
+      measures = sumOnly, rescanBase = _ => fail("read the base")) {
+      (_, v) => registeredAt = v
+    }
+    try {
+      assert(IncrementalMv.appliedVersion(spark, s"$base/s").contains(2),
+        "the summary must be caught up before the registration")
+      assert(registeredAt == 2)
+      val got = spark.read.parquet(s"$base/s").orderBy("k")
+        .select(col("k"), col("v_sum").cast("long"), col("n_rows"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === Seq(("a", 20L, 1L), ("b", 5L, 1L)))
+    } finally IncrementalMv.stopAutoServe(root)
+  }
+
+  test("concurrent maintainFromVersioned calls serialize per summary path (ADVICE r14)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_imvcc_").toString
+    val root = s"$base/t"
+    val t0 = (1L to 40L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 10L))
+      .toDF("id", "k", "v")
+    graft.sources.VersionedTable.create(spark, root, t0)
+    IncrementalMv.initSummaryAt(spark, s"$base/s",
+      summarize(t0.select("k", "v")), 1)
+    graft.sources.VersionedTable.deleteWhere(spark, root, col("id") % 5 === 0)
+    // the autoServe listener and the maintainer stream are two independent
+    // drivers a caller may compose over one summary: racing them against
+    // the shared .tmp staging path corrupted the publish before the lock
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val results = (1 to 6).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Option[(Int, DataFrame)]] {
+          override def call() = IncrementalMv.maintainFromVersioned(spark, root,
+            s"$base/s", Seq("id"), keys, "n_rows", sumOnly,
+            _ => throw new IllegalStateException("read the base"))
+        })).map(_.get())
+      assert(results.count(_.isDefined) == 1,
+        "exactly one concurrent caller applies the span; the rest no-op")
+    } finally pool.shutdown()
+    val got = spark.read.parquet(s"$base/s").orderBy("k")
+      .select(col("k"), col("v_sum").cast("long"), col("n_rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val survivors = t0.filter(col("id") % 5 =!= 0)
+    val want = survivors.groupBy("k").agg(sum("v").cast("long").as("s"),
+        count(lit(1)).as("n")).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
   test("sum/count-only registration never evaluates the base thunk") {
     val base = Seq(("a", 10L), ("a", 20L), ("b", 5L)).toDF("k", "v")
     // delete the min AND the max of cell a — algebraic partials don't care
