@@ -321,6 +321,7 @@ object Dml {
     *   WHEN MATCHED [AND c1] THEN UPDATE SET … / DELETE   (ordered, first
     *   WHEN MATCHED [AND c2] THEN …                        true clause wins)
     *   WHEN NOT MATCHED [AND c] THEN INSERT
+    *   WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … / DELETE
     * }}}
     * Semantics: a target row with a key match evaluates the matched
     * clauses IN ORDER against (target row, source row) — the first clause
@@ -330,22 +331,31 @@ object Dml {
     * expressions reference target columns by name and source columns via
     * [[src]]. A source row matching NO target key inserts when it passes
     * `notMatchedInsert` (plain source column names; `None` ignores
-    * unmatched source rows). SQL's cardinality rule is enforced: a source
-    * with duplicate keys fails loudly (one target row must never match two
-    * source rows). NULL keys never match, as in SQL.
+    * unmatched source rows). `notMatchedBySource` clauses (r15) apply — in
+    * order, first true wins, independently of the matched list — to TARGET
+    * rows whose key appears nowhere in the source (the "sync to desired
+    * state" half of SQL:2023 / Delta MERGE); their conditions and update
+    * expressions see only target columns. SQL's cardinality rule is
+    * enforced: a source with duplicate keys fails loudly (one target row
+    * must never match two source rows). NULL keys never match, as in SQL.
     *
     * Execution is the same file-selective copy-on-write as every verb
     * here: one semi-join probe finds the files holding matched keys, only
     * those pay decode → left-join(source) → clause fold → re-encode (ONE
-    * job), clean files byte-copy, inserts append partition-routed.
+    * job), clean files byte-copy, inserts append partition-routed. A MERGE
+    * with `notMatchedBySource` clauses necessarily rewrites EVERY file
+    * (any file can hold source-unmatched rows), so the probe is skipped —
+    * the same touched-set widening a production format's merge pays.
     * Returns the `(part, file_id, rewritten)` decision frame. */
   def mergeClauses(spark: SparkSession, dir: String, outDir: String,
       source: DataFrame, keys: Seq[String], matched: Seq[MergeClause],
       notMatchedInsert: Option[Column] = None,
       partitionCols: Seq[String] = Nil,
-      tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+      tableSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      notMatchedBySource: Seq[MergeClause] = Nil): DataFrame = {
     import spark.implicits._
-    require(matched.nonEmpty || notMatchedInsert.nonEmpty, "an empty MERGE")
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
+      notMatchedBySource.nonEmpty, "an empty MERGE")
     // SQL's cardinality rule applies to keys that can MATCH: NULL keys never
     // match a target row (the same function's documented contract), so two
     // NULL-key source rows are legitimate, non-conflicting insert candidates
@@ -356,10 +366,11 @@ object Dml {
         .filter(col("count") > 1).isEmpty,
       "MERGE cardinality violation: source holds duplicate keys")
     val schema = tableSchema.getOrElse(spark.read.parquet(dir).schema)
-    matched.collect { case u: WhenMatchedUpdate => u }.foreach { u =>
-      val unknown = u.set.keySet.filterNot(schema.fieldNames.contains)
-      require(unknown.isEmpty, s"UPDATE assigns unknown columns: ${unknown.mkString(", ")}")
-    }
+    (matched ++ notMatchedBySource).collect { case u: WhenMatchedUpdate => u }
+      .foreach { u =>
+        val unknown = u.set.keySet.filterNot(schema.fieldNames.contains)
+        require(unknown.isEmpty, s"UPDATE assigns unknown columns: ${unknown.mkString(", ")}")
+      }
 
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
@@ -378,15 +389,6 @@ object Dml {
       .withColumn(marker, lit(true))
     val keyCond = keys.map(k => col(k) === col(s"__src_$k")).reduce(_ && _)
 
-    // probe: files holding at least one matched key
-    val affectedRel = readRoot(spark, dir, tableSchema)
-      .withColumn("_probe_file", input_file_name())
-      .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
-      .select(col("_probe_file").as("f")).distinct()
-      .collect()
-      .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
-      .map(_.stripPrefix(rootAbs).stripPrefix("/"))
-      .toSet
     def relOf(part: String, name: String) =
       if (part == ".") name else s"$part/$name"
     def inPath(part: String, name: String) =
@@ -394,24 +396,47 @@ object Dml {
     def outPart(part: String) = if (part == ".") outDir else s"$outDir/$part"
     val files = Compaction.listFiles(spark, dir).collect()
       .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
-    val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
+    // with NOT MATCHED BY SOURCE clauses every file can hold affected
+    // (source-unmatched) rows, so all files rewrite and the probe job is
+    // pure overhead; otherwise probe for files holding at least one
+    // matched key and byte-copy the rest
+    val (hit, clean) =
+      if (notMatchedBySource.nonEmpty) (files, Array.empty[(String, String)])
+      else {
+        val affectedRel = readRoot(spark, dir, tableSchema)
+          .withColumn("_probe_file", input_file_name())
+          .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .select(col("_probe_file").as("f")).distinct()
+          .collect()
+          .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
+          .map(_.stripPrefix(rootAbs).stripPrefix("/"))
+          .toSet
+        files.partition { case (p, n) => affectedRel(relOf(p, n)) }
+      }
 
+    // one ordered clause list: matched clauses fire on key-matched rows,
+    // not-matched-by-source clauses on the rest — disjoint populations, so
+    // a single first-true-clause fold serves both
+    val allClauses: Seq[(MergeClause, Boolean)] =
+      matched.map((_, true)) ++ notMatchedBySource.map((_, false))
     rewriteHits(spark, dir, outDir, hit.toSeq, tableSchema.orElse(Some(schema))) { tgt =>
       val joined = tgt.join(srcRenamed, keyCond, "left_outer")
       val isMatched = col(marker).isNotNull
       // first-true-clause index: 0 = no clause applies (row survives as-is)
-      val clauseIdx = matched.zipWithIndex.foldRight(lit(0)) { case ((c, i), rest) =>
-        when(isMatched && coalesce(c.cond, lit(false)), lit(i + 1)).otherwise(rest)
+      val clauseIdx = allClauses.zipWithIndex.foldRight(lit(0)) {
+        case (((c, onMatched), i), rest) =>
+          when((if (onMatched) isMatched else !isMatched) &&
+            coalesce(c.cond, lit(false)), lit(i + 1)).otherwise(rest)
       }
-      val deleteIdxs = matched.zipWithIndex.collect {
-        case (_: WhenMatchedDelete, i) => i + 1 }
+      val deleteIdxs = allClauses.zipWithIndex.collect {
+        case ((_: WhenMatchedDelete, _), i) => i + 1 }
       val kept =
         if (deleteIdxs.isEmpty) joined.withColumn("__clause", clauseIdx)
         else joined.withColumn("__clause", clauseIdx)
           .filter(!col("__clause").isin(deleteIdxs.map(Integer.valueOf): _*))
       kept.select(schema.fields.map { f =>
-        matched.zipWithIndex.foldRight(col(f.name)) {
-          case ((u: WhenMatchedUpdate, i), rest) if u.set.contains(f.name) =>
+        allClauses.zipWithIndex.foldRight(col(f.name)) {
+          case (((u: WhenMatchedUpdate, _), i), rest) if u.set.contains(f.name) =>
             when(col("__clause") === (i + 1), u.set(f.name).cast(f.dataType))
               .otherwise(rest)
           case (_, rest) => rest

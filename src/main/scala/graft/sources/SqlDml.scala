@@ -1,409 +1,321 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction,
+  DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction,
+  LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction,
+  UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.expressions.{column => toColumn}
+import org.apache.spark.sql.graft.{expressions => bridge}
 
-/** SQL DML surface (r15, VERDICT r14 #2): `UPDATE` / `DELETE` / `MERGE`
-  * statements routed to the versioned table's verbs — the way a warehouse
-  * user actually reaches DML. The reference's own pipelines mutate through
-  * SQL statements (`Iteration 1/Group No.6_ETL.sql:141-194` — `UPDATE
-  * staging.products_clean SET …`, `UPDATE staging.sales_clean sc SET …
-  * WHERE …`), and the engine's whole READ workload is already servable as
-  * verbatim SQL ([[SqlSurface]]); this closes the write half, so every DML
-  * capability — file-selective copy-on-write, constraint enforcement, CDC
-  * feeds, commit listeners, auto-served MVs — is one SQL string away.
+/** SQL DML surface (r15, VERDICT r14 #2): `UPDATE` / `DELETE` / `MERGE` /
+  * `INSERT` statements routed to the versioned table's verbs — the way a
+  * warehouse user actually reaches DML. The reference's own pipelines
+  * mutate through SQL statements (`Iteration 1/Group No.6_ETL.sql:141-194`
+  * — `UPDATE staging.products_clean SET …`, `UPDATE staging.sales_clean sc
+  * SET … WHERE …`), and the engine's whole READ workload is already
+  * servable as verbatim SQL ([[SqlSurface]]); this closes the write half,
+  * so every DML capability — file-selective copy-on-write, constraint
+  * enforcement, CDC feeds, commit listeners, auto-served MVs — is one SQL
+  * string away.
   *
-  * Statement → verb routing (each returns the committed version):
-  *  - `DELETE FROM t [WHERE p]`          → [[VersionedTable.deleteWhere]]
+  * Statements parse through Spark's OWN SQL parser (`parsePlan` — the full
+  * DML grammar, comments, quoting and literal semantics for free); this
+  * file walks the resulting catalyst statement plans
+  * (`UpdateTable` / `DeleteFromTable` / `MergeIntoTable` /
+  * `InsertIntoStatement`) and lowers them onto the verbs, rewriting alias
+  * qualifiers in the UNRESOLVED expression trees (`ta.c` → target column
+  * `c`, `sa.c` → the [[Dml.src]] source reference a matched clause reads).
+  * Unqualified columns in matched clauses are target columns, as in SQL
+  * MERGE. Statement → verb routing (each returns the committed version):
+  *
+  *  - `DELETE FROM t [alias] [WHERE p]`   → [[VersionedTable.deleteWhere]]
   *  - `UPDATE t [alias] SET a = e, … [WHERE p]`
   *      → [[VersionedTable.updateWhere]], or [[VersionedTable.updateMove]]
   *        automatically when an assignment touches a partition column (the
   *        row-move form `updateWhere` rejects by contract)
+  *  - `INSERT INTO t [(cols)] SELECT …|VALUES …` / `INSERT OVERWRITE t …`
+  *      → [[VersionedTable.insertInto]] (column-list and `BY NAME` forms
+  *        align by name with null-fill; the bare form maps positionally)
   *  - `MERGE INTO t [AS] ta USING src|(subquery) [AS] sa ON ta.k = sa.k [AND …]
-  *     WHEN MATCHED [AND c] THEN UPDATE SET … | DELETE   (ordered)
-  *     WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (sa.cols)`
+  *     WHEN MATCHED [AND c] THEN UPDATE SET …|* | DELETE      (ordered)
+  *     WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (sa.cols)
+  *     WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE`
   *      → [[VersionedTable.mergeClauses]] (partition columns auto-derived
   *        from the head snapshot's layout so inserts route correctly)
   *
   * Table names resolve through the caller's `tables` map (name →
-  * versioned-table root) — the engine's catalog surface; a MERGE source
-  * name not in the map resolves as a session view (`spark.table`), and a
-  * parenthesized source runs as a subquery. Expressions are parsed by
-  * Spark's OWN SQL parser (`parseExpression` — full function surface,
-  * correct literal/quote semantics for free); this file only splits the
-  * STATEMENT structure, with a quote/paren-aware scanner, and rewrites
-  * alias qualifiers (`ta.c` → target column `c`, `sa.c` → the
-  * [[Dml.src]] source reference a matched clause reads). Unqualified
-  * columns in matched clauses are target columns, as in SQL MERGE.
+  * versioned-table root) — the engine's catalog surface. Inside a MERGE
+  * subquery source or an INSERT's SELECT, relation names in the map
+  * substitute to the versioned table's CURRENT snapshot (so a statement
+  * can read the very table it mutates — the read pins to the pre-commit
+  * version, exactly a production format's snapshot isolation); other
+  * names resolve as session views.
   *
   * Deliberate bounds (each fails loudly, never silently re-interprets):
   * MERGE keys must be same-named equi-columns (the verb's contract);
-  * `INSERT` must be the identity mapping (`*`, or every VALUES item the
-  * same-named source column — project the source subquery for anything
-  * else); one `WHEN NOT MATCHED` clause; no `UPDATE … FROM` (that join
-  * shape IS `MERGE`).
+  * `INSERT` inside MERGE must be the identity mapping (`*`, or every
+  * VALUES item the same-named source column — project the USING subquery
+  * for anything else); one `WHEN NOT MATCHED` clause; nested-field
+  * assignment, static `PARTITION` specs, and `MERGE … WITH SCHEMA
+  * EVOLUTION` are rejected; no `UPDATE … FROM` (that join shape IS
+  * `MERGE`).
   */
 object SqlDml extends graft.QueryRegistry {
 
   /** Execute one DML statement against the versioned tables in `tables`
     * (logical name → table root). Returns the committed version. */
   def execute(spark: SparkSession, sql: String,
-      tables: Map[String, String]): Int = {
-    val c = new Cursor(sql)
-    val v =
-      if (c.tryKeywords("UPDATE")) executeUpdate(spark, c, tables)
-      else if (c.tryKeywords("DELETE")) executeDelete(spark, c, tables)
-      else if (c.tryKeywords("MERGE")) executeMerge(spark, c, tables)
-      else throw new IllegalArgumentException(
-        s"not a DML statement (expected UPDATE/DELETE/MERGE): ${sql.trim.take(60)}")
-    v
-  }
+      tables: Map[String, String]): Int =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case UpdateTable(target, assignments, condition) =>
+        executeUpdate(spark, target, assignments, condition, tables)
+      case DeleteFromTable(target, condition) =>
+        executeDelete(spark, target, condition, tables)
+      case m: MergeIntoTable => executeMerge(spark, m, tables)
+      case i: InsertIntoStatement => executeInsert(spark, i, tables)
+      case other => throw new IllegalArgumentException(
+        s"not a DML statement (expected UPDATE/DELETE/MERGE/INSERT, parsed " +
+          s"${other.nodeName}): ${sql.trim.take(60)}")
+    }
 
-  // ------------------------------------------------------------ statements
+  // ------------------------------------------------------------- resolution
 
   private def rootOf(tables: Map[String, String], name: String): String =
     tables.getOrElse(name, throw new IllegalArgumentException(
       s"unknown table '$name' (registered: ${tables.keys.toSeq.sorted.mkString(", ")})"))
 
-  /** Partition columns of the head snapshot's directory layout. */
-  private def partColsOf(spark: SparkSession, root: String): Seq[String] = {
-    val latest = VersionedTable.latestVersion(spark, root)
-    Compaction.listFiles(spark, VersionedTable.vDir(root, latest)).collect()
-      .map(_.getAs[String]("part")).find(_ != ".").toSeq
-      .flatMap(_.split("/").toSeq).map(_.split("=", 2)(0))
+  /** A statement's target/source relation: its dotted name plus the set of
+    * qualifier spellings its expressions may use — the alias when one is
+    * declared (which, as in SQL, then hides the table name), else the
+    * table name itself. */
+  private final case class Rel(name: String, quals: Set[String])
+
+  private def relOf(plan: LogicalPlan): Rel = plan match {
+    case SubqueryAlias(id, child) => Rel(relOf(child).name, Set(id.name.toLowerCase))
+    case r: UnresolvedRelation =>
+      val dotted = r.multipartIdentifier.mkString(".")
+      Rel(dotted, Set(r.multipartIdentifier.last.toLowerCase, dotted.toLowerCase))
+    case other => throw new IllegalArgumentException(
+      s"unsupported DML target shape: ${other.nodeName}")
   }
 
-  private def executeDelete(spark: SparkSession, c: Cursor,
-      tables: Map[String, String]): Int = {
-    c.expectKeywords("FROM")
-    val root = rootOf(tables, c.ident())
-    val alias = if (c.atKeyword("WHERE") || c.eof) None else Some(c.ident())
-    val pred =
-      if (c.tryKeywords("WHERE")) parseScalar(spark, c.rest(), alias, None)
-      else lit(true)
-    VersionedTable.deleteWhere(spark, root, pred)
+  /** A bare relation name: the versioned table it maps to, else a session
+    * view/table. */
+  private def resolveRelation(spark: SparkSession, name: String,
+      tables: Map[String, String]): DataFrame =
+    tables.get(name).map(VersionedTable.read(spark, _))
+      .getOrElse(spark.table(name))
+
+  /** Substitute every versioned-table name in a parsed sub-plan with the
+    * current snapshot's read, then analyze — how an INSERT's SELECT or a
+    * MERGE subquery reads the engine's own tables. */
+  private def dataFrameOf(spark: SparkSession, plan: LogicalPlan,
+      tables: Map[String, String]): DataFrame = {
+    val substituted = plan.transformUp {
+      case r: UnresolvedRelation
+          if tables.contains(r.multipartIdentifier.mkString(".")) =>
+        bridge.plan(VersionedTable.read(spark,
+          tables(r.multipartIdentifier.mkString("."))))
+    }
+    bridge.ofRows(spark, substituted)
   }
 
-  private def executeUpdate(spark: SparkSession, c: Cursor,
-      tables: Map[String, String]): Int = {
-    val root = rootOf(tables, c.ident())
-    val alias = if (c.atKeyword("SET")) None else Some(c.ident())
-    c.expectKeywords("SET")
-    val setText = c.until("WHERE")
-    val pred =
-      if (c.tryKeywords("WHERE")) parseScalar(spark, c.rest(), alias, None)
-      else lit(true)
-    val assigns = splitTopLevel(setText, ',').map { a =>
-      val eq = topLevelIndexOf(a, '=')
-      require(eq > 0, s"malformed assignment: $a")
-      val target = stripQualifier(a.take(eq).trim, alias)
-      target -> parseScalar(spark, a.drop(eq + 1), alias, None)
+  // ----------------------------------------------------------- expressions
+
+  /** Rewrite alias qualifiers in a parsed (unresolved) expression:
+    * qualifiers in `bareQuals` strip to the bare column (the side whose
+    * rows the expression runs over), qualifiers in `srcQuals` become the
+    * [[Dml.src]] `__src_` reference; any other qualifier fails loudly.
+    * Unqualified names pass through. */
+  private def rewriteExpr(e: Expression, bareQuals: Set[String],
+      srcQuals: Set[String]): Column =
+    bridge.column(e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 =>
+        val q = a.nameParts.init.mkString(".").toLowerCase
+        if (bareQuals(q)) UnresolvedAttribute(Seq(a.nameParts.last))
+        else if (srcQuals(q)) UnresolvedAttribute(Seq(s"__src_${a.nameParts.last}"))
+        else throw new IllegalArgumentException(
+          s"unknown or disallowed qualifier '${a.nameParts.init.mkString(".")}' in: ${e.sql}")
+    })
+
+  private def condColumn(cond: Option[Expression], bareQuals: Set[String],
+      srcQuals: Set[String]): Column =
+    cond.map(rewriteExpr(_, bareQuals, srcQuals)).getOrElse(lit(true))
+
+  /** An assignment's target column name — a bare or target-qualified
+    * attribute; nested fields are out of the verbs' contract. */
+  private def assignName(key: Expression, tgtQuals: Set[String]): String = key match {
+    case a: UnresolvedAttribute if a.nameParts.length == 1 => a.nameParts.head
+    case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+        tgtQuals(a.nameParts.head.toLowerCase) => a.nameParts(1)
+    case other => throw new IllegalArgumentException(
+      s"unsupported assignment target (nested fields are not supported): ${other.sql}")
+  }
+
+  private def assignMap(assignments: Seq[Assignment], tgtQuals: Set[String],
+      srcQuals: Set[String]): Map[String, Column] =
+    assignments.map { case Assignment(k, v) =>
+      assignName(k, tgtQuals) -> rewriteExpr(v, tgtQuals, srcQuals)
     }.toMap
+
+  /** The ON condition's conjuncts → the merge keys they name. The verb's
+    * contract is same-named equi-keys; both `ta.k = sa.k` orders are
+    * accepted, as is bare `k = k`. */
+  private def keysOf(cond: Expression, tgtQuals: Set[String],
+      srcQuals: Set[String]): Seq[String] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def side(e: Expression): Option[(Option[String], String)] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some((None, a.nameParts.head))
+      case a: UnresolvedAttribute if a.nameParts.length >= 2 =>
+        Some((Some(a.nameParts.init.mkString(".").toLowerCase), a.nameParts.last))
+      case _ => None
+    }
+    conjuncts(cond).map {
+      case EqualTo(l, r) =>
+        (side(l), side(r)) match {
+          case (Some((ql, nl)), Some((qr, nr))) if nl.equalsIgnoreCase(nr) &&
+              Seq(ql, qr).flatten.forall(q => tgtQuals(q) || srcQuals(q)) => nl
+          case _ => throw new IllegalArgumentException(
+            s"MERGE ON conjunct must be a same-named equi-key (ta.k = sa.k): ${cond.sql}")
+        }
+      case c => throw new IllegalArgumentException(
+        s"MERGE ON conjunct must be an equality: ${c.sql}")
+    }
+  }
+
+  // ------------------------------------------------------------ statements
+
+  private def executeDelete(spark: SparkSession, target: LogicalPlan,
+      condition: Expression, tables: Map[String, String]): Int = {
+    val rel = relOf(target)
+    val root = rootOf(tables, rel.name)
+    VersionedTable.deleteWhere(spark, root,
+      rewriteExpr(condition, rel.quals, Set.empty))
+  }
+
+  private def executeUpdate(spark: SparkSession, target: LogicalPlan,
+      assignments: Seq[Assignment], condition: Option[Expression],
+      tables: Map[String, String]): Int = {
+    val rel = relOf(target)
+    val root = rootOf(tables, rel.name)
+    val assigns = assignMap(assignments, rel.quals, Set.empty)
+    val pred = condColumn(condition, rel.quals, Set.empty)
     // an assignment touching a partition column is a row MOVE — route to
     // the verb built for it instead of failing updateWhere's contract check
-    val parts = partColsOf(spark, root).toSet
+    val parts = VersionedTable.partitionColumns(spark, root).toSet
     if (assigns.keySet.exists(parts))
       VersionedTable.updateMove(spark, root, pred, assigns)
     else VersionedTable.updateWhere(spark, root, pred, assigns)
   }
 
-  private def executeMerge(spark: SparkSession, c: Cursor,
+  private def executeMerge(spark: SparkSession, m: MergeIntoTable,
       tables: Map[String, String]): Int = {
-    c.expectKeywords("INTO")
-    val root = rootOf(tables, c.ident())
-    c.tryKeywords("AS")
-    val tgtAlias = if (c.atKeyword("USING")) None else Some(c.ident())
-    c.expectKeywords("USING")
-    val source: DataFrame =
-      if (c.atChar('(')) spark.sql(c.balanced())
+    require(!m.withSchemaEvolution,
+      "MERGE … WITH SCHEMA EVOLUTION is not supported — evolve() first")
+    val tgt = relOf(m.targetTable)
+    val root = rootOf(tables, tgt.name)
+    val (source, srcQuals) = m.sourceTable match {
+      case SubqueryAlias(id, r: UnresolvedRelation) =>
+        (resolveRelation(spark, r.multipartIdentifier.mkString("."), tables),
+          Set(id.name.toLowerCase))
+      case r: UnresolvedRelation =>
+        val dotted = r.multipartIdentifier.mkString(".")
+        (resolveRelation(spark, dotted, tables),
+          Set(r.multipartIdentifier.last.toLowerCase, dotted.toLowerCase))
+      case SubqueryAlias(id, sub) =>
+        (dataFrameOf(spark, sub, tables), Set(id.name.toLowerCase))
+      case sub => (dataFrameOf(spark, sub, tables), Set.empty[String])
+    }
+    val keys = keysOf(m.mergeCondition, tgt.quals, srcQuals)
+
+    val targetCols = VersionedTable.read(spark, root).columns.toSeq
+    val matched: Seq[Dml.MergeClause] = m.matchedActions.map {
+      case d: DeleteAction =>
+        Dml.WhenMatchedDelete(condColumn(d.condition, tgt.quals, srcQuals))
+      case u: UpdateStarAction =>
+        // UPDATE SET * — every target column takes the same-named source
+        // column, the star form of an identity assignment list
+        Dml.WhenMatchedUpdate(condColumn(u.condition, tgt.quals, srcQuals),
+          targetCols.map(c => c -> Dml.src(c)).toMap)
+      case u: UpdateAction =>
+        Dml.WhenMatchedUpdate(condColumn(u.condition, tgt.quals, srcQuals),
+          assignMap(u.assignments, tgt.quals, srcQuals))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN MATCHED action: ${other.getClass.getSimpleName}")
+    }
+
+    require(m.notMatchedActions.length <= 1, "at most one WHEN NOT MATCHED clause")
+    // NOT MATCHED clauses run over SOURCE rows: source qualifiers strip to
+    // the bare source column, target qualifiers are meaningless there
+    val notMatched: Option[Column] = m.notMatchedActions.headOption.map {
+      case ins: InsertStarAction => condColumn(ins.condition, srcQuals, Set.empty)
+      case ins: InsertAction =>
+        ins.assignments.foreach { case Assignment(k, v) =>
+          val colName = assignName(k, srcQuals ++ tgt.quals)
+          val srcName = v match {
+            case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.nameParts.head)
+            case a: UnresolvedAttribute if a.nameParts.length >= 2 &&
+                srcQuals(a.nameParts.init.mkString(".").toLowerCase) =>
+              Some(a.nameParts.last)
+            case _ => None
+          }
+          require(srcName.exists(_.equalsIgnoreCase(colName)),
+            s"only identity INSERT is supported — each VALUES item must be " +
+              s"the same-named source column (got $colName = ${v.sql}); " +
+              s"project the USING subquery instead")
+          require(source.columns.exists(_.equalsIgnoreCase(colName)),
+            s"INSERT names a column absent from the source: $colName")
+        }
+        condColumn(ins.condition, srcQuals, Set.empty)
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED action: ${other.getClass.getSimpleName}")
+    }
+
+    // NOT MATCHED BY SOURCE clauses run over source-unmatched TARGET rows:
+    // target columns only — a source reference has no row to read
+    val notMatchedBySource: Seq[Dml.MergeClause] = m.notMatchedBySourceActions.map {
+      case d: DeleteAction =>
+        Dml.WhenMatchedDelete(condColumn(d.condition, tgt.quals, Set.empty))
+      case u: UpdateAction =>
+        Dml.WhenMatchedUpdate(condColumn(u.condition, tgt.quals, Set.empty),
+          assignMap(u.assignments, tgt.quals, Set.empty))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action: ${other.getClass.getSimpleName}")
+    }
+
+    VersionedTable.mergeClauses(spark, root, source, keys, matched, notMatched,
+      VersionedTable.partitionColumns(spark, root), notMatchedBySource)
+  }
+
+  private def executeInsert(spark: SparkSession, i: InsertIntoStatement,
+      tables: Map[String, String]): Int = {
+    val rel = relOf(i.table)
+    val root = rootOf(tables, rel.name)
+    require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
+      "static PARTITION clauses are not supported — rows route by the table's own layout")
+    val q = dataFrameOf(spark, i.query, tables)
+    val mapped =
+      if (i.userSpecifiedCols.nonEmpty) {
+        require(q.columns.length == i.userSpecifiedCols.length,
+          s"INSERT column list names ${i.userSpecifiedCols.length} columns " +
+            s"but the query produces ${q.columns.length}")
+        q.toDF(i.userSpecifiedCols: _*)
+      } else if (i.byName) q
       else {
-        val name = c.ident()
-        tables.get(name).map(VersionedTable.read(spark, _))
-          .getOrElse(spark.table(name))
+        val tableCols = VersionedTable.read(spark, root).columns.toSeq
+        require(q.columns.length == tableCols.length,
+          s"positional INSERT needs ${tableCols.length} columns " +
+            s"(table ${rel.name}), got ${q.columns.length}")
+        q.toDF(tableCols: _*)
       }
-    c.tryKeywords("AS")
-    val srcAlias = if (c.atKeyword("ON")) None else Some(c.ident())
-    c.expectKeywords("ON")
-    val onText = c.until("WHEN")
-    val keys = splitTopLevelKeyword(onText, "AND").map(
-      keyOf(spark, _, tgtAlias, srcAlias))
-
-    var matched = List.empty[Dml.MergeClause]
-    var notMatched: Option[Column] = None
-    while (!c.eof) {
-      if (c.tryKeywords("WHEN", "NOT", "MATCHED")) {
-        require(notMatched.isEmpty, "at most one WHEN NOT MATCHED clause")
-        val cond =
-          if (c.tryKeywords("AND"))
-            parseScalar(spark, c.until("THEN"), srcAlias, None)
-          else lit(true)
-        c.expectKeywords("THEN", "INSERT")
-        parseInsertShape(spark, c, srcAlias, source)
-        notMatched = Some(cond)
-      } else {
-        c.expectKeywords("WHEN", "MATCHED")
-        val cond =
-          if (c.tryKeywords("AND"))
-            parseScalar(spark, c.until("THEN"), tgtAlias, srcAlias)
-          else lit(true)
-        c.expectKeywords("THEN")
-        if (c.tryKeywords("DELETE"))
-          matched :+= Dml.WhenMatchedDelete(cond)
-        else {
-          c.expectKeywords("UPDATE", "SET")
-          val setText = c.until("WHEN")
-          val set = splitTopLevel(setText, ',').map { a =>
-            val eq = topLevelIndexOf(a, '=')
-            require(eq > 0, s"malformed assignment: $a")
-            stripQualifier(a.take(eq).trim, tgtAlias) ->
-              parseScalar(spark, a.drop(eq + 1), tgtAlias, srcAlias)
-          }.toMap
-          matched :+= Dml.WhenMatchedUpdate(cond, set)
-        }
-      }
-    }
-    VersionedTable.mergeClauses(spark, root, source, keys, matched,
-      notMatched, partColsOf(spark, root))
-  }
-
-  /** `INSERT *`, or `INSERT (cols) VALUES (src.cols)` restricted to the
-    * identity mapping [[Dml.mergeClauses]] implements (source rows cast to
-    * the target schema by NAME) — anything else must be projected into the
-    * source subquery, and saying so beats silently reordering columns. */
-  private def parseInsertShape(spark: SparkSession, c: Cursor,
-      srcAlias: Option[String], source: DataFrame): Unit = {
-    if (c.tryChar('*')) return
-    require(c.atChar('('), "INSERT needs * or a (column list)")
-    val cols = splitTopLevel(c.balanced(), ',').map(_.trim)
-    c.expectKeywords("VALUES")
-    require(c.atChar('('), "VALUES needs a parenthesized list")
-    val vals = splitTopLevel(c.balanced(), ',')
-      .map(v => stripQualifier(v.trim, srcAlias))
-    require(cols == vals,
-      s"only identity INSERT is supported — each VALUES item must be the " +
-        s"same-named source column (got (${cols.mkString(",")}) VALUES " +
-        s"(${vals.mkString(",")})); project the USING subquery instead")
-    val missing = cols.filterNot(source.columns.contains)
-    require(missing.isEmpty, s"INSERT names absent from the source: ${missing.mkString(", ")}")
-  }
-
-  // ----------------------------------------------------------- expressions
-
-  /** Parse one scalar expression with Spark's SQL parser, rewriting alias
-    * qualifiers: `tgt.c` → target column `c`, `src.c` → the [[Dml.src]]
-    * reference. Unqualified names pass through (target columns, per SQL
-    * MERGE; for UPDATE/DELETE there is no source side at all). */
-  private def parseScalar(spark: SparkSession, text: String,
-      tgtAlias: Option[String], srcAlias: Option[String]): Column = {
-    val parsed = spark.sessionState.sqlParser.parseExpression(text)
-    toColumn(parsed.transformUp {
-      case a: UnresolvedAttribute if a.nameParts.length == 2 =>
-        val q = a.nameParts.head
-        if (srcAlias.exists(_.equalsIgnoreCase(q)))
-          UnresolvedAttribute(Seq(s"__src_${a.nameParts(1)}"))
-        else if (tgtAlias.exists(_.equalsIgnoreCase(q)))
-          UnresolvedAttribute(Seq(a.nameParts(1)))
-        else throw new IllegalArgumentException(
-          s"unknown qualifier '$q' in: $text")
-    })
-  }
-
-  /** One ON conjunct → the merge key it names. The verb's contract is
-    * same-named equi-keys; both `ta.k = sa.k` orders are accepted, as is
-    * bare `k = k`. */
-  private def keyOf(spark: SparkSession, conjunct: String,
-      tgtAlias: Option[String], srcAlias: Option[String]): String = {
-    def side(e: Expression): Option[(Option[String], String)] = e match {
-      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
-        Some((None, a.nameParts.head))
-      case a: UnresolvedAttribute if a.nameParts.length == 2 =>
-        Some((Some(a.nameParts.head), a.nameParts(1)))
-      case _ => None
-    }
-    spark.sessionState.sqlParser.parseExpression(conjunct) match {
-      case EqualTo(l, r) =>
-        (side(l), side(r)) match {
-          case (Some((ql, nl)), Some((qr, nr))) if nl.equalsIgnoreCase(nr) &&
-              Seq(ql, qr).forall(q => q.isEmpty ||
-                tgtAlias.exists(q.get.equalsIgnoreCase) ||
-                srcAlias.exists(q.get.equalsIgnoreCase)) => nl
-          case _ => throw new IllegalArgumentException(
-            s"MERGE ON conjunct must be a same-named equi-key (ta.k = sa.k): $conjunct")
-        }
-      case _ => throw new IllegalArgumentException(
-        s"MERGE ON conjunct must be an equality: $conjunct")
-    }
-  }
-
-  private def stripQualifier(name: String, alias: Option[String]): String = {
-    val n = name.stripPrefix("`").stripSuffix("`")
-    alias match {
-      case Some(a) if n.length > a.length + 1 &&
-          n.regionMatches(true, 0, a, 0, a.length) && n(a.length) == '.' =>
-        n.drop(a.length + 1)
-      case _ => n
-    }
-  }
-
-  // -------------------------------------------------- quote-aware scanning
-  // The statement splitter never interprets expression CONTENT — it only
-  // finds top-level structure boundaries (keywords, commas, '=' and
-  // balanced parens) outside quotes, then hands each span to Spark's
-  // parser. Quote handling covers '…' (with '' doubling), "…" and `…`.
-
-  private def scanStep(s: String, i0: Int): Int = s(i0) match {
-    case q @ ('\'' | '"' | '`') =>
-      var i = i0 + 1
-      while (i < s.length && s(i) != q) i += 1
-      i + 1 // past the close (a doubled '' reopens at the next scan step)
-    case _ => i0 + 1
-  }
-
-  /** Index of the first top-level `ch` (depth 0, outside quotes), or -1. */
-  private def topLevelIndexOf(s: String, ch: Char): Int = {
-    var i = 0; var depth = 0
-    while (i < s.length) {
-      s(i) match {
-        case '(' => depth += 1; i += 1
-        case ')' => depth -= 1; i += 1
-        case c if depth == 0 && c == ch => return i
-        case '\'' | '"' | '`' => i = scanStep(s, i)
-        case _ => i += 1
-      }
-    }
-    -1
-  }
-
-  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var start = 0; var i = 0; var depth = 0
-    while (i < s.length) {
-      s(i) match {
-        case '(' => depth += 1; i += 1
-        case ')' => depth -= 1; i += 1
-        case c if depth == 0 && c == sep =>
-          out += s.substring(start, i); start = i + 1; i += 1
-        case '\'' | '"' | '`' => i = scanStep(s, i)
-        case _ => i += 1
-      }
-    }
-    out += s.substring(start)
-    out.result().map(_.trim).filter(_.nonEmpty)
-  }
-
-  private def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
-
-  private def keywordAt(s: String, i: Int, kw: String): Boolean =
-    s.regionMatches(true, i, kw, 0, kw.length) &&
-      (i == 0 || !isWordChar(s(i - 1))) &&
-      (i + kw.length >= s.length || !isWordChar(s(i + kw.length)))
-
-  /** First top-level word-boundary occurrence of `kw`, or -1. */
-  private def topLevelKeywordIndex(s: String, kw: String, from: Int = 0): Int = {
-    var i = from; var depth = 0
-    while (i < s.length) {
-      s(i) match {
-        case '(' => depth += 1; i += 1
-        case ')' => depth -= 1; i += 1
-        case '\'' | '"' | '`' => i = scanStep(s, i)
-        case _ =>
-          if (depth == 0 && keywordAt(s, i, kw)) return i
-          i += 1
-      }
-    }
-    -1
-  }
-
-  /** Split on a top-level KEYWORD separator (`AND` between ON conjuncts). */
-  private def splitTopLevelKeyword(s: String, kw: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var start = 0
-    var at = topLevelKeywordIndex(s, kw)
-    while (at >= 0) {
-      out += s.substring(start, at)
-      start = at + kw.length
-      at = topLevelKeywordIndex(s, kw, start)
-    }
-    out += s.substring(start)
-    out.result().map(_.trim).filter(_.nonEmpty)
-  }
-
-  /** Statement cursor: consumes keywords/identifiers/balanced chunks and
-    * top-level spans. */
-  private final class Cursor(s: String) {
-    private var i = 0
-    private def skipWs(): Unit =
-      while (i < s.length && s(i).isWhitespace) i += 1
-    def eof: Boolean = { skipWs(); i >= s.length }
-    def rest(): String = { skipWs(); val r = s.substring(i); i = s.length; r }
-
-    def atChar(c: Char): Boolean = { skipWs(); i < s.length && s(i) == c }
-    def tryChar(c: Char): Boolean =
-      if (atChar(c)) { i += 1; true } else false
-
-    def atKeyword(kw: String): Boolean = { skipWs(); keywordAt(s, i, kw) }
-
-    def tryKeywords(kws: String*): Boolean = {
-      val save = i
-      val ok = kws.forall { kw =>
-        skipWs()
-        if (keywordAt(s, i, kw)) { i += kw.length; true } else false
-      }
-      if (!ok) i = save
-      ok
-    }
-
-    def expectKeywords(kws: String*): Unit =
-      require(tryKeywords(kws: _*),
-        s"expected ${kws.mkString(" ")} at: ${s.substring(math.min(i, s.length)).take(50)}")
-
-    def ident(): String = {
-      skipWs()
-      val start = i
-      if (i < s.length && s(i) == '`') {
-        i += 1
-        while (i < s.length && s(i) != '`') i += 1
-        require(i < s.length, s"unterminated identifier at ${s.substring(start)}")
-        i += 1
-        s.substring(start + 1, i - 1)
-      } else {
-        while (i < s.length && (isWordChar(s(i)) || s(i) == '.')) i += 1
-        require(i > start, s"expected identifier at: ${s.substring(start).take(40)}")
-        s.substring(start, i)
-      }
-    }
-
-    /** Consume a balanced `(...)` chunk, returning the inner text. */
-    def balanced(): String = {
-      skipWs()
-      require(i < s.length && s(i) == '(', s"expected ( at: ${s.substring(i).take(40)}")
-      val start = i; var depth = 0
-      while (i < s.length) {
-        s(i) match {
-          case '(' => depth += 1; i += 1
-          case ')' =>
-            depth -= 1; i += 1
-            if (depth == 0) return s.substring(start + 1, i - 1)
-          case '\'' | '"' | '`' => i = scanStep(s, i)
-          case _ => i += 1
-        }
-      }
-      throw new IllegalArgumentException(s"unbalanced parens at: ${s.substring(start).take(40)}")
-    }
-
-    /** Consume and return the span up to (not including) the first
-      * top-level occurrence of `kw`, or everything if absent. */
-    def until(kw: String): String = {
-      skipWs()
-      val at = topLevelKeywordIndex(s, kw, i)
-      val end = if (at < 0) s.length else at
-      val out = s.substring(i, end).trim
-      i = end
-      out
-    }
+    VersionedTable.insertInto(spark, root, mapped, overwrite = i.overwrite)
   }
 
   // ---------------------------------------------------------------- gates
@@ -472,6 +384,68 @@ object SqlDml extends graft.QueryRegistry {
         col("category"))
   }
 
+  /** SQL INSERT lifecycle (r15): a positional `INSERT INTO … SELECT` that
+    * reads the very table it appends to (snapshot isolation — the SELECT
+    * pins to the pre-commit version), a column-list `INSERT … VALUES` whose
+    * unlisted column null-fills, then an `INSERT OVERWRITE … SELECT` full
+    * replace — three statements, three committed versions, oracle over the
+    * final state. */
+  private def sqlInsertInto(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sqlins_").toString + "/t"
+    val p = graft.etl.Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(s, root, p.repartition(4))
+    val t = Map("products" -> root)
+    require(execute(s, """
+      INSERT INTO products
+      SELECT CAST(CAST(stockcode AS BIGINT) + 600000 AS STRING), unitprice, category
+      FROM products WHERE CAST(stockcode AS BIGINT) % 6 = 0""", t) == 2,
+      "the self-referential INSERT…SELECT must commit as v2")
+    require(execute(s,
+      "INSERT INTO products (stockcode, unitprice) VALUES ('999991', 1.50), ('999992', 7.25)",
+      t) == 3, "the column-list VALUES insert must commit as v3")
+    require(execute(s,
+      "INSERT OVERWRITE products SELECT * FROM products WHERE unitprice >= 1",
+      t) == 4, "the overwrite must commit as v4")
+    VersionedTable.read(s, root)
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("category"))
+  }
+
+  /** SQL MERGE sync-to-desired-state (r15): the `WHEN NOT MATCHED BY
+    * SOURCE` surface plus `UPDATE SET *` through one statement. The source
+    * is the desired state (every 3rd code re-priced +1.00, every 10th code
+    * re-keyed as a new row); matched target rows take the whole source row
+    * (star update), unmatched source rows insert, and source-unmatched
+    * target rows are DELETED when cheap (&lt; 2) else MARKED stale when
+    * &lt; 5 — ordered NMBS clauses, first true wins. */
+  private def sqlMergeSync(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sqlsync_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = graft.etl.Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(s, root, p.repartition(4))
+    val desired = p.filter(code % 3 === 0)
+      .withColumn("unitprice",
+        (col("unitprice") + lit(BigDecimal("1.00"))).cast("decimal(12,2)"))
+      .unionByName(p.filter(code % 10 === 0)
+        .select((code + 400000).cast("string").as("stockcode"),
+          (col("unitprice") + lit(BigDecimal("1.00"))).cast("decimal(12,2)").as("unitprice"),
+          lit("Synced").as("category")))
+    desired.createOrReplaceTempView("graft_sql_sync_src")
+    require(execute(s, """
+      MERGE INTO products AS t USING graft_sql_sync_src AS u
+      ON t.stockcode = u.stockcode
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.unitprice < 2 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE AND t.unitprice < 5 THEN UPDATE SET category = 'Stale'""",
+      Map("products" -> root)) == 2, "the sync MERGE must commit as v2")
+    VersionedTable.read(s, root)
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("category"))
+  }
+
   /** Oracles are SHARED with the DSL rows they mirror — looked up from the
     * registry so the SQL and DSL surfaces can never drift apart. */
   private def sinkOracle(name: String): String =
@@ -483,5 +457,38 @@ object SqlDml extends graft.QueryRegistry {
     graft.QueryDef("sql_update_where", sqlUpdateWhere,
       Some(sinkOracle("sink_update_where"))),
     graft.QueryDef("sql_merge_into", sqlMergeInto,
-      Some(sinkOracle("sink_merge_into"))))
+      Some(sinkOracle("sink_merge_into"))),
+    graft.QueryDef("sql_insert_into", sqlInsertInto,
+      Some(graft.oracle.OracleSql.q("""
+      , ins AS (
+          SELECT stockcode, unitprice, category FROM dim_product
+          UNION ALL
+          SELECT CAST(CAST(stockcode AS BIGINT) + 600000 AS VARCHAR) AS stockcode,
+                 unitprice, category
+          FROM dim_product WHERE CAST(stockcode AS BIGINT) % 6 = 0
+          UNION ALL
+          SELECT '999991' AS stockcode, CAST(1.50 AS DECIMAL(12,2)) AS unitprice,
+                 NULL AS category
+          UNION ALL
+          SELECT '999992' AS stockcode, CAST(7.25 AS DECIMAL(12,2)) AS unitprice,
+                 NULL AS category)
+      SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM ins WHERE unitprice >= 1"""))),
+    graft.QueryDef("sql_merge_sync", sqlMergeSync,
+      Some(graft.oracle.OracleSql.q("""
+      , mt AS (SELECT stockcode, unitprice, category,
+                      CAST(stockcode AS BIGINT) AS code
+               FROM dim_product)
+      SELECT stockcode,
+             CAST(CASE WHEN code % 3 = 0 THEN unitprice + 1.00
+                       ELSE unitprice END AS DOUBLE) AS unitprice,
+             CASE WHEN code % 3 <> 0 AND unitprice < 5 THEN 'Stale'
+                  ELSE category END AS category
+      FROM mt
+      WHERE code % 3 = 0 OR unitprice >= 2 OR unitprice IS NULL
+      UNION ALL
+      SELECT CAST(code + 400000 AS VARCHAR) AS stockcode,
+             CAST(unitprice + 1.00 AS DOUBLE) AS unitprice,
+             'Synced' AS category
+      FROM mt WHERE code % 10 = 0"""))))
 }

@@ -554,21 +554,62 @@ object VersionedTable {
   }
 
   /** Full conditional `MERGE INTO` as a new snapshot (r13): the ordered
-    * WHEN MATCHED UPDATE/DELETE + WHEN NOT MATCHED INSERT verb of
-    * [[Dml.mergeClauses]], committed through the protocol; the [[changes]]
-    * feed carries exactly the updates as pre/post pairs, the deletes as
-    * delete images, and the inserts as insert images. Returns the
-    * committed version. */
+    * WHEN MATCHED UPDATE/DELETE + WHEN NOT MATCHED INSERT (+ r15: WHEN NOT
+    * MATCHED BY SOURCE UPDATE/DELETE) verb of [[Dml.mergeClauses]],
+    * committed through the protocol; the [[changes]] feed carries exactly
+    * the updates as pre/post pairs, the deletes as delete images, and the
+    * inserts as insert images. Returns the committed version. */
   def mergeClauses(spark: SparkSession, root: String, source: DataFrame,
       keys: Seq[String], matched: Seq[Dml.MergeClause],
       notMatchedInsert: Option[Column] = None,
-      partitionCols: Seq[String] = Nil): Int = {
+      partitionCols: Seq[String] = Nil,
+      notMatchedBySource: Seq[Dml.MergeClause] = Nil): Int = {
     val latest = latestVersion(spark, root)
     val cur = vDir(root, latest)
     val (next, dir) = nextDir(spark, root)
     Dml.mergeClauses(spark, cur, dir, source, keys, matched, notMatchedInsert,
-      partitionCols, activeSchema(spark, root, latest))
+      partitionCols, activeSchema(spark, root, latest), notMatchedBySource)
     enforceConstraints(spark, root, Some(latest), dir)
+    commitVersion(spark, root, next)
+    next
+  }
+
+  /** Partition columns of the head snapshot's directory layout — how every
+    * statement-level verb knows where appended rows must route. */
+  private[graft] def partitionColumns(spark: SparkSession, root: String): Seq[String] = {
+    val latest = latestVersion(spark, root)
+    Compaction.listFiles(spark, vDir(root, latest)).collect()
+      .map(_.getAs[String]("part")).find(_ != ".").toSeq
+      .flatMap(_.split("/").toSeq).map(_.split("=", 2)(0))
+  }
+
+  /** `INSERT INTO` (append) / `INSERT OVERWRITE` (full replace) as a new
+    * snapshot (r15): the committed-append verb the SQL surface routes to.
+    * Rows align to the table's schema BY NAME — missing columns null-fill
+    * (SQL's column-list INSERT), unknown columns fail loudly, types pin to
+    * the table's — and land partition-routed under the head snapshot's
+    * layout. An append byte-copies the current snapshot's files (manifest-
+    * level file sharing in a production format) and adds only the new
+    * rows' files; an overwrite writes just the new rows. Constraints
+    * validate the new files only (appended files are the delta; an
+    * overwrite's files are all new). Returns the committed version. */
+  def insertInto(spark: SparkSession, root: String, rows: DataFrame,
+      overwrite: Boolean = false): Int = {
+    val (fs, _) = fsOf(spark, root)
+    val latest = latestVersion(spark, root)
+    val tableSchema = read(spark, root).schema
+    val parts = partitionColumns(spark, root)
+    val extra = rows.columns.filterNot(tableSchema.fieldNames.contains)
+    require(extra.isEmpty,
+      s"INSERT carries columns the table schema lacks: ${extra.mkString(", ")}")
+    val aligned = rows.select(tableSchema.fields.map(f =>
+      (if (rows.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)).toSeq: _*)
+    val (next, dir) = nextDir(spark, root)
+    if (!overwrite) copySnapshot(spark, fs, vDir(root, latest), dir)
+    val w = aligned.write.mode("append")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(dir)
+    enforceConstraints(spark, root, if (overwrite) None else Some(latest), dir)
     commitVersion(spark, root, next)
     next
   }

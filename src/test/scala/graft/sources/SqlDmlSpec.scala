@@ -7,11 +7,11 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** The SQL DML router — statement structure, alias rewriting, quote-aware
-  * scanning, clause ordering, and the loud rejections at the surface's
-  * deliberate bounds. Semantics of the underlying verbs are DmlSpec /
-  * VersionedTableSpec territory; here each statement is checked to reach
-  * the RIGHT verb with the RIGHT arguments. */
+/** The SQL DML router — statement shapes, alias rewriting, clause
+  * ordering, and the loud rejections at the surface's deliberate bounds.
+  * Statements parse through Spark's own SQL parser; these specs check each
+  * parsed plan reaches the RIGHT verb with the RIGHT arguments (verb
+  * semantics are DmlSpec / VersionedTableSpec territory). */
 class SqlDmlSpec extends SparkSpec {
 
   private def freshProducts(): (String, DataFrame) = {
@@ -128,6 +128,57 @@ class SqlDmlSpec extends SparkSpec {
       p.filter(code % 100 === 0).count())
   }
 
+  test("INSERT INTO: positional self-referential SELECT, column-list null-fill, OVERWRITE replace") {
+    val (root, p) = freshProducts()
+    val t = Map("p" -> root)
+    val base = p.count()
+    // positional INSERT…SELECT reading the table it appends to: the SELECT
+    // pins to the pre-commit snapshot (no double-append)
+    assert(SqlDml.execute(spark, """
+      INSERT INTO p
+      SELECT CAST(CAST(stockcode AS LONG) + 700000 AS STRING), unitprice, category
+      FROM p WHERE CAST(stockcode AS LONG) % 4 = 0""", t) == 2)
+    val shifted = p.filter(code % 4 === 0).count()
+    assert(VersionedTable.read(spark, root).count() == base + shifted)
+    // column-list VALUES: category unlisted → null-fills
+    assert(SqlDml.execute(spark,
+      "INSERT INTO p (stockcode, unitprice) VALUES ('888881', 3.25)", t) == 3)
+    val row = VersionedTable.read(spark, root)
+      .filter(col("stockcode") === "888881").collect()
+    assert(row.length == 1 && row(0).isNullAt(row(0).fieldIndex("category"))
+      && row(0).getDecimal(row(0).fieldIndex("unitprice")).doubleValue() == 3.25)
+    // OVERWRITE is a full replace, not an append
+    assert(SqlDml.execute(spark,
+      "INSERT OVERWRITE p SELECT * FROM p WHERE stockcode = '888881'", t) == 4)
+    assert(VersionedTable.read(spark, root).count() == 1)
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE: ordered clauses fire only on source-unmatched target rows") {
+    val (root, p) = freshProducts()
+    val t = Map("p" -> root)
+    // source = rows to keep in sync (every 2nd code); the rest of the
+    // target is stale: cheap stale rows delete, the others get flagged
+    p.filter(code % 2 === 0).createOrReplaceTempView("sqldml_nmbs_src")
+    assert(SqlDml.execute(spark, """
+      MERGE INTO p AS t USING sqldml_nmbs_src AS u ON t.stockcode = u.stockcode
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED BY SOURCE AND t.unitprice < 2 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET category = 'Stale'""", t) == 2)
+    val got = VersionedTable.read(spark, root)
+    val matchedRows = p.filter(code % 2 === 0)
+    // NULL-safe: a NULL price fires no NMBS delete (coalesce-false), so
+    // the row survives into the unconditional 'Stale' clause
+    val staleKept = p.filter(code % 2 =!= 0 &&
+      (col("unitprice") >= 2 || col("unitprice").isNull))
+    val staleDropped = p.filter(code % 2 =!= 0 && col("unitprice") < 2)
+    assert(got.count() == matchedRows.count() + staleKept.count())
+    assert(got.filter(col("category") === "Stale").count() == staleKept.count())
+    assert(got.join(staleDropped.select("stockcode"), Seq("stockcode"), "left_semi").count() == 0)
+    // matched rows never see an NMBS clause: their categories are untouched
+    assert(got.join(matchedRows.select("stockcode"), Seq("stockcode"), "left_semi")
+      .filter(col("category") === "Stale").count() == 0)
+  }
+
   test("loud rejections: unknown table, non-identity VALUES, double NOT MATCHED, non-equi ON, non-DML") {
     val (root, p) = freshProducts()
     val t = Map("p" -> root)
@@ -144,7 +195,7 @@ class SqlDmlSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       SqlDml.execute(spark, """
         MERGE INTO p t USING sqldml_rej s ON t.stockcode = s.stockcode
-        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED AND s.unitprice > 0 THEN INSERT *
         WHEN NOT MATCHED THEN INSERT *""", t)
     }.getMessage.contains("at most one"))
     assert(intercept[IllegalArgumentException] {
@@ -155,5 +206,9 @@ class SqlDmlSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       SqlDml.execute(spark, "SELECT 1", t)
     }.getMessage.contains("not a DML statement"))
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.execute(spark,
+        "UPDATE p SET category = zz.category WHERE unitprice < 0", t)
+    }.getMessage.contains("qualifier"))
   }
 }
