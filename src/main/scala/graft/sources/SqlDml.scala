@@ -1,14 +1,18 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{FieldName, UnresolvedAttribute,
+  UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction,
-  DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction,
-  LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction,
-  UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint,
+  AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable,
+  DropColumns, DropConstraint, InsertAction, InsertIntoStatement,
+  InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, QualifiedColType,
+  SubqueryAlias, TruncateTable, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{expressions => bridge}
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** SQL DML surface (r15, VERDICT r14 #2): `UPDATE` / `DELETE` / `MERGE` /
   * `INSERT` statements routed to the versioned table's verbs — the way a
@@ -45,6 +49,12 @@ import org.apache.spark.sql.graft.{expressions => bridge}
   *     WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE`
   *      → [[VersionedTable.mergeClauses]] (partition columns auto-derived
   *        from the head snapshot's layout so inserts route correctly)
+  *  - DDL: `CREATE TABLE [IF NOT EXISTS] name [PARTITIONED BY (cols)] AS
+  *    SELECT` → [[VersionedTable.create]]; `ALTER TABLE … ADD COLUMNS` →
+  *    [[VersionedTable.evolve]]; `ALTER TABLE … DROP COLUMN[S] [IF
+  *    EXISTS]` → [[VersionedTable.dropColumns]]; `ALTER TABLE … ADD
+  *    CONSTRAINT n CHECK (e)` / `DROP CONSTRAINT` → the constraint log;
+  *    `TRUNCATE TABLE` → delete-all — the whole table lifecycle, SQL-driven
   *
   * Table names resolve through the caller's `tables` map (name →
   * versioned-table root) — the engine's catalog surface. Inside a MERGE
@@ -76,9 +86,25 @@ object SqlDml extends graft.QueryRegistry {
         executeDelete(spark, target, condition, tables)
       case m: MergeIntoTable => executeMerge(spark, m, tables)
       case i: InsertIntoStatement => executeInsert(spark, i, tables)
+      case c: CreateTableAsSelect => executeCtas(spark, c, tables)
+      case AddColumns(tbl, cols) => executeAddColumns(spark, tbl, cols, tables)
+      case DropColumns(tbl, cols, ifExists) =>
+        executeDropColumns(spark, tbl, cols, ifExists, tables)
+      case TruncateTable(tbl) =>
+        VersionedTable.deleteWhere(spark, rootOf(tables, ddlName(tbl)), lit(true))
+      case AddCheckConstraint(tbl, c) =>
+        val root = rootOf(tables, ddlName(tbl))
+        VersionedTable.addConstraint(spark, root, c.userProvidedName, c.condition)
+        VersionedTable.latestVersion(spark, root)
+      case DropConstraint(tbl, name, ifExists, _) =>
+        val root = rootOf(tables, ddlName(tbl))
+        require(ifExists || VersionedTable.constraints(spark, root).exists(_._1 == name),
+          s"no such constraint: $name")
+        VersionedTable.dropConstraint(spark, root, name)
+        VersionedTable.latestVersion(spark, root)
       case other => throw new IllegalArgumentException(
-        s"not a DML statement (expected UPDATE/DELETE/MERGE/INSERT, parsed " +
-          s"${other.nodeName}): ${sql.trim.take(60)}")
+        s"not a DML statement (expected UPDATE/DELETE/MERGE/INSERT/CREATE TABLE AS/" +
+          s"ALTER TABLE/TRUNCATE, parsed ${other.nodeName}): ${sql.trim.take(60)}")
     }
 
   // ------------------------------------------------------------- resolution
@@ -318,6 +344,97 @@ object SqlDml extends graft.QueryRegistry {
     VersionedTable.insertInto(spark, root, mapped, overwrite = i.overwrite)
   }
 
+  // ------------------------------------------------------------------- DDL
+  // The table-lifecycle statements, routed to the versioned table's
+  // lifecycle verbs: CREATE TABLE … AS SELECT → create (zero-rewrite),
+  // ALTER TABLE ADD COLUMNS → evolve (one schema-log entry, no data
+  // rewrite), ALTER TABLE DROP COLUMN(S) → dropColumns (tombstoned,
+  // zero-rewrite), TRUNCATE → deleteWhere(true), ADD/DROP CONSTRAINT →
+  // the CHECK-constraint log. DDL statements name their table through
+  // `UnresolvedTable`/`UnresolvedIdentifier` rather than a relation.
+
+  /** The dotted table name of a DDL statement's target. `ADD CONSTRAINT`
+    * parses its table wrapped in a validation `Filter` (the analyzer would
+    * resolve the CHECK expression through it), so a unary wrapper descends
+    * to its child. */
+  private def ddlName(plan: LogicalPlan): String = plan match {
+    case t: UnresolvedTable => t.multipartIdentifier.mkString(".")
+    case i: UnresolvedIdentifier => i.nameParts.mkString(".")
+    case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+    case other if other.children.length == 1 => ddlName(other.children.head)
+    case other => throw new IllegalArgumentException(
+      s"unsupported DDL target shape: ${other.nodeName}")
+  }
+
+  /** `CREATE TABLE [IF NOT EXISTS] name [PARTITIONED BY (cols)] AS SELECT`
+    * → [[VersionedTable.create]] at the root the caller's `tables` map
+    * assigns to `name` (the map IS the catalog: where tables live is the
+    * caller's decision, as with every other statement here). */
+  private def executeCtas(spark: SparkSession, c: CreateTableAsSelect,
+      tables: Map[String, String]): Int = {
+    val root = rootOf(tables, ddlName(c.name))
+    val partCols = c.partitioning.map { tr: Transform =>
+      // the concrete transform classes are private[sql]; the public
+      // connector interface identifies the identity transform by name
+      require(tr.name == "identity",
+        s"only identity PARTITIONED BY columns are supported: ${tr.describe}")
+      val refs = tr.references
+      require(refs.length == 1 && refs.head.fieldNames.length == 1,
+        s"nested partition references are not supported: ${tr.describe}")
+      refs.head.fieldNames.head
+    }
+    val exists = scala.util.Try(VersionedTable.latestVersion(spark, root)).toOption
+    exists match {
+      case Some(v) =>
+        require(c.ignoreIfExists,
+          s"table '${ddlName(c.name)}' already exists (at $root)")
+        v
+      case None =>
+        val df = dataFrameOf(spark, c.query, tables)
+        VersionedTable.create(spark, root,
+          if (partCols.nonEmpty) df.repartition(partCols.map(col): _*) else df,
+          partCols)
+    }
+  }
+
+  /** `ALTER TABLE t ADD COLUMNS (…)` → [[VersionedTable.evolve]]. Nested
+    * fields, positions (`FIRST`/`AFTER`) and defaults are outside the
+    * verb's contract and fail loudly. */
+  private def executeAddColumns(spark: SparkSession, tbl: LogicalPlan,
+      cols: Seq[QualifiedColType], tables: Map[String, String]): Int = {
+    val root = rootOf(tables, ddlName(tbl))
+    val fields = cols.map { c =>
+      require(c.path.isEmpty, s"nested ADD COLUMNS is not supported: ${c.colName}")
+      require(c.position.isEmpty,
+        s"column positions (FIRST/AFTER) are not supported: ${c.colName}")
+      require(c.default.isEmpty,
+        s"column DEFAULTs are not supported (existing rows null-fill): ${c.colName}")
+      StructField(c.colName, c.dataType, c.nullable)
+    }
+    VersionedTable.evolve(spark, root, StructType(fields))
+  }
+
+  /** `ALTER TABLE t DROP COLUMN[S] [IF EXISTS] …` →
+    * [[VersionedTable.dropColumns]]; with `IF EXISTS` missing names are
+    * skipped, and dropping nothing commits nothing. */
+  private def executeDropColumns(spark: SparkSession, tbl: LogicalPlan,
+      cols: Seq[FieldName], ifExists: Boolean,
+      tables: Map[String, String]): Int = {
+    val root = rootOf(tables, ddlName(tbl))
+    val names = cols.map { f =>
+      require(f.name.length == 1, s"nested DROP COLUMN is not supported: ${f.name.mkString(".")}")
+      f.name.head
+    }
+    val toDrop =
+      if (!ifExists) names
+      else {
+        val present = VersionedTable.read(spark, root).columns.toSet
+        names.filter(present)
+      }
+    if (toDrop.isEmpty) VersionedTable.latestVersion(spark, root)
+    else VersionedTable.dropColumns(spark, root, toDrop)
+  }
+
   // ---------------------------------------------------------------- gates
 
   import java.nio.file.Files
@@ -446,6 +563,62 @@ object SqlDml extends graft.QueryRegistry {
         col("category"))
   }
 
+  /** SQL DDL lifecycle (r15): the whole table lifecycle driven by SQL
+    * statements — a partitioned CTAS reading a registered table, an
+    * IF-NOT-EXISTS no-op, zero-rewrite ADD COLUMNS, a SQL UPDATE backfill
+    * of the new column, a CHECK constraint that REJECTS a violating SQL
+    * INSERT then admits a valid one, constraint drop, and a zero-rewrite
+    * DROP COLUMNS with IF EXISTS skipping a missing name. Oracle over the
+    * final evolved state. */
+  private def sqlDdlLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val rootP = Files.createTempDirectory("graft_sqlddl_p_").toString + "/t"
+    val rootW = Files.createTempDirectory("graft_sqlddl_w_").toString + "/t"
+    val p = graft.etl.Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(s, rootP, p.repartition(4))
+    val t = Map("products" -> rootP, "wide" -> rootW)
+    require(execute(s, """
+      CREATE TABLE wide PARTITIONED BY (pbucket) AS
+      SELECT stockcode, unitprice, category,
+             CAST(stockcode AS BIGINT) div 500 AS pbucket
+      FROM products""", t) == 1, "CTAS must commit as v1")
+    require(execute(s,
+      "CREATE TABLE IF NOT EXISTS wide AS SELECT * FROM products", t) == 1,
+      "IF NOT EXISTS on an existing table must be a no-op at v1")
+    require(execute(s,
+      "ALTER TABLE wide ADD COLUMNS (tier STRING, scratch INT)", t) == 2,
+      "the evolution must commit as v2")
+    require(execute(s, """
+      UPDATE wide SET tier = CASE WHEN unitprice >= 10 THEN 'premium'
+                                  ELSE 'basic' END""", t) == 3,
+      "the backfill must commit as v3")
+    require(execute(s,
+      "ALTER TABLE wide ADD CONSTRAINT tier_set CHECK (tier IN ('premium', 'basic'))",
+      t) == 3, "the constraint registers against the current head, committing nothing")
+    val violated =
+      try {
+        execute(s, """
+          INSERT INTO wide (stockcode, unitprice, category, pbucket, tier)
+          VALUES ('777772', 2.00, 'Bad', 1555, 'luxury')""", t)
+        false
+      } catch {
+        case e: IllegalStateException => e.getMessage.contains("CHECK constraint")
+      }
+    require(violated, "a violating SQL INSERT must fail the CHECK constraint")
+    require(execute(s, """
+      INSERT INTO wide (stockcode, unitprice, category, pbucket, tier)
+      VALUES ('777771', 3.00, 'Extra', 1555, 'basic')""", t) == 4,
+      "the valid insert must commit as v4")
+    require(execute(s, "ALTER TABLE wide DROP CONSTRAINT tier_set", t) == 4,
+      "dropping the constraint commits nothing")
+    require(execute(s,
+      "ALTER TABLE wide DROP COLUMNS IF EXISTS (scratch, ghost)", t) == 5,
+      "the column drop must commit as v5, skipping the missing name")
+    VersionedTable.read(s, rootW)
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("category"), col("tier"))
+  }
+
   /** Oracles are SHARED with the DSL rows they mirror — looked up from the
     * registry so the SQL and DSL surfaces can never drift apart. */
   private def sinkOracle(name: String): String =
@@ -490,5 +663,15 @@ object SqlDml extends graft.QueryRegistry {
       SELECT CAST(code + 400000 AS VARCHAR) AS stockcode,
              CAST(unitprice + 1.00 AS DOUBLE) AS unitprice,
              'Synced' AS category
-      FROM mt WHERE code % 10 = 0"""))))
+      FROM mt WHERE code % 10 = 0"""))),
+    graft.QueryDef("sql_ddl_lifecycle", sqlDdlLifecycle,
+      Some(graft.oracle.OracleSql.q("""
+      , ddl AS (
+          SELECT stockcode, unitprice, category FROM dim_product
+          UNION ALL
+          SELECT '777771' AS stockcode, CAST(3.00 AS DECIMAL(12,2)) AS unitprice,
+                 'Extra' AS category)
+      SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category,
+             CASE WHEN unitprice >= 10 THEN 'premium' ELSE 'basic' END AS tier
+      FROM ddl"""))))
 }

@@ -179,6 +179,52 @@ class SqlDmlSpec extends SparkSpec {
       .filter(col("category") === "Stale").count() == 0)
   }
 
+  test("DDL: CTAS, TRUNCATE, ADD/DROP COLUMNS and constraint statements route to the lifecycle verbs") {
+    val (root, p) = freshProducts()
+    val root2 = Files.createTempDirectory("graft_sqlctas_").toString + "/t"
+    val t = Map("p" -> root, "c" -> root2)
+    assert(SqlDml.execute(spark,
+      "CREATE TABLE c AS SELECT stockcode, unitprice FROM p WHERE unitprice >= 5", t) == 1)
+    val expect = p.filter(col("unitprice") >= 5).count()
+    assert(VersionedTable.read(spark, root2).count() == expect)
+    // existing target without IF NOT EXISTS is loud; with it, a no-op
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.execute(spark, "CREATE TABLE c AS SELECT * FROM p", t)
+    }.getMessage.contains("already exists"))
+    assert(SqlDml.execute(spark, "CREATE TABLE IF NOT EXISTS c AS SELECT * FROM p", t) == 1)
+    assert(SqlDml.execute(spark, "ALTER TABLE c ADD COLUMNS (note STRING)", t) == 2)
+    assert(VersionedTable.read(spark, root2).columns.contains("note"))
+    assert(SqlDml.execute(spark, "ALTER TABLE c ADD CONSTRAINT pos CHECK (unitprice >= 5)", t) == 2)
+    intercept[IllegalStateException] {
+      SqlDml.execute(spark,
+        "INSERT INTO c (stockcode, unitprice) VALUES ('1', 0.50)", t)
+    }
+    assert(SqlDml.execute(spark, "ALTER TABLE c DROP CONSTRAINT pos", t) == 2)
+    assert(SqlDml.execute(spark,
+      "INSERT INTO c (stockcode, unitprice) VALUES ('1', 0.50)", t) == 3)
+    assert(SqlDml.execute(spark, "ALTER TABLE c DROP COLUMNS IF EXISTS (note, ghost)", t) == 4)
+    assert(!VersionedTable.read(spark, root2).columns.contains("note"))
+    assert(SqlDml.execute(spark, "TRUNCATE TABLE c", t) == 5)
+    assert(VersionedTable.read(spark, root2).count() == 0)
+  }
+
+  test("DDL rejections: non-identity partitioning, column positions, unknown constraint") {
+    val (root, p) = freshProducts()
+    val root2 = Files.createTempDirectory("graft_sqlctasrej_").toString + "/t"
+    val t = Map("p" -> root, "c" -> root2)
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.execute(spark,
+        "CREATE TABLE c PARTITIONED BY (bucket(4, stockcode)) AS SELECT * FROM p", t)
+    }.getMessage.contains("identity"))
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.execute(spark,
+        "ALTER TABLE p ADD COLUMNS (note STRING AFTER stockcode)", t)
+    }.getMessage.contains("positions"))
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.execute(spark, "ALTER TABLE p DROP CONSTRAINT nope", t)
+    }.getMessage.contains("no such constraint"))
+  }
+
   test("loud rejections: unknown table, non-identity VALUES, double NOT MATCHED, non-equi ON, non-DML") {
     val (root, p) = freshProducts()
     val t = Map("p" -> root)
