@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{FieldName, UnresolvedAttribute,
-  UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.analysis.{FieldName, RelationTimeTravel,
+  UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint,
   AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable,
@@ -135,12 +135,35 @@ object SqlDml extends graft.QueryRegistry {
     tables.get(name).map(VersionedTable.read(spark, _))
       .getOrElse(spark.table(name))
 
+  /** Run one SELECT statement against the registered versioned tables —
+    * the read half of the statement surface. Names in `tables` resolve to
+    * the table's CURRENT snapshot, or to a pinned older snapshot under
+    * SQL's standard time-travel clause (`FROM t VERSION AS OF n` — the
+    * still-vacuum-retained version n, exactly [[VersionedTable.read]]'s
+    * contract); other names resolve as session views. */
+  def query(spark: SparkSession, sql: String,
+      tables: Map[String, String]): DataFrame =
+    dataFrameOf(spark, spark.sessionState.sqlParser.parsePlan(sql), tables)
+
   /** Substitute every versioned-table name in a parsed sub-plan with the
-    * current snapshot's read, then analyze — how an INSERT's SELECT or a
-    * MERGE subquery reads the engine's own tables. */
+    * (current or `VERSION AS OF`-pinned) snapshot's read, then analyze —
+    * how an INSERT's SELECT, a MERGE subquery, or a [[query]] SELECT reads
+    * the engine's own tables. Top-down so a time-travel wrapper claims its
+    * inner relation before the bare-name rule would. */
   private def dataFrameOf(spark: SparkSession, plan: LogicalPlan,
       tables: Map[String, String]): DataFrame = {
-    val substituted = plan.transformUp {
+    val substituted = plan.transformDown {
+      case tt: RelationTimeTravel => tt.relation match {
+        case r: UnresolvedRelation
+            if tables.contains(r.multipartIdentifier.mkString(".")) =>
+          require(tt.timestamp.isEmpty,
+            "TIMESTAMP AS OF is not supported — versions are the table's clock; use VERSION AS OF")
+          val v = tt.version.getOrElse(throw new IllegalArgumentException(
+            "VERSION AS OF needs an integer version"))
+          bridge.plan(VersionedTable.read(spark,
+            tables(r.multipartIdentifier.mkString(".")), Some(v.toInt)))
+        case _ => tt // not ours — leave for the session catalog
+      }
       case r: UnresolvedRelation
           if tables.contains(r.multipartIdentifier.mkString(".")) =>
         bridge.plan(VersionedTable.read(spark,
@@ -619,6 +642,30 @@ object SqlDml extends graft.QueryRegistry {
         col("category"), col("tier"))
   }
 
+  /** SQL time travel (r15): one SELECT reading BOTH a pinned older
+    * snapshot (`VERSION AS OF 1` — the pre-DML state, SQL's standard
+    * clause) and the mutated head, union-tagged. A stale pin (serving the
+    * head at v1), a leaked update into v1, or a lost head update all
+    * hash-mismatch against the oracle's two spelled states. */
+  private def sqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sqltt_").toString + "/t"
+    val p = graft.etl.Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(s, root, p.repartition(4))
+    val t = Map("products" -> root)
+    require(execute(s,
+      "UPDATE products SET unitprice = unitprice * 2 WHERE CAST(stockcode AS BIGINT) % 4 = 0",
+      t) == 2, "the update must commit as v2")
+    query(s, """
+      SELECT 'v1' AS at_version, stockcode,
+             CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM products VERSION AS OF 1
+      UNION ALL
+      SELECT 'head' AS at_version, stockcode,
+             CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM products""", t)
+  }
+
   /** Oracles are SHARED with the DSL rows they mirror — looked up from the
     * registry so the SQL and DSL surfaces can never drift apart. */
   private def sinkOracle(name: String): String =
@@ -673,5 +720,16 @@ object SqlDml extends graft.QueryRegistry {
                  'Extra' AS category)
       SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category,
              CASE WHEN unitprice >= 10 THEN 'premium' ELSE 'basic' END AS tier
-      FROM ddl"""))))
+      FROM ddl"""))),
+    graft.QueryDef("sql_time_travel", sqlTimeTravel,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT 'v1' AS at_version, stockcode,
+             CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM dim_product
+      UNION ALL
+      SELECT 'head' AS at_version, stockcode,
+             CAST(CASE WHEN CAST(stockcode AS BIGINT) % 4 = 0
+                       THEN unitprice * 2 ELSE unitprice END AS DOUBLE) AS unitprice,
+             category
+      FROM dim_product"""))))
 }

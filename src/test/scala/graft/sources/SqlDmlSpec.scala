@@ -208,6 +208,25 @@ class SqlDmlSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root2).count() == 0)
   }
 
+  test("query: SELECT over registered tables with VERSION AS OF; TIMESTAMP AS OF rejected") {
+    val (root, p) = freshProducts()
+    val t = Map("p" -> root)
+    assert(SqlDml.execute(spark, "DELETE FROM p WHERE CAST(stockcode AS LONG) % 2 = 0", t) == 2)
+    val v1 = SqlDml.query(spark, "SELECT count(*) AS n FROM p VERSION AS OF 1", t)
+      .head().getLong(0)
+    val head = SqlDml.query(spark, "SELECT count(*) AS n FROM p", t).head().getLong(0)
+    assert(v1 == p.count() && head == p.filter(!(code % 2 === 0)).count())
+    // joins across two pinned versions of the same table analyze cleanly
+    val rejoined = SqlDml.query(spark, """
+      SELECT count(*) AS n FROM p VERSION AS OF 1 a
+      JOIN p b ON a.stockcode = b.stockcode""", t).head().getLong(0)
+    assert(rejoined == head)
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.query(spark,
+        "SELECT * FROM p TIMESTAMP AS OF '2026-01-01'", t)
+    }.getMessage.contains("VERSION AS OF"))
+  }
+
   test("DDL rejections: non-identity partitioning, column positions, unknown constraint") {
     val (root, p) = freshProducts()
     val root2 = Files.createTempDirectory("graft_sqlctasrej_").toString + "/t"
