@@ -122,15 +122,35 @@ object InferYearBoundsFromDateKey extends Rule[LogicalPlan] {
   }
 }
 
-/** `SparkSessionExtensions` hook registering the engine's optimizer rules:
+/** Analyzer resolution rule routing `spark.sql` statements to the
+  * versioned tables registered in [[graft.sources.GraftCatalog]] (r15):
+  * a DML/DDL statement whose target name is registered becomes a
+  * [[graft.sources.GraftDmlCommand]] (lowered onto the verbs at
+  * execution time, exactly once), and registered relation names inside
+  * any read — including `VERSION AS OF` time travel — substitute to the
+  * snapshot's scan. Unregistered names fall through untouched to Spark's
+  * own resolution, so the rule is inert on foreign queries. */
+case class GraftSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import graft.sources.{GraftCatalog, GraftDmlCommand, SqlDml}
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case s if SqlDml.statementTarget(s).exists(n => GraftCatalog.get(n).isDefined) =>
+      GraftDmlCommand(s)
+    case other => SqlDml.substituteTables(spark, other, GraftCatalog.registered)
+  }
+}
+
+/** `SparkSessionExtensions` hook registering the engine's rules:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. Registration
-  * alone is inert — each rule additionally requires its session opt-in flag
-  * (e.g. [[InferYearBoundsFromDateKey.EnabledKey]]), so installing the
-  * extensions globally never changes results on foreign tables. */
+  * alone is inert — each optimizer rule additionally requires its session
+  * opt-in flag (e.g. [[InferYearBoundsFromDateKey.EnabledKey]]) and the
+  * statement rule only touches names registered in
+  * [[graft.sources.GraftCatalog]], so installing the extensions globally
+  * never changes results on foreign tables. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule((_: SparkSession) => InferYearBoundsFromDateKey)
     ext.injectOptimizerRule((_: SparkSession) => MvRewrite)
+    ext.injectResolutionRule(GraftSqlRule)
   }
 }

@@ -79,7 +79,65 @@ object SqlDml extends graft.QueryRegistry {
     * (logical name → table root). Returns the committed version. */
   def execute(spark: SparkSession, sql: String,
       tables: Map[String, String]): Int =
-    spark.sessionState.sqlParser.parsePlan(sql) match {
+    maintenanceStatement(spark, sql, tables).getOrElse(
+      lower(spark, spark.sessionState.sqlParser.parsePlan(sql), tables,
+        sql.trim.take(60)))
+
+  // The two maintenance statements Spark's grammar doesn't know (the
+  // lakehouse-format surface): parsed here by fixed shape, BEFORE
+  // parsePlan would reject them.
+  //   OPTIMIZE t [TARGET <bytes>]            → VersionedTable.compact
+  //   OPTIMIZE t ZORDER BY (c1, …)           → VersionedTable.cluster
+  //   VACUUM t [RETAIN <n> VERSIONS]         → VersionedTable.vacuum
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+TARGET\s+(\d+))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*""".r
+
+  private def maintenanceStatement(spark: SparkSession, sql: String,
+      tables: Map[String, String]): Option[Int] = sql match {
+    case OptimizeRe(name, target, zorder) =>
+      val root = rootOf(tables, name)
+      Some(Option(zorder) match {
+        case Some(cols) =>
+          require(target == null, "TARGET applies to compaction, not ZORDER")
+          VersionedTable.cluster(spark, root,
+            cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        case None =>
+          VersionedTable.compact(spark, root,
+            Option(target).map(_.toLong).getOrElse(128L << 20))
+      })
+    case VacuumRe(name, retain) =>
+      val root = rootOf(tables, name)
+      VersionedTable.vacuum(spark, root,
+        Option(retain).map(_.toInt).getOrElse(1))
+      Some(VersionedTable.latestVersion(spark, root))
+    case _ => None
+  }
+
+  /** The table NAME a routed statement targets, if the plan is one of the
+    * statement shapes this router lowers — how the [[graft.plans]]
+    * session-extension rule decides whether a `spark.sql` statement is the
+    * engine's to execute. */
+  private[graft] def statementTarget(plan: LogicalPlan): Option[String] =
+    scala.util.Try(plan match {
+      case UpdateTable(t, _, _) => Some(relOf(t).name)
+      case DeleteFromTable(t, _) => Some(relOf(t).name)
+      case m: MergeIntoTable => Some(relOf(m.targetTable).name)
+      case i: InsertIntoStatement => Some(ddlName(i.table))
+      case c: CreateTableAsSelect => Some(ddlName(c.name))
+      case AddColumns(t, _) => Some(ddlName(t))
+      case DropColumns(t, _, _) => Some(ddlName(t))
+      case TruncateTable(t) => Some(ddlName(t))
+      case AddCheckConstraint(t, _) => Some(ddlName(t))
+      case DropConstraint(t, _, _, _) => Some(ddlName(t))
+      case _ => None
+    }).toOption.flatten
+
+  /** Lower one parsed statement plan onto the verbs. */
+  private[graft] def lower(spark: SparkSession, plan: LogicalPlan,
+      tables: Map[String, String], sqlForError: String = ""): Int =
+    plan match {
       case UpdateTable(target, assignments, condition) =>
         executeUpdate(spark, target, assignments, condition, tables)
       case DeleteFromTable(target, condition) =>
@@ -104,7 +162,7 @@ object SqlDml extends graft.QueryRegistry {
         VersionedTable.latestVersion(spark, root)
       case other => throw new IllegalArgumentException(
         s"not a DML statement (expected UPDATE/DELETE/MERGE/INSERT/CREATE TABLE AS/" +
-          s"ALTER TABLE/TRUNCATE, parsed ${other.nodeName}): ${sql.trim.take(60)}")
+          s"ALTER TABLE/TRUNCATE, parsed ${other.nodeName}): $sqlForError")
     }
 
   // ------------------------------------------------------------- resolution
@@ -151,8 +209,14 @@ object SqlDml extends graft.QueryRegistry {
     * the engine's own tables. Top-down so a time-travel wrapper claims its
     * inner relation before the bare-name rule would. */
   private def dataFrameOf(spark: SparkSession, plan: LogicalPlan,
-      tables: Map[String, String]): DataFrame = {
-    val substituted = plan.transformDown {
+      tables: Map[String, String]): DataFrame =
+    bridge.ofRows(spark, substituteTables(spark, plan, tables))
+
+  /** The substitution itself, usable on any plan fragment (also by the
+    * session-extension resolution rule over plain `spark.sql` SELECTs). */
+  private[graft] def substituteTables(spark: SparkSession, plan: LogicalPlan,
+      tables: Map[String, String]): LogicalPlan =
+    plan.transformDownWithSubqueries {
       case tt: RelationTimeTravel => tt.relation match {
         case r: UnresolvedRelation
             if tables.contains(r.multipartIdentifier.mkString(".")) =>
@@ -169,8 +233,6 @@ object SqlDml extends graft.QueryRegistry {
         bridge.plan(VersionedTable.read(spark,
           tables(r.multipartIdentifier.mkString("."))))
     }
-    bridge.ofRows(spark, substituted)
-  }
 
   // ----------------------------------------------------------- expressions
 
@@ -666,6 +728,63 @@ object SqlDml extends graft.QueryRegistry {
       FROM products""", t)
   }
 
+  /** The `spark.sql` session integration (r15), gated like
+    * `sql_update_where` (same oracle): with [[graft.plans.GraftExtensions]]
+    * on the session and the table registered in [[GraftCatalog]], the
+    * UPDATE runs as a plain `spark.sql(...)` command (returning the
+    * committed version as its result row) and the final aggregate is a
+    * plain `spark.sql` SELECT over the registered name — no router entry
+    * point in sight, the deployment-shaped path. */
+  private def sqlSessionSurface(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sqlsess_g_").toString + "/t"
+    val events = graft.streaming.EventOps.events(s, dir)
+      .withColumn("ubucket", expr("user_id div 50"))
+    VersionedTable.create(s, root, events.repartition(col("ubucket")), Seq("ubucket"))
+    val s2 = GraftSqlSession.forBase(s)
+    GraftCatalog.register("events_sess", root)
+    try {
+      require(s2.sql(
+        "UPDATE events_sess SET value = value * 2 WHERE user_id % 9 = 0")
+        .head().getInt(0) == 2, "the spark.sql UPDATE must commit as v2")
+      s2.sql("""
+        SELECT count(1) AS n_events, count(DISTINCT user_id) AS n_users,
+               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        FROM events_sess""")
+    } finally GraftCatalog.unregister("events_sess")
+  }
+
+  /** SQL maintenance statements (r15): a deliberately fragmented table
+    * compacted by `OPTIMIZE`, z-ordered by `OPTIMIZE … ZORDER BY`, then
+    * history-trimmed by `VACUUM … RETAIN 2 VERSIONS` — all through SQL
+    * strings, with the gate REQUIRING the file count to actually drop,
+    * the vacuumed version to actually die, and (the maintenance
+    * invariant) the final rows byte-for-byte the original identity:
+    * maintenance moves bytes, never rows. */
+  private def sqlOptimizeVacuum(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sqlopt_").toString + "/t"
+    val p = graft.etl.Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(s, root, p.repartition(32))
+    val t = Map("products" -> root)
+    def fileCount(v: Int): Long =
+      Compaction.listFiles(s, VersionedTable.vDir(root, v)).count()
+    require(execute(s, "OPTIMIZE products TARGET 268435456", t) == 2,
+      "the compaction must commit as v2")
+    require(fileCount(2) < fileCount(1),
+      s"OPTIMIZE must shrink the file count (${fileCount(1)} -> ${fileCount(2)})")
+    require(execute(s, "OPTIMIZE products ZORDER BY (stockcode)", t) == 3,
+      "the clustering must commit as v3")
+    require(execute(s, "VACUUM products RETAIN 2 VERSIONS", t) == 3,
+      "VACUUM reports the surviving head")
+    require(scala.util.Try(VersionedTable.read(s, root, Some(1)).count()).isFailure,
+      "v1 must be vacuumed away")
+    require(scala.util.Try(VersionedTable.read(s, root, Some(2)).count()).isSuccess,
+      "v2 is within the retained depth")
+    VersionedTable.read(s, root)
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("category"))
+  }
+
   /** Oracles are SHARED with the DSL rows they mirror — looked up from the
     * registry so the SQL and DSL surfaces can never drift apart. */
   private def sinkOracle(name: String): String =
@@ -731,5 +850,11 @@ object SqlDml extends graft.QueryRegistry {
              CAST(CASE WHEN CAST(stockcode AS BIGINT) % 4 = 0
                        THEN unitprice * 2 ELSE unitprice END AS DOUBLE) AS unitprice,
              category
+      FROM dim_product"""))),
+    graft.QueryDef("sql_session_surface", sqlSessionSurface,
+      Some(sinkOracle("sink_update_where"))),
+    graft.QueryDef("sql_optimize_vacuum", sqlOptimizeVacuum,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category
       FROM dim_product"""))))
 }

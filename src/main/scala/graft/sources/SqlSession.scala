@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.IntegerType
+
+/** `spark.sql` integration for the versioned tables (r15): with
+  * [[graft.plans.GraftExtensions]] installed on the session
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`, exactly how a
+  * production deployment enables an engine), every statement the
+  * [[SqlDml]] router understands runs DIRECTLY through `spark.sql(...)`
+  * against tables registered in [[GraftCatalog]]:
+  *
+  *  - `spark.sql("SELECT … FROM t [VERSION AS OF n] …")` — reads resolve
+  *    to the table's snapshot (current or pinned), composable with the
+  *    whole SQL surface (joins, subqueries, views);
+  *  - `spark.sql("UPDATE/DELETE/MERGE/INSERT/CREATE TABLE AS/ALTER
+  *    TABLE/TRUNCATE …")` — the statement becomes a [[GraftDmlCommand]]
+  *    that executes the verb ONCE at execution time and returns the
+  *    committed version as a one-row result.
+  *
+  * The pieces: [[GraftCatalog]] is the process-wide name → root registry
+  * (the engine's catalog surface — the same map every [[SqlDml.execute]]
+  * caller passes, made ambient); [[graft.plans.GraftSqlRule]] is the
+  * analyzer resolution rule doing the routing. Names not in the catalog
+  * fall through untouched to Spark's own resolution, so installing the
+  * extension changes no other query — the same opt-in contract as the
+  * engine's optimizer rules.
+  */
+object GraftCatalog {
+  private val reg = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Register a versioned table root under a SQL-visible name
+    * (case-insensitive, like SQL identifiers). */
+  def register(name: String, root: String): Unit = reg.put(name.toLowerCase, root)
+  def unregister(name: String): Unit = reg.remove(name.toLowerCase)
+  def get(name: String): Option[String] = Option(reg.get(name.toLowerCase))
+
+  /** Snapshot of the registry as the `tables` map the router consumes. */
+  def registered: Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    reg.forEach((k, v) => b += (k -> v))
+    b.result()
+  }
+}
+
+/** One routed statement, captured UNRESOLVED at analysis time and lowered
+  * onto the verbs at EXECUTION time — a command node, so the side effect
+  * runs exactly once (an analyzer rule body may run many times under the
+  * fixed point; a command's `run` does not). Returns the committed
+  * version as the result row, like a production format's SQL verbs. */
+case class GraftDmlCommand(statement: LogicalPlan) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(SqlDml.lower(spark, statement, GraftCatalog.registered,
+      statement.nodeName)))
+}
+
+/** The sibling session with the engine's extensions installed, built
+  * lazily ONCE per JVM on the same `SparkContext` — resolution rules
+  * cannot attach to an already-built `SessionState`, so a base session
+  * created without extensions gets its SQL-statement surface through this
+  * sibling (a deployment that sets `spark.sql.extensions` up front needs
+  * none of this). Runtime SQL confs are copied from the base session so
+  * plans are shaped identically. */
+object GraftSqlSession {
+  @volatile private var cached: SparkSession = _
+
+  def forBase(base: SparkSession): SparkSession = synchronized {
+    if (cached == null) {
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      try {
+        val b = SparkSession.builder()
+          .withExtensions(new graft.plans.GraftExtensions)
+        base.conf.getAll.foreach { case (k, v) =>
+          // static/core confs can't re-apply post-context; runtime SQL
+          // confs are what shapes plans
+          if (k.startsWith("spark.sql.")) b.config(k, v)
+        }
+        cached = b.getOrCreate()
+      } finally {
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    }
+    cached
+  }
+}

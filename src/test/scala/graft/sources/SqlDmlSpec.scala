@@ -227,6 +227,20 @@ class SqlDmlSpec extends SparkSpec {
     }.getMessage.contains("VERSION AS OF"))
   }
 
+  test("OPTIMIZE and VACUUM statements route to compact/cluster/vacuum") {
+    val (root, p) = freshProducts()
+    val t = Map("p" -> root)
+    assert(SqlDml.execute(spark, "OPTIMIZE p", t) == 2)
+    assert(SqlDml.execute(spark, "OPTIMIZE p ZORDER BY (stockcode)", t) == 3)
+    assert(SqlDml.execute(spark, "VACUUM p RETAIN 1 VERSIONS", t) == 3)
+    assert(scala.util.Try(VersionedTable.read(spark, root, Some(2)).count()).isFailure)
+    // values untouched through the whole maintenance chain
+    assert(VersionedTable.read(spark, root).exceptAll(p).isEmpty)
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.execute(spark, "OPTIMIZE p TARGET 1000 ZORDER BY (stockcode)", t)
+    }.getMessage.contains("TARGET"))
+  }
+
   test("DDL rejections: non-identity partitioning, column positions, unknown constraint") {
     val (root, p) = freshProducts()
     val root2 = Files.createTempDirectory("graft_sqlctasrej_").toString + "/t"

@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The `spark.sql` statement integration: with `GraftExtensions` on the
+  * session, registered versioned tables are first-class in plain SQL —
+  * reads (incl. `VERSION AS OF`), DML commands returning the committed
+  * version, and the inertness contract on unregistered names. */
+class SqlSessionSpec extends SparkSpec {
+
+  private lazy val s2 = GraftSqlSession.forBase(spark)
+
+  private def freshProducts(name: String): String = {
+    val root = Files.createTempDirectory(s"graft_sqlsess_").toString + "/t"
+    val p = graft.etl.Warehouse(spark, sfDir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(spark, root, p.repartition(4))
+    GraftCatalog.register(name, root)
+    root
+  }
+
+  test("spark.sql SELECT resolves registered tables, composing with joins and VERSION AS OF") {
+    freshProducts("sess_p")
+    try {
+      val n = s2.sql("SELECT count(*) AS n FROM sess_p").head().getLong(0)
+      assert(n > 0)
+      // DML through spark.sql returns the committed version as a row
+      val v = s2.sql(
+        "DELETE FROM sess_p WHERE CAST(stockcode AS BIGINT) % 2 = 0")
+        .head().getInt(0)
+      assert(v == 2)
+      val after = s2.sql("SELECT count(*) AS n FROM sess_p").head().getLong(0)
+      assert(after < n)
+      // time travel + self-join across two pinned versions, one statement
+      val joined = s2.sql("""
+        SELECT count(*) AS n FROM sess_p VERSION AS OF 1 a
+        JOIN sess_p b ON a.stockcode = b.stockcode""").head().getLong(0)
+      assert(joined == after)
+      val v1 = s2.sql("SELECT count(*) AS n FROM sess_p VERSION AS OF 1")
+        .head().getLong(0)
+      assert(v1 == n)
+    } finally GraftCatalog.unregister("sess_p")
+  }
+
+  test("UPDATE/MERGE statements execute exactly once and read their own table as source") {
+    freshProducts("sess_m")
+    try {
+      assert(s2.sql("""
+        UPDATE sess_m SET unitprice = unitprice + 1.00
+        WHERE CAST(stockcode AS BIGINT) % 3 = 0""").head().getInt(0) == 2)
+      // MERGE whose subquery source reads the target's own (pre-commit) state
+      assert(s2.sql("""
+        MERGE INTO sess_m t
+        USING (SELECT CAST(CAST(stockcode AS BIGINT) + 900000 AS STRING) AS stockcode,
+                      unitprice, 'Echo' AS category
+               FROM sess_m WHERE CAST(stockcode AS BIGINT) % 50 = 0) s
+        ON t.stockcode = s.stockcode
+        WHEN NOT MATCHED THEN INSERT *""").head().getInt(0) == 3)
+      val echoes = s2.sql(
+        "SELECT count(*) AS n FROM sess_m WHERE category = 'Echo'").head().getLong(0)
+      val base = s2.sql(
+        "SELECT count(*) AS n FROM sess_m VERSION AS OF 1 WHERE CAST(stockcode AS BIGINT) % 50 = 0")
+        .head().getLong(0)
+      assert(echoes == base && echoes > 0)
+    } finally GraftCatalog.unregister("sess_m")
+  }
+
+  test("unregistered names fall through to Spark's own resolution (inert on foreign queries)") {
+    val p = graft.etl.Warehouse(spark, sfDir).dimProduct
+      .select("stockcode", "unitprice")
+    p.createOrReplaceTempView("sess_plain_view")
+    // same-name temp view on the sibling session resolves normally
+    p.createOrReplaceTempView("sess_plain_view")
+    val viaS2 = GraftSqlSession.forBase(spark)
+    viaS2.sql("SELECT 1 AS one").collect() // plain SQL unaffected
+    assert(intercept[Exception] {
+      viaS2.sql("DELETE FROM definitely_not_registered WHERE 1=1").collect()
+    }.getMessage.toLowerCase.contains("not")) // Spark's own TABLE_OR_VIEW_NOT_FOUND
+  }
+}
