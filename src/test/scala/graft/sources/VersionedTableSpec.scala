@@ -101,6 +101,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).select("id").as[Long].collect().toSet === Set(1L))
   }
 
+  test("insertInto: append aligns by name + null-fills, CDC carries pure inserts, crashed orphan retried, feed stream sees the commit") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_ins_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 10L).map(i => (i, s"p_$i")).toDF("id", "payload"))
+    // by-name alignment: reordered columns land right, missing ones null-fill
+    assert(VersionedTable.insertInto(spark, root,
+      Seq("x").toDF("payload")) === 2)
+    val nulls = VersionedTable.read(spark, root).filter(col("id").isNull)
+      .select("payload").as[String].collect().toSeq
+    assert(nulls === Seq("x"))
+    // an unknown column fails loudly, committing nothing
+    intercept[IllegalArgumentException] {
+      VersionedTable.insertInto(spark, root, Seq((1L, "y", 2L)).toDF("id", "payload", "extra"))
+    }
+    assert(VersionedTable.latestVersion(spark, root) === 2)
+    // the v1→v2 feed is exactly the inserted row
+    val feed = VersionedTable.changes(spark, root, 1, 2, Seq("id"))
+      .select("change_type").as[String].collect().toSeq
+    assert(feed === Seq("insert"))
+    // crash simulation: staged v3 without a manifest swap stays invisible;
+    // the retried insert claims v3 for itself
+    Seq((99L, "ghost")).toDF("id", "payload").write.parquet(s"$root/v00003")
+    assert(VersionedTable.latestVersion(spark, root) === 2)
+    assert(VersionedTable.insertInto(spark, root,
+      Seq((11L, "k")).toDF("id", "payload")) === 3)
+    assert(VersionedTable.read(spark, root).count() === 12L)
+    assert(VersionedTable.read(spark, root).filter(col("payload") === "ghost").isEmpty)
+    // overwrite replaces the content entirely as v4; v3 still time-travels
+    assert(VersionedTable.insertInto(spark, root,
+      Seq((100L, "only")).toDF("id", "payload"), overwrite = true) === 4)
+    assert(VersionedTable.read(spark, root).count() === 1L)
+    assert(VersionedTable.read(spark, root, Some(3)).count() === 12L)
+  }
+
   // -- CDC change feed (r11) -----------------------------------------------
 
   test("change feed classifies insert / delete / update with pre+post images") {
