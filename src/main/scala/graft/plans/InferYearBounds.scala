@@ -151,6 +151,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule((_: SparkSession) => InferYearBoundsFromDateKey)
     ext.injectOptimizerRule((_: SparkSession) => MvRewrite)
+    ext.injectOptimizerRule((_: SparkSession) => StatsPrune)
     ext.injectResolutionRule(GraftSqlRule)
   }
 }

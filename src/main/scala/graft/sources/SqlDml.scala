@@ -2,8 +2,9 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{FieldName, RelationTimeTravel,
-  UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+  UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable,
+  UnresolvedTableValuedFunction}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint,
   AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable,
   DropColumns, DropConstraint, InsertAction, InsertIntoStatement,
@@ -232,6 +233,23 @@ object SqlDml extends graft.QueryRegistry {
           if tables.contains(r.multipartIdentifier.mkString(".")) =>
         bridge.plan(VersionedTable.read(spark,
           tables(r.multipartIdentifier.mkString("."))))
+      // the CDC feed as a table-valued function, the lakehouse-format SQL
+      // shape: table_changes('t', fromV, toV, 'key1[,key2…]') — the key
+      // list is explicit because the feed is a keyed state diff
+      case tvf: UnresolvedTableValuedFunction
+          if tvf.name.length == 1 &&
+            tvf.name.head.equalsIgnoreCase("table_changes") &&
+            tvf.functionArgs.headOption.exists {
+              case Literal(v, _) => v != null && tables.contains(v.toString)
+              case _ => false
+            } =>
+        require(tvf.functionArgs.length == 4,
+          "table_changes needs (table, fromVersion, toVersion, 'key1[,key2…]')")
+        val Seq(Literal(t, _), Literal(fromV, _), Literal(toV, _), Literal(ks, _)) =
+          tvf.functionArgs
+        bridge.plan(VersionedTable.changes(spark, tables(t.toString),
+          fromV.toString.toInt, toV.toString.toInt,
+          ks.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     }
 
   // ----------------------------------------------------------- expressions
@@ -785,6 +803,26 @@ object SqlDml extends graft.QueryRegistry {
         col("category"))
   }
 
+  /** CDC through SQL (r15): after a SQL UPDATE, the v1→v2 change feed is
+    * read back as the `table_changes` table-valued function inside a plain
+    * SELECT — the lakehouse-format CDC shape. The oracle spells the exact
+    * pre/post image pairs, so a leaked unchanged row, a missing image, or
+    * a wrong change class hash-mismatches. */
+  private def sqlTableChanges(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sqltc_").toString + "/t"
+    val p = graft.etl.Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(s, root, p.repartition(4))
+    val t = Map("products" -> root)
+    require(execute(s,
+      "UPDATE products SET unitprice = unitprice * 2 WHERE CAST(stockcode AS BIGINT) % 4 = 0",
+      t) == 2, "the update must commit as v2")
+    query(s, """
+      SELECT stockcode, change_type,
+             CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM table_changes('products', 1, 2, 'stockcode')""", t)
+  }
+
   /** Oracles are SHARED with the DSL rows they mirror — looked up from the
     * registry so the SQL and DSL surfaces can never drift apart. */
   private def sinkOracle(name: String): String =
@@ -856,5 +894,16 @@ object SqlDml extends graft.QueryRegistry {
     graft.QueryDef("sql_optimize_vacuum", sqlOptimizeVacuum,
       Some(graft.oracle.OracleSql.q("""
       SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category
-      FROM dim_product"""))))
+      FROM dim_product"""))),
+    graft.QueryDef("sql_table_changes", sqlTableChanges,
+      Some(graft.oracle.OracleSql.q("""
+      , tc AS (SELECT stockcode, unitprice, category FROM dim_product
+               WHERE CAST(stockcode AS BIGINT) % 4 = 0)
+      SELECT stockcode, 'update_preimage' AS change_type,
+             CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM tc
+      UNION ALL
+      SELECT stockcode, 'update_postimage' AS change_type,
+             CAST(unitprice * 2 AS DOUBLE) AS unitprice, category
+      FROM tc"""))))
 }

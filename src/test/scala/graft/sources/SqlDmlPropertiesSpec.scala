@@ -1,0 +1,96 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.TestSpark
+
+/** Result-equivalence properties of the SQL DML router: over a generated
+  * family of predicates and assignment lists, the statement path
+  * (parse → qualifier rewrite → verb) must equal the declarative
+  * DataFrame model computed directly from the base rows. The base table
+  * carries NULLs in `w`, so three-valued logic is exercised on every
+  * predicate family: a NULL predicate row never updates and never
+  * deletes (SQL semantics, the verbs' documented contract). */
+object SqlDmlPropertiesSpec extends Properties("sqlDml") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = TestSpark.spark
+
+  /** 40 rows; every 5th `w` is NULL. */
+  private def base = {
+    import spark.implicits._
+    (1L to 40L).toDF("id").select(
+      col("id"),
+      when(col("id") % 5 === 0, lit(null))
+        .otherwise((col("id") * 31) % 13).cast("long").as("w"),
+      concat(lit("p_"), col("id")).as("payload"))
+  }
+
+  private case class Pred(sql: String, c: Column)
+
+  private val atomGen: Gen[Pred] = Gen.oneOf(
+    for { k <- Gen.chooseNum(2, 7); r <- Gen.chooseNum(0, 6) }
+      yield Pred(s"id % $k = ${r % k}", col("id") % k === (r % k)),
+    for { c <- Gen.chooseNum(0L, 40L) }
+      yield Pred(s"id > $c", col("id") > c),
+    for { a <- Gen.chooseNum(0L, 12L); b <- Gen.chooseNum(0L, 12L) }
+      yield Pred(s"w BETWEEN ${math.min(a, b)} AND ${math.max(a, b)}",
+        col("w").between(math.min(a, b), math.max(a, b))),
+    Gen.const(Pred("payload LIKE 'p_1%'", col("payload").like("p_1%"))))
+
+  private val predGen: Gen[Pred] = Gen.oneOf(
+    atomGen,
+    for { a <- atomGen; b <- atomGen }
+      yield Pred(s"(${a.sql}) AND (${b.sql})", a.c && b.c),
+    for { a <- atomGen; b <- atomGen }
+      yield Pred(s"(${a.sql}) OR (${b.sql})", a.c || b.c))
+
+  private case class Assign(name: String, sql: String, c: Column)
+
+  private val assignsGen: Gen[Seq[Assign]] = Gen.atLeastOne(
+    Assign("w", "w * 2 + id", col("w") * 2 + col("id")),
+    Assign("payload", "concat(payload, '_', CAST(id AS STRING))",
+      concat(col("payload"), lit("_"), col("id").cast("string"))),
+    Assign("id", "id + 1000", col("id") + 1000)).map(_.toSeq)
+
+  private def fresh(prefix: String): String = {
+    val root = Files.createTempDirectory(prefix).toString + "/t"
+    VersionedTable.create(spark, root, base.repartition(3))
+    root
+  }
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  property("SQL UPDATE ≡ the declarative CASE-per-column model") =
+    Prop.forAll(predGen, assignsGen) { (p, as) =>
+      val root = fresh("graft_prop_upd_")
+      val stmt = s"UPDATE t SET ${as.map(a => s"${a.name} = ${a.sql}").mkString(", ")} " +
+        s"WHERE ${p.sql}"
+      SqlDml.execute(spark, stmt, Map("t" -> root)) == 2 && {
+        // when() treats a NULL condition as false — exactly the verb's
+        // NULL-predicate-rows-don't-update contract
+        val want = base.select(base.schema.fields.map { f =>
+          as.find(_.name == f.name)
+            .map(a => when(p.c, a.c.cast(f.dataType)).otherwise(col(f.name)).as(f.name))
+            .getOrElse(col(f.name))
+        }.toSeq: _*)
+        sameRows(VersionedTable.read(spark, root), want)
+      }
+    }
+
+  property("SQL DELETE keeps exactly the non-matching rows (NULL predicate keeps)") =
+    Prop.forAll(predGen) { p =>
+      val root = fresh("graft_prop_del_")
+      SqlDml.execute(spark, s"DELETE FROM t WHERE ${p.sql}", Map("t" -> root)) == 2 &&
+        sameRows(VersionedTable.read(spark, root),
+          base.filter(!coalesce(p.c, lit(false))))
+    }
+}

@@ -227,6 +227,21 @@ class SqlDmlSpec extends SparkSpec {
     }.getMessage.contains("VERSION AS OF"))
   }
 
+  test("table_changes TVF reads the CDC feed inside a SELECT; bad arity is loud") {
+    val (root, p) = freshProducts()
+    val t = Map("p" -> root)
+    assert(SqlDml.execute(spark, "DELETE FROM p WHERE CAST(stockcode AS LONG) % 7 = 0", t) == 2)
+    val feed = SqlDml.query(spark, """
+      SELECT change_type, count(*) AS n
+      FROM table_changes('p', 1, 2, 'stockcode')
+      GROUP BY change_type""", t).collect()
+    assert(feed.length == 1 && feed(0).getString(0) == "delete" &&
+      feed(0).getLong(1) == p.filter(code % 7 === 0).count())
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.query(spark, "SELECT * FROM table_changes('p', 1, 2)", t).collect()
+    }.getMessage.contains("table_changes"))
+  }
+
   test("OPTIMIZE and VACUUM statements route to compact/cluster/vacuum") {
     val (root, p) = freshProducts()
     val t = Map("p" -> root)

@@ -69,6 +69,38 @@ class SqlSessionSpec extends SparkSpec {
     } finally GraftCatalog.unregister("sess_m")
   }
 
+  test("spark.sql reads through the extension session compose with StatsPrune data skipping") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_sqlsess_pr_").toString + "/t"
+    val df = (1L to 100L).map(i => (i, s"p_$i")).toDF("id", "payload")
+      .repartitionByRange(4, col("id"))
+    VersionedTable.create(spark, root, df)
+    VersionedStats.enable(spark, root, Seq("id"))
+    graft.plans.StatsPrune.register(spark, root)
+    GraftCatalog.register("sess_pruned", root)
+    try {
+      s2.conf.set(graft.plans.StatsPrune.EnabledKey, "true")
+      try {
+        val q = s2.sql(
+          "SELECT sum(id) AS s FROM sess_pruned WHERE id BETWEEN 1 AND 10")
+        assert(q.head().getLong(0) == 55L)
+        val plan = q.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val opened = plan.collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.inputFiles.length
+        }
+        assert(opened.exists(_ < 4),
+          s"the extension-session scan must open a stats-pruned file subset (got $opened of 4)")
+      } finally s2.conf.unset(graft.plans.StatsPrune.EnabledKey)
+    } finally GraftCatalog.unregister("sess_pruned")
+    // the StatsPrune registration stays — inert while EnabledKey is unset,
+    // and scoped to this test's temp root
+  }
+
   test("unregistered names fall through to Spark's own resolution (inert on foreign queries)") {
     val p = graft.etl.Warehouse(spark, sfDir).dimProduct
       .select("stockcode", "unitprice")
