@@ -242,6 +242,21 @@ class SqlDmlSpec extends SparkSpec {
     }.getMessage.contains("table_changes"))
   }
 
+  test("INSERT INTO … SELECT FROM table_changes applies a CDC span downstream") {
+    val (root, p) = freshProducts()
+    val auditRoot = Files.createTempDirectory("graft_sqlaud_").toString + "/t"
+    val empty = p.select(col("stockcode"), lit("").as("change_type")).limit(0)
+    VersionedTable.create(spark, auditRoot, empty)
+    val t = Map("p" -> root, "audit" -> auditRoot)
+    assert(SqlDml.execute(spark, "DELETE FROM p WHERE CAST(stockcode AS LONG) % 11 = 0", t) == 2)
+    assert(SqlDml.execute(spark, """
+      INSERT INTO audit
+      SELECT stockcode, change_type FROM table_changes('p', 1, 2, 'stockcode')""", t) == 2)
+    val audit = VersionedTable.read(spark, auditRoot)
+    assert(audit.count() == p.filter(code % 11 === 0).count())
+    assert(audit.filter(col("change_type") =!= "delete").count() == 0)
+  }
+
   test("OPTIMIZE and VACUUM statements route to compact/cluster/vacuum") {
     val (root, p) = freshProducts()
     val t = Map("p" -> root)

@@ -101,6 +101,50 @@ class SqlSessionSpec extends SparkSpec {
     // and scoped to this test's temp root
   }
 
+  test("spark.sql aggregates through the extension session reroute to a registered MV") {
+    import spark.implicits._
+    val dirBase = Files.createTempDirectory("graft_sqlsess_mv_").toString
+    val root = dirBase + "/t"
+    val grain = (1L to 100L)
+      .map(i => (i % 7, s"c${i % 3}", BigDecimal(i).setScale(2)))
+      .toDF("k", "c", "amount")
+    VersionedTable.create(spark, root, grain)
+    VersionedTable.read(spark, root).groupBy("k", "c")
+      .agg(sum("amount").as("amount_p"), count(lit(1)).as("n_rows"))
+      .write.parquet(s"$dirBase/mv")
+    graft.plans.MvRewrite.register(spark, VersionedTable.vDir(root, 1),
+      spark.read.parquet(s"$dirBase/mv"),
+      keys = Seq("k", "c"), sums = Map("amount" -> "amount_p"),
+      countCol = Some("n_rows"))
+    GraftCatalog.register("sess_mv", root)
+    try {
+      s2.conf.set(graft.plans.MvRewrite.EnabledKey, "true")
+      try {
+        def q() = s2.sql("""
+          SELECT c, CAST(sum(amount) AS DOUBLE) AS rev, count(1) AS n
+          FROM sess_mv GROUP BY c""")
+        val routed = q()
+        val scanned = routed.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toUri.getPath)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        assert(scanned.nonEmpty && scanned.forall(_.endsWith("/mv")),
+          s"the extension-session aggregate must serve from the MV (scanned $scanned)")
+        val served = routed.collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+        s2.conf.set(graft.plans.MvRewrite.EnabledKey, "false")
+        val direct = q().collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+        assert(served === direct)
+      } finally s2.conf.unset(graft.plans.MvRewrite.EnabledKey)
+    } finally {
+      GraftCatalog.unregister("sess_mv")
+      graft.plans.MvRewrite.unregisterUnder(spark, root)
+    }
+  }
+
   test("unregistered names fall through to Spark's own resolution (inert on foreign queries)") {
     val p = graft.etl.Warehouse(spark, sfDir).dimProduct
       .select("stockcode", "unitprice")
