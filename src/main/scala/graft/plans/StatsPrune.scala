@@ -78,7 +78,8 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
       dir: String, schema: StructType, colTypes: Map[String, DataType],
       files: Seq[FileStats])
   final case class FileStats(part: String, name: String,
-      minMax: Map[String, (Any, Any)])
+      minMax: Map[String, (Any, Any)],
+      blooms: Map[String, Array[Byte]] = Map.empty)
 
   private val registry =
     new java.util.concurrent.CopyOnWriteArrayList[Registration]()
@@ -88,6 +89,9 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
     * time-travel reads keep pruning; older pins are dropped to bound the
     * driver-resident stats footprint. */
   private val HistoryKeep = 4
+
+  /** Max total serialized-bloom bytes a registration may pin driver-side. */
+  private val BloomPinBudgetBytes = 256L << 20
 
   /** The registration snapshot for the CURRENT head of `root` (stats must
     * already be published for it). */
@@ -101,11 +105,29 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
     val stats = VersionedStats.statsFor(spark, root, v)
     val st = stats.schema
     val colTypes = cols.map(c => c -> st(s"${c}_min").dataType).toMap
+    val bloomCols = cols.filter(c => st.fieldNames.contains(s"${c}_bloom"))
     val rows = stats.collect().toSeq.map { r =>
       FileStats(r.getAs[String]("part"), r.getAs[String]("file_id"),
-        cols.map(c => c -> ((r.getAs[Any](s"${c}_min"), r.getAs[Any](s"${c}_max")))).toMap)
+        cols.map(c => c -> ((r.getAs[Any](s"${c}_min"), r.getAs[Any](s"${c}_max")))).toMap,
+        bloomCols.map(c => c -> r.getAs[Array[Byte]](s"${c}_bloom")).toMap)
     }
-    Registration(root, v, qualify(spark, dir), dir, schema, colTypes, rows)
+    // driver-residency guard: min/max pairs are bytes per file, but blooms
+    // are KBs–MBs each — at a large enough file count holding them in the
+    // registry would poison driver memory. Past the budget the pins keep
+    // min/max only (sound: bloom-less point boxes admit), and the note
+    // names the remedy (smaller expectedItemsPerFile, or pointRead which
+    // consults the stats table per probe without pinning anything).
+    val bloomBytes = rows.iterator
+      .flatMap(_.blooms.valuesIterator).filter(_ != null).map(_.length.toLong).sum
+    val bounded =
+      if (bloomBytes <= BloomPinBudgetBytes) rows
+      else {
+        System.err.println(s"[graft] StatsPrune: $root blooms total " +
+          s"${bloomBytes >> 20} MiB > budget ${BloomPinBudgetBytes >> 20} MiB — " +
+          "pinning min/max only (use pointRead, or size blooms smaller)")
+        rows.map(_.copy(blooms = Map.empty))
+      }
+    Registration(root, v, qualify(spark, dir), dir, schema, colTypes, bounded)
   }
 
   /** Pin `reg`, keeping superseded older-version pins for its root (their
@@ -313,9 +335,20 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
       boxes.forall { case (c, (loB, hiB)) =>
         val dt = reg.colTypes(c)
         val (mn, mx) = fileRow.minMax(c)
+        // a POINT box (c = v) on a bloom-indexed column additionally
+        // consults the per-file membership sketch — the pruning min/max
+        // can't do when every file's range spans the probe value; a null
+        // bloom (pre-bloom stats row, all-null column) admits
+        def bloomAdmit: Boolean = (loB, hiB) match {
+          case (Some(l), Some(h)) if l.value == h.value =>
+            fileRow.blooms.get(c).forall(b =>
+              VersionedStats.bloomAdmitsLit(b, l))
+          case _ => true
+        }
         mn == null || ( // null stats (all-null column) always admit
           loB.forall(l => lteq(dt, l, statLit(dt, mx))) &&
-          hiB.forall(h => lteq(dt, statLit(dt, mn), h)))
+          hiB.forall(h => lteq(dt, statLit(dt, mn), h)) &&
+          bloomAdmit)
       }
     }
     if (surviving.size >= reg.files.size) return None // nothing pruned

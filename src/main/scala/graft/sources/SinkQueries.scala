@@ -606,6 +606,44 @@ object SinkQueries extends QueryRegistry {
       col("category"))
   }
 
+  /** Bloom point skipping (r15): the product dim laid out HASH-SHUFFLED so
+    * every file's stockcode [min,max] spans the domain — the exact case
+    * min/max boxes cannot prune a point lookup — then per-file blooms
+    * enabled on stockcode and five needle lookups served through
+    * [[VersionedStats.pointRead]]. The fn REQUIRES the bloom to reject
+    * files on every probe (opened < files × probes), a DML commit +
+    * incremental refresh to keep the blooms serving, and the oracle spells
+    * the needles' rows exactly. */
+  private def versionedStatsBloom(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_vtbloom_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+    VersionedTable.create(s, root, p.repartition(8))
+    require(VersionedStats.enable(s, root, Seq("stockcode")) == 1,
+      "stats must publish for v1")
+    require(VersionedStats.enableBlooms(s, root, Seq("stockcode"),
+      expectedItemsPerFile = 1L << 16, fpp = 0.001) == 1,
+      "blooms must publish for v1")
+    // DML + incremental refresh keep blooms current (rewritten files get
+    // fresh sketches; byte-copied files carry theirs)
+    require(VersionedTable.deleteWhere(s, root, code % 1009 === 0) == 2,
+      "the delete must commit as v2")
+    VersionedStats.refresh(s, root)
+    val targets = p.filter(code % 197 === 0 && code % 1009 =!= 0)
+      .orderBy(code).limit(5).select("stockcode").collect().map(_.getString(0)).toSeq
+    require(targets.nonEmpty, "the needle set must be non-empty")
+    val nFiles = Compaction.listFiles(s, VersionedTable.vDir(root, 2)).count()
+    val opened = targets.map(v =>
+      VersionedStats.survivingNamesForPoint(s, root, 2, "stockcode", v).size).sum
+    require(opened < nFiles * targets.size,
+      s"blooms must reject files min/max admits ($opened of ${nFiles * targets.size})")
+    targets.map(v => VersionedStats.pointRead(s, root, "stockcode", v))
+      .reduce(_ unionByName _)
+      .select(col("stockcode"), col("unitprice").cast("double").as("unitprice"),
+        col("category"))
+  }
+
   /** CHECK constraints enforced at commit time (r13): a non-negative-price
     * constraint registered against the product dim, a valid repricing
     * committed, then a VIOLATING repair attempted — the fn REQUIRES the
@@ -1087,6 +1125,17 @@ object SinkQueries extends QueryRegistry {
              category
       FROM dim_product
       WHERE CAST(stockcode AS BIGINT) % 13 <> 0"""))),
+
+    QueryDef("sink_versioned_stats_bloom", versionedStatsBloom,
+      Some(graft.oracle.OracleSql.q("""
+      , tgt AS (SELECT stockcode, unitprice, category,
+                       CAST(stockcode AS BIGINT) AS code
+                FROM dim_product
+                WHERE CAST(stockcode AS BIGINT) % 197 = 0
+                  AND CAST(stockcode AS BIGINT) % 1009 <> 0
+                ORDER BY CAST(stockcode AS BIGINT) LIMIT 5)
+      SELECT stockcode, CAST(unitprice AS DOUBLE) AS unitprice, category
+      FROM tgt"""))),
 
     QueryDef("sink_versioned_stats_prune", versionedStatsPrune,
       Some(graft.oracle.OracleSql.q("""

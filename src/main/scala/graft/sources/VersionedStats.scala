@@ -2,8 +2,12 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.graft.{expressions => ge}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType, StructField, StructType}
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Versioned data-skipping statistics — [[SkippingIndex]] composed with the
   * [[VersionedTable]] commit protocol: the manifest-stats layer every
@@ -57,6 +61,7 @@ object VersionedStats {
 
   private def statsRoot(root: String) = s"$root/_stats"
   private def colsPath(root: String) = new Path(statsRoot(root), "columns")
+  private def bloomPath(root: String) = new Path(statsRoot(root), "bloom")
   private[sources] def statsDir(root: String, v: Int) =
     f"${statsRoot(root)}/v$v%05d"
   private def tmpDir(root: String, v: Int) = f"${statsRoot(root)}/.tmp_v$v%05d"
@@ -71,6 +76,23 @@ object VersionedStats {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       Some(txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+    }
+  }
+
+  /** Bloom-indexed columns and their filter sizing: col → (expectedItems,
+    * numBits). Empty when blooms were never enabled. */
+  def bloomConfig(spark: SparkSession, root: String): Map[String, (Long, Long)] = {
+    val (fs, _) = fsOf(spark, root)
+    val p = bloomPath(root)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split("\n").filter(_.contains("\t")).map { l =>
+        val Array(c, items, bits) = l.split("\t", 3)
+        c -> ((items.toLong, bits.toLong))
+      }.toMap
     }
   }
 
@@ -100,32 +122,45 @@ object VersionedStats {
     * one-row-per-file aggregate — metadata-sized by construction. */
   private def scanStats(spark: SparkSession, versionDir: String,
       rel: Seq[(String, String)], cols: Seq[String],
-      schemaOpt: Option[StructType]): DataFrame = {
+      schemaOpt: Option[StructType],
+      blooms: Map[String, (Long, Long)] = Map.empty): DataFrame = {
     val (fs, _) = fsOf(spark, versionDir)
     val rootAbs = fs.makeQualified(new Path(versionDir)).toUri.getPath
+    val bloomCols = cols.filter(blooms.contains)
     val outSchema = { // fixed even when there is nothing to scan
       val probe = schemaOpt.map(spark.read.schema(_)).getOrElse(spark.read)
         .parquet(versionDir)
       StructType(
-        StructField("part", StringType, nullable = false) +:
+        (StructField("part", StringType, nullable = false) +:
         StructField("file_id", StringType, nullable = false) +:
         StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false) +:
         cols.flatMap { c =>
           val dt = probe.schema(c).dataType
           Seq(StructField(s"${c}_min", dt), StructField(s"${c}_max", dt))
-        })
+        }) ++ bloomCols.map(c => StructField(s"${c}_bloom", BinaryType)))
     }
     if (rel.isEmpty)
       return spark.createDataFrame(
         java.util.Collections.emptyList[Row](), outSchema)
     val paths = rel.map { case (p, n) =>
       if (p == ".") s"$versionDir/$n" else s"$versionDir/$p/$n" }
+    // per-file membership sketches ride the same one-row-per-file aggregate
+    // as the min/max stats — the same distributed BloomFilterAggregate the
+    // runtime-filter operator uses, hashed with XxHash64 so the serving
+    // side can recompute the probe hash from a literal
+    val bloomAggs = bloomCols.map { c =>
+      val (items, bits) = blooms(c)
+      ge.column(new BloomFilterAggregate(
+        new XxHash64(Seq(ge.expression(col(c)))),
+        Literal(items), Literal(bits)).toAggregateExpression()).as(s"${c}_bloom")
+    }
     val agg = schemaOpt.map(spark.read.schema(_)).getOrElse(spark.read)
       .option("basePath", versionDir).parquet(paths: _*)
       .groupBy(input_file_name().as("__abs"))
       .agg(count(lit(1)).as("n_rows"),
         cols.flatMap(c => Seq(
-          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+          ++ bloomAggs: _*)
     val rows = agg.collect().toSeq.map { r =>
       val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
       val relPath = abs.stripPrefix(rootAbs).stripPrefix("/")
@@ -143,13 +178,16 @@ object VersionedStats {
     * place. A destination that already exists is an already-published
     * replay — left untouched. */
   private def publish(spark: SparkSession, root: String, version: Int,
-      stats: DataFrame): Unit = {
+      stats: DataFrame, force: Boolean = false): Unit = {
     val (fs, _) = fsOf(spark, root)
     val dest = new Path(statsDir(root, version))
-    if (fs.exists(dest)) return
+    if (fs.exists(dest) && !force) return
     val tmp = new Path(tmpDir(root, version))
     if (fs.exists(tmp)) fs.delete(tmp, true)
     stats.coalesce(1).write.parquet(tmp.toString)
+    // a forced re-publish (bloom enablement widening the schema) stages
+    // first, so the no-stats window is just the delete..rename gap
+    if (fs.exists(dest)) fs.delete(dest, true)
     fs.rename(tmp, dest)
   }
 
@@ -174,6 +212,60 @@ object VersionedStats {
       scanStats(spark, VersionedTable.vDir(root, latest), files, cols,
         VersionedTable.effectiveSchema(spark, root, latest)))
     latest
+  }
+
+  /** Add per-file BLOOM membership sketches for `cols` (each must already
+    * be min/max-indexed — the bloom rides the same stats scan). Blooms
+    * close the gap min/max boxes can't: a point lookup on a HIGH-
+    * CARDINALITY, UNSORTED column admits every file by range (each file's
+    * [min,max] spans the domain) but a per-file bloom rejects the files
+    * that simply don't contain the value — the bloom-filter index of the
+    * production formats. False negatives are impossible, so pruning
+    * soundness is unchanged; a null bloom (pre-bloom stats rows carried
+    * forward, or an all-null column) admits. Re-publishes the head's stats
+    * table (one scan of the indexed columns) so blooms serve immediately;
+    * later [[refresh]]es maintain them incrementally like every other
+    * stats column. Returns the statted version. */
+  def enableBlooms(spark: SparkSession, root: String, cols: Seq[String],
+      expectedItemsPerFile: Long = 1L << 20, fpp: Double = 0.01): Int = {
+    val idx = indexedColumns(spark, root).getOrElse(
+      throw new IllegalStateException(s"stats never enabled at $root"))
+    val outside = cols.filterNot(idx.contains)
+    require(cols.nonEmpty && outside.isEmpty,
+      s"bloom columns must be min/max-indexed first: ${outside.mkString(", ")}")
+    require(bloomConfig(spark, root).isEmpty,
+      s"blooms already enabled at $root")
+    val numBits = BloomFilter.optimalNumOfBits(expectedItemsPerFile, fpp)
+    val (fs, _) = fsOf(spark, root)
+    val out = fs.create(bloomPath(root), true)
+    try out.write(cols.map(c => s"$c\t$expectedItemsPerFile\t$numBits")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val latest = VersionedTable.latestVersion(spark, root)
+    val files = Compaction.listFiles(spark, VersionedTable.vDir(root, latest))
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"))).toSeq
+    publish(spark, root, latest,
+      scanStats(spark, VersionedTable.vDir(root, latest), files, idx,
+        VersionedTable.effectiveSchema(spark, root, latest),
+        bloomConfig(spark, root)),
+      force = true)
+    latest
+  }
+
+  /** Driver-side bloom admission: does the serialized per-file filter
+    * possibly contain `value` (an EXTERNAL Scala value)? The probe hash is
+    * the same XxHash64-of-internal-value the build side inserted. Null
+    * filter or null value admits (sound). */
+  def bloomAdmits(bytes: Array[Byte], dt: DataType, value: Any): Boolean =
+    bloomAdmitsLit(bytes, Literal.create(value, dt))
+
+  /** Same, probing with a catalyst Literal (INTERNAL value) — the form the
+    * optimizer rule holds from the predicate itself. */
+  private[graft] def bloomAdmitsLit(bytes: Array[Byte], lit: Literal): Boolean = {
+    if (bytes == null || lit.value == null) return true
+    val hash = new XxHash64(Seq(lit)).eval(null).asInstanceOf[Long]
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+      .mightContainLong(hash)
   }
 
   /** Bring the stats up to the table's latest version INCREMENTALLY from the
@@ -219,7 +311,8 @@ object VersionedStats {
       // stats they were built with (their files predate the new columns, so
       // those columns' stats would be null anyway) and align by name
       val fresh = scanStats(spark, VersionedTable.vDir(root, latest),
-        scanned, cols, VersionedTable.effectiveSchema(spark, root, latest))
+        scanned, cols, VersionedTable.effectiveSchema(spark, root, latest),
+        bloomConfig(spark, root))
       val merged =
         if (carried.columns.sameElements(fresh.columns)) carried.union(fresh)
         else fresh.columns.foldRight(carried) { (c, df) =>
@@ -239,6 +332,42 @@ object VersionedStats {
     statsFor(spark, root, version).filter(SkippingIndex.admitsAll(boxes))
       .select("part", "file_id").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** The names of `version` whose stats admit the point `column = value`:
+    * the [v,v] min/max box first, then the per-file bloom (driver-side on
+    * the metadata-sized survivors). Requires blooms enabled on `column`. */
+  def survivingNamesForPoint(spark: SparkSession, root: String, version: Int,
+      column: String, value: Any): Seq[(String, String)] = {
+    require(bloomConfig(spark, root).contains(column),
+      s"blooms not enabled on '$column' at $root")
+    val stats = statsFor(spark, root, version)
+    val dt = stats.schema(s"${column}_min").dataType
+    stats.filter(SkippingIndex.admitsAll(Seq(Box(column, value, value))))
+      .select(col("part"), col("file_id"), col(s"${column}_bloom"))
+      .collect()
+      .filter(r => bloomAdmits(r.getAs[Array[Byte]](2), dt, value))
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** Bloom-indexed point lookup: open only the files whose min/max box AND
+    * per-file bloom admit `column = value`, with the exact predicate on
+    * top — the read shape that makes a needle query on an unsorted 100 TB
+    * table open a handful of files instead of all of them. */
+  def pointRead(spark: SparkSession, root: String, column: String, value: Any,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(VersionedTable.latestVersion(spark, root))
+    val names = survivingNamesForPoint(spark, root, v, column, value)
+    val dir = VersionedTable.vDir(root, v)
+    if (names.isEmpty) VersionedTable.read(spark, root, Some(v)).filter(lit(false))
+    else {
+      val paths = names.map { case (p, n) =>
+        if (p == ".") s"$dir/$n" else s"$dir/$p/$n" }
+      VersionedTable.effectiveSchema(spark, root, v)
+        .map(spark.read.schema(_)).getOrElse(spark.read)
+        .option("basePath", dir).parquet(paths: _*)
+        .filter(col(column) === lit(value))
+    }
+  }
 
   /** Manifest-style versioned read: only files whose published stats admit
     * the boxes are opened, the exact box predicate re-applied on top, the

@@ -34,6 +34,34 @@ class StatsPruneSpec extends SparkSpec {
     root
   }
 
+  test("a point filter on a bloom-indexed column prunes files min/max cannot") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sp_bloom_").toString + "/t"
+    // hash-shuffled: every file's id range spans the domain — min/max alone
+    // admits all 8 files for any point; the per-file bloom is what prunes
+    val df = (1L to 4000L).map(i => (i, s"p_$i")).toDF("id", "payload").repartition(8)
+    VersionedTable.create(spark, root, df)
+    VersionedStats.enable(spark, root, Seq("id"))
+    VersionedStats.enableBlooms(spark, root, Seq("id"),
+      expectedItemsPerFile = 4096, fpp = 0.001)
+    StatsPrune.register(spark, root)
+    try {
+      val got = StatsPrune.servingScoped(spark) {
+        val q = VersionedTable.read(spark, root)
+          .filter(col("id") === 1234L).select("id", "payload")
+        val n = scanFiles(q)
+        assert(n.exists(_ < 8), s"the bloom must prune the point scan (opened $n of 8)")
+        q
+      }
+      assert(got.as[(Long, String)].collect().toSeq === Seq((1234L, "p_1234")))
+      // a RANGE on the same column gets no bloom help and must stay sound
+      val ranged = StatsPrune.servingScoped(spark) {
+        VersionedTable.read(spark, root)
+          .filter(col("id") >= 100L && col("id") <= 110L).select("id")
+      }
+      assert(ranged.as[Long].collect().toSet === (100L to 110L).toSet)
+    } finally StatsPrune.clear()
+  }
+
   test("a filtered read plans only admitted files; result equals the unpruned read; strict bounds relax soundly") {
     val root = mkRegistered("graft_sp_")
     try {

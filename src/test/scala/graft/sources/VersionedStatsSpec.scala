@@ -166,6 +166,38 @@ class VersionedStatsSpec extends SparkSpec {
     }
   }
 
+  test("bloom point skipping: unsorted point lookups open only bloom-admitted files; refresh maintains blooms") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vs_bloom_").toString + "/t"
+    // hash-shuffled layout: every file's [min,max] spans ~the whole id
+    // domain, so a point lookup is exactly the case min/max can't prune
+    val df = (1L to 4000L).map(i => (i, s"p_$i")).toDF("id", "payload").repartition(8)
+    VersionedTable.create(spark, root, df)
+    VersionedStats.enable(spark, root, Seq("id"))
+    assert(VersionedStats.enableBlooms(spark, root, Seq("id"),
+      expectedItemsPerFile = 4096, fpp = 0.001) === 1)
+    // min/max admits all 8 files for any in-domain point; the bloom keeps
+    // (essentially) only the one file that actually holds the value
+    val names = VersionedStats.survivingNamesForPoint(spark, root, 1, "id", 1234L)
+    assert(names.nonEmpty && names.size < 8, s"bloom must reject files (kept ${names.size}/8)")
+    val got = VersionedStats.pointRead(spark, root, "id", 1234L)
+      .select("payload").as[String].collect().toSeq
+    assert(got === Seq("p_1234"))
+    // an out-of-domain probe opens nothing and returns the empty frame
+    assert(VersionedStats.pointRead(spark, root, "id", 999999L).isEmpty)
+    // DML + refresh: rewritten files get fresh blooms, carried files keep
+    // theirs; the deleted value's new bloom no longer admits it
+    assert(VersionedTable.deleteWhere(spark, root, col("id") === 2000L) === 2)
+    VersionedStats.refresh(spark, root)
+    val v2 = VersionedStats.survivingNamesForPoint(spark, root, 2, "id", 1234L)
+    assert(v2.nonEmpty && v2.size < 8)
+    assert(VersionedStats.pointRead(spark, root, "id", 1234L).count() === 1L)
+    assert(VersionedStats.pointRead(spark, root, "id", 2000L).isEmpty)
+    // blooms on a non-indexed column are rejected loudly
+    intercept[IllegalArgumentException] {
+      VersionedStats.enableBlooms(spark, root, Seq("payload"))
+    }
+  }
+
   test("crash-safe publication: a tmp orphan is swept, an already-published replay is a no-op") {
     val root = mkTable("graft_vs_crash_")
     VersionedStats.enable(spark, root, Seq("id"))
