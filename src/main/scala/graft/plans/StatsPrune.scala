@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.{Compaction, VersionedStats, VersionedTable}
 
@@ -314,9 +315,54 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
         val ls = list.collect { case l: Literal => l }
         tighterLo(a.name, ls.reduce((x, y) => if (lteq(a.dataType, x, y)) x else y))
         tighterHi(a.name, ls.reduce((x, y) => if (lteq(a.dataType, x, y)) y else x))
+      // LIKE 'abc%' (the optimizer has already simplified it to StartsWith
+      // by the time user-provided rules run) → the [prefix, prefix⁺) box:
+      // every string with the prefix is >= the prefix, and < the prefix
+      // with its last char incremented — kept inclusive (a superset, sound)
+      case StartsWith(a: AttributeReference, l: Literal)
+          if colTypes.get(a.name).contains(StringType) &&
+            a.dataType == StringType && l.value != null =>
+        val s = l.value.asInstanceOf[UTF8String].toString
+        if (s.nonEmpty) {
+          tighterLo(a.name, Literal(UTF8String.fromString(s), StringType))
+          prefixUpper(s).foreach(u =>
+            tighterHi(a.name, Literal(UTF8String.fromString(u), StringType)))
+        }
       case _ => // no box — sound
     }
     (lo.keySet ++ hi.keySet).map(c => c -> ((lo.get(c), hi.get(c)))).toMap
+  }
+
+  /** The smallest string ABOVE every string with prefix `s`: drop trailing
+    * max-chars, increment the last remaining one. None when the prefix is
+    * all max-chars (no upper bound — lo alone still prunes). */
+  private def prefixUpper(s: String): Option[String] = {
+    val trimmed = s.reverse.dropWhile(_ == Char.MaxValue).reverse
+    if (trimmed.isEmpty) None
+    else Some(trimmed.init + (trimmed.last + 1).toChar)
+  }
+
+  /** Per-conjunct point sets for bloom admission: `c = v` contributes
+    * {v}, `c IN (v1…vk)` contributes {v1…vk} — a file admits the conjunct
+    * when ANY of its values might be present. Only bloom-indexed columns
+    * matter; everything else is the box path's business. */
+  private def extractPointSets(cond: Expression,
+      colTypes: Map[String, DataType]): Seq[(String, Seq[Literal])] = {
+    def ok(a: AttributeReference, l: Literal): Boolean =
+      colTypes.get(a.name).contains(a.dataType) && l.dataType == a.dataType &&
+        l.value != null
+    splitConjunctivePredicates(cond).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) if ok(a, l) => Some(a.name -> Seq(l))
+      case EqualTo(l: Literal, a: AttributeReference) if ok(a, l) => Some(a.name -> Seq(l))
+      case EqualNullSafe(a: AttributeReference, l: Literal) if ok(a, l) => Some(a.name -> Seq(l))
+      case EqualNullSafe(l: Literal, a: AttributeReference) if ok(a, l) => Some(a.name -> Seq(l))
+      case In(a: AttributeReference, list) if list.nonEmpty && list.forall {
+            case l: Literal => ok(a, l)
+            case _ => false
+          } =>
+        Some(a.name -> list.collect { case l: Literal => l })
+      case _ => None
+    }
   }
 
   /** Catalyst-semantics `x <= y` over one literal pair (constant-fold
@@ -330,25 +376,26 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
   private def prune(f: Filter, cond: Expression, child: LogicalPlan,
       lr: LogicalRelation, reg: Registration): Option[LogicalPlan] = {
     val boxes = extractBoxes(cond, reg.colTypes)
-    if (boxes.isEmpty) return None
+    // point sets (equality / IN) on bloom-indexed columns consult the
+    // per-file membership sketches — the pruning min/max can't do when
+    // every file's range spans the probe values; a null bloom (pre-bloom
+    // stats row, all-null column) admits, and a file admits a conjunct
+    // when ANY of its values might be present
+    val pointSets = extractPointSets(cond, reg.colTypes)
+      .filter { case (c, _) => reg.files.headOption.exists(_.blooms.contains(c)) }
+    if (boxes.isEmpty && pointSets.isEmpty) return None
     val surviving = reg.files.filter { fileRow =>
       boxes.forall { case (c, (loB, hiB)) =>
         val dt = reg.colTypes(c)
         val (mn, mx) = fileRow.minMax(c)
-        // a POINT box (c = v) on a bloom-indexed column additionally
-        // consults the per-file membership sketch — the pruning min/max
-        // can't do when every file's range spans the probe value; a null
-        // bloom (pre-bloom stats row, all-null column) admits
-        def bloomAdmit: Boolean = (loB, hiB) match {
-          case (Some(l), Some(h)) if l.value == h.value =>
-            fileRow.blooms.get(c).forall(b =>
-              VersionedStats.bloomAdmitsLit(b, l))
-          case _ => true
-        }
         mn == null || ( // null stats (all-null column) always admit
           loB.forall(l => lteq(dt, l, statLit(dt, mx))) &&
-          hiB.forall(h => lteq(dt, statLit(dt, mn), h)) &&
-          bloomAdmit)
+          hiB.forall(h => lteq(dt, statLit(dt, mn), h)))
+      } && pointSets.forall { case (c, values) =>
+        fileRow.blooms.get(c) match {
+          case Some(b) => values.exists(VersionedStats.bloomAdmitsLit(b, _))
+          case None => true
+        }
       }
     }
     if (surviving.size >= reg.files.size) return None // nothing pruned

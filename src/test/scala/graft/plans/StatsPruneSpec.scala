@@ -34,6 +34,51 @@ class StatsPruneSpec extends SparkSpec {
     root
   }
 
+  test("a LIKE-prefix filter prunes via its [prefix, prefix+1) box") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sp_like_").toString + "/t"
+    // zero-padded names range-tile across 4 files — no '_' in the data:
+    // underscore is itself a LIKE wildcard, and only wildcard-free-prefix
+    // patterns simplify to the StartsWith the box extraction reads
+    val df = (1L to 4000L).map(i => (f"px$i%04d", i)).toDF("name", "id")
+      .repartitionByRange(4, col("name"))
+    VersionedTable.create(spark, root, df)
+    VersionedStats.enable(spark, root, Seq("name"))
+    StatsPrune.register(spark, root)
+    try {
+      val got = StatsPrune.servingScoped(spark) {
+        val q = VersionedTable.read(spark, root)
+          .filter(col("name").like("px12%")).select("name")
+        assert(scanFiles(q).exists(_ < 4),
+          s"the prefix box must prune (opened ${scanFiles(q)} of 4)")
+        q
+      }
+      assert(got.as[String].collect().toSet ===
+        (1200L to 1299L).map(i => f"px$i%04d").toSet)
+    } finally StatsPrune.clear()
+  }
+
+  test("an IN-list on a bloom-indexed column admits a file only when SOME value might be present") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sp_inbloom_").toString + "/t"
+    val df = (1L to 4000L).map(i => (i, s"p_$i")).toDF("id", "payload").repartition(8)
+    VersionedTable.create(spark, root, df)
+    VersionedStats.enable(spark, root, Seq("id"))
+    VersionedStats.enableBlooms(spark, root, Seq("id"),
+      expectedItemsPerFile = 4096, fpp = 0.001)
+    StatsPrune.register(spark, root)
+    try {
+      val got = StatsPrune.servingScoped(spark) {
+        val q = VersionedTable.read(spark, root)
+          .filter(col("id").isin(17L, 2991L)).select("id")
+        // the IN envelope [17, 2991] admits all 8 shuffled files; only the
+        // blooms cut the list down to the files holding either value
+        assert(scanFiles(q).exists(_ < 8),
+          s"IN-list blooms must prune (opened ${scanFiles(q)} of 8)")
+        q
+      }
+      assert(got.as[Long].collect().toSet === Set(17L, 2991L))
+    } finally StatsPrune.clear()
+  }
+
   test("a point filter on a bloom-indexed column prunes files min/max cannot") {
     val root = java.nio.file.Files.createTempDirectory("graft_sp_bloom_").toString + "/t"
     // hash-shuffled: every file's id range spans the domain — min/max alone
