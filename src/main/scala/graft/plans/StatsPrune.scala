@@ -4,8 +4,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
@@ -80,7 +82,8 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
       files: Seq[FileStats])
   final case class FileStats(part: String, name: String,
       minMax: Map[String, (Any, Any)],
-      blooms: Map[String, Array[Byte]] = Map.empty)
+      blooms: Map[String, Array[Byte]] = Map.empty,
+      nRows: Long = 0L)
 
   private val registry =
     new java.util.concurrent.CopyOnWriteArrayList[Registration]()
@@ -110,7 +113,8 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
     val rows = stats.collect().toSeq.map { r =>
       FileStats(r.getAs[String]("part"), r.getAs[String]("file_id"),
         cols.map(c => c -> ((r.getAs[Any](s"${c}_min"), r.getAs[Any](s"${c}_max")))).toMap,
-        bloomCols.map(c => c -> r.getAs[Array[Byte]](s"${c}_bloom")).toMap)
+        bloomCols.map(c => c -> r.getAs[Array[Byte]](s"${c}_bloom")).toMap,
+        r.getAs[Long]("n_rows"))
     }
     // driver-residency guard: min/max pairs are bytes per file, but blooms
     // are KBs–MBs each — at a large enough file count holding them in the
@@ -210,17 +214,82 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
     else plan.transform {
       case f @ Filter(cond, child) =>
         findScan(child).flatMap { lr =>
-          val paths: Set[String] = lr.relation match {
-            case fs: HadoopFsRelation =>
-              fs.location.rootPaths.map(_.toUri.toString).toSet
-            case _ => Set.empty
-          }
-          def find = registry.asScala.find(r =>
-            paths.contains(r.location) && lr.schema == r.schema)
-          find.orElse(headHeal(paths, lr.schema))
-            .flatMap(prune(f, cond, child, lr, _))
+          registrationOf(lr).flatMap(prune(f, cond, child, lr, _))
         }.getOrElse(f)
+      // metadata-only aggregates: a global (no-grouping, unfiltered)
+      // count(*)/min/max over a registered snapshot is fully answerable
+      // from the per-file stats rows — zero data files open, the
+      // count-a-100TB-table-in-milliseconds query of the manifest formats
+      case a @ Aggregate(Seq(), aggExprs, child, _) =>
+        findScan(child).flatMap { lr =>
+          registrationOf(lr).flatMap(serveAggregate(a, aggExprs, _))
+        }.getOrElse(a)
     }
+
+  private def registrationOf(lr: LogicalRelation): Option[Registration] = {
+    val paths: Set[String] = lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.map(_.toUri.toString).toSet
+      case _ => Set.empty
+    }
+    registry.asScala.find(r => paths.contains(r.location) && lr.schema == r.schema)
+      .orElse(headHeal(paths, lr.schema))
+  }
+
+  /** Serve a global aggregate from the registration's stats rows: count(*)
+    * (= Σ n_rows), min(c) (= min of per-file mins, null stats contributing
+    * nothing — exactly SQL's null-ignoring MIN), max(c) symmetric, for
+    * indexed c. Any other aggregate shape — distinct, FILTER clauses,
+    * count(col), expressions over aggregates — bails to the real scan.
+    * Soundness leans on the same protocol fact as pruning: the stats rows
+    * describe EXACTLY the registered snapshot's files. */
+  private def serveAggregate(a: Aggregate, aggExprs: Seq[NamedExpression],
+      reg: Registration): Option[LogicalPlan] = {
+    def valueOf(ae: AggregateExpression): Option[Any] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case c: aggregate.Count if c.children == Seq(Literal(1)) ||
+            c.children == Seq(Literal(1L)) =>
+          Some(reg.files.iterator.map(_.nRows).sum)
+        case aggregate.Min(at: AttributeReference) if reg.colTypes.contains(at.name) =>
+          val dt = reg.colTypes(at.name)
+          val mins = reg.files.iterator.map(_.minMax(at.name)._1).filter(_ != null)
+            .map(v => Literal.create(v, dt)).toSeq
+          Some(if (mins.isEmpty) null
+            else mins.reduce((x, y) => if (lteq(dt, x, y)) x else y).value)
+        case aggregate.Max(at: AttributeReference) if reg.colTypes.contains(at.name) =>
+          val dt = reg.colTypes(at.name)
+          val maxs = reg.files.iterator.map(_.minMax(at.name)._2).filter(_ != null)
+            .map(v => Literal.create(v, dt)).toSeq
+          Some(if (maxs.isEmpty) null
+            else maxs.reduce((x, y) => if (lteq(dt, x, y)) y else x).value)
+        case _ => None
+      }
+    }
+    // each output column may be any deterministic expression OVER served
+    // aggregates (cast(min(x)), max(a) - min(a), …): substitute every
+    // AggregateExpression with its stats-derived literal, then constant-
+    // fold the remainder — which must reference nothing else
+    val values = aggExprs.map { ne =>
+      var servable = true
+      val substituted = ne.transformUp {
+        case ae: AggregateExpression =>
+          valueOf(ae) match {
+            case Some(v) => Literal(v, ae.dataType)
+            case None => servable = false; ae
+          }
+      }
+      val inner = substituted match {
+        case Alias(child, _) => child
+        case other => other
+      }
+      if (!servable || inner.references.nonEmpty || !inner.deterministic) None
+      else Some(inner.eval(InternalRow.empty))
+    }
+    if (values.exists(_.isEmpty)) None // any unservable column → real scan
+    else Some(LocalRelation(a.output,
+      Seq(InternalRow.fromSeq(values.map(_.get)))))
+  }
 
   /** Plan-time head check (r15, VERDICT r14 #4). Fires only when the
     * scanned location is EXACTLY the current head directory of a root with

@@ -408,6 +408,49 @@ object SinkQueries extends QueryRegistry {
     } finally graft.plans.StatsPrune.clear()
   }
 
+  /** Metadata-only aggregate serving (r15): a global count(*)/min/max
+    * over the stats-registered dim answered ENTIRELY from the per-file
+    * stats rows — the fn REQUIRES the executed plan to contain NO file
+    * scan at all — with a DML commit in between proving the commit
+    * listener keeps the metadata answer live. The oracle recomputes the
+    * aggregates from the raw rows, so a stale count, a wrong null
+    * treatment in min/max, or an unmaintained stats row all
+    * hash-mismatch. */
+  private def versionedStatsMetaAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft_sink_vtmeta_").toString + "/t"
+    val code = col("stockcode").cast("long")
+    val p = Warehouse(s, dir).dimProduct
+      .select(col("stockcode"), col("unitprice"), col("category"))
+      .withColumn("code", code)
+    VersionedTable.create(s, root, p.repartitionByRange(8, col("code")))
+    require(VersionedStats.enable(s, root, Seq("code", "unitprice")) == 1,
+      "stats must publish for v1")
+    graft.plans.StatsPrune.register(s, root)
+    try {
+      // DML behind the registration: the commit listener must refresh the
+      // stats and re-pin, so the metadata answer reflects v2
+      require(VersionedTable.deleteWhere(s, root, code % 9 === 0) == 2,
+        "the delete must commit as v2")
+      graft.plans.StatsPrune.servingScoped(s) {
+        val q = VersionedTable.read(s, root)
+          .agg(count(lit(1)).as("n_rows"),
+            min("code").as("min_code"), max("code").as("max_code"),
+            min("unitprice").cast("double").as("min_price"),
+            max("unitprice").cast("double").as("max_price"))
+        val scanned = (q.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case pl => pl
+        }).collectFirst {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+        }
+        require(scanned.isEmpty,
+          "a metadata-served aggregate must open NO data file")
+        q
+      }
+    } finally graft.plans.StatsPrune.clear()
+  }
+
   /** Commit-time RE-registration of the pruning rule (r14, VERDICT r13
     * #2): the same scenario as [[versionedStatsAuto]], but the
     * registration happens BEFORE the DML commit and nothing refreshes or
@@ -1125,6 +1168,16 @@ object SinkQueries extends QueryRegistry {
              category
       FROM dim_product
       WHERE CAST(stockcode AS BIGINT) % 13 <> 0"""))),
+
+    QueryDef("sink_versioned_stats_metaagg", versionedStatsMetaAgg,
+      Some(graft.oracle.OracleSql.q("""
+      SELECT count(*) AS n_rows,
+             min(CAST(stockcode AS BIGINT)) AS min_code,
+             max(CAST(stockcode AS BIGINT)) AS max_code,
+             CAST(min(unitprice) AS DOUBLE) AS min_price,
+             CAST(max(unitprice) AS DOUBLE) AS max_price
+      FROM dim_product
+      WHERE CAST(stockcode AS BIGINT) % 9 <> 0"""))),
 
     QueryDef("sink_versioned_stats_bloom", versionedStatsBloom,
       Some(graft.oracle.OracleSql.q("""

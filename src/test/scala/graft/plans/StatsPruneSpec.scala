@@ -34,6 +34,46 @@ class StatsPruneSpec extends SparkSpec {
     root
   }
 
+  test("global count(*)/min/max serve metadata-only: zero files open, values exact, DML keeps them live") {
+    val root = mkRegistered("graft_sp_meta_")
+    try {
+      def agg() = VersionedTable.read(spark, root)
+        .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"),
+          min("w").as("wlo"))
+      val got = StatsPrune.servingScoped(spark) {
+        val q = agg()
+        assert(scanFiles(q).isEmpty, "a metadata-served aggregate opens no data file")
+        q
+      }
+      assert(got.as[(Long, Long, Long, Long)].head() ===
+        ((100L, 1L, 100L, (1L to 100L).map(i => (i * 37) % 97).min)))
+      // the commit listener keeps the answer live across DML
+      VersionedTable.deleteWhere(spark, root, col("id") > 90L)
+      val after = StatsPrune.servingScoped(spark) {
+        val q = agg()
+        assert(scanFiles(q).isEmpty)
+        q
+      }
+      assert(after.as[(Long, Long, Long, Long)].head()._1 === 90L)
+      assert(after.as[(Long, Long, Long, Long)].head()._3 === 90L)
+      // unservable shapes fall back to the real scan, correct either way
+      val distinctQ = StatsPrune.servingScoped(spark) {
+        val q = VersionedTable.read(spark, root)
+          .agg(count_distinct(col("w")).as("d"), count(lit(1)).as("n"))
+        assert(scanFiles(q).nonEmpty, "count DISTINCT must hit the data")
+        q
+      }
+      assert(distinctQ.select("n").as[Long].head() === 90L)
+      // count(col) (null-skipping) and filtered aggregates also fall back
+      val countCol = StatsPrune.servingScoped(spark) {
+        val q = VersionedTable.read(spark, root).agg(count(col("payload")).as("n"))
+        assert(scanFiles(q).nonEmpty)
+        q
+      }
+      assert(countCol.as[Long].head() === 90L)
+    } finally StatsPrune.clear()
+  }
+
   test("a LIKE-prefix filter prunes via its [prefix, prefix+1) box") {
     val root = java.nio.file.Files.createTempDirectory("graft_sp_like_").toString + "/t"
     // zero-padded names range-tile across 4 files — no '_' in the data:
