@@ -306,7 +306,18 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
 
   private def headHeal(paths: Set[String], schema: StructType): Option[Registration] = {
     if (healing.get || paths.isEmpty) return None
-    val roots = registry.asScala.map(_.root).toSet
+    // cheap gate BEFORE any filesystem read (ADVICE r15): a query over an
+    // UNRELATED table must not pay a per-registered-root `_latest` read on
+    // every plan node — only roots whose qualified prefix actually covers
+    // one of the scanned paths are head-check candidates. The prefix comes
+    // from the pinned registrations' own qualified locations (no I/O).
+    val rootPrefixes: Map[String, String] = registry.asScala.toSeq
+      .groupBy(_.root).flatMap { case (r, regs) =>
+        val loc = regs.head.location
+        val cut = loc.lastIndexOf('/')
+        if (cut <= 0) None else Some(r -> loc.substring(0, cut)) }
+    val roots = rootPrefixes.collect {
+      case (r, pre) if paths.exists(_.startsWith(pre + "/")) => r }.toSet
     roots.iterator.flatMap { root =>
       try {
         val spark = SparkSession.active
@@ -391,24 +402,38 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
       case StartsWith(a: AttributeReference, l: Literal)
           if colTypes.get(a.name).contains(StringType) &&
             a.dataType == StringType && l.value != null =>
-        val s = l.value.asInstanceOf[UTF8String].toString
-        if (s.nonEmpty) {
-          tighterLo(a.name, Literal(UTF8String.fromString(s), StringType))
-          prefixUpper(s).foreach(u =>
-            tighterHi(a.name, Literal(UTF8String.fromString(u), StringType)))
+        val u = l.value.asInstanceOf[UTF8String]
+        if (u.numBytes > 0) {
+          tighterLo(a.name, Literal(u, StringType))
+          prefixUpper(u).foreach(up =>
+            tighterHi(a.name, Literal(up, StringType)))
         }
       case _ => // no box — sound
     }
     (lo.keySet ++ hi.keySet).map(c => c -> ((lo.get(c), hi.get(c)))).toMap
   }
 
-  /** The smallest string ABOVE every string with prefix `s`: drop trailing
-    * max-chars, increment the last remaining one. None when the prefix is
-    * all max-chars (no upper bound — lo alone still prunes). */
-  private def prefixUpper(s: String): Option[String] = {
-    val trimmed = s.reverse.dropWhile(_ == Char.MaxValue).reverse
-    if (trimmed.isEmpty) None
-    else Some(trimmed.init + (trimmed.last + 1).toChar)
+  /** An upper bound ABOVE every string with prefix `s`, computed over the
+    * prefix's UTF-8 BYTES (the order UTF8String actually compares in — the
+    * Delta/Iceberg LIKE-prefix derivation): drop trailing 0xFF bytes,
+    * increment the last remaining one. The r15 UTF-16 form (`last char +
+    * 1`) was unsound at the surrogate boundary (ADVICE r15): a prefix
+    * ending U+D7FF incremented into an unpaired surrogate that re-encoded
+    * as '?' (0x3F), an upper bound BELOW the prefix — files holding
+    * matching rows were pruned. A byte increment can produce an invalid
+    * UTF-8 sequence, which is fine: the bound only ever feeds byte-wise
+    * comparisons against file stats, never decoding. None when the prefix
+    * is all 0xFF (no upper bound — lo alone still prunes). */
+  private[plans] def prefixUpper(s: UTF8String): Option[UTF8String] = {
+    val b = s.getBytes
+    var i = b.length - 1
+    while (i >= 0 && b(i) == -1) i -= 1 // trailing 0xFF bytes have no successor
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(b, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(UTF8String.fromBytes(out))
+    }
   }
 
   /** Per-conjunct point sets for bloom admission: `c = v` contributes

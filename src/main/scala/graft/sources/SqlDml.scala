@@ -306,13 +306,30 @@ object SqlDml extends graft.QueryRegistry {
         Some((Some(a.nameParts.init.mkString(".").toLowerCase), a.nameParts.last))
       case _ => None
     }
+    // which relation a side's qualifier names: Some(true) = target,
+    // Some(false) = source, None = bare (either). The two sides of each
+    // conjunct must resolve to OPPOSITE relations (ADVICE r15: `ON t.k =
+    // t.k` is a non-join predicate, and silently reinterpreting it as the
+    // equi-key `t.k = src.k` matches different rows than SQL dictates) —
+    // one target + one source, or a bare side standing in for either.
+    def relSide(q: Option[String]): Option[Boolean] = q match {
+      case None => None
+      case Some(x) if tgtQuals(x) => Some(true)
+      case Some(x) if srcQuals(x) => Some(false)
+      case Some(x) => throw new IllegalArgumentException(
+        s"unknown qualifier '$x' in MERGE ON: ${cond.sql}")
+    }
     conjuncts(cond).map {
       case EqualTo(l, r) =>
         (side(l), side(r)) match {
           case (Some((ql, nl)), Some((qr, nr))) if nl.equalsIgnoreCase(nr) &&
-              Seq(ql, qr).flatten.forall(q => tgtQuals(q) || srcQuals(q)) => nl
+              ((relSide(ql), relSide(qr)) match {
+                case (Some(a), Some(b)) => a != b
+                case _ => true // at least one bare side
+              }) => nl
           case _ => throw new IllegalArgumentException(
-            s"MERGE ON conjunct must be a same-named equi-key (ta.k = sa.k): ${cond.sql}")
+            s"MERGE ON conjunct must be a same-named equi-key across the two " +
+              s"relations (ta.k = sa.k): ${cond.sql}")
         }
       case c => throw new IllegalArgumentException(
         s"MERGE ON conjunct must be an equality: ${c.sql}")
@@ -386,7 +403,7 @@ object SqlDml extends graft.QueryRegistry {
     val notMatched: Option[Column] = m.notMatchedActions.headOption.map {
       case ins: InsertStarAction => condColumn(ins.condition, srcQuals, Set.empty)
       case ins: InsertAction =>
-        ins.assignments.foreach { case Assignment(k, v) =>
+        val listed = ins.assignments.map { case Assignment(k, v) =>
           val colName = assignName(k, srcQuals ++ tgt.quals)
           val srcName = v match {
             case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.nameParts.head)
@@ -401,7 +418,19 @@ object SqlDml extends graft.QueryRegistry {
               s"project the USING subquery instead")
           require(source.columns.exists(_.equalsIgnoreCase(colName)),
             s"INSERT names a column absent from the source: $colName")
-        }
+          colName.toLowerCase
+        }.toSet
+        // the verb inserts the FULL source row by name, so a column list
+        // that skips table columns would NOT null-fill them as SQL demands
+        // (ADVICE r15: unlisted columns silently took the source's values).
+        // Reject the partial list loudly; a source that genuinely lacks
+        // columns projects the USING subquery with explicit NULLs.
+        val uncovered = targetCols.filterNot(c => listed(c.toLowerCase))
+        require(uncovered.isEmpty,
+          s"WHEN NOT MATCHED INSERT column list must cover every table " +
+            s"column (missing: ${uncovered.mkString(", ")}) — the verb " +
+            s"inserts full source rows; project the USING subquery with " +
+            s"explicit NULLs for SQL's null-fill")
         condColumn(ins.condition, srcQuals, Set.empty)
       case other => throw new IllegalArgumentException(
         s"unsupported WHEN NOT MATCHED action: ${other.getClass.getSimpleName}")

@@ -64,7 +64,21 @@ object VersionedStats {
   private def bloomPath(root: String) = new Path(statsRoot(root), "bloom")
   private[sources] def statsDir(root: String, v: Int) =
     f"${statsRoot(root)}/v$v%05d"
-  private def tmpDir(root: String, v: Int) = f"${statsRoot(root)}/.tmp_v$v%05d"
+  // staging is per ATTEMPT, never shared: two concurrent publishers for the
+  // same version must not interleave delete/write/rename in one tmp dir
+  private def tmpDir(root: String, v: Int) =
+    f"${statsRoot(root)}/.tmp_v$v%05d_${java.util.UUID.randomUUID()}"
+
+  // Serialize enable/refresh/publish PER ROOT (ADVICE r15): r15 gave this
+  // layer three concurrent drivers for one table — StatsPrune.headHeal on
+  // any planning thread, the commit listener, and Maintenance.maintain —
+  // and an unserialized pair of refreshes could interleave their staging
+  // and publish a duplicated or partial stats table that StatsPrune would
+  // then trust (silently wrong pruning). Same pattern as
+  // IncrementalMv.maintainFromVersioned's per-path lock.
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(statsRoot(root), _ => new Object)
 
   /** The indexed column names, or None when stats were never enabled. */
   def indexedColumns(spark: SparkSession, root: String): Option[Seq[String]] = {
@@ -183,18 +197,25 @@ object VersionedStats {
     val dest = new Path(statsDir(root, version))
     if (fs.exists(dest) && !force) return
     val tmp = new Path(tmpDir(root, version))
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    stats.coalesce(1).write.parquet(tmp.toString)
-    // a forced re-publish (bloom enablement widening the schema) stages
-    // first, so the no-stats window is just the delete..rename gap
-    if (fs.exists(dest)) fs.delete(dest, true)
-    fs.rename(tmp, dest)
+    try {
+      stats.coalesce(1).write.parquet(tmp.toString)
+      // a forced re-publish (bloom enablement widening the schema) stages
+      // first, so the no-stats window is just the delete..rename gap
+      if (fs.exists(dest)) fs.delete(dest, true)
+      fs.rename(tmp, dest)
+    } finally if (fs.exists(tmp)) fs.delete(tmp, true) // failed-attempt orphan
+    // sweep crashed attempts' staging orphans for this version (dead by the
+    // per-root serialization — a live publisher would hold the lock)
+    fs.listStatus(new Path(statsRoot(root))).map(_.getPath)
+      .filter(_.getName.startsWith(f".tmp_v$version%05d"))
+      .foreach(fs.delete(_, true))
   }
 
   /** Enable stats on `cols` for the table at `root`: records the indexed
     * columns and publishes the stats table for the current latest version
     * (one scan of only those columns). Returns the statted version. */
-  def enable(spark: SparkSession, root: String, cols: Seq[String]): Int = {
+  def enable(spark: SparkSession, root: String, cols: Seq[String]): Int =
+      lockFor(root).synchronized {
     require(cols.nonEmpty, "need at least one indexed column")
     require(indexedColumns(spark, root).isEmpty,
       s"stats already enabled at $root on ${indexedColumns(spark, root).get.mkString(", ")}")
@@ -227,7 +248,8 @@ object VersionedStats {
     * later [[refresh]]es maintain them incrementally like every other
     * stats column. Returns the statted version. */
   def enableBlooms(spark: SparkSession, root: String, cols: Seq[String],
-      expectedItemsPerFile: Long = 1L << 20, fpp: Double = 0.01): Int = {
+      expectedItemsPerFile: Long = 1L << 20, fpp: Double = 0.01): Int =
+      lockFor(root).synchronized {
     val idx = indexedColumns(spark, root).getOrElse(
       throw new IllegalStateException(s"stats never enabled at $root"))
     val outside = cols.filterNot(idx.contains)
@@ -275,7 +297,8 @@ object VersionedStats {
     * multi-commit spans in one pass and is a no-op on a current table.
     * Returns the per-file decision frame `(part, file_id, action)` with
     * action ∈ carried | scanned | dropped — metadata-sized. */
-  def refresh(spark: SparkSession, root: String): DataFrame = {
+  def refresh(spark: SparkSession, root: String): DataFrame =
+      lockFor(root).synchronized {
     import spark.implicits._
     val cols = indexedColumns(spark, root).getOrElse(
       throw new IllegalStateException(s"stats never enabled at $root"))

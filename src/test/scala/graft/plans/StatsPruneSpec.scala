@@ -97,6 +97,29 @@ class StatsPruneSpec extends SparkSpec {
     } finally StatsPrune.clear()
   }
 
+  test("prefixUpper is a sound UTF-8-byte successor at surrogate boundaries (r16)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def up(s: String) = StatsPrune.prefixUpper(UTF8String.fromString(s))
+    // every bound must compare ABOVE the prefix in UTF8String (byte) order —
+    // the r15 UTF-16 increment produced a '?'-re-encoded bound BELOW the
+    // prefix for these two shapes, unsoundly pruning matching files
+    for (p <- Seq("a퟿",                 // last char increments INTO the surrogate range
+                  "a🟿",           // non-BMP char whose low surrogate is 0xDFFF
+                  "plain", "é", "ÿ", "z￿")) {
+      val u = UTF8String.fromString(p)
+      up(p).foreach { b =>
+        assert(b.compareTo(u) > 0, s"bound for '$p' not above the prefix")
+        // and above an ARBITRARY continuation of the prefix
+        val cont = UTF8String.concat(u, UTF8String.fromString("zzz￿"))
+        assert(b.compareTo(cont) > 0, s"bound for '$p' not above its continuations")
+      }
+    }
+    // a prefix of all-0xFF bytes (unreachable from valid UTF-16 input, but
+    // the byte path must still be total): no successor — lo alone prunes
+    assert(StatsPrune.prefixUpper(
+      UTF8String.fromBytes(Array(0xFF.toByte, 0xFF.toByte))) === None)
+  }
+
   test("an IN-list on a bloom-indexed column admits a file only when SOME value might be present") {
     val root = java.nio.file.Files.createTempDirectory("graft_sp_inbloom_").toString + "/t"
     val df = (1L to 4000L).map(i => (i, s"p_$i")).toDF("id", "payload").repartition(8)

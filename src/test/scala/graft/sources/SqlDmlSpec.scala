@@ -320,4 +320,32 @@ class SqlDmlSpec extends SparkSpec {
         "UPDATE p SET category = zz.category WHERE unitprice < 0", t)
     }.getMessage.contains("qualifier"))
   }
+
+  test("MERGE ON with both sides naming the SAME relation is rejected (r16)") {
+    val (root, p) = freshProducts()
+    val t = Map("p" -> root)
+    p.createOrReplaceTempView("sqldml_same")
+    // t.k = t.k is a non-join predicate, not an equi-key — silently
+    // treating it as one would match different rows than SQL dictates
+    for (on <- Seq("t.stockcode = t.stockcode", "s.stockcode = s.stockcode"))
+      assert(intercept[IllegalArgumentException] {
+        SqlDml.execute(spark, s"""
+          MERGE INTO p t USING sqldml_same s ON $on
+          WHEN NOT MATCHED THEN INSERT *""", t)
+      }.getMessage.contains("equi-key"))
+  }
+
+  test("MERGE INSERT column list must cover every table column (r16)") {
+    val (root, p) = freshProducts()
+    val t = Map("p" -> root)
+    p.createOrReplaceTempView("sqldml_partial")
+    // the verb inserts FULL source rows — a partial list would silently
+    // take the source's values for the unlisted columns instead of NULL
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.execute(spark, """
+        MERGE INTO p t USING sqldml_partial s ON t.stockcode = s.stockcode
+        WHEN NOT MATCHED THEN INSERT (stockcode, unitprice)
+          VALUES (s.stockcode, s.unitprice)""", t)
+    }.getMessage.contains("cover every table column"))
+  }
 }
