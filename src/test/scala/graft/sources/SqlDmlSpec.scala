@@ -335,6 +335,37 @@ class SqlDmlSpec extends SparkSpec {
       }.getMessage.contains("equi-key"))
   }
 
+  test("UPDATE…FROM lowers onto MERGE: keys from WHERE, residual gates the clause (r16)") {
+    val (root, p) = freshProducts()
+    val t = Map("p" -> root)
+    p.select(col("stockcode"), (col("unitprice") + lit(100)).as("newprice"))
+      .createOrReplaceTempView("sqldml_uf_src")
+    // only every-4th-code rows take the joined source price; the join
+    // conjunct becomes the MERGE key, the rest the matched condition
+    assert(SqlDml.execute(spark, """
+      UPDATE p t SET unitprice = s.newprice
+      FROM sqldml_uf_src s
+      WHERE t.stockcode = s.stockcode AND CAST(t.stockcode AS BIGINT) % 4 = 0""", t) == 2)
+    val got = VersionedTable.read(spark, root)
+    val expect = p.withColumn("unitprice",
+      when(code % 4 === 0 && col("unitprice").isNotNull,
+        (col("unitprice") + 100).cast("decimal(12,2)"))
+        .otherwise(col("unitprice")))
+    assert(p.filter(code % 4 === 0).count() > 0)
+    assert(got.select("stockcode", "unitprice", "category")
+      .exceptAll(expect.select("stockcode", "unitprice", "category")).isEmpty)
+    // no equi-key conjunct in the WHERE → loud rejection, nothing commits
+    assert(intercept[IllegalArgumentException] {
+      SqlDml.execute(spark, """
+        UPDATE p t SET unitprice = s.newprice
+        FROM sqldml_uf_src s WHERE t.unitprice < 2""", t)
+    }.getMessage.contains("equi-join conjunct"))
+    // statements Spark's own grammar accepts never reach the rewrite: a
+    // plain UPDATE whose SET holds a FROM inside parens stays an UPDATE
+    assert(SqlDml.execute(spark,
+      "UPDATE p SET category = substring(category FROM 1 FOR 3) WHERE unitprice > 9000", t) == 3)
+  }
+
   test("MERGE INSERT column list must cover every table column (r16)") {
     val (root, p) = freshProducts()
     val t = Map("p" -> root)
