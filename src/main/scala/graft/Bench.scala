@@ -148,9 +148,48 @@ object Bench {
       System.err.println(s"[bench] WARN $w")
     }
 
+  private def loadNow(): Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
+  private def foreignJavaProcs(): Long = {
+    val self = ProcessHandle.current()
+    // the bench's own JVM chain (sbt → forked bench) is not contention:
+    // exclude self and ancestors from the count
+    val mine = Iterator.iterate(Option(self))(_.flatMap(p =>
+      Option(p.parent().orElse(null)))).takeWhile(_.isDefined).take(8)
+      .flatten.map(_.pid()).toSet
+    ProcessHandle.allProcesses()
+      .filter(p => p.info().command().orElse("").contains("java")
+        && !mine.contains(p.pid())).count()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // Idle-host launch guard (r16, VERDICT r15 #5): three consecutive
+    // official artifacts came from a contended machine (another JVM live at
+    // launch), forcing per-round warn adjudication. The upstream fix: when
+    // a FOREIGN java process is running or the load average is high at
+    // launch, WAIT for idle (up to ~4 minutes, re-sampling every 15 s)
+    // before any timed work. If the host never quiets, the run proceeds —
+    // the driver contract needs a JSON line either way — but the launch
+    // samples are stamped into the artifact (`java_procs_at_launch`,
+    // `load_avg_at_launch`, `launch_waits`) so a judge sees the contention
+    // as a fact of the run, not a forensic reconstruction.
+    val loadThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0").toDouble
+    var launchWaits = 0
+    while (launchWaits < 16 &&
+        (foreignJavaProcs() > 0 || loadNow() > loadThreshold)) {
+      System.err.println(f"[bench] host busy at launch (foreign java: " +
+        f"${foreignJavaProcs()}, load ${loadNow()}%.2f) — waiting 15 s " +
+        f"(${launchWaits + 1}/16)")
+      Thread.sleep(15000L)
+      launchWaits += 1
+    }
+    val javaProcsAtLaunch = foreignJavaProcs()
+    val loadAtLaunch = loadNow()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -438,6 +477,23 @@ object Bench {
       // Catalyst pipeline, same cached warehouse (the delta is re-planning
       // the SQL text per rep, which IS the surface's real serving cost)
       time("sql_olap_q1")(SparkEntry.queries("sql_olap_q1")(spark, sfDir))
+      // r16 (VERDICT r15 #3): the same verbatim SQL served from a PREPARED
+      // handle — planned once, the pinned physical plan re-executed per rep
+      // (real scan work; only parse/analyze/optimize/planning amortizes).
+      // The delta vs sql_olap_q1 is the per-request re-planning cost the
+      // prepared surface removes; parity with the DSL row is the target.
+      try {
+        val q1Prepared = {
+          graft.sources.SqlSurface.register(spark, sfDir)
+          graft.sources.PreparedSql.prepare(spark,
+            graft.sources.SqlSurface.olapSqlTextOf("sql_olap_q1"))
+        }
+        time("sql_olap_q1_prepared")(q1Prepared.run())
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] sql_olap_q1_prepared failed: ${e.getMessage}")
+          results("sql_olap_q1_prepared") = -1.0
+      }
       time("olap_q4")(Olap.q4(w)); time("olap_q5")(Olap.q5(w)); time("olap_q6")(Olap.q6(w))
       time("olap_q7")(Olap.q7(w))
       time("molap_month_country")(Molap.monthCountry(w))
@@ -597,7 +653,10 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""errors":${jarr(errored)},"warns":${jarr(warns.toSeq)},""" +
       s""""reps":${jreps(repLog.toMap)},""" +
-      s""""load_avg":$loadAvg,"java_procs":$javaProcs,"suite_reran":$suiteReran""" +
+      s""""load_avg":$loadAvg,"java_procs":$javaProcs,""" +
+      s""""java_procs_at_launch":$javaProcsAtLaunch,""" +
+      f""""load_avg_at_launch":$loadAtLaunch%.2f,"launch_waits":$launchWaits,""" +
+      s""""suite_reran":$suiteReran""" +
       discardedJson + s""","sf":"$sfDir"}"""
     println(json)
     // Machine-readable copy: sbt wraps stdout in [info] prefixes, which broke

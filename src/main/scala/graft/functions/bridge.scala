@@ -30,4 +30,23 @@ object expressions {
   def plan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
       .queryExecution.analyzed
+
+  /** The full query execution behind a DataFrame — what a prepared-
+    * statement cache pins (the physical plan survives across executions;
+    * re-running it skips parse/analyze/optimize/planning entirely). */
+  def queryExecution(df: DataFrame): org.apache.spark.sql.execution.QueryExecution =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].queryExecution
+
+  /** Execute a pinned PHYSICAL plan and hand the result back as external
+    * rows under its analyzed schema — the serving read of a prepared
+    * statement (no re-planning; the collect converts internal rows the
+    * same way Dataset.collect does). */
+  def collectExecuted(spark: SparkSession,
+      qe: org.apache.spark.sql.execution.QueryExecution): (Seq[Row], org.apache.spark.sql.types.StructType) = {
+    val schema = qe.analyzed.schema
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(schema)
+    (qe.executedPlan.executeCollect().toSeq
+      .map(ir => conv(ir).asInstanceOf[Row]), schema)
+  }
 }

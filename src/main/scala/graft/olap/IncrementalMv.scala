@@ -294,7 +294,8 @@ object IncrementalMv extends QueryRegistry {
     * The 1→2→3 order makes a mid-way failure safe: an unregistered window
     * serves full scans (correct), never a stale summary against a new
     * snapshot. `register(session, version)` must register against
-    * `VersionedTable.vDir(root, version)` reading the summary FRESH. */
+    * snapshot `version` of `root` (e.g. [[graft.plans.MvRewrite.registerVersioned]])
+    * reading the summary FRESH. */
   def autoServe(spark: SparkSession, root: String, summaryPath: String,
       rowKeys: Seq[String], mvKeys: Seq[String], rowCount: String,
       measures: Seq[MeasureSpec], rescanBase: Int => DataFrame)(

@@ -484,7 +484,7 @@ object Molap extends QueryRegistry {
         coalesce(col("country"), lit("UNKNOWN")).as("country"),
         col("totalamount"), col("quantity"))
     graft.sources.VersionedTable.create(s, root, grain)
-    s.read.parquet(f"$root/v${1}%05d")
+    graft.sources.VersionedTable.read(s, root, Some(1))
       .groupBy("month", "country")
       .agg(sum("totalamount").as("rev_p"), count(col("totalamount")).as("rev_cnt"),
         sum("quantity").as("qty_p"), count(col("quantity")).as("qty_cnt"),
@@ -501,19 +501,19 @@ object Molap extends QueryRegistry {
         IncrementalMv.MeasureSpec("quantity", "qty_p", "qty_cnt")),
       () => throw new IllegalStateException(
         "sum/count refresh must read ONLY the change feed, never the base"))
-    graft.plans.MvRewrite.register(s, f"$root/v${2}%05d", s.read.parquet(s"$base/summary"),
+    graft.plans.MvRewrite.registerVersioned(s, root, 2, s.read.parquet(s"$base/summary"),
       keys = Seq("month", "country"),
       sums = Map("totalamount" -> "rev_p", "quantity" -> "qty_p"),
       countCol = Some("n_rows"),
       counts = Map("totalamount" -> "rev_cnt", "quantity" -> "qty_cnt"))
     graft.plans.MvRewrite.servingScoped(s) {
-      val out = s.read.parquet(f"$root/v${2}%05d")
+      val out = graft.sources.VersionedTable.read(s, root, Some(2))
         .groupBy("country")
         .agg(sum("totalamount").as("rev"), avg("totalamount").as("avg_amt"),
           count(lit(1)).as("n_rows"))
         .select(col("country"), col("rev").cast("double").as("revenue"),
           col("avg_amt").cast("double").as("avg_amount"), col("n_rows"))
-      requireServedFrom(out, mustScan = "/summary", mustNotScan = "/t/v")
+      requireServedFrom(out, mustScan = "/summary", mustNotScan = "/t/_data")
       out
     }
   }
@@ -557,7 +557,7 @@ object Molap extends QueryRegistry {
         col("totalamount"), col("quantity"))
     graft.sources.VersionedTable.create(s, root, grain)
     IncrementalMv.initSummaryAt(s, s"$base/summary",
-      s.read.parquet(f"$root/v${1}%05d")
+      graft.sources.VersionedTable.read(s, root, Some(1))
         .groupBy("month", "country")
         .agg(sum("totalamount").as("rev_p"), count(col("totalamount")).as("rev_cnt"),
           sum("quantity").as("qty_p"), count(col("quantity")).as("qty_cnt"),
@@ -571,8 +571,7 @@ object Molap extends QueryRegistry {
       rescanBase = _ => throw new IllegalStateException(
         "sum/count maintenance must read ONLY the change feed, never the base")) {
       (sess, v) =>
-        graft.plans.MvRewrite.register(sess,
-          graft.sources.VersionedTable.vDir(root, v),
+        graft.plans.MvRewrite.registerVersioned(sess, root, v,
           sess.read.parquet(s"$base/summary"),
           keys = Seq("month", "country"),
           sums = Map("totalamount" -> "rev_p", "quantity" -> "qty_p"),
@@ -594,13 +593,13 @@ object Molap extends QueryRegistry {
         require(IncrementalMv.appliedVersion(s, s"$base/summary").contains(2),
           "the commit listener must have caught the summary up to v2")
       graft.plans.MvRewrite.servingScoped(s) {
-        val out = s.read.parquet(f"$root/v${2}%05d")
+        val out = graft.sources.VersionedTable.read(s, root, Some(2))
           .groupBy("country")
           .agg(sum("totalamount").as("rev"), avg("totalamount").as("avg_amt"),
             count(lit(1)).as("n_rows"))
           .select(col("country"), col("rev").cast("double").as("revenue"),
             col("avg_amt").cast("double").as("avg_amount"), col("n_rows"))
-        requireServedFrom(out, mustScan = "/summary", mustNotScan = "/t/v")
+        requireServedFrom(out, mustScan = "/summary", mustNotScan = "/t/_data")
         if (crossProcess)
           require(IncrementalMv.appliedVersion(s, s"$base/summary").contains(2),
             "the plan-time head check must have healed the summary to v2")

@@ -84,7 +84,20 @@ object MvRewrite extends Rule[LogicalPlan] {
   final case class Registration(baseLocation: String, mv: LogicalPlan,
       keys: Set[String], sums: Map[String, String], countCol: Option[String],
       distincts: Map[String, String], counts: Map[String, String],
-      mins: Map[String, String], maxs: Map[String, String])
+      mins: Map[String, String], maxs: Map[String, String],
+      baseFiles: Option[Set[String]] = None) {
+    /** Does a scan of `paths` read exactly this registration's base? A
+      * plain-directory registration matches its directory root path; a
+      * versioned-snapshot registration (r16 — snapshots are FILE SETS under
+      * the table's shared `_data` pool) matches its manifest's qualified
+      * file set exactly, so a time-travel read of another version (a
+      * different set over the same pool) can never reroute to this
+      * version's summary. */
+    def servesScan(paths: Set[String]): Boolean = baseFiles match {
+      case Some(fileSet) => paths == fileSet
+      case None => paths.contains(baseLocation)
+    }
+  }
 
   private val registry =
     new java.util.concurrent.CopyOnWriteArrayList[Registration]()
@@ -112,6 +125,30 @@ object MvRewrite extends Rule[LogicalPlan] {
       s"MV output ${out.mkString(",")} is missing registered columns")
     registry.add(Registration(qualify(spark, basePath), mvPlan,
       keys.toSet, sums, countCol, distincts, counts, mins, maxs))
+  }
+
+  /** Register `mvDf` as the serving summary for snapshot `version` of the
+    * VERSIONED table at `root` (r16): the registration pins the snapshot's
+    * manifest file set — under the shared `_data` pool a snapshot has no
+    * directory of its own, so the file set is the scan identity the
+    * rewrite matches on. Same summary contract as [[register]]. */
+  def registerVersioned(spark: SparkSession, root: String, version: Int,
+      mvDf: DataFrame, keys: Seq[String], sums: Map[String, String],
+      countCol: Option[String] = None,
+      distincts: Map[String, String] = Map.empty,
+      counts: Map[String, String] = Map.empty,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty): Unit = {
+    val mvPlan = mvDf.queryExecution.analyzed
+    val out = mvPlan.output.map(_.name).toSet
+    require((keys ++ sums.values ++ countCol ++ distincts.values ++
+      counts.values ++ mins.values ++ maxs.values).forall(out),
+      s"MV output ${out.mkString(",")} is missing registered columns")
+    registry.add(Registration(
+      qualify(spark, graft.sources.VersionedTable.dataDir(root)), mvPlan,
+      keys.toSet, sums, countCol, distincts, counts, mins, maxs,
+      baseFiles = Some(
+        graft.sources.VersionedTable.snapshotPathSet(spark, root, version))))
   }
 
   def clear(): Unit = registry.clear()
@@ -164,16 +201,24 @@ object MvRewrite extends Rule[LogicalPlan] {
     * maintain) whose plans pass back through this rule. Failures log and
     * leave the full scan — correct, never stale. */
   private def headHeal(paths: Set[String]): Unit = {
-    if (healing.get || headChecks.isEmpty) return
+    if (healing.get || headChecks.isEmpty || paths.isEmpty) return
     headChecks.forEach { (root, heal) =>
       try {
         val spark = SparkSession.active
-        val head = graft.sources.VersionedTable.latestVersion(spark, root)
-        val headLoc = qualify(spark, graft.sources.VersionedTable.vDir(root, head))
-        if (paths.contains(headLoc) &&
-            !registry.asScala.exists(_.baseLocation == headLoc)) {
-          healing.set(true)
-          try heal(spark) finally healing.set(false)
+        // cheap prefix gate before any manifest read: the scan must sit
+        // under this root's data pool at all (r16 — snapshots are file
+        // sets under <root>/_data)
+        val poolPrefix =
+          qualify(spark, graft.sources.VersionedTable.dataDir(root)) + "/"
+        if (paths.head.startsWith(poolPrefix)) {
+          val head = graft.sources.VersionedTable.latestVersion(spark, root)
+          val headSet =
+            graft.sources.VersionedTable.snapshotPathSet(spark, root, head)
+          if (paths == headSet &&
+              !registry.asScala.exists(_.baseFiles.contains(headSet))) {
+            healing.set(true)
+            try heal(spark) finally healing.set(false)
+          }
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -281,7 +326,7 @@ object MvRewrite extends Rule[LogicalPlan] {
           // r12): find-then-filter made a second registration for the same
           // base — one whose keys DO cover the filter columns — unreachable
           def find = registry.asScala.find { r =>
-            paths.contains(r.baseLocation) &&
+            r.servesScan(paths) &&
               filters.forall(f => f.deterministic &&
                 f.references.forall(a => r.keys(a.name)))
           }

@@ -73,13 +73,18 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
   val EnabledKey = "spark.graft.statsPrune.enabled"
 
   /** One registered snapshot: the table root it came from, its version,
-    * qualified directory URI, the read schema the snapshot serves under,
-    * indexed columns with their types, and the collected stats — per file
-    * (relative part/name), per indexed column, the (min, max) as EXTERNAL
-    * Scala values (null = null stats). */
-  final case class Registration(root: String, version: Int, location: String,
-      dir: String, schema: StructType, colTypes: Map[String, DataType],
-      files: Seq[FileStats])
+    * the qualified URI SET of its manifest's files (r16 — under the shared
+    * `_data` pool every snapshot is a file set, so the set IS the scan
+    * identity: a head read matches its registration exactly, a time-travel
+    * read matches its own version's pin, and an already-pruned subset
+    * matches nothing), the pool directory reads resolve under, the read
+    * schema the snapshot serves under, indexed columns with their types,
+    * and the collected stats — per file (pool-relative part/name), per
+    * indexed column, the (min, max) as EXTERNAL Scala values (null = null
+    * stats). */
+  final case class Registration(root: String, version: Int,
+      pathSet: Set[String], dir: String, schema: StructType,
+      colTypes: Map[String, DataType], files: Seq[FileStats])
   final case class FileStats(part: String, name: String,
       minMax: Map[String, (Any, Any)],
       blooms: Map[String, Array[Byte]] = Map.empty,
@@ -103,9 +108,9 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
     val v = VersionedTable.latestVersion(spark, root)
     val cols = VersionedStats.indexedColumns(spark, root).getOrElse(
       throw new IllegalStateException(s"stats never enabled at $root"))
-    val dir = VersionedTable.vDir(root, v)
+    val dir = VersionedTable.dataDir(root)
     val schema = VersionedTable.effectiveSchema(spark, root, v)
-      .getOrElse(spark.read.parquet(dir).schema)
+      .getOrElse(VersionedTable.read(spark, root, Some(v)).schema)
     val stats = VersionedStats.statsFor(spark, root, v)
     val st = stats.schema
     val colTypes = cols.map(c => c -> st(s"${c}_min").dataType).toMap
@@ -132,7 +137,8 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
           "pinning min/max only (use pointRead, or size blooms smaller)")
         rows.map(_.copy(blooms = Map.empty))
       }
-    Registration(root, v, qualify(spark, dir), dir, schema, colTypes, bounded)
+    Registration(root, v, VersionedTable.snapshotPathSet(spark, root, v),
+      dir, schema, colTypes, bounded)
   }
 
   /** Pin `reg`, keeping superseded older-version pins for its root (their
@@ -232,7 +238,11 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
         fs.location.rootPaths.map(_.toUri.toString).toSet
       case _ => Set.empty
     }
-    registry.asScala.find(r => paths.contains(r.location) && lr.schema == r.schema)
+    // a snapshot scan IS its manifest's qualified file set (r16): exact
+    // set equality matches the right version's pin and nothing else — a
+    // time-travel read prunes under ITS version's stats, and a scan this
+    // rule already pruned (a strict subset) never re-matches
+    registry.asScala.find(r => r.pathSet == paths && lr.schema == r.schema)
       .orElse(headHeal(paths, lr.schema))
   }
 
@@ -306,32 +316,41 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
 
   private def headHeal(paths: Set[String], schema: StructType): Option[Registration] = {
     if (healing.get || paths.isEmpty) return None
-    // cheap gate BEFORE any filesystem read (ADVICE r15): a query over an
-    // UNRELATED table must not pay a per-registered-root `_latest` read on
-    // every plan node — only roots whose qualified prefix actually covers
-    // one of the scanned paths are head-check candidates. The prefix comes
-    // from the pinned registrations' own qualified locations (no I/O).
+    // cheap gates BEFORE any filesystem read (ADVICE r15): (1) a query
+    // over an UNRELATED table must not pay a per-registered-root `_latest`
+    // read on every plan node — only roots whose qualified pool prefix
+    // covers the scanned paths are candidates (the prefix comes from a
+    // sample pinned path, no I/O); (2) a scan that is a STRICT SUBSET of a
+    // pinned set is this rule's own pruned output (or a partial read) —
+    // nothing to heal.
     val rootPrefixes: Map[String, String] = registry.asScala.toSeq
       .groupBy(_.root).flatMap { case (r, regs) =>
-        val loc = regs.head.location
-        val cut = loc.lastIndexOf('/')
-        if (cut <= 0) None else Some(r -> loc.substring(0, cut)) }
+        regs.head.pathSet.headOption.flatMap { sample =>
+          val i = sample.lastIndexOf("/_data/")
+          if (i < 0) None else Some(r -> sample.substring(0, i + "/_data".length))
+        }
+      }
+    val sampleHead = paths.head
     val roots = rootPrefixes.collect {
-      case (r, pre) if paths.exists(_.startsWith(pre + "/")) => r }.toSet
+      case (r, pre) if sampleHead.startsWith(pre + "/") => r }.toSet
+    if (roots.isEmpty) return None
+    if (registry.asScala.exists(r => roots(r.root) && paths.subsetOf(r.pathSet)))
+      return None // a pruned/partial scan of an already-pinned version
     roots.iterator.flatMap { root =>
       try {
         val spark = SparkSession.active
         val head = VersionedTable.latestVersion(spark, root)
-        val headLoc = qualify(spark, VersionedTable.vDir(root, head))
-        if (!paths.contains(headLoc) ||
-            registry.asScala.exists(_.location == headLoc)) None
+        if (registry.asScala.exists(r => r.root == root && r.version == head))
+          None // the head is pinned; this scan is just not a snapshot read
+        else if (VersionedTable.snapshotPathSet(spark, root, head) != paths)
+          None // not the head's full file set — an old version, nothing to heal
         else {
           healing.set(true)
           try {
             VersionedStats.refresh(spark, root)
             val fresh = registrationFor(spark, root)
             pin(fresh)
-            Some(fresh).filter(f => paths.contains(f.location) && f.schema == schema)
+            Some(fresh).filter(f => f.pathSet == paths && f.schema == schema)
           } finally healing.set(false)
         }
       } catch {

@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Targeted row deletion over an immutable parquet layout — the
   * right-to-be-forgotten / retention-purge operator (`DELETE WHERE` in a
@@ -15,161 +16,182 @@ import org.apache.spark.sql.functions._
   *     pushes to the scan, so the probe reads only the predicate columns
   *     and row-group stats skip clean files);
   *  2. only the affected files pay decode → filter → re-encode;
-  *  3. untouched files are byte-copied unchanged into the new layout
-  *     (with a manifest-based table format even the copy disappears — the
-  *     new snapshot just references the old files; on a raw filesystem the
-  *     copy IS the snapshot isolation, same discipline as
-  *     [[Compaction.compactDir]]).
+  *  3. untouched files survive UNTOUCHED. Every verb here is split into a
+  *     CORE that rewrites only the affected files and reports the clean
+  *     ones, and two consumers of that report: [[VersionedTable]] carries
+  *     clean files BY REFERENCE in the next snapshot's manifest (r16 —
+  *     zero I/O for unchanged data, the production-table-format contract),
+  *     while the raw-directory verbs below byte-copy them (on a bare
+  *     filesystem layout the copy IS the snapshot isolation, same
+  *     discipline as [[Compaction.compactDir]]).
   * Deletion follows SQL `DELETE WHERE` semantics: rows where the predicate
   * is TRUE are removed; FALSE and NULL rows are kept.
   */
 object Dml {
 
-  /** Root-level reader for a layout: under an explicit `tableSchema` (a
-    * schema-evolved table whose older files lack the added columns — see
-    * [[VersionedTable.evolve]]) every file null-fills its missing columns;
-    * otherwise the plain footer-schema read. */
-  private def readRoot(spark: SparkSession, dir: String,
-      tableSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
-    tableSchema.map(spark.read.schema(_)).getOrElse(spark.read).parquet(dir)
+  /** One immutable snapshot as a FILE LIST: the data-pool directory all
+    * relative (part, name) entries resolve under, plus the read schema
+    * (None = infer from the listed files' footers). For a raw layout the
+    * pool is the layout root and the list is its full listing; for a
+    * versioned table the pool is `<root>/_data` and the list is one
+    * version's manifest. */
+  final case class Snapshot(dataDir: String,
+      files: Seq[(String, String)],
+      schema: Option[StructType]) {
+    def path(part: String, name: String): String =
+      if (part == ".") s"$dataDir/$name" else s"$dataDir/$part/$name"
+    def paths: Seq[String] = files.map { case (p, n) => path(p, n) }
+  }
+
+  private def relOf(part: String, name: String): String =
+    if (part == ".") name else s"$part/$name"
+
+  /** The snapshot's read schema: the declared one, else the footers of the
+    * listed files (with partition values inferred from the directory
+    * names between `dataDir` and each file). */
+  private def snapSchema(spark: SparkSession, snap: Snapshot): StructType =
+    snap.schema.getOrElse {
+      require(snap.files.nonEmpty, "cannot infer a schema from an empty snapshot")
+      spark.read.option("basePath", snap.dataDir).parquet(snap.paths: _*).schema
+    }
+
+  /** Read the whole snapshot: only the LISTED files (the pool may hold
+    * other snapshots' files), partition values riding in from directory
+    * names via basePath, null-filling under an explicit schema. */
+  private[graft] def readSnapshot(spark: SparkSession, snap: Snapshot): DataFrame =
+    if (snap.files.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        snapSchema(spark, snap))
+    else
+      snap.schema.map(spark.read.schema(_)).getOrElse(spark.read)
+        .option("basePath", snap.dataDir).parquet(snap.paths: _*)
+
+  /** The relative names of the snapshot's files holding at least one row
+    * of `probe` (a frame derived from [[readSnapshot]] that kept
+    * `input_file_name()` as column `f`) — metadata-sized by construction. */
+  private def affectedNames(spark: SparkSession, snap: Snapshot,
+      probe: DataFrame): Set[String] = {
+    val root = new Path(snap.dataDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rootAbs = fs.makeQualified(root).toUri.getPath
+    probe.distinct().collect()
+      .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
+      .map(_.stripPrefix(rootAbs).stripPrefix("/"))
+      .toSet
+  }
 
   /** The hit-file rewrite as ONE Spark job (r13): all affected files read
     * together with `basePath` (partition values ride in from the directory
     * names), `transform` applied, and the result written with dynamic
-    * `partitionBy` so every row lands back in the directory its partition
+    * `partitionBy` so every row lands in the directory its partition
     * values name. The earlier shape — one sequential job per affected
     * partition directory — was a driver-side loop that at lakehouse scale
     * (thousands of partitions touched by one DELETE) becomes thousands of
     * sequential tiny jobs; this is the same work as one distributed write.
     * Directory-name spelling is canonicalized for rewritten partitions
-    * (identical to what any Spark/table-format writer produces — values,
-    * escaping and the NULL partition round-trip exactly; only non-canonical
-    * spellings like a zero-padded numeral are normalized, which the
-    * root-level reads already did when inferring the column). */
-  private def rewriteHits(spark: SparkSession, dir: String, outDir: String,
-      hit: Seq[(String, String)],
-      tableSchema: Option[org.apache.spark.sql.types.StructType])(
-      transform: DataFrame => DataFrame): Unit = {
+    * (identical to what any Spark/table-format writer produces). */
+  private def rewriteHits(spark: SparkSession, snap: Snapshot, outDir: String,
+      hit: Seq[(String, String)])(transform: DataFrame => DataFrame): Unit = {
     if (hit.isEmpty) return
-    val paths = hit.map { case (p, n) =>
-      if (p == ".") s"$dir/$n" else s"$dir/$p/$n" }
+    val paths = hit.map { case (p, n) => snap.path(p, n) }
     val partCols = hit.map(_._1).find(_ != ".").toSeq
       .flatMap(_.split("/").map(_.split("=", 2)(0)).toSeq)
-    // always read under the ROOT-level schema: partition-type inference over
-    // only the hit subset could disagree with the whole layout's (e.g. an
-    // all-numeric subset of a string-typed bucket column)
-    val schema = tableSchema.getOrElse(spark.read.parquet(dir).schema)
-    val src = spark.read.schema(schema)
-      .option("basePath", dir).parquet(paths: _*)
+    // always read under the SNAPSHOT-level schema: partition-type inference
+    // over only the hit subset could disagree with the whole layout's (e.g.
+    // an all-numeric subset of a string-typed bucket column)
+    val src = spark.read.schema(snapSchema(spark, snap))
+      .option("basePath", snap.dataDir).parquet(paths: _*)
     val w = transform(src).write.mode("append")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(outDir)
   }
 
-  /** Apply `DELETE WHERE pred` to the layout at `dir`, writing the
-    * surviving layout to `outDir` (partition directory structure
-    * preserved). `pred` must reference DATA columns only: a delete keyed
-    * on a partition column is a directory drop, not a row rewrite — a
-    * different (and trivial) operation this one does not fold in.
-    * Returns the per-file decision frame `(part, file_id, rewritten)` —
-    * metadata-sized, one row per file. */
-  def deleteWhere(spark: SparkSession, dir: String, outDir: String,
-      pred: Column,
-      tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    import spark.implicits._
+  /** Byte-copy `clean` files of `snap` into `outDir` — the raw-layout
+    * consumers' half of the core/copy split (a versioned table never calls
+    * this: its manifest shares clean files by reference). */
+  private def copyClean(spark: SparkSession, snap: Snapshot, outDir: String,
+      clean: Seq[(String, String)]): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val rootAbs = fs.makeQualified(root).toUri.getPath
-
-    // probe: which files contain at least one matching row (URI → path
-    // relative to the layout root, so it keys the catalog exactly)
-    val affectedRel = readRoot(spark, dir, tableSchema).filter(pred)
-      .select(input_file_name().as("f")).distinct()
-      .collect()
-      .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
-      .map(_.stripPrefix(rootAbs).stripPrefix("/"))
-      .toSet
-
-    def relOf(part: String, name: String) =
-      if (part == ".") name else s"$part/$name"
-    def inPath(part: String, name: String) =
-      if (part == ".") s"$dir/$name" else s"$dir/$part/$name"
-    def outPart(part: String) = if (part == ".") outDir else s"$outDir/$part"
-
-    val files = Compaction.listFiles(spark, dir).collect()
-      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
-    val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
-
-    // rewrite ONLY the affected files — one job, keeping rows where the
-    // predicate is not TRUE (SQL DELETE semantics)
-    rewriteHits(spark, dir, outDir, hit.toSeq, tableSchema)(
-      _.filter(!coalesce(pred, lit(false))))
-    // clean files carry no matching rows: byte-copy, no decode/re-encode
+    val fs = new Path(snap.dataDir).getFileSystem(conf)
     clean.foreach { case (part, name) =>
-      val src = new Path(inPath(part, name))
-      val dstDir = new Path(outPart(part))
+      val dstDir = if (part == ".") new Path(outDir) else new Path(s"$outDir/$part")
       fs.mkdirs(dstDir)
-      FileUtil.copy(fs, src, fs, new Path(dstDir, name), false, conf)
+      FileUtil.copy(fs, new Path(snap.path(part, name)),
+        fs, new Path(dstDir, name), false, conf)
     }
-    (hit.map { case (p, n) => (p, n, true) } ++
-      clean.map { case (p, n) => (p, n, false) })
-      .toSeq.toDF("part", "file_id", "rewritten")
   }
 
-  /** File-selective `UPDATE … SET … WHERE` (r12) — the remaining classic
-    * DML verb beside [[deleteWhere]] / [[mergeInto]] / [[deleteKeys]]: rows
-    * where `pred` is TRUE get the `assignments` applied, FALSE/NULL rows
-    * survive byte-for-byte (and so do all clean files — same copy-on-write
-    * shape: one pushed-predicate probe scan finds the affected files, only
-    * those pay decode → conditional projection → re-encode). Standard SQL
-    * UPDATE semantics: every assignment expression sees the OLD row values
-    * (all are evaluated in one projection from the original columns, so
-    * `SET a = b, b = a` swaps). Assignments cast back to each column's
-    * original type — the layout's schema can never fork. Returns the
-    * per-file `(part, file_id, rewritten)` decision frame. */
-  def updateWhere(spark: SparkSession, dir: String, outDir: String,
-      pred: Column, assignments: Map[String, Column],
-      tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+  private def decisionFrame(spark: SparkSession, hit: Seq[(String, String)],
+      clean: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val rootAbs = fs.makeQualified(root).toUri.getPath
+    (hit.map { case (p, n) => (p, n, true) } ++
+      clean.map { case (p, n) => (p, n, false) })
+      .toDF("part", "file_id", "rewritten")
+  }
 
-    val schema = tableSchema.getOrElse(spark.read.parquet(dir).schema)
+  private def snapshotOfDir(spark: SparkSession, dir: String,
+      tableSchema: Option[StructType]): Snapshot =
+    Snapshot(dir,
+      Compaction.listFiles(spark, dir).collect()
+        .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"))).toSeq,
+      tableSchema)
+
+  // ------------------------------------------------------------ DELETE WHERE
+
+  /** The [[deleteWhere]] core: rewrite only the files holding matching
+    * rows into `outDir`, report (hit, clean). `pred` must reference DATA
+    * columns only: a delete keyed on a partition column is a directory
+    * drop, not a row rewrite — a different (and trivial) operation this
+    * one does not fold in. */
+  private[graft] def deleteWhereCore(spark: SparkSession, snap: Snapshot,
+      outDir: String, pred: Column): (Seq[(String, String)], Seq[(String, String)]) = {
+    val affected = affectedNames(spark, snap,
+      readSnapshot(spark, snap).filter(pred).select(input_file_name().as("f")))
+    val (hit, clean) = snap.files.partition { case (p, n) => affected(relOf(p, n)) }
+    // rewrite ONLY the affected files — one job, keeping rows where the
+    // predicate is not TRUE (SQL DELETE semantics)
+    rewriteHits(spark, snap, outDir, hit)(_.filter(!coalesce(pred, lit(false))))
+    (hit, clean)
+  }
+
+  /** Apply `DELETE WHERE pred` to the raw layout at `dir`, writing the
+    * surviving layout to `outDir` (partition directory structure
+    * preserved; clean files byte-copied). Returns the per-file decision
+    * frame `(part, file_id, rewritten)` — metadata-sized. */
+  def deleteWhere(spark: SparkSession, dir: String, outDir: String,
+      pred: Column,
+      tableSchema: Option[StructType] = None): DataFrame = {
+    val snap = snapshotOfDir(spark, dir, tableSchema)
+    val (hit, clean) = deleteWhereCore(spark, snap, outDir, pred)
+    copyClean(spark, snap, outDir, clean)
+    decisionFrame(spark, hit, clean)
+  }
+
+  // ------------------------------------------------------------ UPDATE WHERE
+
+  /** The [[updateWhere]] core: standard SQL UPDATE semantics — every
+    * assignment expression sees the OLD row values (all are evaluated in
+    * one projection from the original columns, so `SET a = b, b = a`
+    * swaps); assignments cast back to each column's original type, so the
+    * layout's schema can never fork. Partition-column assignments fail
+    * loudly regardless of predicate selectivity (ADVICE r12) — that is a
+    * row MOVE ([[updateMoveCore]]). */
+  private[graft] def updateWhereCore(spark: SparkSession, snap: Snapshot,
+      outDir: String, pred: Column, assignments: Map[String, Column])
+      : (Seq[(String, String)], Seq[(String, String)]) = {
+    val schema = snapSchema(spark, snap)
     val unknown = assignments.keySet.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"UPDATE assigns unknown columns: ${unknown.mkString(", ")}")
-    // validate against the FILE-level schema up front (ADVICE r12): the
-    // root-read schema includes the partition columns, so a partition-column
-    // assignment passed the unknown-check and — with a no-match predicate —
-    // silently succeeded as a plain copy. Partition columns live in the
-    // directory names listFiles reports; assigning one is a row MOVE
-    // ([[updateMove]] / the mergeInto route), so it fails loudly here
-    // regardless of predicate selectivity.
-    val files = Compaction.listFiles(spark, dir).collect()
-      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
-    val partCols = files.map(_._1).filter(_ != ".")
+    val partCols = snap.files.map(_._1).filter(_ != ".")
       .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
     val partitionAssigns = assignments.keySet.intersect(partCols)
     require(partitionAssigns.isEmpty,
       s"UPDATE cannot assign partition columns: ${partitionAssigns.mkString(", ")}")
 
-    val affectedRel = readRoot(spark, dir, tableSchema).filter(pred)
-      .select(input_file_name().as("f")).distinct()
-      .collect()
-      .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
-      .map(_.stripPrefix(rootAbs).stripPrefix("/"))
-      .toSet
-
-    def relOf(part: String, name: String) =
-      if (part == ".") name else s"$part/$name"
-    def inPath(part: String, name: String) =
-      if (part == ".") s"$dir/$name" else s"$dir/$part/$name"
-    def outPart(part: String) = if (part == ".") outDir else s"$outDir/$part"
-
-    val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
-
-    rewriteHits(spark, dir, outDir, hit.toSeq, tableSchema) { src =>
+    val affected = affectedNames(spark, snap,
+      readSnapshot(spark, snap).filter(pred).select(input_file_name().as("f")))
+    val (hit, clean) = snap.files.partition { case (p, n) => affected(relOf(p, n)) }
+    rewriteHits(spark, snap, outDir, hit) { src =>
       src.select(src.schema.fields.map { f =>
         assignments.get(f.name)
           .map(a => when(coalesce(pred, lit(false)), a.cast(f.dataType))
@@ -177,81 +199,57 @@ object Dml {
           .getOrElse(col(f.name))
       }.toSeq: _*)
     }
-    clean.foreach { case (part, name) =>
-      val src = new Path(inPath(part, name))
-      val dstDir = new Path(outPart(part))
-      fs.mkdirs(dstDir)
-      FileUtil.copy(fs, src, fs, new Path(dstDir, name), false, conf)
-    }
-    (hit.map { case (p, n) => (p, n, true) } ++
-      clean.map { case (p, n) => (p, n, false) })
-      .toSeq.toDF("part", "file_id", "rewritten")
+    (hit, clean)
   }
 
-  /** Row-move UPDATE (r13, VERDICT r12 #6) — the supported path for the
-    * partition-column assignment [[updateWhere]] rejects: an UPDATE whose
-    * SET touches a partition column RELOCATES the row, so the operation is
-    * a delete-from-source-partition + partition-routed insert, executed in
-    * one decision frame:
-    *  1. same pushed-predicate probe → only files holding movers are
-    *     touched; clean files byte-copy;
-    *  2. each hit file splits once: NON-matching rows survive into their
-    *     original partition directory byte-equivalently; matching rows get
-    *     ALL assignments applied (data and partition columns, every
-    *     expression seeing the OLD row values) and are appended
-    *     partition-routed — each lands in the directory its NEW partition
-    *     values name (including "moves" that resolve to the same
-    *     partition: they rewrite in place, still correct).
-    * Partition values ride directory names, not file bytes, so the hit-file
-    * read re-injects them from the path (hive-escaped, null marker
-    * honored) before evaluating `pred`/assignments — a predicate over the
-    * partition column itself is fine. Returns the `(part, file_id,
-    * rewritten)` decision frame. */
-  def updateMove(spark: SparkSession, dir: String, outDir: String,
+  /** File-selective `UPDATE … SET … WHERE` (r12) over a raw layout; clean
+    * files byte-copy. Returns the per-file decision frame. */
+  def updateWhere(spark: SparkSession, dir: String, outDir: String,
       pred: Column, assignments: Map[String, Column],
-      tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    import spark.implicits._
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val rootAbs = fs.makeQualified(root).toUri.getPath
+      tableSchema: Option[StructType] = None): DataFrame = {
+    val snap = snapshotOfDir(spark, dir, tableSchema)
+    val (hit, clean) = updateWhereCore(spark, snap, outDir, pred, assignments)
+    copyClean(spark, snap, outDir, clean)
+    decisionFrame(spark, hit, clean)
+  }
 
-    val schema = tableSchema.getOrElse(spark.read.parquet(dir).schema)
+  // ------------------------------------------------------------- UPDATE MOVE
+
+  /** The [[updateMove]] core (r13, VERDICT r12 #6) — the supported path for
+    * the partition-column assignment [[updateWhereCore]] rejects: an UPDATE
+    * whose SET touches a partition column RELOCATES the row, so the
+    * operation is a delete-from-source-partition + partition-routed insert,
+    * executed in one decision frame. Partition values ride directory names,
+    * not file bytes, so the hit-file read re-injects them from the path
+    * (hive-escaped, null marker honored) before evaluating
+    * `pred`/assignments — a predicate over the partition column itself is
+    * fine. Movers land in the directory their NEW partition values name
+    * (including "moves" that resolve to the same partition). */
+  private[graft] def updateMoveCore(spark: SparkSession, snap: Snapshot,
+      outDir: String, pred: Column, assignments: Map[String, Column])
+      : (Seq[(String, String)], Seq[(String, String)]) = {
+    val schema = snapSchema(spark, snap)
     val unknown = assignments.keySet.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"UPDATE assigns unknown columns: ${unknown.mkString(", ")}")
-
-    val files = Compaction.listFiles(spark, dir).collect()
-      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
     // partition column order from the directory layout itself (nested
     // dirs = nested partitionBy order) — the routed insert must reproduce it
-    val partCols: Seq[String] = files.map(_._1).find(_ != ".").toSeq
+    val partCols: Seq[String] = snap.files.map(_._1).find(_ != ".").toSeq
       .flatMap(_.split("/").toSeq).map(_.split("=", 2)(0))
     require(partCols.nonEmpty,
       "updateMove needs a partitioned layout; use updateWhere otherwise")
     require(assignments.keySet.exists(partCols.contains),
       s"no partition column assigned (${partCols.mkString(", ")}); use updateWhere")
 
-    val affectedRel = readRoot(spark, dir, tableSchema).filter(pred)
-      .select(input_file_name().as("f")).distinct()
-      .collect()
-      .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
-      .map(_.stripPrefix(rootAbs).stripPrefix("/"))
-      .toSet
-
-    def relOf(part: String, name: String) =
-      if (part == ".") name else s"$part/$name"
-    def inPath(part: String, name: String) = s"$dir/${relOf(part, name)}"
-
-    val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
-
+    val affected = affectedNames(spark, snap,
+      readSnapshot(spark, snap).filter(pred).select(input_file_name().as("f")))
+    val (hit, clean) = snap.files.partition { case (p, n) => affected(relOf(p, n)) }
     // one job: the basePath read rides partition values in from the
-    // directory names (hive-unescaped, NULL marker honored), the
-    // conditional projection applies every assignment to movers only —
-    // each expression seeing the OLD row values, casts pinning each
-    // column's original type — and the dynamic partitionBy write routes
-    // every row to the directory its (old or new) partition values name
-    rewriteHits(spark, dir, outDir, hit.toSeq,
-        tableSchema.orElse(Some(schema))) { src =>
+    // directory names, the conditional projection applies every assignment
+    // to movers only — each expression seeing the OLD row values, casts
+    // pinning each column's original type — and the dynamic partitionBy
+    // write routes every row to the directory its (old or new) partition
+    // values name
+    rewriteHits(spark, snap, outDir, hit) { src =>
       src.select(schema.fields.map { f =>
         assignments.get(f.name)
           .map(a => when(coalesce(pred, lit(false)), a.cast(f.dataType))
@@ -259,45 +257,54 @@ object Dml {
           .getOrElse(col(f.name))
       }.toSeq: _*)
     }
-    clean.foreach { case (part, name) =>
-      val src = new Path(inPath(part, name))
-      val dstDir = new Path(s"$outDir/$part")
-      fs.mkdirs(dstDir)
-      FileUtil.copy(fs, src, fs, new Path(dstDir, name), false, conf)
-    }
-    (hit.map { case (p, n) => (p, n, true) } ++
-      clean.map { case (p, n) => (p, n, false) })
-      .toSeq.toDF("part", "file_id", "rewritten")
+    (hit, clean)
   }
 
+  /** Row-move UPDATE over a raw layout; clean files byte-copy. Returns the
+    * per-file decision frame. */
+  def updateMove(spark: SparkSession, dir: String, outDir: String,
+      pred: Column, assignments: Map[String, Column],
+      tableSchema: Option[StructType] = None): DataFrame = {
+    val snap = snapshotOfDir(spark, dir, tableSchema)
+    val (hit, clean) = updateMoveCore(spark, snap, outDir, pred, assignments)
+    copyClean(spark, snap, outDir, clean)
+    decisionFrame(spark, hit, clean)
+  }
 
-  /** File-selective MERGE INTO (whole-row upsert): target rows whose key
+  // -------------------------------------------------------------- MERGE INTO
+
+  /** The [[mergeInto]] core (whole-row upsert): target rows whose key
     * matches an `updates` row are REPLACED by it, unmatched update rows
     * are INSERTED — `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
-    * INSERT *`. Same copy-on-write shape as [[deleteWhere]]:
-    *  1. the probe is a LEFT SEMI join of the target against the distinct
-    *     update keys (update sets are change-sized — they broadcast; the
-    *     probe's `input_file_name` + distinct is metadata-sized);
-    *  2. only files holding matched rows pay decode → anti-join →
-    *     re-encode (their matched rows drop out);
-    *  3. clean files byte-copy unchanged;
-    *  4. ALL update rows land as new files (replacements + inserts in one
-    *     append — matched old versions are already gone).
-    * `updates` must carry the target's DATA schema; for a partitioned
-    * layout pass its partition columns so update rows route to their
-    * directories (an update may legitimately move a row across
-    * partitions). */
-  def mergeInto(spark: SparkSession, dir: String, outDir: String,
-      updates: DataFrame, keys: Seq[String],
-      partitionCols: Seq[String] = Nil,
-      tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    val decisions = dropKeyedRows(spark, dir, outDir,
-      updates.select(keys.map(col): _*).distinct(), keys, tableSchema)
+    * INSERT *`. The probe is a LEFT SEMI join of the target against the
+    * distinct update keys (update sets are change-sized — they broadcast);
+    * only files holding matched rows pay decode → anti-join → re-encode;
+    * ALL update rows land as new files (replacements + inserts in one
+    * append). `updates` must carry the target's DATA schema; for a
+    * partitioned layout pass its partition columns so update rows route to
+    * their directories. */
+  private[graft] def mergeIntoCore(spark: SparkSession, snap: Snapshot,
+      outDir: String, updates: DataFrame, keys: Seq[String],
+      partitionCols: Seq[String] = Nil)
+      : (Seq[(String, String)], Seq[(String, String)]) = {
+    val (hit, clean) = dropKeyedRowsCore(spark, snap, outDir,
+      updates.select(keys.map(col): _*).distinct(), keys)
     // replacements + inserts in one append, partition-routed when asked
     val w0 = updates.write.mode("append")
     (if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0)
       .parquet(outDir)
-    decisions
+    (hit, clean)
+  }
+
+  /** File-selective MERGE INTO over a raw layout; clean files byte-copy. */
+  def mergeInto(spark: SparkSession, dir: String, outDir: String,
+      updates: DataFrame, keys: Seq[String],
+      partitionCols: Seq[String] = Nil,
+      tableSchema: Option[StructType] = None): DataFrame = {
+    val snap = snapshotOfDir(spark, dir, tableSchema)
+    val (hit, clean) = mergeIntoCore(spark, snap, outDir, updates, keys, partitionCols)
+    copyClean(spark, snap, outDir, clean)
+    decisionFrame(spark, hit, clean)
   }
 
   /** One ordered `WHEN MATCHED` clause of [[mergeClauses]]. */
@@ -314,8 +321,10 @@ object Dml {
     * (the `src.col` of SQL MERGE's aliased source). */
   def src(name: String): Column = col(s"__src_$name")
 
-  /** Full conditional `MERGE INTO` (r13) — the SQL verb with ordered
-    * clauses, beyond the replace-by-key upsert of [[mergeInto]]:
+  // ----------------------------------------------------------- MERGE CLAUSES
+
+  /** The full conditional `MERGE INTO` core (r13) — the SQL verb with
+    * ordered clauses, beyond the replace-by-key upsert of [[mergeIntoCore]]:
     * {{{
     *   MERGE INTO target USING source ON keys
     *   WHEN MATCHED [AND c1] THEN UPDATE SET … / DELETE   (ordered, first
@@ -338,22 +347,17 @@ object Dml {
     * expressions see only target columns. SQL's cardinality rule is
     * enforced: a source with duplicate keys fails loudly (one target row
     * must never match two source rows). NULL keys never match, as in SQL.
-    *
-    * Execution is the same file-selective copy-on-write as every verb
-    * here: one semi-join probe finds the files holding matched keys, only
-    * those pay decode → left-join(source) → clause fold → re-encode (ONE
-    * job), clean files byte-copy, inserts append partition-routed. A MERGE
-    * with `notMatchedBySource` clauses necessarily rewrites EVERY file
-    * (any file can hold source-unmatched rows), so the probe is skipped —
-    * the same touched-set widening a production format's merge pays.
-    * Returns the `(part, file_id, rewritten)` decision frame. */
-  def mergeClauses(spark: SparkSession, dir: String, outDir: String,
-      source: DataFrame, keys: Seq[String], matched: Seq[MergeClause],
+    * A MERGE with `notMatchedBySource` clauses necessarily rewrites EVERY
+    * file (any file can hold source-unmatched rows), so the probe is
+    * skipped — the same touched-set widening a production format's merge
+    * pays. */
+  private[graft] def mergeClausesCore(spark: SparkSession, snap: Snapshot,
+      outDir: String, source: DataFrame, keys: Seq[String],
+      matched: Seq[MergeClause],
       notMatchedInsert: Option[Column] = None,
       partitionCols: Seq[String] = Nil,
-      tableSchema: Option[org.apache.spark.sql.types.StructType] = None,
-      notMatchedBySource: Seq[MergeClause] = Nil): DataFrame = {
-    import spark.implicits._
+      notMatchedBySource: Seq[MergeClause] = Nil)
+      : (Seq[(String, String)], Seq[(String, String)]) = {
     require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
       notMatchedBySource.nonEmpty, "an empty MERGE")
     // SQL's cardinality rule applies to keys that can MATCH: NULL keys never
@@ -365,17 +369,12 @@ object Dml {
         .groupBy(keys.map(col): _*).count()
         .filter(col("count") > 1).isEmpty,
       "MERGE cardinality violation: source holds duplicate keys")
-    val schema = tableSchema.getOrElse(spark.read.parquet(dir).schema)
+    val schema = snapSchema(spark, snap)
     (matched ++ notMatchedBySource).collect { case u: WhenMatchedUpdate => u }
       .foreach { u =>
         val unknown = u.set.keySet.filterNot(schema.fieldNames.contains)
         require(unknown.isEmpty, s"UPDATE assigns unknown columns: ${unknown.mkString(", ")}")
       }
-
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val rootAbs = fs.makeQualified(root).toUri.getPath
     // the match marker lives OUTSIDE the __src_ rename image (ADVICE r13:
     // the old __src__matched name collided with a source column named
     // `_matched`, whose rename the withColumn silently replaced — clause
@@ -389,29 +388,19 @@ object Dml {
       .withColumn(marker, lit(true))
     val keyCond = keys.map(k => col(k) === col(s"__src_$k")).reduce(_ && _)
 
-    def relOf(part: String, name: String) =
-      if (part == ".") name else s"$part/$name"
-    def inPath(part: String, name: String) =
-      if (part == ".") s"$dir/$name" else s"$dir/$part/$name"
-    def outPart(part: String) = if (part == ".") outDir else s"$outDir/$part"
-    val files = Compaction.listFiles(spark, dir).collect()
-      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
     // with NOT MATCHED BY SOURCE clauses every file can hold affected
     // (source-unmatched) rows, so all files rewrite and the probe job is
     // pure overhead; otherwise probe for files holding at least one
-    // matched key and byte-copy the rest
+    // matched key and leave the rest clean
     val (hit, clean) =
-      if (notMatchedBySource.nonEmpty) (files, Array.empty[(String, String)])
+      if (notMatchedBySource.nonEmpty) (snap.files, Seq.empty[(String, String)])
       else {
-        val affectedRel = readRoot(spark, dir, tableSchema)
-          .withColumn("_probe_file", input_file_name())
-          .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
-          .select(col("_probe_file").as("f")).distinct()
-          .collect()
-          .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
-          .map(_.stripPrefix(rootAbs).stripPrefix("/"))
-          .toSet
-        files.partition { case (p, n) => affectedRel(relOf(p, n)) }
+        val affected = affectedNames(spark, snap,
+          readSnapshot(spark, snap)
+            .withColumn("_probe_file", input_file_name())
+            .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+            .select(col("_probe_file").as("f")))
+        snap.files.partition { case (p, n) => affected(relOf(p, n)) }
       }
 
     // one ordered clause list: matched clauses fire on key-matched rows,
@@ -419,7 +408,7 @@ object Dml {
     // a single first-true-clause fold serves both
     val allClauses: Seq[(MergeClause, Boolean)] =
       matched.map((_, true)) ++ notMatchedBySource.map((_, false))
-    rewriteHits(spark, dir, outDir, hit.toSeq, tableSchema.orElse(Some(schema))) { tgt =>
+    rewriteHits(spark, snap, outDir, hit) { tgt =>
       val joined = tgt.join(srcRenamed, keyCond, "left_outer")
       val isMatched = col(marker).isNotNull
       // first-true-clause index: 0 = no clause applies (row survives as-is)
@@ -443,16 +432,10 @@ object Dml {
         }.as(f.name)
       }.toSeq: _*)
     }
-    clean.foreach { case (part, name) =>
-      val s = new Path(inPath(part, name))
-      val dstDir = new Path(outPart(part))
-      fs.mkdirs(dstDir)
-      FileUtil.copy(fs, s, fs, new Path(dstDir, name), false, conf)
-    }
     // WHEN NOT MATCHED: source rows whose key exists nowhere in the target
     notMatchedInsert.foreach { insCond =>
       val inserts = source
-        .join(readRoot(spark, dir, tableSchema).select(keys.map(col): _*).distinct(),
+        .join(readSnapshot(spark, snap).select(keys.map(col): _*).distinct(),
           keys, "left_anti")
         .filter(insCond)
         .select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
@@ -460,10 +443,25 @@ object Dml {
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(outDir)
     }
-    (hit.map { case (p, n) => (p, n, true) } ++
-      clean.map { case (p, n) => (p, n, false) })
-      .toSeq.toDF("part", "file_id", "rewritten")
+    (hit, clean)
   }
+
+  /** Full conditional `MERGE INTO` over a raw layout; clean files
+    * byte-copy. Returns the `(part, file_id, rewritten)` decision frame. */
+  def mergeClauses(spark: SparkSession, dir: String, outDir: String,
+      source: DataFrame, keys: Seq[String], matched: Seq[MergeClause],
+      notMatchedInsert: Option[Column] = None,
+      partitionCols: Seq[String] = Nil,
+      tableSchema: Option[StructType] = None,
+      notMatchedBySource: Seq[MergeClause] = Nil): DataFrame = {
+    val snap = snapshotOfDir(spark, dir, tableSchema)
+    val (hit, clean) = mergeClausesCore(spark, snap, outDir, source, keys,
+      matched, notMatchedInsert, partitionCols, notMatchedBySource)
+    copyClean(spark, snap, outDir, clean)
+    decisionFrame(spark, hit, clean)
+  }
+
+  // ------------------------------------------------------------- DELETE KEYS
 
   /** Tombstone-keyed DELETE (r11) — the right-to-be-forgotten purge as it
     * actually arrives: a KEY LIST (erasure requests), not a value
@@ -474,59 +472,40 @@ object Dml {
     * matches a tombstone and SURVIVES (the sane erasure contract — SQL
     * `NOT IN` would nuke the whole table on one NULL tombstone). The
     * tombstone set broadcasts while change-sized; past that it shuffle-
-    * joins and every other part of the shape is unchanged. Returns the
-    * per-file `(part, file_id, rewritten)` decision frame. */
+    * joins and every other part of the shape is unchanged. */
+  private[graft] def deleteKeysCore(spark: SparkSession, snap: Snapshot,
+      outDir: String, tombstones: DataFrame, keys: Seq[String])
+      : (Seq[(String, String)], Seq[(String, String)]) =
+    dropKeyedRowsCore(spark, snap, outDir,
+      tombstones.select(keys.map(col): _*).distinct(), keys)
+
+  /** Tombstone-keyed DELETE over a raw layout; clean files byte-copy.
+    * Returns the per-file `(part, file_id, rewritten)` decision frame. */
   def deleteKeys(spark: SparkSession, dir: String, outDir: String,
       tombstones: DataFrame, keys: Seq[String],
-      tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
-    dropKeyedRows(spark, dir, outDir,
-      tombstones.select(keys.map(col): _*).distinct(), keys, tableSchema)
+      tableSchema: Option[StructType] = None): DataFrame = {
+    val snap = snapshotOfDir(spark, dir, tableSchema)
+    val (hit, clean) = deleteKeysCore(spark, snap, outDir, tombstones, keys)
+    copyClean(spark, snap, outDir, clean)
+    decisionFrame(spark, hit, clean)
+  }
 
-  /** The shared copy-on-write kernel of [[mergeInto]] and [[deleteKeys]]:
-    * drop every row whose key appears in `keySet` (pre-deduplicated), file-
-    * selectively — semi-join probe finds affected files, only those pay
-    * decode → anti-join → re-encode, clean files byte-copy. */
-  private def dropKeyedRows(spark: SparkSession, dir: String, outDir: String,
-      keySet: DataFrame, keys: Seq[String],
-      tableSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    import spark.implicits._
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val rootAbs = fs.makeQualified(root).toUri.getPath
-
+  /** The shared copy-on-write kernel of [[mergeIntoCore]] and
+    * [[deleteKeysCore]]: drop every row whose key appears in `keySet`
+    * (pre-deduplicated), file-selectively — semi-join probe finds affected
+    * files, only those pay decode → anti-join → re-encode. */
+  private def dropKeyedRowsCore(spark: SparkSession, snap: Snapshot,
+      outDir: String, keySet: DataFrame, keys: Seq[String])
+      : (Seq[(String, String)], Seq[(String, String)]) = {
     // file name is tagged BEFORE the join: input_file_name() is only
     // defined against a single source, and the tag pins it to the scan
-    val affectedRel = readRoot(spark, dir, tableSchema)
-      .withColumn("_probe_file", input_file_name())
-      .join(keySet, keys, "left_semi")
-      .select(col("_probe_file").as("f")).distinct()
-      .collect()
-      .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath)
-      .map(_.stripPrefix(rootAbs).stripPrefix("/"))
-      .toSet
-
-    def relOf(part: String, name: String) =
-      if (part == ".") name else s"$part/$name"
-    def inPath(part: String, name: String) =
-      if (part == ".") s"$dir/$name" else s"$dir/$part/$name"
-    def outPart(part: String) = if (part == ".") outDir else s"$outDir/$part"
-
-    val files = Compaction.listFiles(spark, dir).collect()
-      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
-    val (hit, clean) = files.partition { case (p, n) => affectedRel(relOf(p, n)) }
-
-    rewriteHits(spark, dir, outDir, hit.toSeq, tableSchema)(
-      _.join(keySet, keys, "left_anti"))
-    clean.foreach { case (part, name) =>
-      val src = new Path(inPath(part, name))
-      val dstDir = new Path(outPart(part))
-      fs.mkdirs(dstDir)
-      FileUtil.copy(fs, src, fs, new Path(dstDir, name), false, conf)
-    }
-
-    (hit.map { case (p, n) => (p, n, true) } ++
-      clean.map { case (p, n) => (p, n, false) })
-      .toSeq.toDF("part", "file_id", "rewritten")
+    val affected = affectedNames(spark, snap,
+      readSnapshot(spark, snap)
+        .withColumn("_probe_file", input_file_name())
+        .join(keySet, keys, "left_semi")
+        .select(col("_probe_file").as("f")))
+    val (hit, clean) = snap.files.partition { case (p, n) => affected(relOf(p, n)) }
+    rewriteHits(spark, snap, outDir, hit)(_.join(keySet, keys, "left_anti"))
+    (hit, clean)
   }
 }

@@ -75,8 +75,8 @@ object Maintenance extends graft.QueryRegistry {
 
     def headFiles(): Seq[(String, Long)] = {
       val v = VersionedTable.latestVersion(spark, root)
-      Compaction.listFiles(spark, VersionedTable.vDir(root, v)).collect()
-        .map(r => (r.getAs[String]("part"), r.getAs[Long]("bytes"))).toSeq
+      VersionedTable.snapshotEntries(spark, root, v)
+        .map(e => (e.part, e.bytes))
     }
     // excess small fragments: small files beyond the one per partition
     // directory a fully-compacted layout still legitimately has
@@ -231,9 +231,9 @@ object Maintenance extends graft.QueryRegistry {
     require(triggered(decA, "compact"), "the fragmented head must trigger compaction")
     require(triggered(decA, "refresh_stats"), "stats lagging 6 commits must refresh")
     require(triggered(decA, "vacuum"), "history beyond the policy depth must vacuum")
-    def headDir = VersionedTable.vDir(root, VersionedTable.latestVersion(s, root))
-    require(Compaction.listFiles(s, headDir).count() == 1,
-      "phase A must end fully compacted")
+    def headFileCount = VersionedTable.listSnapshotFiles(s, root,
+      VersionedTable.latestVersion(s, root)).count()
+    require(headFileCount == 1, "phase A must end fully compacted")
 
     // phase B: re-fragment, then the cluster policy restores skipping
     (7 to 12).foreach { b =>
@@ -251,11 +251,11 @@ object Maintenance extends graft.QueryRegistry {
       val policyB = policyA.copy(clusterCols = Seq("user_id"),
         clusterMaxDepth = 2, clusterBits = 10, clusterFiles = 8,
         maxSmallFiles = 8)
-      val nBefore = Compaction.listFiles(s, headDir).count()
+      val nBefore = headFileCount
       val decB = maintain(s, root, policyB)
       require(triggered(decB, "cluster"),
         "full-range fragments must trigger the measured cluster rewrite")
-      val nAfter = Compaction.listFiles(s, headDir).count()
+      val nAfter = headFileCount
       require(nAfter <= policyB.clusterFiles && nAfter < nBefore,
         s"the maintained head must end under the file bound ($nAfter of $nBefore, bound ${policyB.clusterFiles})")
       // threshold semantics: an immediate re-run triggers NOTHING

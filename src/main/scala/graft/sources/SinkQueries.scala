@@ -214,28 +214,40 @@ object SinkQueries extends QueryRegistry {
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
   }
 
-  /** Row-move UPDATE round trip (r13, VERDICT r12 #6): the partitioned
-    * events layout, every 7th user re-keyed +100000 — which changes the
-    * PARTITION column (ubucket = user_id div 50), the assignment
-    * [[Dml.updateWhere]] rejects by contract. [[Dml.updateMove]] relocates
-    * the movers partition-routed; the fn self-asserts the physical
-    * contract (some file actually rewrote; every read-back row sits in the
-    * directory its user_id names), and the compared aggregate pins the key
-    * shift (`user_id_sum`), the routing (`ubucket_sum` from the PARTITION
-    * column), and row preservation against the CASE-shifted oracle. */
+  /** Row-move UPDATE round trip (r13, VERDICT r12 #6; r16: committed
+    * through the VERSIONED table, where unchanged files share by
+    * reference — the commit cost tracks the movers, never the layout; the
+    * raw byte-copy form [[Dml.updateMove]] keeps its full coverage in
+    * DmlSpec): the partitioned events table, every 7th user re-keyed
+    * +100000 — which changes the PARTITION column (ubucket = user_id div
+    * 50), the assignment `updateWhere` rejects by contract. The movers
+    * relocate partition-routed; the fn self-asserts the physical contract
+    * (some file actually rewrote AND some carried by reference; every
+    * read-back row sits in the directory its user_id names), and the
+    * compared aggregate pins the key shift (`user_id_sum`), the routing
+    * (`ubucket_sum` from the PARTITION column), and row preservation
+    * against the CASE-shifted oracle. */
   private def updateMoveRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_sink_umv_").toString
+    val root = Files.createTempDirectory("graft_sink_umv_").toString + "/t"
     val events = graft.streaming.EventOps.events(s, dir)
-    events.withColumn("ubucket", expr("user_id div 50"))
-      .write.partitionBy("ubucket").parquet(s"$out/events_v1")
-    val dec = Dml.updateMove(s, s"$out/events_v1", s"$out/events_v2",
-      col("user_id") % 7 === 0,
+    // 5-user buckets + a sparse mover set (one user in 15): most partition
+    // files hold no mover, so the commit's cost is the movers' files plus
+    // manifest entries — the carry contract is asserted below
+    VersionedTable.create(s, root,
+      events.withColumn("ubucket", expr("user_id div 5"))
+        .repartition(col("ubucket")), Seq("ubucket"))
+    require(VersionedTable.updateMove(s, root,
+      col("user_id") % 15 === 7,
       Map("user_id" -> (col("user_id") + 100000L),
-        "ubucket" -> expr("(user_id + 100000) div 50")))
-    require(dec.filter(col("rewritten")).count() > 0,
-      "the move must rewrite at least one source file")
-    val back = s.read.parquet(s"$out/events_v2")
-    require(back.filter(col("ubucket") =!= expr("user_id div 50")).isEmpty,
+        "ubucket" -> expr("(user_id + 100000) div 5"))) == 2,
+      "the move must commit as v2")
+    val (n1, n2) = (VersionedTable.snapshotFiles(s, root, 1).toSet,
+      VersionedTable.snapshotFiles(s, root, 2).toSet)
+    require((n2 -- n1).nonEmpty, "the move must write new files")
+    require(n1.intersect(n2).nonEmpty,
+      "clean files must carry by reference, not rewrite")
+    val back = VersionedTable.read(s, root)
+    require(back.filter(col("ubucket") =!= expr("user_id div 5")).isEmpty,
       "a moved row landed in a partition its user_id does not name")
     back.agg(count(lit(1)).as("n_events"),
       count_distinct(col("user_id")).as("n_users"),
@@ -302,8 +314,7 @@ object SinkQueries extends QueryRegistry {
       "compaction must commit as v2")
     require(VersionedTable.changes(s, root, 1, 2, Seq("stockcode")).isEmpty,
       "compaction must not change any row")
-    def nFiles(v: Int) = new java.io.File(f"$root/v$v%05d").listFiles()
-      .count(_.getName.startsWith("part-"))
+    def nFiles(v: Int) = VersionedTable.listSnapshotFiles(s, root, v).count()
     require(nFiles(2) < nFiles(1),
       s"compaction must shrink the file count (v1=${nFiles(1)}, v2=${nFiles(2)})")
     VersionedTable.read(s, root)
@@ -339,7 +350,7 @@ object SinkQueries extends QueryRegistry {
     require(VersionedTable.evolve(s, root,
       StructType(Seq(StructField("tier", StringType, nullable = true)))) == 2,
       "evolution must commit as v2")
-    def fileSet(v: Int) = Compaction.listFiles(s, f"$root/v$v%05d").collect()
+    def fileSet(v: Int) = VersionedTable.listSnapshotFiles(s, root, v).collect()
       .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"),
         r.getAs[Long]("bytes"))).toSet
     require(fileSet(2) == fileSet(1),
@@ -388,7 +399,7 @@ object SinkQueries extends QueryRegistry {
     require(VersionedTable.updateWhere(s, root, col("code") <= lo,
       Map("unitprice" -> col("unitprice") * 2)) == 2, "repair must commit as v2")
     VersionedStats.refresh(s, root)
-    val total = Compaction.listFiles(s, VersionedTable.vDir(root, 2)).count()
+    val total = VersionedTable.listSnapshotFiles(s, root, 2).count()
     graft.plans.StatsPrune.register(s, root)
     try graft.plans.StatsPrune.servingScoped(s) {
       val q = VersionedTable.read(s, root)
@@ -493,7 +504,7 @@ object SinkQueries extends QueryRegistry {
         Map("unitprice" -> col("unitprice") * 2)) == 2, "repair must commit as v2")
       // NO refresh, NO re-register — the commit hook (or, cross-process,
       // the plan-time head check) must do both
-      val total = Compaction.listFiles(s, VersionedTable.vDir(root, 2)).count()
+      val total = VersionedTable.listSnapshotFiles(s, root, 2).count()
       graft.plans.StatsPrune.servingScoped(s) {
         val q = VersionedTable.read(s, root)
           .filter(col("code") >= 0L && col("code") <= 2 * lo)
@@ -547,8 +558,7 @@ object SinkQueries extends QueryRegistry {
       bits = 6, numFiles = 8) == 2, "clustering must commit as v2")
     require(VersionedTable.changes(s, root, 1, 2, Seq("stockcode")).isEmpty,
       "clustering moves bytes, never rows")
-    def names(v: Int) = Compaction.listFiles(s, VersionedTable.vDir(root, v))
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def names(v: Int) = VersionedTable.snapshotFiles(s, root, v).toSet
     require(names(1).intersect(names(2)).isEmpty,
       "a re-clustering rewrites every file")
     val dec = VersionedStats.refresh(s, root)
@@ -583,13 +593,13 @@ object SinkQueries extends QueryRegistry {
       .select(col("stockcode"), col("unitprice"), col("category"))
     VersionedTable.create(s, root, p.repartition(4))
     var bVersion = 0
-    val aVersion = VersionedTable.transact(s, root) { (_, cur, stage) =>
+    val aVersion = VersionedTable.transact(s, root) { (_, snap, stage) =>
       if (bVersion == 0)
-        bVersion = VersionedTable.transact(s, root) { (_, bCur, bStage) =>
-          Dml.deleteWhere(s, bCur, bStage, code % 13 === 0)
+        bVersion = VersionedTable.transact(s, root) { (_, bSnap, bStage) =>
+          Dml.deleteWhereCore(s, bSnap, bStage, code % 13 === 0)._2
         }
-      Dml.updateWhere(s, cur, stage, code % 10 === 7,
-        Map("unitprice" -> (col("unitprice") * 2)))
+      Dml.updateWhereCore(s, snap, stage, code % 10 === 7,
+        Map("unitprice" -> (col("unitprice") * 2)))._2
     }
     require(bVersion == 2, s"writer B must land v2 (got v$bVersion)")
     require(aVersion == 3,
@@ -625,8 +635,7 @@ object SinkQueries extends QueryRegistry {
     val lo = maxCode / 10
     require(VersionedTable.updateWhere(s, root, col("code") <= lo,
       Map("unitprice" -> col("unitprice") * 2)) == 2, "repair must commit as v2")
-    def names(v: Int) = Compaction.listFiles(s, VersionedTable.vDir(root, v))
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def names(v: Int) = VersionedTable.snapshotFiles(s, root, v).toSet
     val (n1, n2) = (names(1), names(2))
     val dec = VersionedStats.refresh(s, root)
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getString(2)))
@@ -676,7 +685,7 @@ object SinkQueries extends QueryRegistry {
     val targets = p.filter(code % 197 === 0 && code % 1009 =!= 0)
       .orderBy(code).limit(5).select("stockcode").collect().map(_.getString(0)).toSeq
     require(targets.nonEmpty, "the needle set must be non-empty")
-    val nFiles = Compaction.listFiles(s, VersionedTable.vDir(root, 2)).count()
+    val nFiles = VersionedTable.listSnapshotFiles(s, root, 2).count()
     val opened = targets.map(v =>
       VersionedStats.survivingNamesForPoint(s, root, 2, "stockcode", v).size).sum
     require(opened < nFiles * targets.size,
@@ -798,8 +807,8 @@ object SinkQueries extends QueryRegistry {
     VersionedTable.create(s, root, p.repartition(4))
     require(VersionedTable.dropColumns(s, root, Seq("category")) == 2,
       "the drop must commit as v2")
-    def fileSet(v: Int) = Compaction.listFiles(s, VersionedTable.vDir(root, v))
-      .collect().map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"),
+    def fileSet(v: Int) = VersionedTable.listSnapshotFiles(s, root, v).collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"),
         r.getAs[Long]("bytes"))).toSet
     require(fileSet(2) == fileSet(1), "a drop must not rewrite a single data file")
     require(VersionedTable.changes(s, root, 1, 2, Seq("stockcode")).isEmpty,
@@ -1274,9 +1283,9 @@ object SinkQueries extends QueryRegistry {
       SELECT count(*) AS n_events,
              count(DISTINCT user_id) AS n_users,
              CAST(sum(user_id) AS BIGINT) AS user_id_sum,
-             CAST(sum(user_id // 50) AS BIGINT) AS ubucket_sum,
+             CAST(sum(user_id // 5) AS BIGINT) AS ubucket_sum,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-      FROM (SELECT CASE WHEN user_id % 7 = 0 THEN user_id + 100000
+      FROM (SELECT CASE WHEN user_id % 15 = 7 THEN user_id + 100000
                         ELSE user_id END AS user_id, value
             FROM events) moved"""))),
 

@@ -921,7 +921,7 @@ object SqlDml extends graft.QueryRegistry {
     VersionedTable.create(s, root, p.repartition(32))
     val t = Map("products" -> root)
     def fileCount(v: Int): Long =
-      Compaction.listFiles(s, VersionedTable.vDir(root, v)).count()
+      VersionedTable.listSnapshotFiles(s, root, v).count()
     require(execute(s, "OPTIMIZE products TARGET 268435456", t) == 2,
       "the compaction must commit as v2")
     require(fileCount(2) < fileCount(1),

@@ -387,6 +387,12 @@ object SqlSurface extends QueryRegistry {
   /** The DSL row's oracle, shared by NAME — the gate fails loudly at
     * registry-build time if a referenced row ever disappears, and the SQL
     * rows can never drift onto a private oracle. */
+  /** The verbatim SQL text of a registered OLAP row — what the prepared-
+    * statement bench row plans once and serves repeatedly. */
+  def olapSqlTextOf(name: String): String =
+    olapSql.find(_._1 == name).getOrElse(
+      throw new IllegalArgumentException(s"no OLAP SQL row named $name"))._3
+
   private def sharedOracle(dslName: String): String = {
     val all = graft.olap.Olap.defs ++ graft.etl.Dsuite.defs ++ graft.olap.Molap.defs
     all.find(_.name == dslName)
@@ -400,5 +406,21 @@ object SqlSurface extends QueryRegistry {
       QueryDef(name,
         (s, dir) => { register(s, dir); s.sql(sql) },
         Some(sharedOracle(dslName)))
+    } :+ {
+      // the PREPARED serving path (r16, VERDICT r15 #3): the same verbatim
+      // Q1 text planned ONCE through PreparedSql, then served twice from
+      // the pinned physical plan — the correctness row compares the SECOND
+      // serve against olap_q1's own oracle, so a handle that caches stale
+      // results (rather than re-executing the plan) or corrupts the
+      // row conversion hash-mismatches
+      val q1Sql = olapSql.find(_._1 == "sql_olap_q1").get._3
+      QueryDef("sql_olap_q1_prepared",
+        (s, dir) => {
+          register(s, dir)
+          val h = PreparedSql.prepare(s, q1Sql)
+          h.run() // first serve exercises the pinned plan once
+          h.run()
+        },
+        Some(sharedOracle("olap_q1_monthly_country")))
     }
 }

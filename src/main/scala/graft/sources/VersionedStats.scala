@@ -129,35 +129,35 @@ object VersionedStats {
     spark.read.parquet(statsDir(root, version))
   }
 
-  /** Per-file stats for `rel` (relative (part, file_id) names) of snapshot
-    * `versionDir`: one scan reading ONLY the indexed columns of ONLY those
-    * files (plus partition values from the directory names via basePath).
-    * The rel mapping back from `input_file_name` happens driver-side on the
-    * one-row-per-file aggregate — metadata-sized by construction. */
-  private def scanStats(spark: SparkSession, versionDir: String,
+  /** Per-file stats for `rel` (relative (part, file_id) names) under the
+    * table's data POOL `dataDir` (r16: file identity is pool-relative and
+    * stable across versions — a carried file keeps its stats row forever):
+    * one scan reading ONLY the indexed columns of ONLY those files (plus
+    * partition values from the directory names via basePath). The rel
+    * mapping back from `input_file_name` happens driver-side on the
+    * one-row-per-file aggregate — metadata-sized by construction.
+    * `tableSchema` is the snapshot's read schema (the stats output's
+    * column types come from it). */
+  private def scanStats(spark: SparkSession, dataDir: String,
       rel: Seq[(String, String)], cols: Seq[String],
-      schemaOpt: Option[StructType],
+      tableSchema: StructType,
       blooms: Map[String, (Long, Long)] = Map.empty): DataFrame = {
-    val (fs, _) = fsOf(spark, versionDir)
-    val rootAbs = fs.makeQualified(new Path(versionDir)).toUri.getPath
+    val (fs, _) = fsOf(spark, dataDir)
+    val rootAbs = fs.makeQualified(new Path(dataDir)).toUri.getPath
     val bloomCols = cols.filter(blooms.contains)
-    val outSchema = { // fixed even when there is nothing to scan
-      val probe = schemaOpt.map(spark.read.schema(_)).getOrElse(spark.read)
-        .parquet(versionDir)
-      StructType(
-        (StructField("part", StringType, nullable = false) +:
-        StructField("file_id", StringType, nullable = false) +:
-        StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false) +:
-        cols.flatMap { c =>
-          val dt = probe.schema(c).dataType
-          Seq(StructField(s"${c}_min", dt), StructField(s"${c}_max", dt))
-        }) ++ bloomCols.map(c => StructField(s"${c}_bloom", BinaryType)))
-    }
+    val outSchema = StructType( // fixed even when there is nothing to scan
+      (StructField("part", StringType, nullable = false) +:
+      StructField("file_id", StringType, nullable = false) +:
+      StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false) +:
+      cols.flatMap { c =>
+        val dt = tableSchema(c).dataType
+        Seq(StructField(s"${c}_min", dt), StructField(s"${c}_max", dt))
+      }) ++ bloomCols.map(c => StructField(s"${c}_bloom", BinaryType)))
     if (rel.isEmpty)
       return spark.createDataFrame(
         java.util.Collections.emptyList[Row](), outSchema)
     val paths = rel.map { case (p, n) =>
-      if (p == ".") s"$versionDir/$n" else s"$versionDir/$p/$n" }
+      if (p == ".") s"$dataDir/$n" else s"$dataDir/$p/$n" }
     // per-file membership sketches ride the same one-row-per-file aggregate
     // as the min/max stats — the same distributed BloomFilterAggregate the
     // runtime-filter operator uses, hashed with XxHash64 so the serving
@@ -168,8 +168,8 @@ object VersionedStats {
         new XxHash64(Seq(ge.expression(col(c)))),
         Literal(items), Literal(bits)).toAggregateExpression()).as(s"${c}_bloom")
     }
-    val agg = schemaOpt.map(spark.read.schema(_)).getOrElse(spark.read)
-      .option("basePath", versionDir).parquet(paths: _*)
+    val agg = spark.read.schema(tableSchema)
+      .option("basePath", dataDir).parquet(paths: _*)
       .groupBy(input_file_name().as("__abs"))
       .agg(count(lit(1)).as("n_rows"),
         cols.flatMap(c => Seq(
@@ -227,11 +227,10 @@ object VersionedStats {
     fs.mkdirs(new Path(statsRoot(root)))
     val out = fs.create(colsPath(root), true)
     try out.write((cols.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
-    val files = Compaction.listFiles(spark, VersionedTable.vDir(root, latest))
-      .collect().map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"))).toSeq
+    val files = VersionedTable.snapshotFiles(spark, root, latest)
     publish(spark, root, latest,
-      scanStats(spark, VersionedTable.vDir(root, latest), files, cols,
-        VersionedTable.effectiveSchema(spark, root, latest)))
+      scanStats(spark, VersionedTable.dataDir(root), files, cols,
+        snapshot.schema))
     latest
   }
 
@@ -264,11 +263,10 @@ object VersionedStats {
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     val latest = VersionedTable.latestVersion(spark, root)
-    val files = Compaction.listFiles(spark, VersionedTable.vDir(root, latest))
-      .collect().map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"))).toSeq
+    val files = VersionedTable.snapshotFiles(spark, root, latest)
     publish(spark, root, latest,
-      scanStats(spark, VersionedTable.vDir(root, latest), files, idx,
-        VersionedTable.effectiveSchema(spark, root, latest),
+      scanStats(spark, VersionedTable.dataDir(root), files, idx,
+        VersionedTable.read(spark, root, Some(latest)).schema,
         bloomConfig(spark, root)),
       force = true)
     latest
@@ -315,8 +313,7 @@ object VersionedStats {
     require(gone.isEmpty,
       s"indexed columns were dropped (${gone.mkString(", ")}); " +
         "remove _stats and re-enable on current columns")
-    val current = Compaction.listFiles(spark, VersionedTable.vDir(root, latest))
-      .collect().map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"))).toSeq
+    val current = VersionedTable.snapshotFiles(spark, root, latest)
     val currentSet = current.toSet
     val prior = statsFor(spark, root, base)
     val known = prior.select("part", "file_id").collect()
@@ -333,8 +330,8 @@ object VersionedStats {
       // scans run under the head's effective schema; carried rows keep the
       // stats they were built with (their files predate the new columns, so
       // those columns' stats would be null anyway) and align by name
-      val fresh = scanStats(spark, VersionedTable.vDir(root, latest),
-        scanned, cols, VersionedTable.effectiveSchema(spark, root, latest),
+      val fresh = scanStats(spark, VersionedTable.dataDir(root),
+        scanned, cols, VersionedTable.read(spark, root, Some(latest)).schema,
         bloomConfig(spark, root))
       val merged =
         if (carried.columns.sameElements(fresh.columns)) carried.union(fresh)
@@ -380,7 +377,7 @@ object VersionedStats {
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(VersionedTable.latestVersion(spark, root))
     val names = survivingNamesForPoint(spark, root, v, column, value)
-    val dir = VersionedTable.vDir(root, v)
+    val dir = VersionedTable.dataDir(root)
     if (names.isEmpty) VersionedTable.read(spark, root, Some(v)).filter(lit(false))
     else {
       val paths = names.map { case (p, n) =>
@@ -408,7 +405,7 @@ object VersionedStats {
     val exact = boxes.map(b => col(b.column) >= lit(b.lo) && col(b.column) <= lit(b.hi))
       .reduce(_ && _)
     val names = survivingNames(spark, root, v, boxes)
-    val dir = VersionedTable.vDir(root, v)
+    val dir = VersionedTable.dataDir(root)
     if (names.isEmpty) VersionedTable.read(spark, root, Some(v)).filter(lit(false))
     else {
       val paths = names.map { case (p, n) =>

@@ -1,26 +1,40 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
-/** Snapshot-versioned table — time travel over the copy-on-write DML ops
-  * ([[Dml.deleteWhere]]/[[Dml.mergeInto]]/[[Compaction.compactDir]]), the
-  * poor-man's table format this filesystem-only engine can honestly offer:
+/** Snapshot-versioned table — time travel over copy-on-write DML with
+  * MANIFEST-LEVEL FILE SHARING (r16, VERDICT r15 #1):
   *
-  *   <root>/v00001/ v00002/ ...   immutable snapshot layouts
-  *   <root>/_latest               tiny manifest naming the committed version
+  *   <root>/_data/...             immutable shared data-file POOL (partition
+  *                                directories live here; file names are
+  *                                globally unique per write job)
+  *   <root>/v00001/_manifest      one snapshot = one tiny manifest NAMING
+  *                                its files (part, name, bytes per line)
+  *   <root>/_latest               manifest swap naming the committed version
+  *   <root>/_schema, _constraints, _stats, _log   sidecar logs as before
   *
-  * Every mutation reads snapshot N and writes a COMPLETE snapshot N+1 (the
-  * DML ops byte-copy clean files and re-encode only affected ones), then a
-  * single manifest swap publishes it — the same commit discipline as the
-  * SCD2 segment store: a crash before the swap leaves an orphan dir readers
-  * never see (the retry overwrites it), a crash after is simply the new
-  * version. Readers pin a version for as long as a query runs; concurrent
-  * readers and ONE writer need no coordination. With a production manifest
-  * format the full-copy disappears (snapshots share unchanged files by
-  * reference) — the protocol here is the same, only the sharing is
-  * physical. [[vacuum]] retires history once nobody time-travels to it. */
+  * Every mutation reads snapshot N's manifest, writes ONLY the affected
+  * files' replacements into the pool (the file-selective [[Dml]] cores),
+  * and publishes manifest N+1 = carried entries (unchanged files SHARED BY
+  * REFERENCE — zero I/O, however large the table) + the new files' entries.
+  * This removes the one row-proportional cost the pre-r16 protocol paid:
+  * snapshots no longer byte-copy unchanged files, so a commit's cost tracks
+  * its CHANGE — an append to a 100 TB table moves only the appended bytes,
+  * an evolve moves none.
+  *
+  * Commit discipline is unchanged: a single `_latest` swap publishes each
+  * version; a crash before the swap leaves an unreferenced version dir and
+  * orphan pool files readers never see ([[vacuum]]'s reachability sweep
+  * retires them), a crash after is simply the new version. Readers pin a
+  * version's manifest for as long as a query runs; concurrent readers and
+  * ONE writer need no coordination ([[transact]] adds optimistic
+  * multi-writer on top). [[vacuum]] retires history by deleting old
+  * manifests, then deletes every pool file no RETAINED manifest references
+  * — reachability-based deletion, the way every production format's vacuum
+  * works. */
 object VersionedTable {
 
   private def fsOf(spark: SparkSession, root: String) = {
@@ -29,6 +43,113 @@ object VersionedTable {
   }
 
   private[graft] def vDir(root: String, v: Int) = f"$root/v$v%05d"
+
+  /** The shared data-file pool all snapshot manifests resolve under. */
+  private[graft] def dataDir(root: String) = s"$root/_data"
+
+  // -------------------------------------------------------------- manifests
+
+  /** One manifest entry: a data file by pool-relative partition path
+    * (`.` = unpartitioned), name, and size. */
+  final case class FileEntry(part: String, name: String, bytes: Long)
+
+  private def manifestPath(dir: String) = new Path(dir, "_manifest")
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, entries: Seq[FileEntry]): Unit = {
+    fs.mkdirs(new Path(dir))
+    val out = fs.create(manifestPath(dir), true)
+    try out.write(entries.sortBy(e => (e.part, e.name))
+      .map(e => s"${e.part}\t${e.name}\t${e.bytes}")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The manifest of snapshot `v` — the complete file list the version
+    * reads from. Throws when the version was never committed or was
+    * vacuumed away. */
+  private[graft] def snapshotEntries(spark: SparkSession, root: String,
+      v: Int): Seq[FileEntry] = {
+    val (fs, _) = fsOf(spark, root)
+    val p = manifestPath(vDir(root, v))
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"no snapshot manifest for v$v at $root (never committed, or vacuumed)")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split("\n").filter(_.contains("\t")).toSeq.map { l =>
+      val Array(part, name, bytes) = l.split("\t", 3)
+      FileEntry(part, name, bytes.toLong)
+    }
+  }
+
+  /** The (part, name) names of snapshot `v`. */
+  private[graft] def snapshotFiles(spark: SparkSession, root: String,
+      v: Int): Seq[(String, String)] =
+    snapshotEntries(spark, root, v).map(e => (e.part, e.name))
+
+  /** Snapshot `v`'s file catalog as a frame `(part, file_id, bytes)` — the
+    * versioned replacement for listing a physical snapshot directory. */
+  def listSnapshotFiles(spark: SparkSession, root: String, v: Int): DataFrame = {
+    import spark.implicits._
+    snapshotEntries(spark, root, v).map(e => (e.part, e.name, e.bytes))
+      .toDF("part", "file_id", "bytes")
+  }
+
+  /** Snapshot `v`'s files as QUALIFIED URIs — what a scan of the snapshot
+    * lists as its root paths; the identity the optimizer-rule layers
+    * ([[graft.plans.StatsPrune]] / [[graft.plans.MvRewrite]]) match on. */
+  private[graft] def snapshotPathSet(spark: SparkSession, root: String,
+      v: Int): Set[String] = {
+    val dd = new Path(dataDir(root))
+    val fs = dd.getFileSystem(spark.sessionState.newHadoopConf())
+    val q = fs.makeQualified(dd).toUri.toString
+    snapshotEntries(spark, root, v).map { e =>
+      if (e.part == ".") s"$q/${e.name}" else s"$q/${e.part}/${e.name}"
+    }.toSet
+  }
+
+  /** Snapshot `v` as a [[Dml.Snapshot]] — what the file-selective DML
+    * cores mutate against. */
+  private[graft] def snapshotOf(spark: SparkSession, root: String,
+      v: Int): Dml.Snapshot =
+    Dml.Snapshot(dataDir(root), snapshotFiles(spark, root, v),
+      effectiveSchema(spark, root, v))
+
+  private def pathOf(root: String, e: FileEntry): String =
+    if (e.part == ".") s"${dataDir(root)}/${e.name}"
+    else s"${dataDir(root)}/${e.part}/${e.name}"
+
+  /** MOVE every data file staged under `stageDir` into the pool (a rename
+    * per file — metadata-only on any real filesystem) and return their
+    * entries. A crash after some moves leaves unreferenced pool orphans
+    * the [[vacuum]] reachability sweep retires; file names are write-job
+    * unique, so a collision means a protocol bug and fails loudly. */
+  private def moveIntoPool(spark: SparkSession, root: String,
+      stageDir: String): Seq[FileEntry] = {
+    val (fs, _) = fsOf(spark, root)
+    if (!fs.exists(new Path(stageDir))) return Nil
+    val staged = Compaction.listFiles(spark, stageDir).collect()
+      .map(r => FileEntry(r.getAs[String]("part"), r.getAs[String]("file_id"),
+        r.getAs[Long]("bytes"))).toSeq
+    staged.foreach { e =>
+      val src = new Path(
+        if (e.part == ".") s"$stageDir/${e.name}" else s"$stageDir/${e.part}/${e.name}")
+      val dstDir = new Path(
+        if (e.part == ".") dataDir(root) else s"${dataDir(root)}/${e.part}")
+      fs.mkdirs(dstDir)
+      val dst = new Path(dstDir, e.name)
+      require(!fs.exists(dst), s"pool collision on ${e.part}/${e.name}")
+      require(fs.rename(src, dst), s"failed to move ${e.name} into the pool")
+    }
+    fs.delete(new Path(stageDir), true)
+    staged
+  }
+
+  private def stagePath(root: String) =
+    s"$root/.stage_${java.util.UUID.randomUUID()}"
+
+  // ------------------------------------------------------------ commit point
 
   private def readLatestRaw(fs: org.apache.hadoop.fs.FileSystem, rootP: Path): Option[Int] = {
     val c = new Path(rootP, "_latest")
@@ -44,9 +165,9 @@ object VersionedTable {
 
   /** The committed head: the `_latest` value ROLLED FORWARD through any
     * txn-marked versions above it. A [[transact]] commit is made durable by
-    * the atomic stage→vN rename (the marker inside proves completeness);
-    * the `_latest` swap after it is only a cache, so a crash between the
-    * two must not lose the commit — readers probe forward instead. A
+    * the atomic claim rename (the marker inside proves completeness); the
+    * `_latest` swap after it is only a cache, so a crash between the two
+    * must not lose the commit — readers probe forward instead. A
     * direct-written orphan (crashed single-writer commit, no marker) stays
     * invisible, exactly as before. */
   private def readLatest(fs: org.apache.hadoop.fs.FileSystem, rootP: Path): Option[Int] =
@@ -161,22 +282,24 @@ object VersionedTable {
   }
 
   /** One OPTIMISTIC TRANSACTION against the table — the multi-writer commit
-    * path (the single-writer DML verbs above stay the uncoordinated fast
-    * path; mixing live direct writers with transact writers is out of
-    * contract). Protocol, per attempt:
+    * path (the single-writer DML verbs stay the uncoordinated fast path;
+    * mixing live direct writers with transact writers is out of contract).
+    * Protocol, per attempt:
     *
     *  1. read the head version B (no lock);
-    *  2. `mutate(B, vDir(B), stage)` builds the COMPLETE next snapshot in a
-    *     writer-private staging dir (typically via the file-selective
-    *     [[Dml]] ops, reading snapshot B);
-    *  3. stamp a `_txn` marker inside the stage, then atomically RENAME
-    *     stage → v(B+1). The rename is the commit point and the only
-    *     coordination: it fails if another writer claimed v(B+1) first
-    *     (their rename landed a non-empty dir there), in which case this
-    *     writer lost the race — its snapshot is based on a stale head, so
-    *     it RE-RUNS `mutate` against the new head and tries again (the
-    *     semantic retry that makes lost updates impossible, not just
-    *     detectable).
+    *  2. `mutate(B, snapshot, stage)` rewrites the AFFECTED files of
+    *     snapshot B into the writer-private `stage` dir (typically via the
+    *     file-selective [[Dml]] cores) and returns the (part, name) entries
+    *     of B's manifest that survive UNCHANGED — the carried set;
+    *  3. the staged files move into the pool (renames; orphans on a lost
+    *     race, retired by [[vacuum]]'s reachability sweep), a claim dir is
+    *     stamped with the snapshot MANIFEST (carried + new) and a `_txn`
+    *     marker, then atomically RENAMED to v(B+1). The rename is the
+    *     commit point and the only coordination: it fails if another
+    *     writer claimed v(B+1) first, in which case this writer lost the
+    *     race — its snapshot is based on a stale head, so it RE-RUNS
+    *     `mutate` against the new head and tries again (the semantic retry
+    *     that makes lost updates impossible, not just detectable).
     *
     * Concurrency contract (ADVICE r14): [[evolve]]/[[dropColumns]] write
     * their `_schema` log entry BEFORE their commit, and both transact and
@@ -188,41 +311,47 @@ object VersionedTable {
     *
     * Data work never holds a lock, so non-conflicting writers pay nothing;
     * a conflicting writer pays one re-run of its own mutation. Crash
-    * anatomy: before the rename → a private `.txn_*` stage orphan, invisible
-    * to every reader and swept by [[vacuum]]; after the rename but before
-    * the `_latest` swap → the commit IS durable: the marker makes
-    * [[latestVersion]] roll forward to it (the swap is only a cache). A
-    * squatting NON-marked v(B+1) dir (a direct writer's crashed orphan) is
-    * cleared before the rename — readers never saw it. Throws
-    * `ConcurrentModificationException` after `maxRetries` lost races.
-    * Returns the committed version. */
+    * anatomy: before the rename → private `.txn_*`/`.claim_*` orphans and
+    * unreferenced pool files, invisible to every reader and swept by
+    * [[vacuum]]; after the rename but before the `_latest` swap → the
+    * commit IS durable: the marker makes [[latestVersion]] roll forward to
+    * it (the swap is only a cache). A squatting NON-marked v(B+1) dir (a
+    * direct writer's crashed orphan) is cleared before the rename —
+    * readers never saw it. Throws `ConcurrentModificationException` after
+    * `maxRetries` lost races. Returns the committed version. */
   def transact(spark: SparkSession, root: String, maxRetries: Int = 5)
-      (mutate: (Int, String, String) => Unit): Int = {
+      (mutate: (Int, Dml.Snapshot, String) => Seq[(String, String)]): Int = {
     val (fs, rootP) = fsOf(spark, root)
-    val stage = new Path(s"$root/.txn_${java.util.UUID.randomUUID()}")
-    try {
-      var attempts = 0
-      while (attempts <= maxRetries) {
-        attempts += 1
-        val base = latestVersion(spark, root)
-        if (fs.exists(stage)) fs.delete(stage, true)
-        mutate(base, vDir(root, base), stage.toString)
-        require(fs.exists(stage), "mutate must write the staged snapshot")
-        enforceConstraints(spark, root, Some(base), stage.toString)
-        val out = fs.create(txnMarker(stage.toString), true)
+    val conf = spark.sessionState.newHadoopConf()
+    var attempts = 0
+    while (attempts <= maxRetries) {
+      attempts += 1
+      val base = latestVersion(spark, root)
+      val snap = snapshotOf(spark, root, base)
+      val stage = new Path(s"$root/.txn_${java.util.UUID.randomUUID()}")
+      val claim = new Path(s"$root/.claim_${java.util.UUID.randomUUID()}")
+      try {
+        val carried = mutate(base, snap, stage.toString).toSet
+        enforceConstraintsOnStage(spark, root, stage.toString,
+          effectiveSchema(spark, root, base))
+        val baseEntries = snapshotEntries(spark, root, base)
+        val moved = moveIntoPool(spark, root, stage.toString)
+        val entries = baseEntries.filter(e => carried((e.part, e.name))) ++ moved
+        writeManifest(fs, claim.toString, entries)
+        val out = fs.create(txnMarker(claim.toString), true)
         try out.write(s"$base\n".getBytes("UTF-8")) finally out.close()
         val target = new Path(vDir(root, base + 1))
         if (fs.exists(target) && !fs.exists(txnMarker(target.toString))
             && latestVersion(spark, root) == base)
           fs.delete(target, true) // crashed direct-commit orphan, never visible
         // a crashed evolve/dropColumns writes its schema-log entry BEFORE its
-        // commit; a transact commit claiming the same version must not
+        // commit, so a transact commit claiming the same version must not
         // inherit the ghost shape — mirror nextDir's stale-entry cleanup
         // (ADVICE r13)
         val staleSchema = schemaEntry(root, base + 1)
         if (fs.exists(staleSchema) && latestVersion(spark, root) == base)
           fs.delete(staleSchema, false)
-        if (renameNoOverwrite(spark.sessionState.newHadoopConf(), stage, target)) {
+        if (renameNoOverwrite(conf, claim, target)) {
           commitForward(fs, rootP, base + 1)
           // commitForward may skip the swap (a faster writer already moved
           // _latest past us) — the marker and notification still fire: this
@@ -232,10 +361,14 @@ object VersionedTable {
           return base + 1
         }
         // lost the race to v(base+1): loop re-reads the head and re-mutates
+        // (this attempt's pool moves stay as unreferenced orphans)
+      } finally {
+        if (fs.exists(stage)) fs.delete(stage, true)
+        if (fs.exists(claim)) fs.delete(claim, true)
       }
-      throw new java.util.ConcurrentModificationException(
-        s"transaction on $root gave up after $maxRetries lost races")
-    } finally if (fs.exists(stage)) fs.delete(stage, true)
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"transaction on $root gave up after $maxRetries lost races")
   }
 
   /** Prepare the next version's directory (clearing any crashed orphan
@@ -256,28 +389,41 @@ object VersionedTable {
   // ---------------------------------------------------------------- schema
   // Zero-rewrite schema evolution (r13). The log lives OUTSIDE the version
   // dirs — <root>/_schema/v%05d.ddl, "the table's schema from version N
-  // onward (until a later entry)" — so adding a column to a 100 TB table
-  // writes one tiny DDL file and byte-copies nothing it wouldn't anyway:
-  // data files are NEVER rewritten for an evolution; readers null-fill each
-  // file's missing columns against the effective schema (the manifest-level
-  // schema tracking every production table format does). Entries survive
-  // [[vacuum]] (they define the schema of LATER, retained versions).
+  // onward (until a later entry)". Since r16 an entry is ALSO written at
+  // create (v1): a manifest snapshot must know its shape even when its
+  // file list is empty (TRUNCATE), and every read then runs under the
+  // stored schema — the manifest-level schema tracking every production
+  // table format does. Entries survive [[vacuum]] (they define the schema
+  // of LATER, retained versions). Data files are NEVER rewritten for an
+  // evolution; readers null-fill each file's missing columns against the
+  // effective schema.
 
   private def schemaEntry(root: String, v: Int) =
     new Path(s"$root/_schema", f"v$v%05d.ddl")
 
   private def writeSchemaEntry(fs: org.apache.hadoop.fs.FileSystem,
-      root: String, v: Int, schema: org.apache.spark.sql.types.StructType): Unit = {
+      root: String, v: Int, schema: StructType): Unit = {
     val p = schemaEntry(root, v)
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
     try out.write((schema.toDDL + "\n").getBytes("UTF-8")) finally out.close()
   }
 
-  /** The schema in force at `version`: the newest log entry at or below it,
-    * or None for a never-evolved table (footer schema applies). */
+  /** The stored table schema, normalized the way a file-source read
+    * reports it: every field nullable (Spark file scans force nullability),
+    * partition columns LAST in layout order. */
+  private def storedSchema(df: DataFrame, partitionCols: Seq[String]): StructType = {
+    val nullable = df.schema.fields.map(_.copy(nullable = true))
+    StructType(nullable.filterNot(f => partitionCols.contains(f.name)) ++
+      partitionCols.map(c => nullable.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"partition column $c not in the data"))))
+  }
+
+  /** The schema in force at `version`: the newest log entry at or below it
+    * (always present for tables created since r16; None only for a
+    * pre-manifest layout, where the footer schema applies). */
   def effectiveSchema(spark: SparkSession, root: String,
-      version: Int): Option[org.apache.spark.sql.types.StructType] = {
+      version: Int): Option[StructType] = {
     val (fs, _) = fsOf(spark, root)
     val dir = new Path(s"$root/_schema")
     if (!fs.exists(dir)) return None
@@ -291,70 +437,18 @@ object VersionedTable {
       val in = fs.open(schemaEntry(root, v))
       val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      Some(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      Some(StructType.fromDDL(ddl))
     }
-  }
-
-  /** Byte-copy every data file of snapshot `fromDir` into `toDir` — the
-    * physical stand-in for manifest-level file sharing (with a production
-    * manifest format this loop disappears: the new snapshot just references
-    * the old files). */
-  private def copySnapshot(spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem, fromDir: String, toDir: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    Compaction.listFiles(spark, fromDir).collect().foreach { r =>
-      val (part, name) = (r.getAs[String]("part"), r.getAs[String]("file_id"))
-      val dstDir = if (part == ".") new Path(toDir) else new Path(s"$toDir/$part")
-      fs.mkdirs(dstDir)
-      org.apache.hadoop.fs.FileUtil.copy(fs,
-        new Path(if (part == ".") s"$fromDir/$name" else s"$fromDir/$part/$name"),
-        fs, new Path(dstDir, name), false, conf)
-    }
-  }
-
-  /** ADD COLUMNS as a committed snapshot — ZERO data rewrite (r13): the new
-    * version's data files are the old version's bytes (shared by reference
-    * in a manifest format; byte-copied here, never re-encoded), plus one
-    * schema-log entry naming the evolved shape. Every added column must be
-    * nullable — existing rows have no value for it, and readers null-fill
-    * per file. All later reads, DML and CDC run under the evolved schema:
-    * an UPDATE can backfill the new column file-selectively, appends carry
-    * it, and the [[changes]] feed across the evolution span is EMPTY (old
-    * rows read as themselves + NULL). Time travel below the evolution
-    * version still sees the old schema. Returns the committed version. */
-  def evolve(spark: SparkSession, root: String,
-      adds: org.apache.spark.sql.types.StructType): Int = {
-    require(adds.nonEmpty, "evolve needs at least one added column")
-    require(adds.forall(_.nullable),
-      s"added columns must be nullable (existing rows null-fill): ${
-        adds.filterNot(_.nullable).map(_.name).mkString(", ")}")
-    val latest = latestVersion(spark, root)
-    val current = effectiveSchema(spark, root, latest)
-      .getOrElse(read(spark, root, Some(latest)).schema)
-    val clash = adds.fieldNames.toSet.intersect(current.fieldNames.toSet)
-    require(clash.isEmpty, s"columns already exist: ${clash.mkString(", ")}")
-    val reAdd = adds.fieldNames.toSet.intersect(droppedColumns(spark, root))
-    require(reAdd.isEmpty,
-      s"cannot re-add dropped columns (name-based resolution would resurface " +
-        s"old bytes from never-rewritten files): ${reAdd.mkString(", ")}")
-    val evolved = org.apache.spark.sql.types.StructType(current.fields ++ adds.fields)
-    val (next, dir) = nextDir(spark, root)
-    val (fs, rootP) = fsOf(spark, root)
-    copySnapshot(spark, fs, vDir(root, latest), dir)
-    writeSchemaEntry(fs, root, next, evolved)
-    commitVersion(spark, root, next)
-    next
   }
 
   // ----------------------------------------------------------- constraints
   // CHECK constraints (r13), enforced FILE-SELECTIVELY at commit time: a
-  // mutation validates ONLY the files that are new relative to the prior
-  // snapshot (byte-copied files hold rows that passed when they were
-  // written — valid by induction), so enforcement cost tracks the change,
-  // never the table. SQL CHECK semantics: a row violates only when the
-  // expression is FALSE — NULL passes. A violating mutation throws BEFORE
-  // the manifest swap, so the staged version stays an invisible orphan and
-  // the table is untouched.
+  // mutation validates ONLY its NEW files (carried files hold rows that
+  // passed when they were written — valid by induction), so enforcement
+  // cost tracks the change, never the table. SQL CHECK semantics: a row
+  // violates only when the expression is FALSE — NULL passes. A violating
+  // mutation throws BEFORE the manifest swap, so the staged files stay
+  // invisible orphans and the table is untouched.
 
   private def constraintsLog(root: String) = new Path(s"$root/_constraints")
 
@@ -403,29 +497,13 @@ object VersionedTable {
     finally out.close()
   }
 
-  /** Enforce every registered constraint on the files of `newDir` that are
-    * NEW relative to snapshot `priorV` (None = validate everything — the
-    * first commit). Throws before the caller's manifest swap on violation,
-    * naming the constraint and the violation count. */
-  private def enforceConstraints(spark: SparkSession, root: String,
-      priorV: Option[Int], newDir: String,
-      readSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+  /** Enforce every registered constraint on `df` (the mutation's NEW rows,
+    * or a restore's full content). Throws before the caller's manifest
+    * swap on violation, naming the constraint and the violation count. */
+  private def enforceConstraintsOn(spark: SparkSession, root: String,
+      df: DataFrame): Unit = {
     val cs = constraints(spark, root)
     if (cs.isEmpty) return
-    val prior: Set[(String, String)] = priorV.map { v =>
-      Compaction.listFiles(spark, vDir(root, v)).collect()
-        .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"))).toSet
-    }.getOrElse(Set.empty)
-    val fresh = Compaction.listFiles(spark, newDir).collect()
-      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id")))
-      .filterNot(prior).toSeq
-    if (fresh.isEmpty) return
-    val paths = fresh.map { case (p, n) =>
-      if (p == ".") s"$newDir/$n" else s"$newDir/$p/$n" }
-    val schemaOpt = readSchema.orElse(priorV.flatMap(v => effectiveSchema(spark, root, v)))
-    val df = schemaOpt.map(spark.read.schema(_)).getOrElse(spark.read)
-      .option("basePath", newDir).parquet(paths: _*)
-    // one pass for all constraints: count violations per constraint
     val counts = df.select(cs.map { case (n, e) =>
       sum(when(!coalesce(expr(e).cast("boolean"), lit(true)), 1L)
         .otherwise(0L)).as(n) }: _*).head()
@@ -434,6 +512,26 @@ object VersionedTable {
       if (bad > 0) throw new IllegalStateException(
         s"CHECK constraint $n violated by $bad new row(s): $e")
     }
+  }
+
+  /** Enforce the constraints on a mutation's STAGED files (partition
+    * values riding in from the stage's directory names — a constraint may
+    * reference a partition column). A missing or file-less stage is a
+    * change with no new rows: nothing to validate. */
+  private def enforceConstraintsOnStage(spark: SparkSession, root: String,
+      stageDir: String, schema: Option[StructType]): Unit = {
+    if (constraints(spark, root).isEmpty) return
+    val (fs, _) = fsOf(spark, root)
+    if (!fs.exists(new Path(stageDir))) return
+    val files = Compaction.listFiles(spark, stageDir).collect()
+    if (files.isEmpty) return
+    val paths = files.map { r =>
+      val (p, n) = (r.getAs[String]("part"), r.getAs[String]("file_id"))
+      if (p == ".") s"$stageDir/$n" else s"$stageDir/$p/$n"
+    }.toSeq
+    val df = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+      .option("basePath", stageDir).parquet(paths: _*)
+    enforceConstraintsOn(spark, root, df)
   }
 
   private def droppedLog(root: String) = new Path(s"$root/_schema", "dropped")
@@ -451,58 +549,23 @@ object VersionedTable {
     }
   }
 
-  /** DROP COLUMNS as a committed snapshot — ZERO data rewrite, the sibling
-    * of [[evolve]]: the new version's data files are the old version's
-    * bytes, plus one schema-log entry WITHOUT the dropped columns; readers
-    * simply never project them (their bytes stay in the files — and in
-    * every retained older version, where time travel still sees them — the
-    * way every zero-rewrite DROP works; a later rewrite of a file sheds
-    * them physically). Partition columns cannot be dropped (the directory
-    * layout spells them). Dropped names are TOMBSTONED: re-adding one via
-    * [[evolve]] is rejected, because name-based column resolution would
-    * resurface the old bytes from never-rewritten files — production
-    * formats solve this with field IDs; rejecting reuse is the honest
-    * name-based contract. The [[changes]] feed across a drop is EMPTY
-    * (both snapshots diff under the narrowed schema). Returns the
-    * committed version. */
-  def dropColumns(spark: SparkSession, root: String, names: Seq[String]): Int = {
-    require(names.nonEmpty, "dropColumns needs at least one column")
-    val latest = latestVersion(spark, root)
-    val current = effectiveSchema(spark, root, latest)
-      .getOrElse(read(spark, root, Some(latest)).schema)
-    val missing = names.filterNot(current.fieldNames.contains)
-    require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
-    require(names.size < current.size, "cannot drop every column")
-    val partCols = Compaction.listFiles(spark, vDir(root, latest)).collect()
-      .map(_.getAs[String]("part")).filter(_ != ".")
-      .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
-    val partHit = names.filter(partCols)
-    require(partHit.isEmpty,
-      s"cannot drop partition columns: ${partHit.mkString(", ")}")
-    val narrowed = org.apache.spark.sql.types.StructType(
-      current.fields.filterNot(f => names.contains(f.name)))
-    val (next, dir) = nextDir(spark, root)
-    val (fs, rootP) = fsOf(spark, root)
-    copySnapshot(spark, fs, vDir(root, latest), dir)
-    writeSchemaEntry(fs, root, next, narrowed)
-    // tombstone BEFORE the commit: a crash between leaves extra tombstones
-    // for columns that still exist, which only ever REJECT a later re-add —
-    // never corrupt a read
-    val all = droppedColumns(spark, root) ++ names
-    val out = fs.create(droppedLog(root), true)
-    try out.write((all.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    commitVersion(spark, root, next)
-    next
-  }
+  // ------------------------------------------------------------- lifecycle
 
-  /** Create the table at snapshot v1. */
+  /** Create the table at snapshot v1: data files land in the pool, the
+    * manifest names them, and the schema log records the table's shape
+    * (nullable, partition columns last — the order a file-source read
+    * reports). */
   def create(spark: SparkSession, root: String, df: DataFrame,
       partitionCols: Seq[String] = Nil): Int = {
+    val (fs, _) = fsOf(spark, root)
     val (next, dir) = nextDir(spark, root)
     require(next == 1, s"table at $root already exists (latest v${next - 1})")
+    val stage = stagePath(root)
     val w = df.write
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(stage)
+    val moved = moveIntoPool(spark, root, stage)
+    writeSchemaEntry(fs, root, next, storedSchema(df, partitionCols))
+    writeManifest(fs, dir, moved)
     commitVersion(spark, root, next)
     next
   }
@@ -513,49 +576,73 @@ object VersionedTable {
       s"no committed table at $root"))
   }
 
-  /** Read a snapshot — the committed latest, or any still-vacuum-retained
-    * version (time travel). An evolved table reads under the schema in
-    * force AT THAT VERSION (older files null-fill their missing columns);
-    * time travel below the evolution sees the old shape. */
-  def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
-    val v = version.getOrElse(latestVersion(spark, root))
-    effectiveSchema(spark, root, v)
-      .map(spark.read.schema(_)).getOrElse(spark.read)
-      .parquet(vDir(root, v))
+  /** Read snapshot `v`'s files under an explicit schema (used by the CDC
+    * feed to read an older snapshot under a NEWER schema — older files
+    * null-fill). */
+  private def readAt(spark: SparkSession, root: String, v: Int,
+      schema: Option[StructType]): DataFrame = {
+    val entries = snapshotEntries(spark, root, v)
+    val sch = schema.orElse(effectiveSchema(spark, root, v))
+    if (entries.isEmpty) {
+      val s = sch.getOrElse(throw new IllegalStateException(
+        s"empty snapshot v$v at $root has no stored schema"))
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), s)
+    } else
+      sch.map(spark.read.schema(_)).getOrElse(spark.read)
+        .option("basePath", dataDir(root))
+        .parquet(entries.map(pathOf(root, _)): _*)
   }
 
-  /** The stored schema in force at the CURRENT latest version, if the
-    * table has ever evolved — what every mutation's reads must run under
-    * (older files null-fill). */
+  /** Read a snapshot — the committed latest, or any still-vacuum-retained
+    * version (time travel): the manifest's files, shared across versions,
+    * under the schema in force AT THAT VERSION (older files null-fill
+    * their missing columns); time travel below an evolution sees the old
+    * shape. */
+  def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, root))
+    readAt(spark, root, v, None)
+  }
+
+  /** The stored schema in force at the CURRENT latest version — what every
+    * mutation's reads must run under (older files null-fill). */
   private def activeSchema(spark: SparkSession, root: String, latest: Int) =
     effectiveSchema(spark, root, latest)
 
-  /** `DELETE WHERE` as a new snapshot; returns the committed version. */
-  def deleteWhere(spark: SparkSession, root: String, pred: Column): Int = {
+  /** The shared commit tail of every file-selective DML verb: run `op`
+    * (a [[Dml]] core) against the head snapshot with a private stage,
+    * validate the staged files, move them into the pool, and publish
+    * manifest N+1 = carried (shared by reference) + moved. */
+  private def commitDml(spark: SparkSession, root: String)
+      (op: (Dml.Snapshot, String) => (Seq[(String, String)], Seq[(String, String)])): Int = {
+    val (fs, _) = fsOf(spark, root)
     val latest = latestVersion(spark, root)
-    val cur = vDir(root, latest)
+    val snap = snapshotOf(spark, root, latest)
+    val stage = stagePath(root)
+    val (_, clean) = op(snap, stage)
+    enforceConstraintsOnStage(spark, root, stage, snap.schema)
+    val cleanSet = clean.toSet
+    val carried = snapshotEntries(spark, root, latest)
+      .filter(e => cleanSet((e.part, e.name)))
+    val moved = moveIntoPool(spark, root, stage)
     val (next, dir) = nextDir(spark, root)
-    Dml.deleteWhere(spark, cur, dir, pred, activeSchema(spark, root, latest))
+    writeManifest(fs, dir, carried ++ moved)
     commitVersion(spark, root, next)
     next
   }
+
+  /** `DELETE WHERE` as a new snapshot; returns the committed version. */
+  def deleteWhere(spark: SparkSession, root: String, pred: Column): Int =
+    commitDml(spark, root)(Dml.deleteWhereCore(spark, _, _, pred))
 
   /** `MERGE INTO` as a new snapshot; returns the committed version. */
   def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
-      keys: Seq[String], partitionCols: Seq[String] = Nil): Int = {
-    val latest = latestVersion(spark, root)
-    val cur = vDir(root, latest)
-    val (next, dir) = nextDir(spark, root)
-    Dml.mergeInto(spark, cur, dir, updates, keys, partitionCols,
-      activeSchema(spark, root, latest))
-    enforceConstraints(spark, root, Some(latest), dir)
-    commitVersion(spark, root, next)
-    next
-  }
+      keys: Seq[String], partitionCols: Seq[String] = Nil): Int =
+    commitDml(spark, root)(
+      Dml.mergeIntoCore(spark, _, _, updates, keys, partitionCols))
 
   /** Full conditional `MERGE INTO` as a new snapshot (r13): the ordered
     * WHEN MATCHED UPDATE/DELETE + WHEN NOT MATCHED INSERT (+ r15: WHEN NOT
-    * MATCHED BY SOURCE UPDATE/DELETE) verb of [[Dml.mergeClauses]],
+    * MATCHED BY SOURCE UPDATE/DELETE) verb of [[Dml.mergeClausesCore]],
     * committed through the protocol; the [[changes]] feed carries exactly
     * the updates as pre/post pairs, the deletes as delete images, and the
     * inserts as insert images. Returns the committed version. */
@@ -563,23 +650,44 @@ object VersionedTable {
       keys: Seq[String], matched: Seq[Dml.MergeClause],
       notMatchedInsert: Option[Column] = None,
       partitionCols: Seq[String] = Nil,
-      notMatchedBySource: Seq[Dml.MergeClause] = Nil): Int = {
-    val latest = latestVersion(spark, root)
-    val cur = vDir(root, latest)
-    val (next, dir) = nextDir(spark, root)
-    Dml.mergeClauses(spark, cur, dir, source, keys, matched, notMatchedInsert,
-      partitionCols, activeSchema(spark, root, latest), notMatchedBySource)
-    enforceConstraints(spark, root, Some(latest), dir)
-    commitVersion(spark, root, next)
-    next
-  }
+      notMatchedBySource: Seq[Dml.MergeClause] = Nil): Int =
+    commitDml(spark, root)(
+      Dml.mergeClausesCore(spark, _, _, source, keys, matched,
+        notMatchedInsert, partitionCols, notMatchedBySource))
+
+  /** `UPDATE … SET … WHERE` as a new snapshot (r12): returns the committed
+    * version. Same file-selective copy-on-write as the other DML verbs;
+    * the [[changes]] feed carries exactly the rows the update actually
+    * changed as pre/post image pairs. */
+  def updateWhere(spark: SparkSession, root: String, pred: Column,
+      assignments: Map[String, Column]): Int =
+    commitDml(spark, root)(
+      Dml.updateWhereCore(spark, _, _, pred, assignments))
+
+  /** Row-move UPDATE as a new snapshot (r13): the partition-column
+    * assignment [[updateWhere]] rejects, supported through
+    * [[Dml.updateMoveCore]] — movers leave their source partition and land
+    * partition-routed, in one committed version. In the [[changes]] feed a
+    * moved row is its key's pre/post image PAIR. Returns the committed
+    * version. */
+  def updateMove(spark: SparkSession, root: String, pred: Column,
+      assignments: Map[String, Column]): Int =
+    commitDml(spark, root)(
+      Dml.updateMoveCore(spark, _, _, pred, assignments))
+
+  /** Tombstone-keyed DELETE as a new snapshot (r12, VERDICT r11 #6): the
+    * erasure purge composed with the versioned protocol. NULL-key rows
+    * survive, as in the raw-layout form. Returns the committed version. */
+  def deleteKeys(spark: SparkSession, root: String, tombstones: DataFrame,
+      keys: Seq[String]): Int =
+    commitDml(spark, root)(
+      Dml.deleteKeysCore(spark, _, _, tombstones, keys))
 
   /** Partition columns of the head snapshot's directory layout — how every
     * statement-level verb knows where appended rows must route. */
   private[graft] def partitionColumns(spark: SparkSession, root: String): Seq[String] = {
     val latest = latestVersion(spark, root)
-    Compaction.listFiles(spark, vDir(root, latest)).collect()
-      .map(_.getAs[String]("part")).find(_ != ".").toSeq
+    snapshotEntries(spark, root, latest).map(_.part).find(_ != ".").toSeq
       .flatMap(_.split("/").toSeq).map(_.split("=", 2)(0))
   }
 
@@ -588,11 +696,11 @@ object VersionedTable {
     * Rows align to the table's schema BY NAME — missing columns null-fill
     * (SQL's column-list INSERT), unknown columns fail loudly, types pin to
     * the table's — and land partition-routed under the head snapshot's
-    * layout. An append byte-copies the current snapshot's files (manifest-
-    * level file sharing in a production format) and adds only the new
-    * rows' files; an overwrite writes just the new rows. Constraints
-    * validate the new files only (appended files are the delta; an
-    * overwrite's files are all new). Returns the committed version. */
+    * layout. An append's manifest shares every existing file by reference
+    * and adds only the new rows' files — the commit cost tracks the
+    * appended bytes, never the table; an overwrite's manifest names just
+    * the new rows. Constraints validate the new files only. Returns the
+    * committed version. */
   def insertInto(spark: SparkSession, root: String, rows: DataFrame,
       overwrite: Boolean = false): Int = {
     val (fs, _) = fsOf(spark, root)
@@ -605,101 +713,164 @@ object VersionedTable {
     val aligned = rows.select(tableSchema.fields.map(f =>
       (if (rows.columns.contains(f.name)) col(f.name) else lit(null))
         .cast(f.dataType).as(f.name)).toSeq: _*)
-    val (next, dir) = nextDir(spark, root)
-    if (!overwrite) copySnapshot(spark, fs, vDir(root, latest), dir)
+    val stage = stagePath(root)
     val w = aligned.write.mode("append")
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(dir)
-    enforceConstraints(spark, root, if (overwrite) None else Some(latest), dir)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(stage)
+    enforceConstraintsOnStage(spark, root, stage, activeSchema(spark, root, latest))
+    val carried =
+      if (overwrite) Nil else snapshotEntries(spark, root, latest)
+    val moved = moveIntoPool(spark, root, stage)
+    val (next, dir) = nextDir(spark, root)
+    writeManifest(fs, dir, carried ++ moved)
     commitVersion(spark, root, next)
     next
   }
 
-  /** `UPDATE … SET … WHERE` as a new snapshot (r12): returns the committed
-    * version. Same file-selective copy-on-write as the other DML verbs;
-    * the [[changes]] feed carries exactly the rows the update actually
-    * changed as pre/post image pairs. */
-  def updateWhere(spark: SparkSession, root: String, pred: Column,
-      assignments: Map[String, Column]): Int = {
+  /** ADD COLUMNS as a committed snapshot — ZERO data I/O (r13, and since
+    * r16 genuinely zero: the new version's manifest IS the old version's,
+    * files shared by reference), plus one schema-log entry naming the
+    * evolved shape. Every added column must be nullable — existing rows
+    * have no value for it, and readers null-fill per file. All later
+    * reads, DML and CDC run under the evolved schema; the [[changes]] feed
+    * across the evolution span is EMPTY. Time travel below the evolution
+    * version still sees the old schema. Returns the committed version. */
+  def evolve(spark: SparkSession, root: String,
+      adds: StructType): Int = {
+    require(adds.nonEmpty, "evolve needs at least one added column")
+    require(adds.forall(_.nullable),
+      s"added columns must be nullable (existing rows null-fill): ${
+        adds.filterNot(_.nullable).map(_.name).mkString(", ")}")
     val latest = latestVersion(spark, root)
-    val cur = vDir(root, latest)
+    val current = effectiveSchema(spark, root, latest)
+      .getOrElse(read(spark, root, Some(latest)).schema)
+    val clash = adds.fieldNames.toSet.intersect(current.fieldNames.toSet)
+    require(clash.isEmpty, s"columns already exist: ${clash.mkString(", ")}")
+    val reAdd = adds.fieldNames.toSet.intersect(droppedColumns(spark, root))
+    require(reAdd.isEmpty,
+      s"cannot re-add dropped columns (name-based resolution would resurface " +
+        s"old bytes from never-rewritten files): ${reAdd.mkString(", ")}")
+    val evolved = StructType(current.fields ++ adds.fields)
+    val entries = snapshotEntries(spark, root, latest)
     val (next, dir) = nextDir(spark, root)
-    Dml.updateWhere(spark, cur, dir, pred, assignments,
-      activeSchema(spark, root, latest))
-    enforceConstraints(spark, root, Some(latest), dir)
+    val (fs, _) = fsOf(spark, root)
+    writeSchemaEntry(fs, root, next, evolved)
+    writeManifest(fs, dir, entries)
     commitVersion(spark, root, next)
     next
   }
 
-  /** Row-move UPDATE as a new snapshot (r13): the partition-column
-    * assignment [[updateWhere]] rejects, supported through
-    * [[Dml.updateMove]] — movers leave their source partition and land
-    * partition-routed, in one committed version. In the [[changes]] feed a
-    * moved row is its key's pre/post image PAIR (the old partition value in
-    * the preimage, the new in the postimage) — the delete-from-old +
-    * insert-to-new the move physically performs, expressed at the row
-    * level. Returns the committed version. */
-  def updateMove(spark: SparkSession, root: String, pred: Column,
-      assignments: Map[String, Column]): Int = {
+  /** DROP COLUMNS as a committed snapshot — ZERO data I/O, the sibling of
+    * [[evolve]]: the new version's manifest is the old version's, plus one
+    * schema-log entry WITHOUT the dropped columns; readers simply never
+    * project them (their bytes stay in the shared files — and in every
+    * retained older version, where time travel still sees them; a later
+    * rewrite of a file sheds them physically). Partition columns cannot be
+    * dropped (the directory layout spells them). Dropped names are
+    * TOMBSTONED: re-adding one via [[evolve]] is rejected, because
+    * name-based column resolution would resurface the old bytes from
+    * never-rewritten files — production formats solve this with field IDs;
+    * rejecting reuse is the honest name-based contract. The [[changes]]
+    * feed across a drop is EMPTY (both snapshots diff under the narrowed
+    * schema). Returns the committed version. */
+  def dropColumns(spark: SparkSession, root: String, names: Seq[String]): Int = {
+    require(names.nonEmpty, "dropColumns needs at least one column")
     val latest = latestVersion(spark, root)
-    val cur = vDir(root, latest)
+    val current = effectiveSchema(spark, root, latest)
+      .getOrElse(read(spark, root, Some(latest)).schema)
+    val missing = names.filterNot(current.fieldNames.contains)
+    require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
+    require(names.size < current.size, "cannot drop every column")
+    val entries = snapshotEntries(spark, root, latest)
+    val partCols = entries.map(_.part).filter(_ != ".")
+      .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
+    val partHit = names.filter(partCols)
+    require(partHit.isEmpty,
+      s"cannot drop partition columns: ${partHit.mkString(", ")}")
+    val narrowed = StructType(
+      current.fields.filterNot(f => names.contains(f.name)))
     val (next, dir) = nextDir(spark, root)
-    Dml.updateMove(spark, cur, dir, pred, assignments,
-      activeSchema(spark, root, latest))
-    enforceConstraints(spark, root, Some(latest), dir)
-    commitVersion(spark, root, next)
-    next
-  }
-
-  /** Tombstone-keyed DELETE as a new snapshot (r12, VERDICT r11 #6): the
-    * erasure purge composed with the versioned protocol — production
-    * right-to-be-forgotten requests run against the TABLE, not a raw
-    * layout. [[Dml.deleteKeys]]'s file-selective copy-on-write kernel
-    * (semi-join probe → rewrite only affected files → byte-copy the rest)
-    * writes snapshot N+1, one manifest swap publishes it, and the
-    * [[changes]] feed carries the purge as `delete` images so downstream
-    * incremental consumers propagate the erasure instead of re-scanning.
-    * NULL-key rows survive, as in the raw-layout form. Returns the
-    * committed version. */
-  def deleteKeys(spark: SparkSession, root: String, tombstones: DataFrame,
-      keys: Seq[String]): Int = {
-    val latest = latestVersion(spark, root)
-    val cur = vDir(root, latest)
-    val (next, dir) = nextDir(spark, root)
-    Dml.deleteKeys(spark, cur, dir, tombstones, keys,
-      activeSchema(spark, root, latest))
+    val (fs, _) = fsOf(spark, root)
+    writeSchemaEntry(fs, root, next, narrowed)
+    // tombstone BEFORE the commit: a crash between leaves extra tombstones
+    // for columns that still exist, which only ever REJECT a later re-add —
+    // never corrupt a read
+    val all = droppedColumns(spark, root) ++ names
+    val out = fs.create(droppedLog(root), true)
+    try out.write((all.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    writeManifest(fs, dir, entries)
     commitVersion(spark, root, next)
     next
   }
 
   /** Small-file compaction as a committed snapshot (r12) — the maintenance
-    * op composed with the protocol: [[Compaction.compactDir]] packs the
-    * current snapshot's fragments into ≥`targetBytes` files (keep-as-is
-    * files byte-copied, never re-encoded) and one manifest swap publishes
-    * the result. Readers of older versions are untouched; the [[changes]]
-    * feed across a compaction is EMPTY by construction — the operation
-    * moves bytes, never rows (spec- and gate-asserted). Returns the
-    * committed version. */
+    * op composed with the protocol: the head manifest's under-sized files
+    * pack into ≥`targetBytes` bins ([[Compaction.planCompaction]] over the
+    * manifest — pure metadata), each bin re-encodes as one file, and
+    * keep-as-is files carry BY REFERENCE (zero I/O for data that is
+    * already right-sized). Readers of older versions are untouched; the
+    * [[changes]] feed across a compaction is EMPTY by construction — the
+    * operation moves bytes, never rows (spec- and gate-asserted). Returns
+    * the committed version. */
   def compact(spark: SparkSession, root: String, targetBytes: Long): Int = {
+    val (fs, _) = fsOf(spark, root)
     val latest = latestVersion(spark, root)
-    val cur = vDir(root, latest)
-    val (next, dir) = nextDir(spark, root)
+    val entries = snapshotEntries(spark, root, latest)
+    val plan = Compaction.planCompaction(
+      listSnapshotFiles(spark, root, latest), targetBytes).collect()
     // bin re-encodes read at FILE level — partition columns ride directory
     // names, so an evolved table's stored schema sheds them for the read
-    val fileSchema = activeSchema(spark, root, latest).map { s =>
-      val partCols = Compaction.listFiles(spark, cur).collect()
-        .map(_.getAs[String]("part")).filter(_ != ".")
-        .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
-      org.apache.spark.sql.types.StructType(
-        s.fields.filterNot(f => partCols(f.name)))
+    val partCols = entries.map(_.part).filter(_ != ".")
+      .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
+    val fileSchema = activeSchema(spark, root, latest).map(s =>
+      StructType(s.fields.filterNot(f => partCols(f.name))))
+    val stage = stagePath(root)
+    // bin re-encodes run CONCURRENTLY per partition directory (r13): a
+    // sequential bin loop was a driver-side scale bug — thousands of bins =
+    // thousands of sequential tiny jobs. Concurrency is per PART dir: two
+    // jobs committing into the same output directory would fight over the
+    // shared `_temporary` staging dir; bins within one part stay sequential
+    // on their thread.
+    val byPart = plan.filter(_.getAs[Boolean]("compact"))
+      .groupBy(_.getAs[String]("part")).toSeq.sortBy(_._1)
+    if (byPart.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, byPart.size))
+      try {
+        byPart.map { case (part, ofPart) =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              ofPart.groupBy(_.getAs[Long]("bin")).toSeq.sortBy(_._1).foreach {
+                case (_, binFiles) =>
+                  val paths = binFiles.map { r =>
+                    val n = r.getAs[String]("file_id")
+                    if (part == ".") s"${dataDir(root)}/$n"
+                    else s"${dataDir(root)}/$part/$n"
+                  }.toSeq
+                  // fresh reader per task: DataFrameReader is mutable state
+                  fileSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+                    .parquet(paths: _*)
+                    .coalesce(1).write.mode("append")
+                    .parquet(if (part == ".") stage else s"$stage/$part")
+              }
+          })
+        }.foreach(_.get()) // propagate the first failure
+      } finally pool.shutdown()
     }
-    Compaction.compactDir(spark, cur, dir, targetBytes, fileSchema)
+    val keep = plan.filterNot(_.getAs[Boolean]("compact"))
+      .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"))).toSet
+    val carried = entries.filter(e => keep((e.part, e.name)))
+    val moved = moveIntoPool(spark, root, stage)
+    val (next, dir) = nextDir(spark, root)
+    writeManifest(fs, dir, carried ++ moved)
     commitVersion(spark, root, next)
     next
   }
 
   /** RESTORE as a committed snapshot (r13) — mistake recovery, the
     * time-travel use case: the table's head becomes a NEW version whose
-    * content is a retained older version's. History is never rewritten
+    * MANIFEST is a retained older version's (zero data I/O since r16 — the
+    * restored content is shared by reference). History is never rewritten
     * (the bad versions stay readable between them — an audit can still see
     * what the mistake was), the restore is itself just a commit, and the
     * [[changes]] feed from the bad head to the restored head reads as the
@@ -711,31 +882,24 @@ object VersionedTable {
     val latest = latestVersion(spark, root)
     require(toVersion >= 1 && toVersion <= latest,
       s"cannot restore to v$toVersion (head is v$latest)")
-    val (fs, rootP) = fsOf(spark, root)
-    require(fs.exists(new Path(vDir(root, toVersion))),
+    val (fs, _) = fsOf(spark, root)
+    require(fs.exists(manifestPath(vDir(root, toVersion))),
       s"v$toVersion was vacuumed away")
     if (toVersion == latest) return latest // restoring the head is a no-op
+    val entries = snapshotEntries(spark, root, toVersion)
+    val restoredSchema = effectiveSchema(spark, root, toVersion)
     val (next, dir) = nextDir(spark, root)
-    copySnapshot(spark, fs, vDir(root, toVersion), dir)
-    // the restored content must read under ITS schema: if any evolution
-    // log entry exists at or below the target, re-log that shape for the
-    // new version; if entries exist only ABOVE the target (the restore
-    // crosses an evolution downward), the pre-evolution footer schema
-    // applies and must be re-logged explicitly to mask the later entry
-    effectiveSchema(spark, root, toVersion) match {
-      case Some(sch) => writeSchemaEntry(fs, root, next, sch)
-      case None if effectiveSchema(spark, root, latest).isDefined =>
-        writeSchemaEntry(fs, root, next,
-          spark.read.parquet(vDir(root, toVersion)).schema)
-      case None => // never-evolved table: footer schema applies everywhere
-    }
     // the restored content must satisfy the CURRENT constraint set in FULL
     // (ADVICE r13): file-selective induction does not apply here — rows
     // deleted/changed BEFORE a constraint was registered (addConstraint
     // validates only the then-current table) would otherwise resurface as
-    // the new head silently violating it. Throws before the manifest swap,
-    // so a violating restore leaves only an invisible staged orphan.
-    enforceConstraints(spark, root, None, dir, effectiveSchema(spark, root, next))
+    // the new head silently violating it. Throws before the manifest swap.
+    enforceConstraintsOn(spark, root,
+      readAt(spark, root, toVersion, restoredSchema))
+    // the restored content must read under ITS schema: re-log that shape
+    // for the new version (masking any later evolution entry)
+    restoredSchema.foreach(writeSchemaEntry(fs, root, next, _))
+    writeManifest(fs, dir, entries)
     commitVersion(spark, root, next)
     next
   }
@@ -751,21 +915,19 @@ object VersionedTable {
     * the table. A PARTITIONED table clusters WITHIN each partition (what
     * production z-order does — a partition is already the coarsest
     * clustering): every partition directory re-clusters its own rows
-    * concurrently (the committer-per-directory thread pool of
-    * [[Compaction.compactDir]]; `numFiles` is then per partition), and the
-    * clustered columns must be data columns — a partition column is
-    * constant within its directory. Readers of older versions are
-    * untouched. Returns the committed version. */
+    * concurrently; `numFiles` is then per partition, and the clustered
+    * columns must be data columns — a partition column is constant within
+    * its directory. Readers of older versions are untouched. Returns the
+    * committed version. */
   def cluster(spark: SparkSession, root: String, cols: Seq[String],
       bits: Int = 8, numFiles: Int = 32): Int = {
+    val (fs, _) = fsOf(spark, root)
     val latest = latestVersion(spark, root)
-    val cur = vDir(root, latest)
-    val parts = Compaction.listFiles(spark, cur).collect()
-      .map(_.getAs[String]("part")).distinct.sorted
-    val (next, dir) = nextDir(spark, root)
-    val (fs, rootP) = fsOf(spark, root)
-    if (parts.sameElements(Array("."))) {
-      ZOrder.materializeZordered(read(spark, root, Some(latest)), dir, cols,
+    val entries = snapshotEntries(spark, root, latest)
+    val parts = entries.map(_.part).distinct.sorted
+    val stage = stagePath(root)
+    if (parts.isEmpty || parts == Seq(".")) {
+      ZOrder.materializeZordered(read(spark, root, Some(latest)), stage, cols,
         bits, numFiles)
     } else {
       val partCols = parts.filter(_ != ".")
@@ -773,25 +935,28 @@ object VersionedTable {
       val clash = cols.filter(partCols)
       require(clash.isEmpty,
         s"cannot z-order on partition columns (constant within a directory): ${clash.mkString(", ")}")
-      // file-level schema for evolved tables: partition columns ride the
-      // directory names, never file bytes
+      // file-level schema: partition columns ride the directory names,
+      // never file bytes
       val fileSchema = effectiveSchema(spark, root, latest).map(s =>
-        org.apache.spark.sql.types.StructType(
-          s.fields.filterNot(f => partCols(f.name))))
+        StructType(s.fields.filterNot(f => partCols(f.name))))
+      val byPart = entries.groupBy(_.part).toSeq.sortBy(_._1)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, parts.length))
+        math.min(8, byPart.length))
       try {
-        parts.toSeq.map { part =>
+        byPart.map { case (part, ofPart) =>
           pool.submit(new Runnable {
             override def run(): Unit =
               ZOrder.materializeZordered(
                 fileSchema.map(spark.read.schema(_)).getOrElse(spark.read)
-                  .parquet(s"$cur/$part"),
-                s"$dir/$part", cols, bits, numFiles)
+                  .parquet(ofPart.map(pathOf(root, _)): _*),
+                s"$stage/$part", cols, bits, numFiles)
           })
         }.foreach(_.get())
       } finally pool.shutdown()
     }
+    val moved = moveIntoPool(spark, root, stage)
+    val (next, dir) = nextDir(spark, root)
+    writeManifest(fs, dir, moved)
     commitVersion(spark, root, next)
     next
   }
@@ -825,7 +990,9 @@ object VersionedTable {
     * turns that into exactly-once by stamping each streamed snapshot with
     * its batch id BEFORE the manifest swap and skipping any batch id ≤ the
     * latest committed one (the transactional-writer protocol production
-    * table formats expose as idempotent writes). Crash anatomy:
+    * table formats expose as idempotent writes). Since r16 the appended
+    * snapshot SHARES every prior file by reference — a micro-batch commit
+    * costs the batch's own bytes, never the table's. Crash anatomy:
     *  - crash before the manifest swap → orphan vN+1 (marker included)
     *    readers never see; the replay overwrites it and commits;
     *  - crash after the swap → the batch IS committed; the replay reads
@@ -838,10 +1005,6 @@ object VersionedTable {
     val latest = readLatest(fs, rootP)
     if (latest.flatMap(v => readBatchId(fs, vDir(root, v))).exists(_ >= batchId))
       return None
-    val (next, dir) = nextDir(spark, root)
-    // the new snapshot = current snapshot's files byte-copied (the physical
-    // stand-in for manifest-level file sharing) + the batch's new files
-    latest.foreach(v => copySnapshot(spark, fs, vDir(root, v), dir))
     // an evolved table aligns the batch to the stored schema: missing
     // columns null-fill (a producer not yet emitting the new column keeps
     // streaming), unknown columns fail loudly, types pin to the table's
@@ -853,9 +1016,17 @@ object VersionedTable {
         (if (batch.columns.contains(f.name)) col(f.name) else lit(null))
           .cast(f.dataType).as(f.name)).toSeq: _*)
     }.getOrElse(batch)
+    val stage = stagePath(root)
     val w = aligned.write.mode("append")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(dir)
-    enforceConstraints(spark, root, latest, dir)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(stage)
+    enforceConstraintsOnStage(spark, root, stage,
+      latest.flatMap(v => effectiveSchema(spark, root, v)))
+    val carried = latest.map(v => snapshotEntries(spark, root, v)).getOrElse(Nil)
+    val moved = moveIntoPool(spark, root, stage)
+    val (next, dir) = nextDir(spark, root)
+    if (latest.isEmpty) // first batch CREATES the table: record its shape
+      writeSchemaEntry(fs, root, next, storedSchema(aligned, partitionCols))
+    writeManifest(fs, dir, carried ++ moved)
     val out = fs.create(batchMarker(dir), true)
     try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
     commitVersion(spark, root, next)
@@ -879,9 +1050,8 @@ object VersionedTable {
     // (old rows diff as themselves + NULL), and post-evolution backfills
     // surface as ordinary updates whose preimage has the NULL.
     val toSchema = effectiveSchema(spark, root, toV)
-    val oldDf = toSchema.map(spark.read.schema(_)).getOrElse(spark.read)
-      .parquet(vDir(root, fromV))
-    changeFeed(oldDf, read(spark, root, Some(toV)), keys)
+    changeFeed(readAt(spark, root, fromV, toSchema),
+      read(spark, root, Some(toV)), keys)
   }
 
   /** The diff engine behind [[changes]]: one full-outer equi-join on the
@@ -981,20 +1151,39 @@ object VersionedTable {
         ()
       }
 
-  /** Retire history: drop every version older than the newest `keep`
-    * (readers of dropped versions lose time travel, nothing else), and
-    * sweep crashed [[transact]] stage orphans (`.txn_*` dirs a writer died
-    * holding — private, never visible to readers). Vacuum is the
-    * maintenance op: it runs with no live writers, so every stage present
-    * is dead. */
+  /** Retire history: drop every version MANIFEST older than the newest
+    * `keep` (readers of dropped versions lose time travel, nothing else),
+    * then REACHABILITY-SWEEP the pool — every data file no retained
+    * manifest references is deleted (r16: the manifest format's vacuum,
+    * which also retires orphans of crashed/raced commits) — and sweep
+    * crashed writer-private stage dirs. Vacuum is the maintenance op: it
+    * runs with no live writers, so every stage and unreferenced file
+    * present is dead. Returns the dropped versions. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 1): Seq[Int] = {
     require(keep >= 1, "must keep at least the latest version")
     val (fs, rootP) = fsOf(spark, root)
     val latest = latestVersion(spark, root)
-    val dropped = (1 to latest - keep).filter(v => fs.exists(new Path(vDir(root, v))))
+    val dropped = (1 to latest - keep)
+      .filter(v => fs.exists(new Path(vDir(root, v))))
     dropped.foreach(v => fs.delete(new Path(vDir(root, v)), true))
+    // reachability: the union of every RETAINED manifest's entries
+    val retained = (1 to latest)
+      .filter(v => fs.exists(manifestPath(vDir(root, v))))
+    val referenced: Set[String] = retained.flatMap(v =>
+      snapshotEntries(spark, root, v).map(e =>
+        if (e.part == ".") e.name else s"${e.part}/${e.name}")).toSet
+    val dd = new Path(dataDir(root))
+    if (fs.exists(dd)) {
+      Compaction.listFiles(spark, dataDir(root)).collect().foreach { r =>
+        val (part, name) = (r.getAs[String]("part"), r.getAs[String]("file_id"))
+        val rel = if (part == ".") name else s"$part/$name"
+        if (!referenced(rel))
+          fs.delete(new Path(s"${dataDir(root)}/$rel"), false)
+      }
+    }
     fs.listStatus(rootP).map(_.getPath)
-      .filter(_.getName.startsWith(".txn_"))
+      .filter(p => p.getName.startsWith(".txn_") || p.getName.startsWith(".stage_")
+        || p.getName.startsWith(".claim_"))
       .foreach(fs.delete(_, true))
     dropped
   }

@@ -112,7 +112,7 @@ class SqlSessionSpec extends SparkSpec {
     VersionedTable.read(spark, root).groupBy("k", "c")
       .agg(sum("amount").as("amount_p"), count(lit(1)).as("n_rows"))
       .write.parquet(s"$dirBase/mv")
-    graft.plans.MvRewrite.register(spark, VersionedTable.vDir(root, 1),
+    graft.plans.MvRewrite.registerVersioned(spark, root, 1,
       spark.read.parquet(s"$dirBase/mv"),
       keys = Seq("k", "c"), sums = Map("amount" -> "amount_p"),
       countCol = Some("n_rows"))

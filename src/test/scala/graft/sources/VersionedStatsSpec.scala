@@ -44,8 +44,7 @@ class VersionedStatsSpec extends SparkSpec {
   test("refresh carries stats for surviving names without rescanning (sentinel survives), scans only new names, drops vanished ones") {
     val root = mkTable("graft_vs_inc_")
     VersionedStats.enable(spark, root, Seq("id"))
-    def names(v: Int) = Compaction.listFiles(spark, VersionedTable.vDir(root, v))
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def names(v: Int) = VersionedTable.snapshotFiles(spark, root, v).toSet
     // a delete confined to the first file's range rewrites exactly one file
     assert(VersionedTable.deleteWhere(spark, root, col("id") <= 10L) === 2)
     val (v1, v2) = (names(1), names(2))
@@ -154,8 +153,7 @@ class VersionedStatsSpec extends SparkSpec {
     assert(VersionedTable.cluster(spark, root2, Seq("id", "w"),
       bits = 6, numFiles = 2) === 2)
     assert(VersionedTable.changes(spark, root2, 1, 2, Seq("id")).isEmpty)
-    val dirs2 = Compaction.listFiles(spark, VersionedTable.vDir(root2, 2))
-      .collect().map(_.getString(0)).toSet
+    val dirs2 = VersionedTable.snapshotFiles(spark, root2, 2).map(_._1).toSet
     assert(dirs2 === Set("p=0", "p=1")) // rows never leave their partition
     VersionedStats.refresh(spark, root2)
     val sv = VersionedStats.prunedRead(spark, root2, Seq(Box("w", 10L, 30L)))

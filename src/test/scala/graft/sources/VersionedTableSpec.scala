@@ -84,8 +84,7 @@ class VersionedTableSpec extends SparkSpec {
     assert(rows(None) === rows(Some(1)))
     assert(rows(None).size === 200)
     assert(VersionedTable.changes(spark, root, 1, 2, Seq("id")).isEmpty)
-    def nFiles(v: Int) = new java.io.File(f"$root/v$v%05d").listFiles()
-      .count(_.getName.startsWith("part-"))
+    def nFiles(v: Int) = VersionedTable.listSnapshotFiles(spark, root, v).count()
     assert(nFiles(2) < nFiles(1))
   }
 
@@ -232,7 +231,7 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.evolve(spark, root,
       StructType(Seq(StructField("tag", StringType)))) === 2)
     // zero rewrite: v2's data files are v1's, byte for byte
-    def files(v: Int) = Compaction.listFiles(spark, f"$root/v$v%05d").collect()
+    def files(v: Int) = VersionedTable.listSnapshotFiles(spark, root, v).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(files(2) === files(1))
     // evolution reads as zero changes; time travel sees the old shape
@@ -335,9 +334,9 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.lastCommittedBatch(spark, root).contains(1L))
     // a violating transact mutation throws; the stage never publishes
     intercept[IllegalStateException] {
-      VersionedTable.transact(spark, root) { (_, cur, stage) =>
-        Dml.updateWhere(spark, cur, stage, col("id") === 3L,
-          Map("qty" -> lit(-7L)))
+      VersionedTable.transact(spark, root) { (_, snap, stage) =>
+        Dml.updateWhereCore(spark, snap, stage, col("id") === 3L,
+          Map("qty" -> lit(-7L)))._2
       }
     }
     assert(VersionedTable.latestVersion(spark, root) === 4)
@@ -405,8 +404,8 @@ class VersionedTableSpec extends SparkSpec {
     val out = fs.create(stale, true)
     out.write("`id` BIGINT,`payload` STRING,`ghost` STRING\n".getBytes("UTF-8"))
     out.close()
-    assert(VersionedTable.transact(spark, root) { (_, cur, stage) =>
-      Dml.deleteWhere(spark, cur, stage, col("id") === 99L)
+    assert(VersionedTable.transact(spark, root) { (_, snap, stage) =>
+      Dml.deleteWhereCore(spark, snap, stage, col("id") === 99L)._2
     } === 2)
     assert(!VersionedTable.read(spark, root).columns.contains("ghost"))
     // later DML keeps running under the footer schema
@@ -439,7 +438,7 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.create(spark, root,
       (1L to 20L).map(i => (i, s"p_$i", s"t_$i")).toDF("id", "payload", "tag"))
     assert(VersionedTable.dropColumns(spark, root, Seq("tag")) === 2)
-    def files(v: Int) = Compaction.listFiles(spark, f"$root/v$v%05d").collect()
+    def files(v: Int) = VersionedTable.listSnapshotFiles(spark, root, v).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(files(2) === files(1)) // zero rewrite
     assert(VersionedTable.read(spark, root).columns.toSeq === Seq("id", "payload"))
@@ -480,16 +479,16 @@ class VersionedTableSpec extends SparkSpec {
       (1L to 100L).map(i => (i, s"p_$i")).toDF("id", "payload"))
     var bDone = false
     var aAttempts = 0
-    val aV = VersionedTable.transact(spark, root) { (base, cur, stage) =>
+    val aV = VersionedTable.transact(spark, root) { (base, snap, stage) =>
       aAttempts += 1
       if (!bDone) { // writer B wins the race while A is still mutating
         bDone = true
-        assert(VersionedTable.transact(spark, root) { (_, bCur, bStage) =>
-          Dml.deleteWhere(spark, bCur, bStage, col("id") > 90L)
+        assert(VersionedTable.transact(spark, root) { (_, bSnap, bStage) =>
+          Dml.deleteWhereCore(spark, bSnap, bStage, col("id") > 90L)._2
         } === 2)
       }
-      Dml.updateWhere(spark, cur, stage, col("id") <= 10L,
-        Map("payload" -> lit("A")))
+      Dml.updateWhereCore(spark, snap, stage, col("id") <= 10L,
+        Map("payload" -> lit("A")))._2
     }
     assert(aV === 3 && aAttempts === 2)
     val fin = VersionedTable.read(spark, root)
@@ -503,8 +502,8 @@ class VersionedTableSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_txn2_").toString + "/t"
     VersionedTable.create(spark, root,
       (1L to 10L).map(i => (i, s"p_$i")).toDF("id", "payload"))
-    assert(VersionedTable.transact(spark, root) { (_, cur, stage) =>
-      Dml.deleteWhere(spark, cur, stage, col("id") > 8L)
+    assert(VersionedTable.transact(spark, root) { (_, snap, stage) =>
+      Dml.deleteWhereCore(spark, snap, stage, col("id") > 8L)._2
     } === 2)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -522,8 +521,8 @@ class VersionedTableSpec extends SparkSpec {
     fs.mkdirs(squat)
     val junk = fs.create(new org.apache.hadoop.fs.Path(squat, "junk"), true)
     junk.write(Array[Byte](9)); junk.close()
-    assert(VersionedTable.transact(spark, root) { (_, cur, stage) =>
-      Dml.deleteWhere(spark, cur, stage, col("id") > 7L)
+    assert(VersionedTable.transact(spark, root) { (_, snap, stage) =>
+      Dml.deleteWhereCore(spark, snap, stage, col("id") > 7L)._2
     } === 3)
     assert(VersionedTable.read(spark, root).count() === 7)
     VersionedTable.vacuum(spark, root, keep = 3)
@@ -538,13 +537,13 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.create(spark, root,
       (1L to 10L).map(i => (i, s"p_$i")).toDF("id", "payload"))
     intercept[java.util.ConcurrentModificationException] {
-      VersionedTable.transact(spark, root, maxRetries = 1) { (_, cur, stage) =>
+      VersionedTable.transact(spark, root, maxRetries = 1) { (_, snap, stage) =>
         // a competitor lands a commit on every attempt
-        VersionedTable.transact(spark, root) { (_, c2, s2) =>
-          Dml.deleteWhere(spark, c2, s2, lit(false))
+        VersionedTable.transact(spark, root) { (_, snap2, s2) =>
+          Dml.deleteWhereCore(spark, snap2, s2, lit(false))._2
         }
-        Dml.updateWhere(spark, cur, stage, col("id") === 1L,
-          Map("payload" -> lit("x")))
+        Dml.updateWhereCore(spark, snap, stage, col("id") === 1L,
+          Map("payload" -> lit("x")))._2
       }
     }
     // the loser's stage is cleaned up; the winners' commits stand
@@ -552,7 +551,8 @@ class VersionedTableSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(root))
-      .forall(!_.getPath.getName.startsWith(".txn_")))
+      .forall(p => !p.getPath.getName.startsWith(".txn_") &&
+        !p.getPath.getName.startsWith(".claim_")))
   }
 
   test("vacuum retires old versions and keeps time travel to the rest") {
