@@ -894,8 +894,11 @@ object VersionedTable {
     // deleted/changed BEFORE a constraint was registered (addConstraint
     // validates only the then-current table) would otherwise resurface as
     // the new head silently violating it. Throws before the manifest swap.
-    enforceConstraintsOn(spark, root,
-      readAt(spark, root, toVersion, restoredSchema))
+    // (Guarded so an unconstrained restore never even PLANS the full read —
+    // the restore itself is a pure manifest commit.)
+    if (constraints(spark, root).nonEmpty)
+      enforceConstraintsOn(spark, root,
+        readAt(spark, root, toVersion, restoredSchema))
     // the restored content must read under ITS schema: re-log that shape
     // for the new version (masking any later evolution entry)
     restoredSchema.foreach(writeSchemaEntry(fs, root, next, _))

@@ -157,4 +157,47 @@ class SqlSessionSpec extends SparkSpec {
       viaS2.sql("DELETE FROM definitely_not_registered WHERE 1=1").collect()
     }.getMessage.toLowerCase.contains("not")) // Spark's own TABLE_OR_VIEW_NOT_FOUND
   }
+
+  test("persistent catalog: registrations survive a fresh process; a direct file write resolves (r16)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sqlsess_cat_").toString
+    val catalog = s"$base/_catalog.tsv"
+    val rootA = s"$base/ta"
+    val rootB = s"$base/tb"
+    VersionedTable.create(spark, rootA,
+      (1L to 20L).map(i => (i, i * 2L)).toDF("id", "v"))
+    VersionedTable.create(spark, rootB,
+      (1L to 5L).map(i => (i, s"b$i")).toDF("id", "tag"))
+    try {
+      // process A registers through the bound store
+      GraftCatalog.persistTo(spark, catalog)
+      GraftCatalog.register("cat_ta", rootA)
+      // simulate a FRESH process: drop this JVM's in-memory entry without
+      // touching the file, then re-bind the store (a new read-through cache)
+      GraftCatalog.detachStore()
+      GraftCatalog.unregister("cat_ta")
+      assert(GraftCatalog.get("cat_ta").isEmpty)
+      GraftCatalog.persistTo(spark, catalog)
+      assert(GraftCatalog.get("cat_ta").contains(rootA))
+      // plain spark.sql read + DML resolve through the persisted entry
+      assert(s2.sql("SELECT count(*) AS n FROM cat_ta").head().getLong(0) == 20L)
+      assert(s2.sql("DELETE FROM cat_ta WHERE id > 15").head().getInt(0) == 2)
+      assert(s2.sql("SELECT count(*) AS n FROM cat_ta").head().getLong(0) == 15L)
+      // a DIRECT file write (another process's registration) resolves too
+      val fs = new org.apache.hadoop.fs.Path(catalog)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Thread.sleep(1100) // local FS mtime granularity is one second
+      val out = fs.create(new org.apache.hadoop.fs.Path(catalog), true)
+      out.write(s"cat_ta\t$rootA\ncat_tb\t$rootB\n".getBytes("UTF-8"))
+      out.close()
+      assert(s2.sql("SELECT count(*) AS n FROM cat_tb").head().getLong(0) == 5L)
+      // unregister removes from the file as well
+      GraftCatalog.unregister("cat_tb")
+      assert(!GraftCatalog.registered.contains("cat_tb"))
+    } finally {
+      GraftCatalog.detachStore()
+      GraftCatalog.unregister("cat_ta")
+      GraftCatalog.unregister("cat_tb")
+    }
+  }
 }
