@@ -38,8 +38,10 @@ import org.apache.spark.sql.functions._
   *     [[graft.plans.StatsPrune]] listener leave exactly this gap); the
   *     refresh is incremental — new files only.
   *  4. VACUUM (opt-in via `keepVersions`) when more versions are retained
-  *     than the policy keeps — time-travel depth is a policy decision, and
-  *     snapshot copies are the storage cost here.
+  *     than the policy keeps — time-travel depth is a policy decision; the
+  *     storage cost of history is the pool files only retired manifests
+  *     reference (r16: snapshots share unchanged files, so deep history is
+  *     cheap until vacuum actually frees the unshared tail).
   *
   * Returns a DECISION FRAME — one row per op: `(op, triggered, reason,
   * n_before, n_after)` — the audit evidence a scheduled maintenance run leaves

@@ -555,6 +555,53 @@ class VersionedTableSpec extends SparkSpec {
         !p.getPath.getName.startsWith(".claim_")))
   }
 
+  test("vacuum reachability-sweeps the pool: orphans die, shared files survive (r16)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_rs_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 100L).map(i => (i, s"p_$i")).toDF("id", "payload").repartition(4))
+    VersionedTable.deleteWhere(spark, root, col("id") > 90L) // v2 shares v1 files
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // plant a crashed commit's pool orphan: a data file NO manifest names
+    val orphan = new org.apache.hadoop.fs.Path(
+      VersionedTable.dataDir(root), "part-99999-dead-orphan.parquet")
+    val out = fs.create(orphan, true); out.write(Array[Byte](1, 2, 3)); out.close()
+    // vacuum keeping both versions: the orphan dies, every referenced
+    // file survives (v1 and v2 SHARE most files — reachability is the
+    // union over retained manifests, not the head alone)
+    assert(VersionedTable.vacuum(spark, root, keep = 2) === Seq())
+    assert(!fs.exists(orphan))
+    assert(VersionedTable.read(spark, root, Some(1)).count() === 100)
+    assert(VersionedTable.read(spark, root, Some(2)).count() === 90)
+    // vacuum to depth 1: v1's manifest dies; files only v1 referenced die
+    // with it, while the files v2 shares survive
+    assert(VersionedTable.vacuum(spark, root, keep = 1) === Seq(1))
+    intercept[Exception] { VersionedTable.read(spark, root, Some(1)).collect() }
+    assert(VersionedTable.read(spark, root).count() === 90)
+  }
+
+  test("DML over an emptied table: truncate, insert into empty, read schema intact (r16)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_empty_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 10L).map(i => (i, s"p_$i")).toDF("id", "payload"))
+    assert(VersionedTable.deleteWhere(spark, root, lit(true)) === 2) // TRUNCATE
+    val empty = VersionedTable.read(spark, root)
+    assert(empty.count() === 0 && empty.columns.toSeq === Seq("id", "payload"))
+    // DML against the EMPTY snapshot is a no-op commit, not an error
+    assert(VersionedTable.updateWhere(spark, root, col("id") === 1L,
+      Map("payload" -> lit("x"))) === 3)
+    assert(VersionedTable.read(spark, root).count() === 0)
+    // an insert into the empty table revives it under the stored schema
+    assert(VersionedTable.insertInto(spark, root,
+      Seq((42L, "back")).toDF("id", "payload")) === 4)
+    assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toSeq ===
+      Seq((42L, "back")))
+    // CDC across the truncate→revive span: 10 deletes and 1 insert
+    val feed = VersionedTable.changes(spark, root, 1, 4, Seq("id"))
+      .select("change_type").as[String].collect()
+    assert(feed.count(_ == "delete") === 10 && feed.count(_ == "insert") === 1)
+  }
+
   test("vacuum retires old versions and keeps time travel to the rest") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_v_").toString + "/t"
     VersionedTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "payload"))
