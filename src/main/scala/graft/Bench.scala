@@ -583,6 +583,12 @@ object Bench {
       time("multimodal_y4m_decode")(
         graft.llm.MultimodalOps.decodeY4m(
           graft.llm.MultimodalOps.y4mFixture(spark, sfDir)).toDF())
+      // r16: the COLOR codec — interleaved YCbCr encode fixture and the
+      // full per-component Huffman/DPCM/dequant/IDCT + 4:2:0 upsample +
+      // RGB transform decode per rep, partition-local
+      time("multimodal_jpeg_color_decode")(
+        graft.llm.MultimodalOps.decodeJpegColor(
+          graft.llm.MultimodalOps.jpegColorFixture(spark, sfDir)).toDF())
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))

@@ -18,8 +18,11 @@ import graft.oracle.OracleSql.{q => oq}
   * and full five-filter scanline reconstruction), and LOSSY baseline JPEG
   * ([[parseJpeg]], r13 — canonical Huffman entropy decode, DPCM/ZRL/EOB
   * semantics, DQT dequantization, reference IDCT, restart markers, byte
-  * unstuffing; grayscale SOF0 profile — the chroma-subsample/color-transform
-  * chain of color JPEG is the one boundary left, documented in COVERAGE.md).
+  * unstuffing; grayscale SOF0 profile) plus COLOR baseline JPEG
+  * ([[parseJpegColor]], r16 — interleaved 3-component YCbCr scans with
+  * per-component tables/predictors, 4:4:4 and 4:2:0 sampling, replication
+  * chroma upsampling, and the JFIF RGB transform; progressive and other
+  * samplings stay rejected loudly).
   * The VIDEO container is real too: Y4M/YUV4MPEG2 ([[parseY4m]], r13 —
   * header tag parse, per-frame marker walk, planar 4:2:0/mono plane
   * accounting, scene-cut/keyframe detection over decoded luma; compressed
@@ -595,6 +598,433 @@ object MultimodalOps extends QueryRegistry {
   def decodeJpeg(media: Dataset[MediaRow]): Dataset[JpegFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(m => parseJpeg(m.doc_id, m.media)))
+  }
+
+  // ---------------------------------------------------------------------
+  // Baseline COLOR JPEG (r16, VERDICT r15 #7) — the last documented codec
+  // boundary: 3-component YCbCr, interleaved single scan, 4:4:4 (1x1) and
+  // 4:2:0 (2x2 luma) sampling. Everything the grayscale decoder proves
+  // (canonical Huffman, DPCM, ZRL/EOB, dequant, reference IDCT, restarts,
+  // byte unstuffing) plus the color machinery: per-component quant/Huffman
+  // selectors and DC predictors, MCU-interleaved block order, chroma
+  // upsampling by sample replication, and the JFIF YCbCr→RGB transform.
+  // The fixture keeps every decoded value closed-form (per-MCU constants,
+  // chroma values chosen so round/rint can never tie — verified over the
+  // whole domain), so the DuckDB oracle derives the same RGB statistics
+  // analytically. Progressive, other samplings, and 16-bit tables are
+  // rejected loudly.
+  // ---------------------------------------------------------------------
+
+  final case class JpegColorFeatures(doc_id: Long, width: Int, height: Int,
+      subsampling: String, mean_y: Double, mean_cb: Double, mean_cr: Double,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      min_luma: Int, max_luma: Int)
+
+  /** Baseline interleaved YCbCr decode (3 components; luma sampling 1x1 or
+    * 2x2 with 1x1 chroma). Per-component quantization/Huffman selectors
+    * and DC predictors; restart markers reset ALL predictors; chroma
+    * upsamples by replication; RGB via the JFIF transform with
+    * `StrictMath.rint` + clamp. Statistics are exact integer sums until
+    * one IEEE division each — oracle-exact. */
+  private[llm] def parseJpegColor(id: Long, bytes: Array[Byte]): JpegColorFeatures = {
+    def err(msg: String): Nothing =
+      throw new IllegalArgumentException(s"media of doc $id: $msg")
+    def u8(o: Int): Int =
+      if (o < bytes.length) bytes(o) & 0xff else err("truncated JPEG")
+    def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    if (bytes.length < 2 || u16(0) != 0xffd8) err("not a JPEG (missing SOI)")
+
+    val qTables = new Array[Array[Int]](4)
+    val dcTables = new Array[Huff](4)
+    val acTables = new Array[Huff](4)
+    var w = 0; var h = 0
+    var hs = 0; var vs = 0 // luma sampling factors
+    val qSel = new Array[Int](3)
+    val compId = new Array[Int](3)
+    val dcSel = new Array[Int](3); val acSel = new Array[Int](3)
+    var restartInterval = 0
+    var sosAt = -1
+    var i = 2
+    while (sosAt < 0) {
+      if (u8(i) != 0xff) err(f"expected a marker at $i, got ${u8(i)}%02x")
+      val m = u8(i + 1)
+      m match {
+        case 0xc0 => // SOF0 — baseline sequential
+          if (u8(i + 4) != 8) err(s"unsupported sample precision ${u8(i + 4)}")
+          h = u16(i + 5); w = u16(i + 7)
+          if (w <= 0 || h <= 0) err(s"degenerate dimensions ${w}x$h")
+          if (u8(i + 9) != 3) err(s"${u8(i + 9)} components (YCbCr color only)")
+          var c = 0
+          while (c < 3) {
+            compId(c) = u8(i + 10 + 3 * c)
+            val samp = u8(i + 11 + 3 * c)
+            if (c == 0) {
+              hs = samp >> 4; vs = samp & 15
+              if (!((hs == 1 && vs == 1) || (hs == 2 && vs == 2)))
+                err(f"unsupported luma sampling ${hs}x$vs (4:4:4 or 4:2:0 only)")
+            } else if (samp != 0x11) err("chroma sampling must be 1x1")
+            qSel(c) = u8(i + 12 + 3 * c)
+            c += 1
+          }
+          i += 2 + u16(i + 2)
+        case 0xc2 => err("progressive JPEG unsupported (baseline only)")
+        case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+          err(f"non-baseline frame marker ff$x%02x")
+        case 0xc4 =>
+          val end = i + 2 + u16(i + 2)
+          var o = i + 4
+          while (o < end) {
+            val tc = u8(o) >> 4; val th = u8(o) & 15
+            if (tc > 1 || th > 3) err("bad DHT table class/id")
+            val counts = Array.tabulate(16)(j => u8(o + 1 + j))
+            val n = counts.sum
+            val syms = Array.tabulate(n)(j => u8(o + 17 + j))
+            if (tc == 0) dcTables(th) = new Huff(counts, syms)
+            else acTables(th) = new Huff(counts, syms)
+            o += 17 + n
+          }
+          i = end
+        case 0xdb =>
+          val end = i + 2 + u16(i + 2)
+          var o = i + 4
+          while (o < end) {
+            if (u8(o) >> 4 != 0) err("16-bit quantization tables unsupported")
+            val tq = u8(o) & 15
+            if (tq > 3) err("bad DQT table id")
+            qTables(tq) = Array.tabulate(64)(j => u8(o + 1 + j))
+            o += 65
+          }
+          i = end
+        case 0xdd =>
+          restartInterval = u16(i + 4); i += 2 + u16(i + 2)
+        case 0xda => // SOS — interleaved 3-component scan
+          if (u8(i + 4) != 3) err("scan must carry all three components")
+          var c = 0
+          while (c < 3) {
+            val cid = u8(i + 5 + 2 * c)
+            val slot = compId.indexOf(cid)
+            if (slot < 0) err(s"scan references unknown component $cid")
+            dcSel(slot) = u8(i + 6 + 2 * c) >> 4
+            acSel(slot) = u8(i + 6 + 2 * c) & 15
+            c += 1
+          }
+          if (u8(i + 11) != 0 || u8(i + 12) != 63 || u8(i + 13) != 0)
+            err("spectral selection / successive approximation unsupported")
+          sosAt = i + 2 + u16(i + 2)
+        case 0xd9 => err("EOI before any scan")
+        case x if (x >= 0xe0 && x <= 0xef) || x == 0xfe =>
+          i += 2 + u16(i + 2)
+        case other => err(f"unsupported marker ff$other%02x")
+      }
+    }
+    if (w == 0) err("missing SOF0")
+    val q = Array.tabulate(3) { c =>
+      if (qTables(qSel(c)) != null) qTables(qSel(c))
+      else err(s"component $c references an undefined quantization table") }
+    val dcT = Array.tabulate(3) { c =>
+      if (dcTables(dcSel(c)) != null) dcTables(dcSel(c))
+      else err(s"component $c references an undefined DC Huffman table") }
+    val acT = Array.tabulate(3) { c =>
+      if (acTables(acSel(c)) != null) acTables(acSel(c))
+      else err(s"component $c references an undefined AC Huffman table") }
+
+    var pos = sosAt
+    var bitBuf = 0; var bitCnt = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        val b = u8(pos)
+        if (b == 0xff) {
+          if (u8(pos + 1) != 0x00) err("marker inside entropy-coded segment")
+          pos += 1
+        }
+        pos += 1
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var j = 0
+      while (j < n) { v = (v << 1) | nextBit(); j += 1 }
+      v
+    }
+    def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+    // full-resolution luma plane; chroma planes at their subsampled size
+    val cw = (w + 8 * hs - 1) / (8 * hs) * 8 // chroma plane width (MCU-padded)
+    val ch = (h + 8 * vs - 1) / (8 * vs) * 8
+    val yPlane = new Array[Int](w * h)
+    val cbPlane = new Array[Int](cw * ch)
+    val crPlane = new Array[Int](cw * ch)
+    val mcuW = 8 * hs; val mcuH = 8 * vs
+    val mw = (w + mcuW - 1) / mcuW; val mh = (h + mcuH - 1) / mcuH
+    val pred = new Array[Int](3)
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+
+    def decodeBlock(c: Int): Unit = {
+      java.util.Arrays.fill(coef, 0)
+      val t = dcT(c).decode(nextBit)
+      if (t > 11) err(s"DC category $t out of range")
+      pred(c) += extend(receive(t), t)
+      coef(0) = pred(c) * q(c)(0)
+      var z = 1
+      var eob = false
+      while (z < 64 && !eob) {
+        val rs = acT(c).decode(nextBit)
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) z += 16 else eob = true
+        } else {
+          z += r
+          if (z > 63) err("AC run overruns the block")
+          coef(Zigzag(z)) = extend(receive(s), s) * q(c)(z)
+          z += 1
+        }
+      }
+      var y0 = 0
+      while (y0 < 8) {
+        var x0 = 0
+        while (x0 < 8) {
+          var f = 0.0
+          var v = 0
+          while (v < 8) {
+            val cv = if (v == 0) InvSqrt2 else 1.0
+            var u = 0
+            while (u < 8) {
+              val cc = coef(v * 8 + u)
+              if (cc != 0) {
+                val cu = if (u == 0) InvSqrt2 else 1.0
+                f += cu * cv * cc * CosTable(x0)(u) * CosTable(y0)(v)
+              }
+              u += 1
+            }
+            v += 1
+          }
+          val p = StrictMath.rint(f / 4 + 128).toInt
+          block(y0 * 8 + x0) = if (p < 0) 0 else if (p > 255) 255 else p
+          x0 += 1
+        }
+        y0 += 1
+      }
+    }
+
+    var mcu = 0
+    var my = 0
+    while (my < mh) {
+      var mx = 0
+      while (mx < mw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bitCnt = 0
+          val exp = 0xd0 + ((mcu / restartInterval - 1) % 8)
+          if (u8(pos) != 0xff || u8(pos + 1) != exp)
+            err(f"expected restart marker ff$exp%02x at MCU $mcu")
+          pos += 2
+          pred(0) = 0; pred(1) = 0; pred(2) = 0
+        }
+        // luma blocks, raster order within the MCU
+        var bv = 0
+        while (bv < vs) {
+          var bu = 0
+          while (bu < hs) {
+            decodeBlock(0)
+            var y0 = 0
+            while (y0 < 8) {
+              val yy = my * mcuH + bv * 8 + y0
+              var x0 = 0
+              while (x0 < 8) {
+                val xx = mx * mcuW + bu * 8 + x0
+                if (yy < h && xx < w) yPlane(yy * w + xx) = block(y0 * 8 + x0)
+                x0 += 1
+              }
+              y0 += 1
+            }
+            bu += 1
+          }
+          bv += 1
+        }
+        // one chroma block each, at chroma resolution
+        var c = 1
+        while (c <= 2) {
+          decodeBlock(c)
+          val plane = if (c == 1) cbPlane else crPlane
+          var y0 = 0
+          while (y0 < 8) {
+            val yy = my * 8 + y0
+            var x0 = 0
+            while (x0 < 8) {
+              val xx = mx * 8 + x0
+              if (yy < ch && xx < cw) plane(yy * cw + xx) = block(y0 * 8 + x0)
+              x0 += 1
+            }
+            y0 += 1
+          }
+          c += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    if (u8(pos) != 0xff || u8(pos + 1) != 0xd9) err("missing EOI after scan")
+
+    // pixel statistics: chroma replicated to full resolution; RGB via the
+    // JFIF transform (rint + clamp) — exact integer sums, one division each
+    var sy = 0L; var scb = 0L; var scr = 0L
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var mn = 255; var mx2 = 0
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val yv = yPlane(yy * w + xx)
+        val cb = cbPlane((yy / vs) * cw + (xx / hs))
+        val cr = crPlane((yy / vs) * cw + (xx / hs))
+        sy += yv; scb += cb; scr += cr
+        if (yv < mn) mn = yv
+        if (yv > mx2) mx2 = yv
+        def clamp(d: Double): Int = {
+          val p = StrictMath.rint(d).toInt
+          if (p < 0) 0 else if (p > 255) 255 else p
+        }
+        sr += clamp(yv + 1.402 * (cr - 128))
+        sg += clamp(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+        sb += clamp(yv + 1.772 * (cb - 128))
+        xx += 1
+      }
+      yy += 1
+    }
+    val n = w.toLong * h
+    JpegColorFeatures(id, w, h, if (hs == 2) "420" else "444",
+      sy.toDouble / n, scb.toDouble / n, scr.toDouble / n,
+      sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, mn, mx2)
+  }
+
+  def decodeJpegColor(media: Dataset[MediaRow]): Dataset[JpegColorFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => parseJpegColor(m.doc_id, m.media)))
+  }
+
+  /** Deterministic baseline COLOR JPEG corpus: per doc, an MCU-aligned
+    * geometry, 4:2:0 on even ids / 4:4:4 on odd, and per-MCU constant
+    * (Y, Cb, Cr) planes — closed form, so every decoded statistic has an
+    * analytic DuckDB oracle (per-MCU RGB constants via the same IEEE
+    * `round` the decoder's `rint` computes — the value domain provably
+    * contains no .5 ties, checked exhaustively). Every 7th doc carries a
+    * 2-MCU restart interval so the color restart path (ALL three
+    * predictors reset) runs on gate data. */
+  def jpegColorFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Sources.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val sub420 = id % 2 == 0
+        val mcu = if (sub420) 16 else 8
+        val w = (mcu * (1 + id % 3)).toInt
+        val h = (mcu * (1 + id % 2)).toInt
+        val nm = (w / mcu) * (h / mcu)
+        val yM = Array.tabulate(nm)(m => (80 + (id * 7 + m * 13) % 97).toInt)
+        val cbM = Array.tabulate(nm)(m => (118 + (id + 3 * m) % 21).toInt)
+        val crM = Array.tabulate(nm)(m => (118 + (id * 5 + 11 * m) % 21).toInt)
+        MediaRow(id, jpegEncodeColor(w, h, sub420, yM, cbM, crM,
+          restartInterval = if (id % 7 == 0) 2 else 0))
+      })
+  }
+
+  /** Deterministic baseline COLOR JPEG writer: interleaved YCbCr with
+    * per-MCU constant planes (`yM`/`cbM`/`crM` in MCU raster order) —
+    * Q(0,0)=8 makes every decoded constant exact, AC is all-EOB (the
+    * run-length paths are the grayscale fixture's business). 4:2:0 writes
+    * 2x2 luma sampling (four luma blocks per MCU sharing the constant);
+    * 4:4:4 writes 1x1. Each component DC-predicts independently; restart
+    * markers reset all three. */
+  private[llm] def jpegEncodeColor(w: Int, h: Int, sub420: Boolean,
+      yM: Array[Int], cbM: Array[Int], crM: Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
+    val hs = if (sub420) 2 else 1
+    val mcuSz = 8 * hs
+    require(w % mcuSz == 0 && h % mcuSz == 0,
+      s"fixture geometry must be MCU-aligned (${w}x$h vs $mcuSz)")
+    val nm = (w / mcuSz) * (h / mcuSz)
+    require(yM.length == nm && cbM.length == nm && crM.length == nm,
+      "one (y, cb, cr) triple per MCU")
+    require((yM ++ cbM ++ crM).forall(v => v >= 0 && v <= 255),
+      "plane constants are sample values")
+    val qz = Array.fill(64)(16)
+    qz(0) = 8
+    val dcH = new Huff(FixtureDcCounts, FixtureDcSyms)
+    val acH = new Huff(FixtureAcCounts, FixtureAcSyms)
+
+    val out = new java.io.ByteArrayOutputStream(256 + nm * 8)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    marker(0xd8)
+    marker(0xe0); w16(16)
+    out.write("JFIF".getBytes("US-ASCII")); w8(0)
+    w8(1); w8(1); w8(0); w16(1); w16(1); w8(0); w8(0)
+    marker(0xdb); w16(67); w8(0x00); qz.foreach(w8)
+    marker(0xc0); w16(17); w8(8); w16(h); w16(w); w8(3) // SOF0, 3 components
+    w8(1); w8((hs << 4) | hs); w8(0) // Y
+    w8(2); w8(0x11); w8(0) // Cb
+    w8(3); w8(0x11); w8(0) // Cr
+    def dht(tc: Int, counts: Array[Int], syms: Array[Int]): Unit = {
+      marker(0xc4); w16(2 + 1 + 16 + syms.length)
+      w8(tc << 4); counts.foreach(w8); syms.foreach(w8)
+    }
+    dht(0, FixtureDcCounts, FixtureDcSyms)
+    dht(1, FixtureAcCounts, FixtureAcSyms)
+    if (restartInterval > 0) { marker(0xdd); w16(4); w16(restartInterval) }
+    marker(0xda); w16(12); w8(3)
+    w8(1); w8(0x00); w8(2); w8(0x00); w8(3); w8(0x00) // dc table 0, ac table 0
+    w8(0); w8(63); w8(0)
+
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var j = n - 1
+      while (j >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> j) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          w8(bitBuf)
+          if ((bitBuf & 0xff) == 0xff) w8(0x00)
+          bitBuf = 0; bitCnt = 0
+        }
+        j -= 1
+      }
+    }
+    def flushBits(): Unit = if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt)
+    def putCode(huff: Huff, sym: Int): Unit = {
+      val (code, len) = huff.codeOf.getOrElse(sym,
+        throw new IllegalArgumentException(f"fixture table lacks symbol $sym%02x"))
+      putBits(code, len)
+    }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    val pred = new Array[Int](3)
+    def putDcOnlyBlock(c: Int, value: Int): Unit = {
+      val dq = value - 128 // Q00=8 cancels the IDCT's ÷8
+      val diff = dq - pred(c)
+      pred(c) = dq
+      val t = category(diff)
+      putCode(dcH, t)
+      if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      putCode(acH, 0x00) // EOB
+    }
+    var m = 0
+    while (m < nm) {
+      if (restartInterval > 0 && m > 0 && m % restartInterval == 0) {
+        flushBits()
+        marker(0xd0 + ((m / restartInterval - 1) % 8))
+        pred(0) = 0; pred(1) = 0; pred(2) = 0
+      }
+      var lb = 0
+      while (lb < hs * hs) { putDcOnlyBlock(0, yM(m)); lb += 1 }
+      putDcOnlyBlock(1, cbM(m))
+      putDcOnlyBlock(2, crM(m))
+      m += 1
+    }
+    flushBits()
+    marker(0xd9)
+    out.toByteArray
   }
 
   // DC table: the public Annex K.3.1 luminance layout (12 categories);
@@ -1244,6 +1674,49 @@ object MultimodalOps extends QueryRegistry {
                CAST(min(c - ak) AS INT) AS min_luma,
                CAST(max(c + ak) AS INT) AS max_luma
         FROM jblk GROUP BY doc_id, w, h"""))),
+
+    // the COLOR sibling (r16): the oracle re-derives the per-MCU plane
+    // constants and the JFIF RGB transform analytically (round == the
+    // decoder's rint — the fixture's value domain provably holds no .5
+    // ties; sums scale by the MCU's pixel count, a power of two, so the
+    // one IEEE division is bit-identical cross-engine), while the Spark
+    // side must walk the interleaved 3-component scan — per-component
+    // tables and predictors, 4:2:0 block order, chroma replication, color
+    // transform — so a component mix-up, predictor bleed, upsample shift,
+    // or transform-coefficient bug cannot pass
+    QueryDef("multimodal_jpeg_color_features",
+      (s, d) => decodeJpegColor(jpegColorFixture(s, d)).toDF(),
+      Some(oq("""
+        , ccg AS (
+            SELECT doc_id, mcu, mcu * (1 + doc_id % 3) AS w,
+                   mcu * (1 + doc_id % 2) AS h
+            FROM (SELECT doc_id,
+                         CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS mcu
+                  FROM documents)),
+        ccm AS (
+            SELECT doc_id, w, h, mcu,
+                   80 + (doc_id * 7 + m.m * 13) % 97 AS y,
+                   118 + (doc_id + 3 * m.m) % 21 AS cb,
+                   118 + (doc_id * 5 + 11 * m.m) % 21 AS cr
+            FROM ccg,
+                 unnest(generate_series(0, (w // mcu) * (h // mcu) - 1)) AS m(m)),
+        ccrgb AS (
+            SELECT doc_id, w, h, mcu, y, cb, cr,
+                   CAST(round(y + 1.402 * (cr - 128)) AS BIGINT) AS r,
+                   CAST(round(y - 0.344136 * (cb - 128)
+                              - 0.714136 * (cr - 128)) AS BIGINT) AS g,
+                   CAST(round(y + 1.772 * (cb - 128)) AS BIGINT) AS b
+            FROM ccm)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CASE WHEN doc_id % 2 = 0 THEN '420' ELSE '444' END AS subsampling,
+               CAST(sum(y) * mcu * mcu AS DOUBLE) / (w * h) AS mean_y,
+               CAST(sum(cb) * mcu * mcu AS DOUBLE) / (w * h) AS mean_cb,
+               CAST(sum(cr) * mcu * mcu AS DOUBLE) / (w * h) AS mean_cr,
+               CAST(sum(r) * mcu * mcu AS DOUBLE) / (w * h) AS mean_r,
+               CAST(sum(g) * mcu * mcu AS DOUBLE) / (w * h) AS mean_g,
+               CAST(sum(b) * mcu * mcu AS DOUBLE) / (w * h) AS mean_b,
+               CAST(min(y) AS INT) AS min_luma, CAST(max(y) AS INT) AS max_luma
+        FROM ccrgb GROUP BY doc_id, w, h, mcu"""))),
 
     // the VIDEO sibling: the oracle re-derives the scene plan analytically
     // (per-frame luma = the per-scene constant — the ±1 pattern sums to

@@ -267,6 +267,84 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parseJpegColor decodes hand-computed 4:4:4 and 4:2:0 images exactly (r16)") {
+    def rgb(y: Int, cb: Int, cr: Int): (Long, Long, Long) = (
+      StrictMath.rint(y + 1.402 * (cr - 128)).toLong,
+      StrictMath.rint(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)).toLong,
+      StrictMath.rint(y + 1.772 * (cb - 128)).toLong)
+    // 4:4:4 — two MCUs (8x8 each), distinct planes per MCU
+    val c444 = MultimodalOps.parseJpegColor(1L,
+      MultimodalOps.jpegEncodeColor(16, 8, sub420 = false,
+        Array(100, 160), Array(120, 136), Array(130, 118)))
+    val (r1, g1, b1) = rgb(100, 120, 130); val (r2, g2, b2) = rgb(160, 136, 118)
+    assert(c444 === MultimodalOps.JpegColorFeatures(1L, 16, 8, "444",
+      130.0, 128.0, 124.0,
+      (r1 + r2) / 2.0, (g1 + g2) / 2.0, (b1 + b2) / 2.0, 100, 160))
+    // 4:2:0 — one 16x16 MCU: four luma blocks share the constant, one
+    // chroma sample covers each 2x2 luma patch (replication upsampling)
+    val c420 = MultimodalOps.parseJpegColor(2L,
+      MultimodalOps.jpegEncodeColor(16, 16, sub420 = true,
+        Array(90), Array(125), Array(133)))
+    val (r3, g3, b3) = rgb(90, 125, 133)
+    assert(c420 === MultimodalOps.JpegColorFeatures(2L, 16, 16, "420",
+      90.0, 125.0, 133.0, r3.toDouble, g3.toDouble, b3.toDouble, 90, 90))
+  }
+
+  test("parseJpegColor restart markers reset ALL three predictors (r16)") {
+    val y = Array(80, 170, 95, 140); val cb = Array(120, 130, 126, 135)
+    val cr = Array(119, 138, 128, 122)
+    val plain = MultimodalOps.parseJpegColor(3L,
+      MultimodalOps.jpegEncodeColor(32, 8, sub420 = false, y, cb, cr))
+    val rst = MultimodalOps.parseJpegColor(3L,
+      MultimodalOps.jpegEncodeColor(32, 8, sub420 = false, y, cb, cr,
+        restartInterval = 2))
+    assert(rst === plain)
+    assert(plain.min_luma === 80 && plain.max_luma === 170)
+  }
+
+  test("the two JPEG decoders reject each other's component counts; bad sampling is loud (r16)") {
+    val gray = MultimodalOps.jpegEncode(8, 8, Array(100), Array(0))
+    val color = MultimodalOps.jpegEncodeColor(8, 8, sub420 = false,
+      Array(100), Array(128), Array(128))
+    assert(intercept[IllegalArgumentException] {
+      MultimodalOps.parseJpeg(1L, color)
+    }.getMessage.contains("grayscale only"))
+    assert(intercept[IllegalArgumentException] {
+      MultimodalOps.parseJpegColor(1L, gray)
+    }.getMessage.contains("color only"))
+    // 4:2:2-style sampling (2x1 luma) is outside the supported pair
+    val bad = color.clone()
+    // SOF0 luma sampling byte: find the SOF0 marker and patch component 1
+    val sof = (0 until bad.length - 1).find(i =>
+      (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xc0).get
+    bad(sof + 11) = 0x21.toByte // 2x1
+    assert(intercept[IllegalArgumentException] {
+      MultimodalOps.parseJpegColor(1L, bad)
+    }.getMessage.contains("luma sampling"))
+  }
+
+  test("color jpeg fixture images round-trip to their analytic features (r16)") {
+    for (id <- Seq(0L, 1L, 5L, 7L, 14L)) {
+      val sub420 = id % 2 == 0
+      val mcu = if (sub420) 16 else 8
+      val w = (mcu * (1 + id % 3)).toInt; val h = (mcu * (1 + id % 2)).toInt
+      val nm = (w / mcu) * (h / mcu)
+      val yM = Array.tabulate(nm)(m => (80 + (id * 7 + m * 13) % 97).toInt)
+      val cbM = Array.tabulate(nm)(m => (118 + (id + 3 * m) % 21).toInt)
+      val crM = Array.tabulate(nm)(m => (118 + (id * 5 + 11 * m) % 21).toInt)
+      val f = MultimodalOps.parseJpegColor(id,
+        MultimodalOps.jpegEncodeColor(w, h, sub420, yM, cbM, crM,
+          restartInterval = if (id % 7 == 0) 2 else 0))
+      assert(f.width === w && f.height === h)
+      assert(f.subsampling === (if (sub420) "420" else "444"))
+      assert(f.mean_y === yM.map(_.toLong).sum.toDouble * mcu * mcu / (w * h))
+      assert(f.min_luma === yM.min && f.max_luma === yM.max)
+      val rs = yM.indices.map(m =>
+        StrictMath.rint(yM(m) + 1.402 * (crM(m) - 128)).toLong)
+      assert(f.mean_r === rs.sum.toDouble * mcu * mcu / (w * h))
+    }
+  }
+
   test("parseWav decodes a hand-computed stereo clip exactly") {
     // 2 frames × 2 channels: samples 100, -100, 300, -300
     val f = MultimodalOps.parseWav(3L, wav(Seq(100, -100, 300, -300), channels = 2))
