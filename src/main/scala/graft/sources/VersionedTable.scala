@@ -132,19 +132,40 @@ object VersionedTable {
     val staged = Compaction.listFiles(spark, stageDir).collect()
       .map(r => FileEntry(r.getAs[String]("part"), r.getAs[String]("file_id"),
         r.getAs[Long]("bytes"))).toSeq
-    staged.foreach { e =>
+    // pre-create the partition directories once, then rename on a bounded
+    // pool: each move is a metadata op, but a large commit stages thousands
+    // of files and a sequential driver loop would make THAT the commit's
+    // floor (the object-store manifest-commit cost production formats
+    // parallelize the same way)
+    staged.map(_.part).distinct.foreach { p =>
+      fs.mkdirs(new Path(
+        if (p == ".") dataDir(root) else s"${dataDir(root)}/$p"))
+    }
+    parallelFs(staged) { e =>
       val src = new Path(
         if (e.part == ".") s"$stageDir/${e.name}" else s"$stageDir/${e.part}/${e.name}")
-      val dstDir = new Path(
-        if (e.part == ".") dataDir(root) else s"${dataDir(root)}/${e.part}")
-      fs.mkdirs(dstDir)
-      val dst = new Path(dstDir, e.name)
+      val dst = new Path(
+        if (e.part == ".") s"${dataDir(root)}/${e.name}"
+        else s"${dataDir(root)}/${e.part}/${e.name}")
       require(!fs.exists(dst), s"pool collision on ${e.part}/${e.name}")
       require(fs.rename(src, dst), s"failed to move ${e.name} into the pool")
     }
     fs.delete(new Path(stageDir), true)
     staged
   }
+
+  /** Run `op` over `items` on a bounded thread pool (driver-side filesystem
+    * metadata work — renames, deletes), propagating the first failure. */
+  private def parallelFs[A](items: Seq[A])(op: A => Unit): Unit =
+    if (items.size <= 2) items.foreach(op)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, items.size))
+      try items.map(it => pool.submit(new Runnable {
+        override def run(): Unit = op(it)
+      })).foreach(_.get())
+      finally pool.shutdown()
+    }
 
   private def stagePath(root: String) =
     s"$root/.stage_${java.util.UUID.randomUUID()}"
@@ -1177,12 +1198,13 @@ object VersionedTable {
         if (e.part == ".") e.name else s"${e.part}/${e.name}")).toSet
     val dd = new Path(dataDir(root))
     if (fs.exists(dd)) {
-      Compaction.listFiles(spark, dataDir(root)).collect().foreach { r =>
-        val (part, name) = (r.getAs[String]("part"), r.getAs[String]("file_id"))
-        val rel = if (part == ".") name else s"$part/$name"
-        if (!referenced(rel))
-          fs.delete(new Path(s"${dataDir(root)}/$rel"), false)
-      }
+      val unreferenced = Compaction.listFiles(spark, dataDir(root)).collect()
+        .map { r =>
+          val (part, name) = (r.getAs[String]("part"), r.getAs[String]("file_id"))
+          if (part == ".") name else s"$part/$name"
+        }.filterNot(referenced).toSeq
+      parallelFs(unreferenced)(rel =>
+        fs.delete(new Path(s"${dataDir(root)}/$rel"), false))
     }
     fs.listStatus(rootP).map(_.getPath)
       .filter(p => p.getName.startsWith(".txn_") || p.getName.startsWith(".stage_")
