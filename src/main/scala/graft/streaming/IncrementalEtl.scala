@@ -149,7 +149,7 @@ object IncrementalEtl extends QueryRegistry {
   private def streamVersionedCommit(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
-    val w = Warehouse.build(s, dir)
+    val w = Warehouse(s, dir) // memoized — shared with every other gate
     val base = java.nio.file.Files.createTempDirectory("graft_stream_vt_").toString
     val root = s"$base/fact_table"
     val ckpt = s"$base/ckpt"
@@ -210,7 +210,7 @@ object IncrementalEtl extends QueryRegistry {
     * algebraic sums, split-invariant by construction. */
   private def streamMolapRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val w = Warehouse.build(s, dir)
+    val w = Warehouse(s, dir) // memoized — shared with every other gate
     val base = java.nio.file.Files.createTempDirectory("graft_stream_molap_").toString
     val even = col("linenumber").cast("int") % 2 === 0
     w.stgSales.filter(even).coalesce(1).write.parquet(s"$base/drops/a")
@@ -246,7 +246,7 @@ object IncrementalEtl extends QueryRegistry {
     * and attach the rule. Returns the scenario root. */
   private def mvServingScenario(s: SparkSession, dir: String): String = {
     import org.apache.spark.sql.functions._
-    val w = Warehouse.build(s, dir)
+    val w = Warehouse(s, dir) // memoized — shared with every other gate
     val base = java.nio.file.Files.createTempDirectory("graft_mv_serve_").toString
     // the enriched base-grain table the dashboards query
     w.factSales.filter(col("date_key") =!= graft.FallbackDateKey)
