@@ -50,7 +50,15 @@ object VersionedTable {
   // -------------------------------------------------------------- manifests
 
   /** One manifest entry: a data file by pool-relative partition path
-    * (`.` = unpartitioned), name, and size. */
+    * (`.` = unpartitioned), name, and size.
+    *
+    * Scale note: a manifest names EVERY file of its snapshot, so the
+    * per-commit metadata write is O(total file count) — ~50 MB of text at
+    * 100 TB / 128 MB files, metadata-scale where the pre-r16 protocol paid
+    * a 100 TB byte-copy. The production refinement past that is a manifest
+    * LIST over immutable manifest segments (Iceberg's shape), where a
+    * commit rewrites only the segments its change touches; the commit
+    * protocol here would not change — only the manifest's own encoding. */
   final case class FileEntry(part: String, name: String, bytes: Long)
 
   private def manifestPath(dir: String) = new Path(dir, "_manifest")
