@@ -50,27 +50,131 @@ object VersionedTable {
   // -------------------------------------------------------------- manifests
 
   /** One manifest entry: a data file by pool-relative partition path
-    * (`.` = unpartitioned), name, and size.
-    *
-    * Scale note: a manifest names EVERY file of its snapshot, so the
-    * per-commit metadata write is O(total file count) — ~50 MB of text at
-    * 100 TB / 128 MB files, metadata-scale where the pre-r16 protocol paid
-    * a 100 TB byte-copy. The production refinement past that is a manifest
-    * LIST over immutable manifest segments (Iceberg's shape), where a
-    * commit rewrites only the segments its change touches; the commit
-    * protocol here would not change — only the manifest's own encoding. */
+    * (`.` = unpartitioned), name, and size. Entries live in immutable
+    * manifest SEGMENTS shared across versions (see the segmented-manifests
+    * section below), so even the metadata write per commit is O(change +
+    * segment count), never O(total file count). */
   final case class FileEntry(part: String, name: String, bytes: Long)
 
   private def manifestPath(dir: String) = new Path(dir, "_manifest")
 
-  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, entries: Seq[FileEntry]): Unit = {
-    fs.mkdirs(new Path(dir))
-    val out = fs.create(manifestPath(dir), true)
+  // -------------------------------------------------- segmented manifests
+  // r16 (second pass): a version's `_manifest` is a MANIFEST LIST over
+  // immutable SEGMENT files (`<root>/_manifests/seg_*.seg`, each naming a
+  // bounded batch of data files) — Iceberg's shape. A commit references
+  // every base segment whose files all survive VERBATIM (one list line, no
+  // metadata I/O however many files the segment names), rewrites only the
+  // segments its change actually touches, and chunks its new files into
+  // fresh segments — so the per-commit metadata write is O(change +
+  // segment count), not O(total file count). An excess of undersized
+  // segments (micro-batch streams append one tiny segment per commit)
+  // coalesces inline at the next commit, bounding the list's length.
+  // Segments are written once and never modified; until a committed list
+  // references one it is an invisible orphan [[vacuum]]'s reachability
+  // sweep retires, exactly like pool data files.
+
+  /** Target entries per freshly-written segment, and the bounds of the
+    * inline coalesce (segments under `MinSegmentEntries` count as
+    * fragments; more than `CoalesceAt` of them merge at the next commit). */
+  private val SegmentEntries = 10000
+  private val MinSegmentEntries = 1000
+  private val CoalesceAt = 16
+
+  private def segsDir(root: String) = s"$root/_manifests"
+
+  /** One manifest-list line: an immutable segment file and how many data
+    * files it names (carried in the list so coalescing decisions read no
+    * segment bytes). */
+  private[graft] final case class SegRef(name: String, count: Int)
+
+  private def writeSegment(fs: org.apache.hadoop.fs.FileSystem, root: String,
+      entries: Seq[FileEntry]): SegRef = {
+    val name = s"seg_${java.util.UUID.randomUUID()}.seg"
+    val p = new Path(segsDir(root), name)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, false) // written ONCE; a collision is a bug
     try out.write(entries.sortBy(e => (e.part, e.name))
       .map(e => s"${e.part}\t${e.name}\t${e.bytes}")
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    SegRef(name, entries.size)
+  }
+
+  private def readSegment(fs: org.apache.hadoop.fs.FileSystem, root: String,
+      name: String): Seq[FileEntry] = {
+    val p = new Path(segsDir(root), name)
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"manifest segment $name missing at $root (vacuumed while referenced?)")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split("\n").filter(_.contains("\t")).toSeq.map { l =>
+      val Array(part, nm, bytes) = l.split("\t", 3)
+      FileEntry(part, nm, bytes.toLong)
+    }
+  }
+
+  /** The manifest list of snapshot `v`. Throws when the version was never
+    * committed or was vacuumed away. */
+  private[graft] def snapshotSegRefs(spark: SparkSession, root: String,
+      v: Int): Seq[SegRef] = {
+    val (fs, _) = fsOf(spark, root)
+    val p = manifestPath(vDir(root, v))
+    if (!fs.exists(p)) throw new IllegalStateException(
+      s"no snapshot manifest for v$v at $root (never committed, or vacuumed)")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split("\n").filter(_.startsWith("seg\t")).toSeq.map { l =>
+      val Array(_, name, count) = l.split("\t", 3)
+      SegRef(name, count.toInt)
+    }
+  }
+
+  private def writeManifestList(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, refs: Seq[SegRef]): Unit = {
+    fs.mkdirs(new Path(dir))
+    val out = fs.create(manifestPath(dir), true)
+    try out.write(refs.map(r => s"seg\t${r.name}\t${r.count}")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Publish version `dir`'s manifest: base segments whose files ALL
+    * survive `keep` are referenced verbatim (None = keep everything, zero
+    * segment reads — the evolve/append/restore path), partially-surviving
+    * segments rewrite their survivors, `fresh` files chunk into new
+    * segments, and an excess of undersized segments coalesces inline. */
+  private def publishManifest(spark: SparkSession, root: String, dir: String,
+      base: Option[Int], keep: Option[FileEntry => Boolean],
+      fresh: Seq[FileEntry]): Unit = {
+    val (fs, _) = fsOf(spark, root)
+    val baseRefs = base.map(v => snapshotSegRefs(spark, root, v)).getOrElse(Nil)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[SegRef]
+    val loose = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    keep match {
+      case None => kept ++= baseRefs
+      case Some(p) =>
+        baseRefs.foreach { ref =>
+          val entries = readSegment(fs, root, ref.name)
+          val surv = entries.filter(p)
+          if (surv.size == entries.size) kept += ref
+          else loose ++= surv // partial survivor: rewrite below
+        }
+    }
+    loose ++= fresh
+    // inline coalesce: fold an excess of fragment segments into the new
+    // write (their entries join `loose`), bounding the list length a
+    // one-tiny-segment-per-micro-batch stream would otherwise grow
+    val (small, big) = kept.partition(_.count < MinSegmentEntries)
+    val refs =
+      if (small.size > CoalesceAt) {
+        small.foreach(ref => loose ++= readSegment(fs, root, ref.name))
+        big.toSeq
+      } else (big ++ small).toSeq
+    val freshRefs = loose.grouped(SegmentEntries)
+      .map(chunk => writeSegment(fs, root, chunk.toSeq)).toSeq
+    writeManifestList(fs, dir, refs ++ freshRefs)
   }
 
   /** The manifest of snapshot `v` — the complete file list the version
@@ -79,16 +183,7 @@ object VersionedTable {
   private[graft] def snapshotEntries(spark: SparkSession, root: String,
       v: Int): Seq[FileEntry] = {
     val (fs, _) = fsOf(spark, root)
-    val p = manifestPath(vDir(root, v))
-    if (!fs.exists(p)) throw new IllegalStateException(
-      s"no snapshot manifest for v$v at $root (never committed, or vacuumed)")
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    txt.split("\n").filter(_.contains("\t")).toSeq.map { l =>
-      val Array(part, name, bytes) = l.split("\t", 3)
-      FileEntry(part, name, bytes.toLong)
-    }
+    snapshotSegRefs(spark, root, v).flatMap(r => readSegment(fs, root, r.name))
   }
 
   /** The (part, name) names of snapshot `v`. */
@@ -363,10 +458,9 @@ object VersionedTable {
         val carried = mutate(base, snap, stage.toString).toSet
         enforceConstraintsOnStage(spark, root, stage.toString,
           effectiveSchema(spark, root, base))
-        val baseEntries = snapshotEntries(spark, root, base)
         val moved = moveIntoPool(spark, root, stage.toString)
-        val entries = baseEntries.filter(e => carried((e.part, e.name))) ++ moved
-        writeManifest(fs, claim.toString, entries)
+        publishManifest(spark, root, claim.toString, Some(base),
+          Some(e => carried((e.part, e.name))), moved)
         val out = fs.create(txnMarker(claim.toString), true)
         try out.write(s"$base\n".getBytes("UTF-8")) finally out.close()
         val target = new Path(vDir(root, base + 1))
@@ -594,7 +688,7 @@ object VersionedTable {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(stage)
     val moved = moveIntoPool(spark, root, stage)
     writeSchemaEntry(fs, root, next, storedSchema(df, partitionCols))
-    writeManifest(fs, dir, moved)
+    publishManifest(spark, root, dir, None, None, moved)
     commitVersion(spark, root, next)
     next
   }
@@ -650,11 +744,10 @@ object VersionedTable {
     val (_, clean) = op(snap, stage)
     enforceConstraintsOnStage(spark, root, stage, snap.schema)
     val cleanSet = clean.toSet
-    val carried = snapshotEntries(spark, root, latest)
-      .filter(e => cleanSet((e.part, e.name)))
     val moved = moveIntoPool(spark, root, stage)
     val (next, dir) = nextDir(spark, root)
-    writeManifest(fs, dir, carried ++ moved)
+    publishManifest(spark, root, dir, Some(latest),
+      Some(e => cleanSet((e.part, e.name))), moved)
     commitVersion(spark, root, next)
     next
   }
@@ -746,11 +839,10 @@ object VersionedTable {
     val w = aligned.write.mode("append")
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(stage)
     enforceConstraintsOnStage(spark, root, stage, activeSchema(spark, root, latest))
-    val carried =
-      if (overwrite) Nil else snapshotEntries(spark, root, latest)
     val moved = moveIntoPool(spark, root, stage)
     val (next, dir) = nextDir(spark, root)
-    writeManifest(fs, dir, carried ++ moved)
+    publishManifest(spark, root, dir,
+      if (overwrite) None else Some(latest), None, moved)
     commitVersion(spark, root, next)
     next
   }
@@ -779,11 +871,10 @@ object VersionedTable {
       s"cannot re-add dropped columns (name-based resolution would resurface " +
         s"old bytes from never-rewritten files): ${reAdd.mkString(", ")}")
     val evolved = StructType(current.fields ++ adds.fields)
-    val entries = snapshotEntries(spark, root, latest)
     val (next, dir) = nextDir(spark, root)
     val (fs, _) = fsOf(spark, root)
     writeSchemaEntry(fs, root, next, evolved)
-    writeManifest(fs, dir, entries)
+    publishManifest(spark, root, dir, Some(latest), None, Nil)
     commitVersion(spark, root, next)
     next
   }
@@ -827,7 +918,7 @@ object VersionedTable {
     val out = fs.create(droppedLog(root), true)
     try out.write((all.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    writeManifest(fs, dir, entries)
+    publishManifest(spark, root, dir, Some(latest), None, Nil)
     commitVersion(spark, root, next)
     next
   }
@@ -888,10 +979,10 @@ object VersionedTable {
     }
     val keep = plan.filterNot(_.getAs[Boolean]("compact"))
       .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"))).toSet
-    val carried = entries.filter(e => keep((e.part, e.name)))
     val moved = moveIntoPool(spark, root, stage)
     val (next, dir) = nextDir(spark, root)
-    writeManifest(fs, dir, carried ++ moved)
+    publishManifest(spark, root, dir, Some(latest),
+      Some(e => keep((e.part, e.name))), moved)
     commitVersion(spark, root, next)
     next
   }
@@ -915,7 +1006,6 @@ object VersionedTable {
     require(fs.exists(manifestPath(vDir(root, toVersion))),
       s"v$toVersion was vacuumed away")
     if (toVersion == latest) return latest // restoring the head is a no-op
-    val entries = snapshotEntries(spark, root, toVersion)
     val restoredSchema = effectiveSchema(spark, root, toVersion)
     val (next, dir) = nextDir(spark, root)
     // the restored content must satisfy the CURRENT constraint set in FULL
@@ -931,7 +1021,9 @@ object VersionedTable {
     // the restored content must read under ITS schema: re-log that shape
     // for the new version (masking any later evolution entry)
     restoredSchema.foreach(writeSchemaEntry(fs, root, next, _))
-    writeManifest(fs, dir, entries)
+    // the restored manifest REFERENCES the target version's segments
+    // verbatim — a restore is pure metadata however large the table
+    publishManifest(spark, root, dir, Some(toVersion), None, Nil)
     commitVersion(spark, root, next)
     next
   }
@@ -988,7 +1080,7 @@ object VersionedTable {
     }
     val moved = moveIntoPool(spark, root, stage)
     val (next, dir) = nextDir(spark, root)
-    writeManifest(fs, dir, moved)
+    publishManifest(spark, root, dir, None, None, moved)
     commitVersion(spark, root, next)
     next
   }
@@ -1053,12 +1145,11 @@ object VersionedTable {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(stage)
     enforceConstraintsOnStage(spark, root, stage,
       latest.flatMap(v => effectiveSchema(spark, root, v)))
-    val carried = latest.map(v => snapshotEntries(spark, root, v)).getOrElse(Nil)
     val moved = moveIntoPool(spark, root, stage)
     val (next, dir) = nextDir(spark, root)
     if (latest.isEmpty) // first batch CREATES the table: record its shape
       writeSchemaEntry(fs, root, next, storedSchema(aligned, partitionCols))
-    writeManifest(fs, dir, carried ++ moved)
+    publishManifest(spark, root, dir, latest, None, moved)
     val out = fs.create(batchMarker(dir), true)
     try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
     commitVersion(spark, root, next)
@@ -1198,12 +1289,23 @@ object VersionedTable {
     val dropped = (1 to latest - keep)
       .filter(v => fs.exists(new Path(vDir(root, v))))
     dropped.foreach(v => fs.delete(new Path(vDir(root, v)), true))
-    // reachability: the union of every RETAINED manifest's entries
+    // reachability: the union of every RETAINED manifest's segments, and
+    // through them its data files
     val retained = (1 to latest)
       .filter(v => fs.exists(manifestPath(vDir(root, v))))
+    val liveSegs: Set[String] =
+      retained.flatMap(v => snapshotSegRefs(spark, root, v).map(_.name)).toSet
     val referenced: Set[String] = retained.flatMap(v =>
       snapshotEntries(spark, root, v).map(e =>
         if (e.part == ".") e.name else s"${e.part}/${e.name}")).toSet
+    // segment sweep: retire manifest segments no retained list references
+    // (old versions' rewritten segments, orphans of crashed/raced commits)
+    val sd = new Path(segsDir(root))
+    if (fs.exists(sd)) {
+      val deadSegs = fs.listStatus(sd).map(_.getPath)
+        .filter(p => p.getName.startsWith("seg_") && !liveSegs(p.getName)).toSeq
+      parallelFs(deadSegs)(fs.delete(_, false))
+    }
     val dd = new Path(dataDir(root))
     if (fs.exists(dd)) {
       val unreferenced = Compaction.listFiles(spark, dataDir(root)).collect()

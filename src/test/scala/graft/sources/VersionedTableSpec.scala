@@ -602,6 +602,47 @@ class VersionedTableSpec extends SparkSpec {
     assert(feed.count(_ == "delete") === 10 && feed.count(_ == "insert") === 1)
   }
 
+  test("segmented manifests: untouched segments share by NAME, fragments coalesce, vacuum sweeps dead segments (r16)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_seg_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 400L).map(i => (i, i % 20, s"p_$i")).toDF("id", "bucket", "payload")
+        .repartition(col("bucket")), Seq("bucket"))
+    def refs(v: Int) = VersionedTable.snapshotSegRefs(spark, root, v)
+    // a delete confined to one bucket: v2's list must REFERENCE v1's
+    // segment(s) for every untouched file — under the coalesce threshold
+    // the base segment survives by name (zero metadata rewrite)
+    assert(VersionedTable.deleteWhere(spark, root,
+      col("id") % 20 === 3 && col("id") > 350) === 2)
+    // a base segment whose files ALL survive is referenced VERBATIM:
+    // test via a no-change commit (empty-pred delete)
+    assert(VersionedTable.deleteWhere(spark, root, lit(false)) === 3)
+    assert(refs(3).map(_.name).toSet === refs(2).map(_.name).toSet,
+      "a no-change commit must reference the base segments verbatim")
+    // restore is pure metadata: the restored list references the target's
+    // segments by name
+    assert(VersionedTable.restore(spark, root, 1) === 4)
+    assert(refs(4).map(_.name).toSet === refs(1).map(_.name).toSet)
+    // fragment coalescing: >16 tiny appends fold into fewer segments
+    (1 to 20).foreach { b =>
+      VersionedTable.insertInto(spark, root,
+        Seq((1000L + b, b.toLong % 20, s"x$b")).toDF("id", "bucket", "payload"))
+    }
+    val headRefs = refs(VersionedTable.latestVersion(spark, root))
+    assert(headRefs.size < 20,
+      s"fragments must coalesce (got ${headRefs.size} segments)")
+    // vacuum: dead segments (rewritten/orphaned) disappear; live ones stay
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    VersionedTable.vacuum(spark, root, keep = 1)
+    val liveSegs = headRefs.map(_.name).toSet
+    val onDisk = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/_manifests"))
+      .map(_.getPath.getName).filter(_.startsWith("seg_")).toSet
+    assert(onDisk === liveSegs,
+      s"vacuum must retire exactly the unreferenced segments")
+    assert(VersionedTable.read(spark, root).count() === 400 + 20)
+  }
+
   test("vacuum retires old versions and keeps time travel to the rest") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_v_").toString + "/t"
     VersionedTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "payload"))
