@@ -134,7 +134,9 @@ object Bench {
     "multimodal_y4m_decode" -> 0.14,
     // r16: the prepared-handle serve (pinned plan + shuffle-stage reuse —
     // final-stage latency; tools/PrepProbe measured 0.021 steady)
-    "sql_olap_q1_prepared" -> 0.03)
+    "sql_olap_q1_prepared" -> 0.03,
+    // r16: color JPEG decode, steady value from the clean builder run
+    "multimodal_jpeg_color_decode" -> 0.47)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds
