@@ -627,8 +627,26 @@ object MultimodalOps extends QueryRegistry {
     * `StrictMath.rint` + clamp. Statistics are exact integer sums until
     * one IEEE division each — oracle-exact. */
   private[llm] def parseJpegColor(id: Long, bytes: Array[Byte]): JpegColorFeatures = {
-    def err(msg: String): Nothing =
-      throw new IllegalArgumentException(s"media of doc $id: $msg")
+    val d = jpegColorDecode(bytes,
+      msg => throw new IllegalArgumentException(s"media of doc $id: $msg"))
+    val n = d.w.toLong * d.h
+    JpegColorFeatures(id, d.w, d.h, if (d.hs == 2) "420" else "444",
+      d.sy.toDouble / n, d.scb.toDouble / n, d.scr.toDouble / n,
+      d.sr.toDouble / n, d.sg.toDouble / n, d.sb.toDouble / n, d.mn, d.mx)
+  }
+
+  /** Exact integer statistics of one decoded baseline color JPEG: the
+    * plane/RGB sums stay integers so any caller (the single-image feature
+    * row, the MJPEG per-frame walk) divides exactly once. */
+  private final case class JpegColorDecoded(w: Int, h: Int, hs: Int,
+      sy: Long, scb: Long, scr: Long, sr: Long, sg: Long, sb: Long,
+      mn: Int, mx: Int)
+
+  /** The color-JPEG decode core behind [[parseJpegColor]] and the MJPEG
+    * frame loop: full marker walk + entropy decode + IDCT + upsample +
+    * RGB transform, reduced to [[JpegColorDecoded]] exact sums. `err`
+    * carries the caller's context (doc, or doc+frame) into failures. */
+  private def jpegColorDecode(bytes: Array[Byte], err: String => Nothing): JpegColorDecoded = {
     def u8(o: Int): Int =
       if (o < bytes.length) bytes(o) & 0xff else err("truncated JPEG")
     def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
@@ -895,10 +913,7 @@ object MultimodalOps extends QueryRegistry {
       }
       yy += 1
     }
-    val n = w.toLong * h
-    JpegColorFeatures(id, w, h, if (hs == 2) "420" else "444",
-      sy.toDouble / n, scb.toDouble / n, scr.toDouble / n,
-      sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, mn, mx2)
+    JpegColorDecoded(w, h, hs, sy, scb, scr, sr, sg, sb, mn, mx2)
   }
 
   def decodeJpegColor(media: Dataset[MediaRow]): Dataset[JpegColorFeatures] = {
@@ -1041,6 +1056,318 @@ object MultimodalOps extends QueryRegistry {
   // 15-bit run of ones, which forces FF00 byte stuffing at ANY alignment —
   // the spec's deterministic stuffing trigger
   private val FixtureAcSyms = Array(0x00, 0xf0, 0x61, 0x62, 0x6a, 0x01)
+
+  // ---------------------------------------------------------------------
+  // MJPEG video in an AVI container (r16) — the COMPRESSED video codec:
+  // every frame is an independently-coded baseline color JPEG (exactly
+  // the intra-frame compression webcams/capture cards emit), carried in
+  // the RIFF/AVI structure: LIST hdrl (avih + LIST strl {strh vids/MJPG,
+  // strf BITMAPINFOHEADER}), LIST movi ('00dc' frame chunks, word-
+  // aligned), optional idx1 index (validated when present), JUNK chunks
+  // skipped anywhere. Every frame runs the full color-JPEG decode
+  // (Huffman/DPCM/dequant/IDCT/upsample/RGB) and the container metadata
+  // is cross-checked against what the frames actually decode to — a
+  // chunk-walk, pad-byte, index, or per-frame decode bug cannot pass.
+  // Inter-frame codecs (H.264/VP9: motion compensation + in-loop
+  // filters) remain the documented boundary.
+  // ---------------------------------------------------------------------
+
+  final case class MjpegVideoFeatures(doc_id: Long, width: Int, height: Int,
+      fps_num: Int, fps_den: Int, n_frames: Int, subsampling: String,
+      mean_luma: Double, mean_r: Double, mean_g: Double, mean_b: Double,
+      n_cuts: Int, n_keyframes: Int)
+
+  /** Full MJPEG/AVI decode of one media payload: RIFF walk, header
+    * validation (single 'vids' stream, 'MJPG' handler AND biCompression,
+    * header dims consistent), per-frame baseline color-JPEG decode with
+    * dims/subsampling cross-checked against the container, idx1 entries
+    * (when present) checked against the movi chunks they index. Features
+    * are the video-curation basics: whole-clip luma/RGB means (exact
+    * integer sums, one IEEE division each), scene cuts where consecutive
+    * frames' luma sums differ by ≥16 grey levels per pixel (integer
+    * compare — the Y4M rule), keyframes = cuts + 1. */
+  private[llm] def parseAviMjpeg(id: Long, bytes: Array[Byte]): MjpegVideoFeatures = {
+    def err(msg: String): Nothing =
+      throw new IllegalArgumentException(s"media of doc $id: $msg")
+    def u32le(o: Int): Long =
+      if (o + 3 < bytes.length)
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      else err("truncated AVI")
+    def cc(o: Int): String =
+      if (o + 3 < bytes.length)
+        new String(Array(bytes(o), bytes(o + 1), bytes(o + 2), bytes(o + 3)), "US-ASCII")
+      else err("truncated AVI")
+    if (bytes.length < 12 || cc(0) != "RIFF") err("not a RIFF file")
+    if (cc(8) != "AVI ") err(s"RIFF form is '${cc(8)}', not 'AVI '")
+    val riffEnd = 8 + u32le(4)
+    if (riffEnd > bytes.length) err("RIFF size overruns the payload")
+
+    // header state, filled by the hdrl walk
+    var avihFrames = -1L; var avihStreams = -1L; var avihW = -1L; var avihH = -1L
+    var strhSeen = false; var scale = -1L; var rate = -1L; var strhLength = -1L
+    var strfW = -1L; var strfH = -1L
+    // movi state: per-frame (offset of the '00dc' fourcc relative to the
+    // 'movi' form tag, chunk payload size, payload start) — the idx1
+    // convention, so a present index is checkable byte-for-byte
+    val frames = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+
+    def walkStrl(start: Int, end: Int): Unit = {
+      var o = start
+      while (o < end) {
+        val ck = cc(o); val sz = u32le(o + 4).toInt
+        ck match {
+          case "strh" =>
+            if (sz < 36) err("strh too short")
+            if (cc(o + 8) != "vids") err(s"stream type '${cc(o + 8)}' (vids only)")
+            if (cc(o + 12) != "MJPG") err(s"codec '${cc(o + 12)}' unsupported (MJPG only)")
+            scale = u32le(o + 28); rate = u32le(o + 32); strhLength = u32le(o + 40)
+            if (scale <= 0 || rate <= 0) err("degenerate frame rate")
+            strhSeen = true
+          case "strf" =>
+            if (sz < 40) err("strf too short for BITMAPINFOHEADER")
+            strfW = u32le(o + 12); strfH = u32le(o + 16)
+            if (cc(o + 24) != "MJPG") err(s"biCompression '${cc(o + 24)}' (MJPG only)")
+          case _ => // indx/strn/JUNK: skipped
+        }
+        o += 8 + sz + (sz & 1)
+      }
+    }
+    def walkHdrl(start: Int, end: Int): Unit = {
+      var o = start
+      while (o < end) {
+        val ck = cc(o); val sz = u32le(o + 4).toInt
+        ck match {
+          case "avih" =>
+            if (sz < 40) err("avih too short")
+            avihFrames = u32le(o + 24); avihStreams = u32le(o + 32)
+            avihW = u32le(o + 40); avihH = u32le(o + 44)
+          case "LIST" if cc(o + 8) == "strl" => walkStrl(o + 12, o + 8 + sz)
+          case _ => // odml LIST, JUNK: skipped
+        }
+        o += 8 + sz + (sz & 1)
+      }
+    }
+    def walkMovi(moviTag: Int, start: Int, end: Int): Unit = {
+      var o = start
+      while (o < end) {
+        val ck = cc(o); val sz = u32le(o + 4).toInt
+        ck match {
+          case "00dc" => frames += ((o.toLong - moviTag, sz.toLong, o + 8))
+          case "JUNK" => // skipped
+          case other  => err(s"unexpected movi chunk '$other' (one MJPG stream expected)")
+        }
+        o += 8 + sz + (sz & 1)
+      }
+    }
+
+    var o = 12
+    while (o < riffEnd) {
+      val ck = cc(o); val sz = u32le(o + 4).toInt
+      ck match {
+        case "LIST" =>
+          cc(o + 8) match {
+            case "hdrl" => walkHdrl(o + 12, o + 8 + sz)
+            case "movi" =>
+              if (!strhSeen) err("movi before hdrl")
+              walkMovi(o + 8, o + 12, o + 8 + sz)
+            case _ => // odml/INFO lists: skipped
+          }
+        case "JUNK" => // skipped
+        case "idx1" =>
+          if (sz % 16 != 0) err("idx1 size is not a whole number of entries")
+          val n = sz / 16
+          if (n != frames.length)
+            err(s"idx1 indexes $n chunks but movi carries ${frames.length}")
+          var e = 0
+          while (e < n) {
+            val eo = o + 8 + 16 * e
+            if (cc(eo) != "00dc") err(s"idx1 entry $e indexes '${cc(eo)}'")
+            if (u32le(eo + 8) != frames(e)._1)
+              err(s"idx1 entry $e offset ${u32le(eo + 8)} != movi chunk at ${frames(e)._1}")
+            if (u32le(eo + 12) != frames(e)._2)
+              err(s"idx1 entry $e length ${u32le(eo + 12)} != chunk size ${frames(e)._2}")
+            e += 1
+          }
+        case other => err(s"unexpected top-level chunk '$other'")
+      }
+      o += 8 + sz + (sz & 1)
+    }
+    if (avihFrames < 0) err("missing avih header")
+    if (!strhSeen) err("missing strh header")
+    if (strfW < 0) err("missing strf format")
+    if (avihStreams != 1) err(s"$avihStreams streams (single video stream only)")
+    if (strfW != avihW || strfH != avihH)
+      err(s"strf ${strfW}x$strfH disagrees with avih ${avihW}x$avihH")
+    if (frames.isEmpty) err("video has no frames")
+    if (avihFrames != frames.length || strhLength != frames.length)
+      err(s"container declares $avihFrames/$strhLength frames, movi carries ${frames.length}")
+
+    var sy = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+    var hs = -1
+    val frameLuma = new Array[Long](frames.length)
+    var f = 0
+    while (f < frames.length) {
+      val (_, sz, payloadAt) = frames(f)
+      val fb = java.util.Arrays.copyOfRange(bytes, payloadAt, payloadAt + sz.toInt)
+      val fi = f
+      val d = jpegColorDecode(fb,
+        msg => throw new IllegalArgumentException(s"media of doc $id frame $fi: $msg"))
+      if (d.w != avihW || d.h != avihH)
+        err(s"frame $f decodes ${d.w}x${d.h}, container says ${avihW}x$avihH")
+      if (hs < 0) hs = d.hs
+      else if (hs != d.hs) err(s"frame $f changes chroma subsampling mid-stream")
+      frameLuma(f) = d.sy
+      sy += d.sy; sr += d.sr; sg += d.sg; sb += d.sb
+      f += 1
+    }
+    val w = avihW.toInt; val h = avihH.toInt
+    val px = w.toLong * h
+    var cuts = 0
+    f = 1
+    while (f < frames.length) {
+      if (math.abs(frameLuma(f) - frameLuma(f - 1)) >= 16L * px) cuts += 1
+      f += 1
+    }
+    val n = frames.length.toLong * px
+    MjpegVideoFeatures(id, w, h, rate.toInt, scale.toInt, frames.length,
+      if (hs == 2) "420" else "444",
+      sy.toDouble / n, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+      cuts, cuts + 1)
+  }
+
+  def decodeAviMjpeg(media: Dataset[MediaRow]): Dataset[MjpegVideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => parseAviMjpeg(m.doc_id, m.media)))
+  }
+
+  /** Deterministic MJPEG/AVI corpus: geometry and subsampling follow the
+    * color-JPEG fixture's plan (4:2:0 even ids / 4:4:4 odd, MCU-aligned),
+    * the frame count, scene length, and frame rate (NTSC 30000/1001 on
+    * every 5th doc) are closed-form in `doc_id`, and every frame's three
+    * planes are FRAME-CONSTANT values drawn from the color fixture's
+    * tie-free domains (Y 80..176, chroma 118..138) keyed by the scene
+    * index — so per-frame means equal the constants, the whole-clip
+    * statistics and the ≥16-grey-level cut rule have an analytic DuckDB
+    * oracle (the scene step of 13 lands some scene changes below the
+    * threshold, +13 < 16, and the % 97 wraparound ones above, −84 — both
+    * sides of the cut rule occur), and the RGB transform stays in 0..255
+    * (the clamp can never
+    * bend a value). Every 7th doc carries a JUNK filler chunk of ODD size
+    * (the skip + pad-byte paths), every 3rd an idx1 index the decoder
+    * verifies entry-by-entry. */
+  def aviMjpegFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Sources.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val sub420 = id % 2 == 0
+        val mcu = if (sub420) 16 else 8
+        val w = (mcu * (1 + id % 3)).toInt
+        val h = (mcu * (1 + id % 2)).toInt
+        val nm = (w / mcu) * (h / mcu)
+        val nf = (2 + id % 5).toInt
+        val sl = (2 + id % 3).toInt
+        val (rate, scale) = if (id % 5 == 0) (30000, 1001) else (25, 1)
+        val frames = Array.tabulate(nf) { f =>
+          val s = f / sl
+          val y = (80 + (id * 7 + s * 13) % 97).toInt
+          val cb = (118 + (id + 3 * s) % 21).toInt
+          val cr = (118 + (id * 5 + 11 * s) % 21).toInt
+          jpegEncodeColor(w, h, sub420,
+            Array.fill(nm)(y), Array.fill(nm)(cb), Array.fill(nm)(cr))
+        }
+        MediaRow(id, aviMjpegEncode(w, h, rate, scale, frames,
+          junk = id % 7 == 0, withIndex = id % 3 == 0))
+      })
+  }
+
+  /** Deterministic MJPEG/AVI writer for the fixture and specs: standard
+    * RIFF layout (hdrl {avih, strl {strh, strf}}, optional odd-sized JUNK,
+    * movi with word-aligned '00dc' chunks, optional idx1 with
+    * movi-relative offsets). Frame payloads are whatever JPEG bytes the
+    * caller hands in — the writer only does container work. */
+  private[llm] def aviMjpegEncode(w: Int, h: Int, rate: Int, scale: Int,
+      frames: Array[Array[Byte]], junk: Boolean = false,
+      withIndex: Boolean = false): Array[Byte] = {
+    require(frames.nonEmpty, "a video needs at least one frame")
+    val out = new java.io.ByteArrayOutputStream(1024 + frames.map(_.length + 9).sum)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def w32(v: Long): Unit = { w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt); w8((v >> 24).toInt) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      tag(id); w32(body.length.toLong); out.write(body)
+      if ((body.length & 1) == 1) w8(0) // word alignment pad
+    }
+    val maxFrame = frames.map(_.length).max
+    val avih = new Array[Byte](56)
+    def put32(a: Array[Byte], o: Int, v: Long): Unit = {
+      a(o) = v.toByte; a(o + 1) = (v >> 8).toByte
+      a(o + 2) = (v >> 16).toByte; a(o + 3) = (v >> 24).toByte
+    }
+    put32(avih, 0, 1000000L * scale / rate) // dwMicroSecPerFrame
+    put32(avih, 12, if (withIndex) 0x10L else 0L) // AVIF_HASINDEX
+    put32(avih, 16, frames.length.toLong)
+    put32(avih, 24, 1L) // one stream
+    put32(avih, 28, maxFrame.toLong)
+    put32(avih, 32, w.toLong); put32(avih, 36, h.toLong)
+
+    val strh = new Array[Byte](56)
+    "vids".getBytes("US-ASCII").copyToArray(strh, 0)
+    "MJPG".getBytes("US-ASCII").copyToArray(strh, 4)
+    put32(strh, 20, scale.toLong); put32(strh, 24, rate.toLong)
+    put32(strh, 32, frames.length.toLong)
+    put32(strh, 36, maxFrame.toLong)
+    put32(strh, 40, 0xffffffffL) // quality: default
+    strh(48) = 0; strh(50) = 0 // rcFrame left/top
+    strh(52) = w.toByte; strh(53) = (w >> 8).toByte
+    strh(54) = h.toByte; strh(55) = (h >> 8).toByte
+
+    val strf = new Array[Byte](40)
+    put32(strf, 0, 40L); put32(strf, 4, w.toLong); put32(strf, 8, h.toLong)
+    strf(12) = 1 // biPlanes
+    strf(14) = 24 // biBitCount
+    "MJPG".getBytes("US-ASCII").copyToArray(strf, 16)
+    put32(strf, 20, w.toLong * h * 3)
+
+    // LIST strl = strh + strf chunks; LIST hdrl = avih + LIST strl
+    val strlSz = 4 + (8 + 56) + (8 + 40)
+    val hdrlSz = 4 + (8 + 56) + (8 + strlSz)
+    // movi: each frame chunk is 8 + size + pad
+    val frameSpans = frames.map(fb => 8 + fb.length + (fb.length & 1))
+    val moviSz = 4 + frameSpans.sum
+    val junkBody = Array.fill(13)('g'.toByte) // odd: exercises the pad path
+    val riffSz = 4 + (8 + hdrlSz) + (if (junk) 8 + junkBody.length + 1 else 0) +
+      (8 + moviSz) + (if (withIndex) 8 + 16 * frames.length else 0)
+
+    tag("RIFF"); w32(riffSz.toLong); tag("AVI ")
+    tag("LIST"); w32(hdrlSz.toLong); tag("hdrl")
+    chunk("avih", avih)
+    tag("LIST"); w32(strlSz.toLong); tag("strl")
+    chunk("strh", strh)
+    chunk("strf", strf)
+    if (junk) chunk("JUNK", junkBody)
+    tag("LIST"); w32(moviSz.toLong); tag("movi")
+    val offsets = new Array[Long](frames.length)
+    var off = 4L // first chunk sits 4 bytes past the 'movi' tag
+    var i = 0
+    while (i < frames.length) {
+      offsets(i) = off
+      chunk("00dc", frames(i))
+      off += frameSpans(i)
+      i += 1
+    }
+    if (withIndex) {
+      tag("idx1"); w32(16L * frames.length)
+      i = 0
+      while (i < frames.length) {
+        tag("00dc"); w32(0x10L) // AVIIF_KEYFRAME — every MJPEG frame is
+        w32(offsets(i)); w32(frames(i).length.toLong)
+        i += 1
+      }
+    }
+    out.toByteArray
+  }
 
   /** Deterministic baseline-JPEG corpus: per doc, an 8-aligned geometry and
     * per-block closed-form (DC constant, AC(4,4)) coefficients — so the
@@ -1773,6 +2100,69 @@ object MultimodalOps extends QueryRegistry {
         JOIN yluma l USING (doc_id)
         JOIN ycuts k USING (doc_id)
         LEFT JOIN ychroma c USING (doc_id)"""))),
+
+    // the COMPRESSED video sibling (r16): the oracle re-derives the scene
+    // plan and the JFIF RGB transform analytically (frame-constant planes
+    // from the color fixture's tie-free domains; whole-clip means divide
+    // sums of exact integers whose common w*h scale cancels under IEEE
+    // correct rounding; cuts = adjacent frame constants ≥16 apart), while
+    // the Spark side must walk the real RIFF/AVI container — hdrl/strl
+    // header validation, word-aligned 00dc chunks, JUNK skip, idx1
+    // verification — AND fully entropy-decode every MJPEG frame, so a
+    // container-offset, pad-byte, index, header-consistency, or per-frame
+    // color-decode bug cannot pass
+    QueryDef("multimodal_mjpeg_video_features",
+      (s, d) => decodeAviMjpeg(aviMjpegFixture(s, d)).toDF(),
+      Some(oq("""
+        , mjg AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS mcu,
+                   CASE WHEN doc_id % 5 = 0 THEN 30000 ELSE 25 END AS fn,
+                   CASE WHEN doc_id % 5 = 0 THEN 1001 ELSE 1 END AS fd,
+                   2 + doc_id % 5 AS nf, 2 + doc_id % 3 AS sl
+            FROM documents),
+        mjg2 AS (
+            SELECT doc_id, fn, fd, nf, sl,
+                   mcu * (1 + doc_id % 3) AS w, mcu * (1 + doc_id % 2) AS h
+            FROM mjg),
+        mjf AS (
+            SELECT doc_id, nf, f.f AS f,
+                   80 + (doc_id * 7 + (f.f // sl) * 13) % 97 AS y,
+                   118 + (doc_id + 3 * (f.f // sl)) % 21 AS cb,
+                   118 + (doc_id * 5 + 11 * (f.f // sl)) % 21 AS cr
+            FROM mjg2, unnest(generate_series(0, nf - 1)) AS f(f)),
+        mjrgb AS (
+            SELECT doc_id, nf, f, y,
+                   CAST(round(y + 1.402 * (cr - 128)) AS BIGINT) AS r,
+                   CAST(round(y - 0.344136 * (cb - 128)
+                              - 0.714136 * (cr - 128)) AS BIGINT) AS g,
+                   CAST(round(y + 1.772 * (cb - 128)) AS BIGINT) AS b
+            FROM mjf),
+        mjagg AS (
+            SELECT doc_id,
+                   CAST(sum(y) AS DOUBLE) / max(nf) AS mean_luma,
+                   CAST(sum(r) AS DOUBLE) / max(nf) AS mean_r,
+                   CAST(sum(g) AS DOUBLE) / max(nf) AS mean_g,
+                   CAST(sum(b) AS DOUBLE) / max(nf) AS mean_b
+            FROM mjrgb GROUP BY doc_id),
+        mjcut AS (
+            SELECT doc_id,
+                   coalesce(sum(CASE WHEN py IS NOT NULL
+                                      AND abs(y - py) >= 16 THEN 1 END), 0) AS n_cuts
+            FROM (SELECT doc_id, y,
+                         lag(y) OVER (PARTITION BY doc_id ORDER BY f) AS py
+                  FROM mjf) t
+            GROUP BY doc_id)
+        SELECT g.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(fn AS INT) AS fps_num, CAST(fd AS INT) AS fps_den,
+               CAST(nf AS INT) AS n_frames,
+               CASE WHEN g.doc_id % 2 = 0 THEN '420' ELSE '444' END AS subsampling,
+               a.mean_luma, a.mean_r, a.mean_g, a.mean_b,
+               CAST(c.n_cuts AS INT) AS n_cuts,
+               CAST(c.n_cuts + 1 AS INT) AS n_keyframes
+        FROM mjg2 g
+        JOIN mjagg a USING (doc_id)
+        JOIN mjcut c USING (doc_id)"""))),
 
     // the oracle re-derives the ramp analytically per pixel index and
     // averages it — the Spark side must PARSE the actual P6 bytes to get

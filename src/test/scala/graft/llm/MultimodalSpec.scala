@@ -499,6 +499,89 @@ class MultimodalSpec extends SparkSpec {
     assert(f.n_cuts === 1 && f.n_keyframes === 2)
   }
 
+  // -- MJPEG video in an AVI container (r16) -------------------------------
+
+  test("parseAviMjpeg decodes a hand-built two-frame clip exactly (r16)") {
+    def rgb(y: Int, cb: Int, cr: Int): (Long, Long, Long) = (
+      StrictMath.rint(y + 1.402 * (cr - 128)).toLong,
+      StrictMath.rint(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)).toLong,
+      StrictMath.rint(y + 1.772 * (cb - 128)).toLong)
+    val f1 = MultimodalOps.jpegEncodeColor(8, 8, sub420 = false,
+      Array(100), Array(120), Array(130))
+    val f2 = MultimodalOps.jpegEncodeColor(8, 8, sub420 = false,
+      Array(130), Array(125), Array(135))
+    // junk + index on: the skip, pad-byte, and idx1-verification paths all run
+    val v = MultimodalOps.parseAviMjpeg(7L,
+      MultimodalOps.aviMjpegEncode(8, 8, 25, 1, Array(f1, f2),
+        junk = true, withIndex = true))
+    val (r1, g1, b1) = rgb(100, 120, 130); val (r2, g2, b2) = rgb(130, 125, 135)
+    assert(v === MultimodalOps.MjpegVideoFeatures(7L, 8, 8, 25, 1, 2, "444",
+      115.0, (r1 + r2) / 2.0, (g1 + g2) / 2.0, (b1 + b2) / 2.0,
+      1, 2)) // |130-100| = 30 ≥ 16: one cut, two keyframes
+    // a 14-grey-level step is NOT a cut
+    val f3 = MultimodalOps.jpegEncodeColor(8, 8, sub420 = false,
+      Array(114), Array(120), Array(130))
+    val quiet = MultimodalOps.parseAviMjpeg(8L,
+      MultimodalOps.aviMjpegEncode(8, 8, 30000, 1001, Array(f1, f3)))
+    assert(quiet.n_cuts === 0 && quiet.n_keyframes === 1)
+    assert(quiet.fps_num === 30000 && quiet.fps_den === 1001)
+  }
+
+  test("parseAviMjpeg container validation is loud (r16)") {
+    val f1 = MultimodalOps.jpegEncodeColor(8, 8, sub420 = false,
+      Array(100), Array(120), Array(130))
+    val good = MultimodalOps.aviMjpegEncode(8, 8, 25, 1, Array(f1, f1),
+      withIndex = true)
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); f(b); b
+    }
+    def fails(b: Array[Byte], frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        MultimodalOps.parseAviMjpeg(1L, b)
+      }
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    fails("not an avi".getBytes("US-ASCII"), "not a RIFF file")
+    fails(patched(b => b(8) = 'W'.toByte), "not 'AVI '")
+    // strh codec fourcc is the first "MJPG" in the stream
+    val strhCodec = (0 until good.length - 3).find(i =>
+      good(i) == 'M' && good(i + 1) == 'J' && good(i + 2) == 'P' && good(i + 3) == 'G').get
+    fails(patched(b => b(strhCodec) = 'H'.toByte), "unsupported")
+    // avih dwTotalFrames lives at RIFF(12) + LIST hdr(12) + 'avih'+size(8) + 16
+    fails(patched(b => b(12 + 12 + 8 + 16) = 9), "movi carries")
+    // first idx1 entry's offset field: idx1 sits at the tail, 8 + 16*2 bytes
+    fails(patched { b =>
+      val i = good.length - 32 + 8
+      b(i) = (b(i) + 2).toByte
+    }, "!= movi chunk at")
+    // frame decodes at different dims than the container declares
+    val wide = MultimodalOps.jpegEncodeColor(16, 8, sub420 = false,
+      Array(100, 100), Array(120, 120), Array(130, 130))
+    fails(MultimodalOps.aviMjpegEncode(8, 8, 25, 1, Array(f1, wide)),
+      "container says")
+    // chroma subsampling may not change mid-stream
+    val s420 = MultimodalOps.jpegEncodeColor(16, 16, sub420 = true,
+      Array(100), Array(120), Array(130))
+    val s444 = MultimodalOps.jpegEncodeColor(16, 16, sub420 = false,
+      Array(100, 100, 100, 100), Array(120, 120, 120, 120),
+      Array(130, 130, 130, 130))
+    fails(MultimodalOps.aviMjpegEncode(16, 16, 25, 1, Array(s420, s444)),
+      "subsampling")
+  }
+
+  test("mjpeg decode is partition-local and fixture clips hit their analytic features (r16)") {
+    val ds = MultimodalOps.decodeAviMjpeg(MultimodalOps.aviMjpegFixture(spark, sfDir))
+    assert(!ds.queryExecution.executedPlan.toString.contains("Exchange"))
+    // id 24: nf=6, sl=2 → scenes 0,0,1,1,2,2; y(s) = 80 + (168 + 13s) % 97 =
+    // 151, 164, 80 — the s0→s1 step (+13) is below the cut threshold, the
+    // s1→s2 wraparound (−84) is a cut: both sides of the rule in one clip
+    val f = ds.filter(col("doc_id") === 24L).head()
+    assert(f.width === 16 && f.height === 16 && f.subsampling === "420")
+    assert(f.n_frames === 6 && f.fps_num === 25 && f.fps_den === 1)
+    assert(f.mean_luma === (151 * 2 + 164 * 2 + 80 * 2).toDouble / 6)
+    assert(f.n_cuts === 1 && f.n_keyframes === 2)
+  }
+
   test("metadata struct carries mime, byte length, and content prefix") {
     val m = MultimodalOps.mediaTable(spark, sfDir)
       .select("meta.mime", "meta.n_bytes", "meta.prefix_hex").head()
