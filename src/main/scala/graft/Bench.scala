@@ -136,7 +136,10 @@ object Bench {
     // final-stage latency; tools/PrepProbe measured 0.021 steady)
     "sql_olap_q1_prepared" -> 0.03,
     // r16: color JPEG decode, steady value from the clean builder run
-    "multimodal_jpeg_color_decode" -> 0.47)
+    "multimodal_jpeg_color_decode" -> 0.47,
+    // r16 late: MJPEG/AVI decode — 2-6 full color-JPEG frames per doc plus
+    // the container walk; 1.24/1.21 across the two recording runs
+    "multimodal_mjpeg_decode" -> 1.21)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds
@@ -591,6 +594,12 @@ object Bench {
       time("multimodal_jpeg_color_decode")(
         graft.llm.MultimodalOps.decodeJpegColor(
           graft.llm.MultimodalOps.jpegColorFixture(spark, sfDir)).toDF())
+      // r16 late: the compressed-video codec — per rep, the fixture encodes
+      // 2-6 MJPEG frames per doc into a real AVI container and the decode
+      // walks RIFF + fully color-decodes every frame, partition-local
+      time("multimodal_mjpeg_decode")(
+        graft.llm.MultimodalOps.decodeAviMjpeg(
+          graft.llm.MultimodalOps.aviMjpegFixture(spark, sfDir)).toDF())
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))

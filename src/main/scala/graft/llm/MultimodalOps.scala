@@ -1112,10 +1112,21 @@ object MultimodalOps extends QueryRegistry {
     // convention, so a present index is checkable byte-for-byte
     val frames = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
 
+    // chunk-size guard shared by every walk: a size whose low 32 bits land
+    // negative in an Int, or one that overruns the enclosing container,
+    // must fail loudly — an unchecked negative size walks the cursor
+    // BACKWARDS (infinite loop), an overrun would zero-pad frame payloads
+    def ckSize(o: Int, end: Int, ck: String): Int = {
+      val sz = u32le(o + 4).toInt
+      if (sz < 0 || o + 8 + sz > end)
+        err(s"chunk '$ck' (size ${u32le(o + 4)}) overruns its container")
+      sz
+    }
+
     def walkStrl(start: Int, end: Int): Unit = {
       var o = start
       while (o < end) {
-        val ck = cc(o); val sz = u32le(o + 4).toInt
+        val ck = cc(o); val sz = ckSize(o, end, ck)
         ck match {
           case "strh" =>
             if (sz < 36) err("strh too short")
@@ -1136,7 +1147,7 @@ object MultimodalOps extends QueryRegistry {
     def walkHdrl(start: Int, end: Int): Unit = {
       var o = start
       while (o < end) {
-        val ck = cc(o); val sz = u32le(o + 4).toInt
+        val ck = cc(o); val sz = ckSize(o, end, ck)
         ck match {
           case "avih" =>
             if (sz < 40) err("avih too short")
@@ -1151,7 +1162,7 @@ object MultimodalOps extends QueryRegistry {
     def walkMovi(moviTag: Int, start: Int, end: Int): Unit = {
       var o = start
       while (o < end) {
-        val ck = cc(o); val sz = u32le(o + 4).toInt
+        val ck = cc(o); val sz = ckSize(o, end, ck)
         ck match {
           case "00dc" => frames += ((o.toLong - moviTag, sz.toLong, o + 8))
           case "JUNK" => // skipped
@@ -1163,7 +1174,7 @@ object MultimodalOps extends QueryRegistry {
 
     var o = 12
     while (o < riffEnd) {
-      val ck = cc(o); val sz = u32le(o + 4).toInt
+      val ck = cc(o); val sz = ckSize(o, riffEnd.toInt, ck)
       ck match {
         case "LIST" =>
           cc(o + 8) match {

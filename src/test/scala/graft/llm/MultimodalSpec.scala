@@ -554,6 +554,10 @@ class MultimodalSpec extends SparkSpec {
       val i = good.length - 32 + 8
       b(i) = (b(i) + 2).toByte
     }, "!= movi chunk at")
+    // a chunk size with the sign bit set (negative as Int) or overrunning
+    // the container must fail loudly, never walk backwards or zero-pad
+    fails(patched(b => b(12 + 12 + 4 + 3) = 0x80.toByte), "overruns its container")
+    fails(patched(b => b(12 + 12 + 4) = 0xff.toByte), "overruns its container")
     // frame decodes at different dims than the container declares
     val wide = MultimodalOps.jpegEncodeColor(16, 8, sub420 = false,
       Array(100, 100), Array(120, 120), Array(130, 130))
