@@ -1303,7 +1303,6 @@ object MultimodalOps extends QueryRegistry {
     require(frames.nonEmpty, "a video needs at least one frame")
     val out = new java.io.ByteArrayOutputStream(1024 + frames.map(_.length + 9).sum)
     def w8(v: Int): Unit = out.write(v & 0xff)
-    def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
     def w32(v: Long): Unit = { w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt); w8((v >> 24).toInt) }
     def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     def chunk(id: String, body: Array[Byte]): Unit = {

@@ -314,15 +314,31 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
     override def initialValue(): Boolean = false
   }
 
+  /** Short-TTL cache of `_latest` per root, used ONLY for scans that are a
+    * subset of a pinned set. Such a scan is almost always this rule's own
+    * pruned output re-planning (no I/O should be paid per plan node) — but
+    * it can also be the head after a SHRINK-ONLY commit (a delete that
+    * leaves no replacement file makes the new head a strict subset of the
+    * pinned older version), which must still heal. The cache bounds that
+    * heal's staleness to the TTL instead of skipping it forever. */
+  private val HeadTtlMs = 10000L
+  private val headCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+  private def cachedLatest(spark: SparkSession, root: String): Int = {
+    val now = System.currentTimeMillis()
+    headCache.compute(root, (_, prev) =>
+      if (prev != null && now - prev._1 < HeadTtlMs) prev
+      else (now, VersionedTable.latestVersion(spark, root)))._2
+  }
+
   private def headHeal(paths: Set[String], schema: StructType): Option[Registration] = {
     if (healing.get || paths.isEmpty) return None
-    // cheap gates BEFORE any filesystem read (ADVICE r15): (1) a query
-    // over an UNRELATED table must not pay a per-registered-root `_latest`
-    // read on every plan node — only roots whose qualified pool prefix
-    // covers the scanned paths are candidates (the prefix comes from a
-    // sample pinned path, no I/O); (2) a scan that is a STRICT SUBSET of a
-    // pinned set is this rule's own pruned output (or a partial read) —
-    // nothing to heal.
+    // cheap gate BEFORE any filesystem read (ADVICE r15): a query over an
+    // UNRELATED table must not pay a per-registered-root `_latest` read on
+    // every plan node — only roots whose qualified pool prefix covers the
+    // scanned paths are candidates (the prefix comes from a sample pinned
+    // path, no I/O). Subset-of-pinned scans stay candidates (a shrink-only
+    // commit's head IS a subset) but read `_latest` through the TTL cache.
     val rootPrefixes: Map[String, String] = registry.asScala.toSeq
       .groupBy(_.root).flatMap { case (r, regs) =>
         regs.head.pathSet.headOption.flatMap { sample =>
@@ -334,12 +350,18 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
     val roots = rootPrefixes.collect {
       case (r, pre) if sampleHead.startsWith(pre + "/") => r }.toSet
     if (roots.isEmpty) return None
-    if (registry.asScala.exists(r => roots(r.root) && paths.subsetOf(r.pathSet)))
-      return None // a pruned/partial scan of an already-pinned version
+    val subsetOfPinned =
+      registry.asScala.exists(r => roots(r.root) && paths.subsetOf(r.pathSet))
     roots.iterator.flatMap { root =>
       try {
         val spark = SparkSession.active
-        val head = VersionedTable.latestVersion(spark, root)
+        val head =
+          if (subsetOfPinned) cachedLatest(spark, root)
+          else {
+            val h = VersionedTable.latestVersion(spark, root)
+            headCache.put(root, (System.currentTimeMillis(), h))
+            h
+          }
         if (registry.asScala.exists(r => r.root == root && r.version == head))
           None // the head is pinned; this scan is just not a snapshot read
         else if (VersionedTable.snapshotPathSet(spark, root, head) != paths)

@@ -79,6 +79,47 @@ object Compaction extends QueryRegistry {
     * are read together and rewritten as one file; keep-as-is files are
     * byte-copied unchanged (no decode/re-encode cost for data that is
     * already right-sized). Returns the executed plan. */
+  /** Run `op(part, group)` CONCURRENTLY per partition directory on a
+    * bounded pool, sequentially within a part. Concurrency is per PART
+    * dir, not per job: two Spark jobs committing into the same output
+    * directory would fight over the shared `_temporary` staging dir,
+    * while distinct directories give each committer its own. A sequential
+    * loop was the r13 driver-side scale bug — thousands of tiny jobs in
+    * series. Spark supports multi-threaded job submission; the first
+    * failure propagates. */
+  private[sources] def perPartConcurrently[A](byPart: Seq[(String, A)])
+      (op: (String, A) => Unit): Unit = {
+    if (byPart.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, byPart.size))
+    try byPart.map { case (part, group) =>
+      pool.submit(new Runnable { override def run(): Unit = op(part, group) })
+    }.foreach(_.get())
+    finally pool.shutdown()
+  }
+
+  /** Apply a compaction plan's rewrite half: every `compact=true` row's
+    * file joins its bin, each bin re-encodes as ONE output file
+    * (`coalesce(1)` append into its partition's output directory),
+    * per-part concurrent via [[perPartConcurrently]]. Shared by the raw
+    * directory path ([[compactDir]]) and the versioned-table verb
+    * ([[VersionedTable.compact]]), which differ only in path mapping. */
+  private[sources] def rewriteBins(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      inPath: (String, String) => String, outPart: String => String,
+      fileSchema: Option[org.apache.spark.sql.types.StructType]): Unit =
+    perPartConcurrently(rows.filter(_.getAs[Boolean]("compact"))
+        .groupBy(_.getAs[String]("part")).toSeq.sortBy(_._1)) { (part, ofPart) =>
+      ofPart.groupBy(_.getAs[Long]("bin")).toSeq.sortBy(_._1).foreach {
+        case (_, binFiles) =>
+          // fresh reader per task: DataFrameReader is mutable state
+          fileSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+            .parquet(binFiles.map(r =>
+              inPath(part, r.getAs[String]("file_id"))).toSeq: _*)
+            .coalesce(1).write.mode("append").parquet(outPart(part))
+      }
+    }
+
   def compactDir(spark: SparkSession, dir: String, outDir: String,
       targetBytes: Long,
       fileSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
@@ -87,35 +128,7 @@ object Compaction extends QueryRegistry {
     def inPath(part: String, name: String) =
       if (part == ".") s"$dir/$name" else s"$dir/$part/$name"
     def outPart(part: String) = if (part == ".") outDir else s"$outDir/$part"
-    // Bin re-encodes run CONCURRENTLY per partition directory (r13): a
-    // sequential bin loop was the same driver-side scale bug as the Dml
-    // per-partition rewrite — thousands of bins = thousands of sequential
-    // tiny jobs. Concurrency is per PART dir, not per bin: two jobs
-    // committing into the same output directory would fight over the
-    // shared `_temporary` staging dir, while distinct directories give
-    // each committer its own; bins within one part stay sequential on
-    // their thread. Spark supports multi-threaded job submission.
-    val byPart = rows.filter(_.getAs[Boolean]("compact"))
-      .groupBy(_.getAs[String]("part")).toSeq.sortBy(_._1)
-    if (byPart.nonEmpty) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, byPart.size))
-      try {
-        byPart.map { case (part, ofPart) =>
-          pool.submit(new Runnable {
-            override def run(): Unit =
-              ofPart.groupBy(_.getAs[Long]("bin")).toSeq.sortBy(_._1).foreach {
-                case (_, binFiles) =>
-                  // fresh reader per task: DataFrameReader is mutable state
-                  fileSchema.map(spark.read.schema(_)).getOrElse(spark.read)
-                    .parquet(binFiles.map(r =>
-                      inPath(part, r.getAs[String]("file_id"))).toSeq: _*)
-                    .coalesce(1).write.mode("append").parquet(outPart(part))
-              }
-          })
-        }.foreach(_.get()) // propagate the first failure
-      } finally pool.shutdown()
-    }
+    rewriteBins(spark, rows, inPath, outPart, fileSchema)
     val conf = spark.sessionState.newHadoopConf()
     val hfs = new Path(dir).getFileSystem(conf)
     rows.filterNot(_.getAs[Boolean]("compact")).foreach { r =>

@@ -38,22 +38,29 @@ object GraftCatalog {
   // SparkSession process saw no registered tables — the one layer of the
   // session-extension surface without the cross-process story the
   // head-check layers already have. [[persistTo]] binds the catalog to a
-  // tiny file beside the warehouse (`name\troot` lines, tmp+rename
-  // crash-safe like every sidecar log here): registrations write through,
-  // and every lookup READS THROUGH a modification-time-checked cache, so a
+  // tiny file beside the warehouse (`name\troot` lines; replaced by an
+  // ATOMIC overwriting rename under a cross-process claim lock, so readers
+  // never see a missing catalog, a crash leaves the old file intact, and
+  // two processes registering concurrently both land): registrations write
+  // through, and every lookup READS THROUGH a modification-time-checked cache, so a
   // table registered (or the file written directly) by another process
   // resolves here without re-registration. In-memory entries win on a
   // name collision (the session's own registrations are authoritative for
   // it); unregister removes from both.
 
   private case class Store(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
       path: org.apache.hadoop.fs.Path) {
-    @volatile private var cached: (Long, Map[String, String]) = (-1L, Map.empty)
+    // cache token: (mtime, length) — mtime alone has 1s granularity on
+    // some filesystems, so two writes in one tick could serve stale
+    @volatile private var cached: ((Long, Long), Map[String, String]) =
+      ((-1L, -1L), Map.empty)
     def load(): Map[String, String] = {
       if (!fs.exists(path)) return Map.empty
-      val m = fs.getFileStatus(path).getModificationTime
+      val st = fs.getFileStatus(path)
+      val token = (st.getModificationTime, st.getLen)
       val c = cached
-      if (c._1 == m) c._2
+      if (c._1 == token) c._2
       else {
         val in = fs.open(path)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -61,21 +68,76 @@ object GraftCatalog {
         val entries = txt.split("\n").filter(_.contains("\t")).map { l =>
           val Array(n, r) = l.split("\t", 2); n -> r
         }.toMap
-        cached = (m, entries)
+        cached = (token, entries)
         entries
       }
     }
-    def write(entries: Map[String, String]): Unit = synchronized {
-      val tmp = new org.apache.hadoop.fs.Path(
-        path.getParent, s".${path.getName}.tmp_${java.util.UUID.randomUUID()}")
+
+    /** Mutate the persisted map under a cross-process claim lock, then
+      * replace the file with an ATOMIC overwriting rename (FileContext
+      * OVERWRITE — readers always see the old or the new catalog, never a
+      * missing one, and a crash mid-write leaves the old file intact).
+      * The read-merge-write runs INSIDE the lock, so two processes
+      * registering different tables both land. A lock older than
+      * [[StaleLockMs]] is a crashed holder and is broken. */
+    def mutate(f: Map[String, String] => Map[String, String]): Unit = synchronized {
       fs.mkdirs(path.getParent)
-      val out = fs.create(tmp, true)
-      try out.write(entries.toSeq.sorted.map { case (n, r) => s"$n\t$r" }
-        .mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally out.close()
-      if (fs.exists(path)) fs.delete(path, false)
-      fs.rename(tmp, path)
-      cached = (-1L, Map.empty) // next load re-reads
+      withClaim {
+        val next = f(load())
+        val bytes = next.toSeq.sorted.map { case (n, r) => s"$n\t$r" }
+          .mkString("", "\n", "\n").getBytes("UTF-8")
+        val tmp = new org.apache.hadoop.fs.Path(
+          path.getParent, s".${path.getName}.tmp_${java.util.UUID.randomUUID()}")
+        if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+          // local: Hadoop's OVERWRITE rename is delete-then-rename inside
+          // (a reader window), so write + POSIX-atomic-move via nio —
+          // bypassing the checksummed LocalFileSystem so no .crc sidecar
+          // is created (and any legacy one is dropped: a stale checksum
+          // would fail every later fs.open of the replaced file)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp.toUri.getPath), bytes)
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(path.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          val crc = new org.apache.hadoop.fs.Path(
+            path.getParent, s".${path.getName}.crc")
+          try if (fs.exists(crc)) fs.delete(crc, false)
+          catch { case _: java.io.IOException => () }
+        } else {
+          // HDFS-like stores: FileContext's rename2 is atomic server-side
+          val out = fs.create(tmp, true)
+          try out.write(bytes) finally out.close()
+          org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, conf)
+            .rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        }
+        cached = ((-1L, -1L), Map.empty) // next load re-reads
+      }
+    }
+
+    private val StaleLockMs = 60000L
+    private def withClaim[T](body: => T): T = {
+      val lock = new org.apache.hadoop.fs.Path(
+        path.getParent, s".${path.getName}.lock")
+      var attempts = 0
+      while (true) {
+        val claimed =
+          try { fs.create(lock, false).close(); true }
+          catch { case _: java.io.IOException => false }
+        if (claimed)
+          try return body finally fs.delete(lock, false)
+        attempts += 1
+        if (attempts > 500) throw new IllegalStateException(
+          s"catalog lock at $lock held for too long — delete it if its holder is dead")
+        try { // break a provably stale lock (crashed holder)
+          val st = fs.getFileStatus(lock)
+          if (System.currentTimeMillis() - st.getModificationTime > StaleLockMs)
+            fs.delete(lock, false)
+        } catch { case _: java.io.FileNotFoundException => () }
+        Thread.sleep(20)
+      }
+      sys.error("unreachable")
     }
   }
 
@@ -88,8 +150,8 @@ object GraftCatalog {
     * at session setup; `persistTo(None)` detaches (tests). */
   def persistTo(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    store = Some(Store(
-      p.getFileSystem(spark.sessionState.newHadoopConf()), p))
+    val conf = spark.sessionState.newHadoopConf()
+    store = Some(Store(p.getFileSystem(conf), conf, p))
   }
 
   def detachStore(): Unit = store = None
@@ -102,12 +164,12 @@ object GraftCatalog {
     * persistent store when one is bound. */
   def register(name: String, root: String): Unit = {
     reg.put(name.toLowerCase, root)
-    store.foreach(s => s.write(s.load() + (name.toLowerCase -> root)))
+    store.foreach(_.mutate(_ + (name.toLowerCase -> root)))
   }
 
   def unregister(name: String): Unit = {
     reg.remove(name.toLowerCase)
-    store.foreach(s => s.write(s.load() - name.toLowerCase))
+    store.foreach(_.mutate(_ - name.toLowerCase))
   }
 
   def get(name: String): Option[String] =

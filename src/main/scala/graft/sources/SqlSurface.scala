@@ -384,15 +384,15 @@ object SqlSurface extends QueryRegistry {
           COUNT(DISTINCT product_key) AS unique_products
       FROM graft_fact_sales_elt"""))
 
-  /** The DSL row's oracle, shared by NAME — the gate fails loudly at
-    * registry-build time if a referenced row ever disappears, and the SQL
-    * rows can never drift onto a private oracle. */
   /** The verbatim SQL text of a registered OLAP row — what the prepared-
     * statement bench row plans once and serves repeatedly. */
   def olapSqlTextOf(name: String): String =
     olapSql.find(_._1 == name).getOrElse(
       throw new IllegalArgumentException(s"no OLAP SQL row named $name"))._3
 
+  /** The DSL row's oracle, shared by NAME — the gate fails loudly at
+    * registry-build time if a referenced row ever disappears, and the SQL
+    * rows can never drift onto a private oracle. */
   private def sharedOracle(dslName: String): String = {
     val all = graft.olap.Olap.defs ++ graft.etl.Dsuite.defs ++ graft.olap.Molap.defs
     all.find(_.name == dslName)

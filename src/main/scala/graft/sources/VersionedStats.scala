@@ -204,12 +204,21 @@ object VersionedStats {
       if (fs.exists(dest)) fs.delete(dest, true)
       fs.rename(tmp, dest)
     } finally if (fs.exists(tmp)) fs.delete(tmp, true) // failed-attempt orphan
-    // sweep crashed attempts' staging orphans for this version (dead by the
-    // per-root serialization — a live publisher would hold the lock)
-    fs.listStatus(new Path(statsRoot(root))).map(_.getPath)
-      .filter(_.getName.startsWith(f".tmp_v$version%05d"))
-      .foreach(fs.delete(_, true))
+    // sweep crashed attempts' staging orphans. The per-root lock only
+    // serializes THIS process; another process's commit listener or
+    // headHeal may be staging the same version right now, so only dirs
+    // older than the staleness window are provably dead — a live write is
+    // seconds old, a crashed orphan keeps aging and gets swept later.
+    val staleBefore = System.currentTimeMillis() - StaleTmpMs
+    fs.listStatus(new Path(statsRoot(root)))
+      .filter(s => s.getPath.getName.startsWith(".tmp_v")
+        && s.getModificationTime < staleBefore)
+      .foreach(s => fs.delete(s.getPath, true))
   }
+
+  /** Staging dirs older than this are crashed-attempt orphans; younger
+    * ones may be another PROCESS's live write and are left alone. */
+  private val StaleTmpMs = 15L * 60 * 1000
 
   /** Enable stats on `cols` for the table at `root`: records the indexed
     * columns and publishes the stats table for the current latest version

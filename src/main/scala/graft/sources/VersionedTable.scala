@@ -71,7 +71,12 @@ object VersionedTable {
   // coalesces inline at the next commit, bounding the list's length.
   // Segments are written once and never modified; until a committed list
   // references one it is an invisible orphan [[vacuum]]'s reachability
-  // sweep retires, exactly like pool data files.
+  // sweep retires, exactly like pool data files. Immutability also makes
+  // them perfectly cacheable: [[readSegment]]'s in-JVM cache means a
+  // commit's publish-time survivor scan and the next commit's planning
+  // read cost one filesystem read per segment per process, so
+  // steady-state metadata I/O per commit — reads included — is
+  // O(change + segment count), never O(total file count).
 
   /** Target entries per freshly-written segment, and the bounds of the
     * inline coalesce (segments under `MinSegmentEntries` count as
@@ -92,26 +97,61 @@ object VersionedTable {
     val name = s"seg_${java.util.UUID.randomUUID()}.seg"
     val p = new Path(segsDir(root), name)
     fs.mkdirs(p.getParent)
+    val sorted = entries.sortBy(e => (e.part, e.name))
     val out = fs.create(p, false) // written ONCE; a collision is a bug
-    try out.write(entries.sortBy(e => (e.part, e.name))
+    try out.write(sorted
       .map(e => s"${e.part}\t${e.name}\t${e.bytes}")
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    segCache.synchronized {
+      segCache.put(s"$root#$name", sorted)
+      segCacheEntries += sorted.size
+    }
     SegRef(name, entries.size)
   }
 
+  // Segment files are IMMUTABLE (written once under a UUID name, never
+  // modified), so a read is valid for the life of the process: this
+  // bounded cache makes a commit's publish-time re-scan of carried
+  // segments — and the next commit's planning read — in-memory hits, so
+  // steady-state per-commit metadata I/O is O(change + segment count),
+  // not O(total file count). Eviction is insertion-ordered by total
+  // cached entry count; a vacuumed segment can only be referenced through
+  // a manifest list vacuum already deleted, so staleness cannot occur.
+  private val SegCacheMaxEntries = 500000
+  private val segCache =
+    new java.util.LinkedHashMap[String, Seq[FileEntry]]()
+  private var segCacheEntries = 0L
+
   private def readSegment(fs: org.apache.hadoop.fs.FileSystem, root: String,
       name: String): Seq[FileEntry] = {
+    val key = s"$root#$name"
+    segCache.synchronized {
+      val hit = segCache.get(key)
+      if (hit != null) return hit
+    }
     val p = new Path(segsDir(root), name)
     if (!fs.exists(p)) throw new IllegalStateException(
       s"manifest segment $name missing at $root (vacuumed while referenced?)")
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    txt.split("\n").filter(_.contains("\t")).toSeq.map { l =>
+    val entries = txt.split("\n").filter(_.contains("\t")).toSeq.map { l =>
       val Array(part, nm, bytes) = l.split("\t", 3)
       FileEntry(part, nm, bytes.toLong)
     }
+    segCache.synchronized {
+      if (!segCache.containsKey(key)) {
+        segCache.put(key, entries)
+        segCacheEntries += entries.size
+        val it = segCache.entrySet().iterator()
+        while (segCacheEntries > SegCacheMaxEntries && it.hasNext) {
+          segCacheEntries -= it.next().getValue.size
+          it.remove()
+        }
+      }
+    }
+    entries
   }
 
   /** The manifest list of snapshot `v`. Throws when the version was never
@@ -945,38 +985,11 @@ object VersionedTable {
     val fileSchema = activeSchema(spark, root, latest).map(s =>
       StructType(s.fields.filterNot(f => partCols(f.name))))
     val stage = stagePath(root)
-    // bin re-encodes run CONCURRENTLY per partition directory (r13): a
-    // sequential bin loop was a driver-side scale bug — thousands of bins =
-    // thousands of sequential tiny jobs. Concurrency is per PART dir: two
-    // jobs committing into the same output directory would fight over the
-    // shared `_temporary` staging dir; bins within one part stay sequential
-    // on their thread.
-    val byPart = plan.filter(_.getAs[Boolean]("compact"))
-      .groupBy(_.getAs[String]("part")).toSeq.sortBy(_._1)
-    if (byPart.nonEmpty) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, byPart.size))
-      try {
-        byPart.map { case (part, ofPart) =>
-          pool.submit(new Runnable {
-            override def run(): Unit =
-              ofPart.groupBy(_.getAs[Long]("bin")).toSeq.sortBy(_._1).foreach {
-                case (_, binFiles) =>
-                  val paths = binFiles.map { r =>
-                    val n = r.getAs[String]("file_id")
-                    if (part == ".") s"${dataDir(root)}/$n"
-                    else s"${dataDir(root)}/$part/$n"
-                  }.toSeq
-                  // fresh reader per task: DataFrameReader is mutable state
-                  fileSchema.map(spark.read.schema(_)).getOrElse(spark.read)
-                    .parquet(paths: _*)
-                    .coalesce(1).write.mode("append")
-                    .parquet(if (part == ".") stage else s"$stage/$part")
-              }
-          })
-        }.foreach(_.get()) // propagate the first failure
-      } finally pool.shutdown()
-    }
+    Compaction.rewriteBins(spark, plan,
+      (part, n) =>
+        if (part == ".") s"${dataDir(root)}/$n" else s"${dataDir(root)}/$part/$n",
+      part => if (part == ".") stage else s"$stage/$part",
+      fileSchema)
     val keep = plan.filterNot(_.getAs[Boolean]("compact"))
       .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"))).toSet
     val moved = moveIntoPool(spark, root, stage)
@@ -1063,20 +1076,13 @@ object VersionedTable {
       // never file bytes
       val fileSchema = effectiveSchema(spark, root, latest).map(s =>
         StructType(s.fields.filterNot(f => partCols(f.name))))
-      val byPart = entries.groupBy(_.part).toSeq.sortBy(_._1)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, byPart.length))
-      try {
-        byPart.map { case (part, ofPart) =>
-          pool.submit(new Runnable {
-            override def run(): Unit =
-              ZOrder.materializeZordered(
-                fileSchema.map(spark.read.schema(_)).getOrElse(spark.read)
-                  .parquet(ofPart.map(pathOf(root, _)): _*),
-                s"$stage/$part", cols, bits, numFiles)
-          })
-        }.foreach(_.get())
-      } finally pool.shutdown()
+      Compaction.perPartConcurrently(
+          entries.groupBy(_.part).toSeq.sortBy(_._1)) { (part, ofPart) =>
+        ZOrder.materializeZordered(
+          fileSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+            .parquet(ofPart.map(pathOf(root, _)): _*),
+          s"$stage/$part", cols, bits, numFiles)
+      }
     }
     val moved = moveIntoPool(spark, root, stage)
     val (next, dir) = nextDir(spark, root)

@@ -281,4 +281,37 @@ class StatsPruneSpec extends SparkSpec {
       }
     } finally StatsPrune.clear()
   }
+
+  test("the head check heals a SHRINK-ONLY head — a strict subset of the pinned set (r16)") {
+    // A delete that fully covers its hit files writes NO replacement, so
+    // the new head's file set is a strict subset of the pinned older
+    // version's — the case a subset-means-pruned-output gate would skip
+    // forever, leaving every filtered head read a full scan.
+    val root = java.nio.file.Files.createTempDirectory("graft_sp_shrink_").toString + "/t"
+    // contiguous id ranges per bucket: each partition file gets a disjoint
+    // [min,max] box, so an id filter can prove pruning after the heal
+    val df = (1L to 100L).map(i => (i, s"p_$i", (i - 1) / 25))
+      .toDF("id", "payload", "bucket").repartition(1)
+    VersionedTable.create(spark, root, df, Seq("bucket"))
+    VersionedStats.enable(spark, root, Seq("id"))
+    StatsPrune.register(spark, root)
+    try {
+      StatsPrune.detachListenerKeepHeadCheck(root) // a foreign-process commit
+      assert(VersionedTable.deleteWhere(spark, root, col("bucket") === 3L) === 2)
+      def files(v: Int): Set[String] =
+        VersionedTable.listSnapshotFiles(spark, root, v)
+          .select("part", "file_id").collect()
+          .map(r => r.getString(0) + "/" + r.getString(1)).toSet
+      val (v1, v2) = (files(1), files(2))
+      assert(v2.subsetOf(v1) && v2.size < v1.size,
+        s"scenario must produce a shrink-only commit (v1 ${v1.size} files, v2 ${v2.size})")
+      StatsPrune.servingScoped(spark) {
+        val q = VersionedTable.read(spark, root).filter(col("id") <= 5L)
+        assert(scanFiles(q).exists(_ < v2.size),
+          s"the head check must heal the shrunk head (scanned ${scanFiles(q)} of ${v2.size})")
+        assert(q.count() === 5) // ids 1..5 live in bucket 0, untouched by the delete
+        q
+      }
+    } finally StatsPrune.clear()
+  }
 }

@@ -364,6 +364,21 @@ class SqlDmlSpec extends SparkSpec {
     // plain UPDATE whose SET holds a FROM inside parens stays an UPDATE
     assert(SqlDml.execute(spark,
       "UPDATE p SET category = substring(category FROM 1 FOR 3) WHERE unitprice > 9000", t) == 3)
+    // a JOIN-update whose SET list ALSO carries a nested FROM: the
+    // top-level split must skip the parenthesized one and find the join
+    // FROM (a non-greedy regex split would build a garbage MERGE)
+    assert(SqlDml.execute(spark, """
+      UPDATE p t SET category = substring(t.category FROM 1 FOR 3)
+      FROM sqldml_uf_src s
+      WHERE t.stockcode = s.stockcode AND CAST(t.stockcode AS BIGINT) % 50 = 1""", t) == 4)
+    // an un-lowerable UPDATE…FROM (subquery source is out of contract)
+    // reports the ORIGINAL parse error, never one about a MERGE statement
+    // the user never wrote
+    val pe = intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      SqlDml.execute(spark,
+        "UPDATE p t SET unitprice = s.np FROM (SELECT 1 AS np) s WHERE t.stockcode = s.np", t)
+    }
+    assert(!pe.getMessage.toUpperCase.contains("MERGE"), pe.getMessage)
   }
 
   test("MERGE INSERT column list must cover every table column (r16)") {

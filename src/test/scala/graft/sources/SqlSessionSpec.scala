@@ -200,4 +200,38 @@ class SqlSessionSpec extends SparkSpec {
       GraftCatalog.unregister("cat_tb")
     }
   }
+
+  test("persistent catalog replace is atomic and merge-safe: no missing-file window, no lost update (r16)") {
+    val base = Files.createTempDirectory("graft_sqlsess_atom_").toString
+    val catalog = s"$base/_catalog.tsv"
+    try {
+      // seed one entry that lives ONLY in the file (not this JVM's map),
+      // so the reader below exercises the file-read path every poll
+      GraftCatalog.persistTo(spark, catalog)
+      GraftCatalog.register("atom_t0", "/tmp/r0")
+      GraftCatalog.detachStore()
+      GraftCatalog.unregister("atom_t0") // memory only — file keeps it
+      GraftCatalog.persistTo(spark, catalog)
+      assert(GraftCatalog.get("atom_t0").contains("/tmp/r0"))
+      val misses = new java.util.concurrent.atomic.AtomicInteger
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val reader = new Thread(() => {
+        while (!stop.get)
+          if (GraftCatalog.get("atom_t0").isEmpty) misses.incrementAndGet()
+      })
+      reader.start()
+      try (1 to 40).foreach(i => GraftCatalog.register(s"atom_t$i", s"/tmp/r$i"))
+      finally { stop.set(true); reader.join() }
+      assert(misses.get === 0,
+        s"${misses.get} lookups saw a missing catalog during replaces")
+      // every registration landed — read back through a fresh store cache
+      GraftCatalog.detachStore()
+      GraftCatalog.persistTo(spark, catalog)
+      (0 to 40).foreach(i =>
+        assert(GraftCatalog.get(s"atom_t$i").contains(s"/tmp/r$i"), s"atom_t$i lost"))
+    } finally {
+      GraftCatalog.detachStore()
+      (0 to 40).foreach(i => GraftCatalog.unregister(s"atom_t$i"))
+    }
+  }
 }

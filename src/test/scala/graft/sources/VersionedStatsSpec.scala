@@ -200,15 +200,23 @@ class VersionedStatsSpec extends SparkSpec {
     val root = mkTable("graft_vs_crash_")
     VersionedStats.enable(spark, root, Seq("id"))
     VersionedTable.deleteWhere(spark, root, col("id") > 90L)
-    // plant a crashed half-written tmp for v2
+    // plant a crashed half-written tmp for v2 — STALE by mtime, the sweep's
+    // criterion (a young tmp may be another PROCESS's live staging write
+    // the per-root lock cannot see, so age is what proves it dead)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_stats/.tmp_v00002")
     fs.mkdirs(tmp)
     val junk = fs.create(new org.apache.hadoop.fs.Path(tmp, "part-junk.parquet"), true)
     junk.write(Array[Byte](1, 2, 3)); junk.close()
+    fs.setTimes(tmp, System.currentTimeMillis() - 3600 * 1000L, -1)
+    // and a FRESH tmp — possibly live in another process, must survive
+    val live = new org.apache.hadoop.fs.Path(s"$root/_stats/.tmp_v00002_live")
+    fs.mkdirs(live)
     VersionedStats.refresh(spark, root)
-    assert(!fs.exists(tmp))
+    assert(!fs.exists(tmp), "the stale crashed orphan must be swept")
+    assert(fs.exists(live), "a fresh tmp (another process's live write) must survive")
+    fs.delete(live, true)
     assert(VersionedStats.statsFor(spark, root, 2)
       .agg(sum("n_rows")).as[Long].head() === 90L)
     // replay: refresh again must not disturb the published table
