@@ -106,8 +106,19 @@ object VersionedTable {
     segCache.synchronized {
       segCache.put(s"$root#$name", sorted)
       segCacheEntries += sorted.size
+      evictOverBudget()
     }
     SegRef(name, entries.size)
+  }
+
+  // must hold segCache's monitor; a write-heavy process (micro-batch
+  // streaming appends one segment per commit) must evict like readers do
+  private def evictOverBudget(): Unit = {
+    val it = segCache.entrySet().iterator()
+    while (segCacheEntries > SegCacheMaxEntries && it.hasNext) {
+      segCacheEntries -= it.next().getValue.size
+      it.remove()
+    }
   }
 
   // Segment files are IMMUTABLE (written once under a UUID name, never
@@ -144,11 +155,7 @@ object VersionedTable {
       if (!segCache.containsKey(key)) {
         segCache.put(key, entries)
         segCacheEntries += entries.size
-        val it = segCache.entrySet().iterator()
-        while (segCacheEntries > SegCacheMaxEntries && it.hasNext) {
-          segCacheEntries -= it.next().getValue.size
-          it.remove()
-        }
+        evictOverBudget()
       }
     }
     entries
