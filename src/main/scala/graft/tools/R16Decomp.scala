@@ -64,6 +64,29 @@ object R16Decomp {
         VersionedTable.read(spark, root).count()
       }
     }
+
+    // many-commits axis (r16-late): per-commit cost must stay FLAT as
+    // versions, manifest segments and pool files ACCUMULATE — the inline
+    // coalesce bounds the list length, the segment cache keeps publish
+    // reads in-memory, and a micro-batch commit pays only its own bytes.
+    // This is the axis a streaming table ages along; growth here would be
+    // a wall at 100 TB no matter how change-proportional one commit is.
+    println("== many-commits axis: 60 consecutive 1k-row appendBatch commits (sf0.01)")
+    val ev01 = graft.streaming.EventOps.events(spark, "/root/testdata/sf0.01")
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_r16d_many_").toString + "/t"
+    VersionedTable.create(spark, root2, ev01.limit(5000))
+    val batch = ev01.limit(1000).cache()
+    batch.count()
+    val times = (1 to 60).map { i =>
+      val t0 = System.nanoTime()
+      VersionedTable.appendBatch(spark, root2, i.toLong, batch)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val segs = VersionedTable.snapshotSegRefs(spark, root2, 61)
+    println(f"[r16decomp] appendBatch commits 1-5 avg ${times.take(5).sum / 5}%.3f s" +
+      f"  56-60 avg ${times.takeRight(5).sum / 5}%.3f s" +
+      f"  (manifest list ${segs.size} segments after 61 versions)")
     spark.stop()
   }
 }
