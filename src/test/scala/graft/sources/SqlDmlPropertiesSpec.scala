@@ -93,4 +93,35 @@ object SqlDmlPropertiesSpec extends Properties("sqlDml") {
         sameRows(VersionedTable.read(spark, root),
           base.filter(!coalesce(p.c, lit(false))))
     }
+
+  // ------------------------------------------- top-level keyword scanner
+  // The UPDATE…FROM split's correctness core: however many FROM tokens a
+  // generated SET-list expression nests inside parentheses, quotes, or
+  // identifiers, the scanner must land on exactly the appended top-level
+  // join FROM.
+
+  /** A SET-list-ish fragment rich in decoy FROMs: nested parens holding
+    * bare FROM tokens, string literals (with '' escapes) and backtick
+    * identifiers containing FROM, and identifiers like `platFROMx`. */
+  private val decoyFragment: Gen[String] = {
+    val leaf = Gen.oneOf(
+      Gen.const("a + 1"),
+      Gen.const("substring(c FROM 1 FOR 3)"),
+      Gen.const("(SELECT max(v) FROM u WHERE u.k = 't')"),
+      Gen.const("'it came FROM afar'"),
+      Gen.const("'don''t FROM (here)'"),
+      Gen.const("`weird FROM col`"),
+      Gen.const("platFROMx"),
+      Gen.const("trim(BOTH 'x' FROM d)"))
+    Gen.nonEmptyListOf(leaf).map(_.take(6).mkString(", "))
+  }
+
+  property("topLevelKeyword skips every parenthesized/quoted/embedded FROM") =
+    Prop.forAll(decoyFragment) { frag =>
+      val sql = s"UPDATE t SET x = $frag FROM src WHERE t.k = src.k"
+      val expected = sql.lastIndexOf(" FROM src ") + 1
+      SqlDml.topLevelKeyword(sql, "FROM", 0) == expected &&
+        SqlDml.topLevelKeyword(sql, "WHERE", expected + 4) ==
+          sql.lastIndexOf(" WHERE ") + 1
+    }
 }
