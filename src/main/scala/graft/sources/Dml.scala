@@ -46,6 +46,14 @@ object Dml {
   private def relOf(part: String, name: String): String =
     if (part == ".") name else s"$part/$name"
 
+  /** The partition column names a `part` directory string encodes
+    * ("year=2011/month=3" → year, month); "." = unpartitioned. ONE
+    * implementation — this derivation used to be copy-pasted across the
+    * DML cores and the versioned verbs in two subtly different variants. */
+  private[sources] def partColsOf(parts: Seq[String]): Seq[String] =
+    parts.find(_ != ".").toSeq
+      .flatMap(_.split("/").toSeq).map(_.split("=", 2)(0))
+
   /** The snapshot's read schema: the declared one, else the footers of the
     * listed files (with partition values inferred from the directory
     * names between `dataDir` and each file). */
@@ -70,6 +78,16 @@ object Dml {
   /** The relative names of the snapshot's files holding at least one row
     * of `probe` (a frame derived from [[readSnapshot]] that kept
     * `input_file_name()` as column `f`) — metadata-sized by construction. */
+  /** Tag each snapshot row with its source file under a name GUARANTEED
+    * fresh: a data column named `_probe_file` would otherwise be replaced
+    * before the key join, skewing the probe's hit set — files whose rows
+    * must rewrite would be skipped (silent wrong results). */
+  private def tagFile(df: DataFrame): (DataFrame, String) = {
+    var n = "_probe_file"
+    while (df.columns.contains(n)) n = "_" + n
+    (df.withColumn(n, input_file_name()), n)
+  }
+
   private def affectedNames(spark: SparkSession, snap: Snapshot,
       probe: DataFrame): Set[String] = {
     val root = new Path(snap.dataDir)
@@ -95,8 +113,7 @@ object Dml {
       hit: Seq[(String, String)])(transform: DataFrame => DataFrame): Unit = {
     if (hit.isEmpty) return
     val paths = hit.map { case (p, n) => snap.path(p, n) }
-    val partCols = hit.map(_._1).find(_ != ".").toSeq
-      .flatMap(_.split("/").map(_.split("=", 2)(0)).toSeq)
+    val partCols = partColsOf(hit.map(_._1))
     // always read under the SNAPSHOT-level schema: partition-type inference
     // over only the hit subset could disagree with the whole layout's (e.g.
     // an all-numeric subset of a string-typed bucket column)
@@ -182,8 +199,7 @@ object Dml {
     val schema = snapSchema(spark, snap)
     val unknown = assignments.keySet.filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"UPDATE assigns unknown columns: ${unknown.mkString(", ")}")
-    val partCols = snap.files.map(_._1).filter(_ != ".")
-      .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
+    val partCols = partColsOf(snap.files.map(_._1)).toSet
     val partitionAssigns = assignments.keySet.intersect(partCols)
     require(partitionAssigns.isEmpty,
       s"UPDATE cannot assign partition columns: ${partitionAssigns.mkString(", ")}")
@@ -233,8 +249,7 @@ object Dml {
     require(unknown.isEmpty, s"UPDATE assigns unknown columns: ${unknown.mkString(", ")}")
     // partition column order from the directory layout itself (nested
     // dirs = nested partitionBy order) — the routed insert must reproduce it
-    val partCols: Seq[String] = snap.files.map(_._1).find(_ != ".").toSeq
-      .flatMap(_.split("/").toSeq).map(_.split("=", 2)(0))
+    val partCols: Seq[String] = partColsOf(snap.files.map(_._1))
     require(partCols.nonEmpty,
       "updateMove needs a partitioned layout; use updateWhere otherwise")
     require(assignments.keySet.exists(partCols.contains),
@@ -289,8 +304,23 @@ object Dml {
       : (Seq[(String, String)], Seq[(String, String)]) = {
     val (hit, clean) = dropKeyedRowsCore(spark, snap, outDir,
       updates.select(keys.map(col): _*).distinct(), keys)
+    // align the update rows to the table's schema BEFORE they become pool
+    // files: a type-mismatched frame (INT literal into a BIGINT column)
+    // would otherwise commit fine and poison every later read of the
+    // snapshot; whole-row replacement means every column must be present
+    val aligned = snap.schema.map { s =>
+      val extra = updates.columns.filterNot(s.fieldNames.contains)
+      require(extra.isEmpty,
+        s"MERGE updates carry columns the table schema lacks: ${extra.mkString(", ")}")
+      val missing = s.fieldNames.filterNot(updates.columns.contains)
+      require(missing.isEmpty,
+        s"MERGE updates are whole-row replacements and must carry every " +
+          s"table column; missing: ${missing.mkString(", ")}")
+      updates.select(s.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    }.getOrElse(updates)
     // replacements + inserts in one append, partition-routed when asked
-    val w0 = updates.write.mode("append")
+    val w0 = aligned.write.mode("append")
     (if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0)
       .parquet(outDir)
     (hit, clean)
@@ -384,22 +414,31 @@ object Dml {
     val marker = "__graft_matched"
     require(!source.columns.contains(marker) && !schema.fieldNames.contains(marker),
       s"MERGE reserves the $marker column name")
+    // same class of collision: a data column named __clause would be
+    // replaced by the clause index and the final projection would commit
+    // indices in place of the user's values — silent corruption
+    require(!schema.fieldNames.contains("__clause"),
+      "MERGE reserves the __clause column name")
     val srcRenamed = source.select(source.columns.map(c => col(c).as(s"__src_$c")).toSeq: _*)
       .withColumn(marker, lit(true))
     val keyCond = keys.map(k => col(k) === col(s"__src_$k")).reduce(_ && _)
 
     // with NOT MATCHED BY SOURCE clauses every file can hold affected
     // (source-unmatched) rows, so all files rewrite and the probe job is
-    // pure overhead; otherwise probe for files holding at least one
-    // matched key and leave the rest clean
+    // pure overhead; an INSERT-ONLY merge (no matched clauses either way)
+    // touches no existing row, so no file rewrites and the probe is
+    // skipped — otherwise probe for files holding at least one matched
+    // key and leave the rest clean
     val (hit, clean) =
-      if (notMatchedBySource.nonEmpty) (snap.files, Seq.empty[(String, String)])
+      if (matched.isEmpty && notMatchedBySource.isEmpty)
+        (Seq.empty[(String, String)], snap.files)
+      else if (notMatchedBySource.nonEmpty) (snap.files, Seq.empty[(String, String)])
       else {
+        val (tagged, tag) = tagFile(readSnapshot(spark, snap))
         val affected = affectedNames(spark, snap,
-          readSnapshot(spark, snap)
-            .withColumn("_probe_file", input_file_name())
+          tagged
             .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
-            .select(col("_probe_file").as("f")))
+            .select(col(tag).as("f")))
         snap.files.partition { case (p, n) => affected(relOf(p, n)) }
       }
 
@@ -499,11 +538,11 @@ object Dml {
       : (Seq[(String, String)], Seq[(String, String)]) = {
     // file name is tagged BEFORE the join: input_file_name() is only
     // defined against a single source, and the tag pins it to the scan
+    val (tagged, tag) = tagFile(readSnapshot(spark, snap))
     val affected = affectedNames(spark, snap,
-      readSnapshot(spark, snap)
-        .withColumn("_probe_file", input_file_name())
+      tagged
         .join(keySet, keys, "left_semi")
-        .select(col("_probe_file").as("f")))
+        .select(col(tag).as("f")))
     val (hit, clean) = snap.files.partition { case (p, n) => affected(relOf(p, n)) }
     rewriteHits(spark, snap, outDir, hit)(_.join(keySet, keys, "left_anti"))
     (hit, clean)

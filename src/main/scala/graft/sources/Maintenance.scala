@@ -26,13 +26,16 @@ import org.apache.spark.sql.functions._
   *     compacting first would merge fragments only for the rewrite to
   *     re-encode them again. Skipped with a recorded reason when stats are
   *     absent or the column has no numeric stats.
-  *  2. COMPACT when the (possibly just-clustered) head still holds more
-  *     than `maxSmallFiles` EXCESS small fragments — files under
-  *     `smallFileBytes` beyond the one per partition directory a
-  *     fully-compacted layout legitimately has (counting raw small files
-  *     would re-trigger forever on a table smaller than the target). This
-  *     is the small-file accretion every micro-batch ingester suffers;
-  *     right-sized files byte-copy untouched through the rewrite.
+  *  2. COMPACT when the head still holds more than `maxSmallFiles` EXCESS
+  *     small fragments — files under `smallFileBytes` beyond the one per
+  *     partition directory a fully-compacted layout legitimately has
+  *     (counting raw small files would re-trigger forever on a table
+  *     smaller than the target). This is the small-file accretion every
+  *     micro-batch ingester suffers; right-sized files byte-copy untouched
+  *     through the rewrite. SKIPPED (with a recorded reason) in a pass
+  *     where cluster already rewrote the layout: the z-order output is
+  *     deliberately `clusterFiles` range-files, and re-binning them would
+  *     undo the locality the pass just paid for.
   *  3. REFRESH STATS when stats are enabled and their newest published
   *     version lags the head (commits from processes without a live
   *     [[graft.plans.StatsPrune]] listener leave exactly this gap); the
@@ -87,8 +90,15 @@ object Maintenance extends graft.QueryRegistry {
         .valuesIterator.map(g => math.max(0, g.size - 1)).sum
 
     // 1. cluster — stats-measured interleave depth on the leading column
+    var clusterFired = false
     policy.clusterCols.headOption.foreach { c =>
-      interleaveDepth(spark, root, c) match {
+      val (measured, refreshed) = interleaveDepth(spark, root, c)
+      // the measurement refreshing lagging stats is real pass work: say so
+      // in the reason instead of doing it silently (the decision frame is
+      // this function's audit contract)
+      def reasoned(r: String) =
+        if (refreshed) s"$r (stats refreshed to the head for the measurement)" else r
+      measured match {
         case Right(depth) if depth > policy.clusterMaxDepth =>
           VersionedTable.cluster(spark, root, policy.clusterCols,
             policy.clusterBits, policy.clusterFiles)
@@ -96,22 +106,32 @@ object Maintenance extends graft.QueryRegistry {
           // clustering re-encoded every file) — also what the re-measure
           // and any pruned read of the new head serve from
           VersionedStats.refresh(spark, root)
-          val after = interleaveDepth(spark, root, c).getOrElse(-1L)
+          val after = interleaveDepth(spark, root, c)._1.getOrElse(-1L)
+          clusterFired = true
           decisions += Decision("cluster", triggered = true,
-            s"interleave depth $depth on '$c' exceeded ${policy.clusterMaxDepth}",
+            reasoned(s"interleave depth $depth on '$c' exceeded ${policy.clusterMaxDepth}"),
             depth, after)
         case Right(depth) => decisions += Decision("cluster", triggered = false,
-          s"interleave depth $depth on '$c' within bound ${policy.clusterMaxDepth}",
+          reasoned(s"interleave depth $depth on '$c' within bound ${policy.clusterMaxDepth}"),
           depth, depth)
         case Left(reason) => decisions += Decision("cluster", triggered = false,
           reason, -1L, -1L)
       }
     }
 
-    // 2. compact — small-file census of the (possibly just-clustered) head
+    // 2. compact — small-file census of the head; SKIPPED when cluster
+    // just rewrote the table this pass: the clustered layout deliberately
+    // slices each partition into `clusterFiles` range-files (often under
+    // the small-file threshold), and re-binning them here would destroy
+    // the locality the pass just paid a full rewrite for — then re-degrade
+    // the depth and oscillate with step 1 on the next pass
     val files0 = headFiles()
     val frag = fragments(files0)
-    if (frag > policy.maxSmallFiles) {
+    if (clusterFired)
+      decisions += Decision("compact", triggered = false,
+        "skipped: cluster rewrote the layout this pass",
+        files0.size.toLong, files0.size.toLong)
+    else if (frag > policy.maxSmallFiles) {
       VersionedTable.compact(spark, root, policy.targetFileBytes)
       decisions += Decision("compact", triggered = true,
         s"$frag small fragments under ${policy.smallFileBytes}B exceeded ${policy.maxSmallFiles}",
@@ -164,22 +184,25 @@ object Maintenance extends graft.QueryRegistry {
     * signal that clustering has degraded. Computed by an event sweep over
     * the stats rows (metadata-sized, driver-side, O(F log F) — never
     * pairwise). Refreshes the stats first if they lag the head (the
-    * measurement must describe the layout it gates). Left(reason) when the
-    * measurement is unavailable. */
+    * measurement must describe the layout it gates) and REPORTS that in
+    * the second return slot so the caller's decision frame can say so.
+    * Left(reason) when the measurement is unavailable. */
   private def interleaveDepth(spark: SparkSession, root: String,
-      c: String): Either[String, Long] = {
+      c: String): (Either[String, Long], Boolean) = {
     if (!VersionedStats.indexedColumns(spark, root).exists(_.contains(c)))
-      return Left(s"no published stats for cluster column '$c'")
+      return (Left(s"no published stats for cluster column '$c'"), false)
     val head = VersionedTable.latestVersion(spark, root)
-    if (!VersionedStats.stattedVersions(spark, root).contains(head))
-      VersionedStats.refresh(spark, root)
+    val refreshed =
+      !VersionedStats.stattedVersions(spark, root).contains(head)
+    if (refreshed) VersionedStats.refresh(spark, root)
     val rows = VersionedStats.statsFor(spark, root, head)
       .select(col(s"${c}_min").cast("double").as("mn"),
         col(s"${c}_max").cast("double").as("mx"))
       .collect()
       .flatMap(r => if (r.isNullAt(0) || r.isNullAt(1)) None
         else Some((r.getDouble(0), r.getDouble(1))))
-    if (rows.isEmpty) return Left(s"cluster column '$c' has no numeric stats")
+    if (rows.isEmpty)
+      return (Left(s"cluster column '$c' has no numeric stats"), refreshed)
     // sweep: +1 at each min, -1 just past each max (inclusive ranges —
     // opens sort before closes at equal coordinates)
     val events = rows.flatMap { case (mn, mx) =>
@@ -187,7 +210,7 @@ object Maintenance extends graft.QueryRegistry {
     var depth = 0L; var maxDepth = 0L
     events.foreach { case (_, d) =>
       depth += d; if (depth > maxDepth) maxDepth = depth }
-    Right(maxDepth)
+    (Right(maxDepth), refreshed)
   }
 
   // ---------------------------------------------------------------- gates

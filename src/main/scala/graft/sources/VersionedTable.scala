@@ -735,6 +735,7 @@ object VersionedTable {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(stage)
     val moved = moveIntoPool(spark, root, stage)
     writeSchemaEntry(fs, root, next, storedSchema(df, partitionCols))
+    writePartitionCols(fs, root, partitionCols)
     publishManifest(spark, root, dir, None, None, moved)
     commitVersion(spark, root, next)
     next
@@ -852,12 +853,38 @@ object VersionedTable {
     commitDml(spark, root)(
       Dml.deleteKeysCore(spark, _, _, tombstones, keys))
 
-  /** Partition columns of the head snapshot's directory layout — how every
-    * statement-level verb knows where appended rows must route. */
+  // The table's partition layout, recorded DURABLY at creation
+  // (`_schema/parts`) instead of re-derived from whichever files happen to
+  // survive: deriving from the head's entries silently and permanently
+  // loses the layout the moment the head is transiently empty (a
+  // delete-all followed by an insert would commit unpartitioned rows with
+  // no error, r16-late self-review fix). Pre-sidecar tables fall back to
+  // the layout derivation.
+  private def partsPath(root: String) = new Path(s"$root/_schema", "parts")
+
+  private def writePartitionCols(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, cols: Seq[String]): Unit = {
+    val p = partsPath(root)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write((cols.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Partition columns of the table — how every statement-level verb knows
+    * where appended rows must route. */
   private[graft] def partitionColumns(spark: SparkSession, root: String): Seq[String] = {
-    val latest = latestVersion(spark, root)
-    snapshotEntries(spark, root, latest).map(_.part).find(_ != ".").toSeq
-      .flatMap(_.split("/").toSeq).map(_.split("=", 2)(0))
+    val (fs, _) = fsOf(spark, root)
+    val p = partsPath(root)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    } else { // pre-sidecar table: derive from the head's directory layout
+      val latest = latestVersion(spark, root)
+      Dml.partColsOf(snapshotEntries(spark, root, latest).map(_.part))
+    }
   }
 
   /** `INSERT INTO` (append) / `INSERT OVERWRITE` (full replace) as a new
@@ -947,9 +974,7 @@ object VersionedTable {
     val missing = names.filterNot(current.fieldNames.contains)
     require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
     require(names.size < current.size, "cannot drop every column")
-    val entries = snapshotEntries(spark, root, latest)
-    val partCols = entries.map(_.part).filter(_ != ".")
-      .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
+    val partCols = partitionColumns(spark, root).toSet
     val partHit = names.filter(partCols)
     require(partHit.isEmpty,
       s"cannot drop partition columns: ${partHit.mkString(", ")}")
@@ -987,8 +1012,7 @@ object VersionedTable {
       listSnapshotFiles(spark, root, latest), targetBytes).collect()
     // bin re-encodes read at FILE level — partition columns ride directory
     // names, so an evolved table's stored schema sheds them for the read
-    val partCols = entries.map(_.part).filter(_ != ".")
-      .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
+    val partCols = Dml.partColsOf(entries.map(_.part)).toSet
     val fileSchema = activeSchema(spark, root, latest).map(s =>
       StructType(s.fields.filterNot(f => partCols(f.name))))
     val stage = stagePath(root)
@@ -1074,8 +1098,7 @@ object VersionedTable {
       ZOrder.materializeZordered(read(spark, root, Some(latest)), stage, cols,
         bits, numFiles)
     } else {
-      val partCols = parts.filter(_ != ".")
-        .flatMap(_.split("/")).map(_.split("=", 2)(0)).toSet
+      val partCols = Dml.partColsOf(parts).toSet
       val clash = cols.filter(partCols)
       require(clash.isEmpty,
         s"cannot z-order on partition columns (constant within a directory): ${clash.mkString(", ")}")
@@ -1110,12 +1133,33 @@ object VersionedTable {
     }
   }
 
+  /** The highest batch id committed into any RETAINED version, walked
+    * from the head DOWNWARD — the head alone is not enough: an
+    * interleaved non-batch commit (maintenance compaction, a DML repair,
+    * a GDPR purge) puts a marker-less version on top, and a head-only
+    * check would then re-apply a replayed batch, breaking exactly-once.
+    * Batch ids commit in version order, so the first marker found walking
+    * down IS the highest; the walk stops at the vacuum horizon (version
+    * dirs are retired contiguously from the bottom). */
+  private def latestBatchId(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, head: Option[Int]): Option[Long] = {
+    var v = head.getOrElse(0)
+    while (v >= 1) {
+      val d = vDir(root, v)
+      if (!fs.exists(new Path(d))) return None // vacuumed: nothing below survives
+      val id = readBatchId(fs, d)
+      if (id.isDefined) return id
+      v -= 1
+    }
+    None
+  }
+
   /** The highest streaming batch id committed into this table, if any —
     * the restart-recovery read a `foreachBatch` sink performs before
     * applying a batch. */
   def lastCommittedBatch(spark: SparkSession, root: String): Option[Long] = {
     val (fs, rootP) = fsOf(spark, root)
-    readLatest(fs, rootP).flatMap(v => readBatchId(fs, vDir(root, v)))
+    latestBatchId(fs, root, readLatest(fs, rootP))
   }
 
   /** Exactly-once micro-batch append (r13, VERDICT r12 #4): commit a
@@ -1133,14 +1177,17 @@ object VersionedTable {
     *  - crash before the manifest swap → orphan vN+1 (marker included)
     *    readers never see; the replay overwrites it and commits;
     *  - crash after the swap → the batch IS committed; the replay reads
-    *    the marker and returns None, committing nothing.
+    *    the marker and returns None, committing nothing;
+    *  - non-batch commits (maintenance, DML) interleaved on top of the
+    *    last batch never hide its marker: the skip check walks retained
+    *    versions downward, not just the head.
     * Returns the committed version, or None for a skipped replay. */
   def appendBatch(spark: SparkSession, root: String, batchId: Long,
       batch: DataFrame, partitionCols: Seq[String] = Nil): Option[Int] = {
     val (fs, rootP) = fsOf(spark, root)
     fs.mkdirs(rootP)
     val latest = readLatest(fs, rootP)
-    if (latest.flatMap(v => readBatchId(fs, vDir(root, v))).exists(_ >= batchId))
+    if (latestBatchId(fs, root, latest).exists(_ >= batchId))
       return None
     // an evolved table aligns the batch to the stored schema: missing
     // columns null-fill (a producer not yet emitting the new column keeps
@@ -1160,8 +1207,10 @@ object VersionedTable {
       latest.flatMap(v => effectiveSchema(spark, root, v)))
     val moved = moveIntoPool(spark, root, stage)
     val (next, dir) = nextDir(spark, root)
-    if (latest.isEmpty) // first batch CREATES the table: record its shape
+    if (latest.isEmpty) { // first batch CREATES the table: record its shape
       writeSchemaEntry(fs, root, next, storedSchema(aligned, partitionCols))
+      writePartitionCols(fs, root, partitionCols)
+    }
     publishManifest(spark, root, dir, latest, None, moved)
     val out = fs.create(batchMarker(dir), true)
     try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
@@ -1278,6 +1327,16 @@ object VersionedTable {
             }
           val to = latestVersion(spark, root)
           if (to > from) {
+            // a lagging consumer whose watermark version was vacuumed away
+            // cannot compute its span and would otherwise crash-loop on a
+            // raw "no snapshot manifest" every restart — name the actual
+            // conflict and the two ways out
+            if (!fs.exists(manifestPath(vDir(root, from))))
+              throw new IllegalStateException(
+                s"CDC consumer watermark v$from at $root was vacuumed away " +
+                  s"(head is v$to): the consumer lags the table's retention. " +
+                  "Retain more versions (vacuum keep / Maintenance " +
+                  "keepVersions) or reseed the consumer from a full read.")
             consume(from, to, changes(spark, root, from, to, keys))
             fs.mkdirs(stateP.getParent)
             val out = fs.create(stateP, true)
@@ -1299,6 +1358,12 @@ object VersionedTable {
     require(keep >= 1, "must keep at least the latest version")
     val (fs, rootP) = fsOf(spark, root)
     val latest = latestVersion(spark, root)
+    // persist the rolled-forward head BEFORE any _txn marker dies with its
+    // version dir: `_latest` may still sit below txn-committed versions
+    // (the swap is only a cache) and the roll-forward probes the markers —
+    // deleting them without first writing the rolled head would strand
+    // `_latest` at a version this very sweep is about to retire
+    commitForward(fs, rootP, latest)
     val dropped = (1 to latest - keep)
       .filter(v => fs.exists(new Path(vDir(root, v))))
     dropped.foreach(v => fs.delete(new Path(vDir(root, v)), true))

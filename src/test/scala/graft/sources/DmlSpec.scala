@@ -312,4 +312,68 @@ class DmlSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/v2").select("id").as[Long].collect().toSet ===
       Set(1L, 2L)) // NULL comparison is not TRUE → row 2 survives
   }
+
+  test("mergeInto aligns update rows to the table schema; partial rows are loud (r16)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mal_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 5L).map(i => (i, i * 100L, s"p_$i")).toDF("id", "v", "payload"))
+    // updates carrying `v` as INT (a literal-built frame) must be cast to
+    // the table's BIGINT before becoming pool files — uncast they commit
+    // fine and poison every later read with a parquet type mismatch
+    val updates = Seq((2, 7), (9, 9)).toDF("id", "v")
+      .withColumn("payload", concat(lit("u_"), col("id")))
+    assert(VersionedTable.mergeInto(spark, root, updates, Seq("id")) === 2)
+    assert(VersionedTable.read(spark, root).as[(Long, Long, String)]
+      .collect().toSet === Set(
+        (1L, 100L, "p_1"), (2L, 7L, "u_2"), (3L, 300L, "p_3"),
+        (4L, 400L, "p_4"), (5L, 500L, "p_5"), (9L, 9L, "u_9")))
+    // whole-row replacement: a missing column would silently zero data
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.mergeInto(spark, root,
+        Seq((3L, 1L)).toDF("id", "v"), Seq("id"))
+    }.getMessage.contains("every table column"))
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.mergeInto(spark, root,
+        updates.withColumn("extra", lit(1)), Seq("id"))
+    }.getMessage.contains("schema lacks"))
+  }
+
+  test("insert-only mergeClauses rewrites NOTHING; reserved names are loud (r16)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mio_").toString
+    (1L to 20L).map(i => (i, s"p_$i")).toDF("id", "payload")
+      .coalesce(2).write.parquet(s"$base/v1")
+    val before = fileBytes(s"$base/v1")
+    val src = Seq((5L, "x_5"), (50L, "x_50")).toDF("id", "payload")
+    val plan = Dml.mergeClauses(spark, s"$base/v1", s"$base/v2", src,
+      Seq("id"), matched = Nil, notMatchedInsert = Some(lit(true)))
+    // no matched clause → no file holds an affected row → zero rewrites
+    // (pre-fix, files holding key 5 decoded and re-encoded byte-identically)
+    assert(plan.filter(col("rewritten")).count() === 0)
+    val out = spark.read.parquet(s"$base/v2")
+    assert(out.count() === 21)
+    assert(out.filter(col("id") === 5L).select("payload").head().getString(0) === "p_5")
+    assert(out.filter(col("id") === 50L).count() === 1)
+    // byte-copied, not re-encoded
+    before.foreach { case (name, bytes) =>
+      assert(fileBytes(s"$base/v2").get(name).contains(bytes), s"$name re-encoded")
+    }
+    // a data column named __clause would be replaced by the clause index
+    (1L to 3L).map(i => (i, i)).toDF("id", "__clause")
+      .write.parquet(s"$base/r1")
+    assert(intercept[IllegalArgumentException] {
+      Dml.mergeClauses(spark, s"$base/r1", s"$base/r2",
+        Seq((1L, 9L)).toDF("id", "__clause"), Seq("id"),
+        matched = Seq(Dml.WhenMatchedUpdate(lit(true), Map("__clause" -> lit(0L)))))
+    }.getMessage.contains("__clause"))
+  }
+
+  test("a data column named _probe_file cannot skew the affected-file probe (r16)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pfp_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 10L).map(i => (i, s"f_$i")).toDF("id", "_probe_file"))
+    assert(VersionedTable.mergeInto(spark, root,
+      Seq((3L, "u_3")).toDF("id", "_probe_file"), Seq("id")) === 2)
+    assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toSet ===
+      ((1L to 10L).map(i => (i, if (i == 3) "u_3" else s"f_$i")).toSet))
+  }
 }

@@ -53,11 +53,18 @@ class MaintenanceSpec extends SparkSpec {
     VersionedStats.enable(spark, root, Seq("k"))
     val dec = Maintenance.maintain(spark, root,
       Maintenance.Policy(clusterCols = Seq("k"), clusterMaxDepth = 2,
-        clusterFiles = 4, maxSmallFiles = 99))
+        clusterFiles = 4, maxSmallFiles = 0))
     val row = dec.filter(col("op") === "cluster").head()
     assert(row.getAs[Boolean]("triggered"), row.getAs[String]("reason"))
     assert(row.getAs[Long]("n_after") <= 2,
       s"clustered layout must have narrow ranges (depth ${row.getAs[Long]("n_after")})")
+    // cluster just rewrote the layout: the compact census must NOT re-bin
+    // the fresh range-files in the same pass (maxSmallFiles=0 would
+    // otherwise guarantee it fires), destroying the locality just paid for
+    val comp = dec.filter(col("op") === "compact").head()
+    assert(!comp.getAs[Boolean]("triggered") &&
+      comp.getAs[String]("reason").contains("cluster rewrote"),
+      comp.getAs[String]("reason"))
     // the re-measure is quiet now
     val dec2 = Maintenance.maintain(spark, root,
       Maintenance.Policy(clusterCols = Seq("k"), clusterMaxDepth = 2,

@@ -209,6 +209,71 @@ class VersionedTableSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet === Set((1L, "a")))
   }
 
+  test("appendBatch stays exactly-once across an interleaved NON-batch commit (r16)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_ib_").toString + "/t"
+    assert(VersionedTable.appendBatch(spark, root, 0L,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload")) === Some(1))
+    // maintenance/DML land a marker-less version ON TOP of the batch —
+    // the exact pairing a standing pipeline runs (compact, GDPR purge…)
+    assert(VersionedTable.deleteWhere(spark, root, col("id") === 2L) === 2)
+    assert(VersionedTable.lastCommittedBatch(spark, root) === Some(0L))
+    // the post-crash redelivery of batch 0 must STILL be recognized as
+    // committed; a head-only marker check would duplicate the rows here
+    assert(VersionedTable.appendBatch(spark, root, 0L,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload")).isEmpty)
+    assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toSet ===
+      Set((1L, "a")))
+    // the next genuine batch continues past the interleaved commit
+    assert(VersionedTable.appendBatch(spark, root, 1L,
+      Seq((3L, "c")).toDF("id", "payload")) === Some(3))
+    assert(VersionedTable.lastCommittedBatch(spark, root) === Some(1L))
+  }
+
+  test("vacuum persists the rolled-forward head before retiring _txn markers (r16)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_vr_").toString + "/t"
+    VersionedTable.create(spark, root, (1L to 10L).map(i => (i, s"p_$i")).toDF("id", "payload"))
+    // two transact commits (delete-only mutations: carry the survivors)
+    (1 to 2).foreach { k =>
+      VersionedTable.transact(spark, root) { (_, snap, stage) =>
+        val drop = Dml.deleteWhereCore(spark, snap, stage, col("id") === k.toLong)
+        drop._2 // the carried (clean) files
+      }
+    }
+    assert(VersionedTable.latestVersion(spark, root) === 3)
+    // simulate both `_latest` swaps having crashed: the cache regresses to
+    // v1 while v2/v3 carry _txn markers the roll-forward probes
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val latestP = new org.apache.hadoop.fs.Path(root, "_latest")
+    val out = fs.create(latestP, true)
+    out.write("1\n".getBytes("UTF-8")); out.close()
+    assert(VersionedTable.latestVersion(spark, root) === 3) // via markers
+    // vacuum deletes v1/v2 WITH their markers; without persisting the
+    // rolled head first, _latest would strand at the vacuumed v1 forever
+    VersionedTable.vacuum(spark, root, keep = 1)
+    assert(VersionedTable.latestVersion(spark, root) === 3)
+    assert(VersionedTable.read(spark, root).select("id").as[Long].collect().toSet ===
+      (3L to 10L).toSet)
+  }
+
+  test("partition layout survives a transiently empty head (r16)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_pl_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 8L).map(i => (i, i % 2)).toDF("id", "b"), Seq("b"))
+    assert(VersionedTable.deleteWhere(spark, root, lit(true)) === 2)
+    assert(VersionedTable.read(spark, root).count() === 0)
+    // the layout is recorded durably at creation — an insert into the
+    // EMPTY head must still route under b=…, not silently commit the
+    // table unpartitioned forever (the layout-from-surviving-files bug)
+    assert(VersionedTable.insertInto(spark, root,
+      Seq((20L, 0L), (21L, 1L)).toDF("id", "b")) === 3)
+    val parts = VersionedTable.listSnapshotFiles(spark, root, 3)
+      .select("part").as[String].collect()
+    assert(parts.nonEmpty && parts.forall(_.startsWith("b=")), parts.mkString(","))
+    assert(VersionedTable.read(spark, root).select("id").as[Long].collect().toSet ===
+      Set(20L, 21L))
+  }
+
   test("appendBatch recovers a crashed orphan: retry of the batch commits once") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_o_").toString + "/t"
     VersionedTable.appendBatch(spark, root, 0L, Seq((1L, "a")).toDF("id", "payload"))
