@@ -61,6 +61,13 @@ object IncrementalMv extends QueryRegistry {
     require((Seq(rowCount) ++ measures.flatMap(m =>
       Seq(m.sum, m.cnt) ++ m.min ++ m.max)).forall(types.contains),
       "summary is missing registered partial columns")
+    // partial columns this refresh does NOT maintain survive the algebraic
+    // merge untouched (the documented keep contract) — but a RESCANNED
+    // cell is recomputed from the base and cannot produce them; that path
+    // fails loudly below instead of null-filling them silently
+    val covered = (keys :+ rowCount).toSet ++ measures.flatMap(m =>
+      Seq(m.sum, m.cnt) ++ m.min ++ m.max)
+    val uncovered = summary.columns.filterNot(covered)
 
     // signed image: insert/post-image rows add to the cell, delete/pre-image
     // rows subtract — an update contributes both sides of its pair
@@ -77,11 +84,16 @@ object IncrementalMv extends QueryRegistry {
           min(when(sgn === -1, v)).as(s"__imv_delmin_${m.col}"),
           max(when(sgn === -1, v)).as(s"__imv_delmax_${m.col}"))
       }
-    // one change-feed aggregation, cached: the cell-delta frame is read by
-    // the merge, the re-scan key set, and the decision frame — change-cell-
-    // sized, so the cache is tiny regardless of base-table scale
-    val delta = changes.groupBy(keys.map(col): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*).persist()
+    // one change-feed aggregation, MATERIALIZED: the cell-delta frame is
+    // read by the merge, the re-scan key set, and the decision frame —
+    // change-cell-sized by construction, so holding the rows beats a
+    // persist() a long-running maintainer would leak one cache entry per
+    // commit through (the lazy return frames outlive this call, so there
+    // is no safe point to unpersist inside it)
+    val deltaLazy = changes.groupBy(keys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val delta = summary.sparkSession.createDataFrame(
+      java.util.Arrays.asList(deltaLazy.collect(): _*), deltaLazy.schema)
 
     val j = summary.join(delta, keys, "full_outer")
     val touched = col("__imv_d_rows").isNotNull
@@ -121,6 +133,14 @@ object IncrementalMv extends QueryRegistry {
     val newSummary =
       if (rescanKeys.isEmpty) kept
       else {
+        // the rescan REPLACES the cell with a recompute of the registered
+        // partials — a partial not registered with this refresh would be
+        // silently null-filled by the union, corrupting every later merge
+        require(uncovered.isEmpty,
+          s"a delete-of-extreme re-scan must recompute every summary " +
+            s"partial, but these are not registered with this refresh: " +
+            s"${uncovered.mkString(", ")} — register them (or refresh a " +
+            "summary projected to the maintained partials)")
         // ONLY the affected cells' slice of the new snapshot is read: the
         // semi-join restricts the scan to change-cell-sized key set (and
         // prunes partitions when the MV keys align with the layout)
@@ -157,12 +177,23 @@ object IncrementalMv extends QueryRegistry {
   def refreshPath(spark: SparkSession, summaryPath: String, changes: DataFrame,
       keys: Seq[String], rowCount: String, measures: Seq[MeasureSpec],
       rescanBase: () => DataFrame): DataFrame = {
-    val (newSummary, decisions) = applyChanges(
-      spark.read.parquet(summaryPath), changes, keys, rowCount, measures, rescanBase)
     val dest = new org.apache.hadoop.fs.Path(summaryPath)
     val tmp = new org.apache.hadoop.fs.Path(summaryPath + ".tmp")
     val fs = dest.getFileSystem(spark.sessionState.newHadoopConf())
+    // roll a crashed publish forward (same discipline as the versioned
+    // maintainer): a crash between the delete and the rename left only the
+    // COMPLETE staged dir — without this, the summary is gone for good
+    if (!fs.exists(dest) && fs.exists(tmp)) {
+      fs.rename(tmp, dest)
+      spark.catalog.refreshByPath(summaryPath)
+    }
+    // a maintained summary's watermark must survive the swap: the marker
+    // is staged into tmp BEFORE the publish, never silently destroyed
+    val marker = readMarker(fs, summaryPath)
+    val (newSummary, decisions) = applyChanges(
+      spark.read.parquet(summaryPath), changes, keys, rowCount, measures, rescanBase)
     newSummary.write.mode("overwrite").parquet(tmp.toString)
+    marker.foreach(v => writeMarker(fs, tmp.toString, v))
     // materialize the decision evidence while the old summary still exists
     // (it reads the pre-refresh state)
     val decRows = java.util.Arrays.asList(decisions.collect(): _*)
@@ -189,9 +220,14 @@ object IncrementalMv extends QueryRegistry {
     val m = markerOf(summaryPath)
     if (!fs.exists(m)) None
     else {
-      val in = fs.open(m)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
+      // exists→open races the publish swap (delete-dest → rename): a poll
+      // landing in the gap reads mid-swap — that is "not yet applied", not
+      // an error worth failing a caller's await loop over
+      try {
+        val in = fs.open(m)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
     }
   }
 

@@ -2,7 +2,6 @@ package graft.plans
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
@@ -95,7 +94,10 @@ object MvRewrite extends Rule[LogicalPlan] {
       * version's summary. */
     def servesScan(paths: Set[String]): Boolean = baseFiles match {
       case Some(fileSet) => paths == fileSet
-      case None => paths.contains(baseLocation)
+      // EXACTLY the base and nothing else: a multi-path scan that merely
+      // includes the base (read.parquet(base, extra)) aggregates more rows
+      // than the summary carries — rerouting it would drop them silently
+      case None => paths == Set(baseLocation)
     }
   }
 
@@ -200,8 +202,24 @@ object MvRewrite extends Rule[LogicalPlan] {
     * the heal. Re-entrancy guarded: the heal runs Spark jobs (the CDC
     * maintain) whose plans pass back through this rule. Failures log and
     * leave the full scan — correct, never stale. */
+  // Negative-decision cache keyed by the SCANNED FILE SET: deciding
+  // "nothing to heal" costs a `_latest` read plus a manifest read, and an
+  // unserved aggregate (filters on measure columns, a time-travel read)
+  // re-plans the same set many times — while a foreign commit CHANGES the
+  // head's file set, so a genuinely new head always misses the cache and
+  // heals immediately. Entries expire by TTL; the map is pruned inline.
+  private val NoHealTtlMs = 10000L
+  private val noHeal =
+    new java.util.concurrent.ConcurrentHashMap[Set[String], Long]()
+
   private def headHeal(paths: Set[String]): Unit = {
     if (healing.get || headChecks.isEmpty || paths.isEmpty) return
+    val now = System.currentTimeMillis()
+    val seen = noHeal.get(paths)
+    if (seen != null && now - seen < NoHealTtlMs) return
+    if (noHeal.size > 256)
+      noHeal.entrySet().removeIf(e => now - e.getValue > NoHealTtlMs)
+    var healed = false
     headChecks.forEach { (root, heal) =>
       try {
         val spark = SparkSession.active
@@ -217,7 +235,7 @@ object MvRewrite extends Rule[LogicalPlan] {
           if (paths == headSet &&
               !registry.asScala.exists(_.baseFiles.contains(headSet))) {
             healing.set(true)
-            try heal(spark) finally healing.set(false)
+            try { heal(spark); healed = true } finally healing.set(false)
           }
         }
       } catch {
@@ -226,6 +244,7 @@ object MvRewrite extends Rule[LogicalPlan] {
             s"[graft] MvRewrite head check failed for $root: ${e.getMessage}")
       }
     }
+    if (!healed) noHeal.put(paths, now)
   }
 
   /** Run an MV-serving scenario with the rewrite enabled and hand back an
@@ -237,29 +256,12 @@ object MvRewrite extends Rule[LogicalPlan] {
     * assert is what actually executed; registrations stay in the registry
     * but are inert once the enable flag is back off. */
   def servingScoped(spark: SparkSession, withApproxDistinct: Boolean = false)
-      (body: => DataFrame): DataFrame = {
-    val prevEnabled = spark.conf.getOption(EnabledKey)
-    val prevApprox = spark.conf.getOption(ApproxDistinctKey)
-    if (!spark.experimental.extraOptimizations.contains(this))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ this
-    spark.conf.set(EnabledKey, "true")
-    if (withApproxDistinct) spark.conf.set(ApproxDistinctKey, "true")
-    try {
-      val df = body
-      val rows = java.util.Arrays.asList(df.collect(): _*)
-      spark.createDataFrame(rows, df.schema)
-    } finally {
-      prevEnabled.fold(spark.conf.unset(EnabledKey))(spark.conf.set(EnabledKey, _))
-      prevApprox.fold(spark.conf.unset(ApproxDistinctKey))(spark.conf.set(ApproxDistinctKey, _))
-    }
-  }
+      (body: => DataFrame): DataFrame =
+    PlanRuleSupport.scopedWith(spark, this,
+      Seq(EnabledKey) ++ (if (withApproxDistinct) Seq(ApproxDistinctKey) else Nil))(body)
 
-  private def qualify(spark: SparkSession, path: String): String = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf())
-      .makeQualified(p).toUri.toString
-  }
+  private def qualify(spark: SparkSession, path: String): String =
+    PlanRuleSupport.qualify(spark, path)
 
   private def enabled: Boolean =
     conf.getConfString(EnabledKey, "false").equalsIgnoreCase("true")
@@ -432,6 +434,14 @@ object MvRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference if src.baseOut.contains(a) && src.reg.keys(a.name) =>
         Alias(src.mvOut(a.name), a.name)(exprId = a.exprId)
       case a: AttributeReference if src.rightOut.contains(a) => a
+      // RENAMED grouping column (SELECT category AS cat … GROUP BY
+      // category): still a key passthrough — before this case, the alias
+      // fell into the aggregate matcher and silently disabled the rewrite
+      case al @ Alias(a: AttributeReference, name)
+          if src.baseOut.contains(a) && src.reg.keys(a.name) =>
+        Alias(src.mvOut(a.name), name)(exprId = al.exprId)
+      case al @ Alias(a: AttributeReference, name) if src.rightOut.contains(a) =>
+        Alias(a, name)(exprId = al.exprId)
       // aggregates must read BASE measures only: a dim-column aggregate
       // sees per-row duplication the summary cannot reproduce
       case al: Alias if al.references.subsetOf(src.baseOut) =>

@@ -2,7 +2,6 @@ package graft.plans
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
@@ -193,24 +192,11 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
     * materialized copy, and restore the conf (the [[MvRewrite.servingScoped]]
     * discipline — a gate must not leave the rule active for later queries). */
   def servingScoped(spark: SparkSession)(body: => org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val prev = spark.conf.getOption(EnabledKey)
-    if (!spark.experimental.extraOptimizations.contains(this))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ this
-    spark.conf.set(EnabledKey, "true")
-    try {
-      val df = body
-      val rows = java.util.Arrays.asList(df.collect(): _*)
-      spark.createDataFrame(rows, df.schema)
-    } finally prev.fold(spark.conf.unset(EnabledKey))(spark.conf.set(EnabledKey, _))
-  }
+      : org.apache.spark.sql.DataFrame =
+    PlanRuleSupport.scopedWith(spark, this, Seq(EnabledKey))(body)
 
-  private def qualify(spark: SparkSession, path: String): String = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf())
-      .makeQualified(p).toUri.toString
-  }
+  private def qualify(spark: SparkSession, path: String): String =
+    PlanRuleSupport.qualify(spark, path)
 
   private def enabled: Boolean =
     conf.getConfString(EnabledKey, "false").equalsIgnoreCase("true")
@@ -340,10 +326,16 @@ object StatsPrune extends Rule[LogicalPlan] with PredicateHelper {
     // path, no I/O). Subset-of-pinned scans stay candidates (a shrink-only
     // commit's head IS a subset) but read `_latest` through the TTL cache.
     val rootPrefixes: Map[String, String] = registry.asScala.toSeq
-      .groupBy(_.root).flatMap { case (r, regs) =>
-        regs.head.pathSet.headOption.flatMap { sample =>
+      .groupBy(_.root).map { case (r, regs) =>
+        r -> regs.head.pathSet.headOption.flatMap { sample =>
           val i = sample.lastIndexOf("/_data/")
-          if (i < 0) None else Some(r -> sample.substring(0, i + "/_data".length))
+          if (i < 0) None else Some(sample.substring(0, i + "/_data".length))
+        }.getOrElse {
+          // a root pinned while its snapshot was EMPTY has no sample path;
+          // qualify the pool dir directly (conf work, no filesystem I/O) —
+          // else the root could never heal after another process's commit
+          qualify(SparkSession.active,
+            graft.sources.VersionedTable.dataDir(r))
         }
       }
     val sampleHead = paths.head

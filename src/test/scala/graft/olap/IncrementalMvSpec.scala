@@ -238,4 +238,42 @@ class IncrementalMvSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === Seq(("a", 119L, 2L), ("b", 6L, 1L)))
   }
+
+  test("a re-scan with an unmaintained partial fails loudly, never null-fills (r16)") {
+    val base = Seq(("a", 10L), ("a", 20L)).toDF("k", "v")
+    // min registered, max NOT: deleting the min forces a re-scan that
+    // cannot recompute v_max — silently nulling it corrupted later merges
+    val minOnly = Seq(MeasureSpec("v", "v_sum", "v_cnt", min = Some("v_min")))
+    val f = feed(("a", "delete", 10L))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalMv.applyChanges(summarize(base), f, keys, "n_rows",
+        minOnly, () => Seq(("a", 20L)).toDF("k", "v"))._1.collect()
+    }
+    assert(e.getMessage.contains("v_max"), e.getMessage)
+    // the same refresh over a summary projected to the maintained partials
+    // re-scans fine
+    val projected = summarize(base).drop("v_max")
+    val (s1, _) = IncrementalMv.applyChanges(projected, f, keys, "n_rows",
+      minOnly, () => Seq(("a", 20L)).toDF("k", "v"))
+    assert(s1.select("v_min").as[Long].head() === 20L)
+  }
+
+  test("refreshPath rolls a crashed publish forward and keeps the watermark (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_imv_rp_").toString
+    val base = Seq(("a", 10L), ("b", 5L)).toDF("k", "v")
+    IncrementalMv.initSummaryAt(spark, s"$dir/s", summarize(base), 7)
+    // simulate a crash between the publish's delete and rename: only the
+    // complete staged dir exists
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/s"),
+      new org.apache.hadoop.fs.Path(s"$dir/s.tmp")))
+    val dec = IncrementalMv.refreshPath(spark, s"$dir/s",
+      feed(("a", "insert", 2L)), keys, "n_rows", specs, poisoned)
+    assert(dec.collect().map(_.getAs[String]("action")).toSeq === Seq("merge"))
+    assert(spark.read.parquet(s"$dir/s").filter(col("k") === "a")
+      .select("v_sum").as[Long].head() === 12L)
+    // the applied-version watermark survived the swap
+    assert(IncrementalMv.appliedVersion(spark, s"$dir/s") === Some(7))
+  }
 }

@@ -413,4 +413,37 @@ class MvRewriteSpec extends SparkSpec {
       assert(fq.select(sum("t")).as[Long].head() === 55L)
     }
   }
+
+  test("a multi-path scan that merely INCLUDES the base never reroutes (r16)") {
+    withMv { base =>
+      // extra rows live outside the registered base: serving from the
+      // summary would silently drop them from the aggregate
+      val extra = s"$base/extra"
+      (1L to 10L).map(i => (i % 7, "cX", BigDecimal(99).setScale(2), 1L))
+        .toDF("k", "c", "amount", "qty").write.parquet(extra)
+      val q = spark.read.parquet(s"$base/grain", extra)
+        .groupBy("c").agg(sum("qty").as("t"))
+      assert(scannedPaths(q).forall(p => !p.endsWith("/mv")), scannedPaths(q))
+      assert(q.filter(col("c") === "cX").select("t").as[Long].head() === 10L)
+    }
+  }
+
+  test("a RENAMED grouping column still reroutes (r16)") {
+    withMv { base =>
+      def query() = spark.read.parquet(s"$base/grain")
+        .groupBy("c").agg(sum("qty").as("t"))
+        .select(col("c").as("cat"), col("t"))
+      // .select over the agg puts the Alias in a Project; the in-agg shape:
+      val inAgg = spark.read.parquet(s"$base/grain")
+        .groupBy(col("c")).agg(col("c").as("cat"), sum("qty").as("t"))
+        .select("cat", "t")
+      assert(scannedPaths(inAgg).forall(_.endsWith("/mv")), scannedPaths(inAgg))
+      val served = inAgg.as[(String, Long)].collect().toSet
+      spark.conf.set(MvRewrite.EnabledKey, "false")
+      val direct = try inAgg.as[(String, Long)].collect().toSet
+        finally spark.conf.set(MvRewrite.EnabledKey, "true")
+      assert(served === direct && served.nonEmpty)
+      assert(scannedPaths(query()).forall(_.endsWith("/mv")))
+    }
+  }
 }
