@@ -60,6 +60,19 @@ object EmbeddingOps extends QueryRegistry {
     scored.withColumn("rn", row_number().over(wnd))
   }
 
+  /** The shared ANN serving tail: rank `scored` (query_id, neighbor_id,
+    * cos) per query by descending cosine with neighbor_id as the
+    * deterministic tie-break, keep the top `k`, and emit the
+    * decimal-normalized rounded cosine. ONE implementation — five variants
+    * carried byte-identical copies whose tie-break or rounding discipline
+    * could silently drift apart. */
+  private def serveTopK(scored: DataFrame, k: Int = 5): DataFrame = {
+    val wnd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(wnd)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
+  }
+
   /** Exact brute-force cosine top-10 for the `vec_id % 100 = 0` query set. */
   def cosineTop10(emb: DataFrame): DataFrame =
     bruteRanked(emb)
@@ -149,12 +162,7 @@ object EmbeddingOps extends QueryRegistry {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
-    val wnd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rn", row_number().over(wnd))
-      .filter(col("rn") <= 5)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
+    serveTopK(scored)
   }
 
   /** Filtered ANN (r11) — vector search constrained by a metadata
@@ -175,12 +183,7 @@ object EmbeddingOps extends QueryRegistry {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
-    val wnd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rn", row_number().over(wnd))
-      .filter(col("rn") <= 5)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
+    serveTopK(scored)
   }
 
   /** Persisted ANN index (r11) — the index-build/serve split a production
@@ -206,12 +209,7 @@ object EmbeddingOps extends QueryRegistry {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
-    val wnd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rn", row_number().over(wnd))
-      .filter(col("rn") <= 5)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
+    serveTopK(scored)
   }
 
   /** Build-then-serve roundtrip: the persisted index must answer exactly
@@ -282,11 +280,19 @@ object EmbeddingOps extends QueryRegistry {
       val best = state.orderBy(col("min_dist").desc, col("vec_id")).limit(1)
         .select("vec_id", "min_dist", "embedding").collect()(0)
       picks += ((i, best.getLong(0), Some(best.getDouble(1))))
+      val prev = state
       state = state.filter(col("vec_id") =!= best.getLong(0))
         .withColumn("min_dist",
           least(col("min_dist"), distTo(best.getSeq[Float](2)))).cache()
+      // materialize the new round, THEN release the previous one — k
+      // rounds per call would otherwise leak k cached corpus copies into
+      // the long-lived session per invocation
+      state.count()
+      prev.unpersist()
     }
-    picks.toSeq.toDF("sample_rank", "vec_id", "min_dist")
+    val out = picks.toSeq.toDF("sample_rank", "vec_id", "min_dist")
+    state.unpersist()
+    out
   }
 
   /** Unrolled oracle for [[kcenterSample]]: per round, the argmax CTE and
@@ -497,6 +503,7 @@ object EmbeddingOps extends QueryRegistry {
       .select(col("query_id"), col("cand_id"), col("embedding"),
         r6(col("raw")).as("rel"), lit(-1.0).as("max_sim"))
     var picks: DataFrame = null
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
     for (r <- 1 to k) {
       val sw = Window.partitionBy("query_id")
         .orderBy((lit(0.7) * col("rel") - lit(0.3) * col("max_sim")).desc, col("cand_id"))
@@ -504,6 +511,7 @@ object EmbeddingOps extends QueryRegistry {
         .filter(col("srn") === 1)
         .select(col("query_id"), col("cand_id"), col("embedding"), col("rel"))
         .cache()
+      cached += sel
       val out = sel.select(col("query_id"), lit(r).as("mmr_rank"),
         col("cand_id").as("neighbor_id"), col("rel").as("relevance"))
       picks = if (picks == null) out else picks.unionByName(out)
@@ -516,7 +524,13 @@ object EmbeddingOps extends QueryRegistry {
             greatest(col("max_sim"),
               r6(cosine(col("embedding"), col("sel_emb")))).as("max_sim"))
     }
-    picks
+    // queries×k rows: materialize, then RELEASE the k per-round caches —
+    // returned lazily they had no safe unpersist point, leaking k cache
+    // entries into the long-lived session per invocation
+    val rows = java.util.Arrays.asList(picks.collect(): _*)
+    val result = emb.sparkSession.createDataFrame(rows, picks.schema)
+    cached.foreach(_.unpersist())
+    result
   }
 
   /** Unrolled oracle for [[mmrRerank]]: per round, the per-query argmax CTE
@@ -580,12 +594,7 @@ object EmbeddingOps extends QueryRegistry {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("cos"))
-    val wnd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rn", row_number().over(wnd))
-      .filter(col("rn") <= 5)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
+    serveTopK(scored)
   }
 
   /** Embedding-cosine near-duplicate detection: candidate pairs from the LSH
@@ -715,12 +724,7 @@ object EmbeddingOps extends QueryRegistry {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosAny(col("qe"), col("embedding")).as("cos"))
-    val wnd = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rn", row_number().over(wnd))
-      .filter(col("rn") <= 5)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).cast("decimal(10,6)").cast("double").as("cosine"))
+    serveTopK(scored)
   }
 
   private def sqlDot(a: String, b: String): String =

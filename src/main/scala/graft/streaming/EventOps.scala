@@ -107,12 +107,14 @@ object EventOps extends QueryRegistry {
     * feed scans the `ts` column chunks, which at 100 TB is a real job —
     * pay it ONCE per (session, feed state), not on every operator
     * construction. Timestamp-typed feeds never probe at all. The key
-    * carries the feed's FILE SIGNATURE (names + lengths + mtimes, one
-    * listing RPC), so a regenerated file at the same path re-infers and
-    * re-runs the sane-epoch assertion instead of applying a stale factor
-    * (ADVICE r10). */
+    * is keyed by PATH with the feed's FILE SIGNATURE (names + lengths +
+    * mtimes, one listing RPC) stored in the value — a regenerated file at
+    * the same path re-infers and re-runs the sane-epoch assertion instead
+    * of applying a stale factor (ADVICE r10), and a churning feed REPLACES
+    * its entry instead of growing the map by one signature-sized key per
+    * regeneration for the session's lifetime. */
   private val tsFactorCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, (Long, Long))]()
 
   /** Listing-derived content signature of a feed path/glob (one level of
     * directory expansion — parquet table dirs are flat). */
@@ -129,7 +131,8 @@ object EventOps extends QueryRegistry {
     * its actual schema (shared by batch and streaming reads; the one
     * min/max job on long feeds reads only parquet column chunks of `ts`,
     * cached per feed path when one is supplied). */
-  private def tsToUs(raw: DataFrame, cacheKey: Option[String] = None): Column =
+  private def tsToUs(raw: DataFrame,
+      cacheKey: Option[(String, String)] = None): Column =
     raw.schema("ts").dataType match {
       case TimestampType | TimestampNTZType =>
         // session tz is pinned UTC at every entry point, so NTZ wall-clock
@@ -150,7 +153,9 @@ object EventOps extends QueryRegistry {
           }
         }
         val f = cacheKey match {
-          case Some(k) => tsFactorCache.computeIfAbsent(k, _ => infer())
+          case Some((path, sig)) =>
+            tsFactorCache.compute(path, (_, prev) =>
+              if (prev != null && prev._1 == sig) prev else (sig, infer()))._2
           case None => infer()
         }
         usColumn(f)
@@ -163,7 +168,7 @@ object EventOps extends QueryRegistry {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     val raw = rawEvents(spark, path)
-    raw.withColumn("ts", tsToUs(raw, Some(s"$path@${feedSignature(spark, path)}")))
+    raw.withColumn("ts", tsToUs(raw, Some((path, feedSignature(spark, path)))))
   }
 
   /** File-source stream over `eventsDir` with the SAME normalization as the
@@ -346,22 +351,34 @@ object EventOps extends QueryRegistry {
     * `user_id`, and the per-user collapse groups on the same key (the
     * exchange is already satisfied) — no event ever leaves its user
     * partition, so the shape survives any user count. */
-  def funnel(events: DataFrame): DataFrame = {
+  def funnel(events: DataFrame): DataFrame =
+    funnelCore(events, gapUs = None,
+      clickedName = "clicked_after_view", purchasedName = "purchased_after_funnel")
+
+  /** The shared funnel pipeline: [[funnel]] is exactly [[funnelWindowed]]
+    * with no deadline, so one parameterized core carries both (the
+    * unbounded form's `within` folds to a true literal — same plan). */
+  private def funnelCore(events: DataFrame, gapUs: Option[Long],
+      clickedName: String, purchasedName: String): DataFrame = {
     val wAll = Window.partitionBy("user_id")
+    def within(prev: Column): Column =
+      gapUs.map(g => col("ts") <= prev + g).getOrElse(lit(true))
     val perUser = events
       .withColumn("v_ts",
         min(when(col("event_type") === "view", col("ts"))).over(wAll))
       .withColumn("c_ts",
-        min(when(col("event_type") === "click" && col("ts") > col("v_ts"), col("ts"))).over(wAll))
+        min(when(col("event_type") === "click" && col("ts") > col("v_ts") &&
+          within(col("v_ts")), col("ts"))).over(wAll))
       .withColumn("p_ts",
-        min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"), col("ts"))).over(wAll))
+        min(when(col("event_type") === "purchase" && col("ts") > col("c_ts") &&
+          within(col("c_ts")), col("ts"))).over(wAll))
       .groupBy("user_id")
       .agg(max("v_ts").as("v_ts"), max("c_ts").as("c_ts"), max("p_ts").as("p_ts"))
     perUser.agg(
       count(lit(1)).as("n_users"),
       count(col("v_ts")).as("viewed"),
-      count(col("c_ts")).as("clicked_after_view"),
-      count(col("p_ts")).as("purchased_after_funnel"),
+      count(col("c_ts")).as(clickedName),
+      count(col("p_ts")).as(purchasedName),
       (count(col("c_ts")).cast("double") / count(col("v_ts"))).as("view_to_click"),
       (count(col("p_ts")).cast("double") / count(col("c_ts"))).as("click_to_purchase"))
   }
@@ -395,28 +412,9 @@ object EventOps extends QueryRegistry {
     * purchase made months later); the deadline is pure µs-integer
     * arithmetic inside the SAME per-user windows, so the one-shuffle shape
     * of [[funnel]] is unchanged. */
-  def funnelWindowed(events: DataFrame, maxGapHours: Int = 48): DataFrame = {
-    val gapUs = maxGapHours * 3600L * 1000000L
-    val wAll = Window.partitionBy("user_id")
-    val perUser = events
-      .withColumn("v_ts",
-        min(when(col("event_type") === "view", col("ts"))).over(wAll))
-      .withColumn("c_ts",
-        min(when(col("event_type") === "click" && col("ts") > col("v_ts") &&
-          col("ts") <= col("v_ts") + gapUs, col("ts"))).over(wAll))
-      .withColumn("p_ts",
-        min(when(col("event_type") === "purchase" && col("ts") > col("c_ts") &&
-          col("ts") <= col("c_ts") + gapUs, col("ts"))).over(wAll))
-      .groupBy("user_id")
-      .agg(max("v_ts").as("v_ts"), max("c_ts").as("c_ts"), max("p_ts").as("p_ts"))
-    perUser.agg(
-      count(lit(1)).as("n_users"),
-      count(col("v_ts")).as("viewed"),
-      count(col("c_ts")).as("clicked_in_window"),
-      count(col("p_ts")).as("purchased_in_window"),
-      (count(col("c_ts")).cast("double") / count(col("v_ts"))).as("view_to_click"),
-      (count(col("p_ts")).cast("double") / count(col("c_ts"))).as("click_to_purchase"))
-  }
+  def funnelWindowed(events: DataFrame, maxGapHours: Int = 48): DataFrame =
+    funnelCore(events, gapUs = Some(maxGapHours * 3600L * 1000000L),
+      clickedName = "clicked_in_window", purchasedName = "purchased_in_window")
 
   /** As-of join: every event picks up the most recent STRICTLY PRIOR `error`
     * event of the same user (time-to-last-error). Spark has no native as-of
@@ -737,7 +735,12 @@ object EventOps extends QueryRegistry {
                 out += SessionSummary(user, s.start, s.last, s.n)
                 st = Some(SessState(e.ts, e.ts, 1))
               case Some(s) =>
-                st = Some(s.copy(last = e.ts, n = s.n + 1))
+                // a CROSS-BATCH late event (sorted within a batch, but a
+                // later micro-batch can carry an older ts) must never move
+                // the session's bounds backwards: last going backwards
+                // would spuriously split on the next on-time event
+                st = Some(SessState(math.min(s.start, e.ts),
+                  math.max(s.last, e.ts), s.n + 1))
               case None =>
                 st = Some(SessState(e.ts, e.ts, 1))
             }
@@ -758,7 +761,17 @@ object EventOps extends QueryRegistry {
     * or before `max(t) - 1 h`; each user-visible value matches the batch
     * aggregate, proving append-mode emission loses and duplicates nothing
     * short of the (still-open) tail windows. */
-  private def streamHourlyRoundtrip(s: SparkSession, dir: String): DataFrame = {
+  // memoized per (session, dir): the trending row ranks THIS row's stored
+  // output — re-running the full checkpointed streaming pipeline for it
+  // doubled the streaming gates' wall-clock for a |hours|×|types| rank
+  private val hourlyRoundtripCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def streamHourlyRoundtrip(s: SparkSession, dir: String): DataFrame =
+    hourlyRoundtripCache.computeIfAbsent((s, dir),
+      _ => buildStreamHourlyRoundtrip(s, dir))
+
+  private def buildStreamHourlyRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
     val r = ev.agg(min("ts"), max("ts")).head()
     val mid = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2

@@ -115,6 +115,39 @@ class EventOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a cross-batch LATE event never moves the session bounds backwards (r16)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    val us = 1000000L
+    val input = MemoryStream[EventOps.SessionEvent]
+    val q = EventOps.sessionize(input.toDS(), gapMinutes = 10)
+      .writeStream.format("memory").queryName("sessions_late_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: state last = T (600s)
+      input.addData(EventOps.SessionEvent(9L, 600L * us))
+      q.processAllAvailable()
+      // batch 2: a LATE event 9min older merges (within gap) — but if it
+      // moved `last` backwards, the next on-time event would split
+      input.addData(EventOps.SessionEvent(9L, 60L * us))
+      q.processAllAvailable()
+      // batch 3: 5min after the true last event — same session
+      input.addData(EventOps.SessionEvent(9L, 900L * us))
+      q.processAllAvailable()
+      assert(spark.table("sessions_late_out").count() === 0,
+        "an in-gap continuation must not close the session")
+      // a genuine 11-min silence closes ONE session with the true bounds
+      input.addData(EventOps.SessionEvent(9L, (900L + 11 * 60) * us))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_late_out")
+        .as[EventOps.SessionSummary].collect()
+      assert(sessions.toSeq ===
+        Seq(EventOps.SessionSummary(9L, 60L * us, 900L * us, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup collapses re-delivered files to distinct event_ids") {
     val dropDir = java.nio.file.Files.createTempDirectory("graft_dedup")
     // the same parquet delivered twice = an at-least-once redelivery

@@ -79,4 +79,35 @@ class IncrementalEtlSpec extends SparkSpec {
     assert(maintained.nonEmpty)
     staged.unpersist()
   }
+
+  test("summary maintenance is exactly-once under batch replay; a crashed swap rolls forward (r16)") {
+    val w = Warehouse(spark, sfDir)
+    val summary = java.nio.file.Files.createTempDirectory("graft_molap_eo_").toString + "/mc"
+    val staged = Staging.sales(spark, sfDir).limit(1000).cache()
+    val batchFact = Transforms.factSales(
+      Transforms.salesFinal(Transforms.salesParsed(staged), w.dimProduct),
+      w.dimProduct, w.dimCustomer).cache()
+    def nRows(): Long = spark.read.parquet(summary)
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0)
+    IncrementalEtl.mergeBatchIntoSummary(spark, w, summary, batchFact, 0L)
+    val after0 = nRows()
+    IncrementalEtl.mergeBatchIntoSummary(spark, w, summary, batchFact, 1L)
+    val after1 = nRows()
+    assert(after1 === 2 * after0)
+    // the post-crash redelivery: same id (and an older id) merges NOTHING —
+    // an unguarded merge would double-count the replayed batch's cells
+    IncrementalEtl.mergeBatchIntoSummary(spark, w, summary, batchFact, 1L)
+    IncrementalEtl.mergeBatchIntoSummary(spark, w, summary, batchFact, 0L)
+    assert(nRows() === after1, "a replayed batch must merge nothing")
+    // crash between the swap's delete and rename: only the staged dir
+    // remains — the next batch must roll it forward, not rebuild from its
+    // own cells (which would silently erase every prior batch)
+    val fs = new org.apache.hadoop.fs.Path(summary)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(summary),
+      new org.apache.hadoop.fs.Path(summary + ".tmp")))
+    IncrementalEtl.mergeBatchIntoSummary(spark, w, summary, batchFact, 2L)
+    assert(nRows() === 3 * after0, "the crashed publish must roll forward")
+    staged.unpersist(); batchFact.unpersist()
+  }
 }
