@@ -241,16 +241,22 @@ object TextOps extends QueryRegistry {
   /** The trained model as a standalone (token, weight) artifact — the
     * |vocab|-row frame the serving path broadcasts. Trains on `docs`' hash-
     * split train slice only. */
-  def classifierTrain(docs: DataFrame): DataFrame = {
+  /** The train slice's per-token class counts with class totals attached —
+    * the shared core of [[classifierTrain]], [[classifierTrainNormalized]]
+    * and [[classifierModelCard]] (was triplicated; a fix to the train
+    * filter or the weight formula had to land in three places). */
+  private def classifierClassCounts(docs: DataFrame): DataFrame = {
     val cls = classifierTf(docs).filter(col("is_train"))
       .groupBy("token")
       .agg(sum(when(col("label"), col("tf")).otherwise(lit(0L))).as("tf_pos"),
         sum(when(!col("label"), col("tf")).otherwise(lit(0L))).as("tf_neg"))
-    val totals = cls.agg(sum("tf_pos").as("t_pos"), sum("tf_neg").as("t_neg"))
-    cls.crossJoin(broadcast(totals))
-      .select(col("token"),
-        (col("tf_pos") * col("t_neg") - col("tf_neg") * col("t_pos")).as("weight"))
+    cls.crossJoin(broadcast(
+      cls.agg(sum("tf_pos").as("t_pos"), sum("tf_neg").as("t_neg"))))
   }
+
+  def classifierTrain(docs: DataFrame): DataFrame =
+    classifierClassCounts(docs).select(col("token"),
+      (col("tf_pos") * col("t_neg") - col("tf_neg") * col("t_pos")).as("weight"))
 
   /** Score arbitrary (doc_id, text) rows against a trained weight table —
     * the inference path: one narrow tokenize + tf aggregate per batch, a
@@ -286,15 +292,15 @@ object TextOps extends QueryRegistry {
     * the fixture; signs hold whenever |score| clears the fp accumulation
     * error, ~1e-18 of a term vs ≥1/(T_pos·T_neg) for any nonzero score). */
   def classifierTrainNormalized(docs: DataFrame): DataFrame = {
-    val cls = classifierTf(docs).filter(col("is_train"))
-      .groupBy("token")
-      .agg(sum(when(col("label"), col("tf")).otherwise(lit(0L))).as("tf_pos"),
-        sum(when(!col("label"), col("tf")).otherwise(lit(0L))).as("tf_neg"))
-    val totals = cls.agg(sum("tf_pos").as("t_pos"), sum("tf_neg").as("t_neg"))
-    cls.crossJoin(broadcast(totals))
-      .select(col("token"),
-        (col("tf_pos").cast("double") / col("t_pos") -
-          col("tf_neg").cast("double") / col("t_neg")).as("weight"))
+    // a single-class train slice (every doc labeled alike — the skew a
+    // language-ratio rule produces on a uniform feed) zeroes one class
+    // total: that class's rate is 0, never 0/0 — the exact-integer twin
+    // degrades the same way, and ANSI division would otherwise throw
+    def rate(tf: Column, t: Column): Column =
+      when(t === 0, lit(0.0)).otherwise(tf.cast("double") / t)
+    classifierClassCounts(docs).select(col("token"),
+      (rate(col("tf_pos"), col("t_pos")) -
+        rate(col("tf_neg"), col("t_neg"))).as("weight"))
   }
 
   /** [[classifierScores]] through the NORMALIZED weights — the at-scale
@@ -332,7 +338,16 @@ object TextOps extends QueryRegistry {
         classifierScore(batch, weights).write.mode("append").parquet(outPath)
         ()
       }
-    (writer, () => { weights.unpersist(); () })
+    (writer, () => {
+      weights.unpersist()
+      // the training pass ALSO materialized the corpus-token-level tf
+      // cache through cacheOnce; the release hook owns it too (CacheManager
+      // resolves the same plan, so this unpersists the shared entry) —
+      // leaving it pinned per stream was the leak class the managed
+      // variants exist to close
+      classifierTf(corpus).unpersist()
+      ()
+    })
   }
 
   /** Classifier model card (r11) — the interpretability artifact a distilled
@@ -341,13 +356,8 @@ object TextOps extends QueryRegistry {
     * counts. Rank is (|weight| desc, token) — integer weights, total order,
     * cross-engine deterministic. Two TakeOrdered passes over the |vocab|-row
     * weight frame; nothing corpus-sized moves. */
-  def classifierModelCard(docs: DataFrame, k: Int = 10): DataFrame = {
-    val cls = classifierTf(docs).filter(col("is_train"))
-      .groupBy("token")
-      .agg(sum(when(col("label"), col("tf")).otherwise(lit(0L))).as("tf_pos"),
-        sum(when(!col("label"), col("tf")).otherwise(lit(0L))).as("tf_neg"))
-    val totals = cls.agg(sum("tf_pos").as("t_pos"), sum("tf_neg").as("t_neg"))
-    val w = cls.crossJoin(broadcast(totals))
+  def classifierModelCard(docs: DataFrame, k: Int = CardK): DataFrame = {
+    val w = classifierClassCounts(docs)
       .select(col("token"), col("tf_pos").cast("long").as("tf_pos"),
         col("tf_neg").cast("long").as("tf_neg"),
         (col("tf_pos") * col("t_neg") - col("tf_neg") * col("t_pos")).as("weight"))
@@ -410,9 +420,15 @@ object TextOps extends QueryRegistry {
       .agg(sum("tf").cast("long").as("n_tokens"))
     // 9 descending boundaries (p90..p10 of the score distribution); decile
     // 1 = scores at/above the p90 boundary, matching ntile's top tenth
-    val bounds = scores.agg(expr(
+    val bounds = Option(scores.agg(expr(
       s"approx_percentile(score, array(${(1 to 9).reverse.map(_ / 10.0).mkString(", ")}), $accuracy)")
-      .as("bs")).head().getSeq[Long](0)
+      .as("bs")).head().getSeq[Long](0))
+      // an empty score frame aggregates to one NULL row — the sweep over
+      // nothing is the empty frame, like every sibling, never an NPE
+      .getOrElse(return docs.sparkSession.emptyDataFrame.select(
+        lit(0L).as("decile"), lit(0L).as("n_docs"),
+        lit(0L).as("decile_tokens"), lit(0L).as("cum_docs"),
+        lit(0L).as("cum_tokens"), lit(0.0).as("token_share")))
     val bArr = array(bounds.map(lit): _*)
     val ranked = scores.join(toks, Seq("doc_id"))
       .withColumn("decile",
@@ -465,6 +481,7 @@ object TextOps extends QueryRegistry {
     val approx = classifierThresholdSweepApprox(docs, accuracy)
     val scores = classifierScores(docs).select("doc_id", "score")
     val n = scores.count()
+    if (n == 0) return exact // nothing to cross-check on an empty corpus
     val maxTie = scores.groupBy("score").agg(count(lit(1)).as("c"))
       .agg(max("c")).head().getLong(0)
     val tol = n.toDouble / accuracy + maxTie + 1
@@ -548,12 +565,22 @@ object TextOps extends QueryRegistry {
       (col("c_cur").cast("double") / col("t_cur")).as("share_cur"),
       (col("c_cur").cast("double") / col("t_cur") -
         col("c_ref").cast("double") / col("t_ref")).as("share_delta"),
-      // doubled-or-halved in integer cross-multiplication; material mass
+      // doubled-or-halved in EXACT cross-multiplication, widened to
+      // decimal(38,0): count×total exits int64 near trillion-token slices
+      // (c ~ 5e10 times t ~ 1e12 is 5e22), where ANSI int64 arithmetic
+      // would throw; 38 digits carry any corpus until c·t·2 passes 1e38 —
+      // beyond exabyte scale (DuckDB widens the same comparison to
+      // HUGEINT, so the boundary still never floats). Material mass
       // (share > 0.1%) in EITHER slice, so a vanished token still flags
-      ((col("c_cur") * col("t_ref") >= col("c_ref") * col("t_cur") * 2 ||
-        col("c_cur") * col("t_ref") * 2 <= col("c_ref") * col("t_cur")) &&
-        (col("c_cur") * lit(1000L) > col("t_cur") ||
-          col("c_ref") * lit(1000L) > col("t_ref"))).as("drifted"))
+      {
+        def d38(c: Column) = c.cast("decimal(38,0)")
+        ((d38(col("c_cur")) * d38(col("t_ref")) >=
+            d38(col("c_ref")) * d38(col("t_cur")) * 2 ||
+          d38(col("c_cur")) * d38(col("t_ref")) * 2 <=
+            d38(col("c_ref")) * d38(col("t_cur"))) &&
+          (col("c_cur") * lit(1000L) > col("t_cur") ||
+            col("c_ref") * lit(1000L) > col("t_ref"))).as("drifted")
+      })
   }
 
   /** Corpus vocabulary, top-k by frequency — the token frequency table a
@@ -807,7 +834,7 @@ object TextOps extends QueryRegistry {
     * (`n·max − Σ`, all exact integers). Shard-local like the packer: one
     * shuffle on the md5 shard, the sort runs within shards, shards scale
     * with the cluster. */
-  def lengthBatches(docs: DataFrame, batchSize: Int = 32, shards: Int = 8): DataFrame = {
+  def lengthBatches(docs: DataFrame, batchSize: Int = BatchSize, shards: Int = BatchShards): DataFrame = {
     val shard = md5Bucket(col("doc_id").cast("string"), shards).as("shard")
     val wnd = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("n_tokens"), col("doc_id"))
@@ -845,7 +872,7 @@ object TextOps extends QueryRegistry {
       .select("doc_id", "source", "n_tokens")
   }
 
-  def packSequences(docs: DataFrame, capacity: Long = 4096, shards: Int = 8): DataFrame = {
+  def packSequences(docs: DataFrame, capacity: Long = PackCapacity, shards: Int = BatchShards): DataFrame = {
     val shard = md5Bucket(col("doc_id").cast("string"), shards).as("shard")
     val wnd = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
@@ -871,6 +898,16 @@ object TextOps extends QueryRegistry {
   private[llm] val ChunkSize = 64
   private[llm] val ChunkOverlap = 16
   private[llm] val ChunkStride = ChunkSize - ChunkOverlap
+
+  // Same ADVICE r7 #4 discipline for the other parameterized defs: these
+  // feed BOTH the Spark-side defaults and the oracle SQL interpolation, so
+  // changing one can never silently desynchronize the gate.
+  private[llm] val WinnowK = 4
+  private[llm] val WinnowW = 5
+  private[llm] val CardK = 10
+  private[llm] val BatchShards = 8
+  private[llm] val BatchSize = 32
+  private[llm] val PackCapacity = 4096L
 
   def chunkDocs(docs: DataFrame, size: Int = ChunkSize, overlap: Int = ChunkOverlap): DataFrame = {
     require(size > overlap && overlap >= 0, "need size > overlap >= 0")
@@ -1193,9 +1230,12 @@ object TextOps extends QueryRegistry {
     import spark.implicits._
     val wordFreq = docs.select(explode(words).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    var syms = wordFreq
-      .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
-      .cache()
+    var syms = cacheOnce(wordFreq
+      .select(col("word"), col("freq"), split(col("word"), "").as("syms")))
+    // the frame one generation behind `syms`: released once its successor
+    // is MATERIALIZED by the next argmax — an unbounded chain pinned
+    // nMerges+1 vocab-sized cache entries per call for the session's life
+    var older: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     for (i <- 1 to nMerges if !done) {
@@ -1209,6 +1249,10 @@ object TextOps extends QueryRegistry {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").as("cnt"))
       val best = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+      // the argmax just MATERIALIZED the current `syms`: its predecessor is
+      // now lineage-only and releases (eviction falls back to recompute —
+      // correct, never wrong)
+      if (older != null) { older.unpersist(); older = null }
       if (best.isEmpty) done = true
       else {
         val (l, r, cnt) =
@@ -1217,15 +1261,17 @@ object TextOps extends QueryRegistry {
         // each iteration stays cached (vocab-sized); the NEXT iteration's
         // argmax materializes it lazily — an eager count would add a
         // third job per iteration for nothing
-        syms = syms.withColumn("syms",
+        older = syms
+        syms = cacheOnce(syms.withColumn("syms",
             aggregate(col("syms"), array().cast("array<string>"),
               (acc, x) => when(size(acc) > 0 &&
                   element_at(acc, -1) === lit(l) && x === lit(r),
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-                .otherwise(concat(acc, array(x)))))
-          .cache()
+                .otherwise(concat(acc, array(x))))))
       }
     }
+    // bounded residue: the final symbolization (the vocab callers read) and
+    // at most one predecessor stay cached; repeat calls dedup via cacheOnce
     (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count"), syms)
   }
 
@@ -1298,7 +1344,7 @@ object TextOps extends QueryRegistry {
     * fixed-width lowercase hex, so lexicographic MIN == numeric MIN in
     * both engines. Docs with fewer than w k-grams winnow to the single
     * global minimum. */
-  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+  def winnowFingerprints(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
     val ws = words
     val n = size(ws)
     val m = n - lit(k) + 1 // k-gram count
@@ -1317,7 +1363,7 @@ object TextOps extends QueryRegistry {
     * Same hot-key discipline as [[segmentContainment]] (corpus-common
     * fingerprints are boilerplate and would drive the join's fan-out);
     * pairs only ever come from the fingerprint equi-join. */
-  def winnowOverlap(docs: DataFrame, k: Int = 4, w: Int = 5,
+  def winnowOverlap(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW,
       maxFreq: Long = SegMaxFreq, minShared: Long = 2L): DataFrame = {
     // fingerprints are distinct per doc, so count(*) = distinct-doc freq
     val fp = cacheOnce(winnowFingerprints(docs, k, w))
@@ -1646,26 +1692,20 @@ object TextOps extends QueryRegistry {
     * threshold in use. Candidates only — never all pairs; the zip_with
     * comparison runs on the candidate set, not the corpus. */
   def minhashAccuracy(docs: DataFrame): DataFrame = {
+    // the SAME candidate-and-exact-Jaccard pipeline the estimator justifies
+    // ([[minhashPairs]] — a private re-statement here could silently drift
+    // and audit a different pipeline); the shingled frame is the shared
+    // cacheOnce entry, so the signature joins reuse it
     val shingled = cacheOnce(shingles(docs))
     val ge = org.apache.spark.sql.graft.expressions
     val sigs = shingled.select(col("doc_id"),
       ge.column(org.apache.spark.sql.graft.MinHashSigs(ge.expression(col("shs")), NumHashes))
         .as("mh"))
-    val bands = bandKeys(shingled)
-    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key"))
-    val cand = a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val sets = shingled.select(col("doc_id"), array_distinct(col("shs")).as("sh"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    minhashPairs(docs)
+      .withColumnRenamed("jaccard", "exact_jaccard")
       .join(sigs.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("exact_jaccard"),
+      .select(col("doc_a"), col("doc_b"), col("exact_jaccard"),
         (size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y), p => p))
           .cast("double") / NumHashes).as("est_jaccard"))
       .withColumn("abs_err", abs(col("est_jaccard") - col("exact_jaccard")))
@@ -1809,11 +1849,15 @@ object TextOps extends QueryRegistry {
     all.filter(col("doc_id") % 8 === 7).coalesce(1).write.parquet(s"$base/drops/b")
     val (writer, release) =
       mk(s"$base/drops/*", all.filter(col("doc_id") % 4 =!= 3), s"$base/out")
-    val query = writer
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    // A false return = timeout: stop the stream and fail loudly, instead of
-    // hash-checking a partial output log as a confusing oracle mismatch.
+    // start() sits INSIDE the release guard: a start-time failure (bad
+    // output path, source glob error) must not leak the corpus cache the
+    // managed constructor just materialized.
+    // A false awaitTermination = timeout: stop the stream and fail loudly,
+    // instead of hash-checking a partial output log as a confusing oracle
+    // mismatch.
     try {
+      val query = writer
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       if (!query.awaitTermination(300000L)) {
         query.stop()
         throw new IllegalStateException(
@@ -2095,12 +2139,17 @@ object TextOps extends QueryRegistry {
     * linear-cost pairing — the pairwise primitive without the quadratic join). */
   def ngramJaccard(docs: DataFrame): DataFrame = {
     val sets = spread(docs).select(col("doc_id"), array_distinct(shingleArr).as("sh"))
+    val union = size(array_union(col("sh_a"), col("sh_b")))
     sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       .join(sets.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("sh").as("sh_b")),
         Seq("doc_a"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        // two adjacent <3-word docs have EMPTY shingle sets: 0/0 must be
+        // NULL (DuckDB's semantics), not the ANSI DIVIDE_BY_ZERO this
+        // repo's Spark 4 default would throw
+        when(union === 0, lit(null).cast("double"))
+          .otherwise(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+            / union).as("jaccard"))
   }
 
   private def sqlShinglesFrom(src: String): String = s"""
@@ -2327,16 +2376,16 @@ object TextOps extends QueryRegistry {
       FROM qsc GROUP BY is_train"""))),
 
     QueryDef("doc_classifier_model_card", (s, d) => classifierModelCard(docs(s, d)),
-      Some(classifierOracle("""
+      Some(classifierOracle(s"""
       , qcard AS (
         SELECT token, tf_pos, tf_neg,
                tf_pos * (SELECT t_neg FROM qtot) - tf_neg * (SELECT t_pos FROM qtot) AS weight
         FROM qw)
       (SELECT token, tf_pos, tf_neg, weight, 'positive' AS direction
-       FROM qcard WHERE weight > 0 ORDER BY weight DESC, token LIMIT 10)
+       FROM qcard WHERE weight > 0 ORDER BY weight DESC, token LIMIT $CardK)
       UNION ALL
       (SELECT token, tf_pos, tf_neg, weight, 'negative' AS direction
-       FROM qcard WHERE weight < 0 ORDER BY weight ASC, token LIMIT 10)"""))),
+       FROM qcard WHERE weight < 0 ORDER BY weight ASC, token LIMIT $CardK)"""))),
 
     QueryDef("doc_classifier_sweep", (s, d) => classifierThresholdSweep(docs(s, d)),
       Some(classifierOracle(sweepOracleSql))),
@@ -2497,32 +2546,32 @@ object TextOps extends QueryRegistry {
       SELECT source, tokens_available, round(w / w_total, 6) AS mix_share
       FROM mstc, mstt"""))),
 
-    QueryDef("doc_length_batches", (s, d) => lengthBatches(docs(s, d)), Some(oq("""
+    QueryDef("doc_length_batches", (s, d) => lengthBatches(docs(s, d)), Some(oq(s"""
       , lbs AS (
           SELECT doc_id,
-                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $BatchShards AS shard,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
           FROM documents),
       lbr AS (
           SELECT shard, n_tokens,
                  row_number() OVER (PARTITION BY shard ORDER BY n_tokens, doc_id) AS rn
           FROM lbs)
-      SELECT shard, CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+      SELECT shard, CAST((rn - 1) // $BatchSize AS BIGINT) AS batch_id,
              count(*) AS n_docs, max(n_tokens) AS max_tokens,
              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
              CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_waste_tokens
       FROM lbr GROUP BY 1, 2"""))),
 
-    QueryDef("doc_pack_sequences", (s, d) => packSequences(docs(s, d)), Some(oq("""
+    QueryDef("doc_pack_sequences", (s, d) => packSequences(docs(s, d)), Some(oq(s"""
       , sized AS (
           SELECT doc_id,
-                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $BatchShards AS shard,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
           FROM documents)
       SELECT doc_id, shard, n_tokens,
              CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  // 4096 AS BIGINT) AS seq_id
+                  // $PackCapacity AS BIGINT) AS seq_id
       FROM sized"""))),
 
     // stride/size interpolated from the SAME constants the Spark call uses
@@ -2620,32 +2669,32 @@ object TextOps extends QueryRegistry {
     QueryDef("doc_winnow_fingerprints",
       (s, d) => winnowFingerprints(docs(s, d)), Some(oq(s"""
       , wwd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      wwg AS (SELECT doc_id, ws, len(ws) - 4 + 1 AS m FROM wwd WHERE len(ws) >= 4),
+      wwg AS (SELECT doc_id, ws, len(ws) - $WinnowK + 1 AS m FROM wwd WHERE len(ws) >= $WinnowK),
       wwh AS (SELECT doc_id, m,
                 list_transform(generate_series(1, m),
-                  i -> substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 12)) AS hs
+                  i -> substr(md5(array_to_string(ws[i:i+${WinnowK - 1}], ' ')), 1, 12)) AS hs
               FROM wwg)
       SELECT DISTINCT doc_id, f AS fingerprint
       FROM (SELECT doc_id, unnest(
-              CASE WHEN m >= 5
-                   THEN list_transform(generate_series(1, m - 5 + 1),
-                          j -> list_min(hs[j:j+4]))
+              CASE WHEN m >= $WinnowW
+                   THEN list_transform(generate_series(1, m - $WinnowW + 1),
+                          j -> list_min(hs[j:j+${WinnowW - 1}]))
                    ELSE [list_min(hs)] END) AS f
             FROM wwh)"""))),
 
     QueryDef("doc_winnow_overlap", (s, d) => winnowOverlap(docs(s, d)), Some(oq(s"""
       , wwd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      wwg AS (SELECT doc_id, ws, len(ws) - 4 + 1 AS m FROM wwd WHERE len(ws) >= 4),
+      wwg AS (SELECT doc_id, ws, len(ws) - $WinnowK + 1 AS m FROM wwd WHERE len(ws) >= $WinnowK),
       wwh AS (SELECT doc_id, m,
                 list_transform(generate_series(1, m),
-                  i -> substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 12)) AS hs
+                  i -> substr(md5(array_to_string(ws[i:i+${WinnowK - 1}], ' ')), 1, 12)) AS hs
               FROM wwg),
       wwfp AS (
         SELECT DISTINCT doc_id, f
         FROM (SELECT doc_id, unnest(
-                CASE WHEN m >= 5
-                     THEN list_transform(generate_series(1, m - 5 + 1),
-                            j -> list_min(hs[j:j+4]))
+                CASE WHEN m >= $WinnowW
+                     THEN list_transform(generate_series(1, m - $WinnowW + 1),
+                            j -> list_min(hs[j:j+${WinnowW - 1}]))
                      ELSE [list_min(hs)] END) AS f
               FROM wwh)),
       wwhot AS (SELECT f FROM wwfp GROUP BY f HAVING count(*) > $SegMaxFreq),
