@@ -1134,6 +1134,11 @@ object MultimodalOps extends QueryRegistry {
             if (cc(o + 12) != "MJPG") err(s"codec '${cc(o + 12)}' unsupported (MJPG only)")
             scale = u32le(o + 28); rate = u32le(o + 32); strhLength = u32le(o + 40)
             if (scale <= 0 || rate <= 0) err("degenerate frame rate")
+            // fps_num/fps_den are emitted as Ints — a u32 above 2^31 would
+            // silently truncate negative instead of failing the otherwise
+            // loud container validation (ADVICE r16)
+            if (scale > Int.MaxValue || rate > Int.MaxValue)
+              err(s"dwScale/dwRate $scale/$rate exceed Int range")
             strhSeen = true
           case "strf" =>
             if (sz < 40) err("strf too short for BITMAPINFOHEADER")
@@ -1153,6 +1158,10 @@ object MultimodalOps extends QueryRegistry {
             if (sz < 40) err("avih too short")
             avihFrames = u32le(o + 24); avihStreams = u32le(o + 32)
             avihW = u32le(o + 40); avihH = u32le(o + 44)
+            // emitted as Ints downstream — fail loudly at the header, not
+            // via a truncated value later (ADVICE r16)
+            if (avihW > Int.MaxValue || avihH > Int.MaxValue)
+              err(s"avih dimensions ${avihW}x$avihH exceed Int range")
           case "LIST" if cc(o + 8) == "strl" => walkStrl(o + 12, o + 8 + sz)
           case _ => // odml LIST, JUNK: skipped
         }

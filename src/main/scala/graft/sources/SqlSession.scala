@@ -117,6 +117,14 @@ object GraftCatalog {
     }
 
     private val StaleLockMs = 60000L
+    // Retry budget must EXCEED the stale horizon (ADVICE r16): a holder
+    // that crashes right after claiming leaves a lock no waiter may break
+    // for StaleLockMs, so a waiter whose budget is shorter than that would
+    // deterministically spin out and throw during the un-breakable window.
+    // 25 ms × 4000 = 100 s > 60 s: a waiter arriving the instant a holder
+    // dies still outlives the horizon and breaks the lock itself.
+    private val ClaimSleepMs = 25L
+    private val ClaimMaxAttempts = 4000
     private def withClaim[T](body: => T): T = {
       val lock = new org.apache.hadoop.fs.Path(
         path.getParent, s".${path.getName}.lock")
@@ -128,14 +136,30 @@ object GraftCatalog {
         if (claimed)
           try return body finally fs.delete(lock, false)
         attempts += 1
-        if (attempts > 500) throw new IllegalStateException(
+        if (attempts > ClaimMaxAttempts) throw new IllegalStateException(
           s"catalog lock at $lock held for too long — delete it if its holder is dead")
-        try { // break a provably stale lock (crashed holder)
+        // Break a provably stale lock (crashed holder). The bare delete had
+        // a TOCTOU (ADVICE r16): two waiters could both judge the lock
+        // stale, waiter A deletes + re-creates, waiter B's delayed delete
+        // then removes A's LIVE lock and both enter the critical section.
+        // The break is now an atomic RENAME to a waiter-unique path — the
+        // filesystem grants it to exactly one waiter (the loser's rename
+        // throws FileNotFound), so no waiter can ever delete a lock another
+        // waiter just created at the canonical path — guarded by a re-stat
+        // immediately before, so the instance being renamed is verified
+        // stale microseconds (not a full sleep cycle) before the break.
+        try {
           val st = fs.getFileStatus(lock)
-          if (System.currentTimeMillis() - st.getModificationTime > StaleLockMs)
-            fs.delete(lock, false)
+          if (System.currentTimeMillis() - st.getModificationTime > StaleLockMs) {
+            val breaker = new org.apache.hadoop.fs.Path(path.getParent,
+              s".${path.getName}.lockbreak_${java.util.UUID.randomUUID()}")
+            val st2 = fs.getFileStatus(lock) // re-stat: same stale instance?
+            if (st2.getModificationTime == st.getModificationTime &&
+                fs.rename(lock, breaker))
+              fs.delete(breaker, false)
+          }
         } catch { case _: java.io.FileNotFoundException => () }
-        Thread.sleep(20)
+        Thread.sleep(ClaimSleepMs)
       }
       sys.error("unreachable")
     }

@@ -1133,6 +1133,25 @@ object VersionedTable {
     }
   }
 
+  /** Root-level sidecar carrying the high-water batch id across the
+    * vacuum horizon (ADVICE r16): [[vacuum]] persists the newest marker
+    * BEFORE retiring version dirs, so retiring the version that carried
+    * it while marker-less maintenance/DML commits sit above cannot make
+    * [[latestBatchId]] forget the batch — a redelivered batch (normal on
+    * streaming restart) would otherwise re-apply, duplicating rows. */
+  private def lastBatchSidecar(root: String) = new Path(root, "_last_batch")
+
+  private def readBatchSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Option[Long] = {
+    val p = lastBatchSidecar(root)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
   /** The highest batch id committed into any RETAINED version, walked
     * from the head DOWNWARD — the head alone is not enough: an
     * interleaved non-batch commit (maintenance compaction, a DML repair,
@@ -1140,18 +1159,23 @@ object VersionedTable {
     * check would then re-apply a replayed batch, breaking exactly-once.
     * Batch ids commit in version order, so the first marker found walking
     * down IS the highest; the walk stops at the vacuum horizon (version
-    * dirs are retired contiguously from the bottom). */
+    * dirs are retired contiguously from the bottom), falling back to the
+    * [[lastBatchSidecar]] vacuum persisted — never None-because-vacuumed.
+    * A retained marker is always ≥ the sidecar (batch ids are monotone in
+    * version and vacuum retires from the bottom), so the walk's own find
+    * wins whenever it exists. */
   private def latestBatchId(fs: org.apache.hadoop.fs.FileSystem,
       root: String, head: Option[Int]): Option[Long] = {
     var v = head.getOrElse(0)
     while (v >= 1) {
       val d = vDir(root, v)
-      if (!fs.exists(new Path(d))) return None // vacuumed: nothing below survives
+      if (!fs.exists(new Path(d))) // vacuumed: the sidecar carries the high-water id
+        return readBatchSidecar(fs, root)
       val id = readBatchId(fs, d)
       if (id.isDefined) return id
       v -= 1
     }
-    None
+    readBatchSidecar(fs, root)
   }
 
   /** The highest streaming batch id committed into this table, if any —
@@ -1364,6 +1388,13 @@ object VersionedTable {
     // deleting them without first writing the rolled head would strand
     // `_latest` at a version this very sweep is about to retire
     commitForward(fs, rootP, latest)
+    // Persist the high-water batch id BEFORE any version dir dies (ADVICE
+    // r16): if the sweep retires the version carrying the newest batch
+    // marker, the sidecar keeps exactly-once replay detection alive.
+    latestBatchId(fs, root, Some(latest)).foreach { id =>
+      val out = fs.create(lastBatchSidecar(root), true)
+      try out.write(s"$id\n".getBytes("UTF-8")) finally out.close()
+    }
     val dropped = (1 to latest - keep)
       .filter(v => fs.exists(new Path(vDir(root, v))))
     dropped.foreach(v => fs.delete(new Path(vDir(root, v)), true))

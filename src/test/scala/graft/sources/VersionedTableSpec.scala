@@ -229,6 +229,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.lastCommittedBatch(spark, root) === Some(1L))
   }
 
+  test("appendBatch stays exactly-once after vacuum retires the marker version (r17)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_vb_").toString + "/t"
+    assert(VersionedTable.appendBatch(spark, root, 0L,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload")) === Some(1))
+    // marker-less maintenance/DML commits land ON TOP of the batch version
+    assert(VersionedTable.deleteWhere(spark, root, col("id") === 2L) === 2)
+    assert(VersionedTable.mergeInto(spark, root,
+      Seq((3L, "c")).toDF("id", "payload"), Seq("id")) === 3)
+    // vacuum retires v1 — the only version carrying the batch marker; the
+    // downward walk from the head now hits the vacuum horizon before any
+    // marker, and before r17 that read as "no batch ever committed"
+    assert(VersionedTable.vacuum(spark, root, keep = 2) === Seq(1))
+    assert(VersionedTable.lastCommittedBatch(spark, root) === Some(0L))
+    // the post-crash redelivery (normal on streaming restart) must commit
+    // NOTHING — re-applying here would duplicate rows
+    assert(VersionedTable.appendBatch(spark, root, 0L,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload")).isEmpty)
+    assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (3L, "c")))
+    // the next genuine batch continues the chain past the vacuum horizon
+    assert(VersionedTable.appendBatch(spark, root, 1L,
+      Seq((4L, "d")).toDF("id", "payload")) === Some(4))
+    assert(VersionedTable.lastCommittedBatch(spark, root) === Some(1L))
+  }
+
   test("vacuum persists the rolled-forward head before retiring _txn markers (r16)") {
     val root = java.nio.file.Files.createTempDirectory("graft_vt_vr_").toString + "/t"
     VersionedTable.create(spark, root, (1L to 10L).map(i => (i, s"p_$i")).toDF("id", "payload"))
