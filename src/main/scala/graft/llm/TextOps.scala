@@ -1230,12 +1230,21 @@ object TextOps extends QueryRegistry {
     import spark.implicits._
     val wordFreq = docs.select(explode(words).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    var syms = cacheOnce(wordFreq
-      .select(col("word"), col("freq"), split(col("word"), "").as("syms")))
-    // the frame one generation behind `syms`: released once its successor
-    // is MATERIALIZED by the next argmax — an unbounded chain pinned
-    // nMerges+1 vocab-sized cache entries per call for the session's life
-    var older: DataFrame = null
+    // localCheckpoint (not cache) per generation, the same discipline as
+    // [[connectedComponents]]'s label loop (r17, VERDICT r16 #2): a cached
+    // chain keeps the FULL logical plan — generation i nests i HOF folds —
+    // so every iteration re-analyzes an ever-deeper tree and the trainer's
+    // driver-side planning cost grows O(n²) with the merge count (probed:
+    // 2.4 s/call cached-chain vs 1.25 s checkpointed at sf0.1, and the
+    // 5→10-merge step costs MORE per merge than 1→5). Checkpointing
+    // truncates each generation to its materialized rows, so per-iteration
+    // cost is flat; blocks release via the context cleaner when the
+    // superseded generation goes out of scope. The vocab-sized frames are
+    // a few MB — the locality tradeoff (localCheckpoint is not
+    // executor-loss tolerant) is the standard one for iterative drivers.
+    var syms = wordFreq
+      .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     for (i <- 1 to nMerges if !done) {
@@ -1249,29 +1258,20 @@ object TextOps extends QueryRegistry {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("freq").as("cnt"))
       val best = pairs.orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
-      // the argmax just MATERIALIZED the current `syms`: its predecessor is
-      // now lineage-only and releases (eviction falls back to recompute —
-      // correct, never wrong)
-      if (older != null) { older.unpersist(); older = null }
       if (best.isEmpty) done = true
       else {
         val (l, r, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((i, l, r, cnt))
-        // each iteration stays cached (vocab-sized); the NEXT iteration's
-        // argmax materializes it lazily — an eager count would add a
-        // third job per iteration for nothing
-        older = syms
-        syms = cacheOnce(syms.withColumn("syms",
+        syms = syms.withColumn("syms",
             aggregate(col("syms"), array().cast("array<string>"),
               (acc, x) => when(size(acc) > 0 &&
                   element_at(acc, -1) === lit(l) && x === lit(r),
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-                .otherwise(concat(acc, array(x))))))
+                .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
       }
     }
-    // bounded residue: the final symbolization (the vocab callers read) and
-    // at most one predecessor stay cached; repeat calls dedup via cacheOnce
     (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count"), syms)
   }
 
