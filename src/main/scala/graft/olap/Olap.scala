@@ -290,19 +290,37 @@ object Olap extends QueryRegistry {
     * are generated MAP-SIDE from each basket array, and one more shuffle
     * counts them. Item counts and the basket total are |catalog|-sized and
     * broadcast back; every ratio is one division of exact integers. */
-  def basketLift(w: Warehouse, minPairN: Long = 2, maxBasket: Int = 50): DataFrame = {
+  def basketLift(w: Warehouse, minPairN: Long = 2, maxBasket: Int = 50): DataFrame =
+    basketLiftOver(w.salesFinal.select("invoiceid", "stockcode"),
+      minPairN, maxBasket, prune = false)
+
+  /** Shared core of [[basketLift]] / [[basketLiftPruned]] over any
+    * `(invoiceid, stockcode)` feed — generic so the long-tail fixture
+    * probe (tools/BasketProbe) drives both variants over a Zipfian
+    * catalog, the shape the prune argues from (r17, VERDICT r16 #6). */
+  private[graft] def basketLiftOver(sales: DataFrame, minPairN: Long,
+      maxBasket: Int, prune: Boolean): DataFrame = {
     // collect_set dedups per basket, so a pre-`distinct()` would be a second
     // full shuffle doing the same work (row cost is the object-hash basket
     // aggregation itself — probe-measured unchanged by the extra shuffle at
     // sf0.1, but at 100 TB one exchange of the fact is one too many)
-    val baskets = w.salesFinal.select("invoiceid", "stockcode")
+    val baskets = sales
       .groupBy("invoiceid")
       .agg(sort_array(collect_set(col("stockcode"))).as("items"))
       .filter(size(col("items")).between(2, maxBasket))
     val items = baskets.select(col("invoiceid"), explode(col("items")).as("stockcode"))
     val itemN = items.groupBy("stockcode").agg(count(lit(1)).as("n"))
     val total = baskets.agg(count(lit(1)).as("n_baskets"))
-    val pairs = baskets.select(explode(expr(
+    val pairSource = if (!prune) baskets else {
+      // apriori cut: an item in < minPairN baskets can never survive the
+      // min-support filter — semi-join the frequent set, re-aggregate
+      val freq = itemN.filter(col("n") >= minPairN).select("stockcode")
+      items.join(broadcast(freq), Seq("stockcode"), "left_semi")
+        .groupBy("invoiceid")
+        .agg(sort_array(collect_set(col("stockcode"))).as("items"))
+        .filter(size(col("items")) >= 2)
+    }
+    val pairs = pairSource.select(explode(expr(
       """flatten(transform(items,
          (x, i) -> transform(slice(items, i + 2, size(items)),
                              y -> struct(x AS s1, y AS s2))))""")).as("p"))
@@ -339,36 +357,9 @@ object Olap extends QueryRegistry {
     * WORSE (building a catalog-sized hash set per basket row) and
     * rejected. */
   def basketLiftPruned(w: Warehouse, minPairN: Long = 2,
-      maxBasket: Int = 50): DataFrame = {
-    val baskets = w.salesFinal.select("invoiceid", "stockcode")
-      .groupBy("invoiceid")
-      .agg(sort_array(collect_set(col("stockcode"))).as("items"))
-      .filter(size(col("items")).between(2, maxBasket))
-    val items = baskets.select(col("invoiceid"), explode(col("items")).as("stockcode"))
-    val itemN = items.groupBy("stockcode").agg(count(lit(1)).as("n"))
-    val total = baskets.agg(count(lit(1)).as("n_baskets"))
-    val freq = itemN.filter(col("n") >= minPairN).select("stockcode")
-    val pruned = items.join(broadcast(freq), Seq("stockcode"), "left_semi")
-      .groupBy("invoiceid")
-      .agg(sort_array(collect_set(col("stockcode"))).as("items"))
-      .filter(size(col("items")) >= 2)
-    val pairs = pruned.select(explode(expr(
-      """flatten(transform(items,
-         (x, i) -> transform(slice(items, i + 2, size(items)),
-                             y -> struct(x AS s1, y AS s2))))""")).as("p"))
-      .select(col("p.s1").as("s1"), col("p.s2").as("s2"))
-      .groupBy("s1", "s2").agg(count(lit(1)).as("pair_n"))
-      .filter(col("pair_n") >= minPairN)
-    pairs
-      .join(broadcast(itemN.withColumnRenamed("stockcode", "s1").withColumnRenamed("n", "n1")), Seq("s1"))
-      .join(broadcast(itemN.withColumnRenamed("stockcode", "s2").withColumnRenamed("n", "n2")), Seq("s2"))
-      .crossJoin(broadcast(total))
-      .select(col("s1"), col("s2"), col("pair_n"), col("n1"), col("n2"),
-        (col("pair_n").cast("double") / col("n_baskets")).as("support"),
-        (col("pair_n").cast("double") / col("n1")).as("conf_1_to_2"),
-        (col("pair_n").cast("double") / col("n2")).as("conf_2_to_1"),
-        ((col("pair_n") * col("n_baskets")).cast("double") / (col("n1") * col("n2"))).as("lift"))
-  }
+      maxBasket: Int = 50): DataFrame =
+    basketLiftOver(w.salesFinal.select("invoiceid", "stockcode"),
+      minPairN, maxBasket, prune = true)
 
   /** RFM customer segmentation (r11) — the classic CRM cube: per customer,
     * recency (days since last purchase, anchored on the corpus max sale
