@@ -145,6 +145,9 @@ object Bench {
     // r16 late: MJPEG/AVI decode — 2-6 full color-JPEG frames per doc plus
     // the container walk; 1.24/1.21 across the two recording runs
     "multimodal_mjpeg_decode" -> 1.21,
+    // r17: progressive JPEG — ten-scan encode fixture + multi-scan decode;
+    // steady 0.57-0.67 across tools/ProgJpegProbe's 8 reps at sf0.1
+    "multimodal_jpeg_progressive_decode" -> 0.60,
     // r17 (VERDICT r16 #2): the +44% drift was the honest cost of the
     // cached-lineage trainer once b4cf7f7 stopped cross-rep cache reuse —
     // each generation's plan nested i HOF folds, so analysis cost grew
@@ -677,6 +680,12 @@ object Bench {
       time("multimodal_mjpeg_decode")(
         graft.llm.MultimodalOps.decodeAviMjpeg(
           graft.llm.MultimodalOps.aviMjpegFixture(spark, sfDir)).toDF())
+      // r17: the progressive codec — ten-scan encode fixture and the full
+      // multi-scan assembly (spectral bands, successive approximation,
+      // EOB runs) + IDCT decode per rep, partition-local
+      time("multimodal_jpeg_progressive_decode")(
+        graft.llm.MultimodalOps.decodeJpegProgressive(
+          graft.llm.MultimodalOps.jpegProgressiveFixture(spark, sfDir)).toDF())
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))

@@ -1058,6 +1058,725 @@ object MultimodalOps extends QueryRegistry {
   private val FixtureAcSyms = Array(0x00, 0xf0, 0x61, 0x62, 0x6a, 0x01)
 
   // ---------------------------------------------------------------------
+  // PROGRESSIVE color JPEG (r17, VERDICT r16 #7) — the last codec gap a
+  // web-scale multimodal corpus hits at volume (libjpeg's default
+  // progressive script dominates the crawlable web's JPEGs). SOF2 frames:
+  // the image arrives as MULTIPLE scans over a shared per-component
+  // quantized-coefficient store — DC first with a successive-approximation
+  // point transform (arithmetic shift) then a raw-bit refinement pass;
+  // each component's AC band split by spectral selection (Ss..Se,
+  // non-interleaved per the spec) delivered at reduced precision (Al) via
+  // run-length coding with EOBn end-of-band RUN codes spanning blocks,
+  // then refined one bit at a time by the correction-bit algorithm
+  // (G.1.2.3: new ±1 coefficients interleaved with correction bits on
+  // nonzero-history positions, EOB runs carrying the trailing correction
+  // bits). After the last scan the store dequantizes and IDCTs exactly
+  // like the baseline path. The decoder tracks per-coefficient
+  // progression state and fails loudly on out-of-order refinement,
+  // incomplete delivery, EOB runs crossing restarts, or a sequential SOF.
+  // The fixture keeps the color fixture's closed-form plan (per-MCU
+  // constants) plus one luma AC(4,4) coefficient per MCU — the ±k basis
+  // trick the grayscale fixture proves — so spectral selection and both
+  // approximation passes carry REAL nonzero content while every decoded
+  // pixel stays analytic for the DuckDB oracle.
+  // ---------------------------------------------------------------------
+
+  final case class JpegProgressiveFeatures(doc_id: Long, width: Int,
+      height: Int, subsampling: String, n_scans: Int,
+      mean_y: Double, mean_cb: Double, mean_cr: Double,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      min_luma: Int, max_luma: Int)
+
+  /** Progressive (SOF2) YCbCr decode — multi-scan coefficient assembly,
+    * then the same dequant/IDCT/upsample/RGB pipeline as baseline color.
+    * Statistics are exact integer sums until one IEEE division each. */
+  private[llm] def parseJpegProgressive(id: Long,
+      bytes: Array[Byte]): JpegProgressiveFeatures = {
+    def err(msg: String): Nothing =
+      throw new IllegalArgumentException(s"media of doc $id: $msg")
+    def u8(o: Int): Int =
+      if (o < bytes.length) bytes(o) & 0xff else err("truncated JPEG")
+    def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    if (bytes.length < 2 || u16(0) != 0xffd8) err("not a JPEG (missing SOI)")
+
+    val qTables = new Array[Array[Int]](4)
+    val dcTables = new Array[Huff](4)
+    val acTables = new Array[Huff](4)
+    var w = 0; var h = 0; var hs = 0; var vs = 0
+    val compId = new Array[Int](3); val qSel = new Array[Int](3)
+    var restartInterval = 0
+    var nScans = 0
+    var mw = 0; var mh = 0
+    var coefs: Array[Array[Int]] = null // per comp, padded grid, natural order
+    var bw: Array[Int] = null; var bh: Array[Int] = null // padded block grid
+    var nbw: Array[Int] = null; var nbh: Array[Int] = null // real block grid
+    // progression state per (component, zigzag index): -1 = untouched,
+    // else the Al the coefficient currently sits at
+    val state = Array.fill(3, 64)(-1)
+
+    def decodeScan(at: Int): Int = {
+      if (coefs == null) err("scan before SOF2")
+      val ns = u8(at + 4)
+      if (ns < 1 || ns > 3) err(s"bad scan component count $ns")
+      val scomp = new Array[Int](ns)
+      val sdc = new Array[Int](ns); val sac = new Array[Int](ns)
+      var ci = 0
+      while (ci < ns) {
+        val cid = u8(at + 5 + 2 * ci)
+        val slot = compId.indexOf(cid)
+        if (slot < 0) err(s"scan references unknown component $cid")
+        scomp(ci) = slot
+        sdc(ci) = u8(at + 6 + 2 * ci) >> 4; sac(ci) = u8(at + 6 + 2 * ci) & 15
+        ci += 1
+      }
+      val ss = u8(at + 5 + 2 * ns); val se = u8(at + 6 + 2 * ns)
+      val ah = u8(at + 7 + 2 * ns) >> 4; val al = u8(at + 7 + 2 * ns) & 15
+      val isDc = ss == 0
+      if (isDc && se != 0) err("DC scan must have Se=0")
+      if (!isDc && ns != 1) err("progressive AC scans must be non-interleaved")
+      if (se > 63 || ss > se) err(s"bad spectral band $ss..$se")
+      if (ah != 0 && ah != al + 1) err("refinement must deliver exactly one bit")
+      // progression bookkeeping: first pass only on untouched coefficients,
+      // refinements contiguous in Al
+      var k0 = ss
+      while (k0 <= se) {
+        var j = 0
+        while (j < ns) {
+          val st = state(scomp(j))(k0)
+          if (ah == 0) {
+            if (st != -1) err(s"re-delivered coefficient $k0 of component ${scomp(j)}")
+          } else if (st != ah)
+            err(s"refinement of coefficient $k0 expects Al=$ah, found $st")
+          state(scomp(j))(k0) = al
+          j += 1
+        }
+        k0 += 1
+      }
+      val dcT: Array[Huff] =
+        if (isDc && ah == 0) Array.tabulate(ns) { j =>
+          if (dcTables(sdc(j)) != null) dcTables(sdc(j))
+          else err(s"scan references undefined DC table ${sdc(j)}") }
+        else null
+      val acT: Huff =
+        if (!isDc) {
+          if (acTables(sac(0)) != null) acTables(sac(0))
+          else err(s"scan references undefined AC table ${sac(0)}")
+        } else null
+
+      var pos = at + 2 + u16(at + 2)
+      var bitBuf = 0; var bitCnt = 0
+      def nextBit(): Int = {
+        if (bitCnt == 0) {
+          val b = u8(pos)
+          if (b == 0xff) {
+            if (u8(pos + 1) != 0x00) err("marker inside entropy-coded segment")
+            pos += 1
+          }
+          pos += 1
+          bitBuf = b; bitCnt = 8
+        }
+        bitCnt -= 1
+        (bitBuf >> bitCnt) & 1
+      }
+      def receive(n: Int): Int = {
+        var v = 0; var j = 0
+        while (j < n) { v = (v << 1) | nextBit(); j += 1 }
+        v
+      }
+      def extend(v: Int, t: Int): Int =
+        if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+      val pred = new Array[Int](3)
+      var eobrun = 0L
+      val p1 = 1 << al
+
+      def refineNonzero(cc: Int, idx: Int): Unit =
+        if (nextBit() == 1 && (coefs(cc)(idx) & p1) == 0)
+          coefs(cc)(idx) += (if (coefs(cc)(idx) >= 0) p1 else -p1)
+
+      def decodeBlock(cc: Int, base: Int, ci2: Int): Unit = {
+        if (isDc) {
+          if (ah == 0) {
+            val t = dcT(ci2).decode(nextBit)
+            if (t > 11) err(s"DC category $t out of range")
+            pred(cc) += extend(receive(t), t)
+            coefs(cc)(base) = pred(cc) << al
+          } else if (nextBit() == 1) coefs(cc)(base) |= p1
+        } else if (ah == 0) {
+          // AC first pass: standard RLE at reduced precision, EOBn runs
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var break = false
+            while (k <= se && !break) {
+              val rs = acT.decode(nextBit)
+              val r = rs >> 4; val s = rs & 15
+              if (s == 0) {
+                if (r < 15) { eobrun = (1L << r) - 1 + receive(r); break = true }
+                else k += 16
+              } else {
+                k += r
+                if (k > se) err("AC run overruns the band")
+                coefs(cc)(base + Zigzag(k)) = extend(receive(s), s) << al
+                k += 1
+              }
+            }
+          }
+        } else {
+          // AC refinement: correction bits on nonzero history, new ±1s
+          var k = ss
+          if (eobrun == 0) {
+            var break = false
+            while (k <= se && !break) {
+              val rs = acT.decode(nextBit)
+              var r = rs >> 4; val s = rs & 15
+              var newVal = 0
+              if (s == 0) {
+                if (r < 15) {
+                  eobrun = (1L << r) + (if (r > 0) receive(r) else 0)
+                  break = true
+                } // r == 15: ZRL — 16 zero-history positions consumed below
+              } else {
+                if (s != 1) err("refinement coefficient size must be 1")
+                newVal = if (nextBit() == 1) p1 else -p1
+              }
+              if (!break) {
+                var placed = false
+                while (k <= se && !placed) {
+                  val idx = base + Zigzag(k)
+                  if (coefs(cc)(idx) != 0) refineNonzero(cc, idx)
+                  else if (r == 0) { // the target zero-history slot
+                    if (newVal != 0) coefs(cc)(idx) = newVal
+                    placed = true
+                  } else r -= 1
+                  k += 1
+                }
+                if (!placed && newVal != 0)
+                  err("new refinement coefficient has no slot in the band")
+              }
+            }
+          }
+          if (eobrun > 0) { // tail of the EOBn block / wholly-skipped blocks
+            while (k <= se) {
+              val idx = base + Zigzag(k)
+              if (coefs(cc)(idx) != 0) refineNonzero(cc, idx)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+      }
+
+      val interleaved = ns > 1
+      val scanMcus =
+        if (interleaved) mw * mh else nbw(scomp(0)) * nbh(scomp(0))
+      var mcu = 0
+      while (mcu < scanMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (eobrun != 0) err("EOB run crosses a restart interval")
+          bitCnt = 0
+          val exp = 0xd0 + ((mcu / restartInterval - 1) % 8)
+          if (u8(pos) != 0xff || u8(pos + 1) != exp)
+            err(f"expected restart marker ff$exp%02x at MCU $mcu")
+          pos += 2
+          pred(0) = 0; pred(1) = 0; pred(2) = 0
+        }
+        if (interleaved) {
+          val my = mcu / mw; val mx = mcu % mw
+          var j = 0
+          while (j < ns) {
+            val cc = scomp(j)
+            val hc = if (cc == 0) hs else 1
+            val vc = if (cc == 0) vs else 1
+            var by0 = 0
+            while (by0 < vc) {
+              var bx0 = 0
+              while (bx0 < hc) {
+                decodeBlock(cc,
+                  ((my * vc + by0) * bw(cc) + mx * hc + bx0) * 64, j)
+                bx0 += 1
+              }
+              by0 += 1
+            }
+            j += 1
+          }
+        } else {
+          val cc = scomp(0)
+          val by = mcu / nbw(cc); val bx = mcu % nbw(cc)
+          decodeBlock(cc, (by * bw(cc) + bx) * 64, 0)
+        }
+        mcu += 1
+      }
+      if (eobrun != 0) err("EOB run overruns the scan")
+      if (u8(pos) != 0xff) err("entropy data not followed by a marker")
+      pos
+    }
+
+    var i = 2
+    var sawEoi = false
+    while (!sawEoi) {
+      if (u8(i) != 0xff) err(f"expected a marker at $i, got ${u8(i)}%02x")
+      u8(i + 1) match {
+        case 0xc2 => // SOF2 — progressive
+          if (coefs != null) err("duplicate frame header")
+          if (u8(i + 4) != 8) err(s"unsupported sample precision ${u8(i + 4)}")
+          h = u16(i + 5); w = u16(i + 7)
+          if (w <= 0 || h <= 0) err(s"degenerate dimensions ${w}x$h")
+          if (u8(i + 9) != 3) err(s"${u8(i + 9)} components (YCbCr color only)")
+          var c = 0
+          while (c < 3) {
+            compId(c) = u8(i + 10 + 3 * c)
+            val samp = u8(i + 11 + 3 * c)
+            if (c == 0) {
+              hs = samp >> 4; vs = samp & 15
+              if (!((hs == 1 && vs == 1) || (hs == 2 && vs == 2)))
+                err(f"unsupported luma sampling ${hs}x$vs (4:4:4 or 4:2:0 only)")
+            } else if (samp != 0x11) err("chroma sampling must be 1x1")
+            qSel(c) = u8(i + 12 + 3 * c)
+            c += 1
+          }
+          mw = (w + 8 * hs - 1) / (8 * hs); mh = (h + 8 * vs - 1) / (8 * vs)
+          bw = Array(mw * hs, mw, mw); bh = Array(mh * vs, mh, mh)
+          def cdiv(a: Int, b: Int) = (a + b - 1) / b
+          nbw = Array(cdiv(w, 8), cdiv(cdiv(w, hs), 8), cdiv(cdiv(w, hs), 8))
+          nbh = Array(cdiv(h, 8), cdiv(cdiv(h, vs), 8), cdiv(cdiv(h, vs), 8))
+          coefs = Array.tabulate(3)(c2 => new Array[Int](bw(c2) * bh(c2) * 64))
+          i += 2 + u16(i + 2)
+        case 0xc0 | 0xc1 | 0xc3 =>
+          err("sequential frame in the progressive decoder (route to baseline)")
+        case x if x >= 0xc5 && x <= 0xcf && x != 0xc8 && x != 0xcc =>
+          err(f"unsupported frame marker ff$x%02x")
+        case 0xc4 =>
+          val end = i + 2 + u16(i + 2)
+          var o = i + 4
+          while (o < end) {
+            val tc = u8(o) >> 4; val th = u8(o) & 15
+            if (tc > 1 || th > 3) err("bad DHT table class/id")
+            val counts = Array.tabulate(16)(j => u8(o + 1 + j))
+            val n = counts.sum
+            val syms = Array.tabulate(n)(j => u8(o + 17 + j))
+            if (tc == 0) dcTables(th) = new Huff(counts, syms)
+            else acTables(th) = new Huff(counts, syms)
+            o += 17 + n
+          }
+          i = end
+        case 0xdb =>
+          val end = i + 2 + u16(i + 2)
+          var o = i + 4
+          while (o < end) {
+            if (u8(o) >> 4 != 0) err("16-bit quantization tables unsupported")
+            val tq = u8(o) & 15
+            if (tq > 3) err("bad DQT table id")
+            qTables(tq) = Array.tabulate(64)(j => u8(o + 1 + j))
+            o += 65
+          }
+          i = end
+        case 0xdd =>
+          restartInterval = u16(i + 4); i += 2 + u16(i + 2)
+        case 0xda =>
+          i = decodeScan(i); nScans += 1
+        case 0xd9 => sawEoi = true
+        case x if (x >= 0xe0 && x <= 0xef) || x == 0xfe =>
+          i += 2 + u16(i + 2)
+        case other => err(f"unsupported marker ff$other%02x")
+      }
+    }
+    if (coefs == null) err("missing SOF2")
+    if (nScans == 0) err("no scan before EOI")
+    // completeness: every coefficient of every component delivered to Al=0
+    var c = 0
+    while (c < 3) {
+      var k = 0
+      while (k < 64) {
+        if (state(c)(k) != 0)
+          err(s"progressive stream incomplete: component $c coefficient $k " +
+            (if (state(c)(k) == -1) "never delivered" else s"stops at Al=${state(c)(k)}"))
+        k += 1
+      }
+      c += 1
+    }
+    val q = Array.tabulate(3) { c2 =>
+      if (qTables(qSel(c2)) != null) qTables(qSel(c2))
+      else err(s"component $c2 references an undefined quantization table") }
+
+    // dequantize + IDCT every real block into the pixel planes
+    val cw = mw * 8; val ch = mh * 8
+    val yPlane = new Array[Int](w * h)
+    val cbPlane = new Array[Int](cw * ch)
+    val crPlane = new Array[Int](cw * ch)
+    val dq = new Array[Int](64)
+    val block = new Array[Int](64)
+    def idctBlock(cc: Int, base: Int): Unit = {
+      var z = 0
+      while (z < 64) { dq(Zigzag(z)) = coefs(cc)(base + Zigzag(z)) * q(cc)(z); z += 1 }
+      var y0 = 0
+      while (y0 < 8) {
+        var x0 = 0
+        while (x0 < 8) {
+          var f = 0.0
+          var v = 0
+          while (v < 8) {
+            val cv = if (v == 0) InvSqrt2 else 1.0
+            var u = 0
+            while (u < 8) {
+              val cc2 = dq(v * 8 + u)
+              if (cc2 != 0) {
+                val cu = if (u == 0) InvSqrt2 else 1.0
+                f += cu * cv * cc2 * CosTable(x0)(u) * CosTable(y0)(v)
+              }
+              u += 1
+            }
+            v += 1
+          }
+          val p = StrictMath.rint(f / 4 + 128).toInt
+          block(y0 * 8 + x0) = if (p < 0) 0 else if (p > 255) 255 else p
+          x0 += 1
+        }
+        y0 += 1
+      }
+    }
+    var cc3 = 0
+    while (cc3 < 3) {
+      var by = 0
+      while (by < nbh(cc3)) {
+        var bx = 0
+        while (bx < nbw(cc3)) {
+          idctBlock(cc3, (by * bw(cc3) + bx) * 64)
+          var y0 = 0
+          while (y0 < 8) {
+            var x0 = 0
+            while (x0 < 8) {
+              val px = block(y0 * 8 + x0)
+              if (cc3 == 0) {
+                val yy = by * 8 + y0; val xx = bx * 8 + x0
+                if (yy < h && xx < w) yPlane(yy * w + xx) = px
+              } else {
+                val yy = by * 8 + y0; val xx = bx * 8 + x0
+                val plane = if (cc3 == 1) cbPlane else crPlane
+                if (yy < ch && xx < cw) plane(yy * cw + xx) = px
+              }
+              x0 += 1
+            }
+            y0 += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      cc3 += 1
+    }
+
+    var sy = 0L; var scb = 0L; var scr = 0L
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var mn = 255; var mx2 = 0
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val yv = yPlane(yy * w + xx)
+        val cb = cbPlane((yy / vs) * cw + (xx / hs))
+        val cr = crPlane((yy / vs) * cw + (xx / hs))
+        sy += yv; scb += cb; scr += cr
+        if (yv < mn) mn = yv
+        if (yv > mx2) mx2 = yv
+        def clamp(d: Double): Int = {
+          val p = StrictMath.rint(d).toInt
+          if (p < 0) 0 else if (p > 255) 255 else p
+        }
+        sr += clamp(yv + 1.402 * (cr - 128))
+        sg += clamp(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+        sb += clamp(yv + 1.772 * (cb - 128))
+        xx += 1
+      }
+      yy += 1
+    }
+    val n = w.toLong * h
+    JpegProgressiveFeatures(id, w, h, if (hs == 2) "420" else "444", nScans,
+      sy.toDouble / n, scb.toDouble / n, scr.toDouble / n,
+      sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, mn, mx2)
+  }
+
+  def decodeJpegProgressive(media: Dataset[MediaRow]): Dataset[JpegProgressiveFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => parseJpegProgressive(m.doc_id, m.media)))
+  }
+
+  /** Deterministic PROGRESSIVE color JPEG corpus: the color fixture's
+    * per-MCU constant plan (4:2:0 even ids / 4:4:4 odd, same Y/Cb/Cr
+    * formulas) plus one luma AC(4,4) coefficient per MCU,
+    * k = (id + 7m) % 11 − 5 ∈ [−5, 5] — the (4,4) basis adds exactly ±k
+    * to half the block's samples each (the grayscale fixture's exactness
+    * trick), so the luma MEAN is unchanged, min/max widen by |k|, and the
+    * RGB sums average the two shifted variants — all closed-form for the
+    * DuckDB oracle (k is an integer shift of y, so the color fixture's
+    * exhaustively-verified tie-free fractional domain is untouched).
+    * k spans every successive-approximation path: |k|≥2 plants a
+    * first-pass coefficient then a correction bit, |k|=1 is born ±1 in
+    * the refinement scan, k=0 rides the EOB runs. Every 7th doc carries
+    * a 2-MCU restart interval through ALL TEN SCANS (EOB-run flush at
+    * restart boundaries in both AC pass types). */
+  def jpegProgressiveFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Sources.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val sub420 = id % 2 == 0
+        val mcu = if (sub420) 16 else 8
+        val w = (mcu * (1 + id % 3)).toInt
+        val h = (mcu * (1 + id % 2)).toInt
+        val nm = (w / mcu) * (h / mcu)
+        val yM = Array.tabulate(nm)(m => (80 + (id * 7 + m * 13) % 97).toInt)
+        val cbM = Array.tabulate(nm)(m => (118 + (id + 3 * m) % 21).toInt)
+        val crM = Array.tabulate(nm)(m => (118 + (id * 5 + 11 * m) % 21).toInt)
+        val acY = Array.tabulate(nm)(m => ((id + 7 * m) % 11 - 5).toInt)
+        MediaRow(id, jpegEncodeProgressive(w, h, sub420, yM, cbM, crM, acY,
+          restartInterval = if (id % 7 == 0) 2 else 0))
+      })
+  }
+
+  /** Progressive writer: populates the full per-component quantized
+    * coefficient store (DC = value−128 with Q00=8, luma AC(4,4) = k with
+    * Q=8), then emits libjpeg's scan shape — interleaved DC at Al=1, each
+    * component's AC split into spectral bands at Al=1, a raw-bit DC
+    * refinement, and AC refinement scans down to Al=0 (high band before
+    * low — band order is free and the decoder must not care). The scan
+    * encoders are GENERAL (any coefficient content): DC successive
+    * approximation via arithmetic shift, AC first pass via sign-magnitude
+    * truncation with cross-block EOBn runs, AC refinement via G.1.2.3
+    * (new ±1s, ZRL over zero-history runs, buffered correction bits
+    * emitted with their owning symbol). */
+  private[llm] def jpegEncodeProgressive(w: Int, h: Int, sub420: Boolean,
+      yM: Array[Int], cbM: Array[Int], crM: Array[Int], acY: Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
+    val hs = if (sub420) 2 else 1
+    val mcuSz = 8 * hs
+    require(w % mcuSz == 0 && h % mcuSz == 0,
+      s"fixture geometry must be MCU-aligned (${w}x$h vs $mcuSz)")
+    val mw = w / mcuSz; val mh = h / mcuSz
+    val nm = mw * mh
+    require(yM.length == nm && cbM.length == nm && crM.length == nm
+      && acY.length == nm, "one (y, cb, cr, ac) tuple per MCU")
+    require((yM ++ cbM ++ crM).forall(v => v >= 0 && v <= 255),
+      "plane constants are sample values")
+    require(acY.forall(v => math.abs(v) <= 255), "AC term out of fixture range")
+    val qz = Array.fill(64)(16)
+    qz(0) = 8
+    qz(39) = 8 // zigzag position of natural (4,4)
+    val dcH = new Huff(FixtureDcCounts, FixtureDcSyms)
+    val acH = new Huff(ProgAcCounts, ProgAcSyms)
+
+    // full quantized coefficient store, natural order, same layout as the
+    // decoder's (MCU-aligned, so padded == real grid)
+    val bw = Array(mw * hs, mw, mw); val bh = Array(mh * hs, mh, mh)
+    val coefs = Array.tabulate(3)(c => new Array[Int](bw(c) * bh(c) * 64))
+    val ac44Nat = Zigzag(39)
+    var m = 0
+    while (m < nm) {
+      val my = m / mw; val mx = m % mw
+      var by0 = 0
+      while (by0 < hs) {
+        var bx0 = 0
+        while (bx0 < hs) {
+          val base = ((my * hs + by0) * bw(0) + mx * hs + bx0) * 64
+          coefs(0)(base) = yM(m) - 128
+          coefs(0)(base + ac44Nat) = acY(m)
+          bx0 += 1
+        }
+        by0 += 1
+      }
+      coefs(1)((my * bw(1) + mx) * 64) = cbM(m) - 128
+      coefs(2)((my * bw(2) + mx) * 64) = crM(m) - 128
+      m += 1
+    }
+
+    val out = new java.io.ByteArrayOutputStream(512 + nm * 16)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(mk: Int): Unit = { w8(0xff); w8(mk) }
+    marker(0xd8)
+    marker(0xe0); w16(16)
+    out.write("JFIF".getBytes("US-ASCII")); w8(0)
+    w8(1); w8(1); w8(0); w16(1); w16(1); w8(0); w8(0)
+    marker(0xdb); w16(67); w8(0x00); qz.foreach(w8)
+    marker(0xc2); w16(17); w8(8); w16(h); w16(w); w8(3) // SOF2
+    w8(1); w8((hs << 4) | hs); w8(0)
+    w8(2); w8(0x11); w8(0)
+    w8(3); w8(0x11); w8(0)
+    marker(0xc4); w16(2 + 1 + 16 + FixtureDcSyms.length)
+    w8(0x00); FixtureDcCounts.foreach(w8); FixtureDcSyms.foreach(w8)
+    marker(0xc4); w16(2 + 1 + 16 + ProgAcSyms.length)
+    w8(0x10); ProgAcCounts.foreach(w8); ProgAcSyms.foreach(w8)
+    if (restartInterval > 0) { marker(0xdd); w16(4); w16(restartInterval) }
+
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var j = n - 1
+      while (j >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> j) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          w8(bitBuf)
+          if ((bitBuf & 0xff) == 0xff) w8(0x00)
+          bitBuf = 0; bitCnt = 0
+        }
+        j -= 1
+      }
+    }
+    def flushBits(): Unit = if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt)
+    def putCode(huff: Huff, sym: Int): Unit = {
+      val (code, len) = huff.codeOf.getOrElse(sym,
+        throw new IllegalArgumentException(f"fixture table lacks symbol $sym%02x"))
+      putBits(code, len)
+    }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+    // one scan: components (slots), band, approximation
+    def scan(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      val ns = comps.length
+      marker(0xda); w16(6 + 2 * ns); w8(ns)
+      comps.foreach { c => w8(c + 1); w8(0x00) } // Td=0 / Ta=0 selectors
+      w8(ss); w8(se); w8((ah << 4) | al)
+
+      val pred = new Array[Int](3)
+      var eobrun = 0
+      val corrBits = scala.collection.mutable.ArrayBuffer.empty[Int] // with EOBn
+      def emitEobRun(): Unit = {
+        if (eobrun > 0) {
+          val nb = 31 - Integer.numberOfLeadingZeros(eobrun)
+          putCode(acH, nb << 4)
+          if (nb > 0) putBits(eobrun - (1 << nb), nb)
+          eobrun = 0
+        }
+        corrBits.foreach(b => putBits(b, 1))
+        corrBits.clear()
+      }
+
+      def encodeBlock(cc: Int, base: Int): Unit = {
+        if (ss == 0) { // DC
+          if (ah == 0) {
+            val v = coefs(cc)(base) >> al // arithmetic shift per the spec
+            val diff = v - pred(cc)
+            pred(cc) = v
+            val t = category(diff)
+            putCode(dcH, t)
+            if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+          } else putBits((coefs(cc)(base) >> al) & 1, 1)
+        } else if (ah == 0) { // AC first pass: sign-magnitude truncation
+          var r = 0
+          var k = ss
+          while (k <= se) {
+            val raw = coefs(cc)(base + Zigzag(k))
+            val v = if (raw < 0) -((-raw) >> al) else raw >> al
+            if (v == 0) r += 1
+            else {
+              emitEobRun()
+              while (r > 15) { putCode(acH, 0xf0); r -= 16 }
+              val s = category(v)
+              putCode(acH, (r << 4) | s)
+              putBits(if (v < 0) v + (1 << s) - 1 else v, s)
+              r = 0
+            }
+            k += 1
+          }
+          if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) emitEobRun() }
+        } else { // AC refinement: G.1.2.3 with buffered correction bits
+          val blockBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+          // last NEW (absvalue == 1) coefficient in the band, if any
+          var lastNew = -1
+          var k = ss
+          while (k <= se) {
+            val ab = math.abs(coefs(cc)(base + Zigzag(k))) >> al
+            if (ab == 1) lastNew = k
+            k += 1
+          }
+          var r = 0
+          k = ss
+          while (k <= se) {
+            val raw = coefs(cc)(base + Zigzag(k))
+            val ab = math.abs(raw) >> al
+            if (ab == 0) r += 1
+            else if (ab > 1) blockBits += (ab & 1) // history: correction bit
+            else { // newly significant at this precision
+              while (r > 15 && k <= lastNew) {
+                emitEobRun()
+                putCode(acH, 0xf0)
+                r -= 16
+                blockBits.foreach(b => putBits(b, 1)); blockBits.clear()
+              }
+              emitEobRun()
+              putCode(acH, (r << 4) | 1)
+              putBits(if (raw < 0) 0 else 1, 1)
+              blockBits.foreach(b => putBits(b, 1)); blockBits.clear()
+              r = 0
+            }
+            k += 1
+          }
+          if (r > 0 || blockBits.nonEmpty) {
+            eobrun += 1
+            corrBits ++= blockBits
+            if (eobrun == 0x7fff || corrBits.length > 900) emitEobRun()
+          }
+        }
+      }
+
+      val interleaved = ns > 1
+      val scanMcus = if (interleaved) mw * mh else bw(comps.head) * bh(comps.head)
+      var mcu = 0
+      while (mcu < scanMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          emitEobRun()
+          flushBits()
+          marker(0xd0 + ((mcu / restartInterval - 1) % 8))
+          pred(0) = 0; pred(1) = 0; pred(2) = 0
+        }
+        if (interleaved) {
+          val my = mcu / mw; val mx = mcu % mw
+          comps.foreach { cc =>
+            val hc = if (cc == 0) hs else 1
+            var by0 = 0
+            while (by0 < hc) {
+              var bx0 = 0
+              while (bx0 < hc) {
+                encodeBlock(cc, ((my * hc + by0) * bw(cc) + mx * hc + bx0) * 64)
+                bx0 += 1
+              }
+              by0 += 1
+            }
+          }
+        } else {
+          val cc = comps.head
+          encodeBlock(cc, ((mcu / bw(cc)) * bw(cc) + mcu % bw(cc)) * 64)
+        }
+        mcu += 1
+      }
+      emitEobRun()
+      flushBits()
+    }
+
+    // libjpeg-shaped script: DC first (both approximation passes
+    // interleaved), per-component spectral bands, refinements in a
+    // deliberately non-monotone band order
+    scan(Seq(0, 1, 2), 0, 0, 0, 1)
+    scan(Seq(0), 1, 5, 0, 1)
+    scan(Seq(0), 6, 63, 0, 1)
+    scan(Seq(1), 1, 63, 0, 1)
+    scan(Seq(2), 1, 63, 0, 1)
+    scan(Seq(0, 1, 2), 0, 0, 1, 0)
+    scan(Seq(0), 6, 63, 1, 0)
+    scan(Seq(0), 1, 5, 1, 0)
+    scan(Seq(1), 1, 63, 1, 0)
+    scan(Seq(2), 1, 63, 1, 0)
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  // canonical table carrying exactly the run/size symbols the progressive
+  // fixture emits: EOB0..EOB5 (cross-block runs up to 63), ZRL, and the
+  // (run 1, size 1/2) first-pass + new-coefficient codes
+  private val ProgAcCounts =
+    Array(0, 2, 2, 2, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcSyms =
+    Array(0x00, 0xf0, 0x10, 0x11, 0x20, 0x12, 0x30, 0x40, 0x50)
+
+  // ---------------------------------------------------------------------
   // MJPEG video in an AVI container (r16) — the COMPRESSED video codec:
   // every frame is an independently-coded baseline color JPEG (exactly
   // the intra-frame compression webcams/capture cards emit), carried in
@@ -2063,6 +2782,56 @@ object MultimodalOps extends QueryRegistry {
                CAST(sum(b) * mcu * mcu AS DOUBLE) / (w * h) AS mean_b,
                CAST(min(y) AS INT) AS min_luma, CAST(max(y) AS INT) AS max_luma
         FROM ccrgb GROUP BY doc_id, w, h, mcu"""))),
+
+    // the PROGRESSIVE sibling (r17): same per-MCU constant plan plus one
+    // luma AC(4,4) = k per MCU — the (4,4) basis puts y+k on half of each
+    // block's samples and y−k on the other half, so the oracle unnests a
+    // ±1 sign per MCU (each sign row weighs mcu²/2 pixels): luma mean is
+    // unchanged, min/max widen by |k|, RGB averages the two shifted
+    // variants. k is an integer shift, so the color fixture's verified
+    // tie-free rounding domain carries over unchanged. The Spark side must
+    // assemble ten scans — spectral bands, both successive-approximation
+    // passes, cross-block EOB runs — to reach these numbers, so a
+    // progression-order, refinement, or band-assembly bug cannot pass.
+    QueryDef("multimodal_jpeg_progressive_features",
+      (s, d) => decodeJpegProgressive(jpegProgressiveFixture(s, d)).toDF(),
+      Some(oq("""
+        , pcg AS (
+            SELECT doc_id, mcu, mcu * (1 + doc_id % 3) AS w,
+                   mcu * (1 + doc_id % 2) AS h
+            FROM (SELECT doc_id,
+                         CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS mcu
+                  FROM documents)),
+        pcm AS (
+            SELECT doc_id, w, h, mcu,
+                   80 + (doc_id * 7 + m.m * 13) % 97 AS y,
+                   118 + (doc_id + 3 * m.m) % 21 AS cb,
+                   118 + (doc_id * 5 + 11 * m.m) % 21 AS cr,
+                   (doc_id + 7 * m.m) % 11 - 5 AS k
+            FROM pcg,
+                 unnest(generate_series(0, (w // mcu) * (h // mcu) - 1)) AS m(m)),
+        pcs AS (
+            SELECT doc_id, w, h, mcu, y, cb, cr,
+                   y + sg.s * abs(k) AS yv
+            FROM pcm, (SELECT 1 AS s UNION ALL SELECT -1) sg),
+        pcrgb AS (
+            SELECT doc_id, w, h, mcu, y, cb, cr, yv,
+                   CAST(round(yv + 1.402 * (cr - 128)) AS BIGINT) AS r,
+                   CAST(round(yv - 0.344136 * (cb - 128)
+                              - 0.714136 * (cr - 128)) AS BIGINT) AS g,
+                   CAST(round(yv + 1.772 * (cb - 128)) AS BIGINT) AS b
+            FROM pcs)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CASE WHEN doc_id % 2 = 0 THEN '420' ELSE '444' END AS subsampling,
+               CAST(10 AS INT) AS n_scans,
+               CAST(sum(y) * mcu * mcu AS DOUBLE) / (2 * w * h) AS mean_y,
+               CAST(sum(cb) * mcu * mcu AS DOUBLE) / (2 * w * h) AS mean_cb,
+               CAST(sum(cr) * mcu * mcu AS DOUBLE) / (2 * w * h) AS mean_cr,
+               CAST(sum(r) * mcu * mcu AS DOUBLE) / (2 * w * h) AS mean_r,
+               CAST(sum(g) * mcu * mcu AS DOUBLE) / (2 * w * h) AS mean_g,
+               CAST(sum(b) * mcu * mcu AS DOUBLE) / (2 * w * h) AS mean_b,
+               CAST(min(yv) AS INT) AS min_luma, CAST(max(yv) AS INT) AS max_luma
+        FROM pcrgb GROUP BY doc_id, w, h, mcu"""))),
 
     // the VIDEO sibling: the oracle re-derives the scene plan analytically
     // (per-frame luma = the per-scene constant — the ±1 pattern sums to

@@ -593,4 +593,109 @@ class MultimodalSpec extends SparkSpec {
     assert(m.getInt(1) > 0)
     assert(m.getString(2).length === 8)
   }
+
+  // -- progressive color JPEG (r17) ----------------------------------------
+
+  private def rgbOf(y: Int, cb: Int, cr: Int): (Long, Long, Long) = (
+    StrictMath.rint(y + 1.402 * (cr - 128)).toLong,
+    StrictMath.rint(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)).toLong,
+    StrictMath.rint(y + 1.772 * (cb - 128)).toLong)
+
+  test("parseJpegProgressive decodes hand-computed 4:4:4 with every approximation path (r17)") {
+    // three MCUs covering |k|>=2 (first-pass coef + correction bit),
+    // |k|=1 (coefficient BORN in the refinement scan), and k=0 (EOB runs)
+    val y = Array(100, 160, 90); val cb = Array(120, 136, 125)
+    val cr = Array(130, 118, 133); val k = Array(5, -1, 0)
+    val f = MultimodalOps.parseJpegProgressive(1L,
+      MultimodalOps.jpegEncodeProgressive(24, 8, sub420 = false, y, cb, cr, k))
+    assert(f.width === 24 && f.height === 8 && f.subsampling === "444")
+    assert(f.n_scans === 10)
+    assert(f.mean_y === (100 + 160 + 90) / 3.0) // the ±k halves cancel
+    assert(f.mean_cb === (120 + 136 + 125) / 3.0)
+    assert(f.mean_cr === (130 + 118 + 133) / 3.0)
+    assert(f.min_luma === 90 && f.max_luma === 161) // min(100-5,160-1,90); max(105,161,90)
+    // per-MCU RGB: average of the y+|k| and y-|k| variants
+    def m(ys: Int, cbs: Int, crs: Int, ks: Int, pick: ((Long, Long, Long)) => Long): Double = {
+      val a = pick(rgbOf(ys + math.abs(ks), cbs, crs))
+      val b = pick(rgbOf(ys - math.abs(ks), cbs, crs))
+      (a + b) / 2.0
+    }
+    val expR = (m(100, 120, 130, 5, _._1) + m(160, 136, 118, -1, _._1) +
+      m(90, 125, 133, 0, _._1)) / 3
+    val expG = (m(100, 120, 130, 5, _._2) + m(160, 136, 118, -1, _._2) +
+      m(90, 125, 133, 0, _._2)) / 3
+    val expB = (m(100, 120, 130, 5, _._3) + m(160, 136, 118, -1, _._3) +
+      m(90, 125, 133, 0, _._3)) / 3
+    assert(f.mean_r === expR && f.mean_g === expG && f.mean_b === expB)
+  }
+
+  test("parseJpegProgressive 4:2:0 matches the baseline decoder on shared content (r17)") {
+    // k = 0 everywhere → the progressive and baseline encoders carry the
+    // SAME image; the two decode pipelines must agree feature-for-feature
+    val y = Array(90, 170); val cb = Array(125, 119); val cr = Array(133, 137)
+    val p = MultimodalOps.parseJpegProgressive(2L,
+      MultimodalOps.jpegEncodeProgressive(32, 16, sub420 = true, y, cb, cr,
+        Array(0, 0)))
+    val b = MultimodalOps.parseJpegColor(2L,
+      MultimodalOps.jpegEncodeColor(32, 16, sub420 = true, y, cb, cr))
+    assert(p.subsampling === "420" && p.n_scans === 10)
+    assert((p.mean_y, p.mean_cb, p.mean_cr, p.mean_r, p.mean_g, p.mean_b,
+      p.min_luma, p.max_luma) ===
+      (b.mean_y, b.mean_cb, b.mean_cr, b.mean_r, b.mean_g, b.mean_b,
+        b.min_luma, b.max_luma))
+  }
+
+  test("progressive restart markers flush EOB runs and reset predictors without changing output (r17)") {
+    val y = Array(80, 170, 95, 140); val cb = Array(120, 130, 126, 135)
+    val cr = Array(119, 138, 128, 122); val k = Array(3, 1, 0, -4)
+    val plain = MultimodalOps.parseJpegProgressive(3L,
+      MultimodalOps.jpegEncodeProgressive(32, 8, sub420 = false, y, cb, cr, k))
+    val rst = MultimodalOps.parseJpegProgressive(3L,
+      MultimodalOps.jpegEncodeProgressive(32, 8, sub420 = false, y, cb, cr, k,
+        restartInterval = 2))
+    assert(rst === plain)
+    assert(plain.min_luma === 80 - 3 && plain.max_luma === 170 + 1)
+  }
+
+  test("progressive failure modes are loud: truncated script, cross-routed frames (r17)") {
+    val bytes = MultimodalOps.jpegEncodeProgressive(8, 8, sub420 = false,
+      Array(100), Array(125), Array(130), Array(2))
+    // drop the final scan: find the LAST SOS marker and splice EOI there —
+    // the per-coefficient progression state must flag the missing band
+    val lastSos = (0 until bytes.length - 1).lastIndexWhere(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xda)
+    val truncated = bytes.take(lastSos) ++ Array(0xff.toByte, 0xd9.toByte)
+    assert(intercept[IllegalArgumentException] {
+      MultimodalOps.parseJpegProgressive(4L, truncated)
+    }.getMessage.contains("incomplete"))
+    // the baseline color decoder rejects SOF2; the progressive decoder
+    // rejects SOF0 — neither silently mis-decodes the other's frames
+    assert(intercept[IllegalArgumentException] {
+      MultimodalOps.parseJpegColor(4L, bytes)
+    }.getMessage.contains("progressive JPEG unsupported"))
+    assert(intercept[IllegalArgumentException] {
+      MultimodalOps.parseJpegProgressive(4L, MultimodalOps.jpegEncodeColor(
+        8, 8, sub420 = false, Array(100), Array(125), Array(130)))
+    }.getMessage.contains("sequential frame"))
+  }
+
+  test("progressive fixture decode matches the closed-form plan at sf0.001 (r17)") {
+    val ds = MultimodalOps.decodeJpegProgressive(
+      MultimodalOps.jpegProgressiveFixture(spark, sfDir)).cache()
+    try {
+      assert(ds.count() > 0)
+      ds.collect().foreach { f =>
+        val id = f.doc_id
+        val mcu = if (id % 2 == 0) 16 else 8
+        val w = (mcu * (1 + id % 3)).toInt; val h = (mcu * (1 + id % 2)).toInt
+        val nm = (w / mcu) * (h / mcu)
+        val ys = Array.tabulate(nm)(m2 => (80 + (id * 7 + m2 * 13) % 97).toInt)
+        val ks = Array.tabulate(nm)(m2 => ((id + 7 * m2) % 11 - 5).toInt)
+        assert(f.width === w && f.height === h && f.n_scans === 10)
+        assert(f.mean_y === ys.map(_.toLong).sum.toDouble / nm, s"doc $id mean_y")
+        assert(f.min_luma === ys.zip(ks).map { case (c, j) => c - math.abs(j) }.min)
+        assert(f.max_luma === ys.zip(ks).map { case (c, j) => c + math.abs(j) }.max)
+      }
+    } finally ds.unpersist()
+  }
 }
