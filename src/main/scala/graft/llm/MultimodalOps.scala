@@ -455,11 +455,14 @@ object MultimodalOps extends QueryRegistry {
           val end = i + 2 + u16(i + 2)
           var o = i + 4
           while (o < end) {
-            if (u8(o) >> 4 != 0) err("16-bit quantization tables unsupported")
+            val pq = u8(o) >> 4 // 0 = 8-bit entries, 1 = 16-bit (r17)
+            if (pq > 1) err(s"bad DQT precision $pq")
             val tq = u8(o) & 15
             if (tq > 3) err("bad DQT table id")
-            qTables(tq) = Array.tabulate(64)(j => u8(o + 1 + j))
-            o += 65
+            qTables(tq) =
+              if (pq == 0) Array.tabulate(64)(j => u8(o + 1 + j))
+              else Array.tabulate(64)(j => u16(o + 1 + 2 * j))
+            o += 1 + (if (pq == 0) 64 else 128)
           }
           i = end
         case 0xdd =>
@@ -626,11 +629,22 @@ object MultimodalOps extends QueryRegistry {
     * upsamples by replication; RGB via the JFIF transform with
     * `StrictMath.rint` + clamp. Statistics are exact integer sums until
     * one IEEE division each — oracle-exact. */
+  /** JFIF subsampling label from the luma sampling factors (r17 widens
+    * the supported set): 1x1 → 4:4:4, 2x2 → 4:2:0, 2x1 → 4:2:2 (the
+    * video-derived shape), 1x2 → 4:4:0. */
+  private def subsamplingName(hs: Int, vs: Int): String = (hs, vs) match {
+    case (1, 1) => "444"
+    case (2, 2) => "420"
+    case (2, 1) => "422"
+    case (1, 2) => "440"
+    case _ => throw new IllegalStateException(s"unreachable sampling ${hs}x$vs")
+  }
+
   private[llm] def parseJpegColor(id: Long, bytes: Array[Byte]): JpegColorFeatures = {
     val d = jpegColorDecode(bytes,
       msg => throw new IllegalArgumentException(s"media of doc $id: $msg"))
     val n = d.w.toLong * d.h
-    JpegColorFeatures(id, d.w, d.h, if (d.hs == 2) "420" else "444",
+    JpegColorFeatures(id, d.w, d.h, subsamplingName(d.hs, d.vs),
       d.sy.toDouble / n, d.scb.toDouble / n, d.scr.toDouble / n,
       d.sr.toDouble / n, d.sg.toDouble / n, d.sb.toDouble / n, d.mn, d.mx)
   }
@@ -638,7 +652,7 @@ object MultimodalOps extends QueryRegistry {
   /** Exact integer statistics of one decoded baseline color JPEG: the
     * plane/RGB sums stay integers so any caller (the single-image feature
     * row, the MJPEG per-frame walk) divides exactly once. */
-  private final case class JpegColorDecoded(w: Int, h: Int, hs: Int,
+  private final case class JpegColorDecoded(w: Int, h: Int, hs: Int, vs: Int,
       sy: Long, scb: Long, scr: Long, sr: Long, sg: Long, sb: Long,
       mn: Int, mx: Int)
 
@@ -678,8 +692,8 @@ object MultimodalOps extends QueryRegistry {
             val samp = u8(i + 11 + 3 * c)
             if (c == 0) {
               hs = samp >> 4; vs = samp & 15
-              if (!((hs == 1 && vs == 1) || (hs == 2 && vs == 2)))
-                err(f"unsupported luma sampling ${hs}x$vs (4:4:4 or 4:2:0 only)")
+              if (hs < 1 || hs > 2 || vs < 1 || vs > 2)
+                err(f"unsupported luma sampling ${hs}x$vs (factors 1-2 only)")
             } else if (samp != 0x11) err("chroma sampling must be 1x1")
             qSel(c) = u8(i + 12 + 3 * c)
             c += 1
@@ -706,11 +720,14 @@ object MultimodalOps extends QueryRegistry {
           val end = i + 2 + u16(i + 2)
           var o = i + 4
           while (o < end) {
-            if (u8(o) >> 4 != 0) err("16-bit quantization tables unsupported")
+            val pq = u8(o) >> 4 // 0 = 8-bit entries, 1 = 16-bit (r17)
+            if (pq > 1) err(s"bad DQT precision $pq")
             val tq = u8(o) & 15
             if (tq > 3) err("bad DQT table id")
-            qTables(tq) = Array.tabulate(64)(j => u8(o + 1 + j))
-            o += 65
+            qTables(tq) =
+              if (pq == 0) Array.tabulate(64)(j => u8(o + 1 + j))
+              else Array.tabulate(64)(j => u16(o + 1 + 2 * j))
+            o += 1 + (if (pq == 0) 64 else 128)
           }
           i = end
         case 0xdd =>
@@ -913,7 +930,7 @@ object MultimodalOps extends QueryRegistry {
       }
       yy += 1
     }
-    JpegColorDecoded(w, h, hs, sy, scb, scr, sr, sg, sb, mn, mx2)
+    JpegColorDecoded(w, h, hs, vs, sy, scb, scr, sr, sg, sb, mn, mx2)
   }
 
   def decodeJpegColor(media: Dataset[MediaRow]): Dataset[JpegColorFeatures] = {
@@ -955,12 +972,19 @@ object MultimodalOps extends QueryRegistry {
     * markers reset all three. */
   private[llm] def jpegEncodeColor(w: Int, h: Int, sub420: Boolean,
       yM: Array[Int], cbM: Array[Int], crM: Array[Int],
+      restartInterval: Int = 0): Array[Byte] =
+    jpegEncodeColorSampled(w, h, if (sub420) 2 else 1, if (sub420) 2 else 1,
+      yM, cbM, crM, restartInterval)
+
+  /** General-sampling variant (r17): independent luma factors, covering
+    * 4:2:2 (2x1) and 4:4:0 (1x2) alongside the 4:4:4/4:2:0 pair. */
+  private[llm] def jpegEncodeColorSampled(w: Int, h: Int, hs: Int, vs: Int,
+      yM: Array[Int], cbM: Array[Int], crM: Array[Int],
       restartInterval: Int = 0): Array[Byte] = {
-    val hs = if (sub420) 2 else 1
-    val mcuSz = 8 * hs
-    require(w % mcuSz == 0 && h % mcuSz == 0,
-      s"fixture geometry must be MCU-aligned (${w}x$h vs $mcuSz)")
-    val nm = (w / mcuSz) * (h / mcuSz)
+    val mcuW = 8 * hs; val mcuH = 8 * vs
+    require(w % mcuW == 0 && h % mcuH == 0,
+      s"fixture geometry must be MCU-aligned (${w}x$h vs ${mcuW}x$mcuH)")
+    val nm = (w / mcuW) * (h / mcuH)
     require(yM.length == nm && cbM.length == nm && crM.length == nm,
       "one (y, cb, cr) triple per MCU")
     require((yM ++ cbM ++ crM).forall(v => v >= 0 && v <= 255),
@@ -980,7 +1004,7 @@ object MultimodalOps extends QueryRegistry {
     w8(1); w8(1); w8(0); w16(1); w16(1); w8(0); w8(0)
     marker(0xdb); w16(67); w8(0x00); qz.foreach(w8)
     marker(0xc0); w16(17); w8(8); w16(h); w16(w); w8(3) // SOF0, 3 components
-    w8(1); w8((hs << 4) | hs); w8(0) // Y
+    w8(1); w8((hs << 4) | vs); w8(0) // Y
     w8(2); w8(0x11); w8(0) // Cb
     w8(3); w8(0x11); w8(0) // Cr
     def dht(tc: Int, counts: Array[Int], syms: Array[Int]): Unit = {
@@ -1032,7 +1056,7 @@ object MultimodalOps extends QueryRegistry {
         pred(0) = 0; pred(1) = 0; pred(2) = 0
       }
       var lb = 0
-      while (lb < hs * hs) { putDcOnlyBlock(0, yM(m)); lb += 1 }
+      while (lb < hs * vs) { putDcOnlyBlock(0, yM(m)); lb += 1 }
       putDcOnlyBlock(1, cbM(m))
       putDcOnlyBlock(2, crM(m))
       m += 1
@@ -1329,8 +1353,8 @@ object MultimodalOps extends QueryRegistry {
             val samp = u8(i + 11 + 3 * c)
             if (c == 0) {
               hs = samp >> 4; vs = samp & 15
-              if (!((hs == 1 && vs == 1) || (hs == 2 && vs == 2)))
-                err(f"unsupported luma sampling ${hs}x$vs (4:4:4 or 4:2:0 only)")
+              if (hs < 1 || hs > 2 || vs < 1 || vs > 2)
+                err(f"unsupported luma sampling ${hs}x$vs (factors 1-2 only)")
             } else if (samp != 0x11) err("chroma sampling must be 1x1")
             qSel(c) = u8(i + 12 + 3 * c)
             c += 1
@@ -1364,11 +1388,14 @@ object MultimodalOps extends QueryRegistry {
           val end = i + 2 + u16(i + 2)
           var o = i + 4
           while (o < end) {
-            if (u8(o) >> 4 != 0) err("16-bit quantization tables unsupported")
+            val pq = u8(o) >> 4 // 0 = 8-bit entries, 1 = 16-bit (r17)
+            if (pq > 1) err(s"bad DQT precision $pq")
             val tq = u8(o) & 15
             if (tq > 3) err("bad DQT table id")
-            qTables(tq) = Array.tabulate(64)(j => u8(o + 1 + j))
-            o += 65
+            qTables(tq) =
+              if (pq == 0) Array.tabulate(64)(j => u8(o + 1 + j))
+              else Array.tabulate(64)(j => u16(o + 1 + 2 * j))
+            o += 1 + (if (pq == 0) 64 else 128)
           }
           i = end
         case 0xdd =>
@@ -1491,7 +1518,7 @@ object MultimodalOps extends QueryRegistry {
       yy += 1
     }
     val n = w.toLong * h
-    JpegProgressiveFeatures(id, w, h, if (hs == 2) "420" else "444", nScans,
+    JpegProgressiveFeatures(id, w, h, subsamplingName(hs, vs), nScans,
       sy.toDouble / n, scb.toDouble / n, scr.toDouble / n,
       sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, mn, mx2)
   }
@@ -1546,12 +1573,19 @@ object MultimodalOps extends QueryRegistry {
     * emitted with their owning symbol). */
   private[llm] def jpegEncodeProgressive(w: Int, h: Int, sub420: Boolean,
       yM: Array[Int], cbM: Array[Int], crM: Array[Int], acY: Array[Int],
-      restartInterval: Int = 0): Array[Byte] = {
-    val hs = if (sub420) 2 else 1
-    val mcuSz = 8 * hs
-    require(w % mcuSz == 0 && h % mcuSz == 0,
-      s"fixture geometry must be MCU-aligned (${w}x$h vs $mcuSz)")
-    val mw = w / mcuSz; val mh = h / mcuSz
+      restartInterval: Int = 0): Array[Byte] =
+    jpegEncodeProgressiveSampled(w, h, if (sub420) 2 else 1,
+      if (sub420) 2 else 1, yM, cbM, crM, acY, restartInterval)
+
+  /** General-sampling progressive variant (r17): independent luma factors
+    * (4:2:2 / 4:4:0 alongside 4:4:4 / 4:2:0). */
+  private[llm] def jpegEncodeProgressiveSampled(w: Int, h: Int, hs: Int,
+      vs: Int, yM: Array[Int], cbM: Array[Int], crM: Array[Int],
+      acY: Array[Int], restartInterval: Int = 0): Array[Byte] = {
+    val mcuW = 8 * hs; val mcuH = 8 * vs
+    require(w % mcuW == 0 && h % mcuH == 0,
+      s"fixture geometry must be MCU-aligned (${w}x$h vs ${mcuW}x$mcuH)")
+    val mw = w / mcuW; val mh = h / mcuH
     val nm = mw * mh
     require(yM.length == nm && cbM.length == nm && crM.length == nm
       && acY.length == nm, "one (y, cb, cr, ac) tuple per MCU")
@@ -1566,17 +1600,17 @@ object MultimodalOps extends QueryRegistry {
 
     // full quantized coefficient store, natural order, same layout as the
     // decoder's (MCU-aligned, so padded == real grid)
-    val bw = Array(mw * hs, mw, mw); val bh = Array(mh * hs, mh, mh)
+    val bw = Array(mw * hs, mw, mw); val bh = Array(mh * vs, mh, mh)
     val coefs = Array.tabulate(3)(c => new Array[Int](bw(c) * bh(c) * 64))
     val ac44Nat = Zigzag(39)
     var m = 0
     while (m < nm) {
       val my = m / mw; val mx = m % mw
       var by0 = 0
-      while (by0 < hs) {
+      while (by0 < vs) {
         var bx0 = 0
         while (bx0 < hs) {
-          val base = ((my * hs + by0) * bw(0) + mx * hs + bx0) * 64
+          val base = ((my * vs + by0) * bw(0) + mx * hs + bx0) * 64
           coefs(0)(base) = yM(m) - 128
           coefs(0)(base + ac44Nat) = acY(m)
           bx0 += 1
@@ -1598,7 +1632,7 @@ object MultimodalOps extends QueryRegistry {
     w8(1); w8(1); w8(0); w16(1); w16(1); w8(0); w8(0)
     marker(0xdb); w16(67); w8(0x00); qz.foreach(w8)
     marker(0xc2); w16(17); w8(8); w16(h); w16(w); w8(3) // SOF2
-    w8(1); w8((hs << 4) | hs); w8(0)
+    w8(1); w8((hs << 4) | vs); w8(0)
     w8(2); w8(0x11); w8(0)
     w8(3); w8(0x11); w8(0)
     marker(0xc4); w16(2 + 1 + 16 + FixtureDcSyms.length)
@@ -1731,11 +1765,12 @@ object MultimodalOps extends QueryRegistry {
           val my = mcu / mw; val mx = mcu % mw
           comps.foreach { cc =>
             val hc = if (cc == 0) hs else 1
+            val vc = if (cc == 0) vs else 1
             var by0 = 0
-            while (by0 < hc) {
+            while (by0 < vc) {
               var bx0 = 0
               while (bx0 < hc) {
-                encodeBlock(cc, ((my * hc + by0) * bw(cc) + mx * hc + bx0) * 64)
+                encodeBlock(cc, ((my * vc + by0) * bw(cc) + mx * hc + bx0) * 64)
                 bx0 += 1
               }
               by0 += 1
@@ -1943,7 +1978,7 @@ object MultimodalOps extends QueryRegistry {
       err(s"container declares $avihFrames/$strhLength frames, movi carries ${frames.length}")
 
     var sy = 0L; var sr = 0L; var sg = 0L; var sb = 0L
-    var hs = -1
+    var hs = -1; var vsv = -1
     val frameLuma = new Array[Long](frames.length)
     var f = 0
     while (f < frames.length) {
@@ -1954,8 +1989,9 @@ object MultimodalOps extends QueryRegistry {
         msg => throw new IllegalArgumentException(s"media of doc $id frame $fi: $msg"))
       if (d.w != avihW || d.h != avihH)
         err(s"frame $f decodes ${d.w}x${d.h}, container says ${avihW}x$avihH")
-      if (hs < 0) hs = d.hs
-      else if (hs != d.hs) err(s"frame $f changes chroma subsampling mid-stream")
+      if (hs < 0) { hs = d.hs; vsv = d.vs }
+      else if (hs != d.hs || vsv != d.vs)
+        err(s"frame $f changes chroma subsampling mid-stream")
       frameLuma(f) = d.sy
       sy += d.sy; sr += d.sr; sg += d.sg; sb += d.sb
       f += 1
@@ -1970,7 +2006,7 @@ object MultimodalOps extends QueryRegistry {
     }
     val n = frames.length.toLong * px
     MjpegVideoFeatures(id, w, h, rate.toInt, scale.toInt, frames.length,
-      if (hs == 2) "420" else "444",
+      subsamplingName(hs, vsv),
       sy.toDouble / n, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
       cuts, cuts + 1)
   }

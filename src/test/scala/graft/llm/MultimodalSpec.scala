@@ -312,12 +312,13 @@ class MultimodalSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       MultimodalOps.parseJpegColor(1L, gray)
     }.getMessage.contains("color only"))
-    // 4:2:2-style sampling (2x1 luma) is outside the supported pair
+    // factors above 2 (4:1:1-style 4x1 luma) are outside the supported set
+    // (2x1 / 1x2 became first-class in r17)
     val bad = color.clone()
     // SOF0 luma sampling byte: find the SOF0 marker and patch component 1
     val sof = (0 until bad.length - 1).find(i =>
       (bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xc0).get
-    bad(sof + 11) = 0x21.toByte // 2x1
+    bad(sof + 11) = 0x41.toByte // 4x1
     assert(intercept[IllegalArgumentException] {
       MultimodalOps.parseJpegColor(1L, bad)
     }.getMessage.contains("luma sampling"))
@@ -677,6 +678,53 @@ class MultimodalSpec extends SparkSpec {
       MultimodalOps.parseJpegProgressive(4L, MultimodalOps.jpegEncodeColor(
         8, 8, sub420 = false, Array(100), Array(125), Array(130)))
     }.getMessage.contains("sequential frame"))
+  }
+
+  test("4:2:2 and 4:4:0 sampling decode exactly in both decoders (r17)") {
+    // 4:2:2 — two 16x8 MCUs, two luma blocks + one chroma pair each;
+    // chroma replicates horizontally only
+    val c422 = MultimodalOps.parseJpegColor(10L,
+      MultimodalOps.jpegEncodeColorSampled(32, 8, 2, 1,
+        Array(100, 160), Array(120, 136), Array(130, 118)))
+    val (r1, g1, b1) = rgbOf(100, 120, 130); val (r2, g2, b2) = rgbOf(160, 136, 118)
+    assert(c422 === MultimodalOps.JpegColorFeatures(10L, 32, 8, "422",
+      130.0, 128.0, 124.0,
+      (r1 + r2) / 2.0, (g1 + g2) / 2.0, (b1 + b2) / 2.0, 100, 160))
+    // 4:4:0 — vertical-only subsampling, via the progressive pipeline
+    val p440 = MultimodalOps.parseJpegProgressive(11L,
+      MultimodalOps.jpegEncodeProgressiveSampled(8, 32, 1, 2,
+        Array(90, 150), Array(125, 119), Array(133, 137), Array(2, -1)))
+    assert(p440.subsampling === "440" && p440.n_scans === 10)
+    assert(p440.mean_y === (90 + 150) / 2.0)
+    assert(p440.min_luma === 88 && p440.max_luma === 151)
+    // and a 4:2:2 progressive roundtrip agrees with the baseline decoder
+    val p422 = MultimodalOps.parseJpegProgressive(12L,
+      MultimodalOps.jpegEncodeProgressiveSampled(32, 8, 2, 1,
+        Array(100, 160), Array(120, 136), Array(130, 118), Array(0, 0)))
+    assert((p422.subsampling, p422.mean_y, p422.mean_r, p422.mean_g, p422.mean_b)
+      === (c422.subsampling, c422.mean_y, c422.mean_r, c422.mean_g, c422.mean_b))
+  }
+
+  test("16-bit quantization tables decode identically to their 8-bit twins (r17)") {
+    val img = MultimodalOps.jpegEncodeColor(16, 8, sub420 = false,
+      Array(100, 160), Array(120, 136), Array(130, 118))
+    // rewrite the 8-bit DQT segment (FFDB len=67 pq=0) as 16-bit (pq=1):
+    // same values, two bytes each — the decode must not change
+    val at = (0 until img.length - 1).indexWhere(i =>
+      (img(i) & 0xff) == 0xff && (img(i + 1) & 0xff) == 0xdb)
+    assert(at > 0 && (img(at + 4) & 0xff) == 0x00)
+    val vals = (0 until 64).map(j => img(at + 5 + j) & 0xff)
+    val seg16 = Array[Byte](0xff.toByte, 0xdb.toByte, 0, 131.toByte, 0x10) ++
+      vals.flatMap(v => Seq((v >> 8).toByte, (v & 0xff).toByte))
+    val img16 = img.take(at) ++ seg16 ++ img.drop(at + 4 + 65)
+    val a = MultimodalOps.parseJpegColor(13L, img)
+    val b = MultimodalOps.parseJpegColor(13L, img16)
+    assert(b === a)
+    // out-of-range precision nibble stays loud
+    val bad = img.clone(); bad(at + 4) = 0x20.toByte
+    assert(intercept[IllegalArgumentException] {
+      MultimodalOps.parseJpegColor(13L, bad)
+    }.getMessage.contains("DQT precision"))
   }
 
   test("progressive fixture decode matches the closed-form plan at sf0.001 (r17)") {
