@@ -338,6 +338,60 @@ object MultimodalOps extends QueryRegistry {
 
   /** Zigzag scan order: scan position → natural (row-major) coefficient
     * index (ISO/IEC 10918-1 Figure 5). Shared by encoder and decoder. */
+  /** One DQT segment (possibly several tables, 8- or 16-bit entries),
+    * shared by all three JPEG decoders: fills `qTables` in zigzag order
+    * and returns the offset past the segment. */
+  private def parseDqtSegment(bytes: Array[Byte], at: Int,
+      qTables: Array[Array[Int]], err: String => Nothing): Int = {
+    def u8(o: Int): Int =
+      if (o < bytes.length) bytes(o) & 0xff else err("truncated JPEG")
+    def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    val end = at + 2 + u16(at + 2)
+    var o = at + 4
+    while (o < end) {
+      val pq = u8(o) >> 4 // 0 = 8-bit entries, 1 = 16-bit (r17)
+      if (pq > 1) err(s"bad DQT precision $pq")
+      val tq = u8(o) & 15
+      if (tq > 3) err("bad DQT table id")
+      qTables(tq) =
+        if (pq == 0) Array.tabulate(64)(j => u8(o + 1 + j))
+        else Array.tabulate(64)(j => u16(o + 1 + 2 * j))
+      o += 1 + (if (pq == 0) 64 else 128)
+    }
+    end
+  }
+
+  /** Reference 8x8 inverse DCT over a DEQUANTIZED natural-order block:
+    * level shift, StrictMath.rint, clamp — the one pixel-domain kernel all
+    * three JPEG decoders share. */
+  private def idct8x8(dq: Array[Int], out: Array[Int]): Unit = {
+    var y0 = 0
+    while (y0 < 8) {
+      var x0 = 0
+      while (x0 < 8) {
+        var f = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) InvSqrt2 else 1.0
+          var u = 0
+          while (u < 8) {
+            val c = dq(v * 8 + u)
+            if (c != 0) {
+              val cu = if (u == 0) InvSqrt2 else 1.0
+              f += cu * cv * c * CosTable(x0)(u) * CosTable(y0)(v)
+            }
+            u += 1
+          }
+          v += 1
+        }
+        val p = StrictMath.rint(f / 4 + 128).toInt
+        out(y0 * 8 + x0) = if (p < 0) 0 else if (p > 255) 255 else p
+        x0 += 1
+      }
+      y0 += 1
+    }
+  }
+
   private val Zigzag: Array[Int] = Array(
     0, 1, 8, 16, 9, 2, 3, 10,
     17, 24, 32, 25, 18, 11, 4, 5,
@@ -451,20 +505,8 @@ object MultimodalOps extends QueryRegistry {
             o += 17 + n
           }
           i = end
-        case 0xdb => // DQT — possibly several tables, 8-bit precision
-          val end = i + 2 + u16(i + 2)
-          var o = i + 4
-          while (o < end) {
-            val pq = u8(o) >> 4 // 0 = 8-bit entries, 1 = 16-bit (r17)
-            if (pq > 1) err(s"bad DQT precision $pq")
-            val tq = u8(o) & 15
-            if (tq > 3) err("bad DQT table id")
-            qTables(tq) =
-              if (pq == 0) Array.tabulate(64)(j => u8(o + 1 + j))
-              else Array.tabulate(64)(j => u16(o + 1 + 2 * j))
-            o += 1 + (if (pq == 0) 64 else 128)
-          }
-          i = end
+        case 0xdb => // DQT — shared parser, 8/16-bit entries
+          i = parseDqtSegment(bytes, i, qTables, err)
         case 0xdd =>
           restartInterval = u16(i + 4); i += 2 + u16(i + 2)
         case 0xda => // SOS
@@ -514,6 +556,7 @@ object MultimodalOps extends QueryRegistry {
     val bw = (w + 7) / 8; val bh = (h + 7) / 8
     val px = new Array[Int](w * h)
     val coef = new Array[Int](64)
+    val block = new Array[Int](64)
     var pred = 0
     var mcu = 0
     var by = 0
@@ -548,32 +591,15 @@ object MultimodalOps extends QueryRegistry {
             z += 1
           }
         }
-        // reference IDCT + level shift + clamp, clipped to the geometry
+        // reference IDCT + level shift + clamp (shared kernel), clipped
+        idct8x8(coef, block)
         var y0 = 0
         while (y0 < 8) {
           val yy = by * 8 + y0
           var x0 = 0
           while (x0 < 8) {
             val xx = bx * 8 + x0
-            if (yy < h && xx < w) {
-              var f = 0.0
-              var v = 0
-              while (v < 8) {
-                val cv = if (v == 0) InvSqrt2 else 1.0
-                var u = 0
-                while (u < 8) {
-                  val c = coef(v * 8 + u)
-                  if (c != 0) {
-                    val cu = if (u == 0) InvSqrt2 else 1.0
-                    f += cu * cv * c * CosTable(x0)(u) * CosTable(y0)(v)
-                  }
-                  u += 1
-                }
-                v += 1
-              }
-              val p = StrictMath.rint(f / 4 + 128).toInt
-              px(yy * w + xx) = if (p < 0) 0 else if (p > 255) 255 else p
-            }
+            if (yy < h && xx < w) px(yy * w + xx) = block(y0 * 8 + x0)
             x0 += 1
           }
           y0 += 1
@@ -656,6 +682,40 @@ object MultimodalOps extends QueryRegistry {
       sy: Long, scb: Long, scr: Long, sr: Long, sg: Long, sb: Long,
       mn: Int, mx: Int)
 
+  /** Pixel statistics over decoded planes — chroma replicated to full
+    * resolution, RGB via the JFIF transform (rint + clamp), exact integer
+    * sums with one division each left to the caller. Shared by the
+    * baseline color and progressive decoders. */
+  private def colorPlaneStats(w: Int, h: Int, hs: Int, vs: Int, cw: Int,
+      yPlane: Array[Int], cbPlane: Array[Int],
+      crPlane: Array[Int]): JpegColorDecoded = {
+    var sy = 0L; var scb = 0L; var scr = 0L
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var mn = 255; var mx2 = 0
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val yv = yPlane(yy * w + xx)
+        val cb = cbPlane((yy / vs) * cw + (xx / hs))
+        val cr = crPlane((yy / vs) * cw + (xx / hs))
+        sy += yv; scb += cb; scr += cr
+        if (yv < mn) mn = yv
+        if (yv > mx2) mx2 = yv
+        def clamp(d: Double): Int = {
+          val p = StrictMath.rint(d).toInt
+          if (p < 0) 0 else if (p > 255) 255 else p
+        }
+        sr += clamp(yv + 1.402 * (cr - 128))
+        sg += clamp(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+        sb += clamp(yv + 1.772 * (cb - 128))
+        xx += 1
+      }
+      yy += 1
+    }
+    JpegColorDecoded(w, h, hs, vs, sy, scb, scr, sr, sg, sb, mn, mx2)
+  }
+
   /** The color-JPEG decode core behind [[parseJpegColor]] and the MJPEG
     * frame loop: full marker walk + entropy decode + IDCT + upsample +
     * RGB transform, reduced to [[JpegColorDecoded]] exact sums. `err`
@@ -717,19 +777,7 @@ object MultimodalOps extends QueryRegistry {
           }
           i = end
         case 0xdb =>
-          val end = i + 2 + u16(i + 2)
-          var o = i + 4
-          while (o < end) {
-            val pq = u8(o) >> 4 // 0 = 8-bit entries, 1 = 16-bit (r17)
-            if (pq > 1) err(s"bad DQT precision $pq")
-            val tq = u8(o) & 15
-            if (tq > 3) err("bad DQT table id")
-            qTables(tq) =
-              if (pq == 0) Array.tabulate(64)(j => u8(o + 1 + j))
-              else Array.tabulate(64)(j => u16(o + 1 + 2 * j))
-            o += 1 + (if (pq == 0) 64 else 128)
-          }
-          i = end
+          i = parseDqtSegment(bytes, i, qTables, err)
         case 0xdd =>
           restartInterval = u16(i + 4); i += 2 + u16(i + 2)
         case 0xda => // SOS — interleaved 3-component scan
@@ -818,31 +866,7 @@ object MultimodalOps extends QueryRegistry {
           z += 1
         }
       }
-      var y0 = 0
-      while (y0 < 8) {
-        var x0 = 0
-        while (x0 < 8) {
-          var f = 0.0
-          var v = 0
-          while (v < 8) {
-            val cv = if (v == 0) InvSqrt2 else 1.0
-            var u = 0
-            while (u < 8) {
-              val cc = coef(v * 8 + u)
-              if (cc != 0) {
-                val cu = if (u == 0) InvSqrt2 else 1.0
-                f += cu * cv * cc * CosTable(x0)(u) * CosTable(y0)(v)
-              }
-              u += 1
-            }
-            v += 1
-          }
-          val p = StrictMath.rint(f / 4 + 128).toInt
-          block(y0 * 8 + x0) = if (p < 0) 0 else if (p > 255) 255 else p
-          x0 += 1
-        }
-        y0 += 1
-      }
+      idct8x8(coef, block)
     }
 
     var mcu = 0
@@ -904,33 +928,7 @@ object MultimodalOps extends QueryRegistry {
     }
     if (u8(pos) != 0xff || u8(pos + 1) != 0xd9) err("missing EOI after scan")
 
-    // pixel statistics: chroma replicated to full resolution; RGB via the
-    // JFIF transform (rint + clamp) — exact integer sums, one division each
-    var sy = 0L; var scb = 0L; var scr = 0L
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var mn = 255; var mx2 = 0
-    var yy = 0
-    while (yy < h) {
-      var xx = 0
-      while (xx < w) {
-        val yv = yPlane(yy * w + xx)
-        val cb = cbPlane((yy / vs) * cw + (xx / hs))
-        val cr = crPlane((yy / vs) * cw + (xx / hs))
-        sy += yv; scb += cb; scr += cr
-        if (yv < mn) mn = yv
-        if (yv > mx2) mx2 = yv
-        def clamp(d: Double): Int = {
-          val p = StrictMath.rint(d).toInt
-          if (p < 0) 0 else if (p > 255) 255 else p
-        }
-        sr += clamp(yv + 1.402 * (cr - 128))
-        sg += clamp(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
-        sb += clamp(yv + 1.772 * (cb - 128))
-        xx += 1
-      }
-      yy += 1
-    }
-    JpegColorDecoded(w, h, hs, vs, sy, scb, scr, sr, sg, sb, mn, mx2)
+    colorPlaneStats(w, h, hs, vs, cw, yPlane, cbPlane, crPlane)
   }
 
   def decodeJpegColor(media: Dataset[MediaRow]): Dataset[JpegColorFeatures] = {
@@ -1385,19 +1383,7 @@ object MultimodalOps extends QueryRegistry {
           }
           i = end
         case 0xdb =>
-          val end = i + 2 + u16(i + 2)
-          var o = i + 4
-          while (o < end) {
-            val pq = u8(o) >> 4 // 0 = 8-bit entries, 1 = 16-bit (r17)
-            if (pq > 1) err(s"bad DQT precision $pq")
-            val tq = u8(o) & 15
-            if (tq > 3) err("bad DQT table id")
-            qTables(tq) =
-              if (pq == 0) Array.tabulate(64)(j => u8(o + 1 + j))
-              else Array.tabulate(64)(j => u16(o + 1 + 2 * j))
-            o += 1 + (if (pq == 0) 64 else 128)
-          }
-          i = end
+          i = parseDqtSegment(bytes, i, qTables, err)
         case 0xdd =>
           restartInterval = u16(i + 4); i += 2 + u16(i + 2)
         case 0xda =>
@@ -1436,31 +1422,7 @@ object MultimodalOps extends QueryRegistry {
     def idctBlock(cc: Int, base: Int): Unit = {
       var z = 0
       while (z < 64) { dq(Zigzag(z)) = coefs(cc)(base + Zigzag(z)) * q(cc)(z); z += 1 }
-      var y0 = 0
-      while (y0 < 8) {
-        var x0 = 0
-        while (x0 < 8) {
-          var f = 0.0
-          var v = 0
-          while (v < 8) {
-            val cv = if (v == 0) InvSqrt2 else 1.0
-            var u = 0
-            while (u < 8) {
-              val cc2 = dq(v * 8 + u)
-              if (cc2 != 0) {
-                val cu = if (u == 0) InvSqrt2 else 1.0
-                f += cu * cv * cc2 * CosTable(x0)(u) * CosTable(y0)(v)
-              }
-              u += 1
-            }
-            v += 1
-          }
-          val p = StrictMath.rint(f / 4 + 128).toInt
-          block(y0 * 8 + x0) = if (p < 0) 0 else if (p > 255) 255 else p
-          x0 += 1
-        }
-        y0 += 1
-      }
+      idct8x8(dq, block)
     }
     var cc3 = 0
     while (cc3 < 3) {
@@ -1493,34 +1455,11 @@ object MultimodalOps extends QueryRegistry {
       cc3 += 1
     }
 
-    var sy = 0L; var scb = 0L; var scr = 0L
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var mn = 255; var mx2 = 0
-    var yy = 0
-    while (yy < h) {
-      var xx = 0
-      while (xx < w) {
-        val yv = yPlane(yy * w + xx)
-        val cb = cbPlane((yy / vs) * cw + (xx / hs))
-        val cr = crPlane((yy / vs) * cw + (xx / hs))
-        sy += yv; scb += cb; scr += cr
-        if (yv < mn) mn = yv
-        if (yv > mx2) mx2 = yv
-        def clamp(d: Double): Int = {
-          val p = StrictMath.rint(d).toInt
-          if (p < 0) 0 else if (p > 255) 255 else p
-        }
-        sr += clamp(yv + 1.402 * (cr - 128))
-        sg += clamp(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
-        sb += clamp(yv + 1.772 * (cb - 128))
-        xx += 1
-      }
-      yy += 1
-    }
+    val d = colorPlaneStats(w, h, hs, vs, cw, yPlane, cbPlane, crPlane)
     val n = w.toLong * h
     JpegProgressiveFeatures(id, w, h, subsamplingName(hs, vs), nScans,
-      sy.toDouble / n, scb.toDouble / n, scr.toDouble / n,
-      sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, mn, mx2)
+      d.sy.toDouble / n, d.scb.toDouble / n, d.scr.toDouble / n,
+      d.sr.toDouble / n, d.sg.toDouble / n, d.sb.toDouble / n, d.mn, d.mx)
   }
 
   def decodeJpegProgressive(media: Dataset[MediaRow]): Dataset[JpegProgressiveFeatures] = {
@@ -1621,6 +1560,44 @@ object MultimodalOps extends QueryRegistry {
       coefs(2)((my * bw(2) + mx) * 64) = crM(m) - 128
       m += 1
     }
+    jpegEncodeProgressiveCoefs(w, h, hs, vs, coefs, restartInterval,
+      DefaultProgressiveScript)
+  }
+
+  /** libjpeg-shaped default script: DC first (both approximation passes
+    * interleaved), per-component spectral bands, refinements in a
+    * deliberately non-monotone band order. Tuples: (component slots, Ss,
+    * Se, Ah, Al). */
+  private[llm] val DefaultProgressiveScript: Seq[(Seq[Int], Int, Int, Int, Int)] =
+    Seq(
+      (Seq(0, 1, 2), 0, 0, 0, 1),
+      (Seq(0), 1, 5, 0, 1),
+      (Seq(0), 6, 63, 0, 1),
+      (Seq(1), 1, 63, 0, 1),
+      (Seq(2), 1, 63, 0, 1),
+      (Seq(0, 1, 2), 0, 0, 1, 0),
+      (Seq(0), 6, 63, 1, 0),
+      (Seq(0), 1, 5, 1, 0),
+      (Seq(1), 1, 63, 1, 0),
+      (Seq(2), 1, 63, 1, 0))
+
+  /** Emit half of the progressive writer, general over any prebuilt
+    * quantized coefficient store (natural order, decoder layout) and any
+    * scan script — the surface the multi-coefficient encode tests drive. */
+  private[llm] def jpegEncodeProgressiveCoefs(w: Int, h: Int, hs: Int,
+      vs: Int, coefs: Array[Array[Int]], restartInterval: Int,
+      script: Seq[(Seq[Int], Int, Int, Int, Int)]): Array[Byte] = {
+    val mcuW = 8 * hs; val mcuH = 8 * vs
+    require(w % mcuW == 0 && h % mcuH == 0,
+      s"geometry must be MCU-aligned (${w}x$h vs ${mcuW}x$mcuH)")
+    val mw = w / mcuW; val mh = h / mcuH
+    val nm = mw * mh
+    val qz = Array.fill(64)(16)
+    qz(0) = 8
+    qz(39) = 8 // zigzag position of natural (4,4)
+    val dcH = new Huff(FixtureDcCounts, FixtureDcSyms)
+    val acH = new Huff(ProgAcCounts, ProgAcSyms)
+    val bw = Array(mw * hs, mw, mw); val bh = Array(mh * vs, mh, mh)
 
     val out = new java.io.ByteArrayOutputStream(512 + nm * 16)
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -1727,19 +1704,28 @@ object MultimodalOps extends QueryRegistry {
             val raw = coefs(cc)(base + Zigzag(k))
             val ab = math.abs(raw) >> al
             if (ab == 0) r += 1
-            else if (ab > 1) blockBits += (ab & 1) // history: correction bit
-            else { // newly significant at this precision
+            else {
+              // the ZRL loop runs at EVERY significant position — history
+              // included — so each ZRL's flushed correction bits are
+              // exactly those of the history coefficients inside the
+              // 16-zero-history span the decoder replays for it (libjpeg
+              // encode_mcu_AC_refine's shape; flushing only at new
+              // coefficients misassociates bits of history coefficients
+              // beyond the span and desyncs the stream — r17 review)
               while (r > 15 && k <= lastNew) {
                 emitEobRun()
                 putCode(acH, 0xf0)
                 r -= 16
                 blockBits.foreach(b => putBits(b, 1)); blockBits.clear()
               }
-              emitEobRun()
-              putCode(acH, (r << 4) | 1)
-              putBits(if (raw < 0) 0 else 1, 1)
-              blockBits.foreach(b => putBits(b, 1)); blockBits.clear()
-              r = 0
+              if (ab > 1) blockBits += (ab & 1) // history: correction bit
+              else { // newly significant at this precision
+                emitEobRun()
+                putCode(acH, (r << 4) | 1)
+                putBits(if (raw < 0) 0 else 1, 1)
+                blockBits.foreach(b => putBits(b, 1)); blockBits.clear()
+                r = 0
+              }
             }
             k += 1
           }
@@ -1786,30 +1772,21 @@ object MultimodalOps extends QueryRegistry {
       flushBits()
     }
 
-    // libjpeg-shaped script: DC first (both approximation passes
-    // interleaved), per-component spectral bands, refinements in a
-    // deliberately non-monotone band order
-    scan(Seq(0, 1, 2), 0, 0, 0, 1)
-    scan(Seq(0), 1, 5, 0, 1)
-    scan(Seq(0), 6, 63, 0, 1)
-    scan(Seq(1), 1, 63, 0, 1)
-    scan(Seq(2), 1, 63, 0, 1)
-    scan(Seq(0, 1, 2), 0, 0, 1, 0)
-    scan(Seq(0), 6, 63, 1, 0)
-    scan(Seq(0), 1, 5, 1, 0)
-    scan(Seq(1), 1, 63, 1, 0)
-    scan(Seq(2), 1, 63, 1, 0)
+    script.foreach { case (comps, ss, se, ah, al) => scan(comps, ss, se, ah, al) }
     marker(0xd9)
     out.toByteArray
   }
 
-  // canonical table carrying exactly the run/size symbols the progressive
-  // fixture emits: EOB0..EOB5 (cross-block runs up to 63), ZRL, and the
-  // (run 1, size 1/2) first-pass + new-coefficient codes
+  // canonical table carrying the run/size symbols the progressive fixture
+  // and the multi-coefficient encode tests emit: EOB0..EOB5 (cross-block
+  // runs up to 63), ZRL, and the (run 0-3, size 1/2) first-pass +
+  // new-coefficient codes
   private val ProgAcCounts =
-    Array(0, 2, 2, 2, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    Array(0, 0, 2, 4, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
   private val ProgAcSyms =
-    Array(0x00, 0xf0, 0x10, 0x11, 0x20, 0x12, 0x30, 0x40, 0x50)
+    Array(0x00, 0xf0,
+      0x10, 0x11, 0x12, 0x20,
+      0x01, 0x02, 0x21, 0x22, 0x30, 0x31, 0x32, 0x40, 0x50)
 
   // ---------------------------------------------------------------------
   // MJPEG video in an AVI container (r16) — the COMPRESSED video codec:

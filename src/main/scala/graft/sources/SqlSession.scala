@@ -33,6 +33,12 @@ import org.apache.spark.sql.types.IntegerType
 object GraftCatalog {
   private val reg = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // per-lock-path JVM monitors: same-process threads serialize here before
+  // taking the OS file lock (overlapping FileLocks within one JVM throw)
+  private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def jvmLockFor(path: String): Object =
+    jvmLocks.computeIfAbsent(path, _ => new Object)
+
   // ---------------------------------------------------- persistent store
   // r16 (VERDICT r15 #6): the in-memory map is process-wide, so a SECOND
   // SparkSession process saw no registered tables — the one layer of the
@@ -125,9 +131,44 @@ object GraftCatalog {
     // dies still outlives the horizon and breaks the lock itself.
     private val ClaimSleepMs = 25L
     private val ClaimMaxAttempts = 4000
-    private def withClaim[T](body: => T): T = {
+
+    /** Cross-process mutual exclusion for the catalog replace. On a LOCAL
+      * filesystem (the deployment path) this is a real OS file lock
+      * ([[java.nio.channels.FileLock]]): the kernel releases it when the
+      * holder dies, so there is NO staleness heuristic and no break
+      * race at all — the class of TOCTOU the claim-file protocol can only
+      * shrink (r17, post-ADVICE review). A JVM-wide per-path monitor
+      * serializes same-process threads first, because overlapping OS locks
+      * from one JVM throw instead of blocking. Non-local stores fall back
+      * to [[withClaimFile]]. */
+    private def withClaim[T](body: => T): T =
+      if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+        val lockPath = java.nio.file.Paths.get(new org.apache.hadoop.fs.Path(
+          path.getParent, s".${path.getName}.lock").toUri.getPath)
+        GraftCatalog.jvmLockFor(lockPath.toString).synchronized {
+          val ch = java.nio.channels.FileChannel.open(lockPath,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val l = ch.lock() // blocks; kernel-released on process death
+            try body finally l.release()
+          } finally ch.close()
+        }
+      } else withClaimFile(body)
+
+    /** Claim-file protocol for stores without OS locks (HDFS-like): an
+      * exclusive-create lock file, age-based staleness, and a break path
+      * SERIALIZED through an exclusive-create break-mutex — while the
+      * mutex exists no other waiter may delete the canonical lock, and a
+      * claimant cannot re-create it while the stale instance exists, so
+      * the instance the break-winner re-stats is the instance it deletes.
+      * An orphaned break-mutex (winner crashed inside its µs-long
+      * critical section) is itself age-broken. */
+    private def withClaimFile[T](body: => T): T = {
       val lock = new org.apache.hadoop.fs.Path(
         path.getParent, s".${path.getName}.lock")
+      val breakMutex = new org.apache.hadoop.fs.Path(
+        path.getParent, s".${path.getName}.lockbreak")
       var attempts = 0
       while (true) {
         val claimed =
@@ -138,25 +179,31 @@ object GraftCatalog {
         attempts += 1
         if (attempts > ClaimMaxAttempts) throw new IllegalStateException(
           s"catalog lock at $lock held for too long — delete it if its holder is dead")
-        // Break a provably stale lock (crashed holder). The bare delete had
-        // a TOCTOU (ADVICE r16): two waiters could both judge the lock
-        // stale, waiter A deletes + re-creates, waiter B's delayed delete
-        // then removes A's LIVE lock and both enter the critical section.
-        // The break is now an atomic RENAME to a waiter-unique path — the
-        // filesystem grants it to exactly one waiter (the loser's rename
-        // throws FileNotFound), so no waiter can ever delete a lock another
-        // waiter just created at the canonical path — guarded by a re-stat
-        // immediately before, so the instance being renamed is verified
-        // stale microseconds (not a full sleep cycle) before the break.
         try {
           val st = fs.getFileStatus(lock)
           if (System.currentTimeMillis() - st.getModificationTime > StaleLockMs) {
-            val breaker = new org.apache.hadoop.fs.Path(path.getParent,
-              s".${path.getName}.lockbreak_${java.util.UUID.randomUUID()}")
-            val st2 = fs.getFileStatus(lock) // re-stat: same stale instance?
-            if (st2.getModificationTime == st.getModificationTime &&
-                fs.rename(lock, breaker))
-              fs.delete(breaker, false)
+            val breaking =
+              try { fs.create(breakMutex, false).close(); true }
+              catch { case _: java.io.IOException => false }
+            if (breaking) {
+              try {
+                // re-stat INSIDE the mutex: any instance observed stale
+                // here was created >StaleLockMs ago (mtime cannot regress),
+                // so its holder is dead by the protocol's axiom
+                val st2 = fs.getFileStatus(lock)
+                if (System.currentTimeMillis() - st2.getModificationTime > StaleLockMs)
+                  fs.delete(lock, false)
+              } catch { case _: java.io.FileNotFoundException => () }
+              finally fs.delete(breakMutex, false)
+            } else {
+              // an orphaned break-mutex blocks every break forever: apply
+              // the same age rule to it
+              try {
+                val bst = fs.getFileStatus(breakMutex)
+                if (System.currentTimeMillis() - bst.getModificationTime > StaleLockMs)
+                  fs.delete(breakMutex, false)
+              } catch { case _: java.io.FileNotFoundException => () }
+            }
           }
         } catch { case _: java.io.FileNotFoundException => () }
         Thread.sleep(ClaimSleepMs)

@@ -1391,9 +1391,35 @@ object VersionedTable {
     // Persist the high-water batch id BEFORE any version dir dies (ADVICE
     // r16): if the sweep retires the version carrying the newest batch
     // marker, the sidecar keeps exactly-once replay detection alive.
+    // ATOMIC overwriting replace (the catalog store's pattern): a
+    // truncating in-place overwrite could crash mid-write and leave a torn
+    // sidecar that fails every later recovery read, and a delete-then-
+    // rename would give a concurrent restart-recovery reader a missing-
+    // file window at the vacuum horizon — the replace leaves the file
+    // always readable as the old or the new value
     latestBatchId(fs, root, Some(latest)).foreach { id =>
-      val out = fs.create(lastBatchSidecar(root), true)
-      try out.write(s"$id\n".getBytes("UTF-8")) finally out.close()
+      val c = lastBatchSidecar(root)
+      val tmp = new Path(root, s"._last_batch.tmp_${java.util.UUID.randomUUID()}")
+      val bytes = s"$id\n".getBytes("UTF-8")
+      if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+        java.nio.file.Files.write(java.nio.file.Paths.get(tmp.toUri.getPath), bytes)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(c.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // a checksummed LocalFileSystem sidecar from an earlier fs.create
+        // would leave a stale .crc that fails every later fs.open
+        val crc = new Path(root, "._last_batch.crc")
+        try if (fs.exists(crc)) fs.delete(crc, false)
+        catch { case _: java.io.IOException => () }
+      } else {
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(c.toUri, spark.sessionState.newHadoopConf())
+          .rename(tmp, c, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
     }
     val dropped = (1 to latest - keep)
       .filter(v => fs.exists(new Path(vDir(root, v))))

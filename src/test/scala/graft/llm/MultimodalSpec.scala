@@ -727,6 +727,36 @@ class MultimodalSpec extends SparkSpec {
     }.getMessage.contains("DQT precision"))
   }
 
+  test("AC refinement interleaves ZRL spans with history correction bits (r17 review)") {
+    // two AC coefficients per luma block — the content class the fixture
+    // never emits: H=3 at zigzag 25 (natural 20; nonzero HISTORY at the
+    // refinement pass) behind a >16-zero-history run, and N=-1 at zigzag
+    // 26 (natural 13; BORN in the refinement pass). A refinement encoder
+    // that flushes buffered correction bits with a ZRL whose span does not
+    // contain their coefficients desyncs exactly here.
+    def store(): Array[Array[Int]] = {
+      val cs = Array.tabulate(3)(_ => new Array[Int](64))
+      cs(0)(0) = 100 - 128; cs(1)(0) = 125 - 128; cs(2)(0) = 133 - 128
+      cs(0)(20) = 3; cs(0)(13) = -1
+      cs
+    }
+    // reference: the same coefficients in single full-precision passes
+    val singlePass = Seq(
+      (Seq(0, 1, 2), 0, 0, 0, 0),
+      (Seq(0), 1, 5, 0, 0), (Seq(0), 6, 63, 0, 0),
+      (Seq(1), 1, 63, 0, 0), (Seq(2), 1, 63, 0, 0))
+    val a = MultimodalOps.parseJpegProgressive(20L,
+      MultimodalOps.jpegEncodeProgressiveCoefs(8, 8, 1, 1, store(), 0, singlePass))
+    val b = MultimodalOps.parseJpegProgressive(20L,
+      MultimodalOps.jpegEncodeProgressiveCoefs(8, 8, 1, 1, store(), 0,
+        MultimodalOps.DefaultProgressiveScript))
+    assert(a.n_scans === 5)
+    assert(b === a.copy(n_scans = 10))
+    // the AC bases each sum to ~zero over the block, so the luma mean
+    // stays near the DC constant (per-pixel rint keeps it within a grey)
+    assert(math.abs(a.mean_y - 100.0) < 1.0, a.mean_y)
+  }
+
   test("progressive fixture decode matches the closed-form plan at sf0.001 (r17)") {
     val ds = MultimodalOps.decodeJpegProgressive(
       MultimodalOps.jpegProgressiveFixture(spark, sfDir)).cache()
