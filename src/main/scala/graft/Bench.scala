@@ -137,11 +137,11 @@ object Bench {
     "sql_olap_q1_prepared" -> 0.03,
     // r16: color JPEG decode, steady value from the clean builder run
     "multimodal_jpeg_color_decode" -> 0.47,
-    // r16 late RE-RECORD: the old 0.49 measured CROSS-REP CACHE REUSE —
-    // each rep's 5 per-round cache() frames were never released, so reps
-    // 2-3 served from rep 1's caches (the leak the r16-late fix closes).
-    // 1.43 is the honest per-call cost of the 5 greedy rounds.
-    "emb_mmr_rerank" -> 1.45,
+    // r17 RE-RECORD: the r16 honest value (1.45 — the old 0.49 measured
+    // cross-rep cache reuse) dropped to 0.77-0.88 once the greedy rounds
+    // localCheckpoint instead of chaining cached plans (tools/MmrProbe,
+    // identical output) — same fix class as doc_bpe_merges
+    "emb_mmr_rerank" -> 0.80,
     // r16 late: MJPEG/AVI decode — 2-6 full color-JPEG frames per doc plus
     // the container walk; 1.24/1.21 across the two recording runs
     "multimodal_mjpeg_decode" -> 1.21,

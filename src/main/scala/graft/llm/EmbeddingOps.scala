@@ -495,6 +495,15 @@ object EmbeddingOps extends QueryRegistry {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     def r6(c: Column): Column = round(c, 6).cast("decimal(10,6)").cast("double")
     val wnd = Window.partitionBy("query_id").orderBy(col("raw").desc, col("cand_id"))
+    // localCheckpoint per round, the bpeTrain lesson (r17): each round's
+    // pick is referenced twice and the state chains through k join/window
+    // rounds, so a cached chain re-analyzes an ever-deeper plan per round
+    // and needs an end-of-call driver collect just to find a safe
+    // unpersist point. Checkpointing truncates each round to its
+    // materialized rows (probed 2×: 1.4-1.7 → 0.7-0.8 s at sf0.1,
+    // tools/MmrProbe, identical output), keeps the result distributed
+    // (nothing reaches the driver), and blocks release via the context
+    // cleaner when the superseded round goes out of scope.
     var state = broadcast(qs).crossJoin(e)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"), col("embedding"),
@@ -502,16 +511,15 @@ object EmbeddingOps extends QueryRegistry {
       .withColumn("rn", row_number().over(wnd)).filter(col("rn") <= nCand)
       .select(col("query_id"), col("cand_id"), col("embedding"),
         r6(col("raw")).as("rel"), lit(-1.0).as("max_sim"))
+      .localCheckpoint()
     var picks: DataFrame = null
-    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
     for (r <- 1 to k) {
       val sw = Window.partitionBy("query_id")
         .orderBy((lit(0.7) * col("rel") - lit(0.3) * col("max_sim")).desc, col("cand_id"))
       val sel = state.withColumn("srn", row_number().over(sw))
         .filter(col("srn") === 1)
         .select(col("query_id"), col("cand_id"), col("embedding"), col("rel"))
-        .cache()
-      cached += sel
+        .localCheckpoint()
       val out = sel.select(col("query_id"), lit(r).as("mmr_rank"),
         col("cand_id").as("neighbor_id"), col("rel").as("relevance"))
       picks = if (picks == null) out else picks.unionByName(out)
@@ -523,14 +531,9 @@ object EmbeddingOps extends QueryRegistry {
           .select(col("query_id"), col("cand_id"), col("embedding"), col("rel"),
             greatest(col("max_sim"),
               r6(cosine(col("embedding"), col("sel_emb")))).as("max_sim"))
+          .localCheckpoint()
     }
-    // queries×k rows: materialize, then RELEASE the k per-round caches —
-    // returned lazily they had no safe unpersist point, leaking k cache
-    // entries into the long-lived session per invocation
-    val rows = java.util.Arrays.asList(picks.collect(): _*)
-    val result = emb.sparkSession.createDataFrame(rows, picks.schema)
-    cached.foreach(_.unpersist())
-    result
+    picks
   }
 
   /** Unrolled oracle for [[mmrRerank]]: per round, the per-query argmax CTE
