@@ -272,27 +272,25 @@ object EmbeddingOps extends QueryRegistry {
       round(lit(1.0) - cosine(col("embedding"), typedLit(center.toArray)), 6)
     val seed = base.orderBy("vec_id").limit(1).collect()(0)
     val seedId = seed.getLong(0)
+    // localCheckpoint per round (r17, the bpeTrain/mmrRerank fix class):
+    // a cached chain still analyzes an i-deep plan every round and needs
+    // an eager count + unpersist dance per round just to bound the cache
+    // footprint; checkpointing truncates the plan to the materialized
+    // rows in the same job and blocks release via the context cleaner
     var state = base.filter(col("vec_id") =!= seedId)
-      .withColumn("min_dist", distTo(seed.getSeq[Float](1))).cache()
+      .withColumn("min_dist", distTo(seed.getSeq[Float](1))).localCheckpoint()
     val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
       (1, seedId, None))
     for (i <- 2 to k) {
       val best = state.orderBy(col("min_dist").desc, col("vec_id")).limit(1)
         .select("vec_id", "min_dist", "embedding").collect()(0)
       picks += ((i, best.getLong(0), Some(best.getDouble(1))))
-      val prev = state
-      state = state.filter(col("vec_id") =!= best.getLong(0))
-        .withColumn("min_dist",
-          least(col("min_dist"), distTo(best.getSeq[Float](2)))).cache()
-      // materialize the new round, THEN release the previous one — k
-      // rounds per call would otherwise leak k cached corpus copies into
-      // the long-lived session per invocation
-      state.count()
-      prev.unpersist()
+      if (i < k)
+        state = state.filter(col("vec_id") =!= best.getLong(0))
+          .withColumn("min_dist",
+            least(col("min_dist"), distTo(best.getSeq[Float](2)))).localCheckpoint()
     }
-    val out = picks.toSeq.toDF("sample_rank", "vec_id", "min_dist")
-    state.unpersist()
-    out
+    picks.toSeq.toDF("sample_rank", "vec_id", "min_dist")
   }
 
   /** Unrolled oracle for [[kcenterSample]]: per round, the argmax CTE and
