@@ -338,6 +338,21 @@ object MultimodalOps extends QueryRegistry {
 
   /** Zigzag scan order: scan position → natural (row-major) coefficient
     * index (ISO/IEC 10918-1 Figure 5). Shared by encoder and decoder. */
+  private[llm] val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)uπ/16) via StrictMath (deterministic across JVMs). */
+  private val CosTable: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16))
+  private val InvSqrt2 = 1.0 / StrictMath.sqrt(2.0)
+
   /** One DQT segment (possibly several tables, 8- or 16-bit entries),
     * shared by all three JPEG decoders: fills `qTables` in zigzag order
     * and returns the offset past the segment. */
@@ -392,20 +407,6 @@ object MultimodalOps extends QueryRegistry {
     }
   }
 
-  private val Zigzag: Array[Int] = Array(
-    0, 1, 8, 16, 9, 2, 3, 10,
-    17, 24, 32, 25, 18, 11, 4, 5,
-    12, 19, 26, 33, 40, 48, 41, 34,
-    27, 20, 13, 6, 7, 14, 21, 28,
-    35, 42, 49, 56, 57, 50, 43, 36,
-    29, 22, 15, 23, 30, 37, 44, 51,
-    58, 59, 52, 45, 38, 31, 39, 46,
-    53, 60, 61, 54, 47, 55, 62, 63)
-
-  /** cos((2x+1)uπ/16) via StrictMath (deterministic across JVMs). */
-  private val CosTable: Array[Array[Double]] =
-    Array.tabulate(8, 8)((x, u) => StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16))
-  private val InvSqrt2 = 1.0 / StrictMath.sqrt(2.0)
 
   /** Canonical Huffman table from a DHT payload: `counts(l)` codes of
     * length l+1, symbols in code order. Decode walks bits accumulating the

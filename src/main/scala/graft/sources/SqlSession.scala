@@ -182,19 +182,41 @@ object GraftCatalog {
         try {
           val st = fs.getFileStatus(lock)
           if (System.currentTimeMillis() - st.getModificationTime > StaleLockMs) {
+            // the mutex carries its owner's token: a breaker whose mutex
+            // was age-broken while it stalled (GC pause, FS hang) finds a
+            // foreign token on re-read and ABORTS instead of deleting a
+            // canonical lock it no longer owns the right to judge — the
+            // residual window is the instruction-scale gap between the
+            // ownership re-read + re-stat and the delete, not the whole
+            // stall (and the LOCAL deployment path never runs this
+            // protocol at all: it holds a kernel FileLock)
+            val myToken = java.util.UUID.randomUUID().toString
             val breaking =
-              try { fs.create(breakMutex, false).close(); true }
-              catch { case _: java.io.IOException => false }
+              try {
+                val o = fs.create(breakMutex, false)
+                try o.write(myToken.getBytes("UTF-8")) finally o.close()
+                true
+              } catch { case _: java.io.IOException => false }
             if (breaking) {
+              def ownMutex(): Boolean =
+                try {
+                  val in = fs.open(breakMutex)
+                  val t = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                    finally in.close()
+                  t == myToken
+                } catch { case _: java.io.IOException => false }
               try {
                 // re-stat INSIDE the mutex: any instance observed stale
                 // here was created >StaleLockMs ago (mtime cannot regress),
                 // so its holder is dead by the protocol's axiom
                 val st2 = fs.getFileStatus(lock)
-                if (System.currentTimeMillis() - st2.getModificationTime > StaleLockMs)
+                if (System.currentTimeMillis() - st2.getModificationTime > StaleLockMs
+                    && ownMutex())
                   fs.delete(lock, false)
               } catch { case _: java.io.FileNotFoundException => () }
-              finally fs.delete(breakMutex, false)
+              // release only a mutex still OURS — if it was age-broken and
+              // re-created by another waiter, deleting it would steal theirs
+              finally if (ownMutex()) fs.delete(breakMutex, false)
             } else {
               // an orphaned break-mutex blocks every break forever: apply
               // the same age rule to it

@@ -1402,17 +1402,19 @@ object VersionedTable {
       val tmp = new Path(root, s"._last_batch.tmp_${java.util.UUID.randomUUID()}")
       val bytes = s"$id\n".getBytes("UTF-8")
       if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+        // a checksummed LocalFileSystem sidecar from a pre-r17 fs.create
+        // leaves a .crc matching the OLD bytes: drop it BEFORE the move
+        // (a crc-less file reads fine; new-bytes-vs-old-crc would fail a
+        // concurrent recovery reader in the window after the move), and
+        // loudly — a swallowed failure here would break every later read
+        val crc = new Path(root, "._last_batch.crc")
+        if (fs.exists(crc)) fs.delete(crc, false)
         java.nio.file.Files.write(java.nio.file.Paths.get(tmp.toUri.getPath), bytes)
         java.nio.file.Files.move(
           java.nio.file.Paths.get(tmp.toUri.getPath),
           java.nio.file.Paths.get(c.toUri.getPath),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // a checksummed LocalFileSystem sidecar from an earlier fs.create
-        // would leave a stale .crc that fails every later fs.open
-        val crc = new Path(root, "._last_batch.crc")
-        try if (fs.exists(crc)) fs.delete(crc, false)
-        catch { case _: java.io.IOException => () }
       } else {
         val out = fs.create(tmp, true)
         try out.write(bytes) finally out.close()
@@ -1453,7 +1455,8 @@ object VersionedTable {
     }
     fs.listStatus(rootP).map(_.getPath)
       .filter(p => p.getName.startsWith(".txn_") || p.getName.startsWith(".stage_")
-        || p.getName.startsWith(".claim_"))
+        || p.getName.startsWith(".claim_")
+        || p.getName.startsWith("._last_batch.tmp_")) // crashed sidecar writes
       .foreach(fs.delete(_, true))
     dropped
   }

@@ -63,13 +63,7 @@ object JpegProgressivePropertiesSpec extends Properties("jpegProgressive") {
     val bw = Array(t.mw * t.hs, t.mw, t.mw)
     val bh = Array(t.mh * t.vs, t.mh, t.mh)
     val cs = Array.tabulate(3)(c => new Array[Int](bw(c) * bh(c) * 64))
-    // natural index per zigzag position, via the public decode agreement:
-    // replicate the standard table here rather than widening visibility
-    val zig = Array(
-      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
-      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val zig = MultimodalOps.Zigzag
     var bi = 0
     var c = 0
     while (c < 3) {
