@@ -80,6 +80,7 @@ object MultimodalOps extends QueryRegistry {
     }
     val w = nextInt(); val h = nextInt(); val maxv = nextInt()
     if (w <= 0 || h <= 0) err(s"degenerate dimensions ${w}x$h")
+    guardPixels(w, h, err)
     if (maxv != 255) err(s"unsupported maxval $maxv (8-bit only)")
     i += 1 // exactly one whitespace byte separates maxval from the raster
     if (bytes.length - i != w * h * 3)
@@ -140,6 +141,7 @@ object MultimodalOps extends QueryRegistry {
           if (len != 13) err(s"IHDR is $len bytes, expected 13")
           w = u32(i + 8).toInt; h = u32(i + 12).toInt
           if (w <= 0 || h <= 0) err(s"degenerate dimensions ${w}x$h")
+          guardPixels(w, h, err)
           val (depth, color) = (bytes(i + 16), bytes(i + 17))
           if (depth != 8) err(s"unsupported bit depth $depth (8-bit only)")
           if (color != 2) err(s"unsupported color type $color (truecolor RGB only)")
@@ -353,6 +355,16 @@ object MultimodalOps extends QueryRegistry {
     Array.tabulate(8, 8)((x, u) => StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16))
   private val InvSqrt2 = 1.0 / StrictMath.sqrt(2.0)
 
+  /** Untrusted-header allocation guard (r17): a corrupt or malicious
+    * header can declare dimensions whose pixel planes OOM an executor
+    * before a single pixel is read — at corpus scale a decode failure
+    * must be a LOUD row, never an executor death. 100M pixels (~400 MB
+    * of Int plane per component) is far above any sane frame; the Long
+    * product also closes the Int-overflow windows in w*h arithmetic. */
+  private def guardPixels(w: Int, h: Int, err: String => Nothing): Unit =
+    if (w.toLong * h > 100000000L)
+      err(s"${w}x$h exceeds the 100M-pixel decode cap")
+
   /** One DQT segment (possibly several tables, 8- or 16-bit entries),
     * shared by all three JPEG decoders: fills `qTables` in zigzag order
     * and returns the offset past the segment. */
@@ -485,9 +497,11 @@ object MultimodalOps extends QueryRegistry {
           if (u8(i + 4) != 8) err(s"unsupported sample precision ${u8(i + 4)}")
           h = u16(i + 5); w = u16(i + 7)
           if (w <= 0 || h <= 0) err(s"degenerate dimensions ${w}x$h")
+          guardPixels(w, h, err)
           if (u8(i + 9) != 1) err(s"${u8(i + 9)} components (grayscale only)")
           if (u8(i + 11) != 0x11) err("subsampled grayscale is malformed")
           qSel = u8(i + 12)
+          if (qSel > 3) err(s"bad quantization table selector $qSel")
           i += 2 + u16(i + 2)
         case 0xc2 => err("progressive JPEG unsupported (baseline only)")
         case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
@@ -513,6 +527,8 @@ object MultimodalOps extends QueryRegistry {
         case 0xda => // SOS
           if (u8(i + 4) != 1) err("multi-component scan (grayscale only)")
           dcSel = u8(i + 6) >> 4; acSel = u8(i + 6) & 15
+          if (dcSel > 3 || acSel > 3)
+            err(s"bad Huffman table selector $dcSel/$acSel")
           if (u8(i + 7) != 0 || u8(i + 8) != 63 || u8(i + 9) != 0)
             err("spectral selection / successive approximation unsupported")
           sosAt = i + 2 + u16(i + 2)
@@ -746,6 +762,7 @@ object MultimodalOps extends QueryRegistry {
           if (u8(i + 4) != 8) err(s"unsupported sample precision ${u8(i + 4)}")
           h = u16(i + 5); w = u16(i + 7)
           if (w <= 0 || h <= 0) err(s"degenerate dimensions ${w}x$h")
+          guardPixels(w, h, err)
           if (u8(i + 9) != 3) err(s"${u8(i + 9)} components (YCbCr color only)")
           var c = 0
           while (c < 3) {
@@ -757,6 +774,7 @@ object MultimodalOps extends QueryRegistry {
                 err(f"unsupported luma sampling ${hs}x$vs (factors 1-2 only)")
             } else if (samp != 0x11) err("chroma sampling must be 1x1")
             qSel(c) = u8(i + 12 + 3 * c)
+            if (qSel(c) > 3) err(s"bad quantization table selector ${qSel(c)}")
             c += 1
           }
           i += 2 + u16(i + 2)
@@ -790,6 +808,8 @@ object MultimodalOps extends QueryRegistry {
             if (slot < 0) err(s"scan references unknown component $cid")
             dcSel(slot) = u8(i + 6 + 2 * c) >> 4
             acSel(slot) = u8(i + 6 + 2 * c) & 15
+            if (dcSel(slot) > 3 || acSel(slot) > 3)
+              err(s"bad Huffman table selector ${dcSel(slot)}/${acSel(slot)}")
             c += 1
           }
           if (u8(i + 11) != 0 || u8(i + 12) != 63 || u8(i + 13) != 0)
@@ -1150,6 +1170,8 @@ object MultimodalOps extends QueryRegistry {
         if (slot < 0) err(s"scan references unknown component $cid")
         scomp(ci) = slot
         sdc(ci) = u8(at + 6 + 2 * ci) >> 4; sac(ci) = u8(at + 6 + 2 * ci) & 15
+        if (sdc(ci) > 3 || sac(ci) > 3)
+          err(s"bad Huffman table selector ${sdc(ci)}/${sac(ci)}")
         ci += 1
       }
       val ss = u8(at + 5 + 2 * ns); val se = u8(at + 6 + 2 * ns)
@@ -1345,6 +1367,7 @@ object MultimodalOps extends QueryRegistry {
           if (u8(i + 4) != 8) err(s"unsupported sample precision ${u8(i + 4)}")
           h = u16(i + 5); w = u16(i + 7)
           if (w <= 0 || h <= 0) err(s"degenerate dimensions ${w}x$h")
+          guardPixels(w, h, err)
           if (u8(i + 9) != 3) err(s"${u8(i + 9)} components (YCbCr color only)")
           var c = 0
           while (c < 3) {
@@ -1356,6 +1379,7 @@ object MultimodalOps extends QueryRegistry {
                 err(f"unsupported luma sampling ${hs}x$vs (factors 1-2 only)")
             } else if (samp != 0x11) err("chroma sampling must be 1x1")
             qSel(c) = u8(i + 12 + 3 * c)
+            if (qSel(c) > 3) err(s"bad quantization table selector ${qSel(c)}")
             c += 1
           }
           mw = (w + 8 * hs - 1) / (8 * hs); mh = (h + 8 * vs - 1) / (8 * vs)
@@ -2451,6 +2475,7 @@ object MultimodalOps extends QueryRegistry {
       }
     }
     if (w <= 0 || h <= 0) err("missing or degenerate W/H")
+    guardPixels(w, h, err)
     if (fn <= 0 || fd <= 0) err("missing F rate")
     val mono = chroma == "mono"
     if (!mono && !chroma.startsWith("420"))

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Corrupt-input robustness of the media decoders (r17): at corpus scale
+  * the decoders walk UNTRUSTED bytes, so a corrupt stream must produce a
+  * LOUD `IllegalArgumentException` row or a successful decode — never an
+  * executor death (out-of-bounds, negative-size allocation, OOM from a
+  * malicious header). Each trial mutates 1-3 random bytes of a valid
+  * baseline-color / progressive / PNG / Y4M stream and decodes; any other
+  * throwable falsifies. This is the gate behind the r17 hardening (the
+  * 100M-pixel allocation cap and the table-selector bounds the first
+  * fuzz draft exposed: scan selectors are 4-bit and DQT selectors a full
+  * byte, indexing size-4 table arrays). */
+object JpegFuzzSpec extends Properties("mediaFuzz") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(200)
+
+  private lazy val colorBytes = MultimodalOps.jpegEncodeColor(
+    32, 16, sub420 = true, Array(90, 170), Array(125, 119), Array(133, 137),
+    restartInterval = 1)
+  private lazy val progBytes = MultimodalOps.jpegEncodeProgressive(
+    16, 16, sub420 = true, Array(100), Array(125), Array(130), Array(3))
+  private lazy val pngBytes = {
+    val px = Array.tabulate(12 * 9 * 3)(i => (i % 251).toByte)
+    MultimodalOps.pngEncode(px, 12, 9, y => y % 5, idatChunks = 2)
+  }
+  private lazy val y4mBytes = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("YUV4MPEG2 W16 H8 F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII"))
+    (1 to 2).foreach { f =>
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      (0 until 16 * 8).foreach(p => out.write(40 * f + (if ((p & 1) == 0) 1 else -1)))
+    }
+    out.toByteArray
+  }
+
+  private case class Mutation(stream: Int, sites: Seq[(Int, Int)])
+
+  private val mutationGen: Gen[Mutation] = for {
+    stream <- Gen.chooseNum(0, 3)
+    n <- Gen.chooseNum(1, 3)
+    sites <- Gen.listOfN(n, for {
+      at <- Gen.chooseNum(0, 10000) // mod length at use
+      v <- Gen.chooseNum(0, 255)
+    } yield (at, v))
+  } yield Mutation(stream, sites)
+
+  property("mutated streams decode or fail loudly — never crash the executor") =
+    Prop.forAll(mutationGen) { m =>
+      val base = m.stream match {
+        case 0 => colorBytes
+        case 1 => progBytes
+        case 2 => pngBytes
+        case _ => y4mBytes
+      }
+      val bytes = base.clone()
+      m.sites.foreach { case (at, v) => bytes(at % bytes.length) = v.toByte }
+      try {
+        m.stream match {
+          case 0 => MultimodalOps.parseJpegColor(1L, bytes)
+          case 1 => MultimodalOps.parseJpegProgressive(1L, bytes)
+          case 2 => MultimodalOps.parsePng(1L, bytes)
+          case _ => MultimodalOps.parseY4m(1L, bytes)
+        }
+        Prop.passed
+      } catch {
+        case _: IllegalArgumentException => Prop.passed // the loud contract
+        case e: Throwable =>
+          Prop.falsified :| s"stream ${m.stream} sites ${m.sites}: ${e.getClass.getName}: ${e.getMessage}"
+      }
+    }
+}
