@@ -7,15 +7,16 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
   * LOUD `IllegalArgumentException` row or a successful decode — never an
   * executor death (out-of-bounds, negative-size allocation, OOM from a
   * malicious header). Each trial mutates 1-3 random bytes of a valid
-  * baseline-color / progressive / PNG / Y4M stream and decodes; any other
-  * throwable falsifies. This is the gate behind the r17 hardening (the
+  * baseline-color / progressive / PNG / Y4M / MJPEG-AVI / WAV / PPM
+  * stream and decodes; any other throwable falsifies (a 1500-trial deep
+  * run was recorded clean at the r17 build). This is the gate behind the r17 hardening (the
   * 100M-pixel allocation cap and the table-selector bounds the first
   * fuzz draft exposed: scan selectors are 4-bit and DQT selectors a full
   * byte, indexing size-4 table arrays). */
 object JpegFuzzSpec extends Properties("mediaFuzz") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(200)
+    p.withMinSuccessfulTests(300)
 
   private lazy val colorBytes = MultimodalOps.jpegEncodeColor(
     32, 16, sub420 = true, Array(90, 170), Array(125, 119), Array(133, 137),
@@ -35,11 +36,34 @@ object JpegFuzzSpec extends Properties("mediaFuzz") {
     }
     out.toByteArray
   }
+  private lazy val aviBytes = MultimodalOps.aviMjpegEncode(16, 16, 25, 1,
+    Array.tabulate(2)(f => MultimodalOps.jpegEncodeColor(16, 16, sub420 = true,
+      Array(80 + 40 * f), Array(125), Array(130))),
+    junk = true, withIndex = true)
+  private lazy val wavBytes = {
+    // RIFF/WAVE with fmt + data, mono PCM16 — the wavFixture shape
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    val n = 64
+    tag("RIFF"); w32(4 + 8 + 16 + 8 + 2 * n); tag("WAVE")
+    tag("fmt "); w32(16); w16(1); w16(1); w32(8000); w32(16000); w16(2); w16(16)
+    tag("data"); w32(2 * n)
+    (0 until n).foreach(i => w16((i * 257) & 0xffff))
+    out.toByteArray
+  }
+  private lazy val ppmBytes = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("P6\n# c\n4 3\n255\n".getBytes("US-ASCII"))
+    (0 until 4 * 3 * 3).foreach(i => out.write(i * 7 % 256))
+    out.toByteArray
+  }
 
   private case class Mutation(stream: Int, sites: Seq[(Int, Int)])
 
   private val mutationGen: Gen[Mutation] = for {
-    stream <- Gen.chooseNum(0, 3)
+    stream <- Gen.chooseNum(0, 6)
     n <- Gen.chooseNum(1, 3)
     sites <- Gen.listOfN(n, for {
       at <- Gen.chooseNum(0, 10000) // mod length at use
@@ -53,7 +77,10 @@ object JpegFuzzSpec extends Properties("mediaFuzz") {
         case 0 => colorBytes
         case 1 => progBytes
         case 2 => pngBytes
-        case _ => y4mBytes
+        case 3 => y4mBytes
+        case 4 => aviBytes
+        case 5 => wavBytes
+        case _ => ppmBytes
       }
       val bytes = base.clone()
       m.sites.foreach { case (at, v) => bytes(at % bytes.length) = v.toByte }
@@ -62,7 +89,10 @@ object JpegFuzzSpec extends Properties("mediaFuzz") {
           case 0 => MultimodalOps.parseJpegColor(1L, bytes)
           case 1 => MultimodalOps.parseJpegProgressive(1L, bytes)
           case 2 => MultimodalOps.parsePng(1L, bytes)
-          case _ => MultimodalOps.parseY4m(1L, bytes)
+          case 3 => MultimodalOps.parseY4m(1L, bytes)
+          case 4 => MultimodalOps.parseAviMjpeg(1L, bytes)
+          case 5 => MultimodalOps.parseWav(1L, bytes)
+          case _ => MultimodalOps.parsePpm(1L, bytes)
         }
         Prop.passed
       } catch {
