@@ -757,6 +757,21 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(a.mean_y - 100.0) < 1.0, a.mean_y)
   }
 
+  test("a malicious header cannot allocate: the 100M-pixel cap is loud (r17)") {
+    // patch the SOF0 dims of a valid stream to 65535x65535 — without the
+    // cap this would try a multi-GB plane allocation before any pixel read
+    val img = MultimodalOps.jpegEncodeColor(8, 8, sub420 = false,
+      Array(100), Array(125), Array(130))
+    val sof = (0 until img.length - 1).indexWhere(i =>
+      (img(i) & 0xff) == 0xff && (img(i + 1) & 0xff) == 0xc0)
+    val bad = img.clone()
+    bad(sof + 5) = 0xff.toByte; bad(sof + 6) = 0xff.toByte // height
+    bad(sof + 7) = 0xff.toByte; bad(sof + 8) = 0xff.toByte // width
+    assert(intercept[IllegalArgumentException] {
+      MultimodalOps.parseJpegColor(5L, bad)
+    }.getMessage.contains("100M-pixel decode cap"))
+  }
+
   test("progressive fixture decode matches the closed-form plan at sf0.001 (r17)") {
     val ds = MultimodalOps.decodeJpegProgressive(
       MultimodalOps.jpegProgressiveFixture(spark, sfDir)).cache()
