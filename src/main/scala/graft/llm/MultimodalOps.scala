@@ -374,6 +374,7 @@ object MultimodalOps extends QueryRegistry {
       if (o < bytes.length) bytes(o) & 0xff else err("truncated JPEG")
     def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
     val end = at + 2 + u16(at + 2)
+    if (end > bytes.length) err("DQT segment length exceeds stream")
     var o = at + 4
     while (o < end) {
       val pq = u8(o) >> 4 // 0 = 8-bit entries, 1 = 16-bit (r17)
@@ -385,6 +386,10 @@ object MultimodalOps extends QueryRegistry {
         else Array.tabulate(64)(j => u16(o + 1 + 2 * j))
       o += 1 + (if (pq == 0) 64 else 128)
     }
+    // The declared length must land exactly on an entry boundary — a
+    // non-aligned length means the last "table" read bytes that belong
+    // to the following marker: plausible-garbage, so fail loudly (r18).
+    if (o != end) err("DQT segment length not entry-aligned")
     end
   }
 

@@ -140,7 +140,21 @@ object GraftCatalog {
       * shrink (r17, post-ADVICE review). A JVM-wide per-path monitor
       * serializes same-process threads first, because overlapping OS locks
       * from one JVM throw instead of blocking. Non-local stores fall back
-      * to [[withClaimFile]]. */
+      * to [[withClaimFile]].
+      *
+      * The lock file is deliberately NEVER unlinked (ADVICE r17): deleting
+      * it on release reintroduces the unlink race this path exists to avoid
+      * (waiter B opens the old inode, holder A unlinks+releases, B locks the
+      * orphaned inode while C creates+locks a fresh file → two holders).
+      * Mixed-version interop caveat: a process running the claim-file
+      * protocol against this same local catalog (an older binary, or a
+      * store whose scheme it misreports) sees the persistent zero-byte file
+      * as a live claim and stalls up to StaleLockMs before age-breaking it.
+      * That stall is the benign symptom of a deeper fact — the two
+      * protocols are not mutually exclusive with each other in EITHER
+      * direction (a FileLock holder ignores claim files; an age-break
+      * deletes a live FileLock's file) — so same-protocol deployment per
+      * catalog is required, and the leftover file changes nothing. */
     private def withClaim[T](body: => T): T =
       if (Option(fs.getUri.getScheme).forall(_ == "file")) {
         val lockPath = java.nio.file.Paths.get(new org.apache.hadoop.fs.Path(

@@ -1453,11 +1453,24 @@ object VersionedTable {
       parallelFs(unreferenced)(rel =>
         fs.delete(new Path(s"${dataDir(root)}/$rel"), false))
     }
-    fs.listStatus(rootP).map(_.getPath)
-      .filter(p => p.getName.startsWith(".txn_") || p.getName.startsWith(".stage_")
-        || p.getName.startsWith(".claim_")
-        || p.getName.startsWith("._last_batch.tmp_")) // crashed sidecar writes
-      .foreach(fs.delete(_, true))
+    // Orphan sweep is AGE-GATED (ADVICE r17): a concurrent writer's (or
+    // vacuum's own sidecar) in-flight `.txn_`/`.stage_`/`._last_batch.tmp_`
+    // lives for the instruction-scale window between its write and its
+    // atomic rename — deleting it there fails that writer with
+    // NoSuchFileException. Only files older than the stale horizon (the
+    // lock-break discipline, 60 s — far beyond any rename window) can be
+    // crashed-process orphans rather than live staging.
+    val staleHorizonMs = 60000L
+    val nowMs = System.currentTimeMillis()
+    fs.listStatus(rootP)
+      .filter { st =>
+        val n = st.getPath.getName
+        (n.startsWith(".txn_") || n.startsWith(".stage_")
+          || n.startsWith(".claim_")
+          || n.startsWith("._last_batch.tmp_")) && // crashed sidecar writes
+          nowMs - st.getModificationTime > staleHorizonMs
+      }
+      .foreach(st => fs.delete(st.getPath, true))
     dropped
   }
 }

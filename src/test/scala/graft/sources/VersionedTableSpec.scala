@@ -603,8 +603,12 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, root) === 2) // rolled forward
     assert(VersionedTable.read(spark, root).count() === 8)
     // a crashed stage orphan is invisible to readers and swept by vacuum
+    // once past the stale horizon (ADVICE r17: fresh = possibly in-flight)
     val dead = new org.apache.hadoop.fs.Path(root, ".txn_dead")
     fs.mkdirs(dead)
+    fs.setTimes(dead, System.currentTimeMillis() - 120000L, -1L)
+    val inflight = new org.apache.hadoop.fs.Path(root, "._last_batch.tmp_live")
+    val ifo = fs.create(inflight, true); ifo.write("b1\n".getBytes); ifo.close()
     assert(VersionedTable.read(spark, root).count() === 8)
     // a squatting NON-txn v3 dir (crashed direct commit) is cleared by transact
     val squat = new org.apache.hadoop.fs.Path(root, "v00003")
@@ -617,6 +621,10 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() === 7)
     VersionedTable.vacuum(spark, root, keep = 3)
     assert(!fs.exists(dead))
+    // a FRESH tmp (a concurrent writer's in-flight sidecar) must survive
+    // the sweep — deleting it would fail that writer's atomic move
+    assert(fs.exists(inflight))
+    fs.delete(inflight, false)
     // direct single-writer ops compose on top of the transact head
     assert(VersionedTable.deleteWhere(spark, root, col("id") > 6L) === 4)
     assert(VersionedTable.read(spark, root).count() === 6)
