@@ -242,10 +242,12 @@ object Olap extends QueryRegistry {
   /** Beyond-parity: customer-value quartiles via NTILE — the BI segmentation
     * frame (top-25% revenue share etc.). The window runs over the
     * per-customer AGGREGATE (|customers| rows), never the raw fact; its
-    * global order is NTILE's semantic, so at 100 TB-scale customer counts
-    * the same frame would bucket by approx-percentile boundaries instead
-    * (documented trade: equal-count buckets need a global order). Output is
-    * the 4-row rollup, not the per-customer assignment. */
+    * global order is NTILE's semantic. The 100 TB form — approx-percentile
+    * boundaries + a map-side bucket assignment, no global sort — is
+    * [[ltvQuartilesApprox]], gated within its analytical bound by
+    * [[ltvQuartilesApproxChecked]]; the exact rank here is the gate
+    * discipline. Output is the 4-row rollup, not the per-customer
+    * assignment. */
   def ltvQuartiles(w: Warehouse): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ltv = w.factSalesElt.groupBy("customer_key")
@@ -368,17 +370,12 @@ object Olap extends QueryRegistry {
     * NTILE deterministic; output is the segment-level rollup (counts +
     * exact total cents). The windows run over the per-customer AGGREGATE —
     * orders of magnitude smaller than the fact — the same altitude as the
-    * reference's LTV-quartile idiom. */
+    * reference's LTV-quartile idiom. The 100 TB form — per-axis
+    * approx-percentile boundaries + map-side assignment, no global sort —
+    * is [[rfmSegmentsApprox]], gated by [[rfmSegmentsApproxChecked]]. */
   def rfmSegments(w: Warehouse): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perCust = w.salesFinal.filter(graft.nonBlank("customerid"))
-      .groupBy("customerid")
-      .agg(max(col("sale_ts").cast("date")).as("last_date"),
-        count_distinct(col("invoiceid")).as("n_orders"),
-        sum((col("totalamount") * 100).cast("long")).as("cents"))
-    val anchor = perCust.agg(max("last_date").as("anchor_date"))
-    perCust.crossJoin(broadcast(anchor))
-      .withColumn("recency_days", datediff(col("anchor_date"), col("last_date")))
+    rfmPerCustomer(w)
       // nulls-last matches DuckDB's ASC default, so an all-null-ts customer
       // (possible under the parse-or-null staging) can never split the
       // engines on quintile assignment
@@ -390,6 +387,174 @@ object Olap extends QueryRegistry {
         ntile(5).over(Window.orderBy(col("cents").desc, col("customerid"))))
       .groupBy("r_quintile", "f_quintile", "m_quintile")
       .agg(count(lit(1)).as("n_customers"), sum("cents").as("monetary_cents"))
+  }
+
+  /** The 100 TB opt-in variant of [[ltvQuartiles]] (r18, VERDICT r17 #2):
+    * quartile BOUNDARIES from `approx_percentile` over the narrow
+    * per-customer LTV frame, then a MAP-SIDE bucket assignment — no global
+    * NTILE sort anywhere (the exact form funnels every customer through
+    * one WindowExec partition; at web-scale customer counts that is the
+    * one single-partition sort left in the repo). Boundaries are computed
+    * on exact cents (DECIMAL(18,2) is closed under ×100 → BIGINT), so
+    * value-bucketing differs from NTILE only where ties straddle a
+    * boundary (a tie block stays together where a rank cut splits it)
+    * plus the sketch's rank error — both bounded, and pinned by
+    * [[ltvQuartilesApproxChecked]]. Same discipline as
+    * [[graft.llm.TextOps.classifierThresholdSweepApprox]]. */
+  def ltvQuartilesApprox(w: Warehouse, accuracy: Int = 10000): DataFrame = {
+    val ltv = w.factSalesElt.groupBy("customer_key")
+      .agg(sum("totalamount").as("ltv"))
+      .join(w.dimCustomerElt.select("customer_key", "customerid"), Seq("customer_key"))
+      .withColumn("cents", (col("ltv") * 100).cast("long"))
+    // 3 descending boundaries (p75, p50, p25 of the LTV distribution);
+    // quartile 1 = cents at/above the p75 boundary — NTILE's top quarter
+    val bounds = Option(ltv.agg(expr(
+      s"approx_percentile(cents, array(0.75, 0.5, 0.25), $accuracy)").as("bs"))
+      .head().getSeq[Long](0))
+      // an empty customer frame aggregates to one NULL row — the rollup
+      // over nothing is the empty frame, never an NPE
+      .getOrElse(return ltv.sparkSession.emptyDataFrame.select(
+        lit(0).as("quartile"), lit(0L).as("n_customers"), lit(0.0).as("revenue")))
+    val bArr = array(bounds.map(lit): _*)
+    ltv
+      .withColumn("quartile",
+        (lit(1) + size(filter(bArr, b => b > col("cents")))).cast("int"))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("n_customers"),
+        graft.moneyOut(sum("ltv")).as("revenue"))
+  }
+
+  /** Gate face of [[ltvQuartilesApprox]]: PROVES the map-side bucket rollup
+    * tracks the exact NTILE rollup within its analytical bound — per
+    * quartile, cumulative customer counts may differ by at most the
+    * sketch's rank error (n/accuracy) plus the largest LTV tie block
+    * (measured from the data, not hand-picked), +1 slack — then emits the
+    * exact rollup for the shared oracle. All driver-side state is the two
+    * ≤4-row rollups plus two scalars. */
+  def ltvQuartilesApproxChecked(w: Warehouse, accuracy: Int = 10000): DataFrame = {
+    val exact = ltvQuartiles(w)
+    val approx = ltvQuartilesApprox(w, accuracy)
+    val cents = w.factSalesElt.groupBy("customer_key")
+      .agg((sum("totalamount") * 100).cast("long").as("cents"))
+      .join(w.dimCustomerElt.select("customer_key"), Seq("customer_key"))
+    val n = cents.count()
+    if (n == 0) return exact // nothing to cross-check on an empty frame
+    val maxTie = cents.groupBy("cents").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head().getLong(0)
+    val tol = n.toDouble / accuracy + maxTie + 1
+    val e = cumCounts(exact, "quartile", "n_customers")
+    val a = cumCounts(approx, "quartile", "n_customers")
+    (1 to 4).foreach { qt =>
+      val (ec, ac) = (e.getOrElse(qt, 0L), a.getOrElse(qt, 0L))
+      require(math.abs(ac - ec) <= tol,
+        s"approx LTV quartile $qt cum_customers $ac vs exact $ec exceeds tolerance $tol")
+    }
+    exact
+  }
+
+  /** The 100 TB opt-in variant of [[rfmSegments]] (r18, VERDICT r17 #2):
+    * each of the three quintile axes is assigned MAP-SIDE against its own
+    * 4 `approx_percentile` boundaries instead of a global NTILE sort —
+    * the only shuffles left are the per-customer aggregate and the ≤125-row
+    * segment rollup. Recency keeps the exact form's NULLS-LAST semantics
+    * (an all-null-ts customer lands in quintile 5). Per-axis divergence
+    * from NTILE is the sketch's rank error plus the axis's largest tie
+    * block (frequency ties are genuinely wide — most customers share small
+    * integer order counts — so value-bucketing is also the MORE honest
+    * segmentation there: a rank cut splits equal-behavior customers
+    * arbitrarily); [[rfmSegmentsApproxChecked]] pins each axis's marginal
+    * within the bound. */
+  def rfmSegmentsApprox(w: Warehouse, accuracy: Int = 10000): DataFrame = {
+    val perCust = rfmPerCustomer(w)
+    val b = perCust.agg(
+      expr(s"approx_percentile(recency_days, array(0.2, 0.4, 0.6, 0.8), $accuracy)").as("rb"),
+      expr(s"approx_percentile(n_orders, array(0.8, 0.6, 0.4, 0.2), $accuracy)").as("fb"),
+      expr(s"approx_percentile(cents, array(0.8, 0.6, 0.4, 0.2), $accuracy)").as("mb")
+    ).head()
+    // a NULL boundary array (empty frame, or an all-NULL axis) degrades to
+    // "everything in quintile 1" for that axis — matching NTILE over an
+    // empty/degenerate order, and never an NPE
+    def longs(i: Int): Seq[Long] =
+      Option(if (b.isNullAt(i)) null else b.getSeq[Long](i)).getOrElse(Seq.empty)
+    val rB = Option(if (b.isNullAt(0)) null else b.getSeq[Int](0)).getOrElse(Seq.empty)
+    val (fB, mB) = (longs(1), longs(2))
+    // recency ASC: quintile 1 = smallest recency → count boundaries BELOW;
+    // frequency/monetary DESC: quintile 1 = largest → count boundaries ABOVE
+    val rq =
+      if (rB.isEmpty) when(col("recency_days").isNull, lit(5)).otherwise(lit(1))
+      else when(col("recency_days").isNull, lit(5))
+        .otherwise(lit(1) + size(filter(array(rB.map(lit): _*), x => x < col("recency_days"))))
+    def descQ(c: Column, bs: Seq[Long]): Column =
+      if (bs.isEmpty) lit(1)
+      else lit(1) + size(filter(array(bs.map(lit): _*), x => x > c))
+    perCust
+      .withColumn("r_quintile", rq.cast("int"))
+      .withColumn("f_quintile", descQ(col("n_orders"), fB).cast("int"))
+      .withColumn("m_quintile", descQ(col("cents"), mB).cast("int"))
+      .groupBy("r_quintile", "f_quintile", "m_quintile")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("monetary_cents"))
+  }
+
+  /** Gate face of [[rfmSegmentsApprox]]: PROVES each axis's MARGINAL
+    * quintile distribution tracks the exact NTILE marginal within its
+    * analytical bound — per quintile, cumulative customer counts differ by
+    * at most n/accuracy + that axis's largest tie block (NULL recency is a
+    * tie block) + 1 — then emits the exact rollup for the shared oracle.
+    * The joint (r,f,m) cells can migrate further than any marginal (a
+    * one-step move on one axis relabels the whole triple); the marginals
+    * are what the sketch bounds analytically, so they are what is gated.
+    * Driver-side state: two ≤125-row rollups and four scalars. */
+  def rfmSegmentsApproxChecked(w: Warehouse, accuracy: Int = 10000): DataFrame = {
+    val exact = rfmSegments(w)
+    val approx = rfmSegmentsApprox(w, accuracy)
+    val perCust = rfmPerCustomer(w)
+    val n = perCust.count()
+    if (n == 0) return exact
+    // largest tie block per axis (a NULL recency group is a tie block too)
+    def maxTieOf(dim: String): Long =
+      perCust.groupBy(dim).agg(count(lit(1)).as("c"))
+        .agg(max("c")).head().getLong(0)
+    val eRows = exact.collect()
+    val aRows = approx.collect()
+    def marginal(rows: Array[org.apache.spark.sql.Row], dim: String): Map[Int, Long] = {
+      val per = rows.groupBy(_.getAs[Int](dim)).view
+        .mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
+      (1 to 5).scanLeft((0, 0L)) { case ((_, acc), qi) =>
+        (qi, acc + per.getOrElse(qi, 0L)) }.tail.toMap
+    }
+    Seq(("r_quintile", maxTieOf("recency_days")),
+        ("f_quintile", maxTieOf("n_orders")),
+        ("m_quintile", maxTieOf("cents"))).foreach { case (dim, maxTie) =>
+      val tol = n.toDouble / accuracy + maxTie + 1
+      val (e, a) = (marginal(eRows, dim), marginal(aRows, dim))
+      (1 to 5).foreach { qi =>
+        require(math.abs(a(qi) - e(qi)) <= tol,
+          s"approx RFM $dim quintile $qi cum $a vs exact $e exceeds tolerance $tol")
+      }
+    }
+    exact
+  }
+
+  /** The shared per-customer R/F/M frame of [[rfmSegments]] and its approx
+    * variant — one aggregate over the fact, anchor broadcast back. */
+  private def rfmPerCustomer(w: Warehouse): DataFrame = {
+    val perCust = w.salesFinal.filter(graft.nonBlank("customerid"))
+      .groupBy("customerid")
+      .agg(max(col("sale_ts").cast("date")).as("last_date"),
+        count_distinct(col("invoiceid")).as("n_orders"),
+        sum((col("totalamount") * 100).cast("long")).as("cents"))
+    val anchor = perCust.agg(max("last_date").as("anchor_date"))
+    perCust.crossJoin(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("anchor_date"), col("last_date")))
+  }
+
+  /** Cumulative bucket counts of a ≤k-row rollup, driver-side. */
+  private def cumCounts(rollup: DataFrame, bucketCol: String,
+      countCol: String): Map[Int, Long] = {
+    val per = rollup.select(bucketCol, countCol).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ks = per.keys.toSeq.sorted
+    ks.scanLeft((0, 0L)) { case ((_, acc), k) => (k, acc + per(k)) }.tail.toMap
   }
 
   /** Cohort LTV curve (r11) — the retention-economics triangle behind the
@@ -509,6 +674,47 @@ object Olap extends QueryRegistry {
              CAST(m_quintile AS INT) AS m_quintile,
              count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS monetary_cents
       FROM rq GROUP BY 1, 2, 3"""))),
+
+    // the approx (100 TB) variant runs its map-side bucketing, PROVES it
+    // within the sketch's analytical bound, then emits the exact frame —
+    // so it shares the exact oracle and a divergence beyond the bound
+    // fails loudly at run time, not as a silent hash mismatch
+    QueryDef("olap_rfm_segments_approx",
+      (s, dir) => rfmSegmentsApproxChecked(Warehouse(s, dir)), Some(q("""
+      , rcust AS (
+          SELECT customerid,
+                 max(CAST(sale_ts AS DATE)) AS last_date,
+                 count(DISTINCT invoiceid) AS n_orders,
+                 CAST(sum(CAST(totalamount * 100 AS BIGINT)) AS BIGINT) AS cents
+          FROM sales_final
+          WHERE customerid IS NOT NULL AND trim(customerid) <> ''
+          GROUP BY 1),
+      ranchor AS (SELECT max(last_date) AS anchor_date FROM rcust),
+      rq AS (
+          SELECT customerid, n_orders, cents,
+                 ntile(5) OVER (ORDER BY date_diff('day', last_date, anchor_date) ASC, customerid) AS r_quintile,
+                 ntile(5) OVER (ORDER BY n_orders DESC, customerid) AS f_quintile,
+                 ntile(5) OVER (ORDER BY cents DESC, customerid) AS m_quintile
+          FROM rcust, ranchor)
+      SELECT CAST(r_quintile AS INT) AS r_quintile,
+             CAST(f_quintile AS INT) AS f_quintile,
+             CAST(m_quintile AS INT) AS m_quintile,
+             count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS monetary_cents
+      FROM rq GROUP BY 1, 2, 3"""))),
+
+    QueryDef("olap_ltv_quartiles_approx",
+      (s, dir) => ltvQuartilesApproxChecked(Warehouse(s, dir)), Some(q("""
+      , ltv AS (
+          SELECT c.customerid, sum(f.totalamount) AS ltv
+          FROM fact_sales_elt f
+          JOIN dim_customer_elt c ON f.customer_key = c.customer_key
+          GROUP BY 1),
+        bucketed AS (
+          SELECT ltv, CAST(ntile(4) OVER (ORDER BY ltv DESC, customerid) AS INT) AS quartile
+          FROM ltv)
+      SELECT quartile, count(*) AS n_customers,
+             CAST(CAST(sum(ltv) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+      FROM bucketed GROUP BY quartile"""))),
 
     QueryDef("olap_ltv_quartiles", (s, dir) => ltvQuartiles(Warehouse(s, dir)), Some(q("""
       , ltv AS (

@@ -48,4 +48,52 @@ class OlapOpsSpec extends SparkSpec {
     val b = Olap.rfmSegments(wh).collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("approx LTV quartiles: map-side bucketing covers every customer, gate passes (r18)") {
+    val approx = Olap.ltvQuartilesApprox(wh)
+    val cov = approx.agg(sum("n_customers"), min("quartile"), max("quartile")).head()
+    val nCust = wh.factSalesElt.select("customer_key").distinct()
+      .join(wh.dimCustomerElt.select("customer_key"), Seq("customer_key")).count()
+    assert(cov.getLong(0) === nCust)
+    assert(cov.getInt(1) >= 1 && cov.getInt(2) <= 4)
+    // the gate face proves the approx rollup within its analytical bound,
+    // then emits the exact frame — so it must equal ltvQuartiles exactly
+    val checked = Olap.ltvQuartilesApproxChecked(wh).collect().map(_.toSeq).toSet
+    val exact = Olap.ltvQuartiles(wh).collect().map(_.toSeq).toSet
+    assert(checked === exact)
+  }
+
+  test("approx RFM segments: per-axis bucketing covers every customer, gate passes (r18)") {
+    val approx = Olap.rfmSegmentsApprox(wh)
+    val cov = approx.agg(sum("n_customers"),
+      min("r_quintile"), max("r_quintile"),
+      min("f_quintile"), max("f_quintile"),
+      min("m_quintile"), max("m_quintile")).head()
+    val nCust = wh.salesFinal.filter(graft.nonBlank("customerid"))
+      .select("customerid").distinct().count()
+    assert(cov.getLong(0) === nCust)
+    (1 to 6 by 2).foreach(i => assert(cov.getInt(i) >= 1))
+    (2 to 6 by 2).foreach(i => assert(cov.getInt(i) <= 5))
+    // total cents conserved: bucketing moves customers between segments,
+    // never money in or out
+    val centsA = approx.agg(sum("monetary_cents")).head().getLong(0)
+    val centsE = Olap.rfmSegments(wh).agg(sum("monetary_cents")).head().getLong(0)
+    assert(centsA === centsE)
+    val checked = Olap.rfmSegmentsApproxChecked(wh).collect().map(_.toSeq).toSet
+    val exact = Olap.rfmSegments(wh).collect().map(_.toSeq).toSet
+    assert(checked === exact)
+  }
+
+  test("approx NTILE plans contain no single-partition global-sort window (r18)") {
+    // the whole point of the approx variants: WindowExec (the global-order
+    // NTILE) must be absent from their physical plans
+    Seq(Olap.ltvQuartilesApprox(wh), Olap.rfmSegmentsApprox(wh)).foreach { df =>
+      // node-type collect, not a string match: the cached warehouse
+      // relation's nested plan text legitimately mentions windows
+      val windows = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"approx plan still windows: $windows")
+    }
+  }
 }
