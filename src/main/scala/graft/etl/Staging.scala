@@ -75,7 +75,23 @@ object Staging {
     * sort-merge join, exactly what we want at 100 TB (both sides partition on
     * the join key; AQE handles skew). */
   def sales(spark: SparkSession, dir: String): DataFrame = {
-    val li = Sources.table(spark, dir, "lineitem")
+    // Partition-starvation guard (r18, found by tools/ScaleAxisProbe): a
+    // small-SF lineitem ships as ONE parquet file with a handful of row
+    // groups, so the scan yields ~3 partitions (Spark's split formula:
+    // max(openCost, bytes/defaultParallelism) caps the split at 4 MB) —
+    // and because orders broadcasts, the ENTIRE parse/clean/join pipeline
+    // inherits that width, running 3/32 threads on a 32-core box. One
+    // cheap hash shuffle of the raw feed restores full width; at real
+    // scale the scan already arrives wide and the guard self-disables
+    // (strictly-less-than check). Same starvation class as
+    // [[graft.llm.TextOps]]'s `spread`; the costlier `.rdd` width probe is
+    // fine HERE because the build runs once per warehouse, not per operator.
+    val liRaw = Sources.table(spark, dir, "lineitem")
+    val target = spark.sparkContext.defaultParallelism
+    val li =
+      if (liRaw.rdd.getNumPartitions < target)
+        liRaw.repartition(target, col("l_orderkey"))
+      else liRaw
     val o = Sources.table(spark, dir, "orders")
     val k = col("l_orderkey")
     val priceDec = dec2(col("l_extendedprice") / col("l_quantity"), "decimal(12,2)")

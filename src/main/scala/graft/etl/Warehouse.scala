@@ -79,7 +79,20 @@ object Warehouse {
     // instead. Caching the parse layer too would materialize the same 600k
     // rows twice per build for no extra reuse.
     val sp = Transforms.salesParsed(stgS)
-    val sf = Transforms.salesFinal(sp, dimP).cache()
+    // One AQE-coalescible range shuffle before the cache (r18, found by
+    // tools/ScaleAxisProbe): the parse layer above runs WIDE (the staging
+    // guard), but a cache that inherits that width hurts tiny-SF query
+    // latency — 32 near-empty partitions make partial aggregation useless
+    // for ~20k-group keys (every partition emits ~1 row per group). No
+    // explicit partition count, so AQE sizes the cache to the DATA: a few
+    // partitions at sf0.1, thousands at 100 TB — and range-by-timestamp
+    // clusters the cache batches so the in-memory min/max stats prune
+    // date-range predicates (the smart key orders like the timestamp).
+    // NULL sale_ts rows (parse-or-null) range first, in one batch.
+    val sf = Transforms.salesFinal(sp, dimP)
+      .repartitionByRange(org.apache.spark.sql.functions.col("sale_ts"),
+        org.apache.spark.sql.functions.col("invoiceid"))
+      .cache()
 
     val ts = Transforms.tsDomain(sf, stgD)
     val dimD = Transforms.dimDate(ts).cache()

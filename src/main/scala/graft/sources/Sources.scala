@@ -52,7 +52,15 @@ object Sources {
     * (`saveAsTable`) because bucket metadata lives in the table catalog. */
   def bucketTable(df: DataFrame, name: String, buckets: Int, key: String,
                   sortBy: Seq[String] = Nil, path: Option[String] = None): Unit = {
-    val w0 = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    // One file per bucket, whatever the upstream width (r18): a bucketed
+    // write emits a file per (input partition × bucket), so an N-partition
+    // input fragments every bucket into N files and the point lookup that
+    // bucketing exists for scans N splits instead of one. Repartitioning
+    // by the bucket key into exactly `buckets` partitions uses the same
+    // murmur3-pmod function as the bucket spec, so partition i holds
+    // precisely bucket i's rows.
+    val pre = df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+    val w0 = pre.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     val w1 = path.fold(w0)(p => w0.option("path", p)) // external table when given
     (if (sortBy.nonEmpty) w1.sortBy(sortBy.head, sortBy.tail: _*) else w1)
       .saveAsTable(name)
