@@ -101,4 +101,31 @@ object JpegFuzzSpec extends Properties("mediaFuzz") {
           Prop.falsified :| s"stream ${m.stream} sites ${m.sites}: ${e.getClass.getName}: ${e.getMessage}"
       }
     }
+
+  // The idx1 chunk is ~3% of the AVI fixture, so uniform mutation leaves the
+  // index-validation walk (entry fourcc/offset/length cross-checks against
+  // the movi chunks) thinly covered; this property lands every mutation
+  // INSIDE [idx1 fourcc, EOF) — the container's index layer (VERDICT r17 #5).
+  private lazy val idx1At: Int = {
+    val pat = "idx1".getBytes("US-ASCII")
+    (0 until aviBytes.length - 4).find(i =>
+      (0 until 4).forall(j => aviBytes(i + j) == pat(j)))
+      .getOrElse(sys.error("fixture lost its idx1 chunk"))
+  }
+
+  property("mutations targeted at the AVI idx1 index decode or fail loudly") =
+    Prop.forAll(Gen.listOfN(3, for {
+      at <- Gen.chooseNum(0, 10000) // mod idx1-span at use
+      v <- Gen.chooseNum(0, 255)
+    } yield (at, v))) { sites =>
+      val bytes = aviBytes.clone()
+      val span = bytes.length - idx1At
+      sites.foreach { case (at, v) => bytes(idx1At + (at % span)) = v.toByte }
+      try { MultimodalOps.parseAviMjpeg(1L, bytes); Prop.passed }
+      catch {
+        case _: IllegalArgumentException => Prop.passed // the loud contract
+        case e: Throwable =>
+          Prop.falsified :| s"idx1 sites $sites: ${e.getClass.getName}: ${e.getMessage}"
+      }
+    }
 }
