@@ -73,13 +73,27 @@ object PlanDump {
       "sql_update_from", "olap_basket_lift_pruned",
       "multimodal_jpeg_color_features", "multimodal_mjpeg_video_features")
 
+    // r18: the approx NTILE segmentations — the plan claim is the ABSENCE
+    // of any WindowExec (approx_percentile boundaries + map-side buckets).
+    // Dumped DIRECTLY, not via the registry: the registered rows are the
+    // CHECKED faces, which gate the approx rollup then emit the exact
+    // (windowed) frame for the shared oracle — the scale path is these.
+    def direct(sfd: String): Seq[(String, org.apache.spark.sql.DataFrame)] = {
+      val w = graft.etl.Warehouse(spark, sfd)
+      Seq("olap_ltv_quartiles_approx (scale path)" ->
+        graft.olap.Olap.ltvQuartilesApprox(w),
+        "olap_rfm_segments_approx (scale path)" ->
+        graft.olap.Olap.rfmSegmentsApprox(w))
+    }
+
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append(s"Generated by `runMain graft.tools.PlanDump` over `$sfDir` ")
     sb.append("(AQE on, warehouse cached — the execution-shaped plans the\n")
     sb.append("bench rows run; re-generate after any operator change).\n")
-    names.foreach { n =>
-      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+    val dumps = names.map(n =>
+      n -> graft.SparkEntry.queries(n)(spark, sfDir)) ++ direct(sfDir)
+    dumps.foreach { case (n, df) =>
       // Execute through the SAME QueryExecution the explain below prints —
       // a noop .write builds a NEW one, so the dump showed the pre-execution
       // AQE plan (initial SMJ where the runtime converts to broadcast,
@@ -98,7 +112,7 @@ object PlanDump {
       sb.append("\n```\n")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
-    println(s"[plandump] wrote PLANS.md (${names.size} plans)")
+    println(s"[plandump] wrote PLANS.md (${dumps.size} plans)")
     spark.stop()
   }
 }
