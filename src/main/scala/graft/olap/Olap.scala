@@ -248,11 +248,10 @@ object Olap extends QueryRegistry {
     * [[ltvQuartilesApproxChecked]]; the exact rank here is the gate
     * discipline. Output is the 4-row rollup, not the per-customer
     * assignment. */
-  def ltvQuartiles(w: Warehouse): DataFrame = {
+  def ltvQuartiles(w: Warehouse): DataFrame = ltvQuartilesOver(ltvFrame(w))
+
+  private def ltvQuartilesOver(ltv: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ltv = w.factSalesElt.groupBy("customer_key")
-      .agg(sum("totalamount").as("ltv"))
-      .join(w.dimCustomerElt.select("customer_key", "customerid"), Seq("customer_key"))
     ltv
       .withColumn("quartile",
         ntile(4).over(Window.orderBy(col("ltv").desc, col("customerid"))))
@@ -260,6 +259,15 @@ object Olap extends QueryRegistry {
       .agg(count(lit(1)).as("n_customers"),
         graft.moneyOut(sum("ltv")).as("revenue"))
   }
+
+  /** The shared per-customer LTV frame of [[ltvQuartiles]] and its approx
+    * variant: one fact aggregate, the exact decimal plus its lossless
+    * cents image (DECIMAL(18,2) is closed under ×100 → BIGINT). */
+  private def ltvFrame(w: Warehouse): DataFrame =
+    w.factSalesElt.groupBy("customer_key")
+      .agg(sum("totalamount").as("ltv"))
+      .join(w.dimCustomerElt.select("customer_key", "customerid"), Seq("customer_key"))
+      .withColumn("cents", (col("ltv") * 100).cast("long"))
 
   /** Country revenue percentiles (r11) — the remaining two ranking window
     * functions ([[ltvQuartiles]] covers NTILE, top3 covers dense_rank):
@@ -373,9 +381,11 @@ object Olap extends QueryRegistry {
     * reference's LTV-quartile idiom. The 100 TB form — per-axis
     * approx-percentile boundaries + map-side assignment, no global sort —
     * is [[rfmSegmentsApprox]], gated by [[rfmSegmentsApproxChecked]]. */
-  def rfmSegments(w: Warehouse): DataFrame = {
+  def rfmSegments(w: Warehouse): DataFrame = rfmSegmentsOver(rfmPerCustomer(w))
+
+  private[olap] def rfmSegmentsOver(perCust: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    rfmPerCustomer(w)
+    perCust
       // nulls-last matches DuckDB's ASC default, so an all-null-ts customer
       // (possible under the parse-or-null staging) can never split the
       // engines on quintile assignment
@@ -401,11 +411,10 @@ object Olap extends QueryRegistry {
     * plus the sketch's rank error — both bounded, and pinned by
     * [[ltvQuartilesApproxChecked]]. Same discipline as
     * [[graft.llm.TextOps.classifierThresholdSweepApprox]]. */
-  def ltvQuartilesApprox(w: Warehouse, accuracy: Int = 10000): DataFrame = {
-    val ltv = w.factSalesElt.groupBy("customer_key")
-      .agg(sum("totalamount").as("ltv"))
-      .join(w.dimCustomerElt.select("customer_key", "customerid"), Seq("customer_key"))
-      .withColumn("cents", (col("ltv") * 100).cast("long"))
+  def ltvQuartilesApprox(w: Warehouse, accuracy: Int = 10000): DataFrame =
+    ltvQuartilesApproxOver(ltvFrame(w), accuracy)
+
+  private def ltvQuartilesApproxOver(ltv: DataFrame, accuracy: Int): DataFrame = {
     // 3 descending boundaries (p75, p50, p25 of the LTV distribution);
     // quartile 1 = cents at/above the p75 boundary — NTILE's top quarter
     val bounds = Option(ltv.agg(expr(
@@ -417,8 +426,14 @@ object Olap extends QueryRegistry {
         lit(0).as("quartile"), lit(0L).as("n_customers"), lit(0.0).as("revenue")))
     val bArr = array(bounds.map(lit): _*)
     ltv
+      // NULL cents (an all-null-totalamount customer) lands in the WORST
+      // bucket, matching the exact form's `ltv DESC` (Spark desc = nulls
+      // last); the bare HOF filter would drop every NULL comparison and
+      // silently crown the customer quartile 1 (r18 review)
       .withColumn("quartile",
-        (lit(1) + size(filter(bArr, b => b > col("cents")))).cast("int"))
+        when(col("cents").isNull, lit(4))
+          .otherwise(lit(1) + size(filter(bArr, b => b > col("cents"))))
+          .cast("int"))
       .groupBy("quartile")
       .agg(count(lit(1)).as("n_customers"),
         graft.moneyOut(sum("ltv")).as("revenue"))
@@ -429,27 +444,27 @@ object Olap extends QueryRegistry {
     * quartile, cumulative customer counts may differ by at most the
     * sketch's rank error (n/accuracy) plus the largest LTV tie block
     * (measured from the data, not hand-picked), +1 slack — then emits the
-    * exact rollup for the shared oracle. All driver-side state is the two
-    * ≤4-row rollups plus two scalars. */
+    * exact rollup for the shared oracle. The per-customer frame is cached
+    * once and shared by the gate's four aggregates; driver-side state is
+    * the two ≤4-row rollups plus two scalars. */
   def ltvQuartilesApproxChecked(w: Warehouse, accuracy: Int = 10000): DataFrame = {
-    val exact = ltvQuartiles(w)
-    val approx = ltvQuartilesApprox(w, accuracy)
-    val cents = w.factSalesElt.groupBy("customer_key")
-      .agg((sum("totalamount") * 100).cast("long").as("cents"))
-      .join(w.dimCustomerElt.select("customer_key"), Seq("customer_key"))
-    val n = cents.count()
-    if (n == 0) return exact // nothing to cross-check on an empty frame
-    val maxTie = cents.groupBy("cents").agg(count(lit(1)).as("c"))
-      .agg(max("c")).head().getLong(0)
-    val tol = n.toDouble / accuracy + maxTie + 1
-    val e = cumCounts(exact, "quartile", "n_customers")
-    val a = cumCounts(approx, "quartile", "n_customers")
-    (1 to 4).foreach { qt =>
-      val (ec, ac) = (e.getOrElse(qt, 0L), a.getOrElse(qt, 0L))
-      require(math.abs(ac - ec) <= tol,
-        s"approx LTV quartile $qt cum_customers $ac vs exact $ec exceeds tolerance $tol")
-    }
-    exact
+    val frame = ltvFrame(w).cache()
+    try {
+      val n = frame.count()
+      if (n == 0) return ltvQuartiles(w) // nothing to cross-check
+      val maxTie = frame.groupBy("cents").agg(count(lit(1)).as("c"))
+        .agg(max("c")).head().getLong(0)
+      val tol = n.toDouble / accuracy + maxTie + 1
+      val e = cumCounts(ltvQuartilesOver(frame), "quartile", "n_customers", 4)
+      val a = cumCounts(ltvQuartilesApproxOver(frame, accuracy),
+        "quartile", "n_customers", 4)
+      (1 to 4).foreach { qt =>
+        require(math.abs(a(qt) - e(qt)) <= tol,
+          s"approx LTV quartile $qt cum_customers ${a(qt)} vs exact ${e(qt)} " +
+            s"exceeds tolerance $tol")
+      }
+    } finally frame.unpersist()
+    ltvQuartiles(w) // the emitted frame, on a fresh (uncached) lineage
   }
 
   /** The 100 TB opt-in variant of [[rfmSegments]] (r18, VERDICT r17 #2):
@@ -464,8 +479,10 @@ object Olap extends QueryRegistry {
     * segmentation there: a rank cut splits equal-behavior customers
     * arbitrarily); [[rfmSegmentsApproxChecked]] pins each axis's marginal
     * within the bound. */
-  def rfmSegmentsApprox(w: Warehouse, accuracy: Int = 10000): DataFrame = {
-    val perCust = rfmPerCustomer(w)
+  def rfmSegmentsApprox(w: Warehouse, accuracy: Int = 10000): DataFrame =
+    rfmSegmentsApproxOver(rfmPerCustomer(w), accuracy)
+
+  private[olap] def rfmSegmentsApproxOver(perCust: DataFrame, accuracy: Int): DataFrame = {
     val b = perCust.agg(
       expr(s"approx_percentile(recency_days, array(0.2, 0.4, 0.6, 0.8), $accuracy)").as("rb"),
       expr(s"approx_percentile(n_orders, array(0.8, 0.6, 0.4, 0.2), $accuracy)").as("fb"),
@@ -484,9 +501,13 @@ object Olap extends QueryRegistry {
       if (rB.isEmpty) when(col("recency_days").isNull, lit(5)).otherwise(lit(1))
       else when(col("recency_days").isNull, lit(5))
         .otherwise(lit(1) + size(filter(array(rB.map(lit): _*), x => x < col("recency_days"))))
+    // NULL values land in the WORST quintile, matching the exact form's
+    // DESC ordering (Spark desc = nulls last) — the bare HOF filter would
+    // drop every NULL comparison and silently crown them quintile 1
     def descQ(c: Column, bs: Seq[Long]): Column =
       if (bs.isEmpty) lit(1)
-      else lit(1) + size(filter(array(bs.map(lit): _*), x => x > c))
+      else when(c.isNull, lit(5))
+        .otherwise(lit(1) + size(filter(array(bs.map(lit): _*), x => x > c)))
     perCust
       .withColumn("r_quintile", rq.cast("int"))
       .withColumn("f_quintile", descQ(col("n_orders"), fB).cast("int"))
@@ -503,36 +524,35 @@ object Olap extends QueryRegistry {
     * The joint (r,f,m) cells can migrate further than any marginal (a
     * one-step move on one axis relabels the whole triple); the marginals
     * are what the sketch bounds analytically, so they are what is gated.
-    * Driver-side state: two ≤125-row rollups and four scalars. */
+    * The per-customer frame is cached once and shared by the gate's six
+    * aggregates; driver-side state: two ≤125-row rollups and four
+    * scalars. */
   def rfmSegmentsApproxChecked(w: Warehouse, accuracy: Int = 10000): DataFrame = {
-    val exact = rfmSegments(w)
-    val approx = rfmSegmentsApprox(w, accuracy)
-    val perCust = rfmPerCustomer(w)
-    val n = perCust.count()
-    if (n == 0) return exact
-    // largest tie block per axis (a NULL recency group is a tie block too)
-    def maxTieOf(dim: String): Long =
-      perCust.groupBy(dim).agg(count(lit(1)).as("c"))
-        .agg(max("c")).head().getLong(0)
-    val eRows = exact.collect()
-    val aRows = approx.collect()
-    def marginal(rows: Array[org.apache.spark.sql.Row], dim: String): Map[Int, Long] = {
-      val per = rows.groupBy(_.getAs[Int](dim)).view
-        .mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
-      (1 to 5).scanLeft((0, 0L)) { case ((_, acc), qi) =>
-        (qi, acc + per.getOrElse(qi, 0L)) }.tail.toMap
-    }
-    Seq(("r_quintile", maxTieOf("recency_days")),
-        ("f_quintile", maxTieOf("n_orders")),
-        ("m_quintile", maxTieOf("cents"))).foreach { case (dim, maxTie) =>
-      val tol = n.toDouble / accuracy + maxTie + 1
-      val (e, a) = (marginal(eRows, dim), marginal(aRows, dim))
-      (1 to 5).foreach { qi =>
-        require(math.abs(a(qi) - e(qi)) <= tol,
-          s"approx RFM $dim quintile $qi cum $a vs exact $e exceeds tolerance $tol")
+    val perCust = rfmPerCustomer(w).cache()
+    try {
+      val n = perCust.count()
+      if (n == 0) return rfmSegments(w)
+      // largest tie block per axis (a NULL group is a tie block too)
+      def maxTieOf(dim: String): Long =
+        perCust.groupBy(dim).agg(count(lit(1)).as("c"))
+          .agg(max("c")).head().getLong(0)
+      val eRows = rfmSegmentsOver(perCust).collect()
+      val aRows = rfmSegmentsApproxOver(perCust, accuracy).collect()
+      def marginal(rows: Array[org.apache.spark.sql.Row], dim: String): Map[Int, Long] =
+        cumFill(rows.groupBy(_.getAs[Int](dim)).view
+          .mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap, 5)
+      Seq(("r_quintile", maxTieOf("recency_days")),
+          ("f_quintile", maxTieOf("n_orders")),
+          ("m_quintile", maxTieOf("cents"))).foreach { case (dim, maxTie) =>
+        val tol = n.toDouble / accuracy + maxTie + 1
+        val (e, a) = (marginal(eRows, dim), marginal(aRows, dim))
+        (1 to 5).foreach { qi =>
+          require(math.abs(a(qi) - e(qi)) <= tol,
+            s"approx RFM $dim quintile $qi cum $a vs exact $e exceeds tolerance $tol")
+        }
       }
-    }
-    exact
+    } finally perCust.unpersist()
+    rfmSegments(w) // the emitted frame, on a fresh (uncached) lineage
   }
 
   /** The shared per-customer R/F/M frame of [[rfmSegments]] and its approx
@@ -548,14 +568,20 @@ object Olap extends QueryRegistry {
       .withColumn("recency_days", datediff(col("anchor_date"), col("last_date")))
   }
 
-  /** Cumulative bucket counts of a ≤k-row rollup, driver-side. */
+  /** Gap-filled cumulative counts over buckets 1..maxBucket: an ABSENT
+    * bucket carries the previous running total (approx_percentile can
+    * collapse adjacent boundaries on heavy ties, leaving a rollup with no
+    * rows for a middle bucket — treating that as cumulative 0 would fail
+    * the gate spuriously, r18 review). */
+  private[olap] def cumFill(per: Map[Int, Long], maxBucket: Int): Map[Int, Long] =
+    (1 to maxBucket).scanLeft((0, 0L)) { case ((_, acc), k) =>
+      (k, acc + per.getOrElse(k, 0L)) }.tail.toMap
+
+  /** Cumulative bucket counts of a ≤k-row rollup, driver-side, gap-filled. */
   private def cumCounts(rollup: DataFrame, bucketCol: String,
-      countCol: String): Map[Int, Long] = {
-    val per = rollup.select(bucketCol, countCol).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val ks = per.keys.toSeq.sorted
-    ks.scanLeft((0, 0L)) { case ((_, acc), k) => (k, acc + per(k)) }.tail.toMap
-  }
+      countCol: String, maxBucket: Int): Map[Int, Long] =
+    cumFill(rollup.select(bucketCol, countCol).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap, maxBucket)
 
   /** Cohort LTV curve (r11) — the retention-economics triangle behind the
     * q6 cohort pivot: customers grouped by FIRST-purchase month, each

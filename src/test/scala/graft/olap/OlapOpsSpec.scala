@@ -86,14 +86,67 @@ class OlapOpsSpec extends SparkSpec {
 
   test("approx NTILE plans contain no single-partition global-sort window (r18)") {
     // the whole point of the approx variants: WindowExec (the global-order
-    // NTILE) must be absent from their physical plans
+    // NTILE) must be absent from their physical plans. Node-type collect
+    // (not a string match — the cached warehouse relation's nested plan
+    // text legitimately mentions windows), RECURSING through the AQE
+    // wrapper and query-stage leaves — a bare collect over an
+    // AdaptiveSparkPlanExec inspects only the leaf wrapper and can never
+    // fail (r18 review).
+    def windowsIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        windowsIn(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        windowsIn(s.plan)
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w +: w.children.flatMap(windowsIn)
+      case other => other.children.flatMap(windowsIn)
+    }
+    // negative control first: the EXACT form must show its NTILE window,
+    // proving the traversal actually sees windows
+    val exact = Olap.rfmSegments(wh)
+    exact.queryExecution.executedPlan.execute().count()
+    assert(windowsIn(exact.queryExecution.executedPlan).nonEmpty,
+      "traversal failed to see the exact form's window — the assert below is vacuous")
     Seq(Olap.ltvQuartilesApprox(wh), Olap.rfmSegmentsApprox(wh)).foreach { df =>
-      // node-type collect, not a string match: the cached warehouse
-      // relation's nested plan text legitimately mentions windows
-      val windows = df.queryExecution.executedPlan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec => w
-      }
+      df.queryExecution.executedPlan.execute().count() // finalize AQE
+      val windows = windowsIn(df.queryExecution.executedPlan)
       assert(windows.isEmpty, s"approx plan still windows: $windows")
     }
+  }
+
+  test("cumFill carries the running total through absent buckets (r18 review)") {
+    // approx_percentile can collapse adjacent boundaries on heavy ties,
+    // leaving a rollup with no rows for a middle bucket — the cumulative
+    // through that bucket is the previous total, never 0
+    assert(Olap.cumFill(Map(1 -> 6L, 4 -> 2L), 4) ===
+      Map(1 -> 6L, 2 -> 6L, 3 -> 6L, 4 -> 8L))
+    assert(Olap.cumFill(Map.empty[Int, Long], 3) === Map(1 -> 0L, 2 -> 0L, 3 -> 0L))
+    assert(Olap.cumFill(Map(2 -> 5L), 5) ===
+      Map(1 -> 0L, 2 -> 5L, 3 -> 5L, 4 -> 5L, 5 -> 5L))
+  }
+
+  test("approx RFM sends NULL-valued axes to the worst quintile, like NTILE nulls-last (r18 review)") {
+    // synthetic per-customer frame: one all-null-totalamount customer (cents
+    // NULL) and one never-purchased-date customer (recency NULL) among
+    // spread-out peers; the bare HOF filter would have crowned NULLs
+    // quintile 1 — the best bucket — silently
+    val d0 = java.sql.Date.valueOf("2020-01-10")
+    val rows = (1 to 9).map(i => (s"c$i",
+      java.sql.Date.valueOf(f"2020-01-0${i}%d"), i.toLong, java.lang.Long.valueOf(i * 100L))) :+
+      (("c_null", d0, 10L, null.asInstanceOf[java.lang.Long]))
+    val perCust = rows.toDF("customerid", "last_date", "n_orders", "cents")
+      .withColumn("anchor_date", lit(d0))
+      .withColumn("recency_days", datediff(col("anchor_date"), col("last_date")))
+    val seg = Olap.rfmSegmentsApproxOver(perCust, accuracy = 10000)
+    val mOfNull = Olap.rfmSegmentsApproxOver(perCust, 10000)
+      .filter(col("monetary_cents").isNull).select("m_quintile").head().getInt(0)
+    assert(mOfNull === 5, s"NULL-cents customer landed in m_quintile $mOfNull, want 5")
+    // and the exact form agrees (Spark desc = nulls last -> quintile 5)
+    val exact = Olap.rfmSegmentsOver(perCust)
+    val mExact = exact.filter(col("monetary_cents").isNull)
+      .select("m_quintile").head().getInt(0)
+    assert(mExact === 5)
+    assert(seg.agg(sum("n_customers")).head().getLong(0) === 10L)
   }
 }
