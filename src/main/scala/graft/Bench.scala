@@ -178,11 +178,17 @@ object Bench {
     // r18-new rows: the approx segmentation scale paths, steady values
     // from tools/ScaleAxisProbe's sf0.1 side (1.45 / 0.69-0.79)
     "olap_rfm_segments_approx" -> 1.45, "olap_ltv_quartiles_approx" -> 0.75,
-    // r18 (VERDICT r17 #5): MJPEG post-hardening steady state confirmed —
-    // 1.27/1.28/1.33 across three clean r18 runs vs the r17 recordings'
-    // 1.21/1.24; the +4-6% is this machine's noise band (the r17 drift
-    // adjudication), re-recorded at the middle so the warn line stays tight
-    "multimodal_mjpeg_decode" -> 1.25)
+    // r18 (VERDICT r17 #5): MJPEG post-hardening steady state was first
+    // confirmed at 1.27-1.33 (machine noise band over the r17 1.21/1.24),
+    // then the fixture-feed spread (the staging build's starvation class:
+    // the single-file documents scan ran every encode+decode loop on ONE
+    // core) dropped the heavy decode rows 2-6x — re-recorded at the
+    // post-spread clean-run values
+    "multimodal_mjpeg_decode" -> 0.22,
+    "multimodal_jpeg_progressive_decode" -> 0.16,
+    "multimodal_jpeg_color_decode" -> 0.18,
+    "multimodal_jpeg_decode" -> 0.12, "multimodal_png_decode" -> 0.15,
+    "multimodal_wav_decode" -> 0.12)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds

@@ -43,8 +43,23 @@ object MultimodalOps extends QueryRegistry {
       n_frames: Long, duration_s: Double, mean_amp: Double, rms: Double,
       peak: Int)
 
+  /** The fixture doc-id feed, spread to full width (r18, the staging
+    * build's starvation class): documents ships as ONE small parquet file
+    * at test SF, so the scan — and every partition-local encode/decode
+    * loop built on it — would otherwise run on one core. [[TextOps.spread]]
+    * self-disables on an already-wide (real-scale) corpus. */
+  private def fixtureIds(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import spark.implicits._
+    TextOps.spread(Sources.table(spark, dir, "documents").select(col("doc_id")))
+      .as[Long]
+  }
+
   /** Media table: documents' text re-typed as an opaque binary payload with
-    * metadata (mime + byte length + content prefix). */
+    * metadata (mime + byte length + content prefix). NOT spread: this frame
+    * carries the real media bytes, and the partition-local contract is that
+    * payload bytes never ride an exchange — [[fixtureIds]] spreads the
+    * LONG ids instead, before any payload exists. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "documents").select(
       col("doc_id"),
@@ -307,7 +322,7 @@ object MultimodalOps extends QueryRegistry {
     * varied real bytes. */
   def pngFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Sources.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    fixtureIds(spark, dir)
       .mapPartitions(_.map { id =>
         val w = (1 + id % 32).toInt
         val h = (1 + id % 24).toInt
@@ -972,7 +987,7 @@ object MultimodalOps extends QueryRegistry {
     * predictors reset) runs on gate data. */
   def jpegColorFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Sources.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    fixtureIds(spark, dir)
       .mapPartitions(_.map { id =>
         val sub420 = id % 2 == 0
         val mcu = if (sub420) 16 else 8
@@ -1513,7 +1528,7 @@ object MultimodalOps extends QueryRegistry {
     * restart boundaries in both AC pass types). */
   def jpegProgressiveFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Sources.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    fixtureIds(spark, dir)
       .mapPartitions(_.map { id =>
         val sub420 = id % 2 == 0
         val mcu = if (sub420) 16 else 8
@@ -2040,7 +2055,7 @@ object MultimodalOps extends QueryRegistry {
     * verifies entry-by-entry. */
   def aviMjpegFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Sources.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    fixtureIds(spark, dir)
       .mapPartitions(_.map { id =>
         val sub420 = id % 2 == 0
         val mcu = if (sub420) 16 else 8
@@ -2161,7 +2176,7 @@ object MultimodalOps extends QueryRegistry {
     * EOB-only path, k≠0 the double-ZRL long-run path. */
   def jpegFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Sources.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    fixtureIds(spark, dir)
       .mapPartitions(_.map { id =>
         val w = (8 * (1 + id % 4)).toInt
         val h = (8 * (1 + id % 3)).toInt
@@ -2368,7 +2383,7 @@ object MultimodalOps extends QueryRegistry {
   private def wavFixtureWith(spark: SparkSession, dir: String)(
       xform: (Long, Int) => Int): Dataset[MediaRow] = {
     import spark.implicits._
-    Sources.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    fixtureIds(spark, dir)
       .mapPartitions(_.map { id =>
         val channels = (1 + id % 2).toInt
         val rate = (8000 + (id % 3) * 4000).toInt
@@ -2535,7 +2550,7 @@ object MultimodalOps extends QueryRegistry {
     * parameter, so the param-skip path runs on gate data. */
   def y4mFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Sources.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    fixtureIds(spark, dir)
       .mapPartitions(_.map { id =>
         val w = (16 + 2 * (id % 8)).toInt
         val h = (8 + 2 * (id % 5)).toInt
@@ -2581,7 +2596,7 @@ object MultimodalOps extends QueryRegistry {
     * scan. */
   def ppmFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Sources.table(spark, dir, "documents").select(col("doc_id")).as[Long]
+    fixtureIds(spark, dir)
       .mapPartitions(_.map { id =>
         val w = (1 + id % 64).toInt
         val h = (1 + id % 48).toInt

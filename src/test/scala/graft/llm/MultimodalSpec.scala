@@ -5,14 +5,34 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** The multimodal decode path's scale contract: media bytes never leave the
-  * executor that scanned them (no exchange anywhere in the decode plan), and
-  * the typed batch shape survives the mapPartitions boundary. */
+  * executor that produced them — the one exchange a decode plan may carry
+  * is the fixture feed's bare-LONG id spread (r18), which runs BEFORE any
+  * payload exists — and the typed batch shape survives the mapPartitions
+  * boundary. */
 class MultimodalSpec extends SparkSpec {
 
-  test("feature extraction is partition-local — no exchange in the plan") {
-    val feats = MultimodalOps.decodePpm(MultimodalOps.ppmFixture(spark, sfDir))
-    val plan = feats.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
+  /** Every exchange in the plan must output exactly the doc_id column: the
+    * pre-payload id spread is allowed, a payload-bearing shuffle is not. */
+  private def assertPayloadLocal(df: org.apache.spark.sql.Dataset[_]): Unit = {
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        exchanges(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        exchanges(s.plan)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    exchanges(df.queryExecution.executedPlan).foreach { e =>
+      assert(e.output.map(_.name) == Seq("doc_id"),
+        s"payload-bearing exchange in a decode plan: ${e.output.map(_.name)}")
+    }
+  }
+
+  test("feature extraction is partition-local — payload bytes never ride an exchange") {
+    assertPayloadLocal(
+      MultimodalOps.decodePpm(MultimodalOps.ppmFixture(spark, sfDir)))
   }
 
   test("frame sampling explodes partition-local — no exchange, every 5th frame") {
@@ -123,7 +143,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("png decode is partition-local and fixture images hit their analytic features") {
     val ds = MultimodalOps.decodePng(MultimodalOps.pngFixture(spark, sfDir))
-    assert(!ds.queryExecution.executedPlan.toString.contains("Exchange"))
+    assertPayloadLocal(ds)
     val feats = ds.collect().map(f => f.doc_id -> f).toMap
     assert(feats.nonEmpty)
     feats.foreach { case (id, f) =>
@@ -252,7 +272,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("jpeg decode is partition-local and fixture images hit their analytic features") {
     val ds = MultimodalOps.decodeJpeg(MultimodalOps.jpegFixture(spark, sfDir))
-    assert(!ds.queryExecution.executedPlan.toString.contains("Exchange"))
+    assertPayloadLocal(ds)
     val feats = ds.collect().map(f => f.doc_id -> f).toMap
     assert(feats.nonEmpty)
     feats.foreach { case (id, f) =>
@@ -379,10 +399,9 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("wav decode is partition-local — no exchange in the plan") {
-    val feats = MultimodalOps.decodeWav(MultimodalOps.wavFixture(spark, sfDir))
-    val plan = feats.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
+  test("wav decode is partition-local — payload bytes never ride an exchange") {
+    assertPayloadLocal(
+      MultimodalOps.decodeWav(MultimodalOps.wavFixture(spark, sfDir)))
   }
 
   test("fixture wavs round-trip through the decoder to their analytic stats") {
@@ -488,9 +507,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("y4m decode is partition-local and fixture clips hit their analytic features") {
-    val plan = MultimodalOps.decodeY4m(MultimodalOps.y4mFixture(spark, sfDir))
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"))
+    assertPayloadLocal(MultimodalOps.decodeY4m(MultimodalOps.y4mFixture(spark, sfDir)))
     val f = MultimodalOps.decodeY4m(MultimodalOps.y4mFixture(spark, sfDir))
       .filter(col("doc_id") === 6L).head() // mono (6%3=0), 25fps, nf=8, sl=5
     assert(f.chroma === "mono" && f.n_frames === 8 && f.fps_num === 25)
@@ -576,7 +593,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("mjpeg decode is partition-local and fixture clips hit their analytic features (r16)") {
     val ds = MultimodalOps.decodeAviMjpeg(MultimodalOps.aviMjpegFixture(spark, sfDir))
-    assert(!ds.queryExecution.executedPlan.toString.contains("Exchange"))
+    assertPayloadLocal(ds)
     // id 24: nf=6, sl=2 → scenes 0,0,1,1,2,2; y(s) = 80 + (168 + 13s) % 97 =
     // 151, 164, 80 — the s0→s1 step (+13) is below the cut threshold, the
     // s1→s2 wraparound (−84) is a cut: both sides of the rule in one clip
