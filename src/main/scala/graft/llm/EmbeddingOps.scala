@@ -29,6 +29,15 @@ object EmbeddingOps extends QueryRegistry {
   private val Dim = 64
   private val NumPlanes = 8
 
+  /** The embeddings feed, deliberately NOT spread (r18, measured): the
+    * fixture-starvation fix that won 2-6× on the multimodal decode rows
+    * was tried here and REGRESSED the iterative ops 2-4× (ivf_search
+    * 0.43→1.56 s, pq_adc_rerank 0.46→1.09 s at sf0.1) — Lloyd/PQ/MMR
+    * re-evaluate the feed per round, so 32 near-empty partitions multiply
+    * every round's task-scheduling overhead while the per-partition kernel
+    * work is trivial at small SF. Spread pays only when per-row CPU
+    * dominates task overhead (the decode loops); at real scale this table
+    * arrives wide from the scan on its own. */
   def emb(spark: SparkSession, dir: String): DataFrame =
     Sources.table(spark, dir, "embeddings")
 
