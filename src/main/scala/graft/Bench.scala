@@ -180,9 +180,11 @@ object Bench {
     "sql_olap_q1" -> 0.42, "datekey_range_sum" -> 0.10,
     "events_asof_last_error" -> 0.16, "events_attribution" -> 0.17,
     "events_funnel" -> 0.24, "events_heavy_users" -> 0.24,
-    // r18-new rows: the approx segmentation scale paths, steady values
-    // from tools/ScaleAxisProbe's sf0.1 side (1.45 / 0.69-0.79)
-    "olap_rfm_segments_approx" -> 1.45, "olap_ltv_quartiles_approx" -> 0.75,
+    // r18-new rows: the approx segmentation scale paths — steady values
+    // after the r18-late localCheckpoint of the shared per-customer frame
+    // (the boundary collect + assignment pair re-ran the fact aggregate;
+    // one materialization halved both rows: rfm 1.93→0.95, ltv 0.95→0.65)
+    "olap_rfm_segments_approx" -> 1.00, "olap_ltv_quartiles_approx" -> 0.68,
     // r18 (VERDICT r17 #5): MJPEG post-hardening steady state was first
     // confirmed at 1.27-1.33 (machine noise band over the r17 1.21/1.24),
     // then the fixture-feed spread (the staging build's starvation class:

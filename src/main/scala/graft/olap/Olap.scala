@@ -412,7 +412,9 @@ object Olap extends QueryRegistry {
     * [[ltvQuartilesApproxChecked]]. Same discipline as
     * [[graft.llm.TextOps.classifierThresholdSweepApprox]]. */
   def ltvQuartilesApprox(w: Warehouse, accuracy: Int = 10000): DataFrame =
-    ltvQuartilesApproxOver(ltvFrame(w), accuracy)
+    // one materialization of the narrow per-customer frame for the boundary
+    // collect + assignment pair (see rfmSegmentsApprox's note)
+    ltvQuartilesApproxOver(ltvFrame(w).localCheckpoint(), accuracy)
 
   private def ltvQuartilesApproxOver(ltv: DataFrame, accuracy: Int): DataFrame = {
     // 3 descending boundaries (p75, p50, p25 of the LTV distribution);
@@ -480,7 +482,12 @@ object Olap extends QueryRegistry {
     * arbitrarily); [[rfmSegmentsApproxChecked]] pins each axis's marginal
     * within the bound. */
   def rfmSegmentsApprox(w: Warehouse, accuracy: Int = 10000): DataFrame =
-    rfmSegmentsApproxOver(rfmPerCustomer(w), accuracy)
+    // the boundary collect and the assignment frame would each re-run the
+    // fact-scale per-customer aggregate; localCheckpoint materializes the
+    // NARROW frame once (the bpeTrain/mmrRerank discipline — truncated
+    // lineage, no cache/unpersist dance, executor-local storage of a
+    // |customers|-sized frame)
+    rfmSegmentsApproxOver(rfmPerCustomer(w).localCheckpoint(), accuracy)
 
   private[olap] def rfmSegmentsApproxOver(perCust: DataFrame, accuracy: Int): DataFrame = {
     val b = perCust.agg(
