@@ -195,7 +195,12 @@ object Bench {
     "multimodal_jpeg_progressive_decode" -> 0.16,
     "multimodal_jpeg_color_decode" -> 0.18,
     "multimodal_jpeg_decode" -> 0.12, "multimodal_png_decode" -> 0.15,
-    "multimodal_wav_decode" -> 0.12)
+    "multimodal_wav_decode" -> 0.12,
+    // ppm/y4m measured FLAT across the spread (0.11-0.14 both sides —
+    // cheap per-row decodes are floor-bound, the EmbeddingOps lesson), so
+    // their earlier recorded values already ARE the post-spread steady
+    // state; restated here so this block carries the whole decode family
+    "multimodal_ppm_decode" -> 0.13, "multimodal_y4m_decode" -> 0.14)
 
   /** WARNs carried into the JSON artifact itself (VERDICT r9 #6): stderr
     * flags never reached the driver's record, so three contended builds

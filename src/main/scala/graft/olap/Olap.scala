@@ -486,7 +486,10 @@ object Olap extends QueryRegistry {
     // fact-scale per-customer aggregate; localCheckpoint materializes the
     // NARROW frame once (the bpeTrain/mmrRerank discipline — truncated
     // lineage, no cache/unpersist dance, executor-local storage of a
-    // |customers|-sized frame)
+    // |customers|-sized frame). Same trade those siblings accepted: the
+    // checkpoint is unreliable storage (an executor loss between the two
+    // consumers fails the query instead of recomputing), and release is
+    // the ContextCleaner's once the frame's refs drop
     rfmSegmentsApproxOver(rfmPerCustomer(w).localCheckpoint(), accuracy)
 
   private[olap] def rfmSegmentsApproxOver(perCust: DataFrame, accuracy: Int): DataFrame = {

@@ -12,21 +12,28 @@ import graft.SparkSpec
 class MultimodalSpec extends SparkSpec {
 
   /** Every exchange in the plan must output exactly the doc_id column: the
-    * pre-payload id spread is allowed, a payload-bearing shuffle is not. */
+    * pre-payload id spread is allowed, a payload-bearing shuffle OR
+    * broadcast is not (the base `Exchange` match covers both — a
+    * ShuffleExchangeExec-only match would let a payload broadcast through,
+    * r18 second review; ReusedExchangeExec is a leaf alias, checked by its
+    * own output). */
   private def assertPayloadLocal(df: org.apache.spark.sql.Dataset[_]): Unit = {
     def exchanges(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = p match {
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         exchanges(a.executedPlan)
       case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
         exchanges(s.plan)
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
         e +: e.children.flatMap(exchanges)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        Seq(r)
       case other => other.children.flatMap(exchanges)
     }
     exchanges(df.queryExecution.executedPlan).foreach { e =>
       assert(e.output.map(_.name) == Seq("doc_id"),
-        s"payload-bearing exchange in a decode plan: ${e.output.map(_.name)}")
+        s"payload-bearing exchange in a decode plan (${e.nodeName}): " +
+          e.output.map(_.name))
     }
   }
 
