@@ -366,11 +366,19 @@ object Bench {
     //  3. if the best rep still reads >1.5× expectation, buy up to 3 more
     //     reps before accepting the reading as a real regression.
     // Failures record -1, excluded from total.
-    def time(name: String, reps: Int = 3)(f: => DataFrame): Unit = {
+    def time(name: String, reps: Int = 3)(f: => DataFrame): Unit =
+      timeR(name, reps)((f, () => ()))
+    // release-handle variant (ADVICE r18): rows built over a localCheckpoint
+    // drop their executor-local blocks after every rep instead of pinning
+    // one frame per rep until the ContextCleaner's next GC sweep; the
+    // release is inside the timed window — it is part of the serving cost.
+    def timeR(name: String, reps: Int = 3)(f: => (DataFrame, () => Unit)): Unit = {
       try {
         def run(): Double = {
           val t0 = System.nanoTime()
-          noop(f)
+          val (df, release) = f
+          noop(df)
+          release()
           (System.nanoTime() - t0) / 1e9
         }
         val foreignBefore = foreignJavaProcs()
@@ -680,8 +688,8 @@ object Bench {
       // r18: the approx (100 TB) segmentation SCALE PATHS — timed directly
       // (not the checked faces, which run the exact window too); tracked so
       // a regression in the boundary-sketch/bucket-assignment shape shows
-      time("olap_rfm_segments_approx")(Olap.rfmSegmentsApprox(w))
-      time("olap_ltv_quartiles_approx")(Olap.ltvQuartilesApprox(w))
+      timeR("olap_rfm_segments_approx")(Olap.rfmSegmentsApproxReleasable(w))
+      timeR("olap_ltv_quartiles_approx")(Olap.ltvQuartilesApproxReleasable(w))
 
       // Training-data + event-stream operators (no BASELINE rows — recorded
       // to track engine throughput on the non-warehouse surfaces).

@@ -416,6 +416,35 @@ object Olap extends QueryRegistry {
     // collect + assignment pair (see rfmSegmentsApprox's note)
     ltvQuartilesApproxOver(ltvFrame(w).localCheckpoint(), accuracy)
 
+  /** [[ltvQuartilesApprox]] plus an explicit release handle (ADVICE r18):
+    * the checkpointed per-customer frame's executor-local blocks are
+    * otherwise reclaimed only by the ContextCleaner after a GC, so a timed
+    * rep loop (Bench, ScaleAxisProbe) pins one |customers|-sized frame per
+    * rep until the JVM happens to collect. Callers invoke the handle after
+    * consuming the frame; one-shot callers can keep using the plain form. */
+  def ltvQuartilesApproxReleasable(w: Warehouse, accuracy: Int = 10000)
+      : (DataFrame, () => Unit) = {
+    val frame = ltvFrame(w).localCheckpoint()
+    (ltvQuartilesApproxOver(frame, accuracy), () => releaseLocalCheckpoint(frame))
+  }
+
+  /** Drop a `localCheckpoint()` frame's executor-local blocks now instead of
+    * at the ContextCleaner's leisure. Safe only AFTER the last consumer of
+    * the checkpointed lineage has run — the truncated lineage cannot
+    * recompute. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+    }
+
+  /** [[rfmSegmentsApprox]]'s release-handle form — same contract as
+    * [[ltvQuartilesApproxReleasable]]. */
+  def rfmSegmentsApproxReleasable(w: Warehouse, accuracy: Int = 10000)
+      : (DataFrame, () => Unit) = {
+    val frame = rfmPerCustomer(w).localCheckpoint()
+    (rfmSegmentsApproxOver(frame, accuracy), () => releaseLocalCheckpoint(frame))
+  }
+
   private def ltvQuartilesApproxOver(ltv: DataFrame, accuracy: Int): DataFrame = {
     // 3 descending boundaries (p75, p50, p25 of the LTV distribution);
     // quartile 1 = cents at/above the p75 boundary — NTILE's top quarter

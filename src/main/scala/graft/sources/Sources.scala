@@ -52,14 +52,22 @@ object Sources {
     * (`saveAsTable`) because bucket metadata lives in the table catalog. */
   def bucketTable(df: DataFrame, name: String, buckets: Int, key: String,
                   sortBy: Seq[String] = Nil, path: Option[String] = None): Unit = {
-    // One file per bucket, whatever the upstream width (r18): a bucketed
-    // write emits a file per (input partition × bucket), so an N-partition
-    // input fragments every bucket into N files and the point lookup that
-    // bucketing exists for scans N splits instead of one. Repartitioning
-    // by the bucket key into exactly `buckets` partitions uses the same
-    // murmur3-pmod function as the bucket spec, so partition i holds
-    // precisely bucket i's rows.
-    val pre = df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+    // Key-aligned pre-partitioning, bucket-count files per bucket at most
+    // (r18, width fix r19): a bucketed write emits a file per (input
+    // partition × bucket), so an N-partition input fragments every bucket
+    // into N files and the point lookup that bucketing exists for scans N
+    // splits instead of one. Repartitioning by the bucket key into a
+    // MULTIPLE k·buckets of the bucket count uses the same murmur3-pmod
+    // family as the bucket spec (h mod k·b ≡ h mod b), so every partition
+    // holds rows of exactly ONE bucket — each bucket lands in k files, not
+    // N. k is sized so the write (and the per-task sort, when sortBy is
+    // given) keeps the session's full parallelism: collapsing to exactly
+    // `buckets` partitions when buckets << cores would serialize a large
+    // table's write into a few huge tasks (ADVICE r18). When buckets >=
+    // the session width, k = 1 and the layout is one file per bucket.
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.max(buckets, (width + buckets - 1) / buckets * buckets)
+    val pre = df.repartition(parts, org.apache.spark.sql.functions.col(key))
     val w0 = pre.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     val w1 = path.fold(w0)(p => w0.option("path", p)) // external table when given
     (if (sortBy.nonEmpty) w1.sortBy(sortBy.head, sortBy.tail: _*) else w1)

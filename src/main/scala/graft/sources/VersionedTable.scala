@@ -320,6 +320,38 @@ object VersionedTable {
   private def stagePath(root: String) =
     s"$root/.stage_${java.util.UUID.randomUUID()}"
 
+  /** Liveness heartbeat for staging writes (ADVICE r18): [[vacuum]]'s orphan
+    * sweep proves a `.txn_`/`.stage_`/`.claim_` subtree dead by AGE, but a
+    * large commit legitimately holds its staging dir for the whole
+    * mutate + publish — at the 100 TB scale this table targets, far beyond
+    * any fixed horizon — and a quiet compute phase (a long shuffle before
+    * the first task file lands) refreshes no mtime anywhere in the subtree.
+    * While `body` runs, a daemon thread re-stamps the staging roots' mtimes
+    * every [[heartbeatMs]], so a LIVE writer's staging never ages past the
+    * sweep horizon no matter how long its commit takes; a crashed writer
+    * stops heartbeating and its orphan ages out normally. Stamp failures
+    * are swallowed — the heartbeat is advisory (the sweep's recursive
+    * newest-mtime gate and the 15-minute horizon are the hard layers) and
+    * must never fail the write it protects. */
+  private def heartbeatMs: Long =
+    sys.props.get("graft.versioned.heartbeatMs").map(_.toLong).getOrElse(30000L)
+  private def withStageHeartbeat[A](fs: org.apache.hadoop.fs.FileSystem,
+      roots: Seq[Path])(body: => A): A = {
+    val t = new Thread(() => {
+      try while (true) {
+        Thread.sleep(heartbeatMs)
+        roots.foreach { p =>
+          try { if (fs.exists(p)) fs.setTimes(p, System.currentTimeMillis(), -1L) }
+          catch { case _: InterruptedException => throw new InterruptedException
+                  case _: Throwable => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-stage-heartbeat")
+    t.setDaemon(true)
+    t.start()
+    try body finally { t.interrupt(); t.join(2000L) }
+  }
+
   // ------------------------------------------------------------ commit point
 
   private def readLatestRaw(fs: org.apache.hadoop.fs.FileSystem, rootP: Path): Option[Int] = {
@@ -501,7 +533,7 @@ object VersionedTable {
       val snap = snapshotOf(spark, root, base)
       val stage = new Path(s"$root/.txn_${java.util.UUID.randomUUID()}")
       val claim = new Path(s"$root/.claim_${java.util.UUID.randomUUID()}")
-      try {
+      try withStageHeartbeat(fs, Seq(stage, claim)) {
         val carried = mutate(base, snap, stage.toString).toSet
         enforceConstraintsOnStage(spark, root, stage.toString,
           effectiveSchema(spark, root, base))
@@ -731,9 +763,11 @@ object VersionedTable {
     val (next, dir) = nextDir(spark, root)
     require(next == 1, s"table at $root already exists (latest v${next - 1})")
     val stage = stagePath(root)
-    val w = df.write
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(stage)
-    val moved = moveIntoPool(spark, root, stage)
+    val moved = withStageHeartbeat(fs, Seq(new Path(stage))) {
+      val w = df.write
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(stage)
+      moveIntoPool(spark, root, stage)
+    }
     writeSchemaEntry(fs, root, next, storedSchema(df, partitionCols))
     writePartitionCols(fs, root, partitionCols)
     publishManifest(spark, root, dir, None, None, moved)
@@ -789,10 +823,11 @@ object VersionedTable {
     val latest = latestVersion(spark, root)
     val snap = snapshotOf(spark, root, latest)
     val stage = stagePath(root)
-    val (_, clean) = op(snap, stage)
-    enforceConstraintsOnStage(spark, root, stage, snap.schema)
-    val cleanSet = clean.toSet
-    val moved = moveIntoPool(spark, root, stage)
+    val (cleanSet, moved) = withStageHeartbeat(fs, Seq(new Path(stage))) {
+      val (_, clean) = op(snap, stage)
+      enforceConstraintsOnStage(spark, root, stage, snap.schema)
+      (clean.toSet, moveIntoPool(spark, root, stage))
+    }
     val (next, dir) = nextDir(spark, root)
     publishManifest(spark, root, dir, Some(latest),
       Some(e => cleanSet((e.part, e.name))), moved)
@@ -910,10 +945,12 @@ object VersionedTable {
       (if (rows.columns.contains(f.name)) col(f.name) else lit(null))
         .cast(f.dataType).as(f.name)).toSeq: _*)
     val stage = stagePath(root)
-    val w = aligned.write.mode("append")
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(stage)
-    enforceConstraintsOnStage(spark, root, stage, activeSchema(spark, root, latest))
-    val moved = moveIntoPool(spark, root, stage)
+    val moved = withStageHeartbeat(fsOf(spark, root)._1, Seq(new Path(stage))) {
+      val w = aligned.write.mode("append")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(stage)
+      enforceConstraintsOnStage(spark, root, stage, activeSchema(spark, root, latest))
+      moveIntoPool(spark, root, stage)
+    }
     val (next, dir) = nextDir(spark, root)
     publishManifest(spark, root, dir,
       if (overwrite) None else Some(latest), None, moved)
@@ -1016,14 +1053,16 @@ object VersionedTable {
     val fileSchema = activeSchema(spark, root, latest).map(s =>
       StructType(s.fields.filterNot(f => partCols(f.name))))
     val stage = stagePath(root)
-    Compaction.rewriteBins(spark, plan,
-      (part, n) =>
-        if (part == ".") s"${dataDir(root)}/$n" else s"${dataDir(root)}/$part/$n",
-      part => if (part == ".") stage else s"$stage/$part",
-      fileSchema)
+    val moved = withStageHeartbeat(fsOf(spark, root)._1, Seq(new Path(stage))) {
+      Compaction.rewriteBins(spark, plan,
+        (part, n) =>
+          if (part == ".") s"${dataDir(root)}/$n" else s"${dataDir(root)}/$part/$n",
+        part => if (part == ".") stage else s"$stage/$part",
+        fileSchema)
+      moveIntoPool(spark, root, stage)
+    }
     val keep = plan.filterNot(_.getAs[Boolean]("compact"))
       .map(r => (r.getAs[String]("part"), r.getAs[String]("file_id"))).toSet
-    val moved = moveIntoPool(spark, root, stage)
     val (next, dir) = nextDir(spark, root)
     publishManifest(spark, root, dir, Some(latest),
       Some(e => keep((e.part, e.name))), moved)
@@ -1094,6 +1133,7 @@ object VersionedTable {
     val entries = snapshotEntries(spark, root, latest)
     val parts = entries.map(_.part).distinct.sorted
     val stage = stagePath(root)
+    val moved = withStageHeartbeat(fs, Seq(new Path(stage))) {
     if (parts.isEmpty || parts == Seq(".")) {
       ZOrder.materializeZordered(read(spark, root, Some(latest)), stage, cols,
         bits, numFiles)
@@ -1114,7 +1154,8 @@ object VersionedTable {
           s"$stage/$part", cols, bits, numFiles)
       }
     }
-    val moved = moveIntoPool(spark, root, stage)
+    moveIntoPool(spark, root, stage)
+    }
     val (next, dir) = nextDir(spark, root)
     publishManifest(spark, root, dir, None, None, moved)
     commitVersion(spark, root, next)
@@ -1225,11 +1266,13 @@ object VersionedTable {
           .cast(f.dataType).as(f.name)).toSeq: _*)
     }.getOrElse(batch)
     val stage = stagePath(root)
-    val w = aligned.write.mode("append")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(stage)
-    enforceConstraintsOnStage(spark, root, stage,
-      latest.flatMap(v => effectiveSchema(spark, root, v)))
-    val moved = moveIntoPool(spark, root, stage)
+    val moved = withStageHeartbeat(fs, Seq(new Path(stage))) {
+      val w = aligned.write.mode("append")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(stage)
+      enforceConstraintsOnStage(spark, root, stage,
+        latest.flatMap(v => effectiveSchema(spark, root, v)))
+      moveIntoPool(spark, root, stage)
+    }
     val (next, dir) = nextDir(spark, root)
     if (latest.isEmpty) { // first batch CREATES the table: record its shape
       writeSchemaEntry(fs, root, next, storedSchema(aligned, partitionCols))
@@ -1453,22 +1496,44 @@ object VersionedTable {
       parallelFs(unreferenced)(rel =>
         fs.delete(new Path(s"${dataDir(root)}/$rel"), false))
     }
-    // Orphan sweep is AGE-GATED (ADVICE r17): a concurrent writer's (or
-    // vacuum's own sidecar) in-flight `.txn_`/`.stage_`/`._last_batch.tmp_`
-    // lives for the instruction-scale window between its write and its
-    // atomic rename — deleting it there fails that writer with
-    // NoSuchFileException. Only files older than the stale horizon (the
-    // lock-break discipline, 60 s — far beyond any rename window) can be
-    // crashed-process orphans rather than live staging.
-    val staleHorizonMs = 60000L
+    // Orphan sweep is AGE-GATED (ADVICE r17), and the age that proves death
+    // is the NEWEST mtime anywhere in the staging SUBTREE, not the root
+    // entry's (ADVICE r18): a live commit holds its `.txn_`/`.stage_` dir
+    // for the whole mutate + publish — minutes-to-hours at the 100 TB scale
+    // this table targets — and task files landing deep inside never refresh
+    // the root entry's mtime, so a root-mtime gate would let a concurrent
+    // vacuum delete an in-flight commit mid-write. Three layers:
+    //  1. horizon = 15 min (the same staleness discipline as
+    //     VersionedStats.StaleTmpMs), NOT the 60 s lock-break value — 60 s
+    //     is tuned to a crashed lock HOLDER's instruction-scale window,
+    //     which a routine large staging write exceeds by orders of
+    //     magnitude;
+    //  2. the gate recurses: any descendant younger than the horizon keeps
+    //     the whole subtree alive (a writer mid-write keeps landing files);
+    //  3. writers heartbeat-stamp their staging roots every 30 s
+    //     ([[withStageHeartbeat]]), so even a quiet compute phase (a long
+    //     shuffle before the first output file) never lets a LIVE writer's
+    //     staging age out, regardless of commit duration.
+    // A crashed writer stops heartbeating and landing files, so its orphan
+    // ages past the horizon and is reclaimed on the next vacuum.
+    val orphanHorizonMs = spark.conf.getOption("graft.versioned.orphanHorizonMs")
+      .map(_.toLong).getOrElse(15L * 60 * 1000)
     val nowMs = System.currentTimeMillis()
+    def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long = {
+      val self = st.getModificationTime
+      if (!st.isDirectory || nowMs - self <= orphanHorizonMs) self
+      else try (self +: fs.listStatus(st.getPath).map(newestMtime).toSeq).max
+      catch { // raced away mid-walk: someone is live in there — keep it
+        case _: java.io.FileNotFoundException => nowMs
+      }
+    }
     fs.listStatus(rootP)
       .filter { st =>
         val n = st.getPath.getName
         (n.startsWith(".txn_") || n.startsWith(".stage_")
           || n.startsWith(".claim_")
           || n.startsWith("._last_batch.tmp_")) && // crashed sidecar writes
-          nowMs - st.getModificationTime > staleHorizonMs
+          nowMs - newestMtime(st) > orphanHorizonMs
       }
       .foreach(st => fs.delete(st.getPath, true))
     dropped

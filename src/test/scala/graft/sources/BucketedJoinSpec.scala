@@ -39,4 +39,29 @@ class BucketedJoinSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS fact_bucketed")
     spark.sql("DROP TABLE IF EXISTS products_bucketed")
   }
+
+  test("bucketed write keeps session-width parallelism when buckets < width, without fragmenting buckets (ADVICE r18)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bkt_width_").toString
+    // 4 arbitrary input partitions, 2 buckets: a naive bucketed write emits
+    // a file per (partition × bucket) = up to 8; collapsing to exactly 2
+    // partitions serializes the write. Key-aligned k·buckets partitioning
+    // (k = width/buckets = 2) gives each partition exactly ONE bucket's
+    // rows: ≤ 4 files total, ≤ 2 per bucket, written 4-wide.
+    val df = (1L to 1000L).toDF("k").repartition(4)
+    Sources.bucketTable(df, "bkt_width_t", buckets = 2, key = "k",
+      path = Some(s"$dir/t"))
+    try {
+      val files = new java.io.File(s"$dir/t").listFiles()
+        .filter(f => f.getName.startsWith("part-")).toSeq
+      assert(files.size <= 4, s"got ${files.map(_.getName)}")
+      // bucket id rides the _0000N suffix: no bucket may exceed k files
+      val perBucket = files.groupBy(_.getName.split("_")(1).take(5))
+      assert(perBucket.values.forall(_.size <= 2), s"got ${files.map(_.getName)}")
+      assert(spark.table("bkt_width_t").count() === 1000L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_width_t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

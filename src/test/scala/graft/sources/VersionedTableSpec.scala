@@ -604,9 +604,11 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() === 8)
     // a crashed stage orphan is invisible to readers and swept by vacuum
     // once past the stale horizon (ADVICE r17: fresh = possibly in-flight)
+    // past the 15-minute orphan horizon (r19: raised from the 60 s
+    // lock-break value — a routine large staging write exceeds 60 s)
     val dead = new org.apache.hadoop.fs.Path(root, ".txn_dead")
     fs.mkdirs(dead)
-    fs.setTimes(dead, System.currentTimeMillis() - 120000L, -1L)
+    fs.setTimes(dead, System.currentTimeMillis() - 16 * 60 * 1000L, -1L)
     val inflight = new org.apache.hadoop.fs.Path(root, "._last_batch.tmp_live")
     val ifo = fs.create(inflight, true); ifo.write("b1\n".getBytes); ifo.close()
     assert(VersionedTable.read(spark, root).count() === 8)
@@ -739,6 +741,59 @@ class VersionedTableSpec extends SparkSpec {
     assert(onDisk === liveSegs,
       s"vacuum must retire exactly the unreferenced segments")
     assert(VersionedTable.read(spark, root).count() === 400 + 20)
+  }
+
+  test("orphan sweep gates on the newest mtime in the staging SUBTREE, not the root entry (ADVICE r18)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_sweep_").toString + "/t"
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("id", "payload"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val old = System.currentTimeMillis() - 16 * 60 * 1000L
+    // a long-running commit's staging: root + part dir aged (created at job
+    // start, never re-stamped by deep task-file writes), but a task file
+    // landed RECENTLY — the writer is alive mid-write
+    val live = new org.apache.hadoop.fs.Path(root, ".txn_longwrite")
+    val sub = new org.apache.hadoop.fs.Path(live, "part=0")
+    fs.mkdirs(sub)
+    val f = fs.create(new org.apache.hadoop.fs.Path(sub, "task-0.parquet"), true)
+    f.write(Array[Byte](1)); f.close()
+    fs.setTimes(live, old, -1L)
+    fs.setTimes(sub, old, -1L)
+    VersionedTable.vacuum(spark, root, keep = 5)
+    assert(fs.exists(live),
+      "a staging subtree with a fresh descendant is a LIVE write — must survive")
+    // once every descendant has aged past the horizon the writer is
+    // provably dead and the orphan is reclaimed
+    fs.setTimes(new org.apache.hadoop.fs.Path(sub, "task-0.parquet"), old, -1L)
+    fs.setTimes(live, old, -1L)
+    fs.setTimes(sub, old, -1L)
+    VersionedTable.vacuum(spark, root, keep = 5)
+    assert(!fs.exists(live), "an all-stale staging subtree is a dead orphan")
+  }
+
+  test("writers heartbeat-stamp their staging roots, so a live commit of any duration never ages out") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vt_hb_").toString + "/t"
+    VersionedTable.create(spark, root, (1L to 5L).map(i => (i, s"p_$i")).toDF("id", "payload"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    sys.props("graft.versioned.heartbeatMs") = "100"
+    try {
+      VersionedTable.transact(spark, root) { (_, snap, stage) =>
+        // simulate the quiet compute phase of a huge write: the stage dir
+        // exists (job setup) but nothing lands in it for a long time — the
+        // heartbeat alone must keep it young
+        val sp = new org.apache.hadoop.fs.Path(stage)
+        fs.mkdirs(sp)
+        val planted = System.currentTimeMillis() - 16 * 60 * 1000L
+        fs.setTimes(sp, planted, -1L)
+        Thread.sleep(1500L)
+        assert(fs.getFileStatus(sp).getModificationTime > planted,
+          "the heartbeat thread must re-stamp the staging root during the write")
+        fs.delete(sp, true) // hand the core a virgin stage path
+        Dml.deleteWhereCore(spark, snap, stage, col("id") > 4L)._2
+      }
+    } finally sys.props -= "graft.versioned.heartbeatMs"
+    assert(VersionedTable.read(spark, root).count() === 4)
   }
 
   test("vacuum retires old versions and keeps time travel to the rest") {
