@@ -42,6 +42,16 @@ object MultimodalOps extends QueryRegistry {
   final case class WavFeatures(doc_id: Long, n_channels: Int, sample_rate: Int,
       n_frames: Long, duration_s: Double, mean_amp: Double, rms: Double,
       peak: Int)
+  /** Decoded 4-component (print-origin) JPEG: true ink-coverage means, the
+    * derived RGB means, and the K plane's range. `transform` is the Adobe
+    * APP14 declaration ("CMYK" or "YCCK"); subsampling describes the
+    * Y/K-vs-chroma geometry (always 444 for CMYK — all four ink planes ride
+    * at full resolution). */
+  final case class JpegCmykFeatures(doc_id: Long, width: Int, height: Int,
+      transform: String, subsampling: String,
+      mean_c: Double, mean_m: Double, mean_y: Double, mean_k: Double,
+      mean_r: Double, mean_g: Double, mean_b: Double,
+      min_k: Int, max_k: Int)
 
   /** The fixture doc-id feed, spread to full width (r18, the staging
     * build's starvation class): documents ships as ONE small parquet file
@@ -1119,6 +1129,450 @@ object MultimodalOps extends QueryRegistry {
   // 15-bit run of ones, which forces FF00 byte stuffing at ANY alignment —
   // the spec's deterministic stuffing trigger
   private val FixtureAcSyms = Array(0x00, 0xf0, 0x61, 0x62, 0x6a, 0x01)
+
+  // ---------------------------------------------------------------------
+  // CMYK / YCCK baseline JPEG (r19, VERDICT r18 #3) — the one decode
+  // boundary with real web prevalence left (print-origin Adobe JPEGs;
+  // under 1% of a crawl but not 0 — COVERAGE.md's boundary adjudication
+  // named it "the first boundary to lift"). Adobe's APP14 marker names
+  // the transform:
+  //   transform 0 → four stored ink planes, no color transform (CMYK);
+  //   transform 2 → YCCK: (Y,Cb,Cr) carry the JFIF-transformed INVERTED
+  //                 CMY, K rides as a fourth plane sampled like Y.
+  // Adobe writers store the planes INVERTED (stored = 255 − ink, the
+  // Photoshop convention); a 4-component stream WITHOUT the Adobe marker
+  // is treated as plain non-inverted CMYK (libjpeg's assumption). The
+  // feature row reports true ink-coverage means plus derived RGB
+  // (r = (255−c)·(255−k)/255 — exact integer floor division, so the
+  // oracle reproduces it verbatim with DuckDB's `//`).
+
+  private[llm] def parseJpegCmyk(id: Long, bytes: Array[Byte]): JpegCmykFeatures =
+    jpegCmykDecode(id, bytes,
+      msg => throw new IllegalArgumentException(s"media of doc $id: $msg"))
+
+  /** 4-component baseline decode: APP14 transform detection, per-component
+    * quantization/Huffman selectors and DC predictors (restart markers
+    * reset all FOUR), interleaved MCU walk with the K plane sampled like
+    * Y, chroma replication for YCCK, and exact integer ink/RGB sums with
+    * one IEEE division each — oracle-exact. */
+  private def jpegCmykDecode(id: Long, bytes: Array[Byte],
+      err: String => Nothing): JpegCmykFeatures = {
+    def u8(o: Int): Int =
+      if (o < bytes.length) bytes(o) & 0xff else err("truncated JPEG")
+    def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    if (bytes.length < 2 || u16(0) != 0xffd8) err("not a JPEG (missing SOI)")
+
+    val qTables = new Array[Array[Int]](4)
+    val dcTables = new Array[Huff](4)
+    val acTables = new Array[Huff](4)
+    var w = 0; var h = 0
+    val sampH = new Array[Int](4); val sampV = new Array[Int](4)
+    val qSel = new Array[Int](4)
+    val compId = new Array[Int](4)
+    val dcSel = new Array[Int](4); val acSel = new Array[Int](4)
+    var adobeTransform = -1 // -1 = no Adobe APP14 marker seen
+    var restartInterval = 0
+    var sosAt = -1
+    var i = 2
+    while (sosAt < 0) {
+      if (u8(i) != 0xff) err(f"expected a marker at $i, got ${u8(i)}%02x")
+      val m = u8(i + 1)
+      m match {
+        case 0xc0 => // SOF0 — baseline sequential
+          if (u8(i + 4) != 8) err(s"unsupported sample precision ${u8(i + 4)}")
+          h = u16(i + 5); w = u16(i + 7)
+          if (w <= 0 || h <= 0) err(s"degenerate dimensions ${w}x$h")
+          guardPixels(w, h, err)
+          if (u8(i + 9) != 4) err(s"${u8(i + 9)} components (CMYK/YCCK is 4)")
+          var c = 0
+          while (c < 4) {
+            compId(c) = u8(i + 10 + 3 * c)
+            val samp = u8(i + 11 + 3 * c)
+            sampH(c) = samp >> 4; sampV(c) = samp & 15
+            if (sampH(c) < 1 || sampH(c) > 2 || sampV(c) < 1 || sampV(c) > 2)
+              err(f"unsupported sampling ${sampH(c)}x${sampV(c)} (factors 1-2 only)")
+            qSel(c) = u8(i + 12 + 3 * c)
+            if (qSel(c) > 3) err(s"bad quantization table selector ${qSel(c)}")
+            c += 1
+          }
+          i += 2 + u16(i + 2)
+        case 0xc2 => err("progressive CMYK unsupported (baseline only)")
+        case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 && x != 0xcc =>
+          err(f"non-baseline frame marker ff$x%02x")
+        case 0xc4 =>
+          val end = i + 2 + u16(i + 2)
+          var o = i + 4
+          while (o < end) {
+            val tc = u8(o) >> 4; val th = u8(o) & 15
+            if (tc > 1 || th > 3) err("bad DHT table class/id")
+            val counts = Array.tabulate(16)(j => u8(o + 1 + j))
+            val n = counts.sum
+            val syms = Array.tabulate(n)(j => u8(o + 17 + j))
+            if (tc == 0) dcTables(th) = new Huff(counts, syms)
+            else acTables(th) = new Huff(counts, syms)
+            o += 17 + n
+          }
+          i = end
+        case 0xdb =>
+          i = parseDqtSegment(bytes, i, qTables, err)
+        case 0xdd =>
+          restartInterval = u16(i + 4); i += 2 + u16(i + 2)
+        case 0xee => // APP14 — the Adobe transform declaration
+          val len = u16(i + 2)
+          if (len >= 14 && u8(i + 4) == 'A' && u8(i + 5) == 'd' &&
+              u8(i + 6) == 'o' && u8(i + 7) == 'b' && u8(i + 8) == 'e')
+            adobeTransform = u8(i + 15)
+          i += 2 + len
+        case 0xda => // SOS — interleaved 4-component scan
+          if (u8(i + 4) != 4) err("scan must carry all four components")
+          var c = 0
+          while (c < 4) {
+            val cid = u8(i + 5 + 2 * c)
+            val slot = compId.indexOf(cid)
+            if (slot < 0) err(s"scan references unknown component $cid")
+            dcSel(slot) = u8(i + 6 + 2 * c) >> 4
+            acSel(slot) = u8(i + 6 + 2 * c) & 15
+            if (dcSel(slot) > 3 || acSel(slot) > 3)
+              err(s"bad Huffman table selector ${dcSel(slot)}/${acSel(slot)}")
+            c += 1
+          }
+          if (u8(i + 13) != 0 || u8(i + 14) != 63 || u8(i + 15) != 0)
+            err("spectral selection / successive approximation unsupported")
+          sosAt = i + 2 + u16(i + 2)
+        case 0xd9 => err("EOI before any scan")
+        case x if (x >= 0xe0 && x <= 0xef) || x == 0xfe =>
+          i += 2 + u16(i + 2)
+        case other => err(f"unsupported marker ff$other%02x")
+      }
+    }
+    if (w == 0) err("missing SOF0")
+    if (adobeTransform == 1 || adobeTransform > 2)
+      err(s"Adobe transform $adobeTransform invalid for a 4-component frame")
+    val ycck = adobeTransform == 2
+    val hs = sampH(0); val vs = sampV(0)
+    if (ycck) {
+      if (sampH(1) != 1 || sampV(1) != 1 || sampH(2) != 1 || sampV(2) != 1)
+        err("YCCK chroma sampling must be 1x1")
+      if (sampH(3) != hs || sampV(3) != vs)
+        err("YCCK K-plane sampling must match Y")
+    } else {
+      var c = 0
+      while (c < 4) {
+        if (sampH(c) != 1 || sampV(c) != 1)
+          err("CMYK sampling must be 1x1 on all four planes")
+        c += 1
+      }
+    }
+    val q = Array.tabulate(4) { c =>
+      if (qTables(qSel(c)) != null) qTables(qSel(c))
+      else err(s"component $c references an undefined quantization table") }
+    val dcT = Array.tabulate(4) { c =>
+      if (dcTables(dcSel(c)) != null) dcTables(dcSel(c))
+      else err(s"component $c references an undefined DC Huffman table") }
+    val acT = Array.tabulate(4) { c =>
+      if (acTables(acSel(c)) != null) acTables(acSel(c))
+      else err(s"component $c references an undefined AC Huffman table") }
+
+    var pos = sosAt
+    var bitBuf = 0; var bitCnt = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        val b = u8(pos)
+        if (b == 0xff) {
+          if (u8(pos + 1) != 0x00) err("marker inside entropy-coded segment")
+          pos += 1
+        }
+        pos += 1
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var j = 0
+      while (j < n) { v = (v << 1) | nextBit(); j += 1 }
+      v
+    }
+    def extend(v: Int, t: Int): Int =
+      if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+    // full-resolution planes for comp 0 and the K plane (sampled like Y);
+    // chroma planes at their subsampled, MCU-padded size
+    val cw = (w + 8 * hs - 1) / (8 * hs) * 8
+    val ch = (h + 8 * vs - 1) / (8 * vs) * 8
+    val plane0 = new Array[Int](w * h)
+    val plane1 = new Array[Int](cw * ch)
+    val plane2 = new Array[Int](cw * ch)
+    val plane3 = new Array[Int](w * h)
+    val mcuW = 8 * hs; val mcuH = 8 * vs
+    val mw = (w + mcuW - 1) / mcuW; val mh = (h + mcuH - 1) / mcuH
+    val pred = new Array[Int](4)
+    val coef = new Array[Int](64)
+    val block = new Array[Int](64)
+
+    def decodeBlock(c: Int): Unit = {
+      java.util.Arrays.fill(coef, 0)
+      val t = dcT(c).decode(nextBit)
+      if (t > 11) err(s"DC category $t out of range")
+      pred(c) += extend(receive(t), t)
+      coef(0) = pred(c) * q(c)(0)
+      var z = 1
+      var eob = false
+      while (z < 64 && !eob) {
+        val rs = acT(c).decode(nextBit)
+        val r = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (r == 15) z += 16 else eob = true
+        } else {
+          z += r
+          if (z > 63) err("AC run overruns the block")
+          coef(Zigzag(z)) = extend(receive(s), s) * q(c)(z)
+          z += 1
+        }
+      }
+      idct8x8(coef, block)
+    }
+
+    // one full-resolution component's hs×vs blocks within the current MCU
+    def fullResBlocks(c: Int, plane: Array[Int], mx: Int, my: Int): Unit = {
+      var bv = 0
+      while (bv < vs) {
+        var bu = 0
+        while (bu < hs) {
+          decodeBlock(c)
+          var y0 = 0
+          while (y0 < 8) {
+            val yy = my * mcuH + bv * 8 + y0
+            var x0 = 0
+            while (x0 < 8) {
+              val xx = mx * mcuW + bu * 8 + x0
+              if (yy < h && xx < w) plane(yy * w + xx) = block(y0 * 8 + x0)
+              x0 += 1
+            }
+            y0 += 1
+          }
+          bu += 1
+        }
+        bv += 1
+      }
+    }
+
+    var mcu = 0
+    var my = 0
+    while (my < mh) {
+      var mx = 0
+      while (mx < mw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bitCnt = 0
+          val exp = 0xd0 + ((mcu / restartInterval - 1) % 8)
+          if (u8(pos) != 0xff || u8(pos + 1) != exp)
+            err(f"expected restart marker ff$exp%02x at MCU $mcu")
+          pos += 2
+          pred(0) = 0; pred(1) = 0; pred(2) = 0; pred(3) = 0
+        }
+        fullResBlocks(0, plane0, mx, my)
+        var c = 1
+        while (c <= 2) {
+          decodeBlock(c)
+          val plane = if (c == 1) plane1 else plane2
+          var y0 = 0
+          while (y0 < 8) {
+            val yy = my * 8 + y0
+            var x0 = 0
+            while (x0 < 8) {
+              val xx = mx * 8 + x0
+              if (yy < ch && xx < cw) plane(yy * cw + xx) = block(y0 * 8 + x0)
+              x0 += 1
+            }
+            y0 += 1
+          }
+          c += 1
+        }
+        fullResBlocks(3, plane3, mx, my)
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    if (u8(pos) != 0xff || u8(pos + 1) != 0xd9) err("missing EOI after scan")
+
+    // ink / RGB statistics: exact integer sums, one IEEE division each
+    val inverted = adobeTransform >= 0
+    def clamp(d: Double): Int = {
+      val p = StrictMath.rint(d).toInt
+      if (p < 0) 0 else if (p > 255) 255 else p
+    }
+    var sC = 0L; var sM = 0L; var sY = 0L; var sK = 0L
+    var sR = 0L; var sG = 0L; var sB = 0L
+    var mnK = 255; var mxK = 0
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val v0 = plane0(yy * w + xx)
+        val v1 = plane1((yy / vs) * cw + (xx / hs))
+        val v2 = plane2((yy / vs) * cw + (xx / hs))
+        val v3 = plane3(yy * w + xx)
+        // stored plane values: YCCK routes (Y,Cb,Cr) through the JFIF
+        // transform to recover the stored (inverted) CMY
+        val s0 = if (ycck) clamp(v0 + 1.402 * (v2 - 128)) else v0
+        val s1 =
+          if (ycck) clamp(v0 - 0.344136 * (v1 - 128) - 0.714136 * (v2 - 128))
+          else v1
+        val s2 = if (ycck) clamp(v0 + 1.772 * (v1 - 128)) else v2
+        // true ink coverage: Adobe-marked streams store inverted planes
+        val c = if (inverted) 255 - s0 else s0
+        val m2 = if (inverted) 255 - s1 else s1
+        val y2 = if (inverted) 255 - s2 else s2
+        val k2 = if (inverted) 255 - v3 else v3
+        sC += c; sM += m2; sY += y2; sK += k2
+        sR += (255 - c) * (255 - k2) / 255
+        sG += (255 - m2) * (255 - k2) / 255
+        sB += (255 - y2) * (255 - k2) / 255
+        if (k2 < mnK) mnK = k2
+        if (k2 > mxK) mxK = k2
+        xx += 1
+      }
+      yy += 1
+    }
+    val n = w.toLong * h
+    JpegCmykFeatures(id, w, h, if (ycck) "YCCK" else "CMYK",
+      subsamplingName(hs, vs),
+      sC.toDouble / n, sM.toDouble / n, sY.toDouble / n, sK.toDouble / n,
+      sR.toDouble / n, sG.toDouble / n, sB.toDouble / n, mnK, mxK)
+  }
+
+  def decodeJpegCmyk(media: Dataset[MediaRow]): Dataset[JpegCmykFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => parseJpegCmyk(m.doc_id, m.media)))
+  }
+
+  /** Deterministic 4-component JPEG writer: per-MCU constant stored planes
+    * (`p0`-`p3` in MCU raster order), Q(0,0)=8 exactness, all-EOB AC — the
+    * color writer's discipline over four components. YCCK subsamples the
+    * chroma pair only (K rides at Y's sampling); CMYK writes all four
+    * planes 1x1. `adobe` controls the APP14 marker (and thereby the
+    * decoder's inversion convention). */
+  private[llm] def jpegEncodeCmyk(w: Int, h: Int, ycck: Boolean,
+      sub420: Boolean, p0: Array[Int], p1: Array[Int], p2: Array[Int],
+      p3: Array[Int], restartInterval: Int = 0,
+      adobe: Boolean = true): Array[Byte] = {
+    val hs = if (ycck && sub420) 2 else 1; val vs = hs
+    val mcuW = 8 * hs; val mcuH = 8 * vs
+    require(w % mcuW == 0 && h % mcuH == 0,
+      s"fixture geometry must be MCU-aligned (${w}x$h vs ${mcuW}x$mcuH)")
+    require(!sub420 || ycck, "CMYK stores four full-resolution planes")
+    val nm = (w / mcuW) * (h / mcuH)
+    require(Seq(p0, p1, p2, p3).forall(_.length == nm), "one quad per MCU")
+    require((p0 ++ p1 ++ p2 ++ p3).forall(v => v >= 0 && v <= 255),
+      "plane constants are sample values")
+    val qz = Array.fill(64)(16)
+    qz(0) = 8
+    val dcH = new Huff(FixtureDcCounts, FixtureDcSyms)
+    val acH = new Huff(FixtureAcCounts, FixtureAcSyms)
+
+    val out = new java.io.ByteArrayOutputStream(256 + nm * 10)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    marker(0xd8)
+    if (adobe) {
+      marker(0xee); w16(14) // APP14: "Adobe" + version + flags + transform
+      out.write("Adobe".getBytes("US-ASCII"))
+      w16(100); w16(0); w16(0); w8(if (ycck) 2 else 0)
+    }
+    marker(0xdb); w16(67); w8(0x00); qz.foreach(w8)
+    marker(0xc0); w16(8 + 3 * 4); w8(8); w16(h); w16(w); w8(4)
+    w8(1); w8((hs << 4) | vs); w8(0) // C or Y
+    w8(2); w8(0x11); w8(0) // M or Cb
+    w8(3); w8(0x11); w8(0) // Y(ink) or Cr
+    w8(4); w8((hs << 4) | vs); w8(0) // K
+    def dht(tc: Int, counts: Array[Int], syms: Array[Int]): Unit = {
+      marker(0xc4); w16(2 + 1 + 16 + syms.length)
+      w8(tc << 4); counts.foreach(w8); syms.foreach(w8)
+    }
+    dht(0, FixtureDcCounts, FixtureDcSyms)
+    dht(1, FixtureAcCounts, FixtureAcSyms)
+    if (restartInterval > 0) { marker(0xdd); w16(4); w16(restartInterval) }
+    marker(0xda); w16(6 + 2 * 4); w8(4)
+    w8(1); w8(0x00); w8(2); w8(0x00); w8(3); w8(0x00); w8(4); w8(0x00)
+    w8(0); w8(63); w8(0)
+
+    var bitBuf = 0; var bitCnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var j = n - 1
+      while (j >= 0) {
+        bitBuf = (bitBuf << 1) | ((v >> j) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          w8(bitBuf)
+          if ((bitBuf & 0xff) == 0xff) w8(0x00)
+          bitBuf = 0; bitCnt = 0
+        }
+        j -= 1
+      }
+    }
+    def flushBits(): Unit = if (bitCnt > 0) putBits((1 << (8 - bitCnt)) - 1, 8 - bitCnt)
+    def putCode(huff: Huff, sym: Int): Unit = {
+      val (code, len) = huff.codeOf.getOrElse(sym,
+        throw new IllegalArgumentException(f"fixture table lacks symbol $sym%02x"))
+      putBits(code, len)
+    }
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    val pred = new Array[Int](4)
+    def putDcOnlyBlock(c: Int, value: Int): Unit = {
+      val dq = value - 128 // Q00=8 cancels the IDCT's ÷8
+      val diff = dq - pred(c)
+      pred(c) = dq
+      val t = category(diff)
+      putCode(dcH, t)
+      if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      putCode(acH, 0x00) // EOB
+    }
+    var m = 0
+    while (m < nm) {
+      if (restartInterval > 0 && m > 0 && m % restartInterval == 0) {
+        flushBits()
+        marker(0xd0 + ((m / restartInterval - 1) % 8))
+        pred(0) = 0; pred(1) = 0; pred(2) = 0; pred(3) = 0
+      }
+      var lb = 0
+      while (lb < hs * vs) { putDcOnlyBlock(0, p0(m)); lb += 1 }
+      putDcOnlyBlock(1, p1(m))
+      putDcOnlyBlock(2, p2(m))
+      lb = 0
+      while (lb < hs * vs) { putDcOnlyBlock(3, p3(m)); lb += 1 }
+      m += 1
+    }
+    flushBits()
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** Deterministic CMYK/YCCK corpus: even ids are Adobe CMYK (transform 0,
+    * four 1x1 stored ink planes), odd ids YCCK (transform 2) — 4:2:0 on
+    * id%4==1, 4:4:4 on id%4==3. The (Y,Cb,Cr) constants reuse the color
+    * fixture's value domain, so its exhaustively-checked tie-free rounding
+    * proof carries over unchanged; the K domain (60-190) keeps the derived
+    * ink/RGB integer math in range. Every 7th doc carries a 2-MCU restart
+    * interval so the FOUR-predictor reset runs on gate data. */
+  def jpegCmykFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    fixtureIds(spark, dir)
+      .mapPartitions(_.map { id =>
+        val ycck = id % 2 == 1
+        val sub420 = ycck && id % 4 == 1
+        val mcu = if (sub420) 16 else 8
+        val w = (mcu * (1 + id % 3)).toInt
+        val h = (mcu * (1 + id % 2)).toInt
+        val nm = (w / mcu) * (h / mcu)
+        val a = Array.tabulate(nm)(m => (80 + (id * 7 + m * 13) % 97).toInt)
+        val b = Array.tabulate(nm)(m => (118 + (id + 3 * m) % 21).toInt)
+        val c = Array.tabulate(nm)(m => (118 + (id * 5 + 11 * m) % 21).toInt)
+        val k = Array.tabulate(nm)(m => (60 + (id * 11 + 17 * m) % 131).toInt)
+        MediaRow(id, jpegEncodeCmyk(w, h, ycck, sub420, a, b, c, k,
+          restartInterval = if (id % 7 == 0) 2 else 0))
+      })
+  }
 
   // ---------------------------------------------------------------------
   // PROGRESSIVE color JPEG (r17, VERDICT r16 #7) — the last codec gap a
@@ -2841,6 +3295,62 @@ object MultimodalOps extends QueryRegistry {
                CAST(sum(b) * mcu * mcu AS DOUBLE) / (w * h) AS mean_b,
                CAST(min(y) AS INT) AS min_luma, CAST(max(y) AS INT) AS max_luma
         FROM ccrgb GROUP BY doc_id, w, h, mcu"""))),
+
+    // the CMYK/YCCK sibling (r19): the oracle re-derives the stored plane
+    // constants analytically — YCCK docs route (Y,Cb,Cr) through the same
+    // JFIF transform as the color row (identical value domain, so the
+    // tie-free rounding proof carries over), CMYK docs read their four
+    // stored ink planes directly — then inverts (Adobe storage), and
+    // derives RGB with exact integer floor division (DuckDB `//` == the
+    // decoder's Int division on non-negative operands). The Spark side
+    // must parse APP14, walk the interleaved FOUR-component scan (K
+    // sampled like Y), reset four predictors at restarts, and upsample
+    // only the chroma pair — a transform mix-up, K-plane sampling bug, or
+    // inversion miss cannot pass
+    QueryDef("multimodal_jpeg_cmyk_features",
+      (s, d) => decodeJpegCmyk(jpegCmykFixture(s, d)).toDF(),
+      Some(oq("""
+        , kcg AS (
+            SELECT doc_id, ycck, mcu, mcu * (1 + doc_id % 3) AS w,
+                   mcu * (1 + doc_id % 2) AS h
+            FROM (SELECT doc_id, doc_id % 2 = 1 AS ycck,
+                         CASE WHEN doc_id % 4 = 1 THEN 16 ELSE 8 END AS mcu
+                  FROM documents)),
+        kcm AS (
+            SELECT doc_id, ycck, w, h, mcu,
+                   80 + (doc_id * 7 + m.m * 13) % 97 AS a,
+                   118 + (doc_id + 3 * m.m) % 21 AS b,
+                   118 + (doc_id * 5 + 11 * m.m) % 21 AS c,
+                   60 + (doc_id * 11 + 17 * m.m) % 131 AS k
+            FROM kcg,
+                 unnest(generate_series(0, (w // mcu) * (h // mcu) - 1)) AS m(m)),
+        kcs AS (
+            SELECT doc_id, w, h, mcu,
+                   CASE WHEN ycck
+                        THEN CAST(round(a + 1.402 * (c - 128)) AS BIGINT)
+                        ELSE a END AS s_c,
+                   CASE WHEN ycck
+                        THEN CAST(round(a - 0.344136 * (b - 128)
+                                        - 0.714136 * (c - 128)) AS BIGINT)
+                        ELSE b END AS s_m,
+                   CASE WHEN ycck
+                        THEN CAST(round(a + 1.772 * (b - 128)) AS BIGINT)
+                        ELSE c END AS s_y,
+                   k AS s_k
+            FROM kcm)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CASE WHEN doc_id % 2 = 1 THEN 'YCCK' ELSE 'CMYK' END AS transform,
+               CASE WHEN doc_id % 4 = 1 THEN '420' ELSE '444' END AS subsampling,
+               CAST(sum(255 - s_c) * mcu * mcu AS DOUBLE) / (w * h) AS mean_c,
+               CAST(sum(255 - s_m) * mcu * mcu AS DOUBLE) / (w * h) AS mean_m,
+               CAST(sum(255 - s_y) * mcu * mcu AS DOUBLE) / (w * h) AS mean_y,
+               CAST(sum(255 - s_k) * mcu * mcu AS DOUBLE) / (w * h) AS mean_k,
+               CAST(sum((s_c * s_k) // 255) * mcu * mcu AS DOUBLE) / (w * h) AS mean_r,
+               CAST(sum((s_m * s_k) // 255) * mcu * mcu AS DOUBLE) / (w * h) AS mean_g,
+               CAST(sum((s_y * s_k) // 255) * mcu * mcu AS DOUBLE) / (w * h) AS mean_b,
+               CAST(min(255 - s_k) AS INT) AS min_k,
+               CAST(max(255 - s_k) AS INT) AS max_k
+        FROM kcs GROUP BY doc_id, w, h, mcu"""))),
 
     // the PROGRESSIVE sibling (r17): same per-MCU constant plan plus one
     // luma AC(4,4) = k per MCU — the (4,4) basis puts y+k on half of each
