@@ -862,6 +862,12 @@ object Bench {
       time("multimodal_jpeg_progressive_decode")(
         graft.llm.MultimodalOps.decodeJpegProgressive(
           graft.llm.MultimodalOps.jpegProgressiveFixture(spark, sfDir)).toDF())
+      // r19: the print-origin codec — APP14 transform detection, the
+      // interleaved FOUR-component scan (K sampled like Y), Adobe
+      // inversion, ink/RGB derivation per rep, partition-local
+      time("multimodal_jpeg_cmyk_decode")(
+        graft.llm.MultimodalOps.decodeJpegCmyk(
+          graft.llm.MultimodalOps.jpegCmykFixture(spark, sfDir)).toDF())
       val emb = graft.llm.EmbeddingOps.emb(spark, sfDir)
       time("emb_ann_bucketed")(graft.llm.EmbeddingOps.annBucketed(emb))
       time("emb_label_cohesion")(graft.llm.EmbeddingOps.labelCohesion(emb))

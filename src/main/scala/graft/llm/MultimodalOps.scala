@@ -793,6 +793,8 @@ object MultimodalOps extends QueryRegistry {
           h = u16(i + 5); w = u16(i + 7)
           if (w <= 0 || h <= 0) err(s"degenerate dimensions ${w}x$h")
           guardPixels(w, h, err)
+          if (u8(i + 9) == 4)
+            err("4-component stream (CMYK/YCCK — route to decodeJpegCmyk)")
           if (u8(i + 9) != 3) err(s"${u8(i + 9)} components (YCbCr color only)")
           var c = 0
           while (c < 3) {
@@ -1842,6 +1844,8 @@ object MultimodalOps extends QueryRegistry {
           h = u16(i + 5); w = u16(i + 7)
           if (w <= 0 || h <= 0) err(s"degenerate dimensions ${w}x$h")
           guardPixels(w, h, err)
+          if (u8(i + 9) == 4)
+            err("4-component stream (CMYK/YCCK — route to decodeJpegCmyk)")
           if (u8(i + 9) != 3) err(s"${u8(i + 9)} components (YCbCr color only)")
           var c = 0
           while (c < 3) {

@@ -7,8 +7,8 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
   * LOUD `IllegalArgumentException` row or a successful decode — never an
   * executor death (out-of-bounds, negative-size allocation, OOM from a
   * malicious header). Each trial mutates 1-3 random bytes of a valid
-  * baseline-color / progressive / PNG / Y4M / MJPEG-AVI / WAV / PPM
-  * stream and decodes; any other throwable falsifies (a 1500-trial deep
+  * baseline-color / progressive / CMYK-YCCK / PNG / Y4M / MJPEG-AVI /
+  * WAV / PPM stream and decodes; any other throwable falsifies (a 1500-trial deep
   * run was recorded clean at the r17 build). This is the gate behind the r17 hardening (the
   * 100M-pixel allocation cap and the table-selector bounds the first
   * fuzz draft exposed: scan selectors are 4-bit and DQT selectors a full
@@ -53,6 +53,9 @@ object JpegFuzzSpec extends Properties("mediaFuzz") {
     (0 until n).foreach(i => w16((i * 257) & 0xffff))
     out.toByteArray
   }
+  private lazy val cmykBytes = MultimodalOps.jpegEncodeCmyk(
+    32, 16, ycck = true, sub420 = true, Array(90, 170), Array(125, 119),
+    Array(133, 137), Array(100, 140), restartInterval = 1)
   private lazy val ppmBytes = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("P6\n# c\n4 3\n255\n".getBytes("US-ASCII"))
@@ -63,7 +66,7 @@ object JpegFuzzSpec extends Properties("mediaFuzz") {
   private case class Mutation(stream: Int, sites: Seq[(Int, Int)])
 
   private val mutationGen: Gen[Mutation] = for {
-    stream <- Gen.chooseNum(0, 6)
+    stream <- Gen.chooseNum(0, 7)
     n <- Gen.chooseNum(1, 3)
     sites <- Gen.listOfN(n, for {
       at <- Gen.chooseNum(0, 10000) // mod length at use
@@ -80,6 +83,7 @@ object JpegFuzzSpec extends Properties("mediaFuzz") {
         case 3 => y4mBytes
         case 4 => aviBytes
         case 5 => wavBytes
+        case 6 => cmykBytes
         case _ => ppmBytes
       }
       val bytes = base.clone()
@@ -92,6 +96,7 @@ object JpegFuzzSpec extends Properties("mediaFuzz") {
           case 3 => MultimodalOps.parseY4m(1L, bytes)
           case 4 => MultimodalOps.parseAviMjpeg(1L, bytes)
           case 5 => MultimodalOps.parseWav(1L, bytes)
+          case 6 => MultimodalOps.parseJpegCmyk(1L, bytes)
           case _ => MultimodalOps.parsePpm(1L, bytes)
         }
         Prop.passed

@@ -373,6 +373,90 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parseJpegCmyk: Adobe CMYK (transform 0) decodes stored ink planes exactly, inverted (r19)") {
+    // two 8x8 MCUs, distinct stored (inverted) plane constants per MCU
+    val f = MultimodalOps.parseJpegCmyk(1L,
+      MultimodalOps.jpegEncodeCmyk(16, 8, ycck = false, sub420 = false,
+        Array(100, 160), Array(120, 136), Array(130, 118), Array(90, 200)))
+    def ink(s: Int) = 255 - s
+    assert(f.transform === "CMYK" && f.subsampling === "444")
+    assert(f.width === 16 && f.height === 8)
+    assert(f.mean_c === (ink(100) + ink(160)) / 2.0)
+    assert(f.mean_m === (ink(120) + ink(136)) / 2.0)
+    assert(f.mean_y === (ink(130) + ink(118)) / 2.0)
+    assert(f.mean_k === (ink(90) + ink(200)) / 2.0)
+    // r = storedC·storedK/255 for Adobe-inverted storage (exact int division)
+    assert(f.mean_r === (100 * 90 / 255 + 160 * 200 / 255) / 2.0)
+    assert(f.min_k === ink(200) && f.max_k === ink(90))
+  }
+
+  test("parseJpegCmyk: YCCK 4:2:0 routes chroma through the JFIF transform; K rides at Y's sampling (r19)") {
+    // one 16x16 MCU: four Y blocks + one Cb + one Cr + four K blocks
+    val f = MultimodalOps.parseJpegCmyk(2L,
+      MultimodalOps.jpegEncodeCmyk(16, 16, ycck = true, sub420 = true,
+        Array(90), Array(125), Array(133), Array(140)))
+    val sC = StrictMath.rint(90 + 1.402 * (133 - 128)).toInt
+    val sM = StrictMath.rint(90 - 0.344136 * (125 - 128) - 0.714136 * (133 - 128)).toInt
+    val sY = StrictMath.rint(90 + 1.772 * (125 - 128)).toInt
+    assert(f.transform === "YCCK" && f.subsampling === "420")
+    assert(f.mean_c === 255.0 - sC && f.mean_m === 255.0 - sM
+      && f.mean_y === 255.0 - sY)
+    assert(f.mean_k === 115.0 && f.min_k === 115 && f.max_k === 115)
+    assert(f.mean_r === (sC * 140 / 255).toDouble)
+  }
+
+  test("parseJpegCmyk: restart markers reset all FOUR predictors (r19)") {
+    val a = Array(80, 170, 95, 140); val b = Array(120, 130, 126, 135)
+    val c = Array(119, 138, 128, 122); val k = Array(60, 190, 100, 150)
+    val plain = MultimodalOps.parseJpegCmyk(3L,
+      MultimodalOps.jpegEncodeCmyk(32, 8, ycck = false, sub420 = false, a, b, c, k))
+    val rst = MultimodalOps.parseJpegCmyk(3L,
+      MultimodalOps.jpegEncodeCmyk(32, 8, ycck = false, sub420 = false, a, b, c, k,
+        restartInterval = 2))
+    assert(rst === plain)
+    assert(plain.min_k === 255 - 190 && plain.max_k === 255 - 60)
+  }
+
+  test("parseJpegCmyk: a 4-component stream WITHOUT the Adobe marker is plain non-inverted CMYK (r19)") {
+    val f = MultimodalOps.parseJpegCmyk(4L,
+      MultimodalOps.jpegEncodeCmyk(8, 8, ycck = false, sub420 = false,
+        Array(100), Array(120), Array(130), Array(90), adobe = false))
+    assert(f.transform === "CMYK")
+    assert(f.mean_c === 100.0 && f.mean_k === 90.0)
+    assert(f.mean_r === ((255 - 100) * (255 - 90) / 255).toDouble)
+  }
+
+  test("CMYK rejections narrowed: decoders route by component count; bad transform/sampling is loud (r19)") {
+    val cmyk = MultimodalOps.jpegEncodeCmyk(8, 8, ycck = false, sub420 = false,
+      Array(100), Array(120), Array(130), Array(90))
+    val color = MultimodalOps.jpegEncodeColor(8, 8, sub420 = false,
+      Array(100), Array(128), Array(128))
+    assert(intercept[IllegalArgumentException] {
+      MultimodalOps.parseJpegColor(1L, cmyk)
+    }.getMessage.contains("route to decodeJpegCmyk"))
+    assert(intercept[IllegalArgumentException] {
+      MultimodalOps.parseJpegCmyk(1L, color)
+    }.getMessage.contains("CMYK/YCCK is 4"))
+    // Adobe transform 1 (YCbCr) is invalid for a 4-component frame
+    val t1 = cmyk.clone()
+    val app14 = (0 until t1.length - 1).find(i =>
+      (t1(i) & 0xff) == 0xff && (t1(i + 1) & 0xff) == 0xee).get
+    t1(app14 + 15) = 1
+    assert(intercept[IllegalArgumentException] {
+      MultimodalOps.parseJpegCmyk(1L, t1)
+    }.getMessage.contains("transform 1"))
+    // YCCK with a K plane sampled unlike Y is loud
+    val ycck = MultimodalOps.jpegEncodeCmyk(16, 16, ycck = true, sub420 = true,
+      Array(90), Array(125), Array(133), Array(140))
+    val badK = ycck.clone()
+    val sof = (0 until badK.length - 1).find(i =>
+      (badK(i) & 0xff) == 0xff && (badK(i + 1) & 0xff) == 0xc0).get
+    badK(sof + 20) = 0x11 // K sampling byte: 1x1 while Y declares 2x2
+    assert(intercept[IllegalArgumentException] {
+      MultimodalOps.parseJpegCmyk(1L, badK)
+    }.getMessage.contains("K-plane sampling"))
+  }
+
   test("parseWav decodes a hand-computed stereo clip exactly") {
     // 2 frames × 2 channels: samples 100, -100, 300, -300
     val f = MultimodalOps.parseWav(3L, wav(Seq(100, -100, 300, -300), channels = 2))
