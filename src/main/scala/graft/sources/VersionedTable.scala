@@ -366,6 +366,21 @@ object VersionedTable {
     }
   }
 
+  /** Deterministic crash-gate pause point (r19, VERDICT r18 #5): when
+    * GRAFT_VT_PAUSE names this phase, the process drops a
+    * `_paused_<phase>` marker in the table root and spins until killed —
+    * the two-process crash spec SIGKILLs the child JVM exactly there,
+    * proving readers never see a torn state and the next writer/vacuum
+    * recovers. Production cost: one env-map lookup per phase site (the
+    * marker writes only under the env var, on test-local filesystems). */
+  private def pausePoint(root: String, phase: String): Unit =
+    if (sys.env.get("GRAFT_VT_PAUSE").contains(phase)) {
+      val dir = new java.io.File(root.stripPrefix("file:"))
+      dir.mkdirs()
+      new java.io.File(dir, s"_paused_$phase").createNewFile()
+      while (true) Thread.sleep(1000L)
+    }
+
   /** The committed head: the `_latest` value ROLLED FORWARD through any
     * txn-marked versions above it. A [[transact]] commit is made durable by
     * the atomic claim rename (the marker inside proves completeness); the
@@ -553,6 +568,10 @@ object VersionedTable {
         val staleSchema = schemaEntry(root, base + 1)
         if (fs.exists(staleSchema) && latestVersion(spark, root) == base)
           fs.delete(staleSchema, false)
+        // crash gate: staging complete (pool moves + claim manifest +
+        // marker written), commit rename NOT yet attempted — a kill here
+        // must leave readers on the old head and only invisible orphans
+        pausePoint(root, "pre-rename")
         if (renameNoOverwrite(conf, claim, target)) {
           commitForward(fs, rootP, base + 1)
           // commitForward may skip the swap (a faster writer already moved
@@ -1469,6 +1488,10 @@ object VersionedTable {
     val dropped = (1 to latest - keep)
       .filter(v => fs.exists(new Path(vDir(root, v))))
     dropped.foreach(v => fs.delete(new Path(vDir(root, v)), true))
+    // crash gate: retired version dirs are gone but the reachability sweep
+    // has not run — a kill here must leave every retained version readable
+    // and only dead segments/files behind, which the NEXT vacuum retires
+    pausePoint(root, "mid-vacuum")
     // reachability: the union of every RETAINED manifest's segments, and
     // through them its data files
     val retained = (1 to latest)

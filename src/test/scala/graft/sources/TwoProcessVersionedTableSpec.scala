@@ -35,6 +35,121 @@ class TwoProcessVersionedTableSpec extends SparkSpec {
     (rc, out)
   }
 
+  /** Launch the kill-target child parked at `phase` via the pause hook;
+    * returns the process and the pause-marker file the parent polls. The
+    * child's output goes to a temp file (never read on success — the pipe
+    * must not be able to fill and deadlock a process we intend to kill). */
+  private def spawnCrashChild(root: String, mode: String,
+      phase: String): (Process, java.io.File) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .sliding(2).collect { case Array("--add-opens", v) =>
+        Seq("--add-opens", v) }.toSeq.flatten
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx3g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.VersionedCrashChild", root, mode)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("GRAFT_VT_PAUSE", phase)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(java.io.File.createTempFile("graft_crash_child_", ".log"))
+    (pb.start(), new java.io.File(root, s"_paused_$phase"))
+  }
+
+  /** Poll until the child parks at its pause marker, then SIGKILL it. */
+  private def killAtPause(p: Process, marker: java.io.File): Unit = {
+    val deadline = System.currentTimeMillis() + 120000L
+    while (!marker.exists() && p.isAlive && System.currentTimeMillis() < deadline)
+      Thread.sleep(200L)
+    assert(marker.exists(),
+      s"child never reached the pause point (alive=${p.isAlive})")
+    p.destroyForcibly()
+    p.waitFor()
+    marker.delete()
+  }
+
+  test("SIGKILL between staging write and the commit rename: no torn state, next writer recovers, aged carcass reclaimed (r19)") {
+    val root = Files.createTempDirectory("graft_2proc_crash1_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 100L).map(i => (i, s"p_$i")).toDF("id", "payload")
+        .repartitionByRange(4, col("id")))
+    VersionedTable.updateWhere(spark, root, col("id") === 50L,
+      Map("payload" -> lit("p_50_v2")))
+    val pinned = VersionedTable.read(spark, root) // plan-time pin at v2
+    assert(pinned.count() === 100L)
+
+    // the child stages a full transact delete — pool moves done, claim
+    // manifest + _txn marker written — and dies BEFORE the commit rename
+    val (p, marker) = spawnCrashChild(root, "delete", "pre-rename")
+    killAtPause(p, marker)
+
+    // readers never see the torn commit: fresh head and pinned plan alike
+    assert(VersionedTable.latestVersion(spark, root) === 2)
+    assert(VersionedTable.read(spark, root).count() === 100L)
+    assert(pinned.count() === 100L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def staging() = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(".txn_") || n.startsWith(".claim_")).toSet
+    val orphans = staging()
+    assert(orphans.nonEmpty, "the kill must leave staging orphans behind")
+
+    // the next writer claims v3 unobstructed by the carcass
+    assert(VersionedTable.deleteWhere(spark, root, col("id") > 95L) === 3)
+    assert(VersionedTable.read(spark, root).count() === 95L)
+
+    // the FRESH carcass survives the sweep (it could be a live writer the
+    // vacuum cannot see — the age gate's whole point) ...
+    VersionedTable.vacuum(spark, root, keep = 5)
+    assert(staging() === orphans)
+    assert(VersionedTable.read(spark, root).count() === 95L)
+    // ... and is reclaimed once every mtime in its subtree ages out
+    def backdate(path: org.apache.hadoop.fs.Path): Unit = {
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).foreach(c => backdate(c.getPath))
+      fs.setTimes(path, System.currentTimeMillis() - 16 * 60 * 1000L, -1L)
+    }
+    orphans.foreach(n => backdate(new org.apache.hadoop.fs.Path(root, n)))
+    VersionedTable.vacuum(spark, root, keep = 5)
+    assert(staging().isEmpty, s"aged carcass must be reclaimed, got ${staging()}")
+    assert(VersionedTable.read(spark, root).count() === 95L)
+    assert(pinned.count() === 100L) // v2 retained throughout
+  }
+
+  test("SIGKILL mid-vacuum: retained versions stay readable and the next vacuum completes the reclaim (r19)") {
+    val root = Files.createTempDirectory("graft_2proc_crash2_").toString + "/t"
+    VersionedTable.create(spark, root,
+      (1L to 100L).map(i => (i, s"p_$i")).toDF("id", "payload")
+        .repartitionByRange(4, col("id")))
+    VersionedTable.deleteWhere(spark, root, col("id") > 90L) // v2
+    VersionedTable.deleteWhere(spark, root, col("id") > 80L) // v3
+
+    // the child's vacuum(keep=1) retires the v1/v2 dirs and dies BEFORE
+    // the reachability sweep
+    val (p, marker) = spawnCrashChild(root, "vacuum", "mid-vacuum")
+    killAtPause(p, marker)
+
+    // the head (the only retained version) reads intact; the retired
+    // versions are gone as versions, not torn
+    assert(VersionedTable.latestVersion(spark, root) === 3)
+    assert(VersionedTable.read(spark, root).count() === 80L)
+    intercept[Exception] { VersionedTable.read(spark, root, Some(1)).count() }
+    intercept[Exception] { VersionedTable.read(spark, root, Some(2)).count() }
+
+    // the next vacuum completes the interrupted reclaim: afterwards the
+    // manifest store holds exactly the head's segments and the pool
+    // exactly its referenced files
+    VersionedTable.vacuum(spark, root, keep = 1)
+    assert(VersionedTable.read(spark, root).count() === 80L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val liveSegs = VersionedTable.snapshotSegRefs(spark, root, 3).map(_.name).toSet
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_manifests"))
+      .map(_.getPath.getName).filter(_.startsWith("seg_")).toSet
+    assert(onDisk === liveSegs)
+  }
+
   test("a parent-pinned reader survives a second JVM's commits and vacuum; the vacuumed version dies loudly") {
     val root = Files.createTempDirectory("graft_2proc_vt_").toString + "/t"
     VersionedTable.create(spark, root,
