@@ -71,7 +71,10 @@ object PlanDump {
       // shuffle), the exchange-free color-JPEG decode, and the
       // exchange-free MJPEG/AVI compressed-video decode
       "sql_update_from", "olap_basket_lift_pruned",
-      "multimodal_jpeg_color_features", "multimodal_mjpeg_video_features")
+      "multimodal_jpeg_color_features", "multimodal_mjpeg_video_features",
+      // r19: the print-origin 4-component codec — exchange-free like the
+      // rest of the decode family (every exchange outputs only doc_id)
+      "multimodal_jpeg_cmyk_features")
 
     // r18: the approx NTILE segmentations — the plan claim is the ABSENCE
     // of any WindowExec (approx_percentile boundaries + map-side buckets).

@@ -373,6 +373,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("cmyk decode is partition-local and fixture images hit their analytic features (r19)") {
+    val ds = MultimodalOps.decodeJpegCmyk(MultimodalOps.jpegCmykFixture(spark, sfDir))
+    assertPayloadLocal(ds)
+    val feats = ds.collect().map(f => f.doc_id -> f).toMap
+    assert(feats.nonEmpty)
+    assert(feats.values.map(_.transform).toSet === Set("CMYK", "YCCK"))
+    assert(feats.values.map(_.subsampling).toSet === Set("444", "420"))
+    feats.foreach { case (id, f) =>
+      val ycck = id % 2 == 1
+      val mcu = if (ycck && id % 4 == 1) 16 else 8
+      val w = (mcu * (1 + id % 3)).toInt; val h = (mcu * (1 + id % 2)).toInt
+      val nm = (w / mcu) * (h / mcu)
+      assert(f.width === w && f.height === h, s"doc $id geometry")
+      assert(f.transform === (if (ycck) "YCCK" else "CMYK"))
+      val kS = Array.tabulate(nm)(m => (60 + (id * 11 + 17 * m) % 131).toInt)
+      assert(f.mean_k === kS.map(255L - _).sum.toDouble * mcu * mcu / (w * h),
+        s"doc $id mean_k")
+      assert(f.min_k === kS.map(255 - _).min && f.max_k === kS.map(255 - _).max)
+    }
+  }
+
   test("parseJpegCmyk: Adobe CMYK (transform 0) decodes stored ink planes exactly, inverted (r19)") {
     // two 8x8 MCUs, distinct stored (inverted) plane constants per MCU
     val f = MultimodalOps.parseJpegCmyk(1L,
