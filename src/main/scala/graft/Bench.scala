@@ -231,7 +231,11 @@ object Bench {
     "olap_q4" -> 0.12, "olap_q5" -> 0.44, "olap_q6" -> 0.80,
     "olap_rfm_segments" -> 0.89, "olap_rfm_segments_approx" -> 0.97,
     "partition_pruned_year_sum" -> 0.13, "sql_olap_q1" -> 0.49,
-    "star_join_nlj_300" -> 0.34, "star_join_smj" -> 1.11)
+    "star_join_nlj_300" -> 0.34, "star_join_smj" -> 1.11,
+    // r19-new row: the 4-component codec, steady value from the r19 scale
+    // axis (0.152 at sf0.1) — sits with the color row, as expected (the
+    // 4th plane's extra blocks trade against the shared fixture floor)
+    "multimodal_jpeg_cmyk_decode" -> 0.15)
 
   // ---- Host-throughput calibration (r19, VERDICT r18 #1) -------------
   // The official artifact is recorded at whatever hour the driver runs, and
@@ -435,6 +439,10 @@ object Bench {
     warns.clear()
     dirtyRows.clear()
     rerunsSpent = 0
+    // per-pass calibration: a discarded contended pass must not leave its
+    // inflated host-factor observations in the recorded pass's median (the
+    // JIT warm-up re-runs on the empty vector — two cheap reps)
+    calibObs.clear()
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // Every timed rep — initial, best-of-5 extras AND rescue reps — is
     // recorded into the artifact (r15, VERDICT r14 #1): two consecutive
