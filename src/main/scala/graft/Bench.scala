@@ -989,8 +989,10 @@ object Bench {
       f""""factor_min":$minFactor%.3f,"factor_latest":$calibFactor%.3f,""" +
       s""""method":"frozen spark-builtins workload (Bench.calibrationFrame) """ +
       s"""best-of-3 at start/mid/end; factor=obs/recorded_clean; """ +
-      s"""norm=total/max(1,min factor) — conservative, never flatters; """ +
-      s"""warn thresholds x clamp(latest,1,2)"},""" +
+      s"""clean-host total lies in [total_normalized, value]: raw is the """ +
+      s"""upper bound (contention only slows), total/max(1,min factor) the """ +
+      s"""lower (the all-core calibration feels contention at least as hard """ +
+      s"""as latency-floored rows); warn thresholds x clamp(latest,1,2)"},""" +
       f""""total_normalized":${total / minFactor}%.3f"""
     val hostJson =
       s""""load_avg":$loadAvg,"java_procs":$javaProcs,""" +
