@@ -969,11 +969,11 @@ object Bench {
     }.getOrElse("")
     // Load-normalized headline (r19, VERDICT r18 #1): the calibration
     // checkpoints (frozen plain-Spark workload, best-of-3 at suite
-    // start/mid/end) yield the host factor; total_normalized divides the
-    // total by the MEDIAN factor so round-over-round comparison is
-    // independent of the hour the driver happened to run. The method rides
-    // in the artifact so the normalization is self-describing.
-    // normalization divides by the MINIMUM observed factor — the least
+    // start/mid/end) yield the host factor, and total_normalized makes the
+    // round-over-round comparison independent of the hour the driver
+    // happened to run. The method rides in the artifact so the
+    // normalization is self-describing.
+    // Normalization divides by the MINIMUM observed factor — the least
     // correction the observations justify. A mid-run slowdown (observed on
     // recording day: factors 1.08 → 1.39 → 1.42 across one run) leaves rows
     // from the slow phase still inflated in total_normalized, so the
