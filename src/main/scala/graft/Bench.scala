@@ -245,12 +245,14 @@ object Bench {
   // round got FASTER). The fix is measured, not argued: a FROZEN workload
   // of plain Spark built-ins — zero graft code, so no round's changes can
   // move it — runs best-of-3 at suite start, mid-suite, and end. Its steady
-  // value was recorded once from clean windows (tools/CalibProbe, min over
-  // 8 best-of-3 samples at load < 1, 0 foreign JVMs); the ratio
-  // observed/recorded is the HOST FACTOR:
+  // value was recorded once from a clean window (tools/CalibProbe at
+  // load < 1, 0 foreign JVMs — pinned at the late-sample steady value, NOT
+  // the one-off min; the constant's note below has the recording); the
+  // ratio observed/recorded is the HOST FACTOR:
   //  - stamped into the artifact (`calibration`: recorded, observed,
-  //    factor, method) with `total_normalized` = total / median factor, so
-  //    a judge compares rounds load-normalized and the normalization method
+  //    factor, method) with `total_normalized` = total / max(1, MIN
+  //    factor) — the least correction the observations justify — so a
+  //    judge compares rounds load-normalized and the normalization method
   //    rides in the artifact itself;
   //  - warn/rescue thresholds scale by the LATEST factor (floored at 1.0 so
   //    a fast host never tightens lines below their recorded clean values,

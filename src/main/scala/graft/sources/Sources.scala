@@ -46,27 +46,38 @@ object Sources {
 
   /** Bucketed+sorted table layout — the reference's composite-index analog
     * (SURVEY.md §4 R5): hash-bucketing two tables on their join key lets the
-    * planner co-locate the join with NO shuffle exchange on either side (and
-    * no sort, when `sortBy` matches), which at 100 TB turns every repeated
-    * fact⋈fact / fact⋈big-dim join into a local merge. Catalog-backed
-    * (`saveAsTable`) because bucket metadata lives in the table catalog. */
+    * planner co-locate the join with NO shuffle exchange on either side,
+    * which at 100 TB turns every repeated fact⋈fact / fact⋈big-dim join
+    * into a local merge. `sortBy` keeps each bucket ONE internally-sorted
+    * file: the point lookup reads a single file with row-group min/max
+    * pruning on the key, and deployments that opt into
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` (Spark 3+
+    * default-off — propagating the order makes the planner list files)
+    * additionally drop the merge join's SortExecs (spec-asserted both
+    * ways). Catalog-backed (`saveAsTable`) because bucket metadata lives
+    * in the table catalog. */
   def bucketTable(df: DataFrame, name: String, buckets: Int, key: String,
                   sortBy: Seq[String] = Nil, path: Option[String] = None): Unit = {
-    // Key-aligned pre-partitioning, bucket-count files per bucket at most
-    // (r18, width fix r19): a bucketed write emits a file per (input
-    // partition × bucket), so an N-partition input fragments every bucket
-    // into N files and the point lookup that bucketing exists for scans N
-    // splits instead of one. Repartitioning by the bucket key into a
-    // MULTIPLE k·buckets of the bucket count uses the same murmur3-pmod
-    // family as the bucket spec (h mod k·b ≡ h mod b), so every partition
-    // holds rows of exactly ONE bucket — each bucket lands in k files, not
-    // N. k is sized so the write (and the per-task sort, when sortBy is
-    // given) keeps the session's full parallelism: collapsing to exactly
-    // `buckets` partitions when buckets << cores would serialize a large
-    // table's write into a few huge tasks (ADVICE r18). When buckets >=
-    // the session width, k = 1 and the layout is one file per bucket.
+    // Key-aligned pre-partitioning (r18, width fix r19): a bucketed write
+    // emits a file per (input partition × bucket), so an N-partition input
+    // fragments every bucket into N files and the point lookup that
+    // bucketing exists for scans N splits instead of one. Repartitioning
+    // by the bucket key into a MULTIPLE k·buckets of the bucket count uses
+    // the same murmur3-pmod family as the bucket spec (h mod k·b ≡
+    // h mod b), so every partition holds rows of exactly ONE bucket — each
+    // bucket lands in k files, not N. k is sized so the write keeps the
+    // session's full parallelism: collapsing to exactly `buckets`
+    // partitions when buckets << cores would serialize a large table's
+    // write into a few huge tasks (ADVICE r18).
+    // A SORTED layout stays at k = 1 regardless: the scan propagates the
+    // per-bucket sort order (the no-SortExec merge-join guarantee `sortBy`
+    // exists to buy) only while each bucket is a single file, so sorted
+    // tables trade write width for the guarantee — at scale, size
+    // `buckets` >= the cluster width and the trade vanishes.
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
-    val parts = math.max(buckets, (width + buckets - 1) / buckets * buckets)
+    val parts =
+      if (sortBy.nonEmpty) buckets
+      else math.max(buckets, (width + buckets - 1) / buckets * buckets)
     val pre = df.repartition(parts, org.apache.spark.sql.functions.col(key))
     val w0 = pre.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     val w1 = path.fold(w0)(p => w0.option("path", p)) // external table when given

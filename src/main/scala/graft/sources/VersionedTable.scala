@@ -333,8 +333,10 @@ object VersionedTable {
     * are swallowed — the heartbeat is advisory (the sweep's recursive
     * newest-mtime gate and the 15-minute horizon are the hard layers) and
     * must never fail the write it protects. */
-  private def heartbeatMs: Long =
-    sys.props.get("graft.versioned.heartbeatMs").map(_.toLong).getOrElse(30000L)
+  private def heartbeatMs: Long = // tolerant parse: a malformed sys-prop
+    // must degrade to the default, not kill the daemon on first iteration
+    sys.props.get("graft.versioned.heartbeatMs")
+      .flatMap(_.toLongOption).getOrElse(30000L)
   private def withStageHeartbeat[A](fs: org.apache.hadoop.fs.FileSystem,
       roots: Seq[Path])(body: => A): A = {
     val t = new Thread(() => {

@@ -17,7 +17,11 @@ object FanoutDbg {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Seq("/root/testdata/sf0.1", "/tmp/graft_sf1").foreach { dir =>
+    // same fixture resolution as ScaleAxisProbe — the fan-out figures this
+    // prints adjudicate that probe's super-linear rows, so the two must
+    // read the SAME 10x feed
+    val sf1 = sys.env.getOrElse("GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    Seq("/root/testdata/sf0.1", sf1).foreach { dir =>
       val docs = graft.llm.TextOps.docs(spark, dir)
       println(s"$dir minhash_pairs=${graft.llm.TextOps.minhashPairs(docs).count()}" +
         s" simhash_pairs=${graft.llm.TextOps.simhashPairs(docs).count()}" +

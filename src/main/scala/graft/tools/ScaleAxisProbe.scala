@@ -132,14 +132,26 @@ object ScaleAxisProbe {
     noop(Perf.starJoinTop50(w)) // warm-up (codegen/JIT + max-date scalar)
     noop(Perf.dssMonthlyCountry(w))
 
-    def time(name: String)(f: => DataFrame): Unit =
+    def time(name: String)(f: => DataFrame): Unit = timeR(name)((f, () => ()))
+    // release-handle twin of Bench.timeR (r19): rows built over a
+    // localCheckpoint drop each rep's executor-local blocks inside the
+    // timed window, so the probe measures the SAME serving protocol the
+    // bench rows record (and its rep loop stops accumulating pinned frames)
+    def timeR(name: String)(f: => (DataFrame, () => Unit)): Unit =
       try {
         def run(): Double = {
-          val t0 = System.nanoTime(); noop(f); (System.nanoTime() - t0) / 1e9
+          val t0 = System.nanoTime()
+          val (df, release) = f
+          noop(df)
+          release()
+          (System.nanoTime() - t0) / 1e9
         }
         run() // untimed warm-up
         val sec = (1 to reps).map(_ => run()).min
-        recs += RowRec(name, sec, shape(f))
+        val (df, release) = f
+        val s = shape(df)
+        release()
+        recs += RowRec(name, sec, s)
       } catch {
         case e: Throwable =>
           System.err.println(s"[scale-axis] $name failed: ${e.getMessage}")
@@ -202,8 +214,8 @@ object ScaleAxisProbe {
       time("olap_basket_lift")(Olap.basketLift(w))
       time("olap_rfm_segments")(Olap.rfmSegments(w))
       // the r18 scale-path segmentations: no global-sort window in either
-      time("olap_rfm_segments_approx")(Olap.rfmSegmentsApprox(w))
-      time("olap_ltv_quartiles_approx")(Olap.ltvQuartilesApprox(w))
+      timeR("olap_rfm_segments_approx")(Olap.rfmSegmentsApproxReleasable(w))
+      timeR("olap_ltv_quartiles_approx")(Olap.ltvQuartilesApproxReleasable(w))
 
       // ---- extended suite (r19, VERDICT r18 #2): the doc/emb/event/media
       // rows, whose scale claims previously rested on r13-era per-op

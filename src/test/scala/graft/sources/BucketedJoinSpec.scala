@@ -35,9 +35,44 @@ class BucketedJoinSpec extends SparkSpec {
     // the only exchange allowed is the final groupBy("category") shuffle
     assert(joinShuffles.size <= 1, plan.toString)
     assert(!plan.toString.contains("hashpartitioning(product_key"), plan.toString)
+    // the sorted-bucket ordering guarantee (r19): Spark 3+ only propagates
+    // a bucketed scan's sort order when the deployment opts in (the
+    // planner must list files to prove one-file-per-bucket — that listing
+    // is the cost the default avoids). Under the opt-in, the one-file-per-
+    // bucket layout `sortBy` forces is exactly what lets the merge join
+    // drop its SortExecs — and an unsorted layout proves the detector can
+    // see the Sort it looks for (negative control).
+    val orderingFlag = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    spark.conf.set(orderingFlag, "true")
+    try {
+      def planOf(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+      }
+      def keySorts(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.toString.linesIterator.exists(l =>
+          l.contains("Sort [") && l.contains("product_key"))
+      val sortedJoin = planOf(spark.table("fact_bucketed")
+        .join(spark.table("products_bucketed").hint("MERGE"),
+          Seq("product_key"))
+        .groupBy("category").agg(sum("totalamount").as("rev")))
+      assert(!keySorts(sortedJoin), sortedJoin.toString)
+      Sources.bucketTable(
+        w.dimProduct.select("product_key", "category"),
+        "products_bucketed_nosort", buckets = 4, key = "product_key")
+      val unsortedJoin = planOf(spark.table("fact_bucketed")
+        .join(spark.table("products_bucketed_nosort").hint("MERGE"),
+          Seq("product_key"))
+        .groupBy("category").agg(sum("totalamount").as("rev")))
+      assert(keySorts(unsortedJoin), unsortedJoin.toString)
+    } finally spark.conf.set(orderingFlag, "false")
 
     spark.sql("DROP TABLE IF EXISTS fact_bucketed")
     spark.sql("DROP TABLE IF EXISTS products_bucketed")
+    spark.sql("DROP TABLE IF EXISTS products_bucketed_nosort")
   }
 
   test("bucketed write keeps session-width parallelism when buckets < width, without fragmenting buckets (ADVICE r18)") {

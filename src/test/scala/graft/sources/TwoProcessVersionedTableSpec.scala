@@ -18,16 +18,21 @@ import graft.SparkSpec
 class TwoProcessVersionedTableSpec extends SparkSpec {
   import spark.implicits._
 
-  private def spawnChild(root: String): (Int, String) = {
+  /** One child-JVM command line for both helpers: the orderly protocol
+    * child and the kill-target crash child must run under identical JVM
+    * settings (flags fixed here apply to both families of tests). */
+  private def childCmd(mainClass: String, args: String*): Seq[String] = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
       .sliding(2).collect { case Array("--add-opens", v) =>
         Seq("--add-opens", v) }.toSeq.flatten
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx3g",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.tools.VersionedChild", root)
-    val pb = new ProcessBuilder(cmd: _*)
+    Seq(javaBin) ++ addOpens ++ Seq("-Xmx3g",
+      "-cp", System.getProperty("java.class.path"), mainClass) ++ args
+  }
+
+  private def spawnChild(root: String): (Int, String) = {
+    val pb = new ProcessBuilder(childCmd("graft.tools.VersionedChild", root): _*)
     pb.redirectErrorStream(true)
     val p = pb.start()
     val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8").mkString
@@ -41,15 +46,8 @@ class TwoProcessVersionedTableSpec extends SparkSpec {
     * must not be able to fill and deadlock a process we intend to kill). */
   private def spawnCrashChild(root: String, mode: String,
       phase: String): (Process, java.io.File) = {
-    val javaBin = System.getProperty("java.home") + "/bin/java"
-    val addOpens = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.toArray.map(_.toString)
-      .sliding(2).collect { case Array("--add-opens", v) =>
-        Seq("--add-opens", v) }.toSeq.flatten
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx3g",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.tools.VersionedCrashChild", root, mode)
-    val pb = new ProcessBuilder(cmd: _*)
+    val pb = new ProcessBuilder(
+      childCmd("graft.tools.VersionedCrashChild", root, mode): _*)
     pb.environment().put("GRAFT_VT_PAUSE", phase)
     pb.redirectErrorStream(true)
     pb.redirectOutput(java.io.File.createTempFile("graft_crash_child_", ".log"))
