@@ -232,9 +232,10 @@ object Bench {
     "olap_rfm_segments" -> 0.89, "olap_rfm_segments_approx" -> 0.97,
     "partition_pruned_year_sum" -> 0.13, "sql_olap_q1" -> 0.49,
     "star_join_nlj_300" -> 0.34, "star_join_smj" -> 1.11,
-    // r19-new row: the 4-component codec, steady value from the r19 scale
-    // axis (0.152 at sf0.1) — sits with the color row, as expected (the
-    // 4th plane's extra blocks trade against the shared fixture floor)
+    // r19-new row: the 4-component codec — recorded clean values 0.13-0.19
+    // across the round's recordings (BENCH_r19_builder_final in-repo:
+    // 0.152); sits with the color row, as expected (the 4th plane's extra
+    // blocks trade against the shared fixture floor)
     "multimodal_jpeg_cmyk_decode" -> 0.15)
 
   // ---- Host-throughput calibration (r19, VERDICT r18 #1) -------------
