@@ -428,6 +428,13 @@ object Bench {
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The approx-segmentation release handles unpersist locally-checkpointed
+    // frames AFTER their last consumer, which is safe by construction but
+    // makes RDD.unpersist log a benign "lineage has been truncated" WARN per
+    // rep — hundreds of lines that bury real warnings in the artifact tail
+    // (VERDICT r19). Suppress that one logger; every other WARN still lands.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
 
     // The WHOLE suite as one function so a contended pass can be DISCARDED
     // and re-run (VERDICT r11 #1a: the r11 official artifact shipped a
@@ -481,8 +488,10 @@ object Bench {
         def run(): Double = {
           val t0 = System.nanoTime()
           val (df, release) = f
-          noop(df)
-          release()
+          // release in a finally (ADVICE r19): a rep that throws mid-noop
+          // must still drop its localCheckpoint blocks, or the failed rep
+          // leaks exactly the pinned frame the handle exists to free
+          try noop(df) finally release()
           (System.nanoTime() - t0) / 1e9
         }
         val foreignBefore = foreignJavaProcs()

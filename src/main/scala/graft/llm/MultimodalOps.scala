@@ -1232,6 +1232,11 @@ object MultimodalOps extends QueryRegistry {
             val cid = u8(i + 5 + 2 * c)
             val slot = compId.indexOf(cid)
             if (slot < 0) err(s"scan references unknown component $cid")
+            // T.81 B.2.3: interleaved scan components must follow frame
+            // order — the MCU walk below decodes in frame order, so an
+            // out-of-order listing would silently assign entropy data to
+            // the wrong planes instead of erroring (ADVICE r19)
+            if (slot != c) err(s"scan component $cid out of frame order")
             dcSel(slot) = u8(i + 6 + 2 * c) >> 4
             acSel(slot) = u8(i + 6 + 2 * c) & 15
             if (dcSel(slot) > 3 || acSel(slot) > 3)

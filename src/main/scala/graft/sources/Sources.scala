@@ -54,7 +54,12 @@ object Sources {
     * `spark.sql.legacy.bucketedTableScan.outputOrdering` (Spark 3+
     * default-off — propagating the order makes the planner list files)
     * additionally drop the merge join's SortExecs (spec-asserted both
-    * ways). Catalog-backed (`saveAsTable`) because bucket metadata lives
+    * ways). NOTE (ADVICE r19): single-file-per-bucket is guaranteed only
+    * with `sortBy` (or `buckets` >= the session's shuffle width) — an
+    * UNSORTED table writes up to ceil(width/buckets) files per bucket to
+    * keep write parallelism, so point lookups on it scan k files; callers
+    * who relied on the r18 one-file layout should pass `sortBy`.
+    * Catalog-backed (`saveAsTable`) because bucket metadata lives
     * in the table catalog. */
   def bucketTable(df: DataFrame, name: String, buckets: Int, key: String,
                   sortBy: Seq[String] = Nil, path: Option[String] = None): Unit = {

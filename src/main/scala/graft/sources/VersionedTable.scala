@@ -1541,8 +1541,11 @@ object VersionedTable {
     //     staging age out, regardless of commit duration.
     // A crashed writer stops heartbeating and landing files, so its orphan
     // ages past the horizon and is reclaimed on the next vacuum.
+    // toLongOption, not bare toLong: a malformed conf value degrades to the
+    // default instead of aborting the whole vacuum (ADVICE r19 — matches
+    // the heartbeatMs parse)
     val orphanHorizonMs = spark.conf.getOption("graft.versioned.orphanHorizonMs")
-      .map(_.toLong).getOrElse(15L * 60 * 1000)
+      .flatMap(_.toLongOption).getOrElse(15L * 60 * 1000)
     val nowMs = System.currentTimeMillis()
     def newestMtime(st: org.apache.hadoop.fs.FileStatus): Long = {
       val self = st.getModificationTime

@@ -142,15 +142,15 @@ object ScaleAxisProbe {
         def run(): Double = {
           val t0 = System.nanoTime()
           val (df, release) = f
-          noop(df)
-          release()
+          // release in a finally (ADVICE r19): a throwing rep must still
+          // drop its localCheckpoint blocks — same fix as Bench.timeR
+          try noop(df) finally release()
           (System.nanoTime() - t0) / 1e9
         }
         run() // untimed warm-up
         val sec = (1 to reps).map(_ => run()).min
         val (df, release) = f
-        val s = shape(df)
-        release()
+        val s = try shape(df) finally release()
         recs += RowRec(name, sec, s)
       } catch {
         case e: Throwable =>
