@@ -79,18 +79,26 @@ object Warehouse {
     // instead. Caching the parse layer too would materialize the same 600k
     // rows twice per build for no extra reuse.
     val sp = Transforms.salesParsed(stgS)
-    // One AQE-coalescible range shuffle before the cache (r18, found by
+    // One AQE-coalescible shuffle before the cache (r18, found by
     // tools/ScaleAxisProbe): the parse layer above runs WIDE (the staging
     // guard), but a cache that inherits that width hurts tiny-SF query
     // latency — 32 near-empty partitions make partial aggregation useless
     // for ~20k-group keys (every partition emits ~1 row per group). No
     // explicit partition count, so AQE sizes the cache to the DATA: a few
-    // partitions at sf0.1, thousands at 100 TB — and range-by-timestamp
-    // clusters the cache batches so the in-memory min/max stats prune
-    // date-range predicates (the smart key orders like the timestamp).
-    // NULL sale_ts rows (parse-or-null) range first, in one batch.
+    // partitions at sf0.1, thousands at 100 TB.
+    // r20 (guide §2.4): HASH shuffle + sortWithinPartitions replaces r18's
+    // repartitionByRange — the RangePartitioner's reservoir-sampling pass
+    // re-executed the whole parse pipeline once per build just to pick
+    // bounds (one extra full pass at any scale). Cache batches are built
+    // from partition-SORTED rows, so per-batch min/max stats stay as tight
+    // as the range layout's and date-range predicates prune identically
+    // (A/B'd in tools/R20Probe: build 3.37→3.17 s min, datekey/composite
+    // range rows flat-to-better). NULL sale_ts rows sort first per
+    // partition, clustering into few batches, as before.
     val sf = Transforms.salesFinal(sp, dimP)
-      .repartitionByRange(org.apache.spark.sql.functions.col("sale_ts"),
+      .repartition(org.apache.spark.sql.functions.col("sale_ts"),
+        org.apache.spark.sql.functions.col("invoiceid"))
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("sale_ts"),
         org.apache.spark.sql.functions.col("invoiceid"))
       .cache()
 

@@ -486,61 +486,76 @@ object EmbeddingOps extends QueryRegistry {
     *
     * Unlike [[kcenterSample]] (global selection, 1-row argmax collects),
     * EVERY query advances through the k greedy rounds simultaneously and
-    * nothing ever reaches the driver: each round is one per-query
-    * `row_number` pick + one equi-join updating the running max-similarity
-    * against only that query's NEWEST pick (the incremental-max trick).
-    * All rounds operate on the rerank window — |queries|·nCand rows,
-    * independent of corpus size; candidate generation is the ANN stage's
-    * job. Similarities go through the decimal(10,6) normalization before
-    * scoring and ties break on cand_id, so selection is cross-engine
-    * deterministic; the 0.7/0.3 weights are written as separate literals
-    * in both engines (never `1−λ`, whose double differs from the literal
-    * `0.3`). */
+    * nothing ever reaches the driver. The k greedy rounds run MAP-SIDE over
+    * each query's collected candidate array (r20 — one shuffle total): the
+    * per-round pick is an `aggregate` argmax over the ≤nCand-element array
+    * under the same (score desc, cand_id asc) total order the old
+    * `row_number` window used (argmax under a strict total order is
+    * fold-order-independent), and the running max-similarity update is a
+    * `transform` against only that round's pick (the incremental-max
+    * trick). The previous shape paid a window + an equi-join + a
+    * localCheckpoint materialization PER ROUND — 2k+1 sequential jobs whose
+    * scheduling floor dominated the row (probed: tools/MmrProbe) — where
+    * this is one window + one per-query aggregate, with the rounds fused
+    * into the projection. All rounds operate on the rerank window —
+    * |queries|·nCand rows, independent of corpus size; candidate generation
+    * is the ANN stage's job. Similarities go through the decimal(10,6)
+    * normalization before scoring and ties break on cand_id, so selection
+    * is cross-engine deterministic; the 0.7/0.3 weights are written as
+    * separate literals in both engines (never `1−λ`, whose double differs
+    * from the literal `0.3`). */
   def mmrRerank(emb: DataFrame, k: Int = 5, nCand: Int = 20): DataFrame = {
     val e = emb.select("vec_id", "embedding")
     val qs = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     def r6(c: Column): Column = round(c, 6).cast("decimal(10,6)").cast("double")
     val wnd = Window.partitionBy("query_id").orderBy(col("raw").desc, col("cand_id"))
-    // localCheckpoint per round, the bpeTrain lesson (r17): each round's
-    // pick is referenced twice and the state chains through k join/window
-    // rounds, so a cached chain re-analyzes an ever-deeper plan per round
-    // and needs an end-of-call driver collect just to find a safe
-    // unpersist point. Checkpointing truncates each round to its
-    // materialized rows (probed 2×: 1.4-1.7 → 0.7-0.8 s at sf0.1,
-    // tools/MmrProbe, identical output), keeps the result distributed
-    // (nothing reaches the driver), and blocks release via the context
-    // cleaner when the superseded round goes out of scope.
-    var state = broadcast(qs).crossJoin(e)
+    // one candidate array per query; sort_array for a deterministic layout
+    // (the result is provably layout-independent — see the argmax note —
+    // but a canonical order keeps plans/debug dumps stable). The groupBy
+    // rides the window's query_id partitioning: no second exchange.
+    val cands0 = broadcast(qs).crossJoin(e)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"), col("embedding"),
         cosine(col("qe"), col("embedding")).as("raw"))
       .withColumn("rn", row_number().over(wnd)).filter(col("rn") <= nCand)
-      .select(col("query_id"), col("cand_id"), col("embedding"),
-        r6(col("raw")).as("rel"), lit(-1.0).as("max_sim"))
-      .localCheckpoint()
-    var picks: DataFrame = null
+      .groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("cand_id"),
+        r6(col("raw")).as("rel"), col("embedding"),
+        lit(-1.0).as("max_sim")))).as("cands0"))
+    def score(c: Column): Column = lit(0.7) * c("rel") - lit(0.3) * c("max_sim")
+    // strict total order (cand_id is unique within a query), so the fold's
+    // running argmax equals the old window's row_number()=1 pick exactly
+    def better(c: Column, best: Column): Column =
+      score(c) > score(best) ||
+        (score(c) === score(best) && c("cand_id") < best("cand_id"))
+    var st = cands0
     for (r <- 1 to k) {
-      val sw = Window.partitionBy("query_id")
-        .orderBy((lit(0.7) * col("rel") - lit(0.3) * col("max_sim")).desc, col("cand_id"))
-      val sel = state.withColumn("srn", row_number().over(sw))
-        .filter(col("srn") === 1)
-        .select(col("query_id"), col("cand_id"), col("embedding"), col("rel"))
-        .localCheckpoint()
-      val out = sel.select(col("query_id"), lit(r).as("mmr_rank"),
-        col("cand_id").as("neighbor_id"), col("rel").as("relevance"))
-      picks = if (picks == null) out else picks.unionByName(out)
-      if (r < k)
-        state = state
-          .join(sel.select(col("query_id"), col("cand_id").as("sel_id"),
-            col("embedding").as("sel_emb")), Seq("query_id"))
-          .filter(col("cand_id") =!= col("sel_id"))
-          .select(col("query_id"), col("cand_id"), col("embedding"), col("rel"),
-            greatest(col("max_sim"),
-              r6(cosine(col("embedding"), col("sel_emb")))).as("max_sim"))
-          .localCheckpoint()
+      val prev = col(s"cands${r - 1}")
+      // try_element_at: an exhausted candidate array (query with < k
+      // candidates) yields a NULL pick — filtered out of the emit below,
+      // reproducing the old shape's inner-join drop-out semantics
+      st = st.withColumn(s"sel$r",
+        aggregate(prev, try_element_at(prev, lit(1)),
+          (best, c) => when(better(c, best), c).otherwise(best)))
+      if (r < k) {
+        val sel = col(s"sel$r")
+        st = st.withColumn(s"cands$r",
+          transform(filter(prev, c => c("cand_id") =!= sel("cand_id")),
+            c => struct(c("cand_id").as("cand_id"), c("rel").as("rel"),
+              c("embedding").as("embedding"),
+              greatest(c("max_sim"),
+                r6(cosine(c("embedding"), sel("embedding")))).as("max_sim"))))
+      }
     }
-    picks
+    val picks = array((1 to k).map { r =>
+      struct(lit(r).as("mmr_rank"), col(s"sel$r")("cand_id").as("neighbor_id"),
+        col(s"sel$r")("rel").as("relevance"))
+    }: _*)
+    st.select(col("query_id"),
+        explode(filter(picks, p => p("neighbor_id").isNotNull)).as("p"))
+      .select(col("query_id"), col("p.mmr_rank").as("mmr_rank"),
+        col("p.neighbor_id").as("neighbor_id"), col("p.relevance").as("relevance"))
   }
 
   /** Unrolled oracle for [[mmrRerank]]: per round, the per-query argmax CTE

@@ -164,7 +164,13 @@ object TextOps extends QueryRegistry {
     val n = size(words)
     val lines = split(col("text"), "\n")
     val nLines = size(lines)
-    val wordChars = aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x)
+    // total word chars = length(text) − (n−1): split on a single-char
+    // separator means every word boundary is exactly one removed space, so
+    // the interpreted two-HOF fold (transform + aggregate per row) collapses
+    // to flat codegen'd length arithmetic with the identical value (r20,
+    // guide §1.2 per-task work; holds for empty text too: split('')=[''],
+    // 0 = 0 − 1 + 1)
+    val wordChars = length(col("text")) - n + 1
     val meanWl = wordChars.cast("double") / n
     val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
     val nEll = (length(col("text")) -
@@ -175,9 +181,12 @@ object TextOps extends QueryRegistry {
     val ellLineRatio = size(filter(lines,
       l => endswith(l, lit("...")))).cast("double") / nLines
     val alphaRatio = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / n
-    val stopHits = size(filter(
+    // array_intersect builds ONE hash set of the document's words instead of
+    // eight interpreted array_contains scans; the stopword list is
+    // duplicate-free, so the intersect size equals the filter count (r20)
+    val stopHits = size(array_intersect(
       array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*),
-      s => array_contains(words, s)))
+      words))
     val firstFail =
       when(n < 50 || n > 100000, lit("word_count"))
         .when(meanWl < 3.0 || meanWl > 10.0, lit("mean_word_length"))
@@ -643,11 +652,19 @@ object TextOps extends QueryRegistry {
     val idx = when(n >= 2, sequence(lit(1), n - 1)).otherwise(expr("array()"))
     val bigrams = transform(idx, i =>
       concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-    val tf = cacheOnce(spread(docs)
+    val tf = spread(docs)
       .select(col("doc_id"), explode(bigrams).as("bigram"))
-      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k")))
-    val corpus = tf.groupBy("bigram").agg(sum("k").as("c"))
-    tf.join(corpus, Seq("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
+    // corpus attestation as a bigram-partitioned window SUM instead of a
+    // separate aggregate + equi-join (r20, guide §2.4): the join shape
+    // shuffled the tf frame onto the bigram key TWICE (once into the corpus
+    // aggregate, once as the join's probe side) and needed the frame cached
+    // to avoid a third tokenization; the window computes c = sum(k) over
+    // (partition by bigram) in ONE bigram-keyed exchange — same exact
+    // integer, same hot-bigram skew profile as the join's build side, one
+    // shuffle and no cache instead of two shuffles + join + cache.
+    val wnd = org.apache.spark.sql.expressions.Window.partitionBy("bigram")
+    tf.withColumn("c", sum("k").over(wnd))
       .groupBy("doc_id")
       .agg(sum("k").cast("long").as("n_bigrams"),
         sum(col("k") * col("c")).cast("long").as("attested_mass"))
@@ -939,11 +956,15 @@ object TextOps extends QueryRegistry {
     val toks = spread(docs).select(col("doc_id"), explode(wordTokens).as("token"))
     // df derives FROM the tf aggregate (its groups ARE the distinct
     // (doc, token) set) — one pass over the tokenized corpus, not two
-    val tf = cacheOnce(toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
-    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // document frequency as a token-partitioned window COUNT instead of a
+    // separate aggregate + equi-join (r20, guide §2.4 — the lmFamiliarity
+    // rewrite): df = count of tf rows per token, in ONE token-keyed
+    // exchange instead of two shuffles + join + cache
+    val dfWnd = org.apache.spark.sql.expressions.Window.partitionBy("token")
     val wnd = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
-    tf.join(dfq, Seq("token"))
+    tf.withColumn("df", count(lit(1)).over(dfWnd))
       .withColumn("score", col("tf").cast("double") / col("df"))
       .withColumn("rank", row_number().over(wnd))
       .filter(col("rank") <= k)
@@ -1242,9 +1263,15 @@ object TextOps extends QueryRegistry {
     // superseded generation goes out of scope. The vocab-sized frames are
     // a few MB — the locality tradeoff (localCheckpoint is not
     // executor-loss tolerant) is the standard one for iterative drivers.
+    // LAZY checkpoints (r20): eager localCheckpoint spends one job per
+    // generation just materializing the new symbolization, then the pair
+    // aggregate's job re-reads it — with eager=false the materialization
+    // rides the pair aggregate's own job, halving the trainer's job count
+    // (the per-generation driver floor dominates this row at bench SF).
+    // Lineage is truncated exactly as before once the first action runs.
     var syms = wordFreq
       .select(col("word"), col("freq"), split(col("word"), "").as("syms"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     for (i <- 1 to nMerges if !done) {
@@ -1263,13 +1290,22 @@ object TextOps extends QueryRegistry {
         val (l, r, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((i, l, r, cnt))
+        // containment precheck (r20, guide §1.2 per-task work): the greedy
+        // fold is IDENTITY for any word not containing both symbols — most
+        // of the vocabulary every generation — and the fold's interpreted
+        // per-element array rebuild is the generation's dominant per-row
+        // cost. array_contains is a cheap scan with no allocation; words
+        // containing l and r but never adjacently still fold to themselves,
+        // so the rewrite is value-identical on every word.
+        val fold = aggregate(col("syms"), array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
         syms = syms.withColumn("syms",
-            aggregate(col("syms"), array().cast("array<string>"),
-              (acc, x) => when(size(acc) > 0 &&
-                  element_at(acc, -1) === lit(l) && x === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-                .otherwise(concat(acc, array(x)))))
-          .localCheckpoint()
+            when(array_contains(col("syms"), l) && array_contains(col("syms"), r),
+              fold).otherwise(col("syms")))
+          .localCheckpoint(false)
       }
     }
     (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count"), syms)

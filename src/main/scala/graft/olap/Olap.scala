@@ -115,30 +115,44 @@ object Olap extends QueryRegistry {
       .select("stockcode", "description", "avg_unitprice", "total_revenue", "total_quantity")
 
   /** Q6: cohort — signup month vs first-3-months revenue (non-equi theta join
-    * J6: equi on customer_key + month-range post-filter). */
+    * J6: equi on customer_key + month-range residual).
+    *
+    * r20 reshape (guide §2.3/§2.4, A/B'd in tools/R20Probe: 1.030 → 0.675 s
+    * min at sf0.1, rows identical): the old shape pre-aggregated the fact by
+    * (customer_key, sale_month) — a fact-wide exchange into a barely-smaller
+    * group space — before the signup join and then shuffled AGAIN onto the
+    * ~|months| group key. The dim is broadcast-sized by construction, so the
+    * fact now joins it map-side FIRST, the window filter drops out-of-cohort
+    * rows before any exchange, and the single remaining shuffle carries
+    * partial sums over the tiny signup_month group space. Signup months with
+    * no in-window sales are restored by the dim-sized left join (the old
+    * LEFT theta join kept them as all-zero rows). Decimal sums are exact in
+    * both shapes, so the emitted doubles are bit-identical. */
   def q6(w: Warehouse): DataFrame = {
     val signup = w.dimCustomerElt
       .filter(col("signupdate").isNotNull)
       .select(col("customer_key").as("s_key"), trunc(col("signupdate"), "month").as("signup_month"))
-    val revenue = w.factSalesElt
+    val saleMonth = graft.monthOfDateKey(col("date_key"))
+    val inWindow = w.factSalesElt
       .filter(col("date_key") =!= graft.FallbackDateKey)
-      .groupBy(col("customer_key").as("r_key"),
-        graft.monthOfDateKey(col("date_key")).as("sale_month"))
-      .agg(sum("totalamount").as("revenue"))
-    signup
-      .join(revenue,
-        col("r_key") === col("s_key") &&
-          col("sale_month") >= col("signup_month") &&
-          col("sale_month") < add_months(col("signup_month"), 3),
-        "left")
+      .join(broadcast(signup), col("customer_key") === col("s_key"))
+      .select(col("signup_month"), saleMonth.as("sale_month"), col("totalamount"))
+      .filter(col("sale_month") >= col("signup_month") &&
+        col("sale_month") < add_months(col("signup_month"), 3))
       .groupBy("signup_month")
       .agg(
-        sum(when(col("sale_month") === col("signup_month"), col("revenue")).otherwise(lit(0)))
-          .cast("decimal(18,2)").cast("double").as("month0_revenue"),
-        sum(when(col("sale_month") === add_months(col("signup_month"), 1), col("revenue")).otherwise(lit(0)))
-          .cast("decimal(18,2)").cast("double").as("month1_revenue"),
-        sum(when(col("sale_month") === add_months(col("signup_month"), 2), col("revenue")).otherwise(lit(0)))
-          .cast("decimal(18,2)").cast("double").as("month2_revenue"))
+        sum(when(col("sale_month") === col("signup_month"), col("totalamount"))
+          .otherwise(lit(0))).as("m0"),
+        sum(when(col("sale_month") === add_months(col("signup_month"), 1), col("totalamount"))
+          .otherwise(lit(0))).as("m1"),
+        sum(when(col("sale_month") === add_months(col("signup_month"), 2), col("totalamount"))
+          .otherwise(lit(0))).as("m2"))
+    signup.select(col("signup_month")).distinct()
+      .join(inWindow, Seq("signup_month"), "left")
+      .select(col("signup_month"),
+        coalesce(col("m0"), lit(0)).cast("decimal(18,2)").cast("double").as("month0_revenue"),
+        coalesce(col("m1"), lit(0)).cast("decimal(18,2)").cast("double").as("month1_revenue"),
+        coalesce(col("m2"), lit(0)).cast("decimal(18,2)").cast("double").as("month2_revenue"))
   }
 
   /** Q7: monthly revenue by country verification frame. */
@@ -314,10 +328,20 @@ object Olap extends QueryRegistry {
     // full shuffle doing the same work (row cost is the object-hash basket
     // aggregation itself — probe-measured unchanged by the extra shuffle at
     // sf0.1, but at 100 TB one exchange of the fact is one too many)
+    //
+    // localCheckpoint (r20, guide §2.4/§5): the basket frame has THREE
+    // consumers (item counts, the basket total, and the pair fan-out).
+    // Exchange reuse shares the map-side shuffle write, but the reduce-side
+    // object-hash collect_set merge re-ran per consumer — the dominant cost
+    // of the row (probed 3×: tools/R20Probe). One materialization of the
+    // |baskets|-sized array frame runs it once; blocks release via the
+    // context cleaner when the frame goes out of scope (the bpeTrain
+    // discipline).
     val baskets = sales
       .groupBy("invoiceid")
       .agg(sort_array(collect_set(col("stockcode"))).as("items"))
       .filter(size(col("items")).between(2, maxBasket))
+      .localCheckpoint()
     val items = baskets.select(col("invoiceid"), explode(col("items")).as("stockcode"))
     val itemN = items.groupBy("stockcode").agg(count(lit(1)).as("n"))
     val total = baskets.agg(count(lit(1)).as("n_baskets"))
